@@ -1,13 +1,266 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.{EventOps, RelationalOps, TextOps, VectorOps}
+
+/** Driver contract — see /root/repo/SURVEY.md §2.7/§7.
+  *
+  * Every query is a pure (SparkSession, sfDir) => DataFrame; each with an
+  * entry in [[oracleSql]] is hash-compared by the driver against DuckDB on
+  * the same parquet tables (columns sorted by name, so aliases match on
+  * both sides; numeric aggregates are decimal-exact → double, see
+  * [[graft.Num]]). Queries without an oracle (approx/hash-defined output)
+  * get the driver's weaker rows-only check.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * the reference's materialized-view downsampling (gauge-avg + counter-sum
+    * branches unioned, SURVEY.md §2.4 D1/D2).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    EventOps.downsampleLts(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // yamon-analog event-stream surface (SURVEY.md §2.7)
+    "q_scan_filter" -> EventOps.scanFilter _,
+    "q_bucket_avg" -> EventOps.bucketAvg _,
+    "q_bucket_sum" -> EventOps.bucketSum _,
+    "q_tag_filter" -> EventOps.tagFilter _,
+    "q_downsample_lts" -> EventOps.downsampleLts _,
+    "q_topk" -> EventOps.topK _,
+    "q_rate" -> EventOps.rate _,
+    "q_session" -> EventOps.session _,
+    "q_join_enrich" -> EventOps.joinEnrich _,
+    "q_distinct_daily" -> EventOps.distinctDaily _,
+    "q_distinct_approx" -> EventOps.distinctApprox _,
+    "q_log_level_hist" -> EventOps.logLevelHist _,
+    "q_set_except" -> EventOps.setExcept _,
+    "q_rollup" -> EventOps.rollupCounts _,
+    "q_pivot_daily" -> EventOps.pivotDaily _,
+    // relational parity (ClickHouse-SQL-class capability, SURVEY.md §2.6)
+    "q1_pricing" -> RelationalOps.pricingSummary _,
+    "q3_shipping_priority" -> RelationalOps.shippingPriority _,
+    "q4_order_priority" -> RelationalOps.orderPriority _,
+    "q5_region_revenue" -> RelationalOps.regionRevenue _,
+    "q_brand_volume" -> RelationalOps.brandVolume _,
+    "q_window_first_shipments" -> RelationalOps.supplierFirstShipments _,
+    // training-data pipeline: text (SURVEY.md §7.5)
+    "q_text_stats" -> TextOps.textStats _,
+    "q_dedup_exact" -> TextOps.dedupExact _,
+    "q_fingerprint" -> TextOps.fingerprint _,
+    "q_quality_score" -> TextOps.qualityScore _,
+    "q_lang_id" -> TextOps.langIdHeuristic _,
+    "q_token_jaccard" -> TextOps.tokenJaccard _,
+    "q_minhash_lsh" -> TextOps.minhashLsh _,
+    "q_simhash" -> TextOps.simhash _,
+    // training-data pipeline: embeddings
+    "q_cosine_topk" -> VectorOps.cosineTopK _,
+    "q_embed_near_dup" -> VectorOps.embeddingNearDup _,
+    "q_ann_lsh" -> VectorOps.annLsh _,
+  )
+
+  private val stopList = "('the','a','an','of','and','to','in','is','it','on','for')"
+
+  def oracleSql: Map[String, String] = Map(
+    "q_scan_filter" ->
+      """SELECT event_id, ts, user_id, value FROM events
+        |WHERE event_type = 'error'
+        |  AND ts >= TIMESTAMP '2024-01-05 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-20 00:00:00'
+        |ORDER BY event_id""".stripMargin,
+    "q_bucket_avg" ->
+      """SELECT date_trunc('minute', ts) AS bucket, event_type,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*) AS avg_value,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_bucket_sum" ->
+      """SELECT date_trunc('minute', ts) AS bucket, event_type,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_tag_filter" ->
+      """SELECT event_id, user_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events
+        |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+        |ORDER BY event_id""".stripMargin,
+    "q_downsample_lts" ->
+      """SELECT * FROM (
+        |  SELECT date_trunc('minute', ts) AS bucket, event_type,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*) AS value,
+        |    'gauge' AS kind
+        |  FROM events WHERE event_type IN ('view','click') GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT date_trunc('minute', ts) AS bucket, event_type,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value,
+        |    'counter' AS kind
+        |  FROM events WHERE event_type NOT IN ('view','click') GROUP BY 1, 2
+        |) ORDER BY bucket, event_type""".stripMargin,
+    "q_topk" ->
+      """SELECT event_type, COUNT(*) AS cnt FROM events
+        |GROUP BY 1 ORDER BY cnt DESC, event_type LIMIT 3""".stripMargin,
+    "q_rate" ->
+      """SELECT user_id, event_id, delta FROM (
+        |  SELECT user_id, event_id,
+        |    value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+        |  FROM events) t
+        |WHERE delta IS NOT NULL ORDER BY user_id, event_id""".stripMargin,
+    "q_session" ->
+      """WITH x AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT user_id, ts,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM x)
+        |SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+    "q_join_enrich" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_distinct_daily" ->
+      """SELECT CAST(ts AS DATE) AS day, COUNT(DISTINCT user_id) AS n_users,
+        |  COUNT(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_log_level_hist" ->
+      """SELECT CASE WHEN value < 50 THEN 'low'
+        |            WHEN value < 150 THEN 'mid' ELSE 'high' END AS level,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_set_except" ->
+      """SELECT user_id, CAST(ts AS DATE) AS day FROM events WHERE event_type = 'purchase'
+        |EXCEPT
+        |SELECT user_id, CAST(ts AS DATE) AS day FROM events WHERE event_type = 'error'
+        |ORDER BY user_id, day""".stripMargin,
+    "q_rollup" ->
+      """SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+        |FROM events GROUP BY ROLLUP(event_type, CAST(ts AS DATE))
+        |ORDER BY event_type NULLS FIRST, day NULLS FIRST""".stripMargin,
+    "q_pivot_daily" ->
+      """SELECT CAST(ts AS DATE) AS day,
+        |  COUNT(CASE WHEN event_type='click' THEN 1 END) AS "click",
+        |  COUNT(CASE WHEN event_type='error' THEN 1 END) AS "error",
+        |  COUNT(CASE WHEN event_type='purchase' THEN 1 END) AS "purchase",
+        |  COUNT(CASE WHEN event_type='signup' THEN 1 END) AS "signup",
+        |  COUNT(CASE WHEN event_type='view' THEN 1 END) AS "view"
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  SUM(l_quantity) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  SUM(l_quantity)/COUNT(*) AS avg_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*) AS avg_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+        |GROUP BY 1, 2 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS n FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q5_region_revenue" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_brand_volume" ->
+      """SELECT p_brand, SUM(l_quantity) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_window_first_shipments" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, rn FROM (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber,
+        |    ROW_NUMBER() OVER (PARTITION BY l_suppkey
+        |                       ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem) t
+        |WHERE rn <= 2 ORDER BY l_suppkey, rn""".stripMargin,
+    "q_text_stats" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(SUM(len(string_split(text, ' '))) AS DOUBLE)/COUNT(*) AS avg_tokens
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+    "q_fingerprint" ->
+      """SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_quality_score" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |SELECT doc_id,
+        |  CAST(SUM(CASE WHEN tok IN $stopList THEN 1 ELSE 0 END) AS DOUBLE)/COUNT(*) AS stop_ratio,
+        |  CAST(SUM(length(tok)) AS DOUBLE)/COUNT(*) AS avg_tok_len,
+        |  COUNT(*) AS n_tokens
+        |FROM tok GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_lang_id" ->
+      s"""WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |r AS (SELECT doc_id, lang,
+        |  CAST(SUM(CASE WHEN tok IN $stopList THEN 1 ELSE 0 END) AS DOUBLE)/COUNT(*) AS ratio
+        |  FROM tok GROUP BY 1, 2)
+        |SELECT lang, CASE WHEN ratio >= 0.05 THEN 'en' ELSE 'other' END AS lang_guess,
+        |  COUNT(*) AS n
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_token_jaccard" ->
+      """WITH tok AS (SELECT DISTINCT doc_id, tok FROM
+        |    (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
+        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY 1),
+        |pair AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+        |         FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |         GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  CAST(common AS DOUBLE)/(sa.sz + sb.sz - common) AS jaccard
+        |FROM pair JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+        |WHERE CAST(common AS DOUBLE)/(sa.sz + sb.sz - common) >= 0.95
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_cosine_topk" ->
+      """WITH flat AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |                generate_subscripts(embedding, 1) AS i FROM embeddings),
+        |nrm AS (SELECT vec_id, sqrt(SUM(x*x)) AS nrm FROM flat GROUP BY 1),
+        |dotp AS (SELECT q.vec_id AS qid, f.vec_id AS nid, SUM(q.x*f.x) AS dp
+        |         FROM flat q JOIN flat f ON q.i = f.i
+        |         WHERE q.vec_id < 5 AND q.vec_id <> f.vec_id GROUP BY 1, 2),
+        |sc AS (SELECT qid, nid, ROUND(dp/(nq.nrm*nn.nrm), 4) AS cosine
+        |       FROM dotp JOIN nrm nq ON nq.vec_id = qid JOIN nrm nn ON nn.vec_id = nid),
+        |rk AS (SELECT qid, nid, cosine,
+        |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rn
+        |       FROM sc)
+        |SELECT qid, nid, cosine, rn FROM rk WHERE rn <= 10 ORDER BY qid, rn""".stripMargin,
+    "q_embed_near_dup" ->
+      """WITH flat AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |                generate_subscripts(embedding, 1) AS i FROM embeddings),
+        |nrm AS (SELECT vec_id, sqrt(SUM(x*x)) AS nrm FROM flat GROUP BY 1),
+        |pairs AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |          FROM embeddings a JOIN embeddings b
+        |          ON a.label = b.label AND a.vec_id < b.vec_id),
+        |dotp AS (SELECT p.vec_a, p.vec_b, SUM(fa.x*fb.x) AS dp
+        |         FROM pairs p JOIN flat fa ON fa.vec_id = p.vec_a
+        |         JOIN flat fb ON fb.vec_id = p.vec_b AND fb.i = fa.i
+        |         GROUP BY 1, 2)
+        |SELECT vec_a, vec_b, cosine FROM (
+        |  SELECT vec_a, vec_b, ROUND(dp/(na.nrm*nb.nrm), 4) AS cosine
+        |  FROM dotp JOIN nrm na ON na.vec_id = vec_a JOIN nrm nb ON nb.vec_id = vec_b)
+        |WHERE cosine >= 0.35 ORDER BY vec_a, vec_b""".stripMargin,
+  )
 }

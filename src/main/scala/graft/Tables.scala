@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Loaders for the driver testdata plus shared numeric helpers.
+  *
+  * Scale posture: all readers are plain parquet scans so Catalyst pushes
+  * filters/column pruning into the scan; no caching here — callers decide.
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark
+    * refuses by default. Read nanos as long and truncate to µs (integer
+    * `div`, exactly what DuckDB's ns→µs read does), keeping oracle parity.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
+  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+}
+
+/** Determinism helpers for oracle-checked aggregates.
+  *
+  * Summing 2-decimal doubles is order-dependent in the low bits, and Spark's
+  * partial aggregation order differs from DuckDB's — so every money-style
+  * SUM/AVG goes through an exact decimal accumulator and is cast back to
+  * double at the end. The decimal sum is exact, hence bit-identical across
+  * engines and across partitionings (safe at any scale/parallelism).
+  */
+object Num {
+  private val dec = DecimalType(18, 2)
+
+  /** Exact decimal sum of a 2-decimal double column, returned as double. */
+  def dsum(c: Column): Column = sum(c.cast(dec)).cast(DoubleType)
+
+  /** Deterministic mean: exact decimal sum, one double division. */
+  def davg(c: Column): Column = dsum(c) / count(lit(1))
+
+  /** Exact revenue-style sum: SUM(price * (1 - discount)) in decimals. */
+  def dsumProduct(price: Column, discount: Column): Column =
+    sum(price.cast(dec) * (lit(1).cast(dec) - discount.cast(dec))).cast(DoubleType)
+}

@@ -1,0 +1,182 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Num, Tables}
+
+/** The yamon-analog query surface over the `events` stream table
+  * (SURVEY.md §2.7): `ts`→`when`, `event_type`→`name`/`type`,
+  * `user_id`→`host`, `props`→`tags`-as-JSON.
+  *
+  * Scale notes: every query is a declarative plan — filters sit directly on
+  * the scan (parquet pushdown + pruning), aggregations are hash aggregates
+  * with map-side partial combine, the one dimension join is broadcast, and
+  * nothing collects to the driver. All group keys include a time bucket or
+  * a bounded-cardinality column, so state per task stays small at 100 TB.
+  */
+object EventOps {
+
+  /** D5/D9 analog: time-range + type filter scan. Both predicates push down
+    * to the parquet reader (shows under PushedFilters).
+    */
+  def scanFilter(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("event_type") === "error" &&
+        col("ts") >= lit("2024-01-05 00:00:00").cast("timestamp") &&
+        col("ts") < lit("2024-01-20 00:00:00").cast("timestamp"))
+      .select("event_id", "ts", "user_id", "value")
+      .orderBy("event_id")
+
+  /** D1 analog (gauge materialized view): 1-minute tumbling average per
+    * series (ref: res/schema.sql:39-50).
+    */
+  def bucketAvg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(date_trunc("minute", col("ts")).as("bucket"), col("event_type"))
+      .agg(Num.davg(col("value")).as("avg_value"), count(lit(1)).as("n"))
+      .orderBy("bucket", "event_type")
+
+  /** D2 analog (counter materialized view): 1-minute tumbling sum
+    * (ref: res/schema.sql:71-82).
+    */
+  def bucketSum(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(date_trunc("minute", col("ts")).as("bucket"), col("event_type"))
+      .agg(Num.dsum(col("value")).as("sum_value"), count(lit(1)).as("n"))
+      .orderBy("bucket", "event_type")
+
+  /** D6 analog: predicate on a tag extracted from the JSON props map
+    * (ref bloom-indexed tag lookup, res/schema.sql:9-10).
+    */
+  def tagFilter(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("bigint"))
+      .filter(col("k") > 50)
+      .select("event_id", "user_id", "k")
+      .orderBy("event_id")
+
+  /** Full MV semantics (D1+D2 unioned): gauge-like types get the avg branch,
+    * counter-like types the sum branch, exactly like the two LTS tables
+    * (ref: res/schema.sql:22-37,54-69).
+    */
+  def downsampleLts(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(spark, dir)
+      .withColumn("bucket", date_trunc("minute", col("ts")))
+    val gaugeTypes = Seq("view", "click")
+    val gauges = base.filter(col("event_type").isin(gaugeTypes: _*))
+      .groupBy("bucket", "event_type")
+      .agg(Num.davg(col("value")).as("value"))
+      .withColumn("kind", lit("gauge"))
+    val counters = base.filter(!col("event_type").isin(gaugeTypes: _*))
+      .groupBy("bucket", "event_type")
+      .agg(Num.dsum(col("value")).as("value"))
+      .withColumn("kind", lit("counter"))
+    gauges.unionByName(counters).orderBy("bucket", "event_type")
+  }
+
+  /** Top-K series by volume (sort+limit; partial top-k happens map-side via
+    * the hash aggregate, the final sort sees only #distinct-types rows).
+    */
+  def topK(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("event_type"))
+      .limit(3)
+
+  /** Counter-rate via lag over each per-key ordered series — the canonical
+    * monitoring query the reference's ORDER BY (name,host,ts) serves
+    * (ref: res/schema.sql:14). One shuffle on the partition key.
+    */
+  def rate(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(spark, dir)
+      .withColumn("delta", col("value") - lag("value", 1).over(w))
+      .filter(col("delta").isNotNull)
+      .select("user_id", "event_id", "delta")
+      .orderBy("user_id", "event_id")
+  }
+
+  /** T8 analog (audit reassembly): gap-based sessionization per user via
+    * `session_window` (30-minute inactivity gap).
+    */
+  def session(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"))
+      .orderBy("user_id", "session_start")
+
+  /** S15 analog (device-info enrichment): stream × small dimension. The
+    * dimension is explicitly broadcast — at 100 TB the fact side never
+    * shuffles for this join.
+    */
+  def joinEnrich(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)),
+        col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), Num.dsum(col("value")).as("total"))
+      .orderBy("c_mktsegment")
+
+  /** Exact distinct users per day (count_distinct → partial distinct
+    * aggregation; the approx variant below is the 100 TB path).
+    */
+  def distinctDaily(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count_distinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy("day")
+
+  /** HLL-class approximate distinct (no SQL oracle — implementation-defined
+    * estimate; driver checks rows>0). At 100 TB this replaces the exact
+    * distinct: constant-size sketch per group, no distinct shuffle.
+    */
+  def distinctApprox(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+      .orderBy("day")
+
+  /** T9 analog: when-chain classification + histogram (syslog-priority →
+    * level-name decode, ref: journal/client.go:84-99).
+    */
+  def logLevelHist(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("level",
+        when(col("value") < 50, "low")
+          .when(col("value") < 150, "mid")
+          .otherwise("high"))
+      .groupBy("level").agg(count(lit(1)).as("n"))
+      .orderBy("level")
+
+  /** Set operation: user-days with a purchase but no error (EXCEPT
+    * DISTINCT).
+    */
+  def setExcept(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).withColumn("day", to_date(col("ts")))
+    ev.filter(col("event_type") === "purchase").select("user_id", "day")
+      .except(ev.filter(col("event_type") === "error").select("user_id", "day"))
+      .orderBy("user_id", "day")
+  }
+
+  /** Rollup (grouping sets) over type × day with count. */
+  def rollupCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("day", to_date(col("ts")))
+      .rollup("event_type", "day")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type").asc_nulls_first, col("day").asc_nulls_first)
+
+  /** Pivot: per-day event-type counts as columns. */
+  def pivotDaily(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("day", to_date(col("ts")))
+      .groupBy("day")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("day")
+}

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Similarity search over the `embeddings` table (vec_id, embedding:
+  * Array[Float] len 64, label).
+  *
+  * Scale notes: the brute-force path broadcasts the (small) query set and
+  * streams the corpus once — no corpus shuffle, dot products run inside
+  * whole-stage codegen via `zip_with`/`aggregate`. Top-k per query is a
+  * window over (n_queries × corpus) rows; at 100 TB you first reduce with
+  * the LSH-bucketed variant so only candidate buckets are scored.
+  */
+object VectorOps {
+
+  /** Elementwise dot product in double precision (floats widened first so
+    * products are exact; sequential fold keeps the sum deterministic).
+    */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Brute-force cosine top-10 for query vectors vec_id < 5 against the
+    * whole corpus. Cosine is rounded to 4 decimals (and ranked on the
+    * rounded value, tie-broken by id) so the result is exactly comparable
+    * across engines and summation orders.
+    */
+  def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val scored = emb.select(col("vec_id").as("nid"), col("embedding").as("ne"))
+      .join(broadcast(queries), col("qid") =!= col("nid"))
+      .withColumn("cosine",
+        round(dot(col("qe"), col("ne")) / (norm(col("qe")) * norm(col("ne"))), 4))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid"))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 10)
+      .select("qid", "nid", "cosine", "rn")
+      .orderBy("qid", "rn")
+  }
+
+  /** Near-duplicate pairs by embedding cosine above a threshold, restricted
+    * to same-label blocks (blocking keeps the self-join linear-ish; the
+    * unblocked exact variant is [[cosineTopK]]'s machinery).
+    */
+  def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    emb.as("a").join(emb.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cosine",
+        round(dot(col("a.embedding"), col("b.embedding")) /
+          (norm(col("a.embedding")) * norm(col("b.embedding"))), 4))
+      .filter(col("cosine") >= 0.35)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cosine"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** ANN via random-hyperplane LSH (the scale path; no SQL oracle — bucket
+    * assignment is hash-defined). Hyperplanes are derived deterministically
+    * from xxhash64 so the plan is reproducible without any driver-side RNG
+    * state; each vector lands in one bucket per table, candidates are
+    * scored exactly within buckets only.
+    */
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    val nBits = 8
+    val emb = Tables.embeddings(spark, dir)
+    // sign bit j = sign( sum_i e[i] * hyper(j, i) ), hyper in [-0.5, 0.5)
+    // derived from xxhash64(j, i) — deterministic, no stored model.
+    def hyper(j: Int): Column =
+      transform(sequence(lit(0), lit(63)), i =>
+        (xxhash64(lit(j), i).cast("double") / lit(Long.MaxValue.toDouble * 2) ))
+    val sigBits = (0 until nBits).map { j =>
+      when(aggregate(zip_with(col("embedding"), hyper(j), (x, h) =>
+        x.cast("double") * h), lit(0.0), (a, v) => a + v) > 0,
+        shiftleft(lit(1), j)).otherwise(lit(0))
+    }.reduce(_.bitwiseOR(_))
+    val bucketed = emb.withColumn("bucket", sigBits)
+    val queries = bucketed.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("bucket"))
+    val cand = bucketed.select(col("vec_id").as("nid"), col("embedding").as("ne"), col("bucket"))
+      .join(broadcast(queries), Seq("bucket"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("cosine",
+        round(dot(col("qe"), col("ne")) / (norm(col("qe")) * norm(col("ne"))), 4))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid"))
+    cand.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .select("qid", "nid", "cosine", "rn")
+      .orderBy("qid", "rn")
+  }
+}
