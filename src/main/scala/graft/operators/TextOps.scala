@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -85,23 +86,56 @@ object TextOps {
       .agg(count(lit(1)).as("n"))
       .orderBy("lang", "lang_guess")
 
-  /** Near-dup by exact token-set Jaccard via an inverted-index self-join.
-    * Exact but join-heavy — the oracle-checked baseline for [[minhashLsh]].
+  /** Near-dup by exact token-set Jaccard, computed with AllPairs-style
+    * prefix filtering: under any global token order, two sets with
+    * J >= t must share a token within their first
+    * floor((1-t)*|d|)+1 tokens — so the inverted-index join runs only
+    * over those short prefixes (ordered rarest-token-first to keep
+    * postings lists tiny), and the naive join's quadratic blowup on
+    * stopword-frequency tokens never happens. Candidates are then scored
+    * exactly with array_intersect over the full distinct-token sets, so
+    * the result is identical to the naive all-pairs join. This is the
+    * 100 TB-safe shape of the exact-dedup join.
     */
   def tokenJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val threshold = 0.95
+    // token sets are carried as 64-bit hashes: set sizes, intersections and
+    // the global frequency order are all preserved modulo xxhash64 collisions
+    // (~|doc|^2/2^65 per pair — vanishing), and every downstream compare is
+    // a long compare instead of a UTF8 string compare
     val tok = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
-    val sz = tok.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val pairs = tok.as("a").join(tok.as("b"),
-        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("common"))
-    pairs
-      .join(sz.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
-      .join(sz.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+      .select(col("doc_id"), xxhash64(col("tok")).as("th"))
+      .persist() // feeds docs, df and prefix — tokenize once
+    // per-doc distinct-token-hash set + size, one array row per doc
+    val docs = tok.groupBy("doc_id")
+      .agg(collect_list(col("th")).as("toks"), count(lit(1)).as("sz"))
+      .persist() // feeds prefix sizes and both sides of the verify join
+    // global token order: ascending document frequency, tie-broken by hash
+    val df = tok.groupBy("th").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy("df", "th")
+    val prefix = tok.join(df, "th")
+      .join(docs.select("doc_id", "sz"), "doc_id")
+      .withColumn("pos", row_number().over(w))
+      .filter(col("pos") <= floor((lit(1.0) - threshold) * col("sz")) + 1)
+      .select("doc_id", "th", "sz")
+    // candidate pairs share a prefix token AND have compatible sizes
+    // (t*|A| <= |B| <= |A|/t), both checked inside the join
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.th") === col("b.th") && col("a.doc_id") < col("b.doc_id") &&
+          col("b.sz") >= ceil(col("a.sz") * threshold) &&
+          col("a.sz") >= ceil(col("b.sz") * threshold))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"),
+        col("sz").as("sz_a")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"),
+        col("sz").as("sz_b")), "doc_b")
+      .withColumn("common", size(array_intersect(col("toks_a"), col("toks_b"))).cast("long"))
       .withColumn("jaccard",
         col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")))
-      .filter(col("jaccard") >= 0.95)
+      .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
   }
@@ -116,25 +150,38 @@ object TextOps {
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val numHashes = 16
     val rowsPerBand = 4
+    val numBands = numHashes / rowsPerBand
     val tok = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
-    // signature: for each seed i, min over tokens of xxhash64(i ++ tok)
+    // signature: for each seed i, min over tokens of xxhash64(i ++ tok);
+    // one grouped pass, signature kept as a single array column
     val sigCols = (0 until numHashes).map(i =>
       min(xxhash64(lit(i), col("tok"))).as(s"h$i"))
+    // the sig table (one 16-long array per doc) feeds the band explode AND
+    // both verification joins — persist it so the corpus scan + grouped
+    // min-hash pass runs once, not three times
     val sig = tok.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
-    // LSH: hash each band of the signature to a bucket id
-    val bands = (0 until numHashes / rowsPerBand).map { b =>
-      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i"))
-      sig.select(col("doc_id"), lit(b).as("band"), hash(cols: _*).as("bucket"),
+      .select(col("doc_id"),
         array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
-    }.reduce(_ unionByName _)
+      .persist()
+    // LSH: one row per (doc, band) via posexplode — the sig subtree is
+    // evaluated once, and the band table carries only narrow columns so
+    // the bucket self-join shuffles no arrays
+    val bandHashes = array((0 until numBands).map { b =>
+      hash((b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(i => col("sig").getItem(i)): _*)
+    }: _*)
+    val bands = sig.select(col("doc_id"), posexplode(bandHashes).as(Seq("band", "bucket")))
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
+    // verify candidates against the full signatures; plain equi-joins on
+    // doc_id — AQE picks broadcast when the sig table is small enough
     cand
+      .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
       .withColumn("est_jaccard",
         aggregate(zip_with(col("sig_a"), col("sig_b"), (x, y) =>
           when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
@@ -160,7 +207,7 @@ object TextOps {
     val fpExpr = (0 until 64).map(b =>
       when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
       .reduce(_.bitwiseOR(_))
-    val fp = fp0.select(col("doc_id"), fpExpr.as("simhash"))
+    val fp = fp0.select(col("doc_id"), fpExpr.as("simhash")).persist()
     // candidates: equal high-16-bit prefix, then exact hamming <= 8
     val pref = fp.withColumn("prefix", shiftright(col("simhash"), 48))
     pref.as("a").join(pref.as("b"),

@@ -31,13 +31,16 @@ object VectorOps {
     * across engines and summation orders.
     */
   def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    // norms are materialized once per vector before the pair join, so each
+    // scored pair costs exactly one 64-element dot product
     val emb = Tables.embeddings(spark, dir)
+      .withColumn("nrm", norm(col("embedding")))
     val queries = emb.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-    val scored = emb.select(col("vec_id").as("nid"), col("embedding").as("ne"))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+    val scored = emb.select(col("vec_id").as("nid"), col("embedding").as("ne"), col("nrm").as("nn"))
       .join(broadcast(queries), col("qid") =!= col("nid"))
       .withColumn("cosine",
-        round(dot(col("qe"), col("ne")) / (norm(col("qe")) * norm(col("ne"))), 4))
+        round(dot(col("qe"), col("ne")) / (col("qn") * col("nn")), 4))
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid"))
     scored.withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 10)
@@ -52,11 +55,12 @@ object VectorOps {
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"), col("label"))
+      .withColumn("nrm", norm(col("embedding")))
     emb.as("a").join(emb.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .withColumn("cosine",
         round(dot(col("a.embedding"), col("b.embedding")) /
-          (norm(col("a.embedding")) * norm(col("b.embedding"))), 4))
+          (col("a.nrm") * col("b.nrm")), 4))
       .filter(col("cosine") >= 0.35)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cosine"))
       .orderBy("vec_a", "vec_b")
@@ -82,13 +86,16 @@ object VectorOps {
         shiftleft(lit(1), j)).otherwise(lit(0))
     }.reduce(_.bitwiseOR(_))
     val bucketed = emb.withColumn("bucket", sigBits)
+      .withColumn("nrm", norm(col("embedding")))
     val queries = bucketed.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("bucket"))
-    val cand = bucketed.select(col("vec_id").as("nid"), col("embedding").as("ne"), col("bucket"))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nrm").as("qn"), col("bucket"))
+    val cand = bucketed.select(col("vec_id").as("nid"), col("embedding").as("ne"),
+        col("nrm").as("nn"), col("bucket"))
       .join(broadcast(queries), Seq("bucket"))
       .filter(col("qid") =!= col("nid"))
       .withColumn("cosine",
-        round(dot(col("qe"), col("ne")) / (norm(col("qe")) * norm(col("ne"))), 4))
+        round(dot(col("qe"), col("ne")) / (col("qn") * col("nn")), 4))
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid"))
     cand.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 10)
