@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{EventOps, RelationalOps, TextOps, VectorOps}
+import graft.operators.{EventOps, MultimodalOps, RelationalOps, TextOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §2.7/§7.
   *
@@ -58,6 +58,8 @@ object SparkEntry {
     "q_cosine_topk" -> VectorOps.cosineTopK _,
     "q_embed_near_dup" -> VectorOps.embeddingNearDup _,
     "q_ann_lsh" -> VectorOps.annLsh _,
+    // training-data pipeline: multimodal plumbing (stubbed decode; rows-only)
+    "q_media_pipeline" -> MultimodalOps.mediaPipeline _,
   )
 
   private val stopList = "('the','a','an','of','and','to','in','is','it','on','for')"

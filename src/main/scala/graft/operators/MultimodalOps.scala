@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Multimodal-column operators for training-data pipelines: image/audio/
+  * video travel as opaque `binary` columns with typed metadata, and the
+  * decode / feature / resize / frame-sample stages are structured exactly
+  * as they would be against real codecs.
+  *
+  * STUB NOTE: no media codecs exist in this environment, so `decode` is a
+  * deterministic fake — every derived quantity is a pure function of the
+  * bytes (xxhash64-seeded), clearly marked below. The Spark-side contract —
+  * schemas, nullability, batch iteration shape, partitioning behavior — is
+  * real and tested; swapping in a codec changes only the marked functions.
+  *
+  * The per-partition feature extractor is the Scala analog of an
+  * arrow-batched UDF: one initialization per partition (where a codec
+  * context would be opened), then row-at-a-time decode within the batch.
+  */
+object MultimodalOps {
+
+  /** Decoded-media metadata schema — what a real image decode returns. */
+  final case class MediaMeta(mediaId: Long, kind: String, nBytes: Long,
+      width: Int, height: Int, channels: Int)
+
+  /** Fixed-width embedding from raw bytes (stub for a vision/audio model). */
+  final case class MediaFeatures(mediaId: Long, features: Array[Float])
+
+  /** STUB decode: dimensions derived deterministically from the content
+    * hash (a real implementation parses the container header). Native
+    * column expressions — stays in codegen, no serialization fence.
+    */
+  def decodeStub(media: DataFrame, bytesCol: String = "bytes"): DataFrame = {
+    val h = abs(xxhash64(col(bytesCol)))
+    media
+      .withColumn("n_bytes", length(col(bytesCol)).cast("long"))
+      .withColumn("width", (h % 1920 + 1).cast("int"))
+      .withColumn("height", ((h / 1920) % 1080 + 1).cast("int"))
+      .withColumn("channels", (h % 3 + 1).cast("int"))
+  }
+
+  /** STUB resize: recompute target dims preserving aspect ratio — metadata
+    * math is real, pixel work would happen in the decode kernel.
+    */
+  def resizeMeta(decoded: DataFrame, maxDim: Int): DataFrame = {
+    val scale = least(lit(1.0),
+      lit(maxDim) / greatest(col("width"), col("height")).cast("double"))
+    decoded
+      .withColumn("out_width", ceil(col("width") * scale).cast("int"))
+      .withColumn("out_height", ceil(col("height") * scale).cast("int"))
+  }
+
+  /** Frame sampling for video rows: one output row per sampled frame.
+    * Declarative explode — distributes with the data, no driver loop.
+    * Frame count is STUB-derived from size (real: container duration).
+    */
+  def frameSample(media: DataFrame, everyNth: Int, bytesCol: String = "bytes"): DataFrame = {
+    val nFrames = (length(col(bytesCol)).cast("long") % 240 + 1).cast("int")
+    media
+      .withColumn("n_frames", nFrames)
+      .select(col("*"),
+        posexplode(sequence(lit(0), col("n_frames") - 1, lit(everyNth)))
+          .as(Seq("sample_idx", "frame_idx")))
+      .withColumn("frame_ts_ms", col("frame_idx") * 33L) // ~30fps stub clock
+  }
+
+  /** Per-partition batched feature extraction (the mapInPandas-shaped
+    * path): iterate the partition once, initialize per-partition state
+    * once, emit a fixed 8-float vector per row. STUB math: byte histogram
+    * moments; a real extractor runs the model forward pass here.
+    */
+  def features(spark: SparkSession, media: DataFrame,
+      idCol: String = "media_id", bytesCol: String = "bytes"): DataFrame = {
+    val dim = 8
+    import spark.implicits._
+    val src = media.select(col(idCol).cast("long"), col(bytesCol)).as[(Long, Array[Byte])]
+    src.mapPartitions { it =>
+      // per-partition init happens HERE (codec/model context in real impl)
+      it.map { case (id, bytes) =>
+        val f = new Array[Float](dim)
+        if (bytes != null) {
+          var i = 0
+          while (i < bytes.length) {
+            f(i % dim) += (bytes(i) & 0xff) / 255.0f
+            i += 1
+          }
+          val n = math.max(1, bytes.length / dim)
+          var j = 0
+          while (j < dim) { f(j) /= n.toFloat; j += 1 }
+        }
+        MediaFeatures(id, f)
+      }
+    }(Encoders.product[MediaFeatures]).toDF("media_id", "features")
+  }
+
+  /** Driver-surface demo pipeline (rows-only check): documents' text bytes
+    * stand in for media payloads; decode-stub → resize → per-kind stats.
+    */
+  def mediaPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val media = Tables.documents(spark, dir)
+      .select(col("doc_id").as("media_id"),
+        (col("doc_id") % 3).cast("int").as("k"),
+        col("text").cast("binary").as("bytes"))
+      .withColumn("kind",
+        when(col("k") === 0, "image").when(col("k") === 1, "audio").otherwise("video"))
+    val decoded = resizeMeta(decodeStub(media), maxDim = 512)
+    val feats = features(spark, decoded)
+    decoded.join(feats, "media_id")
+      .groupBy("kind")
+      .agg(count(lit(1)).as("n"),
+        avg(col("out_width")).as("avg_w"),
+        avg(col("out_height")).as("avg_h"),
+        avg(element_at(col("features"), 1)).as("avg_f0"))
+      .orderBy("kind")
+  }
+}

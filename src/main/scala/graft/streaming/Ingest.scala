@@ -1,0 +1,142 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+import graft.operators.Enrich
+
+/** Storage layer of the engine — the Spark re-expression of the reference's
+  * ClickHouse DDL (SURVEY.md §2.4) and server writer (B1/B3).
+  *
+  * Layout choices mirror the MergeTree declarations:
+  *  - `PARTITION BY toDate(when)` → parquet `partitionBy(date)` (D5);
+  *    Catalyst prunes partitions on date predicates for free
+  *  - `ORDER BY (name, host, ts)` → `sortWithinPartitions` at write (D4);
+  *    parquet row-group min/max stats give the equivalent data skipping
+  *  - Delta+ZSTD codecs → parquet zstd + dictionary encoding (D8)
+  *  - bloom-filter tag indexes → parquet column bloom filters on the sort
+  *    keys (D6)
+  *  - 5s flush ticker → `Trigger.ProcessingTime` micro-batches (B1)
+  *  - TTL partition drops → [[Retention.dropExpired]] (D7)
+  */
+object Ingest {
+
+  /** Write a record stream as a date-partitioned sorted parquet table.
+    * Works for all three streams; `sortKeys` is (name, host) for metrics,
+    * (service, host) for logs, (type, host) for events
+    * (ref: res/schema.sql:14,98,117).
+    */
+  def writeTable(df: DataFrame, path: String, sortKeys: Seq[String]): Unit =
+    df.withColumn("date", to_date(col("time")))
+      .sortWithinPartitions(("date" +: sortKeys :+ "time").map(col): _*)
+      .write
+      .mode("append")
+      .partitionBy("date")
+      .option("compression", "zstd")
+      .option(s"parquet.bloom.filter.enabled#${sortKeys.head}", "true")
+      .parquet(path)
+
+  /** Continuous ingestion: micro-batch the stream into the partitioned
+    * table every 5 s (the reference's flush ticker, ref: forward.go:119-132,
+    * clickhouse_writer.go:202-215), with checkpointed offsets playing the
+    * journald cursor's resume role (SURVEY.md §2.5).
+    */
+  def streamToTable(stream: DataFrame, path: String, checkpoint: String,
+      sortKeys: Seq[String]): StreamingQuery =
+    stream.writeStream
+      .trigger(Trigger.ProcessingTime("5 seconds"))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        writeTable(batch, path, sortKeys)
+      }
+      .start()
+
+  /** D1/D2 batch recompute — the exact ClickHouse-MV-equivalent answer
+    * (ref: res/schema.sql:39-50,71-82): 1-minute buckets per
+    * (host, name, tags) series; gauges average, counters sum. The map-typed
+    * tag key is canonicalized for grouping (D3, SURVEY.md §7.4).
+    */
+  def downsample(metrics: DataFrame): DataFrame =
+    metrics
+      .withColumn("bucket", date_trunc("minute", col("time")))
+      .withColumn("tags_key", Enrich.tagsKey(col("tags")))
+      .groupBy("bucket", "type", "host", "name", "tags_key")
+      .agg(
+        avg(when(col("type") === "gauge", col("value"))).as("avg_value"),
+        sum(when(col("type") === "counter", col("value"))).as("sum_value"),
+        count(lit(1)).as("n"))
+      .withColumn("value",
+        when(col("type") === "gauge", col("avg_value")).otherwise(col("sum_value")))
+      .select("bucket", "type", "host", "name", "tags_key", "value", "n")
+
+  /** D1/D2 as a continuous streaming aggregation: same grouping with a
+    * watermark bounding state (a deliberate improvement over the
+    * reference's unbounded insert-time aggregation, SURVEY.md §2.5).
+    * Update mode matches ClickHouse MV re-aggregation semantics.
+    */
+  def downsampleStream(metrics: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    metrics
+      .withWatermark("time", watermark)
+      .withColumn("tags_key", Enrich.tagsKey(col("tags")))
+      .groupBy(
+        window(col("time"), "1 minute").as("w"),
+        col("type"), col("host"), col("name"), col("tags_key"))
+      .agg(
+        avg(when(col("type") === "gauge", col("value"))).as("avg_value"),
+        sum(when(col("type") === "counter", col("value"))).as("sum_value"),
+        count(lit(1)).as("n"))
+      .select(
+        col("w.start").as("bucket"), col("type"), col("host"), col("name"),
+        col("tags_key"),
+        when(col("type") === "gauge", col("avg_value"))
+          .otherwise(col("sum_value")).as("value"),
+        col("n"))
+
+  /** Start the LTS maintenance stream: 1-minute downsample in update mode
+    * every 5 s, upserted into the long-term parquet table per micro-batch.
+    */
+  def streamDownsampleTo(metrics: DataFrame, path: String, checkpoint: String,
+      watermark: String = "10 minutes"): StreamingQuery =
+    downsampleStream(metrics, watermark).writeStream
+      .outputMode(OutputMode.Update())
+      .trigger(Trigger.ProcessingTime("5 seconds"))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.withColumn("date", to_date(col("bucket")))
+          .write.mode("append").partitionBy("date")
+          .option("compression", "zstd")
+          .parquet(path)
+      }
+      .start()
+}
+
+/** D7 — TTL retention: raw tables keep 30 days, LTS tables 1 year, enforced
+  * by whole-partition drops (`ttl_only_drop_parts=1`,
+  * ref: res/schema.sql:15-18,34,66). A maintenance job, not a query-engine
+  * concern — at scale this is a metastore partition-drop, here a directory
+  * delete.
+  */
+object Retention {
+  import java.time.LocalDate
+
+  /** Delete `date=YYYY-MM-DD` partition dirs older than `maxAgeDays` before
+    * `today`. Returns the dropped partition names.
+    */
+  def dropExpired(spark: SparkSession, tablePath: String, maxAgeDays: Int,
+      today: LocalDate): Seq[String] = {
+    val fs = new org.apache.hadoop.fs.Path(tablePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = new org.apache.hadoop.fs.Path(tablePath)
+    if (!fs.exists(base)) return Nil
+    val cutoff = today.minusDays(maxAgeDays.toLong)
+    fs.listStatus(base).toSeq
+      .map(_.getPath)
+      .filter(_.getName.startsWith("date="))
+      .filter { p =>
+        scala.util.Try(LocalDate.parse(p.getName.stripPrefix("date=")))
+          .toOption.exists(_.isBefore(cutoff))
+      }
+      .map { p => fs.delete(p, true); p.getName }
+  }
+}

@@ -1,0 +1,32 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Every declared query runs end-to-end on sf0.001 and yields rows; full
+  * value-level checking is the driver's DuckDB oracle (SURVEY.md §5.1) —
+  * this spec guards against plan-breaking regressions in `sbt test`.
+  */
+class QueriesSmokeSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  // pair-finding queries can legitimately be empty at this tiny SF
+  private val mayBeEmpty = Set("q_token_jaccard", "q_minhash_lsh", "q_simhash",
+    "q_embed_near_dup")
+
+  SparkEntry.queries.foreach { case (name, fn) =>
+    test(s"$name runs on sf0.001") {
+      val n = fn(spark, dir).count()
+      if (!mayBeEmpty(name)) assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("entry smoke (driver contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracleSql key has a matching query") {
+    val unknown = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(unknown.isEmpty, s"oracleSql without queries: $unknown")
+  }
+}

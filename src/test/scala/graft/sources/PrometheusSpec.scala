@@ -1,0 +1,47 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** B4 exposition-format parsing (FIXTURES.md §B4; ref: prom/scrape.go:52-101). */
+class PrometheusSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val at = lit("2024-01-01 00:00:00").cast("timestamp")
+
+  private val exposition = Seq(
+    "# TYPE process_cpu_seconds_total counter",
+    """process_cpu_seconds_total{instance="a",env="prod"} 42.5""",
+    "# TYPE go_goroutines gauge",
+    "go_goroutines 12",
+    "# TYPE http_req_duration histogram",
+    """http_req_duration_bucket{le="1"} 3""",
+    "# TYPE some_gauge gauge",
+    "some_gauge NaN",
+    "")
+
+  test("gauge/counter parsed; histogram family and NaN dropped") {
+    val m = Prometheus.metrics(exposition.toDF("value"), at).orderBy("name").collect()
+    assert(m.map(_.getAs[String]("name")).toSeq == Seq("go_goroutines", "process_cpu_seconds_total"))
+    assert(m(0).getAs[String]("type") == "gauge")
+    assert(m(1).getAs[String]("type") == "counter")
+    assert(m(1).getAs[Double]("value") == 42.5)
+  }
+
+  test("labels merge OVER config tags; prefix applied (ref scrape.go:69-82)") {
+    val m = Prometheus.metrics(exposition.toDF("value"), at,
+        configTags = Map("env" -> "config", "dc" -> "eu"), prefix = "svc.")
+      .filter(col("name") === "svc.process_cpu_seconds_total").collect().head
+    assert(m.getAs[Map[String, String]]("tags")
+      == Map("instance" -> "a", "env" -> "prod", "dc" -> "eu"))
+  }
+
+  test("unlabeled samples get config tags only") {
+    val m = Prometheus.metrics(exposition.toDF("value"), at,
+        configTags = Map("dc" -> "eu"))
+      .filter(col("name") === "go_goroutines").collect().head
+    assert(m.getAs[Map[String, String]]("tags") == Map("dc" -> "eu"))
+  }
+}

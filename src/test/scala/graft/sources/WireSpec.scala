@@ -1,0 +1,51 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** B1 wire-envelope parsing (FIXTURES.md §B1; ref: common/batch.go:3-7). */
+class WireSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val batch =
+    """{"m":[{"t":"2024-01-01T00:09:58.778549Z","m":"gauge","h":"web-1","n":"load.1","v":0.42,"g":{"env":"prod"}},
+      |       {"t":"2024-01-01T00:09:59Z","m":"histogram","h":"web-1","n":"bad.type","v":1}],
+      | "l":[{"t":"2024-01-01T00:09:58.778549Z","h":"web-1","s":"nginx","l":"error","d":"GET /x 500","g":{}}],
+      | "e":[{"t":"2024-01-01T00:09:58.778549Z","h":"web-1","e":"audit.SYSCALL","d":"{\"k\":1}"}]}"""
+      .stripMargin.replace("\n", "")
+
+  test("metrics: parse, µs truncation, tag passthrough") {
+    val m = Wire.metrics(Seq(batch).toDF("value")).collect()
+    assert(m.length == 1) // histogram dropped
+    val r = m.head
+    assert(r.getAs[String]("name") == "load.1")
+    assert(r.getAs[String]("type") == "gauge")
+    assert(r.getAs[Double]("value") == 0.42)
+    assert(r.getAs[Map[String, String]]("tags") == Map("env" -> "prod"))
+    assert(r.getAs[java.sql.Timestamp]("time").toInstant.toString
+      == "2024-01-01T00:09:58.778549Z")
+  }
+
+  test("unknown metric types are dropped, not crashed (ref script.go:29-38 divergence)") {
+    val m = Wire.metrics(Seq(batch).toDF("value"))
+      .filter(col("name") === "bad.type").count()
+    assert(m == 0)
+  }
+
+  test("logs and events: defaults and absent-tags normalization") {
+    val l = Wire.logs(Seq(batch).toDF("value")).collect().head
+    assert(l.getAs[String]("service") == "nginx")
+    assert(l.getAs[String]("level") == "error")
+    val e = Wire.events(Seq(batch).toDF("value")).collect().head
+    assert(e.getAs[String]("type") == "audit.SYSCALL")
+    // absent "g" → {} (ref: common/metric.go:34-36)
+    assert(e.getAs[Map[String, String]]("tags") == Map.empty[String, String])
+  }
+
+  test("malformed JSON is dropped without failing the stream") {
+    val df = Seq("not json at all", batch).toDF("value")
+    assert(Wire.metrics(df).count() == 1)
+  }
+}
