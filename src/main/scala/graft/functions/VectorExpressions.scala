@@ -1,0 +1,211 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native codegen'd dot product over `array<float>`/`array<double>`.
+  *
+  * The composable alternative (`aggregate(zip_with(a, b, _*_), 0d, _+_)`)
+  * allocates an intermediate array and runs the lambda through the
+  * interpreted higher-order-function path per row — off the whole-stage
+  * codegen fast path. This expression generates a tight primitive loop
+  * instead (preference order per SURVEY.md/§guide: native Expression >
+  * UDF), which matters when the pair-join hot loops of the cosine
+  * operators score millions of candidates. Summation order is the same
+  * sequential ascending-index fold, so results are bit-identical to the
+  * zip_with formulation.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def isNumericArray(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isNumericArray(left.dataType) && isNumericArray(right.dataType)) {
+      TypeCheckResult.TypeCheckSuccess
+    } else {
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float>/array<double> arguments, " +
+          s"got ${left.dataType.sql} and ${right.dataType.sql}")
+    }
+
+  private def isDouble(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    val (ld, rd) = (isDouble(left), isDouble(right))
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (ld) x.getDouble(i) else x.getFloat(i).toDouble
+      val yv = if (rd) y.getDouble(i) else y.getFloat(i).toDouble
+      s += xv * yv
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val getA = if (isDouble(left)) "getDouble" else "getFloat"
+    val getB = if (isDouble(right)) "getDouble" else "getFloat"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += (double) $a.$getA($i) * (double) $b.$getB($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "vec_dot"
+}
+
+/** Native codegen'd intersection size of two SORTED long arrays (merge
+  * scan, no per-row hash set). Verification step of the exact-jaccard
+  * near-dup join scores millions of candidate pairs whose token sets are
+  * ~tens of elements: `size(array_intersect(a, b))` builds a hash set per
+  * pair, this does ~|a|+|b| primitive compares inside whole-stage codegen.
+  * Inputs MUST be sorted ascending (produced via `sort_array`).
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(org.apache.spark.sql.types.LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint> arguments, " +
+        s"got ${left.dataType.sql} and ${right.dataType.sql}")
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    var i = 0; var j = 0; var c = 0L
+    while (i < x.numElements() && j < y.numElements()) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv == yv) { c += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      s"""
+         |int $i = 0; int $j = 0; long $c = 0L;
+         |while ($i < $a.numElements() && $j < $b.numElements()) {
+         |  long $xv = $a.getLong($i);
+         |  long $yv = $b.getLong($j);
+         |  if ($xv == $yv) { $c++; $i++; $j++; }
+         |  else if ($xv < $yv) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "sorted_intersect_count"
+}
+
+/** Registration + column API for the graft native functions. */
+object VectorFunctions {
+  val dotName = "vec_dot"
+
+  private val dotInfo = new ExpressionInfo(
+    classOf[DotProduct].getName, null, dotName,
+    "_FUNC_(a, b) - dot product of two float/double arrays in double precision.",
+    "")
+
+  private val dotBuilder: Seq[Expression] => Expression = {
+    case Seq(a, b) => DotProduct(a, b)
+    case other =>
+      throw new IllegalArgumentException(
+        s"$dotName expects 2 arguments, got ${other.size}")
+  }
+
+  val intersectName = "sorted_intersect_count"
+
+  private val intersectBuilder: Seq[Expression] => Expression = {
+    case Seq(a, b) => SortedIntersectCount(a, b)
+    case other =>
+      throw new IllegalArgumentException(
+        s"$intersectName expects 2 arguments, got ${other.size}")
+  }
+
+  /** Idempotently register on an existing session (the driver hands us its
+    * own `SparkSession`, so extension-based injection alone isn't enough).
+    */
+  def ensureRegistered(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      dotName, dotBuilder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      intersectName, intersectBuilder, "scala_udf")
+  }
+
+  /** Column API: `dot(a, b)` once [[ensureRegistered]] has run. */
+  def dot(a: Column, b: Column): Column = call_function(dotName, a, b)
+
+  /** Column API: intersection size of two sorted `array<bigint>` columns. */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    call_function(intersectName, a, b)
+}
+
+/** `SparkSessionExtensions` hook: `.withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.functions.GraftExtensions` exposes the
+  * native functions to pure-SQL users too.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(
+      (FunctionIdentifier(VectorFunctions.dotName),
+        new ExpressionInfo(classOf[DotProduct].getName, null, VectorFunctions.dotName),
+        (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    ext.injectFunction(
+      (FunctionIdentifier(VectorFunctions.intersectName),
+        new ExpressionInfo(classOf[SortedIntersectCount].getName, null,
+          VectorFunctions.intersectName),
+        (exprs: Seq[Expression]) => SortedIntersectCount(exprs(0), exprs(1))))
+  }
+}

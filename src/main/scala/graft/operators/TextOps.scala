@@ -98,6 +98,7 @@ object TextOps {
     * 100 TB-safe shape of the exact-dedup join.
     */
   def tokenJaccard(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.ensureRegistered(spark)
     val threshold = 0.95
     // token sets are carried as 64-bit hashes: set sizes, intersections and
     // the global frequency order are all preserved modulo xxhash64 collisions
@@ -107,9 +108,10 @@ object TextOps {
       .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
       .select(col("doc_id"), xxhash64(col("tok")).as("th"))
       .persist() // feeds docs, df and prefix — tokenize once
-    // per-doc distinct-token-hash set + size, one array row per doc
+    // per-doc distinct-token-hash set (ASCENDING — the verify step is a
+    // native merge-intersect over sorted arrays) + size, one row per doc
     val docs = tok.groupBy("doc_id")
-      .agg(collect_list(col("th")).as("toks"), count(lit(1)).as("sz"))
+      .agg(sort_array(collect_list(col("th"))).as("toks"), count(lit(1)).as("sz"))
       .persist() // feeds prefix sizes and both sides of the verify join
     // global token order: ascending document frequency, tie-broken by hash
     val df = tok.groupBy("th").agg(count(lit(1)).as("df"))
@@ -132,7 +134,8 @@ object TextOps {
         col("sz").as("sz_a")), "doc_a")
       .join(docs.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"),
         col("sz").as("sz_b")), "doc_b")
-      .withColumn("common", size(array_intersect(col("toks_a"), col("toks_b"))).cast("long"))
+      .withColumn("common", graft.functions.VectorFunctions
+        .sortedIntersectCount(col("toks_a"), col("toks_b")))
       .withColumn("jaccard",
         col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")))
       .filter(col("jaccard") >= threshold)
@@ -164,31 +167,47 @@ object TextOps {
       .select(col("doc_id"),
         array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
       .persist()
-    // LSH: one row per (doc, band) via posexplode — the sig subtree is
-    // evaluated once, and the band table carries only narrow columns so
-    // the bucket self-join shuffles no arrays
+    // Near-dup corpora have big clusters of IDENTICAL signatures (exact +
+    // near copies); enumerating their pairs through the bucket join makes
+    // the join quadratic in cluster size. Collapse to distinct signatures
+    // first: LSH runs over signature *groups* (small), and doc-level pairs
+    // are generated only at the end by expanding group memberships — the
+    // only quadratic step left is writing the answer itself.
+    val groups = sig.groupBy("sig")
+      .agg(collect_list(col("doc_id")).as("ids"), min(col("doc_id")).as("gid"))
+      .persist()
+    // intra-group pairs: identical signatures ⇒ est_jaccard = 1.0
+    val intra = groups
+      .select(explode(col("ids")).as("doc_a"), col("ids"))
+      .select(col("doc_a"), explode(col("ids")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("est_jaccard", lit(1.0))
+    // inter-group: band-bucket join over distinct signatures only
     val bandHashes = array((0 until numBands).map { b =>
       hash((b * rowsPerBand until (b + 1) * rowsPerBand)
         .map(i => col("sig").getItem(i)): _*)
     }: _*)
-    val bands = sig.select(col("doc_id"), posexplode(bandHashes).as(Seq("band", "bucket")))
-    val cand = bands.as("a").join(bands.as("b"),
+    val bands = groups.select(col("gid"), posexplode(bandHashes).as(Seq("band", "bucket")))
+    val gpairs = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
-    // verify candidates against the full signatures; plain equi-joins on
-    // doc_id — AQE picks broadcast when the sig table is small enough
-    cand
-      .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
-      .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+          col("a.gid") < col("b.gid"))
+      .select(col("a.gid").as("gid_a"), col("b.gid").as("gid_b"))
+      .dropDuplicates("gid_a", "gid_b")
+      .join(groups.select(col("gid").as("gid_a"), col("sig").as("sig_a"),
+        col("ids").as("ids_a")), "gid_a")
+      .join(groups.select(col("gid").as("gid_b"), col("sig").as("sig_b"),
+        col("ids").as("ids_b")), "gid_b")
       .withColumn("est_jaccard",
         aggregate(zip_with(col("sig_a"), col("sig_b"), (x, y) =>
           when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
           .cast("double") / lit(numHashes))
       .filter(col("est_jaccard") >= 0.9)
-      .select("doc_a", "doc_b", "est_jaccard")
-      .orderBy("doc_a", "doc_b")
+    val inter = gpairs
+      .select(explode(col("ids_a")).as("ia"), col("ids_b"), col("est_jaccard"))
+      .select(col("ia"), explode(col("ids_b")).as("ib"), col("est_jaccard"))
+      .select(least(col("ia"), col("ib")).as("doc_a"),
+        greatest(col("ia"), col("ib")).as("doc_b"), col("est_jaccard"))
+    intra.unionByName(inter).orderBy("doc_a", "doc_b")
   }
 
   /** SimHash near-dup (no SQL oracle): 64-bit fingerprint = sign of the

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.VectorFunctions
 
 /** Similarity search over the `embeddings` table (vec_id, embedding:
   * Array[Float] len 64, label).
@@ -16,12 +17,14 @@ import graft.Tables
   */
 object VectorOps {
 
-  /** Elementwise dot product in double precision (floats widened first so
-    * products are exact; sequential fold keeps the sum deterministic).
+  /** Elementwise dot product in double precision via the native codegen'd
+    * [[graft.functions.DotProduct]] expression (floats widened per element;
+    * same sequential ascending fold as the `aggregate(zip_with(...))`
+    * formulation, so values are bit-identical — just without the
+    * interpreted higher-order-function overhead in the pair-scoring loop).
+    * Callers must have run [[VectorFunctions.ensureRegistered]].
     */
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  private def dot(a: Column, b: Column): Column = VectorFunctions.dot(a, b)
 
   private def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -31,6 +34,7 @@ object VectorOps {
     * across engines and summation orders.
     */
   def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.ensureRegistered(spark)
     // norms are materialized once per vector before the pair join, so each
     // scored pair costs exactly one 64-element dot product
     val emb = Tables.embeddings(spark, dir)
@@ -53,6 +57,7 @@ object VectorOps {
     * unblocked exact variant is [[cosineTopK]]'s machinery).
     */
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.ensureRegistered(spark)
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"), col("label"))
       .withColumn("nrm", norm(col("embedding")))
@@ -73,6 +78,7 @@ object VectorOps {
     * scored exactly within buckets only.
     */
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.ensureRegistered(spark)
     val nBits = 8
     val emb = Tables.embeddings(spark, dir)
     // sign bit j = sign( sum_i e[i] * hyper(j, i) ), hyper in [-0.5, 0.5)

@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** Native DotProduct expression: value parity with the composable HOF
+  * formulation, codegen path, SQL registration, null/type handling.
+  */
+class VectorExpressionsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+  VectorFunctions.ensureRegistered(spark)
+
+  private val df = Seq(
+    (1L, Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
+    (2L, Array(0.5f, -1.5f, 2.25f), Array(2.0f, 0.0f, -4.0f)))
+    .toDF("id", "a", "b")
+
+  test("bit-identical to aggregate(zip_with(...)) fold") {
+    val hof = aggregate(zip_with(col("a"), col("b"),
+      (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (acc, v) => acc + v)
+    val rows = df.select(VectorFunctions.dot(col("a"), col("b")).as("native"),
+      hof.as("hof")).collect()
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+    assert(rows.head.getDouble(0) == 32.0) // 4 + 10 + 18
+  }
+
+  test("usable from SQL once registered") {
+    df.createOrReplaceTempView("vecs")
+    val out = spark.sql("SELECT vec_dot(a, b) AS d FROM vecs WHERE id = 1")
+      .as[Double].collect()
+    assert(out.toSeq == Seq(32.0))
+  }
+
+  test("double arrays and mixed widths work") {
+    val d = Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("x", "y")
+      .select(VectorFunctions.dot(col("x"), col("y"))).as[Double].collect()
+    assert(d.head == 11.0)
+  }
+
+  test("null input → null out (BinaryExpression null semantics)") {
+    val n = Seq((Some(Array(1.0f)), Option.empty[Array[Float]]))
+      .toDF("x", "y")
+      .select(VectorFunctions.dot(col("x"), col("y"))).collect()
+    assert(n.head.isNullAt(0))
+  }
+
+  test("non-array argument is an analysis error, not a runtime crash") {
+    val ex = intercept[Exception] {
+      df.select(VectorFunctions.dot(col("id"), col("a"))).collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("vec_dot") ||
+      ex.getMessage.toLowerCase.contains("datatype_mismatch") ||
+      ex.getMessage.toLowerCase.contains("array"))
+  }
+
+  test("runs inside whole-stage codegen (no interpreted fallback)") {
+    // local Seq relations are folded by ConvertToLocalRelation (no codegen
+    // at all), so observe the plan over a real parquet scan
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.select(VectorFunctions.dot(col("embedding"), col("embedding")).as("d"))
+    // `*(n)` marks a WholeStageCodegen stage in the compact plan rendering
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*\\*\\(\\d+\\) Project \\[vec_dot.*"), plan)
+    assert(q.agg(max(col("d"))).collect().head.getDouble(0) > 0.0)
+  }
+}
