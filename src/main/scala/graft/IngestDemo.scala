@@ -4,8 +4,8 @@ import java.nio.file.Files
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.operators.Enrich
-import graft.sources.{Journald, Prometheus, Wire}
-import graft.streaming.{Ingest, Retention}
+import graft.sources.{Collectors, Journald, Procfs, Prometheus, Wire}
+import graft.streaming.{Ingest, IngestMetrics, Retention}
 
 /** End-to-end ingest pipeline demo (the yamon agent→server→storage flow,
   * SURVEY.md §3): wire batches + journald + prometheus in, enriched,
@@ -44,6 +44,14 @@ object IngestDemo {
       "# TYPE up gauge", "up 1").toDF("value"),
       lit("2024-01-01 00:00:00").cast("timestamp"))
     println(s"[demo] journald logs: ${logs.count()}, prom metrics: ${prom.count()}")
+
+    // 2b. host collectors: procfs + exec parses into the same stream
+    val at = lit("2024-01-01 00:00:00").cast("timestamp")
+    val cpu = Procfs.cpu(Seq("cpu0 10 20 30 40 50 60 70 0 0 0", "ctxt 99")
+      .toDF("line"), at, lit("a"))
+    val gpu = Collectors.nvidiaSmi(Seq("0, RTX 3090, 45, 1024, 24576, 33, 350")
+      .toDF("line"), at, lit("a"))
+    println(s"[demo] cpu metrics: ${cpu.count()}, gpu metrics: ${gpu.count()}")
 
     // 3. storage: date-partitioned sorted parquet (D4/D5/D8)
     Ingest.writeTable(metrics.unionByName(prom), s"$out/metrics", Seq("name", "host"))

@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{EventOps, RelationalOps}
+
+/** Physical-plan assertions — the 100 TB posture checks (SURVEY.md §7.4.5):
+  * filters reach the parquet scan, column pruning holds, small dimensions
+  * broadcast, fact tables never broadcast. These pin the *plans*, so a
+  * refactor that silently de-optimizes a query fails CI even though its
+  * values stay correct.
+  */
+class PlanSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("scan_filter: type + time predicates push down to parquet") {
+    val p = plan(EventOps.scanFilter(spark, dir))
+    assert(p.contains("PushedFilters:") &&
+      p.contains("EqualTo(event_type,error)"), p)
+  }
+
+  test("scan_filter: column pruning — only needed columns read") {
+    val p = plan(EventOps.scanFilter(spark, dir))
+    // props is never referenced and must not be in ReadSchema
+    assert(!p.contains("props"), p)
+  }
+
+  test("q1_pricing: shipdate predicate pushes down; pre-agg before exchange") {
+    val p = plan(RelationalOps.pricingSummary(spark, dir))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+    // partial (map-side) aggregation before the shuffle
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("join_enrich: dimension side broadcasts, fact side does not shuffle for the join") {
+    val p = plan(EventOps.joinEnrich(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("region_revenue: whole dimension chain broadcasts") {
+    val p = plan(RelationalOps.regionRevenue(spark, dir))
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"), p)
+  }
+
+  test("order_priority: EXISTS compiles to a semi join, not an aggregate-dedup") {
+    val p = plan(RelationalOps.orderPriority(spark, dir))
+    assert(p.contains("LeftSemi"), p)
+  }
+
+  test("bucket aggregations: map-side partial agg + whole-stage codegen") {
+    val df = EventOps.bucketSum(spark, dir)
+    // partial aggregation (map-side combine) before the exchange
+    assert(plan(df).contains("partial_sum"), plan(df))
+    df.collect() // AQE finalizes the plan (and codegen stages) on execution
+    assert(plan(df).contains("*("), plan(df))
+  }
+}
