@@ -36,6 +36,8 @@ object SparkEntry {
     "q_distinct_approx" -> EventOps.distinctApprox _,
     "q_log_level_hist" -> EventOps.logLevelHist _,
     "q_set_except" -> EventOps.setExcept _,
+    "q_anti_join" -> EventOps.antiJoin _,
+    "q_percentiles" -> EventOps.valuePercentiles _,
     "q_rollup" -> EventOps.rollupCounts _,
     "q_pivot_daily" -> EventOps.pivotDaily _,
     // relational parity (ClickHouse-SQL-class capability, SURVEY.md §2.6)
@@ -139,6 +141,19 @@ object SparkEntry {
         |EXCEPT
         |SELECT user_id, CAST(ts AS DATE) AS day FROM events WHERE event_type = 'error'
         |ORDER BY user_id, day""".stripMargin,
+    "q_anti_join" ->
+      """SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events e
+        |WHERE event_type = 'click'
+        |  AND NOT EXISTS (SELECT 1 FROM events p
+        |                  WHERE p.event_type = 'purchase' AND p.user_id = e.user_id
+        |                    AND CAST(p.ts AS DATE) = CAST(e.ts AS DATE))
+        |ORDER BY user_id, day""".stripMargin,
+    "q_percentiles" ->
+      """SELECT event_type,
+        |  ROUND(quantile_cont(value, 0.5), 4) AS p50,
+        |  ROUND(quantile_cont(value, 0.95), 4) AS p95,
+        |  ROUND(quantile_cont(value, 0.99), 4) AS p99
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_rollup" ->
       """SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
         |FROM events GROUP BY ROLLUP(event_type, CAST(ts AS DATE))

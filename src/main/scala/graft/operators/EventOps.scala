@@ -170,6 +170,32 @@ object EventOps {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("event_type").asc_nulls_first, col("day").asc_nulls_first)
 
+  /** Anti-join: users who clicked but never purchased (LEFT ANTI — the
+    * NOT EXISTS class; the anti side stays a broadcast at dim scale, a
+    * shuffled semi-structure otherwise).
+    */
+  def antiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).withColumn("day", to_date(col("ts")))
+    ev.filter(col("event_type") === "click").select("user_id", "day").distinct()
+      .join(ev.filter(col("event_type") === "purchase").select("user_id", "day").distinct(),
+        Seq("user_id", "day"), "left_anti")
+      .orderBy("user_id", "day")
+  }
+
+  /** Exact percentiles of value per event type (sort-based percentile —
+    * the contiguous-interpolation definition both engines share). At
+    * 100 TB the approx_percentile sketch replaces this; the exact form is
+    * the oracle-checkable baseline.
+    */
+  def valuePercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.95)"), 4).as("p95"),
+        round(expr("percentile(value, 0.99)"), 4).as("p99"))
+      .orderBy("event_type")
+
   /** Pivot: per-day event-type counts as columns. */
   def pivotDaily(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
