@@ -40,4 +40,24 @@ class ResumeSpec extends AnyFunSuite {
     import spark.implicits._
     assert(rows.select("host").as[String].collect().sorted.toSeq == Seq("a", "a", "b"))
   }
+
+  test("continuous LTS downsample stream writes the long-term table") {
+    val in = Files.createTempDirectory("graft_lts_in").toString
+    val lts = Files.createTempDirectory("graft_lts_out").toString + "/lts"
+    val ckpt = Files.createTempDirectory("graft_lts_ckpt").toString
+    // two gauges in the same minute bucket + one counter
+    Files.writeString(Paths.get(s"$in/a.json"),
+      batch("a", 1) + "\n" + batch("a", 2) + "\n" +
+        """{"m":[{"t":"2024-01-01T00:00:05Z","m":"counter","h":"a","n":"rx","v":10}]}""" + "\n")
+    val q = Ingest.streamDownsampleTo(
+      Wire.metrics(spark.readStream.text(in)), lts, ckpt, watermark = "0 seconds")
+    try { q.processAllAvailable() } finally q.stop()
+    val out = spark.read.parquet(lts)
+    import org.apache.spark.sql.functions.col
+    val byName = out.collect().map(r =>
+      r.getAs[String]("name") -> r.getAs[Double]("value")).toMap
+    assert(byName("load.1") == 1.5) // avg of gauge 1.0, 2.0
+    assert(byName("rx") == 10.0)    // counter sum
+    assert(out.filter(col("date").isNull).count() == 0)
+  }
 }
