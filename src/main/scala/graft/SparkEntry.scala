@@ -55,6 +55,8 @@ object SparkEntry {
     "q_lang_id" -> TextOps.langIdHeuristic _,
     "q_token_jaccard" -> TextOps.tokenJaccard _,
     "q_minhash_lsh" -> TextOps.minhashLsh _,
+    "q_minhash_shingle" -> TextOps.minhashShingle _,
+    "q_token_counts" -> TextOps.tokenCounts _,
     "q_simhash" -> TextOps.simhash _,
     // training-data pipeline: embeddings
     "q_cosine_topk" -> VectorOps.cosineTopK _,
@@ -251,6 +253,11 @@ object SparkEntry {
         |FROM pair JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
         |WHERE CAST(common AS DOUBLE)/(sa.sz + sb.sz - common) >= 0.95
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_token_counts" ->
+      """SELECT doc_id,
+        |  len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_cosine_topk" ->
       """WITH flat AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
         |                generate_subscripts(embedding, 1) AS i FROM embeddings),

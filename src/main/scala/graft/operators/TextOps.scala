@@ -22,6 +22,31 @@ object TextOps {
 
   private def tokens(text: Column): Column = split(text, " ")
 
+  /** Word n-gram shingles: overlapping n-token windows joined with a unit
+    * separator — the shingle→minhash input for near-dup at document scale
+    * (unigram tokens under-shingle long docs; n-grams preserve locality).
+    */
+  private[operators] def shingles(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(t) - n, lit(0))),
+      i => concat_ws("", slice(t, i + 1, lit(n)))))
+  }
+
+  /** Token counting, whitespace + BPE-ish regex: per doc, the whitespace
+    * token count and a subword-flavored count (letter runs / digit runs /
+    * single non-alnum symbols — the pre-tokenization BPE applies).
+    */
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(filter(split(col("text"), "\\s+"), t => t =!= "")).cast("long")
+          .as("ws_tokens"),
+        size(regexp_extract_all(col("text"),
+          lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long")
+          .as("bpe_tokens"))
+      .orderBy("doc_id")
+
   /** Per-language corpus stats: doc counts, char volume, mean token count. */
   def textStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -150,12 +175,22 @@ object TextOps {
     * colliding on any band become candidate pairs; candidates are then
     * verified with the exact minhash-signature agreement estimate.
     */
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame =
+    minhashLshOver(spark, dir, t => array_distinct(tokens(t)))
+
+  /** Word-3-gram shingled variant — the document-scale dedup input shape
+    * (shingle → minhash → band → bucket-join).
+    */
+  def minhashShingle(spark: SparkSession, dir: String): DataFrame =
+    minhashLshOver(spark, dir, t => shingles(t, 3))
+
+  private def minhashLshOver(spark: SparkSession, dir: String,
+      tokenizer: Column => Column): DataFrame = {
     val numHashes = 16
     val rowsPerBand = 4
     val numBands = numHashes / rowsPerBand
     val tok = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
+      .select(col("doc_id"), explode(tokenizer(col("text"))).as("tok"))
     // signature: for each seed i, min over tokens of xxhash64(i ++ tok);
     // one grouped pass, signature kept as a single array column
     val sigCols = (0 until numHashes).map(i =>

@@ -11,8 +11,8 @@ class QueriesSmokeSpec extends AnyFunSuite {
   private val dir = "/root/testdata/sf0.001"
 
   // pair-finding queries can legitimately be empty at this tiny SF
-  private val mayBeEmpty = Set("q_token_jaccard", "q_minhash_lsh", "q_simhash",
-    "q_embed_near_dup")
+  private val mayBeEmpty = Set("q_token_jaccard", "q_minhash_lsh",
+    "q_minhash_shingle", "q_simhash", "q_embed_near_dup")
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name runs on sf0.001") {
