@@ -62,6 +62,7 @@ object SparkEntry {
     "q_cosine_topk" -> VectorOps.cosineTopK _,
     "q_embed_near_dup" -> VectorOps.embeddingNearDup _,
     "q_ann_lsh" -> VectorOps.annLsh _,
+    "q_ann_ivf" -> VectorOps.annIvf _,
     // training-data pipeline: multimodal plumbing (stubbed decode; rows-only)
     "q_media_pipeline" -> MultimodalOps.mediaPipeline _,
   )

@@ -71,6 +71,61 @@ object VectorOps {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** ANN via IVF (inverted file index): deterministic coarse centroids
+    * (every corpus/nCentroids-th vector — no RNG, reproducible plan), each
+    * vector assigned to its nearest centroid's list by one broadcast-argmax
+    * pass, queries probe their `nProbe` nearest lists and are scored
+    * exactly only within them. The 100 TB shape: the centroid table is
+    * tiny and broadcast, corpus assignment is one scan, and the final join
+    * touches ~nProbe/nCentroids of the corpus instead of all of it.
+    * (No SQL oracle — recall is index-defined; rows-only check.)
+    */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.ensureRegistered(spark)
+    val nCentroids = 16
+    val nProbe = 8 // stride centroids are untrained; probe generously
+                   // (a trained k-means codebook would cut this to 2-4)
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("nrm", norm(col("embedding")))
+    // deterministic coarse centroids: stride-sampled corpus vectors
+    val n = emb.count()
+    val stride = math.max(1L, n / nCentroids)
+    val centroids = emb
+      .filter(col("vec_id") % stride === 0 && col("vec_id") / stride < nCentroids)
+      .select((col("vec_id") / stride).cast("int").as("cid"),
+        col("embedding").as("ce"), col("nrm").as("cn"))
+    // assign every vector to its nearest centroid (cosine argmax); the
+    // centroid table broadcasts, so assignment is one corpus scan
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cid"))
+    val assigned = emb.join(broadcast(centroids))
+      .withColumn("sim", dot(col("embedding"), col("ce")) / (col("nrm") * col("cn")))
+      .withColumn("rk", row_number().over(wAssign))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"))
+    // queries probe their nProbe nearest centroid lists
+    val wProbe = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
+    val probes = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+      .join(broadcast(centroids))
+      .withColumn("sim", dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
+      .withColumn("rk", row_number().over(wProbe))
+      .filter(col("rk") <= nProbe)
+      .select(col("qid"), col("qe"), col("qn"), col("cid"))
+    // exact scoring only inside the probed lists
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid"))
+    assigned.select(col("vec_id").as("nid"), col("embedding").as("ne"),
+        col("nrm").as("nn"), col("cid"))
+      .join(broadcast(probes), Seq("cid"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("cosine",
+        round(dot(col("qe"), col("ne")) / (col("qn") * col("nn")), 4))
+      .dropDuplicates("qid", "nid")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .select("qid", "nid", "cosine", "rn")
+      .orderBy("qid", "rn")
+  }
+
   /** ANN via random-hyperplane LSH (the scale path; no SQL oracle — bucket
     * assignment is hash-defined). Hyperplanes are derived deterministically
     * from xxhash64 so the plan is reproducible without any driver-side RNG

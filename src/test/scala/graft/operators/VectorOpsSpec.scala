@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** ANN quality: the index paths (IVF, LSH) measured against the exact
+  * brute-force top-k ground truth — recall is the contract of an ANN
+  * operator, not exact equality.
+  */
+class VectorOpsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.01"
+
+  private def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+    df.collect()
+      .groupBy(_.getAs[Long]("qid"))
+      .map { case (q, rows) => q -> rows.map(_.getAs[Long]("nid")).toSet }
+
+  private lazy val exact = topSets(VectorOps.cosineTopK(spark, dir))
+
+  test("IVF probes recover most of the exact top-10 (recall ≥ 0.6)") {
+    val ivf = topSets(VectorOps.annIvf(spark, dir))
+    val recalls = exact.map { case (q, truth) =>
+      ivf.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.6, s"mean IVF recall $mean, per-query $recalls")
+  }
+
+  test("every IVF/LSH result is a true neighbor score (exact cosine within bucket)") {
+    // index paths never approximate the *score*, only the candidate set:
+    // any (qid, nid) they return must carry the same cosine as brute force
+    val bf = VectorOps.cosineTopK(spark, dir)
+      .select("qid", "nid", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ivf = VectorOps.annIvf(spark, dir).select("qid", "nid", "cosine").collect()
+    ivf.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      bf.get(key).foreach(expected => assert(r.getDouble(2) == expected, key))
+    }
+  }
+}
