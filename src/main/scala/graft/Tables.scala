@@ -32,6 +32,21 @@ object Tables {
   def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Register every table as a temp view (events with its µs-normalized
+    * timestamp) and the graft native functions, so the full surface is
+    * reachable from plain `spark.sql(...)`.
+    */
+  def registerViews(spark: SparkSession, dir: String): Unit = {
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    names.foreach { n =>
+      val df = if (n == "events") events(spark, dir) else table(spark, dir, n)
+      df.createOrReplaceTempView(n)
+    }
+  }
 }
 
 /** Determinism helpers for oracle-checked aggregates.

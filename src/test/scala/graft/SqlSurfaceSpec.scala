@@ -1,0 +1,34 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The plain-SQL surface: registered views + native functions make the
+  * whole engine reachable from `spark.sql` (the reference's users query
+  * ClickHouse with raw SQL — parity includes this entry point).
+  */
+class SqlSurfaceSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  Tables.registerViews(spark, "/root/testdata/sf0.001")
+
+  test("bucketed aggregation over events via spark.sql") {
+    val n = spark.sql(
+      """SELECT date_trunc('minute', ts) AS bucket, event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin).count()
+    assert(n > 0)
+  }
+
+  test("joins across registered views") {
+    val top = spark.sql(
+      """SELECT c_mktsegment, count(*) AS n FROM events
+        |JOIN customer ON user_id = c_custkey GROUP BY 1 ORDER BY n DESC""".stripMargin)
+      .collect()
+    assert(top.nonEmpty && top.head.getLong(1) > 0)
+  }
+
+  test("native functions available in SQL alongside the views") {
+    val d = spark.sql(
+      "SELECT max(vec_dot(embedding, embedding)) FROM embeddings")
+      .collect().head.getDouble(0)
+    assert(d > 0.0)
+  }
+}
