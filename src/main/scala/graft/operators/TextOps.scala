@@ -132,40 +132,54 @@ object TextOps {
     val tok = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
       .select(col("doc_id"), xxhash64(col("tok")).as("th"))
-      .persist() // feeds docs, df and prefix — tokenize once
     // per-doc distinct-token-hash set (ASCENDING — the verify step is a
     // native merge-intersect over sorted arrays) + size, one row per doc
     val docs = tok.groupBy("doc_id")
       .agg(sort_array(collect_list(col("th"))).as("toks"), count(lit(1)).as("sz"))
-      .persist() // feeds prefix sizes and both sides of the verify join
-    // global token order: ascending document frequency, tie-broken by hash
-    val df = tok.groupBy("th").agg(count(lit(1)).as("df"))
-    val w = Window.partitionBy("doc_id").orderBy("df", "th")
-    val prefix = tok.join(df, "th")
-      .join(docs.select("doc_id", "sz"), "doc_id")
+    // collapse identical token SETS: docs sharing a set are pairwise J=1
+    // and need no verification; the prefix join and verify both run over
+    // distinct sets only (same dedup-before-join move as minhashLsh)
+    val groups = docs.groupBy("toks", "sz")
+      .agg(collect_list(col("doc_id")).as("ids"), min(col("doc_id")).as("gid"))
+      .persist()
+    val intra = groups
+      .select(explode(col("ids")).as("doc_a"), col("ids"))
+      .select(col("doc_a"), explode(col("ids")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("jaccard", lit(1.0))
+    // global token order: ascending set frequency, tie-broken by hash
+    val gtok = groups.select(col("gid"), col("sz"), explode(col("toks")).as("th"))
+    val df = gtok.groupBy("th").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("gid").orderBy("df", "th")
+    val prefix = gtok.join(df, "th")
       .withColumn("pos", row_number().over(w))
       .filter(col("pos") <= floor((lit(1.0) - threshold) * col("sz")) + 1)
-      .select("doc_id", "th", "sz")
-    // candidate pairs share a prefix token AND have compatible sizes
+      .select("gid", "th", "sz")
+    // candidate set-pairs share a prefix token AND have compatible sizes
     // (t*|A| <= |B| <= |A|/t), both checked inside the join
     val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.th") === col("b.th") && col("a.doc_id") < col("b.doc_id") &&
+        col("a.th") === col("b.th") && col("a.gid") < col("b.gid") &&
           col("b.sz") >= ceil(col("a.sz") * threshold) &&
           col("a.sz") >= ceil(col("b.sz") * threshold))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
-    cand
-      .join(docs.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"),
-        col("sz").as("sz_a")), "doc_a")
-      .join(docs.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"),
-        col("sz").as("sz_b")), "doc_b")
+      .select(col("a.gid").as("gid_a"), col("b.gid").as("gid_b"))
+      .dropDuplicates("gid_a", "gid_b")
+    val inter = cand
+      .join(groups.select(col("gid").as("gid_a"), col("toks").as("toks_a"),
+        col("sz").as("sz_a"), col("ids").as("ids_a")), "gid_a")
+      .join(groups.select(col("gid").as("gid_b"), col("toks").as("toks_b"),
+        col("sz").as("sz_b"), col("ids").as("ids_b")), "gid_b")
       .withColumn("common", graft.functions.VectorFunctions
         .sortedIntersectCount(col("toks_a"), col("toks_b")))
       .withColumn("jaccard",
         col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")))
       .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
-      .orderBy("doc_a", "doc_b")
+      // expand set-pairs to doc pairs; the jaccard is a set property, so
+      // every member pair inherits it
+      .select(explode(col("ids_a")).as("ia"), col("ids_b"), col("jaccard"))
+      .select(col("ia"), explode(col("ids_b")).as("ib"), col("jaccard"))
+      .select(least(col("ia"), col("ib")).as("doc_a"),
+        greatest(col("ia"), col("ib")).as("doc_b"), col("jaccard"))
+    intra.unionByName(inter).orderBy("doc_a", "doc_b")
   }
 
   /** MinHash + LSH near-dup candidates (the 100 TB dedup path; no SQL
