@@ -261,7 +261,12 @@ object TextOps {
 
   /** SimHash near-dup (no SQL oracle): 64-bit fingerprint = sign of the
     * per-bit vote over token hashes; near-dups collide within small
-    * Hamming distance. One aggregate per doc + a band-prefix self-join.
+    * Hamming distance. Candidates come from a 4×16-bit band self-join:
+    * by pigeonhole this catches EVERY pair at Hamming distance ≤ 3 (three
+    * flips can't touch all four bands), and pairs up to the verified
+    * d ≤ 8 cutoff unless their flips spread across all bands — standard
+    * simhash banding recall. (The previous top-16-prefix-only variant
+    * missed any near-dup differing in the high bits.)
     */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     val bitVotes = (0 until 64).map { b =>
@@ -276,14 +281,20 @@ object TextOps {
       when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
       .reduce(_.bitwiseOR(_))
     val fp = fp0.select(col("doc_id"), fpExpr.as("simhash")).persist()
-    // candidates: equal high-16-bit prefix, then exact hamming <= 8
-    val pref = fp.withColumn("prefix", shiftright(col("simhash"), 48))
-    pref.as("a").join(pref.as("b"),
-        col("a.prefix") === col("b.prefix") && col("a.doc_id") < col("b.doc_id"))
-      .withColumn("hamming",
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))))
+    // candidates: equal 16-bit value in ANY of the 4 bands (pairs with
+    // hamming <= 3 are guaranteed caught; <= 8 caught unless flips land
+    // in all four bands), then exact hamming verification
+    val bands = fp.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*))
+        .as(Seq("band", "bval")))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .dropDuplicates("doc_a", "doc_b")
       .filter(col("hamming") <= 8)
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("hamming"))
       .orderBy("doc_a", "doc_b")
   }
 }
