@@ -39,7 +39,9 @@ object Collectors {
     * gauges `gpu.nvidia.<index>.{temperature,memory.used,memory.total,
     * utilization,powerdraw}` tagged `{device}` (ref: collector/gpu.go:30-112).
     * Unparseable values drop that metric (the reference warns and skips,
-    * NOT zero-fills — unlike the procfs parsers).
+    * NOT zero-fills — unlike the procfs parsers). The first four fields are
+    * integers (ref Atoi); power.draw is fractional (ref ParseFloat,
+    * gpu.go:100) — real nvidia-smi emits e.g. "38.96 W".
     */
   def nvidiaSmi(lines: DataFrame, time: Column, host: Column): DataFrame = {
     val f = split(col("line"), ",\\s*")
@@ -48,7 +50,9 @@ object Collectors {
       .filter(size(f) >= 7)
       .select(f.getItem(0).as("idx"), f.getItem(1).as("device"),
         posexplode(slice(f, 3, keys.size)).as(Seq("i", "v")))
-      .withColumn("value", col("v").try_cast("long"))
+      .withColumn("value",
+        when(col("i") === keys.size - 1, col("v").try_cast("double"))
+          .otherwise(col("v").try_cast("long").cast("double")))
       .filter(col("value").isNotNull) // parse failure → skip, not 0
       .select(metricRow(time, "gauge", host,
         concat(lit("gpu.nvidia."), col("idx"), lit("."),

@@ -32,13 +32,17 @@ object Prometheus {
       host: String = "", column: String = "value"): DataFrame = {
     val raw = lines.select(col(column).as("line"))
 
-    // `# TYPE <name> <type>` comments define each family's type
+    // `# TYPE <name> <type>` comments define each family's type. One row
+    // per family: repeated TYPE lines (several scrape payloads in one
+    // input) would otherwise duplicate every joined sample. min() keeps
+    // the pick deterministic if payloads ever disagree on a family's type.
     val types = raw
       .filter(col("line").startsWith("# TYPE "))
       .select(
         regexp_extract(col("line"), "^# TYPE (\\S+) (\\S+)", 1).as("fam"),
         regexp_extract(col("line"), "^# TYPE (\\S+) (\\S+)", 2).as("ptype"))
       .filter(col("ptype").isin("gauge", "counter"))
+      .groupBy("fam").agg(min("ptype").as("ptype"))
 
     val config: Column =
       if (configTags.isEmpty) map().cast("map<string,string>")
@@ -53,8 +57,22 @@ object Prometheus {
         regexp_extract(col("line"), "\\s(\\S+)\\s*$", 1).try_cast("double").as("value"))
       .filter(col("fam") =!= "" && col("value").isNotNull && !isnan(col("value")))
 
-    val labels = when(col("labelstr") === "", map().cast("map<string,string>"))
-      .otherwise(str_to_map(regexp_replace(col("labelstr"), "\"", ""), lit(","), lit("=")))
+    // labels parse as key="value" pairs (expfmt grammar) so commas, '=',
+    // and escaped quotes inside values survive; \\ / \n / \" unescape via
+    // a NUL sentinel so `\\n` stays a literal backslash-n.
+    val pairRe = "([a-zA-Z_:][a-zA-Z0-9_:]*)\\s*=\\s*\"((?:[^\"\\\\]|\\\\.)*)\""
+    def unescape(c: Column): Column =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(c, "\\\\\\\\", "\u0000"),
+            "\\\\n", "\n"),
+          "\\\\\"", "\""),
+        "\u0000", "\\\\")
+    val pairs = regexp_extract_all(col("labelstr"), lit(pairRe), lit(0))
+    val labels = map_from_arrays(
+      transform(pairs, p => regexp_extract(p, pairRe, 1)),
+      transform(pairs, p => unescape(regexp_extract(p, pairRe, 2))))
 
     samples
       .join(broadcast(types), "fam") // inner: families without a supported TYPE drop

@@ -117,8 +117,12 @@ object AuditSession {
     import spark.implicits._
     raw.flatMap { line =>
       line match {
-        case lineRe(typ, secs, millis, id, payload) =>
-          Some(AuditLine(new Timestamp(secs.toLong * 1000L + millis.toLong),
+        case lineRe(typ, secs, frac, id, payload) =>
+          // the digits after '.' are a decimal fraction, not literal ms:
+          // audit(…0.5:…) = +500ms. Kernel stamps are fixed 3-digit, but
+          // the regex accepts any width, so scale by digit count.
+          val millis = frac.padTo(3, '0').take(3).toLong
+          Some(AuditLine(new Timestamp(secs.toLong * 1000L + millis),
             host, id, typ, payload))
         case _ => None
       }

@@ -40,6 +40,17 @@ class CollectorsSpec extends AnyFunSuite {
     assert(m.forall(_.getAs[Map[String, String]]("tags").contains("device")))
   }
 
+  test("nvidia-smi: fractional power.draw parses (ref ParseFloat, gpu.go:100)") {
+    val d = Seq("0, NVIDIA GeForce RTX 3090, 45, 1024, 24576, 33, 38.96").toDF("line")
+    val m = Collectors.nvidiaSmi(d, at, host).collect()
+    assert(m.find(_.getAs[String]("name") == "gpu.nvidia.0.powerdraw").get
+      .getAs[Double]("value") == 38.96)
+    // the integer fields stay Atoi-strict: fractional temperature is a skip
+    val d2 = Seq("0, RTX, 45.5, 1024, 24576, 33, 350").toDF("line")
+    val names2 = Collectors.nvidiaSmi(d2, at, host).collect().map(_.getAs[String]("name")).toSet
+    assert(!names2.contains("gpu.nvidia.0.temperature") && names2.size == 4)
+  }
+
   test("apt: three gauges partitioned by security/upgradable (S14)") {
     val upgr = Seq(
       "vim/stable-security 2:9.0 amd64 [upgradable from: 2:8.2]",

@@ -44,4 +44,22 @@ class PrometheusSpec extends AnyFunSuite {
       .filter(col("name") === "go_goroutines").collect().head
     assert(m.getAs[Map[String, String]]("tags") == Map("dc" -> "eu"))
   }
+
+  test("repeated TYPE lines across payloads do not duplicate samples") {
+    val twoPayloads = exposition ++ exposition.filterNot(_.contains("42.5"))
+    val m = Prometheus.metrics(twoPayloads.toDF("value"), at)
+    // one TYPE comment per family per payload; the 42.5 sample appears once
+    // in the input and must appear exactly once in the output
+    assert(m.filter(col("value") === 42.5).count() == 1)
+    assert(m.filter(col("name") === "go_goroutines").count() == 2) // 2 samples in
+  }
+
+  test("label values with commas, '=', and escaped quotes survive (expfmt)") {
+    val lines = Seq(
+      "# TYPE q gauge",
+      """q{path="/a,b",expr="x=y",msg="say \"hi\"",win="c:\\tmp"} 1""")
+    val m = Prometheus.metrics(lines.toDF("value"), at).collect().head
+    assert(m.getAs[Map[String, String]]("tags") == Map(
+      "path" -> "/a,b", "expr" -> "x=y", "msg" -> "say \"hi\"", "win" -> "c:\\tmp"))
+  }
 }

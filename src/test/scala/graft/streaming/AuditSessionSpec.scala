@@ -26,6 +26,16 @@ class AuditSessionSpec extends AnyFunSuite {
     assert(parsed.head.ts.getTime == 1700000000123L)
   }
 
+  test("parseLines: sub-3-digit fraction scales as a decimal, not literal ms") {
+    val raw = Seq(
+      "type=SYSCALL msg=audit(1700000000.5:1): a=b",     // .5 s = +500 ms
+      "type=SYSCALL msg=audit(1700000000.1234:2): a=b"). // truncates to ms
+      toDS
+    val ts = AuditSession.parseLines(spark, raw, "h1").collect()
+      .sortBy(_.auditId).map(_.ts.getTime)
+    assert(ts.toSeq == Seq(1700000000500L, 1700000000123L))
+  }
+
   test("batch: one coalesced event per audit id, payloads merged in order") {
     val lines = Seq(line("1", "SYSCALL", 0), line("1", "PATH", 1), line("2", "LOGIN", 2))
     val events = AuditSession.sessionizeBatch(lines.toDS).collect().sortBy(_.eventType)
