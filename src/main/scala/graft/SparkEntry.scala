@@ -61,7 +61,7 @@ object SparkEntry {
     // training-data pipeline: embeddings
     "q_cosine_topk" -> VectorOps.cosineTopK _,
     "q_embed_near_dup" -> VectorOps.embeddingNearDup _,
-    "q_ann_lsh" -> VectorOps.annLsh _,
+    "q_ann_lsh" -> ((s, d) => VectorOps.annLsh(s, d)),
     "q_ann_ivf" -> VectorOps.annIvf _,
     // training-data pipeline: multimodal plumbing (stubbed decode; rows-only)
     "q_media_pipeline" -> MultimodalOps.mediaPipeline _,

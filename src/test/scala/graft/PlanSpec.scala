@@ -51,6 +51,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LeftSemi"), p)
   }
 
+  test("IVF assignment is a pure projection: no exchange, no window, no count job") {
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("nrm", sqrt(graft.functions.VectorFunctions.dot(col("embedding"), col("embedding"))))
+    val p = plan(graft.operators.VectorOps.ivfAssigned(emb))
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("bucket aggregations: map-side partial agg + whole-stage codegen") {
     val df = EventOps.bucketSum(spark, dir)
     // partial aggregation (map-side combine) before the exchange

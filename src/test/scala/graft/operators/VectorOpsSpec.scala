@@ -24,7 +24,28 @@ class VectorOpsSpec extends AnyFunSuite {
       ivf.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
     }
     val mean = recalls.sum / recalls.size
+    info(s"IVF mean recall $mean, per-query $recalls")
     assert(mean >= 0.6, s"mean IVF recall $mean, per-query $recalls")
+  }
+
+  test("multi-probe LSH recovers the exact top-10 (recall ≥ 0.9)") {
+    val lsh = topSets(VectorOps.annLsh(spark, dir))
+    val recalls = exact.map { case (q, truth) =>
+      lsh.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(s"LSH mean recall $mean, per-query $recalls")
+    assert(mean >= 0.9, s"mean LSH recall $mean, per-query $recalls")
+  }
+
+  test("LSH index bounds every (table, bucket) population at maxBucket") {
+    import org.apache.spark.sql.functions._
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    val emb = graft.Tables.embeddings(spark, dir)
+      .withColumn("nrm", sqrt(graft.functions.VectorFunctions.dot(col("embedding"), col("embedding"))))
+    val sizes = VectorOps.lshIndex(emb, maxBucket = 3)
+      .groupBy("t", "bucket").count().agg(max("count")).collect().head.getLong(0)
+    assert(sizes <= 3, s"bucket cap violated: max population $sizes")
   }
 
   test("every IVF/LSH result is a true neighbor score (exact cosine within bucket)") {
