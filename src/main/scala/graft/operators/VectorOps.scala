@@ -170,7 +170,9 @@ object VectorOps {
   private[graft] def lshIndex(emb: DataFrame, maxBucket: Int): DataFrame = {
     val tb = array((0 until lshTables).map(t =>
       struct(lit(t).as("t"), lshCode(col("embedding"), t).as("bucket"))): _*)
-    val wCap = Window.partitionBy("t", "bucket").orderBy(xxhash64(col("nid")))
+    // tie-break by nid so the cap's survivor set is total-ordered even on
+    // xxhash64 collisions (keeps index builds bit-reproducible)
+    val wCap = Window.partitionBy("t", "bucket").orderBy(xxhash64(col("nid")), col("nid"))
     emb.select(col("vec_id").as("nid"), col("embedding").as("ne"),
         col("nrm").as("nn"), explode(tb).as("tb"))
       .select(col("nid"), col("ne"), col("nn"),

@@ -70,9 +70,16 @@ object Prometheus {
           "\\\\\"", "\""),
         "\u0000", "\\\\")
     val pairs = regexp_extract_all(col("labelstr"), lit(pairRe), lit(0))
-    val labels = map_from_arrays(
-      transform(pairs, p => regexp_extract(p, pairRe, 1)),
-      transform(pairs, p => unescape(regexp_extract(p, pairRe, 2))))
+    // duplicate label names in one sample line keep the LAST value (the old
+    // str_to_map behavior) instead of tripping mapKeyDedupPolicy=EXCEPTION
+    // and failing the whole batch on one malformed scrape line
+    val entries = transform(pairs, p => struct(
+      regexp_extract(p, pairRe, 1).as("k"),
+      unescape(regexp_extract(p, pairRe, 2)).as("v")))
+    val lastWins = filter(entries, (e, i) =>
+      !exists(slice(entries, i + 2, size(entries)),
+        e2 => e2.getField("k") === e.getField("k")))
+    val labels = map_from_entries(lastWins)
 
     samples
       .join(broadcast(types), "fam") // inner: families without a supported TYPE drop

@@ -54,10 +54,11 @@ class VectorOpsSpec extends AnyFunSuite {
     val bf = VectorOps.cosineTopK(spark, dir)
       .select("qid", "nid", "cosine").collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
-    val ivf = VectorOps.annIvf(spark, dir).select("qid", "nid", "cosine").collect()
-    ivf.foreach { r =>
-      val key = (r.getLong(0), r.getLong(1))
-      bf.get(key).foreach(expected => assert(r.getDouble(2) == expected, key))
+    Seq(VectorOps.annIvf(spark, dir), VectorOps.annLsh(spark, dir)).foreach { ann =>
+      ann.select("qid", "nid", "cosine").collect().foreach { r =>
+        val key = (r.getLong(0), r.getLong(1))
+        bf.get(key).foreach(expected => assert(r.getDouble(2) == expected, key))
+      }
     }
   }
 }

@@ -54,6 +54,14 @@ class PrometheusSpec extends AnyFunSuite {
     assert(m.filter(col("name") === "go_goroutines").count() == 2) // 2 samples in
   }
 
+  test("duplicate label names keep the last value instead of failing the batch") {
+    val lines = Seq(
+      "# TYPE q gauge",
+      """q{env="a",env="b",other="x"} 1""")
+    val m = Prometheus.metrics(lines.toDF("value"), at).collect().head
+    assert(m.getAs[Map[String, String]]("tags") == Map("env" -> "b", "other" -> "x"))
+  }
+
   test("label values with commas, '=', and escaped quotes survive (expfmt)") {
     val lines = Seq(
       "# TYPE q gauge",
