@@ -46,12 +46,14 @@ object EventOps {
       .agg(Num.dsum(col("value")).as("sum_value"), count(lit(1)).as("n"))
       .orderBy("bucket", "event_type")
 
-  /** D6 analog: predicate on a tag extracted from the JSON props map
-    * (ref bloom-indexed tag lookup, res/schema.sql:9-10).
+  /** D6 analog: predicate on a tag served from the tag-indexed table
+    * (ref bloom-indexed tag lookup, res/schema.sql:9-10). The predicate
+    * sits on the materialized typed `k` column, so it pushes down into the
+    * parquet scan (row-group stats + bloom) instead of JSON-parsing every
+    * row — see [[TagIndex]] for the ingest-time build.
     */
   def tagFilter(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      .withColumn("k", get_json_object(col("props"), "$.k").cast("bigint"))
+    TagIndex.events(spark, dir)
       .filter(col("k") > 50)
       .select("event_id", "user_id", "k")
       .orderBy("event_id")

@@ -26,16 +26,45 @@ object Ingest {
     * Works for all three streams; `sortKeys` is (name, host) for metrics,
     * (service, host) for logs, (type, host) for events
     * (ref: res/schema.sql:14,98,117).
+    *
+    * D6 tag indexing (ref: res/schema.sql:9-10 — ClickHouse bloom skip
+    * indexes over `mapKeys(tags)`/`mapValues(tags)`): when the frame carries
+    * a `tags` map, derived `tag_keys`/`tag_values` array columns are
+    * materialized with parquet bloom filters on their elements — the
+    * "does this row group contain tag X at all" skip the reference gets.
+    * `derived` additionally materializes hot computed columns (e.g. a typed
+    * extraction of one tag) as top-level bloom-filtered parquet columns;
+    * unlike array membership, predicates on those push down through
+    * Catalyst into the scan, so point/range tag lookups skip row groups via
+    * dictionary+bloom+min/max — the Spark-native equivalent of the
+    * reference's indexed tag path.
     */
-  def writeTable(df: DataFrame, path: String, sortKeys: Seq[String]): Unit =
-    df.withColumn("date", to_date(col("time")))
-      .sortWithinPartitions(("date" +: sortKeys :+ "time").map(col): _*)
+  def writeTable(df: DataFrame, path: String, sortKeys: Seq[String],
+      derived: Seq[(String, org.apache.spark.sql.Column)] = Nil): Unit = {
+    val withTagCols =
+      if (df.columns.contains("tags"))
+        df.withColumn("tag_keys", map_keys(col("tags")))
+          .withColumn("tag_values", map_values(col("tags")))
+      else df
+    val withDerived = derived.foldLeft(withTagCols) {
+      case (d, (name, expr)) => d.withColumn(name, expr)
+    }
+    val bloomCols =
+      (if (df.columns.contains("tags")) Seq("tag_keys.list.element", "tag_values.list.element")
+       else Nil) ++ derived.map(_._1) :+ sortKeys.head
+    // sort the derived index columns last so their row-group min/max ranges
+    // stay tight where the primary order allows
+    val writer = withDerived.withColumn("date", to_date(col("time")))
+      .sortWithinPartitions(
+        (("date" +: sortKeys) ++ derived.map(_._1) :+ "time").map(col): _*)
       .write
       .mode("append")
       .partitionBy("date")
       .option("compression", "zstd")
-      .option(s"parquet.bloom.filter.enabled#${sortKeys.head}", "true")
-      .parquet(path)
+    bloomCols.foldLeft(writer) { (w, c) =>
+      w.option(s"parquet.bloom.filter.enabled#$c", "true")
+    }.parquet(path)
+  }
 
   /** Continuous ingestion: micro-batch the stream into the partitioned
     * table every 5 s (the reference's flush ticker, ref: forward.go:119-132,

@@ -61,6 +61,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p)
   }
 
+  test("tag_filter: predicate pushes onto the materialized tag column, no JSON parse (D6)") {
+    val df = EventOps.tagFilter(spark, dir)
+    val p = plan(df)
+    assert(p.contains("PushedFilters") && p.contains("GreaterThan(k,50)"), p)
+    assert(!p.contains("get_json_object") && !p.contains("from_json"), p)
+  }
+
   test("bucket aggregations: map-side partial agg + whole-stage codegen") {
     val df = EventOps.bucketSum(spark, dir)
     // partial aggregation (map-side combine) before the exchange

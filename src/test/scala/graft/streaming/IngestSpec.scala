@@ -40,6 +40,24 @@ class IngestSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters") && plan.contains("date"))
   }
 
+  test("writeTable: tag_keys/tag_values + derived columns materialize with pushdown (D6)") {
+    val dir = Files.createTempDirectory("graft_tagidx").toString
+    Ingest.writeTable(metrics.toDF.withColumnRenamed("metricType", "type"),
+      dir, Seq("name", "host"),
+      derived = Seq("tag_env" -> col("tags").getItem("env")))
+    val back = spark.read.parquet(dir)
+    assert(Seq("tag_keys", "tag_values", "tag_env").forall(back.columns.contains))
+    // the ClickHouse-parity derived arrays hold the map's keys/values
+    val r = back.filter(col("name") === "load.1" && col("host") === "h1")
+      .select("tag_keys", "tag_values").collect().head
+    assert(r.getSeq[String](0) == Seq("env") && r.getSeq[String](1) == Seq("p"))
+    // predicates on the materialized tag column reach the parquet scan
+    val q = back.filter(col("tag_env") === "p")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(tag_env,p)"), plan)
+    assert(q.count() == 3)
+  }
+
   test("downsample batch: gauge avg / counter sum per 1-min bucket (D1/D2)") {
     val out = Ingest.downsample(
         metrics.toDF.withColumnRenamed("metricType", "type"))
