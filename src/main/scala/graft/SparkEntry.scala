@@ -29,6 +29,9 @@ object SparkEntry {
     */
   def prepare(spark: SparkSession, dir: String): Unit = {
     graft.operators.TagIndex.ensure(spark, dir)
+    graft.operators.VectorOps.cachedLshIndex(spark, dir, maxBucket = 100000)
+    graft.operators.VectorOps.trainedCodebook(spark, dir)
+    graft.operators.VectorOps.cachedQueryVecs(spark, dir)
     ()
   }
 
@@ -73,7 +76,7 @@ object SparkEntry {
     "q_cosine_topk" -> VectorOps.cosineTopK _,
     "q_embed_near_dup" -> VectorOps.embeddingNearDup _,
     "q_ann_lsh" -> ((s, d) => VectorOps.annLsh(s, d)),
-    "q_ann_ivf" -> VectorOps.annIvf _,
+    "q_ann_ivf" -> ((s, d) => VectorOps.annIvf(s, d)),
     // training-data pipeline: multimodal plumbing (stubbed decode; rows-only)
     "q_media_pipeline" -> MultimodalOps.mediaPipeline _,
   )

