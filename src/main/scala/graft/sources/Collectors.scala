@@ -60,6 +60,47 @@ object Collectors {
         col("value"), map(lit("device"), col("device"))): _*)
   }
 
+  /** S12 — `rocm-smi --showid --showtemp --showuse --showpower
+    * --showproductname --showmeminfo vram --json`: one JSON document
+    * mapping card id → readings under rocm's long literal keys, emitted as
+    * gauges `gpu.amd.<cardId>.{temperature,memory.used,memory.total,
+    * utilization,powerdraw}` tagged `{guid, device}`
+    * (ref: collector/gpu.go:114-198). Temperature parses as float
+    * (ParseFloat); the other four are integers (Atoi) — a fractional
+    * string fails Atoi and that metric is skipped, like the reference's
+    * warn-and-continue (no zero-fill).
+    */
+  def rocmSmi(doc: DataFrame, time: Column, host: Column,
+      column: String = "value"): DataFrame = {
+    val schema = MapType(StringType, MapType(StringType, StringType))
+    // (metric key suffix, rocm JSON field, integer-only parse)
+    val fields = Seq(
+      ("temperature", "Temperature (Sensor edge) (C)", false),
+      ("memory.used", "VRAM Total Used Memory (B)", true),
+      ("memory.total", "VRAM Total Memory (B)", true),
+      ("utilization", "GPU use (%)", true),
+      ("powerdraw", "Current Socket Graphics Package Power (W)", true))
+    val readings = array(fields.map { case (key, field, intOnly) =>
+      val raw = col("card").getItem(field)
+      val v = if (intOnly) raw.try_cast("long").cast("double")
+              else raw.try_cast("double")
+      struct(lit(key).as("key"), v.as("v"))
+    }: _*)
+    doc.select(from_json(col(column), schema).as("j"))
+      .filter(col("j").isNotNull)
+      .select(explode(col("j")).as(Seq("cardId", "card")))
+      .select(col("cardId"),
+        col("card").getItem("GUID").as("guid"),
+        col("card").getItem("Card series").as("device"),
+        explode(readings).as("r"))
+      .filter(col("r.v").isNotNull) // parse failure → skip, not 0
+      .select(metricRow(time, "gauge", host,
+        concat(lit("gpu.amd."), col("cardId"), lit("."), col("r.key")),
+        col("r.v"),
+        map(lit("guid"), coalesce(col("guid"), lit("")),
+          lit("device"), coalesce(col("device"), lit("")))): _*)
+  }
+
   /** S14 — `apt list --upgradable` + `apt list --installed`: three gauges
     * `apt.packages` tagged by {security, upgradable}, where a package is
     * security-relevant when its repo component contains `-security`

@@ -107,6 +107,33 @@ object Procfs {
         map(lit("iface"), col("iface"))): _*)
   }
 
+  /** S2 — `/proc/meminfo` → the five osstat-computed gauges
+    * `memory.{total,used,cached,free,available}` (ref:
+    * collector/system.go:13-24, which reads go-osstat's memory.Get).
+    * go-osstat's linux derivation from the kB-denominated meminfo rows:
+    * total=MemTotal, free=MemFree, cached=Cached+SReclaimable,
+    * used=total-free-Buffers-cached, available=MemAvailable; all ×1024 to
+    * bytes. One aggregate pivot over the lines, then five metric rows.
+    */
+  def meminfo(lines: DataFrame, time: Column, host: Column): DataFrame = {
+    val key = regexp_extract(col("line"), "^(\\w+):", 1)
+    val v = Enrich.parseNumber(fields(col("line")).getItem(1)) * 1024
+    def pick(name: String): Column =
+      coalesce(first(when(col("k") === name, col("v")), ignoreNulls = true), lit(0.0))
+    lines.select(key.as("k"), v.as("v"))
+      .agg(pick("MemTotal").as("total"), pick("MemFree").as("free"),
+        pick("MemAvailable").as("available"), pick("Buffers").as("buffers"),
+        (pick("Cached") + pick("SReclaimable")).as("cached"))
+      .select(explode(map(
+        lit("memory.total"), col("total"),
+        lit("memory.used"),
+        col("total") - col("free") - col("buffers") - col("cached"),
+        lit("memory.cached"), col("cached"),
+        lit("memory.free"), col("free"),
+        lit("memory.available"), col("available"))).as(Seq("name", "v")))
+      .select(metricRow(time, "gauge", host, col("name"), col("v"), noTags): _*)
+  }
+
   /** S8/S13-style — generic `key value` lines (vmstat, fscache rows, cgroup
     * cpu.stat/memory.stat) → counters `<prefix>.<key>`
     * (ref: collector/vmstat.go:14-40, collector/cgroup/cgroup.go:86-102).

@@ -23,6 +23,27 @@ object Wire {
     */
   private[sources] def parseTime(c: Column): Column = c.try_cast("timestamp")
 
+  /** S23 auth gate (ref: forward_server.go:38-56): each envelope row
+    * carries its transport `Authorization` value in `authColumn` as
+    * `name:key`; rows survive only when the name is a known sender and the
+    * key matches. An empty `keys` map accepts everything (the reference's
+    * nil-keys server). Malformed values (no / multiple colons, unknown
+    * name, wrong key) are dropped, and drops are counted on the riding
+    * [[graft.streaming.IngestMetrics.authObservationName]] observation —
+    * the 401 counter without a second pass over the stream.
+    */
+  def authorized(df: DataFrame, keys: Map[String, String],
+      authColumn: String = "auth"): DataFrame = {
+    if (keys.isEmpty) return df
+    val parts = split(col(authColumn), ":", -1)
+    val ok = size(parts) === 2 &&
+      element_at(typedlit(keys), parts.getItem(0)) === parts.getItem(1)
+    df.observe(graft.streaming.IngestMetrics.authObservationName,
+        count(lit(1)).as("received"),
+        coalesce(sum(when(ok, 0L).otherwise(1L)), lit(0L)).as("dropped"))
+      .filter(ok)
+  }
+
   private def envelope(jsonLines: DataFrame, column: String): DataFrame =
     jsonLines.select(from_json(col(column), Schemas.wireBatch).as("b"))
       .filter(col("b").isNotNull)

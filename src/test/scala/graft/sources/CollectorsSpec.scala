@@ -51,6 +51,38 @@ class CollectorsSpec extends AnyFunSuite {
     assert(!names2.contains("gpu.nvidia.0.temperature") && names2.size == 4)
   }
 
+  test("rocm-smi JSON: gauges per card, Atoi-strict integer fields (S12)") {
+    val doc = Seq(
+      """{"card0": {"GUID": "34246", "Card series": "Radeon RX 7900 XTX",
+        |  "Temperature (Sensor edge) (C)": "53.0",
+        |  "VRAM Total Used Memory (B)": "2348810240",
+        |  "VRAM Total Memory (B)": "25753026560",
+        |  "GPU use (%)": "12",
+        |  "Current Socket Graphics Package Power (W)": "41"},
+        | "card1": {"GUID": "99999", "Card series": "Radeon VII",
+        |  "Temperature (Sensor edge) (C)": "61.5",
+        |  "VRAM Total Used Memory (B)": "1024",
+        |  "VRAM Total Memory (B)": "17163091968",
+        |  "GPU use (%)": "7",
+        |  "Current Socket Graphics Package Power (W)": "38.96"}}""".stripMargin
+        .replaceAll("\n", "")).toDF("value")
+    val m = Collectors.rocmSmi(doc, at, host).collect()
+    def v(name: String) = m.find(_.getAs[String]("name") == name)
+      .map(_.getAs[Double]("value"))
+    // temperature is ParseFloat — fractional OK (ref gpu.go:143)
+    assert(v("gpu.amd.card0.temperature").contains(53.0))
+    assert(v("gpu.amd.card1.temperature").contains(61.5))
+    assert(v("gpu.amd.card0.memory.used").contains(2348810240.0))
+    assert(v("gpu.amd.card0.utilization").contains(12.0))
+    assert(v("gpu.amd.card0.powerdraw").contains(41.0))
+    // power is Atoi in the reference (gpu.go:185) — "38.96" is a skip
+    assert(v("gpu.amd.card1.powerdraw").isEmpty)
+    assert(m.filter(_.getAs[String]("name").startsWith("gpu.amd.card1.")).length == 4)
+    val tags0 = m.find(_.getAs[String]("name") == "gpu.amd.card0.temperature").get
+      .getAs[Map[String, String]]("tags")
+    assert(tags0 == Map("guid" -> "34246", "device" -> "Radeon RX 7900 XTX"))
+  }
+
   test("apt: three gauges partitioned by security/upgradable (S14)") {
     val upgr = Seq(
       "vim/stable-security 2:9.0 amd64 [upgradable from: 2:8.2]",

@@ -37,6 +37,29 @@ class ProcfsSpec extends AnyFunSuite {
     assert(u.head.getAs[Double]("value") == 35435.97)
   }
 
+  test("meminfo: osstat-derived memory gauges in bytes (S2)") {
+    val lines = Seq(
+      "MemTotal:       16316684 kB",
+      "MemFree:         4186628 kB",
+      "MemAvailable:   10724160 kB",
+      "Buffers:          517344 kB",
+      "Cached:          5875428 kB",
+      "SwapCached:            0 kB",
+      "Active:          5713276 kB",
+      "SReclaimable:     545260 kB").toDF("line")
+    val m = Procfs.meminfo(lines, at, host).collect()
+    val byName = m.map(r => r.getAs[String]("name") -> r.getAs[Double]("value")).toMap
+    val k = 1024.0
+    assert(byName("memory.total") == 16316684 * k)
+    assert(byName("memory.free") == 4186628 * k)
+    assert(byName("memory.available") == 10724160 * k)
+    // cached = Cached + SReclaimable; used = total - free - buffers - cached
+    assert(byName("memory.cached") == (5875428 + 545260) * k)
+    assert(byName("memory.used") ==
+      (16316684 - 4186628 - 517344 - 5875428 - 545260) * k)
+    assert(m.forall(_.getAs[String]("type") == "gauge") && m.length == 5)
+  }
+
   test("diskstats: 17 counters per device, loop skipped (S5)") {
     val d = Seq(
       "   8       0 sda 1 2 3 4 5 6 7 8 9 10 11 12 13 14 15 16 17",

@@ -48,4 +48,42 @@ class WireSpec extends AnyFunSuite {
     val df = Seq("not json at all", batch).toDF("value")
     assert(Wire.metrics(df).count() == 1)
   }
+
+  test("auth gate: name:key map accept/reject semantics (ref forward_server.go:38-56)") {
+    val keys = Map("web-1" -> "s3cret", "db-1" -> "other")
+    val rows = Seq(
+      ("web-1:s3cret", "good"),      // known sender, right key
+      ("web-1:wrong", "badkey"),     // right sender, wrong key
+      ("ghost:s3cret", "badname"),   // unknown sender
+      ("web-1", "nocolon"),          // malformed: no colon
+      ("web-1:s3:cret", "twocolon"), // malformed: len(parts) != 2
+      (null, "noauth")).toDF("auth", "value")
+    val kept = Wire.authorized(rows, keys).select("value").as[String].collect().toSet
+    assert(kept == Set("good"))
+    // nil-keys server accepts everything (ref: f.keys == nil short-circuit)
+    assert(Wire.authorized(rows, Map.empty).count() == 6)
+  }
+
+  test("auth gate: drops are counted through the ingest-metrics listener") {
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val listener = new graft.streaming.IngestMetrics.Listener
+    spark.streams.addListener(listener)
+    val mem = MemoryStream[(String, String)]
+    val q = Wire.authorized(mem.toDF.toDF("auth", "value"), Map("a" -> "k"))
+      .writeStream.format("noop").queryName("auth_count_test").start()
+    try {
+      mem.addData(("a:k", "ok1"), ("a:bad", "drop1"), ("b:k", "drop2"))
+      q.processAllAvailable()
+      mem.addData(("a:k", "ok2"), ("zzz", "drop3"))
+      q.processAllAvailable()
+      val deadline = System.currentTimeMillis + 30000
+      while (listener.dropped("auth_count_test") < 3 &&
+        System.currentTimeMillis < deadline) Thread.sleep(100)
+      assert(listener.dropped("auth_count_test") == 3)
+    } finally {
+      q.stop()
+      spark.streams.removeListener(listener)
+    }
+  }
 }
