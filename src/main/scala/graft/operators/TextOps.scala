@@ -22,15 +22,19 @@ object TextOps {
 
   private def tokens(text: Column): Column = split(text, " ")
 
-  /** Word n-gram shingles: overlapping n-token windows joined with a unit
-    * separator — the shingle→minhash input for near-dup at document scale
-    * (unigram tokens under-shingle long docs; n-grams preserve locality).
+  /** Word n-gram shingles as 64-bit hashes: tokens hash once, then each
+    * overlapping n-window hashes its n token-hashes directly — no
+    * concatenated shingle strings are ever materialized (the dominant
+    * allocation of the previous `concat_ws` form, which built ~|doc|
+    * short-lived strings per document before hashing). The
+    * shingle→minhash input for near-dup at document scale (unigram tokens
+    * under-shingle long docs; n-grams preserve locality).
     */
   private[operators] def shingles(text: Column, n: Int): Column = {
-    val t = tokens(text)
+    val th = transform(tokens(text), t => xxhash64(t))
     array_distinct(transform(
-      sequence(lit(0), greatest(size(t) - n, lit(0))),
-      i => concat_ws("", slice(t, i + 1, lit(n)))))
+      sequence(lit(0), greatest(size(th) - n, lit(0))),
+      i => xxhash64((0 until n).map(j => element_at(th, i + j + 1)): _*)))
   }
 
   /** Token counting, whitespace + BPE-ish regex: per doc, the whitespace
@@ -261,14 +265,20 @@ object TextOps {
 
   /** SimHash near-dup (no SQL oracle): 64-bit fingerprint = sign of the
     * per-bit vote over token hashes; near-dups collide within small
-    * Hamming distance. Candidates come from a 4×16-bit band self-join:
-    * by pigeonhole this catches EVERY pair at Hamming distance ≤ 3 (three
-    * flips can't touch all four bands), and pairs up to the verified
-    * d ≤ 8 cutoff unless their flips spread across all bands — standard
-    * simhash banding recall. (The previous top-16-prefix-only variant
-    * missed any near-dup differing in the high bits.)
+    * Hamming distance. Candidates come from an 8×8-bit band self-join: by
+    * pigeonhole this catches EVERY pair at Hamming distance ≤ 7 (seven
+    * flips can't touch all eight bands), and pairs at the verified d = 8
+    * cutoff unless their flips spread across all eight bands (<3% of
+    * random flip placements) — TextQualitySpec pins soundness,
+    * completeness, and measured d≤8 recall against exact all-pairs
+    * hamming. (Round 2's 4×16 banding was only complete to d ≤ 3 and
+    * caught 40% of true d≤8 pairs.)
     */
-  def simhash(spark: SparkSession, dir: String): DataFrame = {
+  /** The 64-bit per-document fingerprints alone — exposed so the quality
+    * oracle (TextQualitySpec) can recompute exact all-pairs hamming ground
+    * truth against the banded candidate generation.
+    */
+  private[operators] def simhashFingerprints(spark: SparkSession, dir: String): DataFrame = {
     val bitVotes = (0 until 64).map { b =>
       sum(when(shiftright(col("th"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
     }
@@ -280,13 +290,17 @@ object TextOps {
     val fpExpr = (0 until 64).map(b =>
       when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
       .reduce(_.bitwiseOR(_))
-    val fp = fp0.select(col("doc_id"), fpExpr.as("simhash")).persist()
-    // candidates: equal 16-bit value in ANY of the 4 bands (pairs with
-    // hamming <= 3 are guaranteed caught; <= 8 caught unless flips land
-    // in all four bands), then exact hamming verification
+    fp0.select(col("doc_id"), fpExpr.as("simhash"))
+  }
+
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val fp = simhashFingerprints(spark, dir).persist()
+    // candidates: equal 8-bit value in ANY of the 8 bands (pairs with
+    // hamming <= 7 are guaranteed caught; = 8 caught unless flips land in
+    // all eight bands), then exact hamming verification
     val bands = fp.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until 4).map(b =>
-        shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*))
+      posexplode(array((0 until 8).map(b =>
+        shiftright(col("simhash"), b * 8).bitwiseAND(0xFFL)): _*))
         .as(Seq("band", "bval")))
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&

@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.{Tables, TestSpark}
+
+/** Value-level quality oracles for the hash-defined near-dup family
+  * (minhash LSH, shingled minhash, simhash) — the driver can only
+  * rows-check these, so the recall/precision contracts live here, measured
+  * against EXACT ground truth at sf0.01 the same way VectorOpsSpec pins the
+  * ANN paths to brute-force cosine. Ground truths are all-pairs exact
+  * computations over the 500-doc corpus (driver-side, exhaustive — no
+  * sampling), so every assertion is against the true answer, not another
+  * estimate.
+  */
+class TextQualitySpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+  private val dir = "/root/testdata/sf0.01"
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  /** All-pairs exact Jaccard over per-doc element sets. */
+  private def allPairsJaccard(sets: Map[Long, Set[Long]],
+      threshold: Double): Map[(Long, Long), Double] = {
+    val ids = sets.keys.toArray.sorted
+    val out = Map.newBuilder[(Long, Long), Double]
+    for (i <- ids.indices; j <- (i + 1) until ids.length) {
+      val (a, b) = (sets(ids(i)), sets(ids(j)))
+      val inter = a.intersect(b).size
+      val jac = inter.toDouble / (a.size + b.size - inter)
+      if (jac >= threshold) out += ((ids(i), ids(j)) -> jac)
+    }
+    out.result()
+  }
+
+  private def collectSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+    df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+
+  /** Exact distinct-token-hash sets per doc (the q_token_jaccard universe). */
+  private lazy val tokenSets: Map[Long, Set[Long]] = collectSets(
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("th"))
+      .groupBy("doc_id").agg(collect_list("th").as("ths")))
+
+  /** Exact 3-gram shingle-hash sets per doc (the q_minhash_shingle universe). */
+  private lazy val shingleSets: Map[Long, Set[Long]] = collectSets(
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), TextOps.shingles(col("text"), 3).as("sh")))
+
+  test("minhash LSH recall vs exact Jaccard, stratified by true similarity") {
+    val truth = allPairsJaccard(tokenSets, 0.95)
+    val cand = pairSet(TextOps.minhashLsh(spark, dir))
+    def recallOver(min: Double, max: Double): (Double, Int) = {
+      val strat = truth.filter { case (_, j) => j >= min && j < max }.keySet
+      if (strat.isEmpty) (1.0, 0)
+      else (strat.intersect(cand).size.toDouble / strat.size, strat.size)
+    }
+    val (rAll, nAll) = recallOver(0.95, 2.0)
+    val (rHigh, nHigh) = recallOver(0.98, 2.0)
+    info(s"recall $rAll over $nAll truth pairs; $rHigh over $nHigh J>=0.98 pairs")
+    // est>=0.9 over 16 hashes at the J=0.95 boundary has ~0.81 catch
+    // probability by construction; high-similarity pairs must be near-sure
+    assert(rAll >= 0.7, s"overall recall $rAll < 0.7")
+    assert(rHigh >= 0.9, s"J>=0.98 recall $rHigh < 0.9")
+  }
+
+  test("minhash LSH precision: every emitted pair is genuinely similar") {
+    val emitted = pairSet(TextOps.minhashLsh(spark, dir))
+    val js = emitted.toSeq.map { case (a, b) =>
+      val (sa, sb) = (tokenSets(a), tokenSets(b))
+      val inter = sa.intersect(sb).size
+      inter.toDouble / (sa.size + sb.size - inter)
+    }
+    val meanJ = js.sum / js.size
+    val fracHalf = js.count(_ >= 0.5).toDouble / js.size
+    info(s"${js.size} pairs: mean exact J $meanJ, frac(J>=0.5) $fracHalf, min ${js.min}")
+    assert(meanJ >= 0.6, s"mean exact J $meanJ < 0.6")
+    assert(fracHalf >= 0.95, s"frac(J>=0.5) $fracHalf < 0.95")
+  }
+
+  test("shingled minhash: recall + precision vs exact shingle Jaccard") {
+    val truth = allPairsJaccard(shingleSets, 0.95)
+    val emitted = pairSet(TextOps.minhashShingle(spark, dir))
+    val recall =
+      if (truth.isEmpty) 1.0
+      else truth.keySet.intersect(emitted).size.toDouble / truth.size
+    val js = emitted.toSeq.map { case (a, b) =>
+      val (sa, sb) = (shingleSets(a), shingleSets(b))
+      val inter = sa.intersect(sb).size
+      inter.toDouble / (sa.size + sb.size - inter)
+    }
+    info(s"shingle truth ${truth.size} pairs, emitted ${emitted.size}, recall $recall, " +
+      s"mean exact J ${if (js.nonEmpty) js.sum / js.size else 1.0}")
+    assert(recall >= 0.7, s"shingle recall $recall < 0.7")
+    // emitted pairs must be truly shingle-similar, not banding accidents
+    assert(js.forall(_ >= 0.5), s"emitted pair below exact shingle J 0.5: ${js.min}")
+  }
+
+  test("simhash candidates: sound (verified d<=8) and pigeonhole-complete (d<=7)") {
+    val fps = TextOps.simhashFingerprints(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ids = fps.keys.toArray.sorted
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val within8 = (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      if ham(fps(ids(i)), fps(ids(j))) <= 8
+    } yield (ids(i), ids(j))).toSet
+    val within7 = within8.filter { case (a, b) => ham(fps(a), fps(b)) <= 7 }
+    val emitted = pairSet(TextOps.simhash(spark, dir))
+    info(s"exact: ${within8.size} pairs d<=8 (${within7.size} d<=7); emitted ${emitted.size}")
+    // soundness: the in-query hamming verification is exact
+    assert(emitted.subsetOf(within8), s"unsound pairs: ${emitted.diff(within8).take(5)}")
+    // completeness: 8x8 banding cannot miss d<=7 (seven flips, eight bands)
+    assert(within7.subsetOf(emitted), s"missed d<=7 pairs: ${within7.diff(emitted).take(5)}")
+    val recall8 = if (within8.isEmpty) 1.0
+      else within8.intersect(emitted).size.toDouble / within8.size
+    info(s"d<=8 recall $recall8")
+    assert(recall8 >= 0.95, s"d<=8 recall $recall8 < 0.95")
+  }
+}
