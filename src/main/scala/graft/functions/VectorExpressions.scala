@@ -194,10 +194,11 @@ object VectorFunctions {
 
 /** `SparkSessionExtensions` hook: `.withExtensions(new GraftExtensions)` or
   * `spark.sql.extensions=graft.functions.GraftExtensions` exposes the
-  * native functions to pure-SQL users too.
+  * native functions and the LTS routing rule to pure-SQL users too.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => graft.plans.LtsRoute)
     ext.injectFunction(
       (FunctionIdentifier(VectorFunctions.dotName),
         new ExpressionInfo(classOf[DotProduct].getName, null, VectorFunctions.dotName),

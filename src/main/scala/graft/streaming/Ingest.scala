@@ -81,6 +81,18 @@ object Ingest {
       }
       .start()
 
+  /** The [[graft.plans.LtsRoute]]-compatible minute rollup of a raw table:
+    * (bucket, dims..., sum_value decimal, n). Decimal sums make routed
+    * re-aggregation bit-identical to scanning raw (ref: the sumState/
+    * avgState MV columns, res/schema.sql:39-50,71-82).
+    */
+  def ltsRollup(raw: DataFrame, dims: Seq[String]): DataFrame =
+    raw.groupBy(date_trunc("minute", col("time")).as("bucket") +: dims.map(col): _*)
+      .agg(
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .as("sum_value"),
+        count(lit(1)).as("n"))
+
   /** D1/D2 batch recompute — the exact ClickHouse-MV-equivalent answer
     * (ref: res/schema.sql:39-50,71-82): 1-minute buckets per
     * (host, name, tags) series; gauges average, counters sum. The map-typed

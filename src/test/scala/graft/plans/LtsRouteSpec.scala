@@ -1,0 +1,109 @@
+package graft.plans
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.{Tables, TestSpark}
+import graft.streaming.Ingest
+
+/** LTS routing (SURVEY.md §4): minute-or-coarser bucket aggregates over a
+  * registered raw table transparently scan its rollup, with bit-identical
+  * results (decimal re-aggregation is exact).
+  */
+class LtsRouteSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  // engine-layout raw table (time, event_type, value) + its minute rollup
+  private lazy val (rawPath, ltsPath): (String, String) = {
+    val base = Files.createTempDirectory("graft_lts").toString
+    val raw = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("ts").as("time"), col("event_type"), col("value"))
+    raw.write.parquet(s"$base/raw")
+    Ingest.ltsRollup(spark.read.parquet(s"$base/raw"), Seq("event_type"))
+      .write.parquet(s"$base/lts")
+    (s"$base/raw", s"$base/lts")
+  }
+
+  private def minuteQuery = spark.read.parquet(rawPath)
+    .groupBy(date_trunc("minute", col("time")).as("bucket"), col("event_type"))
+    .agg(sum(col("value").cast("decimal(18,2)")).as("sv"), count(lit(1)).as("n"))
+
+  private def hourlyAvgQuery = spark.read.parquet(rawPath)
+    .groupBy(date_trunc("hour", col("time")).as("bucket"))
+    .agg((sum(col("value").cast("decimal(18,2)")).cast("double") /
+      count(lit(1))).as("avg_value"))
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.collect().map(_.toString).toSet
+
+  private def routed(df: org.apache.spark.sql.DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.exists(_.toString.contains(ltsPath))
+          case _ => false
+        }
+    }.exists(identity)
+
+  private def withRoute[A](f: => A): A = {
+    LtsRoute.enable(spark)
+    LtsRoute.register(spark, rawPath, ltsPath)
+    try f finally LtsRoute.deregister(spark, rawPath)
+  }
+
+  test("minute sum+count aggregate routes to the rollup, bit-identical") {
+    val baseline = rows(minuteQuery) // route not registered yet
+    withRoute {
+      assert(routed(minuteQuery), minuteQuery.queryExecution.optimizedPlan.toString)
+      assert(rows(minuteQuery) == baseline)
+    }
+  }
+
+  test("coarser grain + derived avg re-aggregates from the rollup") {
+    val baseline = rows(hourlyAvgQuery)
+    withRoute {
+      assert(routed(hourlyAvgQuery))
+      assert(rows(hourlyAvgQuery) == baseline)
+    }
+  }
+
+  test("downstream operators stay bound across the rewrite") {
+    // built fresh on each use: a DataFrame's QueryExecution is lazy and
+    // cached, so a pre-registration plan would never see the route
+    def q = minuteQuery.orderBy(col("bucket"), col("event_type")).limit(7)
+    val baseline = q.collect().map(_.toString).toSeq
+    withRoute {
+      assert(routed(q))
+      assert(q.collect().map(_.toString).toSeq == baseline)
+    }
+  }
+
+  test("non-reaggregable queries are left untouched") {
+    withRoute {
+      // raw-grain grouping: time is not derivable from minute buckets
+      val rawGrain = spark.read.parquet(rawPath)
+        .groupBy(col("time")).agg(count(lit(1)).as("n"))
+      assert(!routed(rawGrain))
+      // percentile needs raw values, not partial sums
+      val pct = spark.read.parquet(rawPath)
+        .groupBy(col("event_type")).agg(expr("percentile(value, 0.5)").as("p50"))
+      assert(!routed(pct))
+      // second-grain trunc is finer than the rollup
+      val fine = spark.read.parquet(rawPath)
+        .groupBy(date_trunc("second", col("time")).as("b"))
+        .agg(count(lit(1)).as("n"))
+      assert(!routed(fine))
+      // sum over a dimension column is not the rollup's measure
+      val wrongCol = spark.read.parquet(rawPath)
+        .groupBy(date_trunc("minute", col("time")).as("b"))
+        .agg(sum(length(col("event_type")).cast("decimal(18,2)")).as("s"))
+      assert(!routed(wrongCol))
+    }
+  }
+
+  test("unregistered tables never route") {
+    LtsRoute.enable(spark)
+    assert(!routed(minuteQuery))
+  }
+}
