@@ -302,13 +302,16 @@ object TextOps {
       posexplode(array((0 until 8).map(b =>
         shiftright(col("simhash"), b * 8).bitwiseAND(0xFFL)): _*))
         .as(Seq("band", "bval")))
+    // hamming is a projection on the join output, so the d<=8 cut runs
+    // BEFORE the dedup exchange: only true near-dup pairs shuffle, not the
+    // full band-candidate volume (which grows ~n²/2^bits per band)
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
-      .dropDuplicates("doc_a", "doc_b")
       .filter(col("hamming") <= 8)
+      .dropDuplicates("doc_a", "doc_b")
       .orderBy("doc_a", "doc_b")
   }
 }

@@ -81,6 +81,23 @@ object Ingest {
       }
       .start()
 
+  /** Bucketed write for co-located joins (D4-adjacent; the Spark-native
+    * analog of sharding both sides of a recurring large×large join on the
+    * same key — ClickHouse gets co-location from the distributed table's
+    * sharding key). Two tables written with the same (key, numBuckets)
+    * spec join with ZERO exchange: each task reads matching buckets from
+    * both sides. `saveAsTable` is required — the bucket spec lives in the
+    * catalog, not the files.
+    */
+  def writeBucketed(df: DataFrame, name: String, path: String, key: String,
+      numBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .format("parquet")
+      .option("path", path)
+      .bucketBy(numBuckets, key)
+      .sortBy(key)
+      .saveAsTable(name)
+
   /** The [[graft.plans.LtsRoute]]-compatible minute rollup of a raw table:
     * (bucket, dims..., sum_value decimal, n). Decimal sums make routed
     * re-aggregation bit-identical to scanning raw (ref: the sumState/

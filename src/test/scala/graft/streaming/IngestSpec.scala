@@ -104,6 +104,24 @@ class IngestSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed tables join with zero exchange (co-located join)") {
+    val dir = Files.createTempDirectory("graft_bkt").toString
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    Ingest.writeBucketed(ev.select("event_id", "user_id", "value"),
+      "bkt_fact", s"$dir/fact", "user_id", 8)
+    Ingest.writeBucketed(
+      ev.groupBy("user_id").agg(count(lit(1)).as("n_events")),
+      "bkt_agg", s"$dir/agg", "user_id", 8)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("bkt_fact").join(spark.table("bkt_agg"), "user_id")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan)
+      assert(j.count() == ev.count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("retention drops only expired date partitions (D7)") {
     val dir = Files.createTempDirectory("graft_ttl").toString
     Ingest.writeTable(metrics.toDF.withColumnRenamed("metricType", "type"),
