@@ -36,6 +36,15 @@ object Tables {
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Cheap dataset fingerprint (source length ⊕ mtime) for index/cache
+    * invalidation: a regenerated dataset at the same path must never be
+    * served stale derived state (indexes, codebooks, collected queries).
+    */
+  def fingerprint(dir: String, table: String): String = {
+    val f = new java.io.File(s"$dir/$table.parquet")
+    java.lang.Long.toHexString(f.length ^ (f.lastModified() * 31L))
+  }
+
   /** Register every table as a temp view (events with its µs-normalized
     * timestamp) and the graft native functions, so the full surface is
     * reachable from plain `spark.sql(...)`.

@@ -27,8 +27,7 @@ object TagIndex {
     * instead of serving stale rows.
     */
   private[graft] def indexPath(dir: String): String = {
-    val src = new File(s"$dir/events.parquet")
-    val fp = java.lang.Long.toHexString(src.length ^ (src.lastModified() * 31L))
+    val fp = Tables.fingerprint(dir, "events")
     val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
     s"${sys.props("java.io.tmpdir")}/graft-index/$safe-$fp/events_tagged"
   }

@@ -32,9 +32,11 @@ object TextOps {
     */
   private[operators] def shingles(text: Column, n: Int): Column = {
     val th = transform(tokens(text), t => xxhash64(t))
+    // try_element_at: a document shorter than n tokens yields one partial
+    // window (nulls skipped by xxhash64) instead of an ANSI index error
     array_distinct(transform(
       sequence(lit(0), greatest(size(th) - n, lit(0))),
-      i => xxhash64((0 until n).map(j => element_at(th, i + j + 1)): _*)))
+      i => xxhash64((0 until n).map(j => try_element_at(th, i + j + 1)): _*)))
   }
 
   /** Token counting, whitespace + BPE-ish regex: per doc, the whitespace
@@ -263,17 +265,6 @@ object TextOps {
     intra.unionByName(inter).orderBy("doc_a", "doc_b")
   }
 
-  /** SimHash near-dup (no SQL oracle): 64-bit fingerprint = sign of the
-    * per-bit vote over token hashes; near-dups collide within small
-    * Hamming distance. Candidates come from an 8×8-bit band self-join: by
-    * pigeonhole this catches EVERY pair at Hamming distance ≤ 7 (seven
-    * flips can't touch all eight bands), and pairs at the verified d = 8
-    * cutoff unless their flips spread across all eight bands (<3% of
-    * random flip placements) — TextQualitySpec pins soundness,
-    * completeness, and measured d≤8 recall against exact all-pairs
-    * hamming. (Round 2's 4×16 banding was only complete to d ≤ 3 and
-    * caught 40% of true d≤8 pairs.)
-    */
   /** The 64-bit per-document fingerprints alone — exposed so the quality
     * oracle (TextQualitySpec) can recompute exact all-pairs hamming ground
     * truth against the banded candidate generation.
@@ -293,6 +284,17 @@ object TextOps {
     fp0.select(col("doc_id"), fpExpr.as("simhash"))
   }
 
+  /** SimHash near-dup (no SQL oracle): 64-bit fingerprint = sign of the
+    * per-bit vote over token hashes; near-dups collide within small
+    * Hamming distance. Candidates come from an 8×8-bit band self-join: by
+    * pigeonhole this catches EVERY pair at Hamming distance ≤ 7 (seven
+    * flips can't touch all eight bands), and pairs at the verified d = 8
+    * cutoff unless their flips spread across all eight bands (<3% of
+    * random flip placements) — TextQualitySpec pins soundness,
+    * completeness, and measured d≤8 recall against exact all-pairs
+    * hamming. (Round 2's 4×16 banding was only complete to d ≤ 3 and
+    * caught 40% of true d≤8 pairs.)
+    */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     val fp = simhashFingerprints(spark, dir).persist()
     // candidates: equal 8-bit value in ANY of the 8 bands (pairs with

@@ -122,7 +122,7 @@ object VectorOps {
     */
   private[graft] def trainedCodebook(spark: SparkSession,
       dir: String): IndexedSeq[Seq[Double]] =
-    ivfCodebookCache.getOrElseUpdate(dir, {
+    ivfCodebookCache.getOrElseUpdate(fpKey(dir), {
       val sample = Tables.embeddings(spark, dir)
         .orderBy("vec_id").limit(1024)
         .select("embedding").collect()
@@ -276,9 +276,14 @@ object VectorOps {
     * Scala and queries enter plans as literals, which removes two broadcast
     * jobs and two joins from every ANN search.
     */
+  // cache keys carry the dataset fingerprint so a regenerated dataset at
+  // the same path rebuilds instead of serving stale indexes/vectors
+  private def fpKey(dir: String): String =
+    s"$dir#${Tables.fingerprint(dir, "embeddings")}"
+
   private[graft] def cachedQueryVecs(spark: SparkSession,
       dir: String): IndexedSeq[(Long, IndexedSeq[Float], Double)] =
-    queryVecsCache.getOrElseUpdate(dir, {
+    queryVecsCache.getOrElseUpdate(fpKey(dir), {
       Tables.embeddings(spark, dir)
         .filter(col("vec_id") < 5)
         .select(col("vec_id"), col("embedding"), norm(col("embedding")))
@@ -290,7 +295,7 @@ object VectorOps {
   /** (persisted bucket-list index, code width) — built once per dataset. */
   private[graft] def cachedLshIndex(spark: SparkSession, dir: String,
       maxBucket: Int): (DataFrame, Int) =
-    lshIndexCache.getOrElseUpdate((dir, maxBucket), {
+    lshIndexCache.getOrElseUpdate((fpKey(dir), maxBucket), {
       val emb = Tables.embeddings(spark, dir)
         .withColumn("nrm", norm(col("embedding")))
       val bits = lshBitsFor(emb.count())

@@ -67,10 +67,27 @@ object LtsRoute extends Rule[LogicalPlan] {
 
   private def routeFor(lr: LogicalRelation): Option[String] =
     lr.relation match {
-      case h: HadoopFsRelation =>
-        h.location.rootPaths.headOption.flatMap(p => routes.get(p.toString))
+      // single-root only: a multi-path scan mixes registered and foreign
+      // data, and routing it would drop the other paths' rows
+      case h: HadoopFsRelation if h.location.rootPaths.size == 1 =>
+        routes.get(h.location.rootPaths.head.toString)
       case _ => None
     }
+
+  // analyzed rollup relations, resolved once per path (the optimizer calls
+  // this rule per query — re-listing files there would be blocking I/O in
+  // every plan); newInstance() refreshes exprIds per use so two routed
+  // aggregates in one query never collide
+  private val ltsRelations = TrieMap[String, LogicalRelation]()
+
+  private def ltsRelationFor(ltsPath: String): Option[LogicalRelation] =
+    ltsRelations.get(ltsPath).orElse {
+      val rel = SparkSession.active.read.parquet(ltsPath)
+        .queryExecution.analyzed
+        .collectFirst { case l: LogicalRelation => l }
+      rel.foreach(ltsRelations.put(ltsPath, _))
+      rel
+    }.map(_.newInstance())
 
   /** Match Aggregate over the registered relation. The optimizer pulls
     * complex grouping expressions into a child Project
@@ -100,10 +117,7 @@ object LtsRoute extends Rule[LogicalPlan] {
 
   private def buildRewrite(agg: Aggregate, lr: LogicalRelation,
       ltsPath: String): Option[LogicalPlan] = {
-    val spark = SparkSession.active
-    val ltsRel = spark.read.parquet(ltsPath).queryExecution.analyzed
-      .collectFirst { case l: LogicalRelation => l }
-      .getOrElse(return None)
+    val ltsRel = ltsRelationFor(ltsPath).getOrElse(return None)
     val lts: Map[String, Attribute] = ltsRel.output.map(a => a.name -> a).toMap
     if (!Seq("bucket", "sum_value", "n").forall(lts.contains)) return None
     val rawName: Map[ExprId, String] = lr.output.map(a => a.exprId -> a.name).toMap
@@ -115,24 +129,40 @@ object LtsRoute extends Rule[LogicalPlan] {
       case _ => false
     }
 
+    // the rollup accumulated per-row casts at exactly this type; a sum over
+    // a different scale/precision rounds per ROW on raw but per TOTAL when
+    // re-aggregated, so only the matching cast is re-aggregable
+    val rollupSumOk: DecimalType => Boolean = cast =>
+      lts("sum_value").dataType == DecimalType(
+        math.min(DecimalType.MAX_PRECISION, cast.precision + 10), cast.scale)
+
     def rw(e: Expression): Expression = e match {
       case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
         ae.aggregateFunction match {
           // sum(cast(value as decimal(p,s))) → cast(sum(sum_value), original)
           case s: Sum => s.child match {
-            case c: Cast if c.dataType.isInstanceOf[DecimalType] && isRawAttr(c.child, "value") =>
+            case c: Cast if isRawAttr(c.child, "value") &&
+                (c.dataType match {
+                  case d: DecimalType => rollupSumOk(d)
+                  case _ => false
+                }) =>
               Cast(ae.copy(aggregateFunction =
                 s.withNewChildren(Seq(lts("sum_value"))).asInstanceOf[Sum]), ae.dataType)
             case _ => fail()
           }
           // count(*) / count(lit) → sum(n), zero-coalesced to keep the
-          // empty-relation global-aggregate answer identical
-          case c: Count if c.children.forall(_.foldable) =>
+          // empty-relation global-aggregate answer identical; the literal
+          // must be non-null (count(NULL) is always 0, not the row count)
+          case c: Count if c.children.forall(ch => ch.foldable && ch.eval() != null) =>
             Coalesce(Seq(
               ae.copy(aggregateFunction = Sum(lts("n").asInstanceOf[Expression])),
               Literal(0L)))
           case _ => fail()
         }
+      // any other aggregate shape (FILTER clause, DISTINCT, other functions)
+      // must kill the rewrite — falling through to the generic child-walk
+      // would rewrite its arguments and route it with wrong semantics
+      case _: AggregateExpression => fail()
       case tt: TruncTimestamp =>
         (tt.format, tt.timestamp) match {
           case (Literal(f, StringType), t) if f != null &&

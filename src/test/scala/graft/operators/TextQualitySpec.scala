@@ -51,6 +51,15 @@ class TextQualitySpec extends AnyFunSuite {
     Tables.documents(spark, dir)
       .select(col("doc_id"), TextOps.shingles(col("text"), 3).as("sh")))
 
+  test("shingles survive documents shorter than n (ANSI element_at)") {
+    val out = Seq((1L, "one two"), (2L, "solo"), (3L, "a b c d"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextOps.shingles(col("text"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(out(1).size == 1 && out(2).size == 1) // one partial window each
+    assert(out(3).size == 2) // two full 3-gram windows
+  }
+
   test("minhash LSH recall vs exact Jaccard, stratified by true similarity") {
     val truth = allPairsJaccard(tokenSets, 0.95)
     val cand = pairSet(TextOps.minhashLsh(spark, dir))

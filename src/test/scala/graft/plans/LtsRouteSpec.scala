@@ -99,6 +99,22 @@ class LtsRouteSpec extends AnyFunSuite {
         .groupBy(date_trunc("minute", col("time")).as("b"))
         .agg(sum(length(col("event_type")).cast("decimal(18,2)")).as("s"))
       assert(!routed(wrongCol))
+      // FILTER-clause aggregates count raw rows, not rollup rows
+      val filtered = spark.read.parquet(rawPath)
+        .groupBy(date_trunc("minute", col("time")).as("b"))
+        .agg(count_if(col("event_type") === "click").as("clicks"))
+      assert(!routed(filtered))
+      // a different decimal scale rounds per row on raw but per total when
+      // re-aggregated — not the same answer, must not route
+      val wrongScale = spark.read.parquet(rawPath)
+        .groupBy(date_trunc("minute", col("time")).as("b"))
+        .agg(sum(col("value").cast("decimal(18,0)")).as("s"))
+      assert(!routed(wrongScale))
+      // DISTINCT is not derivable from partial sums
+      val dist = spark.read.parquet(rawPath)
+        .groupBy(date_trunc("minute", col("time")).as("b"))
+        .agg(sum_distinct(col("value").cast("decimal(18,2)")).as("s"))
+      assert(!routed(dist))
     }
   }
 
