@@ -57,4 +57,43 @@ class MultimodalSpec extends AnyFunSuite {
     val empty = f.find(_.getAs[Long]("media_id") == 3L).get
     assert(empty.getAs[Seq[Float]]("features").forall(_ == 0.0f))
   }
+
+  test("features: byte entropy is exact Shannon bits/byte") {
+    // 4 distinct bytes, equal frequency → exactly 2 bits/byte; constant → 0
+    val known = Seq(
+      (10L, "i", Array[Byte](0, 1, 2, 3, 0, 1, 2, 3)),
+      (11L, "i", Array[Byte](7, 7, 7, 7))).toDF("media_id", "kind", "bytes")
+    val e = MultimodalOps.features(spark, known).collect()
+      .map(r => r.getAs[Long]("media_id") -> r.getAs[Double]("entropy")).toMap
+    assert(math.abs(e(10L) - 2.0) < 1e-12)
+    assert(e(11L) == 0.0)
+  }
+
+  test("sniffHeaders: real magic-byte formats and true PNG/GIF/BMP dims") {
+    def be4(v: Int) = Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte,
+      (v >>> 8).toByte, v.toByte)
+    def le2(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte)
+    def le4(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte,
+      (v >>> 16).toByte, (v >>> 24).toByte)
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A) ++
+      be4(13) ++ "IHDR".getBytes ++ be4(640) ++ be4(480) ++ Array[Byte](8, 6)
+    val gif = "GIF89a".getBytes ++ le2(320) ++ le2(240) ++ Array[Byte](0, 0, 0)
+    val bmp = "BM".getBytes ++ le4(1000) ++ le4(0) ++ le4(54) ++ le4(40) ++
+      le4(800) ++ le4(600)
+    val jpeg = Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte) ++
+      "....JFIF".getBytes
+    val junk = "not a media file".getBytes
+    val out = MultimodalOps.sniffHeaders(Seq(
+        (1L, png), (2L, gif), (3L, bmp), (4L, jpeg), (5L, junk))
+      .toDF("media_id", "bytes")).collect()
+      .map(r => r.getAs[Long]("media_id") ->
+        ((r.getAs[String]("format"),
+          Option(r.getAs[java.lang.Long]("hdr_width")).map(_.toLong),
+          Option(r.getAs[java.lang.Long]("hdr_height")).map(_.toLong)))).toMap
+    assert(out(1L) == (("png", Some(640L), Some(480L))))
+    assert(out(2L) == (("gif", Some(320L), Some(240L))))
+    assert(out(3L) == (("bmp", Some(800L), Some(600L))))
+    assert(out(4L) == (("jpeg", None, None)))
+    assert(out(5L) == (("unknown", None, None)))
+  }
 }
