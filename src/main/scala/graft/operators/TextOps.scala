@@ -157,10 +157,14 @@ object TextOps {
     val gtok = groups.select(col("gid"), col("sz"), explode(col("toks")).as("th"))
     val df = gtok.groupBy("th").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("gid").orderBy("df", "th")
+    // persisted: the candidate self-join consumes this twice, and the
+    // subtree above it (explode + document-frequency join + rank window)
+    // is the expensive half of the query
     val prefix = gtok.join(df, "th")
       .withColumn("pos", row_number().over(w))
       .filter(col("pos") <= floor((lit(1.0) - threshold) * col("sz")) + 1)
       .select("gid", "th", "sz")
+      .persist()
     // candidate set-pairs share a prefix token AND have compatible sizes
     // (t*|A| <= |B| <= |A|/t), both checked inside the join
     val cand = prefix.as("a").join(prefix.as("b"),
