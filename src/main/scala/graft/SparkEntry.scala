@@ -51,6 +51,7 @@ object SparkEntry {
     "q_log_level_hist" -> EventOps.logLevelHist _,
     "q_set_except" -> EventOps.setExcept _,
     "q_anti_join" -> EventOps.antiJoin _,
+    "q_asof_purchase" -> EventOps.asofPurchase _,
     "q_percentiles" -> EventOps.valuePercentiles _,
     "q_rollup" -> EventOps.rollupCounts _,
     "q_pivot_daily" -> EventOps.pivotDaily _,
@@ -165,6 +166,13 @@ object SparkEntry {
         |                  WHERE p.event_type = 'purchase' AND p.user_id = e.user_id
         |                    AND CAST(p.ts AS DATE) = CAST(e.ts AS DATE))
         |ORDER BY user_id, day""".stripMargin,
+    "q_asof_purchase" ->
+      """SELECT e.event_id, e.user_id, e.ts, p.pv
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
+        |ASOF LEFT JOIN (SELECT user_id, ts, MAX(value) AS pv FROM events
+        |                WHERE event_type = 'purchase' GROUP BY 1, 2) p
+        |  ON e.user_id = p.user_id AND e.ts >= p.ts
+        |ORDER BY e.event_id""".stripMargin,
     "q_percentiles" ->
       """SELECT event_type,
         |  ROUND(quantile_cont(value, 0.5), 4) AS p50,

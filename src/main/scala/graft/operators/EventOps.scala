@@ -184,6 +184,22 @@ object EventOps {
       .orderBy("user_id", "day")
   }
 
+  /** As-of join ([[AsofJoin]]): each error event picks up the value of the
+    * same user's latest purchase at-or-before it — the point-in-time
+    * enrichment ClickHouse serves with ASOF JOIN. Purchases pre-aggregate
+    * to one row per (user, ts) so timestamp ties are deterministic on both
+    * engines.
+    */
+  def asofPurchase(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val errors = ev.filter(col("event_type") === "error")
+      .select("event_id", "user_id", "ts")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id", "ts").agg(max(col("value")).as("pv"))
+    AsofJoin.asof(errors, purchases, keys = Seq("user_id"), timeCol = "ts")
+      .orderBy("event_id")
+  }
+
   /** Exact percentiles of value per event type (sort-based percentile —
     * the contiguous-interpolation definition both engines share). At
     * 100 TB the approx_percentile sketch replaces this; the exact form is
