@@ -52,6 +52,7 @@ object SparkEntry {
     "q_set_except" -> EventOps.setExcept _,
     "q_anti_join" -> EventOps.antiJoin _,
     "q_asof_purchase" -> EventOps.asofPurchase _,
+    "q_range_nearby" -> EventOps.rangeNearbyPurchases _,
     "q_percentiles" -> EventOps.valuePercentiles _,
     "q_rollup" -> EventOps.rollupCounts _,
     "q_pivot_daily" -> EventOps.pivotDaily _,
@@ -173,6 +174,12 @@ object SparkEntry {
         |                WHERE event_type = 'purchase' GROUP BY 1, 2) p
         |  ON e.user_id = p.user_id AND e.ts >= p.ts
         |ORDER BY e.event_id""".stripMargin,
+    "q_range_nearby" ->
+      """SELECT e.event_id, COUNT(p.pts) AS n_nearby
+        |FROM (SELECT event_id, ts FROM events WHERE event_type = 'error') e
+        |LEFT JOIN (SELECT ts AS pts FROM events WHERE event_type = 'purchase') p
+        |  ON ABS(epoch_us(e.ts) - epoch_us(p.pts)) <= 300000000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_percentiles" ->
       """SELECT event_type,
         |  ROUND(quantile_cont(value, 0.5), 4) AS p50,

@@ -200,6 +200,35 @@ object EventOps {
       .orderBy("event_id")
   }
 
+  /** Range (band) join via bin bucketing: purchases within ±5 minutes of
+    * each error event, counted. The inequality predicate
+    * |t_e − t_p| ≤ 300 s becomes an EQUI-join on the 300 s time bin — each
+    * left row probes its bin and both neighbors, the exact predicate
+    * filters inside the join — so Spark plans a hash join on bins instead
+    * of a broadcast-nested-loop over the full cross product. The 100 TB
+    * shape for every band/interval join: candidates per row are bounded by
+    * bin population, not corpus size.
+    */
+  def rangeNearbyPurchases(spark: SparkSession, dir: String): DataFrame = {
+    val binMicros = 300000000L // 5 minutes
+    val ev = Tables.events(spark, dir)
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("ts"))
+      .withColumn("d", explode(typedlit(Seq(-1L, 0L, 1L))))
+      .withColumn("bin", expr(s"unix_micros(ts) div $binMicros") + col("d"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("ts").as("pts"))
+      .withColumn("bin", expr(s"unix_micros(pts) div $binMicros"))
+    // a purchase occupies exactly one bin, so each (error, purchase) pair
+    // meets through exactly one of the error's three probe bins — no dedup
+    errors.join(purchases, Seq("bin"), "left")
+      .groupBy("event_id")
+      .agg(sum(when(col("pts").isNotNull &&
+          abs(unix_micros(col("ts")) - unix_micros(col("pts"))) <= binMicros,
+        1L).otherwise(0L)).as("n_nearby"))
+      .orderBy("event_id")
+  }
+
   /** Exact percentiles of value per event type (sort-based percentile —
     * the contiguous-interpolation definition both engines share). At
     * 100 TB the approx_percentile sketch replaces this; the exact form is

@@ -68,6 +68,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("get_json_object") && !p.contains("from_json"), p)
   }
 
+  test("range join buckets to an equi-join on bins, not a nested loop") {
+    val p = plan(EventOps.rangeNearbyPurchases(spark, dir))
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("Join"), p) // a real equi-join on the bin key
+  }
+
   test("bucket aggregations: map-side partial agg + whole-stage codegen") {
     val df = EventOps.bucketSum(spark, dir)
     // partial aggregation (map-side combine) before the exchange
