@@ -73,6 +73,8 @@ object SparkEntry {
     "q_minhash_lsh" -> TextOps.minhashLsh _,
     "q_minhash_shingle" -> TextOps.minhashShingle _,
     "q_token_counts" -> TextOps.tokenCounts _,
+    "q_sample_hash" -> TextOps.hashSample _,
+    "q_sample_stratified" -> ((s, d) => TextOps.stratifiedSample(s, d)),
     "q_simhash" -> TextOps.simhash _,
     // training-data pipeline: embeddings
     "q_cosine_topk" -> VectorOps.cosineTopK _,
@@ -288,6 +290,17 @@ object SparkEntry {
         |  len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS ws_tokens,
         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_sample_hash" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE substr(md5(concat(CAST(doc_id AS VARCHAR), ':', text)), 1, 1) = '0'
+        |ORDER BY doc_id""".stripMargin,
+    "q_sample_stratified" ->
+      """SELECT lang, rk, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY md5(concat(CAST(doc_id AS VARCHAR), ':', text)), doc_id) AS rk
+        |  FROM documents) t
+        |WHERE rk <= 20 ORDER BY lang, rk""".stripMargin,
     "q_cosine_topk" ->
       """WITH flat AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
         |                generate_subscripts(embedding, 1) AS i FROM embeddings),

@@ -84,6 +84,35 @@ object TextOps {
         md5(lower(regexp_replace(col("text"), "\\s+", " ")).cast("binary")).as("fp"))
       .orderBy("doc_id")
 
+  /** Deterministic hash-gate sampling (≈1/16): a document is in the sample
+    * iff the first hex digit of md5(doc_id ":" text) is '0'. Reproducible
+    * across engines, runs, and scales — the subsampling primitive for
+    * training-corpus construction (no RNG, no seed coordination; the
+    * predicate is a pure map-side filter, zero shuffle at any scale).
+    */
+  def hashSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+        col("text")).cast("binary")), 1, 1) === "0")
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+
+  /** Deterministic stratified sampling: the first `k` documents per
+    * language in md5-hash order — the quota/mixing primitive for balancing
+    * a training corpus across strata. One shuffle on the stratum key; the
+    * hash order makes the per-stratum pick uniform AND reproducible.
+    */
+  def stratifiedSample(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val key = md5(concat(col("doc_id").cast("string"), lit(":"), col("text"))
+      .cast("binary"))
+    val w = Window.partitionBy("lang").orderBy(key, col("doc_id"))
+    Tables.documents(spark, dir)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select("lang", "rk", "doc_id")
+      .orderBy("lang", "rk")
+  }
+
   /** English stopwords used by the quality / language heuristics. */
   private val stopwords =
     Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "on", "for")
