@@ -242,12 +242,16 @@ object TextOps {
     val numHashes = 16
     val rowsPerBand = 4
     val numBands = numHashes / rowsPerBand
+    // each token hashes to a long ONCE; the 16 minhash functions then hash
+    // the fixed 8-byte value with distinct seeds — constant-size re-hashing
+    // instead of 16 passes over the variable-length token string
     val tok = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(tokenizer(col("text"))).as("tok"))
-    // signature: for each seed i, min over tokens of xxhash64(i ++ tok);
-    // one grouped pass, signature kept as a single array column
+      .select(col("doc_id"), xxhash64(col("tok")).as("th"))
+    // signature: min over tokens of hash_i(th); one grouped pass, signature
+    // kept as a single array column
     val sigCols = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("tok"))).as(s"h$i"))
+      min(xxhash64(lit(i), col("th"))).as(s"h$i"))
     // the sig table (one 16-long array per doc) feeds the band explode AND
     // both verification joins — persist it so the corpus scan + grouped
     // min-hash pass runs once, not three times
