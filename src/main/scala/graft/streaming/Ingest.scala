@@ -151,6 +151,18 @@ object Ingest {
           .otherwise(col("sum_value")).as("value"),
         col("n"))
 
+  /** Streaming exact dedup: the first occurrence of each key survives,
+    * duplicates arriving within the event-time watermark are dropped, and
+    * the dedup state is BOUNDED by that watermark (the unbounded-state
+    * exact variant is the batch `TextOps.dedupExact`). The streaming half
+    * of the training-pipeline dedup family: a continuously ingested corpus
+    * re-sends documents within a bounded delay, not across arbitrary time.
+    */
+  def dedupStream(stream: DataFrame, keyCols: Seq[String],
+      watermark: String, timeCol: String = "time"): DataFrame =
+    stream.withWatermark(timeCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** Start the LTS maintenance stream: 1-minute downsample in update mode
     * every 5 s, upserted into the long-term parquet table per micro-batch.
     */

@@ -104,6 +104,30 @@ class IngestSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming exact dedup: duplicate keys within the watermark collapse") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Metric]
+    val q = Ingest.dedupStream(
+        mem.toDF.withColumnRenamed("metricType", "type"),
+        keyCols = Seq("name", "host"), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("dedup_stream_test")
+      .outputMode("append").start()
+    try {
+      def m(name: String, host: String, s: Int, v: Double) =
+        Metric(ts(f"2024-01-01T00:00:${s}%02dZ"), "gauge", host, name, v, Map())
+      mem.addData(m("a", "h1", 1, 1.0), m("a", "h1", 2, 2.0), m("b", "h1", 3, 3.0))
+      q.processAllAvailable()
+      mem.addData(m("a", "h1", 4, 4.0), m("a", "h2", 5, 5.0))
+      q.processAllAvailable()
+      val out = spark.table("dedup_stream_test")
+        .select("name", "host", "value").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+      // first occurrence per (name, host) only — in-batch and cross-batch
+      // duplicates both collapse; (a, h2) is a distinct key and survives
+      assert(out == Set(("a", "h1", 1.0), ("b", "h1", 3.0), ("a", "h2", 5.0)))
+    } finally q.stop()
+  }
+
   test("bucketed tables join with zero exchange (co-located join)") {
     val dir = Files.createTempDirectory("graft_bkt").toString
     val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
