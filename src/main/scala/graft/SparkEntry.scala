@@ -31,6 +31,7 @@ object SparkEntry {
     graft.operators.TagIndex.ensure(spark, dir)
     graft.operators.VectorOps.cachedLshIndex(spark, dir, maxBucket = 100000)
     graft.operators.VectorOps.trainedCodebook(spark, dir)
+    graft.operators.VectorOps.cachedIvfAssigned(spark, dir)
     graft.operators.VectorOps.cachedQueryVecs(spark, dir)
     ()
   }

@@ -156,6 +156,26 @@ object VectorOps {
       cents.map(_.toSeq).toIndexedSeq
     })
 
+  private val ivfAssignedCache =
+    scala.collection.concurrent.TrieMap[String, DataFrame]()
+
+  /** The corpus with its IVF list assignment, persisted once per dataset —
+    * ingest-time index maintenance, like [[cachedLshIndex]]: the
+    * assignment projection is zero-shuffle either way, but persisting it
+    * saves the 16-dot-per-row argmax re-scan on every search.
+    */
+  private[graft] def cachedIvfAssigned(spark: SparkSession, dir: String): DataFrame =
+    ivfAssignedCache.getOrElseUpdate(fpKey(dir), {
+      val emb = Tables.embeddings(spark, dir)
+        .withColumn("nrm", norm(col("embedding")))
+      val assigned = ivfAssigned(emb, trainedCodebook(spark, dir))
+        .select(col("vec_id").as("nid"), col("embedding").as("ne"),
+          col("nrm").as("nn"), col("cid"))
+        .persist()
+      assigned.count()
+      assigned
+    })
+
   /** ANN via IVF (inverted file index): a spherical-k-means-trained literal
     * codebook ([[trainedCodebook]]), inline argmax assignment
     * ([[ivfAssigned]]), queries probe their `nProbe` nearest lists and are
@@ -181,11 +201,7 @@ object VectorOps {
         .map { case (_, cid) => (qi, cid) }
     }
     val probes = probeRows.toDF("qi", "cid")
-    val emb = Tables.embeddings(spark, dir)
-      .withColumn("nrm", norm(col("embedding")))
-    val assigned = ivfAssigned(emb, codebook)
-      .select(col("vec_id").as("nid"), col("embedding").as("ne"),
-        col("nrm").as("nn"), col("cid"))
+    val assigned = cachedIvfAssigned(spark, dir)
     val qidLit = element_at(typedlit(queries.map(_._1)), col("qi") + 1)
     val qeLit = element_at(typedlit(queries.map(_._2.toSeq)), col("qi") + 1)
     val qnLit = element_at(typedlit(queries.map(_._3)), col("qi") + 1)
