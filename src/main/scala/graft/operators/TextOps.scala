@@ -99,15 +99,27 @@ object TextOps {
 
   /** Deterministic stratified sampling: the first `k` documents per
     * language in md5-hash order — the quota/mixing primitive for balancing
-    * a training corpus across strata. One shuffle on the stratum key; the
-    * hash order makes the per-stratum pick uniform AND reproducible.
+    * a training corpus across strata, reproducible across engines and runs.
+    *
+    * Two-phase top-k: a single stratum column has few distinct values, so
+    * one window over `lang` funnels the whole corpus through #strata
+    * reducers. Instead each input split first takes its LOCAL top-k per
+    * stratum (window over (lang, split) — parallelism = strata × splits),
+    * and the global window then ranks only ≤ k×splits survivors per
+    * stratum. The global top-k of a union of local top-ks is exact.
     */
   def stratifiedSample(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
     val key = md5(concat(col("doc_id").cast("string"), lit(":"), col("text"))
       .cast("binary"))
-    val w = Window.partitionBy("lang").orderBy(key, col("doc_id"))
+    val local = Window.partitionBy("lang", "split")
+      .orderBy(col("key"), col("doc_id"))
+    val global = Window.partitionBy("lang").orderBy(col("key"), col("doc_id"))
     Tables.documents(spark, dir)
-      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("key", key)
+      .withColumn("split", spark_partition_id())
+      .withColumn("lrk", row_number().over(local))
+      .filter(col("lrk") <= k)
+      .withColumn("rk", row_number().over(global).cast("long"))
       .filter(col("rk") <= k)
       .select("lang", "rk", "doc_id")
       .orderBy("lang", "rk")
