@@ -29,6 +29,16 @@ object AsofJoin {
   def asof(left: DataFrame, right: DataFrame, keys: Seq[String],
       timeCol: String): DataFrame = {
     val valueCols = right.columns.filterNot((keys :+ timeCol).contains).toSeq
+    // fail fast with the cause, not an AMBIGUOUS_REFERENCE three operators
+    // downstream: payload names must not collide with left columns, and
+    // the internal carrier names must be free on both sides
+    val collisions = valueCols.intersect(left.columns.toSeq)
+    require(collisions.isEmpty,
+      s"asof: right payload column(s) ${collisions.mkString(", ")} already exist on the left side")
+    val reserved = Seq("__rv", "__left", "__match")
+      .intersect(left.columns.toSeq ++ right.columns.toSeq)
+    require(reserved.isEmpty,
+      s"asof: reserved internal column name(s) in use: ${reserved.mkString(", ")}")
     val rv = struct(valueCols.map(col): _*)
     val r2 = right
       .select((keys :+ timeCol).map(col) :+ rv.as("__rv"): _*)

@@ -52,6 +52,13 @@ object MultimodalOps {
       conv(hex(substring(col(bytesCol), start, n)), 16, 10).cast("long")
     def leInt(start: Int, n: Int): Column =
       conv(concat((start + n - 1 to start by -1).map(byteAt): _*), 16, 10).cast("long")
+    // BMP dims are SIGNED int32 (negative biHeight = top-down row order;
+    // the pixel height is the magnitude)
+    def leSigned(start: Int): Column = {
+      val v = leInt(start, 4)
+      when(v > Int.MaxValue.toLong, v - 4294967296L).otherwise(v)
+    }
+    val len = length(col(bytesCol))
     val magic = hex(substring(col(bytesCol), 1, 8))
     val format = when(magic.startsWith("89504E47"), "png")
       .when(magic.startsWith("47494638"), "gif")
@@ -60,15 +67,17 @@ object MultimodalOps {
       .when(magic.startsWith("52494646"), "riff")
       .when(magic.startsWith("494433"), "mp3")
       .otherwise("unknown")
+    // dims only when the header is long enough to actually contain them —
+    // a truncated file keeps its format but reports null, never garbage
     media.withColumn("format", format)
       .withColumn("hdr_width",
-        when(col("format") === "png", beInt(17, 4))
-          .when(col("format") === "gif", leInt(7, 2))
-          .when(col("format") === "bmp", leInt(19, 4)))
+        when(col("format") === "png" && len >= 24, beInt(17, 4))
+          .when(col("format") === "gif" && len >= 10, leInt(7, 2))
+          .when(col("format") === "bmp" && len >= 26, abs(leSigned(19))))
       .withColumn("hdr_height",
-        when(col("format") === "png", beInt(21, 4))
-          .when(col("format") === "gif", leInt(9, 2))
-          .when(col("format") === "bmp", leInt(23, 4)))
+        when(col("format") === "png" && len >= 24, beInt(21, 4))
+          .when(col("format") === "gif" && len >= 10, leInt(9, 2))
+          .when(col("format") === "bmp" && len >= 26, abs(leSigned(23))))
   }
 
   /** STUB decode: dimensions derived deterministically from the content

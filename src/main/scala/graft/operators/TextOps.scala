@@ -200,7 +200,9 @@ object TextOps {
     val w = Window.partitionBy("gid").orderBy("df", "th")
     // persisted: the candidate self-join consumes this twice, and the
     // subtree above it (explode + document-frequency join + rank window)
-    // is the expensive half of the query
+    // is the expensive half of the query. Like the other intra-query
+    // persists here, lifetime is bounded by block-manager LRU (Spark has
+    // no query-scoped cache release for a lazily returned plan)
     val prefix = gtok.join(df, "th")
       .withColumn("pos", row_number().over(w))
       .filter(col("pos") <= floor((lit(1.0) - threshold) * col("sz")) + 1)

@@ -29,8 +29,15 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   */
 object HttpIngest {
 
+  // strict parse: trailing garbage after the JSON document is a reject,
+  // matching the reference's whole-body decode (forward_server.go:58-63)
   private val mapper = new ObjectMapper()
+    .enable(com.fasterxml.jackson.databind.DeserializationFeature.FAIL_ON_TRAILING_TOKENS)
   private val seq = new AtomicLong()
+  private val client = java.net.http.HttpClient.newHttpClient()
+
+  /** Bodies beyond this are answered 413 without buffering the payload. */
+  val maxBodyBytes: Int = 8 * 1024 * 1024
 
   final class Server private[HttpIngest] (val server: HttpServer, val port: Int) {
     def stop(): Unit = server.stop(0)
@@ -69,18 +76,27 @@ object HttpIngest {
       if (ex.getRequestMethod != "POST") respond(ex, 405, "method not allowed")
       else if (!authorized(ex, keys)) respond(ex, 401, "unauthorized")
       else {
-        val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
-        val json = try { mapper.readTree(body); true } catch { case _: IOException => false }
-        if (!json) respond(ex, 400, "invalid json")
+        // bounded read: never materialize more than the cap + 1 probe byte
+        val raw = ex.getRequestBody.readNBytes(maxBodyBytes + 1)
+        if (raw.length > maxBodyBytes) respond(ex, 413, "payload too large")
         else {
-          // one line per envelope; atomic publish so a streaming reader
-          // never observes a partial file
-          val line = body.replaceAll("[\r\n]", " ") + "\n"
-          val name = f"batch-${System.currentTimeMillis()}%d-${seq.incrementAndGet()}%06d.json"
-          val tmp = Files.createTempFile(spool, ".tmp-", ".part")
-          Files.write(tmp, line.getBytes(StandardCharsets.UTF_8))
-          Files.move(tmp, spool.resolve(name), StandardCopyOption.ATOMIC_MOVE)
-          respond(ex, 204, "")
+          val body = new String(raw, StandardCharsets.UTF_8)
+          // a Batch envelope is a JSON OBJECT; scalars/arrays are rejected
+          // like the reference's struct decode would reject them
+          val json = try {
+            val node = mapper.readTree(body); node != null && node.isObject
+          } catch { case _: IOException => false }
+          if (!json) respond(ex, 400, "invalid json")
+          else {
+            // one line per envelope; atomic publish so a streaming reader
+            // never observes a partial file
+            val line = body.replaceAll("[\r\n]", " ") + "\n"
+            val name = f"batch-${System.currentTimeMillis()}%d-${seq.incrementAndGet()}%06d.json"
+            val tmp = Files.createTempFile(spool, ".tmp-", ".part")
+            Files.write(tmp, line.getBytes(StandardCharsets.UTF_8))
+            Files.move(tmp, spool.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+            respond(ex, 204, "")
+          }
         }
       }
     } catch {
@@ -88,9 +104,11 @@ object HttpIngest {
         try respond(ex, 500, "internal error") catch { case _: Throwable => () }
     }
 
-  /** Agent-side POST (ref: ForwardClient): returns the HTTP status. */
+  /** Agent-side POST (ref: ForwardClient): returns the HTTP status. The
+    * client is shared — one selector/connection pool for the whole agent,
+    * not one per flush.
+    */
   def post(url: String, body: String, auth: Option[String] = None): Int = {
-    val client = java.net.http.HttpClient.newHttpClient()
     val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
       .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
     auth.foreach(a => b.header("Authorization", a))

@@ -96,4 +96,24 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(4L) == (("jpeg", None, None)))
     assert(out(5L) == (("unknown", None, None)))
   }
+
+  test("sniffHeaders: top-down BMP (negative height) and truncated headers") {
+    def le4(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte,
+      (v >>> 16).toByte, (v >>> 24).toByte)
+    // top-down BMP stores height as a NEGATIVE signed int32
+    val topDown = "BM".getBytes ++ le4(1000) ++ le4(0) ++ le4(54) ++ le4(40) ++
+      le4(800) ++ le4(-600)
+    val truncated = "BM".getBytes ++ le4(1000) ++ Array[Byte](0x0A, 0x00)
+    val shortPng = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+    val out = MultimodalOps.sniffHeaders(Seq(
+        (1L, topDown), (2L, truncated), (3L, shortPng)).toDF("media_id", "bytes"))
+      .collect()
+      .map(r => r.getAs[Long]("media_id") ->
+        ((r.getAs[String]("format"),
+          Option(r.getAs[java.lang.Long]("hdr_width")).map(_.toLong),
+          Option(r.getAs[java.lang.Long]("hdr_height")).map(_.toLong)))).toMap
+    assert(out(1L) == (("bmp", Some(800L), Some(600L)))) // |−600|, not 4294966696
+    assert(out(2L) == (("bmp", None, None))) // too short → null, not garbage
+    assert(out(3L) == (("png", None, None)))
+  }
 }

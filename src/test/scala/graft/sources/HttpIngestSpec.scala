@@ -25,6 +25,10 @@ class HttpIngestSpec extends AnyFunSuite {
       assert(HttpIngest.post(url, batch, Some("web-1:wrong")) == 401)
       assert(HttpIngest.post(url, batch, None) == 401)
       assert(HttpIngest.post(url, "not json", Some("web-1:s3cret")) == 400)
+      // strict whole-body decode: trailing garbage and non-object roots
+      // are rejects, like the reference's struct decode
+      assert(HttpIngest.post(url, batch + " trailing", Some("web-1:s3cret")) == 400)
+      assert(HttpIngest.post(url, "123", Some("web-1:s3cret")) == 400)
       // only the accepted batch landed, atomically (no .part files)
       val files = new java.io.File(spool).listFiles.map(_.getName)
       assert(files.length == 1 && files.head.startsWith("batch-"), files.toSeq)
