@@ -47,6 +47,30 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(plan.contains("Window"), plan)
   }
 
+  test("property: asof == naive latest-at-or-before on random data") {
+    val rnd = new scala.util.Random(7)
+    (1 to 5).foreach { round =>
+      // small key/time domains force heavy ties and duplicate timestamps
+      val l = (1 to 60).map(i =>
+        (i.toLong, s"k${rnd.nextInt(4)}", ts(rnd.nextInt(30).toLong)))
+      val r0 = (1 to 40).map(_ =>
+        (s"k${rnd.nextInt(5)}", ts(rnd.nextInt(30).toLong), rnd.nextInt(100).toDouble))
+      // contract: one right row per (key, time)
+      val r = r0.groupBy(t => (t._1, t._2)).map { case ((k, t), vs) =>
+        (k, t, vs.map(_._3).max) }.toSeq
+      val expected = l.map { case (id, k, t) =>
+        val cands = r.filter(x => x._1 == k && !x._2.after(t))
+        id -> (if (cands.isEmpty) None else Some(cands.maxBy(_._2.getTime)._3))
+      }.toMap
+      val got = AsofJoin.asof(
+          l.toDF("id", "k", "t"), r.toDF("k", "t", "v"), Seq("k"), "t")
+        .collect()
+        .map(row => row.getLong(0) ->
+          Option(row.getAs[java.lang.Double]("v")).map(_.toDouble)).toMap
+      assert(got == expected, s"round $round mismatch")
+    }
+  }
+
   test("as-of equals the quadratic range-join definition on events data") {
     val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
     val errors = ev.filter(col("event_type") === "error")
