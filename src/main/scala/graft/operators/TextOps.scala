@@ -129,34 +129,42 @@ object TextOps {
   private val stopwords =
     Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "on", "for")
 
+  /** Per-document stopword count, computed row-wise over the token array. */
+  private def stopCount(toks: Column): Column =
+    size(filter(toks, t => t.isin(stopwords: _*))).cast("long")
+
   /** Quality scoring: stopword ratio + mean token length per document
-    * (length/punct/stopword family). Single explode + hash aggregate.
+    * (length/punct/stopword family). Row-wise array folds on the scan —
+    * per-document ratios need no shuffle at all (the previous
+    * explode + groupBy re-gathered every token through an exchange);
+    * integer counts divide identically, so oracle hashes are unchanged.
     */
-  def qualityScore(spark: SparkSession, dir: String): DataFrame =
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
     Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      .groupBy("doc_id")
-      .agg(
-        (sum(when(col("tok").isin(stopwords: _*), 1).otherwise(0)).cast("double")
-          / count(lit(1))).as("stop_ratio"),
-        (sum(length(col("tok"))).cast("double") / count(lit(1))).as("avg_tok_len"),
-        count(lit(1)).as("n_tokens"))
+      .select(col("doc_id"),
+        (stopCount(toks).cast("double") / size(toks)).as("stop_ratio"),
+        (aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double")
+          / size(toks)).as("avg_tok_len"),
+        size(toks).cast("long").as("n_tokens"))
       .orderBy("doc_id")
+  }
 
   /** Heuristic language ID: docs whose stopword ratio clears a threshold
     * are tagged "en", others "other"; reported against the labeled lang so
-    * the oracle checks the whole confusion matrix.
+    * the oracle checks the whole confusion matrix. Ratio is a row-wise
+    * projection; the only shuffle is the tiny confusion-matrix aggregate.
     */
-  def langIdHeuristic(spark: SparkSession, dir: String): DataFrame =
+  def langIdHeuristic(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
     Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("tok"))
-      .groupBy("doc_id", "lang")
-      .agg((sum(when(col("tok").isin(stopwords: _*), 1).otherwise(0)).cast("double")
-        / count(lit(1))).as("ratio"))
+      .select(col("lang"),
+        (stopCount(toks).cast("double") / size(toks)).as("ratio"))
       .withColumn("lang_guess", when(col("ratio") >= 0.05, "en").otherwise("other"))
       .groupBy("lang", "lang_guess")
       .agg(count(lit(1)).as("n"))
       .orderBy("lang", "lang_guess")
+  }
 
   /** Near-dup by exact token-set Jaccard, computed with AllPairs-style
     * prefix filtering: under any global token order, two sets with
@@ -256,22 +264,22 @@ object TextOps {
     val numHashes = 16
     val rowsPerBand = 4
     val numBands = numHashes / rowsPerBand
-    // each token hashes to a long ONCE; the 16 minhash functions then hash
-    // the fixed 8-byte value with distinct seeds — constant-size re-hashing
-    // instead of 16 passes over the variable-length token string
-    val tok = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(tokenizer(col("text"))).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("th"))
-    // signature: min over tokens of hash_i(th); one grouped pass, signature
-    // kept as a single array column
-    val sigCols = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("th"))).as(s"h$i"))
+    // signatures compute ROW-WISE over the token array: each token hashes
+    // to a long once, the 16 minhash functions re-hash that fixed 8-byte
+    // value with distinct seeds, and array_min folds each — the signature
+    // build is a pure projection on the scan (the previous explode +
+    // groupBy re-gathered ~|corpus tokens| rows through a full shuffle
+    // just to compute per-document minima)
+    val ths = transform(tokenizer(col("text")), t => xxhash64(t))
+    val sigExpr = array((0 until numHashes).map(i =>
+      array_min(transform(col("ths"), x => xxhash64(lit(i), x)))): _*)
     // the sig table (one 16-long array per doc) feeds the band explode AND
-    // both verification joins — persist it so the corpus scan + grouped
-    // min-hash pass runs once, not three times
-    val sig = tok.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
-      .select(col("doc_id"),
-        array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+    // both verification joins — persist it so the corpus scan runs once,
+    // not three times
+    val sig = Tables.documents(spark, dir)
+      .select(col("doc_id"), ths.as("ths"))
+      .filter(size(col("ths")) > 0) // docs with no tokens have no signature
+      .select(col("doc_id"), sigExpr.as("sig"))
       .persist()
     // Near-dup corpora have big clusters of IDENTICAL signatures (exact +
     // near copies); enumerating their pairs through the bucket join makes
