@@ -55,6 +55,7 @@ object SparkEntry {
     "q_asof_purchase" -> EventOps.asofPurchase _,
     "q_range_nearby" -> EventOps.rangeNearbyPurchases _,
     "q_percentiles" -> EventOps.valuePercentiles _,
+    "q_percentiles_approx" -> EventOps.valuePercentilesApprox _,
     "q_rollup" -> EventOps.rollupCounts _,
     "q_pivot_daily" -> EventOps.pivotDaily _,
     // relational parity (ClickHouse-SQL-class capability, SURVEY.md §2.6)

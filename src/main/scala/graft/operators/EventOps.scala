@@ -243,6 +243,20 @@ object EventOps {
         round(expr("percentile(value, 0.99)"), 4).as("p99"))
       .orderBy("event_type")
 
+  /** Sketch percentiles (no SQL oracle — sketch-defined estimates; the
+    * driver rows-checks): constant-memory per group, single map-side
+    * combinable pass — the form that replaces [[valuePercentiles]]' exact
+    * sort-based definition at 100 TB.
+    */
+  def valuePercentilesApprox(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        round(expr("approx_percentile(value, 0.5, 10000)"), 4).as("p50"),
+        round(expr("approx_percentile(value, 0.95, 10000)"), 4).as("p95"),
+        round(expr("approx_percentile(value, 0.99, 10000)"), 4).as("p99"))
+      .orderBy("event_type")
+
   /** Pivot: per-day event-type counts as columns. */
   def pivotDaily(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)

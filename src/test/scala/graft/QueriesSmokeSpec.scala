@@ -25,6 +25,20 @@ class QueriesSmokeSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("approx percentiles track the exact definition (value-level)") {
+    import graft.operators.EventOps
+    def byType(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Double]("p50"), r.getAs[Double]("p95"))).toMap
+    val exact = byType(EventOps.valuePercentiles(spark, "/root/testdata/sf0.01"))
+    val approx = byType(EventOps.valuePercentilesApprox(spark, "/root/testdata/sf0.01"))
+    exact.foreach { case (t, (p50, p95)) =>
+      val (a50, a95) = approx(t)
+      assert(math.abs(a50 - p50) <= math.max(2.0, p50 * 0.05), s"$t p50 $a50 vs $p50")
+      assert(math.abs(a95 - p95) <= math.max(2.0, p95 * 0.05), s"$t p95 $a95 vs $p95")
+    }
+  }
+
   test("every oracleSql key has a matching query") {
     val unknown = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(unknown.isEmpty, s"oracleSql without queries: $unknown")
