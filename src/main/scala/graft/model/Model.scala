@@ -84,10 +84,18 @@ object Schemas {
     StructField("e", StringType), StructField("d", StringType),
     StructField("g", MapType(StringType, StringType))))
 
+  /** Both envelope spellings share the record shapes: the server's
+    * submit-batch uses short keys m/l/e (ref: common/batch.go:3-7), the
+    * agent's /v1/data uses long keys metrics/logs/events
+    * (ref: agent/http.go:36-40). One schema reads either.
+    */
   val wireBatch: StructType = StructType(Seq(
     StructField("m", ArrayType(wireMetric)),
     StructField("l", ArrayType(wireLog)),
-    StructField("e", ArrayType(wireEvent))))
+    StructField("e", ArrayType(wireEvent)),
+    StructField("metrics", ArrayType(wireMetric)),
+    StructField("logs", ArrayType(wireLog)),
+    StructField("events", ArrayType(wireEvent))))
 
   /** Script stdout document (ref: script.go:19-118; FIXTURES.md §B2):
     * singular and plural forms both valid, optional unix-seconds `time`.

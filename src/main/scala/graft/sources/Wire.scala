@@ -48,6 +48,11 @@ object Wire {
     jsonLines.select(from_json(col(column), Schemas.wireBatch).as("b"))
       .filter(col("b").isNotNull)
 
+  // short (server submit-batch) and long (agent /v1/data) key spellings
+  // are both valid envelopes; records under either key parse identically
+  private def records(short: String, long: String): Column =
+    explode(coalesce(col(s"b.$short"), col(s"b.$long")))
+
   /** Metric stream: only `gauge`/`counter` survive — any other type is
     * dropped, the *intended* semantics of the reference's script decode
     * (ref: script.go:29-38 leaves other types nil; we do not replicate the
@@ -55,7 +60,7 @@ object Wire {
     */
   def metrics(jsonLines: DataFrame, column: String = "value"): DataFrame =
     envelope(jsonLines, column)
-      .select(explode(col("b.m")).as("r"))
+      .select(records("m", "metrics").as("r"))
       .select(
         parseTime(col("r.t")).as("time"),
         col("r.m").as("type"),
@@ -69,7 +74,7 @@ object Wire {
   /** Log stream; absent level defaults to "" (ref: common/log.go:21). */
   def logs(jsonLines: DataFrame, column: String = "value"): DataFrame =
     envelope(jsonLines, column)
-      .select(explode(col("b.l")).as("r"))
+      .select(records("l", "logs").as("r"))
       .select(
         parseTime(col("r.t")).as("time"),
         coalesce(col("r.h"), lit("")).as("host"),
@@ -82,7 +87,7 @@ object Wire {
   /** Event stream (ref: common/event.go:8-14). */
   def events(jsonLines: DataFrame, column: String = "value"): DataFrame =
     envelope(jsonLines, column)
-      .select(explode(col("b.e")).as("r"))
+      .select(records("e", "events").as("r"))
       .select(
         parseTime(col("r.t")).as("time"),
         coalesce(col("r.h"), lit("")).as("host"),

@@ -44,6 +44,18 @@ class WireSpec extends AnyFunSuite {
     assert(e.getAs[Map[String, String]]("tags") == Map.empty[String, String])
   }
 
+  test("agent /v1/data long-form envelope keys parse identically (ref agent/http.go:36-40)") {
+    val longForm =
+      """{"metrics":[{"t":"2024-01-01T00:09:58Z","m":"gauge","h":"web-1","n":"load.1","v":0.42}],
+        | "logs":[{"t":"2024-01-01T00:09:58Z","h":"web-1","s":"nginx","l":"error","d":"x"}],
+        | "events":[{"t":"2024-01-01T00:09:58Z","h":"web-1","e":"deploy","d":""}]}"""
+        .stripMargin.replace("\n", "")
+    val df = Seq(longForm).toDF("value")
+    assert(Wire.metrics(df).collect().head.getAs[String]("name") == "load.1")
+    assert(Wire.logs(df).collect().head.getAs[String]("service") == "nginx")
+    assert(Wire.events(df).collect().head.getAs[String]("type") == "deploy")
+  }
+
   test("malformed JSON is dropped without failing the stream") {
     val df = Seq("not json at all", batch).toDF("value")
     assert(Wire.metrics(df).count() == 1)
