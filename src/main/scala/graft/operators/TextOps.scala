@@ -142,6 +142,9 @@ object TextOps {
   def qualityScore(spark: SparkSession, dir: String): DataFrame = {
     val toks = tokens(col("text"))
     Tables.documents(spark, dir)
+      // null text yields no tokens on both engines (the exploded form and
+      // the oracle's unnest both emit nothing) — keep that contract
+      .filter(col("text").isNotNull)
       .select(col("doc_id"),
         (stopCount(toks).cast("double") / size(toks)).as("stop_ratio"),
         (aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double")
@@ -158,6 +161,7 @@ object TextOps {
   def langIdHeuristic(spark: SparkSession, dir: String): DataFrame = {
     val toks = tokens(col("text"))
     Tables.documents(spark, dir)
+      .filter(col("text").isNotNull) // match the oracle's unnest-drops-null
       .select(col("lang"),
         (stopCount(toks).cast("double") / size(toks)).as("ratio"))
       .withColumn("lang_guess", when(col("ratio") >= 0.05, "en").otherwise("other"))

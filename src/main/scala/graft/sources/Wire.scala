@@ -49,9 +49,13 @@ object Wire {
       .filter(col("b").isNotNull)
 
   // short (server submit-batch) and long (agent /v1/data) key spellings
-  // are both valid envelopes; records under either key parse identically
-  private def records(short: String, long: String): Column =
-    explode(coalesce(col(s"b.$short"), col(s"b.$long")))
+  // are both valid envelopes; records under either key parse identically.
+  // TRUE UNION of both keys per envelope — explode of an absent (null)
+  // array emits nothing, so neither spelling can shadow the other when a
+  // producer ever sends both
+  private def records(env: DataFrame, short: String, long: String): DataFrame =
+    env.select(explode(col(s"b.$short")).as("r"))
+      .unionByName(env.select(explode(col(s"b.$long")).as("r")))
 
   /** Metric stream: only `gauge`/`counter` survive — any other type is
     * dropped, the *intended* semantics of the reference's script decode
@@ -59,8 +63,7 @@ object Wire {
     * nil-deref, SURVEY.md §7.4).
     */
   def metrics(jsonLines: DataFrame, column: String = "value"): DataFrame =
-    envelope(jsonLines, column)
-      .select(records("m", "metrics").as("r"))
+    records(envelope(jsonLines, column), "m", "metrics")
       .select(
         parseTime(col("r.t")).as("time"),
         col("r.m").as("type"),
@@ -73,8 +76,7 @@ object Wire {
 
   /** Log stream; absent level defaults to "" (ref: common/log.go:21). */
   def logs(jsonLines: DataFrame, column: String = "value"): DataFrame =
-    envelope(jsonLines, column)
-      .select(records("l", "logs").as("r"))
+    records(envelope(jsonLines, column), "l", "logs")
       .select(
         parseTime(col("r.t")).as("time"),
         coalesce(col("r.h"), lit("")).as("host"),
@@ -86,8 +88,7 @@ object Wire {
 
   /** Event stream (ref: common/event.go:8-14). */
   def events(jsonLines: DataFrame, column: String = "value"): DataFrame =
-    envelope(jsonLines, column)
-      .select(records("e", "events").as("r"))
+    records(envelope(jsonLines, column), "e", "events")
       .select(
         parseTime(col("r.t")).as("time"),
         coalesce(col("r.h"), lit("")).as("host"),

@@ -56,6 +56,16 @@ class WireSpec extends AnyFunSuite {
     assert(Wire.events(df).collect().head.getAs[String]("type") == "deploy")
   }
 
+  test("an envelope carrying both key spellings loses neither set") {
+    val both =
+      """{"m":[{"t":"2024-01-01T00:00:01Z","m":"gauge","h":"a","n":"short.key","v":1}],
+        | "metrics":[{"t":"2024-01-01T00:00:02Z","m":"gauge","h":"a","n":"long.key","v":2}]}"""
+        .stripMargin.replace("\n", "")
+    val names = Wire.metrics(Seq(both).toDF("value"))
+      .collect().map(_.getAs[String]("name")).toSet
+    assert(names == Set("short.key", "long.key"))
+  }
+
   test("malformed JSON is dropped without failing the stream") {
     val df = Seq("not json at all", batch).toDF("value")
     assert(Wire.metrics(df).count() == 1)
