@@ -63,14 +63,16 @@ object TextOps {
         (sum(col("n_tokens")).cast("double") / count(lit(1))).as("avg_tokens"))
       .orderBy("lang")
 
-  /** Exact dedup: group by full text, keep the first doc_id (min) per
-    * group. At scale, group by a 128-bit text hash instead of the full
-    * string to shrink shuffle width — semantics identical (collision-free
-    * in practice).
+  /** Exact dedup: group documents by content, keep the first doc_id (min)
+    * per group. Groups on the 128-bit md5 of the text, not the text
+    * itself, so the exchange moves 16-byte keys instead of whole
+    * documents — at corpus scale the shuffle width IS the cost of exact
+    * dedup. Collision probability is ~n²/2^129 (vanishing); results are
+    * identical to full-text grouping.
     */
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .groupBy("text")
+      .groupBy(md5(col("text").cast("binary")).as("fp"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
       .select("doc_id", "n_copies")
       .orderBy("doc_id")
