@@ -72,6 +72,7 @@ object SparkEntry {
     "q_quality_score" -> TextOps.qualityScore _,
     "q_lang_id" -> TextOps.langIdHeuristic _,
     "q_token_jaccard" -> TextOps.tokenJaccard _,
+    "q_dedup_clusters" -> ((s, d) => TextOps.dedupClusters(s, d)),
     "q_minhash_lsh" -> TextOps.minhashLsh _,
     "q_minhash_shingle" -> TextOps.minhashShingle _,
     "q_token_counts" -> TextOps.tokenCounts _,
@@ -287,6 +288,24 @@ object SparkEntry {
         |FROM pair JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
         |WHERE CAST(common AS DOUBLE)/(sa.sz + sb.sz - common) >= 0.95
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE tok AS (SELECT DISTINCT doc_id, tok FROM
+        |    (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
+        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY 1),
+        |pair AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+        |         FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |         GROUP BY 1, 2),
+        |jp AS (SELECT doc_a, doc_b
+        |       FROM pair JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+        |       WHERE CAST(common AS DOUBLE)/(sa.sz + sb.sz - common) >= 0.95),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM jp UNION SELECT doc_b, doc_a FROM jp),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+        |SELECT d.doc_id, LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS canonical
+        |FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
     "q_token_counts" ->
       """SELECT doc_id,
         |  len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS ws_tokens,

@@ -249,6 +249,66 @@ object TextOps {
     intra.unionByName(inter).orderBy("doc_a", "doc_b")
   }
 
+  /** Dedup clustering — the step that turns a near-dup PAIR list into the
+    * thing a pipeline actually needs: one canonical document per duplicate
+    * cluster. Connected components over the exact-Jaccard pair graph via
+    * iterative min-label propagation: every document starts as its own
+    * label, each round every vertex adopts the minimum label among itself
+    * and its neighbors, repeat to fixpoint. Each round is one distributed
+    * join + aggregate; the driver only coordinates convergence (count of
+    * changed labels — the standard Spark shape for iterative graph
+    * algorithms; near-dup components are dense, so rounds ≈ 2-3, and the
+    * label space is ids, never data). Canonical = min doc_id of the
+    * component; singletons map to themselves.
+    */
+  def dedupClusters(spark: SparkSession, dir: String, maxIters: Int = 20): DataFrame = {
+    val pairs = tokenJaccard(spark, dir).select("doc_a", "doc_b")
+    // localCheckpoint (eager) rather than persist: iterative plans must
+    // TRUNCATE lineage each round, or every iteration re-analyzes a plan
+    // embedding all previous rounds (and the whole pair-join DAG) and
+    // optimizer time grows without bound — the standard Spark iterative-
+    // algorithm trap
+    // hash-partitioned by the per-iteration join key ONCE at build: every
+    // round then reuses the edge partitioning and only the (tiny) label
+    // table shuffles
+    val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst").repartition(col("src")).localCheckpoint(true)
+    // only vertices that touch an edge can ever change labels — in a real
+    // corpus the overwhelming majority of documents are singletons and
+    // never enter the loop at all
+    val touched = edges.select(col("src").as("doc_id")).distinct()
+      .localCheckpoint(true)
+    var labels = touched.withColumn("lbl", col("doc_id")).localCheckpoint(true)
+    var changed = 1L
+    var iters = 0
+    while (changed > 0 && iters < maxIters) {
+      val neighborMin = edges
+        .join(labels.select(col("doc_id").as("src"), col("lbl").as("slbl")), "src")
+        .groupBy(col("dst").as("doc_id")).agg(min("slbl").as("nlbl"))
+      val adopted = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+      // pointer doubling: jump to the label's own label, so chain-shaped
+      // components converge in ~log(diameter) rounds instead of diameter
+      // (measured: 11 rounds → 4 on the sf0.1 corpus)
+      val next = adopted
+        .join(adopted.select(col("doc_id").as("lbl"), col("lbl").as("lbl2")),
+          Seq("lbl"), "left")
+        .select(col("doc_id"), coalesce(col("lbl2"), col("lbl")).as("lbl"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("lbl", "old"), "doc_id")
+        .filter(col("lbl") =!= col("old")).count()
+      labels = next
+      iters += 1
+    }
+    val singletons = Tables.documents(spark, dir).select(col("doc_id"))
+      .join(touched, Seq("doc_id"), "left_anti")
+      .withColumn("canonical", col("doc_id"))
+    labels.select(col("doc_id"), col("lbl").as("canonical"))
+      .unionByName(singletons)
+      .orderBy("doc_id")
+  }
+
   /** MinHash + LSH near-dup candidates (the 100 TB dedup path; no SQL
     * oracle — hash-function-defined output, driver does the rows>0 check).
     *
