@@ -64,15 +64,16 @@ object TextOps {
       .orderBy("lang")
 
   /** Exact dedup: group documents by content, keep the first doc_id (min)
-    * per group. Groups on the 128-bit md5 of the text, not the text
-    * itself, so the exchange moves 16-byte keys instead of whole
-    * documents — at corpus scale the shuffle width IS the cost of exact
-    * dedup. Collision probability is ~n²/2^129 (vanishing); results are
-    * identical to full-text grouping.
+    * per group. Groups on the 128-bit md5 of the text — unhexed back to a
+    * true 16-byte binary key, not the 32-char hex string — so the
+    * exchange moves fixed 16-byte keys instead of whole documents; at
+    * corpus scale the shuffle width IS the cost of exact dedup. Collision
+    * probability is ~n²/2^129 (vanishing); results are identical to
+    * full-text grouping.
     */
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .groupBy(md5(col("text").cast("binary")).as("fp"))
+      .groupBy(unhex(md5(col("text").cast("binary"))).as("fp"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
       .select("doc_id", "n_copies")
       .orderBy("doc_id")
@@ -183,7 +184,13 @@ object TextOps {
     * the result is identical to the naive all-pairs join. This is the
     * 100 TB-safe shape of the exact-dedup join.
     */
-  def tokenJaccard(spark: SparkSession, dir: String): DataFrame = {
+  def tokenJaccard(spark: SparkSession, dir: String): DataFrame =
+    tokenJaccardPairs(spark, dir).orderBy("doc_a", "doc_b")
+
+  /** [[tokenJaccard]] without the presentation sort — consumers that feed
+    * the pair set onward (clustering) skip the global range exchange.
+    */
+  private[operators] def tokenJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.ensureRegistered(spark)
     val threshold = 0.95
     // token sets are carried as 64-bit hashes: set sizes, intersections and
@@ -246,7 +253,7 @@ object TextOps {
       .select(col("ia"), explode(col("ids_b")).as("ib"), col("jaccard"))
       .select(least(col("ia"), col("ib")).as("doc_a"),
         greatest(col("ia"), col("ib")).as("doc_b"), col("jaccard"))
-    intra.unionByName(inter).orderBy("doc_a", "doc_b")
+    intra.unionByName(inter)
   }
 
   /** Dedup clustering — the step that turns a near-dup PAIR list into the
@@ -261,16 +268,26 @@ object TextOps {
     * label space is ids, never data). Canonical = min doc_id of the
     * component; singletons map to themselves.
     */
-  def dedupClusters(spark: SparkSession, dir: String, maxIters: Int = 20): DataFrame = {
-    val pairs = tokenJaccard(spark, dir).select("doc_a", "doc_b")
+  def dedupClusters(spark: SparkSession, dir: String, maxIters: Int = 20): DataFrame =
+    clusterPairs(
+      Tables.documents(spark, dir).select(col("doc_id")),
+      tokenJaccardPairs(spark, dir).select("doc_a", "doc_b"),
+      maxIters)
+
+  /** Core connected-components loop over an explicit (allDocs, pairs)
+    * input — exposed for fixture-level transitivity tests.
+    */
+  private[operators] def clusterPairs(allDocs: DataFrame, pairs: DataFrame,
+      maxIters: Int = 20): DataFrame = {
     // localCheckpoint (eager) rather than persist: iterative plans must
     // TRUNCATE lineage each round, or every iteration re-analyzes a plan
     // embedding all previous rounds (and the whole pair-join DAG) and
     // optimizer time grows without bound — the standard Spark iterative-
-    // algorithm trap
-    // hash-partitioned by the per-iteration join key ONCE at build: every
-    // round then reuses the edge partitioning and only the (tiny) label
-    // table shuffles
+    // algorithm trap. Checkpoint blocks are a few MB total here and are
+    // released by the ContextCleaner once the frames go unreferenced.
+    // Pre-hash-partitioning by src serves the per-round probe join; the
+    // groupBy(dst) re-aggregation still exchanges its (id, label) output
+    // each round — that shuffle IS the propagation step.
     val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst").repartition(col("src")).localCheckpoint(true)
     // only vertices that touch an edge can ever change labels — in a real
@@ -301,7 +318,11 @@ object TextOps {
       labels = next
       iters += 1
     }
-    val singletons = Tables.documents(spark, dir).select(col("doc_id"))
+    // an unconverged result would silently mis-cluster — fail loudly (with
+    // pointer doubling, maxIters=20 covers diameters up to ~2^20)
+    require(changed == 0,
+      s"dedupClusters did not converge within $maxIters iterations")
+    val singletons = allDocs
       .join(touched, Seq("doc_id"), "left_anti")
       .withColumn("canonical", col("doc_id"))
     labels.select(col("doc_id"), col("lbl").as("canonical"))

@@ -109,6 +109,33 @@ class TextQualitySpec extends AnyFunSuite {
     assert(js.forall(_ >= 0.5), s"emitted pair below exact shingle J 0.5: ${js.min}")
   }
 
+  test("dedup clustering: transitivity over chain components + singletons") {
+    // chain 1-2, 2-3 (1 and 3 never directly paired), separate pair 10-11,
+    // singleton 20 — canonical must be the component MINIMUM, transitively
+    val docs = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val out = TextOps.clusterPairs(docs, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
+
+  test("dedup clustering matches exact ground-truth components at sf0.01") {
+    // driver-side union-find over the exact Jaccard truth pairs
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    allPairsJaccard(tokenSets, 0.95).keys.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = tokenSets.keys.map(d => d -> find(d)).toMap
+    val got = TextOps.dedupClusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
   test("simhash candidates: sound (verified d<=8) and pigeonhole-complete (d<=7)") {
     val fps = TextOps.simhashFingerprints(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
