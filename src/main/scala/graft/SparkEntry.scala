@@ -313,13 +313,13 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_sample_hash" ->
       """SELECT doc_id, lang, n_chars FROM documents
-        |WHERE substr(md5(concat(CAST(doc_id AS VARCHAR), ':', text)), 1, 1) = '0'
+        |WHERE substr(md5(concat(CAST(doc_id AS VARCHAR), ':', COALESCE(text, ''))), 1, 1) = '0'
         |ORDER BY doc_id""".stripMargin,
     "q_sample_stratified" ->
       """SELECT lang, rk, doc_id FROM (
         |  SELECT lang, doc_id,
         |    ROW_NUMBER() OVER (PARTITION BY lang
-        |      ORDER BY md5(concat(CAST(doc_id AS VARCHAR), ':', text)), doc_id) AS rk
+        |      ORDER BY md5(concat(CAST(doc_id AS VARCHAR), ':', COALESCE(text, ''))), doc_id) AS rk
         |  FROM documents) t
         |WHERE rk <= 20 ORDER BY lang, rk""".stripMargin,
     "q_cosine_topk" ->

@@ -36,13 +36,22 @@ object Tables {
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Cheap dataset fingerprint (source length ⊕ mtime) for index/cache
-    * invalidation: a regenerated dataset at the same path must never be
-    * served stale derived state (indexes, codebooks, collected queries).
+  /** Cheap dataset fingerprint for index/cache invalidation: a regenerated
+    * dataset at the same path must never be served stale derived state
+    * (indexes, codebooks, collected queries). Folds every part FILE's
+    * (name, length, mtime) — not the directory's own mtime, which only
+    * changes when entries are added/removed/renamed, so an in-place rewrite
+    * of the same part names would otherwise go unnoticed.
     */
   def fingerprint(dir: String, table: String): String = {
-    val f = new java.io.File(s"$dir/$table.parquet")
-    java.lang.Long.toHexString(f.length ^ (f.lastModified() * 31L))
+    val root = new java.io.File(s"$dir/$table.parquet")
+    def fold(f: java.io.File): Long =
+      f.getName.hashCode.toLong * -7046029254386353131L ^
+        f.length ^ (f.lastModified() * 31L) ^
+        (if (f.isDirectory)
+          Option(f.listFiles()).fold(0L)(_.map(fold).foldLeft(0L)(_ ^ _))
+        else 0L)
+    java.lang.Long.toHexString(fold(root))
   }
 
   /** Register every table as a temp view (events with its µs-normalized

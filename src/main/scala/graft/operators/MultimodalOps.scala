@@ -42,7 +42,11 @@ object MultimodalOps {
     *  - PNG: 8-byte signature, IHDR width/height as 4-byte big-endian at
     *    offsets 16/20
     *  - GIF: "GIF8?a", 2-byte little-endian logical-screen dims at 6/8
-    *  - BMP: "BM", 4-byte little-endian dims at 18/22 (BITMAPINFOHEADER)
+    *  - BMP: dims depend on the DIB header variant, discriminated by its
+    *    size field at offset 14: >= 40 (BITMAPINFOHEADER and successors) →
+    *    signed 4-byte little-endian dims at 18/22; == 12 (OS/2
+    *    BITMAPCOREHEADER) → unsigned 2-byte dims at 18/20; anything else →
+    *    null, never a misaligned read
     *  - JPEG/RIFF/MP3: format identified; dims need a marker walk (codec
     *    territory), left null
     */
@@ -67,17 +71,27 @@ object MultimodalOps {
       .when(magic.startsWith("52494646"), "riff")
       .when(magic.startsWith("494433"), "mp3")
       .otherwise("unknown")
+    // BMP's DIB header size field discriminates the layout: >= 40 means
+    // INFOHEADER-family signed 4-byte dims; 12 means the OS/2 COREHEADER's
+    // unsigned 2-byte dims at different widths. An unknown variant reads
+    // as null — reading INFOHEADER offsets against a CORE header would
+    // stripe the parse across width/height/planes and report garbage.
+    val dib = leInt(15, 4)
+    val bmpInfo = col("format") === "bmp" && len >= 26 && dib >= 40
+    val bmpCore = col("format") === "bmp" && len >= 22 && dib === 12
     // dims only when the header is long enough to actually contain them —
     // a truncated file keeps its format but reports null, never garbage
     media.withColumn("format", format)
       .withColumn("hdr_width",
         when(col("format") === "png" && len >= 24, beInt(17, 4))
           .when(col("format") === "gif" && len >= 10, leInt(7, 2))
-          .when(col("format") === "bmp" && len >= 26, abs(leSigned(19))))
+          .when(bmpInfo, abs(leSigned(19)))
+          .when(bmpCore, leInt(19, 2)))
       .withColumn("hdr_height",
         when(col("format") === "png" && len >= 24, beInt(21, 4))
           .when(col("format") === "gif" && len >= 10, leInt(9, 2))
-          .when(col("format") === "bmp" && len >= 26, abs(leSigned(23))))
+          .when(bmpInfo, abs(leSigned(23)))
+          .when(bmpCore, leInt(21, 2)))
   }
 
   /** STUB decode: dimensions derived deterministically from the content

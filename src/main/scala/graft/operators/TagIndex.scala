@@ -42,19 +42,34 @@ object TagIndex {
     * derives `tag_keys`/`tag_values`), plus the hot tag `k` extracted as a
     * typed column and used as the sort key — range predicates prune row
     * groups via min/max, equality via bloom + dictionary.
+    *
+    * Cross-process safety: the `synchronized` only serializes THIS JVM, and
+    * writeTable appends — two JVMs (e.g. Bench and Verify concurrently)
+    * could both pass the _SUCCESS check and double-append. So the build
+    * lands in a unique temp directory and is atomically renamed into place;
+    * the first rename wins and the loser discards its copy.
     */
   def ensure(spark: SparkSession, dir: String): String = this.synchronized {
     val path = indexPath(dir)
     if (!new File(s"$path/_SUCCESS").exists()) {
-      val target = new File(path)
-      if (target.exists()) rmTree(target) // partial previous attempt
+      val tmp = new File(s"$path.tmp-${java.util.UUID.randomUUID()}")
       val ev = Tables.events(spark, dir)
         .withColumn("time", col("ts"))
         .withColumn("tags", from_json(col("props"),
           org.apache.spark.sql.types.DataType.fromDDL("map<string,string>")))
         .select("time", "event_id", "user_id", "event_type", "value", "tags")
-      Ingest.writeTable(ev, path, sortKeys = Seq("k"),
+      Ingest.writeTable(ev, tmp.getPath, sortKeys = Seq("k"),
         derived = Seq("k" -> col("tags").getItem("k").cast("bigint")))
+      val target = new File(path)
+      if (target.exists() && !new File(target, "_SUCCESS").exists()) {
+        rmTree(target) // partial wreckage from a crashed build, never live
+      }
+      if (!tmp.renameTo(target)) {
+        // lost the publish race (or stale dir) — serve the winner's copy
+        require(new File(target, "_SUCCESS").exists(),
+          s"tag index rename to $path failed with no committed index present")
+        rmTree(tmp)
+      }
     }
     path
   }

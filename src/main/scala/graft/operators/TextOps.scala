@@ -87,6 +87,15 @@ object TextOps {
         md5(lower(regexp_replace(col("text"), "\\s+", " ")).cast("binary")).as("fp"))
       .orderBy("doc_id")
 
+  /** The deterministic per-document sampling key: md5(doc_id ":" text).
+    * Null text coalesces to "" — Spark's concat null-propagates while
+    * DuckDB's skips NULL args, so without the coalesce a null-text document
+    * silently drops out of the sample on one engine only.
+    */
+  private def sampleKey: Column =
+    md5(concat(col("doc_id").cast("string"), lit(":"),
+      coalesce(col("text"), lit(""))).cast("binary"))
+
   /** Deterministic hash-gate sampling (≈1/16): a document is in the sample
     * iff the first hex digit of md5(doc_id ":" text) is '0'. Reproducible
     * across engines, runs, and scales — the subsampling primitive for
@@ -95,8 +104,7 @@ object TextOps {
     */
   def hashSample(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .filter(substring(md5(concat(col("doc_id").cast("string"), lit(":"),
-        col("text")).cast("binary")), 1, 1) === "0")
+      .filter(substring(sampleKey, 1, 1) === "0")
       .select("doc_id", "lang", "n_chars")
       .orderBy("doc_id")
 
@@ -112,8 +120,7 @@ object TextOps {
     * stratum. The global top-k of a union of local top-ks is exact.
     */
   def stratifiedSample(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
-    val key = md5(concat(col("doc_id").cast("string"), lit(":"), col("text"))
-      .cast("binary"))
+    val key = sampleKey
     val local = Window.partitionBy("lang", "split")
       .orderBy(col("key"), col("doc_id"))
     val global = Window.partitionBy("lang").orderBy(col("key"), col("doc_id"))

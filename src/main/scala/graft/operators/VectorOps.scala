@@ -294,8 +294,29 @@ object VectorOps {
     */
   // cache keys carry the dataset fingerprint so a regenerated dataset at
   // the same path rebuilds instead of serving stale indexes/vectors
-  private def fpKey(dir: String): String =
-    s"$dir#${Tables.fingerprint(dir, "embeddings")}"
+  private def fpKey(dir: String): String = {
+    val key = s"$dir#${Tables.fingerprint(dir, "embeddings")}"
+    evictStale(dir, key)
+    key
+  }
+
+  /** Unpersist + drop every cache entry for the same dataset PATH under a
+    * superseded fingerprint — without this, each regeneration of a dataset
+    * leaks the old persisted index blocks for the JVM lifetime.
+    */
+  private def evictStale(dir: String, live: String): Unit = {
+    val prefix = s"$dir#"
+    def stale(k: String) = k.startsWith(prefix) && k != live
+    lshIndexCache.filterInPlace { case ((k, _), (df, _)) =>
+      if (stale(k)) df.unpersist(); !stale(k)
+    }
+    ivfAssignedCache.filterInPlace { (k, df) =>
+      if (stale(k)) df.unpersist(); !stale(k)
+    }
+    ivfCodebookCache.filterInPlace((k, _) => !stale(k))
+    queryVecsCache.filterInPlace((k, _) => !stale(k))
+    ()
+  }
 
   private[graft] def cachedQueryVecs(spark: SparkSession,
       dir: String): IndexedSeq[(Long, IndexedSeq[Float], Double)] =

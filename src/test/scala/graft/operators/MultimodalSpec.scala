@@ -116,4 +116,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(2L) == (("bmp", None, None))) // too short → null, not garbage
     assert(out(3L) == (("png", None, None)))
   }
+
+  test("sniffHeaders: BMP DIB variants — OS/2 core header dims, unknown header null") {
+    def le2(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte)
+    def le4(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte,
+      (v >>> 16).toByte, (v >>> 24).toByte)
+    // BITMAPCOREHEADER: 12-byte DIB header, 2-byte unsigned dims at 18/20
+    val core = "BM".getBytes ++ le4(500) ++ le4(0) ++ le4(26) ++ le4(12) ++
+      le2(320) ++ le2(200) ++ le2(1) ++ le2(8)
+    // INFOHEADER offsets read against this layout would stripe across
+    // width/height/planes: leInt(19,4) = 200<<16 | 320 = 13107520 — garbage
+    // a hypothetical 16-byte DIB header: neither layout is known → null dims
+    val odd = "BM".getBytes ++ le4(500) ++ le4(0) ++ le4(30) ++ le4(16) ++
+      le4(640) ++ le4(480)
+    val out = MultimodalOps.sniffHeaders(Seq((1L, core), (2L, odd))
+      .toDF("media_id", "bytes")).collect()
+      .map(r => r.getAs[Long]("media_id") ->
+        ((r.getAs[String]("format"),
+          Option(r.getAs[java.lang.Long]("hdr_width")).map(_.toLong),
+          Option(r.getAs[java.lang.Long]("hdr_height")).map(_.toLong)))).toMap
+    assert(out(1L) == (("bmp", Some(320L), Some(200L))))
+    assert(out(2L) == (("bmp", None, None)))
+  }
 }
