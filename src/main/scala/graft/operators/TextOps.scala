@@ -265,15 +265,8 @@ object TextOps {
 
   /** Dedup clustering — the step that turns a near-dup PAIR list into the
     * thing a pipeline actually needs: one canonical document per duplicate
-    * cluster. Connected components over the exact-Jaccard pair graph via
-    * iterative min-label propagation: every document starts as its own
-    * label, each round every vertex adopts the minimum label among itself
-    * and its neighbors, repeat to fixpoint. Each round is one distributed
-    * join + aggregate; the driver only coordinates convergence (count of
-    * changed labels — the standard Spark shape for iterative graph
-    * algorithms; near-dup components are dense, so rounds ≈ 2-3, and the
-    * label space is ids, never data). Canonical = min doc_id of the
-    * component; singletons map to themselves.
+    * cluster. Connected components over the exact-Jaccard pair graph;
+    * canonical = min doc_id of the component, singletons map to themselves.
     */
   def dedupClusters(spark: SparkSession, dir: String, maxIters: Int = 20): DataFrame =
     clusterPairs(
@@ -281,25 +274,96 @@ object TextOps {
       tokenJaccardPairs(spark, dir).select("doc_a", "doc_b"),
       maxIters)
 
-  /** Core connected-components loop over an explicit (allDocs, pairs)
-    * input — exposed for fixture-level transitivity tests.
+  /** Core connected-components over an explicit (allDocs, pairs) input.
+    *
+    * The strategy mirrors Spark's own broadcast-join threshold: the
+    * near-dup pair graph is orders of magnitude smaller than the corpus by
+    * construction — it is the ANSWER of the near-dup join, not the data —
+    * so when the materialized edge list fits on the driver
+    * (<= driverMaxPairs) components are labeled by a one-pass union-find
+    * there, the same "small side collects" move a broadcast hash join
+    * makes, and the per-round scheduling floor of an iterative distributed
+    * loop (~6 shuffle stages × log(diameter) rounds, regardless of data
+    * volume) never gets paid. Past the threshold — pair graphs with
+    * billions of edges at the 100 TB end — [[distributedMinLabel]] takes
+    * over. Both paths produce identical labels and both are covered by
+    * TextQualitySpec.
     */
   private[operators] def clusterPairs(allDocs: DataFrame, pairs: DataFrame,
-      maxIters: Int = 20): DataFrame = {
-    // localCheckpoint (eager) rather than persist: iterative plans must
-    // TRUNCATE lineage each round, or every iteration re-analyzes a plan
-    // embedding all previous rounds (and the whole pair-join DAG) and
-    // optimizer time grows without bound — the standard Spark iterative-
-    // algorithm trap. Checkpoint blocks are a few MB total here and are
-    // released by the ContextCleaner once the frames go unreferenced.
-    // Pre-hash-partitioning by src serves the per-round probe join; the
+      maxIters: Int = 20, driverMaxPairs: Long = 4L << 20): DataFrame = {
+    // materialized once: the count gates the strategy, and whichever path
+    // runs consumes the same blocks (no pair-join recompute)
+    val upairs = pairs.toDF("doc_a", "doc_b").localCheckpoint(true)
+    val labels =
+      if (upairs.count() <= driverMaxPairs)
+        driverUnionFind(allDocs.sparkSession, upairs)
+      else distributedMinLabel(upairs, maxIters)
+    // only vertices that touch an edge were labeled; in a real corpus the
+    // overwhelming majority of documents are singletons and never enter
+    // the labeling at all (anti-join against the small label set)
+    val singletons = allDocs
+      .join(labels, Seq("doc_id"), "left_anti")
+      .withColumn("canonical", col("doc_id"))
+    labels.select(col("doc_id"), col("lbl").as("canonical"))
+      .unionByName(singletons)
+      .orderBy("doc_id")
+  }
+
+  /** One-pass union-find with path compression over the collected edge
+    * list; labels every touched vertex with its component's minimum
+    * doc_id. Exact and deterministic — identical output to the
+    * distributed loop, at in-memory cost (an edge is two longs).
+    */
+  private def driverUnionFind(spark: SparkSession, upairs: DataFrame): DataFrame = {
+    import scala.collection.mutable
+    val idx = mutable.HashMap.empty[Long, Int]
+    val ids = mutable.ArrayBuffer.empty[Long]
+    val parent = mutable.ArrayBuffer.empty[Int]
+    def node(id: Long): Int =
+      idx.getOrElseUpdate(id, { ids += id; parent += parent.size; parent.size - 1 })
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    upairs.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+      .collect()
+      .foreach { row =>
+        val ra = find(node(row.getLong(0)))
+        val rb = find(node(row.getLong(1)))
+        if (ra != rb) parent(rb) = ra
+      }
+    val minId = mutable.HashMap.empty[Int, Long]
+    ids.indices.foreach { i =>
+      val r = find(i)
+      if (!minId.get(r).exists(_ <= ids(i))) minId(r) = ids(i)
+    }
+    import spark.implicits._
+    ids.indices.map(i => (ids(i), minId(find(i)))).toDF("doc_id", "lbl")
+  }
+
+  /** Distributed fallback: iterative min-label propagation — every vertex
+    * starts as its own label, each round adopts the minimum label among
+    * itself and its neighbors, with pointer doubling (jump to the label's
+    * own label) so chain-shaped components converge in ~log(diameter)
+    * rounds instead of diameter. Each round is distributed joins + an
+    * aggregate; the driver only coordinates convergence.
+    *
+    * localCheckpoint (eager) rather than persist: iterative plans must
+    * TRUNCATE lineage each round, or every iteration re-analyzes a plan
+    * embedding all previous rounds and optimizer time grows without
+    * bound — the standard Spark iterative-algorithm trap. Checkpoint
+    * blocks are released by the ContextCleaner once unreferenced.
+    */
+  private def distributedMinLabel(upairs: DataFrame, maxIters: Int): DataFrame = {
+    // pre-hash-partitioning by src serves the per-round probe join; the
     // groupBy(dst) re-aggregation still exchanges its (id, label) output
-    // each round — that shuffle IS the propagation step.
-    val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
-      .toDF("src", "dst").repartition(col("src")).localCheckpoint(true)
-    // only vertices that touch an edge can ever change labels — in a real
-    // corpus the overwhelming majority of documents are singletons and
-    // never enter the loop at all
+    // each round — that shuffle IS the propagation step
+    val edges = upairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(upairs.select(col("doc_b"), col("doc_a")))
+      .repartition(col("src")).localCheckpoint(true)
     val touched = edges.select(col("src").as("doc_id")).distinct()
       .localCheckpoint(true)
     var labels = touched.withColumn("lbl", col("doc_id")).localCheckpoint(true)
@@ -309,32 +373,27 @@ object TextOps {
       val neighborMin = edges
         .join(labels.select(col("doc_id").as("src"), col("lbl").as("slbl")), "src")
         .groupBy(col("dst").as("doc_id")).agg(min("slbl").as("nlbl"))
-      val adopted = labels.join(neighborMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-      // pointer doubling: jump to the label's own label, so chain-shaped
-      // components converge in ~log(diameter) rounds instead of diameter
-      // (measured: 11 rounds → 4 on the sf0.1 corpus)
+      val adopted = labels.select(col("doc_id"), col("lbl").as("old"))
+        .join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("old"),
+          least(col("old"), coalesce(col("nlbl"), col("old"))).as("lbl"))
       val next = adopted
         .join(adopted.select(col("doc_id").as("lbl"), col("lbl").as("lbl2")),
           Seq("lbl"), "left")
-        .select(col("doc_id"), coalesce(col("lbl2"), col("lbl")).as("lbl"))
+        .select(col("doc_id"), col("old"), coalesce(col("lbl2"), col("lbl")).as("lbl"))
         .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("lbl", "old"), "doc_id")
-        .filter(col("lbl") =!= col("old")).count()
-      labels = next
+      // the old label rides along the checkpointed round output, so the
+      // convergence count is a scan of the just-materialized blocks — no
+      // extra join against the previous labels
+      changed = next.filter(col("lbl") =!= col("old")).count()
+      labels = next.select("doc_id", "lbl")
       iters += 1
     }
     // an unconverged result would silently mis-cluster — fail loudly (with
     // pointer doubling, maxIters=20 covers diameters up to ~2^20)
     require(changed == 0,
       s"dedupClusters did not converge within $maxIters iterations")
-    val singletons = allDocs
-      .join(touched, Seq("doc_id"), "left_anti")
-      .withColumn("canonical", col("doc_id"))
-    labels.select(col("doc_id"), col("lbl").as("canonical"))
-      .unionByName(singletons)
-      .orderBy("doc_id")
+    labels
   }
 
   /** MinHash + LSH near-dup candidates (the 100 TB dedup path; no SQL

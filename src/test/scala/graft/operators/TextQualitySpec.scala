@@ -111,12 +111,17 @@ class TextQualitySpec extends AnyFunSuite {
 
   test("dedup clustering: transitivity over chain components + singletons") {
     // chain 1-2, 2-3 (1 and 3 never directly paired), separate pair 10-11,
-    // singleton 20 — canonical must be the component MINIMUM, transitively
+    // singleton 20 — canonical must be the component MINIMUM, transitively.
+    // Both labeling strategies must agree: the driver union-find fast path
+    // (default) and the distributed min-label loop (forced via threshold 0).
     val docs = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("doc_id")
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
-    val out = TextOps.clusterPairs(docs, pairs).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 20L -> 20L))
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 20L -> 20L)
+    for (threshold <- Seq(Long.MaxValue, 0L)) {
+      val out = TextOps.clusterPairs(docs, pairs, driverMaxPairs = threshold)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(out == expected, s"driverMaxPairs=$threshold")
+    }
   }
 
   test("dedup clustering matches exact ground-truth components at sf0.01") {
@@ -134,6 +139,14 @@ class TextQualitySpec extends AnyFunSuite {
     val got = TextOps.dedupClusters(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == expected)
+    // the distributed min-label fallback must produce the same components
+    // over the same real pair graph (threshold 0 forces it)
+    val gotDistributed = TextOps.clusterPairs(
+      graft.Tables.documents(spark, dir).select(org.apache.spark.sql.functions.col("doc_id")),
+      TextOps.tokenJaccardPairs(spark, dir).select("doc_a", "doc_b"),
+      driverMaxPairs = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotDistributed == expected)
   }
 
   test("simhash candidates: sound (verified d<=8) and pigeonhole-complete (d<=7)") {
