@@ -72,6 +72,7 @@ object SparkEntry {
     "q_quality_score" -> TextOps.qualityScore _,
     "q_lang_id" -> TextOps.langIdHeuristic _,
     "q_token_jaccard" -> TextOps.tokenJaccard _,
+    "q_ngram_jaccard" -> TextOps.ngramJaccard _,
     "q_dedup_clusters" -> ((s, d) => TextOps.dedupClusters(s, d)),
     "q_minhash_lsh" -> TextOps.minhashLsh _,
     "q_minhash_shingle" -> TextOps.minhashShingle _,
@@ -287,6 +288,21 @@ object SparkEntry {
         |  CAST(common AS DOUBLE)/(sa.sz + sb.sz - common) AS jaccard
         |FROM pair JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
         |WHERE CAST(common AS DOUBLE)/(sa.sz + sb.sz - common) >= 0.95
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_ngram_jaccard" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |              FROM documents WHERE text IS NOT NULL),
+        |sh AS (SELECT DISTINCT doc_id, sh FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, greatest(len(tk)-2, 1)+1),
+        |      i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS sh FROM toks)),
+        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+        |pair AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+        |         FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |         GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  CAST(common AS DOUBLE)/(sa.sz + sb.sz - common) AS jaccard
+        |FROM pair JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+        |WHERE CAST(common AS DOUBLE)/(sa.sz + sb.sz - common) >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin,
     "q_dedup_clusters" ->
       """WITH RECURSIVE tok AS (SELECT DISTINCT doc_id, tok FROM

@@ -197,20 +197,45 @@ object TextOps {
   /** [[tokenJaccard]] without the presentation sort — consumers that feed
     * the pair set onward (clustering) skip the global range exchange.
     */
-  private[operators] def tokenJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def tokenJaccardPairs(spark: SparkSession, dir: String): DataFrame =
+    jaccardPairs(spark, docHashSets(spark, dir,
+      t => array_distinct(transform(tokens(t), x => xxhash64(x)))), 0.95)
+
+  /** Exact near-dup by word-3-gram shingle Jaccard — the n-gram member of
+    * the dedup family ([[tokenJaccard]] is its unigram edge case). Same
+    * AllPairs prefix-filtered join; shingle sets preserve local word order,
+    * so reordered-but-same-vocabulary documents stop colliding. Threshold
+    * is lower (0.8) because shingle overlap decays faster than token
+    * overlap under small edits.
+    */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    jaccardPairs(spark, docHashSets(spark, dir, t => shingles(t, 3)), 0.8)
+      .orderBy("doc_a", "doc_b")
+
+  /** Per-document sorted distinct element-hash sets, built ROW-WISE on the
+    * scan — a pure projection; the old explode + groupBy(collect_list)
+    * re-gathered every token of the corpus through a full shuffle just to
+    * rebuild per-document arrays the scan already had. Sets are 64-bit
+    * hashes: sizes, intersections and the global frequency order are all
+    * preserved modulo xxhash64 collisions (~|doc|^2/2^65 per pair —
+    * vanishing), and every downstream compare is a long compare instead of
+    * a UTF8 string compare. Docs with no elements (null text) are excluded,
+    * matching the exploded form's semantics.
+    */
+  private def docHashSets(spark: SparkSession, dir: String,
+      setOf: Column => Column): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), sort_array(setOf(col("text"))).as("toks"))
+      .filter(size(col("toks")) > 0)
+
+  /** AllPairs-style prefix-filtered exact Jaccard over (doc_id, toks)
+    * sorted-hash-set rows — shared engine of [[tokenJaccard]] and
+    * [[ngramJaccard]].
+    */
+  private def jaccardPairs(spark: SparkSession, docs0: DataFrame,
+      threshold: Double): DataFrame = {
     graft.functions.VectorFunctions.ensureRegistered(spark)
-    val threshold = 0.95
-    // token sets are carried as 64-bit hashes: set sizes, intersections and
-    // the global frequency order are all preserved modulo xxhash64 collisions
-    // (~|doc|^2/2^65 per pair — vanishing), and every downstream compare is
-    // a long compare instead of a UTF8 string compare
-    val tok = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("th"))
-    // per-doc distinct-token-hash set (ASCENDING — the verify step is a
-    // native merge-intersect over sorted arrays) + size, one row per doc
-    val docs = tok.groupBy("doc_id")
-      .agg(sort_array(collect_list(col("th"))).as("toks"), count(lit(1)).as("sz"))
+    val docs = docs0.withColumn("sz", size(col("toks")).cast("long"))
     // collapse identical token SETS: docs sharing a set are pairwise J=1
     // and need no verification; the prefix join and verify both run over
     // distinct sets only (same dedup-before-join move as minhashLsh)
