@@ -83,6 +83,8 @@ object SparkEntry {
     // training-data pipeline: embeddings
     "q_cosine_topk" -> VectorOps.cosineTopK _,
     "q_embed_near_dup" -> VectorOps.embeddingNearDup _,
+    "q_embed_clusters" -> VectorOps.embedClusters _,
+    "q_corpus_build" -> TextOps.corpusBuild _,
     "q_ann_lsh" -> ((s, d) => VectorOps.annLsh(s, d)),
     "q_ann_ivf" -> ((s, d) => VectorOps.annIvf(s, d)),
     // training-data pipeline: multimodal plumbing (stubbed decode; rows-only)
@@ -289,6 +291,56 @@ object SparkEntry {
         |FROM pair JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
         |WHERE CAST(common AS DOUBLE)/(sa.sz + sb.sz - common) >= 0.95
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_embed_clusters" ->
+      """WITH RECURSIVE flat AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |                generate_subscripts(embedding, 1) AS i FROM embeddings),
+        |nrm AS (SELECT vec_id, sqrt(SUM(x*x)) AS nrm FROM flat GROUP BY 1),
+        |cand AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |         FROM embeddings a JOIN embeddings b
+        |         ON a.label = b.label AND a.vec_id < b.vec_id),
+        |dotp AS (SELECT p.vec_a, p.vec_b, SUM(fa.x*fb.x) AS dp
+        |         FROM cand p JOIN flat fa ON fa.vec_id = p.vec_a
+        |         JOIN flat fb ON fb.vec_id = p.vec_b AND fb.i = fa.i
+        |         GROUP BY 1, 2),
+        |jp AS (SELECT vec_a, vec_b FROM dotp
+        |       JOIN nrm na ON na.vec_id = vec_a JOIN nrm nb ON nb.vec_id = vec_b
+        |       WHERE ROUND(dp/(na.nrm*nb.nrm), 4) >= 0.35),
+        |edges AS (SELECT vec_a AS a, vec_b AS b FROM jp UNION SELECT vec_b, vec_a FROM jp),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+        |SELECT v.vec_id, LEAST(v.vec_id, COALESCE(MIN(r.b), v.vec_id)) AS canonical
+        |FROM embeddings v LEFT JOIN reach r ON r.a = v.vec_id
+        |GROUP BY v.vec_id ORDER BY v.vec_id""".stripMargin,
+    "q_corpus_build" ->
+      """WITH RECURSIVE tok AS (SELECT DISTINCT doc_id, tok FROM
+        |    (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
+        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY 1),
+        |pair AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+        |         FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |         GROUP BY 1, 2),
+        |jp AS (SELECT doc_a, doc_b
+        |       FROM pair JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+        |       WHERE CAST(common AS DOUBLE)/(sa.sz + sb.sz - common) >= 0.95),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM jp UNION SELECT doc_b, doc_a FROM jp),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |canon AS (SELECT d.doc_id, LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS canonical
+        |          FROM documents d LEFT JOIN reach r ON r.a = d.doc_id GROUP BY d.doc_id),
+        |stats AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+        |            CAST(list_sum(list_transform(string_split(text, ' '),
+        |              t -> length(t))) AS DOUBLE) / len(string_split(text, ' ')) AS avg_tok_len
+        |          FROM documents WHERE text IS NOT NULL)
+        |SELECT d.doc_id, d.lang, d.n_chars
+        |FROM documents d
+        |JOIN canon c ON c.doc_id = d.doc_id AND c.doc_id = c.canonical
+        |JOIN stats s ON s.doc_id = d.doc_id
+        |WHERE s.n_tokens >= 10 AND s.avg_tok_len BETWEEN 3.0 AND 15.0
+        |  AND substring(md5(concat(d.doc_id, ':', COALESCE(d.text, ''))), 1, 1) < '8'
+        |ORDER BY d.doc_id""".stripMargin,
     "q_ngram_jaccard" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk
         |              FROM documents WHERE text IS NOT NULL),

@@ -316,13 +316,7 @@ object TextOps {
     */
   private[operators] def clusterPairs(allDocs: DataFrame, pairs: DataFrame,
       maxIters: Int = 20, driverMaxPairs: Long = 4L << 20): DataFrame = {
-    // materialized once: the count gates the strategy, and whichever path
-    // runs consumes the same blocks (no pair-join recompute)
-    val upairs = pairs.toDF("doc_a", "doc_b").localCheckpoint(true)
-    val labels =
-      if (upairs.count() <= driverMaxPairs)
-        driverUnionFind(allDocs.sparkSession, upairs)
-      else distributedMinLabel(upairs, maxIters)
+    val labels = componentLabels(pairs, maxIters, driverMaxPairs)
     // only vertices that touch an edge were labeled; in a real corpus the
     // overwhelming majority of documents are singletons and never enter
     // the labeling at all (anti-join against the small label set)
@@ -332,6 +326,20 @@ object TextOps {
     labels.select(col("doc_id"), col("lbl").as("canonical"))
       .unionByName(singletons)
       .orderBy("doc_id")
+  }
+
+  /** Component labels (doc_id, lbl = component-minimum id) for TOUCHED
+    * vertices only — consumers that need just the duplicate set (e.g. a
+    * drop-list anti-join) skip the full-corpus singleton union.
+    */
+  private[operators] def componentLabels(pairs: DataFrame,
+      maxIters: Int = 20, driverMaxPairs: Long = 4L << 20): DataFrame = {
+    // materialized once: the count gates the strategy, and whichever path
+    // runs consumes the same blocks (no pair-join recompute)
+    val upairs = pairs.toDF("doc_a", "doc_b").localCheckpoint(true)
+    if (upairs.count() <= driverMaxPairs)
+      driverUnionFind(upairs.sparkSession, upairs)
+    else distributedMinLabel(upairs, maxIters)
   }
 
   /** One-pass union-find with path compression over the collected edge
@@ -419,6 +427,42 @@ object TextOps {
     require(changed == 0,
       s"dedupClusters did not converge within $maxIters iterations")
     labels
+  }
+
+  /** The end-to-end corpus-construction flagship: dedup → quality gate →
+    * deterministic subsample, composed from the engine's own operators the
+    * way a training-data pipeline chains them:
+    *  1. cluster exact near-dups and DROP every non-canonical member — the
+    *     drop list is only the duplicate set (never the corpus), and the
+    *     anti-join shuffles on doc_id (AQE turns it into a broadcast when
+    *     the list is small; at web-corpus dup rates it legitimately isn't,
+    *     so no broadcast is forced);
+    *  2. quality-gate survivors: >= 10 tokens and mean token length in
+    *     [3, 15] (the length/ratio family of [[qualityScore]]), computed
+    *     row-wise on the scan;
+    *  3. hash-gate to ~50% with the deterministic md5 sampling key
+    *     (reproducible across engines, runs and scales — first hex digit
+    *     in 0-7).
+    * Emits the manifest (doc_id, lang, n_chars) a downstream trainer
+    * consumes.
+    */
+  def corpusBuild(spark: SparkSession, dir: String): DataFrame = {
+    val drop = componentLabels(tokenJaccardPairs(spark, dir).select("doc_a", "doc_b"))
+      .filter(col("lbl") =!= col("doc_id"))
+      .select("doc_id")
+    val toks = tokens(col("text"))
+    Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .join(drop, Seq("doc_id"), "left_anti")
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("avg_tok_len",
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double")
+          / size(toks))
+      .filter(col("n_tokens") >= 10 &&
+        col("avg_tok_len") >= 3.0 && col("avg_tok_len") <= 15.0)
+      .filter(substring(sampleKey, 1, 1) < "8")
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
   }
 
   /** MinHash + LSH near-dup candidates (the 100 TB dedup path; no SQL

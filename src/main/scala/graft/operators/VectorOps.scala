@@ -56,7 +56,13 @@ object VectorOps {
     * to same-label blocks (blocking keeps the self-join linear-ish; the
     * unblocked exact variant is [[cosineTopK]]'s machinery).
     */
-  def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+  def embeddingNearDup(spark: SparkSession, dir: String): DataFrame =
+    embedNearDupPairs(spark, dir).orderBy("vec_a", "vec_b")
+
+  /** [[embeddingNearDup]] without the presentation sort — consumers that
+    * feed the pair set onward (clustering) skip the global range exchange.
+    */
+  private[operators] def embedNearDupPairs(spark: SparkSession, dir: String): DataFrame = {
     VectorFunctions.ensureRegistered(spark)
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"), col("label"))
@@ -68,8 +74,20 @@ object VectorOps {
           (col("a.nrm") * col("b.nrm")), 4))
       .filter(col("cosine") >= 0.35)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cosine"))
-      .orderBy("vec_a", "vec_b")
   }
+
+  /** Embedding dedup clustering: connected components over the cosine
+    * near-dup pair graph — one canonical vector per near-duplicate cluster
+    * (component-minimum vec_id), singletons map to themselves. Shares
+    * [[TextOps.clusterPairs]]: driver union-find while the pair list fits
+    * under the broadcast-style threshold, distributed min-label
+    * propagation past it.
+    */
+  def embedClusters(spark: SparkSession, dir: String): DataFrame =
+    TextOps.clusterPairs(
+      Tables.embeddings(spark, dir).select(col("vec_id").as("doc_id")),
+      embedNearDupPairs(spark, dir).select("vec_a", "vec_b"))
+      .select(col("doc_id").as("vec_id"), col("canonical"))
 
   /** Deterministic pseudo-random directions in [-0.5, 0.5)^dim. Generated
     * once at plan-build time with a fixed-seed `java.util.Random` (the LCG
