@@ -481,20 +481,32 @@ object TextOps {
   def minhashShingle(spark: SparkSession, dir: String): DataFrame =
     minhashLshOver(spark, dir, t => shingles(t, 3))
 
+  private[graft] val minhashNumHashes = 16
+  private[graft] val minhashRowsPerBand = 4
+  private[graft] val minhashNumBands = minhashNumHashes / minhashRowsPerBand
+
+  /** The 16-long minhash signature from a token-hash array column —
+    * computes ROW-WISE: each token hashes to a long once, the 16 minhash
+    * functions re-hash that fixed 8-byte value with distinct seeds, and
+    * array_min folds each. A pure projection on the scan; shared by the
+    * batch LSH queries and the streaming dedup stage.
+    */
+  private[graft] def minhashSig(ths: Column): Column =
+    array((0 until minhashNumHashes).map(i =>
+      array_min(transform(ths, x => xxhash64(lit(i), x)))): _*)
+
+  /** Per-band bucket hashes (array of numBands ints) from a signature. */
+  private[graft] def minhashBandHashes(sig: Column): Column =
+    array((0 until minhashNumBands).map { b =>
+      hash((b * minhashRowsPerBand until (b + 1) * minhashRowsPerBand)
+        .map(i => sig.getItem(i)): _*)
+    }: _*)
+
   private def minhashLshOver(spark: SparkSession, dir: String,
       tokenizer: Column => Column): DataFrame = {
-    val numHashes = 16
-    val rowsPerBand = 4
-    val numBands = numHashes / rowsPerBand
-    // signatures compute ROW-WISE over the token array: each token hashes
-    // to a long once, the 16 minhash functions re-hash that fixed 8-byte
-    // value with distinct seeds, and array_min folds each — the signature
-    // build is a pure projection on the scan (the previous explode +
-    // groupBy re-gathered ~|corpus tokens| rows through a full shuffle
-    // just to compute per-document minima)
+    val numHashes = minhashNumHashes
     val ths = transform(tokenizer(col("text")), t => xxhash64(t))
-    val sigExpr = array((0 until numHashes).map(i =>
-      array_min(transform(col("ths"), x => xxhash64(lit(i), x)))): _*)
+    val sigExpr = minhashSig(col("ths"))
     // the sig table (one 16-long array per doc) feeds the band explode AND
     // both verification joins — persist it so the corpus scan runs once,
     // not three times
@@ -519,11 +531,8 @@ object TextOps {
       .filter(col("doc_a") < col("doc_b"))
       .withColumn("est_jaccard", lit(1.0))
     // inter-group: band-bucket join over distinct signatures only
-    val bandHashes = array((0 until numBands).map { b =>
-      hash((b * rowsPerBand until (b + 1) * rowsPerBand)
-        .map(i => col("sig").getItem(i)): _*)
-    }: _*)
-    val bands = groups.select(col("gid"), posexplode(bandHashes).as(Seq("band", "bucket")))
+    val bands = groups.select(col("gid"),
+      posexplode(minhashBandHashes(col("sig"))).as(Seq("band", "bucket")))
     val gpairs = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.gid") < col("b.gid"))

@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.operators.TextOps
+
+/** Streaming NEAR-dup dedup — the streaming half of the minhash-LSH family
+  * (the exact half is `Ingest.dedupStream`'s
+  * dropDuplicatesWithinWatermark): every arriving document is checked
+  * against the documents already seen in any of its LSH band buckets, and
+  * near-duplicate hits (minhash signature agreement >= threshold) are
+  * emitted as they happen. This is the shape a continuously ingested
+  * training corpus needs — flag near-copies of already-accepted documents
+  * at ingest time, instead of re-running batch dedup over the full corpus.
+  *
+  * Spark-first shape: the signature + band projection is pure row-wise
+  * column work (no shuffle before the stateful stage); the only state is
+  * `flatMapGroupsWithState` keyed by (band, bucket) holding the bucket's
+  * seen (doc_id, signature) list. Emitted pairs for a fully-drained stream
+  * equal the batch [[TextOps.minhashLsh]] candidate set — a pair collides
+  * in >= 1 band and passes the same signature-agreement cut in both — and
+  * StreamDedupSpec asserts that equivalence, including across micro-batch
+  * boundaries.
+  *
+  * 100 TB posture: state is per-bucket and bounded by `maxPerBucket`
+  * (4096-bucket band space × bounded lists — hot buckets degrade recall,
+  * never memory); a real deployment additionally ages state out with an
+  * event-time TTL the way all streaming state here is watermark-bounded.
+  */
+object StreamDedup {
+
+  final case class BandedDoc(docId: Long, band: Int, bucket: Int, sig: Seq[Long])
+  final case class DupHit(doc_a: Long, doc_b: Long, est_jaccard: Double)
+  final case class BucketState(docs: List[(Long, Seq[Long])])
+
+  /** Row-wise projection of a streaming (doc_id, text) frame to one row
+    * per (document, band): signature + band bucket, no shuffle.
+    */
+  def banded(docs: DataFrame): DataFrame = {
+    val ths = transform(split(col("text"), " "), t => xxhash64(t))
+    docs
+      .select(col("doc_id").as("docId"), ths.as("ths"))
+      .filter(size(col("ths")) > 0) // null-text docs have no signature
+      .select(col("docId"), TextOps.minhashSig(col("ths")).as("sig"))
+      .select(col("docId"), col("sig"),
+        posexplode(TextOps.minhashBandHashes(col("sig"))).as(Seq("band", "bucket")))
+  }
+
+  /** Near-dup hits against everything previously seen in the stream.
+    * A pair colliding in several bands emits once per band — downstream
+    * consumers `dropDuplicates(doc_a, doc_b)` exactly like the batch path
+    * does after its band join.
+    */
+  def candidates(docs: DataFrame, threshold: Double = 0.9,
+      maxPerBucket: Int = 256): Dataset[DupHit] = {
+    implicit val hitEnc = Encoders.product[DupHit]
+    implicit val keyEnc = Encoders.product[(Int, Int)]
+    implicit val rowEnc = Encoders.product[BandedDoc]
+    implicit val stateEnc = Encoders.product[BucketState]
+    banded(docs)
+      .select(col("docId"), col("band"), col("bucket"), col("sig"))
+      .as[BandedDoc]
+      .groupByKey(r => (r.band, r.bucket))
+      .flatMapGroupsWithState[BucketState, DupHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, it, state: GroupState[BucketState]) =>
+          var seen = state.getOption.map(_.docs).getOrElse(Nil)
+          val out = scala.collection.mutable.ArrayBuffer.empty[DupHit]
+          // doc-id order within the micro-batch, so results don't depend
+          // on task-internal row order
+          it.toSeq.sortBy(_.docId).foreach { r =>
+            seen.foreach { case (id, sig) =>
+              if (id != r.docId) {
+                val agree = sig.iterator.zip(r.sig.iterator)
+                  .count { case (x, y) => x == y }
+                val est = agree.toDouble / sig.size
+                if (est >= threshold)
+                  out += DupHit(math.min(id, r.docId), math.max(id, r.docId), est)
+              }
+            }
+            if (seen.size < maxPerBucket && !seen.exists(_._1 == r.docId))
+              seen = (r.docId, r.sig) :: seen
+          }
+          state.update(BucketState(seen))
+          out.iterator
+      }
+  }
+}
