@@ -80,6 +80,7 @@ object SparkEntry {
     "q_sample_hash" -> TextOps.hashSample _,
     "q_sample_stratified" -> ((s, d) => TextOps.stratifiedSample(s, d)),
     "q_simhash" -> TextOps.simhash _,
+    "q_minhash_profile" -> TextOps.minhashProfile _,
     // training-data pipeline: embeddings
     "q_cosine_topk" -> VectorOps.cosineTopK _,
     "q_embed_near_dup" -> VectorOps.embeddingNearDup _,

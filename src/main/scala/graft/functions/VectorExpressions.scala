@@ -174,6 +174,15 @@ object VectorFunctions {
         s"$intersectName expects 2 arguments, got ${other.size}")
   }
 
+  val minhashName = "minhash_agg"
+
+  private val minhashBuilder: Seq[Expression] => Expression = {
+    case Seq(a) => MinHashAgg(a)
+    case other =>
+      throw new IllegalArgumentException(
+        s"$minhashName expects 1 argument, got ${other.size}")
+  }
+
   /** Idempotently register on an existing session (the driver hands us its
     * own `SparkSession`, so extension-based injection alone isn't enough).
     */
@@ -182,6 +191,8 @@ object VectorFunctions {
       dotName, dotBuilder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       intersectName, intersectBuilder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      minhashName, minhashBuilder, "scala_udf")
   }
 
   /** Column API: `dot(a, b)` once [[ensureRegistered]] has run. */
@@ -190,6 +201,9 @@ object VectorFunctions {
   /** Column API: intersection size of two sorted `array<bigint>` columns. */
   def sortedIntersectCount(a: Column, b: Column): Column =
     call_function(intersectName, a, b)
+
+  /** Column API: group-level minhash signature over a `bigint` hash column. */
+  def minhashAgg(c: Column): Column = call_function(minhashName, c)
 }
 
 /** `SparkSessionExtensions` hook: `.withExtensions(new GraftExtensions)` or
@@ -208,5 +222,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[SortedIntersectCount].getName, null,
           VectorFunctions.intersectName),
         (exprs: Seq[Expression]) => SortedIntersectCount(exprs(0), exprs(1))))
+    ext.injectFunction(
+      (FunctionIdentifier(VectorFunctions.minhashName),
+        new ExpressionInfo(classOf[MinHashAgg].getName, null,
+          VectorFunctions.minhashName),
+        (exprs: Seq[Expression]) => MinHashAgg(exprs(0))))
   }
 }

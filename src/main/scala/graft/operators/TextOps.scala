@@ -555,6 +555,32 @@ object TextOps {
     intra.unionByName(inter).orderBy("doc_a", "doc_b")
   }
 
+  /** Cross-language similarity profile via the distributed minhash sketch
+    * aggregate ([[graft.functions.MinHashAgg]]): per-language 16-perm
+    * signatures over the language's full token set, then pairwise
+    * signature agreement as the Jaccard estimate. The scale story is the
+    * aggregation shape — partial sketches fold map-side and the shuffle
+    * moves one 128-byte buffer per (partition, language), never tokens;
+    * profiling corpus-level vocabulary overlap at 100 TB costs one scan.
+    * Hash-defined output (rows-only driver check); MinHashAggSpec pins the
+    * signature bit-for-bit to the row-wise [[minhashSig]] and the estimate
+    * error to exact per-language token-set Jaccard.
+    */
+  def minhashProfile(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    val tok = Tables.documents(spark, dir)
+      .select(col("lang"),
+        explode(transform(tokens(col("text")), t => xxhash64(t))).as("th"))
+    val sigs = tok.groupBy("lang")
+      .agg(graft.functions.VectorFunctions.minhashAgg(col("th")).as("sig"))
+    sigs.as("a").join(sigs.as("b"), col("a.lang") < col("b.lang"))
+      .select(col("a.lang").as("lang_a"), col("b.lang").as("lang_b"),
+        (aggregate(zip_with(col("a.sig"), col("b.sig"), (x, y) =>
+          when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
+          .cast("double") / minhashNumHashes).as("est_jaccard"))
+      .orderBy("lang_a", "lang_b")
+  }
+
   /** The 64-bit per-document fingerprints alone — exposed so the quality
     * oracle (TextQualitySpec) can recompute exact all-pairs hamming ground
     * truth against the banded candidate generation.
