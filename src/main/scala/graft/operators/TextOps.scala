@@ -198,7 +198,7 @@ object TextOps {
     * the pair set onward (clustering) skip the global range exchange.
     */
   private[operators] def tokenJaccardPairs(spark: SparkSession, dir: String): DataFrame =
-    jaccardPairs(spark, docHashSets(spark, dir,
+    jaccardPairs(spark, docHashSets(Tables.documents(spark, dir),
       t => array_distinct(transform(tokens(t), x => xxhash64(x)))), 0.95)
 
   /** Exact near-dup by word-3-gram shingle Jaccard — the n-gram member of
@@ -209,7 +209,8 @@ object TextOps {
     * overlap under small edits.
     */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
-    jaccardPairs(spark, docHashSets(spark, dir, t => shingles(t, 3)), 0.8)
+    jaccardPairs(spark, docHashSets(Tables.documents(spark, dir),
+      t => shingles(t, 3)), 0.8)
       .orderBy("doc_a", "doc_b")
 
   /** Per-document sorted distinct element-hash sets, built ROW-WISE on the
@@ -222,9 +223,9 @@ object TextOps {
     * a UTF8 string compare. Docs with no elements (null text) are excluded,
     * matching the exploded form's semantics.
     */
-  private def docHashSets(spark: SparkSession, dir: String,
+  private[operators] def docHashSets(docs: DataFrame,
       setOf: Column => Column): DataFrame =
-    Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"), sort_array(setOf(col("text"))).as("toks"))
       .filter(size(col("toks")) > 0)
 
@@ -232,7 +233,7 @@ object TextOps {
     * sorted-hash-set rows — shared engine of [[tokenJaccard]] and
     * [[ngramJaccard]].
     */
-  private def jaccardPairs(spark: SparkSession, docs0: DataFrame,
+  private[operators] def jaccardPairs(spark: SparkSession, docs0: DataFrame,
       threshold: Double): DataFrame = {
     graft.functions.VectorFunctions.ensureRegistered(spark)
     val docs = docs0.withColumn("sz", size(col("toks")).cast("long"))
@@ -256,17 +257,26 @@ object TextOps {
     // is the expensive half of the query. Like the other intra-query
     // persists here, lifetime is bounded by block-manager LRU (Spark has
     // no query-scoped cache release for a lazily returned plan)
+    // The pruning bounds (prefix length, size-compatibility window) MUST
+    // be conservative: a pair the verification filter would keep may never
+    // be pruned. In doubles, (1-0.8)*5 = 0.9999999999999998 floors one
+    // prefix position short and ceil(5*0.8) = ceil(4.0000000000000002)
+    // rejects a valid size — pairs sitting EXACTLY at the threshold
+    // vanish (caught by JaccardPropertySpec). Decimal literals make the
+    // bound arithmetic exact; only the final jaccard>=t filter stays in
+    // doubles, matching the naive definition and the DuckDB oracle.
+    val tDec = lit(BigDecimal(threshold.toString))
     val prefix = gtok.join(df, "th")
       .withColumn("pos", row_number().over(w))
-      .filter(col("pos") <= floor((lit(1.0) - threshold) * col("sz")) + 1)
+      .filter(col("pos") <= floor((lit(BigDecimal(1)) - tDec) * col("sz")) + 1)
       .select("gid", "th", "sz")
       .persist()
     // candidate set-pairs share a prefix token AND have compatible sizes
     // (t*|A| <= |B| <= |A|/t), both checked inside the join
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.th") === col("b.th") && col("a.gid") < col("b.gid") &&
-          col("b.sz") >= ceil(col("a.sz") * threshold) &&
-          col("a.sz") >= ceil(col("b.sz") * threshold))
+          col("b.sz") >= ceil(col("a.sz") * tDec) &&
+          col("a.sz") >= ceil(col("b.sz") * tDec))
       .select(col("a.gid").as("gid_a"), col("b.gid").as("gid_b"))
       .dropDuplicates("gid_a", "gid_b")
     val inter = cand

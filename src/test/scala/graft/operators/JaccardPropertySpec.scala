@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** Randomized equivalence: the AllPairs prefix-filtered jaccardPairs
+  * engine must emit EXACTLY the naive all-pairs result — same pairs, same
+  * jaccard doubles — on seeded random corpora dense with identical sets,
+  * near-misses and threshold-boundary pairs, for both tokenizers and both
+  * thresholds. This is the guardrail that makes prefix-bound arithmetic
+  * (floor((1-t)|d|)+1, size-compatibility windows) safe to touch.
+  */
+class JaccardPropertySpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def corpus(seed: Long): Seq[(Long, String)] = {
+    val rnd = new scala.util.Random(seed)
+    val vocab = (0 until 8).map(i => s"t$i")
+    val base = (1L to 24L).map { id =>
+      val len = 4 + rnd.nextInt(10)
+      id -> Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    // exact copies (intra path: identical sets) + single-token edits
+    // (inter path: pairs hovering at the threshold)
+    val copies = base.take(4).map { case (id, t) => (id + 100, t) }
+    val edits = base.slice(4, 10).map { case (id, t) =>
+      (id + 200, t.split(" ").toSeq.updated(0, "t0").mkString(" "))
+    }
+    base ++ copies ++ edits
+  }
+
+  private def naive(docs: Seq[(Long, String)], threshold: Double,
+      shingleN: Option[Int]): Set[(Long, Long, Double)] = {
+    def setOf(text: String): Set[Seq[String]] = {
+      val toks = text.split(" ").toSeq
+      shingleN match {
+        case None => toks.map(Seq(_)).toSet
+        case Some(n) =>
+          if (toks.size >= n) toks.sliding(n).toSet else Set(toks)
+      }
+    }
+    val sets = docs.map { case (id, t) => id -> setOf(t) }
+    (for {
+      (a, sa) <- sets; (b, sb) <- sets
+      if a < b
+      common = sa.intersect(sb).size
+      j = common.toDouble / (sa.size + sb.size - common)
+      if j >= threshold
+    } yield (a, b, j)).toSet
+  }
+
+  private def engine(docs: Seq[(Long, String)], threshold: Double,
+      shingleN: Option[Int]): Set[(Long, Long, Double)] = {
+    val df = docs.toDF("doc_id", "text")
+    val sets = shingleN match {
+      case None => TextOps.docHashSets(df,
+        t => array_distinct(transform(split(t, " "), x => xxhash64(x))))
+      case Some(n) => TextOps.docHashSets(df, t => TextOps.shingles(t, n))
+    }
+    TextOps.jaccardPairs(spark, sets, threshold)
+      .as[(Long, Long, Double)].collect().toSet
+  }
+
+  for {
+    seed <- Seq(7L, 42L)
+    (label, shingleN, threshold) <- Seq(
+      ("unigram t=0.95", None, 0.95),
+      ("unigram t=0.8", None, 0.8),
+      ("3-gram t=0.8", Some(3), 0.8))
+  } test(s"prefix-filtered == naive all-pairs ($label, seed=$seed)") {
+    val docs = corpus(seed)
+    val got = engine(docs, threshold, shingleN)
+    val want = naive(docs, threshold, shingleN)
+    assert(got == want,
+      s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+  }
+}
