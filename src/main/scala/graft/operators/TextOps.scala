@@ -460,10 +460,22 @@ object TextOps {
     val drop = componentLabels(tokenJaccardPairs(spark, dir).select("doc_a", "doc_b"))
       .filter(col("lbl") =!= col("doc_id"))
       .select("doc_id")
+    corpusGates(
+      Tables.documents(spark, dir).join(drop, Seq("doc_id"), "left_anti"))
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  /** The stateless corpus gates shared by batch [[corpusBuild]] and the
+    * streaming manifest ([[graft.streaming.CorpusStream]]): quality
+    * (>= 10 tokens, mean token length in [3, 15]) then the deterministic
+    * md5 hash-gate (~50%). Pure row-wise projections + filters — legal
+    * and identical on batch and streaming frames.
+    */
+  private[graft] def corpusGates(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
-    Tables.documents(spark, dir)
+    docs
       .filter(col("text").isNotNull)
-      .join(drop, Seq("doc_id"), "left_anti")
       .withColumn("n_tokens", size(toks).cast("long"))
       .withColumn("avg_tok_len",
         aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double")
@@ -471,8 +483,7 @@ object TextOps {
       .filter(col("n_tokens") >= 10 &&
         col("avg_tok_len") >= 3.0 && col("avg_tok_len") <= 15.0)
       .filter(substring(sampleKey, 1, 1) < "8")
-      .select("doc_id", "lang", "n_chars")
-      .orderBy("doc_id")
+      .drop("n_tokens", "avg_tok_len")
   }
 
   /** MinHash + LSH near-dup candidates (the 100 TB dedup path; no SQL

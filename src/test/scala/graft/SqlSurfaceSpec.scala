@@ -31,4 +31,13 @@ class SqlSurfaceSpec extends AnyFunSuite {
       .collect().head.getDouble(0)
     assert(d > 0.0)
   }
+
+  test("minhash_agg sketch aggregate usable from SQL") {
+    val rows = spark.sql(
+      """SELECT lang, minhash_agg(xxhash64(tok)) AS sig FROM (
+        |  SELECT lang, explode(split(text, ' ')) AS tok FROM documents)
+        |GROUP BY lang""".stripMargin).collect()
+    assert(rows.nonEmpty &&
+      rows.forall(_.getSeq[Long](1).size == 16))
+  }
 }

@@ -124,6 +124,14 @@ class TextQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("dedup clustering: empty pair graph maps every doc to itself") {
+    val docs = Seq(1L, 2L, 3L).toDF("doc_id")
+    val pairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val out = TextOps.clusterPairs(docs, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+  }
+
   test("dedup clustering matches exact ground-truth components at sf0.01") {
     // driver-side union-find over the exact Jaccard truth pairs
     val parent = scala.collection.mutable.Map[Long, Long]()
