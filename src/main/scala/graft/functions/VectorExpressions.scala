@@ -183,6 +183,15 @@ object VectorFunctions {
         s"$minhashName expects 1 argument, got ${other.size}")
   }
 
+  val jpegDimsName = "jpeg_dims"
+
+  private val jpegDimsBuilder: Seq[Expression] => Expression = {
+    case Seq(a) => JpegDimsExpr(a)
+    case other =>
+      throw new IllegalArgumentException(
+        s"$jpegDimsName expects 1 argument, got ${other.size}")
+  }
+
   /** Idempotently register on an existing session (the driver hands us its
     * own `SparkSession`, so extension-based injection alone isn't enough).
     */
@@ -193,6 +202,8 @@ object VectorFunctions {
       intersectName, intersectBuilder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       minhashName, minhashBuilder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      jpegDimsName, jpegDimsBuilder, "scala_udf")
   }
 
   /** Column API: `dot(a, b)` once [[ensureRegistered]] has run. */
@@ -204,6 +215,9 @@ object VectorFunctions {
 
   /** Column API: group-level minhash signature over a `bigint` hash column. */
   def minhashAgg(c: Column): Column = call_function(minhashName, c)
+
+  /** Column API: `[width, height]` of a JPEG binary column, null if not JPEG. */
+  def jpegDims(c: Column): Column = call_function(jpegDimsName, c)
 }
 
 /** `SparkSessionExtensions` hook: `.withExtensions(new GraftExtensions)` or
@@ -227,5 +241,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[MinHashAgg].getName, null,
           VectorFunctions.minhashName),
         (exprs: Seq[Expression]) => MinHashAgg(exprs(0))))
+    ext.injectFunction(
+      (FunctionIdentifier(VectorFunctions.jpegDimsName),
+        new ExpressionInfo(classOf[JpegDimsExpr].getName, null,
+          VectorFunctions.jpegDimsName),
+        (exprs: Seq[Expression]) => JpegDimsExpr(exprs(0))))
   }
 }

@@ -47,10 +47,16 @@ object MultimodalOps {
     *    signed 4-byte little-endian dims at 18/22; == 12 (OS/2
     *    BITMAPCOREHEADER) → unsigned 2-byte dims at 18/20; anything else →
     *    null, never a misaligned read
-    *  - JPEG/RIFF/MP3: format identified; dims need a marker walk (codec
-    *    territory), left null
+    *  - JPEG: dims need a variable-length SOF marker walk — still pure
+    *    header parsing, done by the native [[graft.functions.JpegDimsExpr]]
+    *    expression (codegen'd static walk, null on any malformation)
+    *  - WAV (RIFF/WAVE with the canonical "fmt " chunk at offset 12):
+    *    channels and sample rate as little-endian fields; a nonstandard
+    *    chunk order reports null, never a misread
+    *  - MP3: format identified; frame-header fields left null
     */
   def sniffHeaders(media: DataFrame, bytesCol: String = "bytes"): DataFrame = {
+    graft.functions.VectorFunctions.ensureRegistered(media.sparkSession)
     def byteAt(i: Int): Column = hex(substring(col(bytesCol), i, 1))
     def beInt(start: Int, n: Int): Column =
       conv(hex(substring(col(bytesCol), start, n)), 16, 10).cast("long")
@@ -79,6 +85,12 @@ object MultimodalOps {
     val dib = leInt(15, 4)
     val bmpInfo = col("format") === "bmp" && len >= 26 && dib >= 40
     val bmpCore = col("format") === "bmp" && len >= 22 && dib === 12
+    val jdims = graft.functions.VectorFunctions.jpegDims(col(bytesCol))
+    // WAV: RIFF container whose form type is "WAVE" and whose first chunk
+    // is the canonical "fmt " at offset 12 — anything else is a RIFF of
+    // unknown layout and reports null
+    val isWav = col("format") === "riff" && len >= 36 &&
+      hex(substring(col(bytesCol), 9, 8)) === lit("57415645666D7420")
     // dims only when the header is long enough to actually contain them —
     // a truncated file keeps its format but reports null, never garbage
     media.withColumn("format", format)
@@ -86,12 +98,16 @@ object MultimodalOps {
         when(col("format") === "png" && len >= 24, beInt(17, 4))
           .when(col("format") === "gif" && len >= 10, leInt(7, 2))
           .when(bmpInfo, abs(leSigned(19)))
-          .when(bmpCore, leInt(19, 2)))
+          .when(bmpCore, leInt(19, 2))
+          .when(col("format") === "jpeg", element_at(jdims, 1).cast("long")))
       .withColumn("hdr_height",
         when(col("format") === "png" && len >= 24, beInt(21, 4))
           .when(col("format") === "gif" && len >= 10, leInt(9, 2))
           .when(bmpInfo, abs(leSigned(23)))
-          .when(bmpCore, leInt(21, 2)))
+          .when(bmpCore, leInt(21, 2))
+          .when(col("format") === "jpeg", element_at(jdims, 2).cast("long")))
+      .withColumn("hdr_channels", when(isWav, leInt(23, 2)))
+      .withColumn("hdr_sample_rate", when(isWav, leInt(25, 4)))
   }
 
   /** STUB decode: dimensions derived deterministically from the content

@@ -117,6 +117,65 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(3L) == (("png", None, None)))
   }
 
+  test("sniffHeaders: JPEG SOF marker walk — baseline, progressive, malformed") {
+    def be2(v: Int) = Array[Byte]((v >>> 8).toByte, v.toByte)
+    def m(a: Int, b: Int) = Array(a.toByte, b.toByte)
+    val app0 = m(0xFF, 0xE0) ++ be2(16) ++ "JFIF".getBytes ++ Array.fill[Byte](10)(0)
+    def sof(marker: Int, w: Int, h: Int) =
+      m(0xFF, marker) ++ be2(11) ++ Array[Byte](8) ++ be2(h) ++ be2(w) ++
+        Array[Byte](1, 0, 0, 0)
+    val soi = m(0xFF, 0xD8)
+    val baseline = soi ++ app0 ++ sof(0xC0, 640, 480) ++ Array[Byte](1, 2, 3)
+    val progressive = soi ++ app0 ++ app0 ++ sof(0xC2, 1024, 768)
+    // standalone RST marker (no length field) must be stepped over
+    val withRst = soi ++ m(0xFF, 0xD0) ++ sof(0xC1, 32, 16)
+    // DHT (C4) carries no dims and must be skipped, not parsed as SOF
+    val dhtFirst = soi ++ (m(0xFF, 0xC4) ++ be2(5) ++ Array[Byte](0, 0, 0)) ++
+      sof(0xC0, 8, 4)
+    // valid SOI+APP0, then the next marker position holds a non-FF byte
+    val misaligned = soi ++ m(0xFF, 0xE0) ++ be2(4) ++ Array[Byte](0, 0) ++
+      Array[Byte](0x00, 0x11, 0x22, 0x33)
+    val truncatedSof = soi ++ m(0xFF, 0xC0) ++ be2(11) ++ Array[Byte](8)
+    val out = MultimodalOps.sniffHeaders(Seq(
+        (1L, baseline), (2L, progressive), (3L, withRst), (4L, dhtFirst),
+        (5L, misaligned), (6L, truncatedSof))
+      .toDF("media_id", "bytes")).collect()
+      .map(r => r.getAs[Long]("media_id") ->
+        ((r.getAs[String]("format"),
+          Option(r.getAs[java.lang.Long]("hdr_width")).map(_.toLong),
+          Option(r.getAs[java.lang.Long]("hdr_height")).map(_.toLong)))).toMap
+    assert(out(1L) == (("jpeg", Some(640L), Some(480L))))
+    assert(out(2L) == (("jpeg", Some(1024L), Some(768L))))
+    assert(out(3L) == (("jpeg", Some(32L), Some(16L))))
+    assert(out(4L) == (("jpeg", Some(8L), Some(4L))))
+    assert(out(5L) == (("jpeg", None, None)))
+    assert(out(6L) == (("jpeg", None, None)))
+  }
+
+  test("sniffHeaders: WAV canonical fmt chunk — channels + sample rate") {
+    def le2(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte)
+    def le4(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte,
+      (v >>> 16).toByte, (v >>> 24).toByte)
+    val wav = "RIFF".getBytes ++ le4(1000) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le4(16) ++ le2(1) ++ le2(2) ++ le4(44100) ++
+      le4(176400) ++ le2(4) ++ le2(16)
+    // RIFF/WAVE but a nonstandard first chunk: format known, fields null
+    val listFirst = "RIFF".getBytes ++ le4(1000) ++ "WAVE".getBytes ++
+      "LIST".getBytes ++ le4(16) ++ Array.fill[Byte](16)(0)
+    val avi = "RIFF".getBytes ++ le4(1000) ++ "AVI ".getBytes ++
+      Array.fill[Byte](24)(0)
+    val out = MultimodalOps.sniffHeaders(Seq(
+        (1L, wav), (2L, listFirst), (3L, avi)).toDF("media_id", "bytes"))
+      .collect()
+      .map(r => r.getAs[Long]("media_id") ->
+        ((r.getAs[String]("format"),
+          Option(r.getAs[java.lang.Long]("hdr_channels")).map(_.toLong),
+          Option(r.getAs[java.lang.Long]("hdr_sample_rate")).map(_.toLong)))).toMap
+    assert(out(1L) == (("riff", Some(2L), Some(44100L))))
+    assert(out(2L) == (("riff", None, None)))
+    assert(out(3L) == (("riff", None, None)))
+  }
+
   test("sniffHeaders: BMP DIB variants — OS/2 core header dims, unknown header null") {
     def le2(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte)
     def le4(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte,
