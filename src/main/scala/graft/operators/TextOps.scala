@@ -73,10 +73,17 @@ object TextOps {
     */
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .groupBy(unhex(md5(col("text").cast("binary"))).as("fp"))
+      .groupBy(contentFingerprint.as("fp"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
       .select("doc_id", "n_copies")
       .orderBy("doc_id")
+
+  /** The 16-byte exact-dedup content key — ONE definition shared by the
+    * batch group-by and the streaming manifest, so the key space can
+    * never split between the two.
+    */
+  private[graft] def contentFingerprint: Column =
+    unhex(md5(col("text").cast("binary")))
 
   /** Document fingerprint: md5 over whitespace-normalized lowercase text —
     * the cheap content-address used by exact dedup at scale.
@@ -226,6 +233,12 @@ object TextOps {
   private[operators] def docHashSets(docs: DataFrame,
       setOf: Column => Column): DataFrame =
     docs
+      // explicit: null text has no element set. The unigram transform
+      // null-propagates on its own, but shingles() would manufacture a
+      // phantom singleton window over all-null try_element_at lookups
+      // (xxhash64 with no non-null args = the seed), pairing all
+      // null-text docs with each other at J=1
+      .filter(col("text").isNotNull)
       .select(col("doc_id"), sort_array(setOf(col("text"))).as("toks"))
       .filter(size(col("toks")) > 0)
 
@@ -506,6 +519,22 @@ object TextOps {
   private[graft] val minhashRowsPerBand = 4
   private[graft] val minhashNumBands = minhashNumHashes / minhashRowsPerBand
 
+  /** The candidate acceptance cut on estimated Jaccard — ONE constant for
+    * the batch LSH family and the streaming dedup stage; their documented
+    * drained-stream ≡ batch equivalence only holds while both sides cut
+    * at the same value.
+    */
+  private[graft] val minhashEstThreshold = 0.9
+
+  /** Estimated Jaccard between two signature columns: fraction of
+    * agreeing positions — shared by the batch LSH verification and the
+    * sketch-profile query.
+    */
+  private[graft] def minhashAgreement(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) =>
+      when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
+      .cast("double") / minhashNumHashes
+
   /** The 16-long minhash signature from a token-hash array column —
     * computes ROW-WISE: each token hashes to a long once, the 16 minhash
     * functions re-hash that fixed 8-byte value with distinct seeds, and
@@ -525,7 +554,6 @@ object TextOps {
 
   private def minhashLshOver(spark: SparkSession, dir: String,
       tokenizer: Column => Column): DataFrame = {
-    val numHashes = minhashNumHashes
     val ths = transform(tokenizer(col("text")), t => xxhash64(t))
     val sigExpr = minhashSig(col("ths"))
     // the sig table (one 16-long array per doc) feeds the band explode AND
@@ -563,11 +591,8 @@ object TextOps {
         col("ids").as("ids_a")), "gid_a")
       .join(groups.select(col("gid").as("gid_b"), col("sig").as("sig_b"),
         col("ids").as("ids_b")), "gid_b")
-      .withColumn("est_jaccard",
-        aggregate(zip_with(col("sig_a"), col("sig_b"), (x, y) =>
-          when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
-          .cast("double") / lit(numHashes))
-      .filter(col("est_jaccard") >= 0.9)
+      .withColumn("est_jaccard", minhashAgreement(col("sig_a"), col("sig_b")))
+      .filter(col("est_jaccard") >= minhashEstThreshold)
     val inter = gpairs
       .select(explode(col("ids_a")).as("ia"), col("ids_b"), col("est_jaccard"))
       .select(col("ia"), explode(col("ids_b")).as("ib"), col("est_jaccard"))
@@ -596,9 +621,7 @@ object TextOps {
       .agg(graft.functions.VectorFunctions.minhashAgg(col("th")).as("sig"))
     sigs.as("a").join(sigs.as("b"), col("a.lang") < col("b.lang"))
       .select(col("a.lang").as("lang_a"), col("b.lang").as("lang_b"),
-        (aggregate(zip_with(col("a.sig"), col("b.sig"), (x, y) =>
-          when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
-          .cast("double") / minhashNumHashes).as("est_jaccard"))
+        minhashAgreement(col("a.sig"), col("b.sig")).as("est_jaccard"))
       .orderBy("lang_a", "lang_b")
   }
 
