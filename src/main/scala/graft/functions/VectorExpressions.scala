@@ -192,6 +192,24 @@ object VectorFunctions {
         s"$jpegDimsName expects 1 argument, got ${other.size}")
   }
 
+  val bmpPixelsName = "bmp_pixels"
+
+  private val bmpPixelsBuilder: Seq[Expression] => Expression = {
+    case Seq(a) => BmpPixelsExpr(a)
+    case other =>
+      throw new IllegalArgumentException(
+        s"$bmpPixelsName expects 1 argument, got ${other.size}")
+  }
+
+  val wavSamplesName = "wav_samples"
+
+  private val wavSamplesBuilder: Seq[Expression] => Expression = {
+    case Seq(a) => WavSamplesExpr(a)
+    case other =>
+      throw new IllegalArgumentException(
+        s"$wavSamplesName expects 1 argument, got ${other.size}")
+  }
+
   /** Idempotently register on an existing session (the driver hands us its
     * own `SparkSession`, so extension-based injection alone isn't enough).
     */
@@ -204,6 +222,10 @@ object VectorFunctions {
       minhashName, minhashBuilder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       jpegDimsName, jpegDimsBuilder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      bmpPixelsName, bmpPixelsBuilder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      wavSamplesName, wavSamplesBuilder, "scala_udf")
   }
 
   /** Column API: `dot(a, b)` once [[ensureRegistered]] has run. */
@@ -218,6 +240,12 @@ object VectorFunctions {
 
   /** Column API: `[width, height]` of a JPEG binary column, null if not JPEG. */
   def jpegDims(c: Column): Column = call_function(jpegDimsName, c)
+
+  /** Column API: top-down RGB(A) pixel bytes of an uncompressed BMP, else null. */
+  def bmpPixels(c: Column): Column = call_function(bmpPixelsName, c)
+
+  /** Column API: normalized PCM sample frames of a WAV payload, else null. */
+  def wavSamples(c: Column): Column = call_function(wavSamplesName, c)
 }
 
 /** `SparkSessionExtensions` hook: `.withExtensions(new GraftExtensions)` or
@@ -246,5 +274,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[JpegDimsExpr].getName, null,
           VectorFunctions.jpegDimsName),
         (exprs: Seq[Expression]) => JpegDimsExpr(exprs(0))))
+    ext.injectFunction(
+      (FunctionIdentifier(VectorFunctions.bmpPixelsName),
+        new ExpressionInfo(classOf[BmpPixelsExpr].getName, null,
+          VectorFunctions.bmpPixelsName),
+        (exprs: Seq[Expression]) => BmpPixelsExpr(exprs(0))))
+    ext.injectFunction(
+      (FunctionIdentifier(VectorFunctions.wavSamplesName),
+        new ExpressionInfo(classOf[WavSamplesExpr].getName, null,
+          VectorFunctions.wavSamplesName),
+        (exprs: Seq[Expression]) => WavSamplesExpr(exprs(0))))
   }
 }

@@ -9,11 +9,17 @@ import graft.Tables
   * decode / feature / resize / frame-sample stages are structured exactly
   * as they would be against real codecs.
   *
-  * STUB NOTE: no media codecs exist in this environment, so `decode` is a
-  * deterministic fake — every derived quantity is a pure function of the
-  * bytes (xxhash64-seeded), clearly marked below. The Spark-side contract —
-  * schemas, nullability, batch iteration shape, partitioning behavior — is
-  * real and tested; swapping in a codec changes only the marked functions.
+  * Decode is a FORMAT DISPATCH. Codec-free formats decode for real:
+  * header dimensions for PNG/GIF/BMP/JPEG/WAV ([[sniffHeaders]]), pixel
+  * rows for uncompressed BMP ([[graft.functions.BmpPixelsExpr]]) and PCM
+  * sample frames for WAV ([[graft.functions.WavSamplesExpr]]) — all
+  * native codegen'd expressions, null on malformation. Only COMPRESSED
+  * payloads (PNG deflate, JPEG DCT, GIF LZW, MP3 frames, video codecs)
+  * remain un-decodable here — no codec libraries exist in this
+  * environment — and for those (and unknown blobs) [[decode]] falls back
+  * to a clearly-marked deterministic synthetic geometry so downstream
+  * metadata stages always have values. Swapping in a codec changes only
+  * that fallback.
   *
   * The per-partition feature extractor is the Scala analog of an
   * arrow-batched UDF: one initialization per partition (where a codec
@@ -106,26 +112,61 @@ object MultimodalOps {
           .when(bmpInfo, abs(leSigned(23)))
           .when(bmpCore, leInt(21, 2))
           .when(col("format") === "jpeg", element_at(jdims, 2).cast("long")))
-      .withColumn("hdr_channels", when(isWav, leInt(23, 2)))
+      .withColumn("hdr_channels",
+        when(isWav, leInt(23, 2))
+          // PNG IHDR color type byte: 0 gray, 2 RGB, 3 palette, 4 gray+A, 6 RGBA
+          .when(col("format") === "png" && len >= 26,
+            when(beInt(26, 1) === 0 || beInt(26, 1) === 3, 1L)
+              .when(beInt(26, 1) === 2, 3L)
+              .when(beInt(26, 1) === 4, 2L)
+              .when(beInt(26, 1) === 6, 4L))
+          .when(col("format") === "gif" && len >= 10, lit(3L))
+          // BMP bit count: stored channel count for the truecolor depths,
+          // 1 for palette-indexed; 16-bit RGB555 and exotic depths → null
+          .when(bmpInfo && len >= 30,
+            when(leInt(29, 2) === 24, 3L)
+              .when(leInt(29, 2) === 32, 4L)
+              .when(leInt(29, 2) === 8, 1L)))
       .withColumn("hdr_sample_rate", when(isWav, leInt(25, 4)))
   }
 
-  /** STUB decode: dimensions derived deterministically from the content
-    * hash (a real implementation parses the container header — see
-    * [[sniffHeaders]] for the formats where that needs no codec). Native
-    * column expressions — stays in codegen, no serialization fence.
+  /** Format-dispatched decode — REAL wherever the format is codec-free,
+    * all native codegen'd column expressions (no serialization fence):
+    *
+    *  - `width`/`height`/`channels`: true header values for PNG/GIF/BMP/
+    *    JPEG/WAV via [[sniffHeaders]]
+    *  - `pixels`: decoded top-down RGB(A) rows for uncompressed BMP
+    *    ([[graft.functions.BmpPixelsExpr]] — bottom-up row flip, 4-byte
+    *    row padding stripped, BGR→RGB), null for codec-bound formats
+    *  - `samples`: normalized interleaved PCM frames for WAV
+    *    ([[graft.functions.WavSamplesExpr]]), null otherwise
+    *
+    * SYNTHETIC FALLBACK (the only remaining stub surface): payloads whose
+    * geometry needs a codec (compressed image/video bodies, unknown
+    * blobs) get deterministic hash-derived dims so metadata stages
+    * downstream always see values; a real codec integration replaces
+    * exactly this `coalesce` fallback and nothing else.
     */
-  def decodeStub(media: DataFrame, bytesCol: String = "bytes"): DataFrame = {
+  def decode(media: DataFrame, bytesCol: String = "bytes"): DataFrame = {
     val h = abs(xxhash64(col(bytesCol)))
-    media
+    sniffHeaders(media, bytesCol)
+      .withColumn("pixels", when(col("format") === "bmp",
+        graft.functions.VectorFunctions.bmpPixels(col(bytesCol))))
+      .withColumn("samples", when(col("format") === "riff",
+        graft.functions.VectorFunctions.wavSamples(col(bytesCol))))
       .withColumn("n_bytes", length(col(bytesCol)).cast("long"))
-      .withColumn("width", (h % 1920 + 1).cast("int"))
-      .withColumn("height", ((h / 1920) % 1080 + 1).cast("int"))
-      .withColumn("channels", (h % 3 + 1).cast("int"))
+      .withColumn("width",
+        coalesce(col("hdr_width"), h % 1920 + 1).cast("int"))
+      .withColumn("height",
+        coalesce(col("hdr_height"), (h / 1920) % 1080 + 1).cast("int"))
+      .withColumn("channels",
+        coalesce(col("hdr_channels"), h % 3 + 1).cast("int"))
   }
 
-  /** STUB resize: recompute target dims preserving aspect ratio — metadata
-    * math is real, pixel work would happen in the decode kernel.
+  /** Resize metadata: target dims preserving aspect ratio, never
+    * upscaling. Operates on whatever [[decode]] produced — real header
+    * dims for the parseable formats; the pixel resample itself would
+    * happen in a codec kernel.
     */
   def resizeMeta(decoded: DataFrame, maxDim: Int): DataFrame = {
     val scale = least(lit(1.0),
@@ -151,58 +192,123 @@ object MultimodalOps {
 
   /** Per-partition batched feature extraction (the mapInPandas-shaped
     * path): iterate the partition once, initialize per-partition state
-    * once, emit a fixed 8-float vector per row. STUB math: byte histogram
-    * moments; a real extractor runs the model forward pass here.
+    * once, emit a fixed 8-float vector per row. When the frame carries
+    * [[decode]]'s outputs, the statistics are computed over REAL decoded
+    * data: PCM waveform stats for rows with `samples`, pixel-byte
+    * moments for rows whose `pixels` decoded; raw payload bytes
+    * otherwise. A model forward pass would replace exactly these two
+    * stat kernels.
     */
   def features(spark: SparkSession, media: DataFrame,
       idCol: String = "media_id", bytesCol: String = "bytes"): DataFrame = {
-    val dim = 8
     import spark.implicits._
-    val src = media.select(col(idCol).cast("long"), col(bytesCol)).as[(Long, Array[Byte])]
+    val payload =
+      if (media.columns.contains("pixels")) coalesce(col("pixels"), col(bytesCol))
+      else col(bytesCol)
+    val samples =
+      if (media.columns.contains("samples")) col("samples")
+      else lit(null).cast("array<float>")
+    val src = media.select(col(idCol).cast("long"), payload, samples)
+      .as[(Long, Array[Byte], Array[Float])]
     src.mapPartitions { it =>
       // per-partition init happens HERE (codec/model context in real impl)
       val hist = new Array[Long](256)
-      it.map { case (id, bytes) =>
-        val f = new Array[Float](dim)
-        var entropy = 0.0
-        if (bytes != null && bytes.length > 0) {
-          java.util.Arrays.fill(hist, 0L)
-          var i = 0
-          while (i < bytes.length) {
-            val b = bytes(i) & 0xff
-            f(i % dim) += b / 255.0f
-            hist(b) += 1
-            i += 1
-          }
-          val n = math.max(1, bytes.length / dim)
-          var j = 0
-          while (j < dim) { f(j) /= n.toFloat; j += 1 }
-          // REAL Shannon entropy in bits/byte over the byte histogram
-          var k = 0
-          while (k < 256) {
-            if (hist(k) > 0) {
-              val p = hist(k).toDouble / bytes.length
-              entropy -= p * math.log(p) / math.log(2)
-            }
-            k += 1
-          }
-        }
-        MediaFeatures(id, f, entropy)
+      it.map { case (id, bytes, pcm) =>
+        if (pcm != null) audioFeatures(id, pcm, hist)
+        else byteFeatures(id, bytes, hist)
       }
     }(Encoders.product[MediaFeatures]).toDF("media_id", "features", "entropy")
   }
 
-  /** Driver-surface demo pipeline (rows-only check): documents' text bytes
-    * stand in for media payloads; decode-stub → resize → per-kind stats.
+  private val featureDim = 8
+
+  /** Byte-level stats: per-stripe byte means + exact Shannon entropy in
+    * bits/byte. For decoded BMP rows the input is real pixel data, so
+    * these are true image statistics; for opaque payloads they are
+    * content statistics (high entropy ≈ already-compressed media).
     */
-  def mediaPipeline(spark: SparkSession, dir: String): DataFrame = {
-    val media = Tables.documents(spark, dir)
-      .select(col("doc_id").as("media_id"),
-        (col("doc_id") % 3).cast("int").as("k"),
-        col("text").cast("binary").as("bytes"))
-      .withColumn("kind",
-        when(col("k") === 0, "image").when(col("k") === 1, "audio").otherwise("video"))
-    val decoded = resizeMeta(decodeStub(sniffHeaders(media)), maxDim = 512)
+  private[operators] def byteFeatures(id: Long, bytes: Array[Byte],
+      hist: Array[Long]): MediaFeatures = {
+    val f = new Array[Float](featureDim)
+    var entropy = 0.0
+    if (bytes != null && bytes.length > 0) {
+      java.util.Arrays.fill(hist, 0L)
+      var i = 0
+      while (i < bytes.length) {
+        val b = bytes(i) & 0xff
+        f(i % featureDim) += b / 255.0f
+        hist(b) += 1
+        i += 1
+      }
+      val n = math.max(1, bytes.length / featureDim)
+      var j = 0
+      while (j < featureDim) { f(j) /= n.toFloat; j += 1 }
+      var k = 0
+      while (k < 256) {
+        if (hist(k) > 0) {
+          val p = hist(k).toDouble / bytes.length
+          entropy -= p * math.log(p) / math.log(2)
+        }
+        k += 1
+      }
+    }
+    MediaFeatures(id, f, entropy)
+  }
+
+  /** Waveform stats over REAL decoded PCM samples: mean, RMS, min, max,
+    * zero-crossing rate, mean |s|, and per-half RMS (a coarse temporal
+    * envelope); entropy over the 8-bit-requantized amplitude histogram.
+    */
+  private[operators] def audioFeatures(id: Long, pcm: Array[Float],
+      hist: Array[Long]): MediaFeatures = {
+    val f = new Array[Float](featureDim)
+    var entropy = 0.0
+    if (pcm.length > 0) {
+      java.util.Arrays.fill(hist, 0L)
+      var sum = 0.0; var sumSq = 0.0; var sumAbs = 0.0
+      var mn = Float.MaxValue; var mx = Float.MinValue
+      var crossings = 0
+      val half = pcm.length / 2
+      var sumSqA = 0.0
+      var i = 0
+      while (i < pcm.length) {
+        val s = pcm(i)
+        sum += s; sumSq += s * s; sumAbs += math.abs(s)
+        if (s < mn) mn = s
+        if (s > mx) mx = s
+        if (i > 0 && (s >= 0) != (pcm(i - 1) >= 0)) crossings += 1
+        if (i < half) sumSqA += s * s
+        val bin = math.max(0, math.min(255, ((s + 1.0f) * 127.5f).toInt))
+        hist(bin) += 1
+        i += 1
+      }
+      val n = pcm.length
+      f(0) = (sum / n).toFloat
+      f(1) = math.sqrt(sumSq / n).toFloat
+      f(2) = mn
+      f(3) = mx
+      f(4) = if (n > 1) crossings.toFloat / (n - 1) else 0.0f
+      f(5) = (sumAbs / n).toFloat
+      f(6) = if (half > 0) math.sqrt(sumSqA / half).toFloat else 0.0f
+      f(7) = if (n - half > 0) math.sqrt((sumSq - sumSqA) / (n - half)).toFloat else 0.0f
+      var k = 0
+      while (k < 256) {
+        if (hist(k) > 0) {
+          val p = hist(k).toDouble / n
+          entropy -= p * math.log(p) / math.log(2)
+        }
+        k += 1
+      }
+    }
+    MediaFeatures(id, f, entropy)
+  }
+
+  /** The pipeline core: decode → resize → features → per-kind stats.
+    * Value-checkable on deterministic fixtures (MultimodalSpec builds
+    * real BMP/WAV payloads and asserts these stats exactly).
+    */
+  def mediaStats(spark: SparkSession, media: DataFrame): DataFrame = {
+    val decoded = resizeMeta(decode(media), maxDim = 512)
     val feats = features(spark, decoded)
     decoded.join(feats, "media_id")
       .groupBy("kind")
@@ -212,5 +318,18 @@ object MultimodalOps {
         avg(element_at(col("features"), 1)).as("avg_f0"),
         avg(col("entropy")).as("avg_entropy"))
       .orderBy("kind")
+  }
+
+  /** Driver-surface demo pipeline (rows-only check): documents' text bytes
+    * stand in for media payloads; decode → resize → per-kind stats.
+    */
+  def mediaPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val media = Tables.documents(spark, dir)
+      .select(col("doc_id").as("media_id"),
+        (col("doc_id") % 3).cast("int").as("k"),
+        col("text").cast("binary").as("bytes"))
+      .withColumn("kind",
+        when(col("k") === 0, "image").when(col("k") === 1, "audio").otherwise("video"))
+    mediaStats(spark, media)
   }
 }

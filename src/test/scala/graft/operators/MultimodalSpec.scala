@@ -4,9 +4,10 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import graft.TestSpark
 
-/** Multimodal plumbing: schemas, determinism, explode shape, per-partition
-  * feature extraction. Decode math is a documented STUB — these tests pin
-  * the Spark-side contract, not codec output.
+/** Multimodal contract: real header/pixel/sample decode for the
+  * codec-free formats (bit-exact fixtures), the documented synthetic
+  * fallback for codec-bound payloads, explode shape, and per-partition
+  * feature extraction over real decoded data.
   */
 class MultimodalSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
@@ -18,22 +19,133 @@ class MultimodalSpec extends AnyFunSuite {
     (3L, "audio", Array.empty[Byte]))
     .toDF("media_id", "kind", "bytes")
 
-  test("decodeStub: deterministic, bounded dims, null-safe schema") {
-    val d1 = MultimodalOps.decodeStub(media).orderBy("media_id").collect()
-    val d2 = MultimodalOps.decodeStub(media).orderBy("media_id").collect()
+  private def le2(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte)
+  private def le4(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte,
+    (v >>> 16).toByte, (v >>> 24).toByte)
+
+  /** Minimal valid BITMAPINFOHEADER BMP around the given pixel array. */
+  private def bmp(width: Int, height: Int, bpp: Int, compression: Int,
+      pixelData: Array[Byte]): Array[Byte] =
+    "BM".getBytes ++ le4(54 + pixelData.length) ++ le4(0) ++ le4(54) ++
+      le4(40) ++ le4(width) ++ le4(height) ++ le2(1) ++ le2(bpp) ++
+      le4(compression) ++ le4(pixelData.length) ++ le4(0) ++ le4(0) ++
+      le4(0) ++ le4(0) ++ pixelData
+
+  /** Minimal canonical PCM WAV around the given data-chunk bytes. */
+  private def wav(channels: Int, rate: Int, bits: Int,
+      data: Array[Byte]): Array[Byte] =
+    "RIFF".getBytes ++ le4(36 + data.length) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le4(16) ++ le2(1) ++ le2(channels) ++ le4(rate) ++
+      le4(rate * channels * bits / 8) ++ le2(channels * bits / 8) ++
+      le2(bits) ++ "data".getBytes ++ le4(data.length) ++ data
+
+  test("decode: synthetic fallback for codec-bound payloads is deterministic and bounded") {
+    val d1 = MultimodalOps.decode(media).orderBy("media_id").collect()
+    val d2 = MultimodalOps.decode(media).orderBy("media_id").collect()
     def dims(rs: Array[org.apache.spark.sql.Row]) =
       rs.map(r => (r.getAs[Long]("media_id"), r.getAs[Int]("width"),
         r.getAs[Int]("height"), r.getAs[Int]("channels"))).toSeq
     assert(dims(d1) == dims(d2)) // same bytes → same decode
     d1.foreach { r =>
+      assert(r.getAs[String]("format") == "unknown")
+      assert(r.getAs[Array[Byte]]("pixels") == null)
+      assert(r.getAs[collection.Seq[Float]]("samples") == null)
       assert(r.getAs[Int]("width") >= 1 && r.getAs[Int]("width") <= 1920)
       assert(r.getAs[Int]("height") >= 1 && r.getAs[Int]("height") <= 1080)
       assert(r.getAs[Int]("channels") >= 1 && r.getAs[Int]("channels") <= 3)
     }
   }
 
+  test("decode: real BMP/WAV geometry rides the header, not the fallback") {
+    // 1×1 24-bpp BMP: one BGR pixel + 1-byte row pad to stride 4
+    val tiny = bmp(1, 1, 24, 0, Array[Byte](30, 20, 10, 0))
+    val tinyWav = wav(2, 44100, 16, le2(0) ++ le2(16384))
+    val out = MultimodalOps.decode(Seq((1L, tiny), (2L, tinyWav))
+      .toDF("media_id", "bytes")).orderBy("media_id").collect()
+    assert(out(0).getAs[Int]("width") == 1 && out(0).getAs[Int]("height") == 1)
+    assert(out(0).getAs[Int]("channels") == 3)
+    assert(out(0).getAs[Array[Byte]]("pixels").toSeq == Seq[Byte](10, 20, 30))
+    assert(out(1).getAs[Int]("channels") == 2) // WAV channel count is real
+    assert(out(1).getAs[collection.Seq[Float]]("samples") == Seq(0.0f, 0.5f))
+  }
+
+  test("bmp_pixels: 24-bpp bottom-up — row flip, stride padding stripped, BGR→RGB") {
+    // 3×2 logical image, stored bottom-up with 3 pad bytes per 9-byte row
+    val stored =
+      Array[Byte](30, 20, 10, 60, 50, 40, 90, 80, 70, 0, 0, 0) ++ // bottom row
+        Array[Byte](0, 0, -1, 0, -1, 0, -1, 0, 0, 0, 0, 0) // top row (BGR)
+    val out = MultimodalOps.decode(Seq((1L, bmp(3, 2, 24, 0, stored)))
+      .toDF("media_id", "bytes")).collect().head
+    val expected = Array[Byte](-1, 0, 0, 0, -1, 0, 0, 0, -1, // top row RGB
+      10, 20, 30, 40, 50, 60, 70, 80, 90) // bottom row RGB
+    assert(out.getAs[Array[Byte]]("pixels").toSeq == expected.toSeq)
+  }
+
+  test("bmp_pixels: 32-bpp top-down — rows in order, BGRA→RGBA") {
+    val stored = Array[Byte](3, 2, 1, 4, 7, 6, 5, 8, // top row BGRA
+      11, 10, 9, 12, 15, 14, 13, 16)
+    val out = MultimodalOps.decode(Seq((1L, bmp(2, -2, 32, 0, stored)))
+      .toDF("media_id", "bytes")).collect().head
+    assert(out.getAs[Array[Byte]]("pixels").toSeq ==
+      (1 to 16).map(_.toByte).toSeq)
+    assert(out.getAs[Int]("width") == 2 && out.getAs[Int]("height") == 2)
+    assert(out.getAs[Int]("channels") == 4)
+  }
+
+  test("bmp_pixels: compressed, palette, and truncated files decode to null, never garbage") {
+    val px = Array[Byte](1, 2, 3, 0)
+    val rle = bmp(1, 1, 24, 1, px) // BI_RLE8: codec work
+    val palette = bmp(1, 1, 8, 0, px) // palette depth: needs the color table
+    val truncated = bmp(4, 4, 24, 0, Array[Byte](1, 2, 3)) // pixel array short
+    val rows = MultimodalOps.decode(Seq(
+        (1L, rle), (2L, palette), (3L, truncated)).toDF("media_id", "bytes"))
+      .orderBy("media_id").collect()
+    rows.foreach { r =>
+      assert(r.getAs[String]("format") == "bmp")
+      assert(r.getAs[Array[Byte]]("pixels") == null)
+    }
+  }
+
+  test("wav_samples: PCM16 normalization is exact, including the endpoints") {
+    val data = le2(0) ++ le2(16384) ++ le2(-32768) ++ le2(32767)
+    val out = MultimodalOps.decode(Seq((1L, wav(1, 8000, 16, data)))
+      .toDF("media_id", "bytes")).collect().head
+    assert(out.getAs[collection.Seq[Float]]("samples") ==
+      Seq(0.0f, 0.5f, -1.0f, 32767 / 32768.0f))
+  }
+
+  test("wav_samples: PCM8 unsigned normalization and chunk-walk tolerance") {
+    // LIST metadata chunk with an ODD size (word-alignment pad) before data,
+    // and the fmt chunk AFTER data — both legal RIFF layouts
+    val data = Array[Byte](128.toByte, 0, 255.toByte)
+    val reordered = "RIFF".getBytes ++ le4(200) ++ "WAVE".getBytes ++
+      "LIST".getBytes ++ le4(3) ++ Array[Byte](1, 2, 3, 0) ++ // 3+1 pad
+      "data".getBytes ++ le4(data.length) ++ data ++ Array[Byte](0) ++ // odd pad
+      "fmt ".getBytes ++ le4(16) ++ le2(1) ++ le2(1) ++ le4(8000) ++
+      le4(8000) ++ le2(1) ++ le2(8)
+    val out = MultimodalOps.decode(Seq((1L, reordered))
+      .toDF("media_id", "bytes")).collect().head
+    assert(out.getAs[collection.Seq[Float]]("samples") ==
+      Seq(0.0f, -1.0f, 127 / 128.0f))
+  }
+
+  test("wav_samples: float/ADPCM formats, odd bit depths, truncated data → null") {
+    val d = le2(1) ++ le2(2)
+    val floatFmt = "RIFF".getBytes ++ le4(100) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le4(16) ++ le2(3) ++ le2(1) ++ le4(8000) ++
+      le4(32000) ++ le2(4) ++ le2(32) ++ "data".getBytes ++ le4(4) ++ d
+    val bits24 = wav(1, 8000, 24, d)
+    val overrun = "RIFF".getBytes ++ le4(100) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le4(16) ++ le2(1) ++ le2(1) ++ le4(8000) ++
+      le4(16000) ++ le2(2) ++ le2(16) ++ "data".getBytes ++ le4(9999) ++ d
+    val rows = MultimodalOps.decode(Seq(
+        (1L, floatFmt), (2L, bits24), (3L, overrun)).toDF("media_id", "bytes"))
+      .orderBy("media_id").collect()
+    rows.foreach(r => assert(r.getAs[collection.Seq[Float]]("samples") == null))
+  }
+
   test("resizeMeta: aspect preserved, never upscales") {
-    val out = MultimodalOps.resizeMeta(MultimodalOps.decodeStub(media), maxDim = 100)
+    val out = MultimodalOps.resizeMeta(MultimodalOps.decode(media), maxDim = 100)
       .collect()
     out.foreach { r =>
       assert(r.getAs[Int]("out_width") <= 100 && r.getAs[Int]("out_height") <= 100)
@@ -53,9 +165,9 @@ class MultimodalSpec extends AnyFunSuite {
   test("features: fixed 8-dim vector per row, empty bytes safe") {
     val f = MultimodalOps.features(spark, media).collect()
     assert(f.length == 3)
-    assert(f.forall(_.getAs[Seq[Float]]("features").length == 8))
+    assert(f.forall(_.getAs[collection.Seq[Float]]("features").length == 8))
     val empty = f.find(_.getAs[Long]("media_id") == 3L).get
-    assert(empty.getAs[Seq[Float]]("features").forall(_ == 0.0f))
+    assert(empty.getAs[collection.Seq[Float]]("features").forall(_ == 0.0f))
   }
 
   test("features: byte entropy is exact Shannon bits/byte") {
@@ -67,6 +179,56 @@ class MultimodalSpec extends AnyFunSuite {
       .map(r => r.getAs[Long]("media_id") -> r.getAs[Double]("entropy")).toMap
     assert(math.abs(e(10L) - 2.0) < 1e-12)
     assert(e(11L) == 0.0)
+  }
+
+  test("features: waveform stats over real decoded PCM are exact") {
+    // square wave ±0.5 → mean 0, rms 0.5, zcr 1, two equal amplitude bins → 1 bit
+    val data = le2(16384) ++ le2(-16384) ++ le2(16384) ++ le2(-16384)
+    val decoded = MultimodalOps.decode(Seq((1L, wav(1, 8000, 16, data)))
+      .toDF("media_id", "bytes"))
+    val f = MultimodalOps.features(spark, decoded).collect().head
+    val v = f.getAs[collection.Seq[Float]]("features")
+    assert(math.abs(v(0)) < 1e-7) // mean
+    assert(math.abs(v(1) - 0.5f) < 1e-7) // rms
+    assert(v(2) == -0.5f && v(3) == 0.5f) // min / max
+    assert(v(4) == 1.0f) // zero-crossing rate: every adjacent pair flips
+    assert(v(5) == 0.5f) // mean |s|
+    assert(math.abs(v(6) - 0.5f) < 1e-7 && math.abs(v(7) - 0.5f) < 1e-7)
+    assert(math.abs(f.getAs[Double]("entropy") - 1.0) < 1e-12)
+  }
+
+  test("features: pixel stats run over decoded pixels, not the container bytes") {
+    // 2×2 24-bpp, every pixel (7,7,7): pixel entropy is exactly 0 even
+    // though the raw file bytes (header + padding) are far from constant
+    val stored = Array[Byte](7, 7, 7, 7, 7, 7, 0, 0, 7, 7, 7, 7, 7, 7, 0, 0)
+    val decoded = MultimodalOps.decode(Seq((1L, bmp(2, 2, 24, 0, stored)))
+      .toDF("media_id", "bytes"))
+    val f = MultimodalOps.features(spark, decoded).collect().head
+    assert(f.getAs[Double]("entropy") == 0.0)
+    // stripe mean: 12 pixel bytes, stripe 0 sees indices 0 and 8 → 2·(7/255)
+    assert(math.abs(f.getAs[collection.Seq[Float]]("features").head - 2 * 7 / 255.0f) < 1e-6)
+  }
+
+  test("mediaStats: per-kind pipeline stats are exact on decodable fixtures") {
+    val bmpBytes = bmp(2, 2, 24, 0,
+      Array[Byte](7, 7, 7, 7, 7, 7, 0, 0, 7, 7, 7, 7, 7, 7, 0, 0))
+    val wavBytes = wav(1, 8000, 16,
+      le2(16384) ++ le2(-16384) ++ le2(16384) ++ le2(-16384))
+    val textBytes = Array[Byte](0, 1, 2, 3, 0, 1, 2, 3) // 4 equal bytes → 2 bits
+    val out = MultimodalOps.mediaStats(spark, Seq(
+        (1L, "image", bmpBytes), (2L, "audio", wavBytes), (3L, "video", textBytes))
+      .toDF("media_id", "kind", "bytes")).collect()
+    val byKind = out.map(r => r.getAs[String]("kind") -> r).toMap
+    assert(byKind("image").getAs[Long]("n") == 1)
+    assert(byKind("image").getAs[Double]("avg_w") == 2.0) // real dims survive
+    assert(byKind("image").getAs[Double]("avg_h") == 2.0)
+    assert(math.abs(byKind("image").getAs[Double]("avg_f0") - 2 * 7 / 255.0) < 1e-6)
+    assert(byKind("image").getAs[Double]("avg_entropy") == 0.0)
+    assert(byKind("audio").getAs[Long]("n") == 1)
+    assert(math.abs(byKind("audio").getAs[Double]("avg_f0")) < 1e-7)
+    assert(math.abs(byKind("audio").getAs[Double]("avg_entropy") - 1.0) < 1e-12)
+    assert(byKind("video").getAs[Long]("n") == 1)
+    assert(math.abs(byKind("video").getAs[Double]("avg_entropy") - 2.0) < 1e-12)
   }
 
   test("sniffHeaders: real magic-byte formats and true PNG/GIF/BMP dims") {
