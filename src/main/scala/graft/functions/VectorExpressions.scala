@@ -210,6 +210,15 @@ object VectorFunctions {
         s"$wavSamplesName expects 1 argument, got ${other.size}")
   }
 
+  val simhashName = "simhash64"
+
+  private val simhashBuilder: Seq[Expression] => Expression = {
+    case Seq(a) => SimHash64Expr(a)
+    case other =>
+      throw new IllegalArgumentException(
+        s"$simhashName expects 1 argument, got ${other.size}")
+  }
+
   /** Idempotently register on an existing session (the driver hands us its
     * own `SparkSession`, so extension-based injection alone isn't enough).
     */
@@ -226,6 +235,8 @@ object VectorFunctions {
       bmpPixelsName, bmpPixelsBuilder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       wavSamplesName, wavSamplesBuilder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      simhashName, simhashBuilder, "scala_udf")
   }
 
   /** Column API: `dot(a, b)` once [[ensureRegistered]] has run. */
@@ -246,6 +257,9 @@ object VectorFunctions {
 
   /** Column API: normalized PCM sample frames of a WAV payload, else null. */
   def wavSamples(c: Column): Column = call_function(wavSamplesName, c)
+
+  /** Column API: row-wise 64-bit simhash of an `array<bigint>` hash column. */
+  def simhash64(c: Column): Column = call_function(simhashName, c)
 }
 
 /** `SparkSessionExtensions` hook: `.withExtensions(new GraftExtensions)` or
@@ -284,5 +298,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[WavSamplesExpr].getName, null,
           VectorFunctions.wavSamplesName),
         (exprs: Seq[Expression]) => WavSamplesExpr(exprs(0))))
+    ext.injectFunction(
+      (FunctionIdentifier(VectorFunctions.simhashName),
+        new ExpressionInfo(classOf[SimHash64Expr].getName, null,
+          VectorFunctions.simhashName),
+        (exprs: Seq[Expression]) => SimHash64Expr(exprs(0))))
   }
 }

@@ -628,21 +628,28 @@ object TextOps {
   /** The 64-bit per-document fingerprints alone — exposed so the quality
     * oracle (TextQualitySpec) can recompute exact all-pairs hamming ground
     * truth against the banded candidate generation.
+    *
+    * Row-wise: the whole bit-vote fold happens inside the native
+    * [[graft.functions.SimHash64Expr]] over the token-hash array — one
+    * pass per document, no exchange. This replaced the explode +
+    * groupBy(doc_id) + 64 column-sums formulation (the last
+    * token-granularity shuffle in the dedup family); TextQualitySpec
+    * pins the fingerprints bit-identical to that vote definition.
     */
   private[operators] def simhashFingerprints(spark: SparkSession, dir: String): DataFrame = {
-    val bitVotes = (0 until 64).map { b =>
-      sum(when(shiftright(col("th"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
-    }
-    val fp0 = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      .withColumn("th", xxhash64(col("tok")))
-      .groupBy("doc_id")
-      .agg(bitVotes.head, bitVotes.tail: _*)
-    val fpExpr = (0 until 64).map(b =>
-      when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
-      .reduce(_.bitwiseOR(_))
-    fp0.select(col("doc_id"), fpExpr.as("simhash"))
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    simhashOf(Tables.documents(spark, dir))
   }
+
+  /** Fingerprints of any (doc_id, text) frame; null-text docs produce no
+    * fingerprint (they had no token rows under the explode definition).
+    */
+  private[operators] def simhashOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), transform(tokens(col("text")), t => xxhash64(t)).as("th"))
+      .filter(col("th").isNotNull)
+      .select(col("doc_id"),
+        graft.functions.VectorFunctions.simhash64(col("th")).as("simhash"))
 
   /** SimHash near-dup (no SQL oracle): 64-bit fingerprint = sign of the
     * per-bit vote over token hashes; near-dups collide within small

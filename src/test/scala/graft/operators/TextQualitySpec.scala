@@ -178,4 +178,27 @@ class TextQualitySpec extends AnyFunSuite {
     info(s"d<=8 recall $recall8")
     assert(recall8 >= 0.95, s"d<=8 recall $recall8 < 0.95")
   }
+
+  test("simhash64 expression is bit-identical to the explode+groupBy vote definition") {
+    // the retired shuffle formulation, recomputed here as ground truth:
+    // per doc, each token-hash occurrence votes ±1 per bit; positive
+    // votes set the fingerprint bit, vote==0 ties break to 0
+    val bitVotes = (0 until 64).map { b =>
+      sum(when(shiftright(col("th"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
+    }
+    val fp0 = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("th", xxhash64(col("tok")))
+      .groupBy("doc_id")
+      .agg(bitVotes.head, bitVotes.tail: _*)
+    val fpExpr = (0 until 64).map(b =>
+      when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
+      .reduce(_.bitwiseOR(_))
+    val expected = fp0.select(col("doc_id"), fpExpr.as("simhash")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = TextOps.simhashFingerprints(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == expected.size)
+    assert(got == expected)
+  }
 }
