@@ -30,6 +30,7 @@ object SparkEntry {
   def prepare(spark: SparkSession, dir: String): Unit = {
     graft.operators.TagIndex.ensure(spark, dir)
     graft.operators.VectorOps.cachedLshIndex(spark, dir, maxBucket = 100000)
+    graft.operators.VectorOps.lshOccupancy(spark, dir)
     graft.operators.VectorOps.trainedCodebook(spark, dir)
     graft.operators.VectorOps.cachedIvfAssigned(spark, dir)
     graft.operators.VectorOps.cachedQueryVecs(spark, dir)
@@ -86,7 +87,7 @@ object SparkEntry {
     "q_embed_near_dup" -> VectorOps.embeddingNearDup _,
     "q_embed_clusters" -> VectorOps.embedClusters _,
     "q_corpus_build" -> TextOps.corpusBuild _,
-    "q_ann_lsh" -> ((s, d) => VectorOps.annLsh(s, d)),
+    "q_ann_lsh" -> ((s, d) => VectorOps.annLshTuned(s, d, budget = 0.6)),
     "q_ann_ivf" -> ((s, d) => VectorOps.annIvf(s, d)),
     // training-data pipeline: multimodal plumbing (stubbed decode; rows-only)
     "q_media_pipeline" -> MultimodalOps.mediaPipeline _,

@@ -103,6 +103,23 @@ object VectorOps {
   private val nCentroids = 16
   private val ivfCodebook = pseudoDirections(seed = 42, count = nCentroids)
 
+  /** IVF list count scales ~sqrt(n) with the corpus (floor 8, cap 256 —
+    * the cap bounds codebook-literal plan size; past it, grow nProbe or
+    * shard). A fixed 16 keeps every list at n/16 vectors, so at 100 TB a
+    * probe scans ~6% of the corpus no matter how big it gets; sqrt lists
+    * keep probed-fraction shrinking as the corpus grows — the same
+    * corpus-scaling move [[lshBitsFor]] makes for LSH code width.
+    */
+  private[graft] def ivfCentroidsFor(n: Long): Int =
+    math.max(8, math.min(256, math.ceil(math.sqrt(math.max(n, 1L).toDouble)).toInt))
+
+  /** Probe count follows list count at ~sqrt(nlist) with the round-4
+    * floor of 4 — candidate fraction nProbe/nlist then falls as the
+    * corpus grows instead of pinning at 25%.
+    */
+  private[graft] def ivfProbesFor(nlist: Int): Int =
+    math.max(4, math.ceil(math.sqrt(nlist.toDouble)).toInt)
+
   /** Per-row array of (sim-to-centroid, cid) structs against a literal
     * IVF codebook. Normalizing by the *vector* norm is skipped — it is
     * constant across centroids, so argmax/ordering are unaffected; the
@@ -137,10 +154,12 @@ object VectorOps {
     * same centroids. A trained codebook concentrates true neighbors in the
     * same lists, which is what lets `nProbe` drop from 10 (untrained
     * random codebook, round 2) to 4 while holding the recall contract.
+    * List count derives from the corpus size ([[ivfCentroidsFor]]).
     */
   private[graft] def trainedCodebook(spark: SparkSession,
       dir: String): IndexedSeq[Seq[Double]] =
     ivfCodebookCache.getOrElseUpdate(fpKey(dir), {
+      val k = ivfCentroidsFor(Tables.embeddings(spark, dir).count())
       val sample = Tables.embeddings(spark, dir)
         .orderBy("vec_id").limit(1024)
         .select("embedding").collect()
@@ -152,14 +171,14 @@ object VectorOps {
       val data = sample.map(normed)
       val dim = data.head.length
       // init: evenly strided sample vectors (deterministic, spread out)
-      var cents = Array.tabulate(nCentroids)(i =>
-        data((i.toLong * data.length / nCentroids).toInt))
+      var cents = Array.tabulate(k)(i =>
+        data(((i.toLong * data.length) / k).toInt))
       for (_ <- 0 until 10) {
-        val sums = Array.fill(nCentroids)(new Array[Double](dim))
-        val counts = new Array[Int](nCentroids)
+        val sums = Array.fill(k)(new Array[Double](dim))
+        val counts = new Array[Int](k)
         data.foreach { v =>
           var best = 0; var bestDot = Double.MinValue
-          for (c <- 0 until nCentroids) {
+          for (c <- 0 until k) {
             var d = 0.0; var i = 0
             while (i < dim) { d += v(i) * cents(c)(i); i += 1 }
             if (d > bestDot) { bestDot = d; best = c }
@@ -168,7 +187,7 @@ object VectorOps {
           while (i < dim) { sums(best)(i) += v(i); i += 1 }
           counts(best) += 1
         }
-        cents = Array.tabulate(nCentroids)(c =>
+        cents = Array.tabulate(k)(c =>
           if (counts(c) > 0) normed(sums(c)) else cents(c))
       }
       cents.map(_.toSeq).toIndexedSeq
@@ -204,18 +223,20 @@ object VectorOps {
     * of it. Recall vs brute force is asserted in VectorOpsSpec. (No SQL
     * oracle — recall is index-defined; rows-only.)
     */
-  def annIvf(spark: SparkSession, dir: String, nProbe: Int = 4): DataFrame = {
+  def annIvf(spark: SparkSession, dir: String, nProbe: Int = 0): DataFrame = {
     VectorFunctions.ensureRegistered(spark)
     import spark.implicits._
     val codebook = trainedCodebook(spark, dir)
+    // nProbe <= 0 → derive from the list count (~sqrt(nlist), floor 4)
+    val probeN = if (nProbe > 0) nProbe else ivfProbesFor(codebook.size)
     val queries = cachedQueryVecs(spark, dir)
-    // driver-side probe lists: nProbe nearest centroids per query vector
+    // driver-side probe lists: probeN nearest centroids per query vector
     val probeRows = queries.indices.flatMap { qi =>
       val qv = queries(qi)._2
       codebook.zipWithIndex.map { case (c, cid) =>
         val cn = math.sqrt(c.map(x => x * x).sum)
         (dotScala(qv, c) / cn, cid)
-      }.sortBy { case (s, cid) => (-s, cid) }.take(nProbe)
+      }.sortBy { case (s, cid) => (-s, cid) }.take(probeN)
         .map { case (_, cid) => (qi, cid) }
     }
     val probes = probeRows.toDF("qi", "cid")
@@ -359,6 +380,62 @@ object VectorOps {
       (idx, bits)
     })
 
+  /** Build-time occupancy profile of a dataset's LSH index: how many
+    * buckets each table actually populates and how big they run. The
+    * size-biased mean (E[s²]/E[s]) is the expected population of the
+    * bucket a random VECTOR lands in — the right estimate for a query's
+    * own bucket under skew, where the plain mean undercounts.
+    */
+  final case class LshOccupancy(n: Long, bits: Int, tables: Int,
+      bucketsPerTable: Double, meanBucket: Double, sizeBiasedMeanBucket: Double,
+      maxBucket: Long)
+
+  private val occupancyCache =
+    scala.collection.concurrent.TrieMap[(String, Int), LshOccupancy]()
+
+  private[graft] def lshOccupancy(spark: SparkSession, dir: String,
+      maxBucket: Int = 100000): LshOccupancy =
+    occupancyCache.getOrElseUpdate((fpKey(dir), maxBucket), {
+      val (index, bits) = cachedLshIndex(spark, dir, maxBucket)
+      val per = index.groupBy("t", "bucket").agg(count(lit(1)).as("s"))
+      val r = per.agg(count(lit(1)).as("nb"), sum("s").as("rows"),
+        avg("s").as("mean"), (sum(col("s") * col("s")) / sum("s")).as("sb"),
+        max("s").as("mx")).collect().head
+      LshOccupancy(r.getLong(1) / lshTables, bits, lshTables,
+        r.getLong(0).toDouble / lshTables, r.getDouble(2), r.getDouble(3),
+        r.getLong(4))
+    })
+
+  /** Probe codes per table for a (probeBits, maxFlips) net. */
+  private[graft] def probesPerTable(probeBits: Int, maxFlips: Int): Int =
+    flipSubsets(probeBits, math.min(maxFlips, probeBits)).size
+
+  /** Predicted UNIQUE-candidate fraction for a net of `p` probes/table:
+    * per table the query scans its own bucket (size-biased mean) plus
+    * p-1 flip buckets (plain mean); tables are independent hash spaces,
+    * so unique coverage composes as 1-(1-f)^T. Verified against the
+    * measured fraction in VectorOpsSpec.
+    */
+  private[graft] def predictedCandidateFraction(occ: LshOccupancy, p: Int): Double = {
+    val perTable = math.min(1.0,
+      (occ.sizeBiasedMeanBucket + (p - 1) * occ.meanBucket) / math.max(occ.n, 1L))
+    1.0 - math.pow(1.0 - perTable, occ.tables)
+  }
+
+  /** Occupancy-driven probe-net choice: the WIDEST (probeBits, maxFlips)
+    * whose predicted unique-candidate fraction fits the budget — recall
+    * rises monotonically with net width, so the budget is the only brake.
+    * Falls back to the narrowest net when even that exceeds the budget
+    * (tiny corpora: few buckets, every net touches most of them).
+    */
+  private[graft] def tuneProbeNet(occ: LshOccupancy, budget: Double): (Int, Int) = {
+    val ladder = (for (pb <- 1 to 6; mf <- 1 to math.min(pb, 3)) yield (pb, mf))
+      .sortBy { case (pb, mf) => (probesPerTable(pb, mf), pb) }
+    ladder.filter { case (pb, mf) =>
+      predictedCandidateFraction(occ, probesPerTable(pb, mf)) <= budget
+    }.lastOption.getOrElse(ladder.head)
+  }
+
   /** Same sequential ascending float-widened fold as the codegen'd
     * [[graft.functions.DotProduct]], so driver-side probe codes land in
     * exactly the code space the index was built in.
@@ -394,6 +471,45 @@ object VectorOps {
     */
   def annLsh(spark: SparkSession, dir: String, probeBits: Int = 5,
       maxFlips: Int = 3, maxBucket: Int = 100000): DataFrame = {
+    val queries = cachedQueryVecs(spark, dir)
+    val qidLit = element_at(typedlit(queries.map(_._1)), col("qi") + 1)
+    lshCandidates(spark, dir, probeBits, maxFlips, maxBucket)
+      // dedup (multi-table/multi-probe hits) and top-k in ONE aggregation:
+      // collect_set drops duplicate (cosine, nid) structs, the sorted slice
+      // keeps (cosine desc, nid asc) top-10 — same order row_number used
+      .groupBy("qi")
+      .agg(slice(array_sort(collect_set(
+        struct((-col("cosine")).as("nc"), col("nid").as("nid")))), 1, 10).as("top"))
+      .select(col("qi"), posexplode(col("top")))
+      .select(qidLit.as("qid"), col("col.nid").as("nid"),
+        (-col("col.nc")).as("cosine"), (col("pos") + 1).cast("long").as("rn"))
+      .orderBy("qid", "rn")
+  }
+
+  /** [[annLsh]] with the probe net chosen by [[tuneProbeNet]] from the
+    * dataset's measured index occupancy: the unique-candidate fraction
+    * becomes a TARGET (the budget), not an accident of the corpus.
+    * Measured ladder (fraction/recall, consistent at sf0.01 AND sf0.1):
+    * (5,3) scans 0.999 of the corpus for recall 1.0; (2,2) 0.64/0.96;
+    * (2,1) 0.54/0.94; (1,1) 0.41/0.78-0.84. Budget 0.6 therefore picks
+    * (2,1): recall ≥0.9 holds (pinned in VectorOpsSpec) at roughly half
+    * the hand-tuned net's scoring work. The floor is corpus-structural —
+    * true neighbors at cosine 0.26-0.37 put ~0.5 of the corpus in play
+    * for recall 0.9; real embedding corpora (neighbors ≥0.8) fit far
+    * tighter budgets. Full numbers in SCALE.md.
+    */
+  def annLshTuned(spark: SparkSession, dir: String, budget: Double = 0.25,
+      maxBucket: Int = 100000): DataFrame = {
+    val (pb, mf) = tuneProbeNet(lshOccupancy(spark, dir, maxBucket), budget)
+    annLsh(spark, dir, pb, mf, maxBucket)
+  }
+
+  /** The scored candidate set (qi, nid, cosine) BEFORE top-k — the whole
+    * distributed cost of a search lives here, so the occupancy predictor
+    * is verified against this frame's unique-row count.
+    */
+  private[graft] def lshCandidates(spark: SparkSession, dir: String,
+      probeBits: Int, maxFlips: Int, maxBucket: Int = 100000): DataFrame = {
     VectorFunctions.ensureRegistered(spark)
     import spark.implicits._
     val (index, bits) = cachedLshIndex(spark, dir, maxBucket)
@@ -423,15 +539,5 @@ object VectorOps {
       .filter(qidLit =!= col("nid"))
       .select(col("qi"), col("nid"),
         round(dot(qeLit, col("ne")) / (qnLit * col("nn")), 4).as("cosine"))
-      // dedup (multi-table/multi-probe hits) and top-k in ONE aggregation:
-      // collect_set drops duplicate (cosine, nid) structs, the sorted slice
-      // keeps (cosine desc, nid asc) top-10 — same order row_number used
-      .groupBy("qi")
-      .agg(slice(array_sort(collect_set(
-        struct((-col("cosine")).as("nc"), col("nid").as("nid")))), 1, 10).as("top"))
-      .select(col("qi"), posexplode(col("top")))
-      .select(qidLit.as("qid"), col("col.nid").as("nid"),
-        (-col("col.nc")).as("cosine"), (col("pos") + 1).cast("long").as("rn"))
-      .orderBy("qid", "rn")
   }
 }

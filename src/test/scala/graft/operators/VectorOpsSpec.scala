@@ -48,6 +48,52 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(sizes <= 3, s"bucket cap violated: max population $sizes")
   }
 
+  test("tuned LSH at the production budget (0.6, the q_ann_lsh config) holds recall ≥ 0.9") {
+    val tuned = topSets(VectorOps.annLshTuned(spark, dir, budget = 0.6))
+    val recalls = exact.map { case (q, truth) =>
+      tuned.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(s"tuned(0.6) mean recall $mean, per-query $recalls")
+    assert(mean >= 0.9, s"tuned recall $mean, per-query $recalls")
+  }
+
+  test("LSH occupancy predictor tracks the measured unique-candidate fraction") {
+    val occ = VectorOps.lshOccupancy(spark, dir)
+    info(s"occupancy: $occ")
+    assert(occ.n > 0 && occ.bucketsPerTable > 1)
+    for ((pb, mf) <- Seq((5, 3), (2, 1))) {
+      val p = VectorOps.probesPerTable(pb, mf)
+      val pred = VectorOps.predictedCandidateFraction(occ, p)
+      val meas = VectorOps.lshCandidates(spark, dir, pb, mf)
+        .select("qi", "nid").distinct().count().toDouble / (5 * (occ.n - 1))
+      info(f"net ($pb,$mf): probes/table $p, predicted $pred%.3f, measured $meas%.3f")
+      assert(math.abs(pred - meas) <= 0.15,
+        s"net ($pb,$mf): predicted $pred vs measured $meas")
+    }
+  }
+
+  test("occupancy-tuned probe net respects the candidate budget, or floors honestly") {
+    val occ = VectorOps.lshOccupancy(spark, dir)
+    // generous budget: tuner must find a net that fits and use the headroom
+    val (pb1, mf1) = VectorOps.tuneProbeNet(occ, budget = 0.9)
+    val pred1 = VectorOps.predictedCandidateFraction(
+      occ, VectorOps.probesPerTable(pb1, mf1))
+    info(f"budget 0.9 → net ($pb1,$mf1), predicted $pred1%.3f")
+    assert(pred1 <= 0.9)
+    // impossible budget: floors at the narrowest net instead of refusing
+    val (pb0, mf0) = VectorOps.tuneProbeNet(occ, budget = 0.01)
+    assert((pb0, mf0) == (1, 1))
+    // the tuned search stays a working ANN query end-to-end, and its
+    // recall/cost position gets RECORDED (corpus-structural, see SCALE.md)
+    val tuned = topSets(VectorOps.annLshTuned(spark, dir, budget = 0.9))
+    val recalls = exact.map { case (q, truth) =>
+      tuned.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    info(f"tuned(0.9) mean recall ${recalls.sum / recalls.size}%.2f")
+    assert(recalls.sum / recalls.size >= 0.5)
+  }
+
   test("every IVF/LSH result is a true neighbor score (exact cosine within bucket)") {
     // index paths never approximate the *score*, only the candidate set:
     // any (qid, nid) they return must carry the same cosine as brute force
