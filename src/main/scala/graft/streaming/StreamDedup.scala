@@ -23,16 +23,22 @@ import graft.operators.TextOps
   * StreamDedupSpec asserts that equivalence, including across micro-batch
   * boundaries.
   *
-  * 100 TB posture: state is per-bucket and bounded by `maxPerBucket`
-  * (4096-bucket band space × bounded lists — hot buckets degrade recall,
-  * never memory); a real deployment additionally ages state out with an
-  * event-time TTL the way all streaming state here is watermark-bounded.
+  * 100 TB posture: state is per-bucket and bounded two ways — by
+  * `maxPerBucket` (4096-bucket band space × bounded lists — hot buckets
+  * degrade recall, never memory) and, on the [[candidatesWithTtl]] path,
+  * by an event-time TTL: entries older than the dedup window evict as
+  * the watermark passes them and whole buckets expire via
+  * `EventTimeTimeout`, so state size tracks the WINDOW's document count,
+  * not the stream's lifetime.
   */
 object StreamDedup {
 
   final case class BandedDoc(docId: Long, band: Int, bucket: Int, sig: Seq[Long])
+  final case class BandedTsDoc(docId: Long, ts: java.sql.Timestamp,
+      sig: Seq[Long], band: Int, bucket: Int)
   final case class DupHit(doc_a: Long, doc_b: Long, est_jaccard: Double)
   final case class BucketState(docs: List[(Long, Seq[Long])])
+  final case class BucketTsState(docs: List[(Long, Seq[Long], Long)])
 
   /** Row-wise projection of a streaming (doc_id, text) frame to one row
     * per (document, band): signature + band bucket, no shuffle.
@@ -83,6 +89,68 @@ object StreamDedup {
               seen = (r.docId, r.sig) :: seen
           }
           state.update(BucketState(seen))
+          out.iterator
+      }
+  }
+
+  /** [[candidates]] with an event-time TTL: documents carry a `ts`
+    * timestamp, a document only matches prior documents within
+    * `windowMs` of event time (symmetric, so out-of-order arrivals
+    * behave), and bucket entries age out once the watermark passes
+    * `entry ts + windowMs` — the same watermark discipline
+    * `CorpusStream` gets from dropDuplicatesWithinWatermark, applied to
+    * custom `flatMapGroupsWithState` state. Expired entries free their
+    * `maxPerBucket` slots, and a bucket with nothing left in-window is
+    * removed entirely via its `EventTimeTimeout`.
+    */
+  def candidatesWithTtl(docs: DataFrame, windowMs: Long,
+      watermarkDelay: String = "0 seconds", threshold: Double = 0.9,
+      maxPerBucket: Int = 256): Dataset[DupHit] = {
+    implicit val hitEnc = Encoders.product[DupHit]
+    implicit val keyEnc = Encoders.product[(Int, Int)]
+    implicit val rowEnc = Encoders.product[BandedTsDoc]
+    implicit val stateEnc = Encoders.product[BucketTsState]
+    val ths = transform(split(col("text"), " "), t => xxhash64(t))
+    docs.withWatermark("ts", watermarkDelay)
+      .select(col("doc_id").as("docId"), col("ts"), ths.as("ths"))
+      .filter(size(col("ths")) > 0) // null-text docs have no signature
+      .select(col("docId"), col("ts"), TextOps.minhashSig(col("ths")).as("sig"))
+      .select(col("docId"), col("ts"), col("sig"),
+        posexplode(TextOps.minhashBandHashes(col("sig"))).as(Seq("band", "bucket")))
+      .as[BandedTsDoc]
+      .groupByKey(r => (r.band, r.bucket))
+      .flatMapGroupsWithState[BucketTsState, DupHit](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (_, it, state: GroupState[BucketTsState]) =>
+          val wm = state.getCurrentWatermarkMs()
+          // watermark-driven eviction: an entry whose window the watermark
+          // has fully passed can never match an in-order arrival again
+          var seen = state.getOption.map(_.docs).getOrElse(Nil)
+            .filter { case (_, _, ets) => ets >= wm - windowMs }
+          val out = scala.collection.mutable.ArrayBuffer.empty[DupHit]
+          it.toSeq.sortBy(_.docId).foreach { r =>
+            val ts = r.ts.getTime
+            seen.foreach { case (id, sig, ets) =>
+              if (id != r.docId && math.abs(ts - ets) <= windowMs) {
+                val agree = sig.iterator.zip(r.sig.iterator)
+                  .count { case (x, y) => x == y }
+                val est = agree.toDouble / sig.size
+                if (est >= threshold)
+                  out += DupHit(math.min(id, r.docId), math.max(id, r.docId), est)
+              }
+            }
+            if (seen.size < maxPerBucket && !seen.exists(_._1 == r.docId))
+              seen = (r.docId, r.sig, ts) :: seen
+          }
+          if (seen.isEmpty) {
+            if (state.exists) state.remove()
+          } else {
+            state.update(BucketTsState(seen))
+            // the bucket dies when the watermark passes its youngest
+            // entry's window (timeout must sit strictly past the watermark)
+            state.setTimeoutTimestamp(
+              math.max(seen.map(_._3).max + windowMs + 1, wm + 1))
+          }
           out.iterator
       }
   }

@@ -74,4 +74,40 @@ class StreamDedupSpec extends AnyFunSuite {
     } yield (a, b)).toSet
     assert(got == expected)
   }
+
+  test("event-time TTL: aged entries evict (freeing capped slots), in-window pairs still hit") {
+    // identical text throughout; window 10 s, cap 2 (t=0 would tie the
+    // initial watermark and be dropped as late, so time starts at 100 s):
+    //   batch 1: docs 1 (t=100) + 2 (t=105) → in-window pair (1,2); full
+    //   batch 2: doc 3 (t=160)              → watermark still 105 s:
+    //            nothing evicted, bucket at cap → 3 NOT retained; and
+    //            1/2 are out of its window → no hit
+    //   batch 3: doc 4 (t=220)              → watermark 160 s: entries at
+    //            100/105 s evict, so 4 takes a freed slot (proof eviction
+    //            ran — doc 3 could not get one); no partner → no hit
+    //   batch 4: doc 5 (t=225)              → pairs with 4 (Δ=5 s ≤ window)
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val text = "alpha beta gamma delta"
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val stream = mem.toDS
+      .select(col("_1").as("doc_id"), col("_2").as("ts"), col("_3").as("text"))
+    val q = StreamDedup.candidatesWithTtl(stream, windowMs = 10000, maxPerBucket = 2)
+      .writeStream.format("memory").queryName("dedup_ttl")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, ts(100), text), (2L, ts(105), text))
+      q.processAllAvailable()
+      mem.addData((3L, ts(160), text))
+      q.processAllAvailable()
+      mem.addData((4L, ts(220), text))
+      q.processAllAvailable()
+      mem.addData((5L, ts(225), text))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("dedup_ttl")
+      .select("doc_a", "doc_b").distinct()
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L), (4L, 5L)))
+  }
 }
