@@ -80,6 +80,13 @@ object LtsRoute extends Rule[LogicalPlan] {
   // aggregates in one query never collide
   private val ltsRelations = TrieMap[String, LogicalRelation]()
 
+  /** Drop the cached relation for a route target whose FILES changed —
+    * streaming-maintained rollups ([[graft.streaming.Ingest
+    * .streamLtsRollupTo]]) rewrite partitions every micro-batch, and a
+    * stale cached file listing would route queries onto deleted files.
+    */
+  def invalidate(ltsPath: String): Unit = ltsRelations.remove(ltsPath): Unit
+
   private def ltsRelationFor(ltsPath: String): Option[LogicalRelation] =
     ltsRelations.get(ltsPath).orElse {
       val rel = SparkSession.active.read.parquet(ltsPath)

@@ -163,6 +163,70 @@ object Ingest {
     stream.withWatermark(timeCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Continuously maintain a [[ltsRollup]]-SHAPED table — (bucket, dims...,
+    * sum_value decimal, n) — so it can be registered as a
+    * [[graft.plans.LtsRoute]] target: routed minute-or-coarser aggregates
+    * then serve CONTINUOUSLY-INGESTED data, not just batch-built rollups.
+    * Update-mode re-emissions (late rows inside the watermark revise their
+    * minute's partial sums) are upserted via [[upsertByKey]], and the
+    * route's cached relation is invalidated per batch so routed queries
+    * always see the latest files. Equivalence with a raw-scan recompute —
+    * including across a checkpoint stop/restart — is pinned in
+    * LtsRouteSpec.
+    */
+  def streamLtsRollupTo(metrics: DataFrame, path: String, checkpoint: String,
+      dims: Seq[String], watermark: String = "10 minutes"): StreamingQuery =
+    metrics
+      .withWatermark("time", watermark)
+      .groupBy(window(col("time"), "1 minute").as("w") +: dims.map(col): _*)
+      .agg(
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .as("sum_value"),
+        count(lit(1)).as("n"))
+      .select(col("w.start").as("bucket") +: dims.map(col) :+
+        col("sum_value") :+ col("n"): _*)
+      .writeStream
+      .outputMode(OutputMode.Update())
+      .trigger(Trigger.ProcessingTime("5 seconds"))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        upsertByKey(batch, path, "bucket" +: dims)
+      }
+      .start()
+
+  /** Parquet-level MERGE for a date-partitioned table: replace rows whose
+    * key appears in `batch`, keep the rest, touching ONLY the date
+    * partitions the batch lands in (dynamic partition overwrite — every
+    * other partition's files are untouched, so the rewrite cost tracks the
+    * update window, not table history). The merged frame is
+    * `localCheckpoint`ed before the overwrite: the write deletes the files
+    * the plan would otherwise lazily re-read mid-overwrite.
+    */
+  private[graft] def upsertByKey(batch: DataFrame, path: String,
+      keys: Seq[String]): Unit = {
+    val spark = batch.sparkSession
+    val withDate = batch.withColumn("date", to_date(col("bucket")))
+    val dates = withDate.select("date").distinct()
+      .collect().map(_.getDate(0): Any)
+    if (dates.isEmpty) return
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val merged =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(path))) withDate
+      else spark.read.parquet(path)
+        .filter(col("date").isin(dates: _*))
+        .join(withDate.select(keys.map(col): _*), keys, "left_anti")
+        .unionByName(withDate)
+    val snapshot = merged.localCheckpoint(true)
+    snapshot.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .option("compression", "zstd")
+      .partitionBy("date")
+      .parquet(path)
+    snapshot.unpersist()
+    graft.plans.LtsRoute.invalidate(path)
+  }
+
   /** Start the LTS maintenance stream: 1-minute downsample in update mode
     * every 5 s, upserted into the long-term parquet table per micro-batch.
     */

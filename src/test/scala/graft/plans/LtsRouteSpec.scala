@@ -122,4 +122,54 @@ class LtsRouteSpec extends AnyFunSuite {
     LtsRoute.enable(spark)
     assert(!routed(minuteQuery))
   }
+
+  test("streaming-maintained rollup serves routed queries across a checkpoint restart") {
+    import java.nio.file.Paths
+    import graft.sources.Wire
+    val base = Files.createTempDirectory("graft_lts_stream").toString
+    val in = s"$base/in"; Files.createDirectory(Paths.get(in))
+    val rawP = s"$base/raw"; val ltsP = s"$base/lts"; val ckpt = s"$base/ckpt"
+    def m(min: Int, sec: Int, host: String, v: Double) =
+      f"""{"m":[{"t":"2024-01-01T00:$min%02d:$sec%02dZ","m":"gauge","h":"$host","n":"load.1","v":$v}]}"""
+    val source = () => Wire.metrics(spark.readStream.text(in))
+
+    // phase 1: two rows in minute 0, one in minute 1
+    Files.writeString(Paths.get(s"$in/a.json"),
+      m(0, 10, "a", 1.5) + "\n" + m(0, 40, "a", 2.25) + "\n" + m(1, 5, "b", 4.0) + "\n")
+    val q1 = Ingest.streamLtsRollupTo(source(), ltsP, ckpt, Seq("host", "name"))
+    try q1.processAllAvailable() finally q1.stop()
+
+    // phase 2 lands while the pipeline is down: a LATE row revising minute
+    // 0's partial sums (the upsert must REPLACE, not append) + a new minute.
+    // Restart from the same checkpoint → aggregate state resumes.
+    Files.writeString(Paths.get(s"$in/b.json"),
+      m(0, 55, "a", 10.0) + "\n" + m(2, 30, "a", 7.0) + "\n")
+    val q2 = Ingest.streamLtsRollupTo(source(), ltsP, ckpt, Seq("host", "name"))
+    try q2.processAllAvailable() finally q2.stop()
+
+    // the same rows as a raw batch table (Wire transforms are engine-shared)
+    Wire.metrics(spark.read.text(in))
+      .select(col("time"), col("host"), col("name"), col("value"))
+      .write.parquet(rawP)
+    def q = spark.read.parquet(rawP)
+      .groupBy(date_trunc("minute", col("time")).as("bucket"),
+        col("host"), col("name"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("sv"), count(lit(1)).as("n"))
+    val baseline = rows(q)
+    assert(baseline.nonEmpty)
+    LtsRoute.enable(spark)
+    LtsRoute.register(spark, rawP, ltsP)
+    try {
+      val routedToLts = q.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.rootPaths.exists(_.toString.contains(ltsP))
+            case _ => false
+          }
+      }.exists(identity)
+      assert(routedToLts, q.queryExecution.optimizedPlan.toString)
+      assert(rows(q) == baseline) // bit-identical: late-row revision upserted
+    } finally LtsRoute.deregister(spark, rawP)
+  }
 }
