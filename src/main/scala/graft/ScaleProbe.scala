@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Measured scale probe for SCALE.md: synthesize a documents corpus with
+  * the same generative recipe at 1× (5k docs, the sf0.1 size) and 10×
+  * (50k), run the priciest query families on both, and print observed
+  * t(10×)/t(1×) ratios next to the per-operator complexity claims.
+  *
+  * The corpus is fully deterministic and ORDER-INDEPENDENT: every doc
+  * derives from a per-doc-id seed, so the 1× corpus is literally the
+  * first 5k docs of the 10× corpus and generation parallelizes with no
+  * coordination. ~14% of docs are near-duplicates of an earlier doc
+  * (5% token mutation), so dedup pair density scales the way a real
+  * crawl's does.
+  */
+object ScaleProbe {
+
+  private val langs = Vector("en", "de", "fr", "es", "it")
+  private val vocabSize = 2000
+
+  final case class SynthDoc(doc_id: Long, text: String, lang: String,
+      source: String, n_chars: Long)
+
+  private def rngFor(i: Long) =
+    new java.util.Random(0x5CA1EB0BL ^ (i * 0x9E3779B97F4A7C15L))
+
+  private def isDup(i: Long): Boolean = i > 20 && i % 7 == 3
+
+  /** Walk dup-of-dup chains down to a fresh base doc (expected ~ln n). */
+  private def resolveBase(i: Long): Long = {
+    var cur = i
+    while (isDup(cur)) cur = rngFor(cur).nextInt(cur.toInt).toLong
+    cur
+  }
+
+  private def freshTokens(i: Long): IndexedSeq[String] = {
+    val rnd = rngFor(i)
+    val lang = langs((i % langs.size).toInt)
+    val len = 30 + rnd.nextInt(170)
+    // squared draw skews toward low word ids — a zipf-ish head
+    IndexedSeq.fill(len) {
+      val w = (rnd.nextDouble() * rnd.nextDouble() * vocabSize).toInt
+      s"${lang}w$w"
+    }
+  }
+
+  def synthDoc(i: Long): SynthDoc = {
+    val lang = langs((i % langs.size).toInt)
+    val tokens =
+      if (isDup(i)) {
+        val rnd = rngFor(i)
+        val base = freshTokens(resolveBase(rnd.nextInt(i.toInt).toLong))
+        base.map(t => if (rnd.nextDouble() < 0.05) s"${lang}m${rnd.nextInt(vocabSize)}" else t)
+      } else freshTokens(i)
+    val text = tokens.mkString(" ")
+    SynthDoc(i, text, lang, "synth", text.length.toLong)
+  }
+
+  private def synthesize(spark: SparkSession, dir: String, n: Long): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val done = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet/_SUCCESS")
+    if (fs.exists(done)) return
+    import spark.implicits._
+    spark.range(0, n).map(i => synthDoc(i))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+  }
+
+  private val probeQueries = Seq("q_ngram_jaccard", "q_corpus_build",
+    "q_dedup_clusters", "q_minhash_lsh", "q_simhash")
+
+  private def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val base = sys.env.getOrElse("SPARK_GRAFT_PROBE_DIR", "/tmp/graft-scaleprobe")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val n1 = 5000L
+    val dirs = Seq("x1" -> n1, "x10" -> n1 * 10).map { case (tag, n) =>
+      val d = s"$base/$tag"
+      synthesize(spark, d, n)
+      tag -> d
+    }.toMap
+    val qs = SparkEntry.queries.filter { case (k, _) => probeQueries.contains(k) }
+    // warmup both dirs (JIT, codegen, parquet footers)
+    dirs.values.foreach(d => qs.foreach { case (_, fn) => fn(spark, d).count() })
+    val results = for ((name, fn) <- qs.toSeq.sortBy(_._1)) yield {
+      val times = dirs.map { case (tag, d) =>
+        tag -> median((1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, d).count()
+          (System.nanoTime() - t0) / 1e9
+        })
+      }
+      val ratio = times("x10") / times("x1")
+      println(f"[scaleprobe] $name%-18s x1=${times("x1")}%6.2fs x10=${times("x10")}%6.2fs ratio=$ratio%5.2f")
+      s""""$name":{"x1":${times("x1")},"x10":${times("x10")},"ratio":$ratio}"""
+    }
+    println(s"""{"metric":"scaleprobe","n1":$n1,"n10":${n1 * 10},${results.mkString(",")}}""")
+    spark.stop()
+  }
+}
