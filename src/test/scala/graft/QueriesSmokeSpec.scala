@@ -39,6 +39,22 @@ class QueriesSmokeSpec extends AnyFunSuite {
     }
   }
 
+  test("approx distinct (HLL++, rsd 0.01) tracks the exact count within 5 sigma") {
+    import graft.operators.EventOps
+    def byDay(df: org.apache.spark.sql.DataFrame, cnt: String) = df.collect()
+      .map(r => r.getAs[java.sql.Date]("day").toString -> r.getAs[Long](cnt)).toMap
+    val exact = byDay(EventOps.distinctDaily(spark, "/root/testdata/sf0.01"), "n_users")
+    val approx = byDay(EventOps.distinctApprox(spark, "/root/testdata/sf0.01"), "approx_users")
+    assert(exact.keySet == approx.keySet)
+    exact.foreach { case (day, ex) =>
+      // HLL++ error is ~gaussian with the configured rsd: 5 sigma = 5% here
+      // (plus a small absolute floor for tiny daily cardinalities)
+      val tol = math.max(3.0, ex * 0.01 * 5)
+      assert(math.abs(approx(day) - ex) <= tol,
+        s"$day: approx ${approx(day)} vs exact $ex (tol $tol)")
+    }
+  }
+
   test("every oracleSql key has a matching query") {
     val unknown = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(unknown.isEmpty, s"oracleSql without queries: $unknown")
