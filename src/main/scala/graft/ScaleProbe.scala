@@ -73,6 +73,76 @@ object ScaleProbe {
 
   private def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
 
+  // ---- embeddings / ANN probe ------------------------------------------
+
+  final case class SynthVec(vec_id: Long, embedding: Array[Float], label: Int)
+
+  private def freshVec(r: java.util.Random): Array[Float] =
+    Array.fill(64)(r.nextGaussian().toFloat)
+
+  /** Unlike the driver corpus (weak angular structure — true neighbors at
+    * cosine 0.26-0.37), this one plants STRONG near-neighbors: every 13th
+    * vector is a noised copy of one of the five query vectors, the shape
+    * of a real embedding corpus where duplicates sit at high cosine. The
+    * ANN probe measures how the occupancy-tuned search behaves on that
+    * structure as the corpus grows.
+    */
+  def synthVec(i: Long): SynthVec = {
+    val rnd = rngFor(i * 7919L + 1)
+    val emb =
+      if (i >= 5 && i % 13 == 0) {
+        val base = freshVec(rngFor((i % 5) * 7919L + 1))
+        base.map(x => (x + 0.25 * rnd.nextGaussian()).toFloat)
+      } else freshVec(rnd)
+    SynthVec(i, emb, (i % 20).toInt)
+  }
+
+  private def synthesizeEmb(spark: SparkSession, dir: String, n: Long): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet/_SUCCESS"))) return
+    import spark.implicits._
+    spark.range(0, n).map(i => synthVec(i))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+  }
+
+  private def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+    df.collect().groupBy(_.getAs[Long]("qid"))
+      .map { case (q, rows) => q -> rows.map(_.getAs[Long]("nid")).toSet }
+
+  private def annProbe(spark: SparkSession, base: String): Seq[String] = {
+    import graft.operators.VectorOps
+    for ((tag, n) <- Seq("x1" -> 2000L, "x10" -> 20000L)) yield {
+      val d = s"$base/emb_$tag"
+      synthesizeEmb(spark, d, n)
+      // ingest-time index build + occupancy, deliberately untimed
+      VectorOps.cachedLshIndex(spark, d, maxBucket = 100000)
+      val occ = VectorOps.lshOccupancy(spark, d)
+      VectorOps.cachedQueryVecs(spark, d)
+      val (pb, mf) = VectorOps.tuneProbeNet(occ, budget = 0.25)
+      val pred = VectorOps.predictedCandidateFraction(
+        occ, VectorOps.probesPerTable(pb, mf))
+      val meas = VectorOps.lshCandidates(spark, d, pb, mf)
+        .select("qi", "nid").distinct().count().toDouble / (5 * (n - 1))
+      val exact = topSets(VectorOps.cosineTopK(spark, d))
+      val got = topSets(VectorOps.annLsh(spark, d, pb, mf))
+      val recall = exact.map { case (q, truth) =>
+        got.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+      }.sum / exact.size
+      def time(f: => Unit): Double = median((1 to 3).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      })
+      val tBrute = time(VectorOps.cosineTopK(spark, d).count(): Unit)
+      val tTuned = time(VectorOps.annLsh(spark, d, pb, mf).count(): Unit)
+      println(f"[scaleprobe] ann $tag%-4s n=$n%6d bits=${occ.bits} " +
+        f"net=($pb,$mf) pred=$pred%.3f meas=$meas%.3f recall=$recall%.2f " +
+        f"brute=$tBrute%5.2fs lsh=$tTuned%5.2fs")
+      s""""ann_$tag":{"n":$n,"bits":${occ.bits},"net":[$pb,$mf],"pred":$pred,""" +
+        s""""measured":$meas,"recall":$recall,"brute_s":$tBrute,"lsh_s":$tTuned}"""
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val base = sys.env.getOrElse("SPARK_GRAFT_PROBE_DIR", "/tmp/graft-scaleprobe")
@@ -103,7 +173,9 @@ object ScaleProbe {
       println(f"[scaleprobe] $name%-18s x1=${times("x1")}%6.2fs x10=${times("x10")}%6.2fs ratio=$ratio%5.2f")
       s""""$name":{"x1":${times("x1")},"x10":${times("x10")},"ratio":$ratio}"""
     }
-    println(s"""{"metric":"scaleprobe","n1":$n1,"n10":${n1 * 10},${results.mkString(",")}}""")
+    val ann = annProbe(spark, base)
+    println(s"""{"metric":"scaleprobe","n1":$n1,"n10":${n1 * 10},""" +
+      (results ++ ann).mkString(",") + "}")
     spark.stop()
   }
 }
