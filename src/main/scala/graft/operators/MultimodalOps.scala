@@ -320,16 +320,61 @@ object MultimodalOps {
       .orderBy("kind")
   }
 
+  /** Deterministic REAL media containers around arbitrary payload bytes —
+    * the corpus-synthesis role (a fixture builder, not a decode path):
+    * an uncompressed 24-bpp bottom-up BMP whose pixel rows carry the
+    * bytes, and a PCM16 mono WAV whose sample frames carry them.
+    * Everything DOWNSTREAM of these is the engine's real decode path.
+    */
+  private[graft] def bmpOf(bytes: Array[Byte]): Array[Byte] = {
+    val width = 64; val rowBytes = width * 3 // 192 ≡ 0 (mod 4): no padding
+    val height = math.max(1, math.min(bytes.length / rowBytes, 1024))
+    val px = new Array[Byte](rowBytes * height)
+    System.arraycopy(bytes, 0, px, 0, math.min(bytes.length, px.length))
+    val out = java.nio.ByteBuffer.allocate(54 + px.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put('B'.toByte).put('M'.toByte).putInt(54 + px.length)
+      .putInt(0).putInt(54) // reserved, pixel-data offset
+      .putInt(40).putInt(width).putInt(height) // BITMAPINFOHEADER
+      .putShort(1).putShort(24).putInt(0).putInt(px.length) // planes/bpp/BI_RGB
+      .putInt(0).putInt(0).putInt(0).putInt(0) // resolution + palette
+      .put(px)
+    out.array()
+  }
+
+  private[graft] def wavOf(bytes: Array[Byte]): Array[Byte] = {
+    val n = math.max(2, bytes.length & ~1) // whole 16-bit frames
+    val data = java.util.Arrays.copyOf(bytes, n)
+    val out = java.nio.ByteBuffer.allocate(44 + n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes).putInt(36 + n).put("WAVE".getBytes)
+      .put("fmt ".getBytes).putInt(16)
+      .putShort(1).putShort(1).putInt(8000) // PCM, mono, 8 kHz
+      .putInt(16000).putShort(2).putShort(16) // byte rate, block, bits
+      .put("data".getBytes).putInt(n).put(data)
+    out.array()
+  }
+
   /** Driver-surface demo pipeline (rows-only check): documents' text bytes
-    * stand in for media payloads; decode → resize → per-kind stats.
+    * are wrapped in REAL containers per kind — image rows become valid
+    * uncompressed BMPs, audio rows valid PCM WAVs (video stays a raw blob;
+    * no codec-free video layout exists) — so the pipeline's decode stage
+    * exercises the real header + pixel/sample decode end-to-end, with the
+    * synthetic-geometry fallback reached only by the video kind.
     */
   def mediaPipeline(spark: SparkSession, dir: String): DataFrame = {
-    val media = Tables.documents(spark, dir)
-      .select(col("doc_id").as("media_id"),
-        (col("doc_id") % 3).cast("int").as("k"),
-        col("text").cast("binary").as("bytes"))
-      .withColumn("kind",
-        when(col("k") === 0, "image").when(col("k") === 1, "audio").otherwise("video"))
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+    val media = docs.mapPartitions(_.map { case (id, payload) =>
+      val p = if (payload == null) Array.empty[Byte] else payload
+      (id % 3) match {
+        case 0 => (id, "image", bmpOf(p))
+        case 1 => (id, "audio", wavOf(p))
+        case _ => (id, "video", p)
+      }
+    }).toDF("media_id", "kind", "bytes")
     mediaStats(spark, media)
   }
 }

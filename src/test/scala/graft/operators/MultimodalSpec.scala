@@ -209,6 +209,36 @@ class MultimodalSpec extends AnyFunSuite {
     assert(math.abs(f.getAs[collection.Seq[Float]]("features").head - 2 * 7 / 255.0f) < 1e-6)
   }
 
+  test("container builders round-trip through the real decode path") {
+    // BMP: one 64-px row (192 bytes, height 1) — decoded pixels are the
+    // stored bytes BGR→RGB swizzled per pixel
+    val rowBytes = Array.tabulate[Byte](192)(i => (i % 251).toByte)
+    val audioBytes = Array[Byte](0, 0, 0, 64, 0, 128.toByte) // 0, 0.5, -1.0
+    val out = MultimodalOps.decode(Seq(
+        (1L, MultimodalOps.bmpOf(rowBytes)), (2L, MultimodalOps.wavOf(audioBytes)))
+      .toDF("media_id", "bytes")).orderBy("media_id").collect()
+    assert(out(0).getAs[String]("format") == "bmp")
+    assert(out(0).getAs[Int]("width") == 64 && out(0).getAs[Int]("height") == 1)
+    val px = out(0).getAs[Array[Byte]]("pixels")
+    assert(px.length == 192)
+    (0 until 64).foreach { x =>
+      assert(px(x * 3) == rowBytes(x * 3 + 2) && px(x * 3 + 1) == rowBytes(x * 3 + 1) &&
+        px(x * 3 + 2) == rowBytes(x * 3), s"pixel $x")
+    }
+    assert(out(1).getAs[Int]("channels") == 1)
+    assert(out(1).getAs[collection.Seq[Float]]("samples") == Seq(0.0f, 0.5f, -1.0f))
+  }
+
+  test("mediaPipeline: image rows carry real container dims end-to-end") {
+    val stats = MultimodalOps.mediaPipeline(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getAs[String]("kind") -> r).toMap
+    assert(stats.keySet == Set("image", "audio", "video"))
+    // the BMP builder writes width 64 and resizeMeta never upscales, so the
+    // per-kind average width is exactly the REAL header width, not a hash
+    assert(stats("image").getAs[Double]("avg_w") == 64.0)
+    assert(stats("audio").getAs[Long]("n") > 0 && stats("video").getAs[Long]("n") > 0)
+  }
+
   test("mediaStats: per-kind pipeline stats are exact on decodable fixtures") {
     val bmpBytes = bmp(2, 2, 24, 0,
       Array[Byte](7, 7, 7, 7, 7, 7, 0, 0, 7, 7, 7, 7, 7, 7, 0, 0))
