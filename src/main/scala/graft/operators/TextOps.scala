@@ -663,24 +663,47 @@ object TextOps {
     * caught 40% of true d≤8 pairs.)
     */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val fp = simhashFingerprints(spark, dir).persist()
+    val fp = simhashFingerprints(spark, dir)
+    // Dup-heavy corpora cluster on IDENTICAL fingerprints (the same
+    // collapse move minhashLshOver makes): the band self-join runs over
+    // DISTINCT fingerprints only, hamming computes once per fingerprint
+    // pair, and doc-level pairs appear only by expanding group
+    // memberships at the end — the one quadratic step left is writing
+    // the answer itself.
+    val groups = fp.groupBy("simhash")
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .persist()
+    // intra-group: identical fingerprints are hamming-0 pairs by definition
+    val intra = groups
+      .select(explode(col("ids")).as("doc_a"), col("ids"))
+      .select(col("doc_a"), explode(col("ids")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming", lit(0).cast("int"))
     // candidates: equal 8-bit value in ANY of the 8 bands (pairs with
     // hamming <= 7 are guaranteed caught; = 8 caught unless flips land in
-    // all eight bands), then exact hamming verification
-    val bands = fp.select(col("doc_id"), col("simhash"),
+    // all eight bands), then exact hamming verification — the d<=8 cut
+    // runs on fingerprint pairs BEFORE membership expansion, so only true
+    // near-dup groups ever expand
+    val bands = groups.select(col("simhash"),
       posexplode(array((0 until 8).map(b =>
         shiftright(col("simhash"), b * 8).bitwiseAND(0xFFL)): _*))
         .as(Seq("band", "bval")))
-    // hamming is a projection on the join output, so the d<=8 cut runs
-    // BEFORE the dedup exchange: only true near-dup pairs shuffle, not the
-    // full band-candidate volume (which grows ~n²/2^bits per band)
-    bands.as("a").join(bands.as("b"),
+    val fpairs = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+          col("a.simhash") < col("b.simhash"))
+      .select(col("a.simhash").as("fp_a"), col("b.simhash").as("fp_b"))
+      .dropDuplicates("fp_a", "fp_b")
+      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
       .filter(col("hamming") <= 8)
-      .dropDuplicates("doc_a", "doc_b")
-      .orderBy("doc_a", "doc_b")
+      .join(groups.select(col("simhash").as("fp_a"), col("ids").as("ids_a")), "fp_a")
+      .join(groups.select(col("simhash").as("fp_b"), col("ids").as("ids_b")), "fp_b")
+    // a document carries exactly one fingerprint, so expanded pairs are
+    // already distinct and disjoint from the intra set
+    val inter = fpairs
+      .select(explode(col("ids_a")).as("ia"), col("ids_b"), col("hamming"))
+      .select(col("ia"), explode(col("ids_b")).as("ib"), col("hamming"))
+      .select(least(col("ia"), col("ib")).as("doc_a"),
+        greatest(col("ia"), col("ib")).as("doc_b"), col("hamming"))
+    intra.unionByName(inter).orderBy("doc_a", "doc_b")
   }
 }
