@@ -636,7 +636,7 @@ object TextOps {
     * token-granularity shuffle in the dedup family); TextQualitySpec
     * pins the fingerprints bit-identical to that vote definition.
     */
-  private[operators] def simhashFingerprints(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def simhashFingerprints(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.ensureRegistered(spark)
     simhashOf(Tables.documents(spark, dir))
   }

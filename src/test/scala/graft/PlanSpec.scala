@@ -51,6 +51,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LeftSemi"), p)
   }
 
+  test("simhash fingerprints are a pure projection: no exchange (row-wise bit votes)") {
+    val p = plan(graft.operators.TextOps.simhashFingerprints(spark, dir))
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("simhash64"), p) // the native one-pass fold, not a re-agg
+  }
+
   test("IVF assignment is a pure projection: no exchange, no window, no count job") {
     graft.functions.VectorFunctions.ensureRegistered(spark)
     import org.apache.spark.sql.functions._
