@@ -33,6 +33,7 @@ object SparkEntry {
     graft.operators.VectorOps.lshOccupancy(spark, dir)
     graft.operators.VectorOps.trainedCodebook(spark, dir)
     graft.operators.VectorOps.cachedIvfAssigned(spark, dir)
+    graft.operators.VectorOps.cachedPqAssigned(spark, dir)
     graft.operators.VectorOps.cachedQueryVecs(spark, dir)
     ()
   }
@@ -89,6 +90,7 @@ object SparkEntry {
     "q_corpus_build" -> TextOps.corpusBuild _,
     "q_ann_lsh" -> ((s, d) => VectorOps.annLshTuned(s, d, budget = 0.6)),
     "q_ann_ivf" -> ((s, d) => VectorOps.annIvf(s, d)),
+    "q_ann_pq" -> ((s, d) => VectorOps.annPq(s, d)),
     // training-data pipeline: multimodal plumbing (stubbed decode; rows-only)
     "q_media_pipeline" -> MultimodalOps.mediaPipeline _,
   )

@@ -223,15 +223,10 @@ object VectorOps {
     * of it. Recall vs brute force is asserted in VectorOpsSpec. (No SQL
     * oracle — recall is index-defined; rows-only.)
     */
-  def annIvf(spark: SparkSession, dir: String, nProbe: Int = 0): DataFrame = {
-    VectorFunctions.ensureRegistered(spark)
-    import spark.implicits._
-    val codebook = trainedCodebook(spark, dir)
-    // nProbe <= 0 → derive from the list count (~sqrt(nlist), floor 4)
-    val probeN = if (nProbe > 0) nProbe else ivfProbesFor(codebook.size)
-    val queries = cachedQueryVecs(spark, dir)
-    // driver-side probe lists: probeN nearest centroids per query vector
-    val probeRows = queries.indices.flatMap { qi =>
+  /** Driver-side probe lists: the `probeN` nearest centroids per query. */
+  private def ivfProbeRows(queries: IndexedSeq[(Long, IndexedSeq[Float], Double)],
+      codebook: IndexedSeq[Seq[Double]], probeN: Int): Seq[(Int, Int)] =
+    queries.indices.flatMap { qi =>
       val qv = queries(qi)._2
       codebook.zipWithIndex.map { case (c, cid) =>
         val cn = math.sqrt(c.map(x => x * x).sum)
@@ -239,7 +234,15 @@ object VectorOps {
       }.sortBy { case (s, cid) => (-s, cid) }.take(probeN)
         .map { case (_, cid) => (qi, cid) }
     }
-    val probes = probeRows.toDF("qi", "cid")
+
+  def annIvf(spark: SparkSession, dir: String, nProbe: Int = 0): DataFrame = {
+    VectorFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    val codebook = trainedCodebook(spark, dir)
+    // nProbe <= 0 → derive from the list count (~sqrt(nlist), floor 4)
+    val probeN = if (nProbe > 0) nProbe else ivfProbesFor(codebook.size)
+    val queries = cachedQueryVecs(spark, dir)
+    val probes = ivfProbeRows(queries, codebook, probeN).toDF("qi", "cid")
     val assigned = cachedIvfAssigned(spark, dir)
     val qidLit = element_at(typedlit(queries.map(_._1)), col("qi") + 1)
     val qeLit = element_at(typedlit(queries.map(_._2.toSeq)), col("qi") + 1)
@@ -250,6 +253,160 @@ object VectorOps {
       .filter(qidLit =!= col("nid"))
       .select(col("qi"), col("nid"),
         round(dot(qeLit, col("ne")) / (qnLit * col("nn")), 4).as("cosine"))
+      .groupBy("qi")
+      .agg(slice(array_sort(collect_set(
+        struct((-col("cosine")).as("nc"), col("nid").as("nid")))), 1, 10).as("top"))
+      .select(col("qi"), posexplode(col("top")))
+      .select(qidLit.as("qid"), col("col.nid").as("nid"),
+        (-col("col.nc")).as("cosine"), (col("pos") + 1).cast("long").as("rn"))
+      .orderBy("qid", "rn")
+  }
+
+  // ---- IVF-PQ: compressed in-list scoring --------------------------------
+
+  private val pqSubspaces = 8
+  private val pqCodes = 16
+  private val pqSubDim = 8 // 64-dim embeddings / pqSubspaces
+
+  /** Deterministic L2 Lloyd iterations — the product-quantizer trainer
+    * (plain k-means per subspace; [[trainedCodebook]]'s spherical variant
+    * is for the coarse IVF codebook).
+    */
+  private def kmeansL2(data: Array[Array[Double]], k: Int,
+      iters: Int): IndexedSeq[Seq[Double]] = {
+    val dim = data.head.length
+    var cents = Array.tabulate(k)(i => data(((i.toLong * data.length) / k).toInt))
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      data.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue
+        for (c <- 0 until k) {
+          var d = 0.0; var i = 0
+          while (i < dim) { val t = v(i) - cents(c)(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = Array.tabulate(k)(c =>
+        if (counts(c) > 0) sums(c).map(_ / counts(c)) else cents(c))
+    }
+    cents.map(_.toSeq).toIndexedSeq
+  }
+
+  private val pqCodebookCache =
+    scala.collection.concurrent.TrieMap[String, IndexedSeq[IndexedSeq[Seq[Double]]]]()
+
+  /** Per-subspace PQ codebooks — pqSubspaces × pqCodes sub-centroids of
+    * pqSubDim dims, trained on the same deterministic 1024-vector sample
+    * as the coarse codebook. A corpus vector compresses to pqSubspaces
+    * small codes (8 bytes here vs 256 bytes of floats) — at 100 TB the
+    * compressed index is what keeps in-list scoring memory-resident.
+    */
+  private[graft] def pqCodebooks(spark: SparkSession,
+      dir: String): IndexedSeq[IndexedSeq[Seq[Double]]] =
+    pqCodebookCache.getOrElseUpdate(fpKey(dir), {
+      val sample = Tables.embeddings(spark, dir)
+        .orderBy("vec_id").limit(1024)
+        .select("embedding").collect()
+        .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+      (0 until pqSubspaces).map { s =>
+        kmeansL2(sample.map(_.slice(s * pqSubDim, (s + 1) * pqSubDim)),
+          pqCodes, iters = 10)
+      }
+    })
+
+  /** Inline argmin encoding for one subspace: nearest sub-centroid by L2,
+    * computed as argmax of (2·x·c − ‖c‖²) — ‖x‖² is constant per row. The
+    * same literal-codebook projection shape as [[ivfAssigned]]: no
+    * exchange, no jobs, stays in codegen.
+    */
+  private def pqCodeCol(e: Column, cb: IndexedSeq[Seq[Double]], s: Int): Column =
+    array_max(array(cb.zipWithIndex.map { case (c, cid) =>
+      val cc = c.map(x => x * x).sum
+      struct((dot(slice(e, s * pqSubDim + 1, pqSubDim), typedlit(c)) * 2 - lit(cc))
+        .as("sim"), lit(cid).as("cid"))
+    }: _*)).getField("cid")
+
+  private val pqAssignedCache =
+    scala.collection.concurrent.TrieMap[String, DataFrame]()
+
+  /** The corpus with coarse IVF list + PQ codes, persisted once per
+    * dataset — the IVF-PQ index. Full vectors ride along here because the
+    * exact re-rank needs them; a storage-bound deployment would keep them
+    * in a separate rerank table instead.
+    */
+  private[graft] def cachedPqAssigned(spark: SparkSession, dir: String): DataFrame =
+    pqAssignedCache.getOrElseUpdate(fpKey(dir), {
+      val cbs = pqCodebooks(spark, dir)
+      val codes = array((0 until pqSubspaces)
+        .map(s => pqCodeCol(col("embedding"), cbs(s), s)): _*)
+      val emb = Tables.embeddings(spark, dir)
+        .withColumn("nrm", norm(col("embedding")))
+      val assigned = ivfAssigned(emb, trainedCodebook(spark, dir))
+        .select(col("vec_id").as("nid"), col("embedding").as("ne"),
+          col("nrm").as("nn"), col("cid"), codes.as("codes"))
+        .persist()
+      assigned.count()
+      assigned
+    })
+
+  /** ANN via IVF-PQ (the FAISS-standard compressed search): queries probe
+    * their nearest coarse lists exactly like [[annIvf]], but rows inside
+    * the probed lists are first scored by ASYMMETRIC DISTANCE COMPUTATION
+    * — the approximate dot is a sum of `pqSubspaces` lookups into the
+    * query's precomputed per-subspace table (LUT[s][code] = q_s·c), no
+    * vector math per row — and only the top `rerank` compressed matches
+    * per query are re-ranked with exact cosine. Scores in the output are
+    * EXACT (the quantizer only shapes the candidate pool), which
+    * VectorOpsSpec pins along with a recall floor. (Rows-only — recall is
+    * index-defined, like the other ANN paths.)
+    *
+    * The 100 TB shape: the hot scan touches 8-byte codes instead of
+    * 256-byte vectors (LUTs are plan literals, broadcast with the probe
+    * list), and the expensive exact math runs on `rerank` rows per query
+    * instead of every in-list row.
+    */
+  def annPq(spark: SparkSession, dir: String, nProbe: Int = 0,
+      rerank: Int = 50): DataFrame = {
+    VectorFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    val codebook = trainedCodebook(spark, dir)
+    val probeN = if (nProbe > 0) nProbe else ivfProbesFor(codebook.size)
+    val queries = cachedQueryVecs(spark, dir)
+    val cbs = pqCodebooks(spark, dir)
+    val probes = ivfProbeRows(queries, codebook, probeN).toDF("qi", "cid")
+    // ADC lookup tables, one per (query, subspace): LUT[s][code] = q_s·c
+    val luts: Seq[Seq[Seq[Double]]] = queries.map { q =>
+      (0 until pqSubspaces).map { s =>
+        cbs(s).map { c =>
+          var d = 0.0; var i = 0
+          while (i < pqSubDim) { d += q._2(s * pqSubDim + i) * c(i); i += 1 }
+          d
+        }.toSeq
+      }
+    }
+    val lutLit = typedlit(luts)
+    val adc = (0 until pqSubspaces).map(s =>
+      element_at(element_at(element_at(lutLit, col("qi") + 1), s + 1),
+        element_at(col("codes"), s + 1) + 1)).reduce(_ + _)
+    val qidLit = element_at(typedlit(queries.map(_._1)), col("qi") + 1)
+    val qeLit = element_at(typedlit(queries.map(_._2.toSeq)), col("qi") + 1)
+    val qnLit = element_at(typedlit(queries.map(_._3)), col("qi") + 1)
+    cachedPqAssigned(spark, dir).join(broadcast(probes), Seq("cid"))
+      .filter(qidLit =!= col("nid"))
+      .select(col("qi"), col("nid"), col("ne"), col("nn"), adc.as("adc"))
+      // compressed-score pool: top `rerank` by ADC, vectors carried for
+      // the exact pass ((qi, nid) rows are unique, see annIvf)
+      .groupBy("qi")
+      .agg(slice(array_sort(collect_set(struct((-col("adc")).as("na"),
+        col("nid").as("nid"), col("ne").as("ne"), col("nn").as("nn")))),
+        1, rerank).as("pool"))
+      .select(col("qi"), explode(col("pool")).as("cand"))
+      .select(col("qi"), col("cand.nid").as("nid"),
+        round(dot(qeLit, col("cand.ne")) / (qnLit * col("cand.nn")), 4).as("cosine"))
       .groupBy("qi")
       .agg(slice(array_sort(collect_set(
         struct((-col("cosine")).as("nc"), col("nid").as("nid")))), 1, 10).as("top"))
@@ -352,8 +509,13 @@ object VectorOps {
     ivfAssignedCache.filterInPlace { (k, df) =>
       if (stale(k)) df.unpersist(); !stale(k)
     }
+    pqAssignedCache.filterInPlace { (k, df) =>
+      if (stale(k)) df.unpersist(); !stale(k)
+    }
     ivfCodebookCache.filterInPlace((k, _) => !stale(k))
+    pqCodebookCache.filterInPlace((k, _) => !stale(k))
     queryVecsCache.filterInPlace((k, _) => !stale(k))
+    occupancyCache.filterInPlace { case ((k, _), _) => !stale(k) }
     ()
   }
 

@@ -28,6 +28,16 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(mean >= 0.6, s"mean IVF recall $mean, per-query $recalls")
   }
 
+  test("IVF-PQ rerank recovers at least IVF-grade recall (≥ 0.6)") {
+    val pq = topSets(VectorOps.annPq(spark, dir))
+    val recalls = exact.map { case (q, truth) =>
+      pq.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(s"IVF-PQ mean recall $mean, per-query $recalls")
+    assert(mean >= 0.6, s"mean IVF-PQ recall $mean, per-query $recalls")
+  }
+
   test("multi-probe LSH recovers the exact top-10 (recall ≥ 0.9)") {
     val lsh = topSets(VectorOps.annLsh(spark, dir))
     val recalls = exact.map { case (q, truth) =>
@@ -100,7 +110,8 @@ class VectorOpsSpec extends AnyFunSuite {
     val bf = VectorOps.cosineTopK(spark, dir)
       .select("qid", "nid", "cosine").collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
-    Seq(VectorOps.annIvf(spark, dir), VectorOps.annLsh(spark, dir)).foreach { ann =>
+    Seq(VectorOps.annIvf(spark, dir), VectorOps.annLsh(spark, dir),
+      VectorOps.annPq(spark, dir)).foreach { ann =>
       ann.select("qid", "nid", "cosine").collect().foreach { r =>
         val key = (r.getLong(0), r.getLong(1))
         bf.get(key).foreach(expected => assert(r.getDouble(2) == expected, key))
