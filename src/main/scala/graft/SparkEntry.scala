@@ -81,6 +81,7 @@ object SparkEntry {
     "q_token_counts" -> TextOps.tokenCounts _,
     "q_sample_hash" -> TextOps.hashSample _,
     "q_sample_stratified" -> ((s, d) => TextOps.stratifiedSample(s, d)),
+    "q_sample_temperature" -> ((s, d) => TextOps.temperatureSample(s, d)),
     "q_simhash" -> TextOps.simhash _,
     "q_minhash_profile" -> TextOps.minhashProfile _,
     // training-data pipeline: embeddings
@@ -394,6 +395,13 @@ object SparkEntry {
         |      ORDER BY md5(concat(CAST(doc_id AS VARCHAR), ':', COALESCE(text, ''))), doc_id) AS rk
         |  FROM documents) t
         |WHERE rk <= 20 ORDER BY lang, rk""".stripMargin,
+    "q_sample_temperature" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS n_s FROM documents GROUP BY lang)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN c USING (lang)
+        |WHERE CAST(concat('0x', substr(md5(concat(CAST(d.doc_id AS VARCHAR), ':', COALESCE(d.text, ''))), 1, 8)) AS BIGINT)
+        |        / 4294967296.0
+        |      < least(1.0, 3.0 / sqrt(CAST(n_s AS DOUBLE)))
+        |ORDER BY doc_id""".stripMargin,
     "q_cosine_topk" ->
       """WITH flat AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
         |                generate_subscripts(embedding, 1) AS i FROM embeddings),

@@ -142,6 +142,37 @@ object TextOps {
       .orderBy("lang", "rk")
   }
 
+  /** Temperature-resampled corpus mix — the LLM data-mixing primitive:
+    * per-stratum acceptance probability `min(1, k / sqrt(n_s))` makes the
+    * expected accepted count per stratum `k·sqrt(n_s)` — i.e. the mix is
+    * proportional to stratum-size^0.5 (temperature 0.5: dominant
+    * languages down-weighted, tail languages up-weighted), with `k`
+    * scaling the corpus size. Deterministic like [[hashSample]] — the
+    * gate compares the md5-derived unit uniform against the stratum's
+    * threshold, no RNG anywhere.
+    *
+    * Every arithmetic step is IEEE-exactly-rounded (sqrt, one divide, a
+    * power-of-two divide for the unit uniform), so the DuckDB oracle
+    * computes bit-identical thresholds — which is why the exponent is
+    * FIXED at 0.5 (sqrt) rather than a pow(n, alpha) parameter: pow is
+    * not correctly rounded and its last ULP differs across engines.
+    *
+    * Scale shape: one tiny stratum aggregate (KBs at any corpus size)
+    * broadcast back; the acceptance predicate is a pure map-side filter.
+    */
+  def temperatureSample(spark: SparkSession, dir: String, k: Double = 3.0): DataFrame =
+    temperatureSampleOver(Tables.documents(spark, dir), k)
+
+  private[operators] def temperatureSampleOver(docs: DataFrame, k: Double): DataFrame = {
+    val strata = docs.groupBy("lang").agg(count(lit(1)).as("n_s"))
+    val u = conv(substring(sampleKey, 1, 8), 16, 10).cast("long")
+      .cast("double") / lit(4294967296.0)
+    docs.join(broadcast(strata), "lang")
+      .filter(u < least(lit(1.0), lit(k) / sqrt(col("n_s").cast("double"))))
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+  }
+
   /** English stopwords used by the quality / language heuristics. */
   private val stopwords =
     Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "on", "for")

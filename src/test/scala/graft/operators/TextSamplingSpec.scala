@@ -50,4 +50,25 @@ class TextSamplingSpec extends AnyFunSuite {
     val xx = strat.filter(_.getString(0) == "xx").map(_.getLong(2)).toSet
     assert(xx == gatedNullIds.toSet)
   }
+
+  test("temperatureSample: accepted counts track k*sqrt(stratum size)") {
+    // skewed strata: 400 "big" docs vs 25 "small" — temperature-0.5 mixing
+    // means acceptance RATES go 3/20 vs 3/5 (small strata up-weighted),
+    // and expected accepted counts are k*sqrt(n_s) = 60 vs 15
+    val rows = (0L until 400L).map(i => (i, s"big doc $i", "big", "s", 9L)) ++
+      (1000L until 1025L).map(i => (i, s"small doc $i", "small", "s", 10L))
+    val docs = rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextOps.temperatureSampleOver(docs, k = 3.0)
+    val byLang = got.collect().groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    // md5-uniform gate: counts are binomial around the expectation —
+    // generous 3-sigma-ish bands keep this deterministic-but-robust
+    assert(byLang("big") >= 35 && byLang("big") <= 85, byLang.toString)
+    assert(byLang("small") >= 6 && byLang("small") <= 24, byLang.toString)
+    val rateBig = byLang("big") / 400.0
+    val rateSmall = byLang("small") / 25.0
+    assert(rateSmall > rateBig * 2, s"mixing inverted: $rateSmall vs $rateBig")
+    // deterministic: same corpus, same sample
+    assert(TextOps.temperatureSampleOver(docs, k = 3.0).collect().toSeq ==
+      got.collect().toSeq)
+  }
 }
