@@ -133,13 +133,24 @@ object ScaleProbe {
       def time(f: => Unit): Double = median((1 to 3).map { _ =>
         val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
       })
+      VectorOps.cachedPqAssigned(spark, d) // ingest-time PQ encode, untimed
+      val ivfGot = topSets(VectorOps.annIvf(spark, d))
+      val ivfRecall = exact.map { case (q, truth) =>
+        ivfGot.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+      }.sum / exact.size
+      val pqGot = topSets(VectorOps.annPq(spark, d))
+      val pqRecall = exact.map { case (q, truth) =>
+        pqGot.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+      }.sum / exact.size
       val tBrute = time(VectorOps.cosineTopK(spark, d).count(): Unit)
       val tTuned = time(VectorOps.annLsh(spark, d, pb, mf).count(): Unit)
+      val tPq = time(VectorOps.annPq(spark, d).count(): Unit)
       println(f"[scaleprobe] ann $tag%-4s n=$n%6d bits=${occ.bits} " +
         f"net=($pb,$mf) pred=$pred%.3f meas=$meas%.3f recall=$recall%.2f " +
-        f"brute=$tBrute%5.2fs lsh=$tTuned%5.2fs")
+        f"ivf_recall=$ivfRecall%.2f pq_recall=$pqRecall%.2f brute=$tBrute%5.2fs lsh=$tTuned%5.2fs pq=$tPq%5.2fs")
       s""""ann_$tag":{"n":$n,"bits":${occ.bits},"net":[$pb,$mf],"pred":$pred,""" +
-        s""""measured":$meas,"recall":$recall,"brute_s":$tBrute,"lsh_s":$tTuned}"""
+        s""""measured":$meas,"recall":$recall,"pq_recall":$pqRecall,""" +
+        s""""brute_s":$tBrute,"lsh_s":$tTuned,"pq_s":$tPq}"""
     }
   }
 

@@ -368,15 +368,30 @@ object VectorOps {
     * 256-byte vectors (LUTs are plan literals, broadcast with the probe
     * list), and the expensive exact math runs on `rerank` rows per query
     * instead of every in-list row.
+    *
+    * rerank <= 0 scales the pool with the expected in-list candidate
+    * volume (¼ of it, floor 50, cap 2048). The floor is not enough by
+    * itself when the corpus holds large NEAR-DUPLICATE clusters: cluster
+    * members quantize to the same codes, ADC cannot order inside the tie,
+    * and a fixed pool keeps an arbitrary subset (measured in ScaleProbe:
+    * recall 0.14 with pool 50 against ~300-member clusters, restored by
+    * the scaled pool). Production pipelines dedup embeddings BEFORE
+    * indexing ([[embedClusters]]) precisely to keep such clusters out.
     */
   def annPq(spark: SparkSession, dir: String, nProbe: Int = 0,
-      rerank: Int = 50): DataFrame = {
+      rerank: Int = 0): DataFrame = {
     VectorFunctions.ensureRegistered(spark)
     import spark.implicits._
     val codebook = trainedCodebook(spark, dir)
     val probeN = if (nProbe > 0) nProbe else ivfProbesFor(codebook.size)
     val queries = cachedQueryVecs(spark, dir)
     val cbs = pqCodebooks(spark, dir)
+    val rerankN =
+      if (rerank > 0) rerank
+      else {
+        val n = cachedPqAssigned(spark, dir).count() // persisted: metadata-cheap
+        math.min(2048L, math.max(50L, n * probeN / codebook.size / 4)).toInt
+      }
     val probes = ivfProbeRows(queries, codebook, probeN).toDF("qi", "cid")
     // ADC lookup tables, one per (query, subspace): LUT[s][code] = q_s·c
     val luts: Seq[Seq[Seq[Double]]] = queries.map { q =>
@@ -403,7 +418,7 @@ object VectorOps {
       .groupBy("qi")
       .agg(slice(array_sort(collect_set(struct((-col("adc")).as("na"),
         col("nid").as("nid"), col("ne").as("ne"), col("nn").as("nn")))),
-        1, rerank).as("pool"))
+        1, rerankN).as("pool"))
       .select(col("qi"), explode(col("pool")).as("cand"))
       .select(col("qi"), col("cand.nid").as("nid"),
         round(dot(qeLit, col("cand.ne")) / (qnLit * col("cand.nn")), 4).as("cosine"))
