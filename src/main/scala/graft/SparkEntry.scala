@@ -82,6 +82,7 @@ object SparkEntry {
     "q_sample_hash" -> TextOps.hashSample _,
     "q_sample_stratified" -> ((s, d) => TextOps.stratifiedSample(s, d)),
     "q_sample_temperature" -> ((s, d) => TextOps.temperatureSample(s, d)),
+    "q_decontaminate" -> ((s, d) => TextOps.decontaminate(s, d)),
     "q_simhash" -> TextOps.simhash _,
     "q_minhash_profile" -> TextOps.minhashProfile _,
     // training-data pipeline: embeddings
@@ -92,7 +93,7 @@ object SparkEntry {
     "q_ann_lsh" -> ((s, d) => VectorOps.annLshTuned(s, d, budget = 0.6)),
     "q_ann_ivf" -> ((s, d) => VectorOps.annIvf(s, d)),
     "q_ann_pq" -> ((s, d) => VectorOps.annPq(s, d)),
-    // training-data pipeline: multimodal plumbing (stubbed decode; rows-only)
+    // training-data pipeline: multimodal (real BMP/WAV container decode; rows-only)
     "q_media_pipeline" -> MultimodalOps.mediaPipeline _,
   )
 
@@ -395,6 +396,19 @@ object SparkEntry {
         |      ORDER BY md5(concat(CAST(doc_id AS VARCHAR), ':', COALESCE(text, ''))), doc_id) AS rk
         |  FROM documents) t
         |WHERE rk <= 20 ORDER BY lang, rk""".stripMargin,
+    "q_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id,
+        |    s[CAST(i AS INT)] || ' ' || s[CAST(i AS INT) + 1] || ' ' || s[CAST(i AS INT) + 2] AS g
+        |  FROM toks, UNNEST(range(1, greatest(len(s) - 1, 1))) AS t(i)
+        |),
+        |ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0)
+        |SELECT doc_id, COUNT(*) AS shared_ngrams
+        |FROM grams JOIN ev USING (g)
+        |WHERE doc_id % 97 <> 0
+        |GROUP BY doc_id HAVING COUNT(*) >= 3
+        |ORDER BY doc_id""".stripMargin,
     "q_sample_temperature" ->
       """WITH c AS (SELECT lang, COUNT(*) AS n_s FROM documents GROUP BY lang)
         |SELECT d.doc_id, d.lang FROM documents d JOIN c USING (lang)

@@ -173,6 +173,41 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Benchmark decontamination — the eval-set n-gram overlap check every
+    * training pipeline runs before shipping a corpus: a corpus document
+    * is contaminated if it shares at least `minShared` DISTINCT word
+    * n-grams with any eval-set document. The eval set here is the
+    * deterministic `doc_id % 97 == 0` slice (a stand-in for a benchmark
+    * suite riding in the same table).
+    *
+    * Scale shape: eval sets are tiny (benchmark suites are MBs against a
+    * 100 TB corpus), so their distinct gram set BROADCASTS and the
+    * corpus side is a map-side semi-join + per-doc partial count — the
+    * only exchange is the final per-document aggregate. Grams are
+    * strings (not hashes) so the DuckDB oracle is hash-exact.
+    */
+  def decontaminate(spark: SparkSession, dir: String, n: Int = 3,
+      minShared: Int = 3): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    def grams: Column = {
+      val t = tokens(col("text"))
+      array_distinct(when(size(t) >= n,
+        transform(sequence(lit(0), size(t) - n),
+          i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j + 1)): _*)))
+        .otherwise(array().cast("array<string>")))
+    }
+    val evalGrams = docs.filter(col("doc_id") % 97 === 0)
+      .select(explode(grams).as("g")).distinct()
+    docs.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), explode(grams).as("g"))
+      .join(broadcast(evalGrams), "g")
+      .groupBy("doc_id")
+      // grams are per-doc distinct already (array_distinct pre-explode)
+      .agg(count(lit(1)).as("shared_ngrams"))
+      .filter(col("shared_ngrams") >= minShared)
+      .orderBy("doc_id")
+  }
+
   /** English stopwords used by the quality / language heuristics. */
   private val stopwords =
     Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "on", "for")
