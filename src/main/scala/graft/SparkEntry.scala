@@ -85,6 +85,10 @@ object SparkEntry {
     "q_decontaminate" -> ((s, d) => TextOps.decontaminate(s, d)),
     "q_simhash" -> TextOps.simhash _,
     "q_minhash_profile" -> TextOps.minhashProfile _,
+    "q_repetition" -> TextOps.repetitionSignals _,
+    "q_chunk_dedup" -> ((s, d) => TextOps.chunkDedup(s, d)),
+    "q_pack_sequences" -> ((s, d) => TextOps.packSequences(s, d)),
+    "q_vocab_df" -> ((s, d) => TextOps.vocabDocFreq(s, d)),
     // training-data pipeline: embeddings
     "q_cosine_topk" -> VectorOps.cosineTopK _,
     "q_embed_near_dup" -> VectorOps.embeddingNearDup _,
@@ -416,6 +420,55 @@ object SparkEntry {
         |        / 4294967296.0
         |      < least(1.0, 3.0 / sqrt(CAST(n_s AS DOUBLE)))
         |ORDER BY doc_id""".stripMargin,
+    "q_repetition" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |              FROM documents WHERE text IS NOT NULL),
+        |tw AS (SELECT doc_id, unnest(tk) AS w FROM toks),
+        |wc AS (SELECT doc_id, MAX(n) AS top_token_n FROM
+        |         (SELECT doc_id, w, COUNT(*) AS n FROM tw GROUP BY 1, 2)
+        |       GROUP BY 1),
+        |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+        |         i -> tk[i] || ' ' || tk[i+1])) AS b FROM toks),
+        |bc AS (SELECT doc_id, MAX(n) AS top_bigram_n FROM
+        |         (SELECT doc_id, b, COUNT(*) AS n FROM bg GROUP BY 1, 2)
+        |       GROUP BY 1)
+        |SELECT t.doc_id, len(tk) AS n_tokens,
+        |  len(list_distinct(tk)) AS n_distinct,
+        |  wc.top_token_n, COALESCE(bc.top_bigram_n, 0) AS top_bigram_n
+        |FROM toks t JOIN wc USING (doc_id) LEFT JOIN bc USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "q_chunk_dedup" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |              FROM documents WHERE text IS NOT NULL),
+        |ch AS (SELECT DISTINCT doc_id,
+        |         array_to_string(list_slice(tk, (i-1)*16+1, least(i*16, len(tk))), ' ') AS chunk
+        |       FROM toks, UNNEST(range(1, CAST(ceil(len(tk)/16.0) AS BIGINT) + 1)) AS t(i)),
+        |fo AS (SELECT chunk, MIN(doc_id) AS first_doc FROM ch GROUP BY 1)
+        |SELECT doc_id, COUNT(*) AS n_chunks,
+        |  COUNT(CASE WHEN first_doc < doc_id THEN 1 END) AS n_dup_chunks
+        |FROM ch JOIN fo USING (chunk)
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "q_pack_sequences" ->
+      """WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+        |           FROM documents WHERE text IS NOT NULL),
+        |c AS (SELECT doc_id, n_tokens,
+        |        CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+        |      FROM d)
+        |SELECT doc_id, n_tokens,
+        |  cum_before // 512 AS first_seq,
+        |  (cum_before + n_tokens - 1) // 512 AS last_seq,
+        |  cum_before % 512 AS seq_offset
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "q_vocab_df" ->
+      """WITH tok AS (SELECT DISTINCT doc_id, lang, unnest(string_split(text, ' ')) AS term
+        |             FROM documents WHERE text IS NOT NULL),
+        |df AS (SELECT lang, term, COUNT(*) AS df FROM tok GROUP BY 1, 2),
+        |rk AS (SELECT lang, term, df,
+        |         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY df DESC, term) AS rn
+        |       FROM df)
+        |SELECT lang, rn, term, df FROM rk WHERE rn <= 10
+        |ORDER BY lang, rn""".stripMargin,
     "q_cosine_topk" ->
       """WITH flat AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
         |                generate_subscripts(embedding, 1) AS i FROM embeddings),

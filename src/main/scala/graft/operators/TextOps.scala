@@ -772,4 +772,177 @@ object TextOps {
         greatest(col("ia"), col("ib")).as("doc_b"), col("hamming"))
     intra.unionByName(inter).orderBy("doc_a", "doc_b")
   }
+
+  /** Count of the most frequent element of a string array, computed
+    * ROW-WISE: sort the array, then one fold finds the longest equal-run.
+    * This is the mode-without-a-shuffle move — the naive formulation
+    * (explode + groupBy(doc, element) + max) re-gathers every token of
+    * the corpus through an exchange just to count within rows the scan
+    * already had. Empty arrays fold to 0.
+    */
+  private[operators] def modeCount(arr: Column): Column =
+    aggregate(array_sort(arr),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+
+  /** Word bigrams as strings (oracle-parity form; the hashed-window form
+    * [[shingles]] is the scale path when the grams feed a join).
+    */
+  private def bigrams(t: Column): Column =
+    when(size(t) >= 2,
+      transform(sequence(lit(0), size(t) - 2),
+        i => concat(element_at(t, i + 1), lit(" "), element_at(t, i + 2))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Gopher-style repetition signals, the quality gate every pretraining
+    * pipeline runs before mixing: per document, the total / distinct
+    * token counts and the occurrence count of the most frequent token and
+    * word-bigram (the "fraction of content inside the top n-gram" family,
+    * reported as exact integers so the oracle is hash-exact; the
+    * fractions are one divide away).
+    *
+    * Scale shape: every signal is a row-wise array fold on the scan
+    * ([[modeCount]] — sort + longest-run instead of explode + count) —
+    * per-document repetition needs NO shuffle at any corpus size; the
+    * only exchange is the presentation sort.
+    */
+  def repetitionSignals(spark: SparkSession, dir: String): DataFrame =
+    repetitionOver(Tables.documents(spark, dir))
+
+  private[operators] def repetitionOver(docs: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    docs
+      .filter(col("text").isNotNull) // oracle's unnest emits nothing for null
+      .select(col("doc_id"),
+        size(t).cast("long").as("n_tokens"),
+        size(array_distinct(t)).cast("long").as("n_distinct"),
+        modeCount(t).as("top_token_n"),
+        modeCount(bigrams(t)).as("top_bigram_n"))
+      .orderBy("doc_id")
+  }
+
+  /** Span-level (chunk) deduplication — the passage-granularity member of
+    * the dedup family: documents are cut into consecutive 16-token
+    * chunks, and each document reports how many of its distinct chunks
+    * already occur in an earlier document (min doc_id owns a chunk).
+    * Exact-substring dedup pipelines drop or rewrite those spans; the
+    * counts here are the manifest of that decision.
+    *
+    * Scale shape: chunks shuffle as 16-byte md5 keys (same minimum-width
+    * move as [[dedupExact]]), first-owner resolution is ONE window over
+    * that key (no self-join), and the per-document rollup is the only
+    * other exchange. Chunk volume ≈ corpus token volume / 16.
+    */
+  def chunkDedup(spark: SparkSession, dir: String, chunkTokens: Int = 16): DataFrame =
+    chunkDedupOver(Tables.documents(spark, dir), chunkTokens)
+
+  private[operators] def chunkDedupOver(docs: DataFrame, chunkTokens: Int): DataFrame = {
+    val t = tokens(col("text"))
+    // chunk START positions directly (1, 1+n, 1+2n, …): integer-stepped
+    // sequence; slice truncates the final partial chunk at the array end
+    val chunkArr = transform(sequence(lit(1), size(t), lit(chunkTokens)),
+      s => array_join(slice(t, s, lit(chunkTokens)), " "))
+    val chunks = docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(array_distinct(chunkArr)).as("chunk"))
+      .select(col("doc_id"), unhex(md5(col("chunk").cast("binary"))).as("ck"))
+    val firstOwner = Window.partitionBy("ck")
+    chunks
+      .withColumn("first_doc", min(col("doc_id")).over(firstOwner))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        count(when(col("first_doc") < col("doc_id"), lit(1))).as("n_dup_chunks"))
+      .orderBy("doc_id")
+  }
+
+  /** Sequence packing — the pretraining batch-construction step: the
+    * token stream of the corpus in doc_id order is cut into fixed
+    * `seqLen`-token training sequences (documents straddle boundaries,
+    * GPT-style), and each document reports the sequence span it lands in
+    * and its offset inside the first one. All integers from one running
+    * token count — oracle hash-exact.
+    *
+    * Scale shape: a global prefix sum is the textbook sequential trap, so
+    * it runs DISTRIBUTED: range-partition by doc_id (partition i holds
+    * smaller ids than partition i+1), a per-partition window computes
+    * local prefix sums, and the per-partition totals (one row per
+    * partition, KBs at any scale) broadcast back as offsets. No single
+    * reducer ever sees the whole corpus.
+    */
+  def packSequences(spark: SparkSession, dir: String, seqLen: Int = 512): DataFrame =
+    packSequencesOver(Tables.documents(spark, dir), seqLen)
+
+  /** `numParts > 0` pins the range-partition count (the spec uses it to
+    * force a genuinely multi-partition run; AQE coalesces a small corpus
+    * to one partition otherwise, which would test nothing).
+    */
+  private[operators] def packSequencesOver(docs0: DataFrame, seqLen: Int,
+      numParts: Int = 0): DataFrame = {
+    val sized = docs0
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+    val docs = (if (numParts > 0) sized.repartitionByRange(numParts, col("doc_id"))
+                else sized.repartitionByRange(col("doc_id")))
+      // persisted: the totals aggregate and the per-document pass both
+      // consume this frame, and pid MUST be the same assignment in both —
+      // two independent evaluations could be coalesced differently by AQE
+      .withColumn("pid", spark_partition_id())
+      .persist()
+    val partTotals = docs.groupBy("pid").agg(sum(col("n_tokens")).as("ptot"))
+      .withColumn("poffset",
+        coalesce(sum(col("ptot")).over(
+          Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("pid", "poffset")
+    val local = Window.partitionBy("pid").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .join(broadcast(partTotals), "pid")
+      .withColumn("cum_before",
+        col("poffset") + coalesce(sum(col("n_tokens")).over(local), lit(0L)))
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"cum_before div $seqLen").as("first_seq"),
+        expr(s"(cum_before + n_tokens - 1) div $seqLen").as("last_seq"),
+        (col("cum_before") % seqLen).as("seq_offset"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-language vocabulary head: the top `k` terms by document
+    * frequency — the corpus-inspection query behind stopword lists,
+    * boilerplate detection, and tokenizer-coverage checks.
+    *
+    * Scale shape: per-document distinct tokens come from a row-wise
+    * array_distinct (no pre-aggregation explode dedup), the (lang, term)
+    * count is a hash aggregate with map-side partials, and the top-k uses
+    * the same two-phase window as [[stratifiedSample]] — each partition
+    * ranks its local survivors before the per-language global window sees
+    * ≤ k×partitions rows, so a 100M-term vocabulary never funnels
+    * through #languages reducers.
+    */
+  def vocabDocFreq(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    vocabDocFreqOver(Tables.documents(spark, dir), k)
+
+  private[operators] def vocabDocFreqOver(docs: DataFrame, k: Int): DataFrame = {
+    val df = docs
+      .filter(col("text").isNotNull)
+      .select(col("lang"), explode(array_distinct(tokens(col("text")))).as("term"))
+      .groupBy("lang", "term")
+      .agg(count(lit(1)).as("df"))
+    val local = Window.partitionBy("lang", "split")
+      .orderBy(col("df").desc, col("term"))
+    val global = Window.partitionBy("lang").orderBy(col("df").desc, col("term"))
+    df.withColumn("split", spark_partition_id())
+      .withColumn("lrk", row_number().over(local))
+      .filter(col("lrk") <= k)
+      .withColumn("rn", row_number().over(global).cast("long"))
+      .filter(col("rn") <= k)
+      .select("lang", "rn", "term", "df")
+      .orderBy("lang", "rn")
+  }
 }

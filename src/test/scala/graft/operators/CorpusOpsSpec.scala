@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.{Tables, TestSpark}
+
+/** Corpus-construction operators (repetition signals, chunk dedup,
+  * sequence packing, vocabulary head) — fixture cases with hand-computed
+  * expectations, plus exact driver-side ground-truth equivalence over the
+  * sf0.01 corpus (the same exhaustive-oracle pattern as TextQualitySpec).
+  */
+class CorpusOpsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+  private val dir = "/root/testdata/sf0.01"
+
+  private lazy val corpus: Seq[(Long, String)] =
+    Tables.documents(spark, dir).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+
+  // --- repetition signals -------------------------------------------------
+
+  test("repetition signals: hand-computed fixture") {
+    val docs = Seq(
+      (1L, "a b a b a"),       // top token a×3; top bigram "a b"×2
+      (2L, "x"),               // single token, no bigram
+      (3L, "t t t t"),         // top token t×4; top bigram "t t"×3
+      (4L, "u v w")            // all distinct
+    ).toDF("doc_id", "text")
+    val out = TextOps.repetitionOver(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(out(1L) == ((5L, 2L, 3L, 2L)))
+    assert(out(2L) == ((1L, 1L, 1L, 0L)))
+    assert(out(3L) == ((4L, 1L, 4L, 3L)))
+    assert(out(4L) == ((3L, 3L, 1L, 1L)))
+  }
+
+  test("repetition signals: null text drops, like the oracle's unnest") {
+    val docs = Seq((1L, "a a"), (2L, null)).toDF("doc_id", "text")
+    val out = TextOps.repetitionOver(docs).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("repetition signals match the naive explode+count definition at sf0.01") {
+    val got = TextOps.repetitionSignals(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val want = corpus.filter(_._2 != null).map { case (id, text) =>
+      val toks = text.split(" ", -1).toSeq
+      val bgs = toks.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+      val topTok = toks.groupBy(identity).values.map(_.size).max.toLong
+      val topBg =
+        if (bgs.isEmpty) 0L
+        else bgs.groupBy(identity).values.map(_.size).max.toLong
+      id -> ((toks.size.toLong, toks.distinct.size.toLong, topTok, topBg))
+    }.toMap
+    assert(got == want)
+  }
+
+  // --- chunk dedup --------------------------------------------------------
+
+  test("chunk dedup: earlier doc owns the shared span") {
+    // chunk size 2: doc 1 = ["a b", "c d"]; doc 2 = ["c d", "e f"];
+    // doc 3 = ["a b"] (dup of doc 1's), doc 4 all fresh + short tail chunk
+    val docs = Seq(
+      (1L, "a b c d"),
+      (2L, "c d e f"),
+      (3L, "a b"),
+      (4L, "g h i")
+    ).toDF("doc_id", "text")
+    val out = TextOps.chunkDedupOver(docs, chunkTokens = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) == ((2L, 0L)))
+    assert(out(2L) == ((2L, 1L)))
+    assert(out(3L) == ((1L, 1L)))
+    assert(out(4L) == ((2L, 0L))) // "g h" + tail "i", neither seen before
+  }
+
+  test("chunk dedup: within-doc repeats count once (distinct chunks)") {
+    val docs = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    val out = TextOps.chunkDedupOver(docs, chunkTokens = 2).collect()
+    assert(out.length == 1 && out.head.getLong(1) == 1L && out.head.getLong(2) == 0L)
+  }
+
+  test("chunk dedup matches exhaustive driver-side ground truth at sf0.01") {
+    val got = TextOps.chunkDedup(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val chunked = corpus.filter(_._2 != null).map { case (id, text) =>
+      id -> text.split(" ", -1).grouped(16).map(_.mkString(" ")).toSet
+    }
+    val firstOwner = chunked.flatMap { case (id, cs) => cs.map(_ -> id) }
+      .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).min }
+    val want = chunked.map { case (id, cs) =>
+      id -> ((cs.size.toLong, cs.count(c => firstOwner(c) < id).toLong))
+    }.toMap
+    assert(got == want)
+  }
+
+  // --- sequence packing ---------------------------------------------------
+
+  test("sequence packing: hand-computed fixture at seqLen=4") {
+    // token counts: 3, 3, 2 → cumulative starts 0, 3, 6
+    val docs = Seq(
+      (1L, "a b c"),
+      (2L, "d e f"),
+      (3L, "g h")
+    ).toDF("doc_id", "text")
+    val out = TextOps.packSequencesOver(docs, seqLen = 4).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(1L) == ((3L, 0L, 0L, 0L))) // tokens 0-2 in seq 0
+    assert(out(2L) == ((3L, 0L, 1L, 3L))) // tokens 3-5 straddle seqs 0-1
+    assert(out(3L) == ((2L, 1L, 1L, 2L))) // tokens 6-7 inside seq 1
+  }
+
+  test("distributed prefix sum equals the single-window definition at sf0.01") {
+    // pinned to 7 range partitions: AQE coalesces 500 rows to one
+    // partition otherwise, and a single-partition run proves nothing
+    // about the partition-offset arithmetic
+    val out = TextOps.packSequencesOver(
+      Tables.documents(spark, dir), seqLen = 512, numParts = 7)
+    val got = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    var cum = 0L
+    val want = corpus.filter(_._2 != null).sortBy(_._1).map { case (id, text) =>
+      val n = text.split(" ", -1).length.toLong
+      val row = (id, n, cum / 512, (cum + n - 1) / 512, cum % 512)
+      cum += n
+      row
+    }
+    assert(got.toSeq == want)
+  }
+
+  // --- vocabulary head ----------------------------------------------------
+
+  test("vocab head: hand-computed fixture with ties broken by term") {
+    val docs = Seq(
+      (1L, "en", "b a a"), // df: a=1, b=1 within doc (distinct)
+      (2L, "en", "a c"),
+      (3L, "fr", "z z")
+    ).toDF("doc_id", "lang", "text")
+    val out = TextOps.vocabDocFreqOver(docs, k = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    // en: a df=2 first; b/c tie at df=1 → 'b' wins lexicographically
+    assert(out.toSeq == Seq(("en", 1L, "a", 2L), ("en", 2L, "b", 1L),
+      ("fr", 1L, "z", 1L)))
+  }
+
+  test("vocab head matches exhaustive document-frequency ground truth at sf0.01") {
+    val got = TextOps.vocabDocFreq(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val docs = Tables.documents(spark, dir).select("doc_id", "lang", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val want = docs.filter(_._3 != null)
+      .flatMap { case (_, lang, text) =>
+        text.split(" ", -1).distinct.map(t => (lang, t))
+      }
+      .groupBy(identity).map { case ((lang, t), xs) => (lang, t, xs.length.toLong) }
+      .groupBy(_._1).toSeq.flatMap { case (lang, terms) =>
+        terms.toSeq.sortBy { case (_, t, df) => (-df, t) }.take(10).zipWithIndex
+          .map { case ((_, t, df), i) => (lang, (i + 1).toLong, t, df) }
+      }.sortBy(r => (r._1, r._2))
+    assert(got.toSeq == want)
+  }
+}
