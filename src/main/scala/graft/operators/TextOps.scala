@@ -22,6 +22,20 @@ object TextOps {
 
   private def tokens(text: Column): Column = split(text, " ")
 
+  /** Let-binding for Catalyst expressions: evaluate `e` ONCE per row and
+    * pass the result to `f` as a lambda variable. Referencing a non-trivial
+    * expression (a split, a transform) from inside a higher-order-function
+    * lambda re-evaluates it for EVERY array element — higher-order
+    * functions are interpreted and do no common-subexpression elimination
+    * across the lambda boundary, which silently turns per-window
+    * element_at chains into O(len²) per document (measured 10× on the
+    * gram builders here). `transform` over a single-element array is the
+    * expression-level `let`: the lambda variable is a plain row-value
+    * read wherever `f` uses it.
+    */
+  private def bindOnce(e: Column)(f: Column => Column): Column =
+    element_at(transform(array(e), x => f(x)), 1)
+
   /** Word n-gram shingles as 64-bit hashes: tokens hash once, then each
     * overlapping n-window hashes its n token-hashes directly — no
     * concatenated shingle strings are ever materialized (the dominant
@@ -30,14 +44,14 @@ object TextOps {
     * shingle→minhash input for near-dup at document scale (unigram tokens
     * under-shingle long docs; n-grams preserve locality).
     */
-  private[operators] def shingles(text: Column, n: Int): Column = {
-    val th = transform(tokens(text), t => xxhash64(t))
-    // try_element_at: a document shorter than n tokens yields one partial
-    // window (nulls skipped by xxhash64) instead of an ANSI index error
-    array_distinct(transform(
-      sequence(lit(0), greatest(size(th) - n, lit(0))),
-      i => xxhash64((0 until n).map(j => try_element_at(th, i + j + 1)): _*)))
-  }
+  private[operators] def shingles(text: Column, n: Int): Column =
+    bindOnce(transform(tokens(text), t => xxhash64(t))) { th =>
+      // try_element_at: a document shorter than n tokens yields one partial
+      // window (nulls skipped by xxhash64) instead of an ANSI index error
+      array_distinct(transform(
+        sequence(lit(0), greatest(size(th) - n, lit(0))),
+        i => xxhash64((0 until n).map(j => try_element_at(th, i + j + 1)): _*)))
+    }
 
   /** Token counting, whitespace + BPE-ish regex: per doc, the whitespace
     * token count and a subword-flavored count (letter runs / digit runs /
@@ -189,8 +203,7 @@ object TextOps {
   def decontaminate(spark: SparkSession, dir: String, n: Int = 3,
       minShared: Int = 3): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    def grams: Column = {
-      val t = tokens(col("text"))
+    def grams: Column = bindOnce(tokens(col("text"))) { t =>
       array_distinct(when(size(t) >= n,
         transform(sequence(lit(0), size(t) - n),
           i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j + 1)): _*)))
@@ -794,11 +807,12 @@ object TextOps {
   /** Word bigrams as strings (oracle-parity form; the hashed-window form
     * [[shingles]] is the scale path when the grams feed a join).
     */
-  private def bigrams(t: Column): Column =
+  private def bigrams(t0: Column): Column = bindOnce(t0) { t =>
     when(size(t) >= 2,
       transform(sequence(lit(0), size(t) - 2),
         i => concat(element_at(t, i + 1), lit(" "), element_at(t, i + 2))))
       .otherwise(array().cast("array<string>"))
+  }
 
   /** Gopher-style repetition signals, the quality gate every pretraining
     * pipeline runs before mixing: per document, the total / distinct
@@ -843,11 +857,12 @@ object TextOps {
     chunkDedupOver(Tables.documents(spark, dir), chunkTokens)
 
   private[operators] def chunkDedupOver(docs: DataFrame, chunkTokens: Int): DataFrame = {
-    val t = tokens(col("text"))
     // chunk START positions directly (1, 1+n, 1+2n, …): integer-stepped
     // sequence; slice truncates the final partial chunk at the array end
-    val chunkArr = transform(sequence(lit(1), size(t), lit(chunkTokens)),
-      s => array_join(slice(t, s, lit(chunkTokens)), " "))
+    val chunkArr = bindOnce(tokens(col("text"))) { t =>
+      transform(sequence(lit(1), size(t), lit(chunkTokens)),
+        s => array_join(slice(t, s, lit(chunkTokens)), " "))
+    }
     val chunks = docs
       .filter(col("text").isNotNull)
       .select(col("doc_id"), explode(array_distinct(chunkArr)).as("chunk"))
