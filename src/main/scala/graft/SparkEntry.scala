@@ -89,6 +89,8 @@ object SparkEntry {
     "q_chunk_dedup" -> ((s, d) => TextOps.chunkDedup(s, d)),
     "q_pack_sequences" -> ((s, d) => TextOps.packSequences(s, d)),
     "q_vocab_df" -> ((s, d) => TextOps.vocabDocFreq(s, d)),
+    "q_split_assign" -> TextOps.splitAssign _,
+    "q_corpus_mix" -> ((s, d) => TextOps.corpusMix(s, d)),
     // training-data pipeline: embeddings
     "q_cosine_topk" -> VectorOps.cosineTopK _,
     "q_embed_near_dup" -> VectorOps.embeddingNearDup _,
@@ -469,6 +471,45 @@ object SparkEntry {
         |       FROM df)
         |SELECT lang, rn, term, df FROM rk WHERE rn <= 10
         |ORDER BY lang, rn""".stripMargin,
+    "q_split_assign" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN u < 0.98 THEN 'train' WHEN u < 0.99 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (SELECT doc_id, lang,
+        |  CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':', COALESCE(text, ''))), 1, 8)) AS BIGINT)
+        |    / 4294967296.0 AS u
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "q_corpus_mix" ->
+      """WITH keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS s
+        |         FROM documents WHERE text IS NOT NULL),
+        |grams AS (
+        |  SELECT DISTINCT doc_id,
+        |    s[CAST(i AS INT)] || ' ' || s[CAST(i AS INT) + 1] || ' ' || s[CAST(i AS INT) + 2] AS g
+        |  FROM toks, UNNEST(range(1, greatest(len(s) - 1, 1))) AS t(i)
+        |),
+        |ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+        |contam AS (SELECT doc_id FROM grams JOIN ev USING (g)
+        |           WHERE doc_id % 97 <> 0
+        |           GROUP BY doc_id HAVING COUNT(*) >= 3),
+        |tw AS (SELECT doc_id, unnest(s) AS w FROM toks),
+        |wc AS (SELECT doc_id, MAX(n) AS top_n FROM
+        |         (SELECT doc_id, w, COUNT(*) AS n FROM tw GROUP BY 1, 2)
+        |       GROUP BY 1),
+        |sz AS (SELECT doc_id, len(s) AS n_tokens FROM toks),
+        |clean AS (SELECT d.doc_id, d.lang, d.text FROM documents d
+        |          JOIN keep USING (doc_id)
+        |          JOIN wc USING (doc_id) JOIN sz USING (doc_id)
+        |          WHERE d.doc_id % 97 <> 0
+        |            AND d.doc_id NOT IN (SELECT doc_id FROM contam)
+        |            AND wc.top_n * 5 <= sz.n_tokens),
+        |c AS (SELECT lang, COUNT(*) AS n_s FROM clean GROUP BY lang)
+        |SELECT cl.doc_id, cl.lang FROM clean cl JOIN c USING (lang)
+        |WHERE CAST(concat('0x', substr(md5(concat(CAST(cl.doc_id AS VARCHAR), ':', COALESCE(cl.text, ''))), 1, 8)) AS BIGINT)
+        |        / 4294967296.0
+        |      < least(1.0, 3.0 / sqrt(CAST(n_s AS DOUBLE)))
+        |ORDER BY doc_id""".stripMargin,
     "q_cosine_topk" ->
       """WITH flat AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
         |                generate_subscripts(embedding, 1) AS i FROM embeddings),

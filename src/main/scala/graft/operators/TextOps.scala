@@ -928,6 +928,52 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Deterministic train/val/test split assignment (98/1/1): the same
+    * md5-derived unit uniform as [[temperatureSample]] gates each document
+    * into its split — reproducible across engines, runs, partitionings and
+    * scales, and stable under corpus growth (a document's split never
+    * changes when new documents arrive, unlike any rank-based scheme).
+    * Pure map-side projection; zero shuffle at any corpus size.
+    */
+  def splitAssign(spark: SparkSession, dir: String): DataFrame = {
+    val u = conv(substring(sampleKey, 1, 8), 16, 10).cast("long")
+      .cast("double") / lit(4294967296.0)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        when(u < 0.98, "train").when(u < 0.99, "val").otherwise("test")
+          .as("split"))
+      .orderBy("doc_id")
+  }
+
+  /** The capstone corpus-mix pipeline — every cleaning gate this engine
+    * ships, composed in the order a production pretraining pipeline runs
+    * them: exact-dedup to canonical documents ([[dedupExact]]'s md5
+    * grouping), benchmark decontamination ([[decontaminate]]'s eval-gram
+    * overlap, eval slice itself never ships), a Gopher-style repetition
+    * gate (most frequent token ≤ 1/`maxTopTokenFrac` of the document —
+    * integer arithmetic, exact on both engines), then temperature-0.5
+    * resampling over the SURVIVORS (strata counted after cleaning, as a
+    * real mix must — dup-heavy languages shrink before weighting).
+    *
+    * Scale shape inherits from the parts: 16-byte-key dedup shuffle,
+    * broadcast eval grams, row-wise repetition fold, broadcast strata —
+    * no new exchange is introduced by the composition itself.
+    */
+  def corpusMix(spark: SparkSession, dir: String, k: Double = 3.0,
+      maxTopTokenFrac: Int = 5): DataFrame = {
+    val docs = Tables.documents(spark, dir).filter(col("text").isNotNull)
+    val keepers = docs.groupBy(contentFingerprint.as("fp"))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    val contaminated = decontaminate(spark, dir).select("doc_id")
+    val clean = docs
+      .filter(col("doc_id") % 97 =!= 0)
+      .join(keepers, Seq("doc_id"), "left_semi")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .filter(modeCount(tokens(col("text"))) * maxTopTokenFrac
+        <= size(tokens(col("text"))))
+    temperatureSampleOver(clean, k)
+  }
+
   /** Per-language vocabulary head: the top `k` terms by document
     * frequency — the corpus-inspection query behind stopword lists,
     * boilerplate detection, and tokenizer-coverage checks.

@@ -133,6 +133,63 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got.toSeq == want)
   }
 
+  // --- split assignment + corpus mix --------------------------------------
+
+  /** The engine's deterministic unit uniform, recomputed independently:
+    * first 8 hex chars of md5("<doc_id>:<text>") over 2^32.
+    */
+  private def unitUniform(id: Long, text: String): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$id:${Option(text).getOrElse("")}".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(8), 16).toDouble / 4294967296.0
+  }
+
+  test("split assignment matches an independent md5 recompute at sf0.01") {
+    val got = TextOps.splitAssign(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val want = corpus.map { case (id, text) =>
+      val u = unitUniform(id, text)
+      id -> (if (u < 0.98) "train" else if (u < 0.99) "val" else "test")
+    }.toMap
+    assert(got == want)
+    // all three splits must be non-empty for the test to mean anything
+    assert(got.values.toSet == Set("train", "val", "test"))
+  }
+
+  test("corpus mix matches a full independent recompute of every gate") {
+    val got = TextOps.corpusMix(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .filter(_._3 != null)
+    // gate 1: exact-dedup canonical (min doc_id per text)
+    val keep = docs.groupBy(_._3).values.map(_.map(_._1).min).toSet
+    // gate 2: eval slice + gram-overlap contamination
+    def gramsOf(text: String): Set[String] =
+      text.split(" ", -1).sliding(3).filter(_.size == 3)
+        .map(_.mkString(" ")).toSet
+    val evalGrams = docs.filter(_._1 % 97 == 0).flatMap(d => gramsOf(d._3)).toSet
+    val contaminated = docs.filter(_._1 % 97 != 0)
+      .filter(d => gramsOf(d._3).count(evalGrams.contains) >= 3).map(_._1).toSet
+    // gate 3: repetition (top token <= 1/5 of tokens)
+    def repOk(text: String): Boolean = {
+      val toks = text.split(" ", -1)
+      toks.groupBy(identity).values.map(_.length).max * 5 <= toks.length
+    }
+    val clean = docs.filter { case (id, _, text) =>
+      id % 97 != 0 && keep(id) && !contaminated(id) && repOk(text)
+    }
+    // gate 4: temperature-0.5 resample over the survivors
+    val strata = clean.groupBy(_._2).view.mapValues(_.size).toMap
+    val want = clean.filter { case (id, lang, text) =>
+      unitUniform(id, text) < math.min(1.0, 3.0 / math.sqrt(strata(lang).toDouble))
+    }.map(d => (d._1, d._2)).sortBy(_._1)
+    assert(got.toSeq == want.toSeq)
+    assert(want.nonEmpty && want.size < docs.length) // the gates actually cut
+  }
+
   // --- vocabulary head ----------------------------------------------------
 
   test("vocab head: hand-computed fixture with ties broken by term") {
