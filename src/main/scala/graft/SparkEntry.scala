@@ -90,6 +90,7 @@ object SparkEntry {
     "q_pack_sequences" -> ((s, d) => TextOps.packSequences(s, d)),
     "q_vocab_df" -> ((s, d) => TextOps.vocabDocFreq(s, d)),
     "q_split_assign" -> TextOps.splitAssign _,
+    "q_merge_pairs" -> ((s, d) => TextOps.mergePairs(s, d)),
     "q_corpus_mix" -> ((s, d) => TextOps.corpusMix(s, d)),
     // training-data pipeline: embeddings
     "q_cosine_topk" -> VectorOps.cosineTopK _,
@@ -471,6 +472,13 @@ object SparkEntry {
         |       FROM df)
         |SELECT lang, rn, term, df FROM rk WHERE rn <= 10
         |ORDER BY lang, rn""".stripMargin,
+    "q_merge_pairs" ->
+      """WITH toks AS (SELECT string_split(text, ' ') AS tk
+        |              FROM documents WHERE text IS NOT NULL),
+        |bg AS (SELECT unnest(list_transform(range(1, len(tk)),
+        |         i -> tk[i] || ' ' || tk[i+1])) AS pair FROM toks)
+        |SELECT pair, COUNT(*) AS n FROM bg
+        |GROUP BY 1 ORDER BY n DESC, pair LIMIT 10""".stripMargin,
     "q_split_assign" ->
       """SELECT doc_id, lang,
         |  CASE WHEN u < 0.98 THEN 'train' WHEN u < 0.99 THEN 'val'

@@ -897,7 +897,7 @@ object TextOps {
     * force a genuinely multi-partition run; AQE coalesces a small corpus
     * to one partition otherwise, which would test nothing).
     */
-  private[operators] def packSequencesOver(docs0: DataFrame, seqLen: Int,
+  private[graft] def packSequencesOver(docs0: DataFrame, seqLen: Int,
       numParts: Int = 0): DataFrame = {
     val sized = docs0
       .filter(col("text").isNotNull)
@@ -973,6 +973,28 @@ object TextOps {
         <= size(tokens(col("text"))))
     temperatureSampleOver(clean, k)
   }
+
+  /** Tokenizer-training merge scan — the counting kernel of BPE training:
+    * global occurrence counts of adjacent token pairs, top `k`. (Real BPE
+    * iterates merge → recount; this is the first-iteration scan, which is
+    * also the shape of every subsequent one.)
+    *
+    * Scale shape: pair occurrences hash-aggregate with map-side partials
+    * (the exchange moves one row per distinct pair per partition, not per
+    * occurrence), and the global top-k compiles to TakeOrderedAndProject —
+    * per-partition heaps, k rows to the driver, never a global sort.
+    */
+  def mergePairs(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    mergePairsOver(Tables.documents(spark, dir), k)
+
+  private[graft] def mergePairsOver(docs: DataFrame, k: Int): DataFrame =
+    docs
+      .filter(col("text").isNotNull)
+      .select(explode(bigrams(tokens(col("text")))).as("pair"))
+      .groupBy("pair")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(k)
 
   /** Per-language vocabulary head: the top `k` terms by document
     * frequency — the corpus-inspection query behind stopword lists,

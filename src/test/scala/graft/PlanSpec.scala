@@ -87,4 +87,28 @@ class PlanSpec extends AnyFunSuite {
     df.collect() // AQE finalizes the plan (and codegen stages) on execution
     assert(plan(df).contains("*("), plan(df))
   }
+
+  test("repetition signals: row-wise folds only — no exchange beyond the presentation sort") {
+    val p = plan(graft.operators.TextOps.repetitionSignals(spark, dir))
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
+  test("chunk dedup: one window over the chunk key, no self-join anywhere") {
+    val p = plan(graft.operators.TextOps.chunkDedup(spark, dir))
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("sequence packing: partition offsets broadcast, never sort-merge joined") {
+    val p = plan(graft.operators.TextOps.packSequencesOver(
+      Tables.documents(spark, dir), 512, numParts = 4))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("vocab head: two-phase top-k — a local rank window before the global one") {
+    val p = plan(graft.operators.TextOps.vocabDocFreq(spark, dir))
+    assert("row_number".r.findAllMatchIn(p).size >= 2, p)
+  }
 }

@@ -190,6 +190,32 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(want.nonEmpty && want.size < docs.length) // the gates actually cut
   }
 
+  // --- tokenizer merge scan -----------------------------------------------
+
+  test("merge pairs: hand-computed fixture") {
+    val docs = Seq(
+      (1L, "a b a b"), // pairs: "a b"×2, "b a"×1
+      (2L, "a b c")    // pairs: "a b", "b c"
+    ).toDF("doc_id", "text")
+    val out = TextOps.mergePairsOver(docs, k = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq == Seq(("a b", 3L), ("b a", 1L)))
+  }
+
+  test("merge pairs match exhaustive ground truth; top-k never globally sorts") {
+    val df = TextOps.mergePairs(spark, dir)
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1)))
+    val want = corpus.filter(_._2 != null)
+      .flatMap(d => d._2.split(" ", -1).sliding(2).filter(_.size == 2)
+        .map(_.mkString(" ")))
+      .groupBy(identity).map { case (p, xs) => (p, xs.size.toLong) }
+      .toSeq.sortBy { case (p, n) => (-n, p) }.take(10)
+    assert(got.toSeq == want)
+    // distributed top-k: per-partition heaps, not a global sort exchange
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   // --- vocabulary head ----------------------------------------------------
 
   test("vocab head: hand-computed fixture with ties broken by term") {
