@@ -203,12 +203,7 @@ object TextOps {
   def decontaminate(spark: SparkSession, dir: String, n: Int = 3,
       minShared: Int = 3): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    def grams: Column = bindOnce(tokens(col("text"))) { t =>
-      array_distinct(when(size(t) >= n,
-        transform(sequence(lit(0), size(t) - n),
-          i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j + 1)): _*)))
-        .otherwise(array().cast("array<string>")))
-    }
+    def grams: Column = gramStrings(n)
     val evalGrams = docs.filter(col("doc_id") % 97 === 0)
       .select(explode(grams).as("g")).distinct()
     docs.filter(col("doc_id") % 97 =!= 0)
@@ -220,6 +215,17 @@ object TextOps {
       .filter(col("shared_ngrams") >= minShared)
       .orderBy("doc_id")
   }
+
+  /** Per-document distinct word n-grams as strings, built row-wise (the
+    * oracle-parity form; [[shingles]] is the hashed form for joins).
+    */
+  private[graft] def gramStrings(n: Int): Column =
+    bindOnce(tokens(col("text"))) { t =>
+      array_distinct(when(size(t) >= n,
+        transform(sequence(lit(0), size(t) - n),
+          i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j + 1)): _*)))
+        .otherwise(array().cast("array<string>")))
+    }
 
   /** English stopwords used by the quality / language heuristics. */
   private val stopwords =
@@ -972,6 +978,33 @@ object TextOps {
       .filter(modeCount(tokens(col("text"))) * maxTopTokenFrac
         <= size(tokens(col("text"))))
     temperatureSampleOver(clean, k)
+  }
+
+  /** The STATELESS slice of the mix pipeline, shared verbatim by batch
+    * and the streaming twin ([[graft.streaming.CorpusStream.mixStream]]):
+    * decontamination against a FIXED eval-gram set, the repetition gate,
+    * and the temperature gate against FIXED per-language thresholds.
+    * Strata counts and eval grams are global corpus properties a stream
+    * prefix cannot know, so production refreshes them batch-side and the
+    * stream applies them as literals — exactly this function's contract.
+    * Every gate is a row-wise projection + filter, legal on both batch
+    * and streaming frames.
+    */
+  private[graft] def mixGates(docs: DataFrame, evalGrams: Seq[String],
+      thresholds: Map[String, Double], maxTopTokenFrac: Int = 5,
+      minShared: Int = 3): DataFrame = {
+    val t = tokens(col("text"))
+    val u = conv(substring(sampleKey, 1, 8), 16, 10).cast("long")
+      .cast("double") / lit(4294967296.0)
+    docs
+      .filter(col("text").isNotNull)
+      .filter(size(array_intersect(gramStrings(3), typedlit(evalGrams)))
+        < minShared)
+      .filter(modeCount(t) * maxTopTokenFrac <= size(t))
+      // unknown language: no threshold was computed batch-side → admit
+      // (the next batch refresh picks it up); coalesce keeps the gate total
+      .filter(u < coalesce(element_at(typedlit(thresholds), col("lang")),
+        lit(1.0)))
   }
 
   /** Tokenizer-training merge scan — the counting kernel of BPE training:

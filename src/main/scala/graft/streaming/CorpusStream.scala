@@ -34,4 +34,23 @@ object CorpusStream {
       .withWatermark("time", watermark)
       .dropDuplicatesWithinWatermark("fp")
       .select("doc_id", "lang", "n_chars")
+
+  /** Streaming twin of the batch mix pipeline
+    * ([[graft.operators.TextOps.corpusMix]]), split the lambda way:
+    * eval-gram set and per-language temperature thresholds are GLOBAL
+    * corpus properties, so they refresh batch-side and ride into the
+    * stream as literals (`TextOps.mixGates` — code shared verbatim with
+    * the batch side, so gates can never drift); exact dedup drops inside
+    * the stream within the watermark. The stateless gates commute with
+    * the dedup (they depend only on the row), so gating BEFORE dedup is
+    * both equivalent and cheaper — gated-out rows never touch state.
+    */
+  def mixStream(docs: DataFrame, evalGrams: Seq[String],
+      thresholds: Map[String, Double],
+      watermark: String = "10 minutes"): DataFrame =
+    TextOps.mixGates(docs, evalGrams, thresholds)
+      .withColumn("fp", unhex(md5(col("text").cast("binary"))))
+      .withWatermark("time", watermark)
+      .dropDuplicatesWithinWatermark("fp")
+      .select("doc_id", "lang")
 }

@@ -62,4 +62,63 @@ class CorpusStreamSpec extends AnyFunSuite {
       .as[(Long, String, Long)].collect().toSet
     assert(got == expected)
   }
+
+  test("drained mix stream equals batch mix gates + first-arrival dedup") {
+    val base = graft.Tables.documents(spark, dir)
+      .select(col("doc_id").cast("long"), col("text"), col("lang"),
+        col("n_chars").cast("long"))
+      .as[(Long, String, String, Long)].collect().sortBy(_._1)
+
+    // batch-side artifacts a production pipeline would refresh
+    // periodically: the eval-gram set (from the first doc, our stand-in
+    // benchmark) and per-language temperature thresholds
+    val evalGrams = base.head._2.split(" ", -1).sliding(3)
+      .filter(_.size == 3).map(_.mkString(" ")).toSeq.distinct
+    val thresholds = base.groupBy(_._3).map { case (lang, docs) =>
+      lang -> math.min(1.0, 3.0 / math.sqrt(docs.length.toDouble))
+    }
+
+    // inject: exact copies (dedup must drop), a doc of pure repetition
+    // (repetition gate must drop), and a doc lifted from the eval text
+    // (decontamination must drop)
+    val copies = base.slice(1, 15).map { case (id, t, l, n) => (id + 200000L, t, l, n) }
+    val repetitive = (300000L, Array.fill(40)("spam").mkString(" "), "en", 160L)
+    val contaminated = (300001L, base.head._2, "en", base.head._4)
+    val all: Seq[Doc] =
+      (base.drop(1) ++ copies ++ Seq(repetitive, contaminated)).zipWithIndex
+        .map { case ((id, t, l, n), i) =>
+          (id, t, l, n, new Timestamp(1704067200000L + i * 1000L))
+        }
+
+    val gated = TextOps.mixGates(
+      all.toDF("doc_id", "text", "lang", "n_chars", "time"),
+      evalGrams, thresholds)
+      .select(col("doc_id"), col("text"), col("lang"))
+      .as[(Long, String, String)].collect()
+    assert(gated.exists(_._1 >= 200000L)) // some copies pass the gates…
+    assert(!gated.exists(_._1 >= 300000L)) // …but the injected bad docs don't
+    val expected = gated.groupBy(_._2).map { case (_, rows) =>
+      val keep = rows.minBy(_._1) // copies arrive after originals
+      (keep._1, keep._3)
+    }.toSet
+    assert(expected.nonEmpty)
+
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Doc]
+    val stream = mem.toDS.toDF("doc_id", "text", "lang", "n_chars", "time")
+    val q = CorpusStream.mixStream(stream, evalGrams, thresholds)
+      .writeStream.format("memory").queryName("corpus_mix_stream")
+      .outputMode("append").start()
+    try {
+      val (first, second) = all.splitAt(all.size / 2)
+      mem.addData(first: _*)
+      q.processAllAvailable()
+      mem.addData(second: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("corpus_mix_stream")
+      .as[(Long, String)].collect().toSet
+    assert(got == expected)
+  }
 }
