@@ -71,7 +71,7 @@ object ScaleProbe {
   private val probeQueries = Seq("q_ngram_jaccard", "q_corpus_build",
     "q_dedup_clusters", "q_minhash_lsh", "q_simhash",
     "q_decontaminate", "q_repetition", "q_chunk_dedup",
-    "q_pack_sequences", "q_vocab_df")
+    "q_pack_sequences", "q_vocab_df", "q_incremental_dedup")
 
   private def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
 

@@ -91,6 +91,7 @@ object SparkEntry {
     "q_vocab_df" -> ((s, d) => TextOps.vocabDocFreq(s, d)),
     "q_split_assign" -> TextOps.splitAssign _,
     "q_merge_pairs" -> ((s, d) => TextOps.mergePairs(s, d)),
+    "q_incremental_dedup" -> TextOps.incrementalDedup _,
     "q_corpus_mix" -> ((s, d) => TextOps.corpusMix(s, d)),
     // training-data pipeline: embeddings
     "q_cosine_topk" -> VectorOps.cosineTopK _,
@@ -472,6 +473,27 @@ object SparkEntry {
         |       FROM df)
         |SELECT lang, rn, term, df FROM rk WHERE rn <= 10
         |ORDER BY lang, rn""".stripMargin,
+    "q_incremental_dedup" ->
+      """WITH tok AS (SELECT DISTINCT doc_id, tok FROM
+        |    (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
+        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY 1),
+        |cp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+        |       FROM tok a JOIN tok b ON a.tok = b.tok
+        |       WHERE a.doc_id % 10 = 9 AND b.doc_id % 10 <> 9
+        |       GROUP BY 1, 2),
+        |near_drop AS (SELECT DISTINCT doc_a FROM cp
+        |  JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+        |  WHERE CAST(common AS DOUBLE)/(sa.sz + sb.sz - common) >= 0.95),
+        |exact_drop AS (SELECT d.doc_id FROM documents d
+        |  WHERE d.doc_id % 10 = 9 AND EXISTS (
+        |    SELECT 1 FROM documents e WHERE e.doc_id % 10 <> 9 AND e.text = d.text)),
+        |first_in_batch AS (SELECT MIN(doc_id) AS doc_id
+        |  FROM documents WHERE doc_id % 10 = 9 GROUP BY text)
+        |SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+        |JOIN first_in_batch f ON f.doc_id = d.doc_id
+        |WHERE d.doc_id NOT IN (SELECT doc_id FROM exact_drop)
+        |  AND d.doc_id NOT IN (SELECT doc_a FROM near_drop)
+        |ORDER BY d.doc_id""".stripMargin,
     "q_merge_pairs" ->
       """WITH toks AS (SELECT string_split(text, ' ') AS tk
         |              FROM documents WHERE text IS NOT NULL),

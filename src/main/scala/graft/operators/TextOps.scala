@@ -980,6 +980,103 @@ object TextOps {
     temperatureSampleOver(clean, k)
   }
 
+  /** Cross-corpus AllPairs prefix-filtered exact Jaccard: pairs (a, b)
+    * with a from `da`, b from `db`, J(a,b) >= threshold — the engine of
+    * INCREMENTAL dedup, where re-running the self-join over
+    * existing×existing history every batch would be the scale disaster.
+    * Same machinery as [[jaccardPairs]] (identical-set collapse per side,
+    * df-ascending prefix order, exact-decimal pruning bounds, native
+    * sorted-merge verify) with the self-join replaced by an A×B join:
+    * the token order is computed over BOTH sides' distinct sets (any
+    * total order shared by the two sides preserves the prefix theorem),
+    * and identical cross-side sets short-circuit to J=1 via an
+    * array-equality join, never reaching verification.
+    */
+  private[operators] def crossJaccardPairs(spark: SparkSession, da: DataFrame,
+      db: DataFrame, threshold: Double): DataFrame = {
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    def groupsOf(d: DataFrame) = d
+      .withColumn("sz", size(col("toks")).cast("long"))
+      .groupBy("toks", "sz")
+      .agg(collect_list(col("doc_id")).as("ids"), min(col("doc_id")).as("gid"))
+      .persist()
+    val ga = groupsOf(da)
+    val gb = groupsOf(db)
+    // identical sets across sides are pairwise J=1 by definition
+    val exact = ga.as("a").join(gb.as("b"), col("a.toks") === col("b.toks"))
+      .select(explode(col("a.ids")).as("doc_a"), col("b.ids").as("idsb"))
+      .select(col("doc_a"), explode(col("idsb")).as("doc_b"))
+      .withColumn("jaccard", lit(1.0))
+    // one consistent token order across both sides: ascending df over the
+    // union of distinct sets (consistency is what the prefix theorem
+    // needs; which consistent order is a constant-factor choice)
+    val gtokA = ga.select(col("gid"), col("sz"), explode(col("toks")).as("th"))
+    val gtokB = gb.select(col("gid"), col("sz"), explode(col("toks")).as("th"))
+    val df = gtokA.unionByName(gtokB).groupBy("th").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("gid").orderBy("df", "th")
+    val tDec = lit(BigDecimal(threshold.toString))
+    def prefixOf(gtok: DataFrame) = gtok.join(df, "th")
+      .withColumn("pos", row_number().over(w))
+      .filter(col("pos") <= floor((lit(BigDecimal(1)) - tDec) * col("sz")) + 1)
+      .select("gid", "th", "sz")
+      .persist()
+    val pa = prefixOf(gtokA)
+    val pb = prefixOf(gtokB)
+    val cand = pa.as("a").join(pb.as("b"),
+        col("a.th") === col("b.th") &&
+          col("b.sz") >= ceil(col("a.sz") * tDec) &&
+          col("a.sz") >= ceil(col("b.sz") * tDec))
+      .select(col("a.gid").as("gid_a"), col("b.gid").as("gid_b"))
+      .dropDuplicates("gid_a", "gid_b")
+    val inter = cand
+      .join(ga.select(col("gid").as("gid_a"), col("toks").as("toks_a"),
+        col("sz").as("sz_a"), col("ids").as("ids_a")), "gid_a")
+      .join(gb.select(col("gid").as("gid_b"), col("toks").as("toks_b"),
+        col("sz").as("sz_b"), col("ids").as("ids_b")), "gid_b")
+      // identical sets already emitted exactly by the equality join
+      .filter(col("toks_a") =!= col("toks_b"))
+      .withColumn("common", graft.functions.VectorFunctions
+        .sortedIntersectCount(col("toks_a"), col("toks_b")))
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(explode(col("ids_a")).as("doc_a"), col("ids_b"), col("jaccard"))
+      .select(col("doc_a"), explode(col("ids_b")).as("doc_b"), col("jaccard"))
+    exact.unionByName(inter)
+  }
+
+  /** Incremental corpus ingestion — dedup a NEW batch (here the
+    * `doc_id % 10 == 9` slice, the stand-in for today's crawl) against
+    * the EXISTING corpus without ever re-deduping history:
+    *
+    *  - exact layer: new fingerprints anti-join the existing fingerprint
+    *    set (16-byte keys — at production scale a maintained ingest
+    *    artifact, not a recompute), plus first-wins within the batch;
+    *  - near layer: [[crossJaccardPairs]] new×existing at J >= 0.95 —
+    *    the prefix join's candidate set scales with batch×corpus
+    *    collision density, never with existing×existing.
+    */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val isNew = col("doc_id") % 10 === 9
+    val newB = docs.filter(isNew)
+    val existing = docs.filter(!isNew)
+    val w = Window.partitionBy("fp").orderBy("doc_id")
+    val exactSurvivors = newB.withColumn("fp", contentFingerprint)
+      .join(existing.select(contentFingerprint.as("fp")).distinct(),
+        Seq("fp"), "left_anti")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+    val hashSet = (t: Column) => array_distinct(transform(tokens(t), x => xxhash64(x)))
+    val nearDrop = crossJaccardPairs(spark,
+      docHashSets(newB, hashSet), docHashSets(existing, hashSet), 0.95)
+      .select(col("doc_a").as("doc_id")).distinct()
+    exactSurvivors
+      .join(nearDrop, Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+  }
+
   /** The STATELESS slice of the mix pipeline, shared verbatim by batch
     * and the streaming twin ([[graft.streaming.CorpusStream.mixStream]]):
     * decontamination against a FIXED eval-gram set, the repetition gate,

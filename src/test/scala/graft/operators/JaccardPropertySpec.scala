@@ -76,4 +76,33 @@ class JaccardPropertySpec extends AnyFunSuite {
     assert(got == want,
       s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
   }
+
+  /** Naive cross-corpus pairs: a from A, b from B, J >= t (no ordering). */
+  private def naiveCross(as: Seq[(Long, String)], bs: Seq[(Long, String)],
+      threshold: Double): Set[(Long, Long, Double)] = {
+    def setOf(t: String): Set[String] = t.split(" ").toSet
+    (for {
+      (a, sa0) <- as.map { case (id, t) => id -> setOf(t) }
+      (b, sb0) <- bs.map { case (id, t) => id -> setOf(t) }
+      common = sa0.intersect(sb0).size
+      j = common.toDouble / (sa0.size + sb0.size - common)
+      if j >= threshold
+    } yield (a, b, j)).toSet
+  }
+
+  for (seed <- Seq(11L, 23L); threshold <- Seq(0.95, 0.8))
+  test(s"cross-corpus prefix-filtered == naive (t=$threshold, seed=$seed)") {
+    val all = corpus(seed)
+    // split into "new batch" and "existing corpus" — copies/edits land on
+    // both sides so identical-set and near-miss cross pairs both occur
+    val (as, bs) = all.partition(_._1 % 3 == 0)
+    def sets(docs: Seq[(Long, String)]) = TextOps.docHashSets(
+      docs.toDF("doc_id", "text"),
+      t => array_distinct(transform(split(t, " "), x => xxhash64(x))))
+    val got = TextOps.crossJaccardPairs(spark, sets(as), sets(bs), threshold)
+      .as[(Long, Long, Double)].collect().toSet
+    val want = naiveCross(as, bs, threshold)
+    assert(got == want,
+      s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+  }
 }
