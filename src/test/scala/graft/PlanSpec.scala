@@ -111,4 +111,16 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(graft.operators.TextOps.vocabDocFreq(spark, dir))
     assert("row_number".r.findAllMatchIn(p).size >= 2, p)
   }
+
+  test("corpus mix: eval grams broadcast; no cartesian product anywhere") {
+    val p = plan(graft.operators.TextOps.corpusMix(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("incremental dedup: anti joins on keys, no cartesian product") {
+    val p = plan(graft.operators.TextOps.incrementalDedup(spark, dir))
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
