@@ -117,6 +117,17 @@ object TextOps {
     md5(concat(col("doc_id").cast("string"), lit(":"),
       coalesce(col("text"), lit(""))).cast("binary"))
 
+  /** The md5-derived unit uniform in [0, 1): first 32 bits of
+    * [[sampleKey]] over 2^32. ONE definition shared by temperature
+    * sampling, split assignment and the streaming mix gate — every
+    * arithmetic step is IEEE-exactly-rounded, so the DuckDB oracles (and
+    * the batch/stream gate parity) are bit-identical, and an edit here
+    * moves all three samplers together instead of decorrelating them.
+    */
+  private def unitUniform: Column =
+    conv(substring(sampleKey, 1, 8), 16, 10).cast("long")
+      .cast("double") / lit(4294967296.0)
+
   /** Deterministic hash-gate sampling (≈1/16): a document is in the sample
     * iff the first hex digit of md5(doc_id ":" text) is '0'. Reproducible
     * across engines, runs, and scales — the subsampling primitive for
@@ -179,10 +190,8 @@ object TextOps {
 
   private[operators] def temperatureSampleOver(docs: DataFrame, k: Double): DataFrame = {
     val strata = docs.groupBy("lang").agg(count(lit(1)).as("n_s"))
-    val u = conv(substring(sampleKey, 1, 8), 16, 10).cast("long")
-      .cast("double") / lit(4294967296.0)
     docs.join(broadcast(strata), "lang")
-      .filter(u < least(lit(1.0), lit(k) / sqrt(col("n_s").cast("double"))))
+      .filter(unitUniform < least(lit(1.0), lit(k) / sqrt(col("n_s").cast("double"))))
       .select("doc_id", "lang")
       .orderBy("doc_id")
   }
@@ -912,7 +921,9 @@ object TextOps {
                 else sized.repartitionByRange(col("doc_id")))
       // persisted: the totals aggregate and the per-document pass both
       // consume this frame, and pid MUST be the same assignment in both —
-      // two independent evaluations could be coalesced differently by AQE
+      // two independent evaluations could be coalesced differently by AQE.
+      // Lifetime is block-manager-LRU-bounded, like the engine's other
+      // intra-query persists
       .withColumn("pid", spark_partition_id())
       .persist()
     val partTotals = docs.groupBy("pid").agg(sum(col("n_tokens")).as("ptot"))
@@ -941,15 +952,12 @@ object TextOps {
     * changes when new documents arrive, unlike any rank-based scheme).
     * Pure map-side projection; zero shuffle at any corpus size.
     */
-  def splitAssign(spark: SparkSession, dir: String): DataFrame = {
-    val u = conv(substring(sampleKey, 1, 8), 16, 10).cast("long")
-      .cast("double") / lit(4294967296.0)
+  def splitAssign(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"),
-        when(u < 0.98, "train").when(u < 0.99, "val").otherwise("test")
-          .as("split"))
+        when(unitUniform < 0.98, "train").when(unitUniform < 0.99, "val")
+          .otherwise("test").as("split"))
       .orderBy("doc_id")
-  }
 
   /** The capstone corpus-mix pipeline — every cleaning gate this engine
     * ships, composed in the order a production pretraining pipeline runs
@@ -995,6 +1003,10 @@ object TextOps {
   private[operators] def crossJaccardPairs(spark: SparkSession, da: DataFrame,
       db: DataFrame, threshold: Double): DataFrame = {
     graft.functions.VectorFunctions.ensureRegistered(spark)
+    // the four persists below (groups + prefixes per side) are consumed
+    // 2-3× each inside this one query; as with jaccardPairs, lifetime is
+    // bounded by block-manager LRU — Spark has no query-scoped release
+    // for a lazily returned plan
     def groupsOf(d: DataFrame) = d
       .withColumn("sz", size(col("toks")).cast("long"))
       .groupBy("toks", "sz")
@@ -1086,23 +1098,37 @@ object TextOps {
     * stream applies them as literals — exactly this function's contract.
     * Every gate is a row-wise projection + filter, legal on both batch
     * and streaming frames.
+    *
+    * Eval grams travel as 64-bit [[shingles]] hashes, not strings — the
+    * literal is 8 bytes/gram and the per-row intersect compares longs
+    * (collision odds the usual vanishing ~|doc|·|eval|/2^64). Benchmark
+    * suites are MBs against a 100 TB corpus, so the embedded-literal
+    * broadcast is the right size class; an adversarially huge eval set
+    * would switch to [[decontaminate]]'s broadcast semi-join instead.
     */
-  private[graft] def mixGates(docs: DataFrame, evalGrams: Seq[String],
+  private[graft] def mixGates(docs: DataFrame, evalGramHashes: Seq[Long],
       thresholds: Map[String, Double], maxTopTokenFrac: Int = 5,
       minShared: Int = 3): DataFrame = {
     val t = tokens(col("text"))
-    val u = conv(substring(sampleKey, 1, 8), 16, 10).cast("long")
-      .cast("double") / lit(4294967296.0)
     docs
       .filter(col("text").isNotNull)
-      .filter(size(array_intersect(gramStrings(3), typedlit(evalGrams)))
-        < minShared)
+      .filter(size(array_intersect(shingles(col("text"), 3),
+        typedlit(evalGramHashes))) < minShared)
       .filter(modeCount(t) * maxTopTokenFrac <= size(t))
       // unknown language: no threshold was computed batch-side → admit
       // (the next batch refresh picks it up); coalesce keeps the gate total
-      .filter(u < coalesce(element_at(typedlit(thresholds), col("lang")),
-        lit(1.0)))
+      .filter(unitUniform < coalesce(
+        element_at(typedlit(thresholds), col("lang")), lit(1.0)))
   }
+
+  /** The eval-gram hash set for [[mixGates]], computed batch-side from any
+    * (text) frame of eval/benchmark documents — same [[shingles]] hash
+    * space as the gate's per-document grams.
+    */
+  private[graft] def evalGramHashesOf(docs: DataFrame): Seq[Long] =
+    docs.filter(col("text").isNotNull)
+      .select(explode(shingles(col("text"), 3)).as("h"))
+      .distinct().collect().map(_.getLong(0)).toSeq
 
   /** Tokenizer-training merge scan — the counting kernel of BPE training:
     * global occurrence counts of adjacent token pairs, top `k`. (Real BPE

@@ -30,7 +30,7 @@ object CorpusStream {
     */
   def manifest(docs: DataFrame, watermark: String = "10 minutes"): DataFrame =
     TextOps.corpusGates(docs)
-      .withColumn("fp", unhex(md5(col("text").cast("binary"))))
+      .withColumn("fp", TextOps.contentFingerprint)
       .withWatermark("time", watermark)
       .dropDuplicatesWithinWatermark("fp")
       .select("doc_id", "lang", "n_chars")
@@ -45,11 +45,11 @@ object CorpusStream {
     * the dedup (they depend only on the row), so gating BEFORE dedup is
     * both equivalent and cheaper — gated-out rows never touch state.
     */
-  def mixStream(docs: DataFrame, evalGrams: Seq[String],
+  def mixStream(docs: DataFrame, evalGramHashes: Seq[Long],
       thresholds: Map[String, Double],
       watermark: String = "10 minutes"): DataFrame =
-    TextOps.mixGates(docs, evalGrams, thresholds)
-      .withColumn("fp", unhex(md5(col("text").cast("binary"))))
+    TextOps.mixGates(docs, evalGramHashes, thresholds)
+      .withColumn("fp", TextOps.contentFingerprint)
       .withWatermark("time", watermark)
       .dropDuplicatesWithinWatermark("fp")
       .select("doc_id", "lang")

@@ -70,10 +70,10 @@ class CorpusStreamSpec extends AnyFunSuite {
       .as[(Long, String, String, Long)].collect().sortBy(_._1)
 
     // batch-side artifacts a production pipeline would refresh
-    // periodically: the eval-gram set (from the first doc, our stand-in
-    // benchmark) and per-language temperature thresholds
-    val evalGrams = base.head._2.split(" ", -1).sliding(3)
-      .filter(_.size == 3).map(_.mkString(" ")).toSeq.distinct
+    // periodically: the eval-gram hash set (from the first doc, our
+    // stand-in benchmark) and per-language temperature thresholds
+    val evalGrams = TextOps.evalGramHashesOf(
+      Seq(base.head._2).toDF("text"))
     val thresholds = base.groupBy(_._3).map { case (lang, docs) =>
       lang -> math.min(1.0, 3.0 / math.sqrt(docs.length.toDouble))
     }
