@@ -103,6 +103,7 @@ object SparkEntry {
     "q_ann_pq" -> ((s, d) => VectorOps.annPq(s, d)),
     // training-data pipeline: multimodal (real BMP/WAV container decode; rows-only)
     "q_media_pipeline" -> MultimodalOps.mediaPipeline _,
+    "q_media_codecs" -> MultimodalOps.mediaCodecPipeline _,
   )
 
   private val stopList = "('the','a','an','of','and','to','in','is','it','on','for')"

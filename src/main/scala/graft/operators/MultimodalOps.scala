@@ -9,17 +9,26 @@ import graft.Tables
   * decode / feature / resize / frame-sample stages are structured exactly
   * as they would be against real codecs.
   *
-  * Decode is a FORMAT DISPATCH. Codec-free formats decode for real:
-  * header dimensions for PNG/GIF/BMP/JPEG/WAV ([[sniffHeaders]]), pixel
-  * rows for uncompressed BMP ([[graft.functions.BmpPixelsExpr]]) and PCM
-  * sample frames for WAV ([[graft.functions.WavSamplesExpr]]) — all
-  * native codegen'd expressions, null on malformation. Only COMPRESSED
-  * payloads (PNG deflate, JPEG DCT, GIF LZW, MP3 frames, video codecs)
-  * remain un-decodable here — no codec libraries exist in this
-  * environment — and for those (and unknown blobs) [[decode]] falls back
-  * to a clearly-marked deterministic synthetic geometry so downstream
-  * metadata stages always have values. Swapping in a codec changes only
-  * that fallback.
+  * Decode is a FORMAT DISPATCH with two real paths:
+  *
+  *  - NATIVE (codegen'd Catalyst expressions, null on malformation):
+  *    header dimensions for PNG/GIF/BMP/JPEG/WAV ([[sniffHeaders]]),
+  *    pixel rows for uncompressed BMP
+  *    ([[graft.functions.BmpPixelsExpr]]) and PCM sample frames for WAV
+  *    ([[graft.functions.WavSamplesExpr]]) — zero serialization fence,
+  *    the scale path for the codec-free layouts;
+  *  - JDK CODECS ([[decodeCodecs]], mapPartitions with per-partition
+  *    context init): REAL pixel decode for the compressed image formats
+  *    Java SE itself ships — PNG deflate, GIF LZW, JPEG DCT, BMP — via
+  *    `javax.imageio`, no external library. MultimodalSpec pins the two
+  *    stacks against each other (PNG round-trip is lossless and must
+  *    reproduce the native-BMP pipeline's statistics exactly).
+  *
+  * Only video containers and MP3 frames remain un-decodable (the JDK
+  * carries no codec for them); for those and unknown blobs [[decode]]
+  * falls back to a clearly-marked deterministic synthetic geometry so
+  * downstream metadata stages always have values. Swapping in a real
+  * video/audio codec changes only that fallback.
   *
   * The per-partition feature extractor is the Scala analog of an
   * arrow-batched UDF: one initialization per partition (where a codec
@@ -202,8 +211,11 @@ object MultimodalOps {
   def features(spark: SparkSession, media: DataFrame,
       idCol: String = "media_id", bytesCol: String = "bytes"): DataFrame = {
     import spark.implicits._
+    val hasPixels = media.columns.contains("pixels")
+    val hasBytes = media.columns.contains(bytesCol)
     val payload =
-      if (media.columns.contains("pixels")) coalesce(col("pixels"), col(bytesCol))
+      if (hasPixels && hasBytes) coalesce(col("pixels"), col(bytesCol))
+      else if (hasPixels) col("pixels")
       else col(bytesCol)
     val samples =
       if (media.columns.contains("samples")) col("samples")
@@ -353,6 +365,118 @@ object MultimodalOps {
       .putInt(16000).putShort(2).putShort(16) // byte rate, block, bits
       .put("data".getBytes).putInt(n).put(data)
     out.array()
+  }
+
+  /** Decoded-pixel record from the JDK-codec path. */
+  final case class CodecDecoded(mediaId: Long, cwidth: Int, cheight: Int,
+      cchannels: Int, pixels: Array[Byte])
+
+  /** REAL compressed-image decode via the JDK's own codecs
+    * (`javax.imageio` — PNG deflate, GIF LZW, JPEG DCT, BMP; part of
+    * Java SE, no external library). This is the mapPartitions shape the
+    * [[features]] docs call the right altitude for codec work: one
+    * headless-AWT/reader context per partition, row-at-a-time decode
+    * within it. Output pixels are top-down row-major RGB triplets
+    * (normalized through `getRGB`, so the source's band layout or palette
+    * never leaks); undecodable payloads report null pixels and zero dims,
+    * never a task failure.
+    *
+    * With this path the engine decodes every JDK-supported image format
+    * for real — the synthetic-geometry fallback in [[decode]] remains
+    * only for video containers and unknown blobs.
+    */
+  def decodeCodecs(spark: SparkSession, media: DataFrame,
+      idCol: String = "media_id", bytesCol: String = "bytes"): DataFrame = {
+    import spark.implicits._
+    val src = media.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+    src.mapPartitions { it =>
+      // per-partition codec context init
+      System.setProperty("java.awt.headless", "true")
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { case (id, bytes) =>
+        try {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          if (img == null) CodecDecoded(id, 0, 0, 0, null)
+          else {
+            val w = img.getWidth; val h = img.getHeight
+            val px = new Array[Byte]((w * h * 3).toInt)
+            var i = 0; var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                px(i) = ((rgb >> 16) & 0xff).toByte
+                px(i + 1) = ((rgb >> 8) & 0xff).toByte
+                px(i + 2) = (rgb & 0xff).toByte
+                i += 3; x += 1
+              }
+              y += 1
+            }
+            CodecDecoded(id, w, h, 3, px)
+          }
+        } catch { case _: Exception => CodecDecoded(id, 0, 0, 0, null) }
+      }
+    }.toDF("media_id", "cwidth", "cheight", "cchannels", "pixels")
+  }
+
+  /** Deterministic REAL PNG container around payload bytes (the [[bmpOf]]
+    * corpus-synthesis role for the compressed-format path): bytes pack as
+    * top-down row-major RGB triplets of a 64-wide image, losslessly
+    * recoverable — PNG is the lossless member of the JDK codec set, so
+    * [[decodeCodecs]] must return exactly these bytes back.
+    */
+  private[graft] def pngOf(bytes: Array[Byte]): Array[Byte] = {
+    val width = 64; val rowBytes = width * 3
+    val height = math.max(1, math.min(bytes.length / rowBytes, 1024))
+    val px = new Array[Byte](rowBytes * height)
+    System.arraycopy(bytes, 0, px, 0, math.min(bytes.length, px.length))
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var i = 0; var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        img.setRGB(x, y, ((px(i) & 0xff) << 16) | ((px(i + 1) & 0xff) << 8)
+          | (px(i + 2) & 0xff))
+        i += 3; x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Compressed-format pipeline (rows-only driver check): document bytes
+    * ride in REAL PNG containers, decode through the JDK codec path, and
+    * the decoded pixels feed the same feature kernels as the native-BMP
+    * pipeline. PNG is lossless, so MultimodalSpec pins this pipeline's
+    * per-document entropy EQUAL to the native BMP path's on the same
+    * payloads — two independent decode stacks, one answer.
+    */
+  def mediaCodecPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+    val media = docs.mapPartitions { it =>
+      System.setProperty("java.awt.headless", "true")
+      it.map { case (id, payload) =>
+        val p = if (payload == null) Array.empty[Byte] else payload
+        (id, "png", pngOf(p))
+      }
+    }.toDF("media_id", "kind", "bytes")
+    val decoded = decodeCodecs(spark, media)
+    val feats = features(spark, media.join(decoded, "media_id"))
+    decoded.join(feats, "media_id")
+      .groupBy(lit("png").as("kind"))
+      .agg(count(lit(1)).as("n"),
+        avg(col("cwidth")).as("avg_w"),
+        avg(col("cheight")).as("avg_h"),
+        avg(element_at(col("features"), 1)).as("avg_f0"),
+        avg(col("entropy")).as("avg_entropy"))
   }
 
   /** Driver-surface demo pipeline (rows-only check): documents' text bytes

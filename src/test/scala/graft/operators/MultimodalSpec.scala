@@ -389,4 +389,57 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(1L) == (("bmp", Some(320L), Some(200L))))
     assert(out(2L) == (("bmp", None, None)))
   }
+
+  test("codec decode: PNG round-trips payload bytes losslessly through ImageIO") {
+    val payload = Array.tabulate[Byte](300)(i => (i * 7 % 256).toByte)
+    val out = MultimodalOps.decodeCodecs(spark,
+        Seq((1L, MultimodalOps.pngOf(payload))).toDF("media_id", "bytes"))
+      .collect().head
+    assert(out.getAs[Int]("cwidth") == 64 && out.getAs[Int]("cheight") == 1)
+    val px = out.getAs[Array[Byte]]("pixels")
+    assert(px.length == 192)
+    // PNG is lossless: the first 192 payload bytes come back bit-exact
+    assert(px.toSeq == payload.take(192).toSeq)
+  }
+
+  test("codec decode: JPEG/GIF/BMP dims via ImageIO; garbage reports null pixels") {
+    System.setProperty("java.awt.headless", "true")
+    def imageBytes(fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(5, 4,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    val out = MultimodalOps.decodeCodecs(spark, Seq(
+        (1L, imageBytes("jpg")), (2L, imageBytes("gif")), (3L, imageBytes("bmp")),
+        (4L, Array[Byte](1, 2, 3)))
+      .toDF("media_id", "bytes")).collect()
+      .map(r => r.getAs[Long]("media_id") ->
+        ((r.getAs[Int]("cwidth"), r.getAs[Int]("cheight")))).toMap
+    assert(out(1L) == ((5, 4)) && out(2L) == ((5, 4)) && out(3L) == ((5, 4)))
+    assert(out(4L) == ((0, 0)))
+  }
+
+  test("codec pipeline entropy equals the native-BMP pipeline's (two decode stacks, one answer)") {
+    // same payloads, one in a PNG (JDK-codec decode), one in a BMP (native
+    // expression decode). The BMP path's flip+BGR-swap is a permutation of
+    // the same padded byte multiset, so per-document entropy must be EQUAL
+    val payloads = Seq(
+      (1L, Array.tabulate[Byte](500)(i => (i % 97).toByte)),
+      (2L, Array.tabulate[Byte](200)(i => (i * 31 % 256).toByte)))
+    val pngFeats = MultimodalOps.features(spark,
+      MultimodalOps.decodeCodecs(spark,
+        payloads.map { case (id, p) => (id, MultimodalOps.pngOf(p)) }
+          .toDF("media_id", "bytes")))
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("entropy")).toMap
+    val bmpFeats = MultimodalOps.features(spark,
+      MultimodalOps.decode(
+        payloads.map { case (id, p) => (id, MultimodalOps.bmpOf(p)) }
+          .toDF("media_id", "bytes")))
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("entropy")).toMap
+    payloads.foreach { case (id, _) =>
+      assert(pngFeats(id) == bmpFeats(id), s"doc $id")
+    }
+  }
 }
