@@ -121,4 +121,45 @@ class CorpusStreamSpec extends AnyFunSuite {
       .as[(Long, String)].collect().toSet
     assert(got == expected)
   }
+
+  test("mix stream restart: dedup state survives the checkpoint") {
+    import java.nio.file.{Files, Paths}
+    val in = Files.createTempDirectory("graft_mix_in").toString
+    val outDir = Files.createTempDirectory("graft_mix_out").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_mix_ckpt").toString
+
+    def row(id: Long, text: String, lang: String, sec: Int): String =
+      s"""{"doc_id":$id,"text":"$text","lang":"$lang","n_chars":${text.length},""" +
+        s""""time":"2024-01-01T00:00:${f"$sec%02d"}.000Z"}"""
+
+    // no decontamination/threshold gating in this case — isolate the
+    // dedup-state-restore behavior
+    val schema = "doc_id LONG, text STRING, lang STRING, n_chars LONG, time TIMESTAMP"
+    def start() = {
+      val parsed = spark.readStream.schema(schema).json(in)
+      CorpusStream.mixStream(parsed, evalGramHashes = Seq.empty,
+        thresholds = Map.empty, watermark = "1 hour")
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+    }
+
+    Files.writeString(Paths.get(s"$in/a.json"),
+      row(1, "alpha beta gamma delta epsilon", "en", 1) + "\n" +
+        row(2, "one two three four five", "de", 2) + "\n")
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(spark.read.parquet(outDir).count() == 2)
+
+    // while down: an exact copy of doc 1 (state must still drop it after
+    // restart), one fresh doc, and one pure-repetition doc (gate drops it)
+    Files.writeString(Paths.get(s"$in/b.json"),
+      row(10, "alpha beta gamma delta epsilon", "en", 10) + "\n" +
+        row(11, "six seven eight nine ten", "fr", 11) + "\n" +
+        row(12, "spam spam spam spam spam", "en", 12) + "\n")
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val got = spark.read.parquet(outDir).as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "en"), (2L, "de"), (11L, "fr")))
+  }
 }
