@@ -87,6 +87,7 @@ object SparkEntry {
     "q_minhash_profile" -> TextOps.minhashProfile _,
     "q_repetition" -> TextOps.repetitionSignals _,
     "q_chunk_dedup" -> ((s, d) => TextOps.chunkDedup(s, d)),
+    "q_boilerplate" -> ((s, d) => TextOps.boilerplateChunks(s, d)),
     "q_pack_sequences" -> ((s, d) => TextOps.packSequences(s, d)),
     "q_vocab_df" -> ((s, d) => TextOps.vocabDocFreq(s, d)),
     "q_split_assign" -> TextOps.splitAssign _,
@@ -453,6 +454,15 @@ object SparkEntry {
         |  COUNT(CASE WHEN first_doc < doc_id THEN 1 END) AS n_dup_chunks
         |FROM ch JOIN fo USING (chunk)
         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "q_boilerplate" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |              FROM documents WHERE text IS NOT NULL),
+        |ch AS (SELECT DISTINCT doc_id,
+        |         array_to_string(list_slice(tk, (i-1)*16+1, least(i*16, len(tk))), ' ') AS chunk
+        |       FROM toks, UNNEST(range(1, CAST(ceil(len(tk)/16.0) AS BIGINT) + 1)) AS t(i))
+        |SELECT chunk, COUNT(*) AS df FROM ch
+        |GROUP BY 1 HAVING COUNT(*) >= 2
+        |ORDER BY df DESC, chunk LIMIT 20""".stripMargin,
     "q_pack_sequences" ->
       """WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
         |           FROM documents WHERE text IS NOT NULL),

@@ -891,6 +891,39 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Boilerplate detection — the chunk-granularity [[vocabDocFreq]]: the
+    * top `k` 16-token chunks by DOCUMENT frequency among chunks shared by
+    * at least `minDf` documents. At web scale these are the site
+    * templates / navigation blocks a C4-style pipeline strips before
+    * training; the manifest here is the strip list.
+    *
+    * Scale shape: per-document distinct chunks are row-wise, the
+    * (chunk, df) aggregate runs with map-side partials, and the global
+    * top-k is TakeOrderedAndProject — per-partition heaps, k rows to the
+    * driver, never a global sort. Chunks stay strings in the output (the
+    * strip list must be actionable), but the exchange key is the chunk
+    * text itself only AFTER the df aggregate has collapsed duplicates.
+    */
+  def boilerplateChunks(spark: SparkSession, dir: String, k: Int = 20,
+      minDf: Int = 2, chunkTokens: Int = 16): DataFrame =
+    boilerplateChunksOver(Tables.documents(spark, dir), k, minDf, chunkTokens)
+
+  private[graft] def boilerplateChunksOver(docs: DataFrame, k: Int,
+      minDf: Int, chunkTokens: Int): DataFrame = {
+    val chunkArr = bindOnce(tokens(col("text"))) { t =>
+      transform(sequence(lit(1), size(t), lit(chunkTokens)),
+        s => array_join(slice(t, s, lit(chunkTokens)), " "))
+    }
+    docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(array_distinct(chunkArr)).as("chunk"))
+      .groupBy("chunk")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .orderBy(col("df").desc, col("chunk"))
+      .limit(k)
+  }
+
   /** Sequence packing — the pretraining batch-construction step: the
     * token stream of the corpus in doc_id order is cut into fixed
     * `seqLen`-token training sequences (documents straddle boundaries,

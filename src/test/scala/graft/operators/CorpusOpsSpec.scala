@@ -97,6 +97,35 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  // --- boilerplate --------------------------------------------------------
+
+  test("boilerplate: shared chunks surface with exact df, ties broken by chunk") {
+    val docs = Seq(
+      (1L, "nav home about contact"),
+      (2L, "nav home about contact"),
+      (3L, "nav home about contact"),
+      (4L, "footer legal"),
+      (5L, "footer legal"),
+      (6L, "unique content here")
+    ).toDF("doc_id", "text")
+    val out = TextOps.boilerplateChunksOver(docs, k = 5, minDf = 2, chunkTokens = 16)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq == Seq(("nav home about contact", 3L), ("footer legal", 2L)))
+  }
+
+  test("boilerplate matches exhaustive chunk-df ground truth at sf0.01") {
+    val got = TextOps.boilerplateChunks(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val want = corpus.filter(_._2 != null)
+      .flatMap { case (id, text) =>
+        text.split(" ", -1).grouped(16).map(_.mkString(" ")).toSet.map((c: String) => (c, id))
+      }
+      .groupBy(_._1).map { case (c, xs) => (c, xs.size.toLong) }
+      .filter(_._2 >= 2)
+      .toSeq.sortBy { case (c, df) => (-df, c) }.take(20)
+    assert(got.toSeq == want)
+  }
+
   // --- sequence packing ---------------------------------------------------
 
   test("sequence packing: hand-computed fixture at seqLen=4") {
