@@ -93,6 +93,48 @@ object StreamDedup {
       }
   }
 
+  /** Near-dup hits of the STREAM against CORPUS HISTORY — the streaming
+    * face of [[graft.operators.TextOps.incrementalDedup]]: a batch-built
+    * LSH index of the existing corpus (same [[banded]] projection, so the
+    * band space can never drift) joins each micro-batch stream-static on
+    * (band, bucket), and collisions verify row-wise by minhash signature
+    * agreement. Completely STATELESS — no flatMapGroupsWithState, no
+    * watermark, nothing accumulates: history lives in the static side
+    * (refreshed batch-side like the mix gates' thresholds), and the same
+    * code runs identically on a batch frame, which is exactly how
+    * StreamDedupSpec pins drained-stream ≡ batch.
+    *
+    * A pair colliding in several bands emits once per band, like
+    * [[candidates]] — consumers dropDuplicates(doc_id, corpus_doc).
+    *
+    * 100 TB posture: the static index is (band, bucket)-keyed and
+    * parquet/bucketed at corpus scale; each micro-batch touches only the
+    * buckets its documents hash into. The join is the only exchange and
+    * it moves the (small) batch side.
+    */
+  def candidatesVsCorpus(stream: DataFrame, corpusIndex: DataFrame,
+      threshold: Double = 0.9): DataFrame = {
+    val agree = aggregate(
+      zip_with(col("sig"), col("corpus_sig"),
+        (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v)
+    banded(stream)
+      .join(corpusIndex, Seq("band", "bucket"))
+      .filter(col("docId") =!= col("corpus_doc"))
+      .withColumn("est_jaccard", agree.cast("double") / size(col("sig")))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("docId").as("doc_id"), col("corpus_doc"), col("est_jaccard"))
+  }
+
+  /** The batch-built static side of [[candidatesVsCorpus]]: the existing
+    * corpus through the SAME banded projection, renamed for the join.
+    * At production scale this is an ingest artifact written bucketed by
+    * (band, bucket); callers persist or reload it between refreshes.
+    */
+  def corpusIndexOf(corpus: DataFrame): DataFrame =
+    banded(corpus).select(col("docId").as("corpus_doc"),
+      col("band"), col("bucket"), col("sig").as("corpus_sig"))
+
   /** [[candidates]] with an event-time TTL: documents carry a `ts`
     * timestamp, a document only matches prior documents within
     * `windowMs` of event time (symmetric, so out-of-order arrivals

@@ -110,4 +110,46 @@ class StreamDedupSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toSet
     assert(got == Set((1L, 2L), (4L, 5L)))
   }
+
+  test("stream-vs-corpus-history hits: drained stream equals the batch run of the same code") {
+    // existing corpus: the sf0.001 documents; stream: exact re-crawls of
+    // two corpus docs (signature agreement 1.0 — deterministic hits at
+    // any threshold) + one fresh doc
+    val corpus = graft.Tables.documents(spark, dir)
+      .select(col("doc_id").cast("long"), col("text"))
+    val base = corpus.as[(Long, String)].collect().sortBy(_._1)
+    val streamDocs = Seq(
+      (9001L, base(0)._2),
+      (9002L, base(1)._2),
+      (9003L, "completely fresh unrelated words only"))
+    val idx = StreamDedup.corpusIndexOf(corpus).persist()
+
+    // batch expectation: candidatesVsCorpus is stateless DataFrame code,
+    // so running it over the same rows as a batch frame IS the contract
+    val batchDf = streamDocs.toDF("doc_id", "text")
+    val expected = StreamDedup.candidatesVsCorpus(batchDf, idx)
+      .select("doc_id", "corpus_doc", "est_jaccard").distinct()
+      .as[(Long, Long, Double)].collect().toSet
+    assert(expected.exists(_._1 == 9001L) && expected.exists(_._1 == 9002L),
+      "near-copies must hit their corpus originals")
+    assert(!expected.exists(_._1 == 9003L), "fresh doc must not hit")
+
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDS.select(col("_1").as("doc_id"), col("_2").as("text"))
+    val q = StreamDedup.candidatesVsCorpus(stream, idx)
+      .writeStream.format("memory").queryName("history_hits")
+      .outputMode("append").start()
+    try {
+      mem.addData(streamDocs.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(streamDocs.drop(2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("history_hits")
+      .select("doc_id", "corpus_doc", "est_jaccard").distinct()
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == expected)
+  }
 }
