@@ -322,15 +322,24 @@ object MultimodalOps {
   def mediaStats(spark: SparkSession, media: DataFrame): DataFrame = {
     val decoded = resizeMeta(decode(media), maxDim = 512)
     val feats = features(spark, decoded)
-    decoded.join(feats, "media_id")
-      .groupBy("kind")
-      .agg(count(lit(1)).as("n"),
-        avg(col("out_width")).as("avg_w"),
-        avg(col("out_height")).as("avg_h"),
-        avg(element_at(col("features"), 1)).as("avg_f0"),
-        avg(col("entropy")).as("avg_entropy"))
+    kindStats(decoded.join(feats, "media_id"),
+      col("kind"), col("out_width"), col("out_height"))
       .orderBy("kind")
   }
+
+  /** The per-kind stat aggregate shared by [[mediaStats]] and
+    * [[mediaCodecPipeline]] — ONE list of statistics, so the two
+    * rows-only pipelines can never drift apart when a stat is added.
+    */
+  private def kindStats(joined: DataFrame, kind: Column,
+      wCol: Column, hCol: Column): DataFrame =
+    joined
+      .groupBy(kind.as("kind"))
+      .agg(count(lit(1)).as("n"),
+        avg(wCol).as("avg_w"),
+        avg(hCol).as("avg_h"),
+        avg(element_at(col("features"), 1)).as("avg_f0"),
+        avg(col("entropy")).as("avg_entropy"))
 
   /** Deterministic REAL media containers around arbitrary payload bytes —
     * the corpus-synthesis role (a fixture builder, not a decode path):
@@ -338,11 +347,22 @@ object MultimodalOps {
     * bytes, and a PCM16 mono WAV whose sample frames carry them.
     * Everything DOWNSTREAM of these is the engine's real decode path.
     */
-  private[graft] def bmpOf(bytes: Array[Byte]): Array[Byte] = {
-    val width = 64; val rowBytes = width * 3 // 192 ≡ 0 (mod 4): no padding
+  /** Shared payload→pixel packing for the container builders: 64-wide,
+    * height clamped to [1, 1024], truncating copy. ONE definition — the
+    * cross-stack entropy-equality test (PNG-codec vs native-BMP) is only
+    * valid while both containers pack the same padded byte multiset.
+    */
+  private val packWidth = 64
+  private def packPayload(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+    val rowBytes = packWidth * 3 // 192 ≡ 0 (mod 4): no BMP row padding
     val height = math.max(1, math.min(bytes.length / rowBytes, 1024))
     val px = new Array[Byte](rowBytes * height)
     System.arraycopy(bytes, 0, px, 0, math.min(bytes.length, px.length))
+    (packWidth, height, px)
+  }
+
+  private[graft] def bmpOf(bytes: Array[Byte]): Array[Byte] = {
+    val (width, height, px) = packPayload(bytes)
     val out = java.nio.ByteBuffer.allocate(54 + px.length)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     out.put('B'.toByte).put('M'.toByte).putInt(54 + px.length)
@@ -386,7 +406,8 @@ object MultimodalOps {
     * only for video containers and unknown blobs.
     */
   def decodeCodecs(spark: SparkSession, media: DataFrame,
-      idCol: String = "media_id", bytesCol: String = "bytes"): DataFrame = {
+      idCol: String = "media_id", bytesCol: String = "bytes",
+      maxPixels: Long = 16L * 1024 * 1024): DataFrame = {
     import spark.implicits._
     val src = media.select(col(idCol).cast("long"), col(bytesCol))
       .as[(Long, Array[Byte])]
@@ -394,29 +415,42 @@ object MultimodalOps {
       // per-partition codec context init
       System.setProperty("java.awt.headless", "true")
       javax.imageio.ImageIO.setUseCache(false)
+      val miss = (id: Long) => CodecDecoded(id, 0, 0, 0, null)
       it.map { case (id, bytes) =>
         try {
-          val img = javax.imageio.ImageIO.read(
+          // header-first: read dimensions WITHOUT decoding pixels and
+          // reject oversized declarations BEFORE any allocation happens —
+          // a decompression-bomb PNG claiming 50000×50000 would otherwise
+          // OOM the task inside ImageIO (an Error, uncatchable by policy),
+          // not merely fail the row
+          val iis = javax.imageio.ImageIO.createImageInputStream(
             new java.io.ByteArrayInputStream(bytes))
-          if (img == null) CodecDecoded(id, 0, 0, 0, null)
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) miss(id)
           else {
-            val w = img.getWidth; val h = img.getHeight
-            val px = new Array[Byte]((w * h * 3).toInt)
-            var i = 0; var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                val rgb = img.getRGB(x, y)
-                px(i) = ((rgb >> 16) & 0xff).toByte
-                px(i + 1) = ((rgb >> 8) & 0xff).toByte
-                px(i + 2) = (rgb & 0xff).toByte
-                i += 3; x += 1
+            val reader = readers.next()
+            try {
+              reader.setInput(iis)
+              val w = reader.getWidth(0); val h = reader.getHeight(0)
+              if (w <= 0 || h <= 0 || w.toLong * h > maxPixels) miss(id)
+              else {
+                val img = reader.read(0)
+                // bulk row read: one getRGB call per image, not per pixel
+                val rgb = img.getRGB(0, 0, w, h, null, 0, w)
+                val px = new Array[Byte](w * h * 3)
+                var i = 0; var j = 0
+                while (j < rgb.length) {
+                  val v = rgb(j)
+                  px(i) = ((v >> 16) & 0xff).toByte
+                  px(i + 1) = ((v >> 8) & 0xff).toByte
+                  px(i + 2) = (v & 0xff).toByte
+                  i += 3; j += 1
+                }
+                CodecDecoded(id, w, h, 3, px)
               }
-              y += 1
-            }
-            CodecDecoded(id, w, h, 3, px)
+            } finally reader.dispose()
           }
-        } catch { case _: Exception => CodecDecoded(id, 0, 0, 0, null) }
+        } catch { case _: Exception => miss(id) }
       }
     }.toDF("media_id", "cwidth", "cheight", "cchannels", "pixels")
   }
@@ -428,10 +462,7 @@ object MultimodalOps {
     * [[decodeCodecs]] must return exactly these bytes back.
     */
   private[graft] def pngOf(bytes: Array[Byte]): Array[Byte] = {
-    val width = 64; val rowBytes = width * 3
-    val height = math.max(1, math.min(bytes.length / rowBytes, 1024))
-    val px = new Array[Byte](rowBytes * height)
-    System.arraycopy(bytes, 0, px, 0, math.min(bytes.length, px.length))
+    val (width, height, px) = packPayload(bytes)
     val img = new java.awt.image.BufferedImage(width, height,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
     var i = 0; var y = 0
@@ -468,15 +499,14 @@ object MultimodalOps {
         (id, "png", pngOf(p))
       }
     }.toDF("media_id", "kind", "bytes")
-    val decoded = decodeCodecs(spark, media)
-    val feats = features(spark, media.join(decoded, "media_id"))
-    decoded.join(feats, "media_id")
-      .groupBy(lit("png").as("kind"))
-      .agg(count(lit(1)).as("n"),
-        avg(col("cwidth")).as("avg_w"),
-        avg(col("cheight")).as("avg_h"),
-        avg(element_at(col("features"), 1)).as("avg_f0"),
-        avg(col("entropy")).as("avg_entropy"))
+    // persisted: the decoded frame feeds both the feature pass and the
+    // stat join — without it the pngOf encode AND the ImageIO decode (the
+    // dominant cost of this pipeline) execute twice. LRU-bounded lifetime
+    // like the engine's other intra-query persists
+    val decoded = decodeCodecs(spark, media).persist()
+    val feats = features(spark, decoded)
+    kindStats(decoded.withColumn("kind", lit("png")).join(feats, "media_id"),
+      col("kind"), col("cwidth"), col("cheight"))
   }
 
   /** Driver-surface demo pipeline (rows-only check): documents' text bytes

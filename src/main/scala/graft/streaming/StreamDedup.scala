@@ -113,18 +113,16 @@ object StreamDedup {
     * it moves the (small) batch side.
     */
   def candidatesVsCorpus(stream: DataFrame, corpusIndex: DataFrame,
-      threshold: Double = 0.9): DataFrame = {
-    val agree = aggregate(
-      zip_with(col("sig"), col("corpus_sig"),
-        (x, y) => when(x === y, 1).otherwise(0)),
-      lit(0), (acc, v) => acc + v)
+      threshold: Double = TextOps.minhashEstThreshold): DataFrame =
     banded(stream)
       .join(corpusIndex, Seq("band", "bucket"))
       .filter(col("docId") =!= col("corpus_doc"))
-      .withColumn("est_jaccard", agree.cast("double") / size(col("sig")))
+      // the SAME agreement estimator + cut as the batch LSH family —
+      // their equivalence only holds while both sides share the constant
+      .withColumn("est_jaccard",
+        TextOps.minhashAgreement(col("sig"), col("corpus_sig")))
       .filter(col("est_jaccard") >= threshold)
       .select(col("docId").as("doc_id"), col("corpus_doc"), col("est_jaccard"))
-  }
 
   /** The batch-built static side of [[candidatesVsCorpus]]: the existing
     * corpus through the SAME banded projection, renamed for the join.
