@@ -421,6 +421,20 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(4L) == ((0, 0)))
   }
 
+  test("codec decode: oversized dimension declarations are rejected before allocation") {
+    System.setProperty("java.awt.headless", "true")
+    val img = new java.awt.image.BufferedImage(5, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    // 20 declared pixels against a 10-pixel budget: the header check must
+    // refuse the row (null pixels, zero dims) without decoding anything
+    val out = MultimodalOps.decodeCodecs(spark,
+        Seq((1L, bos.toByteArray)).toDF("media_id", "bytes"), maxPixels = 10L)
+      .collect().head
+    assert(out.getAs[Int]("cwidth") == 0 && out.getAs[Array[Byte]]("pixels") == null)
+  }
+
   test("codec pipeline entropy equals the native-BMP pipeline's (two decode stacks, one answer)") {
     // same payloads, one in a PNG (JDK-codec decode), one in a BMP (native
     // expression decode). The BMP path's flip+BGR-swap is a permutation of
