@@ -488,6 +488,7 @@ object MultimodalOps {
     * payloads — two independent decode stacks, one answer.
     */
   def mediaCodecPipeline(spark: SparkSession, dir: String): DataFrame = {
+    graft.IntraQueryCache.newGeneration(s"media:$dir")
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
@@ -501,9 +502,10 @@ object MultimodalOps {
     }.toDF("media_id", "kind", "bytes")
     // persisted: the decoded frame feeds both the feature pass and the
     // stat join — without it the pngOf encode AND the ImageIO decode (the
-    // dominant cost of this pipeline) execute twice. LRU-bounded lifetime
-    // like the engine's other intra-query persists
-    val decoded = decodeCodecs(spark, media).persist()
+    // dominant cost of this pipeline) execute twice. Generation-scoped
+    // like the engine's other intra-query persists (warm on rerun,
+    // budget-evicted under pressure)
+    val decoded = graft.IntraQueryCache.scoped(decodeCodecs(spark, media))
     val feats = features(spark, decoded)
     kindStats(decoded.withColumn("kind", lit("png")).join(feats, "media_id"),
       col("kind"), col("cwidth"), col("cheight"))

@@ -342,6 +342,8 @@ object TextOps {
     */
   private[operators] def jaccardPairs(spark: SparkSession, docs0: DataFrame,
       threshold: Double): DataFrame = {
+    graft.IntraQueryCache.newGeneration(
+      s"jaccard:${docs0.queryExecution.analyzed.semanticHash()}:$threshold")
     graft.functions.VectorFunctions.ensureRegistered(spark)
     val docs = docs0.withColumn("sz", size(col("toks")).cast("long"))
     // collapse identical token SETS: docs sharing a set are pairwise J=1
@@ -349,7 +351,7 @@ object TextOps {
     // distinct sets only (same dedup-before-join move as minhashLsh)
     val groups = docs.groupBy("toks", "sz")
       .agg(collect_list(col("doc_id")).as("ids"), min(col("doc_id")).as("gid"))
-      .persist()
+      .transform(graft.IntraQueryCache.scoped)
     val intra = groups
       .select(explode(col("ids")).as("doc_a"), col("ids"))
       .select(col("doc_a"), explode(col("ids")).as("doc_b"))
@@ -361,9 +363,9 @@ object TextOps {
     val w = Window.partitionBy("gid").orderBy("df", "th")
     // persisted: the candidate self-join consumes this twice, and the
     // subtree above it (explode + document-frequency join + rank window)
-    // is the expensive half of the query. Like the other intra-query
-    // persists here, lifetime is bounded by block-manager LRU (Spark has
-    // no query-scoped cache release for a lazily returned plan)
+    // is the expensive half of the query. Generation-scoped
+    // (IntraQueryCache): reruns reuse it warm, and it is released when
+    // the session's cached storage passes the budget
     // The pruning bounds (prefix length, size-compatibility window) MUST
     // be conservative: a pair the verification filter would keep may never
     // be pruned. In doubles, (1-0.8)*5 = 0.9999999999999998 floors one
@@ -377,7 +379,7 @@ object TextOps {
       .withColumn("pos", row_number().over(w))
       .filter(col("pos") <= floor((lit(BigDecimal(1)) - tDec) * col("sz")) + 1)
       .select("gid", "th", "sz")
-      .persist()
+      .transform(graft.IntraQueryCache.scoped)
     // candidate set-pairs share a prefix token AND have compatible sizes
     // (t*|A| <= |B| <= |A|/t), both checked inside the join
     val cand = prefix.as("a").join(prefix.as("b"),
@@ -649,6 +651,8 @@ object TextOps {
   private def minhashLshOver(spark: SparkSession, dir: String,
       tokenizer: Column => Column): DataFrame = {
     val ths = transform(tokenizer(col("text")), t => xxhash64(t))
+    graft.IntraQueryCache.newGeneration(
+      s"minhash:$dir:${ths.toString.hashCode}")
     val sigExpr = minhashSig(col("ths"))
     // the sig table (one 16-long array per doc) feeds the band explode AND
     // both verification joins — persist it so the corpus scan runs once,
@@ -657,7 +661,7 @@ object TextOps {
       .select(col("doc_id"), ths.as("ths"))
       .filter(size(col("ths")) > 0) // docs with no tokens have no signature
       .select(col("doc_id"), sigExpr.as("sig"))
-      .persist()
+      .transform(graft.IntraQueryCache.scoped)
     // Near-dup corpora have big clusters of IDENTICAL signatures (exact +
     // near copies); enumerating their pairs through the bucket join makes
     // the join quadratic in cluster size. Collapse to distinct signatures
@@ -666,7 +670,7 @@ object TextOps {
     // only quadratic step left is writing the answer itself.
     val groups = sig.groupBy("sig")
       .agg(collect_list(col("doc_id")).as("ids"), min(col("doc_id")).as("gid"))
-      .persist()
+      .transform(graft.IntraQueryCache.scoped)
     // intra-group pairs: identical signatures ⇒ est_jaccard = 1.0
     val intra = groups
       .select(explode(col("ids")).as("doc_a"), col("ids"))
@@ -757,6 +761,7 @@ object TextOps {
     * caught 40% of true d≤8 pairs.)
     */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
+    graft.IntraQueryCache.newGeneration(s"simhash:$dir")
     val fp = simhashFingerprints(spark, dir)
     // Dup-heavy corpora cluster on IDENTICAL fingerprints (the same
     // collapse move minhashLshOver makes): the band self-join runs over
@@ -766,7 +771,7 @@ object TextOps {
     // the answer itself.
     val groups = fp.groupBy("simhash")
       .agg(collect_list(col("doc_id")).as("ids"))
-      .persist()
+      .transform(graft.IntraQueryCache.scoped)
     // intra-group: identical fingerprints are hamming-0 pairs by definition
     val intra = groups
       .select(explode(col("ids")).as("doc_a"), col("ids"))
@@ -955,8 +960,11 @@ object TextOps {
       // persisted: the totals aggregate and the per-document pass both
       // consume this frame, and pid MUST be the same assignment in both —
       // two independent evaluations could be coalesced differently by AQE.
-      // Lifetime is block-manager-LRU-bounded, like the engine's other
-      // intra-query persists
+      // Deliberately NOT generation-scoped (unlike the engine's other
+      // intra-query persists): an unpersist-then-recompute could assign
+      // different pids, so this frame must survive until fully consumed.
+      // MEMORY_AND_DISK spills rather than evicts, preserving the
+      // assignment for the JVM lifetime.
       .withColumn("pid", spark_partition_id())
       .persist()
     val partTotals = docs.groupBy("pid").agg(sum(col("n_tokens")).as("ptot"))
@@ -1035,16 +1043,18 @@ object TextOps {
     */
   private[operators] def crossJaccardPairs(spark: SparkSession, da: DataFrame,
       db: DataFrame, threshold: Double): DataFrame = {
+    graft.IntraQueryCache.newGeneration(
+      s"xjaccard:${da.queryExecution.analyzed.semanticHash()}:" +
+        s"${db.queryExecution.analyzed.semanticHash()}:$threshold")
     graft.functions.VectorFunctions.ensureRegistered(spark)
     // the four persists below (groups + prefixes per side) are consumed
-    // 2-3× each inside this one query; as with jaccardPairs, lifetime is
-    // bounded by block-manager LRU — Spark has no query-scoped release
-    // for a lazily returned plan
+    // 2-3× each inside this one query; generation-scoped like
+    // jaccardPairs (warm on rerun, budget-evicted under pressure)
     def groupsOf(d: DataFrame) = d
       .withColumn("sz", size(col("toks")).cast("long"))
       .groupBy("toks", "sz")
       .agg(collect_list(col("doc_id")).as("ids"), min(col("doc_id")).as("gid"))
-      .persist()
+      .transform(graft.IntraQueryCache.scoped)
     val ga = groupsOf(da)
     val gb = groupsOf(db)
     // identical sets across sides are pairwise J=1 by definition
@@ -1064,7 +1074,7 @@ object TextOps {
       .withColumn("pos", row_number().over(w))
       .filter(col("pos") <= floor((lit(BigDecimal(1)) - tDec) * col("sz")) + 1)
       .select("gid", "th", "sz")
-      .persist()
+      .transform(graft.IntraQueryCache.scoped)
     val pa = prefixOf(gtokA)
     val pb = prefixOf(gtokB)
     val cand = pa.as("a").join(pb.as("b"),
