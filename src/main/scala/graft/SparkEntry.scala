@@ -73,6 +73,7 @@ object SparkEntry {
     "q_fingerprint" -> TextOps.fingerprint _,
     "q_quality_score" -> TextOps.qualityScore _,
     "q_lang_id" -> TextOps.langIdHeuristic _,
+    "q_pii_scrub" -> TextOps.piiScrub _,
     "q_token_jaccard" -> TextOps.tokenJaccard _,
     "q_ngram_jaccard" -> TextOps.ngramJaccard _,
     "q_dedup_clusters" -> ((s, d) => TextOps.dedupClusters(s, d)),
@@ -287,6 +288,21 @@ object SparkEntry {
         |  CAST(SUM(length(tok)) AS DOUBLE)/COUNT(*) AS avg_tok_len,
         |  COUNT(*) AS n_tokens
         |FROM tok GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_pii_scrub" ->
+      """WITH r AS (SELECT doc_id, concat(coalesce(text, ''),
+        |  CASE WHEN doc_id % 2 = 0 THEN concat(' contact u', CAST(doc_id AS VARCHAR), '@example.com') ELSE '' END,
+        |  CASE WHEN doc_id % 3 = 0 THEN concat(' from 10.0.', CAST(doc_id % 250 AS VARCHAR), '.7') ELSE '' END,
+        |  CASE WHEN doc_id % 5 = 0 THEN concat(' call 555-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')) ELSE '' END) AS raw
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+        |  len(regexp_extract_all(raw, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
+        |  len(regexp_extract_all(raw, '\b\d{3}-\d{4}\b')) AS n_phone,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(raw,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\d{3}-\d{4}\b', '<PHONE>', 'g')) AS scrub_md5
+        |FROM r ORDER BY doc_id""".stripMargin,
     "q_lang_id" ->
       s"""WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents),
         |r AS (SELECT doc_id, lang,

@@ -281,6 +281,58 @@ object TextOps {
       .orderBy("lang", "lang_guess")
   }
 
+  // PII patterns shared by the scrub and its counts. Written to mean the
+  // SAME thing in Java regex (Spark) and RE2 (the DuckDB oracle): no
+  // backreferences, no lookaround, no groups — only \b, \d, bounded
+  // repetition and literal classes, which the two dialects agree on.
+  private[operators] val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[operators] val ipPat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private[operators] val phonePat = "\\b\\d{3}-\\d{4}\\b"
+
+  /** PII redaction — the standard pre-training scrub stage (emails →
+    * `<EMAIL>`, IPv4s → `<IP>`, phone-shaped digit runs → `<PHONE>`)
+    * production corpus pipelines apply before tokenization. Pure
+    * row-wise `regexp_replace`/`regexp_extract_all` projections — zero
+    * shuffle at any corpus size, and codegen keeps the three passes in
+    * one whole-stage pipeline over the scan.
+    *
+    * The synthetic corpus carries no organic PII, so the query plants a
+    * deterministic PII tail per document (presence keyed on doc_id, so
+    * densities differ per kind) and scrubs the combined text — the
+    * redaction is exercised for real while staying oracle-checkable:
+    * per-kind match counts plus an md5 of the scrubbed text must equal
+    * DuckDB's byte-for-byte.
+    */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val raw = concat(
+      coalesce(col("text"), lit("")),
+      when(col("doc_id") % 2 === 0,
+        concat(lit(" contact u"), col("doc_id").cast("string"),
+          lit("@example.com"))).otherwise(lit("")),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" from 10.0."), (col("doc_id") % 250).cast("string"),
+          lit(".7"))).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(" call 555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .otherwise(lit("")))
+    val scrubbed =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(raw, emailPat, "<EMAIL>"),
+          ipPat, "<IP>"),
+        phonePat, "<PHONE>")
+    def countOf(pat: String): Column =
+      size(regexp_extract_all(raw, lit(pat), lit(0))).cast("long")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        countOf(emailPat).as("n_email"),
+        countOf(ipPat).as("n_ip"),
+        countOf(phonePat).as("n_phone"),
+        md5(scrubbed).as("scrub_md5"))
+      .orderBy("doc_id")
+  }
+
   /** Near-dup by exact token-set Jaccard, computed with AllPairs-style
     * prefix filtering: under any global token order, two sets with
     * J >= t must share a token within their first

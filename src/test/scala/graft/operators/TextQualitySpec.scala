@@ -201,4 +201,37 @@ class TextQualitySpec extends AnyFunSuite {
     assert(got.size == expected.size)
     assert(got == expected)
   }
+
+  test("piiScrub redacts emails/IPs/phones with exact counts and bytes") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pii").toString
+    Seq(
+      // id 0: divisible by 2/3/5 → all three injections land, plus an
+      // organic email with dots and a plus in the local part
+      (0L, "write to alice.smith+x@corp.example.org now", "en", "t", 0L),
+      // id 1: no injections — organic IPv4 only
+      (1L, "server at 192.168.0.1 port 80", "en", "t", 0L),
+      // id 7: no injections — one real phone; 555-12345 must NOT match
+      // (\b fails after the 4th digit)
+      (7L, "call 555-0199 or 555-12345", "en", "t", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val out = TextOps.piiScrub(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getAs[Long]("n_email") == 2)
+    assert(out(0L).getAs[Long]("n_ip") == 1)
+    assert(out(0L).getAs[Long]("n_phone") == 1)
+    assert(out(0L).getAs[String]("scrub_md5") == md5hex(
+      "write to <EMAIL> now contact <EMAIL> from <IP> call <PHONE>"))
+    assert(out(1L).getAs[Long]("n_email") == 0)
+    assert(out(1L).getAs[Long]("n_ip") == 1)
+    assert(out(1L).getAs[Long]("n_phone") == 0)
+    assert(out(1L).getAs[String]("scrub_md5") == md5hex(
+      "server at <IP> port 80"))
+    assert(out(7L).getAs[Long]("n_phone") == 1)
+    assert(out(7L).getAs[String]("scrub_md5") == md5hex(
+      "call <PHONE> or 555-12345"))
+  }
 }
