@@ -74,6 +74,8 @@ object SparkEntry {
     "q_quality_score" -> TextOps.qualityScore _,
     "q_lang_id" -> TextOps.langIdHeuristic _,
     "q_pii_scrub" -> TextOps.piiScrub _,
+    "q_lm_score" -> TextOps.lmScore _,
+    "q_tfidf_terms" -> ((s, d) => TextOps.tfidfTerms(s, d)),
     "q_token_jaccard" -> TextOps.tokenJaccard _,
     "q_ngram_jaccard" -> TextOps.ngramJaccard _,
     "q_dedup_clusters" -> ((s, d) => TextOps.dedupClusters(s, d)),
@@ -303,6 +305,28 @@ object SparkEntry {
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
         |    '\b\d{3}-\d{4}\b', '<PHONE>', 'g')) AS scrub_md5
         |FROM r ORDER BY doc_id""".stripMargin,
+    "q_lm_score" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents WHERE text IS NOT NULL),
+        |dt AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |cnt AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS c FROM dt GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM cnt)
+        |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(tf * c) AS BIGINT) AS sum_tf,
+        |  CAST(CAST(SUM(tf * c) AS BIGINT) AS DOUBLE) /
+        |    CAST(CAST(SUM(tf) AS BIGINT) * (SELECT t FROM tot) AS DOUBLE) AS avg_prob
+        |FROM dt JOIN cnt USING (term) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_tfidf_terms" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents WHERE text IS NOT NULL),
+        |dt AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM dt GROUP BY 1),
+        |nd AS (SELECT COUNT(*) AS n FROM documents WHERE text IS NOT NULL),
+        |s AS (SELECT doc_id, term, tf, df,
+        |  CAST(tf * (SELECT n FROM nd) AS DOUBLE) / CAST(df AS DOUBLE) AS score
+        |  FROM dt JOIN dfreq USING (term)),
+        |r AS (SELECT *, CAST(row_number() OVER
+        |  (PARTITION BY doc_id ORDER BY score DESC, term) AS BIGINT) AS rk FROM s)
+        |SELECT doc_id, rk, term, tf, df, score FROM r WHERE rk <= 3
+        |ORDER BY doc_id, rk""".stripMargin,
     "q_lang_id" ->
       s"""WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents),
         |r AS (SELECT doc_id, lang,

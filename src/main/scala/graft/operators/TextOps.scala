@@ -1279,4 +1279,74 @@ object TextOps {
       .select("lang", "rn", "term", "df")
       .orderBy("lang", "rn")
   }
+
+  /** Per-(doc, term) frequency over whitespace tokens — the shared
+    * doc-term frame behind [[lmScore]] and [[tfidfTerms]]. One explode
+    * into a hash aggregate with map-side partials; everything downstream
+    * works on (doc, term) granularity, never raw token positions.
+    */
+  private def docTermTf(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+
+  /** Statistical quality scoring against the corpus's own unigram LM:
+    * each document's average token probability under the corpus unigram
+    * distribution — garbled or out-of-domain text scores low, the same
+    * signal production pipelines get from a trained LM's perplexity,
+    * computed here exactly from counts. All arithmetic stays INTEGER
+    * until one final division (sum of c_t over positions / (n·T)), so
+    * the double is a single correctly-rounded operation and the DuckDB
+    * oracle matches bit-for-bit — no transcendental functions whose
+    * last-ulp behavior could differ between engines.
+    *
+    * Scale shape: the count table is vocabulary-bounded (Zipf — far
+    * smaller than the corpus), the doc-term join shuffles on the term
+    * key at (doc, term) granularity after map-side tf combining, and
+    * the grand total rides a one-row broadcast. No token-position
+    * shuffle anywhere.
+    */
+  def lmScore(spark: SparkSession, dir: String): DataFrame = {
+    val dt = docTermTf(Tables.documents(spark, dir))
+    val cnt = dt.groupBy("term").agg(sum("tf").as("c"))
+    val total = cnt.agg(sum(col("c")).as("t"))
+    dt.join(cnt, "term")
+      .groupBy("doc_id")
+      .agg(sum(col("tf") * col("c")).as("sum_tf"), sum(col("tf")).as("n_tokens"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("n_tokens"), col("sum_tf"),
+        (col("sum_tf").cast("double") /
+          (col("n_tokens") * col("t")).cast("double")).as("avg_prob"))
+      .orderBy("doc_id")
+  }
+
+  /** Salient-term extraction: the top `k` terms per document ranked by
+    * the rarity-weighted score tf·N/df (the tf-idf family with the
+    * monotone N/df rarity weight kept rational instead of logged — the
+    * ranking semantics pipelines use for keyword profiling, expressed
+    * so the score is exact: an integer product cast once and divided
+    * once, bit-identical on both engines). Ties break on the term
+    * itself, so the ranking is a deterministic total order.
+    *
+    * Scale shape: document frequency is a vocabulary-bounded aggregate
+    * off the shared (doc, term) frame, N is a one-row broadcast, and
+    * the per-document window partitions on doc_id — millions of tiny
+    * partitions, the shape window exchanges shard well.
+    */
+  def tfidfTerms(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val dt = docTermTf(docs)
+    val dfreq = dt.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.filter(col("text").isNotNull).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    dt.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        (col("tf") * col("n")).cast("double") / col("df").cast("double"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select("doc_id", "rk", "term", "tf", "df", "score")
+      .orderBy("doc_id", "rk")
+  }
 }

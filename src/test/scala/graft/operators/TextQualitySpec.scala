@@ -234,4 +234,29 @@ class TextQualitySpec extends AnyFunSuite {
     assert(out(7L).getAs[String]("scrub_md5") == md5hex(
       "call <PHONE> or 555-12345"))
   }
+
+  test("lmScore and tfidfTerms match hand-computed corpus statistics") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lm").toString
+    // corpus counts: a=3 b=1 c=1, T=5; df: a=2 b=1 c=1; N=2
+    Seq((1L, "a a b", "en", "t", 0L), (2L, "a c", "en", "t", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val lm = TextOps.lmScore(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(lm(1L).getAs[Long]("n_tokens") == 3)
+    assert(lm(1L).getAs[Long]("sum_tf") == 7) // 2·3 + 1·1
+    assert(lm(1L).getAs[Double]("avg_prob") == 7.0 / 15.0)
+    assert(lm(2L).getAs[Long]("sum_tf") == 4) // 1·3 + 1·1
+    assert(lm(2L).getAs[Double]("avg_prob") == 4.0 / 10.0)
+    val tf = TextOps.tfidfTerms(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    // doc 1: a and b tie at score 2.0 (2·2/2 and 1·2/1) → term order
+    assert(tf((1L, 1L)).getAs[String]("term") == "a")
+    assert(tf((1L, 2L)).getAs[String]("term") == "b")
+    assert(tf((1L, 1L)).getAs[Double]("score") == 2.0)
+    // doc 2: c (1·2/1 = 2.0) outranks a (1·2/2 = 1.0)
+    assert(tf((2L, 1L)).getAs[String]("term") == "c")
+    assert(tf((2L, 2L)).getAs[String]("term") == "a")
+    assert(tf((2L, 2L)).getAs[Double]("score") == 1.0)
+  }
 }
