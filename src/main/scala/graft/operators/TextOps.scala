@@ -1308,7 +1308,12 @@ object TextOps {
     * shuffle anywhere.
     */
   def lmScore(spark: SparkSession, dir: String): DataFrame = {
-    val dt = docTermTf(Tables.documents(spark, dir))
+    graft.IntraQueryCache.newGeneration(s"lmscore:$dir")
+    // persisted: the (doc, term) frame feeds the count table, the grand
+    // total AND the scoring join — without it the scan + explode +
+    // aggregate run three times (column pruning differentiates the
+    // subtrees, so exchange reuse never fires)
+    val dt = graft.IntraQueryCache.scoped(docTermTf(Tables.documents(spark, dir)))
     val cnt = dt.groupBy("term").agg(sum("tf").as("c"))
     val total = cnt.agg(sum(col("c")).as("t"))
     dt.join(cnt, "term")
@@ -1335,8 +1340,11 @@ object TextOps {
     * partitions, the shape window exchanges shard well.
     */
   def tfidfTerms(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    graft.IntraQueryCache.newGeneration(s"tfidf:$dir:$k")
     val docs = Tables.documents(spark, dir)
-    val dt = docTermTf(docs)
+    // persisted for the same reason as lmScore's dt: document frequency
+    // and the scoring join would otherwise each rebuild the frame
+    val dt = graft.IntraQueryCache.scoped(docTermTf(docs))
     val dfreq = dt.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.filter(col("text").isNotNull).agg(count(lit(1)).as("n"))
     val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
