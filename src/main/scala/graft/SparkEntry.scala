@@ -319,7 +319,7 @@ object SparkEntry {
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents WHERE text IS NOT NULL),
         |dt AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
         |dfreq AS (SELECT term, COUNT(*) AS df FROM dt GROUP BY 1),
-        |nd AS (SELECT COUNT(*) AS n FROM documents WHERE text IS NOT NULL),
+        |nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM dt),
         |s AS (SELECT doc_id, term, tf, df,
         |  CAST(tf * (SELECT n FROM nd) AS DOUBLE) / CAST(df AS DOUBLE) AS score
         |  FROM dt JOIN dfreq USING (term)),

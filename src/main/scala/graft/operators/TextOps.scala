@@ -1346,7 +1346,9 @@ object TextOps {
     // and the scoring join would otherwise each rebuild the frame
     val dt = graft.IntraQueryCache.scoped(docTermTf(docs))
     val dfreq = dt.groupBy("term").agg(count(lit(1)).as("df"))
-    val n = docs.filter(col("text").isNotNull).agg(count(lit(1)).as("n"))
+    // N from the cached frame, not a second parquet scan (every non-null
+    // text yields >= 1 term row on both engines, so the counts agree)
+    val n = dt.agg(countDistinct(col("doc_id")).as("n"))
     val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
     dt.join(dfreq, "term")
       .crossJoin(broadcast(n))

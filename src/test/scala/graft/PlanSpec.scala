@@ -123,4 +123,31 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LeftAnti"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("pii scrub: row-wise scan, pruned to (doc_id, text), one sort exchange") {
+    val p = plan(graft.operators.TextOps.piiScrub(spark, dir))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+    // no aggregate, no join — only the presentation sort's range exchange
+    assert(!p.contains("HashAggregate") && !p.contains("Join"), p)
+    assert(p.split("Exchange").length - 1 <= 2, p) // range exchange ± AQE read
+  }
+
+  test("lm score: one scan feeds all consumers via the cached doc-term frame; " +
+      "count table broadcasts") {
+    val df = graft.operators.TextOps.lmScore(spark, dir)
+    val p = plan(df)
+    // every branch (count table, grand total, scoring join) reads the
+    // cached doc-term frame, not its own scan+explode+aggregate rebuild
+    // (the plan STRING re-prints the shared relation per consumer, so we
+    // count InMemoryTableScan consumers, not textual scan appearances)
+    assert(p.split("InMemoryTableScan").length - 1 >= 3, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("tfidf terms: per-document window, df table broadcasts, cached frame shared") {
+    val p = plan(graft.operators.TextOps.tfidfTerms(spark, dir))
+    assert(p.contains("Window"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.split("InMemoryTableScan").length - 1 >= 3, p)
+  }
 }
