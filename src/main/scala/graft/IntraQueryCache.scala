@@ -71,6 +71,16 @@ object IntraQueryCache {
       .map(_.sparkContext.getRDDStorageInfo.map(i => i.memSize + i.diskSize).sum)
       .getOrElse(0L)
 
+  /** Eviction floor: the budget measurement counts ALL session cached
+    * storage, including deliberately-unscoped persists (the
+    * packSequences pid frame, VectorOps index artifacts) — if those
+    * alone exceed the budget, eviction could otherwise degrade to
+    * release-everything-always. Keeping the `minKeep` most-recent
+    * generations bounds that failure to "small warm set" instead.
+    */
+  private def minKeep: Int = sys.props.get("graft.cache.budget.minKeep")
+    .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(4)
+
   /** Open (or re-enter) the generation for `key`; evict LRU generations
     * while the session's cached storage exceeds the budget.
     */
@@ -79,7 +89,7 @@ object IntraQueryCache {
     if (existing != null) { current = existing; return }
     current = scala.collection.mutable.ListBuffer.empty[DataFrame]
     generations.put(key, current)
-    while (generations.size > 1 && cachedBytes > budgetBytes) {
+    while (generations.size > minKeep && cachedBytes > budgetBytes) {
       val eldest = generations.entrySet().iterator().next()
       if (eldest.getValue eq current) return // only the new one left
       eldest.getValue.foreach(_.unpersist(blocking = true))
@@ -87,9 +97,22 @@ object IntraQueryCache {
     }
   }
 
-  /** Persist `df` and register it with the current generation. */
+  private def registered(g: scala.collection.mutable.ListBuffer[DataFrame]): Boolean = {
+    val it = generations.values().iterator()
+    while (it.hasNext) if (it.next() eq g) return true
+    false
+  }
+
+  /** Persist `df` and register it with the current generation. If the
+    * generation was evicted by a concurrent [[newGeneration]] (its
+    * buffer orphaned — no future eviction could release frames appended
+    * to it), re-register the SAME buffer under a fresh key so earlier
+    * appends stay inside the eviction domain.
+    */
   def scoped(df: DataFrame): DataFrame = synchronized {
     if (current == null) newGeneration("(unkeyed)")
+    else if (!registered(current))
+      generations.put(s"(orphan-${System.identityHashCode(current)})", current)
     current += df
     df.persist()
   }

@@ -311,9 +311,9 @@ object SparkEntry {
         |cnt AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS c FROM dt GROUP BY 1),
         |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM cnt)
         |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
-        |  CAST(SUM(tf * c) AS BIGINT) AS sum_tf,
-        |  CAST(CAST(SUM(tf * c) AS BIGINT) AS DOUBLE) /
-        |    CAST(CAST(SUM(tf) AS BIGINT) * (SELECT t FROM tot) AS DOUBLE) AS avg_prob
+        |  CAST(SUM(CAST(tf AS HUGEINT) * CAST(c AS HUGEINT)) AS DECIMAL(38,0)) AS sum_tf,
+        |  (CAST(CAST(SUM(CAST(tf AS HUGEINT) * CAST(c AS HUGEINT)) AS DECIMAL(38,0)) AS DOUBLE) /
+        |    CAST(CAST(SUM(tf) AS BIGINT) AS DOUBLE)) / CAST((SELECT t FROM tot) AS DOUBLE) AS avg_prob
         |FROM dt JOIN cnt USING (term) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_tfidf_terms" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents WHERE text IS NOT NULL),

@@ -655,13 +655,13 @@ object TextOps {
     * verified with the exact minhash-signature agreement estimate.
     */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame =
-    minhashLshOver(spark, dir, t => array_distinct(tokens(t)))
+    minhashLshOver(spark, dir, "uni", t => array_distinct(tokens(t)))
 
   /** Word-3-gram shingled variant — the document-scale dedup input shape
     * (shingle → minhash → band → bucket-join).
     */
   def minhashShingle(spark: SparkSession, dir: String): DataFrame =
-    minhashLshOver(spark, dir, t => shingles(t, 3))
+    minhashLshOver(spark, dir, "shingle3", t => shingles(t, 3))
 
   private[graft] val minhashNumHashes = 16
   private[graft] val minhashRowsPerBand = 4
@@ -700,11 +700,14 @@ object TextOps {
         .map(i => sig.getItem(i)): _*)
     }: _*)
 
-  private def minhashLshOver(spark: SparkSession, dir: String,
+  private def minhashLshOver(spark: SparkSession, dir: String, tag: String,
       tokenizer: Column => Column): DataFrame = {
     val ths = transform(tokenizer(col("text")), t => xxhash64(t))
-    graft.IntraQueryCache.newGeneration(
-      s"minhash:$dir:${ths.toString.hashCode}")
+    // key on a caller TAG, not the column's toString: lambda expressions
+    // print a fresh x_<n> variable name per invocation, so a
+    // toString-derived key would never re-enter its generation (every
+    // rerun would evict-and-rebuild its own plan-identical warm frames)
+    graft.IntraQueryCache.newGeneration(s"minhash:$dir:$tag")
     val sigExpr = minhashSig(col("ths"))
     // the sig table (one 16-long array per doc) feeds the band explode AND
     // both verification joins — persist it so the corpus scan runs once,
@@ -1295,11 +1298,15 @@ object TextOps {
     * each document's average token probability under the corpus unigram
     * distribution — garbled or out-of-domain text scores low, the same
     * signal production pipelines get from a trained LM's perplexity,
-    * computed here exactly from counts. All arithmetic stays INTEGER
-    * until one final division (sum of c_t over positions / (n·T)), so
-    * the double is a single correctly-rounded operation and the DuckDB
-    * oracle matches bit-for-bit — no transcendental functions whose
-    * last-ulp behavior could differ between engines.
+    * computed here exactly from counts. All arithmetic stays EXACT
+    * (128-bit decimal for the position-weighted count sum — Σ tf·c_t
+    * would overflow 64 bits at the corpus scale this operator is for:
+    * T ≈ 1e14 tokens at 100 TB makes tf·c_t ≈ 1e19 > 2^63) until a
+    * fixed two-step division sequence mirrored verbatim by the DuckDB
+    * oracle, so every double is the same correctly-rounded operation
+    * chain on both engines and results match bit-for-bit — no
+    * transcendentals whose last-ulp behavior could differ, no
+    * order-dependent float summation.
     *
     * Scale shape: the count table is vocabulary-bounded (Zipf — far
     * smaller than the corpus), the doc-term join shuffles on the term
@@ -1318,11 +1325,13 @@ object TextOps {
     val total = cnt.agg(sum(col("c")).as("t"))
     dt.join(cnt, "term")
       .groupBy("doc_id")
-      .agg(sum(col("tf") * col("c")).as("sum_tf"), sum(col("tf")).as("n_tokens"))
+      .agg(sum(col("tf").cast("decimal(19,0)") * col("c").cast("decimal(19,0)"))
+          .as("sum_tf"),
+        sum(col("tf")).as("n_tokens"))
       .crossJoin(broadcast(total))
       .select(col("doc_id"), col("n_tokens"), col("sum_tf"),
-        (col("sum_tf").cast("double") /
-          (col("n_tokens") * col("t")).cast("double")).as("avg_prob"))
+        ((col("sum_tf").cast("double") / col("n_tokens").cast("double")) /
+          col("t").cast("double")).as("avg_prob"))
       .orderBy("doc_id")
   }
 
@@ -1352,6 +1361,9 @@ object TextOps {
     val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
     dt.join(dfreq, "term")
       .crossJoin(broadcast(n))
+      // tf·N fits 64 bits with wide margin even at 100 TB (per-doc tf
+      // <= ~1e5 tokens x N <= ~1e11 docs ~ 1e16 << 2^63), unlike
+      // lmScore's tf·c_t which needs the decimal path
       .withColumn("score",
         (col("tf") * col("n")).cast("double") / col("df").cast("double"))
       .withColumn("rk", row_number().over(w).cast("long"))

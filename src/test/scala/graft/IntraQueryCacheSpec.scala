@@ -15,6 +15,7 @@ class IntraQueryCacheSpec extends AnyFunSuite with BeforeAndAfterEach {
   override def beforeEach(): Unit = IntraQueryCache.reset()
   override def afterEach(): Unit = {
     sys.props -= "graft.cache.budget.fraction"
+    sys.props -= "graft.cache.budget.minKeep"
     IntraQueryCache.reset()
   }
 
@@ -38,8 +39,10 @@ class IntraQueryCacheSpec extends AnyFunSuite with BeforeAndAfterEach {
   }
 
   test("budget pressure evicts LRU generations, never the new one") {
-    // force the budget to ~zero so any cached byte counts as pressure
+    // force the budget to ~zero so any cached byte counts as pressure,
+    // and drop the keep-floor so two generations are enough to trigger
     sys.props("graft.cache.budget.fraction") = "0.0"
+    sys.props("graft.cache.budget.minKeep") = "1"
     IntraQueryCache.newGeneration("old")
     val old = IntraQueryCache.scoped(frame(2))
     old.count() // materialize so the status store sees cached bytes

@@ -244,10 +244,10 @@ class TextQualitySpec extends AnyFunSuite {
     val lm = TextOps.lmScore(spark, tmp).collect()
       .map(r => r.getLong(0) -> r).toMap
     assert(lm(1L).getAs[Long]("n_tokens") == 3)
-    assert(lm(1L).getAs[Long]("sum_tf") == 7) // 2·3 + 1·1
-    assert(lm(1L).getAs[Double]("avg_prob") == 7.0 / 15.0)
-    assert(lm(2L).getAs[Long]("sum_tf") == 4) // 1·3 + 1·1
-    assert(lm(2L).getAs[Double]("avg_prob") == 4.0 / 10.0)
+    assert(lm(1L).getAs[java.math.BigDecimal]("sum_tf").longValueExact == 7) // 2·3 + 1·1
+    assert(lm(1L).getAs[Double]("avg_prob") == (7.0 / 3.0) / 5.0)
+    assert(lm(2L).getAs[java.math.BigDecimal]("sum_tf").longValueExact == 4) // 1·3 + 1·1
+    assert(lm(2L).getAs[Double]("avg_prob") == (4.0 / 2.0) / 5.0)
     val tf = TextOps.tfidfTerms(spark, tmp).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
     // doc 1: a and b tie at score 2.0 (2·2/2 and 1·2/1) → term order
