@@ -101,6 +101,7 @@ object SparkEntry {
     "q_cosine_topk" -> VectorOps.cosineTopK _,
     "q_embed_near_dup" -> VectorOps.embeddingNearDup _,
     "q_embed_clusters" -> VectorOps.embedClusters _,
+    "q_hybrid_dedup" -> ((s, d) => VectorOps.hybridNearDup(s, d)),
     "q_corpus_build" -> TextOps.corpusBuild _,
     "q_ann_lsh" -> ((s, d) => VectorOps.annLshTuned(s, d, budget = 0.6)),
     "q_ann_ivf" -> ((s, d) => VectorOps.annIvf(s, d)),

@@ -717,4 +717,43 @@ object VectorOps {
       .select(col("qi"), col("nid"),
         round(dot(qeLit, col("ne")) / (qnLit * col("nn")), 4).as("cosine"))
   }
+
+  /** Cross-modal near-dup confirmation: lexical candidates (exact
+    * token-set Jaccard >= 0.95, [[TextOps.tokenJaccardPairs]]) verified
+    * by embedding-space agreement (cosine >= `cosT`) — the production
+    * gate that separates true duplicates (high lexical AND semantic
+    * overlap) from templated boilerplate (same surface skeleton,
+    * different meaning) before anything is dropped. Documents and
+    * embeddings join on the shared id space (doc_id = vec_id).
+    *
+    * No SQL oracle: the cosine gate sits on float math whose
+    * accumulation order an independent engine cannot be held to
+    * exactly; VectorOpsSpec instead pins the output to the
+    * ground-truth intersection {lexical pairs} ∩ {cosine >= cosT},
+    * with the cosine recomputed independently in the spec. (The
+    * driver's synthetic embeddings are independent of document text,
+    * so only the random high-cosine tail survives here; on a real
+    * corpus the two signals correlate and the gate is the point.)
+    *
+    * Scale shape: pair volume is the OUTPUT of the prefix-filtered
+    * jaccard join (never all-pairs); the two embedding fetches are
+    * id-keyed joins (AQE broadcasts the pair side when small); norms
+    * fold row-wise; one codegen'd dot per candidate pair.
+    */
+  def hybridNearDup(spark: SparkSession, dir: String,
+      cosT: Double = 0.2): DataFrame = {
+    VectorFunctions.ensureRegistered(spark)
+    val pairs = TextOps.tokenJaccardPairs(spark, dir)
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("nrm", norm(col("embedding")))
+    pairs
+      .join(emb.select(col("vec_id").as("doc_a"), col("embedding").as("ea"),
+        col("nrm").as("na")), "doc_a")
+      .join(emb.select(col("vec_id").as("doc_b"), col("embedding").as("eb"),
+        col("nrm").as("nb")), "doc_b")
+      .withColumn("cosine", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .filter(col("cosine") >= cosT)
+      .select("doc_a", "doc_b", "jaccard", "cosine")
+      .orderBy("doc_a", "doc_b")
+  }
 }

@@ -118,4 +118,35 @@ class VectorOpsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("hybrid dedup equals the ground-truth lexical ∩ semantic intersection") {
+    val cosT = 0.2
+    // lexical side: the oracle-verified exact jaccard pairs
+    val lexical = graft.operators.TextOps
+      .tokenJaccard(spark, dir) // public wrapper over tokenJaccardPairs
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // semantic side recomputed independently: ascending-index fold with
+    // per-element double widening (the vec_dot contract)
+    val embs = graft.Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def dotD(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def cos(a: Long, b: Long): Double = {
+      val (ea, eb) = (embs(a), embs(b))
+      dotD(ea, eb) / (math.sqrt(dotD(ea, ea)) * math.sqrt(dotD(eb, eb)))
+    }
+    val expected = lexical.filter { case (a, b) => cos(a, b) >= cosT }
+    val got = VectorOps.hybridNearDup(spark, dir, cosT)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+    // the gate must be ACTIVE on this corpus: some pairs pass, some drop
+    assert(expected.nonEmpty, "no pair survived — threshold too strict to test anything")
+    assert(expected.size < lexical.size, "gate dropped nothing — threshold vacuous")
+  }
 }
