@@ -75,6 +75,7 @@ object SparkEntry {
     "q_lang_id" -> TextOps.langIdHeuristic _,
     "q_pii_scrub" -> TextOps.piiScrub _,
     "q_lm_score" -> TextOps.lmScore _,
+    "q_corpus_stats" -> TextOps.corpusStats _,
     "q_tfidf_terms" -> ((s, d) => TextOps.tfidfTerms(s, d)),
     "q_token_jaccard" -> TextOps.tokenJaccard _,
     "q_ngram_jaccard" -> TextOps.ngramJaccard _,
@@ -306,6 +307,23 @@ object SparkEntry {
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
         |    '\b\d{3}-\d{4}\b', '<PHONE>', 'g')) AS scrub_md5
         |FROM r ORDER BY doc_id""".stripMargin,
+    "q_corpus_stats" ->
+      """WITH d AS (SELECT lang, text IS NOT NULL AS has_text,
+        |  CASE WHEN text IS NOT NULL THEN CAST(len(string_split(text, ' ')) AS BIGINT) ELSE 0 END AS n_tokens,
+        |  CASE WHEN text IS NOT NULL THEN CAST(list_sum(list_transform(string_split(text, ' '), x -> length(x))) AS BIGINT) ELSE 0 END AS tok_len_sum,
+        |  CASE WHEN text IS NOT NULL THEN md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) END AS fp
+        |  FROM documents)
+        |SELECT lang,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN has_text THEN 1 ELSE 0 END) AS BIGINT) AS n_text,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(CASE WHEN has_text THEN 1 ELSE 0 END) - COUNT(DISTINCT fp) AS BIGINT) AS n_dupes,
+        |  CAST(SUM(CASE WHEN has_text AND n_tokens >= 10
+        |    AND tok_len_sum >= 3 * n_tokens AND tok_len_sum <= 15 * n_tokens
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+        |  CAST(CAST(SUM(n_tokens) AS BIGINT) AS DOUBLE) /
+        |    CAST(CAST(SUM(CASE WHEN has_text THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE) AS avg_tokens
+        |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
     "q_lm_score" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents WHERE text IS NOT NULL),
         |dt AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),

@@ -1283,6 +1283,44 @@ object TextOps {
       .orderBy("lang", "rn")
   }
 
+  /** Corpus health report — the per-language inspection dashboard a
+    * curation pipeline runs before and after every transformation:
+    * document/text counts, token volume, exact-duplicate count (via the
+    * shared content fingerprint), quality-gate pass count, and mean
+    * document length. One scan, one (small) per-language aggregate; the
+    * duplicate count rides the same 16-byte fingerprint the dedup
+    * family shuffles on. The quality gate is expressed in INTEGER
+    * cross-multiplications (tok_len_sum >= 3·n and <= 15·n, never a
+    * division), and the single emitted double is one division of two
+    * exact longs — oracle-exact at any scale.
+    */
+  def corpusStats(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val hasText = col("text").isNotNull
+    Tables.documents(spark, dir)
+      .withColumn("n_tokens",
+        when(hasText, size(toks).cast("long")).otherwise(lit(0L)))
+      .withColumn("tok_len_sum",
+        when(hasText, aggregate(toks, lit(0L), (a, t) => a + length(t)))
+          .otherwise(lit(0L)))
+      .withColumn("fp", when(hasText, contentFingerprint))
+      .withColumn("q_pass",
+        when(hasText && col("n_tokens") >= 10 &&
+          col("tok_len_sum") >= lit(3L) * col("n_tokens") &&
+          col("tok_len_sum") <= lit(15L) * col("n_tokens"), 1L).otherwise(0L))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(hasText, 1L).otherwise(0L)).as("n_text"),
+        sum(col("n_tokens")).as("total_tokens"),
+        (sum(when(hasText, 1L).otherwise(0L)) -
+          countDistinct(col("fp"))).as("n_dupes"),
+        sum(col("q_pass")).as("n_quality"))
+      .withColumn("avg_tokens",
+        col("total_tokens").cast("double") / col("n_text").cast("double"))
+      .orderBy("lang")
+  }
+
   /** Per-(doc, term) frequency over whitespace tokens — the shared
     * doc-term frame behind [[lmScore]] and [[tfidfTerms]]. One explode
     * into a hash aggregate with map-side partials; everything downstream

@@ -259,4 +259,29 @@ class TextQualitySpec extends AnyFunSuite {
     assert(tf((2L, 2L)).getAs[String]("term") == "a")
     assert(tf((2L, 2L)).getAs[Double]("score") == 1.0)
   }
+
+  test("corpusStats counts null text, duplicates and quality gates per language") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stats").toString
+    val tenTok = "aaa bbb ccc ddd eee fff ggg hhh iii jjj" // 10 tokens, len 3
+    Seq(
+      (1L, tenTok, "en", "t", 0L),
+      (2L, null.asInstanceOf[String], "en", "t", 0L), // null text still counted in n_docs
+      (3L, tenTok, "en", "t", 0L),                    // exact dup of doc 1
+      (4L, "x", "fr", "t", 0L))                       // 1 token → fails quality
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = TextOps.corpusStats(spark, tmp).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val en = out("en")
+    assert(en.getAs[Long]("n_docs") == 3)
+    assert(en.getAs[Long]("n_text") == 2)
+    assert(en.getAs[Long]("total_tokens") == 20)
+    assert(en.getAs[Long]("n_dupes") == 1)
+    assert(en.getAs[Long]("n_quality") == 2) // both copies pass the gate
+    assert(en.getAs[Double]("avg_tokens") == 10.0)
+    val fr = out("fr")
+    assert(fr.getAs[Long]("n_dupes") == 0)
+    assert(fr.getAs[Long]("n_quality") == 0)
+    assert(fr.getAs[Double]("avg_tokens") == 1.0)
+  }
 }
