@@ -311,7 +311,7 @@ object SparkEntry {
       """WITH d AS (SELECT lang, text IS NOT NULL AS has_text,
         |  CASE WHEN text IS NOT NULL THEN CAST(len(string_split(text, ' ')) AS BIGINT) ELSE 0 END AS n_tokens,
         |  CASE WHEN text IS NOT NULL THEN CAST(list_sum(list_transform(string_split(text, ' '), x -> length(x))) AS BIGINT) ELSE 0 END AS tok_len_sum,
-        |  CASE WHEN text IS NOT NULL THEN md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) END AS fp
+        |  CASE WHEN text IS NOT NULL THEN md5(text) END AS fp
         |  FROM documents)
         |SELECT lang,
         |  CAST(COUNT(*) AS BIGINT) AS n_docs,

@@ -92,4 +92,65 @@ class CorpusPropertySpec extends AnyFunSuite {
       assert(got.toSeq == want, s"seed=$seed")
     }
   }
+
+  test("lm score and tfidf equal the naive definitions on random corpora") {
+    for (seed <- 13L to 15L) {
+      val rnd = new scala.util.Random(seed)
+      val docs = randCorpus(seed, 120).map { case (id, text) =>
+        // sprinkle null text — both operators must drop those rows
+        (id, if (rnd.nextDouble() < 0.05) null else text)
+      }
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_prop$seed").toString
+      docs.map { case (id, t) => (id, t, "en", "t", 0L) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      val live = docs.filter(_._2 != null)
+        .map { case (id, t) => id -> t.split(" ", -1).toSeq }
+      val cnt = live.flatMap(_._2).groupBy(identity)
+        .map { case (t, xs) => t -> xs.size.toLong }
+      val total = cnt.values.sum
+      // lm: mirror the exact division order ((sum_tf / n) / T)
+      val wantLm = live.map { case (id, toks) =>
+        val tf = toks.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+        val sumTf = tf.map { case (t, f) => BigInt(f) * BigInt(cnt(t)) }.sum
+        id -> ((toks.size.toLong, sumTf,
+          (sumTf.toDouble / toks.size.toDouble) / total.toDouble))
+      }.toMap
+      val gotLm = TextOps.lmScore(spark, tmp).collect().map(r =>
+        r.getLong(0) -> ((r.getLong(1),
+          BigInt(r.getAs[java.math.BigDecimal]("sum_tf").toBigIntegerExact),
+          r.getDouble(3)))).toMap
+      assert(gotLm == wantLm, s"seed=$seed lm")
+      // tfidf: rank by (tf·N/df desc, term asc), take 3 per doc
+      val df = live.flatMap { case (_, toks) => toks.distinct }
+        .groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+      val nDocs = live.size.toLong
+      val wantTf = live.flatMap { case (id, toks) =>
+        toks.groupBy(identity).toSeq
+          .map { case (t, xs) =>
+            (t, xs.size.toLong, df(t), (xs.size.toLong * nDocs).toDouble / df(t).toDouble)
+          }
+          .sortBy { case (t, _, _, s) => (-s, t) }.take(3).zipWithIndex
+          .map { case ((t, tf0, d0, s), i) => (id, i + 1L, t, tf0, d0, s) }
+      }.toSet
+      val gotTf = TextOps.tfidfTerms(spark, tmp).collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+          r.getLong(4), r.getDouble(5))).toSet
+      assert(gotTf == wantTf, s"seed=$seed tfidf")
+      // corpus stats: the en row must match a naive full recompute
+      // raw-text md5 — the contentFingerprint exact-dedup semantics
+      // (NOT the normalized `fingerprint` query's digest)
+      val fps = docs.filter(_._2 != null).map { case (_, t) =>
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(t.getBytes("UTF-8")).toSeq
+      }
+      val wantStats = (docs.size.toLong, live.size.toLong,
+        live.map(_._2.size.toLong).sum,
+        live.size.toLong - fps.distinct.size.toLong)
+      val row = TextOps.corpusStats(spark, tmp).collect().head
+      val gotStats = (row.getAs[Long]("n_docs"), row.getAs[Long]("n_text"),
+        row.getAs[Long]("total_tokens"), row.getAs[Long]("n_dupes"))
+      assert(gotStats == wantStats, s"seed=$seed stats")
+    }
+  }
 }
