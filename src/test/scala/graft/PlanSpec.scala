@@ -144,6 +144,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("corpus stats: one scan into one aggregate — no joins, no windows") {
+    val p = plan(graft.operators.TextOps.corpusStats(spark, dir))
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string,lang:string>")
+      || p.contains("ReadSchema: struct<text:string,lang:string>"), p)
+  }
+
   test("tfidf terms: per-document window, df table broadcasts, cached frame shared") {
     val p = plan(graft.operators.TextOps.tfidfTerms(spark, dir))
     assert(p.contains("Window"), p)
