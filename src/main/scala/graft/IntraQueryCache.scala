@@ -97,22 +97,20 @@ object IntraQueryCache {
     }
   }
 
-  private def registered(g: scala.collection.mutable.ListBuffer[DataFrame]): Boolean = {
-    val it = generations.values().iterator()
-    while (it.hasNext) if (it.next() eq g) return true
-    false
-  }
-
-  /** Persist `df` and register it with the current generation. If the
-    * generation was evicted by a concurrent [[newGeneration]] (its
-    * buffer orphaned — no future eviction could release frames appended
-    * to it), re-register the SAME buffer under a fresh key so earlier
-    * appends stay inside the eviction domain.
+  /** Persist `df` and register it with the current generation.
+    *
+    * Concurrency contract: `current` is process-global, so two threads
+    * building queries at once can attribute one thread's frames to the
+    * other's generation — those frames then age out on the WRONG key,
+    * which costs a recompute, never correctness (every scoped frame is
+    * deterministic, and a registered frame is always releasable: the
+    * eviction loop never removes the generation `current` points to,
+    * so appends always land inside the eviction domain). The engine's
+    * mains build plans single-threaded; per-thread generations are the
+    * upgrade path if that ever changes.
     */
   def scoped(df: DataFrame): DataFrame = synchronized {
     if (current == null) newGeneration("(unkeyed)")
-    else if (!registered(current))
-      generations.put(s"(orphan-${System.identityHashCode(current)})", current)
     current += df
     df.persist()
   }

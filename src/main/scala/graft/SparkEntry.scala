@@ -308,7 +308,7 @@ object SparkEntry {
         |    '\b\d{3}-\d{4}\b', '<PHONE>', 'g')) AS scrub_md5
         |FROM r ORDER BY doc_id""".stripMargin,
     "q_corpus_stats" ->
-      """WITH d AS (SELECT lang, text IS NOT NULL AS has_text,
+      s"""WITH d AS (SELECT lang, text IS NOT NULL AS has_text,
         |  CASE WHEN text IS NOT NULL THEN CAST(len(string_split(text, ' ')) AS BIGINT) ELSE 0 END AS n_tokens,
         |  CASE WHEN text IS NOT NULL THEN CAST(list_sum(list_transform(string_split(text, ' '), x -> length(x))) AS BIGINT) ELSE 0 END AS tok_len_sum,
         |  CASE WHEN text IS NOT NULL THEN md5(text) END AS fp
@@ -318,8 +318,9 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN has_text THEN 1 ELSE 0 END) AS BIGINT) AS n_text,
         |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
         |  CAST(SUM(CASE WHEN has_text THEN 1 ELSE 0 END) - COUNT(DISTINCT fp) AS BIGINT) AS n_dupes,
-        |  CAST(SUM(CASE WHEN has_text AND n_tokens >= 10
-        |    AND tok_len_sum >= 3 * n_tokens AND tok_len_sum <= 15 * n_tokens
+        |  CAST(SUM(CASE WHEN has_text AND n_tokens >= ${TextOps.QualityMinTokens}
+        |    AND tok_len_sum >= ${TextOps.QualityMinAvgTokLen} * n_tokens
+        |    AND tok_len_sum <= ${TextOps.QualityMaxAvgTokLen} * n_tokens
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
         |  CAST(CAST(SUM(n_tokens) AS BIGINT) AS DOUBLE) /
         |    CAST(CAST(SUM(CASE WHEN has_text THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE) AS avg_tokens
@@ -389,7 +390,7 @@ object SparkEntry {
         |FROM embeddings v LEFT JOIN reach r ON r.a = v.vec_id
         |GROUP BY v.vec_id ORDER BY v.vec_id""".stripMargin,
     "q_corpus_build" ->
-      """WITH RECURSIVE tok AS (SELECT DISTINCT doc_id, tok FROM
+      s"""WITH RECURSIVE tok AS (SELECT DISTINCT doc_id, tok FROM
         |    (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
         |sz AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY 1),
         |pair AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
@@ -413,7 +414,8 @@ object SparkEntry {
         |FROM documents d
         |JOIN canon c ON c.doc_id = d.doc_id AND c.doc_id = c.canonical
         |JOIN stats s ON s.doc_id = d.doc_id
-        |WHERE s.n_tokens >= 10 AND s.avg_tok_len BETWEEN 3.0 AND 15.0
+        |WHERE s.n_tokens >= ${TextOps.QualityMinTokens}
+        |  AND s.avg_tok_len BETWEEN ${TextOps.QualityMinAvgTokLen}.0 AND ${TextOps.QualityMaxAvgTokLen}.0
         |  AND substring(md5(concat(d.doc_id, ':', COALESCE(d.text, ''))), 1, 1) < '8'
         |ORDER BY d.doc_id""".stripMargin,
     "q_ngram_jaccard" ->

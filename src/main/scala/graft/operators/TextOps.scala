@@ -237,6 +237,16 @@ object TextOps {
     }
 
   /** English stopwords used by the quality / language heuristics. */
+  /** The corpus quality gate's thresholds, shared by [[corpusGates]]
+    * (the filter the pipeline applies), [[corpusStats]] (the health
+    * report counting its survivors) and both DuckDB oracles — one
+    * definition so a tuned gate can never silently diverge from the
+    * dashboard describing it.
+    */
+  private[graft] val QualityMinTokens = 10L
+  private[graft] val QualityMinAvgTokLen = 3L
+  private[graft] val QualityMaxAvgTokLen = 15L
+
   private val stopwords =
     Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "on", "for")
 
@@ -641,8 +651,9 @@ object TextOps {
       .withColumn("avg_tok_len",
         aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double")
           / size(toks))
-      .filter(col("n_tokens") >= 10 &&
-        col("avg_tok_len") >= 3.0 && col("avg_tok_len") <= 15.0)
+      .filter(col("n_tokens") >= QualityMinTokens &&
+        col("avg_tok_len") >= QualityMinAvgTokLen.toDouble &&
+        col("avg_tok_len") <= QualityMaxAvgTokLen.toDouble)
       .filter(substring(sampleKey, 1, 1) < "8")
       .drop("n_tokens", "avg_tok_len")
   }
@@ -1305,9 +1316,10 @@ object TextOps {
           .otherwise(lit(0L)))
       .withColumn("fp", when(hasText, contentFingerprint))
       .withColumn("q_pass",
-        when(hasText && col("n_tokens") >= 10 &&
-          col("tok_len_sum") >= lit(3L) * col("n_tokens") &&
-          col("tok_len_sum") <= lit(15L) * col("n_tokens"), 1L).otherwise(0L))
+        when(hasText && col("n_tokens") >= QualityMinTokens &&
+          col("tok_len_sum") >= lit(QualityMinAvgTokLen) * col("n_tokens") &&
+          col("tok_len_sum") <= lit(QualityMaxAvgTokLen) * col("n_tokens"), 1L)
+          .otherwise(0L))
       .groupBy("lang")
       .agg(
         count(lit(1)).as("n_docs"),

@@ -744,8 +744,11 @@ object VectorOps {
       cosT: Double = 0.2): DataFrame = {
     VectorFunctions.ensureRegistered(spark)
     val pairs = TextOps.tokenJaccardPairs(spark, dir)
-    val emb = Tables.embeddings(spark, dir)
-      .withColumn("nrm", norm(col("embedding")))
+    // registered into the pair engine's generation (opened inside
+    // tokenJaccardPairs): both fetch joins read ONE scan + norm pass
+    val emb = graft.IntraQueryCache.scoped(
+      Tables.embeddings(spark, dir)
+        .withColumn("nrm", norm(col("embedding"))))
     pairs
       .join(emb.select(col("vec_id").as("doc_a"), col("embedding").as("ea"),
         col("nrm").as("na")), "doc_a")
