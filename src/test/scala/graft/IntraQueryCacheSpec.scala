@@ -38,6 +38,26 @@ class IntraQueryCacheSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(isCached(a))
   }
 
+  test("re-entering a generation bumps it to MRU: the STALE one evicts first") {
+    sys.props("graft.cache.budget.fraction") = "0.0"
+    sys.props("graft.cache.budget.minKeep") = "2"
+    IntraQueryCache.newGeneration("first")
+    val a = IntraQueryCache.scoped(frame(10)); a.count()
+    IntraQueryCache.newGeneration("second")
+    val b = IntraQueryCache.scoped(frame(11)); b.count()
+    val deadline = System.nanoTime() + 10_000_000_000L
+    while (spark.sparkContext.getRDDStorageInfo.isEmpty &&
+        System.nanoTime() < deadline) Thread.sleep(50)
+    // rerun of "first" — now MRU despite being created earlier
+    IntraQueryCache.newGeneration("first")
+    assert(isCached(a) && isCached(b))
+    // pressure with a third key: "second" is now the LRU and must go
+    IntraQueryCache.newGeneration("third")
+    IntraQueryCache.scoped(frame(12))
+    assert(!isCached(b), "stale generation should evict first")
+    assert(isCached(a), "re-entered generation must survive as MRU")
+  }
+
   test("budget pressure evicts LRU generations, never the new one") {
     // force the budget to ~zero so any cached byte counts as pressure,
     // and drop the keep-floor so two generations are enough to trigger
