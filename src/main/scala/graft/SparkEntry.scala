@@ -76,6 +76,7 @@ object SparkEntry {
     "q_pii_scrub" -> TextOps.piiScrub _,
     "q_lm_score" -> TextOps.lmScore _,
     "q_corpus_stats" -> TextOps.corpusStats _,
+    "q_vocab_growth" -> ((s, d) => TextOps.vocabGrowth(s, d)),
     "q_tfidf_terms" -> ((s, d) => TextOps.tfidfTerms(s, d)),
     "q_token_jaccard" -> TextOps.tokenJaccard _,
     "q_ngram_jaccard" -> TextOps.ngramJaccard _,
@@ -325,6 +326,22 @@ object SparkEntry {
         |  CAST(CAST(SUM(n_tokens) AS BIGINT) AS DOUBLE) /
         |    CAST(CAST(SUM(CASE WHEN has_text THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE) AS avg_tokens
         |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_vocab_growth" ->
+      """WITH docs AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+        |dt AS (SELECT doc_id, term, COUNT(*) AS tf FROM
+        |  (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM docs) GROUP BY 1, 2),
+        |fs AS (SELECT term, MIN(doc_id) AS fd FROM dt GROUP BY 1),
+        |dtok AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens FROM dt GROUP BY 1),
+        |mx AS (SELECT MAX(doc_id) + 1 AS m FROM docs),
+        |cps AS (SELECT i, (i * (SELECT m FROM mx) + 9) // 10 AS cp FROM range(1, 11) t(i)),
+        |cum AS (SELECT i, cp, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |          CAST(SUM(n_tokens) AS BIGINT) AS cum_tokens
+        |        FROM cps JOIN dtok ON doc_id < cp GROUP BY 1, 2),
+        |voc AS (SELECT i, cp, CAST(COUNT(*) AS BIGINT) AS vocab_size
+        |        FROM cps JOIN fs ON fd < cp GROUP BY 1, 2)
+        |SELECT CAST(cum.i AS BIGINT) AS i, CAST(cum.cp AS BIGINT) AS cp,
+        |  n_docs, cum_tokens, vocab_size
+        |FROM cum JOIN voc USING (i, cp) ORDER BY i""".stripMargin,
     "q_lm_score" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents WHERE text IS NOT NULL),
         |dt AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),

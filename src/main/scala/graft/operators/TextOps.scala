@@ -1344,6 +1344,42 @@ object TextOps {
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tf"))
 
+  /** Vocabulary growth curve (Heaps-law inspection): at `buckets`
+    * equally spaced doc_id checkpoints, the corpus prefix's document
+    * count, cumulative token volume and distinct vocabulary size — the
+    * signal behind tokenizer vocab sizing ("has the vocabulary
+    * saturated?") and crawl-health checks (a vocabulary growing LINEARLY
+    * with tokens means boilerplate/garbage, not language).
+    *
+    * Scale shape: first-seen per term is a vocabulary-bounded aggregate
+    * off the shared (doc, term) frame; per-doc token totals collapse the
+    * same frame to one row per document; the `buckets` checkpoint rows
+    * broadcast into non-equi joins, so each prefix is counted by ONE
+    * pass over vocabulary-sized and corpus-doc-sized tables — never a
+    * per-checkpoint rescan of the corpus. Checkpoints derive from
+    * max(doc_id) in pure integer arithmetic, identical on both engines.
+    */
+  def vocabGrowth(spark: SparkSession, dir: String, buckets: Int = 10): DataFrame = {
+    graft.IntraQueryCache.newGeneration(s"vocabgrowth:$dir:$buckets")
+    val docs = Tables.documents(spark, dir).filter(col("text").isNotNull)
+    val dt = graft.IntraQueryCache.scoped(docTermTf(docs))
+    val firstSeen = dt.groupBy("term").agg(min(col("doc_id")).as("fd"))
+    val docTok = dt.groupBy("doc_id").agg(sum(col("tf")).as("n_tokens"))
+    val m = docs.agg((max(col("doc_id")) + 1L).as("m"))
+    val cps = spark.range(1, buckets + 1).toDF("i")
+      .crossJoin(broadcast(m))
+      .select(col("i"), expr(s"(i * m + ${buckets - 1}) div $buckets").as("cp"))
+    val cum = broadcast(cps).join(docTok, col("doc_id") < col("cp"))
+      .groupBy("i", "cp")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("cum_tokens"))
+    val voc = broadcast(cps).join(firstSeen, col("fd") < col("cp"))
+      .groupBy("i", "cp")
+      .agg(count(lit(1)).as("vocab_size"))
+    cum.join(voc, Seq("i", "cp"))
+      .select("i", "cp", "n_docs", "cum_tokens", "vocab_size")
+      .orderBy("i")
+  }
+
   /** Statistical quality scoring against the corpus's own unigram LM:
     * each document's average token probability under the corpus unigram
     * distribution — garbled or out-of-domain text scores low, the same

@@ -284,4 +284,18 @@ class TextQualitySpec extends AnyFunSuite {
     assert(fr.getAs[Long]("n_quality") == 0)
     assert(fr.getAs[Double]("avg_tokens") == 1.0)
   }
+
+  test("vocabGrowth reports prefix vocabulary and token volume at checkpoints") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_growth").toString
+    Seq((0L, "a b", "en", "t", 0L), (1L, "a c", "en", "t", 0L),
+      (2L, null.asInstanceOf[String], "en", "t", 0L), (3L, "d d", "en", "t", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    // m = 4 → buckets=2 checkpoints: cp1 = (4+1) div 2 = 2, cp2 = (8+1) div 2 = 4
+    val out = TextOps.vocabGrowth(spark, tmp, buckets = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(out(1L) == ((2L, 2L, 4L, 3L))) // docs 0,1: 4 tokens, vocab {a,b,c}
+    assert(out(2L) == ((4L, 3L, 6L, 4L))) // + doc 3 (null doc 2 skipped): vocab {a,b,c,d}
+  }
 }
