@@ -25,7 +25,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   *  - same key again → the existing generation is bumped to MRU and
   *    kept; re-persisting a plan-identical frame is a CacheManager
-  *    no-op, so the rerun rides the warm blocks;
+  *    no-op, so the rerun rides the warm blocks — and the re-run's
+  *    plan-identical registrations are deduped by semantic hash, so a
+  *    bench sweep re-entering a generation N times holds one reference
+  *    per distinct frame, not N (driver memory, N unpersist calls);
   *  - a new key first measures cached storage (`getRDDStorageInfo`,
   *    memory + disk) and, while it exceeds the budget (default 10% of
   *    the JVM heap, override `-Dgraft.cache.budget.fraction=`),
@@ -41,6 +44,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * with a 25% budget (never triggered) q_ngram_jaccard degraded to
   * 7.6 s; under the 10% budget the LRU release keeps it at ~1.6 s.
   *
+  * Concurrency: the generation a [[scoped]] call registers into is
+  * per-THREAD (each builder thread's [[newGeneration]] call binds that
+  * thread's current generation), so concurrent query builds never
+  * misattribute frames across each other's keys. The LRU map itself is
+  * global and lock-guarded; eviction skips any generation some live
+  * thread currently has open, so an active builder's frames are never
+  * released mid-build. A generation abandoned by a dead thread simply
+  * ages out of the LRU like any other.
+  *
   * Unpersisting a frame some stale plan still references is safe —
   * every scoped frame is a deterministic computation Spark recomputes
   * on demand. NONDETERMINISTIC frames (the `spark_partition_id`
@@ -50,10 +62,31 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * with their own eviction.
   */
 object IntraQueryCache {
+  /** One generation: the registered frames plus a semantic-hash index
+    * used to dedupe re-entrant registrations. `byHash` buckets by
+    * `semanticHash` and confirms with `sameResult`, so an Int-hash
+    * collision between genuinely different plans still appends both.
+    */
+  private final class Gen {
+    val frames = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    val byHash =
+      scala.collection.mutable.HashMap.empty[Int, scala.collection.mutable.ListBuffer[DataFrame]]
+    def register(df: DataFrame): Unit = {
+      val plan = df.queryExecution.analyzed
+      val bucket = byHash.getOrElseUpdate(plan.semanticHash(),
+        scala.collection.mutable.ListBuffer.empty[DataFrame])
+      if (!bucket.exists(_.queryExecution.analyzed.sameResult(plan))) {
+        bucket += df
+        frames += df
+      }
+    }
+  }
+
   private val generations =
-    new java.util.LinkedHashMap[String, scala.collection.mutable.ListBuffer[DataFrame]](
-      16, 0.75f, /* accessOrder = */ true)
-  private var current: scala.collection.mutable.ListBuffer[DataFrame] = _
+    new java.util.LinkedHashMap[String, Gen](16, 0.75f, /* accessOrder = */ true)
+  // WeakHashMap: a dead builder thread's entry disappears with the
+  // thread, so its generation becomes evictable without bookkeeping
+  private val currentByThread = new java.util.WeakHashMap[Thread, Gen]
 
   private def budgetBytes: Long = {
     val frac = sys.props.get("graft.cache.budget.fraction")
@@ -81,44 +114,60 @@ object IntraQueryCache {
   private def minKeep: Int = sys.props.get("graft.cache.budget.minKeep")
     .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(4)
 
-  /** Open (or re-enter) the generation for `key`; evict LRU generations
-    * while the session's cached storage exceeds the budget.
+  /** Open (or re-enter) the generation for `key` on THIS thread; evict
+    * LRU generations no thread has open while the session's cached
+    * storage exceeds the budget.
     */
   def newGeneration(key: String): Unit = synchronized {
     val existing = generations.get(key) // bumps to MRU (accessOrder)
-    if (existing != null) { current = existing; return }
-    current = scala.collection.mutable.ListBuffer.empty[DataFrame]
-    generations.put(key, current)
-    while (generations.size > minKeep && cachedBytes > budgetBytes) {
-      val eldest = generations.entrySet().iterator().next()
-      if (eldest.getValue eq current) return // only the new one left
-      eldest.getValue.foreach(_.unpersist(blocking = true))
-      generations.remove(eldest.getKey)
+    if (existing != null) {
+      currentByThread.put(Thread.currentThread(), existing)
+      return
+    }
+    val fresh = new Gen
+    generations.put(key, fresh)
+    currentByThread.put(Thread.currentThread(), fresh)
+    // a generation is protected only while its opener thread is ALIVE —
+    // a dead thread's entry may linger in the weak map while the Thread
+    // object stays reachable, but its generation is fair game
+    val live = new java.util.HashSet[Gen]()
+    currentByThread.forEach((t, g) => if (t.isAlive) live.add(g))
+    val it = generations.values().iterator()
+    while (generations.size > minKeep && cachedBytes > budgetBytes && it.hasNext) {
+      val g = it.next()
+      if (!live.contains(g)) {
+        g.frames.foreach(_.unpersist(blocking = true))
+        it.remove()
+      }
     }
   }
 
-  /** Persist `df` and register it with the current generation.
-    *
-    * Concurrency contract: `current` is process-global, so two threads
-    * building queries at once can attribute one thread's frames to the
-    * other's generation — those frames then age out on the WRONG key,
-    * which costs a recompute, never correctness (every scoped frame is
-    * deterministic, and a registered frame is always releasable: the
-    * eviction loop never removes the generation `current` points to,
-    * so appends always land inside the eviction domain). The engine's
-    * mains build plans single-threaded; per-thread generations are the
-    * upgrade path if that ever changes.
+  /** Persist `df` and register it with this thread's current generation
+    * (opening an `(unkeyed)` one if the caller never did). Re-entrant
+    * registrations of a semantically identical plan are deduped — the
+    * persist call still runs (a CacheManager no-op on the warm blocks)
+    * but only the first reference is retained for eviction.
     */
   def scoped(df: DataFrame): DataFrame = synchronized {
-    if (current == null) newGeneration("(unkeyed)")
-    current += df
+    var g = currentByThread.get(Thread.currentThread())
+    if (g == null) {
+      newGeneration("(unkeyed)")
+      g = currentByThread.get(Thread.currentThread())
+    }
+    g.register(df)
     df.persist()
+  }
+
+  /** Frames currently retained for `key` (test hook). */
+  private[graft] def retained(key: String): Int = synchronized {
+    val g = generations.get(key)
+    if (g == null) 0 else g.frames.size
   }
 
   /** Release everything (test hook). */
   private[graft] def reset(): Unit = synchronized {
-    generations.values().forEach(_.foreach(_.unpersist(blocking = false)))
+    generations.values().forEach(_.frames.foreach(_.unpersist(blocking = false)))
     generations.clear()
-    current = null
+    currentByThread.clear()
   }
 }

@@ -324,7 +324,7 @@ object SparkEntry {
         |    AND tok_len_sum <= ${TextOps.QualityMaxAvgTokLen} * n_tokens
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
         |  CAST(CAST(SUM(n_tokens) AS BIGINT) AS DOUBLE) /
-        |    CAST(CAST(SUM(CASE WHEN has_text THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE) AS avg_tokens
+        |    NULLIF(CAST(CAST(SUM(CASE WHEN has_text THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE), 0) AS avg_tokens
         |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
     "q_vocab_growth" ->
       """WITH docs AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
@@ -348,7 +348,7 @@ object SparkEntry {
         |cnt AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS c FROM dt GROUP BY 1),
         |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM cnt)
         |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
-        |  CAST(SUM(CAST(tf AS HUGEINT) * CAST(c AS HUGEINT)) AS DECIMAL(38,0)) AS sum_tf,
+        |  CAST(CAST(SUM(CAST(tf AS HUGEINT) * CAST(c AS HUGEINT)) AS DECIMAL(38,0)) AS DOUBLE) AS sum_tf,
         |  (CAST(CAST(SUM(CAST(tf AS HUGEINT) * CAST(c AS HUGEINT)) AS DECIMAL(38,0)) AS DOUBLE) /
         |    CAST(CAST(SUM(tf) AS BIGINT) AS DOUBLE)) / CAST((SELECT t FROM tot) AS DOUBLE) AS avg_prob
         |FROM dt JOIN cnt USING (term) GROUP BY doc_id ORDER BY doc_id""".stripMargin,

@@ -425,31 +425,37 @@ object MultimodalOps {
           // not merely fail the row
           val iis = javax.imageio.ImageIO.createImageInputStream(
             new java.io.ByteArrayInputStream(bytes))
-          val readers = javax.imageio.ImageIO.getImageReaders(iis)
-          if (!readers.hasNext) miss(id)
-          else {
-            val reader = readers.next()
-            try {
-              reader.setInput(iis)
-              val w = reader.getWidth(0); val h = reader.getHeight(0)
-              if (w <= 0 || h <= 0 || w.toLong * h > maxPixels) miss(id)
-              else {
-                val img = reader.read(0)
-                // bulk row read: one getRGB call per image, not per pixel
-                val rgb = img.getRGB(0, 0, w, h, null, 0, w)
-                val px = new Array[Byte](w * h * 3)
-                var i = 0; var j = 0
-                while (j < rgb.length) {
-                  val v = rgb(j)
-                  px(i) = ((v >> 16) & 0xff).toByte
-                  px(i + 1) = ((v >> 8) & 0xff).toByte
-                  px(i + 2) = (v & 0xff).toByte
-                  i += 3; j += 1
+          try {
+            val readers = javax.imageio.ImageIO.getImageReaders(iis)
+            if (!readers.hasNext) miss(id)
+            else {
+              val reader = readers.next()
+              try {
+                reader.setInput(iis)
+                val w = reader.getWidth(0); val h = reader.getHeight(0)
+                if (w <= 0 || h <= 0 || w.toLong * h > maxPixels) miss(id)
+                else {
+                  val img = reader.read(0)
+                  // bulk row read: one getRGB call per image, not per pixel
+                  val rgb = img.getRGB(0, 0, w, h, null, 0, w)
+                  val px = new Array[Byte](w * h * 3)
+                  var i = 0; var j = 0
+                  while (j < rgb.length) {
+                    val v = rgb(j)
+                    px(i) = ((v >> 16) & 0xff).toByte
+                    px(i + 1) = ((v >> 8) & 0xff).toByte
+                    px(i + 2) = (v & 0xff).toByte
+                    i += 3; j += 1
+                  }
+                  CodecDecoded(id, w, h, 3, px)
                 }
-                CodecDecoded(id, w, h, 3, px)
-              }
-            } finally reader.dispose()
-          }
+              } finally reader.dispose()
+            }
+          // setUseCache(false) makes these memory-backed streams, but
+          // each still pins its buffer until closed — on a large
+          // partition that's avoidable allocation pressure, so close
+          // eagerly instead of leaving them to GC
+          } finally if (iis != null) iis.close()
         } catch { case _: Exception => miss(id) }
       }
     }.toDF("media_id", "cwidth", "cheight", "cchannels", "pixels")

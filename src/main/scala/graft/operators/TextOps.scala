@@ -1328,8 +1328,11 @@ object TextOps {
         (sum(when(hasText, 1L).otherwise(0L)) -
           countDistinct(col("fp"))).as("n_dupes"),
         sum(col("q_pass")).as("n_quality"))
+      // guard the all-null-text language: double 0.0/0.0 is NaN in
+      // Spark while DuckDB errors/NULLs — both engines emit NULL
       .withColumn("avg_tokens",
-        col("total_tokens").cast("double") / col("n_text").cast("double"))
+        when(col("n_text") > 0,
+          col("total_tokens").cast("double") / col("n_text").cast("double")))
       .orderBy("lang")
   }
 
@@ -1415,7 +1418,12 @@ object TextOps {
           .as("sum_tf"),
         sum(col("tf")).as("n_tokens"))
       .crossJoin(broadcast(total))
-      .select(col("doc_id"), col("n_tokens"), col("sum_tf"),
+      // the 128-bit decimal accumulation stays internal; the DECLARED
+      // sum_tf is a double so both engines materialize the same scalar
+      // type (decimal(38,0) surfaces as Decimal objects in pandas while
+      // DuckDB's frame gives float64 — numerically equal, hash-unequal)
+      .select(col("doc_id"), col("n_tokens"),
+        col("sum_tf").cast("double").as("sum_tf"),
         ((col("sum_tf").cast("double") / col("n_tokens").cast("double")) /
           col("t").cast("double")).as("avg_prob"))
       .orderBy("doc_id")

@@ -58,6 +58,63 @@ class IntraQueryCacheSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(isCached(a), "re-entered generation must survive as MRU")
   }
 
+  test("re-entering a generation dedupes plan-identical registrations") {
+    // a bench sweep re-enters the same key every iteration and re-scopes
+    // the same frames; the generation must hold ONE reference per
+    // distinct plan, not one per iteration. Engine frames are built with
+    // the DataFrame API (semantically stable across re-builds) — a typed
+    // map closure would be a fresh lambda per build and genuinely NOT
+    // the same plan (the CacheManager wouldn't share its blocks either)
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    def stable(tag: Int) = spark.range(0, 1000).toDF("id")
+      .withColumn("s", concat(lit(s"tag$tag-"), col("id")))
+    for (_ <- 1 to 5) {
+      IntraQueryCache.newGeneration("sweep")
+      IntraQueryCache.scoped(stable(20))
+      IntraQueryCache.scoped(stable(21))
+    }
+    assert(IntraQueryCache.retained("sweep") == 2)
+    // a genuinely different plan under the same key still registers
+    IntraQueryCache.newGeneration("sweep")
+    IntraQueryCache.scoped(stable(22))
+    assert(IntraQueryCache.retained("sweep") == 3)
+  }
+
+  test("concurrent builders register into their own generations") {
+    sys.props("graft.cache.budget.fraction") = "0.0"
+    sys.props("graft.cache.budget.minKeep") = "1"
+    // two threads interleave newGeneration/scoped; frames must land on
+    // the opener's key, so evicting one thread's generation never
+    // releases the other's frames
+    val framesByThread = new java.util.concurrent.ConcurrentHashMap[String,
+      org.apache.spark.sql.DataFrame]()
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val threads = Seq("tA" -> 30, "tB" -> 31).map { case (key, tag) =>
+      new Thread(() => {
+        IntraQueryCache.newGeneration(key)
+        barrier.await() // both generations open before either scopes
+        val df = IntraQueryCache.scoped(frame(tag))
+        df.count()
+        framesByThread.put(key, df)
+        barrier.await()
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(30000))
+    assert(IntraQueryCache.retained("tA") == 1)
+    assert(IntraQueryCache.retained("tB") == 1)
+    val a = framesByThread.get("tA"); val b = framesByThread.get("tB")
+    assert(isCached(a) && isCached(b))
+    // pressure from a third key on the main thread: the builder threads
+    // are dead, so BOTH their generations are evictable LRU victims —
+    // and each eviction releases exactly its own thread's frame
+    val deadline = System.nanoTime() + 10_000_000_000L
+    while (spark.sparkContext.getRDDStorageInfo.isEmpty &&
+        System.nanoTime() < deadline) Thread.sleep(50)
+    IntraQueryCache.newGeneration("main")
+    IntraQueryCache.scoped(frame(32))
+    assert(!isCached(a) && !isCached(b))
+  }
+
   test("budget pressure evicts LRU generations, never the new one") {
     // force the budget to ~zero so any cached byte counts as pressure,
     // and drop the keep-floor so two generations are enough to trigger

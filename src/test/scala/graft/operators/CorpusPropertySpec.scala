@@ -113,12 +113,12 @@ class CorpusPropertySpec extends AnyFunSuite {
       val wantLm = live.map { case (id, toks) =>
         val tf = toks.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
         val sumTf = tf.map { case (t, f) => BigInt(f) * BigInt(cnt(t)) }.sum
-        id -> ((toks.size.toLong, sumTf,
+        id -> ((toks.size.toLong, sumTf.toDouble,
           (sumTf.toDouble / toks.size.toDouble) / total.toDouble))
       }.toMap
       val gotLm = TextOps.lmScore(spark, tmp).collect().map(r =>
         r.getLong(0) -> ((r.getLong(1),
-          BigInt(r.getAs[java.math.BigDecimal]("sum_tf").toBigIntegerExact),
+          r.getAs[Double]("sum_tf"),
           r.getDouble(3)))).toMap
       assert(gotLm == wantLm, s"seed=$seed lm")
       // tfidf: rank by (tf·N/df desc, term asc), take 3 per doc

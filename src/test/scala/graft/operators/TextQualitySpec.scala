@@ -244,9 +244,9 @@ class TextQualitySpec extends AnyFunSuite {
     val lm = TextOps.lmScore(spark, tmp).collect()
       .map(r => r.getLong(0) -> r).toMap
     assert(lm(1L).getAs[Long]("n_tokens") == 3)
-    assert(lm(1L).getAs[java.math.BigDecimal]("sum_tf").longValueExact == 7) // 2·3 + 1·1
+    assert(lm(1L).getAs[Double]("sum_tf") == 7.0) // 2·3 + 1·1
     assert(lm(1L).getAs[Double]("avg_prob") == (7.0 / 3.0) / 5.0)
-    assert(lm(2L).getAs[java.math.BigDecimal]("sum_tf").longValueExact == 4) // 1·3 + 1·1
+    assert(lm(2L).getAs[Double]("sum_tf") == 4.0) // 1·3 + 1·1
     assert(lm(2L).getAs[Double]("avg_prob") == (4.0 / 2.0) / 5.0)
     val tf = TextOps.tfidfTerms(spark, tmp).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
@@ -283,6 +283,20 @@ class TextQualitySpec extends AnyFunSuite {
     assert(fr.getAs[Long]("n_dupes") == 0)
     assert(fr.getAs[Long]("n_quality") == 0)
     assert(fr.getAs[Double]("avg_tokens") == 1.0)
+  }
+
+  test("corpusStats emits NULL avg_tokens for an all-null-text language") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stats0").toString
+    Seq((1L, null.asInstanceOf[String], "xx", "t", 0L),
+      (2L, null.asInstanceOf[String], "xx", "t", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val row = TextOps.corpusStats(spark, tmp).collect().head
+    assert(row.getAs[Long]("n_docs") == 2)
+    assert(row.getAs[Long]("n_text") == 0)
+    // 0.0/0.0 would be NaN in Spark and a float64 division artifact in
+    // DuckDB; the guarded output is NULL on both engines
+    assert(row.isNullAt(row.fieldIndex("avg_tokens")))
   }
 
   test("vocabGrowth reports prefix vocabulary and token volume at checkpoints") {
