@@ -406,6 +406,33 @@ object SparkEntry {
         |SELECT v.vec_id, LEAST(v.vec_id, COALESCE(MIN(r.b), v.vec_id)) AS canonical
         |FROM embeddings v LEFT JOIN reach r ON r.a = v.vec_id
         |GROUP BY v.vec_id ORDER BY v.vec_id""".stripMargin,
+    "q_hybrid_dedup" -> {
+      // vec_dot accumulates sum += (double)a[i] * (double)b[i] in index
+      // order; an explicit left-associative 64-term sum makes DuckDB
+      // evaluate the identical IEEE operation sequence, so the unrounded
+      // cosine (and the >= gate on it) is bit-exact across engines —
+      // no ROUND needed, unlike the SUM-reassociated embed oracles
+      def dotSql(a: String, b: String): String = (1 to 64)
+        .map(i => s"CAST($a.embedding[$i] AS DOUBLE)*CAST($b.embedding[$i] AS DOUBLE)")
+        .mkString(" + ")
+      s"""WITH tok AS (SELECT DISTINCT doc_id, tok FROM
+        |    (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
+        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY 1),
+        |pair AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+        |         FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |         GROUP BY 1, 2),
+        |jp AS (SELECT doc_a, doc_b,
+        |  CAST(common AS DOUBLE)/(sa.sz + sb.sz - common) AS jaccard
+        |  FROM pair JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+        |  WHERE CAST(common AS DOUBLE)/(sa.sz + sb.sz - common) >= 0.95),
+        |sc AS (SELECT doc_a, doc_b, jaccard,
+        |  (${dotSql("ea", "eb")}) /
+        |    (sqrt(${dotSql("ea", "ea")}) * sqrt(${dotSql("eb", "eb")})) AS cosine
+        |  FROM jp JOIN embeddings ea ON ea.vec_id = doc_a
+        |          JOIN embeddings eb ON eb.vec_id = doc_b)
+        |SELECT doc_a, doc_b, jaccard, cosine FROM sc
+        |WHERE cosine >= 0.2 ORDER BY doc_a, doc_b""".stripMargin
+    },
     "q_corpus_build" ->
       s"""WITH RECURSIVE tok AS (SELECT DISTINCT doc_id, tok FROM
         |    (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),

@@ -726,14 +726,16 @@ object VectorOps {
     * different meaning) before anything is dropped. Documents and
     * embeddings join on the shared id space (doc_id = vec_id).
     *
-    * No SQL oracle: the cosine gate sits on float math whose
-    * accumulation order an independent engine cannot be held to
-    * exactly; VectorOpsSpec instead pins the output to the
-    * ground-truth intersection {lexical pairs} ∩ {cosine >= cosT},
-    * with the cosine recomputed independently in the spec. (The
-    * driver's synthetic embeddings are independent of document text,
-    * so only the random high-cosine tail survives here; on a real
-    * corpus the two signals correlate and the gate is the point.)
+    * Oracle-exact: the DuckDB oracle expands the dot products as
+    * explicit left-associative 64-term sums, reproducing vec_dot's
+    * sequential double accumulation IEEE-exactly — so the unrounded
+    * cosine and the >= gate on it agree bit-for-bit across engines.
+    * VectorOpsSpec additionally pins the output to the ground-truth
+    * intersection {lexical pairs} ∩ {cosine >= cosT} with the cosine
+    * recomputed independently. (The driver's synthetic embeddings are
+    * independent of document text, so only the random high-cosine tail
+    * survives here; on a real corpus the two signals correlate and the
+    * gate is the point.)
     *
     * Scale shape: pair volume is the OUTPUT of the prefix-filtered
     * jaccard join (never all-pairs); the two embedding fetches are
