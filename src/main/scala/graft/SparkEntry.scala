@@ -104,6 +104,7 @@ object SparkEntry {
     "q_embed_near_dup" -> VectorOps.embeddingNearDup _,
     "q_embed_clusters" -> VectorOps.embedClusters _,
     "q_hybrid_dedup" -> ((s, d) => VectorOps.hybridNearDup(s, d)),
+    "q_bpe_merges" -> ((s, d) => TextOps.bpeMerges(s, d)),
     "q_corpus_build" -> TextOps.corpusBuild _,
     "q_ann_lsh" -> ((s, d) => VectorOps.annLshTuned(s, d, budget = 0.6)),
     "q_ann_ivf" -> ((s, d) => VectorOps.annIvf(s, d)),
@@ -406,6 +407,43 @@ object SparkEntry {
         |SELECT v.vec_id, LEAST(v.vec_id, COALESCE(MIN(r.b), v.vec_id)) AS canonical
         |FROM embeddings v LEFT JOIN reach r ON r.a = v.vec_id
         |GROUP BY v.vec_id ORDER BY v.vec_id""".stripMargin,
+    "q_bpe_merges" -> {
+      // Merge replay as delimiter-wrapped string replace: each token is
+      // wrapped in  (absent from the data), so the sequence reads
+      // <U>t1<UU>t2<UU>t3<U> and one merge round is a single replace of
+      // <U>p1<UU>p2<U> with <U>p1 p2<U> — SQL replace scans left-to-right
+      // non-overlapping over the source, which IS greedy BPE apply
+      // semantics (runs: 'a a a a' merges twice, 'a a a' once). The k=10
+      // rounds unroll as chained CTEs; top pair per round via scalar
+      // subqueries, ties on (p1, p2) like the Spark side. Every CTE is
+      // MATERIALIZED: DuckDB inlines plain CTEs per reference, and with
+      // w_r referenced 4x by round r+1 the inlined tree (and its
+      // parquet-scan fan-out) grows ~4^k — materialization makes each
+      // round evaluate exactly once.
+      val U = "\u001f" // ASCII unit separator, absent from the data
+      val S = U + U // inter-token separator: trailing wrap + leading wrap
+      val k = 10
+      val base =
+        s"""WITH s1 AS MATERIALIZED (SELECT '$U' || array_to_string(string_split(text, ' '), '$S') || '$U' AS seq
+           |  FROM documents WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 2)""".stripMargin
+      val rounds = (1 to k).map { r =>
+        val step =
+          s"""t$r AS MATERIALIZED (SELECT string_split(trim(seq, '$U'), '$S') AS toks FROM s$r),
+             |g$r AS MATERIALIZED (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i FROM t$r),
+             |w$r AS MATERIALIZED (SELECT toks[i] AS p1, toks[i + 1] AS p2, CAST(COUNT(*) AS BIGINT) AS n
+             |  FROM g$r GROUP BY 1, 2 ORDER BY n DESC, p1, p2 LIMIT 1)""".stripMargin
+        if (r == k) step
+        else step + "," + "\n" +
+          s"""s${r + 1} AS MATERIALIZED (SELECT replace(seq,
+             |  '$U' || (SELECT p1 FROM w$r) || '$S' || (SELECT p2 FROM w$r) || '$U',
+             |  '$U' || (SELECT p1 FROM w$r) || ' ' || (SELECT p2 FROM w$r) || '$U') AS seq
+             |  FROM s$r)""".stripMargin
+      }
+      val out = (1 to k)
+        .map(r => s"SELECT CAST($r AS BIGINT) AS round, p1, p2, n FROM w$r")
+        .mkString("\nUNION ALL\n")
+      (base +: rounds).mkString(",\n") + "\n" + out + "\nORDER BY round"
+    },
     "q_hybrid_dedup" -> {
       // vec_dot accumulates sum += (double)a[i] * (double)b[i] in index
       // order; an explicit left-associative 64-term sum makes DuckDB

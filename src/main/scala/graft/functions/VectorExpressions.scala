@@ -219,6 +219,24 @@ object VectorFunctions {
         s"$simhashName expects 1 argument, got ${other.size}")
   }
 
+  val kmvName = "kmv_count_distinct"
+
+  private val kmvBuilder: Seq[Expression] => Expression = {
+    case Seq(a) => KmvAgg(a)
+    case other =>
+      throw new IllegalArgumentException(
+        s"$kmvName expects 1 argument, got ${other.size}")
+  }
+
+  val bpeMergeName = "bpe_merge_step"
+
+  private val bpeMergeBuilder: Seq[Expression] => Expression = {
+    case Seq(a, l, r) => BpeMergeStepExpr(a, l, r)
+    case other =>
+      throw new IllegalArgumentException(
+        s"$bpeMergeName expects 3 arguments, got ${other.size}")
+  }
+
   /** Idempotently register on an existing session (the driver hands us its
     * own `SparkSession`, so extension-based injection alone isn't enough).
     */
@@ -237,6 +255,10 @@ object VectorFunctions {
       wavSamplesName, wavSamplesBuilder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       simhashName, simhashBuilder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      bpeMergeName, bpeMergeBuilder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      kmvName, kmvBuilder, "scala_udf")
   }
 
   /** Column API: `dot(a, b)` once [[ensureRegistered]] has run. */
@@ -260,6 +282,13 @@ object VectorFunctions {
 
   /** Column API: row-wise 64-bit simhash of an `array<bigint>` hash column. */
   def simhash64(c: Column): Column = call_function(simhashName, c)
+
+  /** Column API: one greedy LTR BPE merge round over an `array<string>`. */
+  def bpeMergeStep(toks: Column, l: Column, r: Column): Column =
+    call_function(bpeMergeName, toks, l, r)
+
+  /** Column API: KMV approximate distinct count of a bigint hash column. */
+  def kmvCountDistinct(c: Column): Column = call_function(kmvName, c)
 }
 
 /** `SparkSessionExtensions` hook: `.withExtensions(new GraftExtensions)` or
@@ -303,5 +332,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[SimHash64Expr].getName, null,
           VectorFunctions.simhashName),
         (exprs: Seq[Expression]) => SimHash64Expr(exprs(0))))
+    ext.injectFunction(
+      (FunctionIdentifier(VectorFunctions.bpeMergeName),
+        new ExpressionInfo(classOf[BpeMergeStepExpr].getName, null,
+          VectorFunctions.bpeMergeName),
+        (exprs: Seq[Expression]) => BpeMergeStepExpr(exprs(0), exprs(1), exprs(2))))
+    ext.injectFunction(
+      (FunctionIdentifier(VectorFunctions.kmvName),
+        new ExpressionInfo(classOf[KmvAgg].getName, null,
+          VectorFunctions.kmvName),
+        (exprs: Seq[Expression]) => KmvAgg(exprs(0))))
   }
 }

@@ -1261,6 +1261,88 @@ object TextOps {
       .orderBy(col("n").desc, col("pair"))
       .limit(k)
 
+  /** Adjacent pairs of a token array as `(p1, p2)` structs — the struct
+    * twin of [[bigrams]] for consumers whose symbols may themselves
+    * contain the join character (BPE merged symbols are space-joined, so
+    * a concatenated "p1 p2" string would be ambiguous from round 2 on).
+    */
+  private def pairStructs(t0: Column): Column = bindOnce(t0) { t =>
+    when(size(t) >= 2,
+      transform(sequence(lit(0), size(t) - 2),
+        i => struct(element_at(t, i + 1).as("p1"), element_at(t, i + 2).as("p2"))))
+      .otherwise(array().cast("array<struct<p1:string,p2:string>>"))
+  }
+
+  /** Iterated BPE merge training — the actual tokenizer-training kernel
+    * whose first counting scan [[mergePairs]] is: `k` sequential rounds
+    * of (count adjacent symbol pairs across the corpus → take the most
+    * frequent, ties broken on the pair itself → greedily merge every
+    * occurrence left-to-right). Returns one row per learned merge:
+    * (round, p1, p2, n) with `n` the pair's corpus count at merge time.
+    * Symbols start as whitespace tokens and merged symbols are
+    * space-joined, so later rounds legitimately merge merged symbols.
+    *
+    * The merge RULE is driver state by nature (every BPE trainer
+    * broadcasts the learned rule back to the corpus), so each round
+    * collects exactly ONE row; the apply step is the codegen'd row-wise
+    * [[graft.functions.BpeMergeStepExpr]] projection — no shuffle beyond
+    * the pair-count aggregate that any round needs.
+    *
+    * Scale shape: per round, one map-side-combined hash aggregate over
+    * adjacent pairs (one row per distinct pair per partition crosses the
+    * wire) + a TakeOrderedAndProject top-1 + a row-wise projection.
+    * `localCheckpoint` after each apply truncates lineage so round r's
+    * plan doesn't stack r codegen'd projections (and a lost-executor
+    * recompute doesn't replay the whole ladder; on a real cluster point
+    * `spark.checkpoint.dir` at reliable storage and use `checkpoint`
+    * instead). Superseded round frames drop out of driver scope each
+    * round; the ContextCleaner reclaims their checkpoint blocks
+    * asynchronously (Dataset.unpersist cannot — the blocks are RDD-level,
+    * not CacheManager entries), so steady-state footprint tracks the
+    * live corpus, not k copies.
+    */
+  def bpeMerges(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    bpeMergesOver(spark, Tables.documents(spark, dir), k)
+
+  private[operators] def bpeMergesOver(spark: SparkSession, docs: DataFrame,
+      k: Int): DataFrame = {
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    // lazy checkpoints: each round's top-pair aggregate is the action
+    // that materializes the round's frame, so a round schedules ONE job
+    // instead of two (measured parity at sf0.1 — the round cost is the
+    // scan+agg, not job count — but on a busy cluster scheduler every
+    // barrier is latency); the aggregate reads every partition, so
+    // nothing is left unmaterialized for the next round
+    var seqs = docs.filter(col("text").isNotNull)
+      .select(tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .localCheckpoint(eager = false)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= k && !exhausted) {
+      val top = seqs.select(explode(pairStructs(col("toks"))).as("p"))
+        .groupBy(col("p.p1").as("p1"), col("p.p2").as("p2"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("p1"), col("p2"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (p1, p2, n) =
+          (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
+        merges += ((r.toLong, p1, p2, n))
+        if (r < k) { // the last apply's output is never read
+          seqs = seqs.select(graft.functions.VectorFunctions
+            .bpeMergeStep(col("toks"), lit(p1), lit(p2)).as("toks"))
+            .localCheckpoint(eager = false)
+        }
+        r += 1
+      }
+    }
+    merges.toSeq.toDF("round", "p1", "p2", "n")
+  }
+
   /** Per-language vocabulary head: the top `k` terms by document
     * frequency — the corpus-inspection query behind stopword lists,
     * boilerplate detection, and tokenizer-coverage checks.

@@ -153,4 +153,49 @@ class CorpusPropertySpec extends AnyFunSuite {
       assert(gotStats == wantStats, s"seed=$seed stats")
     }
   }
+
+  test("iterated BPE merges equal a naive single-node trainer on random corpora") {
+    def applyMerge(toks: Vector[String], l: String, r: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < toks.size) {
+        if (i + 1 < toks.size && toks(i) == l && toks(i + 1) == r) {
+          out += (l + " " + r); i += 2
+        } else { out += toks(i); i += 1 }
+      }
+      out.result()
+    }
+    for (seed <- 16L to 18L) {
+      val docs = randCorpus(seed, 120)
+      val got = TextOps.bpeMergesOver(spark, docs.toDF("doc_id", "text"), k = 6)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toSeq
+      var seqs = docs.map(_._2.split(" ", -1).toVector).filter(_.size >= 2)
+      val want = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+      var r = 1
+      var done = false
+      while (r <= 6 && !done) {
+        val counts = seqs
+          .flatMap(s => s.sliding(2).filter(_.size == 2).map(p => (p(0), p(1))))
+          .groupBy(identity).map { case (p, xs) => (p, xs.size.toLong) }
+        if (counts.isEmpty) done = true
+        else {
+          val ((p1, p2), n) =
+            counts.toSeq.sortBy { case ((a, b), c) => (-c, a, b) }.head
+          want += ((r.toLong, p1, p2, n))
+          seqs = seqs.map(applyMerge(_, p1, p2))
+          r += 1
+        }
+      }
+      assert(got == want.toSeq, s"seed=$seed")
+    }
+  }
+
+  test("BPE merges stop early when no pairs remain") {
+    val docs = Seq((1L, "x y")).toDF("doc_id", "text")
+    val got = TextOps.bpeMergesOver(spark, docs, k = 5).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, "x", "y", 1L)))
+  }
 }
