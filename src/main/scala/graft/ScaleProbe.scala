@@ -116,7 +116,9 @@ object ScaleProbe {
 
   private def annProbe(spark: SparkSession, base: String): Seq[String] = {
     import graft.operators.VectorOps
-    for ((tag, n) <- Seq("x1" -> 2000L, "x10" -> 20000L)) yield {
+    // x30 pins the IVF-PQ compressed-scan claim one tier past the point
+    // where stage overhead dominates (VERDICT r5 #4)
+    for ((tag, n) <- Seq("x1" -> 2000L, "x10" -> 20000L, "x30" -> 60000L)) yield {
       val d = s"$base/emb_$tag"
       synthesizeEmb(spark, d, n)
       // ingest-time index build + occupancy, deliberately untimed
@@ -187,9 +189,61 @@ object ScaleProbe {
       println(f"[scaleprobe] $name%-18s x1=${times("x1")}%6.2fs x10=${times("x10")}%6.2fs ratio=$ratio%5.2f")
       s""""$name":{"x1":${times("x1")},"x10":${times("x10")},"ratio":$ratio}"""
     }
+    // 30× tier for the batch×corpus cross engine: one more decade-ish on
+    // q_incremental_dedup, where stage overhead stops dominating
+    val d30 = s"$base/x30"
+    synthesize(spark, d30, n1 * 30)
+    val incFn = SparkEntry.queries("q_incremental_dedup")
+    incFn(spark, d30).count() // warmup the 30x dir
+    val t30 = median((1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      incFn(spark, d30).count()
+      (System.nanoTime() - t0) / 1e9
+    })
+    val inc1 = {
+      val t0 = System.nanoTime()
+      incFn(spark, dirs("x1")).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    println(f"[scaleprobe] q_incremental_dedup x30=$t30%6.2fs (x1=$inc1%5.2fs ratio=${t30 / inc1}%5.2f)")
+    val x30row = s""""q_incremental_dedup_x30":{"x30":$t30,"x1":$inc1,"ratio":${t30 / inc1}}"""
+    val sketch = sketchProbe(spark, dirs)
     val ann = annProbe(spark, base)
     println(s"""{"metric":"scaleprobe","n1":$n1,"n10":${n1 * 10},""" +
-      (results ++ ann).mkString(",") + "}")
+      (results ++ Seq(x30row) ++ sketch ++ ann).mkString(",") + "}")
     spark.stop()
+  }
+
+  /** Sketch-altitude probe (VERDICT r5 #7): the same distinct-count
+    * query three ways — exact count(distinct), the built-in
+    * approx_count_distinct (HLL++, codegen'd ImperativeAggregate), and
+    * the custom [[graft.functions.KmvAgg]] TypedImperativeAggregate —
+    * grouped per language over the synth corpus at 1× and 10×. All three
+    * shuffle one fixed-size state per (partition, group); the question
+    * the numbers answer is whether a custom sketch buys anything over
+    * the built-in at the engine's own aggregation altitude (SCALE.md
+    * records the verdict).
+    */
+  private def sketchProbe(spark: SparkSession,
+      dirs: Map[String, String]): Seq[String] = {
+    import org.apache.spark.sql.functions._
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    def tok(d: String) = spark.read.parquet(s"$d/documents.parquet")
+      .select(col("lang"), explode(split(col("text"), " ")).as("term"))
+    val variants: Seq[(String, String => org.apache.spark.sql.DataFrame)] = Seq(
+      "exact" -> (d => tok(d).groupBy("lang").agg(countDistinct("term"))),
+      "hllpp" -> (d => tok(d).groupBy("lang").agg(approx_count_distinct("term"))),
+      "kmv" -> (d => tok(d).groupBy("lang").agg(
+        graft.functions.VectorFunctions.kmvCountDistinct(xxhash64(col("term"))))))
+    for ((name, fn) <- variants) yield {
+      val t = dirs.map { case (tag, d) =>
+        fn(d).count() // warmup
+        tag -> ScaleProbe.median((1 to 3).map { _ =>
+          val t0 = System.nanoTime(); fn(d).count(); (System.nanoTime() - t0) / 1e9
+        })
+      }
+      println(f"[scaleprobe] sketch/$name%-6s x1=${t("x1")}%6.2fs x10=${t("x10")}%6.2fs")
+      s""""sketch_$name":{"x1":${t("x1")},"x10":${t("x10")}}"""
+    }
   }
 }

@@ -133,6 +133,43 @@ object StreamDedup {
     banded(corpus).select(col("docId").as("corpus_doc"),
       col("band"), col("bucket"), col("sig").as("corpus_sig"))
 
+  /** [[candidatesVsCorpus]] with a PERIODICALLY REFRESHED corpus index —
+    * the production posture: the corpus-side index is an ingest artifact
+    * that grows as the corpus does, and a long-running dedup stream must
+    * pick up additions without a restart. A stream-static join pins the
+    * static side's file listing at plan time, so the refresh runs at
+    * `foreachBatch` altitude: every `refreshEvery` micro-batches the
+    * index at `indexPath` is re-read (after `refreshByPath`, which drops
+    * Spark's shared file-listing cache for the path — a plain re-read
+    * can otherwise ride the stale listing), the previous snapshot
+    * unpersists, and the fresh one persists for the batches that ride
+    * it. Consistency model: corpus additions become visible at the NEXT
+    * refresh boundary, never mid-batch — a document that streams past
+    * between an addition and the boundary is not re-checked (the same
+    * trade every snapshot-refreshed serving index makes).
+    *
+    * Returns an unstarted writer (`.start()` it); `sink` receives each
+    * micro-batch's hits with the [[candidatesVsCorpus]] schema plus the
+    * batch id.
+    */
+  def candidatesVsCorpusRefreshing(stream: DataFrame, indexPath: String,
+      refreshEvery: Int, threshold: Double = TextOps.minhashEstThreshold)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(refreshEvery >= 1, s"refreshEvery must be >= 1, got $refreshEvery")
+    var idx: DataFrame = null
+    stream.writeStream.outputMode("append").foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val sp = batch.sparkSession
+        if (idx == null || batchId % refreshEvery == 0) {
+          if (idx != null) idx.unpersist()
+          sp.catalog.refreshByPath(indexPath)
+          idx = sp.read.parquet(indexPath).persist()
+        }
+        sink(candidatesVsCorpus(batch.toDF(), idx, threshold), batchId)
+    }
+  }
+
   /** [[candidates]] with an event-time TTL: documents carry a `ts`
     * timestamp, a document only matches prior documents within
     * `windowMs` of event time (symmetric, so out-of-order arrivals

@@ -152,4 +152,51 @@ class StreamDedupSpec extends AnyFunSuite {
       .as[(Long, Long, Double)].collect().toSet
     assert(got == expected)
   }
+
+  test("refreshing corpus index: additions invisible until the refresh boundary, then hit") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-idx").toString
+    val textA = "alpha beta gamma delta"
+    val textB = "epsilon zeta eta theta"
+    StreamDedup.corpusIndexOf(Seq((1L, textA)).toDF("doc_id", "text"))
+      .write.mode("overwrite").parquet(tmp)
+
+    val hits = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDS.select(col("_1").as("doc_id"), col("_2").as("text"))
+    // refreshEvery = 2 → the index reloads on batches 0, 2, 4, …
+    val q = StreamDedup.candidatesVsCorpusRefreshing(stream, tmp, refreshEvery = 2) {
+      (df, bid) =>
+        val rows = df.select("doc_id", "corpus_doc").distinct().collect()
+        hits.synchronized {
+          rows.foreach(r => hits += ((bid, r.getLong(0), r.getLong(1))))
+        }
+    }.start()
+    try {
+      // batch 0 (refresh): exact re-crawl of corpus doc 1 hits it
+      mem.addData((9001L, textA))
+      q.processAllAvailable()
+      // a corpus addition lands on storage between batches — moved in at
+      // the FILE level, the way a separate ingest process delivers it (a
+      // same-session spark write would auto-recache the cached snapshot
+      // via refreshByPath and defeat the staleness half of this test)
+      val side = java.nio.file.Files.createTempDirectory("graft-idx-add").toString
+      StreamDedup.corpusIndexOf(Seq((2L, textB)).toDF("doc_id", "text"))
+        .coalesce(1).write.mode("overwrite").parquet(side)
+      val part = new java.io.File(side).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(tmp, part.getName))
+      // batch 1 (no refresh): the snapshot is stale — 9002 misses doc 2
+      mem.addData((9002L, textB))
+      q.processAllAvailable()
+      // batch 2 (refresh): the same text now hits the addition
+      mem.addData((9003L, textB))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    assert(hits.toSet == Set((0L, 9001L, 1L), (2L, 9003L, 2L)),
+      s"got $hits")
+  }
 }
