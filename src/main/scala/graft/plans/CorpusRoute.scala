@@ -1,0 +1,201 @@
+package graft.plans
+
+import scala.collection.concurrent.TrieMap
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.{LongType, StringType}
+
+/** [[LtsRoute]]'s materialized-view routing pattern on the LLM-corpus
+  * side (VERDICT r5 #8): per-language/source corpus statistics are the
+  * dashboard queries of a training-data pipeline, recomputed constantly
+  * while the corpus changes rarely — exactly the access pattern that
+  * justifies a maintained rollup. A registered documents table gets a
+  * companion per-(lang, source) rollup ([[rollupOf]]), and any
+  * `Aggregate` over the raw table whose groupings are corpus dimensions
+  * and whose measures are re-aggregable document counts / sums is
+  * rewritten to scan the rollup instead: `count(*)` → `sum(n_docs)`,
+  * `count(text)` → `sum(n_text)`, `sum(n_chars)` → `sum(sum_chars)`,
+  * and the token total `sum(size(split(text, ' ')) :: long)` →
+  * `sum(sum_tokens)`. Integer re-aggregation is exact, so routed plans
+  * are bit-identical while reading #langs×#sources rows instead of the
+  * corpus — at 100 TB the difference between a dashboard refresh and a
+  * full scan.
+  *
+  * Anything not re-aggregable (distinct counts — the dedup fingerprint,
+  * per-document quality gates, raw-grain groupings) leaves the plan
+  * untouched and scans raw, the same conservatism as [[LtsRoute]].
+  * Output attribute ids and types are preserved so parent operators
+  * never see the difference.
+  */
+object CorpusRoute extends Rule[LogicalPlan] {
+
+  /** raw documents root path (fully qualified) → rollup path. */
+  private val routes = TrieMap[String, String]()
+
+  private def canon(spark: SparkSession, path: String): String = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).makeQualified(hp).toString
+  }
+
+  /** The maintained rollup: one row per (lang, source) with the partial
+    * aggregates every routed measure re-aggregates from. Maintain it
+    * like any ingest artifact — rebuild (or upsert partitions) when the
+    * corpus changes, then [[invalidate]].
+    */
+  def rollupOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    docs.groupBy("lang", "source").agg(
+      count(lit(1)).as("n_docs"),
+      count(col("text")).as("n_text"),
+      sum(col("n_chars")).as("sum_chars"),
+      sum(size(split(col("text"), " ")).cast("long")).as("sum_tokens"))
+  }
+
+  def register(spark: SparkSession, rawPath: String, rollupPath: String): Unit =
+    routes.put(canon(spark, rawPath), rollupPath): Unit
+
+  def deregister(spark: SparkSession, rawPath: String): Unit =
+    routes.remove(canon(spark, rawPath)): Unit
+
+  /** Idempotently attach the rule to a live session. */
+  def enable(spark: SparkSession): Unit = this.synchronized {
+    if (!spark.experimental.extraOptimizations.exists(_ eq this))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ this
+  }
+
+  // resolved-once rollup relations (see LtsRoute.ltsRelations for why)
+  private val rollupRelations = TrieMap[String, LogicalRelation]()
+
+  /** Drop the cached relation for a rollup whose files were rewritten. */
+  def invalidate(rollupPath: String): Unit =
+    rollupRelations.remove(rollupPath): Unit
+
+  private def rollupRelationFor(path: String): Option[LogicalRelation] =
+    rollupRelations.get(path).orElse {
+      val rel = SparkSession.active.read.parquet(path)
+        .queryExecution.analyzed
+        .collectFirst { case l: LogicalRelation => l }
+      rel.foreach(rollupRelations.put(path, _))
+      rel
+    }.map(_.newInstance())
+
+  private def routeFor(lr: LogicalRelation): Option[String] =
+    lr.relation match {
+      case h: HadoopFsRelation if h.location.rootPaths.size == 1 =>
+        routes.get(h.location.rootPaths.head.toString)
+      case _ => None
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case agg: Aggregate => rewrite(agg).getOrElse(agg)
+  }
+
+  /** Same Project-inlining dance as [[LtsRoute.rewrite]]: the optimizer
+    * pulls complex groupings/derived columns into a child Project, so
+    * aliases inline back before matching against the raw columns.
+    */
+  private def rewrite(agg: Aggregate): Option[LogicalPlan] = agg.child match {
+    case lr: LogicalRelation =>
+      routeFor(lr).flatMap(buildRewrite(agg, lr, _))
+    case Project(projList, lr: LogicalRelation) =>
+      val aliasOf = projList.collect {
+        case al: Alias => al.toAttribute.exprId -> al.child
+      }.toMap
+      def inline(e: Expression): Expression = e.transformUp {
+        case a: AttributeReference if aliasOf.contains(a.exprId) => aliasOf(a.exprId)
+      }
+      val inlined = Aggregate(
+        agg.groupingExpressions.map(inline),
+        agg.aggregateExpressions.map(ne => inline(ne) match {
+          case n: NamedExpression => n
+          case other => Alias(other, ne.name)(exprId = ne.exprId)
+        }),
+        lr)
+      routeFor(lr).flatMap(buildRewrite(inlined, lr, _))
+    case _ => None
+  }
+
+  private val dims = Set("lang", "source")
+
+  private def buildRewrite(agg: Aggregate, lr: LogicalRelation,
+      rollupPath: String): Option[LogicalPlan] = {
+    val rollRel = rollupRelationFor(rollupPath).getOrElse(return None)
+    val roll: Map[String, Attribute] = rollRel.output.map(a => a.name -> a).toMap
+    if (!Seq("lang", "source", "n_docs", "n_text", "sum_chars", "sum_tokens")
+      .forall(roll.contains)) return None
+    val rawName: Map[ExprId, String] = lr.output.map(a => a.exprId -> a.name).toMap
+    var ok = true
+    def fail(): Expression = { ok = false; Literal(null) }
+
+    def isRawAttr(e: Expression, name: String): Boolean = e match {
+      case a: AttributeReference => rawName.get(a.exprId).contains(name)
+      case _ => false
+    }
+
+    // the exact token-count shape the engine's own stats queries emit:
+    // size(split(text, ' ')) cast to long (TextOps.tokens is the split)
+    def isTokenCount(e: Expression): Boolean = e match {
+      case c: Cast if c.dataType == LongType => isTokenCount(c.child)
+      case Size(StringSplit(t, Literal(sep, StringType), Literal(-1, _)), _) =>
+        sep != null && sep.toString == " " && isRawAttr(t, "text")
+      case _ => false
+    }
+
+    def rw(e: Expression): Expression = e match {
+      case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
+        ae.aggregateFunction match {
+          // count(*) / count(non-null literal) → sum(n_docs), coalesced so
+          // the empty-relation global aggregate still answers 0
+          case c: Count if c.children.forall(ch => ch.foldable && ch.eval() != null) =>
+            Coalesce(Seq(
+              ae.copy(aggregateFunction = Sum(roll("n_docs").asInstanceOf[Expression])),
+              Literal(0L)))
+          // count(text) — non-null-text document count
+          case c: Count if c.children.size == 1 && isRawAttr(c.children.head, "text") =>
+            Coalesce(Seq(
+              ae.copy(aggregateFunction = Sum(roll("n_text").asInstanceOf[Expression])),
+              Literal(0L)))
+          case s: Sum if isRawAttr(s.child, "n_chars") =>
+            ae.copy(aggregateFunction =
+              s.withNewChildren(Seq(roll("sum_chars"))).asInstanceOf[Sum])
+          case s: Sum if isTokenCount(s.child) =>
+            ae.copy(aggregateFunction =
+              s.withNewChildren(Seq(roll("sum_tokens"))).asInstanceOf[Sum])
+          case _ => fail()
+        }
+      // FILTER / DISTINCT / other functions kill the rewrite outright —
+      // the generic child-walk below must never reach their arguments
+      case _: AggregateExpression => fail()
+      case a: AttributeReference =>
+        rawName.get(a.exprId).filter(dims.contains).flatMap(roll.get)
+          .getOrElse(fail())
+      case _: Literal => e
+      case other if other.children.nonEmpty => other.mapChildren(rw)
+      case _ => fail()
+    }
+
+    val newGroupings = agg.groupingExpressions.map(rw)
+    val newAggExprs: Seq[NamedExpression] = agg.aggregateExpressions.map {
+      case a: AttributeReference =>
+        rawName.get(a.exprId).filter(dims.contains).flatMap(roll.get) match {
+          case Some(m) => Alias(m, a.name)(exprId = a.exprId)
+          case None => ok = false; a
+        }
+      case al: Alias =>
+        Alias(rw(al.child), al.name)(exprId = al.exprId, qualifier = al.qualifier)
+      case other => rw(other) match {
+        case ne: NamedExpression => ne
+        case _ => ok = false; other
+      }
+    }
+    val leftover = (newGroupings ++ newAggExprs)
+      .flatMap(_.references).exists(lr.outputSet.contains)
+    if (ok && !leftover) Some(Aggregate(newGroupings, newAggExprs, rollRel))
+    else None
+  }
+}

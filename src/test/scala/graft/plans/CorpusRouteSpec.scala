@@ -1,0 +1,93 @@
+package graft.plans
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.{Tables, TestSpark}
+import graft.operators.TextOps
+
+/** Corpus-stats routing: per-language/source document aggregates over a
+  * registered documents table transparently scan its maintained rollup,
+  * bit-identically (integer re-aggregation is exact); non-re-aggregable
+  * shapes stay on the raw scan.
+  */
+class CorpusRouteSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  // a private copy of the documents table + its rollup (registering the
+  // shared testdata path would leak routing into other suites)
+  private lazy val (base, rawPath, rollupPath): (String, String, String) = {
+    val b = Files.createTempDirectory("graft_corpus_route").toString
+    Tables.documents(spark, "/root/testdata/sf0.001")
+      .write.parquet(s"$b/documents.parquet")
+    CorpusRoute.rollupOf(spark.read.parquet(s"$b/documents.parquet"))
+      .write.parquet(s"$b/rollup")
+    (b, s"$b/documents.parquet", s"$b/rollup")
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.collect().map(_.toString).toSet
+
+  private def scansRollup(df: org.apache.spark.sql.DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.exists(_.toString.contains(rollupPath))
+          case _ => false
+        }
+    }.exists(identity)
+
+  private def withRoute[A](f: => A): A = {
+    CorpusRoute.enable(spark)
+    CorpusRoute.register(spark, rawPath, rollupPath)
+    try f finally CorpusRoute.deregister(spark, rawPath)
+  }
+
+  test("the engine's own textStats query routes to the rollup, bit-identical") {
+    def q = TextOps.textStats(spark, base)
+    val baseline = rows(q) // route not registered yet
+    withRoute {
+      assert(scansRollup(q), q.queryExecution.optimizedPlan.toString)
+      assert(rows(q) == baseline)
+    }
+  }
+
+  test("coarser grains re-aggregate: per-(lang, source), and the global row") {
+    def fine = spark.read.parquet(rawPath).groupBy("lang", "source")
+      .agg(count(lit(1)).as("n"), count(col("text")).as("nt"),
+        sum(col("n_chars")).as("sc"))
+    def global = spark.read.parquet(rawPath)
+      .agg(count(lit(1)).as("n"),
+        sum(size(split(col("text"), " ")).cast("long")).as("tok"))
+    val (fineBase, globalBase) = (rows(fine), rows(global))
+    withRoute {
+      assert(scansRollup(fine))
+      assert(rows(fine) == fineBase)
+      assert(scansRollup(global))
+      assert(rows(global) == globalBase)
+    }
+  }
+
+  test("non-re-aggregable shapes stay on the raw scan") {
+    // the dedup fingerprint distinct-count cannot come from the rollup
+    def q = spark.read.parquet(rawPath).groupBy("lang")
+      .agg(countDistinct(md5(col("text"))).as("d"))
+    val baseline = rows(q)
+    withRoute {
+      assert(!scansRollup(q))
+      assert(rows(q) == baseline)
+    }
+  }
+
+  test("downstream operators stay bound across the rewrite") {
+    def q = spark.read.parquet(rawPath).groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("lang")).limit(3)
+    val baseline = q.collect().map(_.toString).toSeq
+    withRoute {
+      assert(scansRollup(q))
+      assert(q.collect().map(_.toString).toSeq == baseline)
+    }
+  }
+}
