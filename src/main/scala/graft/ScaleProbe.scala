@@ -228,8 +228,15 @@ object ScaleProbe {
       dirs: Map[String, String]): Seq[String] = {
     import org.apache.spark.sql.functions._
     graft.functions.VectorFunctions.ensureRegistered(spark)
+    // high-cardinality distinct key (one per (doc, term) occurrence class,
+    // ~5M at x10): the synth vocabulary itself is Zipf-bounded at ~2k
+    // terms/lang, where every variant is overhead-bound and the
+    // comparison says nothing — sketches earn their keep exactly when
+    // the exact path must shuffle the distinct VALUES and they don't
     def tok(d: String) = spark.read.parquet(s"$d/documents.parquet")
-      .select(col("lang"), explode(split(col("text"), " ")).as("term"))
+      .select(col("lang"), col("doc_id"),
+        explode(split(col("text"), " ")).as("t"))
+      .select(col("lang"), concat_ws(":", col("doc_id"), col("t")).as("term"))
     val variants: Seq[(String, String => org.apache.spark.sql.DataFrame)] = Seq(
       "exact" -> (d => tok(d).groupBy("lang").agg(countDistinct("term"))),
       "hllpp" -> (d => tok(d).groupBy("lang").agg(approx_count_distinct("term"))),

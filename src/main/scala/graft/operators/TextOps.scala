@@ -1304,6 +1304,30 @@ object TextOps {
   def bpeMerges(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
     bpeMergesOver(spark, Tables.documents(spark, dir), k)
 
+  /** The starting symbol sequences: whitespace tokens, ≥ 2 per doc. */
+  private[graft] def bpeSeqs(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .select(tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+
+  /** One round's learned rule: the corpus's most frequent adjacent pair
+    * (ties on the pair itself). Map-side-combined hash aggregate + a
+    * TakeOrdered top-1 — one exchange, plan-asserted in PlanSpec.
+    */
+  private[graft] def bpePairCounts(seqs: DataFrame): DataFrame =
+    seqs.select(explode(pairStructs(col("toks"))).as("p"))
+      .groupBy(col("p.p1").as("p1"), col("p.p2").as("p2"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("p1"), col("p2"))
+      .limit(1)
+
+  /** One round's apply: the learned rule over every sequence, a pure
+    * codegen'd projection (no exchange, plan-asserted).
+    */
+  private[graft] def bpeApply(seqs: DataFrame, p1: String, p2: String): DataFrame =
+    seqs.select(graft.functions.VectorFunctions
+      .bpeMergeStep(col("toks"), lit(p1), lit(p2)).as("toks"))
+
   private[operators] def bpeMergesOver(spark: SparkSession, docs: DataFrame,
       k: Int): DataFrame = {
     graft.functions.VectorFunctions.ensureRegistered(spark)
@@ -1314,28 +1338,19 @@ object TextOps {
     // scan+agg, not job count — but on a busy cluster scheduler every
     // barrier is latency); the aggregate reads every partition, so
     // nothing is left unmaterialized for the next round
-    var seqs = docs.filter(col("text").isNotNull)
-      .select(tokens(col("text")).as("toks"))
-      .filter(size(col("toks")) >= 2)
-      .localCheckpoint(eager = false)
+    var seqs = bpeSeqs(docs).localCheckpoint(eager = false)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var r = 1
     var exhausted = false
     while (r <= k && !exhausted) {
-      val top = seqs.select(explode(pairStructs(col("toks"))).as("p"))
-        .groupBy(col("p.p1").as("p1"), col("p.p2").as("p2"))
-        .agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("p1"), col("p2"))
-        .limit(1).collect()
+      val top = bpePairCounts(seqs).collect()
       if (top.isEmpty) exhausted = true
       else {
         val (p1, p2, n) =
           (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
         merges += ((r.toLong, p1, p2, n))
         if (r < k) { // the last apply's output is never read
-          seqs = seqs.select(graft.functions.VectorFunctions
-            .bpeMergeStep(col("toks"), lit(p1), lit(p2)).as("toks"))
-            .localCheckpoint(eager = false)
+          seqs = bpeApply(seqs, p1, p2).localCheckpoint(eager = false)
         }
         r += 1
       }

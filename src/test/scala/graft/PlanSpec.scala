@@ -158,4 +158,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(p.split("InMemoryTableScan").length - 1 >= 3, p)
   }
+
+  test("bpe round: pair count is one exchange + TakeOrdered top-1; rule apply is exchange-free") {
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    val seqs = graft.operators.TextOps.bpeSeqs(Tables.documents(spark, dir))
+    val cnt = plan(graft.operators.TextOps.bpePairCounts(seqs))
+    assert(cnt.contains("TakeOrderedAndProject"), cnt) // never a global sort
+    assert(cnt.split("Exchange").length - 1 <= 1, cnt) // the agg shuffle only
+    val app = plan(graft.operators.TextOps.bpeApply(seqs, "a", "b"))
+    assert(!app.contains("Exchange"), app)
+    assert(app.contains("bpe_merge_step"), app) // the native one-pass merge
+  }
 }
