@@ -237,6 +237,15 @@ object VectorFunctions {
         s"$bpeMergeName expects 3 arguments, got ${other.size}")
   }
 
+  val bpeMergeDeltaName = "bpe_merge_delta"
+
+  private val bpeMergeDeltaBuilder: Seq[Expression] => Expression = {
+    case Seq(a, l, r) => BpeMergeDeltaExpr(a, l, r)
+    case other =>
+      throw new IllegalArgumentException(
+        s"$bpeMergeDeltaName expects 3 arguments, got ${other.size}")
+  }
+
   /** Idempotently register on an existing session (the driver hands us its
     * own `SparkSession`, so extension-based injection alone isn't enough).
     */
@@ -257,6 +266,8 @@ object VectorFunctions {
       simhashName, simhashBuilder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       bpeMergeName, bpeMergeBuilder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      bpeMergeDeltaName, bpeMergeDeltaBuilder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       kmvName, kmvBuilder, "scala_udf")
   }
@@ -286,6 +297,12 @@ object VectorFunctions {
   /** Column API: one greedy LTR BPE merge round over an `array<string>`. */
   def bpeMergeStep(toks: Column, l: Column, r: Column): Column =
     call_function(bpeMergeName, toks, l, r)
+
+  /** Column API: one BPE merge round fused with pair-count delta
+    * extraction — struct<toks, deltas>.
+    */
+  def bpeMergeDelta(toks: Column, l: Column, r: Column): Column =
+    call_function(bpeMergeDeltaName, toks, l, r)
 
   /** Column API: KMV approximate distinct count of a bigint hash column. */
   def kmvCountDistinct(c: Column): Column = call_function(kmvName, c)
@@ -337,6 +354,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[BpeMergeStepExpr].getName, null,
           VectorFunctions.bpeMergeName),
         (exprs: Seq[Expression]) => BpeMergeStepExpr(exprs(0), exprs(1), exprs(2))))
+    ext.injectFunction(
+      (FunctionIdentifier(VectorFunctions.bpeMergeDeltaName),
+        new ExpressionInfo(classOf[BpeMergeDeltaExpr].getName, null,
+          VectorFunctions.bpeMergeDeltaName),
+        (exprs: Seq[Expression]) => BpeMergeDeltaExpr(exprs(0), exprs(1), exprs(2))))
     ext.injectFunction(
       (FunctionIdentifier(VectorFunctions.kmvName),
         new ExpressionInfo(classOf[KmvAgg].getName, null,

@@ -1275,31 +1275,39 @@ object TextOps {
 
   /** Iterated BPE merge training — the actual tokenizer-training kernel
     * whose first counting scan [[mergePairs]] is: `k` sequential rounds
-    * of (count adjacent symbol pairs across the corpus → take the most
-    * frequent, ties broken on the pair itself → greedily merge every
-    * occurrence left-to-right). Returns one row per learned merge:
-    * (round, p1, p2, n) with `n` the pair's corpus count at merge time.
-    * Symbols start as whitespace tokens and merged symbols are
-    * space-joined, so later rounds legitimately merge merged symbols.
+    * of (most frequent adjacent symbol pair, ties broken on the pair
+    * itself → greedily merge every occurrence left-to-right). Returns
+    * one row per learned merge: (round, p1, p2, n) with `n` the pair's
+    * corpus count at merge time. Symbols start as whitespace tokens and
+    * merged symbols are space-joined, so later rounds legitimately
+    * merge merged symbols.
     *
     * The merge RULE is driver state by nature (every BPE trainer
     * broadcasts the learned rule back to the corpus), so each round
     * collects exactly ONE row; the apply step is the codegen'd row-wise
-    * [[graft.functions.BpeMergeStepExpr]] projection — no shuffle beyond
-    * the pair-count aggregate that any round needs.
+    * [[graft.functions.BpeMergeDeltaExpr]] projection, which also emits
+    * the merge-site pair-count deltas in the same pass.
     *
-    * Scale shape: per round, one map-side-combined hash aggregate over
-    * adjacent pairs (one row per distinct pair per partition crosses the
-    * wire) + a TakeOrderedAndProject top-1 + a row-wise projection.
-    * `localCheckpoint` after each apply truncates lineage so round r's
-    * plan doesn't stack r codegen'd projections (and a lost-executor
-    * recompute doesn't replay the whole ladder; on a real cluster point
-    * `spark.checkpoint.dir` at reliable storage and use `checkpoint`
-    * instead). Superseded round frames drop out of driver scope each
-    * round; the ContextCleaner reclaims their checkpoint blocks
-    * asynchronously (Dataset.unpersist cannot — the blocks are RDD-level,
-    * not CacheManager entries), so steady-state footprint tracks the
-    * live corpus, not k copies.
+    * Scale shape: the corpus-token-width pair aggregate runs ONCE
+    * (round 0). Each later round costs one corpus scan (the fused
+    * apply+delta projection over checkpointed blocks) whose SHUFFLE is
+    * only delta rows + the vocabulary-bounded count table, plus a
+    * TakeOrderedAndProject top-1 over that table — the incremental
+    * maintenance every production BPE trainer (HF-tokenizers,
+    * SentencePiece) does, distributed. `localCheckpoint` truncates the
+    * seqs and counts lineage chains each round so round r's plan never
+    * stacks r projections (and a lost-executor recompute doesn't replay
+    * the whole ladder; on a real cluster point `spark.checkpoint.dir`
+    * at reliable storage and use `checkpoint` instead). Superseded
+    * round frames drop out of driver scope each round; the
+    * ContextCleaner reclaims their checkpoint blocks asynchronously
+    * (Dataset.unpersist cannot — the blocks are RDD-level, not
+    * CacheManager entries), so steady-state footprint tracks the live
+    * corpus, not k copies. Equivalence to the naive
+    * recount-every-round trainer, including the emitted counts, is
+    * pinned on randomized corpora in CorpusPropertySpec; the delta
+    * algebra itself (aggregated deltas ≡ recount(new) − recount(old))
+    * in BpeMergeSpec.
     */
   def bpeMerges(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
     bpeMergesOver(spark, Tables.documents(spark, dir), k)
@@ -1310,16 +1318,26 @@ object TextOps {
       .select(tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 2)
 
-  /** One round's learned rule: the corpus's most frequent adjacent pair
-    * (ties on the pair itself). Map-side-combined hash aggregate + a
-    * TakeOrdered top-1 — one exchange, plan-asserted in PlanSpec.
+  /** The full corpus pair-count table — the ONE corpus-token-width
+    * aggregate the trainer pays, at round 0 only (map-side-combined;
+    * rounds after that maintain it incrementally from merge-site
+    * deltas).
     */
-  private[graft] def bpePairCounts(seqs: DataFrame): DataFrame =
+  private[graft] def bpePairCountsAll(seqs: DataFrame): DataFrame =
     seqs.select(explode(pairStructs(col("toks"))).as("p"))
       .groupBy(col("p.p1").as("p1"), col("p.p2").as("p2"))
       .agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("p1"), col("p2"))
-      .limit(1)
+
+  /** One round's learned rule: the most frequent pair in the maintained
+    * count table (ties on the pair itself) via a TakeOrdered top-1 —
+    * plan-asserted in PlanSpec.
+    */
+  private[graft] def bpeTopPair(counts: DataFrame): DataFrame =
+    counts.orderBy(col("n").desc, col("p1"), col("p2")).limit(1)
+
+  /** Round-0 count + top-1 composed (the PlanSpec shape assert). */
+  private[graft] def bpePairCounts(seqs: DataFrame): DataFrame =
+    bpeTopPair(bpePairCountsAll(seqs))
 
   /** One round's apply: the learned rule over every sequence, a pure
     * codegen'd projection (no exchange, plan-asserted).
@@ -1332,25 +1350,41 @@ object TextOps {
       k: Int): DataFrame = {
     graft.functions.VectorFunctions.ensureRegistered(spark)
     import spark.implicits._
-    // lazy checkpoints: each round's top-pair aggregate is the action
-    // that materializes the round's frame, so a round schedules ONE job
-    // instead of two (measured parity at sf0.1 — the round cost is the
-    // scan+agg, not job count — but on a busy cluster scheduler every
-    // barrier is latency); the aggregate reads every partition, so
-    // nothing is left unmaterialized for the next round
+    // INCREMENTAL count maintenance (the production trainer shape):
+    // the corpus-token-width pair aggregate runs ONCE, at round 0; every
+    // later round fuses the merge apply with merge-site delta extraction
+    // (bpe_merge_delta, one pass per row) and folds the deltas into the
+    // maintained count table. Per-round shuffle volume is therefore
+    // delta rows + the vocabulary-bounded count table — never the
+    // corpus's exploded pairs. Lazy localCheckpoints truncate both
+    // lineage chains (seqs and counts) so round r stacks no projections
+    // and the next round's top-1 is the action that materializes
+    // everything the round needs (one corpus scan per round, total).
     var seqs = bpeSeqs(docs).localCheckpoint(eager = false)
+    var counts = bpePairCountsAll(seqs).localCheckpoint(eager = false)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var r = 1
     var exhausted = false
     while (r <= k && !exhausted) {
-      val top = bpePairCounts(seqs).collect()
+      val top = bpeTopPair(counts).collect()
       if (top.isEmpty) exhausted = true
       else {
         val (p1, p2, n) =
           (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
         merges += ((r.toLong, p1, p2, n))
         if (r < k) { // the last apply's output is never read
-          seqs = bpeApply(seqs, p1, p2).localCheckpoint(eager = false)
+          val applied = seqs.select(graft.functions.VectorFunctions
+            .bpeMergeDelta(col("toks"), lit(p1), lit(p2)).as("s"))
+            .localCheckpoint(eager = false)
+          seqs = applied.select(col("s.toks").as("toks"))
+          val delta = applied
+            .select(explode(col("s.deltas")).as("d"))
+            .groupBy(col("d.p1").as("p1"), col("d.p2").as("p2"))
+            .agg(sum(col("d.dn")).as("n"))
+          counts = counts.unionByName(delta)
+            .groupBy("p1", "p2").agg(sum(col("n")).as("n"))
+            .filter(col("n") > 0)
+            .localCheckpoint(eager = false)
         }
         r += 1
       }

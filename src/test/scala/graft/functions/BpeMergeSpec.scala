@@ -65,4 +65,52 @@ class BpeMergeSpec extends AnyFunSuite {
       .as[Seq[String]].collect().head
     assert(out == Seq("a b", "a b"))
   }
+
+  // ---- fused merge + pair-count deltas ---------------------------------
+
+  private def deltaRun(toks: Seq[String], l: String, r: String)
+      : (Seq[String], Map[(String, String), Long]) = {
+    val row = Seq(Tuple1(toks)).toDF("t")
+      .select(VectorFunctions.bpeMergeDelta(col("t"), lit(l), lit(r)).as("s"))
+      .select(col("s.toks"), col("s.deltas")).collect().head
+    val out = row.getSeq[String](0)
+    val ds = row.getSeq[org.apache.spark.sql.Row](1)
+      .groupBy(d => (d.getString(0), d.getString(1)))
+      .view.mapValues(_.map(_.getLong(2)).sum).toMap
+      .filter(_._2 != 0L)
+    (out, ds)
+  }
+
+  private def pairCounts(toks: Seq[String]): Map[(String, String), Long] =
+    toks.sliding(2).filter(_.size == 2).map(p => (p(0), p(1)))
+      .toSeq.groupBy(identity).view.mapValues(_.size.toLong).toMap
+
+  private def checkDelta(toks: Seq[String], l: String, r: String): Unit = {
+    val (out, ds) = deltaRun(toks, l, r)
+    assert(out == step(toks, l, r), s"toks=$toks rule=($l,$r)")
+    val want = (pairCounts(out).keySet ++ pairCounts(toks).keySet).flatMap { p =>
+      val dn = pairCounts(out).getOrElse(p, 0L) - pairCounts(toks).getOrElse(p, 0L)
+      if (dn != 0L) Some(p -> dn) else None
+    }.toMap
+    assert(ds == want, s"toks=$toks rule=($l,$r): got $ds want $want")
+  }
+
+  test("delta algebra: aggregated deltas equal recount(new) - recount(old)") {
+    checkDelta(Seq("a", "a", "a"), "a", "a")
+    checkDelta(Seq("a", "a", "a", "a"), "a", "a")
+    checkDelta(Seq("a", "b", "a", "b"), "a", "b") // boundary pair cancels
+    checkDelta(Seq("x", "a", "b", "y", "a", "b"), "a", "b")
+    checkDelta(Seq("a", "b"), "a", "b") // no neighbors at all
+    checkDelta(Seq("a", "b", "a"), "x", "y") // no sites → no deltas
+  }
+
+  test("delta algebra on randomized runs-heavy arrays") {
+    val rnd = new scala.util.Random(7)
+    val alphabet = Vector("a", "b", "c")
+    for (_ <- 1 to 40) {
+      val toks = Vector.fill(2 + rnd.nextInt(14))(alphabet(rnd.nextInt(3)))
+      val l = alphabet(rnd.nextInt(3)); val r = alphabet(rnd.nextInt(3))
+      checkDelta(toks, l, r)
+    }
+  }
 }
