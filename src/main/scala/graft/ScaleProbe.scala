@@ -72,7 +72,8 @@ object ScaleProbe {
     "q_dedup_clusters", "q_minhash_lsh", "q_simhash",
     "q_decontaminate", "q_repetition", "q_chunk_dedup",
     "q_pack_sequences", "q_vocab_df", "q_incremental_dedup",
-    "q_pii_scrub", "q_lm_score", "q_tfidf_terms", "q_corpus_stats")
+    "q_pii_scrub", "q_lm_score", "q_tfidf_terms", "q_corpus_stats",
+    "q_bpe_merges")
 
   private def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
 

@@ -35,6 +35,7 @@ object SparkEntry {
     graft.operators.VectorOps.cachedIvfAssigned(spark, dir)
     graft.operators.VectorOps.cachedPqAssigned(spark, dir)
     graft.operators.VectorOps.cachedQueryVecs(spark, dir)
+    graft.plans.CorpusRoute.ensureArtifacts(spark, dir)
     ()
   }
 
@@ -69,6 +70,7 @@ object SparkEntry {
     "q_window_first_shipments" -> RelationalOps.supplierFirstShipments _,
     // training-data pipeline: text (SURVEY.md §7.5)
     "q_text_stats" -> TextOps.textStats _,
+    "q_route_stats" -> ((s, d) => graft.plans.CorpusRoute.routedStats(s, d)),
     "q_dedup_exact" -> TextOps.dedupExact _,
     "q_fingerprint" -> TextOps.fingerprint _,
     "q_quality_score" -> TextOps.qualityScore _,
@@ -277,6 +279,14 @@ object SparkEntry {
         |  FROM lineitem) t
         |WHERE rn <= 2 ORDER BY l_suppkey, rn""".stripMargin,
     "q_text_stats" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(SUM(len(string_split(text, ' '))) AS DOUBLE)/COUNT(*) AS avg_tokens
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the Spark side is REQUIRED (builder-asserted) to serve this from the
+    // CorpusRoute rollup; the oracle recomputes from raw — a green row is
+    // the external proof that MV routing is bit-identical
+    "q_route_stats" ->
       """SELECT lang, COUNT(*) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
         |  CAST(SUM(len(string_split(text, ' '))) AS DOUBLE)/COUNT(*) AS avg_tokens

@@ -58,6 +58,67 @@ object CorpusRoute extends Rule[LogicalPlan] {
   def register(spark: SparkSession, rawPath: String, rollupPath: String): Unit =
     routes.put(canon(spark, rawPath), rollupPath): Unit
 
+  /** Driver-checked routed corpus stats (`q_route_stats`): build — once
+    * per dataset fingerprint, an ingest-time artifact like the tag/ANN
+    * indexes — a private copy of the documents table plus its
+    * [[rollupOf]] rollup under /tmp/graft-index, register copy→rollup,
+    * and run the textStats aggregate over the COPY. The builder
+    * `require`s that the optimizer actually served the plan from the
+    * rollup, and the driver's DuckDB oracle computes the same stats
+    * from the ORIGINAL raw table — a green row is an end-to-end proof
+    * that MV routing is bit-identical under the external gate. A
+    * production deployment registers the real table path; the private
+    * copy here only keeps the route's session-global scope from
+    * silently rerouting the other declared queries mid-bench (routing
+    * them would be correct, but would change what the bench measures).
+    */
+  /** Build (once per dataset fingerprint) and register the
+    * [[routedStats]] artifacts — called from `SparkEntry.prepare` so the
+    * copy/rollup writes are ingest-time costs, not bench time. Returns
+    * the (rawCopy, rollup) paths.
+    */
+  def ensureArtifacts(spark: SparkSession, dir: String): (String, String) = {
+    val fp = graft.Tables.fingerprint(dir, "documents")
+    val base = s"/tmp/graft-index/corpus-route-$fp"
+    val rawCopy = s"$base/documents"
+    val roll = s"$base/rollup"
+    this.synchronized {
+      if (!new java.io.File(s"$rawCopy/_SUCCESS").exists() ||
+          !new java.io.File(s"$roll/_SUCCESS").exists()) {
+        graft.Tables.documents(spark, dir)
+          .write.mode("overwrite").parquet(rawCopy)
+        rollupOf(spark.read.parquet(rawCopy)).coalesce(1)
+          .write.mode("overwrite").parquet(roll)
+        invalidate(roll)
+      }
+      enable(spark)
+      register(spark, rawCopy, roll)
+    }
+    (rawCopy, roll)
+  }
+
+  def routedStats(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val (rawCopy, roll) = ensureArtifacts(spark, dir)
+    val out = spark.read.parquet(rawCopy)
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        (sum(col("n_tokens")).cast("double") / count(lit(1))).as("avg_tokens"))
+      .orderBy("lang")
+    val engaged = out.queryExecution.optimizedPlan.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case h: HadoopFsRelation =>
+          h.location.rootPaths.exists(_.toString.contains(roll))
+        case _ => false
+      }
+    }.exists(identity)
+    require(engaged, s"corpus route failed to engage for $rawCopy -> $roll:\n" +
+      out.queryExecution.optimizedPlan)
+    out
+  }
+
   def deregister(spark: SparkSession, rawPath: String): Unit =
     routes.remove(canon(spark, rawPath)): Unit
 
