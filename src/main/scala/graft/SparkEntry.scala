@@ -36,6 +36,7 @@ object SparkEntry {
     graft.operators.VectorOps.cachedPqAssigned(spark, dir)
     graft.operators.VectorOps.cachedQueryVecs(spark, dir)
     graft.plans.CorpusRoute.ensureArtifacts(spark, dir)
+    graft.operators.TextOps.trainedBpeRules(spark, dir, 10)
     ()
   }
 
@@ -107,6 +108,7 @@ object SparkEntry {
     "q_embed_clusters" -> VectorOps.embedClusters _,
     "q_hybrid_dedup" -> ((s, d) => VectorOps.hybridNearDup(s, d)),
     "q_bpe_merges" -> ((s, d) => TextOps.bpeMerges(s, d)),
+    "q_bpe_tokens" -> ((s, d) => TextOps.bpeTokenCounts(s, d)),
     "q_corpus_build" -> TextOps.corpusBuild _,
     "q_ann_lsh" -> ((s, d) => VectorOps.annLshTuned(s, d, budget = 0.6)),
     "q_ann_ivf" -> ((s, d) => VectorOps.annIvf(s, d)),
@@ -453,6 +455,37 @@ object SparkEntry {
         .map(r => s"SELECT CAST($r AS BIGINT) AS round, p1, p2, n FROM w$r")
         .mkString("\nUNION ALL\n")
       (base +: rounds).mkString(",\n") + "\n" + out + "\nORDER BY round"
+    },
+    "q_bpe_tokens" -> {
+      // the same training ladder as q_bpe_merges (singleton docs ride
+      // along — they contribute zero pairs, so the learned rules are
+      // identical), with doc_id/n_ws carried through every replay round
+      // and the k-th rule APPLIED too; the final count splits the raw
+      // delimiter string (no trim — end wraps never form a separator),
+      // mirroring the Spark side's k nested bpe_merge_step calls.
+      val U = "\u001f" // ASCII unit separator, absent from the data
+      val S = U + U
+      val k = 10
+      val base =
+        s"""WITH s1 AS MATERIALIZED (SELECT doc_id,
+           |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
+           |  '$U' || array_to_string(string_split(text, ' '), '$S') || '$U' AS seq
+           |  FROM documents WHERE text IS NOT NULL)""".stripMargin
+      val rounds = (1 to k).map { r =>
+        s"""t$r AS MATERIALIZED (SELECT string_split(trim(seq, '$U'), '$S') AS toks FROM s$r),
+           |g$r AS MATERIALIZED (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i FROM t$r),
+           |w$r AS MATERIALIZED (SELECT toks[i] AS p1, toks[i + 1] AS p2, CAST(COUNT(*) AS BIGINT) AS n
+           |  FROM g$r GROUP BY 1, 2 ORDER BY n DESC, p1, p2 LIMIT 1),
+           |s${r + 1} AS MATERIALIZED (SELECT doc_id, n_ws, replace(seq,
+           |  '$U' || (SELECT p1 FROM w$r) || '$S' || (SELECT p2 FROM w$r) || '$U',
+           |  '$U' || (SELECT p1 FROM w$r) || ' ' || (SELECT p2 FROM w$r) || '$U') AS seq
+           |  FROM s$r)""".stripMargin
+      }
+      (base +: rounds).mkString(",\n") + "\n" +
+        s"""SELECT doc_id, n_ws AS n_ws_tokens,
+           |  CAST(len(string_split(seq, '$S')) AS BIGINT) AS n_bpe_tokens,
+           |  CAST(n_ws AS DOUBLE) / CAST(len(string_split(seq, '$S')) AS DOUBLE) AS compression
+           |FROM s${k + 1} ORDER BY doc_id""".stripMargin
     },
     "q_hybrid_dedup" -> {
       // vec_dot accumulates sum += (double)a[i] * (double)b[i] in index

@@ -1348,8 +1348,17 @@ object TextOps {
 
   private[operators] def bpeMergesOver(spark: SparkSession, docs: DataFrame,
       k: Int): DataFrame = {
-    graft.functions.VectorFunctions.ensureRegistered(spark)
     import spark.implicits._
+    trainBpe(spark, docs, k).toDF("round", "p1", "p2", "n")
+  }
+
+  /** The trainer loop itself, returning the learned rule list (round,
+    * p1, p2, count-at-merge-time) — driver-resident by nature (every
+    * trainer broadcasts rules back to the corpus).
+    */
+  private def trainBpe(spark: SparkSession, docs: DataFrame,
+      k: Int): Seq[(Long, String, String, Long)] = {
+    graft.functions.VectorFunctions.ensureRegistered(spark)
     // INCREMENTAL count maintenance (the production trainer shape):
     // the corpus-token-width pair aggregate runs ONCE, at round 0; every
     // later round fuses the merge apply with merge-site delta extraction
@@ -1389,7 +1398,56 @@ object TextOps {
         r += 1
       }
     }
-    merges.toSeq.toDF("round", "p1", "p2", "n")
+    merges.toSeq
+  }
+
+  /** Trained-rule cache keyed by dataset fingerprint — the trained
+    * tokenizer is an ingest artifact like the tag/ANN indexes: train
+    * once per corpus version, apply everywhere. Warmed by
+    * `SparkEntry.prepare`.
+    */
+  private val bpeRuleCache =
+    scala.collection.concurrent.TrieMap[(String, Int), Seq[(Long, String, String, Long)]]()
+
+  private[graft] def trainedBpeRules(spark: SparkSession, dir: String,
+      k: Int): Seq[(Long, String, String, Long)] =
+    bpeRuleCache.getOrElseUpdate((Tables.fingerprint(dir, "documents"), k),
+      trainBpe(spark, Tables.documents(spark, dir), k))
+
+  /** Token counting under the TRAINED BPE vocabulary — the inference
+    * half of [[bpeMerges]], and the budget question every corpus
+    * pipeline answers ("how many training tokens is this corpus under
+    * OUR tokenizer", not under whitespace): applies the k learned rules
+    * in rank order (Sennrich-style sequential apply; exactly the
+    * training-time greedy-LTR semantics, so counts are the ones the
+    * trained corpus would materialize) and reports per-document BPE
+    * token count beside the whitespace count and their ratio.
+    *
+    * Scale shape: the rules are a driver-resident artifact (cached per
+    * dataset fingerprint, trained once — `prepare` warms it); the apply
+    * is k nested codegen'd [[graft.functions.BpeMergeStepExpr]] calls in
+    * ONE row-wise projection — zero exchanges beyond the presentation
+    * sort at any corpus size, and k is vocabulary-growth-bounded, never
+    * corpus-bounded.
+    */
+  def bpeTokenCounts(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    bpeTokenCountsOver(spark, Tables.documents(spark, dir),
+      trainedBpeRules(spark, dir, k))
+
+  private[operators] def bpeTokenCountsOver(spark: SparkSession, docs: DataFrame,
+      rules: Seq[(Long, String, String, Long)]): DataFrame = {
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    val ws = tokens(col("text"))
+    val applied = rules.foldLeft(ws) { case (c, (_, p1, p2, _)) =>
+      graft.functions.VectorFunctions.bpeMergeStep(c, lit(p1), lit(p2))
+    }
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        size(ws).cast("long").as("n_ws_tokens"),
+        size(applied).cast("long").as("n_bpe_tokens"))
+      .withColumn("compression",
+        col("n_ws_tokens").cast("double") / col("n_bpe_tokens").cast("double"))
+      .orderBy("doc_id")
   }
 
   /** Per-language vocabulary head: the top `k` terms by document

@@ -198,4 +198,31 @@ class CorpusPropertySpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
     assert(got.toSeq == Seq((1L, "x", "y", 1L)))
   }
+
+  test("BPE token counts equal sequential rule application on random corpora") {
+    def applyMerge(toks: Vector[String], l: String, r: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < toks.size) {
+        if (i + 1 < toks.size && toks(i) == l && toks(i + 1) == r) {
+          out += (l + " " + r); i += 2
+        } else { out += toks(i); i += 1 }
+      }
+      out.result()
+    }
+    for (seed <- 21L to 22L) {
+      val docs = randCorpus(seed, 100)
+      val df = docs.toDF("doc_id", "text")
+      val rules = TextOps.bpeMergesOver(spark, df, k = 5).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      val got = TextOps.bpeTokenCountsOver(spark, df, rules).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+      val want = docs.map { case (id, text) =>
+        val ws = text.split(" ", -1).toVector
+        val bpe = rules.foldLeft(ws) { case (t, (_, p1, p2, _)) => applyMerge(t, p1, p2) }
+        (id, ws.size.toLong, bpe.size.toLong, ws.size.toDouble / bpe.size.toDouble)
+      }.sortBy(_._1)
+      assert(got == want, s"seed=$seed")
+    }
+  }
 }
