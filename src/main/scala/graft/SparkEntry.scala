@@ -435,9 +435,16 @@ object SparkEntry {
       val U = "\u001f" // ASCII unit separator, absent from the data
       val S = U + U // inter-token separator: trailing wrap + leading wrap
       val k = 10
+      // empty tokens are dropped on BOTH engines (TextOps.bpeToks): the
+      // wrap encoding is injective only over non-empty symbols, so an
+      // empty symbol's merge pattern could match mid-separator. COALESCE
+      // makes an exhausted round (empty w_r -> NULL scalar subqueries ->
+      // NULL replace) a no-op instead of nulling every later round.
       val base =
-        s"""WITH s1 AS MATERIALIZED (SELECT '$U' || array_to_string(string_split(text, ' '), '$S') || '$U' AS seq
-           |  FROM documents WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 2)""".stripMargin
+        s"""WITH tk0 AS MATERIALIZED (SELECT list_filter(string_split(text, ' '), t -> t <> '') AS toks
+           |  FROM documents WHERE text IS NOT NULL),
+           |s1 AS MATERIALIZED (SELECT '$U' || array_to_string(toks, '$S') || '$U' AS seq
+           |  FROM tk0 WHERE len(toks) >= 2)""".stripMargin
       val rounds = (1 to k).map { r =>
         val step =
           s"""t$r AS MATERIALIZED (SELECT string_split(trim(seq, '$U'), '$S') AS toks FROM s$r),
@@ -446,9 +453,9 @@ object SparkEntry {
              |  FROM g$r GROUP BY 1, 2 ORDER BY n DESC, p1, p2 LIMIT 1)""".stripMargin
         if (r == k) step
         else step + "," + "\n" +
-          s"""s${r + 1} AS MATERIALIZED (SELECT replace(seq,
+          s"""s${r + 1} AS MATERIALIZED (SELECT COALESCE(replace(seq,
              |  '$U' || (SELECT p1 FROM w$r) || '$S' || (SELECT p2 FROM w$r) || '$U',
-             |  '$U' || (SELECT p1 FROM w$r) || ' ' || (SELECT p2 FROM w$r) || '$U') AS seq
+             |  '$U' || (SELECT p1 FROM w$r) || ' ' || (SELECT p2 FROM w$r) || '$U'), seq) AS seq
              |  FROM s$r)""".stripMargin
       }
       val out = (1 to k)
@@ -467,18 +474,20 @@ object SparkEntry {
       val S = U + U
       val k = 10
       val base =
-        s"""WITH s1 AS MATERIALIZED (SELECT doc_id,
-           |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
-           |  '$U' || array_to_string(string_split(text, ' '), '$S') || '$U' AS seq
-           |  FROM documents WHERE text IS NOT NULL)""".stripMargin
+        s"""WITH tk0 AS MATERIALIZED (SELECT doc_id,
+           |  list_filter(string_split(text, ' '), t -> t <> '') AS toks
+           |  FROM documents WHERE text IS NOT NULL),
+           |s1 AS MATERIALIZED (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_ws,
+           |  '$U' || array_to_string(toks, '$S') || '$U' AS seq
+           |  FROM tk0 WHERE len(toks) >= 1)""".stripMargin
       val rounds = (1 to k).map { r =>
         s"""t$r AS MATERIALIZED (SELECT string_split(trim(seq, '$U'), '$S') AS toks FROM s$r),
            |g$r AS MATERIALIZED (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i FROM t$r),
            |w$r AS MATERIALIZED (SELECT toks[i] AS p1, toks[i + 1] AS p2, CAST(COUNT(*) AS BIGINT) AS n
            |  FROM g$r GROUP BY 1, 2 ORDER BY n DESC, p1, p2 LIMIT 1),
-           |s${r + 1} AS MATERIALIZED (SELECT doc_id, n_ws, replace(seq,
+           |s${r + 1} AS MATERIALIZED (SELECT doc_id, n_ws, COALESCE(replace(seq,
            |  '$U' || (SELECT p1 FROM w$r) || '$S' || (SELECT p2 FROM w$r) || '$U',
-           |  '$U' || (SELECT p1 FROM w$r) || ' ' || (SELECT p2 FROM w$r) || '$U') AS seq
+           |  '$U' || (SELECT p1 FROM w$r) || ' ' || (SELECT p2 FROM w$r) || '$U'), seq) AS seq
            |  FROM s$r)""".stripMargin
       }
       (base +: rounds).mkString(",\n") + "\n" +

@@ -1312,10 +1312,22 @@ object TextOps {
   def bpeMerges(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
     bpeMergesOver(spark, Tables.documents(spark, dir), k)
 
-  /** The starting symbol sequences: whitespace tokens, ≥ 2 per doc. */
+  /** The BPE symbol alphabet: whitespace tokens with EMPTIES DROPPED.
+    * Consecutive/leading/trailing spaces split into "" tokens, and an
+    * empty symbol breaks the family's cross-engine contract — the
+    * DuckDB oracle's delimiter-wrapped replace encoding is injective
+    * only over non-empty symbols (an empty token's wrap `<U><U>` is
+    * indistinguishable from a separator fragment, so a merge involving
+    * one can match mid-separator). Real tokenizer trainers make the
+    * same call: the empty string is not a symbol.
+    */
+  private[graft] def bpeToks(text: Column): Column =
+    filter(tokens(text), t => t =!= lit(""))
+
+  /** The starting symbol sequences: non-empty tokens, ≥ 2 per doc. */
   private[graft] def bpeSeqs(docs: DataFrame): DataFrame =
     docs.filter(col("text").isNotNull)
-      .select(tokens(col("text")).as("toks"))
+      .select(bpeToks(col("text")).as("toks"))
       .filter(size(col("toks")) >= 2)
 
   /** The full corpus pair-count table — the ONE corpus-token-width
@@ -1437,11 +1449,13 @@ object TextOps {
   private[operators] def bpeTokenCountsOver(spark: SparkSession, docs: DataFrame,
       rules: Seq[(Long, String, String, Long)]): DataFrame = {
     graft.functions.VectorFunctions.ensureRegistered(spark)
-    val ws = tokens(col("text"))
+    val ws = bpeToks(col("text"))
     val applied = rules.foldLeft(ws) { case (c, (_, p1, p2, _)) =>
       graft.functions.VectorFunctions.bpeMergeStep(c, lit(p1), lit(p2))
     }
-    docs.filter(col("text").isNotNull)
+    // docs with no non-empty token have nothing to count (and would
+    // divide by zero below) — the tokenizer's corpus is docs with content
+    docs.filter(col("text").isNotNull).filter(size(ws) > 0)
       .select(col("doc_id"),
         size(ws).cast("long").as("n_ws_tokens"),
         size(applied).cast("long").as("n_bpe_tokens"))

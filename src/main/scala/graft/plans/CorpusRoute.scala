@@ -236,6 +236,11 @@ object CorpusRoute extends Rule[LogicalPlan] {
         rawName.get(a.exprId).filter(dims.contains).flatMap(roll.get)
           .getOrElse(fail())
       case _: Literal => e
+      // nondeterministic expressions (rand() groupings and friends) draw
+      // once per INPUT row — rerouting them to the rollup would redraw
+      // over ~#langs×#sources rows instead of the corpus, silently
+      // changing results. Spark's own rewrites gate the same way.
+      case other if !other.deterministic => fail()
       case other if other.children.nonEmpty => other.mapChildren(rw)
       case _ => fail()
     }

@@ -171,7 +171,9 @@ class CorpusPropertySpec extends AnyFunSuite {
         .collect()
         .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
         .toSeq
-      var seqs = docs.map(_._2.split(" ", -1).toVector).filter(_.size >= 2)
+      // bpeToks semantics: empty tokens are not symbols
+      var seqs = docs.map(_._2.split(" ", -1).toVector.filterNot(_.isEmpty))
+        .filter(_.size >= 2)
       val want = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
       var r = 1
       var done = false
@@ -217,10 +219,15 @@ class CorpusPropertySpec extends AnyFunSuite {
         .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
       val got = TextOps.bpeTokenCountsOver(spark, df, rules).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
-      val want = docs.map { case (id, text) =>
-        val ws = text.split(" ", -1).toVector
-        val bpe = rules.foldLeft(ws) { case (t, (_, p1, p2, _)) => applyMerge(t, p1, p2) }
-        (id, ws.size.toLong, bpe.size.toLong, ws.size.toDouble / bpe.size.toDouble)
+      val want = docs.flatMap { case (id, text) =>
+        // bpeToks semantics: empty tokens are not symbols, and a doc
+        // with no symbols is outside the tokenizer's corpus
+        val ws = text.split(" ", -1).toVector.filterNot(_.isEmpty)
+        if (ws.isEmpty) None
+        else {
+          val bpe = rules.foldLeft(ws) { case (t, (_, p1, p2, _)) => applyMerge(t, p1, p2) }
+          Some((id, ws.size.toLong, bpe.size.toLong, ws.size.toDouble / bpe.size.toDouble))
+        }
       }.sortBy(_._1)
       assert(got == want, s"seed=$seed")
     }

@@ -80,6 +80,22 @@ class CorpusRouteSpec extends AnyFunSuite {
     }
   }
 
+  test("nondeterministic groupings stay on the raw scan") {
+    // rand() draws once per input row; routed to the rollup it would
+    // draw over ~#langs×#sources rollup rows instead of the corpus,
+    // splitting counts wildly differently — the rewrite must refuse
+    def q = spark.read.parquet(rawPath)
+      .groupBy((rand(42) * 2).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    withRoute {
+      assert(!scansRollup(q))
+      // both buckets populated at corpus granularity: 500 docs split
+      // ~half/half, impossible off the handful of rollup rows
+      val n = q.collect().map(_.getLong(1)).sorted
+      assert(n.sum == 500 && n.forall(_ > 100), n.toSeq.toString)
+    }
+  }
+
   test("downstream operators stay bound across the rewrite") {
     def q = spark.read.parquet(rawPath).groupBy("lang")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
