@@ -96,6 +96,10 @@ object SparkEntry {
     "q_repetition" -> TextOps.repetitionSignals _,
     "q_chunk_dedup" -> ((s, d) => TextOps.chunkDedup(s, d)),
     "q_boilerplate" -> ((s, d) => TextOps.boilerplateChunks(s, d)),
+    "q_dup_spans" -> ((s, d) => TextOps.dupSpans(s, d)),
+    "q_span_scrub" -> ((s, d) => TextOps.spanScrub(s, d)),
+    "q_contam_spans" -> ((s, d) => TextOps.contamSpans(s, d)),
+    "q_incr_spans" -> ((s, d) => TextOps.incrSpans(s, d)),
     "q_pack_sequences" -> ((s, d) => TextOps.packSequences(s, d)),
     "q_vocab_df" -> ((s, d) => TextOps.vocabDocFreq(s, d)),
     "q_split_assign" -> TextOps.splitAssign _,
@@ -658,6 +662,138 @@ object SparkEntry {
         |SELECT chunk, COUNT(*) AS df FROM ch
         |GROUP BY 1 HAVING COUNT(*) >= 2
         |ORDER BY df DESC, chunk LIMIT 20""".stripMargin,
+    "q_dup_spans" -> {
+      // w = 8: flag every position covered by a w-token window occurring
+      // >= 2 times corpus-wide; merge overlapping windows (gap <= w)
+      // into maximal spans. Tokens = non-empty whitespace tokens (the
+      // bpeToks convention; the space-joined window is injective only
+      // over non-empty symbols).
+      val w = 8
+      s"""WITH tok AS MATERIALIZED (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+         |  FROM documents WHERE text IS NOT NULL),
+         |occ AS MATERIALIZED (
+         |  SELECT doc_id, i, array_to_string(toks[i:i+${w - 1}], ' ') AS gram
+         |  FROM tok, UNNEST(range(1, len(toks) - ${w - 2})) AS u(i)),
+         |flag AS MATERIALIZED (
+         |  SELECT doc_id, i FROM (
+         |    SELECT doc_id, i, COUNT(*) OVER (PARTITION BY gram) AS n FROM occ)
+         |  WHERE n >= 2),
+         |grp AS (
+         |  SELECT doc_id, i, SUM(CASE WHEN i > prev + $w THEN 1 ELSE 0 END)
+         |    OVER (PARTITION BY doc_id ORDER BY i) AS g
+         |  FROM (SELECT doc_id, i,
+         |          LAG(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev FROM flag)),
+         |spans AS (SELECT doc_id, MIN(i) AS s, MAX(i) + ${w - 1} AS e
+         |          FROM grp GROUP BY doc_id, g),
+         |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+         |          CAST(SUM(e - s + 1) AS BIGINT) AS dup_tokens
+         |        FROM spans GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+         |  COALESCE(a.n_dup_spans, CAST(0 AS BIGINT)) AS n_dup_spans,
+         |  COALESCE(a.dup_tokens, CAST(0 AS BIGINT)) AS dup_tokens
+         |FROM tok t LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin
+    },
+    "q_span_scrub" -> {
+      // keep-first: ROW_NUMBER over (doc_id, i) per window keeps the
+      // first occurrence; later occurrences' covered tokens are removed
+      // and the doc is rebuilt from kept tokens (single-space canonical)
+      val w = 8
+      s"""WITH tok AS MATERIALIZED (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+         |  FROM documents WHERE text IS NOT NULL),
+         |occ AS MATERIALIZED (
+         |  SELECT doc_id, i, array_to_string(toks[i:i+${w - 1}], ' ') AS gram
+         |  FROM tok, UNNEST(range(1, len(toks) - ${w - 2})) AS u(i)),
+         |sc AS MATERIALIZED (
+         |  SELECT doc_id, i FROM (
+         |    SELECT doc_id, i, COUNT(*) OVER (PARTITION BY gram) AS n,
+         |      ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, i) AS rn
+         |    FROM occ)
+         |  WHERE n >= 2 AND rn > 1),
+         |grp AS (
+         |  SELECT doc_id, i, SUM(CASE WHEN i > prev + $w THEN 1 ELSE 0 END)
+         |    OVER (PARTITION BY doc_id ORDER BY i) AS g
+         |  FROM (SELECT doc_id, i,
+         |          LAG(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev FROM sc)),
+         |spans AS (SELECT doc_id, MIN(i) AS s, MAX(i) + ${w - 1} AS e
+         |          FROM grp GROUP BY doc_id, g),
+         |cov AS (SELECT doc_id, UNNEST(range(s, e + 1)) AS p FROM spans),
+         |pos AS (SELECT doc_id, UNNEST(toks) AS tk,
+         |          UNNEST(range(1, len(toks) + 1)) AS p FROM tok),
+         |kept AS (SELECT pos.doc_id, pos.p, pos.tk FROM pos LEFT JOIN cov
+         |           ON pos.doc_id = cov.doc_id AND pos.p = cov.p
+         |         WHERE cov.p IS NULL),
+         |reb AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         |          string_agg(tk, ' ' ORDER BY p) AS scrubbed_text
+         |        FROM kept GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+         |  CAST(len(t.toks) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_scrubbed,
+         |  COALESCE(r.scrubbed_text, '') AS scrubbed_text
+         |FROM tok t LEFT JOIN reb r USING (doc_id) ORDER BY doc_id""".stripMargin
+    },
+    "q_contam_spans" -> {
+      // maximal corpus-doc spans covered by any eval-slice n-gram
+      // (eval = doc_id % 97 == 0, the decontaminate convention); w = 3
+      val w = 3
+      s"""WITH tok AS MATERIALIZED (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+         |  FROM documents WHERE text IS NOT NULL),
+         |ev AS MATERIALIZED (
+         |  SELECT DISTINCT array_to_string(toks[i:i+${w - 1}], ' ') AS gram
+         |  FROM tok, UNNEST(range(1, len(toks) - ${w - 2})) AS u(i)
+         |  WHERE doc_id % 97 = 0),
+         |occ AS MATERIALIZED (
+         |  SELECT doc_id, i, array_to_string(toks[i:i+${w - 1}], ' ') AS gram
+         |  FROM tok, UNNEST(range(1, len(toks) - ${w - 2})) AS u(i)
+         |  WHERE doc_id % 97 <> 0),
+         |flag AS MATERIALIZED (
+         |  SELECT occ.doc_id, occ.i FROM occ JOIN ev USING (gram)),
+         |grp AS (
+         |  SELECT doc_id, i, SUM(CASE WHEN i > prev + $w THEN 1 ELSE 0 END)
+         |    OVER (PARTITION BY doc_id ORDER BY i) AS g
+         |  FROM (SELECT doc_id, i,
+         |          LAG(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev FROM flag)),
+         |spans AS (SELECT doc_id, MIN(i) AS s, MAX(i) + ${w - 1} AS e
+         |          FROM grp GROUP BY doc_id, g),
+         |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_contam_spans,
+         |          CAST(SUM(e - s + 1) AS BIGINT) AS contam_tokens
+         |        FROM spans GROUP BY doc_id)
+         |SELECT a.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+         |  a.n_contam_spans, a.contam_tokens
+         |FROM agg a JOIN tok t USING (doc_id) ORDER BY doc_id""".stripMargin
+    },
+    "q_incr_spans" -> {
+      // new batch (doc_id % 10 == 9, the incrementalDedup slice) vs the
+      // existing corpus' window-key set; w = 8, history never re-deduped
+      val w = 8
+      s"""WITH tok AS MATERIALIZED (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+         |  FROM documents WHERE text IS NOT NULL),
+         |ex AS MATERIALIZED (
+         |  SELECT DISTINCT array_to_string(toks[i:i+${w - 1}], ' ') AS gram
+         |  FROM tok, UNNEST(range(1, len(toks) - ${w - 2})) AS u(i)
+         |  WHERE doc_id % 10 <> 9),
+         |occ AS MATERIALIZED (
+         |  SELECT doc_id, i, array_to_string(toks[i:i+${w - 1}], ' ') AS gram
+         |  FROM tok, UNNEST(range(1, len(toks) - ${w - 2})) AS u(i)
+         |  WHERE doc_id % 10 = 9),
+         |flag AS MATERIALIZED (
+         |  SELECT occ.doc_id, occ.i FROM occ JOIN ex USING (gram)),
+         |grp AS (
+         |  SELECT doc_id, i, SUM(CASE WHEN i > prev + $w THEN 1 ELSE 0 END)
+         |    OVER (PARTITION BY doc_id ORDER BY i) AS g
+         |  FROM (SELECT doc_id, i,
+         |          LAG(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev FROM flag)),
+         |spans AS (SELECT doc_id, MIN(i) AS s, MAX(i) + ${w - 1} AS e
+         |          FROM grp GROUP BY doc_id, g),
+         |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+         |          CAST(SUM(e - s + 1) AS BIGINT) AS dup_tokens
+         |        FROM spans GROUP BY doc_id)
+         |SELECT a.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+         |  a.n_dup_spans, a.dup_tokens
+         |FROM agg a JOIN tok t USING (doc_id) ORDER BY doc_id""".stripMargin
+    },
     "q_pack_sequences" ->
       """WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
         |           FROM documents WHERE text IS NOT NULL),

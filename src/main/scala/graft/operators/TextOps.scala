@@ -995,6 +995,201 @@ object TextOps {
       .limit(k)
   }
 
+  /** Maximal duplicated token spans — the exact-substring member of the
+    * dedup family: [[dedupExact]] at document granularity and
+    * [[chunkDedup]] at fixed-passage granularity, taken down to token
+    * granularity (the "Deduplicating Training Data Makes Language Models
+    * Better" kernel: every position covered by ANY duplicated `w`-token
+    * window is duplicated text, wherever the window boundaries fall).
+    * Every overlapping `w`-token window is counted corpus-wide; a window
+    * occurring ≥ 2 times — across documents or repeated within one —
+    * flags all `w` positions it covers, and overlapping flagged windows
+    * merge into maximal spans. Each document reports its span count and
+    * covered-token total.
+    *
+    * Tokens are the NON-EMPTY whitespace tokens (the [[bpeToks]]
+    * convention): the window string joined by ' ' is injective only over
+    * non-empty symbols, and the oracle shares the convention.
+    *
+    * Scale shape: window occurrences shuffle ONCE as 16-byte md5 keys —
+    * volume ≈ corpus token volume, the w× wider explode than
+    * [[chunkDedup]]'s disjoint chunks that exact substring sensitivity
+    * costs, but the keys stay minimum-width and the count is one window
+    * over them (no self-join). Flagged positions (duplicated text only,
+    * output-sensitive) shuffle back to their documents for ONE ordered
+    * window that merges runs (`i > lag(i) + w` starts a new span), and
+    * the per-document rollup rides that partitioning exchange-free.
+    */
+  def dupSpans(spark: SparkSession, dir: String, windowTokens: Int = 8): DataFrame =
+    dupSpansOver(Tables.documents(spark, dir), windowTokens)
+
+  /** (doc_id, toks) with empty tokens dropped — the span family's base. */
+  private def spanToks(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), bpeToks(col("text")).as("toks"))
+
+  /** (doc_id, i, gk): every `w`-token window start (1-based `i`) keyed by
+    * the 16-byte md5 of the space-joined window. The explode is the one
+    * token-volume generator in the family; everything downstream of the
+    * window count is duplicated-text-volume only.
+    */
+  private def windowOccs(tok: DataFrame, w: Int): DataFrame =
+    tok.filter(size(col("toks")) >= w)
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(1), size(col("toks")) - (w - 1)),
+          s => array_join(slice(col("toks"), s, lit(w)), " "))))
+      .select(col("doc_id"), (col("pos") + 1).as("i"),
+        unhex(md5(col("col").cast("binary"))).as("gk"))
+
+  /** Merge flagged window starts into maximal disjoint spans [s, e]:
+    * consecutive starts whose `w`-windows overlap or touch (gap ≤ w)
+    * stay in one span; a gap > w starts a new one. One ordered window
+    * per document — never a self-join on positions.
+    */
+  private def mergedSpans(flagged: DataFrame, w: Int): DataFrame = {
+    val byPos = Window.partitionBy("doc_id").orderBy("i")
+    flagged
+      .withColumn("brk",
+        when(col("i") > lag(col("i"), 1).over(byPos) + w, lit(1)).otherwise(lit(0)))
+      .withColumn("g", sum(col("brk")).over(byPos))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(min(col("i")).as("s"), (max(col("i")) + lit(w - 1)).as("e"))
+  }
+
+  private[operators] def dupSpansOver(docs: DataFrame, w: Int): DataFrame = {
+    val tok = spanToks(docs)
+    val flagged = windowOccs(tok, w)
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("gk")))
+      .filter(col("n") >= 2)
+    val perDoc = mergedSpans(flagged, w).groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup_spans"),
+        sum(col("e") - col("s") + 1).cast("long").as("dup_tokens"))
+    tok.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** Keep-first substring scrub — the rewrite [[dupSpans]] is the manifest
+    * of: the FIRST occurrence of each duplicated window (global
+    * (doc_id, position) order) survives; every token covered by a later
+    * occurrence is removed, and the document is rebuilt from its kept
+    * tokens. Where a kept window and a scrubbed one overlap, scrub wins
+    * (the covered-token union of the non-first occurrences is removed) —
+    * the all-but-one-copy semantics of exact-substring dedup pipelines.
+    *
+    * Scale shape: the window count and span merge are [[dupSpans]]'s; the
+    * rebuild is ROW-WISE — each document joins its handful of merged
+    * scrub spans (doc-granular broadcast-or-shuffle join, duplicated-text
+    * volume) and drops covered positions with an interval test per token,
+    * so no token-volume shuffle and no collect-and-reassemble aggregate
+    * ever materializes the corpus a second time.
+    */
+  def spanScrub(spark: SparkSession, dir: String, windowTokens: Int = 8): DataFrame =
+    spanScrubOver(Tables.documents(spark, dir), windowTokens)
+
+  private[operators] def spanScrubOver(docs: DataFrame, w: Int): DataFrame = {
+    val tok = spanToks(docs)
+    val gk = Window.partitionBy("gk")
+    val scrubOcc = windowOccs(tok, w)
+      .withColumn("n", count(lit(1)).over(gk))
+      .withColumn("rn", row_number().over(gk.orderBy("doc_id", "i")))
+      .filter(col("n") >= 2 && col("rn") > 1)
+      .select(col("doc_id"), col("i"))
+    val docSpans = mergedSpans(scrubOcc, w).groupBy("doc_id")
+      .agg(collect_list(struct(col("s"), col("e"))).as("spans"))
+    val kept = bindOnce(coalesce(col("spans"),
+        array().cast("array<struct<s:int,e:int>>"))) { sp =>
+      filter(
+        transform(col("toks"), (tk, i) =>
+          struct((i + 1).as("p"), tk.as("tk"))),
+        x => !exists(sp, r =>
+          x.getField("p") >= r.getField("s") && x.getField("p") <= r.getField("e")))
+    }
+    tok.join(docSpans, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        kept.as("kept"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - size(col("kept"))).as("n_scrubbed"),
+        array_join(transform(col("kept"), x => x.getField("tk")), " ")
+          .as("scrubbed_text"))
+      .orderBy("doc_id")
+  }
+
+  /** Contamination span reporting — [[decontaminate]] tells you WHICH
+    * documents share eval n-grams; this tells you WHERE: the maximal
+    * token spans of each corpus document covered by any n-gram that
+    * occurs in the eval slice (doc_id % 97 == 0, the [[decontaminate]]
+    * convention). The review artifact a decontamination decision is
+    * actually made from — a 5 000-token document sharing one 3-gram and
+    * one sharing a verbatim 200-token block both have `shared_ngrams`
+    * hits, but their span manifests differ completely.
+    *
+    * Tokens follow the span family's non-empty convention ([[bpeToks]]),
+    * not [[decontaminate]]'s raw split — the window machinery requires
+    * injective space-joins; documented divergence.
+    *
+    * Scale shape: the eval-side keys collapse to a distinct 16-byte set
+    * (eval sets are benchmark-sized — KBs to MBs) and BROADCAST to a
+    * semi-join against the corpus window occurrences, so the corpus-side
+    * token volume never shuffles for the membership test; only matched
+    * positions (contaminated text, output-sensitive) reach the
+    * span-merge window and rollup.
+    */
+  def contamSpans(spark: SparkSession, dir: String, n: Int = 3): DataFrame =
+    contamSpansOver(Tables.documents(spark, dir), n)
+
+  private[operators] def contamSpansOver(docs: DataFrame, n: Int): DataFrame = {
+    val tok = spanToks(docs)
+    val evalKeys = windowOccs(tok.filter(col("doc_id") % 97 === 0), n)
+      .select(col("gk")).distinct()
+    val corpus = tok.filter(col("doc_id") % 97 =!= 0)
+    val flagged = windowOccs(corpus, n)
+      .join(broadcast(evalKeys), Seq("gk"), "leftsemi")
+    val perDoc = mergedSpans(flagged, n).groupBy("doc_id")
+      .agg(count(lit(1)).as("n_contam_spans"),
+        sum(col("e") - col("s") + 1).cast("long").as("contam_tokens"))
+    corpus.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+      .join(perDoc, Seq("doc_id")) // inner: contaminated documents only
+      .orderBy("doc_id")
+  }
+
+  /** Incremental span dedup — the substring layer of the ingest pipeline
+    * [[incrementalDedup]] runs the exact and near layers of: for each NEW
+    * batch document (`doc_id % 10 == 9`, the same stand-in slice), the
+    * maximal spans whose every `w`-token window already occurs in the
+    * EXISTING corpus. History is never re-deduped — existing documents
+    * only contribute membership keys.
+    *
+    * Scale shape: the existing-side window keys collapse to a distinct
+    * 16-byte set — at production scale a MAINTAINED ingest artifact
+    * (written bucketed by key alongside the fingerprint set, so the
+    * daily batch's semi-join co-locates without re-shuffling history);
+    * here it is recomputed, and the semi-join exchanges batch-volume
+    * occurrences against that key set. Downstream of the membership
+    * test everything is duplicated-text volume, as in [[dupSpans]].
+    */
+  def incrSpans(spark: SparkSession, dir: String, windowTokens: Int = 8): DataFrame =
+    incrSpansOver(Tables.documents(spark, dir), windowTokens)
+
+  private[operators] def incrSpansOver(docs: DataFrame, w: Int): DataFrame = {
+    val tok = spanToks(docs)
+    val isNew = col("doc_id") % 10 === 9
+    val existKeys = windowOccs(tok.filter(!isNew), w).select("gk").distinct()
+    val flagged = windowOccs(tok.filter(isNew), w)
+      .join(existKeys, Seq("gk"), "leftsemi")
+    val perDoc = mergedSpans(flagged, w).groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup_spans"),
+        sum(col("e") - col("s") + 1).cast("long").as("dup_tokens"))
+    tok.filter(isNew)
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+      .join(perDoc, Seq("doc_id")) // inner: batch docs with history overlap
+      .orderBy("doc_id")
+  }
+
   /** Sequence packing — the pretraining batch-construction step: the
     * token stream of the corpus in doc_id order is cut into fixed
     * `seqLen`-token training sequences (documents straddle boundaries,

@@ -159,6 +159,40 @@ class PlanSpec extends AnyFunSuite {
     assert(p.split("InMemoryTableScan").length - 1 >= 3, p)
   }
 
+  test("dup spans: one window count over the gram key, no occurrence self-join") {
+    val p = plan(graft.operators.TextOps.dupSpans(spark, dir))
+    // the only join is the doc-granular rollup attach at the end;
+    // occurrences are counted by a window, never joined to themselves
+    assert("(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)".r
+      .findAllMatchIn(p).size <= 1, p)
+    assert(p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("span scrub: rebuild is row-wise — one token-volume generator, no re-collect") {
+    val p = plan(graft.operators.TextOps.spanScrub(spark, dir))
+    // exactly one Generate (the window explode); the kept-token rebuild is
+    // a higher-order-function projection, not a posexplode + regroup
+    assert("Generate".r.findAllMatchIn(p).size == 1, p)
+    assert("(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)".r
+      .findAllMatchIn(p).size <= 1, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("contam spans: eval keys broadcast to a semi-join; no cartesian") {
+    val p = plan(graft.operators.TextOps.contamSpans(spark, dir))
+    // corpus-side window occurrences must not shuffle for the
+    // membership test — the eval key set broadcasts
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("incr spans: membership is a semi-join on keys; history never self-joins") {
+    val p = plan(graft.operators.TextOps.incrSpans(spark, dir))
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("bpe round: pair count is one exchange + TakeOrdered top-1; rule apply is exchange-free") {
     graft.functions.VectorFunctions.ensureRegistered(spark)
     val seqs = graft.operators.TextOps.bpeSeqs(Tables.documents(spark, dir))

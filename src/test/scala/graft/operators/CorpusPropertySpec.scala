@@ -232,4 +232,144 @@ class CorpusPropertySpec extends AnyFunSuite {
       assert(got == want, s"seed=$seed")
     }
   }
+
+  /** Naive coverage-set formulation of the span family — deliberately NOT
+    * the engine's interval-merge: mark every position covered by a
+    * qualifying window directly, then read components off the set. The
+    * merged spans' covered union and component count must agree.
+    */
+  private def coveredStats(covered: Set[Int]): (Long, Long) =
+    if (covered.isEmpty) (0L, 0L)
+    else {
+      val nSpans = covered.count(p => !covered.contains(p - 1)).toLong
+      (nSpans, covered.size.toLong)
+    }
+
+  test("duplicated spans equal the naive coverage-set definition") {
+    val w = 3
+    for (seed <- 31L to 33L) {
+      val rnd = new scala.util.Random(seed)
+      // tiny vocab + within-doc repetition so w-grams collide heavily
+      val vocab = Vector("a", "b", "c")
+      val docs = (0 until 120).map { i =>
+        val toks = (0 until rnd.nextInt(25)).map(_ => vocab(rnd.nextInt(3)))
+        val rep = if (rnd.nextBoolean()) toks ++ toks.take(rnd.nextInt(6)) else toks
+        // sprinkle empties: the family must drop them pre-windowing
+        (i.toLong, rep.mkString(" ") + (if (rnd.nextBoolean()) "  " else ""))
+      }
+      val toks = docs.map { case (id, t) =>
+        id -> t.split(" ", -1).toVector.filterNot(_.isEmpty)
+      }
+      val occ = toks.flatMap { case (id, tk) =>
+        (1 to tk.size - w + 1).map(i => (id, i, tk.slice(i - 1, i - 1 + w).mkString(" ")))
+      }
+      val cnt = occ.groupBy(_._3).map { case (g, xs) => g -> xs.size }
+      val flaggedByDoc = occ.filter(o => cnt(o._3) >= 2).groupBy(_._1)
+      val want = toks.map { case (id, tk) =>
+        val covered = flaggedByDoc.getOrElse(id, Nil)
+          .flatMap(o => o._2 until o._2 + w).toSet
+        val (ns, dt) = coveredStats(covered)
+        (id, tk.size.toLong, ns, dt)
+      }.sortBy(_._1)
+      val got = TextOps.dupSpansOver(docs.toDF("doc_id", "text"), w).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(got == want, s"seed=$seed")
+      assert(want.exists(_._3 > 0), s"seed=$seed generated no duplicated spans")
+    }
+  }
+
+  test("span scrub equals the naive keep-first coverage definition") {
+    val w = 3
+    for (seed <- 34L to 36L) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Vector("x", "y", "z")
+      val docs = (0 until 120).map { i =>
+        val toks = (0 until rnd.nextInt(25)).map(_ => vocab(rnd.nextInt(3)))
+        val rep = if (rnd.nextBoolean()) toks ++ toks.take(rnd.nextInt(6)) else toks
+        (i.toLong, rep.mkString(" ") + (if (rnd.nextBoolean()) " " else ""))
+      }
+      val toks = docs.map { case (id, t) =>
+        id -> t.split(" ", -1).toVector.filterNot(_.isEmpty)
+      }
+      val occ = toks.flatMap { case (id, tk) =>
+        (1 to tk.size - w + 1).map(i => (id, i, tk.slice(i - 1, i - 1 + w).mkString(" ")))
+      }
+      val byGram = occ.groupBy(_._3)
+      // keep-first: occurrences after the (doc_id, i)-minimal one scrub
+      val scrubbed = byGram.valuesIterator.filter(_.size >= 2)
+        .flatMap(xs => xs.sortBy(o => (o._1, o._2)).drop(1)).toSeq
+      val covByDoc = scrubbed.groupBy(_._1)
+      val want = toks.map { case (id, tk) =>
+        val covered = covByDoc.getOrElse(id, Nil)
+          .flatMap(o => o._2 until o._2 + w).toSet
+        val kept = tk.zipWithIndex.collect {
+          case (t, i0) if !covered.contains(i0 + 1) => t
+        }
+        (id, tk.size.toLong, covered.size.toLong, kept.mkString(" "))
+      }.sortBy(_._1)
+      val got = TextOps.spanScrubOver(docs.toDF("doc_id", "text"), w).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+      assert(got == want, s"seed=$seed")
+      assert(want.exists(_._3 > 0), s"seed=$seed generated nothing to scrub")
+    }
+  }
+
+  test("contamination spans equal the naive coverage-set definition") {
+    val w = 3
+    for (seed <- 37L to 39L) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Vector("p", "q", "r")
+      // ids 0..119 → eval slice = {0, 97} under the % 97 convention
+      val docs = (0 until 120).map { i =>
+        val toks = (0 until (w + rnd.nextInt(22))).map(_ => vocab(rnd.nextInt(3)))
+        (i.toLong, toks.mkString(" ") + (if (rnd.nextBoolean()) " " else ""))
+      }
+      val toks = docs.map { case (id, t) =>
+        id -> t.split(" ", -1).toVector.filterNot(_.isEmpty)
+      }.toMap
+      val evalGrams = toks.filter(_._1 % 97 == 0).values.flatMap(tk =>
+        (1 to tk.size - w + 1).map(i => tk.slice(i - 1, i - 1 + w).mkString(" "))).toSet
+      val want = toks.filter(_._1 % 97 != 0).toSeq.sortBy(_._1).flatMap {
+        case (id, tk) =>
+          val covered = (1 to tk.size - w + 1)
+            .filter(i => evalGrams.contains(tk.slice(i - 1, i - 1 + w).mkString(" ")))
+            .flatMap(i => i until i + w).toSet
+          val (ns, ct) = coveredStats(covered)
+          if (ns == 0) None else Some((id, tk.size.toLong, ns, ct))
+      }
+      val got = TextOps.contamSpansOver(docs.toDF("doc_id", "text"), w).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(got == want, s"seed=$seed")
+      assert(want.nonEmpty, s"seed=$seed generated no contamination")
+    }
+  }
+
+  test("incremental spans equal the naive batch-vs-history definition") {
+    val w = 3
+    for (seed <- 40L to 42L) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Vector("u", "v", "w")
+      val docs = (0 until 120).map { i =>
+        val toks = (0 until (w + rnd.nextInt(22))).map(_ => vocab(rnd.nextInt(3)))
+        (i.toLong, toks.mkString(" ") + (if (rnd.nextBoolean()) " " else ""))
+      }
+      val toks = docs.map { case (id, t) =>
+        id -> t.split(" ", -1).toVector.filterNot(_.isEmpty)
+      }.toMap
+      val existGrams = toks.filter(_._1 % 10 != 9).values.flatMap(tk =>
+        (1 to tk.size - w + 1).map(i => tk.slice(i - 1, i - 1 + w).mkString(" "))).toSet
+      val want = toks.filter(_._1 % 10 == 9).toSeq.sortBy(_._1).flatMap {
+        case (id, tk) =>
+          val covered = (1 to tk.size - w + 1)
+            .filter(i => existGrams.contains(tk.slice(i - 1, i - 1 + w).mkString(" ")))
+            .flatMap(i => i until i + w).toSet
+          val (ns, dt) = coveredStats(covered)
+          if (ns == 0) None else Some((id, tk.size.toLong, ns, dt))
+      }
+      val got = TextOps.incrSpansOver(docs.toDF("doc_id", "text"), w).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(got == want, s"seed=$seed")
+      assert(want.nonEmpty, s"seed=$seed generated no history overlap")
+    }
+  }
 }
