@@ -6,6 +6,19 @@ import org.apache.spark.sql.SparkSession
   * box inflates single readings up to 4×; medians keep round-over-round
   * comparisons meaningful). Index builds ([[SparkEntry.prepare]]) run before
   * timing — they are ingest-time costs, paid once per dataset.
+  *
+  * Queries are forced with [[force]] (foreach), NOT `count()`: under a
+  * count, Catalyst legitimately prunes everything the row count doesn't
+  * need — final projections (a row-wise scrub's regexes), window columns
+  * feeding only pruned outputs, presentation sorts (EliminateSorts), and
+  * whole left-outer joins whose aggregate right side has unique keys —
+  * so `count()` timed a FRACTION of several queries' declared work
+  * (measured: q_pii_scrub 0.15 s under count vs full-output cost under
+  * foreach; q_dup_spans' entire span computation was join-eliminated).
+  * foreach consumes every output row on the executors, which forces the
+  * full declared result without adding a driver collect. Numbers from
+  * r6 on are on this basis; earlier rounds' totals under-measured the
+  * projection-final queries.
   */
 object Bench {
   private val iters = 3
@@ -14,6 +27,10 @@ object Bench {
     val s = xs.sorted
     s(s.size / 2)
   }
+
+  /** Evaluate the query's full declared output (no count-only pruning). */
+  private[graft] def force(df: org.apache.spark.sql.DataFrame): Unit =
+    df.foreach(_ => ())
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -27,7 +44,7 @@ object Bench {
     // warmup at the smallest SF: JIT + codegen + parquet reader init land
     // here instead of inside whichever timed query happens to run first
     SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, "/root/testdata/sf0.001").count()
+      try force(fn(spark, "/root/testdata/sf0.001"))
       catch { case _: Throwable => () }
     }
     try SparkEntry.prepare(spark, sfDir)
@@ -35,7 +52,7 @@ object Bench {
     val runs: Seq[Map[String, Double]] = (1 to iters).map { _ =>
       SparkEntry.queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { force(fn(spark, sfDir)) } catch { case _: Throwable => () }
         name -> (System.nanoTime() - t0) / 1e9
       }
     }

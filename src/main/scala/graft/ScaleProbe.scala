@@ -73,7 +73,7 @@ object ScaleProbe {
     "q_decontaminate", "q_repetition", "q_chunk_dedup",
     "q_pack_sequences", "q_vocab_df", "q_incremental_dedup",
     "q_pii_scrub", "q_lm_score", "q_tfidf_terms", "q_corpus_stats",
-    "q_bpe_merges")
+    "q_bpe_merges", "q_dup_spans", "q_span_scrub")
 
   private def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
 
@@ -148,9 +148,9 @@ object ScaleProbe {
       val pqRecall = exact.map { case (q, truth) =>
         pqGot.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
       }.sum / exact.size
-      val tBrute = time(VectorOps.cosineTopK(spark, d).count(): Unit)
-      val tTuned = time(VectorOps.annLsh(spark, d, pb, mf).count(): Unit)
-      val tPq = time(VectorOps.annPq(spark, d).count(): Unit)
+      val tBrute = time(Bench.force(VectorOps.cosineTopK(spark, d)))
+      val tTuned = time(Bench.force(VectorOps.annLsh(spark, d, pb, mf)))
+      val tPq = time(Bench.force(VectorOps.annPq(spark, d)))
       println(f"[scaleprobe] ann $tag%-4s n=$n%6d bits=${occ.bits} " +
         f"net=($pb,$mf) pred=$pred%.3f meas=$meas%.3f recall=$recall%.2f " +
         f"ivf_recall=$ivfRecall%.2f pq_recall=$pqRecall%.2f brute=$tBrute%5.2fs lsh=$tTuned%5.2fs pq=$tPq%5.2fs")
@@ -166,6 +166,14 @@ object ScaleProbe {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // the probe's corpora are MBs, which the default 128 MB split size
+      // packs into ~one input partition — row-wise operators (which
+      // inherit input parallelism, having no exchange) would then run
+      // serially and their ratios would measure the packing, not the
+      // operator. At real scale input splits grow with volume; a small
+      // split size reproduces that width-scales-with-data behavior.
+      .config("spark.sql.files.maxPartitionBytes", (1 << 22).toString)
+      .config("spark.sql.files.openCostInBytes", (1 << 18).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -177,12 +185,12 @@ object ScaleProbe {
     }.toMap
     val qs = SparkEntry.queries.filter { case (k, _) => probeQueries.contains(k) }
     // warmup both dirs (JIT, codegen, parquet footers)
-    dirs.values.foreach(d => qs.foreach { case (_, fn) => fn(spark, d).count() })
+    dirs.values.foreach(d => qs.foreach { case (_, fn) => Bench.force(fn(spark, d)) })
     val results = for ((name, fn) <- qs.toSeq.sortBy(_._1)) yield {
       val times = dirs.map { case (tag, d) =>
         tag -> median((1 to 3).map { _ =>
           val t0 = System.nanoTime()
-          fn(spark, d).count()
+          Bench.force(fn(spark, d))
           (System.nanoTime() - t0) / 1e9
         })
       }
@@ -195,15 +203,15 @@ object ScaleProbe {
     val d30 = s"$base/x30"
     synthesize(spark, d30, n1 * 30)
     val incFn = SparkEntry.queries("q_incremental_dedup")
-    incFn(spark, d30).count() // warmup the 30x dir
+    Bench.force(incFn(spark, d30)) // warmup the 30x dir
     val t30 = median((1 to 3).map { _ =>
       val t0 = System.nanoTime()
-      incFn(spark, d30).count()
+      Bench.force(incFn(spark, d30))
       (System.nanoTime() - t0) / 1e9
     })
     val inc1 = {
       val t0 = System.nanoTime()
-      incFn(spark, dirs("x1")).count()
+      Bench.force(incFn(spark, dirs("x1")))
       (System.nanoTime() - t0) / 1e9
     }
     println(f"[scaleprobe] q_incremental_dedup x30=$t30%6.2fs (x1=$inc1%5.2fs ratio=${t30 / inc1}%5.2f)")
@@ -245,9 +253,9 @@ object ScaleProbe {
         graft.functions.VectorFunctions.kmvCountDistinct(xxhash64(col("term"))))))
     for ((name, fn) <- variants) yield {
       val t = dirs.map { case (tag, d) =>
-        fn(d).count() // warmup
+        Bench.force(fn(d)) // warmup
         tag -> ScaleProbe.median((1 to 3).map { _ =>
-          val t0 = System.nanoTime(); fn(d).count(); (System.nanoTime() - t0) / 1e9
+          val t0 = System.nanoTime(); Bench.force(fn(d)); (System.nanoTime() - t0) / 1e9
         })
       }
       println(f"[scaleprobe] sketch/$name%-6s x1=${t("x1")}%6.2fs x10=${t("x10")}%6.2fs")

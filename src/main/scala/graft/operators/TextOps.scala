@@ -518,10 +518,27 @@ object TextOps {
     // materialized once: the count gates the strategy, and whichever path
     // runs consumes the same blocks (no pair-join recompute)
     val upairs = pairs.toDF("doc_a", "doc_b").localCheckpoint(true)
-    if (upairs.count() <= driverMaxPairs)
-      driverUnionFind(upairs.sparkSession, upairs)
-    else distributedMinLabel(upairs, maxIters)
+    if (upairs.count() <= driverMaxPairs) {
+      val out = driverUnionFind(upairs.sparkSession, upairs)
+      releaseCheckpoint(upairs) // the collect consumed it; out is local
+      out
+    } else distributedMinLabel(upairs, maxIters)
   }
+
+  /** Deterministically release a localCheckpoint's cached blocks. The
+    * ContextCleaner only frees them after a driver GC notices the RDD is
+    * unreferenced, so corpus-sized dead blocks can squat in protected
+    * storage for a whole session and starve every later query's
+    * execution memory (measured: the 10-round BPE trainer left 4.1 GB /
+    * 19 pinned RDDs behind, inflating a later sort-heavy query ~7×).
+    * Call ONLY once every consumer of the checkpointed frame has run.
+    */
+  private[graft] def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   /** One-pass union-find with path compression over the collected edge
     * list; labels every touched vertex with its component's minimum
@@ -578,6 +595,7 @@ object TextOps {
     val edges = upairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(upairs.select(col("doc_b"), col("doc_a")))
       .repartition(col("src")).localCheckpoint(true)
+    releaseCheckpoint(upairs) // eager edges checkpoint consumed it
     val touched = edges.select(col("src").as("doc_id")).distinct()
       .localCheckpoint(true)
     var labels = touched.withColumn("lbl", col("doc_id")).localCheckpoint(true)
@@ -600,6 +618,7 @@ object TextOps {
       // convergence count is a scan of the just-materialized blocks — no
       // extra join against the previous labels
       changed = next.filter(col("lbl") =!= col("old")).count()
+      releaseCheckpoint(labels) // next (eager) superseded this round's input
       labels = next.select("doc_id", "lbl")
       iters += 1
     }
@@ -607,6 +626,10 @@ object TextOps {
     // pointer doubling, maxIters=20 covers diameters up to ~2^20)
     require(changed == 0,
       s"dedupClusters did not converge within $maxIters iterations")
+    // the returned labels frame is its own eager checkpoint — the loop's
+    // working frames are dead now
+    releaseCheckpoint(touched)
+    releaseCheckpoint(edges)
     labels
   }
 
@@ -1578,11 +1601,21 @@ object TextOps {
     // everything the round needs (one corpus scan per round, total).
     var seqs = bpeSeqs(docs).localCheckpoint(eager = false)
     var counts = bpePairCountsAll(seqs).localCheckpoint(eager = false)
+    // superseded checkpoints, releasable once the NEXT round's top-1
+    // collect has materialized their successors — without this the k
+    // rounds pin k corpus-sized block sets for the rest of the session
+    // (ContextCleaner frees them only after a driver GC; measured 4.1 GB
+    // left behind by one k=10 training run)
+    var prevSeqs: Option[DataFrame] = None
+    var prevCounts: Option[DataFrame] = None
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var r = 1
     var exhausted = false
     while (r <= k && !exhausted) {
       val top = bpeTopPair(counts).collect()
+      // this round's checkpoints are materialized now — last round's are dead
+      prevSeqs.foreach(releaseCheckpoint); prevSeqs = None
+      prevCounts.foreach(releaseCheckpoint); prevCounts = None
       if (top.isEmpty) exhausted = true
       else {
         val (p1, p2, n) =
@@ -1592,11 +1625,13 @@ object TextOps {
           val applied = seqs.select(graft.functions.VectorFunctions
             .bpeMergeDelta(col("toks"), lit(p1), lit(p2)).as("s"))
             .localCheckpoint(eager = false)
+          prevSeqs = Some(seqs)
           seqs = applied.select(col("s.toks").as("toks"))
           val delta = applied
             .select(explode(col("s.deltas")).as("d"))
             .groupBy(col("d.p1").as("p1"), col("d.p2").as("p2"))
             .agg(sum(col("d.dn")).as("n"))
+          prevCounts = Some(counts)
           counts = counts.unionByName(delta)
             .groupBy("p1", "p2").agg(sum(col("n")).as("n"))
             .filter(col("n") > 0)
@@ -1605,6 +1640,9 @@ object TextOps {
         r += 1
       }
     }
+    // nothing after the loop consumes the working frames
+    releaseCheckpoint(seqs)
+    releaseCheckpoint(counts)
     merges.toSeq
   }
 
