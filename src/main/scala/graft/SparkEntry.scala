@@ -78,6 +78,7 @@ object SparkEntry {
     "q_lang_id" -> TextOps.langIdHeuristic _,
     "q_pii_scrub" -> TextOps.piiScrub _,
     "q_lm_score" -> TextOps.lmScore _,
+    "q_nb_quality" -> TextOps.nbQuality _,
     "q_corpus_stats" -> TextOps.corpusStats _,
     "q_vocab_growth" -> ((s, d) => TextOps.vocabGrowth(s, d)),
     "q_tfidf_terms" -> ((s, d) => TextOps.tfidfTerms(s, d)),
@@ -369,6 +370,52 @@ object SparkEntry {
         |  (CAST(CAST(SUM(CAST(tf AS HUGEINT) * CAST(c AS HUGEINT)) AS DECIMAL(38,0)) AS DOUBLE) /
         |    CAST(CAST(SUM(tf) AS BIGINT) AS DOUBLE)) / CAST((SELECT t FROM tot) AS DOUBLE) AS avg_prob
         |FROM dt JOIN cnt USING (term) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_nb_quality" ->
+      // class-conditional unigram quality classifier trained on the
+      // shared gate heuristic; fixed double chain (sum/n)/(T+V)*prior
+      // mirrors TextOps.nbQuality verbatim
+      """WITH tok AS MATERIALIZED (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents WHERE text IS NOT NULL),
+        |dt AS MATERIALIZED (
+        |  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |lab AS MATERIALIZED (
+        |  SELECT doc_id, CASE WHEN SUM(tf) >= 10
+        |      AND CAST(SUM(tf * length(term)) AS DOUBLE)
+        |        / CAST(SUM(tf) AS DOUBLE) >= 3.0
+        |      AND CAST(SUM(tf * length(term)) AS DOUBLE)
+        |        / CAST(SUM(tf) AS DOUBLE) <= 15.0
+        |    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS label
+        |  FROM dt GROUP BY doc_id),
+        |cnt AS MATERIALIZED (
+        |  SELECT term,
+        |    CAST(SUM(CASE WHEN label = 1 THEN tf ELSE 0 END) AS BIGINT) AS c_hi,
+        |    CAST(SUM(CASE WHEN label = 0 THEN tf ELSE 0 END) AS BIGINT) AS c_lo
+        |  FROM dt JOIN lab USING (doc_id) GROUP BY term),
+        |tot AS (SELECT CAST(SUM(c_hi) AS BIGINT) AS t_hi,
+        |          CAST(SUM(c_lo) AS BIGINT) AS t_lo,
+        |          CAST(COUNT(*) AS BIGINT) AS v FROM cnt),
+        |pri AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |          CAST(SUM(label) AS BIGINT) AS n_hi FROM lab),
+        |sc AS (SELECT doc_id,
+        |    CAST(SUM(CAST(tf AS HUGEINT) * CAST(c_hi + 1 AS HUGEINT))
+        |      AS DECIMAL(38,0)) AS s_hi,
+        |    CAST(SUM(CAST(tf AS HUGEINT) * CAST(c_lo + 1 AS HUGEINT))
+        |      AS DECIMAL(38,0)) AS s_lo,
+        |    CAST(SUM(tf) AS BIGINT) AS n_toks
+        |  FROM dt JOIN cnt USING (term) GROUP BY doc_id),
+        |p AS (SELECT sc.doc_id,
+        |    ((CAST(s_hi AS DOUBLE) / CAST(n_toks AS DOUBLE))
+        |      / CAST(t_hi + v AS DOUBLE))
+        |      * (CAST(n_hi AS DOUBLE) / CAST(n AS DOUBLE)) AS p_hi,
+        |    ((CAST(s_lo AS DOUBLE) / CAST(n_toks AS DOUBLE))
+        |      / CAST(t_lo + v AS DOUBLE))
+        |      * (CAST(n - n_hi AS DOUBLE) / CAST(n AS DOUBLE)) AS p_lo
+        |  FROM sc, tot, pri)
+        |SELECT lab.doc_id, lab.label, p.p_hi, p.p_lo,
+        |  CASE WHEN p.p_hi > p.p_lo THEN CAST(1 AS BIGINT)
+        |    ELSE CAST(0 AS BIGINT) END AS pred
+        |FROM lab JOIN p USING (doc_id) ORDER BY doc_id""".stripMargin,
     "q_tfidf_terms" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents WHERE text IS NOT NULL),
         |dt AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),

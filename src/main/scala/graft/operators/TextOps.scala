@@ -1901,4 +1901,85 @@ object TextOps {
       .select("doc_id", "rk", "term", "tf", "df", "score")
       .orderBy("doc_id", "rk")
   }
+
+  /** Trained quality classifier — the CCNet/fastText distillation trick:
+    * label documents with the [[corpusGates]] quality heuristic, train a
+    * class-conditional unigram model on those labels, and score every
+    * document under both class models. Production pipelines use exactly
+    * this shape to turn a cheap hand rule (or a small curated set) into
+    * a learned scorer that generalizes past the rule's literal
+    * thresholds; here both phases run in one distributed plan.
+    *
+    * The model is add-one-smoothed class-conditional unigrams scored by
+    * MEAN token likelihood (the arithmetic-mean analog of [[lmScore]]'s
+    * corpus-LM score, per class) times the class prior:
+    * `p_c = (Σ_t tf·(cnt_tc+1) / n_tokens) / (T_c + V) · (n_c / n)`.
+    * The mean-likelihood form keeps every step EXACT — 128-bit decimal
+    * for the count-product sum (tf·cnt ≈ 1e19 > 2^63 at 100 TB corpus
+    * scale, same overflow argument as [[lmScore]]), then a fixed
+    * four-step double chain mirrored verbatim by the DuckDB oracle — no
+    * logs whose last-ulp behavior could differ between engines, no
+    * order-dependent float summation, so scores AND the argmax
+    * prediction match bit-for-bit.
+    *
+    * Scale shape: the label pass and the count table are aggregates off
+    * the one shared (doc, term) frame (label thresholds recomputed from
+    * integer tf sums — identical to the row-wise gate since every token
+    * is counted); the per-(term, class) count table is
+    * vocabulary-bounded; totals and priors ride one-row broadcasts; the
+    * scoring join shuffles (doc, term) granularity on the term key after
+    * map-side combining. No token-position shuffle anywhere.
+    */
+  def nbQuality(spark: SparkSession, dir: String): DataFrame = {
+    graft.IntraQueryCache.newGeneration(s"nbquality:$dir")
+    nbQualityOver(Tables.documents(spark, dir))
+  }
+
+  private[operators] def nbQualityOver(docs: DataFrame): DataFrame = {
+    // three consumers: the label pass, the count table and the scoring
+    // join — without the persist the scan + explode + aggregate run
+    // three times (column pruning differentiates the subtrees)
+    val dt = graft.IntraQueryCache.scoped(docTermTf(docs))
+    val labels = dt.groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * length(col("term"))).as("n_chars"))
+      .select(col("doc_id"),
+        when(col("n_tokens") >= QualityMinTokens &&
+          col("n_chars").cast("double") / col("n_tokens").cast("double")
+            >= QualityMinAvgTokLen.toDouble &&
+          col("n_chars").cast("double") / col("n_tokens").cast("double")
+            <= QualityMaxAvgTokLen.toDouble, 1L).otherwise(0L).as("label"))
+    val dtl = dt.join(labels, "doc_id")
+    val cnt = dtl.groupBy("term")
+      .agg(sum(when(col("label") === 1L, col("tf")).otherwise(0L)).as("c_hi"),
+        sum(when(col("label") === 0L, col("tf")).otherwise(0L)).as("c_lo"))
+    // V = distinct terms = the count table's row count; T_c = per-class
+    // token totals — one row, broadcast into the final projection
+    val tot = cnt.agg(sum(col("c_hi")).as("t_hi"), sum(col("c_lo")).as("t_lo"),
+      count(lit(1)).as("v"))
+    val pri = labels.agg(count(lit(1)).as("n"), sum(col("label")).as("n_hi"))
+    val scored = dt.join(cnt, "term")
+      .groupBy("doc_id")
+      .agg(
+        sum(col("tf").cast("decimal(19,0)")
+          * (col("c_hi") + 1L).cast("decimal(19,0)")).as("s_hi"),
+        sum(col("tf").cast("decimal(19,0)")
+          * (col("c_lo") + 1L).cast("decimal(19,0)")).as("s_lo"),
+        sum(col("tf")).as("n_toks"))
+      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(pri))
+      // fixed chain, mirrored by the oracle: (sum/n_toks)/(T+V) * prior
+      .select(col("doc_id"),
+        (((col("s_hi").cast("double") / col("n_toks").cast("double"))
+          / (col("t_hi") + col("v")).cast("double"))
+          * (col("n_hi").cast("double") / col("n").cast("double"))).as("p_hi"),
+        (((col("s_lo").cast("double") / col("n_toks").cast("double"))
+          / (col("t_lo") + col("v")).cast("double"))
+          * ((col("n") - col("n_hi")).cast("double")
+            / col("n").cast("double"))).as("p_lo"))
+    labels.join(scored, "doc_id")
+      .select(col("doc_id"), col("label"), col("p_hi"), col("p_lo"),
+        when(col("p_hi") > col("p_lo"), 1L).otherwise(0L).as("pred"))
+      .orderBy("doc_id")
+  }
 }

@@ -344,6 +344,62 @@ class CorpusPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("nb quality classifier equals the naive train+score definition") {
+    for (seed <- 43L to 45L) {
+      val rnd = new scala.util.Random(seed)
+      // two populations the gate separates: short/garbage docs (label 0)
+      // and well-formed ones (label 1), with distinct-ish vocabularies so
+      // the learned model is actually predictive, plus empty-token noise
+      val docs = (0 until 150).map { i =>
+        val good = rnd.nextBoolean()
+        val text =
+          if (good) (0 until 12 + rnd.nextInt(20))
+            .map(_ => Vector("alpha", "beta", "gamma", "delta")(rnd.nextInt(4)))
+            .mkString(" ")
+          else (0 until rnd.nextInt(8))
+            .map(_ => Vector("x", "y", "zz", "")(rnd.nextInt(4))).mkString(" ")
+        (i.toLong, text)
+      }
+      val toks = docs.map { case (id, t) => id -> t.split(" ", -1).toVector }
+      val lab = toks.map { case (id, tk) =>
+        val n = tk.size.toLong
+        val avg = tk.map(_.length).sum.toDouble / n
+        id -> (if (n >= 10 && avg >= 3.0 && avg <= 15.0) 1L else 0L)
+      }.toMap
+      val tf = toks.flatMap { case (id, tk) =>
+        tk.groupBy(identity).map { case (t, xs) => (id, t, xs.size.toLong) }
+      }
+      val cnt = tf.groupBy(_._2).map { case (t, xs) =>
+        t -> (xs.filter(x => lab(x._1) == 1L).map(_._3).sum,
+          xs.filter(x => lab(x._1) == 0L).map(_._3).sum)
+      }
+      val (tHi, tLo, v) = (cnt.values.map(_._1).sum, cnt.values.map(_._2).sum,
+        cnt.size.toLong)
+      val (n, nHi) = (toks.size.toLong, lab.values.count(_ == 1L).toLong)
+      val want = toks.map { case (id, tk) =>
+        val nt = tk.size.toLong
+        val sHi = tk.groupBy(identity).map { case (t, xs) =>
+          BigInt(xs.size) * BigInt(cnt(t)._1 + 1) }.sum
+        val sLo = tk.groupBy(identity).map { case (t, xs) =>
+          BigInt(xs.size) * BigInt(cnt(t)._2 + 1) }.sum
+        val pHi = ((sHi.toDouble / nt.toDouble) / (tHi + v).toDouble) *
+          (nHi.toDouble / n.toDouble)
+        val pLo = ((sLo.toDouble / nt.toDouble) / (tLo + v).toDouble) *
+          ((n - nHi).toDouble / n.toDouble)
+        (id, lab(id), pHi, pLo, if (pHi > pLo) 1L else 0L)
+      }.sortBy(_._1)
+      val got = TextOps.nbQualityOver(docs.toDF("doc_id", "text")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+          r.getLong(4))).toSeq
+      assert(got == want, s"seed=$seed")
+      // the distilled model must actually predict its training labels on
+      // separable data (not a fixed-output degenerate)
+      val acc = want.count(x => x._2 == x._5).toDouble / want.size
+      assert(acc >= 0.9, s"seed=$seed training accuracy $acc")
+      assert(want.exists(_._2 == 0L) && want.exists(_._2 == 1L), s"seed=$seed")
+    }
+  }
+
   test("incremental spans equal the naive batch-vs-history definition") {
     val w = 3
     for (seed <- 40L to 42L) {
