@@ -1199,18 +1199,35 @@ object TextOps {
     incrSpansOver(Tables.documents(spark, dir), windowTokens)
 
   private[operators] def incrSpansOver(docs: DataFrame, w: Int): DataFrame = {
-    val tok = spanToks(docs)
     val isNew = col("doc_id") % 10 === 9
-    val existKeys = windowOccs(tok.filter(!isNew), w).select("gk").distinct()
-    val flagged = windowOccs(tok.filter(isNew), w)
-      .join(existKeys, Seq("gk"), "leftsemi")
+    incrSpansVsKeys(docs.filter(isNew), spanKeysOf(docs.filter(!isNew), w), w)
+      .orderBy("doc_id")
+  }
+
+  /** The existing corpus' distinct window-key set — [[incrSpansVsKeys]]'s
+    * static side. At production scale a MAINTAINED ingest artifact
+    * (written bucketed by key alongside the fingerprint set); the
+    * streaming face ([[graft.streaming.SpanStream]]) reloads it on a
+    * refresh cadence.
+    */
+  private[graft] def spanKeysOf(corpus: DataFrame, w: Int = 8): DataFrame =
+    windowOccs(spanToks(corpus), w).select("gk").distinct()
+
+  /** Span kernel shared by batch [[incrSpans]] and the streaming twin:
+    * for each doc in `batch`, the maximal spans whose every `w`-token
+    * window key is in `keys`. Stateless in the batch — each document's
+    * manifest depends only on (document, key set), which is what lets
+    * the SAME code run per micro-batch with drained-stream ≡ batch.
+    */
+  private[graft] def incrSpansVsKeys(batch: DataFrame, keys: DataFrame,
+      w: Int): DataFrame = {
+    val tok = spanToks(batch)
+    val flagged = windowOccs(tok, w).join(keys, Seq("gk"), "leftsemi")
     val perDoc = mergedSpans(flagged, w).groupBy("doc_id")
       .agg(count(lit(1)).as("n_dup_spans"),
         sum(col("e") - col("s") + 1).cast("long").as("dup_tokens"))
-    tok.filter(isNew)
-      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+    tok.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
       .join(perDoc, Seq("doc_id")) // inner: batch docs with history overlap
-      .orderBy("doc_id")
   }
 
   /** Sequence packing — the pretraining batch-construction step: the
