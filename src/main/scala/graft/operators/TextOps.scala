@@ -785,7 +785,10 @@ object TextOps {
       .select(col("ia"), explode(col("ids_b")).as("ib"), col("est_jaccard"))
       .select(least(col("ia"), col("ib")).as("doc_a"),
         greatest(col("ia"), col("ib")).as("doc_b"), col("est_jaccard"))
-    intra.unionByName(inter).orderBy("doc_a", "doc_b")
+    // candidate feed — unordered by design, like [[simhash]]'s: the
+    // output exchange a presentation sort would add is pure waste at
+    // corpus scale (consumers re-shuffle on their own keys)
+    intra.unionByName(inter)
   }
 
   /** Cross-language similarity profile via the distributed minhash sketch
@@ -892,7 +895,11 @@ object TextOps {
       .select(col("ia"), explode(col("ids_b")).as("ib"), col("hamming"))
       .select(least(col("ia"), col("ib")).as("doc_a"),
         greatest(col("ia"), col("ib")).as("doc_b"), col("hamming"))
-    intra.unionByName(inter).orderBy("doc_a", "doc_b")
+    // candidate FEED, not a report: rows-only declared output whose
+    // consumers (cluster labeling, scrub joins) re-shuffle on their own
+    // keys immediately — a presentation sort here is a full extra
+    // exchange of the pair set at corpus scale for nothing
+    intra.unionByName(inter)
   }
 
   /** Count of the most frequent element of a string array, computed

@@ -193,6 +193,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("nb quality: totals/priors broadcast, shared frame cached, no cartesian") {
+    graft.IntraQueryCache.newGeneration("planspec:nbquality")
+    val p = plan(graft.operators.TextOps.nbQuality(spark, dir))
+    // the one-row totals and priors must reach the scoring projection as
+    // broadcasts, never as shuffled joins
+    assert("BroadcastNestedLoopJoin".r.findAllMatchIn(p).size == 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+    // train and score read the ONE cached (doc, term) frame — the scan +
+    // explode + aggregate must not be replanned per consumer
+    assert(p.split("InMemoryTableScan").length - 1 >= 3, p)
+  }
+
   test("bpe round: pair count is one exchange + TakeOrdered top-1; rule apply is exchange-free") {
     graft.functions.VectorFunctions.ensureRegistered(spark)
     val seqs = graft.operators.TextOps.bpeSeqs(Tables.documents(spark, dir))
