@@ -79,6 +79,7 @@ object SparkEntry {
     "q_pii_scrub" -> TextOps.piiScrub _,
     "q_lm_score" -> TextOps.lmScore _,
     "q_nb_quality" -> TextOps.nbQuality _,
+    "q_shard_pack" -> ((s, d) => TextOps.shardPack(s, d)),
     "q_corpus_stats" -> TextOps.corpusStats _,
     "q_vocab_growth" -> ((s, d) => TextOps.vocabGrowth(s, d)),
     "q_tfidf_terms" -> ((s, d) => TextOps.tfidfTerms(s, d)),
@@ -841,6 +842,21 @@ object SparkEntry {
          |  a.n_dup_spans, a.dup_tokens
          |FROM agg a JOIN tok t USING (doc_id) ORDER BY doc_id""".stripMargin
     },
+    "q_shard_pack" ->
+      // seeded md5 global shuffle order, token-budget shard cuts; the
+      // (k, doc_id) order and the :42 seed mirror TextOps.shardPack
+      """WITH d AS (SELECT doc_id,
+        |        md5(CAST(doc_id AS VARCHAR) || ':42') AS k,
+        |        len(string_split(text, ' ')) AS n_tokens
+        |      FROM documents WHERE text IS NOT NULL),
+        |c AS (SELECT doc_id, n_tokens,
+        |        CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY k, doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+        |      FROM d)
+        |SELECT doc_id, n_tokens,
+        |  cum_before // 4096 AS shard,
+        |  cum_before % 4096 AS shard_offset
+        |FROM c ORDER BY doc_id""".stripMargin,
     "q_pack_sequences" ->
       """WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
         |           FROM documents WHERE text IS NOT NULL),

@@ -1926,6 +1926,70 @@ object TextOps {
       .orderBy("doc_id", "rk")
   }
 
+  /** Deterministic shuffle-sharding — the corpus-to-training-shards step
+    * every pipeline ends with: documents in seeded pseudo-random GLOBAL
+    * order (training wants neighboring shards uncorrelated with crawl /
+    * source / time order), cut into shards of ~`shardTokens` tokens
+    * (balanced by token budget, not doc count — shard sizes are what the
+    * data loader sees), each document placed at its token offset within
+    * its shard. Reproducible end-to-end: order is md5(doc_id, seed), so
+    * the same corpus + seed shards identically on any cluster layout.
+    *
+    * A document whose span straddles a boundary belongs to the shard
+    * where it STARTS (the [[packSequences]] convention one level up).
+    *
+    * Scale shape: ONE range exchange on the random key — the global
+    * shuffle every training-data writer inherently pays, expressed as
+    * Spark's range partitioner so it is also the only corpus-volume
+    * move. The token prefix sum is the [[packSequences]] distributed
+    * machinery (per-partition totals → broadcast offsets → local
+    * windows); shard id and in-shard offset are ROW-WISE arithmetic off
+    * the running total, so no second exchange exists. At production
+    * scale the result feeds a partitionBy(shard) writer directly —
+    * shards align with key ranges, so the write is exchange-free too.
+    */
+  def shardPack(spark: SparkSession, dir: String, shardTokens: Int = 4096,
+      seed: Int = 42): DataFrame =
+    shardPackOver(Tables.documents(spark, dir), shardTokens, seed)
+
+  /** `numParts > 0` pins the range-partition count, as in
+    * [[packSequencesOver]] (the spec forces a multi-partition run).
+    */
+  private[graft] def shardPackOver(docs0: DataFrame, shardTokens: Int,
+      seed: Int, numParts: Int = 0): DataFrame = {
+    val keyed = docs0
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        md5(concat(col("doc_id").cast("string"), lit(":"), lit(seed.toString))
+          .cast("binary")).as("k"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+    val docs = (if (numParts > 0) keyed.repartitionByRange(numParts, col("k"), col("doc_id"))
+                else keyed.repartitionByRange(col("k"), col("doc_id")))
+      // same non-scoped persist contract as packSequences: pid must be
+      // ONE assignment across both consumers, surviving until consumed
+      .withColumn("pid", spark_partition_id())
+      .persist()
+    val partTotals = docs.groupBy("pid").agg(sum(col("n_tokens")).as("ptot"))
+      .withColumn("poffset",
+        coalesce(sum(col("ptot")).over(
+          Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("pid", "poffset")
+    // range partitioning on (k, doc_id) makes pid order = global key
+    // order, so partition offsets + a local key-ordered window give the
+    // exact global prefix sum
+    val local = Window.partitionBy("pid").orderBy("k", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .join(broadcast(partTotals), "pid")
+      .withColumn("cum_before",
+        col("poffset") + coalesce(sum(col("n_tokens")).over(local), lit(0L)))
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"cum_before div $shardTokens").as("shard"),
+        (col("cum_before") % shardTokens).as("shard_offset"))
+      .orderBy("doc_id")
+  }
+
   /** Trained quality classifier — the CCNet/fastText distillation trick:
     * label documents with the [[corpusGates]] quality heuristic, train a
     * class-conditional unigram model on those labels, and score every

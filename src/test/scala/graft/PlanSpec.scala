@@ -107,6 +107,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("shuffle-sharding: one range exchange, offsets broadcast, shard math row-wise") {
+    val p = plan(graft.operators.TextOps.shardPackOver(
+      Tables.documents(spark, dir), 4096, seed = 42, numParts = 4))
+    // the global shuffle is ONE range exchange on the seeded key; shard
+    // id / offset are arithmetic off the prefix sum — no exchange for a
+    // second window, no sort-merge join for the offsets
+    assert(p.contains("rangepartitioning"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("vocab head: two-phase top-k — a local rank window before the global one") {
     val p = plan(graft.operators.TextOps.vocabDocFreq(spark, dir))
     assert("row_number".r.findAllMatchIn(p).size >= 2, p)

@@ -344,6 +344,31 @@ class CorpusPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("shuffle-sharding equals the naive md5-order prefix sum") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    for (seed <- 46L to 48L) {
+      val docs = randCorpus(seed, 150)
+      val got = TextOps.shardPackOver(docs.toDF("doc_id", "text"),
+        shardTokens = 16, seed = 7, numParts = 5).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1)
+      var cum = 0L
+      val want = docs.map { case (id, text) =>
+        (md5hex(s"$id:7"), id, text.split(" ", -1).length.toLong)
+      }.sortBy(x => (x._1, x._2)).map { case (_, id, n) =>
+        val row = (id, n, cum / 16, cum % 16)
+        cum += n
+        row
+      }.sortBy(_._1)
+      assert(got.toSeq == want, s"seed=$seed")
+      // the seeded order must actually differ from doc_id order (the
+      // whole point) — shard of the first doc ids shouldn't be all-0
+      assert(got.map(_._3).distinct.size > 1, s"seed=$seed single shard")
+    }
+  }
+
   test("nb quality classifier equals the naive train+score definition") {
     for (seed <- 43L to 45L) {
       val rnd = new scala.util.Random(seed)
