@@ -80,6 +80,8 @@ object SparkEntry {
     "q_lm_score" -> TextOps.lmScore _,
     "q_nb_quality" -> TextOps.nbQuality _,
     "q_shard_pack" -> ((s, d) => TextOps.shardPack(s, d)),
+    "q_source_overlap" -> ((s, d) => TextOps.sourceOverlap(s, d)),
+    "q_dup_profile" -> TextOps.dupProfile _,
     "q_corpus_stats" -> TextOps.corpusStats _,
     "q_vocab_growth" -> ((s, d) => TextOps.vocabGrowth(s, d)),
     "q_tfidf_terms" -> ((s, d) => TextOps.tfidfTerms(s, d)),
@@ -842,6 +844,61 @@ object SparkEntry {
          |  a.n_dup_spans, a.dup_tokens
          |FROM agg a JOIN tok t USING (doc_id) ORDER BY doc_id""".stripMargin
     },
+    "q_dup_profile" ->
+      // cluster-size histogram over the exact near-dup components (the
+      // q_dedup_clusters recursive-CTE labeling) with redundant-token
+      // volume = cluster tokens minus the canonical survivor's
+      """WITH RECURSIVE tok AS (SELECT DISTINCT doc_id, tok FROM
+        |    (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
+        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY 1),
+        |pair AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+        |         FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |         GROUP BY 1, 2),
+        |jp AS (SELECT doc_a, doc_b
+        |       FROM pair JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+        |       WHERE CAST(common AS DOUBLE)/(sa.sz + sb.sz - common) >= 0.95),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM jp UNION SELECT doc_b, doc_a FROM jp),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |lab AS (SELECT d.doc_id, LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS canonical
+        |        FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+        |        GROUP BY d.doc_id),
+        |ntok AS (SELECT doc_id,
+        |           CAST(COALESCE(len(string_split(text, ' ')), 0) AS BIGINT) AS n_tokens
+        |         FROM documents),
+        |cl AS (SELECT canonical, CAST(COUNT(*) AS BIGINT) AS k,
+        |         CAST(SUM(n_tokens) AS BIGINT) AS toks,
+        |         CAST(SUM(CASE WHEN lab.doc_id = canonical THEN n_tokens ELSE 0 END)
+        |           AS BIGINT) AS keep
+        |       FROM lab JOIN ntok ON ntok.doc_id = lab.doc_id GROUP BY canonical)
+        |SELECT k AS cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+        |  CAST(SUM(k) AS BIGINT) AS n_docs,
+        |  CAST(SUM(toks - keep) AS BIGINT) AS redundant_tokens
+        |FROM cl GROUP BY k ORDER BY cluster_size""".stripMargin,
+    "q_source_overlap" ->
+      // 16-token chunk sharing between source pairs + chunk-set Jaccard;
+      // chunk starts 1, 17, … with the final partial chunk truncated,
+      // the chunkDedup convention
+      """WITH tok AS MATERIALIZED (
+        |  SELECT source, string_split(text, ' ') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |cs AS MATERIALIZED (
+        |  SELECT DISTINCT source, array_to_string(toks[i:i+15], ' ') AS chunk
+        |  FROM tok, UNNEST(range(1, len(toks) + 1, 16)) AS u(i)),
+        |n AS MATERIALIZED (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS nf FROM cs GROUP BY source),
+        |p AS (SELECT a.source AS source_a, b.source AS source_b,
+        |        CAST(COUNT(*) AS BIGINT) AS shared_chunks
+        |      FROM cs a JOIN cs b ON a.chunk = b.chunk AND a.source < b.source
+        |      GROUP BY 1, 2)
+        |SELECT source_a, source_b, shared_chunks,
+        |  CAST(shared_chunks AS DOUBLE)
+        |    / CAST(na.nf + nb.nf - shared_chunks AS DOUBLE) AS jaccard
+        |FROM p JOIN n na ON na.source = source_a
+        |       JOIN n nb ON nb.source = source_b
+        |ORDER BY source_a, source_b""".stripMargin,
     "q_shard_pack" ->
       // seeded md5 global shuffle order, token-budget shard cuts; the
       // (k, doc_id) order and the :42 seed mirror TextOps.shardPack

@@ -1926,6 +1926,91 @@ object TextOps {
       .orderBy("doc_id", "rk")
   }
 
+  /** Duplicate-cluster profile — the dedup report every corpus paper
+    * publishes (how much of the corpus is ×2, ×3, ×10+ duplicated):
+    * over the exact near-dup components ([[dedupClusters]] labels), the
+    * cluster-size histogram with document counts and REDUNDANT token
+    * volume (cluster tokens minus the canonical survivor's — exactly
+    * the tokens a keep-one-per-cluster dedup deletes). The number that
+    * justifies, or kills, a dedup stage in a pipeline review.
+    *
+    * Scale shape: rides [[dedupClusters]] (pair-graph labeling — the
+    * expensive part, already output-sensitive) plus a doc-granular join
+    * to token counts, a canonical-keyed aggregate (cluster-count-sized)
+    * and a histogram over cluster SIZES (dozens of rows). Nothing new
+    * moves corpus volume.
+    */
+  def dupProfile(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        coalesce(size(tokens(col("text"))).cast("long"), lit(0L)).as("n_tokens"))
+    val clusters = dedupClusters(spark, dir)
+      .join(toks, "doc_id")
+      .groupBy("canonical")
+      .agg(count(lit(1)).as("k"), sum(col("n_tokens")).as("toks"),
+        sum(when(col("doc_id") === col("canonical"), col("n_tokens"))
+          .otherwise(0L)).as("keep"))
+    clusters.groupBy(col("k").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("k")).as("n_docs"),
+        sum(col("toks") - col("keep")).as("redundant_tokens"))
+      .orderBy("cluster_size")
+  }
+
+  /** Cross-source overlap matrix — the corpus-governance report behind
+    * "how much of source B is syndicated/mirrored from source A":
+    * for every source pair, the number of 16-token chunks (the
+    * [[chunkDedup]] granularity) present in BOTH, plus the chunk-set
+    * Jaccard. Exact duplicates rarely cross sources (mirrors reformat);
+    * chunk granularity is what catches wire-copy and template sharing.
+    *
+    * Scale shape: chunks shuffle once as 16-byte md5 keys (the chunk
+    * family's exchange) into a per-key SOURCE SET — bounded by the
+    * source count, which is catalog-sized (dozens-thousands), never
+    * corpus-sized — and pairs expand ROW-WISE from each sorted set, so
+    * no chunk-level self-join exists; a chunk shared by every source is
+    * one row expanding to #sources² pairs, not a join blowup. The
+    * matrix aggregate and per-source totals are catalog-sized; totals
+    * broadcast into the final Jaccard projection.
+    */
+  def sourceOverlap(spark: SparkSession, dir: String,
+      chunkTokens: Int = 16): DataFrame =
+    sourceOverlapOver(Tables.documents(spark, dir), chunkTokens)
+
+  private[graft] def sourceOverlapOver(docs: DataFrame,
+      chunkTokens: Int): DataFrame = {
+    val chunkArr = bindOnce(tokens(col("text"))) { t =>
+      transform(sequence(lit(1), size(t), lit(chunkTokens)),
+        s => array_join(slice(t, s, lit(chunkTokens)), " "))
+    }
+    val cs = docs.filter(col("text").isNotNull)
+      .select(col("source"), explode(array_distinct(chunkArr)).as("chunk"))
+      .select(col("source"), unhex(md5(col("chunk").cast("binary"))).as("ck"))
+      .distinct()
+    val perSrc = cs.groupBy("source").agg(count(lit(1)).as("nf"))
+    // ordered pairs from each chunk's sorted source set, expanded
+    // row-wise: (a, b) for every a before b in the set
+    val pairsArr = bindOnce(sort_array(collect_set(col("source")))) { ss =>
+      flatten(transform(ss, (a, i) =>
+        transform(slice(ss, i + 2, size(ss)),
+          b => struct(a.as("source_a"), b.as("source_b")))))
+    }
+    cs.groupBy("ck").agg(pairsArr.as("ps"))
+      .select(explode(col("ps")).as("p"))
+      .select(col("p.source_a"), col("p.source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("shared_chunks"))
+      .join(broadcast(perSrc.select(col("source").as("source_a"),
+        col("nf").as("na"))), "source_a")
+      .join(broadcast(perSrc.select(col("source").as("source_b"),
+        col("nf").as("nb"))), "source_b")
+      .select(col("source_a"), col("source_b"), col("shared_chunks"),
+        (col("shared_chunks").cast("double") /
+          (col("na") + col("nb") - col("shared_chunks")).cast("double"))
+          .as("jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** Deterministic shuffle-sharding — the corpus-to-training-shards step
     * every pipeline ends with: documents in seeded pseudo-random GLOBAL
     * order (training wants neighboring shards uncorrelated with crawl /

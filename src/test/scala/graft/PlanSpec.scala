@@ -118,6 +118,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("source overlap: pairs expand row-wise from per-chunk source sets, no chunk self-join") {
+    val p = plan(graft.operators.TextOps.sourceOverlapOver(
+      Tables.documents(spark, dir), chunkTokens = 16))
+    // the only joins are the catalog-sized per-source total broadcasts;
+    // chunk keys are never joined to themselves
+    assert("(SortMergeJoin|ShuffledHashJoin)".r.findAllMatchIn(p).isEmpty, p)
+    assert("BroadcastHashJoin".r.findAllMatchIn(p).size == 2, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("vocab head: two-phase top-k — a local rank window before the global one") {
     val p = plan(graft.operators.TextOps.vocabDocFreq(spark, dir))
     assert("row_number".r.findAllMatchIn(p).size >= 2, p)

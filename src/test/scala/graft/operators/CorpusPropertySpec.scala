@@ -369,6 +369,36 @@ class CorpusPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("source overlap equals the naive chunk-set intersection") {
+    for (seed <- 49L to 51L) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Vector("m", "n", "o", "p")
+      // short docs + chunk size 2 + tiny vocab → heavy cross-source sharing
+      val docs = (0 until 120).map { i =>
+        val text = (0 until (1 + rnd.nextInt(7)))
+          .map(_ => vocab(rnd.nextInt(4))).mkString(" ")
+        (i.toLong, text, s"s${rnd.nextInt(4)}")
+      }
+      val chunkSets = docs.groupBy(_._3).view.mapValues(_.flatMap { case (_, t, _) =>
+        t.split(" ", -1).grouped(2).map(_.mkString(" "))
+      }.toSet).toMap
+      val srcs = chunkSets.keys.toSeq.sorted
+      val want = (for {
+        a <- srcs; b <- srcs if a < b
+        shared = (chunkSets(a) intersect chunkSets(b)).size
+        if shared > 0
+      } yield (a, b, shared.toLong,
+        shared.toDouble / (chunkSets(a).size + chunkSets(b).size - shared)))
+        .sortBy(x => (x._1, x._2))
+      val got = TextOps.sourceOverlapOver(
+        docs.toDF("doc_id", "text", "source"), chunkTokens = 2).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSeq
+      assert(got == want, s"seed=$seed")
+      assert(want.nonEmpty, s"seed=$seed generated no overlap")
+    }
+  }
+
   test("nb quality classifier equals the naive train+score definition") {
     for (seed <- 43L to 45L) {
       val rnd = new scala.util.Random(seed)
