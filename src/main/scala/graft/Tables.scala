@@ -13,14 +13,26 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark
-    * refuses by default. Read nanos as long and truncate to µs (integer
-    * `div`, exactly what DuckDB's ns→µs read does), keeping oracle parity.
+  /** `events.parquet` has shipped `ts` under three physical encodings
+    * across driver data generations: TIMESTAMP(NANOS) (Spark refuses by
+    * default — read nanos as long, truncate to µs exactly as DuckDB's
+    * ns→µs read does), plain TIMESTAMP(MICROS) without UTC adjustment
+    * (Spark reads TIMESTAMP_NTZ), and adjusted micros (TIMESTAMP). All
+    * normalize to one surface type — session-UTC `timestamp` — so every
+    * downstream operator and oracle sees identical instants regardless of
+    * which generation of the dataset is on disk.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = table(spark, dir, "events")
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    raw.schema("ts").dataType match {
+      case LongType => // nanos-as-long generation
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => // micros, not UTC-adjusted; session tz is UTC
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
