@@ -115,6 +115,7 @@ object SparkEntry {
     "q_embed_near_dup" -> VectorOps.embeddingNearDup _,
     "q_embed_clusters" -> VectorOps.embedClusters _,
     "q_hybrid_dedup" -> ((s, d) => VectorOps.hybridNearDup(s, d)),
+    "q_embed_incr_dedup" -> ((s, d) => VectorOps.incrEmbedDedup(s, d)),
     "q_bpe_merges" -> ((s, d) => TextOps.bpeMerges(s, d)),
     "q_bpe_tokens" -> ((s, d) => TextOps.bpeTokenCounts(s, d)),
     "q_corpus_build" -> TextOps.corpusBuild _,
@@ -576,6 +577,21 @@ object SparkEntry {
         |          JOIN embeddings eb ON eb.vec_id = doc_b)
         |SELECT doc_a, doc_b, jaccard, cosine FROM sc
         |WHERE cosine >= 0.2 ORDER BY doc_a, doc_b""".stripMargin
+    },
+    "q_embed_incr_dedup" -> {
+      // same exact-arithmetic contract as q_hybrid_dedup: explicit
+      // left-associative 64-term dot sums replay vec_dot's IEEE sequence,
+      // so the unrounded cosine and its >= gate match bit-for-bit
+      def dotSql(a: String, b: String): String = (1 to 64)
+        .map(i => s"CAST($a.embedding[$i] AS DOUBLE)*CAST($b.embedding[$i] AS DOUBLE)")
+        .mkString(" + ")
+      s"""WITH sc AS (SELECT n.vec_id AS vec_new, c.vec_id AS vec_corpus,
+        |  (${dotSql("n", "c")}) /
+        |    (sqrt(${dotSql("n", "n")}) * sqrt(${dotSql("c", "c")})) AS cosine
+        |  FROM embeddings n JOIN embeddings c ON n.label = c.label
+        |  WHERE n.vec_id % 10 = 9 AND c.vec_id % 10 <> 9)
+        |SELECT vec_new, vec_corpus, cosine FROM sc
+        |WHERE cosine >= 0.35 ORDER BY vec_new, vec_corpus""".stripMargin
     },
     "q_corpus_build" ->
       s"""WITH RECURSIVE tok AS (SELECT DISTINCT doc_id, tok FROM

@@ -76,6 +76,43 @@ object VectorOps {
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cosine"))
   }
 
+  /** Incremental EMBEDDING dedup — the vector face of
+    * [[TextOps.incrementalDedup]]: a NEW batch of vectors (the
+    * `vec_id % 10 == 9` slice, the stand-in for today's crawl) is checked
+    * against the EXISTING corpus only — the existing×existing quadrant
+    * never exists in the plan. Blocking and threshold match
+    * [[embeddingNearDup]] (same-label blocks, cosine >= 0.35), and the
+    * arithmetic is the hybrid-dedup exact chain: one native codegen'd dot
+    * per candidate pair in index order, two correctly-rounded sqrts, one
+    * division — bit-identical on both engines, so the emitted cosine and
+    * the >= gate need no rounding.
+    *
+    * Scale shape: the batch side is small by definition (one crawl day
+    * vs the corpus) — AQE broadcasts it into the label-blocked join; the
+    * corpus side streams once with norms folded row-wise. The streaming
+    * twin ([[graft.streaming.VectorStream]]) replaces the label block
+    * with LSH bucket collision so each arriving vector touches only its
+    * buckets, trading exact recall for corpus-scan independence.
+    */
+  def incrEmbedDedup(spark: SparkSession, dir: String,
+      cosT: Double = 0.35): DataFrame = {
+    VectorFunctions.ensureRegistered(spark)
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("nrm", norm(col("embedding")))
+    val isNew = col("vec_id") % 10 === 9
+    val newB = emb.filter(isNew)
+      .select(col("vec_id").as("vec_new"), col("embedding").as("en"),
+        col("label"), col("nrm").as("nn"))
+    val existing = emb.filter(!isNew)
+      .select(col("vec_id").as("vec_corpus"), col("embedding").as("ec"),
+        col("label"), col("nrm").as("nc"))
+    existing.join(broadcast(newB), "label")
+      .withColumn("cosine", dot(col("en"), col("ec")) / (col("nn") * col("nc")))
+      .filter(col("cosine") >= cosT)
+      .select("vec_new", "vec_corpus", "cosine")
+      .orderBy("vec_new", "vec_corpus")
+  }
+
   /** Embedding dedup clustering: connected components over the cosine
     * near-dup pair graph — one canonical vector per near-duplicate cluster
     * (component-minimum vec_id), singletons map to themselves. Shares
@@ -453,6 +490,15 @@ object VectorOps {
       when(dot(e, typedlit(lshPlanes(t * lshMaxBits + j))) > 0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_.bitwiseOR(_))
 
+  /** One (t, bucket) struct per table for an embedding — the row-wise
+    * bucket projection shared by the index build and the streaming query
+    * side ([[graft.streaming.VectorStream]]); both sides MUST run the
+    * same `bits`, or codes drift and recall silently dies.
+    */
+  private[graft] def lshBucketArr(e: Column, bits: Int): Column =
+    array((0 until lshTables).map(t =>
+      struct(lit(t).as("t"), lshCode(e, t, bits).as("bucket"))): _*)
+
   /** The LSH index side: every corpus vector lands in one bucket per table
     * — `lshTables` (t, bucket) rows per vector — with each bucket capped at
     * `maxBucket` entries (kept deterministically by vec_id hash order).
@@ -462,8 +508,7 @@ object VectorOps {
     * once per dataset ([[cachedLshIndex]]) so queries never pay it.
     */
   private[graft] def lshIndex(emb: DataFrame, maxBucket: Int, bits: Int = 8): DataFrame = {
-    val tb = array((0 until lshTables).map(t =>
-      struct(lit(t).as("t"), lshCode(col("embedding"), t, bits).as("bucket"))): _*)
+    val tb = lshBucketArr(col("embedding"), bits)
     // tie-break by nid so the cap's survivor set is total-ordered even on
     // xxhash64 collisions (keeps index builds bit-reproducible)
     val wCap = Window.partitionBy("t", "bucket").orderBy(xxhash64(col("nid")), col("nid"))

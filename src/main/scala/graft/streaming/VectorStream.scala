@@ -1,0 +1,104 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+import graft.operators.VectorOps
+
+/** Streaming EMBEDDING near-dup vs corpus history — the vector face of the
+  * streaming ingest-dedup stack, completing the symmetry with the lexical
+  * layers ([[StreamDedup.candidatesVsCorpus]] for minhash-LSH,
+  * [[SpanStream]] for exact substrings): every arriving embedding is
+  * checked against a batch-built signed-random-projection LSH index of the
+  * corpus, and candidate collisions are confirmed by EXACT cosine before
+  * emission — precision is exact (every emitted pair truly clears the
+  * cosine gate), only recall rides the LSH tables.
+  *
+  * Spark-first shape: the bucket projection
+  * ([[VectorOps.lshBucketArr]] — the SAME column expression the batch
+  * index build runs, so the code space can never drift between the two
+  * sides) and the norm are row-wise column work; the only exchange is the
+  * stream-static (t, bucket) join, which moves the (small) micro-batch
+  * side. Completely STATELESS — history lives in the static index,
+  * refreshed at foreachBatch altitude like the lexical twin — so the same
+  * code runs identically on a batch frame, which is exactly how
+  * VectorStreamSpec pins drained-stream ≡ batch.
+  *
+  * 100 TB posture: the corpus index is (t, bucket)-keyed with per-bucket
+  * caps (skew-bounded scoring work), written bucketed at corpus scale;
+  * each arriving vector scores only the O(tables × maxBucket) entries its
+  * codes collide with — per-document work is independent of corpus size,
+  * the property that lets ingest-time semantic dedup keep up with a
+  * growing corpus.
+  */
+object VectorStream {
+
+  /** Row-wise projection of a streaming (vec_id, embedding) frame to one
+    * row per (vector, table): norm + LSH bucket code, no shuffle.
+    */
+  def coded(emb: DataFrame, bits: Int): DataFrame = {
+    VectorFunctions.ensureRegistered(emb.sparkSession)
+    val e = col("embedding")
+    emb
+      .withColumn("nrm", sqrt(VectorFunctions.dot(e, e)))
+      .select(col("vec_id"), e.as("embedding"), col("nrm"),
+        explode(VectorOps.lshBucketArr(e, bits)).as("tb"))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+  }
+
+  /** The batch-built static side: the corpus through the SAME coded
+    * projection, renamed for the join. At production scale this is an
+    * ingest artifact written bucketed by (t, bucket) with per-bucket caps
+    * (see [[VectorOps.lshIndex]]); callers persist or reload it between
+    * refreshes.
+    */
+  def corpusIndexOf(corpus: DataFrame, bits: Int): DataFrame =
+    coded(corpus, bits).select(col("vec_id").as("corpus_vec"),
+      col("embedding").as("corpus_emb"), col("nrm").as("corpus_nrm"),
+      col("t"), col("bucket"))
+
+  /** Near-dup hits of the STREAM against the CORPUS index: bucket
+    * collision in any table proposes, exact cosine confirms. A pair
+    * colliding in several tables emits once per table — consumers
+    * dropDuplicates(vec_id, corpus_vec) exactly like the lexical twin.
+    */
+  def candidatesVsCorpus(stream: DataFrame, corpusIndex: DataFrame,
+      bits: Int, threshold: Double = 0.95): DataFrame =
+    coded(stream, bits)
+      .join(corpusIndex, Seq("t", "bucket"))
+      .filter(col("vec_id") =!= col("corpus_vec"))
+      .withColumn("cosine",
+        VectorFunctions.dot(col("embedding"), col("corpus_emb")) /
+          (col("nrm") * col("corpus_nrm")))
+      .filter(col("cosine") >= threshold)
+      .select(col("vec_id"), col("corpus_vec"), col("cosine"))
+
+  /** [[candidatesVsCorpus]] with a PERIODICALLY REFRESHED corpus index —
+    * same consistency model as the lexical twin
+    * ([[StreamDedup.candidatesVsCorpusRefreshing]]): every `refreshEvery`
+    * micro-batches the parquet index at `indexPath` is re-read (after
+    * `refreshByPath`, dropping the shared file-listing cache), the
+    * previous snapshot unpersists and the fresh one persists; corpus
+    * additions become visible at the NEXT refresh boundary, never
+    * mid-batch. Returns an unstarted writer; `sink` receives each
+    * micro-batch's hits with the [[candidatesVsCorpus]] schema.
+    */
+  def candidatesVsCorpusRefreshing(stream: DataFrame, indexPath: String,
+      refreshEvery: Int, bits: Int, threshold: Double = 0.95)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(refreshEvery >= 1, s"refreshEvery must be >= 1, got $refreshEvery")
+    var idx: DataFrame = null
+    stream.writeStream.outputMode("append").foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val sp = batch.sparkSession
+        if (idx == null || batchId % refreshEvery == 0) {
+          if (idx != null) idx.unpersist()
+          sp.catalog.refreshByPath(indexPath)
+          idx = sp.read.parquet(indexPath).persist()
+        }
+        sink(candidatesVsCorpus(batch.toDF(), idx, bits, threshold), batchId)
+    }
+  }
+}

@@ -149,4 +149,29 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(expected.nonEmpty, "no pair survived — threshold too strict to test anything")
     assert(expected.size < lexical.size, "gate dropped nothing — threshold vacuous")
   }
+
+  test("incremental embed dedup equals the naive new×existing recompute") {
+    val cosT = 0.35
+    val rows = graft.Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    def dotD(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val (newB, existing) = rows.partition(_._1 % 10 == 9)
+    val expected = (for {
+      (na, ea, la) <- newB
+      (nb, eb, lb) <- existing
+      if la == lb
+      cos = dotD(ea, eb) / (math.sqrt(dotD(ea, ea)) * math.sqrt(dotD(eb, eb)))
+      if cos >= cosT
+    } yield (na, nb)).toSet
+    val got = VectorOps.incrEmbedDedup(spark, dir, cosT)
+      .select("vec_new", "vec_corpus").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+    assert(expected.nonEmpty, "no cross-slice pair survived — test is vacuous")
+  }
 }

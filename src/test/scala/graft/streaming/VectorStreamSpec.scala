@@ -1,0 +1,144 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** Streaming embedding near-dup vs corpus: the kernel is stateless, so a
+  * fully-drained stream must emit exactly the batch run of the same code;
+  * precision is exact (cosine-confirmed) and recall across 16 LSH tables
+  * is pinned against the exact brute-force pair set.
+  */
+class VectorStreamSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+  private val dir = "/root/testdata/sf0.001"
+  private val bits = 8
+
+  /** The corpus embeddings carry no high-cosine pairs across an id split,
+    * so the "new batch" is built the way the real workload produces one: a
+    * re-crawl REEMBEDS near-identical content, landing within a degree or
+    * two of the original vector. Deterministic small rotation, cosine with
+    * the parent ≈ 0.998.
+    */
+  private def recrawl(): Seq[(Long, Seq[Float])] =
+    graft.Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % 7 === 0)
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toSeq
+      .map { case (id, e) =>
+        val v = e.toIndexedSeq
+        (10000L + id, v.indices.map(i => v(i) + 0.05f * v((i + 1) % v.length)))
+      }.sortBy(_._1)
+
+  test("drained stream-vs-corpus hits equal the batch run of the same kernel") {
+    val emb = graft.Tables.embeddings(spark, dir)
+    val corpusIdx = VectorStream.corpusIndexOf(emb, bits).persist()
+    val streamRows = recrawl()
+    assert(streamRows.nonEmpty)
+
+    val expected = VectorStream.candidatesVsCorpus(
+        streamRows.toDF("vec_id", "embedding"), corpusIdx, bits)
+      .select("vec_id", "corpus_vec").distinct()
+      .as[(Long, Long)].collect().toSet
+    assert(expected.nonEmpty, "no stream-vs-corpus near-dups; test is vacuous")
+
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val stream = mem.toDS.select(col("_1").as("vec_id"), col("_2").as("embedding"))
+    val q = VectorStream.candidatesVsCorpus(stream, corpusIdx, bits)
+      .writeStream.format("memory").queryName("vec_hits")
+      .outputMode("append").start()
+    try {
+      val (first, second) = streamRows.splitAt(streamRows.length / 2)
+      mem.addData(first.toSeq: _*)
+      q.processAllAvailable()
+      mem.addData(second.toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("vec_hits")
+      .select("vec_id", "corpus_vec").distinct()
+      .as[(Long, Long)].collect().toSet
+    corpusIdx.unpersist()
+    assert(got == expected)
+  }
+
+  test("precision is exact and 16-table recall >= 0.9 vs brute-force cosine pairs") {
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    val emb = graft.Tables.embeddings(spark, dir)
+      .withColumn("nrm", sqrt(graft.functions.VectorFunctions.dot(
+        col("embedding"), col("embedding"))))
+    val streamDf = recrawl().toDF("vec_id", "embedding")
+      .withColumn("nrm", sqrt(graft.functions.VectorFunctions.dot(
+        col("embedding"), col("embedding"))))
+    // exact new×corpus pairs at the stream threshold, same arithmetic
+    val exact = streamDf
+      .select(col("vec_id").as("a"), col("embedding").as("ea"), col("nrm").as("na"))
+      .crossJoin(emb
+        .select(col("vec_id").as("b"), col("embedding").as("eb"), col("nrm").as("nb")))
+      .withColumn("cosine", graft.functions.VectorFunctions.dot(col("ea"), col("eb")) /
+        (col("na") * col("nb")))
+      .filter(col("cosine") >= 0.95)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "no 0.95-cosine stream-vs-corpus pairs; test is vacuous")
+
+    val corpusIdx = VectorStream.corpusIndexOf(emb, bits)
+    val got = VectorStream.candidatesVsCorpus(
+        streamDf.select("vec_id", "embedding"), corpusIdx, bits)
+      .select("vec_id", "corpus_vec").distinct()
+      .as[(Long, Long)].collect().toSet
+
+    val spurious = got -- exact
+    assert(spurious.isEmpty, s"cosine-confirmed pairs must be exact: $spurious")
+    val recall = (got & exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall below floor (|exact|=${exact.size})")
+  }
+
+  test("refreshing corpus index: additions invisible until the refresh boundary, then hit") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-vecidx").toString
+    // two orthogonal-ish deterministic 64-dim vectors
+    val vecA: Seq[Float] = (0 until 64).map(i => if (i < 32) 1.0f else 0.1f)
+    val vecB: Seq[Float] = (0 until 64).map(i => if (i < 32) 0.1f else -1.0f)
+    VectorStream.corpusIndexOf(
+        Seq((1L, vecA)).toDF("vec_id", "embedding"), bits)
+      .write.mode("overwrite").parquet(tmp)
+
+    val hits = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val stream = mem.toDS.select(col("_1").as("vec_id"), col("_2").as("embedding"))
+    val q = VectorStream.candidatesVsCorpusRefreshing(
+        stream, tmp, refreshEvery = 2, bits = bits) { (df, bid) =>
+      val rows = df.select("vec_id", "corpus_vec").distinct().collect()
+      hits.synchronized {
+        rows.foreach(r => hits += ((bid, r.getLong(0), r.getLong(1))))
+      }
+    }.start()
+    try {
+      // batch 0 (refresh): an exact re-embed of corpus vector 1 hits it
+      mem.addData((9001L, vecA))
+      q.processAllAvailable()
+      // corpus addition delivered as a raw part-file move (a same-session
+      // write would auto-recache via refreshByPath and defeat staleness)
+      val side = java.nio.file.Files.createTempDirectory("graft-vecidx-add").toString
+      VectorStream.corpusIndexOf(
+          Seq((2L, vecB)).toDF("vec_id", "embedding"), bits)
+        .coalesce(1).write.mode("overwrite").parquet(side)
+      val part = new java.io.File(side).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(tmp, part.getName))
+      // batch 1 (no refresh): stale snapshot — 9002 misses vector 2
+      mem.addData((9002L, vecB))
+      q.processAllAvailable()
+      // batch 2 (refresh): the same embedding now hits the addition
+      mem.addData((9003L, vecB))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    assert(hits.toSet == Set((0L, 9001L, 1L), (2L, 9003L, 2L)), s"got $hits")
+  }
+}
