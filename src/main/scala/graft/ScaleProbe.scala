@@ -151,12 +151,35 @@ object ScaleProbe {
       val tBrute = time(Bench.force(VectorOps.cosineTopK(spark, d)))
       val tTuned = time(Bench.force(VectorOps.annLsh(spark, d, pb, mf)))
       val tPq = time(Bench.force(VectorOps.annPq(spark, d)))
+      // ingest-dedup contrast: the EXACT incremental embed dedup scores
+      // batch×corpus inside label blocks (work grows with the product),
+      // while the VectorStream LSH kernel checks a FIXED re-crawl batch
+      // against the bucketed index — per-batch cost should stay flat as
+      // the corpus grows; that flatness is the 100 TB ingest argument
+      val tIncr = time(Bench.force(VectorOps.incrEmbedDedup(spark, d)))
+      val sBits = VectorOps.lshBitsFor(n)
+      val vIdx = graft.streaming.VectorStream.corpusIndexOf(
+        Tables.embeddings(spark, d), sBits).persist()
+      vIdx.count() // ingest-time index build, untimed
+      val recrawl = (0L until 500L).map { i =>
+        val rnd = rngFor(i * 104729L + 5)
+        val e = synthVec(i).embedding
+        (1000000L + i,
+          e.indices.map(j => e(j) + 0.05f * (rnd.nextGaussian().toFloat)).toArray)
+      }
+      import spark.implicits._
+      val batchDf = recrawl.toDF("vec_id", "embedding")
+      val tStream = time(Bench.force(graft.streaming.VectorStream
+        .candidatesVsCorpus(batchDf, vIdx, sBits)))
+      vIdx.unpersist()
       println(f"[scaleprobe] ann $tag%-4s n=$n%6d bits=${occ.bits} " +
         f"net=($pb,$mf) pred=$pred%.3f meas=$meas%.3f recall=$recall%.2f " +
-        f"ivf_recall=$ivfRecall%.2f pq_recall=$pqRecall%.2f brute=$tBrute%5.2fs lsh=$tTuned%5.2fs pq=$tPq%5.2fs")
+        f"ivf_recall=$ivfRecall%.2f pq_recall=$pqRecall%.2f brute=$tBrute%5.2fs lsh=$tTuned%5.2fs pq=$tPq%5.2fs " +
+        f"incr=$tIncr%5.2fs vstream=$tStream%5.2fs")
       s""""ann_$tag":{"n":$n,"bits":${occ.bits},"net":[$pb,$mf],"pred":$pred,""" +
         s""""measured":$meas,"recall":$recall,"pq_recall":$pqRecall,""" +
-        s""""brute_s":$tBrute,"lsh_s":$tTuned,"pq_s":$tPq}"""
+        s""""brute_s":$tBrute,"lsh_s":$tTuned,"pq_s":$tPq,""" +
+        s""""incr_s":$tIncr,"vstream_s":$tStream}"""
     }
   }
 

@@ -226,6 +226,30 @@ class PlanSpec extends AnyFunSuite {
     assert(p.split("InMemoryTableScan").length - 1 >= 3, p)
   }
 
+  test("incremental embed dedup: new batch broadcasts into the label block, no cartesian") {
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    val p = plan(graft.operators.VectorOps.incrEmbedDedup(spark, dir))
+    // the crawl-day side is small by definition — it must ride a broadcast,
+    // never shuffle the corpus side against it
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("vector stream kernel: bucket projection is exchange-free up to the index join") {
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    val emb = Tables.embeddings(spark, dir)
+    // the stream-side projection (norm + 16 bucket codes) must stay
+    // row-wise: at ingest scale any shuffle here is per-document cost
+    val coded = plan(graft.streaming.VectorStream.coded(
+      emb.select("vec_id", "embedding"), bits = 8))
+    assert(!coded.contains("Exchange"), coded)
+    val joined = plan(graft.streaming.VectorStream.candidatesVsCorpus(
+      emb.select("vec_id", "embedding").limit(10),
+      graft.streaming.VectorStream.corpusIndexOf(emb, bits = 8), bits = 8))
+    assert(!joined.contains("CartesianProduct") &&
+      !joined.contains("BroadcastNestedLoopJoin"), joined)
+  }
+
   test("bpe round: pair count is one exchange + TakeOrdered top-1; rule apply is exchange-free") {
     graft.functions.VectorFunctions.ensureRegistered(spark)
     val seqs = graft.operators.TextOps.bpeSeqs(Tables.documents(spark, dir))
