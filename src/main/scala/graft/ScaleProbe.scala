@@ -206,7 +206,9 @@ object ScaleProbe {
       synthesize(spark, d, n)
       tag -> d
     }.toMap
-    val qs = SparkEntry.queries.filter { case (k, _) => probeQueries.contains(k) }
+    // optional argv filter: probe only the named queries (diagnosis runs)
+    val wanted = if (args.nonEmpty) args.toSet else probeQueries.toSet
+    val qs = SparkEntry.queries.filter { case (k, _) => wanted.contains(k) }
     // warmup both dirs (JIT, codegen, parquet footers)
     dirs.values.foreach(d => qs.foreach { case (_, fn) => Bench.force(fn(spark, d)) })
     val results = for ((name, fn) <- qs.toSeq.sortBy(_._1)) yield {
@@ -220,6 +222,11 @@ object ScaleProbe {
       val ratio = times("x10") / times("x1")
       println(f"[scaleprobe] $name%-18s x1=${times("x1")}%6.2fs x10=${times("x10")}%6.2fs ratio=$ratio%5.2f")
       s""""$name":{"x1":${times("x1")},"x10":${times("x10")},"ratio":$ratio}"""
+    }
+    if (args.nonEmpty) { // diagnosis run: doc-family rows only
+      println(s"""{"metric":"scaleprobe","n1":$n1,"n10":${n1 * 10},""" +
+        results.mkString(",") + "}")
+      spark.stop(); return
     }
     // 30× tier for the batch×corpus cross engine: one more decade-ish on
     // q_incremental_dedup, where stage overhead stops dominating
