@@ -228,24 +228,29 @@ object ScaleProbe {
         results.mkString(",") + "}")
       spark.stop(); return
     }
-    // 30× tier for the batch×corpus cross engine: one more decade-ish on
-    // q_incremental_dedup, where stage overhead stops dominating
+    // 30× tier: one more decade-ish past stage-overhead dominance for the
+    // batch×corpus cross engine AND the core banded/prefix dedup families
     val d30 = s"$base/x30"
     synthesize(spark, d30, n1 * 30)
-    val incFn = SparkEntry.queries("q_incremental_dedup")
-    Bench.force(incFn(spark, d30)) // warmup the 30x dir
-    val t30 = median((1 to 3).map { _ =>
-      val t0 = System.nanoTime()
-      Bench.force(incFn(spark, d30))
-      (System.nanoTime() - t0) / 1e9
-    })
-    val inc1 = {
-      val t0 = System.nanoTime()
-      Bench.force(incFn(spark, dirs("x1")))
-      (System.nanoTime() - t0) / 1e9
+    val x30Queries = Seq("q_incremental_dedup", "q_minhash_lsh",
+      "q_ngram_jaccard", "q_dup_spans")
+    val x30rows = x30Queries.map { qn =>
+      val fn = SparkEntry.queries(qn)
+      Bench.force(fn(spark, d30)) // warmup the 30x dir for this family
+      val t30 = median((1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        Bench.force(fn(spark, d30))
+        (System.nanoTime() - t0) / 1e9
+      })
+      val t1 = {
+        val t0 = System.nanoTime()
+        Bench.force(fn(spark, dirs("x1")))
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[scaleprobe] $qn%-18s x30=$t30%6.2fs (x1=$t1%5.2fs ratio=${t30 / t1}%5.2f)")
+      s""""${qn}_x30":{"x30":$t30,"x1":$t1,"ratio":${t30 / t1}}"""
     }
-    println(f"[scaleprobe] q_incremental_dedup x30=$t30%6.2fs (x1=$inc1%5.2fs ratio=${t30 / inc1}%5.2f)")
-    val x30row = s""""q_incremental_dedup_x30":{"x30":$t30,"x1":$inc1,"ratio":${t30 / inc1}}"""
+    val x30row = x30rows.mkString(",")
     val sketch = sketchProbe(spark, dirs)
     val ann = annProbe(spark, base)
     println(s"""{"metric":"scaleprobe","n1":$n1,"n10":${n1 * 10},""" +
