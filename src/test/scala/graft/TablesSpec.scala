@@ -56,4 +56,36 @@ class TablesSpec extends AnyFunSuite {
     assert(Tables.fingerprint(dir.getPath, "documents") ==
       Tables.fingerprint(dir.getPath, "documents"))
   }
+
+  /** Schema-drift tripwire: the driver regenerates /root/testdata between
+    * rounds and has changed physical types before (events.ts shipped as
+    * TIMESTAMP(NANOS), then plain micros/TIMESTAMP_NTZ — r6). Every
+    * operator and every DuckDB oracle assumes the surface schema below;
+    * when the next drift lands, THIS test names the column instead of 37
+    * operator tests failing with coercion errors. Fix drift inside
+    * `graft.Tables` (single point), never in operators.
+    */
+  test("driver testdata matches the canonical surface schema") {
+    val spark = TestSpark.spark
+    val dir = "/root/testdata/sf0.001"
+    val expected = Map(
+      "events" -> ("event_id:bigint, ts:timestamp, user_id:bigint, " +
+        "event_type:string, value:double, props:string"),
+      "documents" -> ("doc_id:bigint, text:string, lang:string, " +
+        "source:string, n_chars:bigint"),
+      "embeddings" -> "vec_id:bigint, embedding:array<float>, label:int",
+      "lineitem" -> ("l_orderkey:bigint, l_partkey:bigint, l_suppkey:bigint, " +
+        "l_linenumber:int, l_quantity:double, l_extendedprice:double, " +
+        "l_discount:double, l_tax:double, l_returnflag:string, " +
+        "l_linestatus:string, l_shipdate:timestamp_ntz"),
+      "orders" -> ("o_orderkey:bigint, o_custkey:bigint, o_orderstatus:string, " +
+        "o_totalprice:double, o_orderdate:timestamp_ntz, o_orderpriority:string"))
+    expected.foreach { case (name, want) =>
+      val df = if (name == "events") Tables.events(spark, dir)
+        else Tables.table(spark, dir, name)
+      val got = df.schema.fields
+        .map(f => s"${f.name}:${f.dataType.simpleString}").mkString(", ")
+      assert(got == want, s"\ntable $name drifted:\n  got  $got\n  want $want")
+    }
+  }
 }
