@@ -114,6 +114,7 @@ object SparkEntry {
     "q_cosine_topk" -> VectorOps.cosineTopK _,
     "q_embed_near_dup" -> VectorOps.embeddingNearDup _,
     "q_embed_clusters" -> VectorOps.embedClusters _,
+    "q_embed_prune" -> VectorOps.embedPrune _,
     "q_hybrid_dedup" -> ((s, d) => VectorOps.hybridNearDup(s, d)),
     "q_embed_incr_dedup" -> ((s, d) => VectorOps.incrEmbedDedup(s, d)),
     "q_bpe_merges" -> ((s, d) => TextOps.bpeMerges(s, d)),
@@ -128,6 +129,34 @@ object SparkEntry {
   )
 
   private val stopList = "('the','a','an','of','and','to','in','is','it','on','for')"
+
+  /** Shared CTE chain for the embedding connected-components oracles
+    * (q_embed_clusters report + q_embed_prune scrub): label-blocked
+    * cosine pairs, symmetric edge closure, and the component-minimum
+    * canonical per vector, materialized as `canon`.
+    */
+  private val embedClusterCtes =
+    """WITH RECURSIVE flat AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+      |                generate_subscripts(embedding, 1) AS i FROM embeddings),
+      |nrm AS (SELECT vec_id, sqrt(SUM(x*x)) AS nrm FROM flat GROUP BY 1),
+      |cand AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      |         FROM embeddings a JOIN embeddings b
+      |         ON a.label = b.label AND a.vec_id < b.vec_id),
+      |dotp AS (SELECT p.vec_a, p.vec_b, SUM(fa.x*fb.x) AS dp
+      |         FROM cand p JOIN flat fa ON fa.vec_id = p.vec_a
+      |         JOIN flat fb ON fb.vec_id = p.vec_b AND fb.i = fa.i
+      |         GROUP BY 1, 2),
+      |jp AS (SELECT vec_a, vec_b FROM dotp
+      |       JOIN nrm na ON na.vec_id = vec_a JOIN nrm nb ON nb.vec_id = vec_b
+      |       WHERE ROUND(dp/(na.nrm*nb.nrm), 4) >= 0.35),
+      |edges AS (SELECT vec_a AS a, vec_b AS b FROM jp UNION SELECT vec_b, vec_a FROM jp),
+      |reach(a, b) AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      |canon AS (SELECT v.vec_id, LEAST(v.vec_id, COALESCE(MIN(r.b), v.vec_id)) AS canonical
+      |          FROM embeddings v LEFT JOIN reach r ON r.a = v.vec_id
+      |          GROUP BY v.vec_id)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_scan_filter" ->
@@ -453,27 +482,17 @@ object SparkEntry {
         |WHERE CAST(common AS DOUBLE)/(sa.sz + sb.sz - common) >= 0.95
         |ORDER BY doc_a, doc_b""".stripMargin,
     "q_embed_clusters" ->
-      """WITH RECURSIVE flat AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
-        |                generate_subscripts(embedding, 1) AS i FROM embeddings),
-        |nrm AS (SELECT vec_id, sqrt(SUM(x*x)) AS nrm FROM flat GROUP BY 1),
-        |cand AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-        |         FROM embeddings a JOIN embeddings b
-        |         ON a.label = b.label AND a.vec_id < b.vec_id),
-        |dotp AS (SELECT p.vec_a, p.vec_b, SUM(fa.x*fb.x) AS dp
-        |         FROM cand p JOIN flat fa ON fa.vec_id = p.vec_a
-        |         JOIN flat fb ON fb.vec_id = p.vec_b AND fb.i = fa.i
-        |         GROUP BY 1, 2),
-        |jp AS (SELECT vec_a, vec_b FROM dotp
-        |       JOIN nrm na ON na.vec_id = vec_a JOIN nrm nb ON nb.vec_id = vec_b
-        |       WHERE ROUND(dp/(na.nrm*nb.nrm), 4) >= 0.35),
-        |edges AS (SELECT vec_a AS a, vec_b AS b FROM jp UNION SELECT vec_b, vec_a FROM jp),
-        |reach(a, b) AS (
-        |  SELECT a, b FROM edges
-        |  UNION
-        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
-        |SELECT v.vec_id, LEAST(v.vec_id, COALESCE(MIN(r.b), v.vec_id)) AS canonical
-        |FROM embeddings v LEFT JOIN reach r ON r.a = v.vec_id
-        |GROUP BY v.vec_id ORDER BY v.vec_id""".stripMargin,
+      s"""$embedClusterCtes
+        |SELECT vec_id, canonical FROM canon ORDER BY vec_id""".stripMargin,
+    "q_embed_prune" ->
+      // scrub face of the cluster report: component-minimum survivors
+      // with their cluster sizes, labels fetched off the survivor row
+      s"""$embedClusterCtes,
+        |sz AS (SELECT canonical, CAST(COUNT(*) AS BIGINT) AS n_members
+        |       FROM canon GROUP BY 1)
+        |SELECT v.vec_id, v.label, sz.n_members
+        |FROM embeddings v JOIN sz ON sz.canonical = v.vec_id
+        |ORDER BY v.vec_id""".stripMargin,
     "q_bpe_merges" -> {
       // Merge replay as delimiter-wrapped string replace: each token is
       // wrapped in  (absent from the data), so the sequence reads

@@ -76,6 +76,29 @@ object VectorOps {
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cosine"))
   }
 
+  /** Semantic-dedup SCRUB — the action face of [[embedClusters]]'s
+    * report (the same report→scrub pairing as dupSpans→spanScrub): keep
+    * exactly one vector per near-duplicate cluster (the component-minimum
+    * canonical, deterministic), emitting each survivor with its cluster
+    * size — the SemDeDup-style pruning step that keeps semantic
+    * near-copies out of a training corpus and out of ANN indexes (whose
+    * quantized tie-breaking degrades on duplicate-heavy corpora — see
+    * SCALE.md's IVF-PQ rerank lesson).
+    *
+    * Scale shape: composes on the cluster map with one canonical-keyed
+    * aggregate and one id-equality join — no new pair-granularity work;
+    * survivors join back to the corpus on the primary key, which AQE
+    * broadcasts when the cluster map is small.
+    */
+  def embedPrune(spark: SparkSession, dir: String): DataFrame = {
+    val sizes = embedClusters(spark, dir)
+      .groupBy("canonical").agg(count(lit(1)).as("n_members"))
+    Tables.embeddings(spark, dir)
+      .join(sizes, col("vec_id") === col("canonical"))
+      .select(col("vec_id"), col("label"), col("n_members"))
+      .orderBy("vec_id")
+  }
+
   /** Incremental EMBEDDING dedup — the vector face of
     * [[TextOps.incrementalDedup]]: a NEW batch of vectors (the
     * `vec_id % 10 == 9` slice, the stand-in for today's crawl) is checked

@@ -150,6 +150,17 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(expected.size < lexical.size, "gate dropped nothing — threshold vacuous")
   }
 
+  test("embed prune keeps exactly the cluster canonicals; sizes partition the corpus") {
+    val cl = VectorOps.embedClusters(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = cl.groupBy(_._2).map { case (c, rows) => (c, rows.size.toLong) }
+    val got = VectorOps.embedPrune(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(got == expected)
+    assert(got.values.sum == cl.length) // every vector in exactly one cluster
+    assert(got.size < cl.length, "no cluster has >1 member — prune vacuous")
+  }
+
   test("incremental embed dedup equals the naive new×existing recompute") {
     val cosT = 0.35
     val rows = graft.Tables.embeddings(spark, dir)
