@@ -120,6 +120,7 @@ object SparkEntry {
     "q_bpe_merges" -> ((s, d) => TextOps.bpeMerges(s, d)),
     "q_bpe_tokens" -> ((s, d) => TextOps.bpeTokenCounts(s, d)),
     "q_corpus_build" -> TextOps.corpusBuild _,
+    "q_knn_join" -> ((s, d) => VectorOps.knnJoin(s, d)),
     "q_ann_lsh" -> ((s, d) => VectorOps.annLshTuned(s, d, budget = 0.6)),
     "q_ann_ivf" -> ((s, d) => VectorOps.annIvf(s, d)),
     "q_ann_pq" -> ((s, d) => VectorOps.annPq(s, d)),

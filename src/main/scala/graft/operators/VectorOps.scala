@@ -76,6 +76,49 @@ object VectorOps {
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cosine"))
   }
 
+  /** All-vectors kNN GRAPH — each vector's top-`k` nearest neighbors by
+    * exact cosine among its LSH bucket collisions: the primitive under
+    * SemDeDup-style pruning, dedup-graph construction and hard-negative
+    * mining, where EVERY vector is a query (unlike [[cosineTopK]]'s fixed
+    * query set, which broadcasts because it is tiny by definition).
+    *
+    * Spark-first shape: the query side is the same row-wise bucket
+    * projection the index build runs ([[lshBucketArr]]); the (t, bucket)
+    * equality join replaces the n² self-join — per-vector candidate work
+    * is O(tables × maxBucket) regardless of corpus size — and the
+    * per-vector top-k window partitions on vec_id (millions of tiny
+    * partitions, the shape window exchanges shard well). Recall rides the
+    * LSH tables and concentrates on HIGH-cosine neighbors (the ones
+    * semantic pipelines act on): pinned ≥0.9 for planted near-duplicates
+    * in VectorOpsSpec on a strong-neighbor corpus; the driver fixture's
+    * weak-angular "neighbors" (cosine ~0.3) make its row a rows-only
+    * check, like the other sketch-defined ANN surfaces.
+    */
+  def knnJoin(spark: SparkSession, dir: String, k: Int = 3,
+      maxBucket: Int = 256): DataFrame = {
+    VectorFunctions.ensureRegistered(spark)
+    val (idx, bits) = cachedLshIndex(spark, dir, maxBucket)
+    val q = Tables.embeddings(spark, dir)
+      .withColumn("nrm", norm(col("embedding")))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        explode(lshBucketArr(col("embedding"), bits)).as("tb"))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+    val w = Window.partitionBy("vec_id").orderBy(col("cosine").desc, col("nid"))
+    q.join(idx, Seq("t", "bucket"))
+      .filter(col("vec_id") =!= col("nid"))
+      // same rounded-presentation cosine as cosineTopK: rank on the
+      // rounded value, tie-break by nid — a deterministic total order
+      .select(col("vec_id"), col("nid"),
+        round(dot(col("embedding"), col("ne")) /
+          (col("nrm") * col("nn")), 4).as("cosine"))
+      .dropDuplicates("vec_id", "nid")
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select("vec_id", "rk", "nid", "cosine")
+      .orderBy("vec_id", "rk")
+  }
+
   /** Semantic-dedup SCRUB — the action face of [[embedClusters]]'s
     * report (the same report→scrub pairing as dupSpans→spanScrub): keep
     * exactly one vector per near-duplicate cluster (the component-minimum

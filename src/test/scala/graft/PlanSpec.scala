@@ -250,6 +250,12 @@ class PlanSpec extends AnyFunSuite {
       !joined.contains("BroadcastNestedLoopJoin"), joined)
   }
 
+  test("knn join: bucket-equality join replaces the n² self-join — no cartesian") {
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    val p = plan(graft.operators.VectorOps.knnJoin(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("bpe round: pair count is one exchange + TakeOrdered top-1; rule apply is exchange-free") {
     graft.functions.VectorFunctions.ensureRegistered(spark)
     val seqs = graft.operators.TextOps.bpeSeqs(Tables.documents(spark, dir))

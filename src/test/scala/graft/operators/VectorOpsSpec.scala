@@ -150,6 +150,49 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(expected.size < lexical.size, "gate dropped nothing — threshold vacuous")
   }
 
+  test("knn join finds planted high-cosine neighbors (recall >= 0.9) and ranks correctly") {
+    // strong-neighbor corpus (the ScaleProbe ANN recipe): every 13th
+    // vector is a noised copy of one of five bases — those planted pairs
+    // sit at high cosine, the regime the kNN graph exists to catch
+    val tmp = java.nio.file.Files.createTempDirectory("graft-knn").toString
+    val n = 2000
+    locally {
+      import graft.TestSpark.spark.implicits._
+      (0 until n).map(i => graft.ScaleProbe.synthVec(i.toLong))
+        .toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    }
+    val got = VectorOps.knnJoin(spark, tmp, k = 3).collect()
+      .groupBy(_.getAs[Long]("vec_id"))
+    // per-vector: at most k rows, ranks contiguous, cosine non-increasing
+    got.foreach { case (v, rows) =>
+      assert(rows.length <= 3)
+      val byRk = rows.sortBy(_.getAs[Long]("rk"))
+      assert(byRk.map(_.getAs[Long]("rk")).toSeq == (1L to rows.length).toSeq)
+      val cs = byRk.map(_.getAs[Double]("cosine")).toSeq
+      assert(cs == cs.sorted.reverse, s"vec $v not ranked by cosine: $cs")
+    }
+    // recall on the planted vectors: their true nearest neighbor
+    // (driver-recomputed brute force) must appear in the top-3
+    val vecs = (0 until n).map(i => graft.ScaleProbe.synthVec(i.toLong))
+      .map(v => v.vec_id -> v.embedding).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      def d(x: Array[Float], y: Array[Float]) = {
+        var s = 0.0; var i = 0
+        while (i < x.length) { s += x(i).toDouble * y(i).toDouble; i += 1 }; s
+      }
+      d(a, b) / (math.sqrt(d(a, a)) * math.sqrt(d(b, b)))
+    }
+    val planted = (5 until n).filter(_ % 13 == 0).map(_.toLong)
+    val hit = planted.count { p =>
+      val truth = vecs.keys.filter(_ != p)
+        .maxBy(o => cos(vecs(p), vecs(o)))
+      got.get(p).exists(_.exists(_.getAs[Long]("nid") == truth))
+    }
+    val recall = hit.toDouble / planted.size
+    assert(recall >= 0.9, s"planted-neighbor recall $recall (${planted.size} planted)")
+  }
+
   test("embed prune keeps exactly the cluster canonicals; sizes partition the corpus") {
     val cl = VectorOps.embedClusters(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
