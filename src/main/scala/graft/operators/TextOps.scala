@@ -965,9 +965,14 @@ object TextOps {
     * counts here are the manifest of that decision.
     *
     * Scale shape: chunks shuffle as 16-byte md5 keys (same minimum-width
-    * move as [[dedupExact]]), first-owner resolution is ONE window over
-    * that key (no self-join), and the per-document rollup is the only
-    * other exchange. Chunk volume ≈ corpus token volume / 16.
+    * move as [[dedupExact]]). First-owner resolution is a map-side-
+    * combinable `groupBy(ck).agg(min(doc_id))` joined back to the chunk
+    * occurrences — NOT a window over the content key: a window would land
+    * every occurrence of a hot boilerplate chunk (a nav template in 10⁸
+    * documents) in ONE task, and AQE cannot split windows. The aggregate
+    * collapses the hot key map-side and AQE's skew-join splits the
+    * join-back, so no task is ever bound by one chunk's popularity.
+    * Chunk volume ≈ corpus token volume / 16.
     */
   def chunkDedup(spark: SparkSession, dir: String, chunkTokens: Int = 16): DataFrame =
     chunkDedupOver(Tables.documents(spark, dir), chunkTokens)
@@ -983,9 +988,9 @@ object TextOps {
       .filter(col("text").isNotNull)
       .select(col("doc_id"), explode(array_distinct(chunkArr)).as("chunk"))
       .select(col("doc_id"), unhex(md5(col("chunk").cast("binary"))).as("ck"))
-    val firstOwner = Window.partitionBy("ck")
+    val firstOwner = chunks.groupBy("ck").agg(min(col("doc_id")).as("first_doc"))
     chunks
-      .withColumn("first_doc", min(col("doc_id")).over(firstOwner))
+      .join(firstOwner, Seq("ck"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_chunks"),
         count(when(col("first_doc") < col("doc_id"), lit(1))).as("n_dup_chunks"))
@@ -1041,14 +1046,20 @@ object TextOps {
     * convention): the window string joined by ' ' is injective only over
     * non-empty symbols, and the oracle shares the convention.
     *
-    * Scale shape: window occurrences shuffle ONCE as 16-byte md5 keys —
+    * Scale shape: window occurrences shuffle as 16-byte md5 keys —
     * volume ≈ corpus token volume, the w× wider explode than
     * [[chunkDedup]]'s disjoint chunks that exact substring sensitivity
-    * costs, but the keys stay minimum-width and the count is one window
-    * over them (no self-join). Flagged positions (duplicated text only,
-    * output-sensitive) shuffle back to their documents for ONE ordered
-    * window that merges runs (`i > lag(i) + w` starts a new span), and
-    * the per-document rollup rides that partitioning exchange-free.
+    * costs, but the keys stay minimum-width. The ≥2 test is a map-side-
+    * combinable `groupBy(gk).count` whose duplicated-key survivors
+    * semi-join back against the occurrences — NOT a window over the
+    * content key, so a window shared by 10⁸ documents collapses map-side
+    * in the aggregate and AQE's skew-join splits the join-back instead
+    * of one task absorbing every occurrence. Flagged positions
+    * (duplicated text only, output-sensitive) shuffle back to their
+    * documents for ONE ordered window that merges runs (`i > lag(i) + w`
+    * starts a new span) — that window partitions by doc_id, a natural
+    * key no single document can skew — and the per-document rollup rides
+    * that partitioning exchange-free.
     */
   def dupSpans(spark: SparkSession, dir: String, windowTokens: Int = 8): DataFrame =
     dupSpansOver(Tables.documents(spark, dir), windowTokens)
@@ -1088,9 +1099,10 @@ object TextOps {
 
   private[operators] def dupSpansOver(docs: DataFrame, w: Int): DataFrame = {
     val tok = spanToks(docs)
-    val flagged = windowOccs(tok, w)
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("gk")))
-      .filter(col("n") >= 2)
+    val occs = windowOccs(tok, w)
+    val dupKeys = occs.groupBy("gk").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).select("gk")
+    val flagged = occs.join(dupKeys, Seq("gk"), "leftsemi")
     val perDoc = mergedSpans(flagged, w).groupBy("doc_id")
       .agg(count(lit(1)).as("n_dup_spans"),
         sum(col("e") - col("s") + 1).cast("long").as("dup_tokens"))
@@ -1110,7 +1122,11 @@ object TextOps {
     * (the covered-token union of the non-first occurrences is removed) —
     * the all-but-one-copy semantics of exact-substring dedup pipelines.
     *
-    * Scale shape: the window count and span merge are [[dupSpans]]'s; the
+    * Scale shape: the duplicate test and span merge are [[dupSpans]]'s —
+    * keep-first identity comes from `min(struct(doc_id, i))` inside the
+    * same map-side-combinable per-key aggregate (a hot window's first
+    * occurrence collapses in the combiner; no row_number over a content
+    * key, which would pin a hot key's every occurrence on one task); the
     * rebuild is ROW-WISE — each document joins its handful of merged
     * scrub spans (doc-granular broadcast-or-shuffle join, duplicated-text
     * volume) and drops covered positions with an interval test per token,
@@ -1122,11 +1138,18 @@ object TextOps {
 
   private[operators] def spanScrubOver(docs: DataFrame, w: Int): DataFrame = {
     val tok = spanToks(docs)
-    val gk = Window.partitionBy("gk")
-    val scrubOcc = windowOccs(tok, w)
-      .withColumn("n", count(lit(1)).over(gk))
-      .withColumn("rn", row_number().over(gk.orderBy("doc_id", "i")))
-      .filter(col("n") >= 2 && col("rn") > 1)
+    val occs = windowOccs(tok, w)
+    // struct compares lexicographically: min(struct(doc_id, i)) IS the
+    // row_number()=1 occurrence under orderBy(doc_id, i) — but partial-
+    // aggregable, so a hot window's winner resolves map-side.
+    val firstOcc = occs.groupBy("gk")
+      .agg(count(lit(1)).as("n"),
+        min(struct(col("doc_id"), col("i"))).as("first"))
+      .filter(col("n") >= 2)
+      .select(col("gk"), col("first"))
+    val scrubOcc = occs.join(firstOcc, Seq("gk"))
+      .filter(col("doc_id") =!= col("first").getField("doc_id") ||
+        col("i") =!= col("first").getField("i"))
       .select(col("doc_id"), col("i"))
     val docSpans = mergedSpans(scrubOcc, w).groupBy("doc_id")
       .agg(collect_list(struct(col("s"), col("e"))).as("spans"))
@@ -1454,8 +1477,10 @@ object TextOps {
     * literal is 8 bytes/gram and the per-row intersect compares longs
     * (collision odds the usual vanishing ~|doc|·|eval|/2^64). Benchmark
     * suites are MBs against a 100 TB corpus, so the embedded-literal
-    * broadcast is the right size class; an adversarially huge eval set
-    * would switch to [[decontaminate]]'s broadcast semi-join instead.
+    * broadcast is the right size class; [[evalGramHashesOf]] ENFORCES
+    * that bet with a size gate, and past it batch callers switch to
+    * [[mixGatesVsKeys]] — the same gates with the membership test as a
+    * semi-join (equality pinned in CorpusPropertySpec).
     */
   private[graft] def mixGates(docs: DataFrame, evalGramHashes: Seq[Long],
       thresholds: Map[String, Double], maxTopTokenFrac: Int = 5,
@@ -1472,14 +1497,68 @@ object TextOps {
         element_at(typedlit(thresholds), col("lang")), lit(1.0)))
   }
 
+  /** Driver budget for the eval-gram LITERAL path: 8 B × this many grams
+    * = 1 MiB embedded in the plan. Benchmark eval suites sit orders of
+    * magnitude under it; crossing it means the "eval set" is not
+    * benchmark-sized and the membership test belongs in a join, not a
+    * literal ([[mixGatesVsKeys]]).
+    */
+  private[graft] val maxGramsLiteral: Long = 128L * 1024
+
+  /** The distinct eval-gram key frame — [[mixGatesVsKeys]]'s join side,
+    * and the counted gate for [[evalGramHashesOf]]'s collect.
+    */
+  private[graft] def evalGramKeysOf(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .select(explode(shingles(col("text"), 3)).as("h")).distinct()
+
   /** The eval-gram hash set for [[mixGates]], computed batch-side from any
     * (text) frame of eval/benchmark documents — same [[shingles]] hash
-    * space as the gate's per-document grams.
+    * space as the gate's per-document grams. GATED: the distinct-gram
+    * count is checked BEFORE anything is collected, so an adversarially
+    * large "eval set" fails fast instead of flooding the driver; callers
+    * past the budget use [[mixGatesVsKeys]].
     */
-  private[graft] def evalGramHashesOf(docs: DataFrame): Seq[Long] =
-    docs.filter(col("text").isNotNull)
-      .select(explode(shingles(col("text"), 3)).as("h"))
-      .distinct().collect().map(_.getLong(0)).toSeq
+  private[graft] def evalGramHashesOf(docs: DataFrame,
+      maxGrams: Long = maxGramsLiteral): Seq[Long] = {
+    val keys = evalGramKeysOf(docs)
+    val n = keys.count()
+    require(n <= maxGrams,
+      s"eval gram set has $n distinct grams > literal budget $maxGrams; " +
+        "use mixGatesVsKeys (semi-join membership) instead")
+    keys.collect().map(_.getLong(0)).toSeq
+  }
+
+  /** [[mixGates]] past the literal budget — identical gate semantics with
+    * the decontamination membership test as a SEMI-JOIN against the
+    * distinct gram-key frame: per-document distinct shared grams are
+    * counted (the literal path's `array_intersect` also counts distinct),
+    * documents at >= `minShared` anti-join out, and the row-wise
+    * repetition + temperature gates apply unchanged. AQE broadcasts the
+    * key side while it fits and shuffles both sides past that — either
+    * way the corpus never collects anywhere. Batch-side only: the
+    * streaming twin keeps the literal contract (a stream cannot re-count
+    * state per batch), which the refresh process guarantees by
+    * construction — eval suites are curated artifacts, not crawls.
+    */
+  private[graft] def mixGatesVsKeys(docs: DataFrame, evalKeys: DataFrame,
+      thresholds: Map[String, Double], maxTopTokenFrac: Int = 5,
+      minShared: Int = 3): DataFrame = {
+    val t = tokens(col("text"))
+    val contaminated = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        explode(array_distinct(shingles(col("text"), 3))).as("h"))
+      .join(evalKeys, Seq("h"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .select("doc_id")
+    docs
+      .filter(col("text").isNotNull)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .filter(modeCount(t) * maxTopTokenFrac <= size(t))
+      .filter(unitUniform < coalesce(
+        element_at(typedlit(thresholds), col("lang")), lit(1.0)))
+  }
 
   /** Tokenizer-training merge scan — the counting kernel of BPE training:
     * global occurrence counts of adjacent token pairs, top `k`. (Real BPE

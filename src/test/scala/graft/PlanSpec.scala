@@ -94,10 +94,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange SinglePartition"), p)
   }
 
-  test("chunk dedup: one window over the chunk key, no self-join anywhere") {
+  /** Window nodes in the plan must never partition by a content-derived
+    * key (`ck`/`gk`): a hot boilerplate chunk would land every occurrence
+    * in one task, and AQE cannot split a skewed window the way it splits
+    * a skewed join.
+    */
+  private def noContentKeyWindow(p: String): Boolean =
+    p.linesIterator.filter(_.contains("windowspecdefinition"))
+      .forall(l => !l.contains("gk#") && !l.contains("ck#"))
+
+  test("chunk dedup: first-owner is a map-side-combinable agg + join-back — no content-key window") {
     val p = plan(graft.operators.TextOps.chunkDedup(spark, dir))
-    assert(!p.contains("Join"), p)
-    assert(p.contains("Window"), p)
+    // no Window at all: min(doc_id) per chunk collapses in the combiner
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial_min"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
   test("sequence packing: partition offsets broadcast, never sort-merge joined") {
@@ -180,23 +191,32 @@ class PlanSpec extends AnyFunSuite {
     assert(p.split("InMemoryTableScan").length - 1 >= 3, p)
   }
 
-  test("dup spans: one window count over the gram key, no occurrence self-join") {
+  test("dup spans: duplicated keys via partial agg + semi join-back; windows only per-document") {
     val p = plan(graft.operators.TextOps.dupSpans(spark, dir))
-    // the only join is the doc-granular rollup attach at the end;
-    // occurrences are counted by a window, never joined to themselves
+    // the ≥2 test is a map-side-combinable count whose survivors semi-join
+    // back — a hot window key collapses in the combiner and AQE can split
+    // the join; the only other join is the doc-granular rollup attach
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("partial_count"), p)
+    assert(noContentKeyWindow(p), p)
     assert("(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)".r
-      .findAllMatchIn(p).size <= 1, p)
-    assert(p.contains("Window"), p)
+      .findAllMatchIn(p).size <= 2, p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("span scrub: rebuild is row-wise — one token-volume generator, no re-collect") {
+  test("span scrub: keep-first via min(struct) partial agg; rebuild is row-wise") {
     val p = plan(graft.operators.TextOps.spanScrub(spark, dir))
-    // exactly one Generate (the window explode); the kept-token rebuild is
-    // a higher-order-function projection, not a posexplode + regroup
-    assert("Generate".r.findAllMatchIn(p).size == 1, p)
+    // keep-first identity is min(struct(doc_id, i)) inside the per-key
+    // aggregate — partial-aggregable, so no row_number over the content
+    // key; the window explode feeds the aggregate and the join-back (two
+    // Generates — recomputing the row-wise explode beats caching token
+    // volume or skew-pinning a window); the kept-token rebuild is a
+    // higher-order-function projection, not a posexplode + regroup
+    assert(noContentKeyWindow(p), p)
+    assert(p.contains("partial_min"), p)
+    assert("Generate".r.findAllMatchIn(p).size <= 2, p)
     assert("(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)".r
-      .findAllMatchIn(p).size <= 1, p)
+      .findAllMatchIn(p).size <= 2, p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
