@@ -77,6 +77,114 @@ object ScaleProbe {
 
   private def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
 
+  // ---- hot-key (skew) tier ---------------------------------------------
+
+  /** One 16-token boilerplate chunk PREPENDED to ~30% of documents — the
+    * nav-template shape of a real crawl, and the exact artifact the r6
+    * verdict flagged: a content-hash key whose occurrence count grows
+    * linearly with the corpus. Prepending keeps the chunk at aligned
+    * position 1, so [[graft.operators.TextOps.chunkDedup]]'s fixed
+    * 16-token chunking sees ONE hot `ck`, and the w=8 span family sees 9
+    * hot `gk`s, each in 30% of all documents.
+    */
+  private val hotChunk = (0 until 16).map(j => s"navt$j").mkString(" ")
+
+  private def synthDocSkew(i: Long): SynthDoc = {
+    val d = synthDoc(i)
+    if (i % 10 < 3) d.copy(text = hotChunk + " " + d.text,
+      n_chars = (hotChunk.length + 1 + d.text.length).toLong)
+    else d
+  }
+
+  private def synthesizeSkew(spark: SparkSession, dir: String, n: Long): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/documents.parquet/_SUCCESS"))) return
+    import spark.implicits._
+    spark.range(0, n).map(i => synthDocSkew(i))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+  }
+
+  /** The r6 plan — min/count over `Window.partitionBy(content key)` —
+    * re-expressed inline as a measured STRAWMAN: every occurrence of the
+    * hot chunk lands in one task (windows cannot map-side-combine and
+    * AQE does not split them). The production operators no longer ship
+    * this shape; the probe keeps it to put a number on what the de-skew
+    * rewrite avoids.
+    */
+  private def naiveChunkWindow(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val t = split(col("text"), " ")
+    val chunkArr = transform(sequence(lit(1), size(t), lit(16)),
+      s => array_join(slice(t, s, lit(16)), " "))
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(array_distinct(chunkArr)).as("chunk"))
+      .select(col("doc_id"), unhex(md5(col("chunk").cast("binary"))).as("ck"))
+      .withColumn("first_doc", min(col("doc_id")).over(Window.partitionBy("ck")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        count(when(col("first_doc") < col("doc_id"), lit(1))).as("n_dup_chunks"))
+  }
+
+  /** The span family's windowed strawman, measured through the flag stage
+    * (where the hot-key cost lives): count + row_number over the gram-key
+    * window, then a per-document rollup of flagged positions.
+    */
+  private def naiveSpanWindow(spark: SparkSession, dir: String, w: Int = 8): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val t = split(col("text"), " ")
+    val gk = Window.partitionBy("gk")
+    docs.filter(col("text").isNotNull && size(t) >= w)
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(1), size(t) - (w - 1)),
+          s => array_join(slice(t, s, lit(w)), " "))))
+      .select(col("doc_id"), (col("pos") + 1).as("i"),
+        unhex(md5(col("col").cast("binary"))).as("gk"))
+      .withColumn("n", count(lit(1)).over(gk))
+      .withColumn("rn", row_number().over(gk.orderBy("doc_id", "i")))
+      .filter(col("n") >= 2 && col("rn") > 1)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_flagged"))
+  }
+
+  /** Skew tier: the de-skewed chunk/span family on the hot-key corpus vs
+    * the same-size unskewed corpus (ratio ≈ the extra duplicated-text
+    * volume, NOT a task pin), and the windowed strawmen on the same
+    * skewed corpus for the before/after contrast SCALE.md records.
+    */
+  private def skewProbe(spark: SparkSession, base: String,
+      plain10: String): Seq[String] = {
+    val dSkew = s"$base/skew10"
+    synthesizeSkew(spark, dSkew, 50000L)
+    def time3(f: => Unit): Double = median((1 to 3).map { _ =>
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    })
+    val fams = Seq("q_chunk_dedup", "q_dup_spans", "q_span_scrub")
+    val deskewed = fams.map { qn =>
+      val fn = SparkEntry.queries(qn)
+      Bench.force(fn(spark, dSkew)); Bench.force(fn(spark, plain10)) // warmup
+      val tSkew = time3(Bench.force(fn(spark, dSkew)))
+      val tPlain = time3(Bench.force(fn(spark, plain10)))
+      println(f"[scaleprobe] skew/$qn%-16s skew10=$tSkew%6.2fs plain10=$tPlain%6.2fs " +
+        f"ratio=${tSkew / tPlain}%5.2f")
+      s""""skew_$qn":{"skew10":$tSkew,"plain10":$tPlain,"ratio":${tSkew / tPlain}}"""
+    }
+    val straws = Seq(
+      "chunk_window" -> (() => Bench.force(naiveChunkWindow(spark, dSkew))),
+      "span_window" -> (() => Bench.force(naiveSpanWindow(spark, dSkew))))
+    val strawRows = straws.map { case (name, f) =>
+      f() // warmup
+      val t = time3(f())
+      println(f"[scaleprobe] skew/strawman_$name%-13s skew10=$t%6.2fs")
+      s""""skew_strawman_$name":{"skew10":$t}"""
+    }
+    deskewed ++ strawRows
+  }
+
   // ---- embeddings / ANN probe ------------------------------------------
 
   final case class SynthVec(vec_id: Long, embedding: Array[Float], label: Int)
@@ -197,6 +305,8 @@ object ScaleProbe {
       // split size reproduces that width-scales-with-data behavior.
       .config("spark.sql.files.maxPartitionBytes", (1 << 22).toString)
       .config("spark.sql.files.openCostInBytes", (1 << 18).toString)
+      // same instants as the UTC-pinned Verify/oracle run
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -206,8 +316,19 @@ object ScaleProbe {
       synthesize(spark, d, n)
       tag -> d
     }.toMap
-    // optional argv filter: probe only the named queries (diagnosis runs)
+    // --skew: run only the hot-key tier (diagnosis / SCALE.md refresh)
+    if (args.sameElements(Array("--skew"))) {
+      val d10 = s"$base/x10"
+      synthesize(spark, d10, n1 * 10)
+      val rows = skewProbe(spark, base, d10)
+      println(s"""{"metric":"scaleprobe_skew",${rows.mkString(",")}}""")
+      spark.stop(); return
+    }
+    // optional argv filter: probe only the named queries (diagnosis runs);
+    // a misspelled name must fail loudly, not produce an empty probe
     val wanted = if (args.nonEmpty) args.toSet else probeQueries.toSet
+    val unknown = wanted.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     val qs = SparkEntry.queries.filter { case (k, _) => wanted.contains(k) }
     // warmup both dirs (JIT, codegen, parquet footers)
     dirs.values.foreach(d => qs.foreach { case (_, fn) => Bench.force(fn(spark, d)) })
@@ -251,10 +372,11 @@ object ScaleProbe {
       s""""${qn}_x30":{"x30":$t30,"x1":$t1,"ratio":${t30 / t1}}"""
     }
     val x30row = x30rows.mkString(",")
+    val skew = skewProbe(spark, base, dirs("x10"))
     val sketch = sketchProbe(spark, dirs)
     val ann = annProbe(spark, base)
     println(s"""{"metric":"scaleprobe","n1":$n1,"n10":${n1 * 10},""" +
-      (results ++ Seq(x30row) ++ sketch ++ ann).mkString(",") + "}")
+      (results ++ Seq(x30row) ++ skew ++ sketch ++ ann).mkString(",") + "}")
     spark.stop()
   }
 
