@@ -483,4 +483,42 @@ class CorpusPropertySpec extends AnyFunSuite {
       assert(want.nonEmpty, s"seed=$seed generated no history overlap")
     }
   }
+
+  test("mix gate semi-join fallback equals the literal path; the collect gate trips past budget") {
+    import org.apache.spark.sql.functions.col
+    for (seed <- 50L to 52L) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg")
+      val docs = (0 until 200).map { i =>
+        val text = (0 until (3 + rnd.nextInt(25)))
+          .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+        (i.toLong, text, vocab(rnd.nextInt(3)), text.length.toLong)
+      }
+      val df = docs.toDF("doc_id", "text", "lang", "n_chars")
+      // eval set: a handful of docs' text — small vocab guarantees real
+      // gram overlap, so the contamination gate actually fires
+      val evalDf = docs.take(5).map(_._2).toDF("text")
+      val thresholds = Map("aa" -> 0.9, "bb" -> 0.7, "cc" -> 1.0)
+      val literal = TextOps.mixGates(df,
+        TextOps.evalGramHashesOf(evalDf), thresholds)
+        .select("doc_id").as[Long].collect().toSet
+      val joined = TextOps.mixGatesVsKeys(df,
+        TextOps.evalGramKeysOf(evalDf), thresholds)
+        .select("doc_id").as[Long].collect().toSet
+      assert(literal == joined, s"seed=$seed")
+      assert(literal.nonEmpty && literal.size < docs.size,
+        s"seed=$seed gates vacuous: ${literal.size} of ${docs.size}")
+      // some docs must be dropped by CONTAMINATION specifically (not just
+      // repetition/temperature), or the membership-test equivalence is
+      // untested: compare against the same gates with no eval set
+      val noEval = TextOps.mixGates(df, Seq.empty, thresholds)
+        .select("doc_id").as[Long].collect().toSet
+      assert(literal != noEval, s"seed=$seed contamination gate never fired")
+      // the driver-collect guard: counted BEFORE collecting, fails fast
+      val e = intercept[IllegalArgumentException] {
+        TextOps.evalGramHashesOf(evalDf, maxGrams = 1L)
+      }
+      assert(e.getMessage.contains("literal budget"))
+    }
+  }
 }
