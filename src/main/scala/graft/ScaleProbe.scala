@@ -185,6 +185,31 @@ object ScaleProbe {
     deskewed ++ strawRows
   }
 
+  // ---- BPE round batching ----------------------------------------------
+
+  /** Vocab-scale BPE round cost: real tokenizers learn k ≈ 30 000 merges
+    * and the per-round driver latency dominates, so the batched trainer
+    * (top-m symbol-disjoint merges per corpus pass) must cut wall-time
+    * ~m× at equal k. Measured at k=100 on the 1× corpus, single run
+    * each (a k=100 training run is its own repetition — 100 rounds vs
+    * ~10 batched rounds of identical per-round machinery).
+    */
+  private def bpeProbe(spark: SparkSession, d1: String): Seq[String] = {
+    import graft.operators.TextOps
+    val docs = spark.read.parquet(s"$d1/documents.parquet")
+    def once(f: => Long): Double = {
+      val t0 = System.nanoTime(); val n = f
+      require(n > 0, "BPE probe trained no rules")
+      (System.nanoTime() - t0) / 1e9
+    }
+    val tSeq = once(TextOps.bpeMergesOver(spark, docs, k = 100).count())
+    val tBat = once(TextOps.bpeMergesBatchedOver(spark, docs, k = 100, m = 10).count())
+    println(f"[scaleprobe] bpe_k100 sequential=$tSeq%6.2fs batched(m=10)=$tBat%6.2fs " +
+      f"speedup=${tSeq / tBat}%4.1fx")
+    Seq(s""""bpe_k100":{"sequential_s":$tSeq,"batched_s":$tBat,""" +
+      s""""speedup":${tSeq / tBat}}""")
+  }
+
   // ---- embeddings / ANN probe ------------------------------------------
 
   final case class SynthVec(vec_id: Long, embedding: Array[Float], label: Int)
@@ -316,12 +341,19 @@ object ScaleProbe {
       synthesize(spark, d, n)
       tag -> d
     }.toMap
-    // --skew: run only the hot-key tier (diagnosis / SCALE.md refresh)
+    // --skew / --bpe: run only that tier (diagnosis / SCALE.md refresh)
     if (args.sameElements(Array("--skew"))) {
       val d10 = s"$base/x10"
       synthesize(spark, d10, n1 * 10)
       val rows = skewProbe(spark, base, d10)
       println(s"""{"metric":"scaleprobe_skew",${rows.mkString(",")}}""")
+      spark.stop(); return
+    }
+    if (args.sameElements(Array("--bpe"))) {
+      val d1 = s"$base/x1"
+      synthesize(spark, d1, n1)
+      val rows = bpeProbe(spark, d1)
+      println(s"""{"metric":"scaleprobe_bpe",${rows.mkString(",")}}""")
       spark.stop(); return
     }
     // optional argv filter: probe only the named queries (diagnosis runs);
@@ -373,10 +405,11 @@ object ScaleProbe {
     }
     val x30row = x30rows.mkString(",")
     val skew = skewProbe(spark, base, dirs("x10"))
+    val bpe = bpeProbe(spark, dirs("x1"))
     val sketch = sketchProbe(spark, dirs)
     val ann = annProbe(spark, base)
     println(s"""{"metric":"scaleprobe","n1":$n1,"n10":${n1 * 10},""" +
-      (results ++ Seq(x30row) ++ skew ++ sketch ++ ann).mkString(",") + "}")
+      (results ++ Seq(x30row) ++ skew ++ bpe ++ sketch ++ ann).mkString(",") + "}")
     spark.stop()
   }
 

@@ -1679,7 +1679,7 @@ object TextOps {
     seqs.select(graft.functions.VectorFunctions
       .bpeMergeStep(col("toks"), lit(p1), lit(p2)).as("toks"))
 
-  private[operators] def bpeMergesOver(spark: SparkSession, docs: DataFrame,
+  private[graft] def bpeMergesOver(spark: SparkSession, docs: DataFrame,
       k: Int): DataFrame = {
     import spark.implicits._
     trainBpe(spark, docs, k).toDF("round", "p1", "p2", "n")
@@ -1747,6 +1747,112 @@ object TextOps {
     releaseCheckpoint(seqs)
     releaseCheckpoint(counts)
     merges.toSeq
+  }
+
+  /** Chained in-round application of `rules` with fused delta
+    * extraction: one row-wise projection evaluates the rules in order,
+    * each over the previous rule's output, concatenating their
+    * merge-site deltas. [[bindOnce]] keeps every intermediate struct
+    * single-evaluated regardless of codegen subexpression elimination.
+    */
+  private[graft] def applyRulesWithDeltas(toks: Column,
+      rules: Seq[(String, String)]): Column =
+    rules.foldLeft(struct(toks.as("toks"),
+        array().cast("array<struct<p1:string,p2:string,dn:bigint>>")
+          .as("deltas"))) { case (st, (p1, p2)) =>
+      bindOnce(st) { s =>
+        bindOnce(graft.functions.VectorFunctions.bpeMergeDelta(
+            s.getField("toks"), lit(p1), lit(p2))) { d =>
+          struct(d.getField("toks").as("toks"),
+            concat(s.getField("deltas"), d.getField("deltas")).as("deltas"))
+        }
+      }
+    }
+
+  /** Batched BPE training — [[trainBpe]] at vocabulary scale: real
+    * tokenizers learn k ≈ 30 000 merges, and one Spark job per merge
+    * puts 30 000 rounds of driver-side job latency on the critical path.
+    * Per round this trainer takes the top pairs that are pairwise
+    * SYMBOL-DISJOINT — no accepted pair consumes or produces (its merged
+    * symbol) a symbol another accepted pair touches — and applies up to
+    * `m` of them in ONE corpus pass ([[applyRulesWithDeltas]]), cutting
+    * rounds ~m×. Disjointness makes the in-round chain exact: an
+    * accepted pair's sites and count are invariant under the other
+    * accepted pairs' application, so each emitted count is the pair's
+    * true corpus count at its merge time.
+    *
+    * Documented divergence from the k=1 trainer (the trade every batched
+    * production trainer makes): a pair CREATED by an earlier merge in
+    * the same round cannot be selected until the next round, so rule
+    * ORDER may differ from sequential BPE's when a created pair would
+    * have outranked a later batch member. CorpusPropertySpec pins these
+    * semantics against a naive single-node batched trainer, and pins
+    * batched ≡ sequential whenever ranks don't interleave.
+    *
+    * Scale shape: identical to [[trainBpe]] per round (one corpus scan,
+    * delta-rows + vocabulary-bounded shuffle, top-pool TakeOrdered
+    * collect of `4·m` rows) — just m merges per round instead of one.
+    */
+  private[graft] def trainBpeBatched(spark: SparkSession, docs: DataFrame,
+      k: Int, m: Int = 10): Seq[(Long, String, String, Long)] = {
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    var seqs = bpeSeqs(docs).localCheckpoint(eager = false)
+    var counts = bpePairCountsAll(seqs).localCheckpoint(eager = false)
+    var prevSeqs: Option[DataFrame] = None
+    var prevCounts: Option[DataFrame] = None
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var exhausted = false
+    while (merges.size < k && !exhausted) {
+      // pool of 4m candidates: conflicts skip down the ranking, so the
+      // pool must be deeper than the batch; a fully-conflicted pool
+      // (pathological) just yields a smaller batch, never a wrong one
+      val pool = counts.orderBy(col("n").desc, col("p1"), col("p2"))
+        .limit(4 * m).collect()
+      prevSeqs.foreach(releaseCheckpoint); prevSeqs = None
+      prevCounts.foreach(releaseCheckpoint); prevCounts = None
+      if (pool.isEmpty) exhausted = true
+      else {
+        val used = scala.collection.mutable.Set.empty[String]
+        val accepted = pool.iterator.map(r =>
+            (r.getString(0), r.getString(1), r.getLong(2)))
+          .filter { case (p1, p2, _) =>
+            val merged = p1 + " " + p2
+            val ok = !used(p1) && !used(p2) && !used(merged)
+            if (ok) { used += p1; used += p2; used += merged }
+            ok
+          }
+          .take(math.min(m, k - merges.size)).toSeq
+        accepted.foreach { case (p1, p2, n) =>
+          merges += ((merges.size + 1L, p1, p2, n))
+        }
+        if (merges.size < k) {
+          val applied = seqs.select(applyRulesWithDeltas(col("toks"),
+              accepted.map(a => (a._1, a._2))).as("s"))
+            .localCheckpoint(eager = false)
+          prevSeqs = Some(seqs)
+          seqs = applied.select(col("s.toks").as("toks"))
+          val delta = applied
+            .select(explode(col("s.deltas")).as("d"))
+            .groupBy(col("d.p1").as("p1"), col("d.p2").as("p2"))
+            .agg(sum(col("d.dn")).as("n"))
+          prevCounts = Some(counts)
+          counts = counts.unionByName(delta)
+            .groupBy("p1", "p2").agg(sum(col("n")).as("n"))
+            .filter(col("n") > 0)
+            .localCheckpoint(eager = false)
+        }
+      }
+    }
+    releaseCheckpoint(seqs)
+    releaseCheckpoint(counts)
+    merges.toSeq
+  }
+
+  /** [[trainBpeBatched]] as a frame (probe / spec surface). */
+  private[graft] def bpeMergesBatchedOver(spark: SparkSession, docs: DataFrame,
+      k: Int, m: Int = 10): DataFrame = {
+    import spark.implicits._
+    trainBpeBatched(spark, docs, k, m).toDF("round", "p1", "p2", "n")
   }
 
   /** Trained-rule cache keyed by dataset fingerprint — the trained

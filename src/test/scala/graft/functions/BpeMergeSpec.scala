@@ -113,4 +113,52 @@ class BpeMergeSpec extends AnyFunSuite {
       checkDelta(toks, l, r)
     }
   }
+
+  // ---- batched (chained) application ------------------------------------
+
+  /** Run a rule CHAIN through the one-projection batched applier and
+    * return (merged toks, aggregated deltas).
+    */
+  private def chainRun(toks: Seq[String], rules: Seq[(String, String)])
+      : (Seq[String], Map[(String, String), Long]) = {
+    val row = Seq(Tuple1(toks)).toDF("t")
+      .select(graft.operators.TextOps
+        .applyRulesWithDeltas(col("t"), rules).as("s"))
+      .select(col("s.toks"), col("s.deltas")).collect().head
+    val out = row.getSeq[String](0)
+    val ds = row.getSeq[org.apache.spark.sql.Row](1)
+      .groupBy(d => (d.getString(0), d.getString(1)))
+      .view.mapValues(_.map(_.getLong(2)).sum).toMap
+      .filter(_._2 != 0L)
+    (out, ds)
+  }
+
+  test("chained application: one projection equals sequential applies; deltas equal recount diff") {
+    val rnd = new scala.util.Random(11)
+    val alphabet = Vector("a", "b", "c", "d", "e", "f")
+    for (_ <- 1 to 30) {
+      val toks = Vector.fill(2 + rnd.nextInt(16))(alphabet(rnd.nextInt(6)))
+      // 2-3 arbitrary rules — the chain contract (sequential semantics,
+      // concatenated deltas) must hold even for NON-disjoint rules; the
+      // trainer's disjointness filter is a selection policy on top
+      val rules = (0 until (2 + rnd.nextInt(2))).map { _ =>
+        (alphabet(rnd.nextInt(6)), alphabet(rnd.nextInt(6)))
+      }
+      val (out, ds) = chainRun(toks, rules)
+      val want = rules.foldLeft(toks: Seq[String])((cur, rl) => step(cur, rl._1, rl._2))
+      assert(out == want, s"toks=$toks rules=$rules")
+      val wantDs = (pairCounts(want).keySet ++ pairCounts(toks).keySet)
+        .flatMap { p =>
+          val dn = pairCounts(want).getOrElse(p, 0L) -
+            pairCounts(toks).getOrElse(p, 0L)
+          if (dn != 0L) Some(p -> dn) else None
+        }.toMap
+      assert(ds == wantDs, s"toks=$toks rules=$rules: got $ds want $wantDs")
+    }
+  }
+
+  test("chained application with an empty rule list is the identity with no deltas") {
+    val (out, ds) = chainRun(Seq("a", "b", "a"), Seq.empty)
+    assert(out == Seq("a", "b", "a") && ds.isEmpty)
+  }
 }
