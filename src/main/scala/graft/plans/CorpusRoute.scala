@@ -3,11 +3,11 @@ package graft.plans
 import scala.collection.concurrent.TrieMap
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.types.{LongType, StringType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
 
 /** [[LtsRoute]]'s materialized-view routing pattern on the LLM-corpus
   * side (VERDICT r5 #8): per-language/source corpus statistics are the
@@ -42,17 +42,74 @@ object CorpusRoute extends Rule[LogicalPlan] {
   }
 
   /** The maintained rollup: one row per (lang, source) with the partial
-    * aggregates every routed measure re-aggregates from. Maintain it
-    * like any ingest artifact — rebuild (or upsert partitions) when the
-    * corpus changes, then [[invalidate]].
+    * aggregates every routed measure re-aggregates from — additive
+    * (counts, sums) and order-statistic (min/max) partials, plus the
+    * non-null counts `avg` needs for its denominator. Maintain it like
+    * any ingest artifact — rebuild, or [[upsertRollup]] incrementally —
+    * then [[invalidate]].
     */
   def rollupOf(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
+    val tok = size(split(col("text"), " ")).cast("long")
     docs.groupBy("lang", "source").agg(
       count(lit(1)).as("n_docs"),
       count(col("text")).as("n_text"),
+      count(col("n_chars")).as("n_nchars"),
       sum(col("n_chars")).as("sum_chars"),
-      sum(size(split(col("text"), " ")).cast("long")).as("sum_tokens"))
+      sum(tok).as("sum_tokens"),
+      min(col("n_chars")).as("min_chars"),
+      max(col("n_chars")).as("max_chars"),
+      min(tok).as("min_tokens"),
+      max(tok).as("max_tokens"))
+  }
+
+  /** Re-aggregable merge of two rollup-shaped frames — the algebra
+    * incremental maintenance relies on: counts and sums ADD, mins MIN,
+    * maxes MAX, group-wise. Exact by construction for an append-only
+    * corpus (deletes would need full-recompute of affected groups —
+    * order statistics are not subtractable).
+    */
+  private def mergeRollups(a: DataFrame, b: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    a.unionByName(b).groupBy("lang", "source").agg(
+      sum("n_docs").as("n_docs"),
+      sum("n_text").as("n_text"),
+      sum("n_nchars").as("n_nchars"),
+      sum("sum_chars").as("sum_chars"),
+      sum("sum_tokens").as("sum_tokens"),
+      min("min_chars").as("min_chars"),
+      max("max_chars").as("max_chars"),
+      min("min_tokens").as("min_tokens"),
+      max("max_tokens").as("max_tokens"))
+  }
+
+  /** Incremental maintenance for an APPEND batch: fold the batch's
+    * rollup into the maintained table at PARTITION grain — the rollup
+    * is stored `partitionBy("lang")`, and only the batch's languages'
+    * partitions rewrite (dynamic partition overwrite; every other
+    * partition's files are untouched, the `Ingest.upsertByKey`
+    * discipline at rollup scale). The cached routed relation is
+    * invalidated so the next routed query plans against the new files.
+    */
+  def upsertRollup(spark: SparkSession, rollupPath: String,
+      newDocs: DataFrame): Unit = {
+    import org.apache.spark.sql.functions._
+    val delta = rollupOf(newDocs)
+    val langs = delta.select("lang").distinct()
+      .collect().map(_.getString(0)).toSeq
+    if (langs.nonEmpty) {
+      // localCheckpoint breaks lineage to the files being overwritten
+      // (Spark refuses to overwrite a path its own plan reads); the
+      // affected slice is #batch-langs × #sources rows — KBs
+      val existing = spark.read.parquet(rollupPath)
+        .filter(col("lang").isin(langs: _*))
+        .localCheckpoint()
+      mergeRollups(existing, delta)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("lang").parquet(rollupPath)
+      invalidate(rollupPath)
+    }
   }
 
   def register(spark: SparkSession, rawPath: String, rollupPath: String): Unit =
@@ -79,7 +136,9 @@ object CorpusRoute extends Rule[LogicalPlan] {
     */
   def ensureArtifacts(spark: SparkSession, dir: String): (String, String) = {
     val fp = graft.Tables.fingerprint(dir, "documents")
-    val base = s"/tmp/graft-index/corpus-route-$fp"
+    // v2: rollup schema grew avg/min/max partials in r7 and is stored
+    // lang-partitioned for upsertRollup — pre-r7 artifacts must rebuild
+    val base = s"/tmp/graft-index/corpus-route-v2-$fp"
     val rawCopy = s"$base/documents"
     val roll = s"$base/rollup"
     this.synchronized {
@@ -88,7 +147,7 @@ object CorpusRoute extends Rule[LogicalPlan] {
         graft.Tables.documents(spark, dir)
           .write.mode("overwrite").parquet(rawCopy)
         rollupOf(spark.read.parquet(rawCopy)).coalesce(1)
-          .write.mode("overwrite").parquet(roll)
+          .write.mode("overwrite").partitionBy("lang").parquet(roll)
         invalidate(roll)
       }
       enable(spark)
@@ -187,7 +246,8 @@ object CorpusRoute extends Rule[LogicalPlan] {
       rollupPath: String): Option[LogicalPlan] = {
     val rollRel = rollupRelationFor(rollupPath).getOrElse(return None)
     val roll: Map[String, Attribute] = rollRel.output.map(a => a.name -> a).toMap
-    if (!Seq("lang", "source", "n_docs", "n_text", "sum_chars", "sum_tokens")
+    if (!Seq("lang", "source", "n_docs", "n_text", "n_nchars", "sum_chars",
+        "sum_tokens", "min_chars", "max_chars", "min_tokens", "max_tokens")
       .forall(roll.contains)) return None
     val rawName: Map[ExprId, String] = lr.output.map(a => a.exprId -> a.name).toMap
     var ok = true
@@ -197,6 +257,17 @@ object CorpusRoute extends Rule[LogicalPlan] {
       case a: AttributeReference => rawName.get(a.exprId).contains(name)
       case _ => false
     }
+
+    // Average routes to Divide(sum partial, count partial) — null on an
+    // all-null/empty input like the original (Sum of an empty group is
+    // null, and x/null, null/x are null)
+    def routedAvg(ae: AggregateExpression, sumCol: Attribute,
+        cntCol: Attribute): Expression =
+      Divide(
+        Cast(ae.copy(aggregateFunction = Sum(sumCol),
+          resultId = NamedExpression.newExprId), DoubleType),
+        Cast(ae.copy(aggregateFunction = Sum(cntCol),
+          resultId = NamedExpression.newExprId), DoubleType))
 
     // the exact token-count shape the engine's own stats queries emit:
     // size(split(text, ' ')) cast to long (TextOps.tokens is the split)
@@ -227,6 +298,26 @@ object CorpusRoute extends Rule[LogicalPlan] {
           case s: Sum if isTokenCount(s.child) =>
             ae.copy(aggregateFunction =
               s.withNewChildren(Seq(roll("sum_tokens"))).asInstanceOf[Sum])
+          // avg(x) = Sum(x)/Count(x): the routed sum re-aggregates the
+          // group partials EXACTLY (long addition) where the raw plan
+          // accumulates doubles row-wise — identical while totals stay
+          // under 2^53 (nonnegative longs; every partial ≤ the total),
+          // i.e. everywhere double avg itself is exact. Two fresh
+          // AggregateExpressions (fresh resultIds — reusing ae's id for
+          // both would alias two different aggregates).
+          case a: Average if isRawAttr(a.child, "n_chars") =>
+            routedAvg(ae, roll("sum_chars"), roll("n_nchars"))
+          case a: Average if isTokenCount(a.child) =>
+            routedAvg(ae, roll("sum_tokens"), roll("n_text"))
+          // order statistics re-aggregate through their own partials
+          case mn: Min if isRawAttr(mn.child, "n_chars") =>
+            ae.copy(aggregateFunction = Min(roll("min_chars")))
+          case mn: Min if isTokenCount(mn.child) =>
+            ae.copy(aggregateFunction = Min(roll("min_tokens")))
+          case mx: Max if isRawAttr(mx.child, "n_chars") =>
+            ae.copy(aggregateFunction = Max(roll("max_chars")))
+          case mx: Max if isTokenCount(mx.child) =>
+            ae.copy(aggregateFunction = Max(roll("max_tokens")))
           case _ => fail()
         }
       // FILTER / DISTINCT / other functions kill the rewrite outright —

@@ -106,4 +106,87 @@ class CorpusRouteSpec extends AnyFunSuite {
       assert(q.collect().map(_.toString).toSeq == baseline)
     }
   }
+
+  test("avg / min / max re-aggregate through the rollup, identically") {
+    def q = spark.read.parquet(rawPath).groupBy("lang")
+      .agg(
+        avg(col("n_chars")).as("avg_chars"),
+        avg(size(split(col("text"), " ")).cast("long")).as("avg_tokens"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        min(size(split(col("text"), " ")).cast("long")).as("min_tokens"),
+        max(size(split(col("text"), " ")).cast("long")).as("max_tokens"))
+    val baseline = rows(q)
+    withRoute {
+      assert(scansRollup(q), q.queryExecution.optimizedPlan.toString)
+      assert(rows(q) == baseline)
+    }
+    // global (ungrouped) avg re-aggregates too
+    def g = spark.read.parquet(rawPath).agg(avg(col("n_chars")).as("a"),
+      max(col("n_chars")).as("mx"))
+    val gBase = rows(g)
+    withRoute {
+      assert(scansRollup(g))
+      assert(rows(g) == gBase)
+    }
+  }
+
+  test("incremental upsert: batch langs' partitions rewrite, others untouched, routed results track") {
+    val b = Files.createTempDirectory("graft_route_upsert").toString
+    val all = Tables.documents(spark, "/root/testdata/sf0.001")
+    val langs = all.select("lang").distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(langs.size >= 2, s"need >=2 langs, got $langs")
+    val batchLang = langs.head
+    val isBatch = col("lang") === batchLang && col("doc_id") % 2 === 0
+    // day 0: everything except the batch slice; rollup built from it
+    all.filter(!isBatch).write.parquet(s"$b/documents.parquet")
+    CorpusRoute.rollupOf(spark.read.parquet(s"$b/documents.parquet"))
+      .write.partitionBy("lang").parquet(s"$b/rollup")
+    def partFiles(lang: String): Set[String] = {
+      val d = new java.io.File(s"$b/rollup/lang=$lang")
+      if (!d.exists()) Set.empty
+      else d.listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet
+    }
+    val beforeOther = langs.tail.map(l => l -> partFiles(l)).toMap
+    // day 1: the batch appends to the raw table and upserts the rollup
+    val batch = all.filter(isBatch)
+    assert(batch.count() > 0)
+    batch.write.mode("append").parquet(s"$b/documents.parquet")
+    CorpusRoute.upsertRollup(spark, s"$b/rollup", batch)
+    // partition grain: only the batch lang's files changed
+    langs.tail.foreach { l =>
+      assert(partFiles(l) == beforeOther(l), s"lang=$l partition rewritten")
+    }
+    assert(partFiles(batchLang).nonEmpty)
+    // the maintained rollup IS rollupOf(raw-now): exact re-aggregation
+    val now = spark.read.parquet(s"$b/documents.parquet")
+    assert(rows(spark.read.parquet(s"$b/rollup")
+        .select("lang", "source", "n_docs", "n_text", "n_nchars", "sum_chars",
+          "sum_tokens", "min_chars", "max_chars", "min_tokens", "max_tokens"))
+      == rows(CorpusRoute.rollupOf(now)
+        .select("lang", "source", "n_docs", "n_text", "n_nchars", "sum_chars",
+          "sum_tokens", "min_chars", "max_chars", "min_tokens", "max_tokens")))
+    // and a routed query over the appended raw table serves from it
+    def q = spark.read.parquet(s"$b/documents.parquet").groupBy("lang")
+      .agg(count(lit(1)).as("n"), avg(col("n_chars")).as("a"),
+        max(col("n_chars")).as("mx"))
+    val baseline = rows(q)
+    CorpusRoute.enable(spark)
+    CorpusRoute.register(spark, s"$b/documents.parquet", s"$b/rollup")
+    try {
+      val routed = spark.read.parquet(s"$b/documents.parquet").groupBy("lang")
+        .agg(count(lit(1)).as("n"), avg(col("n_chars")).as("a"),
+          max(col("n_chars")).as("mx"))
+      assert(routed.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.rootPaths.exists(_.toString.contains(s"$b/rollup"))
+            case _ => false
+          }
+      }.exists(identity))
+      assert(rows(routed) == baseline)
+    } finally CorpusRoute.deregister(spark, s"$b/documents.parquet")
+  }
 }
