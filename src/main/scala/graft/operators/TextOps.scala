@@ -1269,13 +1269,67 @@ object TextOps {
     *
     * Scale shape: a global prefix sum is the textbook sequential trap, so
     * it runs DISTRIBUTED: range-partition by doc_id (partition i holds
-    * smaller ids than partition i+1), a per-partition window computes
-    * local prefix sums, and the per-partition totals (one row per
+    * smaller ids than partition i+1), a per-partition imperative running
+    * sum computes local prefixes ([[globalTokenPrefix]] — one corpus
+    * exchange total), and the per-partition totals (one row per
     * partition, KBs at any scale) broadcast back as offsets. No single
     * reducer ever sees the whole corpus.
     */
   def packSequences(spark: SparkSession, dir: String, seqLen: Int = 512): DataFrame =
     packSequencesOver(Tables.documents(spark, dir), seqLen)
+
+  /** The distributed global token prefix sum both packers share:
+    * range-partition on `sortCols` (partition i holds smaller keys than
+    * partition i+1), sort within partitions, compute each partition's
+    * LOCAL running sum imperatively per partition, and broadcast the
+    * per-partition totals (one row each, KBs at any scale) back as
+    * offsets. Returns (doc_id, n_tokens, cum_before) riding the range
+    * partitioning, rows in key order within each partition.
+    *
+    * The local running sum is a `mapPartitions` — deliberately NOT
+    * `Window.partitionBy(spark_partition_id())`: Catalyst cannot know
+    * rows are already physically grouped by their own partition id, so
+    * that window inserts an ENSURE_REQUIREMENTS hashpartitioning(pid)
+    * exchange — a SECOND full-corpus shuffle (caught in r7 by the shard
+    * writer's plan assert; the fix removes it from both packers). A
+    * running sum over a partition's iterator is exactly the genuine
+    * per-partition imperative logic mapPartitions exists for; the
+    * ser/de boundary it costs is row-local, the exchange it saves is
+    * corpus-wide.
+    *
+    * The persist: totals aggregate and per-document pass both consume
+    * this frame, and pid MUST be one assignment across both — two
+    * independent evaluations could be AQE-coalesced differently.
+    * Deliberately NOT generation-scoped (an unpersist-then-recompute
+    * could re-assign pids); MEMORY_AND_DISK spills rather than evicts.
+    */
+  private def globalTokenPrefix(keyed: DataFrame, sortCols: Seq[String],
+      numParts: Int): DataFrame = {
+    val parted =
+      (if (numParts > 0) keyed.repartitionByRange(numParts, sortCols.map(col): _*)
+       else keyed.repartitionByRange(sortCols.map(col): _*))
+        .sortWithinPartitions(sortCols.map(col): _*)
+        .withColumn("pid", spark_partition_id())
+        .persist()
+    val sp = parted.sparkSession
+    import sp.implicits._
+    val local = parted.select(col("pid"), col("doc_id"), col("n_tokens"))
+      .as[(Int, Long, Long)]
+      .mapPartitions { it =>
+        var run = 0L
+        it.map { case (pid, id, nt) => val before = run; run += nt; (pid, id, nt, before) }
+      }.toDF("pid", "doc_id", "n_tokens", "local_before")
+    val partTotals = parted.groupBy("pid").agg(sum(col("n_tokens")).as("ptot"))
+      .withColumn("poffset",
+        coalesce(sum(col("ptot")).over(
+          Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("pid", "poffset")
+    local
+      .join(broadcast(partTotals), "pid")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("poffset") + col("local_before")).as("cum_before"))
+  }
 
   /** `numParts > 0` pins the range-partition count (the spec uses it to
     * force a genuinely multi-partition run; AQE coalesces a small corpus
@@ -1286,30 +1340,7 @@ object TextOps {
     val sized = docs0
       .filter(col("text").isNotNull)
       .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
-    val docs = (if (numParts > 0) sized.repartitionByRange(numParts, col("doc_id"))
-                else sized.repartitionByRange(col("doc_id")))
-      // persisted: the totals aggregate and the per-document pass both
-      // consume this frame, and pid MUST be the same assignment in both —
-      // two independent evaluations could be coalesced differently by AQE.
-      // Deliberately NOT generation-scoped (unlike the engine's other
-      // intra-query persists): an unpersist-then-recompute could assign
-      // different pids, so this frame must survive until fully consumed.
-      // MEMORY_AND_DISK spills rather than evicts, preserving the
-      // assignment for the JVM lifetime.
-      .withColumn("pid", spark_partition_id())
-      .persist()
-    val partTotals = docs.groupBy("pid").agg(sum(col("n_tokens")).as("ptot"))
-      .withColumn("poffset",
-        coalesce(sum(col("ptot")).over(
-          Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
-      .select("pid", "poffset")
-    val local = Window.partitionBy("pid").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    docs
-      .join(broadcast(partTotals), "pid")
-      .withColumn("cum_before",
-        col("poffset") + coalesce(sum(col("n_tokens")).over(local), lit(0L)))
+    globalTokenPrefix(sized, Seq("doc_id"), numParts)
       .select(col("doc_id"), col("n_tokens"),
         expr(s"cum_before div $seqLen").as("first_seq"),
         expr(s"(cum_before + n_tokens - 1) div $seqLen").as("last_seq"),
@@ -2212,11 +2243,13 @@ object TextOps {
     * shuffle every training-data writer inherently pays, expressed as
     * Spark's range partitioner so it is also the only corpus-volume
     * move. The token prefix sum is the [[packSequences]] distributed
-    * machinery (per-partition totals → broadcast offsets → local
-    * windows); shard id and in-shard offset are ROW-WISE arithmetic off
-    * the running total, so no second exchange exists. At production
-    * scale the result feeds a partitionBy(shard) writer directly —
-    * shards align with key ranges, so the write is exchange-free too.
+    * machinery ([[globalTokenPrefix]]: per-partition running sums →
+    * per-partition totals → broadcast offsets); shard id and in-shard
+    * offset are ROW-WISE arithmetic off the running total, so no second
+    * exchange exists (ShardWriteSpec asserts it on the write's own
+    * executed plan). At production scale the result feeds a
+    * partitionBy(shard) writer directly — shards align with key ranges,
+    * so the write is exchange-free too.
     */
   def shardPack(spark: SparkSession, dir: String, shardTokens: Int = 4096,
       seed: Int = 42): DataFrame =
@@ -2226,6 +2259,18 @@ object TextOps {
     * [[packSequencesOver]] (the spec forces a multi-partition run).
     */
   private[graft] def shardPackOver(docs0: DataFrame, shardTokens: Int,
+      seed: Int, numParts: Int = 0): DataFrame =
+    shardPackFrame(docs0, shardTokens, seed, numParts).orderBy("doc_id")
+
+  /** The packed frame BEFORE the presentation sort — the writer surface:
+    * rows ride the range partitioning on (k, doc_id), under which
+    * `shard` is NONDECREASING (it is a prefix-sum quotient in exactly
+    * that order), so each task holds a consecutive shard range and
+    * `df.write.partitionBy("shard")` needs only the local sort the file
+    * writer inserts itself — no exchange. ShardWriteSpec writes it and
+    * plan-asserts exchange-freedom end-to-end.
+    */
+  private[graft] def shardPackFrame(docs0: DataFrame, shardTokens: Int,
       seed: Int, numParts: Int = 0): DataFrame = {
     val keyed = docs0
       .filter(col("text").isNotNull)
@@ -2233,31 +2278,12 @@ object TextOps {
         md5(concat(col("doc_id").cast("string"), lit(":"), lit(seed.toString))
           .cast("binary")).as("k"),
         size(tokens(col("text"))).cast("long").as("n_tokens"))
-    val docs = (if (numParts > 0) keyed.repartitionByRange(numParts, col("k"), col("doc_id"))
-                else keyed.repartitionByRange(col("k"), col("doc_id")))
-      // same non-scoped persist contract as packSequences: pid must be
-      // ONE assignment across both consumers, surviving until consumed
-      .withColumn("pid", spark_partition_id())
-      .persist()
-    val partTotals = docs.groupBy("pid").agg(sum(col("n_tokens")).as("ptot"))
-      .withColumn("poffset",
-        coalesce(sum(col("ptot")).over(
-          Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
-      .select("pid", "poffset")
     // range partitioning on (k, doc_id) makes pid order = global key
-    // order, so partition offsets + a local key-ordered window give the
-    // exact global prefix sum
-    val local = Window.partitionBy("pid").orderBy("k", "doc_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    docs
-      .join(broadcast(partTotals), "pid")
-      .withColumn("cum_before",
-        col("poffset") + coalesce(sum(col("n_tokens")).over(local), lit(0L)))
+    // order, so the shared prefix machinery gives the exact global sum
+    globalTokenPrefix(keyed, Seq("k", "doc_id"), numParts)
       .select(col("doc_id"), col("n_tokens"),
         expr(s"cum_before div $shardTokens").as("shard"),
         (col("cum_before") % shardTokens).as("shard_offset"))
-      .orderBy("doc_id")
   }
 
   /** Trained quality classifier — the CCNet/fastText distillation trick:
