@@ -58,15 +58,13 @@ object SpanStream {
       sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[Row] = {
     require(refreshEvery >= 1, s"refreshEvery must be >= 1, got $refreshEvery")
-    var keys: DataFrame = null
+    val snap = new RefreshingSnapshot(stream.sparkSession, sp => {
+      sp.catalog.refreshByPath(keysPath)
+      sp.read.parquet(keysPath)
+    })
     stream.writeStream.outputMode("append").foreachBatch {
       (batch: Dataset[Row], batchId: Long) =>
-        val sp = batch.sparkSession
-        if (keys == null || batchId % refreshEvery == 0) {
-          if (keys != null) keys.unpersist()
-          sp.catalog.refreshByPath(keysPath)
-          keys = sp.read.parquet(keysPath).persist()
-        }
+        val keys = snap.forBatch(batch.sparkSession, batchId, refreshEvery)
         sink(spansVsCorpus(batch.toDF(), keys, windowTokens), batchId)
     }
   }

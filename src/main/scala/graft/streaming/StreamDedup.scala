@@ -146,7 +146,9 @@ object StreamDedup {
     * it. Consistency model: corpus additions become visible at the NEXT
     * refresh boundary, never mid-batch — a document that streams past
     * between an addition and the boundary is not re-checked (the same
-    * trade every snapshot-refreshed serving index makes).
+    * trade every snapshot-refreshed serving index makes). Snapshot
+    * lifecycle (final-snapshot release on query termination,
+    * double-start fail-fast) is [[RefreshingSnapshot]]'s.
     *
     * Returns an unstarted writer (`.start()` it); `sink` receives each
     * micro-batch's hits with the [[candidatesVsCorpus]] schema plus the
@@ -157,15 +159,13 @@ object StreamDedup {
       sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     require(refreshEvery >= 1, s"refreshEvery must be >= 1, got $refreshEvery")
-    var idx: DataFrame = null
+    val snap = new RefreshingSnapshot(stream.sparkSession, sp => {
+      sp.catalog.refreshByPath(indexPath)
+      sp.read.parquet(indexPath)
+    })
     stream.writeStream.outputMode("append").foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val sp = batch.sparkSession
-        if (idx == null || batchId % refreshEvery == 0) {
-          if (idx != null) idx.unpersist()
-          sp.catalog.refreshByPath(indexPath)
-          idx = sp.read.parquet(indexPath).persist()
-        }
+        val idx = snap.forBatch(batch.sparkSession, batchId, refreshEvery)
         sink(candidatesVsCorpus(batch.toDF(), idx, threshold), batchId)
     }
   }

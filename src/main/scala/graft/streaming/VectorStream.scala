@@ -81,7 +81,9 @@ object VectorStream {
     * `refreshByPath`, dropping the shared file-listing cache), the
     * previous snapshot unpersists and the fresh one persists; corpus
     * additions become visible at the NEXT refresh boundary, never
-    * mid-batch. Returns an unstarted writer; `sink` receives each
+    * mid-batch. Snapshot lifecycle (final-snapshot release on query
+    * termination, double-start fail-fast) is [[RefreshingSnapshot]]'s.
+    * Returns an unstarted writer; `sink` receives each
     * micro-batch's hits with the [[candidatesVsCorpus]] schema.
     */
   def candidatesVsCorpusRefreshing(stream: DataFrame, indexPath: String,
@@ -89,15 +91,13 @@ object VectorStream {
       sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     require(refreshEvery >= 1, s"refreshEvery must be >= 1, got $refreshEvery")
-    var idx: DataFrame = null
+    val snap = new RefreshingSnapshot(stream.sparkSession, sp => {
+      sp.catalog.refreshByPath(indexPath)
+      sp.read.parquet(indexPath)
+    })
     stream.writeStream.outputMode("append").foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val sp = batch.sparkSession
-        if (idx == null || batchId % refreshEvery == 0) {
-          if (idx != null) idx.unpersist()
-          sp.catalog.refreshByPath(indexPath)
-          idx = sp.read.parquet(indexPath).persist()
-        }
+        val idx = snap.forBatch(batch.sparkSession, batchId, refreshEvery)
         sink(candidatesVsCorpus(batch.toDF(), idx, bits, threshold), batchId)
     }
   }

@@ -199,4 +199,29 @@ class StreamDedupSpec extends AnyFunSuite {
     assert(hits.toSet == Set((0L, 9001L, 1L), (2L, 9003L, 2L)),
       s"got $hits")
   }
+
+  test("refreshing writer releases its final index snapshot when the query terminates") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-idx-rel").toString
+    StreamDedup.corpusIndexOf(Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text"))
+      .write.mode("overwrite").parquet(tmp)
+    val baseline = spark.sparkContext.getPersistentRDDs.size
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDS.select(col("_1").as("doc_id"), col("_2").as("text"))
+    val q = StreamDedup.candidatesVsCorpusRefreshing(stream, tmp, refreshEvery = 2) {
+      (df, _) => df.count(): Unit
+    }.start()
+    try {
+      mem.addData((9001L, "alpha beta gamma delta"))
+      q.processAllAvailable()
+      assert(spark.sparkContext.getPersistentRDDs.size > baseline,
+        "snapshot not persisted while the query runs")
+    } finally q.stop()
+    // onQueryTerminated is delivered async on the listener bus
+    val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+    while (spark.sparkContext.getPersistentRDDs.size > baseline &&
+      System.nanoTime() < deadline) Thread.sleep(50)
+    assert(spark.sparkContext.getPersistentRDDs.size == baseline,
+      "final snapshot still cached after query termination")
+  }
 }
