@@ -964,8 +964,9 @@ object TextOps {
     * Exact-substring dedup pipelines drop or rewrite those spans; the
     * counts here are the manifest of that decision.
     *
-    * Scale shape: chunks shuffle as 16-byte md5 keys (same minimum-width
-    * move as [[dedupExact]]). First-owner resolution is a map-side-
+    * Scale shape: chunks shuffle as 16-byte hash-chain keys
+    * ([[chunkKeys]] — no chunk strings built; same minimum key width as
+    * [[dedupExact]]'s md5). First-owner resolution is a map-side-
     * combinable `groupBy(ck).agg(min(doc_id))` joined back to the chunk
     * occurrences — NOT a window over the content key: a window would land
     * every occurrence of a hot boilerplate chunk (a nav template in 10⁸
@@ -977,17 +978,31 @@ object TextOps {
   def chunkDedup(spark: SparkSession, dir: String, chunkTokens: Int = 16): DataFrame =
     chunkDedupOver(Tables.documents(spark, dir), chunkTokens)
 
-  private[operators] def chunkDedupOver(docs: DataFrame, chunkTokens: Int): DataFrame = {
-    // chunk START positions directly (1, 1+n, 1+2n, …): integer-stepped
-    // sequence; slice truncates the final partial chunk at the array end
-    val chunkArr = bindOnce(tokens(col("text"))) { t =>
-      transform(sequence(lit(1), size(t), lit(chunkTokens)),
-        s => array_join(slice(t, s, lit(chunkTokens)), " "))
+  /** Distinct 128-bit chunk keys of a token array: tokens hash once,
+    * each fixed-stride chunk FOLDS its token hashes under two salts —
+    * the [[windowOccs]] no-string-materialization argument at chunk
+    * granularity (chunk strings total ≈ corpus text bytes; the fold
+    * allocates nothing). Space-joined chunk strings were injective over
+    * space-split tokens anyway, so key equality is unchanged modulo
+    * ~2⁻¹²⁸ hash collisions; chunk START positions come directly from an
+    * integer-stepped sequence (1, 1+n, 1+2n, …) and slice truncates the
+    * final partial chunk, whose shorter fold differs from any full one.
+    */
+  private def chunkKeys(t0: Column, chunkTokens: Int): Column =
+    bindOnce(transform(t0, tk => xxhash64(tk))) { th =>
+      array_distinct(transform(sequence(lit(1), size(th), lit(chunkTokens)),
+        s => struct(
+          aggregate(slice(th, s, lit(chunkTokens)), lit(1469598103934665603L),
+            (acc, x) => xxhash64(acc, x)).as("h1"),
+          aggregate(slice(th, s, lit(chunkTokens)), lit(-7046029254386353131L),
+            (acc, x) => xxhash64(acc, x)).as("h2"))))
     }
+
+  private[operators] def chunkDedupOver(docs: DataFrame, chunkTokens: Int): DataFrame = {
     val chunks = docs
       .filter(col("text").isNotNull)
-      .select(col("doc_id"), explode(array_distinct(chunkArr)).as("chunk"))
-      .select(col("doc_id"), unhex(md5(col("chunk").cast("binary"))).as("ck"))
+      .select(col("doc_id"),
+        explode(chunkKeys(tokens(col("text")), chunkTokens)).as("ck"))
     val firstOwner = chunks.groupBy("ck").agg(min(col("doc_id")).as("first_doc"))
     chunks
       .join(firstOwner, Seq("ck"))
@@ -2193,8 +2208,9 @@ object TextOps {
     * Jaccard. Exact duplicates rarely cross sources (mirrors reformat);
     * chunk granularity is what catches wire-copy and template sharing.
     *
-    * Scale shape: chunks shuffle once as 16-byte md5 keys (the chunk
-    * family's exchange) into a per-key SOURCE SET — bounded by the
+    * Scale shape: chunks shuffle once as 16-byte hash-chain keys (the
+    * chunk family's exchange, [[chunkKeys]] — no chunk strings built)
+    * into a per-key SOURCE SET — bounded by the
     * source count, which is catalog-sized (dozens-thousands), never
     * corpus-sized — and pairs expand ROW-WISE from each sorted set, so
     * no chunk-level self-join exists; a chunk shared by every source is
@@ -2208,13 +2224,9 @@ object TextOps {
 
   private[graft] def sourceOverlapOver(docs: DataFrame,
       chunkTokens: Int): DataFrame = {
-    val chunkArr = bindOnce(tokens(col("text"))) { t =>
-      transform(sequence(lit(1), size(t), lit(chunkTokens)),
-        s => array_join(slice(t, s, lit(chunkTokens)), " "))
-    }
     val cs = docs.filter(col("text").isNotNull)
-      .select(col("source"), explode(array_distinct(chunkArr)).as("chunk"))
-      .select(col("source"), unhex(md5(col("chunk").cast("binary"))).as("ck"))
+      .select(col("source"),
+        explode(chunkKeys(tokens(col("text")), chunkTokens)).as("ck"))
       .distinct()
     val perSrc = cs.groupBy("source").agg(count(lit(1)).as("nf"))
     // ordered pairs from each chunk's sorted source set, expanded
