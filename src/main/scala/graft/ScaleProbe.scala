@@ -54,7 +54,12 @@ object ScaleProbe {
         base.map(t => if (rnd.nextDouble() < 0.05) s"${lang}m${rnd.nextInt(vocabSize)}" else t)
       } else freshTokens(i)
     val text = tokens.mkString(" ")
-    SynthDoc(i, text, lang, "synth", text.length.toLong)
+    // ten sources so the source-conditioned families (dsirSelect's
+    // target slice) see the driver corpus' shape; text is a pure
+    // function of the id either way, so no other family's input moves.
+    // (Delete $SPARK_GRAFT_PROBE_DIR after changing the recipe — tiers
+    // are cached behind _SUCCESS markers.)
+    SynthDoc(i, text, lang, s"src${i % 10}", text.length.toLong)
   }
 
   private def synthesize(spark: SparkSession, dir: String, n: Long): Unit = {
@@ -73,7 +78,8 @@ object ScaleProbe {
     "q_decontaminate", "q_repetition", "q_chunk_dedup",
     "q_pack_sequences", "q_vocab_df", "q_incremental_dedup",
     "q_pii_scrub", "q_lm_score", "q_tfidf_terms", "q_corpus_stats",
-    "q_bpe_merges", "q_dup_spans", "q_span_scrub")
+    "q_bpe_merges", "q_dup_spans", "q_span_scrub",
+    "q_dsir_select", "q_filter_funnel")
 
   private def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
 

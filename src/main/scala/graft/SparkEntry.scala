@@ -79,6 +79,8 @@ object SparkEntry {
     "q_pii_scrub" -> TextOps.piiScrub _,
     "q_lm_score" -> TextOps.lmScore _,
     "q_nb_quality" -> TextOps.nbQuality _,
+    "q_dsir_select" -> ((s, d) => TextOps.dsirSelect(s, d)),
+    "q_filter_funnel" -> TextOps.filterFunnel _,
     "q_shard_pack" -> ((s, d) => TextOps.shardPack(s, d)),
     "q_source_overlap" -> ((s, d) => TextOps.sourceOverlap(s, d)),
     "q_dup_profile" -> TextOps.dupProfile _,
@@ -404,6 +406,49 @@ object SparkEntry {
         |  (CAST(CAST(SUM(CAST(tf AS HUGEINT) * CAST(c AS HUGEINT)) AS DECIMAL(38,0)) AS DOUBLE) /
         |    CAST(CAST(SUM(tf) AS BIGINT) AS DOUBLE)) / CAST((SELECT t FROM tot) AS DOUBLE) AS avg_prob
         |FROM dt JOIN cnt USING (term) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_dsir_select" ->
+      // mirrors dsirSelect's exact-arithmetic contract: integer (HUGEINT)
+      // tf*count sums cast to double ONCE, fixed multiply/divide chain in
+      // the same operand order, md5-derived selection uniform
+      """WITH tok AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS term FROM documents WHERE text IS NOT NULL),
+        |dt AS (SELECT doc_id, source, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2, 3),
+        |cnt AS (SELECT term,
+        |    CAST(SUM(CASE WHEN source = 'src0' THEN tf ELSE 0 END) AS BIGINT) AS c_t,
+        |    CAST(SUM(CASE WHEN source <> 'src0' THEN tf ELSE 0 END) AS BIGINT) AS c_r
+        |  FROM dt GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(c_t) AS BIGINT) AS tt, CAST(SUM(c_r) AS BIGINT) AS tr FROM cnt),
+        |per AS (SELECT doc_id,
+        |    CAST(CAST(SUM(CAST(tf AS HUGEINT) * CAST(c_t AS HUGEINT)) AS DECIMAL(38,0)) AS DOUBLE) AS s_t,
+        |    CAST(CAST(SUM(CAST(tf AS HUGEINT) * CAST(c_r AS HUGEINT)) AS DECIMAL(38,0)) AS DOUBLE) AS s_r,
+        |    CAST(SUM(tf) AS BIGINT) AS n_tokens
+        |  FROM dt JOIN cnt USING (term) WHERE source <> 'src0' GROUP BY 1)
+        |SELECT doc_id, n_tokens,
+        |  (s_t * CAST((SELECT tr FROM tot) AS DOUBLE)) / (s_r * CAST((SELECT tt FROM tot) AS DOUBLE)) AS weight,
+        |  CAST(concat('0x', substr(md5(concat('dsir:', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) / 4294967296.0
+        |    < 0.5 * ((s_t * CAST((SELECT tr FROM tot) AS DOUBLE)) / (s_r * CAST((SELECT tt FROM tot) AS DOUBLE))) AS selected
+        |FROM per ORDER BY doc_id""".stripMargin,
+    "q_filter_funnel" ->
+      // gate predicates verbatim from corpusGates, avg-length bounds as
+      // integer cross-multiplication (the nbQuality label formulation)
+      """WITH t AS (SELECT doc_id, text,
+        |    CASE WHEN text IS NOT NULL THEN len(string_split(text, ' ')) END AS n_tok,
+        |    CASE WHEN text IS NOT NULL THEN list_sum(list_transform(string_split(text, ' '), x -> length(x))) END AS len_sum,
+        |    substr(md5(concat(CAST(doc_id AS VARCHAR), ':', COALESCE(text, ''))), 1, 1) AS hx
+        |  FROM documents),
+        |f AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN text IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS s0,
+        |    CAST(SUM(CASE WHEN text IS NOT NULL AND n_tok >= 10 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+        |    CAST(SUM(CASE WHEN text IS NOT NULL AND n_tok >= 10 AND len_sum >= 3 * n_tok THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+        |    CAST(SUM(CASE WHEN text IS NOT NULL AND n_tok >= 10 AND len_sum >= 3 * n_tok AND len_sum <= 15 * n_tok THEN 1 ELSE 0 END) AS BIGINT) AS s3,
+        |    CAST(SUM(CASE WHEN text IS NOT NULL AND n_tok >= 10 AND len_sum >= 3 * n_tok AND len_sum <= 15 * n_tok AND hx < '8' THEN 1 ELSE 0 END) AS BIGINT) AS s4
+        |  FROM t)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS stage, 'has_text' AS rule, n AS n_in, n - s0 AS n_fail, s0 AS n_out FROM f
+        |  UNION ALL SELECT 2, 'min_tokens', s0, s0 - s1, s1 FROM f
+        |  UNION ALL SELECT 3, 'avg_tok_len_min', s1, s1 - s2, s2 FROM f
+        |  UNION ALL SELECT 4, 'avg_tok_len_max', s2, s2 - s3, s3 FROM f
+        |  UNION ALL SELECT 5, 'hash_gate', s3, s3 - s4, s4 FROM f)
+        |ORDER BY stage""".stripMargin,
     "q_nb_quality" ->
       // class-conditional unigram quality classifier trained on the
       // shared gate heuristic; fixed double chain (sum/n)/(T+V)*prior

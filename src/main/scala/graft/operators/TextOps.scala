@@ -2391,4 +2391,139 @@ object TextOps {
         when(col("p_hi") > col("p_lo"), 1L).otherwise(0L).as("pred"))
       .orderBy("doc_id")
   }
+
+  /** DSIR-style importance-weighted data selection (the "Data Selection
+    * via Importance Resampling" recipe at unigram altitude): score every
+    * document in the raw pool by how much more likely its tokens are
+    * under a trusted TARGET slice's unigram distribution than under the
+    * raw pool's own, then keep documents with probability proportional
+    * to that importance weight — the standard "make the web crawl look
+    * like the target domain" selection stage.
+    *
+    *   weight(d) = P_target(d) / P_raw(d)
+    *             = (Σ_t tf_d(t)·c_T(t) / T_T) / (Σ_t tf_d(t)·c_R(t) / T_R)
+    *
+    * Both per-document sums are exact integers (128-bit decimal — tf·c
+    * reaches ~1e19 per term at corpus scale), cast to double once and
+    * combined in a fixed multiply/divide chain mirrored term-for-term by
+    * the oracle, so weights — and therefore selection decisions — are
+    * bit-identical across engines and partitionings. c_R counts the raw
+    * pool itself, so the denominator is never zero (a candidate's own
+    * occurrences are in it); a term absent from the target contributes 0
+    * to the numerator (no smoothing — unseen-in-target mass pushes the
+    * weight toward 0, which is exactly the selection semantics wanted).
+    * The keep gate is Poisson resampling with the deterministic md5
+    * uniform (no RNG, no seed coordination): keep iff u(d) < rate·w(d),
+    * so inclusion probability is proportional to the weight and the
+    * decision is a pure function of (doc_id, corpus, target, rate) —
+    * rerunnable on any cluster layout.
+    *
+    * Scale shape (lmScore's): ONE (doc, source, term) frame feeds the
+    * two-sided count table (vocabulary-bounded — one row per term with
+    * target/raw counts), the totals (one row, broadcast) and the
+    * term-keyed scoring join; the selection gate is a row-wise
+    * comparison — no global sort, no window, no driver collect. DSIR's
+    * Gumbel-top-k variant needs a global order statistic; this Poisson
+    * variant selects E[rate·w̄]·n of the pool with the same importance
+    * semantics and stays embarrassingly parallel, which is why it is the
+    * 100 TB formulation here.
+    */
+  def dsirSelect(spark: SparkSession, dir: String, target: String = "src0",
+      rate: Double = 0.5): DataFrame = {
+    graft.IntraQueryCache.newGeneration(s"dsir:$dir:$target:$rate")
+    dsirSelectOver(Tables.documents(spark, dir), target, rate)
+  }
+
+  private[operators] def dsirSelectOver(docs: DataFrame, target: String,
+      rate: Double): DataFrame = {
+    // persisted: the frame feeds the count table, the totals AND the
+    // scoring join (the lmScore pattern — column pruning differentiates
+    // the subtrees, so exchange reuse never fires without it)
+    val dt = graft.IntraQueryCache.scoped(
+      docs
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), col("source"),
+          explode(tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "source", "term")
+        .agg(count(lit(1)).as("tf")))
+    val isT = col("source") === lit(target)
+    val cnt = dt.groupBy("term").agg(
+      sum(when(isT, col("tf")).otherwise(0L)).as("c_t"),
+      sum(when(!isT, col("tf")).otherwise(0L)).as("c_r"))
+    val tot = cnt.agg(sum(col("c_t")).as("tt"), sum(col("c_r")).as("tr"))
+    // selection uniform salted independently of the sampling-family key
+    // (a doc's hash-gate fate and its DSIR fate must not correlate)
+    val u = conv(substring(md5(concat(lit("dsir:"),
+        col("doc_id").cast("string")).cast("binary")), 1, 8), 16, 10)
+      .cast("long").cast("double") / lit(4294967296.0)
+    val w = (col("s_t").cast("double") * col("tr").cast("double")) /
+      (col("s_r").cast("double") * col("tt").cast("double"))
+    dt.filter(!isT)
+      .join(cnt, "term")
+      .groupBy("doc_id")
+      .agg(
+        sum(col("tf").cast("decimal(19,0)") * col("c_t").cast("decimal(19,0)"))
+          .as("s_t"),
+        sum(col("tf").cast("decimal(19,0)") * col("c_r").cast("decimal(19,0)"))
+          .as("s_r"),
+        sum(col("tf")).as("n_tokens"))
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("n_tokens"), w.as("weight"),
+        (u < lit(rate) * w).as("selected"))
+      .orderBy("doc_id")
+  }
+
+  /** Quality-gate rejection funnel — the governance report behind the
+    * shared corpus gates ([[corpusGates]]' stages in their applied
+    * order): for each stage, how many documents reached it, how many it
+    * rejected, and how many survived. This is what a pipeline owner
+    * reads before retuning a gate ("which rule is doing the cutting, and
+    * how do losses compound in order?"); the stage predicates are
+    * literally the gate predicates, so the last row's survivor count IS
+    * the gate family's yield. Average-token-length bounds are tested by
+    * integer cross-multiplication (len_sum ≷ bound·n_tokens — exact, no
+    * division), the same formulation [[nbQualityOver]]'s label uses.
+    *
+    * Scale shape: every stage predicate is a row-wise flag on the scan
+    * and the funnel is ONE map-side-combinable aggregate over those
+    * flags — #stages rows out, zero joins, zero windows, one pass at any
+    * corpus size.
+    */
+  def filterFunnel(spark: SparkSession, dir: String): DataFrame =
+    filterFunnelOver(Tables.documents(spark, dir))
+
+  private[operators] def filterFunnelOver(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("long")
+    val lenSum = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+    val p0 = col("text").isNotNull
+    val p1 = p0 && nTok >= QualityMinTokens
+    val p2 = p1 && lenSum >= lit(QualityMinAvgTokLen) * nTok
+    val p3 = p2 && lenSum <= lit(QualityMaxAvgTokLen) * nTok
+    val p4 = p3 && substring(sampleKey, 1, 1) < "8"
+    def cnt(p: Column): Column = sum(when(p, 1L).otherwise(0L))
+    docs
+      .agg(count(lit(1)).as("n"), cnt(p0).as("s0"), cnt(p1).as("s1"),
+        cnt(p2).as("s2"), cnt(p3).as("s3"), cnt(p4).as("s4"))
+      .select(explode(array(
+        struct(lit(1L).as("stage"), lit("has_text").as("rule"),
+          col("n").as("n_in"), (col("n") - col("s0")).as("n_fail"),
+          col("s0").as("n_out")),
+        struct(lit(2L).as("stage"), lit("min_tokens").as("rule"),
+          col("s0").as("n_in"), (col("s0") - col("s1")).as("n_fail"),
+          col("s1").as("n_out")),
+        struct(lit(3L).as("stage"), lit("avg_tok_len_min").as("rule"),
+          col("s1").as("n_in"), (col("s1") - col("s2")).as("n_fail"),
+          col("s2").as("n_out")),
+        struct(lit(4L).as("stage"), lit("avg_tok_len_max").as("rule"),
+          col("s2").as("n_in"), (col("s2") - col("s3")).as("n_fail"),
+          col("s3").as("n_out")),
+        struct(lit(5L).as("stage"), lit("hash_gate").as("rule"),
+          col("s3").as("n_in"), (col("s3") - col("s4")).as("n_fail"),
+          col("s4").as("n_out")))).as("r"))
+      .select(col("r.stage").as("stage"), col("r.rule").as("rule"),
+        col("r.n_in").as("n_in"), col("r.n_fail").as("n_fail"),
+        col("r.n_out").as("n_out"))
+      .orderBy("stage")
+  }
 }

@@ -246,6 +246,26 @@ class PlanSpec extends AnyFunSuite {
     assert(p.split("InMemoryTableScan").length - 1 >= 3, p)
   }
 
+  test("dsir: totals broadcast, one term-keyed scoring join, no window, no cartesian") {
+    graft.IntraQueryCache.newGeneration("planspec:dsir")
+    val p = plan(graft.operators.TextOps.dsirSelect(spark, dir))
+    // the one-row totals frame must reach the scoring projection as a
+    // broadcast (the crossJoin), and the keep gate is pure row-wise —
+    // no global sort/window-rank anywhere in the selection
+    assert("BroadcastNestedLoopJoin".r.findAllMatchIn(p).size == 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+    // count table, totals and scoring all read the one cached frame
+    assert(p.split("InMemoryTableScan").length - 1 >= 2, p)
+  }
+
+  test("filter funnel: one aggregate over row-wise flags — no join, no window") {
+    val p = plan(graft.operators.TextOps.filterFunnel(spark, dir))
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+  }
+
   test("incremental embed dedup: new batch broadcasts into the label block, no cartesian") {
     graft.functions.VectorFunctions.ensureRegistered(spark)
     val p = plan(graft.operators.VectorOps.incrEmbedDedup(spark, dir))
