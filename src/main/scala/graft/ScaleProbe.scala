@@ -79,7 +79,8 @@ object ScaleProbe {
     "q_pack_sequences", "q_vocab_df", "q_incremental_dedup",
     "q_pii_scrub", "q_lm_score", "q_tfidf_terms", "q_corpus_stats",
     "q_bpe_merges", "q_dup_spans", "q_span_scrub",
-    "q_dsir_select", "q_filter_funnel")
+    "q_dsir_select", "q_filter_funnel",
+    "q_perplexity_bucket", "q_oov_rate", "q_top_ngrams")
 
   private def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
 
@@ -322,6 +323,56 @@ object ScaleProbe {
     }
   }
 
+  // ---- retrieval / clustering probe ------------------------------------
+
+  /** BM25 with a workload drawn from the probe corpus's own vocabulary
+    * (the shipped keyword set does not occur in the synthetic vocab, so
+    * the driver-table query would measure an empty hit set here) and
+    * distributed k-means on the embedding tiers. BM25's cost should
+    * track the query-term hit set, not the corpus; k-means cost per
+    * iteration is one corpus assignment pass + a k·dim-bounded shuffle,
+    * so the ratio should stay near the data growth, never above it.
+    */
+  private def retrievalProbe(spark: SparkSession, base: String,
+      n1: Long): Seq[String] = {
+    import graft.operators.{TextOps, VectorOps}
+    def time3(f: => Unit): Double = median((1 to 3).map { _ =>
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    })
+    // zipf head (w0-w3) + mid (w40s) + tail (w800s) terms, en register
+    val workload: Seq[(Long, Int, String)] = Seq(
+      (1L, 1, "enw0"), (1L, 2, "enw1"), (1L, 3, "enw2"),
+      (2L, 1, "enw3"), (2L, 2, "enw41"), (2L, 3, "enw42"),
+      (3L, 1, "enw800"), (3L, 2, "enw801"), (3L, 3, "enw43"))
+    val bm25Rows = Seq("x1" -> n1, "x10" -> n1 * 10).map { case (tag, n) =>
+      val d = s"$base/$tag"
+      synthesize(spark, d, n)
+      val docs = spark.read.parquet(s"$d/documents.parquet")
+      def run() = Bench.force(
+        TextOps.bm25TopKOver(docs, 10, s"probe-bm25:$tag", workload))
+      run() // warmup
+      val t = time3(run())
+      println(f"[scaleprobe] bm25 $tag%-4s n=$n%6d t=$t%6.2fs")
+      tag -> t
+    }
+    val bm25Json =
+      s""""bm25":{"x1":${bm25Rows.head._2},"x10":${bm25Rows.last._2},""" +
+        s""""ratio":${bm25Rows.last._2 / bm25Rows.head._2}}"""
+    val kmRows = Seq("x1" -> 2000L, "x10" -> 20000L).map { case (tag, n) =>
+      val d = s"$base/emb_$tag"
+      synthesizeEmb(spark, d, n)
+      def run() = Bench.force(VectorOps.kmeansAssign(spark, d, k = 8, iters = 5))
+      run() // warmup
+      val t = time3(run())
+      println(f"[scaleprobe] kmeans $tag%-4s n=$n%6d t=$t%6.2fs")
+      tag -> t
+    }
+    val kmJson =
+      s""""kmeans":{"x1":${kmRows.head._2},"x10":${kmRows.last._2},""" +
+        s""""ratio":${kmRows.last._2 / kmRows.head._2}}"""
+    Seq(bm25Json, kmJson)
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val base = sys.env.getOrElse("SPARK_GRAFT_PROBE_DIR", "/tmp/graft-scaleprobe")
@@ -360,6 +411,11 @@ object ScaleProbe {
       synthesize(spark, d1, n1)
       val rows = bpeProbe(spark, d1)
       println(s"""{"metric":"scaleprobe_bpe",${rows.mkString(",")}}""")
+      spark.stop(); return
+    }
+    if (args.sameElements(Array("--retrieval"))) {
+      val rows = retrievalProbe(spark, base, n1)
+      println(s"""{"metric":"scaleprobe_retrieval",${rows.mkString(",")}}""")
       spark.stop(); return
     }
     // optional argv filter: probe only the named queries (diagnosis runs);

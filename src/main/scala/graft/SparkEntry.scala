@@ -81,6 +81,10 @@ object SparkEntry {
     "q_nb_quality" -> TextOps.nbQuality _,
     "q_dsir_select" -> ((s, d) => TextOps.dsirSelect(s, d)),
     "q_filter_funnel" -> TextOps.filterFunnel _,
+    "q_perplexity_bucket" -> TextOps.perplexityBuckets _,
+    "q_oov_rate" -> ((s, d) => TextOps.oovRate(s, d)),
+    "q_top_ngrams" -> ((s, d) => TextOps.topNgrams(s, d)),
+    "q_bm25_topk" -> ((s, d) => TextOps.bm25TopK(s, d)),
     "q_shard_pack" -> ((s, d) => TextOps.shardPack(s, d)),
     "q_source_overlap" -> ((s, d) => TextOps.sourceOverlap(s, d)),
     "q_dup_profile" -> TextOps.dupProfile _,
@@ -89,6 +93,7 @@ object SparkEntry {
     "q_tfidf_terms" -> ((s, d) => TextOps.tfidfTerms(s, d)),
     "q_token_jaccard" -> TextOps.tokenJaccard _,
     "q_ngram_jaccard" -> TextOps.ngramJaccard _,
+    "q_containment" -> ((s, d) => TextOps.containment(s, d)),
     "q_dedup_clusters" -> ((s, d) => TextOps.dedupClusters(s, d)),
     "q_minhash_lsh" -> TextOps.minhashLsh _,
     "q_minhash_shingle" -> TextOps.minhashShingle _,
@@ -123,6 +128,7 @@ object SparkEntry {
     "q_bpe_tokens" -> ((s, d) => TextOps.bpeTokenCounts(s, d)),
     "q_corpus_build" -> TextOps.corpusBuild _,
     "q_knn_join" -> ((s, d) => VectorOps.knnJoin(s, d)),
+    "q_kmeans" -> ((s, d) => VectorOps.kmeansAssign(s, d)),
     "q_ann_lsh" -> ((s, d) => VectorOps.annLshTuned(s, d, budget = 0.6)),
     "q_ann_ivf" -> ((s, d) => VectorOps.annIvf(s, d)),
     "q_ann_pq" -> ((s, d) => VectorOps.annPq(s, d)),
@@ -406,6 +412,81 @@ object SparkEntry {
         |  (CAST(CAST(SUM(CAST(tf AS HUGEINT) * CAST(c AS HUGEINT)) AS DECIMAL(38,0)) AS DOUBLE) /
         |    CAST(CAST(SUM(tf) AS BIGINT) AS DOUBLE)) / CAST((SELECT t FROM tot) AS DOUBLE) AS avg_prob
         |FROM dt JOIN cnt USING (term) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_perplexity_bucket" ->
+      // lm_score's exact avg_prob chain, ranked by the deterministic
+      // total order (avg_prob DESC, doc_id); the tercile is explicit
+      // integer arithmetic on the rank — the same formula the Spark side
+      // computes from its distributed prefix-offset rank, NOT a native
+      // ntile on either engine
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents WHERE text IS NOT NULL),
+        |dt AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |cnt AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS c FROM dt GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM cnt),
+        |per AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+        |    (CAST(CAST(SUM(CAST(tf AS HUGEINT) * CAST(c AS HUGEINT)) AS DECIMAL(38,0)) AS DOUBLE) /
+        |      CAST(CAST(SUM(tf) AS BIGINT) AS DOUBLE)) / CAST((SELECT t FROM tot) AS DOUBLE) AS avg_prob
+        |  FROM dt JOIN cnt USING (term) GROUP BY doc_id),
+        |rk AS (SELECT doc_id, n_tokens, avg_prob,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY avg_prob DESC, doc_id) AS BIGINT) AS rank,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM per) AS n FROM per)
+        |SELECT doc_id, n_tokens, avg_prob, rank,
+        |  CAST(((rank - 1) * 3) // n + 1 AS BIGINT) AS bucket
+        |FROM rk ORDER BY doc_id""".stripMargin,
+    "q_oov_rate" ->
+      // top-25 vocabulary by (total frequency DESC, term); exact integer
+      // counts, one double division for the rate
+      """WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents WHERE text IS NOT NULL),
+        |lt AS (SELECT lang, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |vocab AS (SELECT term FROM (SELECT term, SUM(tf) AS c FROM lt GROUP BY 1)
+        |          ORDER BY c DESC, term LIMIT 25)
+        |SELECT lang, CAST(SUM(tf) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(CASE WHEN term NOT IN (SELECT term FROM vocab) THEN tf ELSE 0 END) AS BIGINT) AS oov_tokens,
+        |  CAST(SUM(CASE WHEN term NOT IN (SELECT term FROM vocab) THEN tf ELSE 0 END) AS DOUBLE) /
+        |    CAST(SUM(tf) AS DOUBLE) AS oov_rate
+        |FROM lt GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_top_ngrams" ->
+      // word 5-grams via the same range/list_transform window builder as
+      // the 3-gram jaccard oracle (short docs yield one partial window;
+      // concat_ws skips the out-of-range NULLs on both engines)
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |              FROM documents WHERE text IS NOT NULL),
+        |g AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(tk)-4, 1)+1),
+        |    i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3], tk[i+4]))) AS gram FROM toks),
+        |pd AS (SELECT gram, doc_id, COUNT(*) AS c FROM g GROUP BY 1, 2)
+        |SELECT gram, CAST(SUM(c) AS BIGINT) AS occurrences,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs
+        |FROM pd GROUP BY gram
+        |ORDER BY occurrences DESC, n_docs DESC, gram LIMIT 20""".stripMargin,
+    "q_bm25_topk" ->
+      // mirrors bm25TopK's fixed double chain verbatim: rational idf
+      // (2N-2df+1)/(2df+1) from exact integers, norm = dl/(T/N),
+      // den = tf + 1.2*(0.25 + 0.75*norm), s = idf * (tf*2.2)/den,
+      // positional slots summed in literal order s1+s2+s3
+      """WITH q(qid, pos, term) AS (VALUES
+        |    (1, 1, 'spark'), (1, 2, 'query'), (1, 3, 'join'),
+        |    (2, 1, 'hash'), (2, 2, 'table'), (2, 3, 'scan'),
+        |    (3, 1, 'dup'), (3, 2, 'merge'), (3, 3, 'stream')),
+        |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents WHERE text IS NOT NULL),
+        |dt AS MATERIALIZED (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |hits AS (SELECT q.qid, q.pos, dt.term, dt.doc_id, dt.tf FROM dt JOIN q USING (term)),
+        |dfreq AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM hits GROUP BY 1),
+        |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM dt GROUP BY 1),
+        |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS t FROM dl),
+        |sc AS (SELECT h.qid, h.pos, h.doc_id,
+        |    (CAST(2 * s.n - 2 * f.df + 1 AS DOUBLE) / CAST(2 * f.df + 1 AS DOUBLE)) *
+        |      ((CAST(h.tf AS DOUBLE) * 2.2) /
+        |        (CAST(h.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+        |          (CAST(l.dl AS DOUBLE) / (CAST(s.t AS DOUBLE) / CAST(s.n AS DOUBLE)))))) AS s
+        |  FROM hits h JOIN dfreq f USING (term) JOIN dl l USING (doc_id) CROSS JOIN stats s),
+        |per AS (SELECT qid, doc_id,
+        |    COALESCE(MAX(CASE WHEN pos = 1 THEN s END), 0.0) +
+        |      COALESCE(MAX(CASE WHEN pos = 2 THEN s END), 0.0) +
+        |      COALESCE(MAX(CASE WHEN pos = 3 THEN s END), 0.0) AS score
+        |  FROM sc GROUP BY 1, 2),
+        |rk AS (SELECT CAST(qid AS BIGINT) AS qid,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+        |    doc_id, score FROM per)
+        |SELECT qid, rank, doc_id, score FROM rk WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
     "q_dsir_select" ->
       // mirrors dsirSelect's exact-arithmetic contract: integer (HUGEINT)
       // tf*count sums cast to double ONCE, fixed multiply/divide chain in
@@ -687,6 +768,23 @@ object SparkEntry {
         |  AND s.avg_tok_len BETWEEN ${TextOps.QualityMinAvgTokLen}.0 AND ${TextOps.QualityMaxAvgTokLen}.0
         |  AND substring(md5(concat(d.doc_id, ':', COALESCE(d.text, ''))), 1, 1) < '8'
         |ORDER BY d.doc_id""".stripMargin,
+    "q_containment" ->
+      // naive ordered-pair containment over distinct word-3-gram shingle
+      // sets (the ngram_jaccard window builder); the score is one double
+      // division mirrored by the Spark side
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |              FROM documents WHERE text IS NOT NULL),
+        |sh AS (SELECT DISTINCT doc_id, sh FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, greatest(len(tk)-2, 1)+1),
+        |      i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS sh FROM toks)),
+        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+        |pair AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+        |         FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+        |         GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, CAST(common AS DOUBLE) / sa.sz AS containment
+        |FROM pair JOIN sz sa ON sa.doc_id = doc_a
+        |WHERE CAST(common AS DOUBLE) / sa.sz >= 0.9
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "q_ngram_jaccard" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk
         |              FROM documents WHERE text IS NOT NULL),

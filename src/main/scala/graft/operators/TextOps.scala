@@ -469,6 +469,85 @@ object TextOps {
     intra.unionByName(inter)
   }
 
+  /** Asymmetric containment near-dup (Broder shingle containment):
+    * ordered pairs where ≥ `threshold` of the contained document's
+    * word-3-gram shingles also appear in the container — the
+    * syndication/quotation/excerpt detector Jaccard structurally misses
+    * (a short article fully embedded in a long page has tiny Jaccard
+    * but containment 1). C(A→B) = |A∩B|/|A| over shingle sets; shingles
+    * rather than unigram vocabularies so "contained" means VERBATIM
+    * word sequences reappear, not merely shared vocabulary (unigram
+    * containment saturates on any topic-coherent corpus).
+    *
+    * Containment has NO upper size bound on the container (that is the
+    * point), so the symmetric AllPairs size window does not apply.
+    * Scale path: one-sided prefix filtering — tokens rank by ascending
+    * global set-frequency (rare first), the CONTAINED side exposes only
+    * its first |A|−⌈t·|A|⌉+1 rarest tokens (if none of those hit B, the
+    * remaining ⌈t·|A|⌉−1 tokens cannot reach the required overlap), and
+    * the container side exposes all tokens; candidates join on the
+    * token hash so per-token fan-out is prefix-multiplicity × df(token)
+    * — rare-token-bounded, never all-pairs. Identical token sets
+    * collapse to one representative before any join (pairwise
+    * containment 1 both ways needs no verification). Bound arithmetic
+    * is exact decimal (the JaccardPropertySpec threshold-edge lesson);
+    * only the final common/|A| ≥ t gate is the oracle-mirrored double.
+    */
+  def containment(spark: SparkSession, dir: String,
+      threshold: Double = 0.9): DataFrame =
+    containmentPairs(spark, docHashSets(Tables.documents(spark, dir),
+      t => shingles(t, 3)), threshold)
+      .orderBy("doc_a", "doc_b")
+
+  /** Shared engine of [[containment]] over (doc_id, toks) sorted-set rows:
+    * ordered (contained, container) pairs with the containment score.
+    */
+  private[operators] def containmentPairs(spark: SparkSession, docs0: DataFrame,
+      threshold: Double): DataFrame = {
+    graft.IntraQueryCache.newGeneration(
+      s"containment:${docs0.queryExecution.analyzed.semanticHash()}:$threshold")
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    val docs = docs0.withColumn("sz", size(col("toks")).cast("long"))
+    val groups = docs.groupBy("toks", "sz")
+      .agg(collect_list(col("doc_id")).as("ids"), min(col("doc_id")).as("gid"))
+      .transform(graft.IntraQueryCache.scoped)
+    // identical sets: containment 1 in BOTH directions (ordered pairs)
+    val intra = groups
+      .select(explode(col("ids")).as("doc_a"), col("ids"))
+      .select(col("doc_a"), explode(col("ids")).as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .withColumn("containment", lit(1.0))
+    val gtok = groups.select(col("gid"), col("sz"), explode(col("toks")).as("th"))
+      .transform(graft.IntraQueryCache.scoped)
+    val df = gtok.groupBy("th").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("gid").orderBy("df", "th")
+    val tDec = lit(BigDecimal(threshold.toString))
+    // contained-side prefix: the |A|-ceil(t|A|)+1 globally rarest tokens
+    val prefixA = gtok.join(df, "th")
+      .withColumn("pos", row_number().over(w))
+      .filter(col("pos") <= col("sz") - ceil(col("sz") * tDec) + 1)
+      .select(col("gid").as("gid_a"), col("th"), col("sz").as("psz_a"))
+    // container side: every token; |B| >= ceil(t|A|) is the only size gate
+    val cand = prefixA.join(gtok.select(col("gid").as("gid_b"), col("th"),
+        col("sz").as("psz_b")), Seq("th"))
+      .filter(col("gid_a") =!= col("gid_b") &&
+        col("psz_b") >= ceil(col("psz_a") * tDec))
+      .select("gid_a", "gid_b")
+      .dropDuplicates("gid_a", "gid_b")
+    val inter = cand
+      .join(groups.select(col("gid").as("gid_a"), col("toks").as("toks_a"),
+        col("sz").as("sz_a"), col("ids").as("ids_a")), "gid_a")
+      .join(groups.select(col("gid").as("gid_b"), col("toks").as("toks_b"),
+        col("ids").as("ids_b")), "gid_b")
+      .withColumn("common", graft.functions.VectorFunctions
+        .sortedIntersectCount(col("toks_a"), col("toks_b")))
+      .withColumn("containment", col("common").cast("double") / col("sz_a"))
+      .filter(col("containment") >= threshold)
+      .select(explode(col("ids_a")).as("doc_a"), col("ids_b"), col("containment"))
+      .select(col("doc_a"), explode(col("ids_b")).as("doc_b"), col("containment"))
+    intra.unionByName(inter)
+  }
+
   /** Dedup clustering — the step that turns a near-dup PAIR list into the
     * thing a pipeline actually needs: one canonical document per duplicate
     * cluster. Connected components over the exact-Jaccard pair graph;
@@ -2107,21 +2186,8 @@ object TextOps {
     * the grand total rides a one-row broadcast. No token-position
     * shuffle anywhere.
     */
-  def lmScore(spark: SparkSession, dir: String): DataFrame = {
-    graft.IntraQueryCache.newGeneration(s"lmscore:$dir")
-    // persisted: the (doc, term) frame feeds the count table, the grand
-    // total AND the scoring join — without it the scan + explode +
-    // aggregate run three times (column pruning differentiates the
-    // subtrees, so exchange reuse never fires)
-    val dt = graft.IntraQueryCache.scoped(docTermTf(Tables.documents(spark, dir)))
-    val cnt = dt.groupBy("term").agg(sum("tf").as("c"))
-    val total = cnt.agg(sum(col("c")).as("t"))
-    dt.join(cnt, "term")
-      .groupBy("doc_id")
-      .agg(sum(col("tf").cast("decimal(19,0)") * col("c").cast("decimal(19,0)"))
-          .as("sum_tf"),
-        sum(col("tf")).as("n_tokens"))
-      .crossJoin(broadcast(total))
+  def lmScore(spark: SparkSession, dir: String): DataFrame =
+    lmPerDoc(spark, dir, s"lmscore:$dir")
       // the 128-bit decimal accumulation stays internal; the DECLARED
       // sum_tf is a double so both engines materialize the same scalar
       // type (decimal(38,0) surfaces as Decimal objects in pandas while
@@ -2131,6 +2197,236 @@ object TextOps {
         ((col("sum_tf").cast("double") / col("n_tokens").cast("double")) /
           col("t").cast("double")).as("avg_prob"))
       .orderBy("doc_id")
+
+  /** The per-document unigram-LM frame [[lmScore]] and
+    * [[perplexityBuckets]] share: (doc_id, sum_tf decimal(38,0),
+    * n_tokens, t) with sum_tf = Σ tf·c_t kept exact and the grand token
+    * total `t` riding a one-row broadcast. Consumers apply the final
+    * fixed division chain themselves so each declares exactly the
+    * doubles its oracle mirrors.
+    */
+  private def lmPerDoc(spark: SparkSession, dir: String, gen: String): DataFrame =
+    lmPerDocOver(Tables.documents(spark, dir), gen)
+
+  private def lmPerDocOver(docs: DataFrame, gen: String): DataFrame = {
+    graft.IntraQueryCache.newGeneration(gen)
+    // persisted: the (doc, term) frame feeds the count table, the grand
+    // total AND the scoring join — without it the scan + explode +
+    // aggregate run three times (column pruning differentiates the
+    // subtrees, so exchange reuse never fires)
+    val dt = graft.IntraQueryCache.scoped(docTermTf(docs))
+    val cnt = dt.groupBy("term").agg(sum("tf").as("c"))
+    val total = cnt.agg(sum(col("c")).as("t"))
+    dt.join(cnt, "term")
+      .groupBy("doc_id")
+      .agg(sum(col("tf").cast("decimal(19,0)") * col("c").cast("decimal(19,0)"))
+          .as("sum_tf"),
+        sum(col("tf")).as("n_tokens"))
+      .crossJoin(broadcast(total))
+  }
+
+  /** CCNet-style perplexity bucketing: every scored document's global
+    * quality rank (1 = most probable under the corpus unigram LM) and
+    * its head/middle/tail tercile, the split CCNet uses to route a crawl
+    * into keep/maybe/drop lanes. The score is [[lmScore]]'s exact
+    * avg_prob; the rank is a deterministic total order (avg_prob desc,
+    * doc_id asc); the bucket is explicit integer arithmetic on the rank
+    * (⌊(rank−1)·3/N⌋+1), NOT a native ntile — both engines evaluate the
+    * same formula, so the oracle is hash-exact.
+    *
+    * Scale shape: a global rank normally means a single-partition window
+    * — the scale-killer. Here it is the same distributed pattern as the
+    * sequence packers: range-partition on the sort key (negated score so
+    * the range exchange orders descending), a per-partition imperative
+    * running count (mapPartitions — a pid-window would re-shuffle, see
+    * [[globalTokenPrefix]]), and the per-partition totals (one row each,
+    * KBs at any scale) broadcast back as rank offsets. No single reducer
+    * ever sees the corpus; N rides a one-row broadcast.
+    */
+  def perplexityBuckets(spark: SparkSession, dir: String): DataFrame =
+    perplexityBucketsOver(Tables.documents(spark, dir), s"perpbucket:$dir")
+
+  private[operators] def perplexityBucketsOver(docs: DataFrame,
+      gen: String): DataFrame = {
+    val spark = docs.sparkSession
+    val scored = lmPerDocOver(docs, gen)
+      .select(col("doc_id"), col("n_tokens"),
+        ((col("sum_tf").cast("double") / col("n_tokens").cast("double")) /
+          col("t").cast("double")).as("avg_prob"))
+      // double negation is exact: ordering by neg_prob asc IS avg_prob
+      // desc, and the range partitioner only sees ascending keys
+      .withColumn("neg_prob", -col("avg_prob"))
+    // pid assignment must be one consistent snapshot across the local
+    // ranks and the per-partition totals (same contract as
+    // globalTokenPrefix; deliberately not generation-scoped)
+    val parted = scored
+      .repartitionByRange(col("neg_prob"), col("doc_id"))
+      .sortWithinPartitions(col("neg_prob"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .persist()
+    import spark.implicits._
+    val local = parted.select(col("pid"), col("doc_id"), col("n_tokens"), col("avg_prob"))
+      .as[(Int, Long, Long, Double)]
+      .mapPartitions { it =>
+        var run = 0L
+        it.map { case (pid, id, nt, p) => run += 1L; (pid, id, nt, p, run) }
+      }.toDF("pid", "doc_id", "n_tokens", "avg_prob", "local_rank")
+    val partTotals = parted.groupBy("pid").agg(count(lit(1)).as("ptot"))
+      .withColumn("poffset",
+        coalesce(sum(col("ptot")).over(
+          Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("pid", "poffset")
+    val n = parted.agg(count(lit(1)).as("n"))
+    local
+      .join(broadcast(partTotals), "pid")
+      .withColumn("rank", col("poffset") + col("local_rank"))
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("n_tokens"), col("avg_prob"), col("rank"),
+        (expr("((rank - 1) * 3) div n") + 1L).as("bucket"))
+      .orderBy("doc_id")
+  }
+
+  /** Vocabulary coverage / OOV-rate report: the per-language fraction of
+    * token occurrences outside the corpus's top-`v` vocabulary (by total
+    * frequency, ties on the term) — the tokenizer-sizing and
+    * crawl-health signal ("which languages does this vocab underserve").
+    * Counts are exact integers; the rate is a single double division,
+    * identical on both engines.
+    *
+    * Scale shape: the (lang, term) frame aggregates map-side off one
+    * scan (language rides the explode — no doc-level join-back); the
+    * vocabulary is a TakeOrdered over the vocabulary-bounded term-count
+    * table (top-v without a full sort) and broadcasts to flag coverage.
+    */
+  def oovRate(spark: SparkSession, dir: String, v: Int = 25): DataFrame =
+    oovRateOver(Tables.documents(spark, dir), v, s"oov:$dir:$v")
+
+  private[operators] def oovRateOver(docs: DataFrame, v: Int,
+      gen: String): DataFrame = {
+    graft.IntraQueryCache.newGeneration(gen)
+    val lt = graft.IntraQueryCache.scoped(
+      docs
+        .filter(col("text").isNotNull)
+        .select(col("lang"), explode(tokens(col("text"))).as("term"))
+        .groupBy("lang", "term")
+        .agg(count(lit(1)).as("tf")))
+    val vocab = lt.groupBy("term").agg(sum(col("tf")).as("c"))
+      .orderBy(col("c").desc, col("term"))
+      .limit(v)
+      .select(col("term"), lit(1).as("in_vocab"))
+    lt.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy("lang")
+      .agg(sum(col("tf")).as("total_tokens"),
+        sum(when(col("in_vocab").isNull, col("tf")).otherwise(0L)).as("oov_tokens"))
+      .select(col("lang"), col("total_tokens"), col("oov_tokens"),
+        (col("oov_tokens").cast("double") / col("total_tokens").cast("double"))
+          .as("oov_rate"))
+      .orderBy("lang")
+  }
+
+  /** Corpus-wide repeated n-gram mining: the top `k` word 5-grams by
+    * total occurrence count (then document reach, then the gram) — the
+    * direct boilerplate/template-mining report ("which exact phrases
+    * saturate this crawl") that feeds stop-span lists for the span
+    * scrubbers. Occurrence and reach stay exact integers with a
+    * deterministic total-order tiebreak.
+    *
+    * Scale shape: grams aggregate in two partial-aggregable stages —
+    * (gram, doc) then gram — so a hot boilerplate gram collapses
+    * map-side both times (the same de-skew shape as the chunk family;
+    * no window over a content key anywhere); the final top-k is a
+    * TakeOrdered, never a full sort.
+    */
+  def topNgrams(spark: SparkSession, dir: String, n: Int = 5, k: Int = 20): DataFrame =
+    topNgramsOver(Tables.documents(spark, dir), n, k)
+
+  private[operators] def topNgramsOver(docs: DataFrame, n: Int, k: Int): DataFrame = {
+    val grams = docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), bindOnce(tokens(col("text"))) { tk =>
+        transform(
+          sequence(lit(1), greatest(size(tk) - (n - 1), lit(1))),
+          i => concat_ws(" ", (0 until n).map(j => try_element_at(tk, i + j)): _*))
+      }.as("gs"))
+      .select(col("doc_id"), explode(col("gs")).as("gram"))
+    grams.groupBy("gram", "doc_id").agg(count(lit(1)).as("c"))
+      .groupBy("gram")
+      .agg(sum(col("c")).as("occurrences"), count(lit(1)).as("n_docs"))
+      .orderBy(col("occurrences").desc, col("n_docs").desc, col("gram"))
+      .limit(k)
+  }
+
+  /** The fixed keyword-query workload [[bm25TopK]] retrieves for: each
+    * query is exactly three terms, scored and summed in declared position
+    * order so the float addition sequence is engine-identical.
+    */
+  private[operators] val bm25Queries: Seq[(Long, Int, String)] = Seq(
+    (1L, 1, "spark"), (1L, 2, "query"), (1L, 3, "join"),
+    (2L, 1, "hash"), (2L, 2, "table"), (2L, 3, "scan"),
+    (3L, 1, "dup"), (3L, 2, "merge"), (3L, 3, "stream"))
+
+  /** BM25 lexical retrieval over the corpus for a fixed keyword-query
+    * workload: top 10 documents per query under BM25 (k1=1.2, b=0.75)
+    * with the rational idf (N−df+½)/(df+½) — the log-free monotone
+    * variant, kept so every factor is a fixed chain of correctly-rounded
+    * double ops from exact integers (no transcendentals). Per-term
+    * scores land in positional slots via max-of-one aggregation and sum
+    * in literal position order, so the 3-term addition sequence is
+    * bit-identical on both engines (the order-exact expansion the hybrid
+    * dedup oracle established).
+    *
+    * Scale shape: the doc-term frame filters to query terms through a
+    * broadcast join FIRST — document frequency, per-hit scoring and the
+    * per-query aggregation all run on the hit set, never the corpus;
+    * document length joins in at (hit doc) granularity off the shared
+    * frame's map-side-combined per-doc sums; corpus totals ride a
+    * one-row broadcast. The final per-query top-k is a window over a
+    * handful of query partitions — bounded by the workload, not the
+    * corpus (an impact-ordered index is the web-scale path; the hit-set
+    * shape here is what it would feed).
+    */
+  def bm25TopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    bm25TopKOver(Tables.documents(spark, dir), k, s"bm25:$dir")
+
+  private[graft] def bm25TopKOver(docs: DataFrame, k: Int,
+      gen: String, workload: Seq[(Long, Int, String)] = bm25Queries): DataFrame = {
+    val spark = docs.sparkSession
+    graft.IntraQueryCache.newGeneration(gen)
+    val dt = graft.IntraQueryCache.scoped(docTermTf(docs))
+    import spark.implicits._
+    val qt = broadcast(workload.toDF("qid", "pos", "term"))
+    // hits: only (doc, term) rows matching some query term survive
+    val hits = graft.IntraQueryCache.scoped(dt.join(qt, "term"))
+    val dfreq = hits.select("term", "doc_id").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val dl = dt.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("t"))
+    val scoredHits = hits
+      .join(broadcast(dfreq), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      // the exact chain the oracle mirrors: norm = dl / (T/N);
+      // den = tf + 1.2*(0.25 + 0.75*norm); s = idf * (tf*2.2)/den
+      .withColumn("norm",
+        col("dl").cast("double") / (col("t").cast("double") / col("n").cast("double")))
+      .withColumn("s",
+        ((lit(2L) * col("n") - lit(2L) * col("df") + 1L).cast("double") /
+          (lit(2L) * col("df") + 1L).cast("double")) *
+          ((col("tf").cast("double") * lit(2.2)) /
+            (col("tf").cast("double") + lit(1.2) * (lit(0.25) + lit(0.75) * col("norm")))))
+    val perDoc = scoredHits.groupBy("qid", "doc_id")
+      .agg(max(when(col("pos") === 1, col("s"))).as("s1"),
+        max(when(col("pos") === 2, col("s"))).as("s2"),
+        max(when(col("pos") === 3, col("s"))).as("s3"))
+      .withColumn("score",
+        coalesce(col("s1"), lit(0.0)) + coalesce(col("s2"), lit(0.0)) +
+          coalesce(col("s3"), lit(0.0)))
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id"))
+    perDoc.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "doc_id", "score")
+      .orderBy("qid", "rank")
   }
 
   /** Salient-term extraction: the top `k` terms per document ranked by

@@ -872,4 +872,101 @@ object VectorOps {
       .select("doc_a", "doc_b", "jaccard", "cosine")
       .orderBy("doc_a", "doc_b")
   }
+
+  // ---- distributed k-means corpus partitioning ---------------------------
+
+  /** Nearest centroid per row against a broadcast centroid literal:
+    * argmin by L2 over the fixed centroid order via `array_min` of
+    * (partial-distance, cid) structs — ‖x‖² is constant per row, so the
+    * ranked partial is ‖c‖²−2·x·c and the true squared distance adds
+    * ‖x‖² back once after selection. No exchange, no jobs; the whole
+    * assignment stays in codegen (the [[pqCodeCol]] projection shape).
+    */
+  private def assignToCentroids(emb: DataFrame,
+      cents: IndexedSeq[Seq[Double]]): DataFrame = {
+    val partial = array_min(array(cents.zipWithIndex.map { case (cvec, cid) =>
+      val cc = cvec.map(x => x * x).sum
+      struct((lit(cc) - lit(2.0) * dot(col("embedding"), typedlit(cvec))).as("d"),
+        lit(cid).as("cid"))
+    }: _*))
+    emb.withColumn("a", partial)
+      .withColumn("cluster", col("a.cid"))
+      .withColumn("dist", greatest(col("a.d") + dot(col("embedding"), col("embedding")),
+        lit(0.0)))
+      .drop("a")
+  }
+
+  /** Fully distributed Lloyd's k-means over the whole embedding corpus —
+    * the clustering face of SemDeDup-style curation (cluster, then dedup
+    * or rebalance within clusters) and the corpus-scale counterpart of
+    * the sample-trained IVF codebook: here every vector votes in every
+    * iteration. Returns (vec_id, cluster, dist) with dist the squared L2
+    * to the final centroid, rounded for cross-run stability.
+    *
+    * Determinism: init is the k vectors with smallest
+    * (xxhash64(vec_id), vec_id) — seed-free and reproducible; ties in
+    * assignment break on centroid id via struct ordering; updated
+    * centroid coordinates round to 9 dp each iteration so last-ulp
+    * differences in float summation order cannot flip later argmins in
+    * practice. Quality is spec-pinned (KMeansSpec): argmin property
+    * against independently recomputed distances, monotone
+    * non-increasing inertia, cluster count, determinism across runs.
+    *
+    * Scale shape: per iteration, assignment is a map-only codegen pass
+    * over the corpus (centroids ride the plan as literals — k·dim
+    * doubles, KBs); the centroid update is ONE partial-aggregable
+    * shuffle of (cluster, dim) keyed sums — map-side combining collapses
+    * every partition to ≤ k·dim rows before the exchange, and the
+    * driver collects exactly k·dim aggregated rows (bounded, like the
+    * BPE top-pair collect). Nothing all-pairs, no global sort; empty
+    * clusters keep their previous centroid.
+    */
+  def kmeansAssign(spark: SparkSession, dir: String, k: Int = 8,
+      iters: Int = 5): DataFrame = kmeansFit(spark, dir, k, iters)._2
+
+  /** [[kmeansAssign]] plus the fitted centroids — the spec pins the
+    * argmin property and inertia against them.
+    */
+  private[graft] def kmeansFit(spark: SparkSession, dir: String, k: Int,
+      iters: Int): (IndexedSeq[Seq[Double]], DataFrame) = {
+    VectorFunctions.ensureRegistered(spark)
+    graft.IntraQueryCache.newGeneration(s"kmeans:$dir:$k:$iters")
+    // iters+1 passes read this frame; scoped so the scan runs once
+    val emb = graft.IntraQueryCache.scoped(
+      Tables.embeddings(spark, dir)
+        .filter(col("embedding").isNotNull)
+        .select(col("vec_id"), col("embedding")))
+    var cents: IndexedSeq[Seq[Double]] = emb
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(k)
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0)).toIndexedSeq
+    for (_ <- 1 to iters) {
+      val sums = assignToCentroids(emb, cents)
+        .select(col("cluster"), posexplode(col("embedding")))
+        .groupBy("cluster", "pos")
+        .agg(sum(col("col").cast("double")).as("s"), count(lit(1)).as("c"))
+        .collect() // ≤ k·dim rows — bounded by the model, not the corpus
+      val byCluster = sums.groupBy(_.getInt(0))
+      cents = cents.zipWithIndex.map { case (prev, cid) =>
+        byCluster.get(cid) match {
+          case Some(rows) =>
+            val dim = prev.length
+            val next = new Array[Double](dim)
+            rows.foreach { r =>
+              next(r.getInt(1)) =
+                BigDecimal(r.getDouble(2) / r.getLong(3))
+                  .setScale(9, BigDecimal.RoundingMode.HALF_EVEN).toDouble
+            }
+            next.toSeq
+          case None => prev // empty cluster: keep its centroid
+        }
+      }
+    }
+    val out = assignToCentroids(emb, cents)
+      .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
+        round(col("dist"), 6).as("dist"))
+      .orderBy("vec_id")
+    (cents, out)
+  }
 }

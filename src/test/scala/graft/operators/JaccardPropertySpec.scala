@@ -105,4 +105,49 @@ class JaccardPropertySpec extends AnyFunSuite {
     assert(got == want,
       s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
   }
+
+  /** Naive ordered-pair containment: C(A→B) = |A∩B|/|A| over distinct
+    * token sets, both directions, a ≠ b.
+    */
+  private def naiveContainment(docs: Seq[(Long, String)],
+      threshold: Double): Set[(Long, Long, Double)] = {
+    val sets = docs.map { case (id, t) => id -> t.split(" ").toSet }
+    (for {
+      (a, sa) <- sets; (b, sb) <- sets
+      if a != b
+      common = sa.intersect(sb).size
+      c = common.toDouble / sa.size
+      if c >= threshold
+    } yield (a, b, c)).toSet
+  }
+
+  /** Containment corpora add the asymmetric shape jaccard misses: short
+    * excerpts fully embedded in long containers (tiny J, containment 1)
+    * and threshold-edge subsets.
+    */
+  private def containCorpus(seed: Long): Seq[(Long, String)] = {
+    val rnd = new scala.util.Random(seed)
+    val base = corpus(seed)
+    val excerpts = base.take(6).map { case (id, t) =>
+      val toks = t.split(" ").toSeq.distinct
+      (id + 300, toks.take(math.max(2, toks.size / 3)).mkString(" "))
+    }
+    // near-containment: an excerpt plus one token the container lacks
+    val nearMiss = base.slice(6, 10).map { case (id, t) =>
+      (id + 400, (t.split(" ").toSeq.distinct.take(5) :+ "zz9").mkString(" "))
+    }
+    base ++ excerpts ++ nearMiss ++ Seq((999L, (0 until 8).map(i => s"t$i").mkString(" ")))
+  }
+
+  for (seed <- Seq(5L, 31L); threshold <- Seq(0.9, 0.75))
+  test(s"containment prefix-filtered == naive ordered pairs (t=$threshold, seed=$seed)") {
+    val docs = containCorpus(seed)
+    val sets = TextOps.docHashSets(docs.toDF("doc_id", "text"),
+      t => array_distinct(transform(split(t, " "), x => xxhash64(x))))
+    val got = TextOps.containmentPairs(spark, sets, threshold)
+      .as[(Long, Long, Double)].collect().toSet
+    val want = naiveContainment(docs, threshold)
+    assert(got == want,
+      s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+  }
 }
