@@ -924,6 +924,10 @@ object VectorOps {
   def kmeansAssign(spark: SparkSession, dir: String, k: Int = 8,
       iters: Int = 5): DataFrame = kmeansFit(spark, dir, k, iters)._2
 
+  /** Plan-spec hook: the assignment projection over explicit centroids. */
+  private[graft] def assignForTest(emb: DataFrame,
+      cents: IndexedSeq[Seq[Double]]): DataFrame = assignToCentroids(emb, cents)
+
   /** [[kmeansAssign]] plus the fitted centroids — the spec pins the
     * argmin property and inertia against them.
     */

@@ -306,4 +306,56 @@ class PlanSpec extends AnyFunSuite {
     assert(!app.contains("Exchange"), app)
     assert(app.contains("bpe_merge_step"), app) // the native one-pass merge
   }
+
+  test("perplexity buckets: rank never becomes a single-partition window") {
+    val p = plan(graft.operators.TextOps.perplexityBuckets(spark, dir))
+    // the global rank is range-exchange + mapPartitions + broadcast
+    // offsets; the only Window allowed is the KB-sized per-partition
+    // totals rollup (partitioned frame is one row per pid)
+    val globalWin = p.linesIterator
+      .filter(_.contains("windowspecdefinition"))
+      .filterNot(_.contains("pid"))
+    assert(globalWin.isEmpty, p)
+    assert(p.contains("rangepartitioning"), p)
+  }
+
+  test("oov rate: vocabulary is TakeOrdered top-v and broadcasts back") {
+    val p = plan(graft.operators.TextOps.oovRate(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), p) // top-v, never a full sort
+    assert(p.contains("BroadcastHashJoin"), p) // vocab flag join
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("top ngrams: two partial-aggregable stages + TakeOrdered, no window") {
+    val p = plan(graft.operators.TextOps.topNgrams(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+  }
+
+  test("bm25: corpus filters to the hit set through broadcast joins; no cartesian beyond the one-row stats") {
+    val p = plan(graft.operators.TextOps.bm25TopK(spark, dir))
+    // the query workload and dfreq must broadcast; the only nested-loop
+    // join allowed is the one-row corpus-stats crossJoin
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.split("BroadcastNestedLoopJoin").length - 1 <= 1, p)
+  }
+
+  test("containment: prefix-probe equi-join — no cartesian, no nested loop") {
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    val p = plan(graft.operators.TextOps.containment(spark, dir))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("kmeans assignment: literal centroids — map-only pass, no exchange, no window") {
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    val (cents, _) = graft.operators.VectorOps.kmeansFit(spark, dir, 4, 1)
+    val emb = Tables.embeddings(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("embedding").isNotNull)
+      .select("vec_id", "embedding")
+    val p = plan(graft.operators.VectorOps.assignForTest(emb, cents))
+    assert(!p.contains("Exchange") && !p.contains("Window"), p)
+  }
 }
