@@ -29,6 +29,7 @@ object SparkEntry {
     */
   def prepare(spark: SparkSession, dir: String): Unit = {
     graft.operators.TagIndex.ensure(spark, dir)
+    graft.operators.TextIndex.ensure(spark, dir)
     graft.operators.VectorOps.cachedLshIndex(spark, dir, maxBucket = 100000)
     graft.operators.VectorOps.lshOccupancy(spark, dir)
     graft.operators.VectorOps.trainedCodebook(spark, dir)
@@ -85,6 +86,8 @@ object SparkEntry {
     "q_oov_rate" -> ((s, d) => TextOps.oovRate(s, d)),
     "q_top_ngrams" -> ((s, d) => TextOps.topNgrams(s, d)),
     "q_bm25_topk" -> ((s, d) => TextOps.bm25TopK(s, d)),
+    "q_bm25_indexed" -> ((s, d) => graft.operators.TextIndex.bm25TopKIndexed(s, d)),
+    "q_phrase_search" -> ((s, d) => graft.operators.TextIndex.phraseSearch(s, d)),
     "q_shard_pack" -> ((s, d) => TextOps.shardPack(s, d)),
     "q_source_overlap" -> ((s, d) => TextOps.sourceOverlap(s, d)),
     "q_dup_profile" -> TextOps.dupProfile _,
@@ -166,6 +169,40 @@ object SparkEntry {
       |canon AS (SELECT v.vec_id, LEAST(v.vec_id, COALESCE(MIN(r.b), v.vec_id)) AS canonical
       |          FROM embeddings v LEFT JOIN reach r ON r.a = v.vec_id
       |          GROUP BY v.vec_id)""".stripMargin
+
+  /** Shared by q_bm25_topk and q_bm25_indexed — the index-served path
+    * must reproduce the raw-scan recompute bit-for-bit. Mirrors
+    * bm25FromHits' fixed double chain verbatim: rational idf
+    * (2N-2df+1)/(2df+1) from exact integers, norm = dl/(T/N),
+    * den = tf + 1.2*(0.25 + 0.75*norm), s = idf * (tf*2.2)/den,
+    * positional slots summed in literal order s1+s2+s3.
+    */
+  private val bm25OracleSql: String =
+    """WITH q(qid, pos, term) AS (VALUES
+      |    (1, 1, 'spark'), (1, 2, 'query'), (1, 3, 'join'),
+      |    (2, 1, 'hash'), (2, 2, 'table'), (2, 3, 'scan'),
+      |    (3, 1, 'dup'), (3, 2, 'merge'), (3, 3, 'stream')),
+      |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents WHERE text IS NOT NULL),
+      |dt AS MATERIALIZED (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      |hits AS (SELECT q.qid, q.pos, dt.term, dt.doc_id, dt.tf FROM dt JOIN q USING (term)),
+      |dfreq AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM hits GROUP BY 1),
+      |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM dt GROUP BY 1),
+      |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS t FROM dl),
+      |sc AS (SELECT h.qid, h.pos, h.doc_id,
+      |    (CAST(2 * s.n - 2 * f.df + 1 AS DOUBLE) / CAST(2 * f.df + 1 AS DOUBLE)) *
+      |      ((CAST(h.tf AS DOUBLE) * 2.2) /
+      |        (CAST(h.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+      |          (CAST(l.dl AS DOUBLE) / (CAST(s.t AS DOUBLE) / CAST(s.n AS DOUBLE)))))) AS s
+      |  FROM hits h JOIN dfreq f USING (term) JOIN dl l USING (doc_id) CROSS JOIN stats s),
+      |per AS (SELECT qid, doc_id,
+      |    COALESCE(MAX(CASE WHEN pos = 1 THEN s END), 0.0) +
+      |      COALESCE(MAX(CASE WHEN pos = 2 THEN s END), 0.0) +
+      |      COALESCE(MAX(CASE WHEN pos = 3 THEN s END), 0.0) AS score
+      |  FROM sc GROUP BY 1, 2),
+      |rk AS (SELECT CAST(qid AS BIGINT) AS qid,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+      |    doc_id, score FROM per)
+      |SELECT qid, rank, doc_id, score FROM rk WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_scan_filter" ->
@@ -457,36 +494,32 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) AS n_docs
         |FROM pd GROUP BY gram
         |ORDER BY occurrences DESC, n_docs DESC, gram LIMIT 20""".stripMargin,
-    "q_bm25_topk" ->
-      // mirrors bm25TopK's fixed double chain verbatim: rational idf
-      // (2N-2df+1)/(2df+1) from exact integers, norm = dl/(T/N),
-      // den = tf + 1.2*(0.25 + 0.75*norm), s = idf * (tf*2.2)/den,
-      // positional slots summed in literal order s1+s2+s3
-      """WITH q(qid, pos, term) AS (VALUES
-        |    (1, 1, 'spark'), (1, 2, 'query'), (1, 3, 'join'),
-        |    (2, 1, 'hash'), (2, 2, 'table'), (2, 3, 'scan'),
-        |    (3, 1, 'dup'), (3, 2, 'merge'), (3, 3, 'stream')),
-        |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents WHERE text IS NOT NULL),
-        |dt AS MATERIALIZED (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
-        |hits AS (SELECT q.qid, q.pos, dt.term, dt.doc_id, dt.tf FROM dt JOIN q USING (term)),
-        |dfreq AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM hits GROUP BY 1),
-        |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM dt GROUP BY 1),
-        |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS t FROM dl),
-        |sc AS (SELECT h.qid, h.pos, h.doc_id,
-        |    (CAST(2 * s.n - 2 * f.df + 1 AS DOUBLE) / CAST(2 * f.df + 1 AS DOUBLE)) *
-        |      ((CAST(h.tf AS DOUBLE) * 2.2) /
-        |        (CAST(h.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
-        |          (CAST(l.dl AS DOUBLE) / (CAST(s.t AS DOUBLE) / CAST(s.n AS DOUBLE)))))) AS s
-        |  FROM hits h JOIN dfreq f USING (term) JOIN dl l USING (doc_id) CROSS JOIN stats s),
-        |per AS (SELECT qid, doc_id,
-        |    COALESCE(MAX(CASE WHEN pos = 1 THEN s END), 0.0) +
-        |      COALESCE(MAX(CASE WHEN pos = 2 THEN s END), 0.0) +
-        |      COALESCE(MAX(CASE WHEN pos = 3 THEN s END), 0.0) AS score
-        |  FROM sc GROUP BY 1, 2),
-        |rk AS (SELECT CAST(qid AS BIGINT) AS qid,
-        |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
-        |    doc_id, score FROM per)
-        |SELECT qid, rank, doc_id, score FROM rk WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+    "q_bm25_topk" -> bm25OracleSql,
+    // the index-served path must match the raw-scan recompute bit-for-bit
+    // — the oracle doubles as external proof the index is consistent
+    "q_bm25_indexed" -> bm25OracleSql,
+    "q_phrase_search" ->
+      // naive token-window phrase scan per workload phrase; the indexed
+      // path must reproduce these occurrence counts exactly
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |              FROM documents WHERE text IS NOT NULL),
+        |hits AS (
+        |  SELECT CAST(1 AS BIGINT) AS qid, doc_id,
+        |    CAST(len(list_filter(range(1, greatest(len(tk)-1, 0)+1),
+        |      i -> tk[i] = 'value' AND tk[i+1] = 'table')) AS BIGINT) AS n_occur
+        |  FROM toks
+        |  UNION ALL
+        |  SELECT 2, doc_id,
+        |    CAST(len(list_filter(range(1, greatest(len(tk)-1, 0)+1),
+        |      i -> tk[i] = 'fast' AND tk[i+1] = 'merge')) AS BIGINT)
+        |  FROM toks
+        |  UNION ALL
+        |  SELECT 3, doc_id,
+        |    CAST(len(list_filter(range(1, greatest(len(tk)-2, 0)+1),
+        |      i -> tk[i] = 'key' AND tk[i+1] = 'agg' AND tk[i+2] = 'row')) AS BIGINT)
+        |  FROM toks)
+        |SELECT qid, doc_id, n_occur FROM hits WHERE n_occur > 0
+        |ORDER BY qid, doc_id""".stripMargin,
     "q_dsir_select" ->
       // mirrors dsirSelect's exact-arithmetic contract: integer (HUGEINT)
       // tf*count sums cast to double ONCE, fixed multiply/divide chain in

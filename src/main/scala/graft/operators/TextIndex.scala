@@ -1,0 +1,192 @@
+package graft.operators
+
+import java.io.File
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Ingest-time inverted text index — the 100 TB serving path for lexical
+  * retrieval that [[TextOps.bm25TopK]]'s docstring promises: instead of
+  * re-deriving the (doc, term) frame from a full corpus scan per query,
+  * the postings land ON DISK at ingest, term-sharded and term-sorted, so
+  * a keyword query reads only its terms' shards (partition pruning on
+  * `tshard`) and within them only its terms' row groups (term sort-order
+  * min/max + parquet bloom filter). Document length is denormalized into
+  * each posting (the classic impact-index move), so query time touches
+  * NOTHING corpus-wide: pruned postings + pruned term stats + a one-row
+  * corpus-stats table.
+  *
+  * Same artifact discipline as [[TagIndex]] (the D6 precedent): built
+  * once per dataset fingerprint under a tmp root, atomically renamed into
+  * place, rebuilt when the source parquet changes; build cost is
+  * ingest-time, exactly where ClickHouse pays for its skip indexes.
+  */
+object TextIndex {
+
+  /** Term-shard count: at 100 TB this is the index's unit of parallelism
+    * and pruning (a query touches #query-terms shards of `shards`);
+    * sized so a shard stays a few GB at web scale — here small, the
+    * probe/specs only need >1 so pruning is observable.
+    */
+  private[operators] val shards = 64
+
+  /** The `v2` suffix is the index FORMAT version (v2 added positional
+    * postings) — the fingerprint tracks the data, the suffix tracks the
+    * schema, and either changing forces a rebuild.
+    */
+  private[graft] def indexPath(dir: String): String = {
+    val fp = Tables.fingerprint(dir, "documents")
+    val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"${sys.props("java.io.tmpdir")}/graft-index/$safe-$fp/text_inverted_v2"
+  }
+
+  private def rmTree(f: File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(rmTree)
+    f.delete(): Unit
+  }
+
+  private def tshardOf(term: org.apache.spark.sql.Column) =
+    pmod(xxhash64(term), lit(shards.toLong)).cast("int")
+
+  /** Build-if-missing; returns the index root. Three artifacts:
+    *  - `postings/` — (term, doc_id, tf, dl, positions) partitioned by
+    *    `tshard`, term-sorted within files, bloom on term; dl
+    *    denormalized, positions the sorted 1-based token offsets (the
+    *    positional payload phrase queries consume).
+    *  - `terms/` — (term, df) under the same sharding (the per-term
+    *    document frequency the idf needs).
+    *  - `stats/` — one row (n, t): corpus doc count and token total.
+    * The publish is the [[TagIndex.ensure]] two-JVM-safe atomic rename.
+    */
+  def ensure(spark: SparkSession, dir: String): String = this.synchronized {
+    val path = indexPath(dir)
+    if (!new File(s"$path/_SUCCESS").exists()) {
+      val tmp = new File(s"$path.tmp-${java.util.UUID.randomUUID()}")
+      graft.IntraQueryCache.newGeneration(s"textindex:$dir")
+      // positional doc-term frame: docTermTf's grain plus the sorted
+      // 1-based token positions per (doc, term) — the phrase-query
+      // payload; array length is bounded by the document, so postings
+      // stay doc-length-bounded
+      val dt = graft.IntraQueryCache.scoped(
+        Tables.documents(spark, dir)
+          .filter(col("text").isNotNull)
+          .select(col("doc_id"), posexplode(split(col("text"), " ")))
+          .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("term"))
+          .groupBy("doc_id", "term")
+          .agg(count(lit(1)).as("tf"),
+            sort_array(collect_list(col("p"))).as("positions")))
+      val dl = graft.IntraQueryCache.scoped(
+        dt.groupBy("doc_id").agg(sum(col("tf")).as("dl")))
+      dt.join(dl, "doc_id")
+        .withColumn("tshard", tshardOf(col("term")))
+        // one exchange on the shard key so each partition dir is written
+        // once; term sort within gives row-group min/max locality
+        .repartition(col("tshard"))
+        .sortWithinPartitions("term", "doc_id")
+        .write.partitionBy("tshard")
+        .option("compression", "zstd")
+        .option("parquet.bloom.filter.enabled#term", "true")
+        .parquet(s"$tmp/postings")
+      dt.groupBy("term").agg(count(lit(1)).as("df"))
+        .withColumn("tshard", tshardOf(col("term")))
+        .repartition(col("tshard"))
+        .sortWithinPartitions("term")
+        .write.partitionBy("tshard")
+        .option("compression", "zstd")
+        .option("parquet.bloom.filter.enabled#term", "true")
+        .parquet(s"$tmp/terms")
+      dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("t"))
+        .write.parquet(s"$tmp/stats")
+      new File(tmp, "_SUCCESS").createNewFile()
+      val target = new File(path)
+      if (target.exists() && !new File(target, "_SUCCESS").exists()) {
+        rmTree(target)
+      }
+      if (!tmp.renameTo(target)) {
+        require(new File(target, "_SUCCESS").exists(),
+          s"text index rename to $path failed with no committed index present")
+        rmTree(tmp)
+      }
+    }
+    path
+  }
+
+  /** BM25 served from the index: bit-identical to [[TextOps.bm25TopK]]
+    * (same [[TextOps.bm25FromHits]] kernel, same oracle) but reading only
+    * the query terms' shards. The shard literals come from one
+    * metadata-scale job over the workload terms (9 rows) — they must be
+    * literals for Catalyst's partition pruning to fire.
+    */
+  def bm25TopKIndexed(spark: SparkSession, dir: String, k: Int = 10,
+      workload: Seq[(Long, Int, String)] = TextOps.bm25Queries): DataFrame = {
+    val root = ensure(spark, dir)
+    import spark.implicits._
+    val terms = workload.map(_._3).distinct
+    val shardLits = terms.toDF("term")
+      .select(tshardOf(col("term"))).as[Int].collect().toSeq.distinct
+    val qt = broadcast(workload.toDF("qid", "pos", "term"))
+    val post = spark.read.parquet(s"$root/postings")
+      .filter(col("tshard").isin(shardLits: _*) && col("term").isin(terms: _*))
+    val tdf = spark.read.parquet(s"$root/terms")
+      .filter(col("tshard").isin(shardLits: _*) && col("term").isin(terms: _*))
+      .select("term", "df")
+    val stats = spark.read.parquet(s"$root/stats")
+    TextOps.bm25FromHits(
+      post.join(qt, "term")
+        .join(broadcast(tdf), "term")
+        .crossJoin(broadcast(stats)), k)
+  }
+
+  /** The fixed phrase workload [[phraseSearch]] serves: 2- and 3-token
+    * exact phrases (slot order = phrase order).
+    */
+  private[operators] val phraseQueries: Seq[(Long, Seq[String])] = Seq(
+    (1L, Seq("value", "table")),
+    (2L, Seq("fast", "merge")),
+    (3L, Seq("key", "agg", "row")))
+
+  /** Exact phrase search from the positional index — the quote-finder /
+    * phrase-level decontamination primitive: documents where the phrase's
+    * tokens appear at consecutive positions, with the occurrence count.
+    * Positions resolve by intersecting shifted position lists
+    * (P₁+1 ∩ P₂, then +1 ∩ P₃) — pure array expressions inside codegen,
+    * no token re-scan. Reads prune exactly like [[bm25TopKIndexed]]:
+    * only the phrase terms' shards and row groups.
+    */
+  def phraseSearch(spark: SparkSession, dir: String,
+      workload: Seq[(Long, Seq[String])] = phraseQueries): DataFrame = {
+    val root = ensure(spark, dir)
+    import spark.implicits._
+    require(workload.forall(q => q._2.size >= 2 && q._2.size <= 3),
+      "phrase workload supports 2- and 3-token phrases")
+    val flat = workload.flatMap { case (qid, ts) =>
+      ts.zipWithIndex.map { case (t, i) => (qid, i + 1, t) }
+    }
+    val terms = flat.map(_._3).distinct
+    val shardLits = terms.toDF("term")
+      .select(tshardOf(col("term"))).as[Int].collect().toSeq.distinct
+    val qt = broadcast(flat.toDF("qid", "pos", "term"))
+    val qlen = broadcast(workload.map { case (qid, ts) => (qid, ts.size) }
+      .toDF("qid", "qlen"))
+    val post = spark.read.parquet(s"$root/postings")
+      .filter(col("tshard").isin(shardLits: _*) && col("term").isin(terms: _*))
+      .select("term", "doc_id", "positions")
+    val slots = post.join(qt, "term")
+      .groupBy("qid", "doc_id")
+      .agg(max(when(col("pos") === 1, col("positions"))).as("p1"),
+        max(when(col("pos") === 2, col("positions"))).as("p2"),
+        max(when(col("pos") === 3, col("positions"))).as("p3"))
+      .join(qlen, "qid")
+    val p12 = array_intersect(transform(col("p1"), x => x + 1), col("p2"))
+    slots
+      .filter(col("p1").isNotNull && col("p2").isNotNull &&
+        (col("qlen") === 2 || col("p3").isNotNull))
+      .withColumn("n_occur",
+        when(col("qlen") === 2, size(p12))
+          .otherwise(size(array_intersect(transform(p12, x => x + 1), col("p3"))))
+          .cast("long"))
+      .filter(col("n_occur") > 0)
+      .select("qid", "doc_id", "n_occur")
+      .orderBy("qid", "doc_id")
+  }
+}

@@ -2124,7 +2124,7 @@ object TextOps {
     * into a hash aggregate with map-side partials; everything downstream
     * works on (doc, term) granularity, never raw token positions.
     */
-  private def docTermTf(docs: DataFrame): DataFrame =
+  private[operators] def docTermTf(docs: DataFrame): DataFrame =
     docs.filter(col("text").isNotNull)
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy("doc_id", "term")
@@ -2402,12 +2402,22 @@ object TextOps {
       .groupBy("term").agg(count(lit(1)).as("df"))
     val dl = dt.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("t"))
-    val scoredHits = hits
+    bm25FromHits(hits
       .join(broadcast(dfreq), "term")
       .join(dl, "doc_id")
-      .crossJoin(broadcast(stats))
-      // the exact chain the oracle mirrors: norm = dl / (T/N);
-      // den = tf + 1.2*(0.25 + 0.75*norm); s = idf * (tf*2.2)/den
+      .crossJoin(broadcast(stats)), k)
+  }
+
+  /** The BM25 scoring kernel both serving paths share (so the ingest-time
+    * index path of [[TextIndex.bm25TopKIndexed]] cannot drift from the
+    * scan path): input rows are (qid, pos, doc_id, tf, df, dl, n, t) —
+    * one row per (query-term, matching doc) with corpus stats attached.
+    * The exact chain the oracle mirrors: norm = dl / (T/N);
+    * den = tf + 1.2*(0.25 + 0.75*norm); s = idf * (tf*2.2)/den;
+    * positional slots summed in literal order.
+    */
+  private[operators] def bm25FromHits(hits: DataFrame, k: Int): DataFrame = {
+    val scoredHits = hits
       .withColumn("norm",
         col("dl").cast("double") / (col("t").cast("double") / col("n").cast("double")))
       .withColumn("s",

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** The ingest-time inverted index must serve BM25 bit-identically to the
+  * raw-scan path, and its reads must actually prune: partition filters on
+  * the term shard, pushed filters on the term.
+  */
+class TextIndexSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("index-served bm25 is bit-identical to the scan path") {
+    val scan = TextOps.bm25TopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val indexed = TextIndex.bm25TopKIndexed(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(scan.nonEmpty)
+    assert(indexed.toSeq === scan.toSeq)
+  }
+
+  test("postings reads prune to the query terms' shards and row groups") {
+    val p = TextIndex.bm25TopKIndexed(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("tshard"), p)
+    // the term IN (...) predicate must reach the parquet reader (bloom +
+    // sort-order row-group skipping apply there)
+    assert(p.contains("In(term") || p.contains("term#"), p)
+    assert(p.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("term")), p)
+  }
+
+  test("a custom workload round-trips through the index identically") {
+    val wl = Seq((7L, 1, "row"), (7L, 2, "batch"), (7L, 3, "line"))
+    val scan = TextOps.bm25TopKOver(
+      graft.Tables.documents(spark, dir), 5, "spec-bm25idx", wl).collect()
+    val indexed = TextIndex.bm25TopKIndexed(spark, dir, 5, wl).collect()
+    assert(scan.nonEmpty)
+    assert(indexed.map(_.toString).toSeq === scan.map(_.toString).toSeq)
+  }
+
+  test("phrase search equals a naive token-window scan") {
+    val got = TextIndex.phraseSearch(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    val docs = graft.Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .flatMap(r => Option(r.getString(1)).map(t => r.getLong(0) -> t.split(" ", -1)))
+    val expect = TextIndex.phraseQueries.flatMap { case (qid, ts) =>
+      docs.flatMap { case (id, tk) =>
+        val occ = (0 to tk.length - ts.size).count(i =>
+          ts.indices.forall(j => tk(i + j) == ts(j)))
+        if (occ > 0) Some((qid, id, occ.toLong)) else None
+      }
+    }.sortBy(x => (x._1, x._2))
+    assert(got.toSeq === expect)
+  }
+
+  test("overlapping and repeated phrase occurrences count exactly") {
+    // build a throwaway corpus dir via the Over-path? the index is
+    // dataset-keyed, so instead check the position algebra directly on a
+    // crafted workload against sf0.001: a phrase of a repeated token
+    // ("a a") counts overlapping windows the same way the naive scan does
+    val wl = Seq((9L, Seq("a", "a")))
+    val got = TextIndex.phraseSearch(spark, dir, wl).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toMap
+    val docs = graft.Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .flatMap(r => Option(r.getString(1)).map(t => r.getLong(0) -> t.split(" ", -1)))
+    val expect = docs.flatMap { case (id, tk) =>
+      val occ = (0 until tk.length - 1).count(i => tk(i) == "a" && tk(i + 1) == "a")
+      if (occ > 0) Some(id -> occ.toLong) else None
+    }.toMap
+    assert(got === expect)
+  }
+}
