@@ -62,41 +62,7 @@ object TextIndex {
     val path = indexPath(dir)
     if (!new File(s"$path/_SUCCESS").exists()) {
       val tmp = new File(s"$path.tmp-${java.util.UUID.randomUUID()}")
-      graft.IntraQueryCache.newGeneration(s"textindex:$dir")
-      // positional doc-term frame: docTermTf's grain plus the sorted
-      // 1-based token positions per (doc, term) — the phrase-query
-      // payload; array length is bounded by the document, so postings
-      // stay doc-length-bounded
-      val dt = graft.IntraQueryCache.scoped(
-        Tables.documents(spark, dir)
-          .filter(col("text").isNotNull)
-          .select(col("doc_id"), posexplode(split(col("text"), " ")))
-          .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("term"))
-          .groupBy("doc_id", "term")
-          .agg(count(lit(1)).as("tf"),
-            sort_array(collect_list(col("p"))).as("positions")))
-      val dl = graft.IntraQueryCache.scoped(
-        dt.groupBy("doc_id").agg(sum(col("tf")).as("dl")))
-      dt.join(dl, "doc_id")
-        .withColumn("tshard", tshardOf(col("term")))
-        // one exchange on the shard key so each partition dir is written
-        // once; term sort within gives row-group min/max locality
-        .repartition(col("tshard"))
-        .sortWithinPartitions("term", "doc_id")
-        .write.partitionBy("tshard")
-        .option("compression", "zstd")
-        .option("parquet.bloom.filter.enabled#term", "true")
-        .parquet(s"$tmp/postings")
-      dt.groupBy("term").agg(count(lit(1)).as("df"))
-        .withColumn("tshard", tshardOf(col("term")))
-        .repartition(col("tshard"))
-        .sortWithinPartitions("term")
-        .write.partitionBy("tshard")
-        .option("compression", "zstd")
-        .option("parquet.bloom.filter.enabled#term", "true")
-        .parquet(s"$tmp/terms")
-      dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("t"))
-        .write.parquet(s"$tmp/stats")
+      buildInto(tmp.getPath, Tables.documents(spark, dir), s"textindex:$dir")
       new File(tmp, "_SUCCESS").createNewFile()
       val target = new File(path)
       if (target.exists() && !new File(target, "_SUCCESS").exists()) {
@@ -111,6 +77,103 @@ object TextIndex {
     path
   }
 
+  /** Positional doc-term frame: docTermTf's grain plus the sorted
+    * 1-based token positions per (doc, term) — the phrase-query payload;
+    * array length is bounded by the document, so postings stay
+    * doc-length-bounded.
+    */
+  private def positionalDt(docs: DataFrame): DataFrame =
+    docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("p"))).as("positions"))
+
+  private def writeSharded(df: DataFrame, sortCols: Seq[String],
+      path: String): Unit =
+    df.withColumn("tshard", tshardOf(col("term")))
+      // one exchange on the shard key so each partition dir is written
+      // once; term sort within gives row-group min/max locality
+      .repartition(col("tshard"))
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.partitionBy("tshard")
+      .option("compression", "zstd")
+      .option("parquet.bloom.filter.enabled#term", "true")
+      .parquet(path)
+
+  /** Write all three artifacts of a fresh index under `root`. */
+  private[operators] def buildInto(root: String, docs: DataFrame,
+      gen: String): Unit = {
+    graft.IntraQueryCache.newGeneration(gen)
+    val dt = graft.IntraQueryCache.scoped(positionalDt(docs))
+    val dl = graft.IntraQueryCache.scoped(
+      dt.groupBy("doc_id").agg(sum(col("tf")).as("dl")))
+    writeSharded(dt.join(dl, "doc_id"), Seq("term", "doc_id"), s"$root/postings")
+    writeSharded(dt.groupBy("term").agg(count(lit(1)).as("df")),
+      Seq("term"), s"$root/terms")
+    dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("t"))
+      .write.parquet(s"$root/stats")
+  }
+
+  /** Incremental index maintenance: fold a NEW document slice (disjoint
+    * doc_ids — the re-crawl/ingest contract the incremental dedup family
+    * shares) into an existing index without touching old postings. New
+    * postings APPEND as additional files under their term-shard dirs —
+    * doc-slice-sized work, the corpus is never re-read; the
+    * vocabulary-bounded `terms/` table and one-row `stats/` re-derive by
+    * re-aggregating old + delta (the CorpusRoute rollup-upsert model at
+    * term grain). Results must be EXACTLY a full rebuild's — spec-pinned
+    * for both BM25 and phrase serving.
+    *
+    * The small-table swap (delete + rename) is not crash-atomic; a
+    * production deployment would version them behind a segment manifest.
+    * The postings append IS safe: a crashed append leaves readable old
+    * files plus possibly-partial new ones that the next full rebuild
+    * (fingerprint change) discards.
+    */
+  private[operators] def appendTo(root: String, newDocs: DataFrame,
+      gen: String): Unit = {
+    val spark = newDocs.sparkSession
+    graft.IntraQueryCache.newGeneration(gen)
+    val dt = graft.IntraQueryCache.scoped(positionalDt(newDocs))
+    val dl = graft.IntraQueryCache.scoped(
+      dt.groupBy("doc_id").agg(sum(col("tf")).as("dl")))
+    // read old small tables BEFORE any writes below touch the root
+    val oldTerms = spark.read.parquet(s"$root/terms")
+      .select("term", "df").localCheckpoint()
+    val oldStats = spark.read.parquet(s"$root/stats").localCheckpoint()
+    dt.join(dl, "doc_id")
+      .withColumn("tshard", tshardOf(col("term")))
+      .repartition(col("tshard"))
+      .sortWithinPartitions("term", "doc_id")
+      .write.mode("append").partitionBy("tshard")
+      .option("compression", "zstd")
+      .option("parquet.bloom.filter.enabled#term", "true")
+      .parquet(s"$root/postings")
+    val mergedTerms = oldTerms
+      .unionByName(dt.groupBy("term").agg(count(lit(1)).as("df")))
+      .groupBy("term").agg(sum(col("df")).as("df"))
+    val deltaStats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("t"))
+    val mergedStats = oldStats.unionByName(deltaStats)
+      .agg(sum(col("n")).as("n"), sum(col("t")).as("t"))
+    swapSmallTable(mergedTerms, isTerms = true, s"$root/terms")
+    swapSmallTable(mergedStats, isTerms = false, s"$root/stats")
+  }
+
+  private def swapSmallTable(df: DataFrame, isTerms: Boolean,
+      path: String): Unit = {
+    val tmp = s"$path.tmp-${java.util.UUID.randomUUID()}"
+    if (isTerms) writeSharded(df, Seq("term"), tmp)
+    else df.write.parquet(tmp)
+    // localCheckpoint above materialized the old contents, so the swap
+    // cannot read-after-delete its own input
+    rmTree(new File(path))
+    require(new File(tmp).renameTo(new File(path)),
+      s"small-table swap rename to $path failed")
+  }
+
   /** BM25 served from the index: bit-identical to [[TextOps.bm25TopK]]
     * (same [[TextOps.bm25FromHits]] kernel, same oracle) but reading only
     * the query terms' shards. The shard literals come from one
@@ -118,8 +181,11 @@ object TextIndex {
     * literals for Catalyst's partition pruning to fire.
     */
   def bm25TopKIndexed(spark: SparkSession, dir: String, k: Int = 10,
-      workload: Seq[(Long, Int, String)] = TextOps.bm25Queries): DataFrame = {
-    val root = ensure(spark, dir)
+      workload: Seq[(Long, Int, String)] = TextOps.bm25Queries): DataFrame =
+    bm25At(spark, ensure(spark, dir), k, workload)
+
+  private[operators] def bm25At(spark: SparkSession, root: String, k: Int,
+      workload: Seq[(Long, Int, String)]): DataFrame = {
     import spark.implicits._
     val terms = workload.map(_._3).distinct
     val shardLits = terms.toDF("term")
@@ -154,8 +220,11 @@ object TextIndex {
     * only the phrase terms' shards and row groups.
     */
   def phraseSearch(spark: SparkSession, dir: String,
-      workload: Seq[(Long, Seq[String])] = phraseQueries): DataFrame = {
-    val root = ensure(spark, dir)
+      workload: Seq[(Long, Seq[String])] = phraseQueries): DataFrame =
+    phraseAt(spark, ensure(spark, dir), workload)
+
+  private[operators] def phraseAt(spark: SparkSession, root: String,
+      workload: Seq[(Long, Seq[String])]): DataFrame = {
     import spark.implicits._
     require(workload.forall(q => q._2.size >= 2 && q._2.size <= 3),
       "phrase workload supports 2- and 3-token phrases")

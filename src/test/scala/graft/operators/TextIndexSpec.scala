@@ -57,6 +57,27 @@ class TextIndexSpec extends AnyFunSuite {
     assert(got.toSeq === expect)
   }
 
+  test("incremental append equals a full rebuild for bm25 and phrase serving") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.documents(spark, dir)
+    val base = java.nio.file.Files.createTempDirectory("graft-tidx").toString
+    val full = s"$base/full"
+    val incr = s"$base/incr"
+    TextIndex.buildInto(full, docs, "spec-tidx-full")
+    // split 60/40 on doc_id; build on the old slice, append the new one
+    TextIndex.buildInto(incr, docs.filter(col("doc_id") % 5 < 3), "spec-tidx-old")
+    TextIndex.appendTo(incr, docs.filter(col("doc_id") % 5 >= 3), "spec-tidx-new")
+    val wl = TextOps.bm25Queries
+    val a = TextIndex.bm25At(spark, full, 10, wl).collect().map(_.toString)
+    val b = TextIndex.bm25At(spark, incr, 10, wl).collect().map(_.toString)
+    assert(a.nonEmpty && b.toSeq === a.toSeq)
+    val pa = TextIndex.phraseAt(spark, full, TextIndex.phraseQueries)
+      .collect().map(_.toString)
+    val pb = TextIndex.phraseAt(spark, incr, TextIndex.phraseQueries)
+      .collect().map(_.toString)
+    assert(pa.nonEmpty && pb.toSeq === pa.toSeq)
+  }
+
   test("overlapping and repeated phrase occurrences count exactly") {
     // build a throwaway corpus dir via the Over-path? the index is
     // dataset-keyed, so instead check the position algebra directly on a
