@@ -418,6 +418,32 @@ object ScaleProbe {
       println(s"""{"metric":"scaleprobe_retrieval",${rows.mkString(",")}}""")
       spark.stop(); return
     }
+    // --x30 <queries...>: the 30x tier only, for the named queries
+    if (args.headOption.contains("--x30")) {
+      val qs30 = args.drop(1).toSeq
+      require(qs30.nonEmpty && qs30.toSet.subsetOf(SparkEntry.queries.keySet),
+        s"--x30 needs known query names; got ${qs30.mkString(", ")}")
+      val d30 = s"$base/x30"
+      val d1 = s"$base/x1"
+      synthesize(spark, d1, n1)
+      synthesize(spark, d30, n1 * 30)
+      val rows = qs30.map { qn =>
+        val fn = SparkEntry.queries(qn)
+        Bench.force(fn(spark, d1)); Bench.force(fn(spark, d30)) // warmup
+        val t1 = median((1 to 3).map { _ =>
+          val t0 = System.nanoTime(); Bench.force(fn(spark, d1))
+          (System.nanoTime() - t0) / 1e9
+        })
+        val t30 = median((1 to 3).map { _ =>
+          val t0 = System.nanoTime(); Bench.force(fn(spark, d30))
+          (System.nanoTime() - t0) / 1e9
+        })
+        println(f"[scaleprobe] $qn%-18s x1=$t1%6.2fs x30=$t30%6.2fs ratio=${t30 / t1}%5.2f")
+        s""""${qn}_x30":{"x1":$t1,"x30":$t30,"ratio":${t30 / t1}}"""
+      }
+      println(s"""{"metric":"scaleprobe_x30",${rows.mkString(",")}}""")
+      spark.stop(); return
+    }
     // optional argv filter: probe only the named queries (diagnosis runs);
     // a misspelled name must fail loudly, not produce an empty probe
     val wanted = if (args.nonEmpty) args.toSet else probeQueries.toSet
@@ -448,7 +474,7 @@ object ScaleProbe {
     val d30 = s"$base/x30"
     synthesize(spark, d30, n1 * 30)
     val x30Queries = Seq("q_incremental_dedup", "q_minhash_lsh",
-      "q_ngram_jaccard", "q_dup_spans")
+      "q_ngram_jaccard", "q_dup_spans", "q_containment")
     val x30rows = x30Queries.map { qn =>
       val fn = SparkEntry.queries(qn)
       Bench.force(fn(spark, d30)) // warmup the 30x dir for this family
