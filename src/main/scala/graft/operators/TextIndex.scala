@@ -160,6 +160,11 @@ object TextIndex {
       .agg(sum(col("n")).as("n"), sum(col("t")).as("t"))
     swapSmallTable(mergedTerms, isTerms = true, s"$root/terms")
     swapSmallTable(mergedStats, isTerms = false, s"$root/stats")
+    // the swaps consumed the materialized old tables; drop their blocks
+    // (an append-heavy ingest loop would otherwise pin one vocab-sized
+    // snapshot per append — the BPE trainer's measured leak class)
+    TextOps.releaseCheckpoint(oldTerms)
+    TextOps.releaseCheckpoint(oldStats)
   }
 
   private def swapSmallTable(df: DataFrame, isTerms: Boolean,
