@@ -104,7 +104,7 @@ object TextIndex {
       .parquet(path)
 
   /** Write all three artifacts of a fresh index under `root`. */
-  private[operators] def buildInto(root: String, docs: DataFrame,
+  private[graft] def buildInto(root: String, docs: DataFrame,
       gen: String): Unit = {
     graft.IntraQueryCache.newGeneration(gen)
     val dt = graft.IntraQueryCache.scoped(positionalDt(docs))
@@ -133,7 +133,7 @@ object TextIndex {
     * files plus possibly-partial new ones that the next full rebuild
     * (fingerprint change) discards.
     */
-  private[operators] def appendTo(root: String, newDocs: DataFrame,
+  private[graft] def appendTo(root: String, newDocs: DataFrame,
       gen: String): Unit = {
     val spark = newDocs.sparkSession
     graft.IntraQueryCache.newGeneration(gen)
@@ -189,7 +189,7 @@ object TextIndex {
       workload: Seq[(Long, Int, String)] = TextOps.bm25Queries): DataFrame =
     bm25At(spark, ensure(spark, dir), k, workload)
 
-  private[operators] def bm25At(spark: SparkSession, root: String, k: Int,
+  private[graft] def bm25At(spark: SparkSession, root: String, k: Int,
       workload: Seq[(Long, Int, String)]): DataFrame = {
     import spark.implicits._
     val terms = workload.map(_._3).distinct
@@ -211,7 +211,7 @@ object TextIndex {
   /** The fixed phrase workload [[phraseSearch]] serves: 2- and 3-token
     * exact phrases (slot order = phrase order).
     */
-  private[operators] val phraseQueries: Seq[(Long, Seq[String])] = Seq(
+  private[graft] val phraseQueries: Seq[(Long, Seq[String])] = Seq(
     (1L, Seq("value", "table")),
     (2L, Seq("fast", "merge")),
     (3L, Seq("key", "agg", "row")))
@@ -228,7 +228,7 @@ object TextIndex {
       workload: Seq[(Long, Seq[String])] = phraseQueries): DataFrame =
     phraseAt(spark, ensure(spark, dir), workload)
 
-  private[operators] def phraseAt(spark: SparkSession, root: String,
+  private[graft] def phraseAt(spark: SparkSession, root: String,
       workload: Seq[(Long, Seq[String])]): DataFrame = {
     import spark.implicits._
     require(workload.forall(q => q._2.size >= 2 && q._2.size <= 3),

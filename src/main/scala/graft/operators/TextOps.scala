@@ -2361,7 +2361,7 @@ object TextOps {
     * query is exactly three terms, scored and summed in declared position
     * order so the float addition sequence is engine-identical.
     */
-  private[operators] val bm25Queries: Seq[(Long, Int, String)] = Seq(
+  private[graft] val bm25Queries: Seq[(Long, Int, String)] = Seq(
     (1L, 1, "spark"), (1L, 2, "query"), (1L, 3, "join"),
     (2L, 1, "hash"), (2L, 2, "table"), (2L, 3, "scan"),
     (3L, 1, "dup"), (3L, 2, "merge"), (3L, 3, "stream"))

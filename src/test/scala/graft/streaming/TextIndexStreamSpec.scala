@@ -1,0 +1,54 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
+import graft.TestSpark
+import graft.operators.{TextIndex, TextOps}
+
+/** Drained-stream ≡ full rebuild for continuous index maintenance: after
+  * streaming the remainder of the corpus into a base index across
+  * several micro-batches, BM25 and phrase serving match an index built
+  * on everything at once.
+  */
+class TextIndexStreamSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+  private val dir = "/root/testdata/sf0.001"
+
+  test("streamed appends serve exactly like a full rebuild") {
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id").cast("long"), col("text"))
+    val base = java.nio.file.Files.createTempDirectory("graft-tidxs").toString
+    val full = s"$base/full"
+    val streamed = s"$base/streamed"
+    TextIndex.buildInto(full, docs, "spec-tidxs-full")
+    TextIndex.buildInto(streamed, docs.filter(col("doc_id") % 3 === 0),
+      "spec-tidxs-base")
+
+    val rest = docs.filter(col("doc_id") % 3 =!= 0)
+      .as[(Long, String)].collect().toSeq
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = TextIndexStream.appendStream(
+        mem.toDS.toDF("doc_id", "text"), streamed)
+      .start()
+    try {
+      val (first, second) = rest.splitAt(rest.size / 2)
+      mem.addData(first: _*)
+      q.processAllAvailable()
+      mem.addData(second: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val wl = TextOps.bm25Queries
+    val a = TextIndex.bm25At(spark, full, 10, wl).collect().map(_.toString)
+    val b = TextIndex.bm25At(spark, streamed, 10, wl).collect().map(_.toString)
+    assert(a.nonEmpty && b.toSeq === a.toSeq)
+    val pa = TextIndex.phraseAt(spark, full, TextIndex.phraseQueries)
+      .collect().map(_.toString)
+    val pb = TextIndex.phraseAt(spark, streamed, TextIndex.phraseQueries)
+      .collect().map(_.toString)
+    assert(pa.nonEmpty && pb.toSeq === pa.toSeq)
+  }
+}
