@@ -170,7 +170,10 @@ object ScaleProbe {
     def time3(f: => Unit): Double = median((1 to 3).map { _ =>
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     })
-    val fams = Seq("q_chunk_dedup", "q_dup_spans", "q_span_scrub")
+    val fams = Seq("q_chunk_dedup", "q_dup_spans", "q_span_scrub",
+      // containment should be structurally immune: df-ASCENDING prefix
+      // order keeps the hot boilerplate shingles out of every prefix
+      "q_containment")
     val deskewed = fams.map { qn =>
       val fn = SparkEntry.queries(qn)
       Bench.force(fn(spark, dSkew)); Bench.force(fn(spark, plain10)) // warmup

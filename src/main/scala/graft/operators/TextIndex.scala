@@ -167,6 +167,29 @@ object TextIndex {
     TextOps.releaseCheckpoint(oldStats)
   }
 
+  /** Segment compaction — the other half of the append lifecycle: an
+    * append-heavy ingest leaves each term shard holding one file per
+    * append (per micro-batch under [[graft.streaming.TextIndexStream]]),
+    * and small-file count is what degrades scan setup at scale. Compact
+    * rewrites the postings into one sorted pass per shard — same rows,
+    * same layout contract (term-sorted, bloom-filtered), restored file
+    * economy. Terms/stats are already single-segment (each append
+    * rewrites them whole). Serving equivalence is spec-pinned.
+    *
+    * The swap is the same delete+rename as the small tables (see the
+    * crash-safety note on [[appendTo]]); at 100 TB this runs per-shard
+    * behind a segment manifest instead of whole-index.
+    */
+  private[graft] def compact(root: String, spark: SparkSession): Unit = {
+    val posts = spark.read.parquet(s"$root/postings")
+      .select("term", "doc_id", "tf", "dl", "positions")
+    val tmp = s"$root/postings.tmp-${java.util.UUID.randomUUID()}"
+    writeSharded(posts, Seq("term", "doc_id"), tmp)
+    rmTree(new File(s"$root/postings"))
+    require(new File(tmp).renameTo(new File(s"$root/postings")),
+      s"compaction rename to $root/postings failed")
+  }
+
   private def swapSmallTable(df: DataFrame, isTerms: Boolean,
       path: String): Unit = {
     val tmp = s"$path.tmp-${java.util.UUID.randomUUID()}"

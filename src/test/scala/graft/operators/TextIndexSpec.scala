@@ -78,6 +78,38 @@ class TextIndexSpec extends AnyFunSuite {
     assert(pa.nonEmpty && pb.toSeq === pa.toSeq)
   }
 
+  test("compaction restores file economy and serves identically") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.documents(spark, dir)
+    val base = java.nio.file.Files.createTempDirectory("graft-tidxc").toString
+    val root = s"$base/idx"
+    TextIndex.buildInto(root, docs.filter(col("doc_id") % 3 === 0), "spec-cmp-0")
+    TextIndex.appendTo(root, docs.filter(col("doc_id") % 3 === 1), "spec-cmp-1")
+    TextIndex.appendTo(root, docs.filter(col("doc_id") % 3 === 2), "spec-cmp-2")
+    def parquetFiles(): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$root/postings"))
+        .count(_.getName.endsWith(".parquet"))
+    }
+    val before = TextIndex.bm25At(spark, root, 10, TextOps.bm25Queries)
+      .collect().map(_.toString)
+    val filesBefore = parquetFiles()
+    TextIndex.compact(root, spark)
+    val after = TextIndex.bm25At(spark, root, 10, TextOps.bm25Queries)
+      .collect().map(_.toString)
+    val filesAfter = parquetFiles()
+    assert(before.nonEmpty && after.toSeq === before.toSeq)
+    assert(filesAfter < filesBefore,
+      s"expected fewer postings files: $filesBefore -> $filesAfter")
+    val pAfter = TextIndex.phraseAt(spark, root, TextIndex.phraseQueries)
+      .collect().map(_.toString)
+    val pFull = TextIndex.phraseAt(spark,
+      { val f = s"$base/full"; TextIndex.buildInto(f, docs, "spec-cmp-f"); f },
+      TextIndex.phraseQueries).collect().map(_.toString)
+    assert(pAfter.toSeq === pFull.toSeq)
+  }
+
   test("overlapping and repeated phrase occurrences count exactly") {
     // build a throwaway corpus dir via the Over-path? the index is
     // dataset-keyed, so instead check the position algebra directly on a
