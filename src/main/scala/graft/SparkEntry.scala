@@ -88,6 +88,7 @@ object SparkEntry {
     "q_bm25_topk" -> ((s, d) => TextOps.bm25TopK(s, d)),
     "q_bm25_indexed" -> ((s, d) => graft.operators.TextIndex.bm25TopKIndexed(s, d)),
     "q_phrase_search" -> ((s, d) => graft.operators.TextIndex.phraseSearch(s, d)),
+    "q_index_terms" -> ((s, d) => graft.operators.TextIndex.termStats(s, d)),
     "q_shard_pack" -> ((s, d) => TextOps.shardPack(s, d)),
     "q_source_overlap" -> ((s, d) => TextOps.sourceOverlap(s, d)),
     "q_dup_profile" -> TextOps.dupProfile _,
@@ -520,6 +521,14 @@ object SparkEntry {
         |  FROM toks)
         |SELECT qid, doc_id, n_occur FROM hits WHERE n_occur > 0
         |ORDER BY qid, doc_id""".stripMargin,
+    "q_index_terms" ->
+      // raw-corpus recompute of the index's maintained terms table —
+      // the standing consistency proof for the inverted-index artifact
+      """WITH tok AS (SELECT DISTINCT doc_id, term FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |    FROM documents WHERE text IS NOT NULL))
+        |SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+        |FROM tok GROUP BY term ORDER BY df DESC, term LIMIT 50""".stripMargin,
     "q_dsir_select" ->
       // mirrors dsirSelect's exact-arithmetic contract: integer (HUGEINT)
       // tf*count sums cast to double ONCE, fixed multiply/divide chain in

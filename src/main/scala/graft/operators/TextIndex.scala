@@ -231,6 +231,22 @@ object TextIndex {
         .crossJoin(broadcast(stats)), k)
   }
 
+  /** Vocabulary head served from the index's terms table: top-`k` terms
+    * by document frequency (ties on the term). The DuckDB oracle
+    * recomputes the same report from the RAW corpus, so a green driver
+    * row is a standing consistency proof for the maintained `terms/`
+    * artifact — exactly the role q_route_stats plays for the corpus
+    * rollup. Reads k rows of a vocabulary-bounded table; TakeOrdered,
+    * never a full sort.
+    */
+  def termStats(spark: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    val root = ensure(spark, dir)
+    spark.read.parquet(s"$root/terms")
+      .select(col("term"), col("df"))
+      .orderBy(col("df").desc, col("term"))
+      .limit(k)
+  }
+
   /** The fixed phrase workload [[phraseSearch]] serves: 2- and 3-token
     * exact phrases (slot order = phrase order).
     */
