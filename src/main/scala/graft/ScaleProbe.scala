@@ -402,6 +402,41 @@ object ScaleProbe {
     println(f"[scaleprobe] bm25_tail x10 scan=$tScanTail%6.2fs indexed=$tIdxTail%6.2fs")
     val bm25TailJson =
       s""""bm25_tail_x10":{"scan":$tScanTail,"indexed":$tIdxTail}"""
+    // phrase study at x10: positional-index resolution vs a naive
+    // token-window scan (the contains()-class plan that must tokenize
+    // and slide over EVERY document)
+    val phrases: Seq[(Long, Seq[String])] = Seq(
+      (1L, Seq("enw0", "enw1")), (2L, Seq("enw2", "enw0")),
+      (3L, Seq("enw1", "enw3")))
+    val tPhraseIdx = {
+      def run() = Bench.force(
+        graft.operators.TextIndex.phraseAt(
+          spark, graft.operators.TextIndex.ensure(spark, dTail), phrases))
+      run(); time3(run())
+    }
+    val tPhraseScan = {
+      import org.apache.spark.sql.functions.{col => c, _}
+      val docs = spark.read.parquet(s"$dTail/documents.parquet")
+      def naive(): org.apache.spark.sql.DataFrame = {
+        val tk = split(c("text"), " ")
+        phrases.map { case (qid, ts) =>
+          docs.filter(c("text").isNotNull)
+            .select(lit(qid).as("qid"), c("doc_id"),
+              size(filter(transform(
+                sequence(lit(1), greatest(size(tk) - (ts.size - 1), lit(1))),
+                i => ts.zipWithIndex.map { case (t, j) =>
+                  try_element_at(tk, i + j) === t
+                }.reduce(_ && _)), x => x)).cast("long").as("n_occur"))
+            .filter(c("n_occur") > 0)
+        }.reduce(_ unionByName _).orderBy("qid", "doc_id")
+      }
+      Bench.force(naive()); time3(Bench.force(naive()))
+    }
+    println(f"[scaleprobe] phrase x10 scan=$tPhraseScan%6.2fs indexed=$tPhraseIdx%6.2fs " +
+      f"speedup=${tPhraseScan / tPhraseIdx}%4.1fx")
+    val phraseJson =
+      s""""phrase_x10":{"scan":$tPhraseScan,"indexed":$tPhraseIdx,""" +
+        s""""speedup":${tPhraseScan / tPhraseIdx}}"""
     val kmRows = Seq("x1" -> 2000L, "x10" -> 20000L).map { case (tag, n) =>
       val d = s"$base/emb_$tag"
       synthesizeEmb(spark, d, n)
@@ -414,7 +449,7 @@ object ScaleProbe {
     val kmJson =
       s""""kmeans":{"x1":${kmRows.head._2},"x10":${kmRows.last._2},""" +
         s""""ratio":${kmRows.last._2 / kmRows.head._2}}"""
-    Seq(bm25Json, bm25IdxJson, bm25TailJson, kmJson)
+    Seq(bm25Json, bm25IdxJson, bm25TailJson, phraseJson, kmJson)
   }
 
   def main(args: Array[String]): Unit = {
