@@ -133,6 +133,8 @@ object SparkEntry {
     "q_corpus_build" -> TextOps.corpusBuild _,
     "q_knn_join" -> ((s, d) => VectorOps.knnJoin(s, d)),
     "q_kmeans" -> ((s, d) => VectorOps.kmeansAssign(s, d)),
+    "q_filtered_topk" -> VectorOps.filteredTopK _,
+    "q_ann_filtered" -> ((s, d) => VectorOps.annIvfFiltered(s, d)),
     "q_ann_lsh" -> ((s, d) => VectorOps.annLshTuned(s, d, budget = 0.6)),
     "q_ann_ivf" -> ((s, d) => VectorOps.annIvf(s, d)),
     "q_ann_pq" -> ((s, d) => VectorOps.annPq(s, d)),
@@ -1230,6 +1232,24 @@ object SparkEntry {
         |dotp AS (SELECT q.vec_id AS qid, f.vec_id AS nid, SUM(q.x*f.x) AS dp
         |         FROM flat q JOIN flat f ON q.i = f.i
         |         WHERE q.vec_id < 5 AND q.vec_id <> f.vec_id GROUP BY 1, 2),
+        |sc AS (SELECT qid, nid, ROUND(dp/(nq.nrm*nn.nrm), 4) AS cosine
+        |       FROM dotp JOIN nrm nq ON nq.vec_id = qid JOIN nrm nn ON nn.vec_id = nid),
+        |rk AS (SELECT qid, nid, cosine,
+        |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rn
+        |       FROM sc)
+        |SELECT qid, nid, cosine, rn FROM rk WHERE rn <= 10 ORDER BY qid, rn""".stripMargin,
+    "q_filtered_topk" ->
+      // cosine_topk restricted to the query's target label class
+      // (label = qid); rounded cosine absorbs float summation order
+      """WITH flat AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |                generate_subscripts(embedding, 1) AS i FROM embeddings),
+        |nrm AS (SELECT vec_id, sqrt(SUM(x*x)) AS nrm FROM flat GROUP BY 1),
+        |dotp AS (SELECT q.vec_id AS qid, f.vec_id AS nid, SUM(q.x*f.x) AS dp
+        |         FROM flat q JOIN flat f ON q.i = f.i
+        |         JOIN embeddings e ON e.vec_id = f.vec_id
+        |         WHERE q.vec_id < 5 AND q.vec_id <> f.vec_id
+        |           AND e.label = CAST(q.vec_id AS INTEGER)
+        |         GROUP BY 1, 2),
         |sc AS (SELECT qid, nid, ROUND(dp/(nq.nrm*nn.nrm), 4) AS cosine
         |       FROM dotp JOIN nrm nq ON nq.vec_id = qid JOIN nrm nn ON nn.vec_id = nid),
         |rk AS (SELECT qid, nid, cosine,

@@ -310,7 +310,7 @@ object VectorOps {
         .withColumn("nrm", norm(col("embedding")))
       val assigned = ivfAssigned(emb, trainedCodebook(spark, dir))
         .select(col("vec_id").as("nid"), col("embedding").as("ne"),
-          col("nrm").as("nn"), col("cid"))
+          col("nrm").as("nn"), col("cid"), col("label"))
         .persist()
       assigned.count()
       assigned
@@ -354,6 +354,81 @@ object VectorOps {
     // (qi, nid) rows are already unique — collect_set is pure top-k here
     assigned.join(broadcast(probes), Seq("cid"))
       .filter(qidLit =!= col("nid"))
+      .select(col("qi"), col("nid"),
+        round(dot(qeLit, col("ne")) / (qnLit * col("nn")), 4).as("cosine"))
+      .groupBy("qi")
+      .agg(slice(array_sort(collect_set(
+        struct((-col("cosine")).as("nc"), col("nid").as("nid")))), 1, 10).as("top"))
+      .select(col("qi"), posexplode(col("top")))
+      .select(qidLit.as("qid"), col("col.nid").as("nid"),
+        (-col("col.nc")).as("cosine"), (col("pos") + 1).cast("long").as("rn"))
+      .orderBy("qid", "rn")
+  }
+
+  /** Metadata-filtered exact similarity search: brute-force cosine top-10
+    * per query restricted to rows whose `label` equals the query's target
+    * class (target = qid — each query searches one label partition). The
+    * filtered variant every production vector store ships ("similar docs
+    * among lang=X"); this is the exact reference [[annIvfFiltered]]'s
+    * recall is pinned against, and it is DuckDB-oracle-checked like
+    * [[cosineTopK]]. The label filter lands BEFORE scoring — at 100 TB a
+    * selective predicate shrinks the scored corpus, it never post-filters
+    * a scored result.
+    */
+  def filteredTopK(spark: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.ensureRegistered(spark)
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("nrm", norm(col("embedding")))
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+    val scored = emb
+      .select(col("vec_id").as("nid"), col("embedding").as("ne"),
+        col("label").as("nlabel"), col("nrm").as("nn"))
+      .join(broadcast(queries),
+        col("qid") =!= col("nid") && col("nlabel") === col("qid").cast("int"))
+      .withColumn("cosine",
+        round(dot(col("qe"), col("ne")) / (col("qn") * col("nn")), 4))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid"))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 10)
+      .select("qid", "nid", "cosine", "rn")
+      .orderBy("qid", "rn")
+  }
+
+  /** Metadata-filtered ANN with the production adaptive rule. A label
+    * filter interacts with IVF probing in two regimes:
+    *  - SELECTIVE filter (small class): probed lists are mostly empty of
+    *    the class, and recall collapses when labels are independent of
+    *    geometry — so below `bruteBelow` members the right plan is to
+    *    score the whole class exactly (cheap BECAUSE the filter is
+    *    selective; this is the FAISS/Milvus-style selectivity fallback).
+    *  - BROAD filter (large class): probe as usual with the net deepened
+    *    `deepen`× — the filter thins every list, so recall is bought
+    *    back by visiting more lists, never by scoring rejected rows.
+    * The class-size decision reads one label-cardinality aggregate
+    * (vocab-bounded). Spec pins BOTH paths exactly equal to
+    * [[filteredTopK]] (the brute path by construction; the probe path at
+    * full probe depth); rows-only driver row like the ANN family.
+    */
+  def annIvfFiltered(spark: SparkSession, dir: String, deepen: Int = 3,
+      bruteBelow: Long = 500L): DataFrame = {
+    VectorFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    val codebook = trainedCodebook(spark, dir)
+    val probeN = math.min(codebook.size, ivfProbesFor(codebook.size) * deepen)
+    val queries = cachedQueryVecs(spark, dir)
+    val sizes = cachedIvfAssigned(spark, dir)
+      .groupBy("label").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val maxClass = queries.map(q => sizes.getOrElse(q._1.toInt, 0L)).max
+    if (maxClass <= bruteBelow) return filteredTopK(spark, dir)
+    val probes = ivfProbeRows(queries, codebook, probeN).toDF("qi", "cid")
+    val assigned = cachedIvfAssigned(spark, dir)
+    val qidLit = element_at(typedlit(queries.map(_._1)), col("qi") + 1)
+    val qeLit = element_at(typedlit(queries.map(_._2.toSeq)), col("qi") + 1)
+    val qnLit = element_at(typedlit(queries.map(_._3)), col("qi") + 1)
+    assigned.join(broadcast(probes), Seq("cid"))
+      .filter(qidLit =!= col("nid") && col("label") === qidLit.cast("int"))
       .select(col("qi"), col("nid"),
         round(dot(qeLit, col("ne")) / (qnLit * col("nn")), 4).as("cosine"))
       .groupBy("qi")
