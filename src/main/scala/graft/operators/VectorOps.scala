@@ -440,6 +440,50 @@ object VectorOps {
       .orderBy("qid", "rn")
   }
 
+  /** Hybrid lexical+vector retrieval by reciprocal-rank fusion — the
+    * modern RAG retrieval stack in one query: BM25 ranks (the keyword
+    * workload) fuse with exact-cosine ranks (the query document's
+    * embedding — queries share the doc_id = vec_id id space) as
+    * rrf = 1/(60+r_lex) + 1/(60+r_vec) over the union of both depth-50
+    * lists, absent ranks contributing 0. Every input rank is a
+    * deterministic total order and the fusion arithmetic is two exact
+    * double divisions summed in literal order, so the fused ranking is
+    * DuckDB-oracle-exact — rare for a retrieval stack.
+    *
+    * Scale shape: both subsystems are the already-shipped bounded-cost
+    * paths (hit-set BM25, broadcast-query cosine); the fusion join is
+    * depth×queries rows — workload-sized, trivially broadcastable.
+    */
+  def hybridSearch(spark: SparkSession, dir: String, k: Int = 10,
+      depth: Int = 50, rrfK: Int = 60): DataFrame = {
+    VectorFunctions.ensureRegistered(spark)
+    val lex = TextOps.bm25TopK(spark, dir, depth)
+      .select(col("qid"), col("doc_id"), col("rank").as("rb"))
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("nrm", norm(col("embedding")))
+    val queries = emb.filter(col("vec_id").isin(1L, 2L, 3L))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("doc_id"))
+    val vec = emb.select(col("vec_id").as("doc_id"), col("embedding").as("ne"),
+        col("nrm").as("nn"))
+      .join(broadcast(queries), col("qid") =!= col("doc_id"))
+      .withColumn("cosine",
+        round(dot(col("qe"), col("ne")) / (col("qn") * col("nn")), 4))
+      .withColumn("rc", row_number().over(w).cast("long"))
+      .filter(col("rc") <= depth)
+      .select("qid", "doc_id", "rc")
+    val fused = lex.join(vec, Seq("qid", "doc_id"), "full_outer")
+      // literal order mirrored by the oracle: lex term + vec term
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(rrfK) + col("rb")).cast("double"), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("rc")).cast("double"), lit(0.0)))
+    val wf = Window.partitionBy("qid").orderBy(col("rrf").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(wf).cast("long"))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "doc_id", "rrf")
+      .orderBy("qid", "rank")
+  }
+
   // ---- IVF-PQ: compressed in-list scoring --------------------------------
 
   private val pqSubspaces = 8
