@@ -315,6 +315,7 @@ object VectorFunctions {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => graft.plans.LtsRoute)
+    ext.injectOptimizerRule(_ => graft.plans.CorpusRoute)
     ext.injectFunction(
       (FunctionIdentifier(VectorFunctions.dotName),
         new ExpressionInfo(classOf[DotProduct].getName, null, VectorFunctions.dotName),
