@@ -487,11 +487,11 @@ object SparkEntry {
         |FROM lt GROUP BY lang ORDER BY lang""".stripMargin,
     "q_top_ngrams" ->
       // word 5-grams via the same range/list_transform window builder as
-      // the 3-gram jaccard oracle (short docs yield one partial window;
-      // concat_ws skips the out-of-range NULLs on both engines)
+      // the 3-gram jaccard oracle; sub-window documents carry no gram
+      // (len(tk) >= 5 on both engines)
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk
-        |              FROM documents WHERE text IS NOT NULL),
-        |g AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(tk)-4, 1)+1),
+        |              FROM documents WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 5),
+        |g AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)-4+1),
         |    i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3], tk[i+4]))) AS gram FROM toks),
         |pd AS (SELECT gram, doc_id, COUNT(*) AS c FROM g GROUP BY 1, 2)
         |SELECT gram, CAST(SUM(c) AS BIGINT) AS occurrences,

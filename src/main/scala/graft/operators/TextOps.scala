@@ -1659,12 +1659,16 @@ object TextOps {
     */
   private[graft] def evalGramHashesOf(docs: DataFrame,
       maxGrams: Long = maxGramsLiteral): Seq[Long] = {
-    val keys = evalGramKeysOf(docs)
-    val n = keys.count()
-    require(n <= maxGrams,
-      s"eval gram set has $n distinct grams > literal budget $maxGrams; " +
+    // limit(max+1) bounds BOTH the driver transfer and the job count: a
+    // budget-breaking set surfaces as the extra row, without a separate
+    // count() pass over the distinct grams (previously two jobs)
+    val got = evalGramKeysOf(docs)
+      .limit(math.toIntExact(maxGrams) + 1)
+      .collect().map(_.getLong(0)).toSeq
+    require(got.size <= maxGrams,
+      s"eval gram set exceeds the literal budget $maxGrams; " +
         "use mixGatesVsKeys (semi-join membership) instead")
-    keys.collect().map(_.getLong(0)).toSeq
+    got
   }
 
   /** [[mixGates]] past the literal budget — identical gate semantics with
@@ -2258,7 +2262,11 @@ object TextOps {
       .withColumn("neg_prob", -col("avg_prob"))
     // pid assignment must be one consistent snapshot across the local
     // ranks and the per-partition totals (same contract as
-    // globalTokenPrefix; deliberately not generation-scoped)
+    // globalTokenPrefix; deliberately not generation-scoped — an
+    // eviction-then-recompute mid-query could re-assign pids). Repeated
+    // invocations do NOT stack snapshots: CacheManager dedupes persist()
+    // by analyzed plan, so all calls over the same input share ONE
+    // cached copy (the same property globalTokenPrefix relies on).
     val parted = scored
       .repartitionByRange(col("neg_prob"), col("doc_id"))
       .sortWithinPartitions(col("neg_prob"), col("doc_id"))
@@ -2343,10 +2351,13 @@ object TextOps {
 
   private[operators] def topNgramsOver(docs: DataFrame, n: Int, k: Int): DataFrame = {
     val grams = docs
-      .filter(col("text").isNotNull)
+      // documents shorter than the window carry no n-gram — without this
+      // gate a crawl shard full of empty/short docs tops the "repeated
+      // 5-grams" report with partial windows (or the empty string)
+      .filter(col("text").isNotNull && size(tokens(col("text"))) >= n)
       .select(col("doc_id"), bindOnce(tokens(col("text"))) { tk =>
         transform(
-          sequence(lit(1), greatest(size(tk) - (n - 1), lit(1))),
+          sequence(lit(1), size(tk) - (n - 1)),
           i => concat_ws(" ", (0 until n).map(j => try_element_at(tk, i + j)): _*))
       }.as("gs"))
       .select(col("doc_id"), explode(col("gs")).as("gram"))

@@ -416,28 +416,38 @@ object VectorOps {
     import spark.implicits._
     val codebook = trainedCodebook(spark, dir)
     val probeN = math.min(codebook.size, ivfProbesFor(codebook.size) * deepen)
-    val queries = cachedQueryVecs(spark, dir)
+    val all = cachedQueryVecs(spark, dir)
     val sizes = cachedIvfAssigned(spark, dir)
       .groupBy("label").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val maxClass = queries.map(q => sizes.getOrElse(q._1.toInt, 0L)).max
-    if (maxClass <= bruteBelow) return filteredTopK(spark, dir)
-    val probes = ivfProbeRows(queries, codebook, probeN).toDF("qi", "cid")
-    val assigned = cachedIvfAssigned(spark, dir)
-    val qidLit = element_at(typedlit(queries.map(_._1)), col("qi") + 1)
-    val qeLit = element_at(typedlit(queries.map(_._2.toSeq)), col("qi") + 1)
-    val qnLit = element_at(typedlit(queries.map(_._3)), col("qi") + 1)
-    assigned.join(broadcast(probes), Seq("cid"))
-      .filter(qidLit =!= col("nid") && col("label") === qidLit.cast("int"))
-      .select(col("qi"), col("nid"),
-        round(dot(qeLit, col("ne")) / (qnLit * col("nn")), 4).as("cosine"))
-      .groupBy("qi")
-      .agg(slice(array_sort(collect_set(
-        struct((-col("cosine")).as("nc"), col("nid").as("nid")))), 1, 10).as("top"))
-      .select(col("qi"), posexplode(col("top")))
-      .select(qidLit.as("qid"), col("col.nid").as("nid"),
-        (-col("col.nc")).as("cosine"), (col("pos") + 1).cast("long").as("rn"))
-      .orderBy("qid", "rn")
+    // PER-QUERY decision — a single global choice would deny the exact
+    // fallback to a selective-class query whenever some OTHER query in
+    // the workload targets a broad class
+    val (bruteQs, probeQs) =
+      all.partition(q => sizes.getOrElse(q._1.toInt, 0L) <= bruteBelow)
+    val parts = Seq.newBuilder[DataFrame]
+    if (bruteQs.nonEmpty)
+      parts += filteredTopK(spark, dir)
+        .filter(col("qid").isin(bruteQs.map(_._1): _*))
+    if (probeQs.nonEmpty) {
+      val queries = probeQs
+      val probes = ivfProbeRows(queries, codebook, probeN).toDF("qi", "cid")
+      val assigned = cachedIvfAssigned(spark, dir)
+      val qidLit = element_at(typedlit(queries.map(_._1)), col("qi") + 1)
+      val qeLit = element_at(typedlit(queries.map(_._2.toSeq)), col("qi") + 1)
+      val qnLit = element_at(typedlit(queries.map(_._3)), col("qi") + 1)
+      parts += assigned.join(broadcast(probes), Seq("cid"))
+        .filter(qidLit =!= col("nid") && col("label") === qidLit.cast("int"))
+        .select(col("qi"), col("nid"),
+          round(dot(qeLit, col("ne")) / (qnLit * col("nn")), 4).as("cosine"))
+        .groupBy("qi")
+        .agg(slice(array_sort(collect_set(
+          struct((-col("cosine")).as("nc"), col("nid").as("nid")))), 1, 10).as("top"))
+        .select(col("qi"), posexplode(col("top")))
+        .select(qidLit.as("qid"), col("col.nid").as("nid"),
+          (-col("col.nc")).as("cosine"), (col("pos") + 1).cast("long").as("rn"))
+    }
+    parts.result().reduce(_ unionByName _).orderBy("qid", "rn")
   }
 
   /** Hybrid lexical+vector retrieval by reciprocal-rank fusion — the

@@ -98,11 +98,20 @@ object CorpusRoute extends Rule[LogicalPlan] {
     val langs = delta.select("lang").distinct()
       .collect().map(_.getString(0)).toSeq
     if (langs.nonEmpty) {
+      // membership must be null-safe: `isin` never matches a NULL lang
+      // (NULL IN (...) is NULL), yet dynamic overwrite still replaces
+      // the null partition — a plain isin would silently drop all
+      // accumulated history for null-lang documents
+      val nonNull = langs.filter(_ != null)
+      val base =
+        if (nonNull.nonEmpty) col("lang").isin(nonNull: _*) else lit(false)
+      val langMatch =
+        if (langs.exists(_ == null)) base || col("lang").isNull else base
       // localCheckpoint breaks lineage to the files being overwritten
       // (Spark refuses to overwrite a path its own plan reads); the
       // affected slice is #batch-langs × #sources rows — KBs
       val existing = spark.read.parquet(rollupPath)
-        .filter(col("lang").isin(langs: _*))
+        .filter(langMatch)
         .localCheckpoint()
       mergeRollups(existing, delta)
         .write.mode("overwrite")

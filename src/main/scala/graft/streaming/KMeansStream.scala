@@ -43,13 +43,19 @@ object KMeansStream {
       if (!batch.isEmpty) {
         val rows = batch.filter(col("embedding").isNotNull)
           .select(col("vec_id"), col("embedding"))
-        if (model.cents.isEmpty) {
-          model.cents = rows
+        // initialize — and KEEP topping up while under k: a stream whose
+        // first trigger fires on a trickle (fewer than k rows) must not
+        // stay permanently capped at that many clusters
+        if (model.cents.size < k) {
+          val extra = rows
             .orderBy(xxhash64(col("vec_id")), col("vec_id"))
             .limit(k)
             .select(col("embedding").cast("array<double>"))
             .collect().map(_.getSeq[Double](0)).toIndexedSeq
-          model.counts ++= Seq.fill(model.cents.size)(0L)
+            .filterNot(model.cents.contains)
+            .take(k - model.cents.size)
+          model.cents = model.cents ++ extra
+          model.counts ++= Seq.fill(extra.size)(0L)
         }
         val sums = VectorOps.assignForTest(rows, model.cents)
           .select(col("cluster"), posexplode(col("embedding")))

@@ -70,12 +70,16 @@ private[streaming] final class RefreshingSnapshot(owner: SparkSession,
 private[streaming] object RefreshingSnapshot {
   private val live =
     java.util.concurrent.ConcurrentHashMap.newKeySet[RefreshingSnapshot]()
-  @volatile private var listenerOn = false
+  // per-SESSION listener registration: a StreamingQueryManager only
+  // delivers events for queries its own session started, so a single
+  // global flag would leave every later session's holders unreleased
+  private val listenerSessions =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
 
   private def track(sp: SparkSession, h: RefreshingSnapshot): Unit = {
     live.add(h): Unit
-    if (!listenerOn) this.synchronized {
-      if (!listenerOn) {
+    if (!listenerSessions.contains(sp)) this.synchronized {
+      if (listenerSessions.add(sp)) {
         sp.streams.addListener(new StreamingQueryListener {
           override def onQueryStarted(
               e: StreamingQueryListener.QueryStartedEvent): Unit = ()
@@ -88,7 +92,6 @@ private[streaming] object RefreshingSnapshot {
             while (it.hasNext) if (it.next().terminated(rid)) it.remove()
           }
         })
-        listenerOn = true
       }
     }
   }

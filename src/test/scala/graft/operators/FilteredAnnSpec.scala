@@ -32,6 +32,25 @@ class FilteredAnnSpec extends AnyFunSuite {
     assert(got === exact)
   }
 
+  test("adaptive decision is per-query: selective classes keep the exact path under a mixed workload") {
+    // threshold between the class sizes splits the workload: classes at
+    // or under it go exact, the rest probe. With full-depth probing the
+    // probe half is exhaustive too, so BOTH halves must equal the exact
+    // reference — proving the mixed-path union covers every query
+    val sizes = graft.Tables.embeddings(spark, dir)
+      .groupBy("label").agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val classSizes = (0 to 4).map(l => sizes.getOrElse(l, 0L))
+    val mid = classSizes.sorted.apply(classSizes.size / 2)
+    val exact = rows(VectorOps.filteredTopK(spark, dir))
+    val got = rows(VectorOps.annIvfFiltered(spark, dir, deepen = 1000,
+      bruteBelow = mid))
+    assert(classSizes.exists(_ <= mid) && classSizes.exists(_ > mid),
+      s"fixture no longer mixes paths: $classSizes vs $mid")
+    assert(got === exact)
+  }
+
   test("every result carries the query's target label") {
     val labels = graft.Tables.embeddings(spark, dir)
       .select("vec_id", "label").collect()

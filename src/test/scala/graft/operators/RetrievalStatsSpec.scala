@@ -93,7 +93,7 @@ class RetrievalStatsSpec extends AnyFunSuite {
     }
   }
 
-  test("top ngrams: occurrence/reach counts with short-doc partial windows") {
+  test("top ngrams: occurrence/reach counts; sub-window docs carry no gram") {
     for (seed <- 7L to 9L) {
       val corpus = randCorpus(seed, 70)
       val df = corpus.map { case (id, t, _) => (id, t) }.toDF("doc_id", "text")
@@ -103,7 +103,8 @@ class RetrievalStatsSpec extends AnyFunSuite {
 
       def grams(t: String): Seq[String] = {
         val tk = toks(t)
-        if (tk.size <= n) Seq(tk.mkString(" "))
+        // sub-window docs carry no n-gram (the operator's contract)
+        if (tk.size < n) Seq.empty
         else tk.sliding(n).map(_.mkString(" ")).toSeq
       }
       val occ = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)

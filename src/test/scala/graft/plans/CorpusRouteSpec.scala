@@ -131,6 +131,33 @@ class CorpusRouteSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental upsert preserves NULL-lang history (null-safe membership)") {
+    val b = Files.createTempDirectory("graft_route_nulllang").toString
+    import spark.implicits._
+    // day 0: two null-lang docs + one 'en' doc; rollup built from them
+    val day0 = Seq((1L, "alpha beta", null: String, "src0", 10L),
+      (2L, "gamma delta", null: String, "src0", 11L),
+      (3L, "epsilon", "en", "src0", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    day0.write.parquet(s"$b/documents.parquet")
+    CorpusRoute.rollupOf(spark.read.parquet(s"$b/documents.parquet"))
+      .write.partitionBy("lang").parquet(s"$b/rollup")
+    // day 1: another null-lang doc arrives; isin(null) would read ZERO
+    // existing null-lang rows and dynamic overwrite would then replace
+    // the null partition with delta-only counts
+    val batch = Seq((4L, "zeta eta", null: String, "src0", 8L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    batch.write.mode("append").parquet(s"$b/documents.parquet")
+    CorpusRoute.upsertRollup(spark, s"$b/rollup", batch)
+    val now = spark.read.parquet(s"$b/documents.parquet")
+    val cols = Seq("lang", "source", "n_docs", "sum_chars", "sum_tokens")
+    assert(rows(spark.read.parquet(s"$b/rollup").select(cols.map(col): _*))
+      == rows(CorpusRoute.rollupOf(now).select(cols.map(col): _*)))
+    val nullRow = spark.read.parquet(s"$b/rollup")
+      .filter(col("lang").isNull).select("n_docs").collect()
+    assert(nullRow.map(_.getLong(0)).sum == 3L, "null-lang history lost")
+  }
+
   test("incremental upsert: batch langs' partitions rewrite, others untouched, routed results track") {
     val b = Files.createTempDirectory("graft_route_upsert").toString
     val all = Tables.documents(spark, "/root/testdata/sf0.001")
