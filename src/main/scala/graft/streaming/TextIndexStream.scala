@@ -25,11 +25,32 @@ object TextIndexStream {
     * micro-batch appends into the index at `root` (which must already
     * hold a built index — build the base with [[TextIndex.buildInto]] or
     * [[TextIndex.ensure]]).
+    *
+    * REPLAY-SAFE: foreachBatch is at-least-once — after a restart Spark
+    * re-delivers the last uncommitted batch, and a bare append would
+    * double-count its postings and stats. A per-batch marker under
+    * `_appended/` gates replays (the common failure mode); the marker
+    * commits AFTER the append, so the remaining window is a crash
+    * mid-append — the same documented non-atomic gap as
+    * [[TextIndex.appendTo]]'s small-table swap, closed in production by
+    * a segment manifest.
     */
   def appendStream(docs: DataFrame, root: String): DataStreamWriter[Row] =
     docs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
-      if (!batch.isEmpty)
-        TextIndex.appendTo(root, batch.select("doc_id", "text"),
-          s"tidxstream:$root:$id")
+      appendBatch(root, batch, id)
     }
+
+  /** One idempotent micro-batch append (the foreachBatch body, separated
+    * so the replay gate is directly testable).
+    */
+  private[streaming] def appendBatch(root: String, batch: DataFrame,
+      id: Long): Unit = {
+    val marker = new java.io.File(s"$root/_appended/batch-$id")
+    if (!batch.isEmpty && !marker.exists()) {
+      TextIndex.appendTo(root, batch.select("doc_id", "text"),
+        s"tidxstream:$root:$id")
+      marker.getParentFile.mkdirs()
+      marker.createNewFile(): Unit
+    }
+  }
 }

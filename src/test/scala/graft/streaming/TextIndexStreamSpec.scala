@@ -51,4 +51,24 @@ class TextIndexStreamSpec extends AnyFunSuite {
       .collect().map(_.toString)
     assert(pa.nonEmpty && pb.toSeq === pa.toSeq)
   }
+
+  test("replayed micro-batches are idempotent (restart re-delivery gate)") {
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id").cast("long"), col("text"))
+    val base = java.nio.file.Files.createTempDirectory("graft-tidxr").toString
+    val full = s"$base/full"
+    val replayed = s"$base/replayed"
+    TextIndex.buildInto(full, docs, "spec-tidxr-full")
+    TextIndex.buildInto(replayed, docs.filter(col("doc_id") % 2 === 0),
+      "spec-tidxr-base")
+    val batch = docs.filter(col("doc_id") % 2 =!= 0)
+    // foreachBatch is at-least-once: the same batch id arriving twice
+    // (post-restart re-delivery) must append exactly once
+    TextIndexStream.appendBatch(replayed, batch, id = 7L)
+    TextIndexStream.appendBatch(replayed, batch, id = 7L)
+    val wl = TextOps.bm25Queries
+    val a = TextIndex.bm25At(spark, full, 10, wl).collect().map(_.toString)
+    val b = TextIndex.bm25At(spark, replayed, 10, wl).collect().map(_.toString)
+    assert(a.nonEmpty && b.toSeq === a.toSeq)
+  }
 }
