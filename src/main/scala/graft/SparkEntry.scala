@@ -85,6 +85,7 @@ object SparkEntry {
     "q_perplexity_bucket" -> TextOps.perplexityBuckets _,
     "q_oov_rate" -> ((s, d) => TextOps.oovRate(s, d)),
     "q_top_ngrams" -> ((s, d) => TextOps.topNgrams(s, d)),
+    "q_rag_chunks" -> ((s, d) => TextOps.ragChunks(s, d)),
     "q_bm25_topk" -> ((s, d) => TextOps.bm25TopK(s, d)),
     "q_bm25_indexed" -> ((s, d) => graft.operators.TextIndex.bm25TopKIndexed(s, d)),
     "q_phrase_search" -> ((s, d) => graft.operators.TextIndex.phraseSearch(s, d)),
@@ -498,6 +499,20 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) AS n_docs
         |FROM pd GROUP BY gram
         |ORDER BY occurrences DESC, n_docs DESC, gram LIMIT 20""".stripMargin,
+    "q_rag_chunks" ->
+      // stride-64/48 token windows; DuckDB's list slice clamps at the
+      // document end exactly like Spark's slice
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |              FROM documents WHERE text IS NOT NULL),
+        |st AS (SELECT doc_id, tk, unnest(range(1, len(tk)+1, 48)) AS s FROM toks),
+        |ch AS (SELECT doc_id, s AS start_tok,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s) AS chunk_id,
+        |    tk[s:s+63] AS chunk FROM st)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  CAST(start_tok AS BIGINT) AS start_tok,
+        |  CAST(len(chunk) AS BIGINT) AS n_tok,
+        |  array_to_string(chunk, ' ') AS chunk_text
+        |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
     "q_bm25_topk" -> bm25OracleSql,
     // the index-served path must match the raw-scan recompute bit-for-bit
     // — the oracle doubles as external proof the index is consistent

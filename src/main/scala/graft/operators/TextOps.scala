@@ -2368,6 +2368,38 @@ object TextOps {
       .limit(k)
   }
 
+  /** RAG/context chunking: split every document into fixed token windows
+    * on a stride (overlapping when stride < window) — the ingestion
+    * primitive both retrieval-augmented serving and long-document
+    * training prep need before anything embeds or packs. Chunk starts
+    * are 1, 1+stride, 2·stride+1, … while ≤ n_tokens; the final chunk
+    * clamps to the document end (slice clamps identically on both
+    * engines). Pure row-wise projection + explode — no shuffle, no
+    * state; chunk identity (doc_id, chunk_id) is deterministic.
+    */
+  def ragChunks(spark: SparkSession, dir: String, window: Int = 64,
+      stride: Int = 48): DataFrame =
+    ragChunksOver(Tables.documents(spark, dir), window, stride)
+
+  private[operators] def ragChunksOver(docs: DataFrame, window: Int,
+      stride: Int): DataFrame = {
+    require(window > 0 && stride > 0, "window and stride must be positive")
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), bindOnce(tokens(col("text"))) { tk =>
+        transform(
+          sequence(lit(1), size(tk), lit(stride)),
+          s => struct(s.as("start_tok"),
+            size(slice(tk, s, lit(window))).as("n_tok"),
+            concat_ws(" ", slice(tk, s, lit(window))).as("chunk_text")))
+      }.as("cs"))
+      .select(col("doc_id"), posexplode(col("cs")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("chunk_id"),
+        col("col.start_tok").cast("long").as("start_tok"),
+        col("col.n_tok").cast("long").as("n_tok"),
+        col("col.chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   /** The fixed keyword-query workload [[bm25TopK]] retrieves for: each
     * query is exactly three terms, scored and summed in declared position
     * order so the float addition sequence is engine-identical.

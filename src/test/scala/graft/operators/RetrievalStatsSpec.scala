@@ -120,6 +120,30 @@ class RetrievalStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("rag chunks: window/stride boundaries match the naive chunker") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 2 chunks, 2nd clamps
+      (2L, (1 to 4).map(i => s"t$i").mkString(" ")), // exactly one window
+      (3L, "solo"), // single token
+      (4L, ""), // one empty token on split
+      (5L, null: String), // excluded
+      (6L, (1 to 9).map(i => s"t$i").mkString(" "))) // start 7 hits last 3
+      .toDF("doc_id", "text")
+    val (window, stride) = (4, 3)
+    val got = TextOps.ragChunksOver(docs, window, stride).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    val expect = Seq((1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"), (2L, "t1 t2 t3 t4"),
+      (3L, "solo"), (4L, ""), (6L, "t1 t2 t3 t4 t5 t6 t7 t8 t9"))
+      .flatMap { case (id, t) =>
+        val tk = t.split(" ", -1)
+        (1 to tk.length by stride).zipWithIndex.map { case (s, i) =>
+          val chunk = tk.slice(s - 1, s - 1 + window)
+          (id, i + 1L, s.toLong, chunk.length.toLong, chunk.mkString(" "))
+        }
+      }.sortBy(x => (x._1, x._2))
+    assert(got.toSeq === expect)
+  }
+
   test("bm25: positional-slot scores match the naive fixed double chain") {
     for (seed <- 10L to 12L) {
       val corpus = randCorpus(seed, 100)
