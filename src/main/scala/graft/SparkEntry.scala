@@ -86,6 +86,7 @@ object SparkEntry {
     "q_oov_rate" -> ((s, d) => TextOps.oovRate(s, d)),
     "q_top_ngrams" -> ((s, d) => TextOps.topNgrams(s, d)),
     "q_rag_chunks" -> ((s, d) => TextOps.ragChunks(s, d)),
+    "q_chunk_search" -> ((s, d) => TextOps.chunkSearch(s, d)),
     "q_bm25_topk" -> ((s, d) => TextOps.bm25TopK(s, d)),
     "q_bm25_indexed" -> ((s, d) => graft.operators.TextIndex.bm25TopKIndexed(s, d)),
     "q_phrase_search" -> ((s, d) => graft.operators.TextIndex.phraseSearch(s, d)),
@@ -513,6 +514,42 @@ object SparkEntry {
         |  CAST(len(chunk) AS BIGINT) AS n_tok,
         |  array_to_string(chunk, ' ') AS chunk_text
         |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
+    "q_chunk_search" ->
+      // the bm25 chain at CHUNK grain: the rag_chunks CTE produces the
+      // corpus (packed key doc_id*1000+chunk_id), then the same scoring
+      // chain as bm25OracleSql; provenance unpacks on output
+      """WITH q(qid, pos, term) AS (VALUES
+        |    (1, 1, 'spark'), (1, 2, 'query'), (1, 3, 'join'),
+        |    (2, 1, 'hash'), (2, 2, 'table'), (2, 3, 'scan'),
+        |    (3, 1, 'dup'), (3, 2, 'merge'), (3, 3, 'stream')),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |         FROM documents WHERE text IS NOT NULL),
+        |st AS (SELECT doc_id, tk, unnest(range(1, len(tk)+1, 48)) AS s FROM toks),
+        |chunks AS (SELECT doc_id * 1000 +
+        |      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s) AS cid,
+        |    tk[s:s+63] AS ctk FROM st),
+        |tok AS (SELECT cid AS doc_id, unnest(ctk) AS term FROM chunks),
+        |dt AS MATERIALIZED (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |hits AS (SELECT q.qid, q.pos, dt.term, dt.doc_id, dt.tf FROM dt JOIN q USING (term)),
+        |dfreq AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM hits GROUP BY 1),
+        |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM dt GROUP BY 1),
+        |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS t FROM dl),
+        |sc AS (SELECT h.qid, h.pos, h.doc_id,
+        |    (CAST(2 * s.n - 2 * f.df + 1 AS DOUBLE) / CAST(2 * f.df + 1 AS DOUBLE)) *
+        |      ((CAST(h.tf AS DOUBLE) * 2.2) /
+        |        (CAST(h.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+        |          (CAST(l.dl AS DOUBLE) / (CAST(s.t AS DOUBLE) / CAST(s.n AS DOUBLE)))))) AS s
+        |  FROM hits h JOIN dfreq f USING (term) JOIN dl l USING (doc_id) CROSS JOIN stats s),
+        |per AS (SELECT qid, doc_id,
+        |    COALESCE(MAX(CASE WHEN pos = 1 THEN s END), 0.0) +
+        |      COALESCE(MAX(CASE WHEN pos = 2 THEN s END), 0.0) +
+        |      COALESCE(MAX(CASE WHEN pos = 3 THEN s END), 0.0) AS score
+        |  FROM sc GROUP BY 1, 2),
+        |rk AS (SELECT CAST(qid AS BIGINT) AS qid,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+        |    doc_id, score FROM per)
+        |SELECT qid, rank, doc_id // 1000 AS doc_id, doc_id % 1000 AS chunk_id, score
+        |FROM rk WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
     "q_bm25_topk" -> bm25OracleSql,
     // the index-served path must match the raw-scan recompute bit-for-bit
     // — the oracle doubles as external proof the index is consistent

@@ -2400,6 +2400,39 @@ object TextOps {
       .orderBy("doc_id", "chunk_id")
   }
 
+  /** Passage-level retrieval — BM25 over the [[ragChunks]] frame instead
+    * of whole documents (what a RAG serving stack actually retrieves:
+    * the top PASSAGES for a query, with their provenance). Each chunk
+    * becomes a unit of retrieval under a packed synthetic key
+    * (doc_id·1000 + chunk_id — chunk counts stay far under 1000 at any
+    * tested SF; a web-scale deployment would key on a struct), runs
+    * through the SAME [[bm25FromHits]] kernel and idf/length statistics
+    * — now chunk-level, which is the point: long documents stop
+    * dominating by raw length — and unpacks provenance on output.
+    */
+  def chunkSearch(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    graft.IntraQueryCache.newGeneration(s"chunksearch:$dir")
+    val chunks = ragChunksOver(Tables.documents(spark, dir), 64, 48)
+      .select((col("doc_id") * 1000L + col("chunk_id")).as("doc_id"),
+        col("chunk_text").as("text"))
+    val dt = graft.IntraQueryCache.scoped(docTermTf(chunks))
+    import spark.implicits._
+    val qt = broadcast(bm25Queries.toDF("qid", "pos", "term"))
+    val hits = graft.IntraQueryCache.scoped(dt.join(qt, "term"))
+    val dfreq = hits.select("term", "doc_id").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val dl = dt.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("t"))
+    bm25FromHits(hits
+      .join(broadcast(dfreq), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats)), k)
+      .select(col("qid"), col("rank"),
+        expr("doc_id div 1000").as("doc_id"),
+        (col("doc_id") % 1000L).as("chunk_id"), col("score"))
+      .orderBy("qid", "rank")
+  }
+
   /** The fixed keyword-query workload [[bm25TopK]] retrieves for: each
     * query is exactly three terms, scored and summed in declared position
     * order so the float addition sequence is engine-identical.
