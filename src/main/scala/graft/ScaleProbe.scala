@@ -80,7 +80,8 @@ object ScaleProbe {
     "q_pii_scrub", "q_lm_score", "q_tfidf_terms", "q_corpus_stats",
     "q_bpe_merges", "q_dup_spans", "q_span_scrub",
     "q_dsir_select", "q_filter_funnel",
-    "q_perplexity_bucket", "q_oov_rate", "q_top_ngrams", "q_containment")
+    "q_perplexity_bucket", "q_oov_rate", "q_top_ngrams", "q_containment",
+    "q_rag_chunks")
 
   private def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
 
