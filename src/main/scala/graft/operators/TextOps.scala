@@ -2382,6 +2382,15 @@ object TextOps {
     ragChunksOver(Tables.documents(spark, dir), window, stride)
 
   private[operators] def ragChunksOver(docs: DataFrame, window: Int,
+      stride: Int): DataFrame =
+    ragChunkRows(docs, window, stride).orderBy("doc_id", "chunk_id")
+
+  /** [[ragChunksOver]] without the presentation sort — a pure stateless
+    * projection, so it applies to a STREAMING frame unchanged (chunking
+    * at ingest, before embedding/indexing, is where a pipeline actually
+    * runs it); spec-pinned drained-stream ≡ batch.
+    */
+  private[graft] def ragChunkRows(docs: DataFrame, window: Int,
       stride: Int): DataFrame = {
     require(window > 0 && stride > 0, "window and stride must be positive")
     docs.filter(col("text").isNotNull)
@@ -2397,7 +2406,6 @@ object TextOps {
         col("col.start_tok").cast("long").as("start_tok"),
         col("col.n_tok").cast("long").as("n_tok"),
         col("col.chunk_text"))
-      .orderBy("doc_id", "chunk_id")
   }
 
   /** Passage-level retrieval — BM25 over the [[ragChunks]] frame instead

@@ -144,6 +144,23 @@ class RetrievalStatsSpec extends AnyFunSuite {
     assert(got.toSeq === expect)
   }
 
+  test("chunking applies to a stream unchanged (drained ≡ batch)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val docs = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")),
+      (2L, "a b"), (3L, null: String))
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = TextOps.ragChunkRows(mem.toDS.toDF("doc_id", "text"), 4, 3)
+      .writeStream.format("memory").queryName("rag_chunk_stream")
+      .outputMode("append").start()
+    try { mem.addData(docs: _*); q.processAllAvailable() } finally q.stop()
+    val got = spark.table("rag_chunk_stream").collect()
+      .map(_.toString).toSet
+    val batch = TextOps.ragChunkRows(docs.toDF("doc_id", "text"), 4, 3)
+      .collect().map(_.toString).toSet
+    assert(got.nonEmpty && got === batch)
+  }
+
   test("bm25: positional-slot scores match the naive fixed double chain") {
     for (seed <- 10L to 12L) {
       val corpus = randCorpus(seed, 100)
