@@ -5,7 +5,7 @@ package graft
   * computation without full-output forcing — shows how much of a query's
   * cost is its final projection/sort) and then n=4 runs under the
   * bench's [[Bench.force]] discipline with the warm median, without the
-  * 95-query session around it. For separating host/session noise from a
+  * 97-query session around it. For separating host/session noise from a
   * real per-query regression, and for costing a NEW query before it
   * lands in the bench loop.
   */

@@ -502,10 +502,13 @@ object SparkEntry {
         |ORDER BY occurrences DESC, n_docs DESC, gram LIMIT 20""".stripMargin,
     "q_rag_chunks" ->
       // stride-64/48 token windows; DuckDB's list slice clamps at the
-      // document end exactly like Spark's slice
+      // document end exactly like Spark's slice; starts stop once a
+      // window reaches the end (s <= max(1, n-64+48)) so no chunk is
+      // fully contained in its predecessor
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk
         |              FROM documents WHERE text IS NOT NULL),
-        |st AS (SELECT doc_id, tk, unnest(range(1, len(tk)+1, 48)) AS s FROM toks),
+        |st AS (SELECT doc_id, tk,
+        |    unnest(range(1, greatest(len(tk)-16, 1)+1, 48)) AS s FROM toks),
         |ch AS (SELECT doc_id, s AS start_tok,
         |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s) AS chunk_id,
         |    tk[s:s+63] AS chunk FROM st)
@@ -524,7 +527,8 @@ object SparkEntry {
         |    (3, 1, 'dup'), (3, 2, 'merge'), (3, 3, 'stream')),
         |toks AS (SELECT doc_id, string_split(text, ' ') AS tk
         |         FROM documents WHERE text IS NOT NULL),
-        |st AS (SELECT doc_id, tk, unnest(range(1, len(tk)+1, 48)) AS s FROM toks),
+        |st AS (SELECT doc_id, tk,
+        |    unnest(range(1, greatest(len(tk)-16, 1)+1, 48)) AS s FROM toks),
         |chunks AS (SELECT doc_id * 1000 +
         |      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s) AS cid,
         |    tk[s:s+63] AS ctk FROM st),

@@ -1652,10 +1652,11 @@ object TextOps {
 
   /** The eval-gram hash set for [[mixGates]], computed batch-side from any
     * (text) frame of eval/benchmark documents — same [[shingles]] hash
-    * space as the gate's per-document grams. GATED: the distinct-gram
-    * count is checked BEFORE anything is collected, so an adversarially
-    * large "eval set" fails fast instead of flooding the driver; callers
-    * past the budget use [[mixGatesVsKeys]].
+    * space as the gate's per-document grams. GATED: the driver transfer
+    * is bounded at budget+1 rows (limit pushes into the scan), so an
+    * adversarially large "eval set" fails fast after at most ~MBs
+    * instead of flooding the driver; callers past the budget use
+    * [[mixGatesVsKeys]].
     */
   private[graft] def evalGramHashesOf(docs: DataFrame,
       maxGrams: Long = maxGramsLiteral): Seq[Long] = {
@@ -2351,16 +2352,19 @@ object TextOps {
 
   private[operators] def topNgramsOver(docs: DataFrame, n: Int, k: Int): DataFrame = {
     val grams = docs
-      // documents shorter than the window carry no n-gram — without this
-      // gate a crawl shard full of empty/short docs tops the "repeated
-      // 5-grams" report with partial windows (or the empty string)
-      .filter(col("text").isNotNull && size(tokens(col("text"))) >= n)
-      .select(col("doc_id"), bindOnce(tokens(col("text"))) { tk =>
-        transform(
-          sequence(lit(1), size(tk) - (n - 1)),
-          i => concat_ws(" ", (0 until n).map(j => try_element_at(tk, i + j)): _*))
-      }.as("gs"))
-      .select(col("doc_id"), explode(col("gs")).as("gram"))
+      .filter(col("text").isNotNull)
+      // tokenize ONCE into a column, THEN gate: a size(tokens(...))
+      // predicate would re-split every text a second time (no
+      // cross-operator subexpression elimination between filter and
+      // project). Documents shorter than the window carry no n-gram —
+      // without the gate a crawl shard full of empty/short docs tops the
+      // "repeated 5-grams" report with partial windows
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) >= n)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("tk")) - (n - 1)),
+        i => concat_ws(" ",
+          (0 until n).map(j => try_element_at(col("tk"), i + j)): _*))).as("gram"))
     grams.groupBy("gram", "doc_id").agg(count(lit(1)).as("c"))
       .groupBy("gram")
       .agg(sum(col("c")).as("occurrences"), count(lit(1)).as("n_docs"))
@@ -2389,6 +2393,11 @@ object TextOps {
     * projection, so it applies to a STREAMING frame unchanged (chunking
     * at ingest, before embedding/indexing, is where a pipeline actually
     * runs it); spec-pinned drained-stream ≡ batch.
+    *
+    * Chunk starts stop once a window reaches the document end
+    * (s ≤ max(1, n−window+stride)): a later start would emit a chunk
+    * fully CONTAINED in the previous one — a duplicate retrieval unit
+    * whose small length inflates its BM25 length-normalized score.
     */
   private[graft] def ragChunkRows(docs: DataFrame, window: Int,
       stride: Int): DataFrame = {
@@ -2396,7 +2405,12 @@ object TextOps {
     docs.filter(col("text").isNotNull)
       .select(col("doc_id"), bindOnce(tokens(col("text"))) { tk =>
         transform(
-          sequence(lit(1), size(tk), lit(stride)),
+          // last start: min(n, n-(window-stride)) clamped to >= 1 — the
+          // least() keeps a stride>window (gapped) configuration from
+          // generating starts past the document end
+          sequence(lit(1),
+            greatest(least(size(tk) - (window - stride), size(tk)), lit(1)),
+            lit(stride)),
           s => struct(s.as("start_tok"),
             size(slice(tk, s, lit(window))).as("n_tok"),
             concat_ws(" ", slice(tk, s, lit(window))).as("chunk_text")))
@@ -2419,22 +2433,19 @@ object TextOps {
     * dominating by raw length — and unpacks provenance on output.
     */
   def chunkSearch(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
-    graft.IntraQueryCache.newGeneration(s"chunksearch:$dir")
-    val chunks = ragChunksOver(Tables.documents(spark, dir), 64, 48)
-      .select((col("doc_id") * 1000L + col("chunk_id")).as("doc_id"),
+    val chunks = ragChunkRows(Tables.documents(spark, dir), 64, 48)
+      .select(
+        // loud failure beats silent key collision: a >=1000-chunk
+        // document would fold its tail chunks into the next doc's key
+        // space (the struct-key design the docstring names is the
+        // web-scale fix)
+        when(col("chunk_id") >= 1000L, raise_error(concat(
+          lit("chunk_id overflows the packed key for doc "), col("doc_id"))))
+          .otherwise(col("doc_id") * 1000L + col("chunk_id")).as("doc_id"),
         col("chunk_text").as("text"))
-    val dt = graft.IntraQueryCache.scoped(docTermTf(chunks))
-    import spark.implicits._
-    val qt = broadcast(bm25Queries.toDF("qid", "pos", "term"))
-    val hits = graft.IntraQueryCache.scoped(dt.join(qt, "term"))
-    val dfreq = hits.select("term", "doc_id").distinct()
-      .groupBy("term").agg(count(lit(1)).as("df"))
-    val dl = dt.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("t"))
-    bm25FromHits(hits
-      .join(broadcast(dfreq), "term")
-      .join(dl, "doc_id")
-      .crossJoin(broadcast(stats)), k)
+    // the WHOLE scan path reuses bm25TopKOver — one scoring chain to
+    // maintain, chunk grain coming purely from the input frame
+    bm25TopKOver(chunks, k, s"chunksearch:$dir")
       .select(col("qid"), col("rank"),
         expr("doc_id div 1000").as("doc_id"),
         (col("doc_id") % 1000L).as("chunk_id"), col("score"))

@@ -47,11 +47,18 @@ object KMeansStream {
         // first trigger fires on a trickle (fewer than k rows) must not
         // stay permanently capped at that many clusters
         if (model.cents.size < k) {
+          // .distinct dedups identical embeddings WITHIN the candidate
+          // batch (duplicate docs are the norm in crawl data); the
+          // filterNot only helps before the first update pass — once
+          // centroids have moved to rounded means, a top-up near an
+          // existing centroid is possible and tolerated (Lloyd updates
+          // separate or starve it; empty clusters keep their centroid)
           val extra = rows
             .orderBy(xxhash64(col("vec_id")), col("vec_id"))
             .limit(k)
             .select(col("embedding").cast("array<double>"))
             .collect().map(_.getSeq[Double](0)).toIndexedSeq
+            .distinct
             .filterNot(model.cents.contains)
             .take(k - model.cents.size)
           model.cents = model.cents ++ extra

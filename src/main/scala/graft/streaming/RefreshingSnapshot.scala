@@ -72,9 +72,12 @@ private[streaming] object RefreshingSnapshot {
     java.util.concurrent.ConcurrentHashMap.newKeySet[RefreshingSnapshot]()
   // per-SESSION listener registration: a StreamingQueryManager only
   // delivers events for queries its own session started, so a single
-  // global flag would leave every later session's holders unreleased
-  private val listenerSessions =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
+  // global flag would leave every later session's holders unreleased.
+  // WEAK keys: a strong set would pin every session (and its state) for
+  // the JVM lifetime in a create-session-per-job application
+  private val listenerSessions = java.util.Collections.synchronizedSet(
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
 
   private def track(sp: SparkSession, h: RefreshingSnapshot): Unit = {
     live.add(h): Unit

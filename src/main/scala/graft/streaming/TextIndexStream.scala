@@ -35,20 +35,27 @@ object TextIndexStream {
     * [[TextIndex.appendTo]]'s small-table swap, closed in production by
     * a segment manifest.
     */
-  def appendStream(docs: DataFrame, root: String): DataStreamWriter[Row] =
+  /** `streamId` must be 1:1 with the query's CHECKPOINT: batch ids are
+    * only meaningful within one checkpoint lineage, so a reset/relocated
+    * checkpoint (which renumbers batches from 0) or a second stream
+    * against the same root needs its own id — otherwise a stale marker
+    * silently swallows a renumbered batch's documents.
+    */
+  def appendStream(docs: DataFrame, root: String,
+      streamId: String = "default"): DataStreamWriter[Row] =
     docs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
-      appendBatch(root, batch, id)
+      appendBatch(root, batch, id, streamId)
     }
 
   /** One idempotent micro-batch append (the foreachBatch body, separated
     * so the replay gate is directly testable).
     */
   private[streaming] def appendBatch(root: String, batch: DataFrame,
-      id: Long): Unit = {
-    val marker = new java.io.File(s"$root/_appended/batch-$id")
+      id: Long, streamId: String = "default"): Unit = {
+    val marker = new java.io.File(s"$root/_appended/$streamId/batch-$id")
     if (!batch.isEmpty && !marker.exists()) {
       TextIndex.appendTo(root, batch.select("doc_id", "text"),
-        s"tidxstream:$root:$id")
+        s"tidxstream:$root:$streamId:$id")
       marker.getParentFile.mkdirs()
       marker.createNewFile(): Unit
     }

@@ -136,10 +136,14 @@ class RetrievalStatsSpec extends AnyFunSuite {
       (3L, "solo"), (4L, ""), (6L, "t1 t2 t3 t4 t5 t6 t7 t8 t9"))
       .flatMap { case (id, t) =>
         val tk = t.split(" ", -1)
-        (1 to tk.length by stride).zipWithIndex.map { case (s, i) =>
-          val chunk = tk.slice(s - 1, s - 1 + window)
-          (id, i + 1L, s.toLong, chunk.length.toLong, chunk.mkString(" "))
-        }
+        // starts stop once a window reaches the end: no chunk fully
+        // contained in its predecessor (doc 1 at n=10/w=4/s=3 emits
+        // starts 1,4,7 — NOT 10, whose [t10] is inside chunk 7..10)
+        (1 to math.max(1, tk.length - (window - stride)) by stride)
+          .zipWithIndex.map { case (s, i) =>
+            val chunk = tk.slice(s - 1, s - 1 + window)
+            (id, i + 1L, s.toLong, chunk.length.toLong, chunk.mkString(" "))
+          }
       }.sortBy(x => (x._1, x._2))
     assert(got.toSeq === expect)
   }

@@ -63,7 +63,10 @@ class TextIndexStreamSpec extends AnyFunSuite {
       "spec-tidxr-base")
     val batch = docs.filter(col("doc_id") % 2 =!= 0)
     // foreachBatch is at-least-once: the same batch id arriving twice
-    // (post-restart re-delivery) must append exactly once
+    // (post-restart re-delivery) must append exactly once — and markers
+    // are scoped per streamId, so a different stream's batch 7 is not
+    // swallowed by this one's marker (the checkpoint-reset contract)
+    TextIndexStream.appendBatch(replayed, batch.limit(0), id = 7L, "other")
     TextIndexStream.appendBatch(replayed, batch, id = 7L)
     TextIndexStream.appendBatch(replayed, batch, id = 7L)
     val wl = TextOps.bm25Queries
