@@ -349,6 +349,30 @@ class PlanSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("rag chunks: row-wise projection + explode — no window, no join, sort-only exchange") {
+    val p = plan(graft.operators.TextOps.ragChunks(spark, dir))
+    assert(!p.contains("Window") && !p.contains("Join"), p)
+    // the only exchange is the presentation sort's range partitioning
+    assert(!p.contains("hashpartitioning"), p)
+  }
+
+  test("chunk search: inherits the bm25 hit-set shape at chunk grain — no cartesian") {
+    val p = plan(graft.operators.TextOps.chunkSearch(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.split("BroadcastNestedLoopJoin").length - 1 <= 1, p) // one-row stats only
+  }
+
+  test("hybrid search: fusion joins ranked lists — no cartesian; nested loops only for one-row stats + broadcast queries") {
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    val p = plan(graft.operators.VectorOps.hybridSearch(spark, dir))
+    assert(!p.contains("CartesianProduct"), p)
+    // two allowed: the bm25 one-row stats crossJoin and the vec side's
+    // broadcast-queries non-equi join (workload × corpus — the
+    // cosineTopK family shape, bounded by the query workload)
+    assert(p.split("BroadcastNestedLoopJoin").length - 1 <= 2, p)
+  }
+
   test("kmeans assignment: literal centroids — map-only pass, no exchange, no window") {
     graft.functions.VectorFunctions.ensureRegistered(spark)
     val (cents, _) = graft.operators.VectorOps.kmeansFit(spark, dir, 4, 1)
