@@ -101,6 +101,7 @@ object SparkEntry {
     "q_ngram_jaccard" -> TextOps.ngramJaccard _,
     "q_containment" -> ((s, d) => TextOps.containment(s, d)),
     "q_dedup_clusters" -> ((s, d) => TextOps.dedupClusters(s, d)),
+    "q_quality_survivor" -> TextOps.qualitySurvivor _,
     "q_minhash_lsh" -> TextOps.minhashLsh _,
     "q_minhash_shingle" -> TextOps.minhashShingle _,
     "q_token_counts" -> TextOps.tokenCounts _,
@@ -919,6 +920,34 @@ object SparkEntry {
         |SELECT d.doc_id, LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS canonical
         |FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+    "q_quality_survivor" ->
+      // the dedup_clusters recursive closure + per-cluster argmax by
+      // (raw token count DESC, doc_id) — exact integers, engine-identical
+      """WITH RECURSIVE tok AS (SELECT DISTINCT doc_id, tok FROM
+        |    (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
+        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY 1),
+        |pair AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+        |         FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |         GROUP BY 1, 2),
+        |jp AS (SELECT doc_a, doc_b
+        |       FROM pair JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+        |       WHERE CAST(common AS DOUBLE)/(sa.sz + sb.sz - common) >= 0.95),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM jp UNION SELECT doc_b, doc_a FROM jp),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |comp AS (SELECT d.doc_id, LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS canonical
+        |         FROM documents d LEFT JOIN reach r ON r.a = d.doc_id GROUP BY d.doc_id),
+        |nt AS (SELECT doc_id, COUNT(*) AS n FROM
+        |    (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents) GROUP BY 1),
+        |best AS (SELECT c.canonical, c.doc_id AS survivor,
+        |    ROW_NUMBER() OVER (PARTITION BY c.canonical
+        |      ORDER BY COALESCE(nt.n, 0) DESC, c.doc_id) AS rk
+        |  FROM comp c LEFT JOIN nt ON nt.doc_id = c.doc_id)
+        |SELECT c.doc_id, b.survivor, c.doc_id = b.survivor AS kept
+        |FROM comp c JOIN best b ON b.canonical = c.canonical AND b.rk = 1
+        |ORDER BY c.doc_id""".stripMargin,
     "q_token_counts" ->
       """SELECT doc_id,
         |  len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS ws_tokens,

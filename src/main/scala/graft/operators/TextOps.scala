@@ -469,6 +469,42 @@ object TextOps {
     intra.unionByName(inter)
   }
 
+  /** Quality-aware survivor selection — the refinement every dedup
+    * pipeline eventually wants over first-wins: within each near-dup
+    * cluster keep the MOST COMPLETE copy (highest token count, ties on
+    * the smaller doc_id) rather than the earliest id — syndicated and
+    * re-crawled duplicates are routinely truncated, and min-id keeps
+    * whichever happened to be crawled first. Returns every document's
+    * survivor and a kept flag. Token counts are exact integers, so the
+    * argmax is engine-identical and the query oracle-exact.
+    *
+    * Scale shape: the per-cluster argmax is a map-side-combinable
+    * `max(struct(n, −doc_id))` + join-back — deliberately NOT a window
+    * over the cluster key (a viral boilerplate cluster is a hot key;
+    * the chunk-family de-skew lesson applies verbatim).
+    */
+  def qualitySurvivor(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    qualitySurvivorOver(spark, docs,
+      tokenJaccardPairs(spark, dir).select("doc_a", "doc_b"))
+  }
+
+  private[operators] def qualitySurvivorOver(spark: SparkSession,
+      docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val clusters = clusterPairs(docs.select(col("doc_id")), pairs, 20)
+    val nt = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n"))
+    val joined = clusters.join(nt, Seq("doc_id"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+    val best = joined.groupBy("canonical")
+      .agg(max(struct(col("n"), (-col("doc_id")).as("neg"))).as("b"))
+      .select(col("canonical"), (-col("b.neg")).as("survivor"))
+    joined.join(best, "canonical")
+      .select(col("doc_id"), col("survivor"),
+        (col("doc_id") === col("survivor")).as("kept"))
+      .orderBy("doc_id")
+  }
+
   /** Asymmetric containment near-dup (Broder shingle containment):
     * ordered pairs where ≥ `threshold` of the contained document's
     * word-3-gram shingles also appear in the container — the
