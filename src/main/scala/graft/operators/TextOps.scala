@@ -491,11 +491,18 @@ object TextOps {
 
   private[operators] def qualitySurvivorOver(spark: SparkSession,
       docs: DataFrame, pairs: DataFrame): DataFrame = {
+    graft.IntraQueryCache.newGeneration(
+      s"survivor:${docs.queryExecution.analyzed.semanticHash()}")
     val clusters = clusterPairs(docs.select(col("doc_id")), pairs, 20)
     val nt = docs.filter(col("text").isNotNull)
       .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n"))
-    val joined = clusters.join(nt, Seq("doc_id"), "left")
-      .withColumn("n", coalesce(col("n"), lit(0L)))
+    // scoped: the argmax aggregate AND the join-back both consume this
+    // frame — uncached, the scan + tokenize-count + cluster anti-join
+    // subtree would execute twice (the exchanges differ, so
+    // ReusedExchange cannot apply)
+    val joined = graft.IntraQueryCache.scoped(
+      clusters.join(nt, Seq("doc_id"), "left")
+        .withColumn("n", coalesce(col("n"), lit(0L))))
     val best = joined.groupBy("canonical")
       .agg(max(struct(col("n"), (-col("doc_id")).as("neg"))).as("b"))
       .select(col("canonical"), (-col("b.neg")).as("survivor"))

@@ -373,6 +373,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.split("BroadcastNestedLoopJoin").length - 1 <= 2, p)
   }
 
+  test("quality survivor: per-cluster argmax is partial agg + join-back — no window over the cluster key") {
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    val p = plan(graft.operators.TextOps.qualitySurvivor(spark, dir))
+    // the only windows allowed are the pair engine's per-gid prefix rank;
+    // nothing may partition by the cluster label (a hot key at scale)
+    assert(p.linesIterator.filter(_.contains("windowspecdefinition"))
+      .forall(!_.contains("canonical#")), p)
+    assert(p.contains("partial_max") || p.contains("max(struct"), p)
+  }
+
   test("kmeans assignment: literal centroids — map-only pass, no exchange, no window") {
     graft.functions.VectorFunctions.ensureRegistered(spark)
     val (cents, _) = graft.operators.VectorOps.kmeansFit(spark, dir, 4, 1)

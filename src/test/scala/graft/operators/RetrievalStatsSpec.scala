@@ -165,25 +165,6 @@ class RetrievalStatsSpec extends AnyFunSuite {
     assert(got.nonEmpty && got === batch)
   }
 
-  test("quality survivor keeps the longest copy, not the first id") {
-    // docs 10/20/30 share one token SET (J=1 cluster) with different raw
-    // lengths — the longest (20) must survive over the min id (10);
-    // ties (40/50) break on the smaller id; 60 is a singleton; 70 null
-    val docs = Seq(
-      (10L, "a b c"), (20L, "a b c a b c a"), (30L, "c b a"),
-      (40L, "x y z w"), (50L, "w z y x"),
-      (60L, "solo doc here words"), (70L, null: String))
-      .toDF("doc_id", "text")
-    val pairs = Seq((10L, 20L), (10L, 30L), (40L, 50L)).toDF("doc_a", "doc_b")
-    val got = TextOps.qualitySurvivorOver(spark, docs, pairs).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
-    val expect = Seq(
-      (10L, 20L, false), (20L, 20L, true), (30L, 20L, false),
-      (40L, 40L, true), (50L, 40L, false),
-      (60L, 60L, true), (70L, 70L, true))
-    assert(got === expect)
-  }
-
   test("bm25: positional-slot scores match the naive fixed double chain") {
     for (seed <- 10L to 12L) {
       val corpus = randCorpus(seed, 100)
