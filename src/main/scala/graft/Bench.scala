@@ -66,8 +66,17 @@ object Bench {
       .mkString("{", ",", "}")
     val total = medians.values.sum
     val totals = runs.map(_.values.sum)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""sf":"$sfDir","iters":$iters,"total_min":${totals.min},"total_max":${totals.max}}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""sf":"$sfDir","iters":$iters,"total_min":${totals.min},"total_max":${totals.max}}"""
+    println(line)
+    // the driver recovers the metric line from captured stdout, which has
+    // truncated the head in past rounds (BENCH_r07's "parsed": null) — a
+    // well-known file makes the official per-query record complete even
+    // when the stream is clipped
+    val out = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.out.json"))
+    java.nio.file.Files.write(out,
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

@@ -114,6 +114,34 @@ object ScaleProbe {
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
   }
 
+  /** Viral exact duplicate: ~30% of the NEW batch (doc_id % 10 == 9, the
+    * slice [[graft.operators.TextOps.incrementalDedup]] treats as today's
+    * crawl) carries the exact text of one batch document (doc 9 — a fresh
+    * doc whose fingerprint is absent from the existing corpus, so every
+    * copy survives the anti-join and lands in the within-batch first-wins
+    * resolution). The press-release/chain-letter shape: ONE content
+    * fingerprint owns 30% of the batch. The de-skewed `min(doc_id) per
+    * fp` collapses it map-side; the r7 row_number window over fp would
+    * have pinned every copy on a single task.
+    */
+  private def synthDocDupSkew(i: Long): SynthDoc = {
+    val d = synthDoc(i)
+    if (i % 10 == 9 && i > 9 && (i / 10) % 10 < 3) {
+      val base = synthDoc(9L)
+      d.copy(text = base.text, lang = base.lang, n_chars = base.n_chars)
+    } else d
+  }
+
+  private def synthesizeDupSkew(spark: SparkSession, dir: String, n: Long): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/documents.parquet/_SUCCESS"))) return
+    import spark.implicits._
+    spark.range(0, n).map(i => synthDocDupSkew(i))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+  }
+
   /** The r6 plan — min/count over `Window.partitionBy(content key)` —
     * re-expressed inline as a measured STRAWMAN: every occurrence of the
     * hot chunk lands in one task (windows cannot map-side-combine and
@@ -184,6 +212,20 @@ object ScaleProbe {
         f"ratio=${tSkew / tPlain}%5.2f")
       s""""skew_$qn":{"skew10":$tSkew,"plain10":$tPlain,"ratio":${tSkew / tPlain}}"""
     }
+    // hot-exact-duplicate tier: incrementalDedup on a batch where one
+    // fingerprint owns 30% of the new docs vs the plain same-size corpus
+    val dDup = s"$base/dupskew10"
+    synthesizeDupSkew(spark, dDup, 50000L)
+    val dupRow = {
+      val fn = SparkEntry.queries("q_incremental_dedup")
+      Bench.force(fn(spark, dDup)); Bench.force(fn(spark, plain10)) // warmup
+      val tSkew = time3(Bench.force(fn(spark, dDup)))
+      val tPlain = time3(Bench.force(fn(spark, plain10)))
+      println(f"[scaleprobe] skew/q_incremental_dedup(dup) dupskew10=$tSkew%6.2fs " +
+        f"plain10=$tPlain%6.2fs ratio=${tSkew / tPlain}%5.2f")
+      s""""skew_dup_q_incremental_dedup":{"dupskew10":$tSkew,"plain10":$tPlain,""" +
+        s""""ratio":${tSkew / tPlain}}"""
+    }
     val straws = Seq(
       "chunk_window" -> (() => Bench.force(naiveChunkWindow(spark, dSkew))),
       "span_window" -> (() => Bench.force(naiveSpanWindow(spark, dSkew))))
@@ -193,7 +235,7 @@ object ScaleProbe {
       println(f"[scaleprobe] skew/strawman_$name%-13s skew10=$t%6.2fs")
       s""""skew_strawman_$name":{"skew10":$t}"""
     }
-    deskewed ++ strawRows
+    (deskewed :+ dupRow) ++ strawRows
   }
 
   // ---- BPE round batching ----------------------------------------------

@@ -1392,6 +1392,27 @@ object SparkEntry {
         |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rn
         |       FROM sc)
         |SELECT qid, nid, cosine, rn FROM rk WHERE rn <= 10 ORDER BY qid, rn""".stripMargin,
+    "q_ann_filtered" ->
+      // the adaptive filtered-ANN is spec-pinned EXACTLY equal to
+      // filteredTopK (FilteredAnnSpec: the brute path by construction,
+      // the probe path at full depth; at the verify scale every class
+      // sits under the selectivity threshold, so the exact-class plan
+      // runs) — the oracle is therefore the same exact-filtered SQL
+      """WITH flat AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |                generate_subscripts(embedding, 1) AS i FROM embeddings),
+        |nrm AS (SELECT vec_id, sqrt(SUM(x*x)) AS nrm FROM flat GROUP BY 1),
+        |dotp AS (SELECT q.vec_id AS qid, f.vec_id AS nid, SUM(q.x*f.x) AS dp
+        |         FROM flat q JOIN flat f ON q.i = f.i
+        |         JOIN embeddings e ON e.vec_id = f.vec_id
+        |         WHERE q.vec_id < 5 AND q.vec_id <> f.vec_id
+        |           AND e.label = CAST(q.vec_id AS INTEGER)
+        |         GROUP BY 1, 2),
+        |sc AS (SELECT qid, nid, ROUND(dp/(nq.nrm*nn.nrm), 4) AS cosine
+        |       FROM dotp JOIN nrm nq ON nq.vec_id = qid JOIN nrm nn ON nn.vec_id = nid),
+        |rk AS (SELECT qid, nid, cosine,
+        |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rn
+        |       FROM sc)
+        |SELECT qid, nid, cosine, rn FROM rk WHERE rn <= 10 ORDER BY qid, rn""".stripMargin,
     "q_embed_near_dup" ->
       """WITH flat AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
         |                generate_subscripts(embedding, 1) AS i FROM embeddings),

@@ -1198,8 +1198,10 @@ object TextOps {
     * key no single document can skew — and the per-document rollup rides
     * that partitioning exchange-free.
     */
-  def dupSpans(spark: SparkSession, dir: String, windowTokens: Int = 8): DataFrame =
+  def dupSpans(spark: SparkSession, dir: String, windowTokens: Int = 8): DataFrame = {
+    graft.IntraQueryCache.newGeneration(s"spans:dup:$dir:$windowTokens")
     dupSpansOver(Tables.documents(spark, dir), windowTokens)
+  }
 
   /** (doc_id, toks) with empty tokens dropped — the span family's base. */
   private def spanToks(docs: DataFrame): DataFrame =
@@ -1249,7 +1251,10 @@ object TextOps {
 
   private[operators] def dupSpansOver(docs: DataFrame, w: Int): DataFrame = {
     val tok = spanToks(docs)
-    val occs = windowOccs(tok, w)
+    // the token-volume explode feeds BOTH the duplicated-key aggregate and
+    // the flag join — scoped so it runs once (the shared-frame pattern the
+    // pair engine uses), released by the LRU budget like every generation
+    val occs = graft.IntraQueryCache.scoped(windowOccs(tok, w))
     val dupKeys = occs.groupBy("gk").agg(count(lit(1)).as("n"))
       .filter(col("n") >= 2).select("gk")
     val flagged = occs.join(dupKeys, Seq("gk"), "leftsemi")
@@ -1283,12 +1288,16 @@ object TextOps {
     * so no token-volume shuffle and no collect-and-reassemble aggregate
     * ever materializes the corpus a second time.
     */
-  def spanScrub(spark: SparkSession, dir: String, windowTokens: Int = 8): DataFrame =
+  def spanScrub(spark: SparkSession, dir: String, windowTokens: Int = 8): DataFrame = {
+    graft.IntraQueryCache.newGeneration(s"spans:scrub:$dir:$windowTokens")
     spanScrubOver(Tables.documents(spark, dir), windowTokens)
+  }
 
   private[operators] def spanScrubOver(docs: DataFrame, w: Int): DataFrame = {
     val tok = spanToks(docs)
-    val occs = windowOccs(tok, w)
+    // consumed twice (firstOcc aggregate + scrubOcc join) — scoped so the
+    // token-volume explode runs once per query instead of per consumer
+    val occs = graft.IntraQueryCache.scoped(windowOccs(tok, w))
     // struct compares lexicographically: min(struct(doc_id, i)) IS the
     // row_number()=1 occurrence under orderBy(doc_id, i) — but partial-
     // aggregable, so a hot window's winner resolves map-side.
@@ -1628,12 +1637,17 @@ object TextOps {
     val isNew = col("doc_id") % 10 === 9
     val newB = docs.filter(isNew)
     val existing = docs.filter(!isNew)
-    val w = Window.partitionBy("fp").orderBy("doc_id")
-    val exactSurvivors = newB.withColumn("fp", contentFingerprint)
+    val newFp = newB.withColumn("fp", contentFingerprint)
       .join(existing.select(contentFingerprint.as("fp")).distinct(),
         Seq("fp"), "left_anti")
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
+    // first-wins within the batch via a map-side-combinable min per
+    // fingerprint + join-back (the spanScrubOver pattern) — NOT a
+    // row_number window over fp: fp is a content key, and a viral exact
+    // duplicate in one crawl batch (the case incremental ingest exists
+    // for) would land every copy on a single window task, while here it
+    // collapses in the combiner and AQE can split the join-back.
+    val firstIds = newFp.groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
+    val exactSurvivors = newFp.join(firstIds, Seq("fp", "doc_id"), "leftsemi")
     val hashSet = (t: Column) => array_distinct(transform(tokens(t), x => xxhash64(x)))
     val nearDrop = crossJaccardPairs(spark,
       docHashSets(newB, hashSet), docHashSets(existing, hashSet), 0.95)
@@ -2519,10 +2533,11 @@ object TextOps {
     * per-query aggregation all run on the hit set, never the corpus;
     * document length joins in at (hit doc) granularity off the shared
     * frame's map-side-combined per-doc sums; corpus totals ride a
-    * one-row broadcast. The final per-query top-k is a window over a
-    * handful of query partitions — bounded by the workload, not the
-    * corpus (an impact-ordered index is the web-scale path; the hit-set
-    * shape here is what it would feed).
+    * one-row broadcast. The final per-query top-k is TWO-PHASE (local
+    * per-split rank before the per-qid window), so even a stopword-like
+    * query term whose hit set approaches the corpus cannot funnel it
+    * through #queries reducer tasks (an impact-ordered index is the
+    * web-scale path; the hit-set shape here is what it would feed).
     */
   def bm25TopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
     bm25TopKOver(Tables.documents(spark, dir), k, s"bm25:$dir")
@@ -2570,8 +2585,17 @@ object TextOps {
       .withColumn("score",
         coalesce(col("s1"), lit(0.0)) + coalesce(col("s2"), lit(0.0)) +
           coalesce(col("s3"), lit(0.0)))
-    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id"))
-    perDoc.withColumn("rank", row_number().over(w).cast("long"))
+    // two-phase top-k: hit sets are output-sensitive, but a frequent term
+    // can still hit a large corpus fraction — local per-split ranks (the
+    // splits here are the per-doc aggregate's hash partitions, so rows
+    // are already spread) cut the per-qid exchange to ≤ k×splits rows
+    val local = Window.partitionBy("qid", "split")
+      .orderBy(col("score").desc, col("doc_id"))
+    val global = Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id"))
+    perDoc.withColumn("split", spark_partition_id())
+      .withColumn("lrk", row_number().over(local))
+      .filter(col("lrk") <= k)
+      .withColumn("rank", row_number().over(global).cast("long"))
       .filter(col("rank") <= k)
       .select("qid", "rank", "doc_id", "score")
       .orderBy("qid", "rank")

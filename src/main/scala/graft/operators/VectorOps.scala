@@ -11,9 +11,12 @@ import graft.functions.VectorFunctions
   *
   * Scale notes: the brute-force path broadcasts the (small) query set and
   * streams the corpus once — no corpus shuffle, dot products run inside
-  * whole-stage codegen via `zip_with`/`aggregate`. Top-k per query is a
-  * window over (n_queries × corpus) rows; at 100 TB you first reduce with
-  * the LSH-bucketed variant so only candidate buckets are scored.
+  * whole-stage codegen via `zip_with`/`aggregate`. Top-k per query is
+  * TWO-PHASE ([[perQueryTopK]]): local per-split ranks reduce the corpus
+  * to ≤ k×splits survivors before any per-qid exchange, so a 3-5-query
+  * workload never funnels the scored corpus through 3-5 reducer tasks.
+  * At 100 TB you additionally reduce with the LSH-bucketed variant so
+  * only candidate buckets are scored at all.
   */
 object VectorOps {
 
@@ -27,6 +30,38 @@ object VectorOps {
   private def dot(a: Column, b: Column): Column = VectorFunctions.dot(a, b)
 
   private def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Two-phase per-query top-k over corpus-scored rows — the de-funneled
+    * replacement for `Window.partitionBy("qid")` over the whole scored
+    * corpus. A fixed retrieval workload has 3-5 qids, so a single per-qid
+    * window would funnel EVERY scored row through 3-5 reducer tasks (the
+    * same failure class [[graft.operators.TextOps.stratifiedSample]]
+    * documents for strata): correct at sf0.1, a wall at 100×. Instead
+    * each input split ranks its LOCAL top-k per qid (parallelism =
+    * qids × splits, no data movement — `spark_partition_id` is evaluated
+    * where the scored row already lives), and the global per-qid window
+    * ranks only the ≤ k×splits survivors. The global top-k of a union of
+    * local top-ks is exact, and the result is independent of the
+    * (nondeterministic) split assignment — any superset of the true
+    * top-k yields the same final rows, the [[stratifiedSample]] argument.
+    *
+    * `scored` must carry `qid`, `cosine` and `idCol`; ranks order by
+    * (cosine desc, idCol) — the same deterministic total order the
+    * single-window formulation used, so results are bit-identical.
+    */
+  private def perQueryTopK(scored: DataFrame, k: Int, idCol: String,
+      rankName: String): DataFrame = {
+    val local = Window.partitionBy(col("qid"), col("split"))
+      .orderBy(col("cosine").desc, col(idCol))
+    val global = Window.partitionBy("qid").orderBy(col("cosine").desc, col(idCol))
+    scored
+      .withColumn("split", spark_partition_id())
+      .withColumn("lrk", row_number().over(local))
+      .filter(col("lrk") <= k)
+      .withColumn(rankName, row_number().over(global).cast("long"))
+      .filter(col(rankName) <= k)
+      .drop("split", "lrk")
+  }
 
   /** Brute-force cosine top-10 for query vectors vec_id < 5 against the
     * whole corpus. Cosine is rounded to 4 decimals (and ranked on the
@@ -45,9 +80,7 @@ object VectorOps {
       .join(broadcast(queries), col("qid") =!= col("nid"))
       .withColumn("cosine",
         round(dot(col("qe"), col("ne")) / (col("qn") * col("nn")), 4))
-    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid"))
-    scored.withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= 10)
+    perQueryTopK(scored, 10, "nid", "rn")
       .select("qid", "nid", "cosine", "rn")
       .orderBy("qid", "rn")
   }
@@ -388,9 +421,7 @@ object VectorOps {
         col("qid") =!= col("nid") && col("nlabel") === col("qid").cast("int"))
       .withColumn("cosine",
         round(dot(col("qe"), col("ne")) / (col("qn") * col("nn")), 4))
-    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid"))
-    scored.withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= 10)
+    perQueryTopK(scored, 10, "nid", "rn")
       .select("qid", "nid", "cosine", "rn")
       .orderBy("qid", "rn")
   }
@@ -473,14 +504,12 @@ object VectorOps {
       .withColumn("nrm", norm(col("embedding")))
     val queries = emb.filter(col("vec_id").isin(1L, 2L, 3L))
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
-    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("doc_id"))
-    val vec = emb.select(col("vec_id").as("doc_id"), col("embedding").as("ne"),
+    val vecScored = emb.select(col("vec_id").as("doc_id"), col("embedding").as("ne"),
         col("nrm").as("nn"))
       .join(broadcast(queries), col("qid") =!= col("doc_id"))
       .withColumn("cosine",
         round(dot(col("qe"), col("ne")) / (col("qn") * col("nn")), 4))
-      .withColumn("rc", row_number().over(w).cast("long"))
-      .filter(col("rc") <= depth)
+    val vec = perQueryTopK(vecScored, depth, "doc_id", "rc")
       .select("qid", "doc_id", "rc")
     val fused = lex.join(vec, Seq("qid", "doc_id"), "full_outer")
       // literal order mirrored by the oracle: lex term + vec term

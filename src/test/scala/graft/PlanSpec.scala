@@ -144,6 +144,51 @@ class PlanSpec extends AnyFunSuite {
     assert("row_number".r.findAllMatchIn(p).size >= 2, p)
   }
 
+  /** A per-qid window over corpus-scored rows funnels the whole corpus
+    * through #queries reducer tasks. The de-funneled shape ranks locally
+    * per (qid, split) first, so every window that partitions by qid ALONE
+    * consumes only the ≤ k×splits local survivors. Asserted structurally:
+    * a local window partitioning by (qid, split) exists, and the count of
+    * qid-only windows never exceeds the count of local phases feeding them
+    * (hybrid's rrf fusion window is exempt — its input is the
+    * depth×queries fused list, workload-sized by construction).
+    */
+  private def qidWindows(p: String): (Int, Int) = {
+    val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    val local = specs.count(l => l.contains("qid#") && l.contains("split#"))
+    val global = specs.count(l => l.contains("qid#") && !l.contains("split#"))
+    (local, global)
+  }
+
+  test("cosine topk: two-phase — no per-qid window over the scored corpus") {
+    val p = plan(graft.operators.VectorOps.cosineTopK(spark, dir))
+    val (local, global) = qidWindows(p)
+    assert(local == 1 && global == 1, p)
+    assert(p.contains("SPARK_PARTITION_ID") || p.contains("spark_partition_id"), p)
+  }
+
+  test("filtered topk: two-phase — no per-qid window over the scored class") {
+    val p = plan(graft.operators.VectorOps.filteredTopK(spark, dir))
+    val (local, global) = qidWindows(p)
+    assert(local == 1 && global == 1, p)
+  }
+
+  test("hybrid search: both legs rank two-phase; only the fused " +
+      "workload-sized list gets a bare per-qid window") {
+    val p = plan(graft.operators.VectorOps.hybridSearch(spark, dir))
+    val (local, global) = qidWindows(p)
+    // vec leg + bm25 leg local phases; globals = the two legs' survivor
+    // ranks + the rrf fusion window (depth×queries input)
+    assert(local == 2, p)
+    assert(global <= local + 1, p)
+  }
+
+  test("bm25 topk: hit-set top-k is two-phase like the vector legs") {
+    val p = plan(graft.operators.TextOps.bm25TopK(spark, dir))
+    val (local, global) = qidWindows(p)
+    assert(local == 1 && global == 1, p)
+  }
+
   test("corpus mix: eval grams broadcast; no cartesian product anywhere") {
     val p = plan(graft.operators.TextOps.corpusMix(spark, dir))
     assert(p.contains("BroadcastHashJoin"), p)
@@ -154,6 +199,16 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(graft.operators.TextOps.incrementalDedup(spark, dir))
     assert(p.contains("LeftAnti"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("incremental dedup: within-batch first-wins is a partial agg + " +
+      "join-back — no window over the content fingerprint") {
+    val p = plan(graft.operators.TextOps.incrementalDedup(spark, dir))
+    // a row_number window partitioned by fp would pin a viral duplicate's
+    // every copy on one task; min(doc_id) per fp collapses in the combiner
+    assert(p.linesIterator.filter(_.contains("windowspecdefinition"))
+      .forall(l => !l.contains("fp#")), p)
+    assert(p.contains("partial_min"), p)
   }
 
   test("pii scrub: row-wise scan, pruned to (doc_id, text), one sort exchange") {
