@@ -60,22 +60,45 @@ object TextIndex {
     */
   def ensure(spark: SparkSession, dir: String): String = this.synchronized {
     val path = indexPath(dir)
-    if (!new File(s"$path/_SUCCESS").exists()) {
+    if (!isComplete(path)) {
       val tmp = new File(s"$path.tmp-${java.util.UUID.randomUUID()}")
       buildInto(tmp.getPath, Tables.documents(spark, dir), s"textindex:$dir")
       new File(tmp, "_SUCCESS").createNewFile()
       val target = new File(path)
-      if (target.exists() && !new File(target, "_SUCCESS").exists()) {
-        rmTree(target)
-      }
+      // a root _SUCCESS with a missing/uncommitted artifact dir (a crash
+      // inside a small-table swap or compaction) must NOT keep serving —
+      // completeness is per-artifact, and an incomplete tree rebuilds;
+      // a tree ANOTHER JVM completed since the entry check is kept
+      if (target.exists() && !isComplete(path)) rmTree(target)
       if (!tmp.renameTo(target)) {
-        require(new File(target, "_SUCCESS").exists(),
+        require(isComplete(path),
           s"text index rename to $path failed with no committed index present")
         rmTree(tmp)
       }
     }
     path
   }
+
+  /** An index is complete only when the root marker AND every artifact's
+    * own parquet `_SUCCESS` exist: the append/compaction swaps publish by
+    * delete+rename, so a crash between them leaves a root that still has
+    * its top-level marker but is missing `terms/` or `stats/` — that tree
+    * must fail validation, not serve. Checked by [[ensure]] (which falls
+    * back to a rebuild) and by the serve-from-root paths ([[bm25At]] /
+    * [[phraseAt]], which fail fast — a stream-maintained root cannot be
+    * re-derived from one dataset dir).
+    */
+  private[graft] def isComplete(root: String): Boolean =
+    new File(s"$root/_SUCCESS").exists() && artifactsComplete(root)
+
+  /** The artifact-level half of [[isComplete]]: every artifact dir has
+    * its own parquet `_SUCCESS`. The serve-from-root paths check THIS
+    * (stream-maintained roots built via [[buildInto]] never get a root
+    * marker — that is [[ensure]]'s publish protocol, not a build step).
+    */
+  private[graft] def artifactsComplete(root: String): Boolean =
+    Seq("postings", "terms", "stats")
+      .forall(a => new File(s"$root/$a/_SUCCESS").exists())
 
   /** Positional doc-term frame: docTermTf's grain plus the sorted
     * 1-based token positions per (doc, term) — the phrase-query payload;
@@ -134,16 +157,19 @@ object TextIndex {
     * (fingerprint change) discards.
     */
   private[graft] def appendTo(root: String, newDocs: DataFrame,
-      gen: String): Unit = {
+      gen: String, appendTag: Option[String] = None): Unit = {
     val spark = newDocs.sparkSession
     graft.IntraQueryCache.newGeneration(gen)
     val dt = graft.IntraQueryCache.scoped(positionalDt(newDocs))
     val dl = graft.IntraQueryCache.scoped(
       dt.groupBy("doc_id").agg(sum(col("tf")).as("dl")))
-    // read old small tables BEFORE any writes below touch the root
+    // read old small tables BEFORE any writes below touch the root;
+    // stats carries only (n, t) forward — a previous append's tag column
+    // is deliberately dropped so tags never accumulate
     val oldTerms = spark.read.parquet(s"$root/terms")
       .select("term", "df").localCheckpoint()
-    val oldStats = spark.read.parquet(s"$root/stats").localCheckpoint()
+    val oldStats = spark.read.parquet(s"$root/stats")
+      .select("n", "t").localCheckpoint()
     dt.join(dl, "doc_id")
       .withColumn("tshard", tshardOf(col("term")))
       .repartition(col("tshard"))
@@ -156,8 +182,13 @@ object TextIndex {
       .unionByName(dt.groupBy("term").agg(count(lit(1)).as("df")))
       .groupBy("term").agg(sum(col("df")).as("df"))
     val deltaStats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("t"))
+    // the tag rides the stats swap — the LAST mutation of the append — so
+    // an at-least-once replayer can detect "this append already committed"
+    // even when it crashed before writing its own marker (the
+    // TextIndexStream replay gate); see [[lastAppendTag]]
     val mergedStats = oldStats.unionByName(deltaStats)
       .agg(sum(col("n")).as("n"), sum(col("t")).as("t"))
+      .withColumn("last_append", lit(appendTag.orNull).cast("string"))
     swapSmallTable(mergedTerms, isTerms = true, s"$root/terms")
     swapSmallTable(mergedStats, isTerms = false, s"$root/stats")
     // the swaps consumed the materialized old tables; drop their blocks
@@ -190,6 +221,29 @@ object TextIndex {
       s"compaction rename to $root/postings failed")
   }
 
+  /** The append tag the current stats artifact carries (None for a fresh
+    * build or a pre-tag index) — how an at-least-once replayer detects a
+    * fully committed append whose own marker never landed.
+    */
+  private[graft] def lastAppendTag(spark: SparkSession,
+      root: String): Option[String] = {
+    val df = spark.read.parquet(s"$root/stats")
+    if (!df.columns.contains("last_append")) None
+    else Option(df.select("last_append").head.getString(0))
+  }
+
+  /** Max parquet file count across term-shard dirs — the segment-count
+    * proxy streaming auto-compaction bounds: each append adds one file
+    * per touched shard, and scan setup degrades with files, not rows.
+    */
+  private[graft] def postingsSegments(root: String): Int = {
+    val dirs = new File(s"$root/postings").listFiles()
+    if (dirs == null) 0
+    else dirs.filter(d => d.isDirectory && d.getName.startsWith("tshard="))
+      .map(_.listFiles().count(f => f.getName.endsWith(".parquet")))
+      .foldLeft(0)(math.max)
+  }
+
   private def swapSmallTable(df: DataFrame, isTerms: Boolean,
       path: String): Unit = {
     val tmp = s"$path.tmp-${java.util.UUID.randomUUID()}"
@@ -215,6 +269,8 @@ object TextIndex {
   private[graft] def bm25At(spark: SparkSession, root: String, k: Int,
       workload: Seq[(Long, Int, String)]): DataFrame = {
     import spark.implicits._
+    require(artifactsComplete(root), s"text index at $root is incomplete " +
+      "(crash mid-swap?) — rebuild it before serving")
     val terms = workload.map(_._3).distinct
     val shardLits = terms.toDF("term")
       .select(tshardOf(col("term"))).as[Int].collect().toSeq.distinct
@@ -224,7 +280,7 @@ object TextIndex {
     val tdf = spark.read.parquet(s"$root/terms")
       .filter(col("tshard").isin(shardLits: _*) && col("term").isin(terms: _*))
       .select("term", "df")
-    val stats = spark.read.parquet(s"$root/stats")
+    val stats = spark.read.parquet(s"$root/stats").select("n", "t")
     TextOps.bm25FromHits(
       post.join(qt, "term")
         .join(broadcast(tdf), "term")
@@ -270,6 +326,8 @@ object TextIndex {
   private[graft] def phraseAt(spark: SparkSession, root: String,
       workload: Seq[(Long, Seq[String])]): DataFrame = {
     import spark.implicits._
+    require(artifactsComplete(root), s"text index at $root is incomplete " +
+      "(crash mid-swap?) — rebuild it before serving")
     require(workload.forall(q => q._2.size >= 2 && q._2.size <= 3),
       "phrase workload supports 2- and 3-token phrases")
     val flat = workload.flatMap { case (qid, ts) =>

@@ -1092,10 +1092,28 @@ object VectorOps {
   private[graft] def kmeansFit(spark: SparkSession, dir: String, k: Int,
       iters: Int): (IndexedSeq[Seq[Double]], DataFrame) = {
     VectorFunctions.ensureRegistered(spark)
-    graft.IntraQueryCache.newGeneration(s"kmeans:$dir:$k:$iters")
+    kmeansFitOver(Tables.embeddings(spark, dir), k, iters,
+      s"kmeans:$dir:$k:$iters")
+  }
+
+  /** [[kmeansFit]] over an explicit embedding frame — the spec hook that
+    * lets the fitted centroids be HASH-PINNED on a fixed synthetic corpus
+    * (KMeansSpec): the fit is deterministic end to end (seed-free
+    * smallest-hash init, 9-dp centroid rounding per round, struct-ordered
+    * argmin ties), so the centroid frame is a stable artifact. An SQL
+    * oracle cannot replay the fit — each round's centroids feed the next
+    * round's assignment, a driver-side fixpoint loop outside any single
+    * query's reach — so the pinned hash (plus the argmin/inertia
+    * properties) stands in for the DuckDB row the driver cannot have.
+    */
+  private[graft] def kmeansFitOver(emb0: DataFrame, k: Int, iters: Int,
+      gen: String): (IndexedSeq[Seq[Double]], DataFrame) = {
+    val spark = emb0.sparkSession
+    VectorFunctions.ensureRegistered(spark)
+    graft.IntraQueryCache.newGeneration(gen)
     // iters+1 passes read this frame; scoped so the scan runs once
     val emb = graft.IntraQueryCache.scoped(
-      Tables.embeddings(spark, dir)
+      emb0
         .filter(col("embedding").isNotNull)
         .select(col("vec_id"), col("embedding")))
     var cents: IndexedSeq[Seq[Double]] = emb

@@ -159,9 +159,13 @@ object Ingest {
     * re-sends documents within a bounded delay, not across arbitrary time.
     */
   def dedupStream(stream: DataFrame, keyCols: Seq[String],
-      watermark: String, timeCol: String = "time"): DataFrame =
+      watermark: String, timeCol: String = "time"): DataFrame = {
+    // content-fingerprint keyspace grows with ingest volume inside the
+    // watermark — unbounded-class state, so default to RocksDB
+    StateBackend.defaultToRocksDB(stream.sparkSession)
     stream.withWatermark(timeCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+  }
 
   /** Continuously maintain a [[ltsRollup]]-SHAPED table — (bucket, dims...,
     * sum_value decimal, n) — so it can be registered as a

@@ -60,6 +60,9 @@ object StreamDedup {
     */
   def candidates(docs: DataFrame, threshold: Double = 0.9,
       maxPerBucket: Int = 256): Dataset[DupHit] = {
+    // unbounded keyspace (buckets accumulate with the corpus) — default
+    // the session onto the RocksDB provider; see StateBackend
+    StateBackend.defaultToRocksDB(docs.sparkSession)
     implicit val hitEnc = Encoders.product[DupHit]
     implicit val keyEnc = Encoders.product[(Int, Int)]
     implicit val rowEnc = Encoders.product[BandedDoc]
@@ -183,6 +186,9 @@ object StreamDedup {
   def candidatesWithTtl(docs: DataFrame, windowMs: Long,
       watermarkDelay: String = "0 seconds", threshold: Double = 0.9,
       maxPerBucket: Int = 256): Dataset[DupHit] = {
+    // TTL bounds state to the window's documents, but the bucket keyspace
+    // still tracks corpus-rate ingest — same off-heap default
+    StateBackend.defaultToRocksDB(docs.sparkSession)
     implicit val hitEnc = Encoders.product[DupHit]
     implicit val keyEnc = Encoders.product[(Int, Int)]
     implicit val rowEnc = Encoders.product[BandedTsDoc]

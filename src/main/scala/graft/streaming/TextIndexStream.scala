@@ -28,12 +28,24 @@ object TextIndexStream {
     *
     * REPLAY-SAFE: foreachBatch is at-least-once — after a restart Spark
     * re-delivers the last uncommitted batch, and a bare append would
-    * double-count its postings and stats. A per-batch marker under
-    * `_appended/` gates replays (the common failure mode); the marker
-    * commits AFTER the append, so the remaining window is a crash
-    * mid-append — the same documented non-atomic gap as
-    * [[TextIndex.appendTo]]'s small-table swap, closed in production by
-    * a segment manifest.
+    * double-count its postings and stats. Two gates:
+    *  - a per-batch marker under `_appended/` (the common fast path);
+    *  - the append TAG ([[TextIndex.lastAppendTag]]) the append itself
+    *    commits inside the stats swap — its LAST mutation — so a crash
+    *    AFTER a fully committed append but BEFORE the marker landed is
+    *    still detected on replay (the marker is then backfilled). The
+    *    remaining window is a crash inside the swap itself, the same
+    *    documented non-atomic gap as [[TextIndex.appendTo]], closed in
+    *    production by a segment manifest.
+    *
+    * SEGMENT-BOUNDED: each append adds one parquet file per touched term
+    * shard, and long-running ingest would otherwise degrade scan setup
+    * with file count. After a committed append, if any shard holds more
+    * than `maxSegments` files, [[TextIndex.compact]] rewrites the
+    * postings in one sorted pass — so segment count stays bounded by the
+    * compaction threshold regardless of stream lifetime
+    * (TextIndexStreamSpec pins serving ≡ rebuild across the compaction
+    * and the bound after N micro-batches).
     */
   /** `streamId` must be 1:1 with the query's CHECKPOINT: batch ids are
     * only meaningful within one checkpoint lineage, so a reset/relocated
@@ -42,22 +54,32 @@ object TextIndexStream {
     * silently swallows a renumbered batch's documents.
     */
   def appendStream(docs: DataFrame, root: String,
-      streamId: String = "default"): DataStreamWriter[Row] =
+      streamId: String = "default",
+      maxSegments: Int = 8): DataStreamWriter[Row] =
     docs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
-      appendBatch(root, batch, id, streamId)
+      appendBatch(root, batch, id, streamId, maxSegments)
     }
 
   /** One idempotent micro-batch append (the foreachBatch body, separated
     * so the replay gate is directly testable).
     */
   private[streaming] def appendBatch(root: String, batch: DataFrame,
-      id: Long, streamId: String = "default"): Unit = {
+      id: Long, streamId: String = "default", maxSegments: Int = 8): Unit = {
     val marker = new java.io.File(s"$root/_appended/$streamId/batch-$id")
+    val tag = s"$streamId:$id"
     if (!batch.isEmpty && !marker.exists()) {
-      TextIndex.appendTo(root, batch.select("doc_id", "text"),
-        s"tidxstream:$root:$streamId:$id")
+      // the tag check reads the ONE-ROW stats artifact (metadata-scale,
+      // paid per batch on the no-marker path): a committed tag means the
+      // append finished and only the marker was lost — backfill and move on
+      val alreadyCommitted =
+        TextIndex.lastAppendTag(batch.sparkSession, root).contains(tag)
+      if (!alreadyCommitted)
+        TextIndex.appendTo(root, batch.select("doc_id", "text"),
+          s"tidxstream:$root:$streamId:$id", appendTag = Some(tag))
       marker.getParentFile.mkdirs()
       marker.createNewFile(): Unit
+      if (TextIndex.postingsSegments(root) > maxSegments)
+        TextIndex.compact(root, batch.sparkSession)
     }
   }
 }

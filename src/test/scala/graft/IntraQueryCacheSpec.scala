@@ -25,6 +25,28 @@ class IntraQueryCacheSpec extends AnyFunSuite with BeforeAndAfterEach {
   private def isCached(df: org.apache.spark.sql.DataFrame): Boolean =
     df.storageLevel != StorageLevel.NONE
 
+  test("pid-snapshot persists release on the next input for the same family") {
+    import org.apache.spark.sql.functions.col
+    val d1 = spark.range(0, 50)
+      .map(i => (i, s"tok$i alpha beta")).toDF("doc_id", "text")
+    val d2 = spark.range(100, 150)
+      .map(i => (i, s"tok$i gamma delta")).toDF("doc_id", "text")
+    graft.operators.TextOps.perplexityBucketsOver(d1, "snaprel-1").collect()
+    val snap1 = graft.operators.TextOps.pinnedSnapshot("perpbucket")
+    assert(snap1.isDefined && isCached(snap1.get))
+    // same input again: the snapshot is reused, not replaced
+    graft.operators.TextOps.perplexityBucketsOver(d1, "snaprel-1").collect()
+    assert(graft.operators.TextOps.pinnedSnapshot("perpbucket").get eq snap1.get)
+    // a DIFFERENT input releases the previous pinned corpus
+    graft.operators.TextOps.perplexityBucketsOver(d2, "snaprel-2").collect()
+    val snap2 = graft.operators.TextOps.pinnedSnapshot("perpbucket")
+    assert(snap2.isDefined && !(snap2.get eq snap1.get))
+    val deadline = System.nanoTime() + 10_000_000_000L
+    while (isCached(snap1.get) && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(!isCached(snap1.get), "previous input's snapshot still pinned")
+    assert(isCached(snap2.get))
+  }
+
   test("same-key re-entry keeps the generation's frames cached") {
     IntraQueryCache.newGeneration("qA")
     val a = IntraQueryCache.scoped(frame(1))

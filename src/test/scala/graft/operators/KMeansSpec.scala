@@ -55,4 +55,25 @@ class KMeansSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(run() === run())
   }
+
+  test("fitted centroids hash-pin on a fixed synthetic corpus") {
+    // the synthetic corpus is a pure function of the id (ScaleProbe's
+    // deterministic generator), so the full fit — init, three Lloyd
+    // rounds, 9-dp rounding — must reproduce these exact centroids on
+    // any run; a drifting hash means the ITERATION changed, which no
+    // driver oracle can catch (SQL cannot replay a fixpoint loop)
+    import spark.implicits._
+    val emb = spark.range(0, 300).map(i => graft.ScaleProbe.synthVec(i))
+      .toDF("vec_id", "embedding", "label")
+    val (cents, out) = VectorOps.kmeansFitOver(emb, k = 4, iters = 3,
+      "spec-kmeans-pin")
+    assert(out.collect().length === 300)
+    val canon = cents.map(_.map(d => f"$d%.9f").mkString(",")).mkString(";")
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(canon.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // PINNED: computed from the r8 implementation; see docstring of
+    // kmeansFitOver for why this stands in for a DuckDB oracle
+    assert(md5 === "2fa2cd120715a26f92a144bc681331a5",
+      s"centroid hash drifted: $md5\n$canon")
+  }
 }

@@ -53,19 +53,42 @@ class RocksDbStateSpec extends AnyFunSuite {
     assert(rocksFiles(ckpt).nonEmpty,
       s"no RocksDB snapshot zips under $ckpt/state — heap provider ran instead")
 
-    // leg 2 WITHOUT setting the conf (session is back on the heap
-    // default): the checkpoint's offset-log metadata must restore the
-    // RocksDB provider, and doc 1's signature must still be in bucket
-    // state to pair with the new arrivals
-    assert(!spark.conf.get(StateBackend.ProviderKey).contains("RocksDB"))
+    // leg 2 under an explicitly HEAP-scoped session (withHeap also opts
+    // out of the builder's r8 RocksDB default): the checkpoint's
+    // offset-log metadata must restore the RocksDB provider ANYWAY —
+    // stronger than the old unset-conf leg — and doc 1's signature must
+    // still be in bucket state to pair with the new arrivals
     val nZips = rocksFiles(ckpt).size
-    val q2 = writer.start()
+    val q2 = StateBackend.withHeap(spark) {
+      assert(spark.conf.get(StateBackend.ProviderKey) == StateBackend.Heap)
+      writer.start()
+    }
     try {
       mem.addData((2L, text), (3L, text))
       q2.processAllAvailable()
     } finally q2.stop()
     assert(hits.toSet == Set((1L, 2L), (1L, 3L), (2L, 3L)))
     assert(rocksFiles(ckpt).size > nZips, "restart wrote no new RocksDB versions")
+  }
+
+  test("unbounded-keyspace builders default the session onto RocksDB; opt-out respected") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDS.select(col("_1").as("doc_id"), col("_2").as("text"))
+    spark.conf.unset(StateBackend.ProviderKey)
+    StreamDedup.candidates(stream)
+    assert(spark.conf.get(StateBackend.ProviderKey) == StateBackend.RocksDB)
+    // opt-out flag holds the heap default even through a builder call
+    spark.conf.unset(StateBackend.ProviderKey)
+    spark.conf.set(StateBackend.HeapDefaultKey, "true")
+    try {
+      StreamDedup.candidates(stream)
+      assert(spark.conf.get(StateBackend.ProviderKey) == StateBackend.Heap)
+    } finally spark.conf.unset(StateBackend.HeapDefaultKey)
+    // an explicitly pinned NON-default provider is never overridden
+    spark.conf.set(StateBackend.ProviderKey, StateBackend.RocksDB)
+    StreamDedup.candidates(stream)
+    assert(spark.conf.get(StateBackend.ProviderKey) == StateBackend.RocksDB)
   }
 
   test("event-time TTL eviction behaves identically on RocksDB") {

@@ -74,4 +74,59 @@ class TextIndexStreamSpec extends AnyFunSuite {
     val b = TextIndex.bm25At(spark, replayed, 10, wl).collect().map(_.toString)
     assert(a.nonEmpty && b.toSeq === a.toSeq)
   }
+
+  test("a committed append whose marker was lost is detected by the stats tag") {
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id").cast("long"), col("text"))
+    val base = java.nio.file.Files.createTempDirectory("graft-tidxt").toString
+    val full = s"$base/full"
+    val tagd = s"$base/tagged"
+    TextIndex.buildInto(full, docs, "spec-tidxt-full")
+    TextIndex.buildInto(tagd, docs.filter(col("doc_id") % 2 === 0),
+      "spec-tidxt-base")
+    val batch = docs.filter(col("doc_id") % 2 =!= 0)
+    TextIndexStream.appendBatch(tagd, batch, id = 3L)
+    // simulate the crash-after-append-before-marker window: delete the
+    // marker, replay the batch — the stats tag must gate the re-append
+    // and the marker must be backfilled
+    val marker = new java.io.File(s"$tagd/_appended/default/batch-3")
+    assert(marker.exists())
+    assert(marker.delete())
+    TextIndexStream.appendBatch(tagd, batch, id = 3L)
+    assert(marker.exists(), "replay did not backfill the lost marker")
+    val wl = TextOps.bm25Queries
+    val a = TextIndex.bm25At(spark, full, 10, wl).collect().map(_.toString)
+    val b = TextIndex.bm25At(spark, tagd, 10, wl).collect().map(_.toString)
+    assert(a.nonEmpty && b.toSeq === a.toSeq)
+  }
+
+  test("auto-compaction bounds segment count and serving stays ≡ rebuild") {
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id").cast("long"), col("text"))
+    val base = java.nio.file.Files.createTempDirectory("graft-tidxc").toString
+    val full = s"$base/full"
+    val streamed = s"$base/streamed"
+    TextIndex.buildInto(full, docs, "spec-tidxc-full")
+    TextIndex.buildInto(streamed, docs.filter(col("doc_id") % 7 === 0),
+      "spec-tidxc-base")
+    // 6 appends with maxSegments=3: without compaction the busiest shard
+    // would hold ~7 files (base + one per append); the bound must hold
+    // after every batch and serving must stay exact across compactions
+    val maxSegments = 3
+    for (r <- 1 to 6)
+      TextIndexStream.appendBatch(streamed,
+        docs.filter(col("doc_id") % 7 === r), id = r.toLong,
+        maxSegments = maxSegments)
+    assert(TextIndex.postingsSegments(streamed) <= maxSegments,
+      s"segment bound violated: ${TextIndex.postingsSegments(streamed)}")
+    val wl = TextOps.bm25Queries
+    val a = TextIndex.bm25At(spark, full, 10, wl).collect().map(_.toString)
+    val b = TextIndex.bm25At(spark, streamed, 10, wl).collect().map(_.toString)
+    assert(a.nonEmpty && b.toSeq === a.toSeq)
+    val pa = TextIndex.phraseAt(spark, full, TextIndex.phraseQueries)
+      .collect().map(_.toString)
+    val pb = TextIndex.phraseAt(spark, streamed, TextIndex.phraseQueries)
+      .collect().map(_.toString)
+    assert(pa.nonEmpty && pb.toSeq === pa.toSeq)
+  }
 }
