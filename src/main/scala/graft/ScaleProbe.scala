@@ -81,7 +81,7 @@ object ScaleProbe {
     "q_bpe_merges", "q_dup_spans", "q_span_scrub",
     "q_dsir_select", "q_filter_funnel",
     "q_perplexity_bucket", "q_oov_rate", "q_top_ngrams", "q_containment",
-    "q_rag_chunks", "q_quality_survivor")
+    "q_rag_chunks", "q_quality_survivor", "q_winnow", "q_winnow_overlap")
 
   private def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
 

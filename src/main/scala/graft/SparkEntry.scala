@@ -85,6 +85,8 @@ object SparkEntry {
     "q_perplexity_bucket" -> TextOps.perplexityBuckets _,
     "q_oov_rate" -> ((s, d) => TextOps.oovRate(s, d)),
     "q_top_ngrams" -> ((s, d) => TextOps.topNgrams(s, d)),
+    "q_winnow" -> ((s, d) => TextOps.winnowFingerprints(s, d)),
+    "q_winnow_overlap" -> ((s, d) => TextOps.winnowOverlap(s, d)),
     "q_rag_chunks" -> ((s, d) => TextOps.ragChunks(s, d)),
     "q_chunk_search" -> ((s, d) => TextOps.chunkSearch(s, d)),
     "q_bm25_topk" -> ((s, d) => TextOps.bm25TopK(s, d)),
@@ -501,6 +503,51 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) AS n_docs
         |FROM pd GROUP BY gram
         |ORDER BY occurrences DESC, n_docs DESC, gram LIMIT 20""".stripMargin,
+    "q_winnow" ->
+      // MOSS winnowing: word 3-gram hashes (first 15 md5 hex chars as a
+      // 60-bit int — the conv ↔ 0x-cast pair), 4-hash windows, each
+      // window's min selected with the RIGHTMOST tie position (MAX pos
+      // among in-window minima); DISTINCT collapses repeated selections
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |              FROM documents WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 6),
+        |h AS (SELECT doc_id, i, CAST(concat('0x', substr(md5(
+        |        concat_ws(' ', tk[i], tk[i+1], tk[i+2])), 1, 15)) AS BIGINT) AS hv
+        |      FROM (SELECT doc_id, tk, unnest(range(1, len(tk)-1)) AS i FROM toks)),
+        |wins AS (SELECT doc_id, i AS j,
+        |    MIN(hv) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+        |    COUNT(*) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wn
+        |  FROM h),
+        |selp AS (SELECT w.doc_id, MAX(p.i) AS pos, w.wmin AS fp
+        |  FROM wins w JOIN h p ON p.doc_id = w.doc_id
+        |    AND p.i BETWEEN w.j AND w.j + 3 AND p.hv = w.wmin
+        |  WHERE w.wn = 4
+        |  GROUP BY w.doc_id, w.j, w.wmin)
+        |SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, fp
+        |FROM selp ORDER BY doc_id, pos""".stripMargin,
+    "q_winnow_overlap" ->
+      // the MOSS match step: pairs sharing >= 2 distinct selected
+      // fingerprints, fingerprints in more than 16 docs suppressed
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |              FROM documents WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 6),
+        |h AS (SELECT doc_id, i, CAST(concat('0x', substr(md5(
+        |        concat_ws(' ', tk[i], tk[i+1], tk[i+2])), 1, 15)) AS BIGINT) AS hv
+        |      FROM (SELECT doc_id, tk, unnest(range(1, len(tk)-1)) AS i FROM toks)),
+        |wins AS (SELECT doc_id, i AS j,
+        |    MIN(hv) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+        |    COUNT(*) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wn
+        |  FROM h),
+        |sel AS (SELECT DISTINCT w.doc_id, w.wmin AS fp
+        |  FROM wins w WHERE w.wn = 4),
+        |kept AS (SELECT fp FROM sel GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND 16)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(COUNT(*) AS BIGINT) AS n_shared
+        |FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |JOIN kept k ON k.fp = a.fp
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY doc_a, doc_b""".stripMargin,
     "q_rag_chunks" ->
       // stride-64/48 token windows; DuckDB's list slice clamps at the
       // document end exactly like Spark's slice; starts stop once a

@@ -2753,6 +2753,122 @@ object TextOps {
       .orderBy("source_a", "source_b")
   }
 
+  /** Winnowing fingerprint selection (the Schleimer–Wilkerson–Aiken /
+    * MOSS local algorithm): hash every word `k`-gram, slide a window of
+    * `w` consecutive hashes, and select each window's MINIMUM hash —
+    * rightmost position on ties. Output: the distinct selected
+    * (position, fingerprint) pairs per document, the local fingerprint
+    * index plagiarism detectors and crawl-scale substring matchers
+    * actually store.
+    *
+    * Why winnowing over indexing EVERY k-gram ([[dupSpans]]' exactness
+    * layer) or every p-th gram: the selected set is ~2/(w+1) of the full
+    * gram set — an index-size reduction that compounds at 100 TB — yet
+    * selection is LOCAL, so two documents sharing any token run of
+    * length ≥ w+k−1 are GUARANTEED to share a selected fingerprint
+    * (0-mod-p sampling has no such guarantee; see the paper's density
+    * bound). Guarantee + rightmost-tie rule are spec-pinned against a
+    * naive single-node reference on randomized corpora
+    * (WinnowPropertySpec).
+    *
+    * Cross-engine hash: first 15 md5 hex chars of the gram string as a
+    * 60-bit integer — the `conv` ↔ `'0x'`-cast pair the samplers use —
+    * so selections AND fingerprints are DuckDB-oracle-exact (unlike the
+    * xxhash64 families, which are hash-defined). That exactness has a
+    * price: one md5 + hex parse per gram, ~10× a 64-bit native hash. At
+    * production scale the selection STRUCTURE is unchanged under any
+    * hash family — swap [[gramHash60]] for the [[shingles]] xxhash64
+    * chain and the query joins the hash-defined tier with the same
+    * guarantee (winnowing only needs a total order on hashes).
+    *
+    * Scale shape: pure row-wise array work — tokens hash once per
+    * document, each window is a running min via `aggregate` (no window
+    * strings materialized, no shuffle, no window function); the only
+    * exchange is the presentation sort. Stateless and row-wise, so
+    * stream-legal like [[ragChunks]].
+    */
+  def winnowFingerprints(spark: SparkSession, dir: String, k: Int = 3,
+      w: Int = 4): DataFrame =
+    winnowOver(Tables.documents(spark, dir), k, w).orderBy("doc_id", "pos")
+
+  /** First 15 md5 hex chars of each word `k`-gram as a 60-bit integer —
+    * one array entry per gram start position.
+    */
+  private def gramHash60(tk: Column, k: Int): Column =
+    bindOnce(tk) { t =>
+      transform(sequence(lit(1), size(t) - (k - 1)), s =>
+        conv(substring(md5(
+          concat_ws(" ", (0 until k).map(j => try_element_at(t, s + j)): _*)
+            .cast("binary")), 1, 15), 16, 10).cast("long"))
+    }
+
+  /** The selected (doc_id, pos, fp) set without the presentation sort. */
+  private[graft] def winnowOver(docs: DataFrame, k: Int, w: Int): DataFrame = {
+    val tk = tokens(col("text"))
+    // per window start j: min of the w hashes via `least` and the
+    // RIGHTMOST minimal position via a descending when-chain (the
+    // winnowing tie rule) — flat expressions per window, no per-element
+    // aggregate fold (higher-order folds are interpreted and allocate a
+    // struct per step; measured ~2× on the whole query)
+    val sel = bindOnce(gramHash60(tk, k)) { hs =>
+      transform(sequence(lit(1), size(hs) - (w - 1)), j =>
+        bindOnce(least((0 until w).map(o => try_element_at(hs, j + o)): _*)) { v =>
+          struct(
+            v.as("v"),
+            // ascending fold wraps o = w−1 OUTERMOST, so the rightmost
+            // position equal to the min is checked first
+            (1 until w)
+              .foldLeft(j: Column)((els, o) =>
+                when(try_element_at(hs, j + o) === v, j + o).otherwise(els))
+              .as("p"))
+        })
+    }
+    docs
+      .filter(col("text").isNotNull && size(tk) >= k + w - 1)
+      // consecutive windows frequently select the same (pos, hash) —
+      // dedup ROW-WISE inside the array, so no distinct aggregate (and
+      // no exchange) exists anywhere in the selection
+      .select(col("doc_id"), explode(array_distinct(sel)).as("s"))
+      .select(col("doc_id"), col("s.p").cast("long").as("pos"),
+        col("s.v").as("fp"))
+  }
+
+  /** Winnow-overlap pairs — MOSS's match step at corpus scale: document
+    * pairs sharing at least `minShared` distinct selected fingerprints.
+    * Fingerprints selected by more than `maxDf` documents are suppressed
+    * first (boilerplate/template hashes — the common-fingerprint drop
+    * every winnowing matcher applies), which also BOUNDS the pair
+    * expansion: a surviving fingerprint contributes ≤ maxDf·(maxDf−1)/2
+    * pairs, so output is collision-density-bounded, never all-pairs.
+    * Pairs expand ROW-WISE from each fingerprint's sorted doc set (the
+    * [[sourceOverlapOver]] shape — no fingerprint-level self-join).
+    */
+  def winnowOverlap(spark: SparkSession, dir: String, k: Int = 3,
+      w: Int = 4, minShared: Int = 2, maxDf: Int = 16): DataFrame = {
+    graft.IntraQueryCache.newGeneration(s"winnow:$dir:$k:$w:$maxDf")
+    val sel = graft.IntraQueryCache.scoped(
+      winnowOver(Tables.documents(spark, dir), k, w)
+        .select("doc_id", "fp").distinct())
+    // df gate FIRST via a map-side-combinable count + semi-join, so a
+    // hot boilerplate fingerprint never builds a corpus-sized doc set —
+    // collect_set runs only for fingerprints already known ≤ maxDf
+    val kept = sel.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, maxDf)).select("fp")
+    val pairsArr = bindOnce(sort_array(collect_set(col("doc_id")))) { ds =>
+      flatten(transform(ds, (a, i) =>
+        transform(slice(ds, i + 2, size(ds)),
+          b => struct(a.as("doc_a"), b.as("doc_b")))))
+    }
+    sel.join(kept, Seq("fp"), "leftsemi")
+      .groupBy("fp").agg(pairsArr.as("ps"))
+      .select(explode(col("ps")).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Deterministic shuffle-sharding — the corpus-to-training-shards step
     * every pipeline ends with: documents in seeded pseudo-random GLOBAL
     * order (training wants neighboring shards uncorrelated with crawl /

@@ -201,6 +201,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("winnow: row-wise selection — no join, no window, no aggregate; " +
+      "only the presentation sort moves data") {
+    val p = plan(graft.operators.TextOps.winnowFingerprints(spark, dir))
+    assert(!p.contains("Join") && !p.contains("Window") &&
+      !p.contains("HashAggregate"), p)
+    assert(p.split("Exchange").length - 1 <= 2, p) // range sort ± AQE read
+  }
+
+  test("winnow overlap: df gate is a partial-agg semi-join; pairs expand " +
+      "row-wise — no fingerprint self-join, no cartesian") {
+    val p = plan(graft.operators.TextOps.winnowOverlap(spark, dir))
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // exactly ONE join in the whole plan: the df-gate semi-join — pair
+    // rows come from the flatten/explode, never a sel-vs-sel join
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)".r
+      .findAllMatchIn(p).size == 1, p)
+  }
+
   test("incremental dedup: within-batch first-wins is a partial agg + " +
       "join-back — no window over the content fingerprint") {
     val p = plan(graft.operators.TextOps.incrementalDedup(spark, dir))
