@@ -83,6 +83,8 @@ object SparkEntry {
     "q_dsir_select" -> ((s, d) => TextOps.dsirSelect(s, d)),
     "q_filter_funnel" -> TextOps.filterFunnel _,
     "q_perplexity_bucket" -> TextOps.perplexityBuckets _,
+    "q_budget_select" -> ((s, d) => TextOps.budgetSelect(s, d)),
+    "q_corpus_diff" -> TextOps.corpusDiff _,
     "q_oov_rate" -> ((s, d) => TextOps.oovRate(s, d)),
     "q_top_ngrams" -> ((s, d) => TextOps.topNgrams(s, d)),
     "q_winnow" -> ((s, d) => TextOps.winnowFingerprints(s, d)),
@@ -399,6 +401,36 @@ object SparkEntry {
         |  CAST(SUM(length(tok)) AS DOUBLE)/COUNT(*) AS avg_tok_len,
         |  COUNT(*) AS n_tokens
         |FROM tok GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_budget_select" ->
+      // greedy token-budget pruning: quality order (stop ratio desc,
+      // doc_id), exact integer prefix sum, straddling doc kept
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |             FROM documents WHERE text IS NOT NULL),
+        |q AS (SELECT doc_id,
+        |    CAST(SUM(CASE WHEN tok IN $stopList THEN 1 ELSE 0 END) AS DOUBLE)/COUNT(*) AS ratio,
+        |    COUNT(*) AS n_tokens
+        |  FROM tok GROUP BY doc_id),
+        |c AS (SELECT doc_id, n_tokens, COALESCE(SUM(n_tokens) OVER (
+        |    ORDER BY ratio DESC, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_tokens
+        |  FROM q)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(cum_tokens AS BIGINT) AS cum_tokens, cum_tokens < 20000 AS kept
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "q_corpus_diff" ->
+      // snapshot diff on fingerprint manifests; || null-propagates like
+      // Spark's concat, IS NOT DISTINCT FROM like <=>
+      """WITH v1 AS (SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 7 <> 0),
+        |v2 AS (SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END) AS fp
+        |  FROM documents WHERE doc_id % 5 <> 0)
+        |SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+        |  CASE WHEN v1.doc_id IS NULL THEN 'added'
+        |       WHEN v2.doc_id IS NULL THEN 'removed'
+        |       WHEN v1.fp IS NOT DISTINCT FROM v2.fp THEN 'same'
+        |       ELSE 'changed' END AS status
+        |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+        |ORDER BY doc_id""".stripMargin,
     "q_pii_scrub" ->
       """WITH r AS (SELECT doc_id, concat(coalesce(text, ''),
         |  CASE WHEN doc_id % 2 = 0 THEN concat(' contact u', CAST(doc_id AS VARCHAR), '@example.com') ELSE '' END,

@@ -1692,6 +1692,40 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Corpus snapshot diff — the dataset-versioning audit a managed
+    * training-data pipeline runs between releases: which documents were
+    * added, removed, changed (content fingerprint moved) or kept
+    * between two corpus versions. Versions here are deterministic
+    * slices of the driver table (v1 = doc_id % 7 ≠ 0, v2 = doc_id % 5
+    * ≠ 0 with every doc_id % 11 == 0 text amended) — the stand-in for
+    * yesterday's and today's snapshot manifests.
+    *
+    * Scale shape: one full-outer join on the PRIMARY key (doc_id —
+    * hash-partitioned, skew-free: each side holds the key at most once)
+    * between two 16-byte fingerprint manifests; the verdict per row is
+    * row-wise null/equality arithmetic. At production scale the
+    * manifests are the maintained ingest artifacts (the incremental
+    * dedup family's fingerprint sets), so the diff never re-reads text.
+    */
+  def corpusDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val v1 = docs.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"), lit(1).as("p1"), md5(col("text")).as("fp1"))
+    val v2 = docs.filter(col("doc_id") % 5 =!= 0)
+      // concat null-propagates on BOTH engines (|| in the oracle): an
+      // amended null text stays null, never the literal suffix
+      .select(col("doc_id"), lit(1).as("p2"),
+        md5(when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text"))).as("fp2"))
+    v1.join(v2, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("p1").isNull, "added")
+          .when(col("p2").isNull, "removed")
+          .when(col("fp1") <=> col("fp2"), "same")
+          .otherwise("changed").as("status"))
+      .orderBy("doc_id")
+  }
+
   /** The STATELESS slice of the mix pipeline, shared verbatim by batch
     * and the streaming twin ([[graft.streaming.CorpusStream.mixStream]]):
     * decontamination against a FIXED eval-gram set, the repetition gate,
@@ -2383,6 +2417,47 @@ object TextOps {
       .crossJoin(broadcast(n))
       .select(col("doc_id"), col("n_tokens"), col("avg_prob"), col("rank"),
         (expr("((rank - 1) * 3) div n") + 1L).as("bucket"))
+      .orderBy("doc_id")
+  }
+
+  /** Token-budget quality selection — the data-pruning step a fixed
+    * compute budget forces ("train on the best N tokens"): rank every
+    * document by quality (stopword ratio descending — the
+    * [[qualityScore]] signal — doc_id tiebreak) and keep documents
+    * greedily until the token budget is exhausted; the document
+    * straddling the boundary is kept (the [[packSequences]]
+    * start-owns-it convention at selection altitude). Emits the full
+    * manifest — kept AND dropped, each with its rank-order token
+    * offset — so the pruning decision is auditable.
+    *
+    * Exactness: the ratio is one exactly-rounded double division from
+    * integer counts, (ratio desc, doc_id) is a total order, and the
+    * offset is an exact integer sum — the manifest is
+    * DuckDB-oracle-exact.
+    *
+    * Scale shape: the rank-order prefix sum is the packers' distributed
+    * pattern ([[globalTokenPrefix]] keyed on the negated ratio): one
+    * range exchange, per-partition imperative running sums, KB-sized
+    * per-partition totals broadcast back — no single-partition window,
+    * no reducer ever sees the corpus; the budget gate is row-wise
+    * arithmetic on the running total.
+    */
+  def budgetSelect(spark: SparkSession, dir: String,
+      budgetTokens: Long = 20000L): DataFrame =
+    budgetSelectOver(Tables.documents(spark, dir), budgetTokens)
+
+  private[graft] def budgetSelectOver(docs: DataFrame,
+      budgetTokens: Long): DataFrame = {
+    val toks = tokens(col("text"))
+    val keyed = docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        (-(stopCount(toks).cast("double") / size(toks))).as("negq"))
+    globalTokenPrefix(keyed, Seq("negq", "doc_id"), 0)
+      .select(col("doc_id"), col("n_tokens"),
+        col("cum_before").as("cum_tokens"),
+        (col("cum_before") < budgetTokens).as("kept"))
       .orderBy("doc_id")
   }
 

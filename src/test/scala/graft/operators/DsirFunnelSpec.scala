@@ -119,4 +119,41 @@ class DsirFunnelSpec extends AnyFunSuite {
     rows.sliding(2).foreach { case Array(a, b) => assert(a.getLong(4) === b.getLong(2)) }
     assert(rows.last.getLong(4) === TextOps.corpusGates(docs).count())
   }
+
+  test("budget selection equals the naive sort-and-scan on a random corpus") {
+    val rnd = new scala.util.Random(31)
+    val stop = Seq("the", "of", "and", "to")
+    val docs = (0 until 200).map { i =>
+      val n = 1 + rnd.nextInt(30)
+      val text = (0 until n)
+        .map(_ => if (rnd.nextDouble() < 0.3) stop(rnd.nextInt(stop.size))
+                  else s"w${rnd.nextInt(50)}")
+        .mkString(" ")
+      (i.toLong, text)
+    }
+    val budget = 800L
+    val got = TextOps.budgetSelectOver(docs.toDF("doc_id", "text"), budget)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toMap
+    // naive: sort by (stop ratio desc, id), running total, keep while
+    // the running total BEFORE the doc is under budget
+    val ranked = docs.map { case (id, text) =>
+      val tk = text.split(" ", -1).toSeq
+      val ratio = tk.count(stop.contains).toDouble / tk.size
+      (id, tk.size.toLong, ratio)
+    }.sortBy { case (id, _, r) => (-r, id) }
+    var cum = 0L
+    ranked.foreach { case (id, n, _) =>
+      val (gn, gc, gk) = got(id)
+      assert(gn === n, s"doc $id n_tokens")
+      assert(gc === cum, s"doc $id cum")
+      assert(gk === (cum < budget), s"doc $id kept")
+      cum += n
+    }
+    // the straddling document is kept: kept tokens reach the budget
+    val keptTokens = got.values.collect { case (n, _, true) => n }.sum
+    assert(keptTokens >= budget)
+    assert(got.values.count(_._3) < docs.size) // and something was dropped
+  }
 }
