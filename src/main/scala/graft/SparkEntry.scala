@@ -89,6 +89,7 @@ object SparkEntry {
     "q_top_ngrams" -> ((s, d) => TextOps.topNgrams(s, d)),
     "q_winnow" -> ((s, d) => TextOps.winnowFingerprints(s, d)),
     "q_winnow_overlap" -> ((s, d) => TextOps.winnowOverlap(s, d)),
+    "q_winnow_clusters" -> ((s, d) => TextOps.winnowClusters(s, d)),
     "q_rag_chunks" -> ((s, d) => TextOps.ragChunks(s, d)),
     "q_chunk_search" -> ((s, d) => TextOps.chunkSearch(s, d)),
     "q_bm25_topk" -> ((s, d) => TextOps.bm25TopK(s, d)),
@@ -580,6 +581,34 @@ object SparkEntry {
         |FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |JOIN kept k ON k.fp = a.fp
         |GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY doc_a, doc_b""".stripMargin,
+    "q_winnow_clusters" ->
+      // the winnow_overlap pair graph closed transitively (the
+      // dedup_clusters recursive-CTE pattern over winnow matches)
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |              FROM documents WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 6),
+        |h AS (SELECT doc_id, i, CAST(concat('0x', substr(md5(
+        |        concat_ws(' ', tk[i], tk[i+1], tk[i+2])), 1, 15)) AS BIGINT) AS hv
+        |      FROM (SELECT doc_id, tk, unnest(range(1, len(tk)-1)) AS i FROM toks)),
+        |wins AS (SELECT doc_id, i AS j,
+        |    MIN(hv) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+        |    COUNT(*) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wn
+        |  FROM h),
+        |sel AS (SELECT DISTINCT w.doc_id, w.wmin AS fp FROM wins w WHERE w.wn = 4),
+        |kept AS (SELECT fp FROM sel GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND 16),
+        |jp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  JOIN kept kk ON kk.fp = a.fp
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM jp UNION SELECT doc_b, doc_a FROM jp),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+        |SELECT d.doc_id, LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS canonical
+        |FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
     "q_rag_chunks" ->
       // stride-64/48 token windows; DuckDB's list slice clamps at the
       // document end exactly like Spark's slice; starts stop once a

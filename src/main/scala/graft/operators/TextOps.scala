@@ -2919,7 +2919,15 @@ object TextOps {
     * [[sourceOverlapOver]] shape — no fingerprint-level self-join).
     */
   def winnowOverlap(spark: SparkSession, dir: String, k: Int = 3,
-      w: Int = 4, minShared: Int = 2, maxDf: Int = 16): DataFrame = {
+      w: Int = 4, minShared: Int = 2, maxDf: Int = 16): DataFrame =
+    winnowOverlapPairs(spark, dir, k, w, minShared, maxDf)
+      .orderBy("doc_a", "doc_b")
+
+  /** [[winnowOverlap]] without the presentation sort — consumers that
+    * feed the pair set onward (clustering) skip the range exchange.
+    */
+  private[operators] def winnowOverlapPairs(spark: SparkSession, dir: String,
+      k: Int, w: Int, minShared: Int, maxDf: Int): DataFrame = {
     graft.IntraQueryCache.newGeneration(s"winnow:$dir:$k:$w:$maxDf")
     val sel = graft.IntraQueryCache.scoped(
       winnowOver(Tables.documents(spark, dir), k, w)
@@ -2941,8 +2949,25 @@ object TextOps {
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
-      .orderBy("doc_a", "doc_b")
   }
+
+  /** Winnow-based dedup clustering — the action face of
+    * [[winnowOverlap]]: connected components over the winnow-match pair
+    * graph, each document labeled with its component-minimum canonical
+    * (singletons keep their own id). The same composition as
+    * [[dedupClusters]] (clustering engine shared verbatim), but the
+    * pair source is the ~2/(w+1)-sized fingerprint index instead of the
+    * full token-set Jaccard join — the index-altitude dedup path a
+    * crawl-scale pipeline runs between exact dedup and full near-dup.
+    */
+  def winnowClusters(spark: SparkSession, dir: String, k: Int = 3,
+      w: Int = 4, minShared: Int = 2, maxDf: Int = 16,
+      maxIters: Int = 20): DataFrame =
+    clusterPairs(
+      Tables.documents(spark, dir).select(col("doc_id")),
+      winnowOverlapPairs(spark, dir, k, w, minShared, maxDf)
+        .select("doc_a", "doc_b"),
+      maxIters)
 
   /** Deterministic shuffle-sharding — the corpus-to-training-shards step
     * every pipeline ends with: documents in seeded pseudo-random GLOBAL

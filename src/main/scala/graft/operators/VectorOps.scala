@@ -730,6 +730,13 @@ object VectorOps {
     * 100 TB a hot bucket otherwise grows linearly with the corpus. The
     * row_number cap is an index-BUILD cost; the built index is persisted
     * once per dataset ([[cachedLshIndex]]) so queries never pay it.
+    * Known build-time trade: the cap window partitions on the
+    * content-derived (t, bucket), so a degenerate corpus (all vectors in
+    * one bucket) pins that bucket's build on one task — accepted because
+    * the QUERY path is what runs per-request (this is one ingest pass),
+    * and the de-skewed alternative (a mapPartitions pre-cap before the
+    * exchange) only pays off under exactly that degeneracy; revisit if a
+    * probe ever shows real bucket skew.
     */
   private[graft] def lshIndex(emb: DataFrame, maxBucket: Int, bits: Int = 8): DataFrame = {
     val tb = lshBucketArr(col("embedding"), bits)

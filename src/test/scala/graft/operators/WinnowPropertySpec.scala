@@ -83,6 +83,25 @@ class WinnowPropertySpec extends AnyFunSuite {
     assert(frac > 0.25 && frac < 0.55, s"density $frac")
   }
 
+  test("selection applies to a stream unchanged (drained ≡ batch)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val r = rnd(55)
+    val docs = Seq(
+      (1L, Seq.fill(20)(s"a${r.nextInt(30)}").mkString(" ")),
+      (2L, Seq.fill(9)(s"b${r.nextInt(30)}").mkString(" ")),
+      (3L, "too short"), (4L, null: String))
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = TextOps.winnowOver(mem.toDS.toDF("doc_id", "text"), 3, 4)
+      .writeStream.format("memory").queryName("winnow_stream")
+      .outputMode("append").start()
+    try { mem.addData(docs: _*); q.processAllAvailable() } finally q.stop()
+    val got = spark.table("winnow_stream").collect().map(_.toString).toSet
+    val batch = TextOps.winnowOver(docs.toDF("doc_id", "text"), 3, 4)
+      .collect().map(_.toString).toSet
+    assert(got.nonEmpty && got === batch)
+  }
+
   test("overlap: shared-run pairs hit, df gate suppresses boilerplate fingerprints") {
     val r = rnd(99)
     val shared = Seq.fill(8)(s"sh${r.nextInt(1000)}")
