@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import graft.operators.TextOps
+
+/** Streaming winnow-fingerprint matching vs corpus history — the fourth
+  * face of the ingest-time dedup stack, completing its symmetry: exact
+  * substrings ([[SpanStream]]), lexical LSH ([[StreamDedup]]),
+  * embeddings ([[VectorStream]]), and now the INDEX-ALTITUDE substring
+  * matcher: each arriving document winnows row-wise
+  * ([[TextOps.winnowOver]] — stateless, stream-legal, spec-pinned) and
+  * its selected fingerprints check against the corpus's winnow index,
+  * reporting how much of the document the corpus already knows. The
+  * triage signal an ingest gate acts on at ~2/(w+1) the cost of the
+  * full window-key check [[SpanStream]] runs.
+  *
+  * Spark-first shape: the corpus side is its distinct selected
+  * fingerprint set (an ingest artifact, ~2/(w+1) of the gram count —
+  * bucketed by fp at production scale); each micro-batch runs the same
+  * batch kernel ([[matchReport]]) stream-static against it at
+  * `foreachBatch` altitude. Stateless — nothing accumulates, no
+  * watermark, and a drained stream equals the batch run by code
+  * identity (WinnowStreamSpec pins it anyway, across micro-batch
+  * boundaries).
+  *
+  * 100 TB posture: the fingerprint set is the only corpus-scale
+  * artifact and it moves once per refresh, not per batch; the per-batch
+  * exchange is the batch's own selected fingerprints semi-joined
+  * against it — batch-sized, never corpus-sized.
+  */
+object WinnowStream {
+
+  /** The batch-built static side: the corpus's distinct selected
+    * fingerprints. At production scale a maintained ingest artifact
+    * written bucketed by fp; callers persist or reload between
+    * refreshes.
+    */
+  def corpusIndexOf(corpus: DataFrame, k: Int = 3, w: Int = 4): DataFrame =
+    TextOps.winnowOver(corpus, k, w).select("fp").distinct()
+
+  /** Per-document match report against a static fingerprint set:
+    * (doc_id, n_fp, n_matched) — how many of the document's selected
+    * fingerprints the corpus already holds. Plain transformation (the
+    * aggregates run per micro-batch inside foreachBatch, never as
+    * streaming state) — identical on a batch frame, which is how the
+    * spec pins stream ≡ batch.
+    */
+  def matchReport(docs: DataFrame, corpusFps: DataFrame, k: Int = 3,
+      w: Int = 4): DataFrame = {
+    val sel = TextOps.winnowOver(docs, k, w)
+    val hits = sel.join(corpusFps.select("fp"), Seq("fp"), "leftsemi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_matched"))
+    sel.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_fp"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"))
+  }
+
+  /** [[matchReport]] with a PERIODICALLY REFRESHED fingerprint set —
+    * the same production posture (and consistency model) as
+    * [[SpanStream.spansVsCorpusRefreshing]]: the index reloads from
+    * `fpsPath` every `refreshEvery` micro-batches (after
+    * `refreshByPath`, so the re-read cannot ride a stale shared
+    * file-listing cache); additions become visible at the next refresh
+    * boundary, never mid-batch. Snapshot lifecycle (final-snapshot
+    * release on query termination, double-start fail-fast) is
+    * [[RefreshingSnapshot]]'s.
+    *
+    * Returns an unstarted writer (`.start()` it); `sink` receives each
+    * micro-batch's reports with the [[matchReport]] schema plus the
+    * batch id.
+    */
+  def matchesVsCorpusRefreshing(stream: DataFrame, fpsPath: String,
+      refreshEvery: Int, k: Int = 3, w: Int = 4)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[Row] = {
+    require(refreshEvery >= 1, s"refreshEvery must be >= 1, got $refreshEvery")
+    val snap = new RefreshingSnapshot(stream.sparkSession, sp => {
+      sp.catalog.refreshByPath(fpsPath)
+      sp.read.parquet(fpsPath)
+    })
+    stream.writeStream.outputMode("append").foreachBatch {
+      (batch: Dataset[Row], batchId: Long) =>
+        val fps = snap.forBatch(batch.sparkSession, batchId, refreshEvery)
+        sink(matchReport(batch.toDF(), fps, k, w), batchId)
+    }
+  }
+}

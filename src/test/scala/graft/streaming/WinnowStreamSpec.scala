@@ -1,0 +1,110 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
+import graft.TestSpark
+
+/** Streaming winnow matching: a drained stream's match reports must
+  * equal the batch kernel over the same documents (stateless by
+  * construction, pinned across micro-batch boundaries and through the
+  * foreachBatch plumbing), a re-served corpus document must read as
+  * fully known, and index additions become visible exactly at refresh
+  * boundaries.
+  */
+class WinnowStreamSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+  private val dir = "/root/testdata/sf0.001"
+
+  test("streamed match reports equal the batch kernel; re-served text fully known") {
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)].collect().filter(_._2 != null)
+    val (newDocs0, existing) = docs.partition(_._1 % 10 == 9)
+    // plant a verbatim re-serve of a corpus document in the new batch —
+    // every selected fingerprint of it must already be in the index
+    // (picked long enough to actually winnow)
+    val reserve = (900001L,
+      existing.find(_._2.split(" ").length >= 20).get._2)
+    val newDocs = newDocs0 :+ reserve
+    val fpsPath = java.nio.file.Files.createTempDirectory("graft-winfps").toString
+    WinnowStream.corpusIndexOf(existing.toSeq.toDF("doc_id", "text"))
+      .write.mode("overwrite").parquet(fpsPath)
+
+    val expected = WinnowStream.matchReport(
+      newDocs.toSeq.toDF("doc_id", "text"),
+      spark.read.parquet(fpsPath))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(expected.nonEmpty)
+
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDS.select(col("_1").as("doc_id"), col("_2").as("text"))
+    val q = WinnowStream.matchesVsCorpusRefreshing(stream, fpsPath,
+      refreshEvery = 1) { (df, _) =>
+      val rows = df.as[(Long, Long, Long)].collect()
+      got.synchronized { got ++= rows }
+    }.start()
+    try {
+      val sorted = newDocs.sortBy(_._1).toSeq
+      val (b1, b2) = sorted.splitAt(sorted.size / 2)
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    assert(got.toSet == expected)
+    assert(got.size == got.toSet.size, "a report row was emitted twice")
+    val rsv = got.find(_._1 == 900001L).get
+    assert(rsv._2 > 0 && rsv._3 == rsv._2,
+      s"verbatim re-serve not fully matched: $rsv")
+  }
+
+  test("refreshing fingerprint set: additions invisible until the refresh boundary") {
+    val fpsPath = java.nio.file.Files.createTempDirectory("graft-winfps").toString
+    // 20 distinct-token texts — long enough (>= k+w-1 = 6) to winnow
+    val textA = (1 to 20).map(i => s"a$i").mkString(" ")
+    val textB = (1 to 20).map(i => s"b$i").mkString(" ")
+    WinnowStream.corpusIndexOf(Seq((1L, textA)).toDF("doc_id", "text"))
+      .write.mode("overwrite").parquet(fpsPath)
+
+    val hits = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Boolean)]
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDS.select(col("_1").as("doc_id"), col("_2").as("text"))
+    // refreshEvery = 2 → the fingerprint set reloads on batches 0, 2, …
+    val q = WinnowStream.matchesVsCorpusRefreshing(stream, fpsPath,
+      refreshEvery = 2) { (df, bid) =>
+      val rows = df.collect()
+      hits.synchronized {
+        rows.foreach(r =>
+          hits += ((bid, r.getLong(0), r.getLong(2) == r.getLong(1))))
+      }
+    }.start()
+    try {
+      mem.addData((9001L, textA)) // batch 0 (refresh): fully known
+      q.processAllAvailable()
+      // corpus addition lands as a raw part-file move (a separate
+      // ingest process's delivery — a same-session write would
+      // auto-recache and defeat the staleness half)
+      val side = java.nio.file.Files.createTempDirectory("graft-winfps-add").toString
+      WinnowStream.corpusIndexOf(Seq((2L, textB)).toDF("doc_id", "text"))
+        .coalesce(1).write.mode("overwrite").parquet(side)
+      val part = new java.io.File(side).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(fpsPath, part.getName))
+      mem.addData((9002L, textB)) // batch 1 (stale): nothing matches
+      q.processAllAvailable()
+      mem.addData((9003L, textB)) // batch 2 (refresh): fully known
+      q.processAllAvailable()
+    } finally q.stop()
+
+    assert(hits.toSeq == Seq((0L, 9001L, true), (1L, 9002L, false),
+      (2L, 9003L, true)), s"got $hits")
+  }
+}
