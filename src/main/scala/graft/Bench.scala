@@ -73,10 +73,17 @@ object Bench {
     // truncated the head in past rounds (BENCH_r07's "parsed": null) — a
     // well-known file makes the official per-query record complete even
     // when the stream is clipped
-    val out = java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.out.json"))
-    java.nio.file.Files.write(out,
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // redundancy channel only — an unwritable CWD must not fail a run
+    // whose results already printed
+    try {
+      val out = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.out.json"))
+      java.nio.file.Files.write(out,
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+    } catch {
+      case e: java.io.IOException =>
+        System.err.println(s"[bench] could not write BENCH.out.json: $e")
+    }
     spark.stop()
   }
 }

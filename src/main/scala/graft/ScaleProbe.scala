@@ -62,16 +62,24 @@ object ScaleProbe {
     SynthDoc(i, text, lang, s"src${i % 10}", text.length.toLong)
   }
 
-  private def synthesize(spark: SparkSession, dir: String, n: Long): Unit = {
+  /** One synthesis guard/write for every document-corpus variant: skip
+    * behind the `_SUCCESS` marker (tiers are cached across runs — delete
+    * the probe dir after changing a recipe), else write the id-pure rows.
+    */
+  private def synthDocsWith(spark: SparkSession, dir: String, n: Long)(
+      gen: Long => SynthDoc): Unit = {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val done = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet/_SUCCESS")
     if (fs.exists(done)) return
     import spark.implicits._
-    spark.range(0, n).map(i => synthDoc(i))
+    spark.range(0, n).map(i => gen(i))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
   }
+
+  private def synthesize(spark: SparkSession, dir: String, n: Long): Unit =
+    synthDocsWith(spark, dir, n)(synthDoc)
 
   private val probeQueries = Seq("q_ngram_jaccard", "q_corpus_build",
     "q_dedup_clusters", "q_minhash_lsh", "q_simhash",
@@ -104,15 +112,8 @@ object ScaleProbe {
     else d
   }
 
-  private def synthesizeSkew(spark: SparkSession, dir: String, n: Long): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/documents.parquet/_SUCCESS"))) return
-    import spark.implicits._
-    spark.range(0, n).map(i => synthDocSkew(i))
-      .toDF("doc_id", "text", "lang", "source", "n_chars")
-      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-  }
+  private def synthesizeSkew(spark: SparkSession, dir: String, n: Long): Unit =
+    synthDocsWith(spark, dir, n)(synthDocSkew)
 
   /** Viral exact duplicate: ~30% of the NEW batch (doc_id % 10 == 9, the
     * slice [[graft.operators.TextOps.incrementalDedup]] treats as today's
@@ -132,15 +133,8 @@ object ScaleProbe {
     } else d
   }
 
-  private def synthesizeDupSkew(spark: SparkSession, dir: String, n: Long): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/documents.parquet/_SUCCESS"))) return
-    import spark.implicits._
-    spark.range(0, n).map(i => synthDocDupSkew(i))
-      .toDF("doc_id", "text", "lang", "source", "n_chars")
-      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-  }
+  private def synthesizeDupSkew(spark: SparkSession, dir: String, n: Long): Unit =
+    synthDocsWith(spark, dir, n)(synthDocDupSkew)
 
   /** The r6 plan — min/count over `Window.partitionBy(content key)` —
     * re-expressed inline as a measured STRAWMAN: every occurrence of the

@@ -154,6 +154,27 @@ object SparkEntry {
 
   private val stopList = "('the','a','an','of','and','to','in','is','it','on','for')"
 
+  /** Shared CTE chain for the winnowing oracles (q_winnow /
+    * q_winnow_overlap / q_winnow_clusters): word-3-gram hashes (first
+    * 15 md5 hex chars as a 60-bit int — the conv ↔ 0x-cast pair),
+    * 4-hash windows with each window's min (`wins`), and the distinct
+    * per-document selected fingerprint set (`sel`). One source of truth
+    * so a hash/window tweak cannot drift the three oracles apart.
+    */
+  private val winnowCtes =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS tk
+      |              FROM documents WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 6),
+      |h AS (SELECT doc_id, i, CAST(concat('0x', substr(md5(
+      |        concat_ws(' ', tk[i], tk[i+1], tk[i+2])), 1, 15)) AS BIGINT) AS hv
+      |      FROM (SELECT doc_id, tk, unnest(range(1, len(tk)-1)) AS i FROM toks)),
+      |wins AS (SELECT doc_id, i AS j,
+      |    MIN(hv) OVER (PARTITION BY doc_id ORDER BY i
+      |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+      |    COUNT(*) OVER (PARTITION BY doc_id ORDER BY i
+      |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wn
+      |  FROM h),
+      |sel AS (SELECT DISTINCT w.doc_id, w.wmin AS fp FROM wins w WHERE w.wn = 4)""".stripMargin
+
   /** Shared CTE chain for the embedding connected-components oracles
     * (q_embed_clusters report + q_embed_prune scrub): label-blocked
     * cosine pairs, symmetric edge closure, and the component-minimum
@@ -537,21 +558,10 @@ object SparkEntry {
         |FROM pd GROUP BY gram
         |ORDER BY occurrences DESC, n_docs DESC, gram LIMIT 20""".stripMargin,
     "q_winnow" ->
-      // MOSS winnowing: word 3-gram hashes (first 15 md5 hex chars as a
-      // 60-bit int — the conv ↔ 0x-cast pair), 4-hash windows, each
-      // window's min selected with the RIGHTMOST tie position (MAX pos
-      // among in-window minima); DISTINCT collapses repeated selections
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk
-        |              FROM documents WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 6),
-        |h AS (SELECT doc_id, i, CAST(concat('0x', substr(md5(
-        |        concat_ws(' ', tk[i], tk[i+1], tk[i+2])), 1, 15)) AS BIGINT) AS hv
-        |      FROM (SELECT doc_id, tk, unnest(range(1, len(tk)-1)) AS i FROM toks)),
-        |wins AS (SELECT doc_id, i AS j,
-        |    MIN(hv) OVER (PARTITION BY doc_id ORDER BY i
-        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
-        |    COUNT(*) OVER (PARTITION BY doc_id ORDER BY i
-        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wn
-        |  FROM h),
+      // MOSS winnowing: each window's min selected with the RIGHTMOST
+      // tie position (MAX pos among in-window minima); DISTINCT
+      // collapses repeated selections (CTE chain shared via winnowCtes)
+      s"""WITH $winnowCtes,
         |selp AS (SELECT w.doc_id, MAX(p.i) AS pos, w.wmin AS fp
         |  FROM wins w JOIN h p ON p.doc_id = w.doc_id
         |    AND p.i BETWEEN w.j AND w.j + 3 AND p.hv = w.wmin
@@ -562,19 +572,7 @@ object SparkEntry {
     "q_winnow_overlap" ->
       // the MOSS match step: pairs sharing >= 2 distinct selected
       // fingerprints, fingerprints in more than 16 docs suppressed
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk
-        |              FROM documents WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 6),
-        |h AS (SELECT doc_id, i, CAST(concat('0x', substr(md5(
-        |        concat_ws(' ', tk[i], tk[i+1], tk[i+2])), 1, 15)) AS BIGINT) AS hv
-        |      FROM (SELECT doc_id, tk, unnest(range(1, len(tk)-1)) AS i FROM toks)),
-        |wins AS (SELECT doc_id, i AS j,
-        |    MIN(hv) OVER (PARTITION BY doc_id ORDER BY i
-        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
-        |    COUNT(*) OVER (PARTITION BY doc_id ORDER BY i
-        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wn
-        |  FROM h),
-        |sel AS (SELECT DISTINCT w.doc_id, w.wmin AS fp
-        |  FROM wins w WHERE w.wn = 4),
+      s"""WITH $winnowCtes,
         |kept AS (SELECT fp FROM sel GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND 16)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  CAST(COUNT(*) AS BIGINT) AS n_shared
@@ -584,18 +582,7 @@ object SparkEntry {
     "q_winnow_clusters" ->
       // the winnow_overlap pair graph closed transitively (the
       // dedup_clusters recursive-CTE pattern over winnow matches)
-      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS tk
-        |              FROM documents WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 6),
-        |h AS (SELECT doc_id, i, CAST(concat('0x', substr(md5(
-        |        concat_ws(' ', tk[i], tk[i+1], tk[i+2])), 1, 15)) AS BIGINT) AS hv
-        |      FROM (SELECT doc_id, tk, unnest(range(1, len(tk)-1)) AS i FROM toks)),
-        |wins AS (SELECT doc_id, i AS j,
-        |    MIN(hv) OVER (PARTITION BY doc_id ORDER BY i
-        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
-        |    COUNT(*) OVER (PARTITION BY doc_id ORDER BY i
-        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wn
-        |  FROM h),
-        |sel AS (SELECT DISTINCT w.doc_id, w.wmin AS fp FROM wins w WHERE w.wn = 4),
+      s"""WITH RECURSIVE $winnowCtes,
         |kept AS (SELECT fp FROM sel GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND 16),
         |jp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
         |  FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id

@@ -150,22 +150,28 @@ object TextIndex {
     * term grain). Results must be EXACTLY a full rebuild's — spec-pinned
     * for both BM25 and phrase serving.
     *
-    * The small-table swap (delete + rename) is not crash-atomic; a
-    * production deployment would version them behind a segment manifest.
-    * The postings append IS safe: a crashed append leaves readable old
-    * files plus possibly-partial new ones that the next full rebuild
+    * The small-table swaps publish by the crash-recoverable rename chain
+    * ([[publishByRename]] / [[recoverArtifacts]]); a production
+    * deployment would still version them behind a segment manifest. The
+    * postings append itself is safe: a crashed append leaves readable
+    * old files plus possibly-partial new ones that the next full rebuild
     * (fingerprint change) discards.
     */
   private[graft] def appendTo(root: String, newDocs: DataFrame,
-      gen: String, appendTag: Option[String] = None): Unit = {
+      gen: String, appendTag: Option[(String, String)] = None): Unit = {
     val spark = newDocs.sparkSession
+    require(new File(s"$root/postings").exists(),
+      s"appendTo on $root with no postings/ — recover or rebuild first")
     graft.IntraQueryCache.newGeneration(gen)
     val dt = graft.IntraQueryCache.scoped(positionalDt(newDocs))
     val dl = graft.IntraQueryCache.scoped(
       dt.groupBy("doc_id").agg(sum(col("tf")).as("dl")))
     // read old small tables BEFORE any writes below touch the root;
-    // stats carries only (n, t) forward — a previous append's tag column
-    // is deliberately dropped so tags never accumulate
+    // the per-stream tag map is carried forward and merged (a SINGLE
+    // latest-append slot would forget stream A's committed tag as soon
+    // as stream B appended, re-opening the lost-marker double-count on
+    // multi-stream roots)
+    val oldTags = lastAppendTags(spark, root)
     val oldTerms = spark.read.parquet(s"$root/terms")
       .select("term", "df").localCheckpoint()
     val oldStats = spark.read.parquet(s"$root/stats")
@@ -182,13 +188,13 @@ object TextIndex {
       .unionByName(dt.groupBy("term").agg(count(lit(1)).as("df")))
       .groupBy("term").agg(sum(col("df")).as("df"))
     val deltaStats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("t"))
-    // the tag rides the stats swap — the LAST mutation of the append — so
-    // an at-least-once replayer can detect "this append already committed"
-    // even when it crashed before writing its own marker (the
-    // TextIndexStream replay gate); see [[lastAppendTag]]
+    // the tag map rides the stats swap — the LAST mutation of the append
+    // — so an at-least-once replayer can detect "this append already
+    // committed" even when it crashed before writing its own marker (the
+    // TextIndexStream replay gate); see [[lastAppendTags]]
     val mergedStats = oldStats.unionByName(deltaStats)
       .agg(sum(col("n")).as("n"), sum(col("t")).as("t"))
-      .withColumn("last_append", lit(appendTag.orNull).cast("string"))
+      .withColumn("last_appends", typedlit(oldTags ++ appendTag))
     swapSmallTable(mergedTerms, isTerms = true, s"$root/terms")
     swapSmallTable(mergedStats, isTerms = false, s"$root/stats")
     // the swaps consumed the materialized old tables; drop their blocks
@@ -207,29 +213,71 @@ object TextIndex {
     * economy. Terms/stats are already single-segment (each append
     * rewrites them whole). Serving equivalence is spec-pinned.
     *
-    * The swap is the same delete+rename as the small tables (see the
-    * crash-safety note on [[appendTo]]); at 100 TB this runs per-shard
-    * behind a segment manifest instead of whole-index.
+    * Publish is pure RENAMES (each atomic on a local fs): the old tree
+    * steps ASIDE (`postings.old-*`) rather than being deleted, so every
+    * crash point leaves either a servable `postings/` or a recoverable
+    * aside — [[recoverArtifacts]] heals both directions. The previous
+    * delete+rename form had a real loss window: a crash between them
+    * left no postings, and the NEXT append's `mode("append")` write
+    * would silently recreate the dir with only new-batch rows while
+    * stats/terms still counted the lost corpus. At 100 TB this runs
+    * per-shard behind a segment manifest instead of whole-index.
     */
   private[graft] def compact(root: String, spark: SparkSession): Unit = {
+    recoverArtifacts(root) // heal a previously crashed swap first
     val posts = spark.read.parquet(s"$root/postings")
       .select("term", "doc_id", "tf", "dl", "positions")
     val tmp = s"$root/postings.tmp-${java.util.UUID.randomUUID()}"
     writeSharded(posts, Seq("term", "doc_id"), tmp)
-    rmTree(new File(s"$root/postings"))
-    require(new File(tmp).renameTo(new File(s"$root/postings")),
-      s"compaction rename to $root/postings failed")
+    publishByRename(s"$root/postings", tmp)
   }
 
-  /** The append tag the current stats artifact carries (None for a fresh
-    * build or a pre-tag index) — how an at-least-once replayer detects a
-    * fully committed append whose own marker never landed.
+  /** Swap-in `tmp` as artifact `path` by aside-rename / in-rename /
+    * delete-aside — each step atomic, every crash point recoverable.
     */
-  private[graft] def lastAppendTag(spark: SparkSession,
-      root: String): Option[String] = {
+  private def publishByRename(path: String, tmp: String): Unit = {
+    val target = new File(path)
+    val aside = new File(s"$path.old-${java.util.UUID.randomUUID()}")
+    require(target.renameTo(aside), s"aside rename of $path failed")
+    require(new File(tmp).renameTo(target),
+      s"swap-in rename to $path failed")
+    rmTree(aside)
+  }
+
+  /** Heal a crashed artifact swap under `root`: an artifact missing with
+    * exactly one `.old-` aside present means the aside step completed
+    * but the swap-in did not — rename the aside back; an aside next to a
+    * LIVE artifact is a completed swap's leftover and is deleted, as are
+    * stale `.tmp-` trees. Called by [[compact]] and by the streaming
+    * append path before touching the root; single-maintainer-per-root is
+    * the concurrency contract (the stream IS that maintainer).
+    */
+  private[graft] def recoverArtifacts(root: String): Unit = this.synchronized {
+    val entries = Option(new File(root).listFiles()).getOrElse(Array.empty)
+    for (name <- Seq("postings", "terms", "stats")) {
+      val live = new File(s"$root/$name")
+      val asides = entries.filter(_.getName.startsWith(s"$name.old-"))
+      if (!live.exists() && asides.length == 1) {
+        require(asides.head.renameTo(live),
+          s"recovery rename of ${asides.head} failed")
+      } else asides.foreach(rmTree)
+      entries.filter(_.getName.startsWith(s"$name.tmp-")).foreach(rmTree)
+    }
+  }
+
+  /** The per-stream append tags the current stats artifact carries
+    * (empty for a fresh build) — how an at-least-once replayer detects a
+    * fully committed append whose own marker never landed. A MAP, not a
+    * single slot: two streams appending into one root (the topology the
+    * per-streamId marker namespace supports) must each keep their own
+    * last-committed batch visible.
+    */
+  private[graft] def lastAppendTags(spark: SparkSession,
+      root: String): Map[String, String] = {
     val df = spark.read.parquet(s"$root/stats")
-    if (!df.columns.contains("last_append")) None
-    else Option(df.select("last_append").head.getString(0))
+    if (!df.columns.contains("last_appends")) Map.empty
+    else Option(df.select("last_appends").head.getMap[String, String](0))
+      .map(_.toMap).getOrElse(Map.empty)
   }
 
   /** Max parquet file count across term-shard dirs — the segment-count
@@ -240,7 +288,11 @@ object TextIndex {
     val dirs = new File(s"$root/postings").listFiles()
     if (dirs == null) 0
     else dirs.filter(d => d.isDirectory && d.getName.startsWith("tshard="))
-      .map(_.listFiles().count(f => f.getName.endsWith(".parquet")))
+      // inner listing null-guarded too: a shard dir racing a concurrent
+      // compact may vanish between the two listings — report 0 for it
+      // (a conservative count), never NPE inside the streaming path
+      .map(d => Option(d.listFiles())
+        .map(_.count(f => f.getName.endsWith(".parquet"))).getOrElse(0))
       .foldLeft(0)(math.max)
   }
 
@@ -250,10 +302,9 @@ object TextIndex {
     if (isTerms) writeSharded(df, Seq("term"), tmp)
     else df.write.parquet(tmp)
     // localCheckpoint above materialized the old contents, so the swap
-    // cannot read-after-delete its own input
-    rmTree(new File(path))
-    require(new File(tmp).renameTo(new File(path)),
-      s"small-table swap rename to $path failed")
+    // cannot read-after-delete its own input; publish is the same
+    // crash-recoverable rename chain as compaction
+    publishByRename(path, tmp)
   }
 
   /** BM25 served from the index: bit-identical to [[TextOps.bm25TopK]]

@@ -1470,32 +1470,47 @@ object TextOps {
     * re-assign `spark_partition_id`, so the LRU budget must never touch
     * them. Left alone, though, each distinct INPUT pinned its own
     * corpus-sized snapshot for the session (measured leak class:
-    * ScaleProbe's x1/x10/x30 dirs → three pinned corpora). One live
-    * snapshot per FAMILY instead: registering a different plan under the
-    * same family releases the previous snapshot (dead by then in the
-    * session's sequential query loop — Bench/Verify/ScaleProbe build and
-    * run one query at a time; a same-plan re-registration keeps the warm
-    * blocks, CacheManager dedupes the persist).
+    * ScaleProbe's x1/x10/x30 dirs → three pinned corpora). At most TWO
+    * live snapshots per FAMILY instead (see [[pinnedSnapshots]] for why
+    * two): registering a third distinct plan under a family releases the
+    * oldest; a same-plan re-registration keeps the warm blocks
+    * (CacheManager dedupes the persist).
+    */
+  /** MRU-first, at most TWO live snapshots per family. Two, not one: a
+    * released snapshot is unsafe for any STILL-UNCONSUMED frame built
+    * over its input — the frame would re-evaluate `parted` twice with
+    * independent (possibly different) pid assignments, the exact
+    * silent-wrongness the persist exists to prevent. Keeping the two
+    * most recent makes the common interleave (build the next dataset's
+    * plan, then consume the previous one's) safe; releasing the
+    * third-oldest requires building plans over THREE inputs before
+    * consuming the first — outside every in-repo driver (Bench/Verify/
+    * ScaleProbe run build-then-consume sequentially), and documented as
+    * this registry's contract for library callers.
     */
   private val pinnedSnapshots =
-    scala.collection.mutable.HashMap.empty[String, DataFrame]
+    scala.collection.mutable.HashMap.empty[String, List[DataFrame]]
 
   private def pinSnapshot(family: String, df: DataFrame): DataFrame =
     pinnedSnapshots.synchronized {
       val plan = df.queryExecution.analyzed
-      pinnedSnapshots.get(family) match {
-        case Some(prev) if prev.queryExecution.analyzed.sameResult(plan) =>
+      val cur = pinnedSnapshots.getOrElse(family, Nil)
+      cur.find(_.queryExecution.analyzed.sameResult(plan)) match {
+        case Some(prev) =>
+          pinnedSnapshots.update(family, prev :: cur.filterNot(_ eq prev))
           prev.persist() // CacheManager no-op when warm; re-pin if evicted
-        case prevOpt =>
-          prevOpt.foreach(_.unpersist(blocking = false))
-          pinnedSnapshots.update(family, df)
+        case None =>
+          val (keep, evict) = (df :: cur).splitAt(2)
+          evict.foreach(_.unpersist(blocking = false))
+          pinnedSnapshots.update(family, keep)
           df.persist()
       }
     }
 
-  /** Test hook: the live snapshot registered for `family`, if any. */
+  /** Test hook: the MRU snapshot registered for `family`, if any. */
   private[graft] def pinnedSnapshot(family: String): Option[DataFrame] =
-    pinnedSnapshots.synchronized(pinnedSnapshots.get(family))
+    pinnedSnapshots.synchronized(
+      pinnedSnapshots.getOrElse(family, Nil).headOption)
 
   private def globalTokenPrefix(keyed: DataFrame, sortCols: Seq[String],
       numParts: Int): DataFrame = {

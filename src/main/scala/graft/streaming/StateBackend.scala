@@ -46,8 +46,11 @@ object StateBackend {
     * [[StreamDedup.candidates]]/[[StreamDedup.candidatesWithTtl]],
     * `Ingest.dedupStream` — state keyed by content, growing with the
     * corpus): flips the SESSION default provider to RocksDB unless the
-    * session opted out ([[HeapDefaultKey]]) or a provider is already
-    * pinned to something non-default.
+    * session opted out ([[HeapDefaultKey]]) or the caller pinned ANY
+    * provider explicitly — an explicit `conf.set(ProviderKey, Heap)`
+    * (detected via the set-entries map, which a registered default does
+    * not appear in) is the user's documented choice and is respected,
+    * not just a non-default value.
     *
     * Sticky by design: the provider is captured when a query STARTS, not
     * when its plan is built, so a scoped set-and-restore around a builder
@@ -61,7 +64,7 @@ object StateBackend {
   def defaultToRocksDB(spark: SparkSession): Unit = {
     val optOut = spark.conf.getOption(HeapDefaultKey).contains("true") ||
       sys.props.get(HeapDefaultKey).contains("true")
-    if (!optOut && spark.conf.get(ProviderKey, Heap) == Heap)
+    if (!optOut && !spark.conf.getAll.contains(ProviderKey))
       spark.conf.set(ProviderKey, RocksDB)
   }
 

@@ -30,13 +30,15 @@ object TextIndexStream {
     * re-delivers the last uncommitted batch, and a bare append would
     * double-count its postings and stats. Two gates:
     *  - a per-batch marker under `_appended/` (the common fast path);
-    *  - the append TAG ([[TextIndex.lastAppendTag]]) the append itself
-    *    commits inside the stats swap — its LAST mutation — so a crash
-    *    AFTER a fully committed append but BEFORE the marker landed is
-    *    still detected on replay (the marker is then backfilled). The
-    *    remaining window is a crash inside the swap itself, the same
-    *    documented non-atomic gap as [[TextIndex.appendTo]], closed in
-    *    production by a segment manifest.
+    *  - the per-stream append TAG ([[TextIndex.lastAppendTags]]) the
+    *    append itself commits inside the stats swap — its LAST mutation
+    *    — so a crash AFTER a fully committed append but BEFORE the
+    *    marker landed is still detected on replay (the marker is then
+    *    backfilled), including when ANOTHER stream appended into the
+    *    same root in between (the tags are a map keyed by streamId).
+    *    Artifact swaps themselves publish by the crash-recoverable
+    *    rename chain ([[TextIndex.recoverArtifacts]] runs at batch
+    *    entry), so a crash mid-swap heals instead of losing postings.
     *
     * SEGMENT-BOUNDED: each append adds one parquet file per touched term
     * shard, and long-running ingest would otherwise degrade scan setup
@@ -66,16 +68,23 @@ object TextIndexStream {
   private[streaming] def appendBatch(root: String, batch: DataFrame,
       id: Long, streamId: String = "default", maxSegments: Int = 8): Unit = {
     val marker = new java.io.File(s"$root/_appended/$streamId/batch-$id")
-    val tag = s"$streamId:$id"
     if (!batch.isEmpty && !marker.exists()) {
+      // heal any crashed artifact swap BEFORE reading or appending —
+      // otherwise an append into a mid-swap root would silently
+      // recreate a missing postings dir with only this batch's rows
+      TextIndex.recoverArtifacts(root)
       // the tag check reads the ONE-ROW stats artifact (metadata-scale,
-      // paid per batch on the no-marker path): a committed tag means the
-      // append finished and only the marker was lost — backfill and move on
-      val alreadyCommitted =
-        TextIndex.lastAppendTag(batch.sparkSession, root).contains(tag)
+      // paid per batch on the no-marker path): a committed tag FOR THIS
+      // STREAM means the append finished and only the marker was lost —
+      // backfill and move on (tags are a per-stream map, so another
+      // stream's later append cannot mask this stream's commit)
+      val alreadyCommitted = TextIndex
+        .lastAppendTags(batch.sparkSession, root)
+        .get(streamId).contains(id.toString)
       if (!alreadyCommitted)
         TextIndex.appendTo(root, batch.select("doc_id", "text"),
-          s"tidxstream:$root:$streamId:$id", appendTag = Some(tag))
+          s"tidxstream:$root:$streamId:$id",
+          appendTag = Some(streamId -> id.toString))
       marker.getParentFile.mkdirs()
       marker.createNewFile(): Unit
       if (TextIndex.postingsSegments(root) > maxSegments)

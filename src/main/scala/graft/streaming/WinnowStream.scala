@@ -41,19 +41,28 @@ object WinnowStream {
 
   /** Per-document match report against a static fingerprint set:
     * (doc_id, n_fp, n_matched) — how many of the document's selected
-    * fingerprints the corpus already holds. Plain transformation (the
-    * aggregates run per micro-batch inside foreachBatch, never as
-    * streaming state) — identical on a batch frame, which is how the
-    * spec pins stream ≡ batch.
+    * fingerprints the corpus already holds. TOTAL over the batch: a
+    * document too short to winnow (or with null text) reports
+    * (n_fp = 0, n_matched = 0) rather than vanishing — an ingest gate
+    * keyed on the report must see every document it was handed. One
+    * winnow pass: the membership test is a left join carrying a hit
+    * flag into a single aggregate (count + count(hit)), so the
+    * per-gram hashing — the dominant per-batch cost — runs once, not
+    * once per aggregate. Plain transformation (the aggregates run per
+    * micro-batch inside foreachBatch, never as streaming state) —
+    * identical on a batch frame, which is how the spec pins
+    * stream ≡ batch.
     */
   def matchReport(docs: DataFrame, corpusFps: DataFrame, k: Int = 3,
       w: Int = 4): DataFrame = {
-    val sel = TextOps.winnowOver(docs, k, w)
-    val hits = sel.join(corpusFps.select("fp"), Seq("fp"), "leftsemi")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_matched"))
-    sel.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
-      .join(hits, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_fp"),
+    val perDoc = TextOps.winnowOver(docs, k, w)
+      .join(corpusFps.select(col("fp"), lit(1).as("hit")), Seq("fp"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_fp"), count(col("hit")).as("n_matched"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_fp"), lit(0L)).as("n_fp"),
         coalesce(col("n_matched"), lit(0L)).as("n_matched"))
   }
 

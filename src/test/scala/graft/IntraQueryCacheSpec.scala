@@ -25,26 +25,39 @@ class IntraQueryCacheSpec extends AnyFunSuite with BeforeAndAfterEach {
   private def isCached(df: org.apache.spark.sql.DataFrame): Boolean =
     df.storageLevel != StorageLevel.NONE
 
-  test("pid-snapshot persists release on the next input for the same family") {
-    import org.apache.spark.sql.functions.col
-    val d1 = spark.range(0, 50)
-      .map(i => (i, s"tok$i alpha beta")).toDF("doc_id", "text")
-    val d2 = spark.range(100, 150)
-      .map(i => (i, s"tok$i gamma delta")).toDF("doc_id", "text")
-    graft.operators.TextOps.perplexityBucketsOver(d1, "snaprel-1").collect()
-    val snap1 = graft.operators.TextOps.pinnedSnapshot("perpbucket")
-    assert(snap1.isDefined && isCached(snap1.get))
+  test("pid-snapshot persists: keep-2 per family — deferred plans stay " +
+      "correct, the third input releases the oldest") {
+    import graft.operators.TextOps
+    def docs(lo: Long, tag: String) = spark.range(lo, lo + 50)
+      .map(i => (i, s"tok$i $tag one two")).toDF("doc_id", "text")
+    val (d1, d2, d3) = (docs(0, "a"), docs(100, "b"), docs(200, "c"))
+    // build d1's plan but DON'T consume it yet — the deferred-consumer
+    // interleave a single-slot registry would silently corrupt
+    val deferred = TextOps.perplexityBucketsOver(d1, "snaprel-1")
+    val snap1 = TextOps.pinnedSnapshot("perpbucket")
+    assert(snap1.isDefined)
     // same input again: the snapshot is reused, not replaced
-    graft.operators.TextOps.perplexityBucketsOver(d1, "snaprel-1").collect()
-    assert(graft.operators.TextOps.pinnedSnapshot("perpbucket").get eq snap1.get)
-    // a DIFFERENT input releases the previous pinned corpus
-    graft.operators.TextOps.perplexityBucketsOver(d2, "snaprel-2").collect()
-    val snap2 = graft.operators.TextOps.pinnedSnapshot("perpbucket")
-    assert(snap2.isDefined && !(snap2.get eq snap1.get))
+    TextOps.perplexityBucketsOver(d1, "snaprel-1")
+    assert(TextOps.pinnedSnapshot("perpbucket").get eq snap1.get)
+    // a SECOND input must NOT release d1's snapshot (keep-2): the
+    // deferred d1 plan still consumes one consistent pid assignment
+    TextOps.perplexityBucketsOver(d2, "snaprel-2").collect()
+    val snap2 = TextOps.pinnedSnapshot("perpbucket")
+    assert(isCached(snap1.get), "keep-2 violated: previous snapshot released")
+    val fromDeferred = deferred.collect()
+    // re-running d1 bumps its snapshot to MRU (and rides it warm)
+    val fresh = TextOps.perplexityBucketsOver(d1, "snaprel-1").collect()
+    assert(fromDeferred.map(_.toString).sorted.toSeq ===
+      fresh.map(_.toString).sorted.toSeq)
+    // the THIRD distinct input releases the LRU pinned corpus (d2 — d1
+    // was bumped by the re-run above)
+    TextOps.perplexityBucketsOver(d3, "snaprel-3").collect()
+    val snap3 = TextOps.pinnedSnapshot("perpbucket")
+    assert(snap3.isDefined && !(snap3.get eq snap1.get))
     val deadline = System.nanoTime() + 10_000_000_000L
-    while (isCached(snap1.get) && System.nanoTime() < deadline) Thread.sleep(50)
-    assert(!isCached(snap1.get), "previous input's snapshot still pinned")
-    assert(isCached(snap2.get))
+    while (isCached(snap2.get) && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(!isCached(snap2.get), "LRU input's snapshot still pinned")
+    assert(isCached(snap1.get) && isCached(snap3.get))
   }
 
   test("same-key re-entry keeps the generation's frames cached") {

@@ -85,7 +85,12 @@ class RocksDbStateSpec extends AnyFunSuite {
       StreamDedup.candidates(stream)
       assert(spark.conf.get(StateBackend.ProviderKey) == StateBackend.Heap)
     } finally spark.conf.unset(StateBackend.HeapDefaultKey)
-    // an explicitly pinned NON-default provider is never overridden
+    // an explicitly pinned provider is never overridden — including an
+    // explicit pin of the HEAP provider (the user's documented way to
+    // keep heap without knowing about the opt-out flag)
+    spark.conf.set(StateBackend.ProviderKey, StateBackend.Heap)
+    StreamDedup.candidates(stream)
+    assert(spark.conf.get(StateBackend.ProviderKey) == StateBackend.Heap)
     spark.conf.set(StateBackend.ProviderKey, StateBackend.RocksDB)
     StreamDedup.candidates(stream)
     assert(spark.conf.get(StateBackend.ProviderKey) == StateBackend.RocksDB)

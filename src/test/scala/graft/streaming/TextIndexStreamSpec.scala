@@ -100,6 +100,59 @@ class TextIndexStreamSpec extends AnyFunSuite {
     assert(a.nonEmpty && b.toSeq === a.toSeq)
   }
 
+  test("a lost marker is tag-gated even after ANOTHER stream appended") {
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id").cast("long"), col("text"))
+    val base = java.nio.file.Files.createTempDirectory("graft-tidxm").toString
+    val full = s"$base/full"
+    val multi = s"$base/multi"
+    TextIndex.buildInto(full, docs, "spec-tidxm-full")
+    TextIndex.buildInto(multi, docs.filter(col("doc_id") % 3 === 0),
+      "spec-tidxm-base")
+    val batchA = docs.filter(col("doc_id") % 3 === 1)
+    val batchB = docs.filter(col("doc_id") % 3 === 2)
+    // stream A commits batch 7, loses its marker; stream B then appends
+    // batch 2 — a single latest-append slot would now forget A's commit
+    // and double-count on A's replay
+    TextIndexStream.appendBatch(multi, batchA, id = 7L, "streamA")
+    val markerA = new java.io.File(s"$multi/_appended/streamA/batch-7")
+    assert(markerA.exists() && markerA.delete())
+    TextIndexStream.appendBatch(multi, batchB, id = 2L, "streamB")
+    TextIndexStream.appendBatch(multi, batchA, id = 7L, "streamA") // replay
+    assert(markerA.exists(), "replay did not backfill stream A's marker")
+    val wl = TextOps.bm25Queries
+    val a = TextIndex.bm25At(spark, full, 10, wl).collect().map(_.toString)
+    val b = TextIndex.bm25At(spark, multi, 10, wl).collect().map(_.toString)
+    assert(a.nonEmpty && b.toSeq === a.toSeq)
+  }
+
+  test("a crash between compaction's aside and swap-in renames heals on the next batch") {
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id").cast("long"), col("text"))
+    val base = java.nio.file.Files.createTempDirectory("graft-tidxh").toString
+    val full = s"$base/full"
+    val healed = s"$base/healed"
+    TextIndex.buildInto(full, docs, "spec-tidxh-full")
+    TextIndex.buildInto(healed, docs.filter(col("doc_id") % 2 === 0),
+      "spec-tidxh-base")
+    // simulate the crash point: postings renamed aside, swap-in never ran
+    val postings = new java.io.File(s"$healed/postings")
+    val aside = new java.io.File(s"$healed/postings.old-crashed")
+    assert(postings.renameTo(aside))
+    // serving fails fast on the mid-swap tree rather than reading wrong
+    intercept[IllegalArgumentException] {
+      TextIndex.bm25At(spark, healed, 10, TextOps.bm25Queries)
+    }
+    // the next micro-batch heals the root and appends normally
+    TextIndexStream.appendBatch(healed,
+      docs.filter(col("doc_id") % 2 =!= 0), id = 1L, "heal")
+    assert(postings.exists() && !aside.exists())
+    val wl = TextOps.bm25Queries
+    val a = TextIndex.bm25At(spark, full, 10, wl).collect().map(_.toString)
+    val b = TextIndex.bm25At(spark, healed, 10, wl).collect().map(_.toString)
+    assert(a.nonEmpty && b.toSeq === a.toSeq)
+  }
+
   test("auto-compaction bounds segment count and serving stays ≡ rebuild") {
     val docs = graft.Tables.documents(spark, dir)
       .select(col("doc_id").cast("long"), col("text"))
