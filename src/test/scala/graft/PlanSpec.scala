@@ -393,6 +393,28 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("rangepartitioning"), p)
   }
 
+  test("budget select: the rank-order prefix sum never becomes a " +
+      "single-partition window") {
+    val p = plan(graft.operators.TextOps.budgetSelect(spark, dir))
+    // same contract as perplexity buckets: range exchange on the quality
+    // key + mapPartitions running sums + broadcast offsets; the only
+    // Window allowed is the per-partition totals rollup (one row per pid)
+    val globalWin = p.linesIterator
+      .filter(_.contains("windowspecdefinition"))
+      .filterNot(_.contains("pid"))
+    assert(globalWin.isEmpty, p)
+    assert(p.contains("rangepartitioning"), p)
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"), p)
+  }
+
+  test("corpus diff: one primary-key join over fingerprint manifests — " +
+      "no window, no aggregate, no cartesian") {
+    val p = plan(graft.operators.TextOps.corpusDiff(spark, dir))
+    assert(!p.contains("Window") && !p.contains("HashAggregate"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert("FullOuter".r.findAllMatchIn(p).size == 1, p)
+  }
+
   test("oov rate: vocabulary is TakeOrdered top-v and broadcasts back") {
     val p = plan(graft.operators.TextOps.oovRate(spark, dir))
     assert(p.contains("TakeOrderedAndProject"), p) // top-v, never a full sort
