@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// raw pass-through for the forked mains: the bench driver json-parses the
+// metric line from a bounded tail of captured output, and sbt's "[info] "
+// line prefix / trailing "[success] Total time" line both corrupt or crowd
+// that window (every BENCH_r{1..8} record has parsed: null because of the
+// prefix alone)
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -62,28 +62,74 @@ object Bench {
     val medians = SparkEntry.queries.keys.map { name =>
       name -> median(runs.map(_(name)))
     }.toMap
-    val qs = medians.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def dp3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val total = medians.values.sum
     val totals = runs.map(_.values.sum)
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""sf":"$sfDir","iters":$iters,"total_min":${totals.min},"total_max":${totals.max}}"""
-    println(line)
-    // the driver recovers the metric line from captured stdout, which has
-    // truncated the head in past rounds (BENCH_r07's "parsed": null) — a
-    // well-known file makes the official per-query record complete even
-    // when the stream is clipped
+    // full-fidelity record FIRST (full names, full-precision seconds, run
+    // metadata) — the complete per-query map lives here even when the
+    // driver's captured stream is clipped.
     // redundancy channel only — an unwritable CWD must not fail a run
     // whose results already printed
+    val fullQs = medians.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + dp3(v) }
+      .mkString("{", ",", "}")
+    val fullLine =
+      s"""{"metric":"total","value":${dp3(total)},"unit":"sec","queries":$fullQs,""" +
+      s""""sf":"$sfDir","iters":$iters,"total_min":${dp3(totals.min)},"total_max":${dp3(totals.max)}}"""
     try {
       val out = java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.out.json"))
       java.nio.file.Files.write(out,
-        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+        (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
     } catch {
-      case e: java.io.IOException =>
+      // NonFatal, not just IOException: a malformed SPARK_GRAFT_BENCH_OUT
+      // throws InvalidPathException (a RuntimeException) from Paths.get,
+      // and this sidecar must never fail a run whose results already printed
+      case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] could not write BENCH.out.json: $e")
     }
+    // nothing may print after the metric line (the driver keeps a bounded
+    // TAIL of combined output) — stop Spark first so late executor/stop
+    // logs cannot crowd the capture window
     spark.stop()
+    // the driver's official record keeps only the last ~2000 chars of
+    // output and json-parses the metric line from it; the full-precision
+    // 103-query line is ~3.5 kB, so every past round's record lost its
+    // head (BENCH_r08 "parsed": null, ~37 queries clipped). The printed
+    // line is therefore COMPACT: per-query medians as integer
+    // milliseconds under shortened unique names (q_-prefix stripped,
+    // then the shortest ≥10-char unique truncation), placed as the LAST
+    // field so any residual clipping eats scalar headers, never query
+    // rows. BENCH.out.json above keeps the full-name full-precision map.
+    val short = shortNames(medians.keys.toSeq)
+    val qsMs = medians.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + short(k) + "\":" + math.round(v * 1000) }
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":${dp3(total)},"unit":"sec",""" +
+      s""""total_min":${dp3(totals.min)},"total_max":${dp3(totals.max)},""" +
+      s""""queries_ms":$qsMs}"""
+    println(line)
+    System.out.flush()
+  }
+
+  /** q_-stripped, shortest-unique-truncation display names for the
+    * compact metric line: every name truncates to 10 chars, colliding
+    * groups extend by 2 until unique (deterministic for a fixed query
+    * set; full names are unique so it terminates).
+    */
+  private[graft] def shortNames(names: Seq[String]): Map[String, String] = {
+    val stripped = names.map(n =>
+      n -> (if (n.startsWith("q_")) n.drop(2) else n)).toMap
+    var len = 10
+    var short = stripped.map { case (k, v) => k -> v.take(len) }
+    while (short.values.toSeq.distinct.size < short.size) {
+      val dups = short.groupBy(_._2).filter(_._2.size > 1)
+        .flatMap(_._2.keys).toSet
+      len += 2
+      short = short.map { case (k, v) =>
+        k -> (if (dups(k)) stripped(k).take(len) else v)
+      }
+    }
+    short
   }
 }

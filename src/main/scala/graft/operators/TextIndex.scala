@@ -143,25 +143,47 @@ object TextIndex {
   /** Incremental index maintenance: fold a NEW document slice (disjoint
     * doc_ids — the re-crawl/ingest contract the incremental dedup family
     * shares) into an existing index without touching old postings. New
-    * postings APPEND as additional files under their term-shard dirs —
+    * postings land as additional files under their term-shard dirs —
     * doc-slice-sized work, the corpus is never re-read; the
     * vocabulary-bounded `terms/` table and one-row `stats/` re-derive by
     * re-aggregating old + delta (the CorpusRoute rollup-upsert model at
     * term grain). Results must be EXACTLY a full rebuild's — spec-pinned
     * for both BM25 and phrase serving.
     *
-    * The small-table swaps publish by the crash-recoverable rename chain
-    * ([[publishByRename]] / [[recoverArtifacts]]); a production
-    * deployment would still version them behind a segment manifest. The
-    * postings append itself is safe: a crashed append leaves readable
-    * old files plus possibly-partial new ones that the next full rebuild
-    * (fingerprint change) discards.
+    * REPLAY-IDEMPOTENT per `appendTag` = (streamId, batchId): each of the
+    * three mutations is either tag-gated or tag-overwriting, so an
+    * at-least-once replayer ([[graft.streaming.TextIndexStream]]) that
+    * re-runs this after ANY crash point converges to exactly-once:
+    *  - postings STAGE under a `postings.tmp-*` tree, then publish by
+    *    per-file rename into the term-shard dirs under tag-prefixed names
+    *    (`seg-<streamId>-<batchId>-*`); a replay first DELETES files
+    *    carrying its own tag, so a half-moved or fully-moved crashed
+    *    attempt is overwritten, never double-appended. Stale staging
+    *    trees are swept by [[recoverArtifacts]] at batch entry.
+    *  - the `terms/` swap carries the tag map in a `_last_appends` file
+    *    inside the published dir (riding the same atomic rename); a
+    *    replay that finds its tag there skips the merge — closing the
+    *    crashed-between-terms-and-stats window that would otherwise
+    *    re-merge df.
+    *  - the `stats/` swap (the LAST mutation) embeds the tag map in its
+    *    one row ([[lastAppendTags]]) — the overall commit point.
+    * Untagged (ad-hoc batch) appends skip the replay bookkeeping; their
+    * crash residue is discarded by the next full rebuild (fingerprint
+    * change). The small-table swaps publish by the crash-recoverable
+    * rename chain ([[publishByRename]] / [[recoverArtifacts]]); a
+    * production deployment would still version them behind a segment
+    * manifest.
     */
   private[graft] def appendTo(root: String, newDocs: DataFrame,
       gen: String, appendTag: Option[(String, String)] = None): Unit = {
     val spark = newDocs.sparkSession
     require(new File(s"$root/postings").exists(),
       s"appendTo on $root with no postings/ — recover or rebuild first")
+    // fully committed on a previous (crashed-before-marker) attempt —
+    // the streaming gate checks this too; kept here so direct callers
+    // replaying a tag are exactly-once as well
+    val oldTags = lastAppendTags(spark, root)
+    if (appendTag.exists { case (s, b) => oldTags.get(s).contains(b) }) return
     graft.IntraQueryCache.newGeneration(gen)
     val dt = graft.IntraQueryCache.scoped(positionalDt(newDocs))
     val dl = graft.IntraQueryCache.scoped(
@@ -171,22 +193,32 @@ object TextIndex {
     // latest-append slot would forget stream A's committed tag as soon
     // as stream B appended, re-opening the lost-marker double-count on
     // multi-stream roots)
-    val oldTags = lastAppendTags(spark, root)
+    val termsTags = readTagFile(s"$root/terms")
+    // terms committed ⇒ the crashed attempt got past the postings
+    // publish (strictly earlier in this sequence) — skip both and only
+    // redo the stats swap the crash interrupted
+    val termsCommitted =
+      appendTag.exists { case (s, b) => termsTags.get(s).contains(b) }
     val oldTerms = spark.read.parquet(s"$root/terms")
       .select("term", "df").localCheckpoint()
     val oldStats = spark.read.parquet(s"$root/stats")
       .select("n", "t").localCheckpoint()
-    dt.join(dl, "doc_id")
-      .withColumn("tshard", tshardOf(col("term")))
-      .repartition(col("tshard"))
-      .sortWithinPartitions("term", "doc_id")
-      .write.mode("append").partitionBy("tshard")
-      .option("compression", "zstd")
-      .option("parquet.bloom.filter.enabled#term", "true")
-      .parquet(s"$root/postings")
-    val mergedTerms = oldTerms
-      .unionByName(dt.groupBy("term").agg(count(lit(1)).as("df")))
-      .groupBy("term").agg(sum(col("df")).as("df"))
+    if (!termsCommitted) {
+      val segPrefix = appendTag match {
+        case Some((s, b)) => s"seg-${enc(s)}-${enc(b)}-"
+        case None => s"seg-adhoc-${java.util.UUID.randomUUID()}-"
+      }
+      if (appendTag.isDefined) deleteTaggedFiles(s"$root/postings", segPrefix)
+      val stage = s"$root/postings.tmp-batch-${java.util.UUID.randomUUID()}"
+      writeSharded(dt.join(dl, "doc_id"), Seq("term", "doc_id"), stage)
+      publishStagedPostings(stage, s"$root/postings", segPrefix)
+      rmTree(new File(stage))
+      val mergedTerms = oldTerms
+        .unionByName(dt.groupBy("term").agg(count(lit(1)).as("df")))
+        .groupBy("term").agg(sum(col("df")).as("df"))
+      swapSmallTable(mergedTerms, isTerms = true, s"$root/terms",
+        tags = Some(termsTags ++ appendTag))
+    }
     val deltaStats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("t"))
     // the tag map rides the stats swap — the LAST mutation of the append
     // — so an at-least-once replayer can detect "this append already
@@ -195,13 +227,74 @@ object TextIndex {
     val mergedStats = oldStats.unionByName(deltaStats)
       .agg(sum(col("n")).as("n"), sum(col("t")).as("t"))
       .withColumn("last_appends", typedlit(oldTags ++ appendTag))
-    swapSmallTable(mergedTerms, isTerms = true, s"$root/terms")
     swapSmallTable(mergedStats, isTerms = false, s"$root/stats")
     // the swaps consumed the materialized old tables; drop their blocks
     // (an append-heavy ingest loop would otherwise pin one vocab-sized
     // snapshot per append — the BPE trainer's measured leak class)
     TextOps.releaseCheckpoint(oldTerms)
     TextOps.releaseCheckpoint(oldStats)
+  }
+
+  /** Filesystem-safe encoding for tag components (streamIds are
+    * caller-chosen strings; batch ids are digits).
+    */
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+
+  /** Remove a crashed same-tag attempt's published postings files —
+    * the overwrite half of replay idempotence.
+    */
+  private def deleteTaggedFiles(postingsRoot: String, prefix: String): Unit =
+    for {
+      shard <- Option(new File(postingsRoot).listFiles()).getOrElse(Array.empty)
+      if shard.isDirectory && shard.getName.startsWith("tshard=")
+      f <- Option(shard.listFiles()).getOrElse(Array.empty)
+      if f.getName.startsWith(prefix)
+    } f.delete(): Unit
+
+  /** Publish a staged postings tree into the live term-shard dirs by
+    * per-file rename (atomic on a local fs), prefixing each file with
+    * the append's tag so a replay can identify and overwrite it.
+    */
+  private def publishStagedPostings(stage: String, postingsRoot: String,
+      prefix: String): Unit =
+    for {
+      shard <- Option(new File(stage).listFiles()).getOrElse(Array.empty)
+      if shard.isDirectory && shard.getName.startsWith("tshard=")
+      f <- Option(shard.listFiles()).getOrElse(Array.empty)
+      if f.getName.endsWith(".parquet")
+    } {
+      val dir = new File(postingsRoot, shard.getName)
+      dir.mkdirs()
+      val target = new File(dir, prefix + f.getName)
+      require(f.renameTo(target), s"postings publish rename to $target failed")
+    }
+
+  /** The per-stream tag map a small-table artifact dir carries in its
+    * `_last_appends` file (empty when absent — fresh builds and the
+    * stats dir, whose map is row-embedded). Lines are
+    * `urlenc(streamId)\turlenc(batchId)`.
+    */
+  private[graft] def readTagFile(dir: String): Map[String, String] = {
+    val f = new File(dir, "_last_appends")
+    if (!f.exists()) Map.empty
+    else {
+      val src = scala.io.Source.fromFile(f, "UTF-8")
+      try src.getLines().filter(_.contains('\t')).map { line =>
+        val Array(k, v) = line.split('\t')
+        java.net.URLDecoder.decode(k, "UTF-8") ->
+          java.net.URLDecoder.decode(v, "UTF-8")
+      }.toMap
+      finally src.close()
+    }
+  }
+
+  private def writeTagFile(dir: String, tags: Map[String, String]): Unit = {
+    val body = tags.toSeq.sorted
+      .map { case (k, v) => s"${enc(k)}\t${enc(v)}" }
+      .mkString("", "\n", "\n")
+    java.nio.file.Files.write(new File(dir, "_last_appends").toPath,
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
   }
 
   /** Segment compaction — the other half of the append lifecycle: an
@@ -297,10 +390,14 @@ object TextIndex {
   }
 
   private def swapSmallTable(df: DataFrame, isTerms: Boolean,
-      path: String): Unit = {
+      path: String, tags: Option[Map[String, String]] = None): Unit = {
     val tmp = s"$path.tmp-${java.util.UUID.randomUUID()}"
     if (isTerms) writeSharded(df, Seq("term"), tmp)
     else df.write.parquet(tmp)
+    // the tag file lands INSIDE the tmp tree so it rides the atomic
+    // swap-in rename with the data it describes (parquet readers skip
+    // underscore files)
+    tags.foreach(writeTagFile(tmp, _))
     // localCheckpoint above materialized the old contents, so the swap
     // cannot read-after-delete its own input; publish is the same
     // crash-recoverable rename chain as compaction

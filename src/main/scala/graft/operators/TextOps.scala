@@ -1501,11 +1501,35 @@ object TextOps {
           prev.persist() // CacheManager no-op when warm; re-pin if evicted
         case None =>
           val (keep, evict) = (df :: cur).splitAt(2)
-          evict.foreach(_.unpersist(blocking = false))
+          evict.foreach { old =>
+            // contract check, loud: a snapshot evicted before its
+            // persisted buffers were EVER materialized means the caller
+            // registered three inputs before consuming the first — any
+            // frame still pending over it would now re-evaluate `parted`
+            // with independent pid assignments (the silent-wrongness the
+            // persist exists to prevent). Warn instead of assert: a
+            // built-then-abandoned plan is harmless, and the two are
+            // indistinguishable here.
+            if (!wasMaterialized(old))
+              System.err.println(s"[graft] pinSnapshot($family): evicting a " +
+                "NEVER-CONSUMED snapshot (3 inputs registered before the " +
+                "first was consumed) — frames built over it are no longer " +
+                "pid-consistent; consume before registering a third input")
+            old.unpersist(blocking = false)
+          }
           pinnedSnapshots.update(family, keep)
           df.persist()
       }
     }
+
+  /** Whether a pinned snapshot's cached buffers were ever computed — the
+    * observable proxy for "some downstream frame consumed it".
+    */
+  private def wasMaterialized(df: DataFrame): Boolean =
+    df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sharedState.cacheManager
+      .lookupCachedData(df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]])
+      .exists(_.cachedRepresentation.cacheBuilder.isCachedColumnBuffersLoaded)
 
   /** Test hook: the MRU snapshot registered for `family`, if any. */
   private[graft] def pinnedSnapshot(family: String): Option[DataFrame] =

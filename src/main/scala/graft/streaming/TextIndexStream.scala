@@ -39,6 +39,11 @@ object TextIndexStream {
     *    Artifact swaps themselves publish by the crash-recoverable
     *    rename chain ([[TextIndex.recoverArtifacts]] runs at batch
     *    entry), so a crash mid-swap heals instead of losing postings.
+    *    A crash INSIDE the append is covered too: postings publish
+    *    under (streamId, batchId)-tagged file names a replay overwrites
+    *    rather than re-appends, and the terms swap carries its own tag
+    *    so a crash between the terms and stats swaps cannot re-merge
+    *    df — see [[TextIndex.appendTo]]'s replay-idempotence contract.
     *
     * SEGMENT-BOUNDED: each append adds one parquet file per touched term
     * shard, and long-running ingest would otherwise degrade scan setup

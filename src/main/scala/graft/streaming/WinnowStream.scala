@@ -52,6 +52,10 @@ object WinnowStream {
     * micro-batch inside foreachBatch, never as streaming state) —
     * identical on a batch frame, which is how the spec pins
     * stream ≡ batch.
+    *
+    * `corpusFps` must be fp-distinct ([[corpusIndexOf]] and the
+    * refreshing loader both guarantee it); a duplicated fp would
+    * multiply the left join and inflate n_fp / n_matched.
     */
   def matchReport(docs: DataFrame, corpusFps: DataFrame, k: Int = 3,
       w: Int = 4): DataFrame = {
@@ -87,7 +91,13 @@ object WinnowStream {
     require(refreshEvery >= 1, s"refreshEvery must be >= 1, got $refreshEvery")
     val snap = new RefreshingSnapshot(stream.sparkSession, sp => {
       sp.catalog.refreshByPath(fpsPath)
-      sp.read.parquet(fpsPath)
+      // dedupe at LOAD, once per refresh: the refresh model accepts raw
+      // part files from an external ingest, and overlapping deliveries can
+      // carry duplicate fp rows — which would multiply matchReport's left
+      // join and inflate both n_fp and n_matched. Paying the distinct here
+      // keeps the per-batch path duplicate-safe at zero per-batch cost
+      // (the snapshot is persisted across the refresh window).
+      sp.read.parquet(fpsPath).select("fp").distinct()
     })
     stream.writeStream.outputMode("append").foreachBatch {
       (batch: Dataset[Row], batchId: Long) =>

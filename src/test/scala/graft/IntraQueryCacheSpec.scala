@@ -60,6 +60,43 @@ class IntraQueryCacheSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(isCached(snap1.get) && isCached(snap3.get))
   }
 
+  test("evicting a never-consumed pinned snapshot warns loudly; a consumed one evicts silently") {
+    import graft.operators.TextOps
+    def docs(lo: Long, tag: String) = spark.range(lo, lo + 50)
+      .map(i => (i, s"tok$i $tag one two")).toDF("doc_id", "text")
+    val orig = System.err
+    def capturing(body: => Unit): String = {
+      val buf = new java.io.ByteArrayOutputStream()
+      try { System.setErr(new java.io.PrintStream(buf, true, "UTF-8")); body }
+      finally System.setErr(orig)
+      new String(buf.toByteArray, "UTF-8")
+    }
+    // d1's plan is built but NEVER consumed; d2 is consumed. The third
+    // distinct input then evicts d1 (the LRU) — a contract violation
+    // (frames over d1 are no longer pid-consistent) that must be loud.
+    TextOps.perplexityBucketsOver(docs(0, "w1"), "snapwarn-1")
+    val out1 = capturing {
+      TextOps.perplexityBucketsOver(docs(100, "w2"), "snapwarn-2").collect()
+    }
+    assert(!out1.contains("NEVER-CONSUMED"), "keep-2 must not warn on the second input")
+    var third: org.apache.spark.sql.DataFrame = null
+    val out2 = capturing {
+      third = TextOps.perplexityBucketsOver(docs(200, "w3"), "snapwarn-3")
+    }
+    assert(out2.contains("NEVER-CONSUMED"),
+      "evicting the unconsumed d1 snapshot must warn loudly")
+    // and the well-behaved interleave stays silent: every still-pinned
+    // snapshot (w2 collected above, w3 here) is consumed before the next
+    // registration (consuming the RETURNED frame — a rebuilt typed-map
+    // input would be a fresh lambda and a genuinely different plan)
+    third.collect()
+    val out3 = capturing {
+      TextOps.perplexityBucketsOver(docs(300, "w4"), "snapwarn-4").collect()
+    }
+    assert(!out3.contains("NEVER-CONSUMED"),
+      "evicting a consumed snapshot must stay silent")
+  }
+
   test("same-key re-entry keeps the generation's frames cached") {
     IntraQueryCache.newGeneration("qA")
     val a = IntraQueryCache.scoped(frame(1))

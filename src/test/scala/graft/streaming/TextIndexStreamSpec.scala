@@ -126,6 +126,85 @@ class TextIndexStreamSpec extends AnyFunSuite {
     assert(a.nonEmpty && b.toSeq === a.toSeq)
   }
 
+  /** Recreate a mid-append crash state: run the append to completion,
+    * then restore the named small-table artifacts from a pre-append
+    * snapshot — leaving exactly the on-disk state a crash at that point
+    * would have left (committed postings files under their tagged names,
+    * selected artifacts still old, commit evidence gone with them).
+    */
+  private def copyTree(src: java.io.File, dst: java.io.File): Unit = {
+    if (src.isDirectory) {
+      dst.mkdirs()
+      src.listFiles().foreach(f => copyTree(f, new java.io.File(dst, f.getName)))
+    } else java.nio.file.Files.copy(src.toPath, dst.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+  }
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(rmTree)
+    f.delete(): Unit
+  }
+
+  test("a crash after the postings publish but before the terms swap replays exactly-once") {
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id").cast("long"), col("text"))
+    val base = java.nio.file.Files.createTempDirectory("graft-tidxp").toString
+    val full = s"$base/full"
+    val crashed = s"$base/crashed"
+    TextIndex.buildInto(full, docs, "spec-tidxp-full")
+    TextIndex.buildInto(crashed, docs.filter(col("doc_id") % 2 === 0),
+      "spec-tidxp-base")
+    // snapshot the small tables, commit the append, then roll terms AND
+    // stats back: the state a crash between the postings publish and the
+    // terms swap leaves (tagged postings live, no tag anywhere)
+    copyTree(new java.io.File(s"$crashed/terms"), new java.io.File(s"$base/terms.bak"))
+    copyTree(new java.io.File(s"$crashed/stats"), new java.io.File(s"$base/stats.bak"))
+    val batch = docs.filter(col("doc_id") % 2 =!= 0)
+    TextIndexStream.appendBatch(crashed, batch, id = 11L, "crashy")
+    rmTree(new java.io.File(s"$crashed/_appended"))
+    rmTree(new java.io.File(s"$crashed/terms"))
+    rmTree(new java.io.File(s"$crashed/stats"))
+    copyTree(new java.io.File(s"$base/terms.bak"), new java.io.File(s"$crashed/terms"))
+    copyTree(new java.io.File(s"$base/stats.bak"), new java.io.File(s"$crashed/stats"))
+    // replay: must OVERWRITE the tagged postings (not re-append) and
+    // merge terms/stats exactly once
+    TextIndexStream.appendBatch(crashed, batch, id = 11L, "crashy")
+    val wl = TextOps.bm25Queries
+    val a = TextIndex.bm25At(spark, full, 10, wl).collect().map(_.toString)
+    val b = TextIndex.bm25At(spark, crashed, 10, wl).collect().map(_.toString)
+    assert(a.nonEmpty && b.toSeq === a.toSeq)
+    val pa = TextIndex.phraseAt(spark, full, TextIndex.phraseQueries)
+      .collect().map(_.toString)
+    val pb = TextIndex.phraseAt(spark, crashed, TextIndex.phraseQueries)
+      .collect().map(_.toString)
+    assert(pa.nonEmpty && pb.toSeq === pa.toSeq)
+  }
+
+  test("a crash between the terms and stats swaps does not re-merge df on replay") {
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id").cast("long"), col("text"))
+    val base = java.nio.file.Files.createTempDirectory("graft-tidxw").toString
+    val full = s"$base/full"
+    val crashed = s"$base/crashed"
+    TextIndex.buildInto(full, docs, "spec-tidxw-full")
+    TextIndex.buildInto(crashed, docs.filter(col("doc_id") % 2 === 0),
+      "spec-tidxw-base")
+    // roll back ONLY stats: postings + terms committed (terms carries its
+    // tag), stats old — the exact window r8's docs papered over
+    copyTree(new java.io.File(s"$crashed/stats"), new java.io.File(s"$base/stats.bak"))
+    val batch = docs.filter(col("doc_id") % 2 =!= 0)
+    TextIndexStream.appendBatch(crashed, batch, id = 4L, "crashy")
+    rmTree(new java.io.File(s"$crashed/_appended"))
+    rmTree(new java.io.File(s"$crashed/stats"))
+    copyTree(new java.io.File(s"$base/stats.bak"), new java.io.File(s"$crashed/stats"))
+    assert(TextIndex.readTagFile(s"$crashed/terms").get("crashy").contains("4"),
+      "terms artifact must carry its own append tag")
+    TextIndexStream.appendBatch(crashed, batch, id = 4L, "crashy")
+    val wl = TextOps.bm25Queries
+    val a = TextIndex.bm25At(spark, full, 10, wl).collect().map(_.toString)
+    val b = TextIndex.bm25At(spark, crashed, 10, wl).collect().map(_.toString)
+    assert(a.nonEmpty && b.toSeq === a.toSeq)
+  }
+
   test("a crash between compaction's aside and swap-in renames heals on the next batch") {
     val docs = graft.Tables.documents(spark, dir)
       .select(col("doc_id").cast("long"), col("text"))

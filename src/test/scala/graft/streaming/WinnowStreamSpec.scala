@@ -63,6 +63,49 @@ class WinnowStreamSpec extends AnyFunSuite {
       s"verbatim re-serve not fully matched: $rsv")
   }
 
+  test("duplicate fp rows from overlapping deliveries do not inflate the report") {
+    // the documented refresh model accepts raw part files from an
+    // external ingest; an overlapping delivery re-lands rows already
+    // present. The loader dedupes per refresh, so n_fp/n_matched must
+    // equal the distinct-set report, not multiply with the join
+    val fpsPath = java.nio.file.Files.createTempDirectory("graft-windup").toString
+    val textA = (1 to 30).map(i => s"d$i").mkString(" ")
+    val fps = WinnowStream.corpusIndexOf(Seq((1L, textA)).toDF("doc_id", "text"))
+    fps.write.mode("overwrite").parquet(fpsPath)
+    // overlapping re-delivery: the same fingerprints land again as an
+    // extra part file
+    val side = java.nio.file.Files.createTempDirectory("graft-windup-add").toString
+    fps.coalesce(1).write.mode("overwrite").parquet(side)
+    val part = new java.io.File(side).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .head
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(fpsPath, "dup-" + part.getName))
+
+    val expected = WinnowStream.matchReport(
+      Seq((9001L, textA)).toDF("doc_id", "text"),
+      fps.select("fp").distinct())
+      .as[(Long, Long, Long)].collect().toSet
+
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDS.select(col("_1").as("doc_id"), col("_2").as("text"))
+    val q = WinnowStream.matchesVsCorpusRefreshing(stream, fpsPath,
+      refreshEvery = 1) { (df, _) =>
+      val rows = df.as[(Long, Long, Long)].collect()
+      got.synchronized { got ++= rows }
+    }.start()
+    try {
+      mem.addData((9001L, textA))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rep = got.toSet
+    assert(rep == expected, s"duplicated deliveries distorted the report: $rep vs $expected")
+    val r = rep.head
+    assert(r._2 > 0 && r._3 == r._2, s"verbatim doc must be fully known: $r")
+  }
+
   test("refreshing fingerprint set: additions invisible until the refresh boundary") {
     val fpsPath = java.nio.file.Files.createTempDirectory("graft-winfps").toString
     // 20 distinct-token texts — long enough (>= k+w-1 = 6) to winnow
