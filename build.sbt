@@ -18,6 +18,10 @@ run / fork := true
 // prefix alone)
 run / outputStrategy := Some(StdoutOutput)
 Global / showSuccess := false
+// showSuccess is consumed by sbt's command engine, not another setting —
+// the unused-key lint is a false positive (the "[success]" line demonstrably
+// disappears)
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

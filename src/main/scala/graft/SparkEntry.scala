@@ -817,6 +817,57 @@ object SparkEntry {
         |SELECT v.vec_id, v.label, sz.n_members
         |FROM embeddings v JOIN sz ON sz.canonical = v.vec_id
         |ORDER BY v.vec_id""".stripMargin,
+    "q_kmeans" -> {
+      // Exact replay of the quantized-integer Lloyd fit
+      // (VectorOps.kmeansFitOver): every step is int64 — quantization is
+      // the identical IEEE double multiply + truncate, distances are
+      // integer Σ(x−c)², centroid means round by an exact floor-division
+      // rule — so the fixed iteration count unrolls as chained CTEs (the
+      // q_bpe_merges precedent) and the assignment matches HASH-EXACTLY.
+      // Init ordering uses the cross-engine md5/60-bit family; QUALIFY
+      // row_number mirrors the struct-ordered (dist, cid) argmin. The
+      // oracle's floor((2S+n)/(2.0n)) is exact while |2S+n| < 2^53 —
+      // ~1e4 above the sf0.01 data (the Spark side uses Math.floorDiv,
+      // exact at any int64). Every CTE is MATERIALIZED so round r's
+      // result evaluates once, not once per downstream reference.
+      val k = 8
+      val iters = 5
+      def dist(qa: String, ca: String) =
+        s"CAST(list_sum(list_transform(list_zip($qa.xq, $ca.cent), " +
+          "z -> (z[1] - z[2])*(z[1] - z[2]))) AS BIGINT)"
+      val initOrd =
+        "CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)),1,15)) AS BIGINT), vec_id"
+      val base =
+        s"""WITH q AS MATERIALIZED (
+           |  SELECT vec_id, [CAST(trunc(CAST(x AS DOUBLE)*10000000.0) AS BIGINT) FOR x IN embedding] AS xq
+           |  FROM embeddings WHERE embedding IS NOT NULL),
+           |c0 AS MATERIALIZED (
+           |  SELECT row_number() OVER (ORDER BY $initOrd) - 1 AS cid, xq AS cent
+           |  FROM q ORDER BY $initOrd LIMIT $k)""".stripMargin
+      val rounds = (1 to iters).map { r =>
+        s"""a$r AS MATERIALIZED (
+           |  SELECT q.vec_id, q.xq, c.cid, ${dist("q", "c")} AS dist
+           |  FROM q, c${r - 1} c
+           |  QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY dist, c.cid) = 1),
+           |s$r AS MATERIALIZED (
+           |  SELECT cid, i, SUM(x) AS s, COUNT(*) AS n FROM (
+           |    SELECT cid, unnest(generate_series(1, len(xq))) AS i, unnest(xq) AS x FROM a$r)
+           |  GROUP BY 1, 2),
+           |c$r AS MATERIALIZED (
+           |  SELECT p.cid, CASE WHEN u.cid IS NULL THEN p.cent ELSE u.cent END AS cent
+           |  FROM c${r - 1} p LEFT JOIN (
+           |    SELECT cid, list(CAST(floor((2*s + n) / (2.0*n)) AS BIGINT) ORDER BY i) AS cent
+           |    FROM s$r GROUP BY cid) u USING (cid))""".stripMargin
+      }
+      val fin =
+        s"""af AS (
+           |  SELECT q.vec_id, c.cid, ${dist("q", "c")} AS dist
+           |  FROM q, c$iters c
+           |  QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY dist, c.cid) = 1)
+           |SELECT vec_id, CAST(cid AS BIGINT) AS cluster, dist AS dist_q
+           |FROM af ORDER BY vec_id""".stripMargin
+      (base +: rounds).mkString(",\n") + ",\n" + fin
+    },
     "q_bpe_merges" -> {
       // Merge replay as delimiter-wrapped string replace: each token is
       // wrapped in  (absent from the data), so the sequence reads

@@ -87,6 +87,73 @@ case class DotProduct(left: Expression, right: Expression)
   override def prettyName: String = "vec_dot"
 }
 
+/** Native codegen'd squared L2 distance over two `array<bigint>` — the
+  * assignment kernel of the EXACT (quantized-integer) k-means fit:
+  * embeddings quantize to 1e-7-unit longs, so Σ(xᵢ−cᵢ)² is pure int64
+  * arithmetic — order-independent, overflow-checked by construction
+  * (|x|,|c| ≤ ~1e8 quantized units and dim ≤ 4096 keeps the sum under
+  * 2^63; see VectorOps.kmeansFitOver), and bit-identical to any engine
+  * that evaluates the same integer expression — which is what lets the
+  * k-means oracle be DuckDB-hash-exact instead of float-hash-defined.
+  * Same tight-primitive-loop rationale as [[DotProduct]].
+  */
+case class LongL2Sq(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def isLongArray(t: DataType): Boolean = t match {
+    case ArrayType(org.apache.spark.sql.types.LongType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isLongArray(left.dataType) && isLongArray(right.dataType)) {
+      TypeCheckResult.TypeCheckSuccess
+    } else {
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<bigint> arguments, " +
+          s"got ${left.dataType.sql} and ${right.dataType.sql}")
+    }
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      val d = x.getLong(i) - y.getLong(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $d = $a.getLong($i) - $b.getLong($i);
+         |  $s += $d * $d;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LongL2Sq =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "vec_l2sq_long"
+}
+
 /** Native codegen'd intersection size of two SORTED long arrays (merge
   * scan, no per-row hash set). Verification step of the exact-jaccard
   * near-dup join scores millions of candidate pairs whose token sets are
@@ -174,6 +241,15 @@ object VectorFunctions {
         s"$intersectName expects 2 arguments, got ${other.size}")
   }
 
+  val l2sqLongName = "vec_l2sq_long"
+
+  private val l2sqLongBuilder: Seq[Expression] => Expression = {
+    case Seq(a, b) => LongL2Sq(a, b)
+    case other =>
+      throw new IllegalArgumentException(
+        s"$l2sqLongName expects 2 arguments, got ${other.size}")
+  }
+
   val minhashName = "minhash_agg"
 
   private val minhashBuilder: Seq[Expression] => Expression = {
@@ -255,6 +331,8 @@ object VectorFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       intersectName, intersectBuilder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      l2sqLongName, l2sqLongBuilder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       minhashName, minhashBuilder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       jpegDimsName, jpegDimsBuilder, "scala_udf")
@@ -278,6 +356,10 @@ object VectorFunctions {
   /** Column API: intersection size of two sorted `array<bigint>` columns. */
   def sortedIntersectCount(a: Column, b: Column): Column =
     call_function(intersectName, a, b)
+
+  /** Column API: exact squared L2 over two `array<bigint>` columns. */
+  def l2sqLong(a: Column, b: Column): Column =
+    call_function(l2sqLongName, a, b)
 
   /** Column API: group-level minhash signature over a `bigint` hash column. */
   def minhashAgg(c: Column): Column = call_function(minhashName, c)
@@ -325,6 +407,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[SortedIntersectCount].getName, null,
           VectorFunctions.intersectName),
         (exprs: Seq[Expression]) => SortedIntersectCount(exprs(0), exprs(1))))
+    ext.injectFunction(
+      (FunctionIdentifier(VectorFunctions.l2sqLongName),
+        new ExpressionInfo(classOf[LongL2Sq].getName, null,
+          VectorFunctions.l2sqLongName),
+        (exprs: Seq[Expression]) => LongL2Sq(exprs(0), exprs(1))))
     ext.injectFunction(
       (FunctionIdentifier(VectorFunctions.minhashName),
         new ExpressionInfo(classOf[MinHashAgg].getName, null,

@@ -1065,94 +1065,151 @@ object VectorOps {
     * the clustering face of SemDeDup-style curation (cluster, then dedup
     * or rebalance within clusters) and the corpus-scale counterpart of
     * the sample-trained IVF codebook: here every vector votes in every
-    * iteration. Returns (vec_id, cluster, dist) with dist the squared L2
-    * to the final centroid, rounded for cross-run stability.
+    * iteration. Returns (vec_id, cluster, dist_q) with dist_q the EXACT
+    * squared L2 to the final centroid in quantized units.
+    *
+    * EXACT-ARITHMETIC fit (r9): embeddings quantize once to integer
+    * 1e-7 units (`trunc(x·1e7)` — the identical double multiply +
+    * truncate on any IEEE engine), and from there the ENTIRE fit is
+    * int64: distances are Σ(xᵢ−cᵢ)² via the native [[LongL2Sq]] kernel
+    * (order-independent by commutativity of integer addition), centroid
+    * updates are integer sums + one exact floor-division rounding rule
+    * (half-up: `floorDiv(2S+n, 2n)`), and empty clusters keep their
+    * previous centroid. No float summation order anywhere, so the fixed
+    * iteration count unrolls into chained SQL CTEs and the driver's
+    * DuckDB oracle replays the fit HASH-EXACTLY (the q_bpe_merges
+    * precedent) — this was r8's last convertible rows-only query.
+    * Quantization at 1e-7 is far below embedding noise (float32 carries
+    * ~7 significant digits on unit-scale values).
     *
     * Determinism: init is the k vectors with smallest
-    * (xxhash64(vec_id), vec_id) — seed-free and reproducible; ties in
-    * assignment break on centroid id via struct ordering; updated
-    * centroid coordinates round to 9 dp each iteration so last-ulp
-    * differences in float summation order cannot flip later argmins in
-    * practice. Quality is spec-pinned (KMeansSpec): argmin property
-    * against independently recomputed distances, monotone
-    * non-increasing inertia, cluster count, determinism across runs.
+    * (md5-60-bit(vec_id), vec_id) — seed-free, reproducible, and
+    * cross-engine replayable (the winnow/sampler `conv(substring(md5…`
+    * ↔ `'0x'||substr(md5…` pair); ties in assignment break on centroid
+    * id via struct ordering on exact integers.
+    *
+    * Overflow audit (the int64 budget): with |x| ≤ 1 (all embedding
+    * tables here) quantized |xq| ≤ 1e7, per-dim diff² ≤ 4e14, × dim 64
+    * = 2.6e16 — 350× headroom under 2^63; the kernel stays exact up to
+    * |x|·√dim ≈ 150. Cluster sums: 1e7 × 1e9 members = 1e16 ✓. The
+    * driver-side update uses `Math.floorDiv` (exact at any int64); the
+    * ORACLE's float-division floor is exact while |2S+n| < 2^53 — a
+    * bound the sf0.01 oracle data sits 1e4 under.
     *
     * Scale shape: per iteration, assignment is a map-only codegen pass
     * over the corpus (centroids ride the plan as literals — k·dim
-    * doubles, KBs); the centroid update is ONE partial-aggregable
-    * shuffle of (cluster, dim) keyed sums — map-side combining collapses
-    * every partition to ≤ k·dim rows before the exchange, and the
-    * driver collects exactly k·dim aggregated rows (bounded, like the
-    * BPE top-pair collect). Nothing all-pairs, no global sort; empty
-    * clusters keep their previous centroid.
+    * longs, KBs); the centroid update is ONE partial-aggregable
+    * shuffle of (cluster, dim) keyed integer sums — map-side combining
+    * collapses every partition to ≤ k·dim rows before the exchange, and
+    * the driver collects exactly k·dim aggregated rows (bounded, like
+    * the BPE top-pair collect). Nothing all-pairs, no global sort.
     */
   def kmeansAssign(spark: SparkSession, dir: String, k: Int = 8,
       iters: Int = 5): DataFrame = kmeansFit(spark, dir, k, iters)._2
 
-  /** Plan-spec hook: the assignment projection over explicit centroids. */
+  /** Plan-spec hook: the assignment projection over explicit centroids
+    * (double-centroid form — the streaming mini-batch trainer's kernel).
+    */
   private[graft] def assignForTest(emb: DataFrame,
       cents: IndexedSeq[Seq[Double]]): DataFrame = assignToCentroids(emb, cents)
+
+  /** The quantized-integer embedding projection the exact fit runs on:
+    * (vec_id, xq: array<bigint>) in 1e-7 units.
+    */
+  private def quantized(emb: DataFrame): DataFrame =
+    emb.filter(col("embedding").isNotNull)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => (x.cast("double") * lit(1.0e7)).cast("long")).as("xq"))
+
+  /** Nearest centroid per row against broadcast INTEGER centroid
+    * literals: argmin via `array_min` over (exact-distance, cid)
+    * structs — the same map-only no-exchange shape as
+    * [[assignToCentroids]], with [[LongL2Sq]] as the distance kernel so
+    * every comparison is on exact int64.
+    */
+  private def assignToCentroidsQ(embq: DataFrame,
+      cents: IndexedSeq[Seq[Long]]): DataFrame = {
+    val best = array_min(array(cents.zipWithIndex.map { case (cvec, cid) =>
+      struct(
+        graft.functions.VectorFunctions.l2sqLong(col("xq"), typedlit(cvec)).as("d"),
+        lit(cid).as("cid"))
+    }: _*))
+    embq.withColumn("a", best)
+      .withColumn("cluster", col("a.cid"))
+      .withColumn("dist_q", col("a.d"))
+      .drop("a")
+  }
+
+  /** Plan-spec hook: the integer assignment projection. */
+  private[graft] def assignQForTest(embq: DataFrame,
+      cents: IndexedSeq[Seq[Long]]): DataFrame = assignToCentroidsQ(embq, cents)
+
+  /** The quantized projection on a dataset dir — spec/oracle hook. */
+  private[graft] def quantizedFor(spark: SparkSession, dir: String): DataFrame =
+    quantized(Tables.embeddings(spark, dir))
 
   /** [[kmeansAssign]] plus the fitted centroids — the spec pins the
     * argmin property and inertia against them.
     */
   private[graft] def kmeansFit(spark: SparkSession, dir: String, k: Int,
-      iters: Int): (IndexedSeq[Seq[Double]], DataFrame) = {
+      iters: Int): (IndexedSeq[Seq[Long]], DataFrame) = {
     VectorFunctions.ensureRegistered(spark)
     kmeansFitOver(Tables.embeddings(spark, dir), k, iters,
       s"kmeans:$dir:$k:$iters")
   }
 
   /** [[kmeansFit]] over an explicit embedding frame — the spec hook that
-    * lets the fitted centroids be HASH-PINNED on a fixed synthetic corpus
-    * (KMeansSpec): the fit is deterministic end to end (seed-free
-    * smallest-hash init, 9-dp centroid rounding per round, struct-ordered
-    * argmin ties), so the centroid frame is a stable artifact. An SQL
-    * oracle cannot replay the fit — each round's centroids feed the next
-    * round's assignment, a driver-side fixpoint loop outside any single
-    * query's reach — so the pinned hash (plus the argmin/inertia
-    * properties) stands in for the DuckDB row the driver cannot have.
+    * pins the fitted centroids on a fixed synthetic corpus (KMeansSpec)
+    * AND the shape the DuckDB oracle replays: with every step exact
+    * int64 (see [[kmeansAssign]]'s contract) the driver-side loop is a
+    * pure function of the data, so unrolling the fixed iteration count
+    * as chained CTEs reproduces these centroids — and therefore the
+    * assignment — bit-for-bit. The hash pin guards the ITERATION
+    * (init rule, rounding rule, tie order) between oracle runs.
     */
   private[graft] def kmeansFitOver(emb0: DataFrame, k: Int, iters: Int,
-      gen: String): (IndexedSeq[Seq[Double]], DataFrame) = {
+      gen: String): (IndexedSeq[Seq[Long]], DataFrame) = {
     val spark = emb0.sparkSession
     VectorFunctions.ensureRegistered(spark)
     graft.IntraQueryCache.newGeneration(gen)
-    // iters+1 passes read this frame; scoped so the scan runs once
-    val emb = graft.IntraQueryCache.scoped(
-      emb0
-        .filter(col("embedding").isNotNull)
-        .select(col("vec_id"), col("embedding")))
-    var cents: IndexedSeq[Seq[Double]] = emb
-      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+    // iters+1 passes read this frame; scoped so the scan+quantize runs once
+    val embq = graft.IntraQueryCache.scoped(quantized(emb0))
+    // seed-free init, cross-engine replayable: smallest (md5-60bit, id)
+    var cents: IndexedSeq[Seq[Long]] = embq
+      .orderBy(
+        conv(substring(md5(col("vec_id").cast("string").cast("binary")), 1, 15),
+          16, 10).cast("long"),
+        col("vec_id"))
       .limit(k)
-      .select(col("embedding").cast("array<double>"))
-      .collect().map(_.getSeq[Double](0)).toIndexedSeq
+      .select(col("xq"))
+      .collect().map(_.getSeq[Long](0)).toIndexedSeq
     for (_ <- 1 to iters) {
-      val sums = assignToCentroids(emb, cents)
-        .select(col("cluster"), posexplode(col("embedding")))
+      val sums = assignToCentroidsQ(embq, cents)
+        .select(col("cluster"), posexplode(col("xq")))
         .groupBy("cluster", "pos")
-        .agg(sum(col("col").cast("double")).as("s"), count(lit(1)).as("c"))
+        .agg(sum(col("col")).as("s"), count(lit(1)).as("c"))
         .collect() // ≤ k·dim rows — bounded by the model, not the corpus
       val byCluster = sums.groupBy(_.getInt(0))
       cents = cents.zipWithIndex.map { case (prev, cid) =>
         byCluster.get(cid) match {
           case Some(rows) =>
-            val dim = prev.length
-            val next = new Array[Double](dim)
+            val next = prev.toArray
             rows.foreach { r =>
+              // mean rounded half-up toward +∞: floor((2S + n) / 2n) —
+              // exact integer arithmetic, no float in the loop
               next(r.getInt(1)) =
-                BigDecimal(r.getDouble(2) / r.getLong(3))
-                  .setScale(9, BigDecimal.RoundingMode.HALF_EVEN).toDouble
+                Math.floorDiv(2L * r.getLong(2) + r.getLong(3),
+                  2L * r.getLong(3))
             }
             next.toSeq
           case None => prev // empty cluster: keep its centroid
         }
       }
     }
-    val out = assignToCentroids(emb, cents)
+    val out = assignToCentroidsQ(embq, cents)
       .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
-        round(col("dist"), 6).as("dist"))
+        col("dist_q"))
       .orderBy("vec_id")
     (cents, out)
   }

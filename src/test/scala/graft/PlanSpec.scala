@@ -482,10 +482,8 @@ class PlanSpec extends AnyFunSuite {
   test("kmeans assignment: literal centroids — map-only pass, no exchange, no window") {
     graft.functions.VectorFunctions.ensureRegistered(spark)
     val (cents, _) = graft.operators.VectorOps.kmeansFit(spark, dir, 4, 1)
-    val emb = Tables.embeddings(spark, dir)
-      .filter(org.apache.spark.sql.functions.col("embedding").isNotNull)
-      .select("vec_id", "embedding")
-    val p = plan(graft.operators.VectorOps.assignForTest(emb, cents))
+    val embq = graft.operators.VectorOps.quantizedFor(spark, dir)
+    val p = plan(graft.operators.VectorOps.assignQForTest(embq, cents))
     assert(!p.contains("Exchange") && !p.contains("Window"), p)
   }
 }

@@ -3,26 +3,27 @@ package graft.operators
 import org.scalatest.funsuite.AnyFunSuite
 import graft.{Tables, TestSpark}
 
-/** Distributed Lloyd's k-means: argmin property against independently
-  * recomputed distances, monotone inertia across iteration budgets,
-  * deterministic assignment across runs, bounded cluster ids.
+/** Distributed Lloyd's k-means (exact quantized-integer fit): argmin
+  * property against independently recomputed integer distances,
+  * monotone inertia across iteration budgets, deterministic assignment
+  * across runs, bounded cluster ids, and a centroid hash pin guarding
+  * the iteration between oracle runs.
   */
 class KMeansSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
   private val dir = "/root/testdata/sf0.001"
 
-  private def vecs(): Map[Long, Array[Double]] =
+  /** The operator's own quantization: trunc(x·1e7) per dim. */
+  private def vecs(): Map[Long, Array[Long]] =
     Tables.embeddings(spark, dir).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble))
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).toArray.map(x => (x.toDouble * 1.0e7).toLong))
       .toMap
 
-  private def sqDist(v: Array[Double], c: Seq[Double]): Double = {
-    // the operator's own op order: ||c||^2 - 2*v.c + ||v||^2, each dot a
-    // sequential ascending fold
-    var cc = 0.0; c.foreach(x => cc += x * x)
-    var d = 0.0; var e = 0.0; var i = 0
-    while (i < v.length) { d += v(i) * c(i); e += v(i) * v(i); i += 1 }
-    math.max(cc - 2.0 * d + e, 0.0)
+  private def sqDist(v: Array[Long], c: Seq[Long]): Long = {
+    var s = 0L; var i = 0
+    while (i < v.length) { val d = v(i) - c(i); s += d * d; i += 1 }
+    s
   }
 
   test("assignment is the argmin over the fitted centroids") {
@@ -31,11 +32,11 @@ class KMeansSpec extends AnyFunSuite {
     val rows = out.collect()
     assert(rows.length === vs.size)
     rows.foreach { r =>
-      val (id, cl, dist) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      val (id, cl, dist) = (r.getLong(0), r.getLong(1), r.getLong(2))
       val ds = cents.zipWithIndex.map { case (c, cid) => (sqDist(vs(id), c), cid) }
       val (bd, bc) = ds.min
       assert(cl === bc.toLong, s"vec $id cluster")
-      assert(math.abs(dist - bd) < 1e-6, s"vec $id dist $dist vs $bd")
+      assert(dist === bd, s"vec $id dist $dist vs $bd (must be EXACT)")
     }
     assert(rows.map(_.getLong(1)).distinct.forall(c => c >= 0 && c < 6))
   }
@@ -43,37 +44,40 @@ class KMeansSpec extends AnyFunSuite {
   test("inertia is non-increasing in the iteration budget") {
     val inertias = Seq(1, 2, 4).map { it =>
       val (_, out) = VectorOps.kmeansFit(spark, dir, k = 6, iters = it)
-      out.collect().map(_.getDouble(2)).sum
+      out.collect().map(r => BigInt(r.getLong(2))).sum
     }
     inertias.sliding(2).foreach { case Seq(a, b) =>
-      assert(b <= a + 1e-6, s"inertia rose: $inertias")
+      // integer-rounded centroids can shift inertia by the rounding
+      // residual; allow the quantization-scale slack (1e-7 units)
+      assert(b <= a + BigInt(1000000L), s"inertia rose: $inertias")
     }
   }
 
   test("two runs produce identical assignments") {
     def run() = VectorOps.kmeansAssign(spark, dir, k = 5, iters = 3).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(run() === run())
   }
 
   test("fitted centroids hash-pin on a fixed synthetic corpus") {
     // the synthetic corpus is a pure function of the id (ScaleProbe's
-    // deterministic generator), so the full fit — init, three Lloyd
-    // rounds, 9-dp rounding — must reproduce these exact centroids on
-    // any run; a drifting hash means the ITERATION changed, which no
-    // driver oracle can catch (SQL cannot replay a fixpoint loop)
+    // deterministic generator), so the full fit — md5-60bit init, three
+    // Lloyd rounds in exact int64, floor-div rounding — must reproduce
+    // these exact centroids on any run; a drifting hash means the
+    // ITERATION changed, which would silently break the unrolled-CTE
+    // DuckDB oracle's equivalence with the operator
     import spark.implicits._
     val emb = spark.range(0, 300).map(i => graft.ScaleProbe.synthVec(i))
       .toDF("vec_id", "embedding", "label")
     val (cents, out) = VectorOps.kmeansFitOver(emb, k = 4, iters = 3,
       "spec-kmeans-pin")
     assert(out.collect().length === 300)
-    val canon = cents.map(_.map(d => f"$d%.9f").mkString(",")).mkString(";")
+    val canon = cents.map(_.mkString(",")).mkString(";")
     val md5 = java.security.MessageDigest.getInstance("MD5")
       .digest(canon.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    // PINNED: computed from the r8 implementation; see docstring of
-    // kmeansFitOver for why this stands in for a DuckDB oracle
-    assert(md5 === "2fa2cd120715a26f92a144bc681331a5",
+    // PINNED: computed from the r9 exact-integer implementation; see
+    // kmeansFitOver's docstring for the oracle-equivalence role
+    assert(md5 === "165ed091de05ac9f49b44c42df9dd631",
       s"centroid hash drifted: $md5\n$canon")
   }
 }
