@@ -489,6 +489,30 @@ object ScaleProbe {
     Seq(bm25Json, bm25IdxJson, bm25TailJson, phraseJson, kmJson)
   }
 
+  /** Winnow hash-tier probe (r9): the identical selection under the
+    * md5/60-bit ORACLE family vs the xxhash64 PRODUCTION family on the
+    * x10 corpus — puts the measured number on the documented "~10× hash
+    * cost bought for DuckDB exactness" trade, and on what [[TextOps
+    * .WinnowXx]] buys back at ingest scale. Forces the full selection
+    * (row-wise; no exchange in either tier).
+    */
+  private def winnowHashProbe(spark: SparkSession, d10: String): Seq[String] = {
+    import graft.operators.TextOps
+    def time3(f: => Unit): Double = median((1 to 3).map { _ =>
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    })
+    val docs = spark.read.parquet(s"$d10/documents.parquet")
+    def run(fam: TextOps.WinnowHash) =
+      Bench.force(TextOps.winnowOver(docs, 3, 4, fam))
+    run(TextOps.WinnowMd5); run(TextOps.WinnowXx) // warmup
+    val tMd5 = time3(run(TextOps.WinnowMd5))
+    val tXx = time3(run(TextOps.WinnowXx))
+    println(f"[scaleprobe] winnow_hash x10 md5=$tMd5%6.2fs xxhash64=$tXx%6.2fs " +
+      f"ratio=${tMd5 / tXx}%4.1fx")
+    Seq(s""""winnow_hash_x10":{"md5":$tMd5,"xxhash64":$tXx,""" +
+      s""""md5_over_xx":${tMd5 / tXx}}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val base = sys.env.getOrElse("SPARK_GRAFT_PROBE_DIR", "/tmp/graft-scaleprobe")
@@ -532,6 +556,13 @@ object ScaleProbe {
     if (args.sameElements(Array("--retrieval"))) {
       val rows = retrievalProbe(spark, base, n1)
       println(s"""{"metric":"scaleprobe_retrieval",${rows.mkString(",")}}""")
+      spark.stop(); return
+    }
+    if (args.sameElements(Array("--winnow-hash"))) {
+      val d10 = s"$base/x10"
+      synthesize(spark, d10, n1 * 10)
+      val rows = winnowHashProbe(spark, d10)
+      println(s"""{"metric":"scaleprobe_winnow_hash",${rows.mkString(",")}}""")
       spark.stop(); return
     }
     // --x30 <queries...>: the 30x tier only, for the named queries
@@ -612,8 +643,10 @@ object ScaleProbe {
     val bpe = bpeProbe(spark, dirs("x1"))
     val sketch = sketchProbe(spark, dirs)
     val ann = annProbe(spark, base)
+    val winnowHash = winnowHashProbe(spark, dirs("x10"))
     println(s"""{"metric":"scaleprobe","n1":$n1,"n10":${n1 * 10},""" +
-      (results ++ Seq(x30row) ++ skew ++ bpe ++ sketch ++ ann).mkString(",") + "}")
+      (results ++ Seq(x30row) ++ skew ++ bpe ++ sketch ++ ann ++ winnowHash)
+        .mkString(",") + "}")
     spark.stop()
   }
 

@@ -1,0 +1,52 @@
+package graft.operators
+
+import java.io.File
+
+/** Crash-consistent artifact publishing shared by the maintained index
+  * family ([[TextIndex]], [[WinnowIndex]]): a swap is pure RENAMES (each
+  * atomic on a local fs) — the live artifact steps ASIDE, the staged tree
+  * renames in, the aside is deleted — so every crash point leaves either
+  * a servable artifact or a recoverable aside, and [[recoverArtifacts]]
+  * heals both directions. Extracted from TextIndex's r8 swap chain so
+  * every maintained artifact publishes through one audited path.
+  */
+private[graft] object Artifacts {
+
+  private[graft] def rmTree(f: File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(rmTree)
+    f.delete(): Unit
+  }
+
+  /** Swap-in `tmp` as artifact `path` by aside-rename / in-rename /
+    * delete-aside — each step atomic, every crash point recoverable.
+    */
+  private[graft] def publishByRename(path: String, tmp: String): Unit = {
+    val target = new File(path)
+    val aside = new File(s"$path.old-${java.util.UUID.randomUUID()}")
+    require(target.renameTo(aside), s"aside rename of $path failed")
+    require(new File(tmp).renameTo(target),
+      s"swap-in rename to $path failed")
+    rmTree(aside)
+  }
+
+  /** Heal a crashed artifact swap under `root`: an artifact missing with
+    * exactly one `.old-` aside present means the aside step completed
+    * but the swap-in did not — rename the aside back; an aside next to a
+    * LIVE artifact is a completed swap's leftover and is deleted, as are
+    * stale `.tmp-` trees. Single-maintainer-per-root is the concurrency
+    * contract (a maintaining stream IS that maintainer).
+    */
+  private[graft] def recoverArtifacts(root: String,
+      names: Seq[String]): Unit = this.synchronized {
+    val entries = Option(new File(root).listFiles()).getOrElse(Array.empty)
+    for (name <- names) {
+      val live = new File(s"$root/$name")
+      val asides = entries.filter(_.getName.startsWith(s"$name.old-"))
+      if (!live.exists() && asides.length == 1) {
+        require(asides.head.renameTo(live),
+          s"recovery rename of ${asides.head} failed")
+      } else asides.foreach(rmTree)
+      entries.filter(_.getName.startsWith(s"$name.tmp-")).foreach(rmTree)
+    }
+  }
+}

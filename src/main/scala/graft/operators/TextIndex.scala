@@ -40,10 +40,7 @@ object TextIndex {
     s"${sys.props("java.io.tmpdir")}/graft-index/$safe-$fp/text_inverted_v2"
   }
 
-  private def rmTree(f: File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(rmTree)
-    f.delete(): Unit
-  }
+  private def rmTree(f: File): Unit = Artifacts.rmTree(f)
 
   private def tshardOf(term: org.apache.spark.sql.Column) =
     pmod(xxhash64(term), lit(shards.toLong)).cast("int")
@@ -325,38 +322,17 @@ object TextIndex {
     publishByRename(s"$root/postings", tmp)
   }
 
-  /** Swap-in `tmp` as artifact `path` by aside-rename / in-rename /
-    * delete-aside — each step atomic, every crash point recoverable.
-    */
-  private def publishByRename(path: String, tmp: String): Unit = {
-    val target = new File(path)
-    val aside = new File(s"$path.old-${java.util.UUID.randomUUID()}")
-    require(target.renameTo(aside), s"aside rename of $path failed")
-    require(new File(tmp).renameTo(target),
-      s"swap-in rename to $path failed")
-    rmTree(aside)
-  }
+  /** Swap-in `tmp` as artifact `path` — the shared [[Artifacts]] chain. */
+  private def publishByRename(path: String, tmp: String): Unit =
+    Artifacts.publishByRename(path, tmp)
 
-  /** Heal a crashed artifact swap under `root`: an artifact missing with
-    * exactly one `.old-` aside present means the aside step completed
-    * but the swap-in did not — rename the aside back; an aside next to a
-    * LIVE artifact is a completed swap's leftover and is deleted, as are
-    * stale `.tmp-` trees. Called by [[compact]] and by the streaming
-    * append path before touching the root; single-maintainer-per-root is
-    * the concurrency contract (the stream IS that maintainer).
+  /** Heal a crashed artifact swap under `root` ([[Artifacts]] semantics).
+    * Called by [[compact]] and by the streaming append path before
+    * touching the root; single-maintainer-per-root is the concurrency
+    * contract (the stream IS that maintainer).
     */
-  private[graft] def recoverArtifacts(root: String): Unit = this.synchronized {
-    val entries = Option(new File(root).listFiles()).getOrElse(Array.empty)
-    for (name <- Seq("postings", "terms", "stats")) {
-      val live = new File(s"$root/$name")
-      val asides = entries.filter(_.getName.startsWith(s"$name.old-"))
-      if (!live.exists() && asides.length == 1) {
-        require(asides.head.renameTo(live),
-          s"recovery rename of ${asides.head} failed")
-      } else asides.foreach(rmTree)
-      entries.filter(_.getName.startsWith(s"$name.tmp-")).foreach(rmTree)
-    }
-  }
+  private[graft] def recoverArtifacts(root: String): Unit =
+    Artifacts.recoverArtifacts(root, Seq("postings", "terms", "stats"))
 
   /** The per-stream append tags the current stats artifact carries
     * (empty for a fresh build) — how an at-least-once replayer detects a

@@ -2889,11 +2889,12 @@ object TextOps {
     * 60-bit integer — the `conv` ↔ `'0x'`-cast pair the samplers use —
     * so selections AND fingerprints are DuckDB-oracle-exact (unlike the
     * xxhash64 families, which are hash-defined). That exactness has a
-    * price: one md5 + hex parse per gram, ~10× a 64-bit native hash. At
-    * production scale the selection STRUCTURE is unchanged under any
-    * hash family — swap [[gramHash60]] for the [[shingles]] xxhash64
-    * chain and the query joins the hash-defined tier with the same
-    * guarantee (winnowing only needs a total order on hashes).
+    * price: one md5 + hex parse per gram, ~10× a 64-bit native hash. The
+    * production tier is a PARAMETER since r9: [[winnowOver]] takes a
+    * [[WinnowHash]] family and [[WinnowXx]] swaps in native xxhash64
+    * gram hashing with the identical selection structure — guarantee and
+    * density spec-pinned for both tiers (WinnowPropertySpec), measured
+    * cost delta in SCALE.md.
     *
     * Scale shape: pure row-wise array work — tokens hash once per
     * document, each window is a running min via `aggregate` (no window
@@ -2916,15 +2917,62 @@ object TextOps {
             .cast("binary")), 1, 15), 16, 10).cast("long"))
     }
 
-  /** The selected (doc_id, pos, fp) set without the presentation sort. */
-  private[graft] def winnowOver(docs: DataFrame, k: Int, w: Int): DataFrame = {
+  /** xxhash64 of each word `k`-gram — the production gram hash: one
+    * native 64-bit hash per gram instead of md5 + hex parse (~10× per
+    * hash; measured 1.3× on the full selection pass — SCALE.md), at the
+    * price of not being DuckDB-replayable.
+    */
+  private def gramHashXx(tk: Column, k: Int): Column =
+    bindOnce(tk) { t =>
+      transform(sequence(lit(1), size(t) - (k - 1)), s =>
+        xxhash64(concat_ws(" ",
+          (0 until k).map(j => try_element_at(t, s + j)): _*)))
+    }
+
+  /** Winnow gram-hash family. Winnowing only needs a TOTAL ORDER on gram
+    * hashes, so the selection STRUCTURE (window-min + rightmost tie, the
+    * density bound, the shared-run guarantee) is identical under any
+    * family — WinnowPropertySpec pins guarantee + density for BOTH
+    * tiers. [[WinnowMd5]] is the ORACLE tier (cross-engine replayable,
+    * the driver's hash-exact rows); [[WinnowXx]] is the PRODUCTION tier
+    * (native 64-bit hashing for ingest-scale fingerprinting — ~10× per
+    * hash, a measured 1.3× on the whole selection pass since
+    * tokenize/window-min dominate; SCALE.md has the probe row —
+    * hash-defined, like the minhash/simhash families).
+    */
+  sealed abstract class WinnowHash(val name: String) {
+    private[operators] def gramHash(tk: Column, k: Int): Column
+  }
+  case object WinnowMd5 extends WinnowHash("md5-60bit") {
+    private[operators] def gramHash(tk: Column, k: Int): Column =
+      gramHash60(tk, k)
+  }
+  case object WinnowXx extends WinnowHash("xxhash64") {
+    private[operators] def gramHash(tk: Column, k: Int): Column =
+      gramHashXx(tk, k)
+  }
+
+  /** Resolve a persisted family name ([[WinnowHash.name]]). */
+  private[graft] def winnowHashByName(name: String): WinnowHash = name match {
+    case WinnowMd5.name => WinnowMd5
+    case WinnowXx.name => WinnowXx
+    case other => throw new IllegalArgumentException(
+      s"unknown winnow hash family '$other'")
+  }
+
+  /** The selected (doc_id, pos, fp) set without the presentation sort.
+    * `family` picks the gram-hash tier ([[WinnowHash]]) — the selection
+    * algorithm is family-independent.
+    */
+  private[graft] def winnowOver(docs: DataFrame, k: Int, w: Int,
+      family: WinnowHash = WinnowMd5): DataFrame = {
     val tk = tokens(col("text"))
     // per window start j: min of the w hashes via `least` and the
     // RIGHTMOST minimal position via a descending when-chain (the
     // winnowing tie rule) — flat expressions per window, no per-element
     // aggregate fold (higher-order folds are interpreted and allocate a
     // struct per step; measured ~2× on the whole query)
-    val sel = bindOnce(gramHash60(tk, k)) { hs =>
+    val sel = bindOnce(family.gramHash(tk, k)) { hs =>
       transform(sequence(lit(1), size(hs) - (w - 1)), j =>
         bindOnce(least((0 until w).map(o => try_element_at(hs, j + o)): _*)) { v =>
           struct(

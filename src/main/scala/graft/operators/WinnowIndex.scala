@@ -1,0 +1,111 @@
+package graft.operators
+
+import java.io.File
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Maintained winnow-fingerprint artifact — the persisted form of the
+  * corpus fingerprint set [[graft.streaming.WinnowStream]] matches
+  * against, promoted (r9) from a caller-managed recompute to a
+  * TextIndex-parity maintained artifact: build once, fold new document
+  * slices in with [[appendTo]], bound file count with [[compact]], and
+  * serve through the same refresh-snapshot lifecycle.
+  *
+  * Layout under `root`:
+  *  - `fps/` — parquet (fp: long), the corpus's distinct selected
+  *    fingerprints (~2/(w+1) of the gram count). May hold MULTIPLE
+  *    segments with duplicate fps ACROSS segments after appends —
+  *    benign by construction: every serving path dedupes at load
+  *    (the refresh loader's per-refresh `.distinct()`), and [[compact]]
+  *    collapses them. This value-idempotence is also what makes the
+  *    append replay-safe with no marker protocol: an at-least-once
+  *    re-delivery adds duplicate ROWS, never duplicate MATCHES.
+  *  - `_family` — the gram-hash tier ([[TextOps.WinnowHash]]) the index
+  *    was built with, written BEFORE the first fps write (so no crash
+  *    window leaves fps without it); appends and serving fail fast on a
+  *    mismatch — fingerprints from different families silently match
+  *    nothing, the worst kind of wrong.
+  *
+  * Crash consistency: compaction publishes through the shared
+  * [[Artifacts]] aside-rename chain; [[recover]] heals any crash point
+  * at maintenance entry. A crashed APPEND leaves either staged
+  * `_temporary` residue (the committer's, invisible to readers) or a
+  * committed subset of the slice's segment files — the replayed append
+  * re-adds the slice and the duplicates collapse by value, so every
+  * crash point converges without a marker protocol.
+  *
+  * 100 TB posture: the artifact is the only corpus-scale object and it
+  * moves once per refresh; appends are slice-sized; compaction is one
+  * sorted pass (production would shard by fp range behind a manifest,
+  * like the text index's term shards).
+  */
+object WinnowIndex {
+
+  def fpsDir(root: String): String = s"$root/fps"
+
+  private def familyFile(root: String) = new File(root, "_family")
+
+  /** The family the artifact at `root` was built with, if any. */
+  private[graft] def familyOf(root: String): Option[String] = {
+    val f = familyFile(root)
+    if (!f.exists()) None
+    else Some(new String(java.nio.file.Files.readAllBytes(f.toPath),
+      java.nio.charset.StandardCharsets.UTF_8).trim)
+  }
+
+  private def requireFamily(root: String, family: TextOps.WinnowHash): Unit =
+    familyOf(root).foreach(have => require(have == family.name,
+      s"winnow index at $root was built with hash family '$have', " +
+        s"refusing to touch it as '${family.name}' — cross-family " +
+        "fingerprints silently match nothing"))
+
+  /** Build a fresh index under `root` from a corpus frame. */
+  def buildInto(root: String, docs: DataFrame, k: Int = 3, w: Int = 4,
+      family: TextOps.WinnowHash = TextOps.WinnowMd5): Unit = {
+    new File(root).mkdirs()
+    requireFamily(root, family) // a rebuild must not silently flip tiers
+    java.nio.file.Files.write(familyFile(root).toPath,
+      (family.name + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+    TextOps.winnowOver(docs, k, w, family).select("fp").distinct()
+      .write.mode("overwrite").parquet(fpsDir(root))
+  }
+
+  /** Fold a NEW document slice in: its distinct selected fingerprints
+    * append as additional segment files — slice-sized work, the corpus
+    * is never re-read. Duplicates against existing segments are benign
+    * (see class doc); serving ≡ full rebuild is spec-pinned.
+    */
+  def appendTo(root: String, newDocs: DataFrame, k: Int = 3, w: Int = 4,
+      family: TextOps.WinnowHash = TextOps.WinnowMd5): Unit = {
+    require(new File(fpsDir(root)).exists(),
+      s"appendTo on $root with no fps/ — build or recover first")
+    requireFamily(root, family)
+    TextOps.winnowOver(newDocs, k, w, family).select("fp").distinct()
+      .write.mode("append").parquet(fpsDir(root))
+  }
+
+  /** Collapse the appended segments into one distinct sorted pass —
+    * same fingerprint SET, restored file economy (file count is what
+    * degrades scan setup at scale). Publishes through the shared
+    * crash-recoverable rename chain.
+    */
+  def compact(root: String, spark: SparkSession): Unit = {
+    recover(root)
+    val fps = spark.read.parquet(fpsDir(root)).select("fp").distinct()
+      .sortWithinPartitions("fp")
+    val tmp = s"${fpsDir(root)}.tmp-${java.util.UUID.randomUUID()}"
+    fps.write.parquet(tmp)
+    Artifacts.publishByRename(fpsDir(root), tmp)
+  }
+
+  /** Heal a crashed compaction swap — call at maintenance entry. */
+  def recover(root: String): Unit =
+    Artifacts.recoverArtifacts(root, Seq("fps"))
+
+  /** Segment-count proxy the streaming maintainer bounds ([[compact]]
+    * when exceeded): parquet file count in the fps artifact.
+    */
+  private[graft] def segments(root: String): Int =
+    Option(new File(fpsDir(root)).listFiles())
+      .map(_.count(f => f.getName.endsWith(".parquet"))).getOrElse(0)
+}

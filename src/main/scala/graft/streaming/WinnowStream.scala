@@ -32,12 +32,14 @@ import graft.operators.TextOps
 object WinnowStream {
 
   /** The batch-built static side: the corpus's distinct selected
-    * fingerprints. At production scale a maintained ingest artifact
-    * written bucketed by fp; callers persist or reload between
-    * refreshes.
+    * fingerprints. The MAINTAINED form is
+    * [[graft.operators.WinnowIndex]] (build/append/compact with
+    * crash-consistent swaps, r9) — this is the one-shot recompute the
+    * index's serving is spec-pinned equal to.
     */
-  def corpusIndexOf(corpus: DataFrame, k: Int = 3, w: Int = 4): DataFrame =
-    TextOps.winnowOver(corpus, k, w).select("fp").distinct()
+  def corpusIndexOf(corpus: DataFrame, k: Int = 3, w: Int = 4,
+      family: TextOps.WinnowHash = TextOps.WinnowMd5): DataFrame =
+    TextOps.winnowOver(corpus, k, w, family).select("fp").distinct()
 
   /** Per-document match report against a static fingerprint set:
     * (doc_id, n_fp, n_matched) — how many of the document's selected
@@ -58,8 +60,8 @@ object WinnowStream {
     * multiply the left join and inflate n_fp / n_matched.
     */
   def matchReport(docs: DataFrame, corpusFps: DataFrame, k: Int = 3,
-      w: Int = 4): DataFrame = {
-    val perDoc = TextOps.winnowOver(docs, k, w)
+      w: Int = 4, family: TextOps.WinnowHash = TextOps.WinnowMd5): DataFrame = {
+    val perDoc = TextOps.winnowOver(docs, k, w, family)
       .join(corpusFps.select(col("fp"), lit(1).as("hit")), Seq("fp"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_fp"), count(col("hit")).as("n_matched"))
@@ -85,7 +87,8 @@ object WinnowStream {
     * batch id.
     */
   def matchesVsCorpusRefreshing(stream: DataFrame, fpsPath: String,
-      refreshEvery: Int, k: Int = 3, w: Int = 4)(
+      refreshEvery: Int, k: Int = 3, w: Int = 4,
+      family: TextOps.WinnowHash = TextOps.WinnowMd5)(
       sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[Row] = {
     require(refreshEvery >= 1, s"refreshEvery must be >= 1, got $refreshEvery")
@@ -102,7 +105,53 @@ object WinnowStream {
     stream.writeStream.outputMode("append").foreachBatch {
       (batch: Dataset[Row], batchId: Long) =>
         val fps = snap.forBatch(batch.sparkSession, batchId, refreshEvery)
-        sink(matchReport(batch.toDF(), fps, k, w), batchId)
+        sink(matchReport(batch.toDF(), fps, k, w, family), batchId)
     }
   }
+
+  /** [[matchesVsCorpusRefreshing]] against a MAINTAINED
+    * [[graft.operators.WinnowIndex]] root: fails fast if the index was
+    * built under a different hash family (cross-family fingerprints
+    * silently match nothing), then serves the index's fps artifact
+    * through the same refresh lifecycle — appends/compactions by the
+    * index's maintainer become visible at refresh boundaries. The
+    * per-refresh loader dedup also absorbs the index's benign
+    * append-duplicate segments.
+    */
+  def matchesVsIndexRefreshing(stream: DataFrame, root: String,
+      refreshEvery: Int, k: Int = 3, w: Int = 4,
+      family: TextOps.WinnowHash = TextOps.WinnowMd5)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[Row] = {
+    graft.operators.WinnowIndex.familyOf(root).foreach(have =>
+      require(have == family.name,
+        s"winnow index at $root was built with family '$have', " +
+          s"serving requested '${family.name}'"))
+    matchesVsCorpusRefreshing(stream,
+      graft.operators.WinnowIndex.fpsDir(root), refreshEvery, k, w,
+      family)(sink)
+  }
+
+  /** Continuous index maintenance — the ingest face: each micro-batch
+    * of documents folds into the winnow index at `root` via
+    * [[graft.operators.WinnowIndex.appendTo]] (slice-sized work), with
+    * crash-swap recovery at batch entry and auto-compaction past
+    * `maxSegments` files (the TextIndexStream lifecycle). REPLAY-SAFE
+    * WITHOUT a marker protocol: a re-delivered batch appends duplicate
+    * fp rows, which every serving path dedupes and compaction collapses
+    * — idempotent by VALUE (unlike the text index's counted df/stats,
+    * which need the tag gates).
+    */
+  def appendStream(docs: DataFrame, root: String, k: Int = 3, w: Int = 4,
+      family: TextOps.WinnowHash = TextOps.WinnowMd5,
+      maxSegments: Int = 8): org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: Dataset[Row], _: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.WinnowIndex.recover(root)
+          graft.operators.WinnowIndex.appendTo(root, batch.toDF(), k, w, family)
+          if (graft.operators.WinnowIndex.segments(root) > maxSegments)
+            graft.operators.WinnowIndex.compact(root, batch.sparkSession)
+        }
+    }
 }

@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
+import graft.TestSpark
+import graft.streaming.WinnowStream
+
+/** Maintained winnow-fingerprint artifact: serving from the artifact
+  * must equal a full one-shot rebuild across an append AND a
+  * compaction; crashed compaction swaps heal; cross-family use fails
+  * fast.
+  */
+class WinnowIndexSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+  private val dir = "/root/testdata/sf0.001"
+
+  private def docs() = graft.Tables.documents(spark, dir)
+    .select(col("doc_id").cast("long"), col("text"))
+
+  /** Match-report rows for `probe` docs against a fingerprint frame —
+    * the serving kernel both sides run.
+    */
+  private def report(probe: org.apache.spark.sql.DataFrame,
+      fps: org.apache.spark.sql.DataFrame): Set[String] =
+    WinnowStream.matchReport(probe, fps.select("fp").distinct())
+      .collect().map(_.toString).toSet
+
+  test("artifact serving equals a full rebuild across an append and a compaction") {
+    val d = docs()
+    val root = java.nio.file.Files.createTempDirectory("graft-widx").toString
+    val probe = d.limit(60)
+    // base: 2/3 of the corpus
+    WinnowIndex.buildInto(root, d.filter(col("doc_id") % 3 =!= 0))
+    // append the remaining slice — artifact must now serve EXACTLY like
+    // a rebuild over everything
+    WinnowIndex.appendTo(root, d.filter(col("doc_id") % 3 === 0))
+    val full = WinnowStream.corpusIndexOf(d)
+    val fromArtifact = spark.read.parquet(WinnowIndex.fpsDir(root))
+    assert(report(probe, fromArtifact) === report(probe, full))
+    // fingerprint SETS are identical too (not just report-equal)
+    assert(fromArtifact.select("fp").distinct().collect().map(_.getLong(0)).sorted
+      === full.collect().map(_.getLong(0)).sorted)
+    // compaction: same set, segment count collapses
+    val before = WinnowIndex.segments(root)
+    assert(before >= 2, s"append should add segments, saw $before")
+    WinnowIndex.compact(root, spark)
+    spark.catalog.refreshByPath(WinnowIndex.fpsDir(root))
+    val compacted = spark.read.parquet(WinnowIndex.fpsDir(root))
+    assert(report(probe, compacted) === report(probe, full))
+    assert(WinnowIndex.segments(root) < before)
+  }
+
+  test("a crash between compaction's aside and swap-in renames heals on recover") {
+    val d = docs().filter(col("doc_id") % 5 === 0)
+    val root = java.nio.file.Files.createTempDirectory("graft-widxh").toString
+    WinnowIndex.buildInto(root, d)
+    val want = spark.read.parquet(WinnowIndex.fpsDir(root))
+      .collect().map(_.getLong(0)).sorted
+    // simulate the crash point: fps renamed aside, swap-in never ran
+    val fps = new java.io.File(WinnowIndex.fpsDir(root))
+    val aside = new java.io.File(WinnowIndex.fpsDir(root) + ".old-crashed")
+    assert(fps.renameTo(aside))
+    WinnowIndex.recover(root)
+    assert(fps.exists() && !aside.exists())
+    spark.catalog.refreshByPath(WinnowIndex.fpsDir(root))
+    assert(spark.read.parquet(WinnowIndex.fpsDir(root))
+      .collect().map(_.getLong(0)).sorted === want)
+  }
+
+  test("cross-family maintenance and serving fail fast") {
+    val d = docs().filter(col("doc_id") % 5 === 1)
+    val root = java.nio.file.Files.createTempDirectory("graft-widxf").toString
+    WinnowIndex.buildInto(root, d, family = TextOps.WinnowMd5)
+    assert(WinnowIndex.familyOf(root).contains("md5-60bit"))
+    intercept[IllegalArgumentException] {
+      WinnowIndex.appendTo(root, d, family = TextOps.WinnowXx)
+    }
+    intercept[IllegalArgumentException] {
+      WinnowIndex.buildInto(root, d, family = TextOps.WinnowXx)
+    }
+    intercept[IllegalArgumentException] {
+      WinnowStream.matchesVsIndexRefreshing(
+        spark.readStream.format("rate").load(), root,
+        refreshEvery = 1, family = TextOps.WinnowXx)(( _, _) => ())
+    }
+  }
+
+  test("an xxhash64-tier index round-trips build/append/serve") {
+    val d = docs()
+    val root = java.nio.file.Files.createTempDirectory("graft-widxx").toString
+    val probe = d.limit(40)
+    WinnowIndex.buildInto(root, d.filter(col("doc_id") % 2 === 0),
+      family = TextOps.WinnowXx)
+    WinnowIndex.appendTo(root, d.filter(col("doc_id") % 2 =!= 0),
+      family = TextOps.WinnowXx)
+    val full = WinnowStream.corpusIndexOf(d, family = TextOps.WinnowXx)
+    val art = spark.read.parquet(WinnowIndex.fpsDir(root))
+    val got = WinnowStream.matchReport(probe, art.select("fp").distinct(),
+      family = TextOps.WinnowXx).collect().map(_.toString).toSet
+    val want = WinnowStream.matchReport(probe, full,
+      family = TextOps.WinnowXx).collect().map(_.toString).toSet
+    assert(got.nonEmpty && got === want)
+  }
+}

@@ -19,13 +19,23 @@ class WinnowPropertySpec extends AnyFunSuite {
   private def h60(gram: String): Long =
     java.lang.Long.parseLong(md5hex(gram).substring(0, 15), 16)
 
+  /** Spark's `xxhash64` on a string column: XXH64 over the UTF-8 bytes
+    * with seed 42 — the production-tier gram hash.
+    */
+  private def hXx(gram: String): Long =
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(
+      org.apache.spark.unsafe.types.UTF8String.fromString(gram), 42L)
+
   /** Naive winnowing: k-gram hashes, each w-window's min with rightmost
     * tie, distinct (pos, fp). Positions 1-based like the operator.
+    * `h` is the gram-hash family under test — the algorithm (and the
+    * guarantee) must hold under ANY total order on hashes.
     */
-  private def naive(tokens: Seq[String], k: Int, w: Int): Set[(Long, Long)] = {
+  private def naive(tokens: Seq[String], k: Int, w: Int,
+      h: String => Long = h60): Set[(Long, Long)] = {
     if (tokens.size < k + w - 1) return Set.empty
     val hs = (0 to tokens.size - k)
-      .map(i => h60(tokens.slice(i, i + k).mkString(" ")))
+      .map(i => h(tokens.slice(i, i + k).mkString(" ")))
     (0 to hs.size - w).flatMap { j =>
       var bestV = Long.MaxValue; var bestP = 0
       for (o <- 0 until w) {
@@ -54,6 +64,48 @@ class WinnowPropertySpec extends AnyFunSuite {
       val want = naive(text.split(" ").toSeq, 3, 4)
       assert(got.getOrElse(id, Set.empty) === want, s"doc $id")
     }
+  }
+
+  test("xxhash64 tier: selection equals the naive reference on randomized corpora") {
+    // same corpora class as the md5 test — pins that the PRODUCTION
+    // family changes only hash values, never the selection structure
+    val docs = (0 until 40).map { i =>
+      val r = rnd(3000 + i)
+      val n = 2 + r.nextInt(40)
+      (i.toLong, Seq.fill(n)(s"x${r.nextInt(12)}").mkString(" "))
+    }
+    val got = TextOps.winnowOver(docs.toDF("doc_id", "text"), 3, 4,
+        TextOps.WinnowXx)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (d, rs) =>
+        d -> rs.map(r => (r.getLong(1), r.getLong(2))).toSet
+      }
+    docs.foreach { case (id, text) =>
+      val want = naive(text.split(" ").toSeq, 3, 4, hXx)
+      assert(got.getOrElse(id, Set.empty) === want, s"doc $id")
+    }
+  }
+
+  test("xxhash64 tier: guarantee and density hold on random corpora") {
+    // guarantee: 30 planted shared runs of exactly w+k-1 tokens
+    (0 until 30).foreach { i =>
+      val r = rnd(8000 + i)
+      val shared = Seq.fill(6)(s"s${i}y${r.nextInt(1000)}")
+      def doc(tag: String) = {
+        val pre = Seq.fill(1 + r.nextInt(10))(s"$tag${r.nextInt(1000)}")
+        val post = Seq.fill(1 + r.nextInt(10))(s"$tag${r.nextInt(1000)}")
+        pre ++ shared ++ post
+      }
+      val fa = naive(doc("a"), 3, 4, hXx).map(_._2)
+      val fb = naive(doc("b"), 3, 4, hXx).map(_._2)
+      assert(fa.intersect(fb).nonEmpty, s"pair $i shares no fingerprint")
+    }
+    // density: near 2/(w+1) of the gram count, like the oracle tier
+    val r = rnd(142)
+    val toks = Seq.fill(5000)(s"u${r.nextInt(5000)}")
+    val frac = naive(toks, 3, 4, hXx).size.toDouble / (toks.size - 2)
+    assert(frac > 0.25 && frac < 0.55, s"density $frac")
   }
 
   test("guarantee: a shared token run of length >= w+k-1 shares a fingerprint") {

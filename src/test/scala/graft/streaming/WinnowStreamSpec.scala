@@ -106,6 +106,54 @@ class WinnowStreamSpec extends AnyFunSuite {
     assert(r._2 > 0 && r._3 == r._2, s"verbatim doc must be fully known: $r")
   }
 
+  test("maintained index: streamed appends bound segments and serve ≡ rebuild") {
+    import graft.operators.WinnowIndex
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id").cast("long"), col("text"))
+    val root = java.nio.file.Files.createTempDirectory("graft-winidx").toString
+    WinnowIndex.buildInto(root, docs.filter(col("doc_id") % 7 === 0))
+    val rest = docs.filter(col("doc_id") % 7 =!= 0)
+      .as[(Long, String)].collect().filter(_._2 != null).toSeq
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val maxSegments = 3
+    val q = WinnowStream.appendStream(
+        mem.toDS.select(col("_1").as("doc_id"), col("_2").as("text")),
+        root, maxSegments = maxSegments)
+      .start()
+    try {
+      rest.grouped(math.max(1, rest.size / 6)).foreach { g =>
+        mem.addData(g: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    assert(WinnowIndex.segments(root) <= maxSegments,
+      s"segment bound violated: ${WinnowIndex.segments(root)}")
+    spark.catalog.refreshByPath(WinnowIndex.fpsDir(root))
+    val art = spark.read.parquet(WinnowIndex.fpsDir(root))
+      .select("fp").distinct().collect().map(_.getLong(0)).sorted
+    val full = WinnowStream.corpusIndexOf(docs)
+      .collect().map(_.getLong(0)).sorted
+    assert(art.nonEmpty && art === full)
+    // and the serving path reads it: a corpus doc re-served through the
+    // index-backed refreshing matcher reports fully known
+    val reserve = rest.find(_._2.split(" ").length >= 20).get
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val mem2 = MemoryStream[(Long, String)]
+    val q2 = WinnowStream.matchesVsIndexRefreshing(
+      mem2.toDS.select(col("_1").as("doc_id"), col("_2").as("text")),
+      root, refreshEvery = 1) { (df, _) =>
+      val rows = df.as[(Long, Long, Long)].collect()
+      got.synchronized { got ++= rows }
+    }.start()
+    try {
+      mem2.addData((990001L, reserve._2))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val r = got.find(_._1 == 990001L).get
+    assert(r._2 > 0 && r._3 == r._2, s"re-serve not fully known: $r")
+  }
+
   test("refreshing fingerprint set: additions invisible until the refresh boundary") {
     val fpsPath = java.nio.file.Files.createTempDirectory("graft-winfps").toString
     // 20 distinct-token texts — long enough (>= k+w-1 = 6) to winnow
