@@ -513,6 +513,39 @@ object ScaleProbe {
       s""""md5_over_xx":${tMd5 / tXx}}""")
   }
 
+  /** LSH index-build skew probe (r9, closing r8's last structural watch
+    * item): build the bucket-capped index over a UNIFORM corpus vs a
+    * DEGENERATE one where 30% of vectors are bit-identical (every copy
+    * lands in the same bucket of every table — the worst case the old
+    * single-window cap pinned on one task per table). With the two-phase
+    * cap the hot bucket's local phase spreads over all splits, so build
+    * time should stay FLAT (~1×) under the degeneracy.
+    */
+  private def lshSkewProbe(spark: SparkSession): Seq[String] = {
+    import spark.implicits._
+    import graft.operators.VectorOps
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    def time3(f: => Unit): Double = median((1 to 3).map { _ =>
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    })
+    val n = 20000L
+    val hot = synthVec(0L)
+    val uniform = spark.range(0, n).map(i => synthVec(i))
+      .toDF("vec_id", "embedding", "label")
+    val planted = spark.range(0, n)
+      .map(i => if (i % 10 < 3) hot.copy(vec_id = i) else synthVec(i))
+      .toDF("vec_id", "embedding", "label")
+    def build(df: org.apache.spark.sql.DataFrame) =
+      Bench.force(VectorOps.lshIndexProbe(df))
+    build(uniform); build(planted) // warmup
+    val tUni = time3(build(uniform))
+    val tHot = time3(build(planted))
+    println(f"[scaleprobe] lsh_build_skew n=$n uniform=$tUni%6.2fs " +
+      f"hot30=$tHot%6.2fs ratio=${tHot / tUni}%4.2f")
+    Seq(s""""lsh_build_skew":{"uniform":$tUni,"hot30":$tHot,""" +
+      s""""ratio":${tHot / tUni}}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val base = sys.env.getOrElse("SPARK_GRAFT_PROBE_DIR", "/tmp/graft-scaleprobe")
@@ -556,6 +589,11 @@ object ScaleProbe {
     if (args.sameElements(Array("--retrieval"))) {
       val rows = retrievalProbe(spark, base, n1)
       println(s"""{"metric":"scaleprobe_retrieval",${rows.mkString(",")}}""")
+      spark.stop(); return
+    }
+    if (args.sameElements(Array("--lsh-skew"))) {
+      val rows = lshSkewProbe(spark)
+      println(s"""{"metric":"scaleprobe_lsh_skew",${rows.mkString(",")}}""")
       spark.stop(); return
     }
     if (args.sameElements(Array("--winnow-hash"))) {
@@ -644,9 +682,10 @@ object ScaleProbe {
     val sketch = sketchProbe(spark, dirs)
     val ann = annProbe(spark, base)
     val winnowHash = winnowHashProbe(spark, dirs("x10"))
+    val lshSkew = lshSkewProbe(spark)
     println(s"""{"metric":"scaleprobe","n1":$n1,"n10":${n1 * 10},""" +
-      (results ++ Seq(x30row) ++ skew ++ bpe ++ sketch ++ ann ++ winnowHash)
-        .mkString(",") + "}")
+      (results ++ Seq(x30row) ++ skew ++ bpe ++ sketch ++ ann ++ winnowHash
+        ++ lshSkew).mkString(",") + "}")
     spark.stop()
   }
 

@@ -727,22 +727,31 @@ object VectorOps {
     * — `lshTables` (t, bucket) rows per vector — with each bucket capped at
     * `maxBucket` entries (kept deterministically by vec_id hash order).
     * The cap bounds the worst-case in-bucket scoring work under skew: at
-    * 100 TB a hot bucket otherwise grows linearly with the corpus. The
-    * row_number cap is an index-BUILD cost; the built index is persisted
-    * once per dataset ([[cachedLshIndex]]) so queries never pay it.
-    * Known build-time trade: the cap window partitions on the
-    * content-derived (t, bucket), so a degenerate corpus (all vectors in
-    * one bucket) pins that bucket's build on one task — accepted because
-    * the QUERY path is what runs per-request (this is one ingest pass),
-    * and the de-skewed alternative (a mapPartitions pre-cap before the
-    * exchange) only pays off under exactly that degeneracy; revisit if a
-    * probe ever shows real bucket skew.
+    * 100 TB a hot bucket otherwise grows linearly with the corpus. The cap
+    * is an index-BUILD cost; the built index is persisted once per dataset
+    * ([[cachedLshIndex]]) so queries never pay it.
+    *
+    * DE-SKEWED since r9 (the [[perQueryTopK]] two-phase shape, closing
+    * r8's last structural watch item): each input split first keeps its
+    * LOCAL smallest-`maxBucket` per (t, bucket) — parallelism =
+    * buckets × splits, so a degenerate hot bucket (a heavily duplicated
+    * corpus pushes 30%+ of vectors into ONE bucket per table) spreads
+    * over every split instead of pinning one task — and the global cap
+    * window then ranks ≤ maxBucket × splits survivors per bucket,
+    * bounded regardless of corpus size. The global smallest-k of a
+    * union of local smallest-ks is exact, so the survivor SET (ordered
+    * by (xxhash64(nid), nid) — nid tie-break keeps it total even on
+    * hash collisions) is IDENTICAL to the single-window form: index
+    * builds stay bit-reproducible (spec-pinned), recall floors
+    * untouched. Probe row: `ScaleProbe --lsh-skew` plants the
+    * degenerate corpus and compares build cost against uniform.
     */
   private[graft] def lshIndex(emb: DataFrame, maxBucket: Int, bits: Int = 8): DataFrame = {
     val tb = lshBucketArr(col("embedding"), bits)
-    // tie-break by nid so the cap's survivor set is total-ordered even on
-    // xxhash64 collisions (keeps index builds bit-reproducible)
-    val wCap = Window.partitionBy("t", "bucket").orderBy(xxhash64(col("nid")), col("nid"))
+    val localCap = Window.partitionBy(col("t"), col("bucket"), col("split"))
+      .orderBy(xxhash64(col("nid")), col("nid"))
+    val globalCap = Window.partitionBy("t", "bucket")
+      .orderBy(xxhash64(col("nid")), col("nid"))
     // vectors are copied INTO the bucket lists (the FAISS-style inverted
     // list layout): 16 tables ⇒ 16× vector storage, bought deliberately so
     // the query path scores candidates inside the bucket-join projection —
@@ -751,10 +760,22 @@ object VectorOps {
         col("nrm").as("nn"), explode(tb).as("tb"))
       .select(col("nid"), col("ne"), col("nn"),
         col("tb.t").as("t"), col("tb.bucket").as("bucket"))
-      .withColumn("slot", row_number().over(wCap))
+      .withColumn("split", spark_partition_id())
+      .withColumn("lslot", row_number().over(localCap))
+      .filter(col("lslot") <= maxBucket)
+      .withColumn("slot", row_number().over(globalCap))
       .filter(col("slot") <= maxBucket)
-      .drop("slot")
+      .drop("split", "lslot", "slot")
   }
+
+  /** Probe hook: build the LSH index over an explicit (vec_id, embedding)
+    * frame at a FIXED code width — the planted-hot-bucket build-skew
+    * probe times this under uniform vs degenerate bucket populations.
+    */
+  private[graft] def lshIndexProbe(emb: DataFrame, maxBucket: Int = 64,
+      bits: Int = 10): DataFrame =
+    lshIndex(emb.select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", norm(col("embedding"))), maxBucket, bits)
 
   // flip-subsets for multi-probe: all subsets of the probeBits
   // lowest-|margin| bit ranks, up to maxFlips flips

@@ -189,6 +189,21 @@ class PlanSpec extends AnyFunSuite {
     assert(local == 1 && global == 1, p)
   }
 
+  test("lsh index build: bucket cap is two-phase — no (t, bucket)-only " +
+      "window over the exploded corpus") {
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    val emb = Tables.embeddings(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("embedding").isNotNull)
+    val p = plan(graft.operators.VectorOps.lshIndexProbe(emb))
+    // every window that partitions by (t, bucket) WITHOUT the split key
+    // must be preceded by a (t, bucket, split) local phase — a degenerate
+    // hot bucket then spreads over all splits instead of pinning one task
+    val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    val local = specs.count(l => l.contains("bucket#") && l.contains("split#"))
+    val global = specs.count(l => l.contains("bucket#") && !l.contains("split#"))
+    assert(local == 1 && global == 1, p)
+  }
+
   test("corpus mix: eval grams broadcast; no cartesian product anywhere") {
     val p = plan(graft.operators.TextOps.corpusMix(spark, dir))
     assert(p.contains("BroadcastHashJoin"), p)
