@@ -546,6 +546,67 @@ object ScaleProbe {
       s""""ratio":${tHot / tUni}}""")
   }
 
+  /** RocksDB endurance probe (r9): ONE long-running
+    * [[graft.streaming.StreamDedup.candidates]] stream under the r8
+    * RocksDB session default, fed fixed-size micro-batches while the
+    * (band, bucket) keyspace grows 10× — does per-batch latency stay
+    * flat as state accumulates, and what does the state store hold?
+    * Reports median per-batch latency at the 1× point vs the 10× point
+    * (same batch size, so the only moving part is state size) plus the
+    * state operator's row count and RocksDB file footprint from the
+    * query's own progress metrics.
+    */
+  private def rocksDbProbe(spark: SparkSession): Seq[String] = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-rocksprobe").toString
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDS.select(
+      org.apache.spark.sql.functions.col("_1").as("doc_id"),
+      org.apache.spark.sql.functions.col("_2").as("text"))
+    val q = graft.streaming.StreamDedup.candidates(stream)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[
+          graft.streaming.StreamDedup.DupHit], _: Long) =>
+        Bench.force(df.toDF())
+      }.start()
+    val batchDocs = 500
+    val nBatches = 40
+    val lat = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def stateNow(): (Long, Long) = {
+      val so = q.lastProgress.stateOperators(0)
+      val sst = Option(so.customMetrics.get("rocksdbSstFileSize"))
+        .map(_.longValue).getOrElse(0L)
+      (so.numRowsTotal, sst)
+    }
+    var at1x = (0L, 0L)
+    try {
+      for (b <- 0 until nBatches) {
+        val docs = (0 until batchDocs).map { j =>
+          val i = (b.toLong * batchDocs + j); (i, synthDoc(i).text)
+        }
+        val t0 = System.nanoTime()
+        mem.addData(docs: _*)
+        q.processAllAvailable()
+        lat += (System.nanoTime() - t0) / 1e9
+        if (b == 3) at1x = stateNow()
+      }
+      val at10x = stateNow()
+      // batches 1-3 (post-warmup, 1× state) vs the last 4 (10× state)
+      val m1 = median(lat.slice(1, 4).toSeq)
+      val m10 = median(lat.takeRight(4).toSeq)
+      println(f"[scaleprobe] rocksdb_endurance batch=$batchDocs lat1x=$m1%5.2fs " +
+        f"lat10x=$m10%5.2fs ratio=${m10 / m1}%4.2f rows=${at1x._1}->${at10x._1} " +
+        f"sst=${at1x._2}->${at10x._2}B")
+      Seq(s""""rocksdb_endurance":{"batch_docs":$batchDocs,"batches":$nBatches,""" +
+        s""""lat_1x":$m1,"lat_10x":$m10,"ratio":${m10 / m1},""" +
+        s""""rows_1x":${at1x._1},"rows_10x":${at10x._1},""" +
+        s""""sst_bytes_1x":${at1x._2},"sst_bytes_10x":${at10x._2}}""")
+    } finally q.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val base = sys.env.getOrElse("SPARK_GRAFT_PROBE_DIR", "/tmp/graft-scaleprobe")
@@ -563,6 +624,12 @@ object ScaleProbe {
       // same instants as the UTC-pinned Verify/oracle run
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the default FileContext checkpoint manager shells out (hadoop
+      // Shell readlink) and those subprocesses hang in this sandbox —
+      // the FileSystem-based manager stays in-process (the TestSpark
+      // setting, needed here for the streaming endurance probe)
+      .config("spark.sql.streaming.checkpointFileManagerClass",
+        "org.apache.spark.sql.execution.streaming.checkpointing.FileSystemBasedCheckpointFileManager")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val n1 = 5000L
@@ -589,6 +656,11 @@ object ScaleProbe {
     if (args.sameElements(Array("--retrieval"))) {
       val rows = retrievalProbe(spark, base, n1)
       println(s"""{"metric":"scaleprobe_retrieval",${rows.mkString(",")}}""")
+      spark.stop(); return
+    }
+    if (args.sameElements(Array("--rocksdb"))) {
+      val rows = rocksDbProbe(spark)
+      println(s"""{"metric":"scaleprobe_rocksdb",${rows.mkString(",")}}""")
       spark.stop(); return
     }
     if (args.sameElements(Array("--lsh-skew"))) {
