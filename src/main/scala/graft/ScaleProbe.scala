@@ -607,6 +607,35 @@ object ScaleProbe {
     } finally q.stop()
   }
 
+  /** Pinned-snapshot storage probe (r9): run the prefix-sum families
+    * (shard packing, perplexity terciles) across THREE distinct
+    * datasets, consuming each, then print the registry's per-family
+    * (snapshots, bytes) report — the keep-2 release contract means
+    * every family must plateau at ≤2 pinned corpora regardless of how
+    * many datasets a session touches (the multi-GB-per-stale-dataset
+    * leak class the machinery exists to prevent; release-on-supersede
+    * is spec-asserted in IntraQueryCacheSpec, this row makes the
+    * session-level footprint observable).
+    */
+  private def pinnedProbe(spark: SparkSession, base: String,
+      n1: Long): Seq[String] = {
+    val tiers = Seq("x1" -> n1, "x3" -> n1 * 3, "x10" -> n1 * 10)
+    tiers.foreach { case (tag, n) =>
+      val d = s"$base/$tag"
+      synthesize(spark, d, n)
+      Bench.force(SparkEntry.queries("q_shard_pack")(spark, d))
+      Bench.force(SparkEntry.queries("q_perplexity_bucket")(spark, d))
+    }
+    val rep = graft.operators.TextOps.pinnedStorageReport(spark)
+    rep.foreach { case (fam, snaps, bytes) =>
+      println(f"[scaleprobe] pinned $fam%-40s snapshots=$snaps bytes=$bytes")
+    }
+    val rows = rep.map { case (fam, snaps, bytes) =>
+      s""""${fam.replace("\"", "")}":{"snapshots":$snaps,"bytes":$bytes}"""
+    }
+    Seq(s""""pinned_after_3_datasets":{${rows.mkString(",")}}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val base = sys.env.getOrElse("SPARK_GRAFT_PROBE_DIR", "/tmp/graft-scaleprobe")
@@ -656,6 +685,11 @@ object ScaleProbe {
     if (args.sameElements(Array("--retrieval"))) {
       val rows = retrievalProbe(spark, base, n1)
       println(s"""{"metric":"scaleprobe_retrieval",${rows.mkString(",")}}""")
+      spark.stop(); return
+    }
+    if (args.sameElements(Array("--pinned"))) {
+      val rows = pinnedProbe(spark, base, n1)
+      println(s"""{"metric":"scaleprobe_pinned",${rows.mkString(",")}}""")
       spark.stop(); return
     }
     if (args.sameElements(Array("--rocksdb"))) {

@@ -1526,10 +1526,38 @@ object TextOps {
     * observable proxy for "some downstream frame consumed it".
     */
   private def wasMaterialized(df: DataFrame): Boolean =
+    cacheBuilderOf(df).exists(_.isCachedColumnBuffersLoaded)
+
+  private def cacheBuilderOf(df: DataFrame) =
     df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sharedState.cacheManager
       .lookupCachedData(df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]])
-      .exists(_.cachedRepresentation.cacheBuilder.isCachedColumnBuffersLoaded)
+      .map(_.cachedRepresentation.cacheBuilder)
+
+  /** Session-level pinned-storage report over the pid-consistency
+    * snapshot registry: (family, live snapshots, persisted bytes
+    * memory+disk). The observability face of the keep-2 release
+    * machinery — the multi-GB-per-stale-dataset class it exists to
+    * prevent becomes a probe row (`ScaleProbe --pinned`) instead of an
+    * archaeology session; a regression shows up as a family whose bytes
+    * GROW with datasets instead of plateauing at two corpora.
+    */
+  private[graft] def pinnedStorageReport(
+      spark: SparkSession): Seq[(String, Int, Long)] = {
+    val infos = spark.sparkContext.getRDDStorageInfo
+    pinnedSnapshots.synchronized {
+      pinnedSnapshots.toSeq.sortBy(_._1).map { case (family, dfs) =>
+        val bytes = dfs.map { df =>
+          cacheBuilderOf(df)
+            .filter(_.isCachedColumnBuffersLoaded)
+            .map(_.cachedColumnBuffers.id)
+            .flatMap(id => infos.find(_.id == id))
+            .map(i => i.memSize + i.diskSize).getOrElse(0L)
+        }.sum
+        (family, dfs.size, bytes)
+      }
+    }
+  }
 
   /** Test hook: the MRU snapshot registered for `family`, if any. */
   private[graft] def pinnedSnapshot(family: String): Option[DataFrame] =
@@ -2993,6 +3021,56 @@ object TextOps {
       .select(col("doc_id"), explode(array_distinct(sel)).as("s"))
       .select(col("doc_id"), col("s.p").cast("long").as("pos"),
         col("s.v").as("fp"))
+  }
+
+  /** Per-document winnow match report against a static fingerprint set:
+    * (doc_id, n_fp, n_matched) — how many of the document's selected
+    * fingerprints the set already holds. TOTAL over `docs`: a document
+    * too short to winnow (or with null text) reports (0, 0) rather than
+    * vanishing — an ingest gate keyed on the report must see every
+    * document it was handed. One winnow pass: membership is a left join
+    * carrying a hit flag into a single aggregate, so the per-gram
+    * hashing (the dominant cost) runs once. `corpusFps` must be
+    * fp-distinct — a duplicated fp would multiply the join and inflate
+    * both counts. Plain transformation: runs identically on batch and
+    * micro-batch frames ([[graft.streaming.WinnowStream]] serves it at
+    * foreachBatch altitude; this batch face is the driver-checked
+    * declaration, q_winnow_match).
+    */
+  def winnowMatchReport(docs: DataFrame, corpusFps: DataFrame, k: Int = 3,
+      w: Int = 4, family: WinnowHash = WinnowMd5): DataFrame = {
+    // DISTINCT fps per document — the gate's contract counts fingerprint
+    // VALUES, not selection instances (the same fp can win two windows
+    // at different positions; membership against the corpus set is
+    // per-value either way, so instance-counting would only inflate)
+    val perDoc = winnowOver(docs, k, w, family)
+      .select("doc_id", "fp").distinct()
+      .join(corpusFps.select(col("fp"), lit(1).as("hit")), Seq("fp"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_fp"), count(col("hit")).as("n_matched"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_fp"), lit(0L)).as("n_fp"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"))
+  }
+
+  /** The ingest-gate triage signal as a driver-checked batch query
+    * (q_winnow_match): the probe slice (doc_id ≡ 0 mod 3) reported
+    * against the remaining corpus slice's distinct fingerprint set —
+    * exactly what [[graft.streaming.WinnowStream]] computes per
+    * micro-batch against the maintained [[WinnowIndex]], so the
+    * hash-exact oracle row stands behind the streaming gate's signal
+    * too.
+    */
+  def winnowMatch(spark: SparkSession, dir: String, k: Int = 3,
+      w: Int = 4): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    winnowMatchReport(
+      docs.filter(col("doc_id") % 3 === 0),
+      winnowOver(docs.filter(col("doc_id") % 3 =!= 0), k, w)
+        .select("fp").distinct(), k, w)
+      .orderBy("doc_id")
   }
 
   /** Winnow-overlap pairs — MOSS's match step at corpus scale: document

@@ -60,17 +60,10 @@ object WinnowStream {
     * multiply the left join and inflate n_fp / n_matched.
     */
   def matchReport(docs: DataFrame, corpusFps: DataFrame, k: Int = 3,
-      w: Int = 4, family: TextOps.WinnowHash = TextOps.WinnowMd5): DataFrame = {
-    val perDoc = TextOps.winnowOver(docs, k, w, family)
-      .join(corpusFps.select(col("fp"), lit(1).as("hit")), Seq("fp"), "left")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_fp"), count(col("hit")).as("n_matched"))
-    docs.select(col("doc_id"))
-      .join(perDoc, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_fp"), lit(0L)).as("n_fp"),
-        coalesce(col("n_matched"), lit(0L)).as("n_matched"))
-  }
+      w: Int = 4, family: TextOps.WinnowHash = TextOps.WinnowMd5): DataFrame =
+    // the batch kernel, shared verbatim — its q_winnow_match oracle row
+    // is the driver-checked proof of the signal this stream gates on
+    TextOps.winnowMatchReport(docs, corpusFps, k, w, family)
 
   /** [[matchReport]] with a PERIODICALLY REFRESHED fingerprint set —
     * the same production posture (and consistency model) as

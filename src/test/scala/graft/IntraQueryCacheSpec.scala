@@ -58,6 +58,13 @@ class IntraQueryCacheSpec extends AnyFunSuite with BeforeAndAfterEach {
     while (isCached(snap2.get) && System.nanoTime() < deadline) Thread.sleep(50)
     assert(!isCached(snap2.get), "LRU input's snapshot still pinned")
     assert(isCached(snap1.get) && isCached(snap3.get))
+    // release-on-supersede is observable in the session-level report:
+    // after three datasets the family holds exactly two snapshots, and
+    // only live (materialized) blocks are counted in its bytes
+    val rep = TextOps.pinnedStorageReport(spark)
+      .find(_._1 == "perpbucket")
+    assert(rep.exists(_._2 == 2),
+      s"pinned report should show exactly 2 perpbucket snapshots: $rep")
   }
 
   test("evicting a never-consumed pinned snapshot warns loudly; a consumed one evicts silently") {
