@@ -90,8 +90,13 @@ object Bench {
     }
     // nothing may print after the metric line (the driver keeps a bounded
     // TAIL of combined output) — stop Spark first so late executor/stop
-    // logs cannot crowd the capture window
-    spark.stop()
+    // logs cannot crowd the capture window; and a stop() failure must not
+    // swallow the metric line the whole run exists to print
+    try spark.stop()
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] spark.stop failed: $e")
+    }
     // the driver's official record keeps only the last ~2000 chars of
     // output and json-parses the metric line from it; the full-precision
     // 103-query line is ~3.5 kB, so every past round's record lost its
@@ -118,8 +123,16 @@ object Bench {
     * set; full names are unique so it terminates).
     */
   private[graft] def shortNames(names: Seq[String]): Map[String, String] = {
-    val stripped = names.map(n =>
+    val rawStripped = names.map(n =>
       n -> (if (n.startsWith("q_")) n.drop(2) else n)).toMap
+    // two FULL names stripping to one string (e.g. "q_foo" vs "foo")
+    // would never separate under prefix extension — those keep their
+    // full (unique) names so the loop always terminates
+    val collided = rawStripped.groupBy(_._2).filter(_._2.size > 1)
+      .flatMap(_._2.keys).toSet
+    val stripped = rawStripped.map { case (k, v) =>
+      k -> (if (collided(k)) k else v)
+    }
     var len = 10
     var short = stripped.map { case (k, v) => k -> v.take(len) }
     while (short.values.toSeq.distinct.size < short.size) {

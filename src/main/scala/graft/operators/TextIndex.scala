@@ -233,10 +233,16 @@ object TextIndex {
   }
 
   /** Filesystem-safe encoding for tag components (streamIds are
-    * caller-chosen strings; batch ids are digits).
+    * caller-chosen strings; batch ids are digits). `-` is additionally
+    * percent-encoded even though URLEncoder leaves it alone: it is the
+    * tag SEPARATOR in segment file names, and an unescaped `-` inside a
+    * streamId would make prefix matching ambiguous — stream "crawl"
+    * replaying batch 2 (prefix `seg-crawl-2-`) must never match stream
+    * "crawl-2"'s committed files (`seg-crawl%2D2-…`). URLDecoder
+    * round-trips %2D, so the tag-file path is unaffected.
     */
   private def enc(s: String): String =
-    java.net.URLEncoder.encode(s, "UTF-8")
+    java.net.URLEncoder.encode(s, "UTF-8").replace("-", "%2D")
 
   /** Remove a crashed same-tag attempt's published postings files —
     * the overwrite half of replay idempotence.

@@ -59,15 +59,27 @@ object WinnowIndex {
         s"refusing to touch it as '${family.name}' — cross-family " +
         "fingerprints silently match nothing"))
 
-  /** Build a fresh index under `root` from a corpus frame. */
+  /** Build (or rebuild) the index under `root` from a corpus frame.
+    * A REBUILD over an existing root publishes through the same
+    * aside-rename chain as compaction — a crash mid-rebuild must leave
+    * the previous servable artifact (or a recoverable aside), never a
+    * partially committed fps dir the refresh loader would silently
+    * under-match against.
+    */
   def buildInto(root: String, docs: DataFrame, k: Int = 3, w: Int = 4,
       family: TextOps.WinnowHash = TextOps.WinnowMd5): Unit = {
     new File(root).mkdirs()
+    recover(root) // heal a previously crashed swap before staging
     requireFamily(root, family) // a rebuild must not silently flip tiers
     java.nio.file.Files.write(familyFile(root).toPath,
       (family.name + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+    val stage = s"${fpsDir(root)}.tmp-${java.util.UUID.randomUUID()}"
     TextOps.winnowOver(docs, k, w, family).select("fp").distinct()
-      .write.mode("overwrite").parquet(fpsDir(root))
+      .write.parquet(stage)
+    if (new File(fpsDir(root)).exists())
+      Artifacts.publishByRename(fpsDir(root), stage)
+    else require(new File(stage).renameTo(new File(fpsDir(root))),
+      s"publish rename to ${fpsDir(root)} failed")
   }
 
   /** Fold a NEW document slice in: its distinct selected fingerprints
@@ -88,10 +100,21 @@ object WinnowIndex {
     * same fingerprint SET, restored file economy (file count is what
     * degrades scan setup at scale). Publishes through the shared
     * crash-recoverable rename chain.
+    *
+    * `targetFiles` BOUNDS the output file count explicitly — under the
+    * 200-partition shuffle default a bare `distinct()` would write one
+    * file per post-shuffle partition and compaction would never get the
+    * segment count under a maintainer's bound (re-triggering a
+    * full-artifact rewrite every micro-batch). `repartition`, not
+    * `coalesce`: coalesce would propagate the narrow width upstream and
+    * serialize the distinct itself. The probe-scale default is one
+    * file; a production deployment passes its fp-range shard count.
     */
-  def compact(root: String, spark: SparkSession): Unit = {
+  def compact(root: String, spark: SparkSession, targetFiles: Int = 1): Unit = {
+    require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
     recover(root)
     val fps = spark.read.parquet(fpsDir(root)).select("fp").distinct()
+      .repartition(targetFiles)
       .sortWithinPartitions("fp")
     val tmp = s"${fpsDir(root)}.tmp-${java.util.UUID.randomUUID()}"
     fps.write.parquet(tmp)

@@ -103,26 +103,38 @@ object WinnowStream {
   }
 
   /** [[matchesVsCorpusRefreshing]] against a MAINTAINED
-    * [[graft.operators.WinnowIndex]] root: fails fast if the index was
-    * built under a different hash family (cross-family fingerprints
-    * silently match nothing), then serves the index's fps artifact
-    * through the same refresh lifecycle — appends/compactions by the
-    * index's maintainer become visible at refresh boundaries. The
-    * per-refresh loader dedup also absorbs the index's benign
-    * append-duplicate segments.
+    * [[graft.operators.WinnowIndex]] root: serves the index's fps
+    * artifact through the same refresh lifecycle — appends/compactions
+    * by the index's maintainer become visible at refresh boundaries;
+    * the per-refresh loader dedup also absorbs the index's benign
+    * append-duplicate segments. The hash-family check runs INSIDE the
+    * refresh loader, once per refresh, not once at construction: an
+    * index rebuilt under a different family MID-STREAM (or one whose
+    * `_family` marker is absent — not yet built, or torn) fails the
+    * next refresh loudly instead of silently matching nothing, which is
+    * the failure mode cross-family fingerprints produce.
     */
   def matchesVsIndexRefreshing(stream: DataFrame, root: String,
       refreshEvery: Int, k: Int = 3, w: Int = 4,
       family: TextOps.WinnowHash = TextOps.WinnowMd5)(
       sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[Row] = {
-    graft.operators.WinnowIndex.familyOf(root).foreach(have =>
-      require(have == family.name,
-        s"winnow index at $root was built with family '$have', " +
-          s"serving requested '${family.name}'"))
-    matchesVsCorpusRefreshing(stream,
-      graft.operators.WinnowIndex.fpsDir(root), refreshEvery, k, w,
-      family)(sink)
+    require(refreshEvery >= 1, s"refreshEvery must be >= 1, got $refreshEvery")
+    val fpsPath = graft.operators.WinnowIndex.fpsDir(root)
+    val snap = new RefreshingSnapshot(stream.sparkSession, sp => {
+      val have = graft.operators.WinnowIndex.familyOf(root)
+      require(have.contains(family.name),
+        s"winnow index at $root carries family ${have.orNull} " +
+          s"(serving requested '${family.name}') — refusing to serve " +
+          "cross-family or unmarked fingerprints")
+      sp.catalog.refreshByPath(fpsPath)
+      sp.read.parquet(fpsPath).select("fp").distinct()
+    })
+    stream.writeStream.outputMode("append").foreachBatch {
+      (batch: Dataset[Row], batchId: Long) =>
+        val fps = snap.forBatch(batch.sparkSession, batchId, refreshEvery)
+        sink(matchReport(batch.toDF(), fps, k, w, family), batchId)
+    }
   }
 
   /** Continuous index maintenance — the ingest face: each micro-batch

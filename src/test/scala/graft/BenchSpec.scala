@@ -23,6 +23,15 @@ class BenchSpec extends AnyFunSuite {
     })
   }
 
+  test("shortNames terminates and stays unique when stripping collides") {
+    // "q_foo" and "foo" strip to the same string — those entries must
+    // fall back to their full names instead of looping forever
+    val short = Bench.shortNames(Seq("q_foo", "foo", "q_bar_baz_quux_long"))
+    assert(short.values.toSeq.distinct.size == 3)
+    assert(short("q_foo") == "q_foo" && short("foo") == "foo")
+    assert(short("q_bar_baz_quux_long") == "bar_baz_qu")
+  }
+
   test("the compact metric line fits the driver's capture window with headroom") {
     val names = SparkEntry.queries.keys.toSeq
     val short = Bench.shortNames(names)

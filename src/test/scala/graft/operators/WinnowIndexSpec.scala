@@ -79,11 +79,25 @@ class WinnowIndexSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       WinnowIndex.buildInto(root, d, family = TextOps.WinnowXx)
     }
-    intercept[IllegalArgumentException] {
-      WinnowStream.matchesVsIndexRefreshing(
-        spark.readStream.format("rate").load(), root,
-        refreshEvery = 1, family = TextOps.WinnowXx)(( _, _) => ())
-    }
+    // the serving check runs in the refresh LOADER (per refresh, not at
+    // construction), so a cross-family index fails the stream's first
+    // batch loudly instead of silently matching nothing
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = WinnowStream.matchesVsIndexRefreshing(
+      mem.toDS.select(col("_1").as("doc_id"), col("_2").as("text")), root,
+      refreshEvery = 1, family = TextOps.WinnowXx)((_, _) => ()).start()
+    try {
+      mem.addData((1L, (1 to 10).map(i => s"t$i").mkString(" ")))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def chain(t: Throwable): Seq[Throwable] =
+        Option(t).toSeq.flatMap(x => x +: chain(x.getCause))
+      assert(chain(e).exists(t =>
+        Option(t.getMessage).exists(_.contains("refusing to serve"))), e.toString)
+    } finally q.stop()
   }
 
   test("an xxhash64-tier index round-trips build/append/serve") {

@@ -205,6 +205,30 @@ class TextIndexStreamSpec extends AnyFunSuite {
     assert(a.nonEmpty && b.toSeq === a.toSeq)
   }
 
+  test("a streamId containing the tag separator cannot clobber another stream's postings") {
+    // "crawl" appending batch 2 forms prefix seg-crawl-2-, which would
+    // ALSO match stream "crawl-2"'s files if '-' were left unescaped in
+    // the encoding — its committed postings would be deleted while
+    // terms/stats still counted them
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id").cast("long"), col("text"))
+    val base = java.nio.file.Files.createTempDirectory("graft-tidxd").toString
+    val full = s"$base/full"
+    val multi = s"$base/multi"
+    TextIndex.buildInto(full, docs, "spec-tidxd-full")
+    TextIndex.buildInto(multi, docs.filter(col("doc_id") % 3 === 0),
+      "spec-tidxd-base")
+    TextIndexStream.appendBatch(multi, docs.filter(col("doc_id") % 3 === 1),
+      id = 7L, "crawl-2")
+    TextIndexStream.appendBatch(multi, docs.filter(col("doc_id") % 3 === 2),
+      id = 2L, "crawl")
+    val wl = TextOps.bm25Queries
+    val a = TextIndex.bm25At(spark, full, 10, wl).collect().map(_.toString)
+    val b = TextIndex.bm25At(spark, multi, 10, wl).collect().map(_.toString)
+    assert(a.nonEmpty && b.toSeq === a.toSeq,
+      "stream crawl's append deleted stream crawl-2's postings")
+  }
+
   test("a crash between compaction's aside and swap-in renames heals on the next batch") {
     val docs = graft.Tables.documents(spark, dir)
       .select(col("doc_id").cast("long"), col("text"))
