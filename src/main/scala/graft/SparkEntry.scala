@@ -38,6 +38,7 @@ object SparkEntry {
     graft.operators.VectorOps.cachedQueryVecs(spark, dir)
     graft.plans.CorpusRoute.ensureArtifacts(spark, dir)
     graft.operators.TextOps.trainedBpeRules(spark, dir, 10)
+    graft.operators.WinnowIndex.ensure(spark, dir)
     ()
   }
 
@@ -91,6 +92,7 @@ object SparkEntry {
     "q_winnow_overlap" -> ((s, d) => TextOps.winnowOverlap(s, d)),
     "q_winnow_clusters" -> ((s, d) => TextOps.winnowClusters(s, d)),
     "q_winnow_match" -> ((s, d) => TextOps.winnowMatch(s, d)),
+    "q_winnow_match_indexed" -> ((s, d) => TextOps.winnowMatchIndexed(s, d)),
     "q_rag_chunks" -> ((s, d) => TextOps.ragChunks(s, d)),
     "q_chunk_search" -> ((s, d) => TextOps.chunkSearch(s, d)),
     "q_bm25_topk" -> ((s, d) => TextOps.bm25TopK(s, d)),
@@ -237,6 +239,25 @@ object SparkEntry {
       |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
       |    doc_id, score FROM per)
       |SELECT qid, rank, doc_id, score FROM rk WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+
+  /** The winnow ingest-gate triage report: probe slice (doc_id ≡ 0
+    * mod 3) vs the corpus slice's distinct fingerprint set; TOTAL over
+    * the probe slice — an unwinnowable document reports (0, 0). Shared
+    * by q_winnow_match (per-query recompute) and
+    * q_winnow_match_indexed (served from the maintained WinnowIndex
+    * artifact) — both must equal this raw-recompute.
+    */
+  private val winnowMatchOracleSql: String =
+    s"""WITH $winnowCtes,
+      |cfps AS (SELECT DISTINCT fp FROM sel WHERE doc_id % 3 <> 0),
+      |pd AS (SELECT s.doc_id, COUNT(*) AS n_fp, COUNT(c.fp) AS n_matched
+      |  FROM sel s LEFT JOIN cfps c USING (fp)
+      |  WHERE s.doc_id % 3 = 0 GROUP BY 1)
+      |SELECT d.doc_id,
+      |  CAST(COALESCE(pd.n_fp, 0) AS BIGINT) AS n_fp,
+      |  CAST(COALESCE(pd.n_matched, 0) AS BIGINT) AS n_matched
+      |FROM documents d LEFT JOIN pd USING (doc_id)
+      |WHERE d.doc_id % 3 = 0 ORDER BY d.doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_scan_filter" ->
@@ -570,20 +591,11 @@ object SparkEntry {
         |  GROUP BY w.doc_id, w.j, w.wmin)
         |SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, fp
         |FROM selp ORDER BY doc_id, pos""".stripMargin,
-    "q_winnow_match" ->
-      // the ingest-gate triage report: probe slice (doc_id ≡ 0 mod 3)
-      // vs the corpus slice's distinct fingerprint set; TOTAL over the
-      // probe slice — an unwinnowable document reports (0, 0)
-      s"""WITH $winnowCtes,
-        |cfps AS (SELECT DISTINCT fp FROM sel WHERE doc_id % 3 <> 0),
-        |pd AS (SELECT s.doc_id, COUNT(*) AS n_fp, COUNT(c.fp) AS n_matched
-        |  FROM sel s LEFT JOIN cfps c USING (fp)
-        |  WHERE s.doc_id % 3 = 0 GROUP BY 1)
-        |SELECT d.doc_id,
-        |  CAST(COALESCE(pd.n_fp, 0) AS BIGINT) AS n_fp,
-        |  CAST(COALESCE(pd.n_matched, 0) AS BIGINT) AS n_matched
-        |FROM documents d LEFT JOIN pd USING (doc_id)
-        |WHERE d.doc_id % 3 = 0 ORDER BY d.doc_id""".stripMargin,
+    "q_winnow_match" -> winnowMatchOracleSql,
+    // the index-served twin recomputes the SAME report from raw
+    // documents — a green row is a standing consistency proof for the
+    // maintained WinnowIndex artifact (the q_bm25_indexed pattern)
+    "q_winnow_match_indexed" -> winnowMatchOracleSql,
     "q_winnow_overlap" ->
       // the MOSS match step: pairs sharing >= 2 distinct selected
       // fingerprints, fingerprints in more than 16 docs suppressed

@@ -3073,6 +3073,25 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** [[winnowMatch]] served from the MAINTAINED [[WinnowIndex]]
+    * artifact instead of a per-query fingerprint recompute
+    * (q_winnow_match_indexed — the q_bm25_indexed pattern): the oracle
+    * recomputes the identical report from RAW documents, so the green
+    * driver row is a standing consistency proof for the artifact's
+    * build/publish chain. The index build is ingest-time
+    * ([[SparkEntry.prepare]]); query time reads the fingerprint set.
+    */
+  def winnowMatchIndexed(spark: SparkSession, dir: String, k: Int = 3,
+      w: Int = 4): DataFrame = {
+    val root = WinnowIndex.ensure(spark, dir, k, w)
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    winnowMatchReport(
+      docs.filter(col("doc_id") % 3 === 0),
+      spark.read.parquet(WinnowIndex.fpsDir(root)).select("fp").distinct(),
+      k, w)
+      .orderBy("doc_id")
+  }
+
   /** Winnow-overlap pairs — MOSS's match step at corpus scale: document
     * pairs sharing at least `minShared` distinct selected fingerprints.
     * Fingerprints selected by more than `maxDf` documents are suppressed
