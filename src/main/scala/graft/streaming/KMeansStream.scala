@@ -17,12 +17,16 @@ import graft.operators.VectorOps
   * Per-batch cost tracks the batch, never the corpus.
   *
   * Initialization is deterministic from the FIRST batch (the k vectors
-  * with smallest (xxhash64(vec_id), vec_id) — the batch trainer's
-  * seed-free rule), so a drained stream is reproducible for a fixed
-  * batch sequence. Mini-batch k-means is order-dependent by nature
-  * (state, like every streaming aggregate here), so the spec pins
-  * QUALITY — planted well-separated clusters are recovered with
-  * purity 1 — rather than bit-equality with the batch trainer.
+  * with smallest (md5-60-bit(vec_id), vec_id) — the batch trainer's
+  * seed-free init ordering, shared since the r9 exact fit so the two
+  * trainers cannot drift on which vectors seed the model), so a
+  * drained stream is reproducible for a fixed batch sequence.
+  * Mini-batch k-means is order-dependent by nature (state, like every
+  * streaming aggregate here), so the spec pins QUALITY — planted
+  * well-separated clusters are recovered with purity 1 — rather than
+  * bit-equality with the batch trainer; centroids stay double-valued
+  * (count-weighted running means do not quantize cleanly, and no
+  * oracle replays a stream).
   */
 object KMeansStream {
 
@@ -54,7 +58,10 @@ object KMeansStream {
           // existing centroid is possible and tolerated (Lloyd updates
           // separate or starve it; empty clusters keep their centroid)
           val extra = rows
-            .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+            .orderBy(
+              conv(substring(md5(col("vec_id").cast("string").cast("binary")),
+                1, 15), 16, 10).cast("long"),
+              col("vec_id"))
             .limit(k)
             .select(col("embedding").cast("array<double>"))
             .collect().map(_.getSeq[Double](0)).toIndexedSeq
