@@ -29,6 +29,38 @@ private[graft] object Artifacts {
     rmTree(aside)
   }
 
+  /** Build-if-missing under the two-JVM-safe atomic whole-root publish
+    * shared by the per-dataset index family ([[TagIndex]] /
+    * [[TextIndex]] / [[WinnowIndex]]): completeness is the root
+    * `_SUCCESS` plus the caller's per-artifact predicate; the build
+    * lands in a unique tmp root atomically renamed into place — the
+    * first rename wins, a loser requires the winner's committed tree
+    * and discards its own copy, and a crashed build's incomplete target
+    * is deleted, never served. Extracted in r9 so the subtle publish
+    * race lives in ONE audited place instead of three near-copies. The
+    * JVM lock is global across index types — coarse but safe (builds
+    * are ingest-time work).
+    */
+  private[graft] def ensureRoot(path: String)(complete: String => Boolean)(
+      build: String => Unit): String = this.synchronized {
+    def ok(p: String) = new File(s"$p/_SUCCESS").exists() && complete(p)
+    if (!ok(path)) {
+      val tmp = new File(s"$path.tmp-${java.util.UUID.randomUUID()}")
+      build(tmp.getPath)
+      // no-op when the build's own parquet write already left a root
+      // marker (the TagIndex single-artifact layout)
+      new File(tmp, "_SUCCESS").createNewFile(): Unit
+      val target = new File(path)
+      if (target.exists() && !ok(path)) rmTree(target)
+      if (!tmp.renameTo(target)) {
+        require(ok(path),
+          s"index rename to $path failed with no committed index present")
+        rmTree(tmp)
+      }
+    }
+    path
+  }
+
   /** Heal a crashed artifact swap under `root`: an artifact missing with
     * exactly one `.old-` aside present means the aside step completed
     * but the swap-in did not — rename the aside back; an aside next to a

@@ -32,47 +32,26 @@ object TagIndex {
     s"${sys.props("java.io.tmpdir")}/graft-index/$safe-$fp/events_tagged"
   }
 
-  private def rmTree(f: File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(rmTree)
-    f.delete(): Unit
-  }
-
   /** Build-if-missing; returns the indexed table path. One pass over
     * events: props JSON → `tags` map (wire-model shape, so writeTable also
     * derives `tag_keys`/`tag_values`), plus the hot tag `k` extracted as a
     * typed column and used as the sort key — range predicates prune row
     * groups via min/max, equality via bloom + dictionary.
     *
-    * Cross-process safety: the `synchronized` only serializes THIS JVM, and
-    * writeTable appends — two JVMs (e.g. Bench and Verify concurrently)
-    * could both pass the _SUCCESS check and double-append. So the build
-    * lands in a unique temp directory and is atomically renamed into place;
-    * the first rename wins and the loser discards its copy.
+    * Cross-process safety (two JVMs, e.g. Bench and Verify concurrently,
+    * could both pass the `_SUCCESS` check and double-append) is the
+    * shared [[Artifacts.ensureRoot]] tmp-build + atomic-rename publish.
     */
-  def ensure(spark: SparkSession, dir: String): String = this.synchronized {
-    val path = indexPath(dir)
-    if (!new File(s"$path/_SUCCESS").exists()) {
-      val tmp = new File(s"$path.tmp-${java.util.UUID.randomUUID()}")
+  def ensure(spark: SparkSession, dir: String): String =
+    Artifacts.ensureRoot(indexPath(dir))(_ => true) { tmp =>
       val ev = Tables.events(spark, dir)
         .withColumn("time", col("ts"))
         .withColumn("tags", from_json(col("props"),
           org.apache.spark.sql.types.DataType.fromDDL("map<string,string>")))
         .select("time", "event_id", "user_id", "event_type", "value", "tags")
-      Ingest.writeTable(ev, tmp.getPath, sortKeys = Seq("k"),
+      Ingest.writeTable(ev, tmp, sortKeys = Seq("k"),
         derived = Seq("k" -> col("tags").getItem("k").cast("bigint")))
-      val target = new File(path)
-      if (target.exists() && !new File(target, "_SUCCESS").exists()) {
-        rmTree(target) // partial wreckage from a crashed build, never live
-      }
-      if (!tmp.renameTo(target)) {
-        // lost the publish race (or stale dir) — serve the winner's copy
-        require(new File(target, "_SUCCESS").exists(),
-          s"tag index rename to $path failed with no committed index present")
-        rmTree(tmp)
-      }
     }
-    path
-  }
 
   /** The indexed events table. */
   def events(spark: SparkSession, dir: String): DataFrame =

@@ -53,45 +53,27 @@ object TextIndex {
     *  - `terms/` — (term, df) under the same sharding (the per-term
     *    document frequency the idf needs).
     *  - `stats/` — one row (n, t): corpus doc count and token total.
-    * The publish is the [[TagIndex.ensure]] two-JVM-safe atomic rename.
+    * The publish is the shared [[Artifacts.ensureRoot]] two-JVM-safe
+    * atomic rename.
     */
-  def ensure(spark: SparkSession, dir: String): String = this.synchronized {
-    val path = indexPath(dir)
-    if (!isComplete(path)) {
-      val tmp = new File(s"$path.tmp-${java.util.UUID.randomUUID()}")
-      buildInto(tmp.getPath, Tables.documents(spark, dir), s"textindex:$dir")
-      new File(tmp, "_SUCCESS").createNewFile()
-      val target = new File(path)
-      // a root _SUCCESS with a missing/uncommitted artifact dir (a crash
-      // inside a small-table swap or compaction) must NOT keep serving —
-      // completeness is per-artifact, and an incomplete tree rebuilds;
-      // a tree ANOTHER JVM completed since the entry check is kept
-      if (target.exists() && !isComplete(path)) rmTree(target)
-      if (!tmp.renameTo(target)) {
-        require(isComplete(path),
-          s"text index rename to $path failed with no committed index present")
-        rmTree(tmp)
-      }
+  def ensure(spark: SparkSession, dir: String): String =
+    // completeness is per-artifact ([[artifactsComplete]]): a root
+    // _SUCCESS with a missing/uncommitted artifact dir (a crash inside
+    // a small-table swap or compaction) must NOT keep serving
+    Artifacts.ensureRoot(indexPath(dir))(artifactsComplete) { tmp =>
+      buildInto(tmp, Tables.documents(spark, dir), s"textindex:$dir")
     }
-    path
-  }
 
-  /** An index is complete only when the root marker AND every artifact's
-    * own parquet `_SUCCESS` exist: the append/compaction swaps publish by
-    * delete+rename, so a crash between them leaves a root that still has
-    * its top-level marker but is missing `terms/` or `stats/` — that tree
-    * must fail validation, not serve. Checked by [[ensure]] (which falls
-    * back to a rebuild) and by the serve-from-root paths ([[bm25At]] /
-    * [[phraseAt]], which fail fast — a stream-maintained root cannot be
-    * re-derived from one dataset dir).
-    */
-  private[graft] def isComplete(root: String): Boolean =
-    new File(s"$root/_SUCCESS").exists() && artifactsComplete(root)
-
-  /** The artifact-level half of [[isComplete]]: every artifact dir has
-    * its own parquet `_SUCCESS`. The serve-from-root paths check THIS
-    * (stream-maintained roots built via [[buildInto]] never get a root
-    * marker — that is [[ensure]]'s publish protocol, not a build step).
+  /** Every artifact dir has its own parquet `_SUCCESS`: the
+    * append/compaction swaps publish per-artifact, so a crash between
+    * them leaves a root missing `terms/` or `stats/` — that tree must
+    * fail validation, not serve. [[ensure]]'s completeness predicate
+    * (combined with the root marker by [[Artifacts.ensureRoot]], which
+    * then falls back to a rebuild) and the fail-fast check of the
+    * serve-from-root paths ([[bm25At]] / [[phraseAt]] — a
+    * stream-maintained root cannot be re-derived from one dataset dir;
+    * such roots never get a root marker, that is ensure's publish
+    * protocol, not a build step).
     */
   private[graft] def artifactsComplete(root: String): Boolean =
     Seq("postings", "terms", "stats")

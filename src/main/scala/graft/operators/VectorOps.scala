@@ -1180,6 +1180,17 @@ object VectorOps {
       s"kmeans:$dir:$k:$iters")
   }
 
+  /** The seed-free k-means init ordering key — first 15 md5 hex chars
+    * of the id as a 60-bit int, the cross-engine `conv` ↔ `'0x'`-cast
+    * family. ONE definition shared by the exact batch fit, the
+    * streaming mini-batch trainer, and the spec fixtures: the
+    * batch↔stream "cannot drift on which vectors seed the model" claim
+    * holds by construction only while all three use this helper.
+    */
+  private[graft] def seedOrderKey(id: Column): Column =
+    conv(substring(md5(id.cast("string").cast("binary")), 1, 15), 16, 10)
+      .cast("long")
+
   /** [[kmeansFit]] over an explicit embedding frame — the spec hook that
     * pins the fitted centroids on a fixed synthetic corpus (KMeansSpec)
     * AND the shape the DuckDB oracle replays: with every step exact
@@ -1198,10 +1209,7 @@ object VectorOps {
     val embq = graft.IntraQueryCache.scoped(quantized(emb0))
     // seed-free init, cross-engine replayable: smallest (md5-60bit, id)
     var cents: IndexedSeq[Seq[Long]] = embq
-      .orderBy(
-        conv(substring(md5(col("vec_id").cast("string").cast("binary")), 1, 15),
-          16, 10).cast("long"),
-        col("vec_id"))
+      .orderBy(seedOrderKey(col("vec_id")), col("vec_id"))
       .limit(k)
       .select(col("xq"))
       .collect().map(_.getSeq[Long](0)).toIndexedSeq

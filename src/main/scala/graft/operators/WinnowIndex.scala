@@ -43,47 +43,37 @@ object WinnowIndex {
 
   def fpsDir(root: String): String = s"$root/fps"
 
-  /** Per-dataset artifact root (fingerprint-keyed like
-    * [[TextIndex.indexPath]] — a regenerated dataset rebuilds).
+  /** Per-dataset artifact root, keyed by the dataset fingerprint AND
+    * the winnow parameters — fingerprints selected at one (k, w) are
+    * meaningless against another's, so a parameter change must build a
+    * sibling artifact, never silently serve the first builder's
+    * (`_family` plays the same role for the hash tier).
     */
-  private[graft] def indexPath(dir: String): String = {
+  private[graft] def indexPath(dir: String, k: Int, w: Int): String = {
     val fp = graft.Tables.fingerprint(dir, "documents")
     val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-    s"${sys.props("java.io.tmpdir")}/graft-index/$safe-$fp/winnow_v1"
+    s"${sys.props("java.io.tmpdir")}/graft-index/$safe-$fp/winnow_v1_k${k}w$w"
   }
 
   /** Build-if-missing over the dataset's CORPUS slice (doc_id ≢ 0
     * mod 3 — the q_winnow_match fixture split: the remaining third is
-    * the probe side); returns the index root. Publish is the
-    * [[TextIndex.ensure]] two-JVM-safe atomic whole-root rename, with
-    * completeness = root marker + the fps artifact's own `_SUCCESS`.
-    * The q_winnow_match_indexed driver row recomputes the same report
-    * from RAW documents in DuckDB, so a green row is a standing
-    * consistency proof for this maintained artifact — the q_route_stats
-    * / termStats role.
+    * the probe side); returns the index root. Publish is the shared
+    * [[Artifacts.ensureRoot]] two-JVM-safe atomic whole-root rename,
+    * with completeness = root marker + the fps artifact's own
+    * `_SUCCESS`. The q_winnow_match_indexed driver row recomputes the
+    * same report from RAW documents in DuckDB, so a green row is a
+    * standing consistency proof for this maintained artifact — the
+    * q_route_stats / termStats role.
     */
   def ensure(spark: SparkSession, dir: String, k: Int = 3,
-      w: Int = 4): String = this.synchronized {
-    val path = indexPath(dir)
-    def complete(p: String) = new File(s"$p/_SUCCESS").exists() &&
-      new File(s"${fpsDir(p)}/_SUCCESS").exists()
-    if (!complete(path)) {
-      val tmp = new File(s"$path.tmp-${java.util.UUID.randomUUID()}")
+      w: Int = 4): String =
+    Artifacts.ensureRoot(indexPath(dir, k, w))(
+      p => new File(s"${fpsDir(p)}/_SUCCESS").exists()) { tmp =>
       val corpus = graft.Tables.documents(spark, dir)
         .select(col("doc_id"), col("text"))
         .filter(col("doc_id") % 3 =!= 0)
-      buildInto(tmp.getPath, corpus, k, w)
-      new File(tmp, "_SUCCESS").createNewFile()
-      val target = new File(path)
-      if (target.exists() && !complete(path)) Artifacts.rmTree(target)
-      if (!tmp.renameTo(target)) {
-        require(complete(path),
-          s"winnow index rename to $path failed with no committed index present")
-        Artifacts.rmTree(tmp)
-      }
+      buildInto(tmp, corpus, k, w)
     }
-    path
-  }
 
   private def familyFile(root: String) = new File(root, "_family")
 

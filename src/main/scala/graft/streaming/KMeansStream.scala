@@ -58,10 +58,7 @@ object KMeansStream {
           // existing centroid is possible and tolerated (Lloyd updates
           // separate or starve it; empty clusters keep their centroid)
           val extra = rows
-            .orderBy(
-              conv(substring(md5(col("vec_id").cast("string").cast("binary")),
-                1, 15), 16, 10).cast("long"),
-              col("vec_id"))
+            .orderBy(VectorOps.seedOrderKey(col("vec_id")), col("vec_id"))
             .limit(k)
             .select(col("embedding").cast("array<double>"))
             .collect().map(_.getSeq[Double](0)).toIndexedSeq

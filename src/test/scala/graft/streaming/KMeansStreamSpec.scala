@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.{col, xxhash64}
+import org.apache.spark.sql.functions.col
 import graft.TestSpark
 import graft.operators.VectorOps
 
@@ -19,12 +19,14 @@ class KMeansStreamSpec extends AnyFunSuite {
   /** Blob membership follows the init rule's hash order (rank % 3), so
     * the deterministic first-batch init (3 smallest hashes) seeds one
     * centroid in each blob — the spec tests convergence, not
-    * init-luckiness.
+    * init-luckiness. The ranking key is [[VectorOps.seedOrderKey]]
+    * ITSELF (not a re-derivation), so a change to the init family
+    * cannot silently break the one-seed-per-blob construction.
     */
   private def corpus(): Seq[(Long, Array[Float], Int)] = {
     val ids = (0L until (3L * perBlob)).toSeq
     val ranked = ids.toDF("vec_id")
-      .select(col("vec_id"), xxhash64(col("vec_id")).as("h"))
+      .select(col("vec_id"), VectorOps.seedOrderKey(col("vec_id")).as("h"))
       .as[(Long, Long)].collect().sortBy { case (id, h) => (h, id) }
       .map(_._1)
     // stream in hash order: the init rule reads the FIRST batch, so
