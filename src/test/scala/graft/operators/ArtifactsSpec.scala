@@ -1,0 +1,85 @@
+package graft.operators
+
+import java.io.File
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The shared build-if-missing publish protocol ([[Artifacts.ensureRoot]])
+  * that every per-dataset index rides: completeness gating, crashed-build
+  * cleanup, racing-builder convergence, and tmp hygiene.
+  */
+class ArtifactsSpec extends AnyFunSuite {
+
+  private def tmpRoot(): String =
+    java.nio.file.Files.createTempDirectory("graft-ensure").toString + "/idx"
+
+  private def writeArtifact(root: String, tag: String): Unit = {
+    val d = new File(root, "data")
+    d.mkdirs()
+    java.nio.file.Files.write(new File(d, "payload").toPath,
+      tag.getBytes("UTF-8")): Unit
+    new File(d, "_SUCCESS").createNewFile(): Unit
+  }
+
+  private def payload(root: String): String =
+    new String(java.nio.file.Files.readAllBytes(
+      new File(s"$root/data/payload").toPath), "UTF-8")
+
+  private def complete(p: String): Boolean =
+    new File(s"$p/data/_SUCCESS").exists()
+
+  test("builds once, then serves without rebuilding") {
+    val root = tmpRoot()
+    var builds = 0
+    def ensure() = Artifacts.ensureRoot(root)(complete) { tmp =>
+      builds += 1; writeArtifact(tmp, s"build-$builds")
+    }
+    assert(ensure() == root && builds == 1)
+    assert(ensure() == root && builds == 1, "complete root must not rebuild")
+    assert(payload(root) == "build-1")
+    assert(new File(root, "_SUCCESS").exists())
+  }
+
+  test("a root missing its per-artifact marker is wreckage: deleted and rebuilt") {
+    val root = tmpRoot()
+    Artifacts.ensureRoot(root)(complete)(writeArtifact(_, "good"))
+    // simulate a crash inside a swap: artifact marker gone, root marker kept
+    assert(new File(s"$root/data/_SUCCESS").delete())
+    Artifacts.ensureRoot(root)(complete)(writeArtifact(_, "rebuilt"))
+    assert(complete(root) && payload(root) == "rebuilt")
+  }
+
+  test("racing cross-process builders converge: first publish wins, loser discards") {
+    // the in-JVM lock serializes threads, so simulate the CROSS-PROCESS
+    // interleaving the rename protocol exists for: builder B commits the
+    // root while builder A is still building — A's rename must lose,
+    // validate the winner, and discard its own tmp tree
+    val root = tmpRoot()
+    Artifacts.ensureRoot(root)(complete) { tmp =>
+      writeArtifact(tmp, "slow-A")
+      // another JVM completes and publishes while we build
+      val other = s"$root.other-${java.util.UUID.randomUUID()}"
+      writeArtifact(other, "fast-B")
+      new File(other, "_SUCCESS").createNewFile()
+      require(new File(other).renameTo(new File(root)))
+    }
+    assert(complete(root) && payload(root) == "fast-B",
+      "the committed winner must keep serving")
+    val parent = new File(root).getParentFile
+    assert(!parent.listFiles().exists(_.getName.contains(".tmp-")),
+      "the losing builder's tmp tree must be discarded")
+  }
+
+  test("a tree published by a broken build is flagged incomplete and rebuilt whole") {
+    val root = tmpRoot()
+    // a build whose artifact marker never landed (lost task, partial
+    // write) publishes a tree the completeness predicate rejects —
+    // serving paths fail fast on it, and the NEXT ensure deletes and
+    // rebuilds it whole instead of serving or appending to wreckage
+    Artifacts.ensureRoot(root)(complete) { tmp =>
+      new File(tmp, "data").mkdirs(): Unit
+    }
+    assert(!complete(root), "broken tree must not validate")
+    Artifacts.ensureRoot(root)(complete)(writeArtifact(_, "healed"))
+    assert(complete(root) && payload(root) == "healed")
+  }
+}
