@@ -12,6 +12,19 @@ import java.io.File
   */
 private[graft] object Artifacts {
 
+  /** Per-root monitors: maintenance of one root (ensure, recovery) is
+    * serialized, while different roots — different datasets, different
+    * index types — proceed concurrently, and a minutes-long corpus
+    * build can never stall an unrelated stream's per-batch recovery
+    * call (the liveness the old per-object locks had, kept under the
+    * shared implementation).
+    */
+  private val rootLocks =
+    scala.collection.concurrent.TrieMap.empty[String, Object]
+
+  private def lockFor(path: String): Object =
+    rootLocks.getOrElseUpdate(path, new Object)
+
   private[graft] def rmTree(f: File): Unit = {
     if (f.isDirectory) f.listFiles().foreach(rmTree)
     f.delete(): Unit
@@ -38,11 +51,10 @@ private[graft] object Artifacts {
     * and discards its own copy, and a crashed build's incomplete target
     * is deleted, never served. Extracted in r9 so the subtle publish
     * race lives in ONE audited place instead of three near-copies. The
-    * JVM lock is global across index types — coarse but safe (builds
-    * are ingest-time work).
+    * JVM lock is per-root ([[lockFor]]).
     */
   private[graft] def ensureRoot(path: String)(complete: String => Boolean)(
-      build: String => Unit): String = this.synchronized {
+      build: String => Unit): String = lockFor(path).synchronized {
     def ok(p: String) = new File(s"$p/_SUCCESS").exists() && complete(p)
     if (!ok(path)) {
       val tmp = new File(s"$path.tmp-${java.util.UUID.randomUUID()}")
@@ -50,6 +62,11 @@ private[graft] object Artifacts {
       // no-op when the build's own parquet write already left a root
       // marker (the TagIndex single-artifact layout)
       new File(tmp, "_SUCCESS").createNewFile(): Unit
+      // validate BEFORE publishing: a build that under-produced (lost
+      // task, partial write) must fail loudly here, never rename an
+      // incomplete tree into the live location for readers to trip on
+      require(ok(tmp.getPath),
+        s"index build for $path produced an incomplete tree — not publishing")
       val target = new File(path)
       if (target.exists() && !ok(path)) rmTree(target)
       if (!tmp.renameTo(target)) {
@@ -69,7 +86,7 @@ private[graft] object Artifacts {
     * contract (a maintaining stream IS that maintainer).
     */
   private[graft] def recoverArtifacts(root: String,
-      names: Seq[String]): Unit = this.synchronized {
+      names: Seq[String]): Unit = lockFor(root).synchronized {
     val entries = Option(new File(root).listFiles()).getOrElse(Array.empty)
     for (name <- names) {
       val live = new File(s"$root/$name")

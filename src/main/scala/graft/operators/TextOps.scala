@@ -3084,13 +3084,7 @@ object TextOps {
   def winnowMatchIndexed(spark: SparkSession, dir: String, k: Int = 3,
       w: Int = 4): DataFrame = {
     val root = WinnowIndex.ensure(spark, dir, k, w)
-    // same fail-fast every serving path gives: a root whose _family
-    // marker disagrees with (or lost) the oracle tier must refuse, not
-    // silently match nothing
-    val have = WinnowIndex.familyOf(root)
-    require(have.contains(WinnowMd5.name),
-      s"winnow index at $root carries family ${have.orNull} " +
-        s"(expected '${WinnowMd5.name}') — refusing to serve")
+    WinnowIndex.requireServableFamily(root, WinnowMd5)
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     winnowMatchReport(
       docs.filter(col("doc_id") % 3 === 0),

@@ -67,8 +67,12 @@ object WinnowIndex {
     */
   def ensure(spark: SparkSession, dir: String, k: Int = 3,
       w: Int = 4): String =
-    Artifacts.ensureRoot(indexPath(dir, k, w))(
-      p => new File(s"${fpsDir(p)}/_SUCCESS").exists()) { tmp =>
+    // the _family marker is part of completeness: serving hard-requires
+    // it, so a root that lost the marker must rebuild, not be returned
+    // forever in a permanently-refused state
+    Artifacts.ensureRoot(indexPath(dir, k, w))(p =>
+      new File(s"${fpsDir(p)}/_SUCCESS").exists() &&
+        familyFile(p).exists()) { tmp =>
       val corpus = graft.Tables.documents(spark, dir)
         .select(col("doc_id"), col("text"))
         .filter(col("doc_id") % 3 =!= 0)
@@ -90,6 +94,23 @@ object WinnowIndex {
       s"winnow index at $root was built with hash family '$have', " +
         s"refusing to touch it as '${family.name}' — cross-family " +
         "fingerprints silently match nothing"))
+
+  /** The SERVING-path family gate, shared by every reader
+    * ([[TextOps.winnowMatchIndexed]],
+    * [[graft.streaming.WinnowStream.matchesVsIndexRefreshing]]): unlike
+    * the maintenance-side [[requireFamily]] (which tolerates an absent
+    * marker — a fresh root has none yet), serving REQUIRES the marker
+    * to exist and match, because an unmarked or cross-family set
+    * silently matches nothing — the worst kind of wrong.
+    */
+  private[graft] def requireServableFamily(root: String,
+      family: TextOps.WinnowHash): Unit = {
+    val have = familyOf(root)
+    require(have.contains(family.name),
+      s"winnow index at $root carries family ${have.orNull} " +
+        s"(serving requested '${family.name}') — refusing to serve " +
+        "cross-family or unmarked fingerprints")
+  }
 
   /** Build (or rebuild) the index under `root` from a corpus frame.
     * A REBUILD over an existing root publishes through the same

@@ -122,11 +122,7 @@ object WinnowStream {
     require(refreshEvery >= 1, s"refreshEvery must be >= 1, got $refreshEvery")
     val fpsPath = graft.operators.WinnowIndex.fpsDir(root)
     val snap = new RefreshingSnapshot(stream.sparkSession, sp => {
-      val have = graft.operators.WinnowIndex.familyOf(root)
-      require(have.contains(family.name),
-        s"winnow index at $root carries family ${have.orNull} " +
-          s"(serving requested '${family.name}') — refusing to serve " +
-          "cross-family or unmarked fingerprints")
+      graft.operators.WinnowIndex.requireServableFamily(root, family)
       sp.catalog.refreshByPath(fpsPath)
       sp.read.parquet(fpsPath).select("fp").distinct()
     })

@@ -69,16 +69,17 @@ class ArtifactsSpec extends AnyFunSuite {
       "the losing builder's tmp tree must be discarded")
   }
 
-  test("a tree published by a broken build is flagged incomplete and rebuilt whole") {
+  test("a broken build fails loudly at publish time and never goes live") {
     val root = tmpRoot()
     // a build whose artifact marker never landed (lost task, partial
-    // write) publishes a tree the completeness predicate rejects —
-    // serving paths fail fast on it, and the NEXT ensure deletes and
-    // rebuilds it whole instead of serving or appending to wreckage
-    Artifacts.ensureRoot(root)(complete) { tmp =>
-      new File(tmp, "data").mkdirs(): Unit
+    // write) must be refused BEFORE the rename — readers can never trip
+    // on published wreckage — and a later correct build proceeds
+    intercept[IllegalArgumentException] {
+      Artifacts.ensureRoot(root)(complete) { tmp =>
+        new File(tmp, "data").mkdirs(): Unit
+      }
     }
-    assert(!complete(root), "broken tree must not validate")
+    assert(!new File(root).exists(), "incomplete tree must not publish")
     Artifacts.ensureRoot(root)(complete)(writeArtifact(_, "healed"))
     assert(complete(root) && payload(root) == "healed")
   }
