@@ -154,6 +154,44 @@ class WinnowStreamSpec extends AnyFunSuite {
     assert(r._2 > 0 && r._3 == r._2, s"re-serve not fully known: $r")
   }
 
+  test("checkpointed resume: no report is re-emitted for already-processed batches") {
+    // the ResumeSpec contract for the winnow gate: stop the stream,
+    // deliver more documents, restart from the same checkpoint — old
+    // documents are not re-reported (their ingest decision already
+    // happened), new ones are
+    val in = java.nio.file.Files.createTempDirectory("graft-winres-in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-winres-ck").toString
+    val fpsPath = java.nio.file.Files.createTempDirectory("graft-winres-fp").toString
+    val textA = (1 to 20).map(i => s"r$i").mkString(" ")
+    WinnowStream.corpusIndexOf(Seq((1L, textA)).toDF("doc_id", "text"))
+      .write.mode("overwrite").parquet(fpsPath)
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    def startQuery() = WinnowStream.matchesVsCorpusRefreshing(
+      spark.readStream.schema("doc_id LONG, text STRING").json(in),
+      fpsPath, refreshEvery = 1) { (df, _) =>
+      val rows = df.as[(Long, Long, Long)].collect()
+      got.synchronized { got ++= rows }
+    }.option("checkpointLocation", ckpt).start()
+    def doc(id: Long, text: String) =
+      s"""{"doc_id":$id,"text":"$text"}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$in/a.json"),
+      doc(9001, textA) + "\n" + doc(9002, "too short") + "\n")
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(got.map(_._1).sorted.toSeq == Seq(9001L, 9002L))
+    // a new document lands while the gate is down; restart resumes from
+    // the committed offsets
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$in/b.json"), doc(9003, textA) + "\n")
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(got.map(_._1).sorted.toSeq == Seq(9001L, 9002L, 9003L),
+      s"resume re-emitted or dropped reports: $got")
+    val r = got.find(_._1 == 9003L).get
+    assert(r._2 > 0 && r._3 == r._2, s"post-resume report wrong: $r")
+  }
+
   test("refreshing fingerprint set: additions invisible until the refresh boundary") {
     val fpsPath = java.nio.file.Files.createTempDirectory("graft-winfps").toString
     // 20 distinct-token texts — long enough (>= k+w-1 = 6) to winnow
