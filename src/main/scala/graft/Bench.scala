@@ -106,12 +106,14 @@ object Bench {
     // then the shortest ≥10-char unique truncation), placed as the LAST
     // field so any residual clipping eats scalar headers, never query
     // rows. BENCH.out.json above keeps the full-name full-precision map.
+    // min/max (and full names, full precision, sf, iters) live in the
+    // sidecar — the printed line spends its ~2000-char budget on the
+    // per-query map, which is what the scorecard needs complete
     val short = shortNames(medians.keys.toSeq)
     val qsMs = medians.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + short(k) + "\":" + math.round(v * 1000) }
       .mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":${dp3(total)},"unit":"sec",""" +
-      s""""total_min":${dp3(totals.min)},"total_max":${dp3(totals.max)},""" +
       s""""queries_ms":$qsMs}"""
     println(line)
     System.out.flush()

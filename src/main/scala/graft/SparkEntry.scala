@@ -143,6 +143,7 @@ object SparkEntry {
     "q_bpe_tokens" -> ((s, d) => TextOps.bpeTokenCounts(s, d)),
     "q_corpus_build" -> TextOps.corpusBuild _,
     "q_knn_join" -> ((s, d) => VectorOps.knnJoin(s, d)),
+    "q_knn_blocked" -> ((s, d) => VectorOps.knnBlocked(s, d)),
     "q_kmeans" -> ((s, d) => VectorOps.kmeansAssign(s, d)),
     "q_filtered_topk" -> VectorOps.filteredTopK _,
     "q_hybrid_search" -> ((s, d) => VectorOps.hybridSearch(s, d)),
@@ -1484,6 +1485,27 @@ object SparkEntry {
         |        / 4294967296.0
         |      < least(1.0, 3.0 / sqrt(CAST(n_s AS DOUBLE)))
         |ORDER BY doc_id""".stripMargin,
+    "q_knn_blocked" ->
+      // the exactness tier of the kNN graph: same-label blocks, exact
+      // cosine (SUM-reassociation absorbed by the shared ROUND-4), the
+      // cosineTopK deterministic (cosine DESC, nid) rank order
+      """WITH flat AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |                generate_subscripts(embedding, 1) AS i FROM embeddings),
+        |nrm AS (SELECT vec_id, sqrt(SUM(x*x)) AS nrm FROM flat GROUP BY 1),
+        |cand AS (SELECT a.vec_id AS qid, b.vec_id AS nid
+        |         FROM embeddings a JOIN embeddings b
+        |         ON a.label = b.label AND a.vec_id <> b.vec_id),
+        |dotp AS (SELECT c.qid, c.nid, SUM(fa.x*fb.x) AS dp
+        |         FROM cand c JOIN flat fa ON fa.vec_id = c.qid
+        |         JOIN flat fb ON fb.vec_id = c.nid AND fb.i = fa.i
+        |         GROUP BY 1, 2),
+        |sc AS (SELECT qid, nid, ROUND(dp/(na.nrm*nb.nrm), 4) AS cosine
+        |       FROM dotp JOIN nrm na ON na.vec_id = qid JOIN nrm nb ON nb.vec_id = nid),
+        |rk AS (SELECT qid, nid, cosine,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS BIGINT) AS rk
+        |       FROM sc)
+        |SELECT qid AS vec_id, rk, nid, cosine FROM rk WHERE rk <= 3
+        |ORDER BY vec_id, rk""".stripMargin,
     "q_cosine_topk" ->
       """WITH flat AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
         |                generate_subscripts(embedding, 1) AS i FROM embeddings),

@@ -152,6 +152,35 @@ object VectorOps {
       .orderBy("vec_id", "rk")
   }
 
+  /** Exact within-block kNN graph — the ORACLE-EXACT exactness tier of
+    * the hash-defined [[knnJoin]] (the same approx↔exact twin pairing
+    * as q_distinct_approx/q_distinct_daily): each vector's top-`k`
+    * nearest same-label neighbors by exact cosine. Blocking on the
+    * label ([[embeddingNearDup]]'s contract — the label is the
+    * SemDeDup-cluster stand-in) bounds the self-join to
+    * block-quadratic, so the exactness tier stays runnable at corpus
+    * scale wherever blocks are bounded; the UNBLOCKED corpus-wide graph
+    * is [[knnJoin]]'s LSH territory. Rank windows partition on vec_id —
+    * millions of tiny partitions, the shape that shards well — with the
+    * rounded-cosine (desc, nid) deterministic total order shared with
+    * [[cosineTopK]], which is what makes the DuckDB replay hash-exact.
+    */
+  def knnBlocked(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    VectorFunctions.ensureRegistered(spark)
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("nrm", norm(col("embedding")))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid"))
+    emb.as("a").join(emb.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("qid"), col("b.vec_id").as("nid"),
+        round(dot(col("a.embedding"), col("b.embedding")) /
+          (col("a.nrm") * col("b.nrm")), 4).as("cosine"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("qid").as("vec_id"), col("rk"), col("nid"), col("cosine"))
+      .orderBy("vec_id", "rk")
+  }
+
   /** Semantic-dedup SCRUB — the action face of [[embedClusters]]'s
     * report (the same report→scrub pairing as dupSpans→spanScrub): keep
     * exactly one vector per near-duplicate cluster (the component-minimum

@@ -40,7 +40,7 @@ class BenchSpec extends AnyFunSuite {
     val qs = names.sorted
       .map(k => "\"" + short(k) + "\":9999").mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":999.999,"unit":"sec",""" +
-      s""""total_min":999.999,"total_max":999.999,"queries_ms":$qs}"""
+      s""""queries_ms":$qs}"""
     assert(line.length <= 1950,
       s"metric line too long for the ~2000-char capture tail: ${line.length}")
   }
