@@ -100,6 +100,22 @@ class WinnowIndexSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ensure keys the artifact by (k, w): different parameters build siblings") {
+    // a parameter change must never silently serve the first builder's
+    // fingerprints — (5, 8) selections are meaningless against (3, 4)'s
+    val rootA = WinnowIndex.ensure(spark, dir, k = 3, w = 4)
+    val rootB = WinnowIndex.ensure(spark, dir, k = 5, w = 8)
+    assert(rootA != rootB, "distinct (k, w) must key distinct artifacts")
+    val fpsA = spark.read.parquet(WinnowIndex.fpsDir(rootA))
+      .collect().map(_.getLong(0)).toSet
+    val fpsB = spark.read.parquet(WinnowIndex.fpsDir(rootB))
+      .collect().map(_.getLong(0)).toSet
+    assert(fpsA.nonEmpty && fpsB.nonEmpty && fpsA != fpsB,
+      "sibling artifacts must hold their own parameter tier's selections")
+    // idempotent re-entry serves the committed sibling, no rebuild
+    assert(WinnowIndex.ensure(spark, dir, k = 3, w = 4) == rootA)
+  }
+
   test("an xxhash64-tier index round-trips build/append/serve") {
     val d = docs()
     val root = java.nio.file.Files.createTempDirectory("graft-widxx").toString

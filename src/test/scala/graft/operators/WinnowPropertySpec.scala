@@ -108,6 +108,32 @@ class WinnowPropertySpec extends AnyFunSuite {
     assert(frac > 0.25 && frac < 0.55, s"density $frac")
   }
 
+  test("selection equals the naive reference across a (k, w) grid and both families") {
+    // the r9 parameterization claims family- AND parameter-independence
+    // of the selection STRUCTURE; pin it on a grid, not just (3, 4)
+    val grid = Seq((2, 2), (2, 5), (4, 3), (5, 2))
+    val families = Seq(
+      (TextOps.WinnowMd5, h60 _), (TextOps.WinnowXx, hXx _))
+    val docs = (0 until 12).map { i =>
+      val r = rnd(4000 + i)
+      val n = 2 + r.nextInt(30)
+      (i.toLong, Seq.fill(n)(s"g${r.nextInt(10)}").mkString(" "))
+    }
+    for ((k, w) <- grid; (fam, h) <- families) {
+      val got = TextOps.winnowOver(docs.toDF("doc_id", "text"), k, w, fam)
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (d, rs) =>
+          d -> rs.map(r => (r.getLong(1), r.getLong(2))).toSet
+        }
+      docs.foreach { case (id, text) =>
+        val want = naive(text.split(" ").toSeq, k, w, h)
+        assert(got.getOrElse(id, Set.empty) === want,
+          s"doc $id under (k=$k, w=$w, ${fam.name})")
+      }
+    }
+  }
+
   test("guarantee: a shared token run of length >= w+k-1 shares a fingerprint") {
     // 30 pairs, each sharing a planted run of exactly w+k-1 = 6 tokens
     // at random offsets inside otherwise-disjoint vocabularies
