@@ -189,6 +189,29 @@ class PlanSpec extends AnyFunSuite {
     assert(local == 1 && global == 1, p)
   }
 
+  test("knn blocked: label-equi self-join, no cartesian; rank partitions " +
+      "on the high-cardinality vec_id only") {
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    val p = plan(graft.operators.VectorOps.knnBlocked(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // every window partitions on the per-vector qid — never the label
+    // (the block key, a hot low-cardinality key at scale)
+    assert(p.linesIterator.filter(_.contains("windowspecdefinition"))
+      .forall(l => l.contains("qid#") && !l.contains("label#")), p)
+  }
+
+  test("winnow match indexed: fp membership join against the artifact — " +
+      "no corpus-side winnow recompute in the plan") {
+    val p = plan(graft.operators.TextOps.winnowMatchIndexed(spark, dir))
+    // the corpus side must be a parquet READ of the maintained artifact:
+    // exactly one text-bearing scan (the probe slice's own selection) —
+    // a second documents scan would mean the index is being recomputed
+    val docScans = p.linesIterator
+      .count(l => l.contains("FileScan parquet") && l.contains("text#"))
+    assert(docScans == 1, s"expected one documents scan, got $docScans\n$p")
+    assert(p.contains("fp#"), p)
+  }
+
   test("lsh index build: bucket cap is two-phase — no (t, bucket)-only " +
       "window over the exploded corpus") {
     graft.functions.VectorFunctions.ensureRegistered(spark)
