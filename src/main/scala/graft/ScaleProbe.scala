@@ -546,6 +546,125 @@ object ScaleProbe {
       s""""ratio":${tHot / tUni}}""")
   }
 
+  /** knnBlocked cost-model probe (r10, VERDICT r9 #5): the exact
+    * blocked-kNN tier costs Σ block² — the probe pins the claim "scales
+    * wherever blocks are bounded" with a measurement. Two corpus shapes
+    * at x1 → x30:
+    *  - BOUNDED blocks (label = i / blockSize, so block COUNT grows at
+    *    fixed size 25): Σ block² grows linearly — per-row cost should be
+    *    FLAT, the x30/x1 wall-clock ratio ≈ the 30× data growth.
+    *  - UNBOUNDED blocks (the ANN synth's 20 fixed labels, so block
+    *    SIZE grows 30×): Σ block² grows ~900× — the regime the
+    *    docstring sends to [[graft.operators.VectorOps.knnJoin]]'s LSH
+    *    tier; measured here only at x1 → x4 to document the quadratic
+    *    turn without burning the probe budget on it.
+    */
+  private def knnBlockedProbe(spark: SparkSession, base: String): Seq[String] = {
+    import spark.implicits._
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    def time3(f: => Unit): Double = median((1 to 3).map { _ =>
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    })
+    val n1 = 5000L
+    def synthBlocked(dir: String, n: Long): Unit = {
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(new org.apache.hadoop.fs.Path(
+        s"$dir/embeddings.parquet/_SUCCESS"))) return
+      spark.range(0, n)
+        .map(i => SynthVec(i, freshVec(rngFor(i * 7919L + 1)), (i / 25L).toInt))
+        .toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    }
+    def run(d: String) =
+      Bench.force(graft.operators.VectorOps.knnBlocked(spark, d))
+    // bounded blocks: x1 vs x30
+    val (b1, b30) = (s"$base/kb_x1", s"$base/kb_x30")
+    synthBlocked(b1, n1); synthBlocked(b30, n1 * 30)
+    run(b1); run(b30) // warmup
+    val t1 = time3(run(b1)); val t30 = time3(run(b30))
+    // unbounded blocks (20 fixed labels): x1 vs x4 — Σ block² ∝ n²
+    val (u1, u4) = (s"$base/ku_x1", s"$base/ku_x4")
+    synthesizeEmb(spark, u1, n1); synthesizeEmb(spark, u4, n1 * 4)
+    run(u1); run(u4) // warmup
+    val tu1 = time3(run(u1)); val tu4 = time3(run(u4))
+    println(f"[scaleprobe] knn_blocked bounded(25/block) x1=$t1%6.2fs " +
+      f"x30=$t30%6.2fs ratio=${t30 / t1}%5.2f (data 30x)")
+    println(f"[scaleprobe] knn_blocked unbounded(20 labels) x1=$tu1%6.2fs " +
+      f"x4=$tu4%6.2fs ratio=${tu4 / tu1}%5.2f (pairs 16x)")
+    Seq(s""""knn_blocked_bounded_x30":{"x1":$t1,"x30":$t30,"ratio":${t30 / t1}},""" +
+      s""""knn_blocked_unbounded_x4":{"x1":$tu1,"x4":$tu4,"ratio":${tu4 / tu1}}""")
+  }
+
+  /** Maintained-WinnowIndex serving probe (r10, VERDICT r9 #6 + #2):
+    * at x10, (a) the ingest-gate match report served from the artifact
+    * ([[graft.operators.WinnowIndex.membershipFps]]) vs recomputing the
+    * corpus fingerprint set per query — the q_bm25_indexed
+    * indexed-vs-recompute number for winnow; (b) the range-shard
+    * pruning: a gate-sized probe (1 doc, 4 docs) touches only the shard
+    * dirs its fps fall in — touched-shard bytes over total bytes is the
+    * measured read-volume bound (at production shard counts the same
+    * probe-fp count prunes proportionally harder).
+    */
+  private def winnowIndexProbe(spark: SparkSession, base: String,
+      n1: Long): Seq[String] = {
+    import graft.operators.{TextOps, WinnowIndex}
+    import org.apache.spark.sql.functions.col
+    def time3(f: => Unit): Double = median((1 to 3).map { _ =>
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    })
+    val d10 = s"$base/x10"
+    synthesize(spark, d10, n1 * 10)
+    val docs = spark.read.parquet(s"$d10/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+    val probe = docs.filter(col("doc_id") % 3 === 0)
+    val root = s"$base/winnow-index-probe"
+    if (!new java.io.File(s"${WinnowIndex.fpsDir(root)}/_SUCCESS").exists())
+      WinnowIndex.buildInto(root, corpus)
+    def indexed(): Unit = {
+      val sel = TextOps.winnowOver(probe, 3, 4).select("doc_id", "fp").distinct()
+        .persist()
+      Bench.force(TextOps.winnowMatchReportFromSel(probe, sel,
+        WinnowIndex.membershipFps(spark, root, sel)))
+      sel.unpersist(blocking = true)
+    }
+    def recompute(): Unit =
+      Bench.force(TextOps.winnowMatchReport(probe,
+        TextOps.winnowOver(corpus, 3, 4).select("fp").distinct()))
+    indexed(); recompute() // warmup
+    val tIdx = time3(indexed())
+    val tRec = time3(recompute())
+    // pruning: touched-shard bytes for gate-sized probes vs the artifact
+    def shardBytes(ids: Set[Int]): Long =
+      Option(new java.io.File(WinnowIndex.fpsDir(root)).listFiles())
+        .getOrElse(Array.empty)
+        .filter(d => d.isDirectory && d.getName.startsWith("shard=") &&
+          ids.contains(d.getName.stripPrefix("shard=").toInt))
+        .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
+        .map(_.length()).sum
+    val allIds = (0 until 64).toSet
+    def touched(nDocs: Int): (Int, Long) = {
+      val p = probe.limit(nDocs)
+      val ids = TextOps.winnowOver(p, 3, 4)
+        .select(WinnowIndex.shardOf(col("fp"), TextOps.WinnowMd5).as("s"))
+        .distinct().collect().map(_.getInt(0)).toSet
+      (ids.size, shardBytes(ids))
+    }
+    val total = shardBytes(allIds)
+    val (s1, b1) = touched(1)
+    val (s4, b4) = touched(4)
+    println(f"[scaleprobe] winnow_index x10 indexed=$tIdx%6.2fs " +
+      f"recompute=$tRec%6.2fs speedup=${tRec / tIdx}%4.2fx")
+    println(f"[scaleprobe] winnow_index prune: 1-doc probe touches $s1/64 " +
+      f"shards ($b1%d/$total%d B), 4-doc $s4/64 ($b4%d B)")
+    Seq(s""""winnow_index_x10":{"indexed":$tIdx,"recompute":$tRec,""" +
+      s""""speedup":${tRec / tIdx}},""" +
+      s""""winnow_index_prune":{"total_bytes":$total,""" +
+      s""""probe1_shards":$s1,"probe1_bytes":$b1,""" +
+      s""""probe4_shards":$s4,"probe4_bytes":$b4}""")
+  }
+
   /** RocksDB endurance probe (r9): ONE long-running
     * [[graft.streaming.StreamDedup.candidates]] stream under the r8
     * RocksDB session default, fed fixed-size micro-batches while the
@@ -709,6 +828,16 @@ object ScaleProbe {
       println(s"""{"metric":"scaleprobe_winnow_hash",${rows.mkString(",")}}""")
       spark.stop(); return
     }
+    if (args.sameElements(Array("--knn-blocked"))) {
+      val rows = knnBlockedProbe(spark, base)
+      println(s"""{"metric":"scaleprobe_knn_blocked",${rows.mkString(",")}}""")
+      spark.stop(); return
+    }
+    if (args.sameElements(Array("--winnow-index"))) {
+      val rows = winnowIndexProbe(spark, base, n1)
+      println(s"""{"metric":"scaleprobe_winnow_index",${rows.mkString(",")}}""")
+      spark.stop(); return
+    }
     // --x30 <queries...>: the 30x tier only, for the named queries
     if (args.headOption.contains("--x30")) {
       val qs30 = args.drop(1).toSeq
@@ -789,9 +918,11 @@ object ScaleProbe {
     val ann = annProbe(spark, base)
     val winnowHash = winnowHashProbe(spark, dirs("x10"))
     val lshSkew = lshSkewProbe(spark)
+    val knnBlk = knnBlockedProbe(spark, base)
+    val winIdx = winnowIndexProbe(spark, base, n1)
     println(s"""{"metric":"scaleprobe","n1":$n1,"n10":${n1 * 10},""" +
       (results ++ Seq(x30row) ++ skew ++ bpe ++ sketch ++ ann ++ winnowHash
-        ++ lshSkew).mkString(",") + "}")
+        ++ lshSkew ++ knnBlk ++ winIdx).mkString(",") + "}")
     spark.stop()
   }
 

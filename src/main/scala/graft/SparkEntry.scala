@@ -260,6 +260,62 @@ object SparkEntry {
       |FROM documents d LEFT JOIN pd USING (doc_id)
       |WHERE d.doc_id % 3 = 0 ORDER BY d.doc_id""".stripMargin
 
+  /** The cross-engine 60-bit hash ([[graft.operators.TextOps.h60]]) in
+    * DuckDB form — first 15 md5 hex chars as a BIGINT. Shared by the r10
+    * minhash/simhash/KMV oracle tiers (the winnow/sampler pair).
+    */
+  private def h60Sql(s: String): String =
+    s"CAST('0x' || substr(md5($s), 1, 15) AS BIGINT)"
+
+  /** 16-function md5-tier minhash signature of a string-list expression:
+    * position i = min over elements of h60("i|" || elem) — replays
+    * [[graft.operators.TextOps.MinHashMd5]] exactly (multiplicity- and
+    * distinct-invariant, so the Spark side's array_distinct needs no
+    * mirror here).
+    */
+  private def minhashSigSql(elems: String): String =
+    (0 until 16).map(i =>
+      s"list_min(list_transform($elems, t -> ${h60Sql(s"'$i|' || t")}))")
+      .mkString("[\n        ", ",\n        ", "]")
+
+  /** The 4 band buckets as (band, bucket) structs: bucket = h60 of the
+    * comma-joined signature slice (decimal rendering of BIGINTs matches
+    * Spark's cast-to-string exactly).
+    */
+  private val minhashBandsSql: String =
+    (0 until 4).map { b =>
+      val slice = (b * 4 + 1 to b * 4 + 4).map(i => s"sig[$i]").mkString(", ")
+      s"{'b': $b, 'v': ${h60Sql(s"concat_ws(',', $slice)")}}"
+    }.mkString("[\n        ", ",\n        ", "]")
+
+  private val minhashAgreeSql: String =
+    (1 to 16).map(i => s"(CASE WHEN a.sig[$i] = b.sig[$i] THEN 1 ELSE 0 END)")
+      .mkString("\n          + ")
+
+  /** Full md5-tier minhash-LSH replay: signatures → band buckets →
+    * distinct colliding pairs → exact signature agreement ≥ 0.9. The
+    * Spark side's signature-group collapse is a pure evaluation
+    * strategy — identical signatures share all four buckets and agree
+    * 16/16, so the collapsed intra pairs (est 1.0) and this direct
+    * formulation produce the same rows.
+    */
+  private def minhashLshOracleSql(elemsSql: String): String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts
+      |              FROM documents WHERE text IS NOT NULL),
+      |elems AS (SELECT doc_id, $elemsSql AS es FROM toks),
+      |sigs AS MATERIALIZED (SELECT doc_id, ${minhashSigSql("es")} AS sig FROM elems),
+      |bands AS (SELECT doc_id, u.b AS band, u.v AS bucket
+      |          FROM (SELECT doc_id, unnest($minhashBandsSql) AS u FROM sigs)),
+      |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      |         FROM bands x JOIN bands y
+      |         ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+      |est AS (SELECT c.doc_a, c.doc_b,
+      |          ($minhashAgreeSql) / 16.0 AS est_jaccard
+      |        FROM cand c JOIN sigs a ON a.doc_id = c.doc_a
+      |        JOIN sigs b ON b.doc_id = c.doc_b)
+      |SELECT doc_a, doc_b, est_jaccard FROM est
+      |WHERE est_jaccard >= 0.9 ORDER BY doc_a, doc_b""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_scan_filter" ->
       """SELECT event_id, ts, user_id, value FROM events
@@ -1623,5 +1679,86 @@ object SparkEntry {
         |  SELECT vec_a, vec_b, ROUND(dp/(na.nrm*nb.nrm), 4) AS cosine
         |  FROM dotp JOIN nrm na ON na.vec_id = vec_a JOIN nrm nb ON nb.vec_id = vec_b)
         |WHERE cosine >= 0.35 ORDER BY vec_a, vec_b""".stripMargin,
+    // ---- r10 md5-tier conversions: the hash-defined families replayed
+    // exactly (the r9 WinnowMd5/WinnowXx precedent applied to minhash,
+    // simhash and the KMV sketch; production xxhash64 tiers remain as
+    // parameters, spec-pinned structure-identical) ----
+    "q_minhash_lsh" -> minhashLshOracleSql("ts"),
+    "q_minhash_shingle" ->
+      // word-3-gram strings with the partial-window rule: out-of-range
+      // list indexes are NULL and concat_ws skips them — exactly
+      // TextOps.gramStrings' try_element_at + concat_ws pair
+      minhashLshOracleSql("list_transform(" +
+        "range(0, greatest(len(ts) - 3, 0) + 1), " +
+        "i -> concat_ws(' ', ts[i+1], ts[i+2], ts[i+3]))"),
+    "q_minhash_profile" -> {
+      val mins = (0 until 16).map(i =>
+        s"min(${h60Sql(s"'$i|' || t")}) AS m$i").mkString(",\n        ")
+      val agree = (0 until 16)
+        .map(i => s"(CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END)")
+        .mkString("\n          + ")
+      // min over every token occurrence = min over the language's token
+      // SET (the Spark side folds per-doc signatures by element-wise min;
+      // min distributes over the union, so both sides agree exactly)
+      s"""WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS t
+        |             FROM documents WHERE text IS NOT NULL),
+        |sigs AS (SELECT lang,
+        |        $mins
+        |  FROM tok GROUP BY lang)
+        |SELECT a.lang AS lang_a, b.lang AS lang_b,
+        |  ($agree) / 16.0 AS est_jaccard
+        |FROM sigs a JOIN sigs b ON a.lang < b.lang
+        |ORDER BY lang_a, lang_b""".stripMargin
+    },
+    "q_simhash" ->
+      // the SimHash64Expr bit-vote fold replayed per bit: each token-hash
+      // occurrence votes ±1 per bit position, positive votes set the bit
+      // (60-bit md5-tier hashes leave bits 60-63 all-minus → 0, exactly
+      // the Spark fold's behavior); then the 8×8-bit band self-join over
+      // DISTINCT fingerprints and exact hamming ≤ 8 verification
+      s"""WITH hs AS (SELECT doc_id,
+        |    list_transform(string_split(text, ' '), t -> ${h60Sql("t")}) AS hv
+        |  FROM documents WHERE text IS NOT NULL),
+        |votes AS (SELECT doc_id, b,
+        |    SUM(CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM (SELECT doc_id, unnest(hv) AS h FROM hs)
+        |  CROSS JOIN (SELECT unnest(range(60)) AS b) GROUP BY 1, 2),
+        |fps AS MATERIALIZED (SELECT doc_id,
+        |    CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS BIGINT) AS fp
+        |  FROM votes GROUP BY 1),
+        |intra AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, 0 AS hamming
+        |          FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+        |dfp AS (SELECT DISTINCT fp FROM fps),
+        |bands AS (SELECT fp, b, (fp >> (b * 8)) & 255 AS bv
+        |          FROM dfp CROSS JOIN (SELECT unnest(range(8)) AS b)),
+        |fpair AS (SELECT DISTINCT x.fp AS fa, y.fp AS fb
+        |          FROM bands x JOIN bands y
+        |          ON x.b = y.b AND x.bv = y.bv AND x.fp < y.fp),
+        |near AS (SELECT fa, fb, bit_count(xor(fa, fb)) AS hamming FROM fpair
+        |         WHERE bit_count(xor(fa, fb)) <= 8),
+        |inter AS (SELECT least(x.doc_id, y.doc_id) AS doc_a,
+        |                 greatest(x.doc_id, y.doc_id) AS doc_b, n.hamming
+        |          FROM near n JOIN fps x ON x.fp = n.fa JOIN fps y ON y.fp = n.fb)
+        |SELECT doc_a, doc_b, CAST(hamming AS INTEGER) AS hamming
+        |FROM (SELECT * FROM intra UNION ALL SELECT * FROM inter)
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_distinct_approx" ->
+      // the KmvAgg md5-tier sketch replayed: k-th smallest DISTINCT h60
+      // per day; below k the sketch IS the exact distinct-hash count,
+      // at k the exact-integer floor estimate (k-1)*2^53 // ((h_k>>7)+1)
+      // — both regimes integer arithmetic both engines floor identically
+      s"""WITH h AS (SELECT CAST(ts AS DATE) AS day,
+        |    ${h60Sql("CAST(user_id AS VARCHAR)")} AS hv
+        |  FROM events),
+        |d AS (SELECT DISTINCT day, hv FROM h),
+        |r AS (SELECT day, hv,
+        |    ROW_NUMBER() OVER (PARTITION BY day ORDER BY hv) AS rn,
+        |    COUNT(*) OVER (PARTITION BY day) AS nd FROM d)
+        |SELECT day,
+        |  CASE WHEN MAX(nd) < 64 THEN MAX(nd)
+        |       ELSE (63::BIGINT * (1::BIGINT << 53))
+        |            // ((MAX(CASE WHEN rn = 64 THEN hv END) >> 7) + 1)
+        |  END AS approx_users
+        |FROM r GROUP BY day ORDER BY day""".stripMargin,
   )
 }

@@ -31,13 +31,19 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * partial sketches combine map-side and the shuffle moves ≤ 8·k bytes
   * per (partition, group), never the elements.
   */
-case class KmvAgg(child: Expression, k: Int = 1024,
+case class KmvAgg(child: Expression, k: Int = 1024, spaceBits: Int = 64,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
   with UnaryLike[Expression] {
 
   require(k >= 16, s"kmv sketch needs k >= 16, got $k")
+  require(spaceBits == 64 || spaceBits == 60,
+    s"kmv hash space must be 64 (xxhash64) or 60 (md5 oracle tier), got $spaceBits")
+  // the exact-integer 60-bit estimator below needs (k-1) * 2^53 to fit
+  // in a signed long: k - 1 < 2^10
+  require(spaceBits == 64 || k <= 1024,
+    s"60-bit kmv tier supports k <= 1024, got $k")
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
@@ -87,7 +93,15 @@ case class KmvAgg(child: Expression, k: Int = 1024,
 
   override def eval(buf: java.util.TreeSet[java.lang.Long]): Any =
     if (buf.size < k) buf.size.toLong
-    else {
+    else if (spaceBits == 60) {
+      // EXACT-INTEGER estimator for the md5 oracle tier (the
+      // [[graft.operators.TextOps.h60]] hash space): u_k ≈
+      // ((h_k >> 7) + 1) / 2^53, estimate = floor((k-1) * 2^53 / that
+      // denominator) — every step a positive-long multiply/shift/divide
+      // both engines floor identically (DuckDB `//`), so the driver row
+      // is hash-exact. (k-1)*2^53 fits: k <= 1024 is required above.
+      ((k - 1).toLong * (1L << 53)) / ((buf.last() >> 7) + 1L)
+    } else {
       // u_k = kth minimum as a fraction of the unsigned 64-bit space
       val uk = (java.lang.Long.divideUnsigned(buf.last(), 1L << 11).toDouble + 1.0) /
         (1L << 53).toDouble

@@ -304,6 +304,17 @@ object VectorFunctions {
         s"$kmvName expects 1 argument, got ${other.size}")
   }
 
+  val kmvExactName = "kmv_count_distinct_exact"
+
+  private val kmvExactBuilder: Seq[Expression] => Expression = {
+    case Seq(a, org.apache.spark.sql.catalyst.expressions.Literal(kv: Int,
+        org.apache.spark.sql.types.IntegerType)) =>
+      KmvAgg(a, kv, spaceBits = 60)
+    case other =>
+      throw new IllegalArgumentException(
+        s"$kmvExactName expects (hash60 column, k int literal), got $other")
+  }
+
   val bpeMergeName = "bpe_merge_step"
 
   private val bpeMergeBuilder: Seq[Expression] => Expression = {
@@ -348,6 +359,8 @@ object VectorFunctions {
       bpeMergeDeltaName, bpeMergeDeltaBuilder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       kmvName, kmvBuilder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      kmvExactName, kmvExactBuilder, "scala_udf")
   }
 
   /** Column API: `dot(a, b)` once [[ensureRegistered]] has run. */
@@ -388,6 +401,13 @@ object VectorFunctions {
 
   /** Column API: KMV approximate distinct count of a bigint hash column. */
   def kmvCountDistinct(c: Column): Column = call_function(kmvName, c)
+
+  /** Column API: the md5-tier KMV sketch — exact-integer estimator over
+    * the 60-bit [[graft.operators.TextOps.h60]] hash space, so the
+    * estimate (not just the exact-regime count) is DuckDB-replayable.
+    */
+  def kmvCountDistinctExact(c: Column, k: Int): Column =
+    call_function(kmvExactName, c, org.apache.spark.sql.functions.lit(k))
 }
 
 /** `SparkSessionExtensions` hook: `.withExtensions(new GraftExtensions)` or
@@ -452,5 +472,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[KmvAgg].getName, null,
           VectorFunctions.kmvName),
         (exprs: Seq[Expression]) => KmvAgg(exprs(0))))
+    ext.injectFunction(
+      (FunctionIdentifier(VectorFunctions.kmvExactName),
+        new ExpressionInfo(classOf[KmvAgg].getName, null,
+          VectorFunctions.kmvExactName),
+        (exprs: Seq[Expression]) => exprs match {
+          case Seq(a, org.apache.spark.sql.catalyst.expressions.Literal(
+              kv: Int, org.apache.spark.sql.types.IntegerType)) =>
+            KmvAgg(a, kv, spaceBits = 60)
+          case other => throw new IllegalArgumentException(
+            s"${VectorFunctions.kmvExactName} expects (hash60, k literal), got $other")
+        }))
   }
 }

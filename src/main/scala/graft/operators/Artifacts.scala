@@ -26,7 +26,12 @@ private[graft] object Artifacts {
     rootLocks.getOrElseUpdate(path, new Object)
 
   private[graft] def rmTree(f: File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(rmTree)
+    // listFiles returns null on an IO error or when the directory
+    // vanishes between isDirectory and this call — plausible in the
+    // cross-JVM publish races this object mediates; treat as empty
+    // (the delete below then fails soft or succeeds on the husk)
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty[File]).foreach(rmTree)
     f.delete(): Unit
   }
 

@@ -803,21 +803,110 @@ object TextOps {
       .drop("n_tokens", "avg_tok_len")
   }
 
-  /** MinHash + LSH near-dup candidates (the 100 TB dedup path; no SQL
-    * oracle — hash-function-defined output, driver does the rows>0 check).
+  /** First 15 md5 hex chars of a string column as a 60-bit integer —
+    * the cross-engine hash the winnow/sampler oracles use (`conv` ↔
+    * DuckDB `'0x'`-cast), shared since r10 by the minhash/simhash/KMV
+    * oracle tiers.
+    */
+  private[graft] def h60(s: Column): Column =
+    conv(substring(md5(s.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** Distinct word `n`-gram strings (space-joined) — the md5-tier
+    * minhash element form: grams stay strings so each of the 16 minhash
+    * functions can md5 them cross-engine. Same windowing as
+    * [[shingles]]: a document shorter than `n` tokens yields one
+    * partial window (nulls skipped by concat_ws).
+    */
+  private[operators] def gramStrings(text: Column, n: Int): Column =
+    bindOnce(tokens(text)) { ts =>
+      array_distinct(transform(
+        sequence(lit(0), greatest(size(ts) - n, lit(0))),
+        i => concat_ws(" ", (0 until n).map(j => try_element_at(ts, i + j + 1)): _*)))
+    }
+
+  /** MinHash hash family — the [[WinnowHash]] two-tier pattern (r9)
+    * applied to the minhash signature space. The LSH STRUCTURE
+    * (signature-group collapse, band-bucket join, agreement cut) is
+    * family-independent; only the element/signature/band hashes swap:
     *
-    * k=16 hash functions from seeded xxhash64, 4 bands × 4 rows: docs
-    * colliding on any band become candidate pairs; candidates are then
-    * verified with the exact minhash-signature agreement estimate.
+    *  - [[MinHashMd5]] — ORACLE tier: elements are strings, each of the
+    *    16 minhash functions is the 60-bit md5 prefix of `"i|" + elem`,
+    *    band buckets are the 60-bit md5 prefix of the band's signature
+    *    slice — every value DuckDB-replayable, so the declared
+    *    q_minhash_* rows are driver-hash-exact. ~10× per hash vs native.
+    *  - [[MinHashXx]] — PRODUCTION tier: the original seeded-xxhash64
+    *    chain (hash-defined; quality-pinned in TextQualitySpec, and the
+    *    tier [[graft.streaming.StreamDedup]] shares signature space
+    *    with).
+    */
+  sealed abstract class MinHashFamily(val name: String) {
+    /** Element array for the unigram variant (distinct tokens). */
+    private[graft] def uniElems(text: Column): Column
+    /** Element array for the word-n-gram variant. */
+    private[graft] def shingleElems(text: Column, n: Int): Column
+    /** 16-long minhash signature from an element array. */
+    private[graft] def sig(elems: Column): Column
+    /** Per-band bucket hashes (array of numBands values). */
+    private[graft] def bandHashes(sig: Column): Column
+  }
+  case object MinHashXx extends MinHashFamily("xxhash64") {
+    private[graft] def uniElems(text: Column): Column =
+      transform(array_distinct(tokens(text)), t => xxhash64(t))
+    private[graft] def shingleElems(text: Column, n: Int): Column =
+      transform(shingles(text, n), t => xxhash64(t))
+    private[graft] def sig(elems: Column): Column = minhashSig(elems)
+    private[graft] def bandHashes(sig: Column): Column = minhashBandHashes(sig)
+  }
+  case object MinHashMd5 extends MinHashFamily("md5-60bit") {
+    private[graft] def uniElems(text: Column): Column =
+      array_distinct(tokens(text))
+    private[graft] def shingleElems(text: Column, n: Int): Column =
+      gramStrings(text, n)
+    private[graft] def sig(elems: Column): Column =
+      array((0 until minhashNumHashes).map(i =>
+        array_min(transform(elems, s => h60(concat(lit(s"$i|"), s))))): _*)
+    private[graft] def bandHashes(sig: Column): Column =
+      array((0 until minhashNumBands).map { b =>
+        h60(concat_ws(",",
+          (b * minhashRowsPerBand until (b + 1) * minhashRowsPerBand)
+            .map(i => sig.getItem(i).cast("string")): _*))
+      }: _*)
+  }
+
+  /** MinHash + LSH near-dup candidates. The DECLARED query runs the
+    * [[MinHashMd5]] oracle tier with a total presentation order, so the
+    * driver hash-checks it against a DuckDB replay of the full
+    * signature → band → agreement pipeline (r10 — previously a
+    * rows-only row); [[minhashLshWith]] is the unordered any-tier form
+    * production consumers feed onward.
+    *
+    * k=16 hash functions, 4 bands × 4 rows: docs colliding on any band
+    * become candidate pairs; candidates are then verified with the
+    * exact minhash-signature agreement estimate.
     */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame =
-    minhashLshOver(spark, dir, "uni", t => array_distinct(tokens(t)))
+    minhashLshWith(spark, dir, MinHashMd5).orderBy("doc_a", "doc_b")
+
+  /** Unordered candidate feed at a chosen hash tier ([[MinHashXx]] for
+    * production ingest — the tier StreamDedup's drained-stream
+    * equivalence is pinned against).
+    */
+  private[graft] def minhashLshWith(spark: SparkSession, dir: String,
+      family: MinHashFamily): DataFrame =
+    minhashLshOver(spark, dir, s"uni:${family.name}", family,
+      t => family.uniElems(t))
 
   /** Word-3-gram shingled variant — the document-scale dedup input shape
-    * (shingle → minhash → band → bucket-join).
+    * (shingle → minhash → band → bucket-join). Declared query = oracle
+    * tier + total order, like [[minhashLsh]].
     */
   def minhashShingle(spark: SparkSession, dir: String): DataFrame =
-    minhashLshOver(spark, dir, "shingle3", t => shingles(t, 3))
+    minhashShingleWith(spark, dir, MinHashMd5).orderBy("doc_a", "doc_b")
+
+  private[graft] def minhashShingleWith(spark: SparkSession, dir: String,
+      family: MinHashFamily): DataFrame =
+    minhashLshOver(spark, dir, s"shingle3:${family.name}", family,
+      t => family.shingleElems(t, 3))
 
   private[graft] val minhashNumHashes = 16
   private[graft] val minhashRowsPerBand = 4
@@ -857,21 +946,19 @@ object TextOps {
     }: _*)
 
   private def minhashLshOver(spark: SparkSession, dir: String, tag: String,
-      tokenizer: Column => Column): DataFrame = {
-    val ths = transform(tokenizer(col("text")), t => xxhash64(t))
+      family: MinHashFamily, elemsOf: Column => Column): DataFrame = {
     // key on a caller TAG, not the column's toString: lambda expressions
     // print a fresh x_<n> variable name per invocation, so a
     // toString-derived key would never re-enter its generation (every
     // rerun would evict-and-rebuild its own plan-identical warm frames)
     graft.IntraQueryCache.newGeneration(s"minhash:$dir:$tag")
-    val sigExpr = minhashSig(col("ths"))
     // the sig table (one 16-long array per doc) feeds the band explode AND
     // both verification joins — persist it so the corpus scan runs once,
     // not three times
     val sig = Tables.documents(spark, dir)
-      .select(col("doc_id"), ths.as("ths"))
-      .filter(size(col("ths")) > 0) // docs with no tokens have no signature
-      .select(col("doc_id"), sigExpr.as("sig"))
+      .select(col("doc_id"), elemsOf(col("text")).as("elems"))
+      .filter(size(col("elems")) > 0) // docs with no tokens have no signature
+      .select(col("doc_id"), family.sig(col("elems")).as("sig"))
       .transform(graft.IntraQueryCache.scoped)
     // Near-dup corpora have big clusters of IDENTICAL signatures (exact +
     // near copies); enumerating their pairs through the bucket join makes
@@ -890,7 +977,7 @@ object TextOps {
       .withColumn("est_jaccard", lit(1.0))
     // inter-group: band-bucket join over distinct signatures only
     val bands = groups.select(col("gid"),
-      posexplode(minhashBandHashes(col("sig"))).as(Seq("band", "bucket")))
+      posexplode(family.bandHashes(col("sig"))).as(Seq("band", "bucket")))
     val gpairs = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.gid") < col("b.gid"))
@@ -924,7 +1011,7 @@ object TextOps {
     * signature bit-for-bit to the row-wise [[minhashSig]] and the estimate
     * error to exact per-language token-set Jaccard.
     */
-  def minhashProfile(spark: SparkSession, dir: String): DataFrame = {
+  def minhashProfileSketch(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.ensureRegistered(spark)
     val tok = Tables.documents(spark, dir)
       .select(col("lang"),
@@ -934,6 +1021,41 @@ object TextOps {
     sigs.as("a").join(sigs.as("b"), col("a.lang") < col("b.lang"))
       .select(col("a.lang").as("lang_a"), col("b.lang").as("lang_b"),
         minhashAgreement(col("a.sig"), col("b.sig")).as("est_jaccard"))
+      .orderBy("lang_a", "lang_b")
+  }
+
+  /** The DECLARED profile query — [[MinHashMd5]] oracle tier (r10,
+    * previously the rows-only sketch path, retained above as
+    * [[minhashProfileSketch]] for production and for MinHashAggSpec's
+    * bit-for-bit sketch pin). A language's signature position i is the
+    * min of h_i over the language's token SET; min distributes over the
+    * doc-level union, so per-document row-wise signatures (md5 only on
+    * each doc's distinct tokens) fold to the language signature by an
+    * element-wise min — 16 partial-aggregable `min`s, a shuffle of
+    * 16 longs per (partition, language), never tokens, exactly the
+    * sketch's movement shape but DuckDB-replayable.
+    */
+  def minhashProfile(spark: SparkSession, dir: String): DataFrame = {
+    // dedupe to (lang, token) BEFORE hashing: min over a language's token
+    // SET ignores multiplicity, so the 16 md5 functions run once per
+    // VOCABULARY entry, not per occurrence (measured 5× on this query —
+    // md5 is the oracle tier's whole cost). The distinct is itself
+    // partial-aggregable (map-side dedup of a heavily repeated key), and
+    // its output is vocabulary-bounded — both survive 100 TB.
+    val tok = Tables.documents(spark, dir)
+      .select(col("lang"),
+        explode(array_distinct(tokens(col("text")))).as("t"))
+      .distinct()
+    val sigs = tok.groupBy("lang")
+      .agg(min(h60(concat(lit("0|"), col("t")))).as("m0"),
+        (1 until minhashNumHashes).map(i =>
+          min(h60(concat(lit(s"$i|"), col("t")))).as(s"m$i")): _*)
+    val agree = (0 until minhashNumHashes)
+      .map(i => when(col(s"a.m$i") === col(s"b.m$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    sigs.as("a").join(sigs.as("b"), col("a.lang") < col("b.lang"))
+      .select(col("a.lang").as("lang_a"), col("b.lang").as("lang_b"),
+        (agree.cast("double") / minhashNumHashes).as("est_jaccard"))
       .orderBy("lang_a", "lang_b")
   }
 
@@ -948,35 +1070,65 @@ object TextOps {
     * token-granularity shuffle in the dedup family); TextQualitySpec
     * pins the fingerprints bit-identical to that vote definition.
     */
-  private[graft] def simhashFingerprints(spark: SparkSession, dir: String): DataFrame = {
+  /** SimHash token-hash family — the same two-tier oracle/production
+    * split as [[MinHashFamily]]: the bit-vote fold
+    * ([[graft.functions.SimHash64Expr]]) is family-independent; only the
+    * per-token hash swaps. [[SimHashMd5]] hashes occupy 60 bits (bits
+    * 60–63 vote all-minus → 0), so the md5-tier fingerprint is a 60-bit
+    * value the DuckDB oracle replays bit-for-bit.
+    */
+  sealed abstract class SimHashFamily(val name: String) {
+    private[graft] def tokenHashes(text: Column): Column
+  }
+  case object SimHashXx extends SimHashFamily("xxhash64") {
+    private[graft] def tokenHashes(text: Column): Column =
+      transform(tokens(text), t => xxhash64(t))
+  }
+  case object SimHashMd5 extends SimHashFamily("md5-60bit") {
+    private[graft] def tokenHashes(text: Column): Column =
+      transform(tokens(text), t => h60(t))
+  }
+
+  private[graft] def simhashFingerprints(spark: SparkSession, dir: String,
+      family: SimHashFamily = SimHashXx): DataFrame = {
     graft.functions.VectorFunctions.ensureRegistered(spark)
-    simhashOf(Tables.documents(spark, dir))
+    simhashOf(Tables.documents(spark, dir), family)
   }
 
   /** Fingerprints of any (doc_id, text) frame; null-text docs produce no
     * fingerprint (they had no token rows under the explode definition).
     */
-  private[operators] def simhashOf(docs: DataFrame): DataFrame =
+  private[operators] def simhashOf(docs: DataFrame,
+      family: SimHashFamily = SimHashXx): DataFrame =
     docs
-      .select(col("doc_id"), transform(tokens(col("text")), t => xxhash64(t)).as("th"))
+      .select(col("doc_id"), family.tokenHashes(col("text")).as("th"))
       .filter(col("th").isNotNull)
       .select(col("doc_id"),
         graft.functions.VectorFunctions.simhash64(col("th")).as("simhash"))
 
-  /** SimHash near-dup (no SQL oracle): 64-bit fingerprint = sign of the
-    * per-bit vote over token hashes; near-dups collide within small
-    * Hamming distance. Candidates come from an 8×8-bit band self-join: by
-    * pigeonhole this catches EVERY pair at Hamming distance ≤ 7 (seven
-    * flips can't touch all eight bands), and pairs at the verified d = 8
-    * cutoff unless their flips spread across all eight bands (<3% of
-    * random flip placements) — TextQualitySpec pins soundness,
-    * completeness, and measured d≤8 recall against exact all-pairs
-    * hamming. (Round 2's 4×16 banding was only complete to d ≤ 3 and
+  /** SimHash near-dup: 64-bit fingerprint = sign of the per-bit vote
+    * over token hashes; near-dups collide within small Hamming distance.
+    * Candidates come from an 8×8-bit band self-join: by pigeonhole this
+    * catches EVERY pair at Hamming distance ≤ 7 (seven flips can't touch
+    * all eight bands), and pairs at the verified d = 8 cutoff unless
+    * their flips spread across all eight bands (<3% of random flip
+    * placements) — TextQualitySpec pins soundness, completeness, and
+    * measured d≤8 recall against exact all-pairs hamming, for BOTH hash
+    * tiers. (Round 2's 4×16 banding was only complete to d ≤ 3 and
     * caught 40% of true d≤8 pairs.)
+    *
+    * The DECLARED query runs the [[SimHashMd5]] oracle tier with a
+    * total presentation order, so the driver hash-checks the whole
+    * vote → band → hamming pipeline against DuckDB (r10);
+    * [[simhashWith]] is the unordered any-tier candidate feed.
     */
-  def simhash(spark: SparkSession, dir: String): DataFrame = {
-    graft.IntraQueryCache.newGeneration(s"simhash:$dir")
-    val fp = simhashFingerprints(spark, dir)
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    simhashWith(spark, dir, SimHashMd5).orderBy("doc_a", "doc_b")
+
+  private[graft] def simhashWith(spark: SparkSession, dir: String,
+      family: SimHashFamily): DataFrame = {
+    graft.IntraQueryCache.newGeneration(s"simhash:$dir:${family.name}")
+    val fp = simhashFingerprints(spark, dir, family)
     // Dup-heavy corpora cluster on IDENTICAL fingerprints (the same
     // collapse move minhashLshOver makes): the band self-join runs over
     // DISTINCT fingerprints only, hamming computes once per fingerprint
@@ -3038,13 +3190,23 @@ object TextOps {
     * declaration, q_winnow_match).
     */
   def winnowMatchReport(docs: DataFrame, corpusFps: DataFrame, k: Int = 3,
-      w: Int = 4, family: WinnowHash = WinnowMd5): DataFrame = {
+      w: Int = 4, family: WinnowHash = WinnowMd5): DataFrame =
     // DISTINCT fps per document — the gate's contract counts fingerprint
     // VALUES, not selection instances (the same fp can win two windows
     // at different positions; membership against the corpus set is
     // per-value either way, so instance-counting would only inflate)
-    val perDoc = winnowOver(docs, k, w, family)
-      .select("doc_id", "fp").distinct()
+    winnowMatchReportFromSel(docs,
+      winnowOver(docs, k, w, family).select("doc_id", "fp").distinct(),
+      corpusFps)
+
+  /** The report kernel from an ALREADY-SELECTED distinct (doc_id, fp)
+    * frame — split out (r10) so the index-served path can reuse the
+    * probe's selection for shard discovery ([[WinnowIndex.membershipFps]])
+    * without winnowing the probe twice.
+    */
+  private[graft] def winnowMatchReportFromSel(docs: DataFrame,
+      sel: DataFrame, corpusFps: DataFrame): DataFrame = {
+    val perDoc = sel
       .join(corpusFps.select(col("fp"), lit(1).as("hit")), Seq("fp"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_fp"), count(col("hit")).as("n_matched"))
@@ -3078,18 +3240,25 @@ object TextOps {
     * (q_winnow_match_indexed — the q_bm25_indexed pattern): the oracle
     * recomputes the identical report from RAW documents, so the green
     * driver row is a standing consistency proof for the artifact's
-    * build/publish chain. The index build is ingest-time
-    * ([[SparkEntry.prepare]]); query time reads the fingerprint set.
+    * build/publish chain — since r10 including the RANGE-SHARDED layout
+    * and the PRUNED membership read ([[WinnowIndex.membershipFps]]):
+    * only the shard dirs the probe's fingerprints can match in are
+    * scanned (a matching fp shares the probe fp's shard by
+    * construction, so pruning can never drop a hit). The probe's
+    * selection is computed once (scoped cache) and feeds both shard
+    * discovery and the report join. The index build is ingest-time
+    * ([[SparkEntry.prepare]]); query time reads the pruned set.
     */
   def winnowMatchIndexed(spark: SparkSession, dir: String, k: Int = 3,
       w: Int = 4): DataFrame = {
     val root = WinnowIndex.ensure(spark, dir, k, w)
-    WinnowIndex.requireServableFamily(root, WinnowMd5)
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    winnowMatchReport(
-      docs.filter(col("doc_id") % 3 === 0),
-      spark.read.parquet(WinnowIndex.fpsDir(root)).select("fp").distinct(),
-      k, w)
+    val probe = docs.filter(col("doc_id") % 3 === 0)
+    graft.IntraQueryCache.newGeneration(s"winnowmatchidx:$dir:$k:$w")
+    val probeSel = graft.IntraQueryCache.scoped(
+      winnowOver(probe, k, w).select("doc_id", "fp").distinct())
+    winnowMatchReportFromSel(probe, probeSel,
+      WinnowIndex.membershipFps(spark, root, probeSel))
       .orderBy("doc_id")
   }
 

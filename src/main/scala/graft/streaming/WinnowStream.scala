@@ -152,7 +152,7 @@ object WinnowStream {
           graft.operators.WinnowIndex.recover(root)
           graft.operators.WinnowIndex.appendTo(root, batch.toDF(), k, w, family)
           if (graft.operators.WinnowIndex.segments(root) > maxSegments)
-            graft.operators.WinnowIndex.compact(root, batch.sparkSession)
+            graft.operators.WinnowIndex.compact(root, batch.sparkSession, family)
         }
     }
 }

@@ -39,20 +39,26 @@ class QueriesSmokeSpec extends AnyFunSuite {
     }
   }
 
-  test("approx distinct (HLL++, rsd 0.01) tracks the exact count within 5 sigma") {
+  test("approx distinct (KMV k=64 md5 tier) tracks the exact count within sketch error") {
     import graft.operators.EventOps
     def byDay(df: org.apache.spark.sql.DataFrame, cnt: String) = df.collect()
       .map(r => r.getAs[java.sql.Date]("day").toString -> r.getAs[Long](cnt)).toMap
     val exact = byDay(EventOps.distinctDaily(spark, "/root/testdata/sf0.01"), "n_users")
     val approx = byDay(EventOps.distinctApprox(spark, "/root/testdata/sf0.01"), "approx_users")
     assert(exact.keySet == approx.keySet)
-    exact.foreach { case (day, ex) =>
-      // HLL++ error is ~gaussian with the configured rsd: 5 sigma = 5% here
-      // (plus a small absolute floor for tiny daily cardinalities)
-      val tol = math.max(3.0, ex * 0.01 * 5)
-      assert(math.abs(approx(day) - ex) <= tol,
-        s"$day: approx ${approx(day)} vs exact $ex (tol $tol)")
+    // KMV at k=64 concentrates with relative std ~1/sqrt(k-2) ≈ 12.7%
+    // (KmvAggSpec pins both regimes; the driver hash-checks exactness of
+    // the estimator itself). Per-day: ~4.5 sigma so 30 independent days
+    // don't flake; corpus-level: the mean |relative error| expectation
+    // is sigma*sqrt(2/pi) ≈ 10% — bound it at 20% (+4 sigma of the mean)
+    val rels = exact.toSeq.map { case (day, ex) =>
+      val rel = math.abs(approx(day) - ex).toDouble / math.max(ex, 1L)
+      assert(math.abs(approx(day) - ex) <= math.max(3.0, ex * 0.6),
+        s"$day: approx ${approx(day)} vs exact $ex")
+      rel
     }
+    val meanRel = rels.sum / rels.size
+    assert(meanRel <= 0.2, s"mean |relative error| $meanRel > 0.2")
   }
 
   test("every oracleSql key has a matching query") {

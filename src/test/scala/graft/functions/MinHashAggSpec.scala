@@ -52,16 +52,21 @@ class MinHashAggSpec extends AnyFunSuite {
       .select(col("lang"), col("text")).as[(String, String)].collect()
       .groupBy(_._1)
       .map { case (l, rows) => l -> rows.flatMap(r => tokensOf(r._2)).toSet }
-    val est = graft.operators.TextOps.minhashProfile(spark, dir)
-      .as[(String, String, Double)].collect()
-    assert(est.nonEmpty)
-    est.foreach { case (a, b, e) =>
-      val (sa, sb) = (toks(a), toks(b))
-      val inter = sa.intersect(sb).size
-      val exact = inter.toDouble / (sa.size + sb.size - inter)
-      // 16 perms: std <= sqrt(J(1-J)/16) <= 0.125; allow 3 sigma + slack
-      assert(math.abs(e - exact) <= 0.4,
-        s"($a,$b): est $e vs exact $exact")
+    // both profile tiers — the MinHashAgg sketch (production) and the
+    // md5-60bit declared-query tier — must track the same exact Jaccard
+    for (profile <- Seq(
+        graft.operators.TextOps.minhashProfileSketch(spark, dir),
+        graft.operators.TextOps.minhashProfile(spark, dir))) {
+      val est = profile.as[(String, String, Double)].collect()
+      assert(est.nonEmpty)
+      est.foreach { case (a, b, e) =>
+        val (sa, sb) = (toks(a), toks(b))
+        val inter = sa.intersect(sb).size
+        val exact = inter.toDouble / (sa.size + sb.size - inter)
+        // 16 perms: std <= sqrt(J(1-J)/16) <= 0.125; allow 3 sigma + slack
+        assert(math.abs(e - exact) <= 0.4,
+          s"($a,$b): est $e vs exact $exact")
+      }
     }
   }
 }

@@ -157,26 +157,32 @@ class TextQualitySpec extends AnyFunSuite {
     assert(gotDistributed == expected)
   }
 
-  test("simhash candidates: sound (verified d<=8) and pigeonhole-complete (d<=7)") {
-    val fps = TextOps.simhashFingerprints(spark, dir).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val ids = fps.keys.toArray.sorted
-    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
-    val within8 = (for {
-      i <- ids.indices; j <- (i + 1) until ids.length
-      if ham(fps(ids(i)), fps(ids(j))) <= 8
-    } yield (ids(i), ids(j))).toSet
-    val within7 = within8.filter { case (a, b) => ham(fps(a), fps(b)) <= 7 }
-    val emitted = pairSet(TextOps.simhash(spark, dir))
-    info(s"exact: ${within8.size} pairs d<=8 (${within7.size} d<=7); emitted ${emitted.size}")
-    // soundness: the in-query hamming verification is exact
-    assert(emitted.subsetOf(within8), s"unsound pairs: ${emitted.diff(within8).take(5)}")
-    // completeness: 8x8 banding cannot miss d<=7 (seven flips, eight bands)
-    assert(within7.subsetOf(emitted), s"missed d<=7 pairs: ${within7.diff(emitted).take(5)}")
-    val recall8 = if (within8.isEmpty) 1.0
-      else within8.intersect(emitted).size.toDouble / within8.size
-    info(s"d<=8 recall $recall8")
-    assert(recall8 >= 0.95, s"d<=8 recall $recall8 < 0.95")
+  test("simhash candidates: sound (verified d<=8) and pigeonhole-complete (d<=7), both hash tiers") {
+    // the contract is family-independent — pin it for the md5 oracle
+    // tier (the declared q_simhash) AND the xxhash64 production tier
+    for (family <- Seq(TextOps.SimHashMd5, TextOps.SimHashXx)) {
+      val fps = TextOps.simhashFingerprints(spark, dir, family).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val ids = fps.keys.toArray.sorted
+      def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+      val within8 = (for {
+        i <- ids.indices; j <- (i + 1) until ids.length
+        if ham(fps(ids(i)), fps(ids(j))) <= 8
+      } yield (ids(i), ids(j))).toSet
+      val within7 = within8.filter { case (a, b) => ham(fps(a), fps(b)) <= 7 }
+      val emitted = pairSet(TextOps.simhashWith(spark, dir, family))
+      info(s"${family.name}: ${within8.size} pairs d<=8 (${within7.size} d<=7); emitted ${emitted.size}")
+      // soundness: the in-query hamming verification is exact
+      assert(emitted.subsetOf(within8),
+        s"${family.name} unsound pairs: ${emitted.diff(within8).take(5)}")
+      // completeness: 8x8 banding cannot miss d<=7 (seven flips, eight bands)
+      assert(within7.subsetOf(emitted),
+        s"${family.name} missed d<=7 pairs: ${within7.diff(emitted).take(5)}")
+      val recall8 = if (within8.isEmpty) 1.0
+        else within8.intersect(emitted).size.toDouble / within8.size
+      info(s"${family.name} d<=8 recall $recall8")
+      assert(recall8 >= 0.95, s"${family.name} d<=8 recall $recall8 < 0.95")
+    }
   }
 
   test("simhash64 expression is bit-identical to the explode+groupBy vote definition") {

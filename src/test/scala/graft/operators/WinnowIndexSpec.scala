@@ -41,6 +41,14 @@ class WinnowIndexSpec extends AnyFunSuite {
     // fingerprint SETS are identical too (not just report-equal)
     assert(fromArtifact.select("fp").distinct().collect().map(_.getLong(0)).sorted
       === full.collect().map(_.getLong(0)).sorted)
+    // the PRUNED membership read (r10 range sharding) serves the same
+    // report: pruning can never drop a hit — a matching fp shares the
+    // probe fp's shard by construction
+    val probeSel = TextOps.winnowOver(probe, 3, 4)
+      .select("doc_id", "fp").distinct()
+    val pruned = WinnowIndex.membershipFps(spark, root, probeSel)
+    assert(TextOps.winnowMatchReportFromSel(probe, probeSel, pruned)
+      .collect().map(_.toString).toSet === report(probe, full))
     // compaction: same set, segment count collapses
     val before = WinnowIndex.segments(root)
     assert(before >= 2, s"append should add segments, saw $before")
@@ -49,6 +57,56 @@ class WinnowIndexSpec extends AnyFunSuite {
     val compacted = spark.read.parquet(WinnowIndex.fpsDir(root))
     assert(report(probe, compacted) === report(probe, full))
     assert(WinnowIndex.segments(root) < before)
+  }
+
+  test("range sharding: shard dirs match the manifest's ranges; a " +
+      "single-shard probe reads only fps inside its range") {
+    val d = docs().filter(col("doc_id") % 4 === 0)
+    val root = java.nio.file.Files.createTempDirectory("graft-widxs").toString
+    WinnowIndex.buildInto(root, d)
+    val ranges = WinnowIndex.shardRanges(TextOps.WinnowMd5)
+    // every persisted fp sits inside its shard dir's manifest range
+    val rows = spark.read.parquet(WinnowIndex.fpsDir(root))
+      .select("fp", "shard").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (fp, s) =>
+      val (_, lo, hi) = ranges(s)
+      assert(fp >= lo && fp <= hi, s"fp $fp outside shard $s range [$lo,$hi]")
+    }
+    // a probe holding ONE fp prunes to exactly that fp's shard: the
+    // membership set equals the artifact's fps in that range, nothing else
+    val oneFp = rows.head._1
+    val oneShard = rows.head._2
+    val probeFps = Seq((0L, oneFp)).toDF("doc_id", "fp")
+    val got = WinnowIndex.membershipFps(spark, root, probeFps)
+      .collect().map(_.getLong(0)).toSet
+    val want = rows.filter(_._2 == oneShard).map(_._1).toSet
+    assert(got === want, s"pruned set diverges for shard $oneShard")
+  }
+
+  test("manifest validation: unmarked roots and scheme drift refuse pruned serving") {
+    val d = docs().filter(col("doc_id") % 4 === 1)
+    val root = java.nio.file.Files.createTempDirectory("graft-widxm").toString
+    WinnowIndex.buildInto(root, d)
+    val probeFps = Seq((0L, 123L)).toDF("doc_id", "fp")
+    // manifest torn/absent (a v1-era artifact): pruned serving must fail
+    // fast, never silently under-read
+    val mf = new java.io.File(root, "_manifest")
+    val body = java.nio.file.Files.readAllBytes(mf.toPath)
+    assert(mf.delete())
+    intercept[IllegalArgumentException] {
+      WinnowIndex.membershipFps(spark, root, probeFps)
+    }
+    // scheme drift (different shard count) is refused too
+    java.nio.file.Files.write(mf.toPath,
+      "version=2\nshards=8\nfamily=md5-60bit\n".getBytes("UTF-8"))
+    intercept[IllegalArgumentException] {
+      WinnowIndex.membershipFps(spark, root, probeFps)
+    }
+    // restored manifest serves again
+    java.nio.file.Files.write(mf.toPath, body)
+    assert(WinnowIndex.membershipFps(spark, root, probeFps).count() >= 0)
   }
 
   test("a crash between compaction's aside and swap-in renames heals on recover") {

@@ -16,7 +16,9 @@ class StreamDedupSpec extends AnyFunSuite {
   private val dir = "/root/testdata/sf0.001"
 
   test("streamed near-dup hits equal the batch minhash-LSH candidate set") {
-    val expected = TextOps.minhashLsh(spark, dir)
+    // the xxhash64 PRODUCTION tier — the signature space StreamDedup
+    // lives in (the declared q_minhash_lsh runs the md5 oracle tier)
+    val expected = TextOps.minhashLshWith(spark, dir, TextOps.MinHashXx)
       .select(col("doc_a").cast("long"), col("doc_b").cast("long"),
         col("est_jaccard"))
       .as[(Long, Long, Double)].collect().toSet
