@@ -109,22 +109,46 @@ object Bench {
     // min/max (and full names, full precision, sf, iters) live in the
     // sidecar — the printed line spends its ~2000-char budget on the
     // per-query map, which is what the scorecard needs complete
-    val short = shortNames(medians.keys.toSeq)
-    val qsMs = medians.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + short(k) + "\":" + math.round(v * 1000) }
-      .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":${dp3(total)},"unit":"sec",""" +
-      s""""queries_ms":$qsMs}"""
-    println(line)
+    println(metricLine(total, medians))
     System.out.flush()
   }
 
-  /** q_-stripped, shortest-unique-truncation display names for the
-    * compact metric line: every name truncates to 10 chars, colliding
-    * groups extend by 2 until unique (deterministic for a fixed query
-    * set; full names are unique so it terminates).
+  /** Render the compact metric line at the widest display-name base
+    * whose ACTUAL rendered length fits the budget — the r10 overflow
+    * policy: names stay at the comfortable 10-char base (stable across
+    * rounds for the scorecard's per-query comparison) until the real
+    * line would overflow, then degrade stepwise instead of letting the
+    * driver's bounded tail clip the record (the r1-r8 failure mode).
     */
-  private[graft] def shortNames(names: Seq[String]): Map[String, String] = {
+  private[graft] def metricLine(total: Double,
+      medians: Map[String, Double]): String = {
+    def render(baseLen: Int): String = {
+      val short = shortNames(medians.keys.toSeq, baseLen)
+      val qsMs = medians.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + short(k) + "\":" + math.round(v * 1000) }
+        .mkString("{", ",", "}")
+      val totalStr = "%.3f".formatLocal(java.util.Locale.ROOT, total)
+      s"""{"metric":"total","value":$totalStr,"unit":"sec",""" +
+        s""""queries_ms":$qsMs}"""
+    }
+    val bases = Seq(10, 8, 6, 4)
+    bases.iterator.map(render).find(_.length <= lineBudget)
+      .getOrElse(render(bases.last))
+  }
+
+  /** The printed line's character budget: the driver's official record
+    * keeps a ~2000-char output tail — 1900 leaves headroom for stray
+    * trailing output.
+    */
+  private[graft] val lineBudget = 1900
+
+  /** q_-stripped, shortest-unique-truncation display names for the
+    * compact metric line: every name truncates to `baseLen` chars,
+    * colliding groups extend by 2 until unique (deterministic for a
+    * fixed query set; full names are unique so it terminates).
+    */
+  private[graft] def shortNames(names: Seq[String],
+      baseLen: Int = 10): Map[String, String] = {
     val rawStripped = names.map(n =>
       n -> (if (n.startsWith("q_")) n.drop(2) else n)).toMap
     // two FULL names stripping to one string (e.g. "q_foo" vs "foo")
@@ -135,7 +159,7 @@ object Bench {
     val stripped = rawStripped.map { case (k, v) =>
       k -> (if (collided(k)) k else v)
     }
-    var len = 10
+    var len = baseLen
     var short = stripped.map { case (k, v) => k -> v.take(len) }
     while (short.values.toSeq.distinct.size < short.size) {
       val dups = short.groupBy(_._2).filter(_._2.size > 1)

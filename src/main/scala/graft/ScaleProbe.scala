@@ -597,11 +597,15 @@ object ScaleProbe {
   }
 
   /** Maintained-WinnowIndex serving probe (r10, VERDICT r9 #6 + #2):
-    * at x10, (a) the ingest-gate match report served from the artifact
+    * at x10, (a) a GATE-SIZED probe's match report (one 500-doc
+    * micro-batch — the WinnowStream per-batch shape) served from the
+    * artifact's range-pruned membership read
     * ([[graft.operators.WinnowIndex.membershipFps]]) vs recomputing the
-    * corpus fingerprint set per query — the q_bm25_indexed
-    * indexed-vs-recompute number for winnow; (b) the range-shard
-    * pruning: a gate-sized probe (1 doc, 4 docs) touches only the shard
+    * corpus fingerprint set per batch — the q_bm25_indexed
+    * indexed-vs-recompute number for winnow (the artifact's value is
+    * precisely that the CORPUS-side hashing never re-runs; the probe's
+    * own hashing is the gate's inherent cost); (b) the range-shard
+    * pruning: a small probe (1 doc, 4 docs) touches only the shard
     * dirs its fps fall in — touched-shard bytes over total bytes is the
     * measured read-volume bound (at production shard counts the same
     * probe-fp count prunes proportionally harder).
@@ -613,28 +617,43 @@ object ScaleProbe {
     def time3(f: => Unit): Double = median((1 to 3).map { _ =>
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     })
-    val d10 = s"$base/x10"
-    synthesize(spark, d10, n1 * 10)
-    val docs = spark.read.parquet(s"$d10/documents.parquet")
-      .select(col("doc_id"), col("text"))
-    val corpus = docs.filter(col("doc_id") % 3 =!= 0)
-    val probe = docs.filter(col("doc_id") % 3 === 0)
-    val root = s"$base/winnow-index-probe"
-    if (!new java.io.File(s"${WinnowIndex.fpsDir(root)}/_SUCCESS").exists())
-      WinnowIndex.buildInto(root, corpus)
-    def indexed(): Unit = {
-      val sel = TextOps.winnowOver(probe, 3, 4).select("doc_id", "fp").distinct()
+    // fixed 500-doc batch against a 1× and a 10× corpus: the indexed
+    // path's cost must track the BATCH (flat across corpus growth),
+    // the per-query recompute's the CORPUS (grows with it)
+    def tier(tag: String, n: Long): (Double, Double) = {
+      val d = s"$base/$tag"
+      synthesize(spark, d, n)
+      val docs = spark.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+      val batch = docs.filter(col("doc_id") % 3 === 0).limit(500)
         .persist()
-      Bench.force(TextOps.winnowMatchReportFromSel(probe, sel,
-        WinnowIndex.membershipFps(spark, root, sel)))
-      sel.unpersist(blocking = true)
+      batch.count(): Unit // the arrived micro-batch, not part of the timing
+      val root = s"$base/winnow-index-probe-$tag"
+      if (!new java.io.File(s"${WinnowIndex.fpsDir(root)}/_SUCCESS").exists())
+        WinnowIndex.buildInto(root, corpus)
+      def indexed(): Unit = {
+        val sel = TextOps.winnowOver(batch, 3, 4).select("doc_id", "fp").distinct()
+          .persist()
+        Bench.force(TextOps.winnowMatchReportFromSel(batch, sel,
+          WinnowIndex.membershipFps(spark, root, sel)))
+        sel.unpersist(blocking = true)
+      }
+      def recompute(): Unit =
+        Bench.force(TextOps.winnowMatchReport(batch,
+          TextOps.winnowOver(corpus, 3, 4).select("fp").distinct()))
+      indexed(); recompute() // warmup
+      val r = (time3(indexed()), time3(recompute()))
+      batch.unpersist(blocking = true)
+      r
     }
-    def recompute(): Unit =
-      Bench.force(TextOps.winnowMatchReport(probe,
-        TextOps.winnowOver(corpus, 3, 4).select("fp").distinct()))
-    indexed(); recompute() // warmup
-    val tIdx = time3(indexed())
-    val tRec = time3(recompute())
+    val (tIdx1, tRec1) = tier("x1", n1)
+    val (tIdx, tRec) = tier("x10", n1 * 10)
+    val d10 = s"$base/x10"
+    val root = s"$base/winnow-index-probe-x10"
+    val batch = spark.read.parquet(s"$d10/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .filter(col("doc_id") % 3 === 0).limit(500)
     // pruning: touched-shard bytes for gate-sized probes vs the artifact
     def shardBytes(ids: Set[Int]): Long =
       Option(new java.io.File(WinnowIndex.fpsDir(root)).listFiles())
@@ -645,7 +664,7 @@ object ScaleProbe {
         .map(_.length()).sum
     val allIds = (0 until 64).toSet
     def touched(nDocs: Int): (Int, Long) = {
-      val p = probe.limit(nDocs)
+      val p = batch.limit(nDocs)
       val ids = TextOps.winnowOver(p, 3, 4)
         .select(WinnowIndex.shardOf(col("fp"), TextOps.WinnowMd5).as("s"))
         .distinct().collect().map(_.getInt(0)).toSet
@@ -654,12 +673,14 @@ object ScaleProbe {
     val total = shardBytes(allIds)
     val (s1, b1) = touched(1)
     val (s4, b4) = touched(4)
-    println(f"[scaleprobe] winnow_index x10 indexed=$tIdx%6.2fs " +
-      f"recompute=$tRec%6.2fs speedup=${tRec / tIdx}%4.2fx")
+    println(f"[scaleprobe] winnow_index 500-doc batch: indexed x1=$tIdx1%5.2fs " +
+      f"x10=$tIdx%5.2fs (flat) recompute x1=$tRec1%5.2fs x10=$tRec%5.2fs " +
+      f"(grows); x10 speedup=${tRec / tIdx}%4.2fx")
     println(f"[scaleprobe] winnow_index prune: 1-doc probe touches $s1/64 " +
       f"shards ($b1%d/$total%d B), 4-doc $s4/64 ($b4%d B)")
-    Seq(s""""winnow_index_x10":{"indexed":$tIdx,"recompute":$tRec,""" +
-      s""""speedup":${tRec / tIdx}},""" +
+    Seq(s""""winnow_index_serving":{"indexed_x1":$tIdx1,"indexed_x10":$tIdx,""" +
+      s""""recompute_x1":$tRec1,"recompute_x10":$tRec,""" +
+      s""""speedup_x10":${tRec / tIdx}},""" +
       s""""winnow_index_prune":{"total_bytes":$total,""" +
       s""""probe1_shards":$s1,"probe1_bytes":$b1,""" +
       s""""probe4_shards":$s4,"probe4_bytes":$b4}""")

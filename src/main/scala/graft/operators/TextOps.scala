@@ -1041,11 +1041,18 @@ object TextOps {
     // VOCABULARY entry, not per occurrence (measured 5× on this query —
     // md5 is the oracle tier's whole cost). The distinct is itself
     // partial-aggregable (map-side dedup of a heavily repeated key), and
-    // its output is vocabulary-bounded — both survive 100 TB.
-    val tok = Tables.documents(spark, dir)
-      .select(col("lang"),
-        explode(array_distinct(tokens(col("text")))).as("t"))
-      .distinct()
+    // its output is vocabulary-bounded — both survive 100 TB. The scoped
+    // persist is a deliberate OPTIMIZER BARRIER, not (only) a cache:
+    // min() is duplicate-insensitive, so Catalyst's
+    // RemoveRedundantAggregates would otherwise erase the distinct and
+    // evaluate all 16 md5s per token OCCURRENCE again (measured right
+    // back at the 5×).
+    graft.IntraQueryCache.newGeneration(s"minhashprofile:$dir")
+    val tok = graft.IntraQueryCache.scoped(
+      Tables.documents(spark, dir)
+        .select(col("lang"),
+          explode(array_distinct(tokens(col("text")))).as("t"))
+        .distinct())
     val sigs = tok.groupBy("lang")
       .agg(min(h60(concat(lit("0|"), col("t")))).as("m0"),
         (1 until minhashNumHashes).map(i =>
@@ -3240,25 +3247,25 @@ object TextOps {
     * (q_winnow_match_indexed — the q_bm25_indexed pattern): the oracle
     * recomputes the identical report from RAW documents, so the green
     * driver row is a standing consistency proof for the artifact's
-    * build/publish chain — since r10 including the RANGE-SHARDED layout
-    * and the PRUNED membership read ([[WinnowIndex.membershipFps]]):
-    * only the shard dirs the probe's fingerprints can match in are
-    * scanned (a matching fp shares the probe fp's shard by
-    * construction, so pruning can never drop a hit). The probe's
-    * selection is computed once (scoped cache) and feeds both shard
-    * discovery and the report join. The index build is ingest-time
-    * ([[SparkEntry.prepare]]); query time reads the pruned set.
+    * build/publish chain — since r10 including the RANGE-SHARDED
+    * layout's build/append/compact path. This fixture's probe is a
+    * third of the CORPUS, whose fingerprints cover every shard range —
+    * so the right plan here is the full fps read; the range-PRUNED
+    * membership read ([[WinnowIndex.membershipFps]]) is the
+    * GATE-sized-probe serving path (micro-batch against a huge corpus),
+    * plan-pinned in PlanSpec and measured in `ScaleProbe
+    * --winnow-index`. The index build is ingest-time
+    * ([[SparkEntry.prepare]]); query time reads the fingerprint set.
     */
   def winnowMatchIndexed(spark: SparkSession, dir: String, k: Int = 3,
       w: Int = 4): DataFrame = {
     val root = WinnowIndex.ensure(spark, dir, k, w)
+    WinnowIndex.requireServableFamily(root, WinnowMd5)
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    val probe = docs.filter(col("doc_id") % 3 === 0)
-    graft.IntraQueryCache.newGeneration(s"winnowmatchidx:$dir:$k:$w")
-    val probeSel = graft.IntraQueryCache.scoped(
-      winnowOver(probe, k, w).select("doc_id", "fp").distinct())
-    winnowMatchReportFromSel(probe, probeSel,
-      WinnowIndex.membershipFps(spark, root, probeSel))
+    winnowMatchReport(
+      docs.filter(col("doc_id") % 3 === 0),
+      spark.read.parquet(WinnowIndex.fpsDir(root)).select("fp").distinct(),
+      k, w)
       .orderBy("doc_id")
   }
 

@@ -1,0 +1,194 @@
+package graft.operators
+
+import java.io.File
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Maintained on-disk LSH bucket-list index — the vector family's
+  * TextIndex/WinnowIndex parity (r10): the signed-random-projection
+  * index [[VectorOps.lshIndex]] builds is persisted as a table-sharded
+  * parquet artifact that ingest maintains incrementally (new crawl
+  * slices fold into their buckets with [[appendTo]], [[compact]]
+  * restores file economy and re-caps buckets, [[recover]] heals crashed
+  * swaps through the shared [[Artifacts]] chain), and
+  * [[graft.streaming.VectorStream]]'s refresh path serves from it.
+  *
+  * Layout under `root`:
+  *  - `index/t=<table>/` — parquet (nid, ne, nn, bucket) partitioned by
+  *    LSH table, bucket-sorted within files (row-group min/max locality
+  *    for bucket-collision reads). Segments may hold the same nid twice
+  *    ACROSS files after an at-least-once replayed append — benign:
+  *    serving dedupes on (t, bucket, nid) at load and compaction
+  *    collapses them, the WinnowIndex value-idempotence model (entries
+  *    are a pure function of nid, so duplicate ROWS never become wrong
+  *    MATCHES).
+  *  - `_meta` — the code width `bits` and the per-bucket cap
+  *    `maxBucket`, written BEFORE the first index write. Appends and
+  *    serving fail fast on a mismatch: both sides of the stream-static
+  *    join MUST run the same `bits` ([[VectorOps.lshBucketArr]]'s
+  *    contract — drifted codes silently match nothing), and a cap
+  *    change alters the survivor rule.
+  *
+  * Cap semantics across maintenance: [[appendTo]] caps WITHIN the
+  * slice (slice-sized work — the corpus is never re-read), so between
+  * compactions a bucket holds at most maxBucket × segments entries
+  * (bounded by appends-since-compact, never corpus size — candidate
+  * supersets cost work, never correctness: the exact-cosine confirm
+  * runs per candidate). [[compact]] re-caps globally with the
+  * identical deterministic rule ([[VectorOps.capBuckets]] — smallest
+  * maxBucket per bucket by (xxhash64(nid), nid)); because the global
+  * smallest-k of a union of per-slice smallest-ks is exact, artifact
+  * maintenance CONVERGES BIT-FOR-BIT on the full rebuild's survivor
+  * set (spec-pinned, VectorIndexSpec).
+  *
+  * 100 TB posture: the index is (t, bucket)-keyed with per-bucket caps
+  * (skew-bounded), moves once per refresh; appends are slice-sized;
+  * compaction is one pass over the index (per-table behind the
+  * partition dirs at production scale).
+  */
+object VectorIndex {
+
+  def indexDir(root: String): String = s"$root/index"
+
+  private def metaFile(root: String) = new File(root, "_meta")
+
+  /** (bits, maxBucket) recorded at build time, if the marker exists. */
+  private[graft] def metaOf(root: String): Option[(Int, Int)] = {
+    val f = metaFile(root)
+    if (!f.exists()) None
+    else {
+      val kv = new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+        .linesIterator.filter(_.contains('='))
+        .map { l => val Array(k, v) = l.split('=') ; k -> v.toInt }.toMap
+      Some((kv("bits"), kv("maxBucket")))
+    }
+  }
+
+  /** The serving/maintenance gate: the marker must exist — an unmarked
+    * index cannot prove its code width, and joining across drifted
+    * widths silently matches nothing, the worst kind of wrong.
+    */
+  private[graft] def requireMeta(root: String): (Int, Int) = {
+    val m = metaOf(root)
+    require(m.isDefined, s"vector index at $root carries no _meta " +
+      "(code width unknown) — refusing to serve or maintain; rebuild it")
+    m.get
+  }
+
+  private def withNrm(emb: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.ensureRegistered(emb.sparkSession)
+    val e = col("embedding")
+    emb.select(col("vec_id"), e.as("embedding"),
+      sqrt(graft.functions.VectorFunctions.dot(e, e)).as("nrm"))
+  }
+
+  /** Stage an entries frame as the table-sharded artifact tree: one
+    * exchange on the table key so each partition dir is written once,
+    * bucket sort within for row-group pruning.
+    */
+  private def writeSharded(entries: DataFrame, path: String): Unit =
+    entries
+      .repartition(col("t"))
+      .sortWithinPartitions("bucket", "nid")
+      .write.partitionBy("t")
+      .option("compression", "zstd")
+      .parquet(path)
+
+  /** Build (or rebuild) the index under `root` from a (vec_id,
+    * embedding) corpus frame. Rebuilds publish through the aside-rename
+    * chain, so a crash leaves the previous servable artifact or a
+    * recoverable aside — never a torn index dir.
+    */
+  def buildInto(root: String, emb: DataFrame, maxBucket: Int,
+      bits: Int): Unit = {
+    new File(root).mkdirs()
+    recover(root)
+    // a rebuild must not silently flip the code space under a reader
+    metaOf(root).foreach { case (b, m) =>
+      require(b == bits && m == maxBucket,
+        s"vector index at $root was built with bits=$b maxBucket=$m, " +
+          s"refusing to rebuild as bits=$bits maxBucket=$maxBucket — " +
+          "drifted codes silently match nothing")
+    }
+    java.nio.file.Files.write(metaFile(root).toPath,
+      s"bits=$bits\nmaxBucket=$maxBucket\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+    val stage = s"${indexDir(root)}.tmp-${java.util.UUID.randomUUID()}"
+    writeSharded(VectorOps.lshIndex(withNrm(emb), maxBucket, bits), stage)
+    if (new File(indexDir(root)).exists())
+      Artifacts.publishByRename(indexDir(root), stage)
+    else require(new File(stage).renameTo(new File(indexDir(root))),
+      s"publish rename to ${indexDir(root)} failed")
+  }
+
+  /** Fold a NEW embedding slice in: the slice codes with the ARTIFACT's
+    * bits and caps within itself (the two-phase rule over slice-sized
+    * input), landing as one file per touched table dir — the corpus is
+    * never re-read. Replay-safe by value (duplicate rows, never
+    * duplicate matches); convergence on the full rebuild's survivor set
+    * is [[compact]]'s re-cap (see class doc).
+    */
+  def appendTo(root: String, newEmb: DataFrame): Unit = {
+    require(new File(indexDir(root)).exists(),
+      s"appendTo on $root with no index/ — build or recover first")
+    val (bits, maxBucket) = requireMeta(root)
+    VectorOps.lshIndex(withNrm(newEmb), maxBucket, bits)
+      // bound the append's file count explicitly (the WinnowIndex
+      // rationale): one pre-write partition → one file per touched table
+      .repartition(1)
+      .sortWithinPartitions("t", "bucket", "nid")
+      .write.mode("append").partitionBy("t")
+      .option("compression", "zstd")
+      .parquet(indexDir(root))
+  }
+
+  /** Collapse appended segments and RE-CAP each bucket globally with
+    * the build's deterministic rule — the survivor set then equals a
+    * full rebuild over every vector ever folded in (the smallest-k
+    * union argument; spec-pinned). Publishes through the shared
+    * crash-recoverable rename chain.
+    */
+  def compact(root: String, spark: SparkSession): Unit = {
+    recover(root)
+    val (_, maxBucket) = requireMeta(root)
+    val merged = spark.read.parquet(indexDir(root))
+      .select("nid", "ne", "nn", "t", "bucket")
+      // replayed appends leave identical rows across segments; the cap
+      // rule is a function of the entry SET, so dedupe first
+      .dropDuplicates("t", "bucket", "nid")
+    val tmp = s"${indexDir(root)}.tmp-${java.util.UUID.randomUUID()}"
+    writeSharded(VectorOps.capBuckets(merged, maxBucket), tmp)
+    Artifacts.publishByRename(indexDir(root), tmp)
+  }
+
+  /** The serving load: the artifact renamed to the stream-static join's
+    * corpus-side schema, deduped against replayed append segments.
+    * Returns the frame plus the artifact's code width — the query side
+    * MUST project with the same bits.
+    */
+  private[graft] def load(spark: SparkSession,
+      root: String): (DataFrame, Int) = {
+    val (bits, _) = requireMeta(root)
+    val df = spark.read.parquet(indexDir(root))
+      .dropDuplicates("t", "bucket", "nid")
+      .select(col("nid").as("corpus_vec"), col("ne").as("corpus_emb"),
+        col("nn").as("corpus_nrm"), col("t"), col("bucket"))
+    (df, bits)
+  }
+
+  /** Heal a crashed swap — call at maintenance entry. */
+  def recover(root: String): Unit =
+    Artifacts.recoverArtifacts(root, Seq("index"))
+
+  /** MAX parquet file count across table dirs — the segment proxy the
+    * streaming maintainer bounds (each append adds ≤1 file per table).
+    */
+  private[graft] def segments(root: String): Int =
+    Option(new File(indexDir(root)).listFiles()).map { entries =>
+      entries.filter(d => d.isDirectory && d.getName.startsWith("t="))
+        .map(d => Option(d.listFiles())
+          .map(_.count(_.getName.endsWith(".parquet"))).getOrElse(0))
+        .foldLeft(0)(math.max)
+    }.getOrElse(0)
+}

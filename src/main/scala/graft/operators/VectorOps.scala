@@ -777,18 +777,34 @@ object VectorOps {
     */
   private[graft] def lshIndex(emb: DataFrame, maxBucket: Int, bits: Int = 8): DataFrame = {
     val tb = lshBucketArr(col("embedding"), bits)
-    val localCap = Window.partitionBy(col("t"), col("bucket"), col("split"))
-      .orderBy(xxhash64(col("nid")), col("nid"))
-    val globalCap = Window.partitionBy("t", "bucket")
-      .orderBy(xxhash64(col("nid")), col("nid"))
     // vectors are copied INTO the bucket lists (the FAISS-style inverted
     // list layout): 16 tables ⇒ 16× vector storage, bought deliberately so
     // the query path scores candidates inside the bucket-join projection —
     // no second gather join per query
-    emb.select(col("vec_id").as("nid"), col("embedding").as("ne"),
-        col("nrm").as("nn"), explode(tb).as("tb"))
-      .select(col("nid"), col("ne"), col("nn"),
-        col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+    capBuckets(
+      emb.select(col("vec_id").as("nid"), col("embedding").as("ne"),
+          col("nrm").as("nn"), explode(tb).as("tb"))
+        .select(col("nid"), col("ne"), col("nn"),
+          col("tb.t").as("t"), col("tb.bucket").as("bucket")),
+      maxBucket)
+  }
+
+  /** The deterministic two-phase bucket cap over already-coded (nid, ne,
+    * nn, t, bucket) entries — extracted (r10) so the maintained on-disk
+    * artifact ([[VectorIndex]]) can re-cap merged segments at compaction
+    * with the IDENTICAL selection rule. The kept set per bucket is the
+    * smallest-`maxBucket` entries by (xxhash64(nid), nid) — a pure
+    * function of the entry SET (split-independent: the global smallest-k
+    * of a union of local smallest-ks is exact), which is what makes
+    * per-slice capped appends + a global re-cap converge bit-for-bit on
+    * the full rebuild's survivor set.
+    */
+  private[graft] def capBuckets(entries: DataFrame, maxBucket: Int): DataFrame = {
+    val localCap = Window.partitionBy(col("t"), col("bucket"), col("split"))
+      .orderBy(xxhash64(col("nid")), col("nid"))
+    val globalCap = Window.partitionBy("t", "bucket")
+      .orderBy(xxhash64(col("nid")), col("nid"))
+    entries
       .withColumn("split", spark_partition_id())
       .withColumn("lslot", row_number().over(localCap))
       .filter(col("lslot") <= maxBucket)
@@ -1005,6 +1021,82 @@ object VectorOps {
       maxBucket: Int = 100000): DataFrame = {
     val (pb, mf) = tuneProbeNet(lshOccupancy(spark, dir, maxBucket), budget)
     annLsh(spark, dir, pb, mf, maxBucket)
+  }
+
+  /** ORACLE-EXACT signature twin of [[annLsh]] (q_ann_lsh_exactsig,
+    * r10): the same signed-random-projection LSH pipeline — per-table
+    * bucket codes from projection signs, bucket-collision candidates,
+    * exact-cosine scoring, per-query top-k — but with every stage
+    * DuckDB-replayable, so the driver hash-checks candidate GENERATION
+    * itself (the production [[annLsh]]'s float hyperplanes stay
+    * rows-only: double summation order differs across engines at the
+    * sign boundary). Two substitutions make it exact, both r9-q_kmeans
+    * precedents: embeddings quantize once to int64 1e-7 units (the
+    * identical IEEE multiply + truncate on both engines), and the
+    * hyperplanes are md5-derived INTEGER weights w ∈ {−1, 0, +1}
+    * (w(t,j,i) = h60("t,j,i") mod 3 − 1 — sparse ±1 hyperplanes, the
+    * classic cheap rotation family), so each projection is an exact
+    * integer sum whose SIGN is order-independent by commutativity.
+    * Overflow audit: |xq| ≤ ~6e7 (unit-scale embeddings) × 64 terms
+    * → |proj| ≤ 4e9, five orders under 2^63.
+    *
+    * Scale shape: code projection is row-wise; the candidate join is
+    * (t, code)-keyed with the 5-query side broadcast; scoring joins
+    * back on the primary key; top-k is the shared two-phase
+    * [[perQueryTopK]]. A twin, not a replacement: the production tier
+    * keeps dense float planes, corpus-scaled width, bucket caps and
+    * multi-probe.
+    */
+  def annLshExactSig(spark: SparkSession, dir: String, tables: Int = 4,
+      bits: Int = 8, k: Int = 10): DataFrame = {
+    VectorFunctions.ensureRegistered(spark)
+    val codes = exactSigCodes(quantizedFor(spark, dir), tables, bits)
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("nrm", norm(col("embedding")))
+    val cand = broadcast(codes.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("t"), col("code")))
+      .join(codes.select(col("vec_id").as("nid"), col("t"), col("code")),
+        Seq("t", "code"))
+      .filter(col("qid") =!= col("nid"))
+      .select("qid", "nid").distinct()
+    val scored = cand
+      .join(emb.select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nrm").as("qn")), "qid")
+      .join(emb.select(col("vec_id").as("nid"), col("embedding").as("ne"),
+        col("nrm").as("nn")), "nid")
+      .withColumn("cosine",
+        round(dot(col("qe"), col("ne")) / (col("qn") * col("nn")), 4))
+    perQueryTopK(scored, k, "nid", "rn")
+      .select("qid", "nid", "cosine", "rn")
+      .orderBy("qid", "rn")
+  }
+
+  /** md5-derived integer hyperplane weight — MUST equal the oracle's
+    * `(h60(t||','||j||','||i) % 3) - 1` (decimal renderings match).
+    */
+  private def exactSigWeight(t: Int, j: Int, i: Int): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$t,$j,$i".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(15)
+    java.lang.Long.parseLong(hex, 16) % 3 - 1
+  }
+
+  /** (vec_id, t, code) for every vector: per table, bit j is the sign
+    * of the exact integer projection onto the md5-derived plane.
+    */
+  private[graft] def exactSigCodes(embq: DataFrame, tables: Int,
+      bits: Int): DataFrame = {
+    val codeCols = (0 until tables).map { t =>
+      val code = (0 until bits).map { j =>
+        val w = typedlit((0 until 64).map(i => exactSigWeight(t, j, i)))
+        val proj = aggregate(
+          zip_with(col("xq"), w, (a, b) => a * b), lit(0L), (acc, v) => acc + v)
+        when(proj > 0, lit(1 << j)).otherwise(lit(0))
+      }.reduce(_ + _)
+      struct(lit(t).as("t"), code.as("code"))
+    }
+    embq.select(col("vec_id"), explode(array(codeCols: _*)).as("tc"))
+      .select(col("vec_id"), col("tc.t").as("t"), col("tc.code").as("code"))
   }
 
   /** The scored candidate set (qi, nid, cosine) BEFORE top-k — the whole

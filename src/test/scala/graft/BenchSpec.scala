@@ -34,14 +34,35 @@ class BenchSpec extends AnyFunSuite {
 
   test("the compact metric line fits the driver's capture window with headroom") {
     val names = SparkEntry.queries.keys.toSeq
-    val short = Bench.shortNames(names)
     // worst realistic case: every median takes 4 digits of milliseconds
     // (≥1 s and <10 s per query — far above today's ~0.7 s median)
-    val qs = names.sorted
-      .map(k => "\"" + short(k) + "\":9999").mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":999.999,"unit":"sec",""" +
-      s""""queries_ms":$qs}"""
-    assert(line.length <= 1950,
-      s"metric line too long for the ~2000-char capture tail: ${line.length}")
+    val line = Bench.metricLine(9999.999, names.map(_ -> 9.999).toMap)
+    assert(line.length <= Bench.lineBudget,
+      s"metric line too long for the ~2000-char capture tail at " +
+        s"${names.size} queries: ${line.length}")
+  }
+
+  test("the overflow policy degrades name length instead of clipping, " +
+      "and keeps today's stable names at today's costs") {
+    // a 120-query surface (today + ~3 rounds of growth) with every
+    // query at 4 ms digits: the rendered line must still fit — names
+    // shrink, the record stays parseable
+    val grown = (SparkEntry.queries.keys.toSeq ++
+      (0 until (120 - SparkEntry.queries.size)).map(i => s"q_fx$i"))
+      .map(_ -> 9.999).toMap
+    val grownLine = Bench.metricLine(123.456, grown)
+    assert(grownLine.length <= Bench.lineBudget,
+      s"120-query worst case ${grownLine.length}")
+    // uniqueness survives degradation: every query key renders exactly once
+    assert("\"[a-zA-Z0-9_]+\":9999".r.findAllIn(grownLine).size == grown.size)
+    // at TODAY's realistic costs the line keeps the 10-char base names
+    // (stable across rounds for the scorecard's per-query comparison)
+    val names = SparkEntry.queries.keys.toSeq
+    val todayLine = Bench.metricLine(86.43, names.map(_ -> 0.816).toMap)
+    assert(todayLine.length <= Bench.lineBudget)
+    val tenCharNames = Bench.shortNames(names, 10)
+    names.foreach { n =>
+      assert(todayLine.contains("\"" + tenCharNames(n) + "\":816"), n)
+    }
   }
 }

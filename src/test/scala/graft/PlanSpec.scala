@@ -201,23 +201,30 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("winnow match indexed: fp membership join against the artifact — " +
-      "no corpus-side winnow recompute; fps scan partition-pruned to the " +
-      "probe's shards") {
+      "no corpus-side winnow recompute in the plan") {
     val p = plan(graft.operators.TextOps.winnowMatchIndexed(spark, dir))
-    // every text-bearing scan must carry the PROBE slice's filter
-    // (doc_id % 3 = 0) — a corpus-side text scan (NOT (% 3 = 0)) would
-    // mean the index is being recomputed instead of served. (The probe's
-    // selection is scoped-cached, so its one scan can print twice inside
-    // the InMemoryRelation repr — filter on content, not line count.)
-    val textScans = p.linesIterator
-      .filter(l => l.contains("FileScan parquet") && l.contains("text#")).toSeq
-    assert(textScans.nonEmpty, p)
-    textScans.foreach { l =>
-      assert(l.contains("% 3) = 0") && !l.contains("NOT ("),
-        s"corpus-side text scan in the indexed plan:\n$l")
-    }
-    // the artifact read is RANGE-SHARD pruned: Catalyst partition
-    // filters on the shard column (r10 — the manifest-sharded layout)
+    // the corpus side must be a parquet READ of the maintained artifact:
+    // exactly one text-bearing scan (the probe slice's own selection) —
+    // a second documents scan would mean the index is being recomputed
+    val docScans = p.linesIterator
+      .count(l => l.contains("FileScan parquet") && l.contains("text#"))
+    assert(docScans == 1, s"expected one documents scan, got $docScans\n$p")
+    assert(p.contains("fp#"), p)
+  }
+
+  test("winnow membership (gate-sized probe): fps scan partition-pruned " +
+      "to the probe's shard ranges") {
+    import org.apache.spark.sql.functions.col
+    val root = graft.operators.WinnowIndex.ensure(spark, dir)
+    // a gate-sized probe: one micro-batch of documents
+    val probeSel = graft.operators.TextOps.winnowOver(
+      graft.Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text")).limit(5), 3, 4)
+      .select("doc_id", "fp").distinct()
+    val p = plan(graft.operators.WinnowIndex
+      .membershipFps(spark, root, probeSel))
+    // Catalyst partition filters on the shard column (r10 — the
+    // manifest-sharded layout): the scan touches only the probe's ranges
     val fpsScan = p.linesIterator
       .find(l => l.contains("FileScan parquet") && l.contains("winnow_v"))
     assert(fpsScan.exists(l => l.contains("PartitionFilters: [shard") ||

@@ -60,21 +60,26 @@ class TextQualitySpec extends AnyFunSuite {
     assert(out(3).size == 2) // two full 3-gram windows
   }
 
-  test("minhash LSH recall vs exact Jaccard, stratified by true similarity") {
+  test("minhash LSH recall vs exact Jaccard, stratified by true similarity, both hash tiers") {
     val truth = allPairsJaccard(tokenSets, 0.95)
-    val cand = pairSet(TextOps.minhashLsh(spark, dir))
-    def recallOver(min: Double, max: Double): (Double, Int) = {
-      val strat = truth.filter { case (_, j) => j >= min && j < max }.keySet
-      if (strat.isEmpty) (1.0, 0)
-      else (strat.intersect(cand).size.toDouble / strat.size, strat.size)
+    // the contract is family-independent — pin the md5 oracle tier (the
+    // declared q_minhash_lsh) AND the xxhash64 production tier
+    for (family <- Seq(TextOps.MinHashMd5, TextOps.MinHashXx)) {
+      val cand = pairSet(TextOps.minhashLshWith(spark, dir, family))
+      def recallOver(min: Double, max: Double): (Double, Int) = {
+        val strat = truth.filter { case (_, j) => j >= min && j < max }.keySet
+        if (strat.isEmpty) (1.0, 0)
+        else (strat.intersect(cand).size.toDouble / strat.size, strat.size)
+      }
+      val (rAll, nAll) = recallOver(0.95, 2.0)
+      val (rHigh, nHigh) = recallOver(0.98, 2.0)
+      info(s"${family.name}: recall $rAll over $nAll truth pairs; " +
+        s"$rHigh over $nHigh J>=0.98 pairs")
+      // est>=0.9 over 16 hashes at the J=0.95 boundary has ~0.81 catch
+      // probability by construction; high-similarity pairs must be near-sure
+      assert(rAll >= 0.7, s"${family.name} overall recall $rAll < 0.7")
+      assert(rHigh >= 0.9, s"${family.name} J>=0.98 recall $rHigh < 0.9")
     }
-    val (rAll, nAll) = recallOver(0.95, 2.0)
-    val (rHigh, nHigh) = recallOver(0.98, 2.0)
-    info(s"recall $rAll over $nAll truth pairs; $rHigh over $nHigh J>=0.98 pairs")
-    // est>=0.9 over 16 hashes at the J=0.95 boundary has ~0.81 catch
-    // probability by construction; high-similarity pairs must be near-sure
-    assert(rAll >= 0.7, s"overall recall $rAll < 0.7")
-    assert(rHigh >= 0.9, s"J>=0.98 recall $rHigh < 0.9")
   }
 
   test("minhash LSH precision: every emitted pair is genuinely similar") {
@@ -91,22 +96,26 @@ class TextQualitySpec extends AnyFunSuite {
     assert(fracHalf >= 0.95, s"frac(J>=0.5) $fracHalf < 0.95")
   }
 
-  test("shingled minhash: recall + precision vs exact shingle Jaccard") {
+  test("shingled minhash: recall + precision vs exact shingle Jaccard, both hash tiers") {
     val truth = allPairsJaccard(shingleSets, 0.95)
-    val emitted = pairSet(TextOps.minhashShingle(spark, dir))
-    val recall =
-      if (truth.isEmpty) 1.0
-      else truth.keySet.intersect(emitted).size.toDouble / truth.size
-    val js = emitted.toSeq.map { case (a, b) =>
-      val (sa, sb) = (shingleSets(a), shingleSets(b))
-      val inter = sa.intersect(sb).size
-      inter.toDouble / (sa.size + sb.size - inter)
+    for (family <- Seq(TextOps.MinHashMd5, TextOps.MinHashXx)) {
+      val emitted = pairSet(TextOps.minhashShingleWith(spark, dir, family))
+      val recall =
+        if (truth.isEmpty) 1.0
+        else truth.keySet.intersect(emitted).size.toDouble / truth.size
+      val js = emitted.toSeq.map { case (a, b) =>
+        val (sa, sb) = (shingleSets(a), shingleSets(b))
+        val inter = sa.intersect(sb).size
+        inter.toDouble / (sa.size + sb.size - inter)
+      }
+      info(s"${family.name}: shingle truth ${truth.size} pairs, emitted " +
+        s"${emitted.size}, recall $recall, " +
+        s"mean exact J ${if (js.nonEmpty) js.sum / js.size else 1.0}")
+      assert(recall >= 0.7, s"${family.name} shingle recall $recall < 0.7")
+      // emitted pairs must be truly shingle-similar, not banding accidents
+      assert(js.forall(_ >= 0.5),
+        s"${family.name} emitted pair below exact shingle J 0.5: ${js.min}")
     }
-    info(s"shingle truth ${truth.size} pairs, emitted ${emitted.size}, recall $recall, " +
-      s"mean exact J ${if (js.nonEmpty) js.sum / js.size else 1.0}")
-    assert(recall >= 0.7, s"shingle recall $recall < 0.7")
-    // emitted pairs must be truly shingle-similar, not banding accidents
-    assert(js.forall(_ >= 0.5), s"emitted pair below exact shingle J 0.5: ${js.min}")
   }
 
   test("dedup clustering: transitivity over chain components + singletons") {

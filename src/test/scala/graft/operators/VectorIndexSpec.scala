@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** Maintained LSH bucket-list artifact: maintenance (build → append →
+  * compact) must converge bit-for-bit on the full rebuild's survivor
+  * set — including when the per-bucket cap actively truncates — and the
+  * meta/crash gates must fail fast rather than serve drifted codes or a
+  * torn tree.
+  */
+class VectorIndexSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  graft.functions.VectorFunctions.ensureRegistered(spark)
+
+  private def embAll() = graft.Tables.embeddings(spark, dir)
+    .select(col("vec_id"), col("embedding"))
+
+  private def withNrm(df: org.apache.spark.sql.DataFrame) =
+    df.withColumn("nrm", sqrt(graft.functions.VectorFunctions.dot(
+      col("embedding"), col("embedding"))))
+
+  private def keys(df: org.apache.spark.sql.DataFrame): Set[(Int, Int, Long)] =
+    df.select(col("t").cast("int"), col("bucket").cast("int"), col("nid"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+
+  test("build + append + compact converges on the full rebuild's survivor set " +
+      "under an actively truncating cap") {
+    val (maxBucket, bits) = (4, 6) // tiny cap + narrow codes → real truncation
+    val all = embAll()
+    val a = all.filter(col("vec_id") % 3 =!= 0)
+    val b = all.filter(col("vec_id") % 3 === 0)
+    val root = java.nio.file.Files.createTempDirectory("graft-vidx").toString
+    VectorIndex.buildInto(root, a, maxBucket, bits)
+    VectorIndex.appendTo(root, b)
+    val rebuilt = keys(VectorOps.lshIndex(withNrm(all), maxBucket, bits))
+    // the cap truly binds in this configuration, else the test is vacuous
+    assert(keys(spark.read.parquet(VectorIndex.indexDir(root))).size <
+      keys(VectorOps.lshIndex(withNrm(all), Int.MaxValue, bits)).size)
+    // BETWEEN compactions the artifact over-holds (per-slice caps): a
+    // SUPERSET of the rebuild's survivors — candidates cost work, never
+    // recall (the global smallest-k members are kept by their slice's cap)
+    val staged = keys(spark.read.parquet(VectorIndex.indexDir(root)))
+    assert(rebuilt.subsetOf(staged), s"missing ${(rebuilt -- staged).take(5)}")
+    // compaction re-caps globally → EXACTLY the rebuild's survivor set
+    VectorIndex.compact(root, spark)
+    spark.catalog.refreshByPath(VectorIndex.indexDir(root))
+    assert(keys(spark.read.parquet(VectorIndex.indexDir(root))) === rebuilt)
+    // and the serving load (deduped, renamed) carries the same keys
+    val (served, servedBits) = VectorIndex.load(spark, root)
+    assert(servedBits == bits)
+    assert(served.select(col("t"), col("bucket"), col("corpus_vec").as("nid"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet === rebuilt)
+  }
+
+  test("a replayed append adds duplicate rows, never duplicate survivors") {
+    val (maxBucket, bits) = (4, 6)
+    val all = embAll()
+    val a = all.filter(col("vec_id") % 2 === 0)
+    val b = all.filter(col("vec_id") % 2 =!= 0)
+    val root = java.nio.file.Files.createTempDirectory("graft-vidxr").toString
+    VectorIndex.buildInto(root, a, maxBucket, bits)
+    VectorIndex.appendTo(root, b)
+    VectorIndex.appendTo(root, b) // the at-least-once re-delivery
+    val rebuilt = keys(VectorOps.lshIndex(withNrm(all), maxBucket, bits))
+    // serving dedupes the replay's rows
+    val (served, _) = VectorIndex.load(spark, root)
+    val servedKeys = served
+      .select(col("t"), col("bucket"), col("corpus_vec").as("nid"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    assert(servedKeys.length == servedKeys.toSet.size, "served duplicates")
+    // and compaction collapses them into exactly the rebuild's set
+    VectorIndex.compact(root, spark)
+    spark.catalog.refreshByPath(VectorIndex.indexDir(root))
+    assert(keys(spark.read.parquet(VectorIndex.indexDir(root))) === rebuilt)
+  }
+
+  test("segments: appends add one file per table dir; compaction collapses them") {
+    val root = java.nio.file.Files.createTempDirectory("graft-vidxs").toString
+    val all = embAll()
+    VectorIndex.buildInto(root, all.filter(col("vec_id") % 3 === 0), 64, 6)
+    assert(VectorIndex.segments(root) == 1)
+    VectorIndex.appendTo(root, all.filter(col("vec_id") % 3 === 1))
+    VectorIndex.appendTo(root, all.filter(col("vec_id") % 3 === 2))
+    assert(VectorIndex.segments(root) == 3)
+    VectorIndex.compact(root, spark)
+    assert(VectorIndex.segments(root) == 1)
+  }
+
+  test("meta gates: width drift and unmarked roots fail fast") {
+    val root = java.nio.file.Files.createTempDirectory("graft-vidxm").toString
+    val a = embAll().filter(col("vec_id") % 5 === 0)
+    VectorIndex.buildInto(root, a, 64, 6)
+    // a rebuild must not silently flip the code space
+    intercept[IllegalArgumentException] {
+      VectorIndex.buildInto(root, a, 64, 8)
+    }
+    intercept[IllegalArgumentException] {
+      VectorIndex.buildInto(root, a, 32, 6)
+    }
+    // an unmarked index cannot prove its width: serving and appends refuse
+    assert(new java.io.File(root, "_meta").delete())
+    intercept[IllegalArgumentException] { VectorIndex.load(spark, root) }
+    intercept[IllegalArgumentException] { VectorIndex.appendTo(root, a) }
+  }
+
+  test("a crash between compaction's aside and swap-in renames heals on recover") {
+    val root = java.nio.file.Files.createTempDirectory("graft-vidxh").toString
+    VectorIndex.buildInto(root, embAll().filter(col("vec_id") % 5 === 1), 64, 6)
+    val want = keys(spark.read.parquet(VectorIndex.indexDir(root)))
+    val live = new java.io.File(VectorIndex.indexDir(root))
+    val aside = new java.io.File(VectorIndex.indexDir(root) + ".old-crashed")
+    assert(live.renameTo(aside))
+    VectorIndex.recover(root)
+    assert(live.exists() && !aside.exists())
+    spark.catalog.refreshByPath(VectorIndex.indexDir(root))
+    assert(keys(spark.read.parquet(VectorIndex.indexDir(root))) === want)
+  }
+}

@@ -141,4 +141,78 @@ class VectorStreamSpec extends AnyFunSuite {
 
     assert(hits.toSet == Set((0L, 9001L, 1L), (2L, 9003L, 2L)), s"got $hits")
   }
+
+  test("maintained-artifact serving: refresh path reads the VectorIndex root, " +
+      "appends become visible at the next refresh") {
+    import graft.operators.VectorIndex
+    val root = java.nio.file.Files.createTempDirectory("graft-vecart").toString
+    val vecA: Seq[Float] = (0 until 64).map(i => if (i < 32) 1.0f else 0.1f)
+    val vecB: Seq[Float] = (0 until 64).map(i => if (i < 32) 0.1f else -1.0f)
+    VectorIndex.buildInto(root,
+      Seq((1L, vecA)).toDF("vec_id", "embedding"), maxBucket = 64, bits = bits)
+
+    val hits = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val stream = mem.toDS.select(col("_1").as("vec_id"), col("_2").as("embedding"))
+    val q = VectorStream.candidatesVsIndexRefreshing(
+        stream, root, refreshEvery = 1) { (df, bid) =>
+      val rows = df.select("vec_id", "corpus_vec").distinct().collect()
+      hits.synchronized {
+        rows.foreach(r => hits += ((bid, r.getLong(0), r.getLong(1))))
+      }
+    }.start()
+    try {
+      // batch 0: an exact re-embed of corpus vector 1 hits the artifact
+      mem.addData((9001L, vecA))
+      q.processAllAvailable()
+      // the maintainer folds a new slice in and compacts (a crash-swap
+      // publish mid-stream) — visible at the next refresh boundary
+      VectorIndex.appendTo(root, Seq((2L, vecB)).toDF("vec_id", "embedding"))
+      VectorIndex.compact(root, spark)
+      mem.addData((9002L, vecB))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(hits.toSet == Set((0L, 9001L, 1L), (1L, 9002L, 2L)), s"got $hits")
+  }
+
+  test("appendStream maintains the artifact: drained ingest + compact equals " +
+      "a full rebuild; segment count stays bounded") {
+    import graft.operators.{VectorIndex, VectorOps}
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    val (maxBucket, bitsN) = (4, 6)
+    val all = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val rows = all.as[(Long, Seq[Float])].collect().sortBy(_._1)
+    val (base, incoming) = rows.splitAt(rows.length / 3)
+    val root = java.nio.file.Files.createTempDirectory("graft-vecas").toString
+    VectorIndex.buildInto(root, base.toSeq.toDF("vec_id", "embedding"),
+      maxBucket, bitsN)
+
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val stream = mem.toDS.select(col("_1").as("vec_id"), col("_2").as("embedding"))
+    val q = VectorStream.appendStream(stream, root, maxSegments = 2).start()
+    try {
+      incoming.grouped(math.max(incoming.length / 4, 1)).foreach { slice =>
+        mem.addData(slice.toSeq: _*)
+        q.processAllAvailable()
+        // the maintainer's bound: auto-compaction keeps per-table file
+        // count from growing with appends
+        assert(VectorIndex.segments(root) <= 3,
+          s"segment bound violated: ${VectorIndex.segments(root)}")
+      }
+    } finally q.stop()
+    VectorIndex.compact(root, spark)
+    spark.catalog.refreshByPath(VectorIndex.indexDir(root))
+    val got = spark.read.parquet(VectorIndex.indexDir(root))
+      .select(col("t").cast("int"), col("bucket").cast("int"), col("nid"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+    val want = VectorOps.lshIndex(
+        all.withColumn("nrm", sqrt(graft.functions.VectorFunctions.dot(
+          col("embedding"), col("embedding")))), maxBucket, bitsN)
+      .select(col("t").cast("int"), col("bucket").cast("int"), col("nid"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got === want)
+  }
 }
