@@ -629,7 +629,7 @@ object ScaleProbe {
       val batch = docs.filter(col("doc_id") % 3 === 0).limit(500)
         .persist()
       batch.count(): Unit // the arrived micro-batch, not part of the timing
-      val root = s"$base/winnow-index-probe-$tag"
+      val root = s"$base/winnow-index-probe-v3-$tag"
       if (!new java.io.File(s"${WinnowIndex.fpsDir(root)}/_SUCCESS").exists())
         WinnowIndex.buildInto(root, corpus)
       def indexed(): Unit = {
@@ -650,7 +650,7 @@ object ScaleProbe {
     val (tIdx1, tRec1) = tier("x1", n1)
     val (tIdx, tRec) = tier("x10", n1 * 10)
     val d10 = s"$base/x10"
-    val root = s"$base/winnow-index-probe-x10"
+    val root = s"$base/winnow-index-probe-v3-x10"
     val batch = spark.read.parquet(s"$d10/documents.parquet")
       .select(col("doc_id"), col("text"))
       .filter(col("doc_id") % 3 === 0).limit(500)
@@ -663,10 +663,11 @@ object ScaleProbe {
         .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
         .map(_.length()).sum
     val allIds = (0 until 64).toSet
+    val bounds = WinnowIndex.boundsOf(root, TextOps.WinnowMd5)
     def touched(nDocs: Int): (Int, Long) = {
       val p = batch.limit(nDocs)
       val ids = TextOps.winnowOver(p, 3, 4)
-        .select(WinnowIndex.shardOf(col("fp"), TextOps.WinnowMd5).as("s"))
+        .select(WinnowIndex.shardOfBounds(col("fp"), bounds).as("s"))
         .distinct().collect().map(_.getInt(0)).toSet
       (ids.size, shardBytes(ids))
     }

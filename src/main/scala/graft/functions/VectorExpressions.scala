@@ -306,7 +306,7 @@ object VectorFunctions {
 
   val kmvExactName = "kmv_count_distinct_exact"
 
-  private val kmvExactBuilder: Seq[Expression] => Expression = {
+  private[functions] val kmvExactBuilder: Seq[Expression] => Expression = {
     case Seq(a, org.apache.spark.sql.catalyst.expressions.Literal(kv: Int,
         org.apache.spark.sql.types.IntegerType)) =>
       KmvAgg(a, kv, spaceBits = 60)
@@ -476,12 +476,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier(VectorFunctions.kmvExactName),
         new ExpressionInfo(classOf[KmvAgg].getName, null,
           VectorFunctions.kmvExactName),
-        (exprs: Seq[Expression]) => exprs match {
-          case Seq(a, org.apache.spark.sql.catalyst.expressions.Literal(
-              kv: Int, org.apache.spark.sql.types.IntegerType)) =>
-            KmvAgg(a, kv, spaceBits = 60)
-          case other => throw new IllegalArgumentException(
-            s"${VectorFunctions.kmvExactName} expects (hash60, k literal), got $other")
-        }))
+        // the ONE builder both registration paths share — duplicating
+        // the pattern match here let the two silently drift
+        VectorFunctions.kmvExactBuilder))
   }
 }

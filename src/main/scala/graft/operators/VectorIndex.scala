@@ -52,17 +52,21 @@ object VectorIndex {
 
   private def metaFile(root: String) = new File(root, "_meta")
 
-  /** (bits, maxBucket) recorded at build time, if the marker exists. */
+  /** (bits, maxBucket) recorded at build time, if a WELL-FORMED marker
+    * exists — a torn/corrupt `_meta` (crash mid-write) parses to None,
+    * so the gates produce their actionable "rebuild it" refusal instead
+    * of a raw MatchError deep in the parser.
+    */
   private[graft] def metaOf(root: String): Option[(Int, Int)] = {
     val f = metaFile(root)
     if (!f.exists()) None
-    else {
+    else scala.util.Try {
       val kv = new String(java.nio.file.Files.readAllBytes(f.toPath),
         java.nio.charset.StandardCharsets.UTF_8)
         .linesIterator.filter(_.contains('='))
         .map { l => val Array(k, v) = l.split('=') ; k -> v.toInt }.toMap
-      Some((kv("bits"), kv("maxBucket")))
-    }
+      (kv("bits"), kv("maxBucket"))
+    }.toOption
   }
 
   /** The serving/maintenance gate: the marker must exist — an unmarked
@@ -104,8 +108,12 @@ object VectorIndex {
       bits: Int): Unit = {
     new File(root).mkdirs()
     recover(root)
-    // a rebuild must not silently flip the code space under a reader
-    metaOf(root).foreach { case (b, m) =>
+    // a rebuild must not silently flip the code space under a reader —
+    // but the gate only applies while a SERVABLE index exists: a stale
+    // _meta next to NO index dir is a crashed first build's residue,
+    // and refusing it forever would brick the root (there is nothing a
+    // reader could be serving from)
+    if (new File(indexDir(root)).exists()) metaOf(root).foreach { case (b, m) =>
       require(b == bits && m == maxBucket,
         s"vector index at $root was built with bits=$b maxBucket=$m, " +
           s"refusing to rebuild as bits=$bits maxBucket=$maxBucket — " +

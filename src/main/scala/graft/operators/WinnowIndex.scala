@@ -14,30 +14,41 @@ import org.apache.spark.sql.functions._
   * refresh-snapshot lifecycle — with membership reads PRUNED to the
   * probe batch's fp ranges ([[membershipFps]]).
   *
+  * The ranges are EQUI-DEPTH boundaries cut from the build's own data
+  * (approx quantiles), not fixed-width slices of the hash space:
+  * winnow fingerprints are window MINIMA, so their value distribution
+  * is head-heavy by construction (measured: head shards ~2.5× the mean, tails near-empty,
+  * under equal-width cuts) — data-driven boundaries are what keep
+  * shard volumes balanced, which at 100 TB is the difference between
+  * uniform shard maintenance and a permanently hot head shard. The
+  * boundaries live in the manifest; the manifest is the ONLY authority
+  * for fp→shard mapping (build, append, compact and serving all read
+  * it), so the cut can rebalance at every compaction without any
+  * reader/writer agreeing on anything out-of-band.
+  *
   * Layout under `root`:
-  *  - `fps/shard=<id>/` — parquet (fp: long) partitioned by the fp's
-  *    RANGE shard: shard id = the fp's top log2([[shardCount]]) bits of
-  *    its family's hash space, so each dir holds one contiguous fp
-  *    range (uniform hashes → balanced shards) and a membership probe
-  *    touches only the dirs its fps fall in — read volume tracks the
-  *    PROBE's distinct ranges, never the corpus. Shards are fp-sorted
-  *    within files (row-group min/max locality for the range reads).
-  *    May hold duplicate fps ACROSS segment files after appends —
-  *    benign by construction: every serving path dedupes at load, and
-  *    [[compact]] collapses them. This value-idempotence is also what
-  *    makes the append replay-safe with no marker protocol: an
-  *    at-least-once re-delivery adds duplicate ROWS, never duplicate
-  *    MATCHES.
-  *  - `_manifest` — the shard scheme: format version, shard count, and
-  *    one line per shard with its [lo, hi] fp range. Serving validates
-  *    the manifest against the family's expected ranges and fails fast
-  *    on a mismatch (an artifact sharded under a different scheme must
-  *    rebuild, never silently under-prune).
+  *  - `fps/shard=<id>/` — parquet (fp: long) partitioned by the
+  *    manifest's range shard, fp-sorted within files (row-group
+  *    min/max locality). May hold duplicate fps ACROSS segment files
+  *    after appends — benign by construction: every serving path
+  *    dedupes at load, and [[compact]] collapses them. This
+  *    value-idempotence is also what makes the append replay-safe with
+  *    no marker protocol: an at-least-once re-delivery adds duplicate
+  *    ROWS, never duplicate MATCHES.
+  *  - `fps/_manifest` — the shard scheme: format version, shard count,
+  *    family, and the sorted interior boundaries (shard of fp = count
+  *    of boundaries ≤ fp). INSIDE the fps tree deliberately: the
+  *    mapping must travel atomically with the data it indexes — a
+  *    root-level manifest could describe NEW boundaries while a
+  *    crashed rebuild left OLD-sharded dirs, and pruning against
+  *    mismatched boundaries silently under-matches, the worst kind of
+  *    wrong. Riding the aside-rename swap makes that window
+  *    unrepresentable (the TextIndex `_last_appends` move).
   *  - `_family` — the gram-hash tier ([[TextOps.WinnowHash]]) the index
   *    was built with, written BEFORE the first fps write (so no crash
   *    window leaves fps without it); appends and serving fail fast on a
   *    mismatch — fingerprints from different families silently match
-  *    nothing, the worst kind of wrong.
+  *    nothing.
   *
   * Crash consistency: compaction publishes through the shared
   * [[Artifacts]] aside-rename chain; [[recover]] heals any crash point
@@ -49,10 +60,11 @@ import org.apache.spark.sql.functions._
   *
   * 100 TB posture: the fingerprint set is itself large at corpus scale;
   * range sharding is what keeps (a) membership reads probe-bounded,
-  * (b) compaction shard-local (each shard rewrites independently — here
-  * one job writes all shards, the manifest is what production hangs
-  * per-shard maintenance off), (c) appends slice-sized (only touched
-  * shard dirs gain a file).
+  * (b) compaction shard-local (each shard's range is disjoint by
+  * construction — here one job writes all shards, the manifest is what
+  * production hangs per-shard maintenance off), (c) appends
+  * slice-sized (only touched shard dirs gain a file), (d) shard
+  * volumes balanced (equi-depth re-cut at every compaction).
   */
 object WinnowIndex {
 
@@ -65,51 +77,48 @@ object WinnowIndex {
     */
   private[operators] val shardCount = 64
 
-  private val shardBits = 6 // log2(shardCount)
-
-  /** The shard of an fp column under `family`'s hash space: its top
-    * [[shardBits]] bits, i.e. which of [[shardCount]] equal contiguous
-    * ranges the fp falls in — md5-60bit fps live in [0, 2^60);
-    * xxhash64 fps span the full signed long range, so the arithmetic
-    * shift is offset by shardCount/2 to map [-32, 31] onto [0, 63]
-    * with shard ids ascending in SIGNED fp order, matching the ranges
-    * [[shardRanges]] lists.
+  /** The shard of an fp column under sorted interior `bounds`
+    * (length = [[shardCount]] − 1): the count of boundaries ≤ fp —
+    * well-defined for ANY non-decreasing cut, including duplicate
+    * boundaries (those shards are simply empty).
     */
-  private[graft] def shardOf(fp: Column, family: TextOps.WinnowHash): Column =
-    family match {
-      case TextOps.WinnowMd5 => shiftright(fp, 60 - shardBits).cast("int")
-      case TextOps.WinnowXx =>
-        (shiftright(fp, 64 - shardBits) + lit(shardCount / 2)).cast("int")
+  private[graft] def shardOfBounds(fp: Column, bounds: Seq[Long]): Column =
+    bounds.foldLeft(lit(0))((acc, b) =>
+      acc + when(fp >= lit(b), 1).otherwise(0)).cast("int")
+
+  /** Equi-depth interior boundaries cut from an fp frame: the
+    * (i/shardCount)-quantiles for i in 1..shardCount−1, via the
+    * distributed Greenwald–Khanna sketch (bounded memory at any corpus
+    * size; exactness is NOT required — any recorded monotone cut
+    * prunes correctly, balance is what the quantiles buy). Empty input
+    * degrades to all-zero boundaries (one live shard) — still a valid
+    * cut.
+    */
+  private[graft] def equiDepthBounds(fps: DataFrame): Seq[Long] = {
+    val probs = (1 until shardCount).map(_.toDouble / shardCount).toArray
+    val qs = fps.stat.approxQuantile("fp", probs, 0.01)
+    if (qs.isEmpty) Seq.fill(shardCount - 1)(0L)
+    else {
+      // double round-trip above 2^53 may locally perturb order; the cut
+      // only needs to be non-decreasing to be a valid mapping
+      val longs = qs.map(_.toLong)
+      longs.scanLeft(Long.MinValue)(math.max).drop(1).toSeq
     }
-
-  /** The range-keyed shard table: (id, lo, hi) with lo/hi inclusive —
-    * what `_manifest` records and serving validates.
-    */
-  private[graft] def shardRanges(
-      family: TextOps.WinnowHash): Seq[(Int, Long, Long)] = family match {
-    case TextOps.WinnowMd5 =>
-      val width = 1L << (60 - shardBits)
-      (0 until shardCount).map(i => (i, i * width, (i + 1) * width - 1))
-    case TextOps.WinnowXx =>
-      val width = 1L << (64 - shardBits)
-      (0 until shardCount).map { i =>
-        val lo = Long.MinValue + (i.toLong * width)
-        (i, lo, lo + width - 1)
-      }
   }
 
   /** Per-dataset artifact root, keyed by the dataset fingerprint AND
     * the winnow parameters — fingerprints selected at one (k, w) are
     * meaningless against another's, so a parameter change must build a
     * sibling artifact, never silently serve the first builder's
-    * (`_family` plays the same role for the hash tier). `v2` = the
-    * range-sharded layout (v1 was one flat dir); a format change keys a
-    * fresh root, never a half-migrated one.
+    * (`_family` plays the same role for the hash tier). `v3` = the
+    * manifest-driven equi-depth sharded layout (v1 flat, v2 fixed-width
+    * shards); a format change keys a fresh root, never a half-migrated
+    * one.
     */
   private[graft] def indexPath(dir: String, k: Int, w: Int): String = {
     val fp = graft.Tables.fingerprint(dir, "documents")
     val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-    s"${sys.props("java.io.tmpdir")}/graft-index/$safe-$fp/winnow_v2_k${k}w$w"
+    s"${sys.props("java.io.tmpdir")}/graft-index/$safe-$fp/winnow_v3_k${k}w$w"
   }
 
   /** Build-if-missing over the dataset's CORPUS slice (doc_id ≢ 0
@@ -117,10 +126,10 @@ object WinnowIndex {
     * the probe side); returns the index root. Publish is the shared
     * [[Artifacts.ensureRoot]] two-JVM-safe atomic whole-root rename,
     * with completeness = root marker + the fps artifact's own
-    * `_SUCCESS` + family + manifest. The q_winnow_match_indexed driver
-    * row recomputes the same report from RAW documents in DuckDB, so a
-    * green row is a standing consistency proof for this maintained
-    * artifact — the q_route_stats / termStats role.
+    * `_SUCCESS` + family + in-tree manifest. The q_winnow_match_indexed
+    * driver row recomputes the same report from RAW documents in
+    * DuckDB, so a green row is a standing consistency proof for this
+    * maintained artifact — the q_route_stats / termStats role.
     */
   def ensure(spark: SparkSession, dir: String, k: Int = 3,
       w: Int = 4): String =
@@ -137,7 +146,8 @@ object WinnowIndex {
     }
 
   private def familyFile(root: String) = new File(root, "_family")
-  private def manifestFile(root: String) = new File(root, "_manifest")
+  private def manifestFile(root: String) =
+    new File(fpsDir(root), "_manifest")
 
   /** The family the artifact at `root` was built with, if any. */
   private[graft] def familyOf(root: String): Option[String] = {
@@ -170,59 +180,71 @@ object WinnowIndex {
         "cross-family or unmarked fingerprints")
   }
 
-  private def writeManifest(root: String, family: TextOps.WinnowHash): Unit = {
-    val body = (s"version=2\nshards=$shardCount\nfamily=${family.name}\n" +
-      shardRanges(family).map { case (i, lo, hi) => s"shard=$i\t$lo\t$hi" }
-        .mkString("", "\n", "\n"))
-    java.nio.file.Files.write(manifestFile(root).toPath,
-      body.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
-  }
+  /** Render the manifest body for a staged tree. */
+  private def manifestBody(family: TextOps.WinnowHash,
+      bounds: Seq[Long]): String =
+    s"version=3\nshards=$shardCount\nfamily=${family.name}\n" +
+      bounds.map(b => s"bound=$b").mkString("", "\n", "\n")
 
-  /** Parse and VALIDATE the manifest against `family`'s expected shard
-    * scheme — pruned serving depends on the dirs actually being keyed
-    * by these ranges, so a scheme drift (format upgrade, hand-edited
-    * artifact) must fail loudly, never under-read.
+  /** Parse and VALIDATE the in-tree manifest: version/shard-count/
+    * family must match and the boundary cut must be complete and
+    * non-decreasing — pruned serving depends on the dirs actually
+    * being keyed by these boundaries, so a torn, missing or drifted
+    * manifest must fail loudly with an actionable message, never
+    * under-read (and never a raw MatchError from a half-written file:
+    * ALL parse failures funnel into the same require).
     */
-  private[graft] def requireManifest(root: String,
-      family: TextOps.WinnowHash): Unit = {
+  private[graft] def boundsOf(root: String,
+      family: TextOps.WinnowHash): Seq[Long] = {
     val f = manifestFile(root)
-    require(f.exists(), s"winnow index at $root has no _manifest — " +
-      "unsharded/v1 or torn artifact; rebuild before pruned serving")
-    val lines = new String(java.nio.file.Files.readAllBytes(f.toPath),
-      java.nio.charset.StandardCharsets.UTF_8).linesIterator.toSeq
-    require(lines.contains(s"shards=$shardCount") &&
-      lines.contains(s"family=${family.name}"),
-      s"winnow index manifest at $root does not match the expected " +
-        s"scheme (shards=$shardCount, family=${family.name}): $lines")
-    val ranges = lines.filter(_.startsWith("shard=")).map { l =>
-      val Array(id, lo, hi) = l.stripPrefix("shard=").split('\t')
-      (id.toInt, lo.toLong, hi.toLong)
+    require(f.exists(), s"winnow index at $root has no fps/_manifest — " +
+      "pre-v3 or torn artifact; rebuild before pruned serving")
+    val parsed = scala.util.Try {
+      val lines = new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).linesIterator.toSeq
+      require(lines.contains("version=3") &&
+        lines.contains(s"shards=$shardCount") &&
+        lines.contains(s"family=${family.name}"))
+      val bounds = lines.filter(_.startsWith("bound="))
+        .map(_.stripPrefix("bound=").toLong)
+      require(bounds.length == shardCount - 1 &&
+        bounds.sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+      bounds
     }
-    require(ranges == shardRanges(family),
-      s"winnow index manifest ranges at $root diverge from the " +
-        s"family scheme — refusing to prune against them")
+    require(parsed.isSuccess, s"winnow index manifest at $root is " +
+      s"unreadable or does not match the expected scheme (version=3, " +
+      s"shards=$shardCount, family=${family.name}, " +
+      s"${shardCount - 1} sorted bounds) — refusing to prune against it")
+    parsed.get
   }
 
-  /** Stage an fps frame as a range-sharded, fp-sorted parquet tree:
-    * one exchange on the shard key so each shard dir is written by one
-    * task (file count = one per shard), fp sort within for row-group
-    * min/max locality — the TextIndex writeSharded shape at fp grain.
+  /** Stage an fps frame as a range-sharded, fp-sorted parquet tree
+    * under `bounds`, with the manifest describing the cut INSIDE the
+    * tree (so mapping and data publish atomically): one exchange on
+    * the shard key so each shard dir is written by one task (file
+    * count = one per shard), fp sort within for row-group min/max
+    * locality — the TextIndex writeSharded shape at fp grain.
     */
   private def writeSharded(fps: DataFrame, family: TextOps.WinnowHash,
-      path: String): Unit =
-    fps.withColumn("shard", shardOf(col("fp"), family))
+      bounds: Seq[Long], path: String): Unit = {
+    fps.withColumn("shard", shardOfBounds(col("fp"), bounds))
       .repartition(col("shard"))
       .sortWithinPartitions("fp")
       .write.partitionBy("shard")
       .option("compression", "zstd")
       .parquet(path)
+    java.nio.file.Files.write(new File(path, "_manifest").toPath,
+      manifestBody(family, bounds)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+  }
 
   /** Build (or rebuild) the index under `root` from a corpus frame.
     * A REBUILD over an existing root publishes through the same
     * aside-rename chain as compaction — a crash mid-rebuild must leave
     * the previous servable artifact (or a recoverable aside), never a
     * partially committed fps dir the refresh loader would silently
-    * under-match against.
+    * under-match against (the in-tree manifest keeps the boundary cut
+    * consistent with whichever tree survives).
     */
   def buildInto(root: String, docs: DataFrame, k: Int = 3, w: Int = 4,
       family: TextOps.WinnowHash = TextOps.WinnowMd5): Unit = {
@@ -231,36 +253,38 @@ object WinnowIndex {
     requireFamily(root, family) // a rebuild must not silently flip tiers
     java.nio.file.Files.write(familyFile(root).toPath,
       (family.name + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
-    writeManifest(root, family) // before fps, like _family: no torn window
-    val stage = s"${fpsDir(root)}.tmp-${java.util.UUID.randomUUID()}"
-    writeSharded(
-      TextOps.winnowOver(docs, k, w, family).select("fp").distinct(),
-      family, stage)
-    if (new File(fpsDir(root)).exists())
-      Artifacts.publishByRename(fpsDir(root), stage)
-    else require(new File(stage).renameTo(new File(fpsDir(root))),
-      s"publish rename to ${fpsDir(root)} failed")
+    val fps = TextOps.winnowOver(docs, k, w, family).select("fp").distinct()
+      .persist()
+    try {
+      val bounds = equiDepthBounds(fps)
+      val stage = s"${fpsDir(root)}.tmp-${java.util.UUID.randomUUID()}"
+      writeSharded(fps, family, bounds, stage)
+      if (new File(fpsDir(root)).exists())
+        Artifacts.publishByRename(fpsDir(root), stage)
+      else require(new File(stage).renameTo(new File(fpsDir(root))),
+        s"publish rename to ${fpsDir(root)} failed")
+    } finally fps.unpersist(): Unit
   }
 
   /** Fold a NEW document slice in: its distinct selected fingerprints
-    * append as one additional segment file per TOUCHED shard dir —
-    * slice-sized work, the corpus is never re-read. The single
-    * pre-write partition bounds the append's file count explicitly
-    * (compact's rationale: under the shuffle default a bare distinct
-    * would land one file per post-shuffle partition PER SHARD, and a
-    * micro-batch append could alone exceed a maintainer's segment
-    * bound, re-triggering a full compact every batch). Duplicates
-    * against existing segments are benign (see class doc); serving ≡
-    * full rebuild is spec-pinned.
+    * append as one additional segment file per TOUCHED shard dir,
+    * keyed by the LIVE manifest's boundaries — slice-sized work, the
+    * corpus is never re-read. The single pre-write partition bounds
+    * the append's file count explicitly (compact's rationale: under
+    * the shuffle default a bare distinct would land one file per
+    * post-shuffle partition PER SHARD, and a micro-batch append could
+    * alone exceed a maintainer's segment bound, re-triggering a full
+    * compact every batch). Duplicates against existing segments are
+    * benign (see class doc); serving ≡ full rebuild is spec-pinned.
     */
   def appendTo(root: String, newDocs: DataFrame, k: Int = 3, w: Int = 4,
       family: TextOps.WinnowHash = TextOps.WinnowMd5): Unit = {
     require(new File(fpsDir(root)).exists(),
       s"appendTo on $root with no fps/ — build or recover first")
     requireFamily(root, family)
-    requireManifest(root, family)
+    val bounds = boundsOf(root, family)
     TextOps.winnowOver(newDocs, k, w, family).select("fp").distinct()
-      .withColumn("shard", shardOf(col("fp"), family))
+      .withColumn("shard", shardOfBounds(col("fp"), bounds))
       .repartition(1)
       .sortWithinPartitions("shard", "fp")
       .write.mode("append").partitionBy("shard")
@@ -270,37 +294,45 @@ object WinnowIndex {
 
   /** Collapse the appended segments: one distinct, fp-sorted file per
     * shard — same fingerprint SET, restored file economy (per-shard
-    * file count is what degrades scan setup at scale). Publishes the
-    * whole fps tree through the shared crash-recoverable rename chain;
-    * at production scale each shard compacts independently behind the
-    * manifest (the ranges make shards disjoint by construction), this
+    * file count is what degrades scan setup at scale) — and RE-CUT the
+    * equi-depth boundaries from the merged data, so append drift
+    * rebalances at every compaction (the new cut publishes atomically
+    * with the re-sharded tree via the in-tree manifest). At production
+    * scale each shard compacts independently behind the manifest; this
     * probe-scale form rewrites them in one job.
     */
   def compact(root: String, spark: SparkSession,
       family: TextOps.WinnowHash = TextOps.WinnowMd5): Unit = {
     recover(root)
-    requireManifest(root, family)
+    requireFamily(root, family)
+    boundsOf(root, family): Unit // refuse to compact an unreadable scheme
     val fps = spark.read.parquet(fpsDir(root)).select("fp").distinct()
-    val tmp = s"${fpsDir(root)}.tmp-${java.util.UUID.randomUUID()}"
-    writeSharded(fps, family, tmp)
-    Artifacts.publishByRename(fpsDir(root), tmp)
+      .persist()
+    try {
+      val bounds = equiDepthBounds(fps)
+      val tmp = s"${fpsDir(root)}.tmp-${java.util.UUID.randomUUID()}"
+      writeSharded(fps, family, bounds, tmp)
+      Artifacts.publishByRename(fpsDir(root), tmp)
+    } finally fps.unpersist(): Unit
   }
 
   /** Membership serving, PRUNED to the probe's fp ranges: the probe's
-    * distinct shard ids (a bounded collect — at most [[shardCount]]
-    * values) become partition-pruning literals on the fps read, so the
-    * scan touches only the shard dirs the probe's fingerprints can
-    * possibly match in — read volume is bounded by the probe's range
-    * coverage, not the corpus (a matching fp has the probe fp's shard
-    * by construction). Returns the pruned DISTINCT fp set, exactly the
+    * distinct shard ids under the LIVE manifest's boundaries (a
+    * bounded collect — at most [[shardCount]] values) become
+    * partition-pruning literals on the fps read, so the scan touches
+    * only the shard dirs the probe's fingerprints can possibly match
+    * in — read volume is bounded by the probe's range coverage, not
+    * the corpus (a matching fp has the probe fp's shard by
+    * construction, under ANY boundary cut both sides read from the
+    * same manifest). Returns the pruned DISTINCT fp set, exactly the
     * frame [[TextOps.winnowMatchReport]] consumes.
     */
   private[graft] def membershipFps(spark: SparkSession, root: String,
       probeFps: DataFrame,
       family: TextOps.WinnowHash = TextOps.WinnowMd5): DataFrame = {
     requireServableFamily(root, family)
-    requireManifest(root, family)
-    val ids = probeFps.select(shardOf(col("fp"), family).as("s"))
+    val bounds = boundsOf(root, family)
+    val ids = probeFps.select(shardOfBounds(col("fp"), bounds).as("s"))
       .distinct().collect().map(_.getInt(0)).sorted
     spark.read.parquet(fpsDir(root))
       .filter(col("shard").isin(ids.map(Integer.valueOf).toSeq: _*))

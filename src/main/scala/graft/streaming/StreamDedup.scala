@@ -18,10 +18,14 @@ import graft.operators.TextOps
   * column work (no shuffle before the stateful stage); the only state is
   * `flatMapGroupsWithState` keyed by (band, bucket) holding the bucket's
   * seen (doc_id, signature) list. Emitted pairs for a fully-drained stream
-  * equal the batch [[TextOps.minhashLsh]] candidate set — a pair collides
-  * in >= 1 band and passes the same signature-agreement cut in both — and
-  * StreamDedupSpec asserts that equivalence, including across micro-batch
-  * boundaries.
+  * equal the batch candidate set AT THE SAME HASH TIER — this stream
+  * lives in the [[TextOps.MinHashXx]] production signature space, so the
+  * batch face of the equivalence is
+  * `TextOps.minhashLshWith(…, MinHashXx)` (the DECLARED q_minhash_lsh
+  * runs the md5 ORACLE tier since r10; tiers differ by construction) —
+  * a pair collides in >= 1 band and passes the same signature-agreement
+  * cut in both, and StreamDedupSpec asserts that equivalence, including
+  * across micro-batch boundaries.
   *
   * 100 TB posture: state is per-bucket and bounded two ways — by
   * `maxPerBucket` (4096-bucket band space × bounded lists — hot buckets

@@ -120,25 +120,24 @@ object VectorStream {
       sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     require(refreshEvery >= 1, s"refreshEvery must be >= 1, got $refreshEvery")
-    // bits ride the snapshot as a literal column so the loader stays a
-    // single DataFrame-valued refresh (the holder's shape); each batch
-    // reads the width back from the snapshot's head
+    // the loader stashes the width it loaded alongside the snapshot —
+    // bits must describe the index version this batch actually joins
+    // against (a fresh per-batch meta read could race a concurrent
+    // rebuild and project the stream in a drifted code space), and the
+    // stash costs zero per-batch jobs. Safe because forBatch runs the
+    // loader synchronously before returning the snapshot it describes.
+    @volatile var snapBits = -1
     val snap = new RefreshingSnapshot(stream.sparkSession, sp => {
       sp.catalog.refreshByPath(graft.operators.VectorIndex.indexDir(root))
       val (df, bits) = graft.operators.VectorIndex.load(sp, root)
-      df.withColumn("index_bits", lit(bits))
+      snapBits = bits
+      df
     })
     stream.writeStream.outputMode("append").foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val idx = snap.forBatch(batch.sparkSession, batchId, refreshEvery)
-        // bits from the SNAPSHOT, not a fresh meta read — the width must
-        // describe the index version this batch actually joins against
-        val bitsRow = idx.select("index_bits").limit(1).collect()
-        val bits =
-          if (bitsRow.nonEmpty) bitsRow(0).getInt(0)
-          else graft.operators.VectorIndex.requireMeta(root)._1 // empty index
-        sink(candidatesVsCorpus(batch.toDF(), idx.drop("index_bits"),
-          bits, threshold), batchId)
+        sink(candidatesVsCorpus(batch.toDF(), idx, snapBits, threshold),
+          batchId)
     }
   }
 

@@ -59,25 +59,32 @@ class WinnowIndexSpec extends AnyFunSuite {
     assert(WinnowIndex.segments(root) < before)
   }
 
-  test("range sharding: shard dirs match the manifest's ranges; a " +
-      "single-shard probe reads only fps inside its range") {
+  test("range sharding: shard dirs match the manifest's equi-depth cut; a " +
+      "single-shard probe reads only fps inside its range; shards balance") {
     val d = docs().filter(col("doc_id") % 4 === 0)
     val root = java.nio.file.Files.createTempDirectory("graft-widxs").toString
     WinnowIndex.buildInto(root, d)
-    val ranges = WinnowIndex.shardRanges(TextOps.WinnowMd5)
-    // every persisted fp sits inside its shard dir's manifest range
+    val bounds = WinnowIndex.boundsOf(root, TextOps.WinnowMd5)
+    def shardOf(fp: Long): Int = bounds.count(_ <= fp)
+    // every persisted fp sits in the shard dir the manifest's cut names
     val rows = spark.read.parquet(WinnowIndex.fpsDir(root))
       .select("fp", "shard").collect()
       .map(r => (r.getLong(0), r.getInt(1)))
     assert(rows.nonEmpty)
     rows.foreach { case (fp, s) =>
-      val (_, lo, hi) = ranges(s)
-      assert(fp >= lo && fp <= hi, s"fp $fp outside shard $s range [$lo,$hi]")
+      assert(s == shardOf(fp), s"fp $fp in dir shard=$s, manifest says ${shardOf(fp)}")
     }
+    // equi-depth: winnow fps are window MINIMA (head-heavy values), so
+    // the quantile cut — not fixed-width ranges — is what balances
+    // shard populations; the heaviest shard stays within a small factor
+    // of the mean
+    val sizes = rows.groupBy(_._2).map(_._2.size)
+    val mean = rows.length.toDouble / WinnowIndex.shardCount
+    assert(sizes.max <= mean * 3,
+      s"heaviest shard ${sizes.max} vs mean $mean — cut is not equi-depth")
     // a probe holding ONE fp prunes to exactly that fp's shard: the
     // membership set equals the artifact's fps in that range, nothing else
-    val oneFp = rows.head._1
-    val oneShard = rows.head._2
+    val (oneFp, oneShard) = rows.head
     val probeFps = Seq((0L, oneFp)).toDF("doc_id", "fp")
     val got = WinnowIndex.membershipFps(spark, root, probeFps)
       .collect().map(_.getLong(0)).toSet
@@ -85,25 +92,34 @@ class WinnowIndexSpec extends AnyFunSuite {
     assert(got === want, s"pruned set diverges for shard $oneShard")
   }
 
-  test("manifest validation: unmarked roots and scheme drift refuse pruned serving") {
+  test("manifest validation: unmarked roots, scheme drift and torn files " +
+      "refuse pruned serving with the actionable message") {
     val d = docs().filter(col("doc_id") % 4 === 1)
     val root = java.nio.file.Files.createTempDirectory("graft-widxm").toString
     WinnowIndex.buildInto(root, d)
     val probeFps = Seq((0L, 123L)).toDF("doc_id", "fp")
-    // manifest torn/absent (a v1-era artifact): pruned serving must fail
+    // manifest torn/absent (a pre-v3 artifact): pruned serving must fail
     // fast, never silently under-read
-    val mf = new java.io.File(root, "_manifest")
+    val mf = new java.io.File(WinnowIndex.fpsDir(root), "_manifest")
     val body = java.nio.file.Files.readAllBytes(mf.toPath)
     assert(mf.delete())
     intercept[IllegalArgumentException] {
       WinnowIndex.membershipFps(spark, root, probeFps)
     }
-    // scheme drift (different shard count) is refused too
+    // scheme drift (different shard count / version) is refused too
     java.nio.file.Files.write(mf.toPath,
       "version=2\nshards=8\nfamily=md5-60bit\n".getBytes("UTF-8"))
     intercept[IllegalArgumentException] {
       WinnowIndex.membershipFps(spark, root, probeFps)
     }
+    // a HALF-WRITTEN manifest (crash mid-write) must produce the same
+    // actionable refusal, never a raw parse error
+    java.nio.file.Files.write(mf.toPath,
+      "version=3\nshards=64\nfamily=md5-60bit\nbound=12\nbound=".getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException] {
+      WinnowIndex.membershipFps(spark, root, probeFps)
+    }
+    assert(e.getMessage.contains("refusing to prune"), e.getMessage)
     // restored manifest serves again
     java.nio.file.Files.write(mf.toPath, body)
     assert(WinnowIndex.membershipFps(spark, root, probeFps).count() >= 0)
