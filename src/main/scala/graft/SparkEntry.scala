@@ -39,6 +39,7 @@ object SparkEntry {
     graft.plans.CorpusRoute.ensureArtifacts(spark, dir)
     graft.operators.TextOps.trainedBpeRules(spark, dir, 10)
     graft.operators.WinnowIndex.ensure(spark, dir)
+    graft.operators.VectorIndex.ensureExactSig(spark, dir)
     ()
   }
 
@@ -150,6 +151,7 @@ object SparkEntry {
     "q_ann_filtered" -> ((s, d) => VectorOps.annIvfFiltered(s, d)),
     "q_ann_lsh" -> ((s, d) => VectorOps.annLshTuned(s, d, budget = 0.6)),
     "q_ann_lsh_exactsig" -> ((s, d) => VectorOps.annLshExactSig(s, d)),
+    "q_ann_sig_indexed" -> ((s, d) => VectorOps.annLshExactSigIndexed(s, d)),
     "q_ann_ivf" -> ((s, d) => VectorOps.annIvf(s, d)),
     "q_ann_pq" -> ((s, d) => VectorOps.annPq(s, d)),
     // training-data pipeline: multimodal (real BMP/WAV container decode; rows-only)
@@ -316,6 +318,45 @@ object SparkEntry {
       |        JOIN sigs b ON b.doc_id = c.doc_b)
       |SELECT doc_a, doc_b, est_jaccard FROM est
       |WHERE est_jaccard >= 0.9 ORDER BY doc_a, doc_b""".stripMargin
+
+  /** The exactsig oracle — md5-derived integer ±1 hyperplanes over
+    * 1e-7-quantized int64 embeddings (projection signs exact by integer
+    * commutativity — the q_kmeans toolkit), bucket-collision candidates,
+    * rounded exact-cosine ranking. Shared by q_ann_lsh_exactsig (raw
+    * recompute) and q_ann_sig_indexed (served from the
+    * maintained VectorIndex artifact) — the index-served path must
+    * reproduce this raw-recompute ranking bit-for-bit.
+    */
+  private val annLshExactSigOracleSql: String =
+      """WITH planes AS MATERIALIZED (
+        |  SELECT tt.t, jj.j, ii.i,
+        |    (CAST('0x' || substr(md5(tt.t || ',' || jj.j || ',' || ii.i), 1, 15) AS BIGINT) % 3) - 1 AS w
+        |  FROM range(4) AS tt(t), range(8) AS jj(j), range(64) AS ii(i)),
+        |q AS MATERIALIZED (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |    CAST(trunc(CAST(unnest(embedding) AS DOUBLE) * 10000000.0) AS BIGINT) AS qx
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |proj AS (SELECT q.vec_id, p.t, p.j, SUM(q.qx * p.w) AS s
+        |         FROM q JOIN planes p ON p.i = q.i - 1 GROUP BY 1, 2, 3),
+        |codes AS MATERIALIZED (
+        |  SELECT vec_id, t, SUM(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS code
+        |  FROM proj GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT qc.vec_id AS qid, nc.vec_id AS nid
+        |         FROM codes qc JOIN codes nc ON qc.t = nc.t AND qc.code = nc.code
+        |         WHERE qc.vec_id < 5 AND nc.vec_id <> qc.vec_id),
+        |flat AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |           generate_subscripts(embedding, 1) AS i FROM embeddings),
+        |nrm AS (SELECT vec_id, sqrt(SUM(x*x)) AS nrm FROM flat GROUP BY 1),
+        |dotp AS (SELECT c.qid, c.nid, SUM(fa.x*fb.x) AS dp
+        |         FROM cand c JOIN flat fa ON fa.vec_id = c.qid
+        |         JOIN flat fb ON fb.vec_id = c.nid AND fb.i = fa.i
+        |         GROUP BY 1, 2),
+        |sc AS (SELECT qid, nid, ROUND(dp/(nq.nrm*nn.nrm), 4) AS cosine
+        |       FROM dotp JOIN nrm nq ON nq.vec_id = qid JOIN nrm nn ON nn.vec_id = nid),
+        |rk AS (SELECT qid, nid, cosine,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS BIGINT) AS rn
+        |       FROM sc)
+        |SELECT qid, nid, cosine, rn FROM rk WHERE rn <= 10 ORDER BY qid, rn""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_scan_filter" ->
@@ -1743,40 +1784,11 @@ object SparkEntry {
         |SELECT doc_a, doc_b, CAST(hamming AS INTEGER) AS hamming
         |FROM (SELECT * FROM intra UNION ALL SELECT * FROM inter)
         |ORDER BY doc_a, doc_b""".stripMargin,
-    "q_ann_lsh_exactsig" ->
-      // the oracle-exact LSH signature twin: md5-derived integer ±1
-      // hyperplanes over 1e-7-quantized int64 embeddings (projection
-      // signs exact by integer commutativity — the q_kmeans toolkit),
-      // bucket-collision candidates, rounded exact-cosine ranking
-      """WITH planes AS MATERIALIZED (
-        |  SELECT tt.t, jj.j, ii.i,
-        |    (CAST('0x' || substr(md5(tt.t || ',' || jj.j || ',' || ii.i), 1, 15) AS BIGINT) % 3) - 1 AS w
-        |  FROM range(4) AS tt(t), range(8) AS jj(j), range(64) AS ii(i)),
-        |q AS MATERIALIZED (
-        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
-        |    CAST(trunc(CAST(unnest(embedding) AS DOUBLE) * 10000000.0) AS BIGINT) AS qx
-        |  FROM embeddings WHERE embedding IS NOT NULL),
-        |proj AS (SELECT q.vec_id, p.t, p.j, SUM(q.qx * p.w) AS s
-        |         FROM q JOIN planes p ON p.i = q.i - 1 GROUP BY 1, 2, 3),
-        |codes AS MATERIALIZED (
-        |  SELECT vec_id, t, SUM(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS code
-        |  FROM proj GROUP BY 1, 2),
-        |cand AS (SELECT DISTINCT qc.vec_id AS qid, nc.vec_id AS nid
-        |         FROM codes qc JOIN codes nc ON qc.t = nc.t AND qc.code = nc.code
-        |         WHERE qc.vec_id < 5 AND nc.vec_id <> qc.vec_id),
-        |flat AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
-        |           generate_subscripts(embedding, 1) AS i FROM embeddings),
-        |nrm AS (SELECT vec_id, sqrt(SUM(x*x)) AS nrm FROM flat GROUP BY 1),
-        |dotp AS (SELECT c.qid, c.nid, SUM(fa.x*fb.x) AS dp
-        |         FROM cand c JOIN flat fa ON fa.vec_id = c.qid
-        |         JOIN flat fb ON fb.vec_id = c.nid AND fb.i = fa.i
-        |         GROUP BY 1, 2),
-        |sc AS (SELECT qid, nid, ROUND(dp/(nq.nrm*nn.nrm), 4) AS cosine
-        |       FROM dotp JOIN nrm nq ON nq.vec_id = qid JOIN nrm nn ON nn.vec_id = nid),
-        |rk AS (SELECT qid, nid, cosine,
-        |         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS BIGINT) AS rn
-        |       FROM sc)
-        |SELECT qid, nid, cosine, rn FROM rk WHERE rn <= 10 ORDER BY qid, rn""".stripMargin,
+    "q_ann_lsh_exactsig" -> annLshExactSigOracleSql,
+    // the index-served twin must reproduce the raw-recompute ranking
+    // bit-for-bit — the same oracle IS the standing consistency proof
+    // for the maintained VectorIndex artifact (the q_bm25_indexed role)
+    "q_ann_sig_indexed" -> annLshExactSigOracleSql,
     "q_distinct_approx" ->
       // the KmvAgg md5-tier sketch replayed: k-th smallest DISTINCT h60
       // per day; below k the sketch IS the exact distinct-hash count,

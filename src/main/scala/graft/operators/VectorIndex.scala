@@ -52,32 +52,54 @@ object VectorIndex {
 
   private def metaFile(root: String) = new File(root, "_meta")
 
-  /** (bits, maxBucket) recorded at build time, if a WELL-FORMED marker
-    * exists — a torn/corrupt `_meta` (crash mid-write) parses to None,
-    * so the gates produce their actionable "rebuild it" refusal instead
-    * of a raw MatchError deep in the parser.
+  /** The float-hyperplane production code family ([[VectorOps.lshIndex]]'s
+    * space) and the md5-derived integer exactsig family
+    * ([[VectorOps.exactSigEntries]], 4 tables — the oracle-replayable
+    * tier q_ann_sig_indexed serves). The CODER is part of the
+    * artifact's identity (`_meta`): entries from different families
+    * share a layout but not a code space, so append/serve must run the
+    * build's coder, never a default.
     */
-  private[graft] def metaOf(root: String): Option[(Int, Int)] = {
+  private[graft] val coderFloat = "float"
+  private[graft] val coderExactSig = "exactsig4"
+
+  /** (bits, maxBucket, coder) recorded at build time, if a WELL-FORMED
+    * marker exists — a torn/corrupt `_meta` (crash mid-write) parses to
+    * None, so the gates produce their actionable "rebuild it" refusal
+    * instead of a raw MatchError deep in the parser.
+    */
+  private[graft] def metaOf(root: String): Option[(Int, Int, String)] = {
     val f = metaFile(root)
     if (!f.exists()) None
     else scala.util.Try {
       val kv = new String(java.nio.file.Files.readAllBytes(f.toPath),
         java.nio.charset.StandardCharsets.UTF_8)
         .linesIterator.filter(_.contains('='))
-        .map { l => val Array(k, v) = l.split('=') ; k -> v.toInt }.toMap
-      (kv("bits"), kv("maxBucket"))
+        .map { l => val Array(k, v) = l.split('=') ; k -> v }.toMap
+      val coder = kv.getOrElse("coder", coderFloat)
+      require(coder == coderFloat || coder == coderExactSig)
+      (kv("bits").toInt, kv("maxBucket").toInt, coder)
     }.toOption
   }
 
   /** The serving/maintenance gate: the marker must exist — an unmarked
-    * index cannot prove its code width, and joining across drifted
-    * widths silently matches nothing, the worst kind of wrong.
+    * index cannot prove its code space, and joining across drifted
+    * codes silently matches nothing, the worst kind of wrong.
     */
-  private[graft] def requireMeta(root: String): (Int, Int) = {
+  private[graft] def requireMeta(root: String): (Int, Int, String) = {
     val m = metaOf(root)
-    require(m.isDefined, s"vector index at $root carries no _meta " +
-      "(code width unknown) — refusing to serve or maintain; rebuild it")
+    require(m.isDefined, s"vector index at $root carries no readable " +
+      "_meta (code space unknown) — refusing to serve or maintain; rebuild it")
     m.get
+  }
+
+  /** The uncapped entries of `coder` over a (vec_id, embedding) frame. */
+  private def codedEntries(emb: DataFrame, bits: Int,
+      coder: String): DataFrame = coder match {
+    case `coderFloat` => VectorOps.lshEntries(withNrm(emb), bits)
+    case `coderExactSig` => VectorOps.exactSigEntries(withNrm(emb), 4, bits)
+    case other => throw new IllegalArgumentException(
+      s"unknown vector index coder '$other'")
   }
 
   private def withNrm(emb: DataFrame): DataFrame = {
@@ -105,7 +127,7 @@ object VectorIndex {
     * recoverable aside — never a torn index dir.
     */
   def buildInto(root: String, emb: DataFrame, maxBucket: Int,
-      bits: Int): Unit = {
+      bits: Int, coder: String = coderFloat): Unit = {
     new File(root).mkdirs()
     recover(root)
     // a rebuild must not silently flip the code space under a reader —
@@ -113,17 +135,20 @@ object VectorIndex {
     // _meta next to NO index dir is a crashed first build's residue,
     // and refusing it forever would brick the root (there is nothing a
     // reader could be serving from)
-    if (new File(indexDir(root)).exists()) metaOf(root).foreach { case (b, m) =>
-      require(b == bits && m == maxBucket,
-        s"vector index at $root was built with bits=$b maxBucket=$m, " +
-          s"refusing to rebuild as bits=$bits maxBucket=$maxBucket — " +
-          "drifted codes silently match nothing")
+    if (new File(indexDir(root)).exists()) metaOf(root).foreach {
+      case (b, m, c) =>
+        require(b == bits && m == maxBucket && c == coder,
+          s"vector index at $root was built with bits=$b maxBucket=$m " +
+            s"coder=$c, refusing to rebuild as bits=$bits " +
+            s"maxBucket=$maxBucket coder=$coder — drifted codes " +
+            "silently match nothing")
     }
     java.nio.file.Files.write(metaFile(root).toPath,
-      s"bits=$bits\nmaxBucket=$maxBucket\n"
+      s"bits=$bits\nmaxBucket=$maxBucket\ncoder=$coder\n"
         .getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
     val stage = s"${indexDir(root)}.tmp-${java.util.UUID.randomUUID()}"
-    writeSharded(VectorOps.lshIndex(withNrm(emb), maxBucket, bits), stage)
+    writeSharded(
+      VectorOps.capBuckets(codedEntries(emb, bits, coder), maxBucket), stage)
     if (new File(indexDir(root)).exists())
       Artifacts.publishByRename(indexDir(root), stage)
     else require(new File(stage).renameTo(new File(indexDir(root))),
@@ -140,8 +165,8 @@ object VectorIndex {
   def appendTo(root: String, newEmb: DataFrame): Unit = {
     require(new File(indexDir(root)).exists(),
       s"appendTo on $root with no index/ — build or recover first")
-    val (bits, maxBucket) = requireMeta(root)
-    VectorOps.lshIndex(withNrm(newEmb), maxBucket, bits)
+    val (bits, maxBucket, coder) = requireMeta(root)
+    VectorOps.capBuckets(codedEntries(newEmb, bits, coder), maxBucket)
       // bound the append's file count explicitly (the WinnowIndex
       // rationale): one pre-write partition → one file per touched table
       .repartition(1)
@@ -159,7 +184,7 @@ object VectorIndex {
     */
   def compact(root: String, spark: SparkSession): Unit = {
     recover(root)
-    val (_, maxBucket) = requireMeta(root)
+    val (_, maxBucket, _) = requireMeta(root)
     val merged = spark.read.parquet(indexDir(root))
       .select("nid", "ne", "nn", "t", "bucket")
       // replayed appends leave identical rows across segments; the cap
@@ -177,13 +202,43 @@ object VectorIndex {
     */
   private[graft] def load(spark: SparkSession,
       root: String): (DataFrame, Int) = {
-    val (bits, _) = requireMeta(root)
+    val (bits, _, _) = requireMeta(root)
     val df = spark.read.parquet(indexDir(root))
       .dropDuplicates("t", "bucket", "nid")
       .select(col("nid").as("corpus_vec"), col("ne").as("corpus_emb"),
         col("nn").as("corpus_nrm"), col("t"), col("bucket"))
     (df, bits)
   }
+
+  /** Per-dataset EXACTSIG artifact root — the code family whose bucket
+    * assignment is DuckDB-replayable, so the artifact gets a
+    * DRIVER-CHECKED standing consistency proof
+    * (q_ann_sig_indexed: served from here, hash-compared
+    * against a raw-recompute oracle — the q_bm25_indexed /
+    * q_winnow_match_indexed role for the vector index family).
+    */
+  private[graft] def exactSigPath(dir: String): String = {
+    val fp = graft.Tables.fingerprint(dir, "embeddings")
+    val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"${sys.props("java.io.tmpdir")}/graft-index/$safe-$fp/vector_exactsig_v1"
+  }
+
+  /** Build-if-missing exactsig index over the dataset's embeddings
+    * (ingest-time — [[graft.SparkEntry.prepare]]); the two-JVM-safe
+    * [[Artifacts.ensureRoot]] publish. The cap is set far above any
+    * bucket population at declared-query scales so the served candidate
+    * set equals the raw recompute's exactly (a binding cap is the
+    * production recall/cost knob, exercised by the capped specs — it
+    * would break oracle equality by design, not by accident).
+    */
+  def ensureExactSig(spark: SparkSession, dir: String, bits: Int = 8): String =
+    Artifacts.ensureRoot(exactSigPath(dir))(p =>
+      new File(s"${indexDir(p)}/_SUCCESS").exists() &&
+        metaOf(p).exists(_._3 == coderExactSig)) { tmp =>
+      buildInto(tmp,
+        graft.Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
+        maxBucket = 100000, bits = bits, coder = coderExactSig)
+    }
 
   /** Heal a crashed swap — call at maintenance entry. */
   def recover(root: String): Unit =

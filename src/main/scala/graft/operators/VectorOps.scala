@@ -775,19 +775,35 @@ object VectorOps {
     * untouched. Probe row: `ScaleProbe --lsh-skew` plants the
     * degenerate corpus and compares build cost against uniform.
     */
-  private[graft] def lshIndex(emb: DataFrame, maxBucket: Int, bits: Int = 8): DataFrame = {
+  private[graft] def lshIndex(emb: DataFrame, maxBucket: Int, bits: Int = 8): DataFrame =
+    capBuckets(lshEntries(emb, bits), maxBucket)
+
+  /** The uncapped bucket-list entries (nid, ne, nn, t, bucket) of the
+    * float-plane family — vectors are copied INTO the bucket lists (the
+    * FAISS-style inverted list layout): 16 tables ⇒ 16× vector storage,
+    * bought deliberately so the query path scores candidates inside the
+    * bucket-join projection — no second gather join per query.
+    */
+  private[graft] def lshEntries(emb: DataFrame, bits: Int): DataFrame = {
     val tb = lshBucketArr(col("embedding"), bits)
-    // vectors are copied INTO the bucket lists (the FAISS-style inverted
-    // list layout): 16 tables ⇒ 16× vector storage, bought deliberately so
-    // the query path scores candidates inside the bucket-join projection —
-    // no second gather join per query
-    capBuckets(
-      emb.select(col("vec_id").as("nid"), col("embedding").as("ne"),
-          col("nrm").as("nn"), explode(tb).as("tb"))
-        .select(col("nid"), col("ne"), col("nn"),
-          col("tb.t").as("t"), col("tb.bucket").as("bucket")),
-      maxBucket)
+    emb.select(col("vec_id").as("nid"), col("embedding").as("ne"),
+        col("nrm").as("nn"), explode(tb).as("tb"))
+      .select(col("nid"), col("ne"), col("nn"),
+        col("tb.t").as("t"), col("tb.bucket").as("bucket"))
   }
+
+  /** The exactsig family's uncapped entries — the md5-derived integer
+    * hyperplane codes of [[exactSigCodes]] carrying the same
+    * (ne, nn) scoring payload, so the maintained artifact can serve
+    * either code family through one layout.
+    */
+  private[graft] def exactSigEntries(emb: DataFrame, tables: Int,
+      bits: Int): DataFrame =
+    exactSigCodes(quantized(emb), tables, bits).join(
+      emb.select(col("vec_id"), col("embedding").as("ne"), col("nrm").as("nn")),
+      "vec_id")
+      .select(col("vec_id").as("nid"), col("ne"), col("nn"),
+        col("t"), col("code").as("bucket"))
 
   /** The deterministic two-phase bucket cap over already-coded (nid, ne,
     * nn, t, bucket) entries — extracted (r10) so the maintained on-disk
@@ -1064,6 +1080,47 @@ object VectorOps {
         col("nrm").as("qn")), "qid")
       .join(emb.select(col("vec_id").as("nid"), col("embedding").as("ne"),
         col("nrm").as("nn")), "nid")
+      .withColumn("cosine",
+        round(dot(col("qe"), col("ne")) / (col("qn") * col("nn")), 4))
+    perQueryTopK(scored, k, "nid", "rn")
+      .select("qid", "nid", "cosine", "rn")
+      .orderBy("qid", "rn")
+  }
+
+  /** [[annLshExactSig]] served from the MAINTAINED [[VectorIndex]]
+    * exactsig artifact (q_ann_sig_indexed): the ORACLE
+    * recomputes the identical ranking from RAW embeddings, so the
+    * green driver row is a standing consistency proof for the vector
+    * index's build/publish chain — the q_bm25_indexed /
+    * q_winnow_match_indexed role, now covering the third maintained
+    * artifact family. The index build is ingest-time
+    * ([[graft.SparkEntry.prepare]]); query time joins the 5 probe
+    * codes (broadcast) against the artifact's bucket lists and scores
+    * with the STORED (ne, nn) payload — bit-identical to raw because
+    * the artifact copies the vectors and computes the same norm
+    * expression, and the uncapped-at-this-scale bucket lists hold
+    * exactly the raw candidate set.
+    */
+  def annLshExactSigIndexed(spark: SparkSession, dir: String,
+      k: Int = 10): DataFrame = {
+    VectorFunctions.ensureRegistered(spark)
+    val root = VectorIndex.ensureExactSig(spark, dir)
+    val (idx, bits) = VectorIndex.load(spark, root)
+    val probeCodes = exactSigCodes(
+      quantizedFor(spark, dir).filter(col("vec_id") < 5), 4, bits)
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("nrm", norm(col("embedding")))
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nrm").as("qn"))
+    val scored = broadcast(probeCodes
+        .select(col("vec_id").as("qid"), col("t"), col("code").as("bucket")))
+      .join(idx, Seq("t", "bucket"))
+      .filter(col("qid") =!= col("corpus_vec"))
+      .select(col("qid"), col("corpus_vec").as("nid"),
+        col("corpus_emb").as("ne"), col("corpus_nrm").as("nn"))
+      .dropDuplicates("qid", "nid")
+      .join(broadcast(queries), "qid")
       .withColumn("cosine",
         round(dot(col("qe"), col("ne")) / (col("qn") * col("nn")), 4))
     perQueryTopK(scored, k, "nid", "rn")

@@ -232,6 +232,28 @@ class PlanSpec extends AnyFunSuite {
       s"fps scan not partition-pruned:\n${fpsScan.orNull}\n$p")
   }
 
+  test("ann exactsig indexed: corpus side served from the artifact — " +
+      "every embeddings scan is probe-filtered (vec_id < 5)") {
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    // other suites persist embeddings-derived frames; CacheManager would
+    // substitute them into this plan as InMemoryRelations whose inner
+    // FileScan repr hides the pushed probe filter — drop cached plans so
+    // the assert sees the real scan shape
+    spark.catalog.clearCache()
+    val p = plan(graft.operators.VectorOps.annLshExactSigIndexed(spark, dir))
+    // the artifact's bucket lists are the corpus side (the Location
+    // string truncates the path — match the stable prefix)
+    assert(p.contains("vector_e"), p)
+    // any scan of the RAW embeddings table must carry the probe filter —
+    // an unfiltered one would mean corpus codes are being recomputed
+    // instead of served
+    val rawScans = p.linesIterator.filter(l =>
+      l.contains("FileScan parquet") && l.contains("embeddings.parquet")).toSeq
+    assert(rawScans.nonEmpty, p)
+    rawScans.foreach(l => assert(l.contains("LessThan(vec_id,5)"),
+      s"unfiltered embeddings scan in the indexed plan:\n$l"))
+  }
+
   test("lsh index build: bucket cap is two-phase — no (t, bucket)-only " +
       "window over the exploded corpus") {
     graft.functions.VectorFunctions.ensureRegistered(spark)

@@ -122,12 +122,35 @@ class VectorIndexSpec extends AnyFunSuite {
     java.nio.file.Files.write(new java.io.File(root, "_meta").toPath,
       "bits=6\nmaxBucket=64\n".getBytes("UTF-8"))
     VectorIndex.buildInto(root, a, maxBucket = 32, bits = 8)
-    assert(VectorIndex.requireMeta(root) == ((8, 32)))
+    assert(VectorIndex.requireMeta(root) == ((8, 32, "float")))
     assert(keys(spark.read.parquet(VectorIndex.indexDir(root))) ===
       keys(VectorOps.lshIndex(withNrm(a), 32, 8)))
     // with a LIVE index the drift gate still holds
     intercept[IllegalArgumentException] {
       VectorIndex.buildInto(root, a, maxBucket = 32, bits = 6)
+    }
+  }
+
+  test("exactsig coder: maintenance runs the artifact's own code family " +
+      "and converges on its rebuild; coder drift is refused") {
+    val all = embAll()
+    val a = all.filter(col("vec_id") % 3 =!= 0)
+    val b = all.filter(col("vec_id") % 3 === 0)
+    val root = java.nio.file.Files.createTempDirectory("graft-vidxe").toString
+    VectorIndex.buildInto(root, a, maxBucket = 100000, bits = 8,
+      coder = VectorIndex.coderExactSig)
+    assert(VectorIndex.requireMeta(root) == ((8, 100000, "exactsig4")))
+    // appendTo must code the slice in the ARTIFACT's family (from meta),
+    // so the merged artifact equals the exactsig rebuild over everything
+    VectorIndex.appendTo(root, b)
+    VectorIndex.compact(root, spark)
+    spark.catalog.refreshByPath(VectorIndex.indexDir(root))
+    val rebuilt = keys(VectorOps.capBuckets(
+      VectorOps.exactSigEntries(withNrm(all), 4, 8), 100000))
+    assert(keys(spark.read.parquet(VectorIndex.indexDir(root))) === rebuilt)
+    // a rebuild in ANOTHER family over the live artifact is refused
+    intercept[IllegalArgumentException] {
+      VectorIndex.buildInto(root, a, maxBucket = 100000, bits = 8)
     }
   }
 
