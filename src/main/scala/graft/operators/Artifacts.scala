@@ -25,6 +25,18 @@ private[graft] object Artifacts {
   private def lockFor(path: String): Object =
     rootLocks.getOrElseUpdate(path, new Object)
 
+  /** The ONE per-dataset artifact-root recipe (fingerprint-keyed tmpdir
+    * path with a sanitized dataset dir) shared by the maintained index
+    * family — previously four copy-pastes that a layout change would
+    * silently miss one of.
+    */
+  private[graft] def datasetRoot(dir: String, table: String,
+      name: String): String = {
+    val fp = graft.Tables.fingerprint(dir, table)
+    val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"${sys.props("java.io.tmpdir")}/graft-index/$safe-$fp/$name"
+  }
+
   private[graft] def rmTree(f: File): Unit = {
     // listFiles returns null on an IO error or when the directory
     // vanishes between isDirectory and this call — plausible in the

@@ -26,11 +26,8 @@ object TagIndex {
     * parquet's (length, mtime) so a regenerated dataset rebuilds the index
     * instead of serving stale rows.
     */
-  private[graft] def indexPath(dir: String): String = {
-    val fp = Tables.fingerprint(dir, "events")
-    val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-    s"${sys.props("java.io.tmpdir")}/graft-index/$safe-$fp/events_tagged"
-  }
+  private[graft] def indexPath(dir: String): String =
+    Artifacts.datasetRoot(dir, "events", "events_tagged")
 
   /** Build-if-missing; returns the indexed table path. One pass over
     * events: props JSON → `tags` map (wire-model shape, so writeTable also

@@ -34,11 +34,8 @@ object TextIndex {
     * postings) — the fingerprint tracks the data, the suffix tracks the
     * schema, and either changing forces a rebuild.
     */
-  private[graft] def indexPath(dir: String): String = {
-    val fp = Tables.fingerprint(dir, "documents")
-    val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-    s"${sys.props("java.io.tmpdir")}/graft-index/$safe-$fp/text_inverted_v2"
-  }
+  private[graft] def indexPath(dir: String): String =
+    Artifacts.datasetRoot(dir, "documents", "text_inverted_v2")
 
   private def rmTree(f: File): Unit = Artifacts.rmTree(f)
 

@@ -22,12 +22,16 @@ import org.apache.spark.sql.functions._
   *    collapses them, the WinnowIndex value-idempotence model (entries
   *    are a pure function of nid, so duplicate ROWS never become wrong
   *    MATCHES).
-  *  - `_meta` — the code width `bits` and the per-bucket cap
-  *    `maxBucket`, written BEFORE the first index write. Appends and
-  *    serving fail fast on a mismatch: both sides of the stream-static
-  *    join MUST run the same `bits` ([[VectorOps.lshBucketArr]]'s
-  *    contract — drifted codes silently match nothing), and a cap
-  *    change alters the survivor rule.
+  *  - `index/_meta` — the code family (`coder`), width (`bits`) and
+  *    per-bucket cap (`maxBucket`) — INSIDE the index tree so it
+  *    publishes atomically with the data it describes (a root-level
+  *    marker could survive a crashed rebuild describing entries the
+  *    tree no longer holds). Appends and serving fail fast on a
+  *    mismatch: both sides of the stream-static join MUST run the same
+  *    code space ([[VectorOps.lshBucketArr]]'s contract — drifted
+  *    codes silently match nothing), and a cap change alters the
+  *    survivor rule. A tree whose meta is torn refuses EVERY reader,
+  *    so it is torn as a unit — rebuild is the remedy.
   *
   * Cap semantics across maintenance: [[appendTo]] caps WITHIN the
   * slice (slice-sized work — the corpus is never re-read), so between
@@ -50,7 +54,12 @@ object VectorIndex {
 
   def indexDir(root: String): String = s"$root/index"
 
-  private def metaFile(root: String) = new File(root, "_meta")
+  // INSIDE the index tree deliberately (the WinnowIndex fps/_manifest
+  // move): the code-space descriptor must publish atomically with the
+  // data it describes — a root-level marker could be rewritten by a
+  // crashed rebuild while index/ still holds the old family's entries,
+  // and serving with mismatched meta silently matches nothing
+  private def metaFile(root: String) = new File(indexDir(root), "_meta")
 
   /** The float-hyperplane production code family ([[VectorOps.lshIndex]]'s
     * space) and the md5-derived integer exactsig family
@@ -109,17 +118,24 @@ object VectorIndex {
       sqrt(graft.functions.VectorFunctions.dot(e, e)).as("nrm"))
   }
 
-  /** Stage an entries frame as the table-sharded artifact tree: one
-    * exchange on the table key so each partition dir is written once,
-    * bucket sort within for row-group pruning.
+  /** Stage an entries frame as the table-sharded artifact tree — with
+    * the `_meta` descriptor INSIDE it, riding the publish rename with
+    * the data it describes: one exchange on the table key so each
+    * partition dir is written once, bucket sort within for row-group
+    * pruning.
     */
-  private def writeSharded(entries: DataFrame, path: String): Unit =
+  private def writeSharded(entries: DataFrame, path: String,
+      bits: Int, maxBucket: Int, coder: String): Unit = {
     entries
       .repartition(col("t"))
       .sortWithinPartitions("bucket", "nid")
       .write.partitionBy("t")
       .option("compression", "zstd")
       .parquet(path)
+    java.nio.file.Files.write(new File(path, "_meta").toPath,
+      s"bits=$bits\nmaxBucket=$maxBucket\ncoder=$coder\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+  }
 
   /** Build (or rebuild) the index under `root` from a (vec_id,
     * embedding) corpus frame. Rebuilds publish through the aside-rename
@@ -131,10 +147,11 @@ object VectorIndex {
     new File(root).mkdirs()
     recover(root)
     // a rebuild must not silently flip the code space under a reader —
-    // but the gate only applies while a SERVABLE index exists: a stale
-    // _meta next to NO index dir is a crashed first build's residue,
-    // and refusing it forever would brick the root (there is nothing a
-    // reader could be serving from)
+    // the gate applies while a SERVABLE index exists (readable in-tree
+    // meta; a torn tree already refuses every reader via requireMeta,
+    // so replacing it at any parameters is the remedy, not a hazard,
+    // and a crashed FIRST build leaves no residue at all: the meta
+    // lives inside the staged tree and publishes with it)
     if (new File(indexDir(root)).exists()) metaOf(root).foreach {
       case (b, m, c) =>
         require(b == bits && m == maxBucket && c == coder,
@@ -143,12 +160,10 @@ object VectorIndex {
             s"maxBucket=$maxBucket coder=$coder — drifted codes " +
             "silently match nothing")
     }
-    java.nio.file.Files.write(metaFile(root).toPath,
-      s"bits=$bits\nmaxBucket=$maxBucket\ncoder=$coder\n"
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
     val stage = s"${indexDir(root)}.tmp-${java.util.UUID.randomUUID()}"
     writeSharded(
-      VectorOps.capBuckets(codedEntries(emb, bits, coder), maxBucket), stage)
+      VectorOps.capBuckets(codedEntries(emb, bits, coder), maxBucket),
+      stage, bits, maxBucket, coder)
     if (new File(indexDir(root)).exists())
       Artifacts.publishByRename(indexDir(root), stage)
     else require(new File(stage).renameTo(new File(indexDir(root))),
@@ -184,14 +199,15 @@ object VectorIndex {
     */
   def compact(root: String, spark: SparkSession): Unit = {
     recover(root)
-    val (_, maxBucket, _) = requireMeta(root)
+    val (bits, maxBucket, coder) = requireMeta(root)
     val merged = spark.read.parquet(indexDir(root))
       .select("nid", "ne", "nn", "t", "bucket")
       // replayed appends leave identical rows across segments; the cap
       // rule is a function of the entry SET, so dedupe first
       .dropDuplicates("t", "bucket", "nid")
     val tmp = s"${indexDir(root)}.tmp-${java.util.UUID.randomUUID()}"
-    writeSharded(VectorOps.capBuckets(merged, maxBucket), tmp)
+    writeSharded(VectorOps.capBuckets(merged, maxBucket), tmp,
+      bits, maxBucket, coder)
     Artifacts.publishByRename(indexDir(root), tmp)
   }
 
@@ -217,24 +233,25 @@ object VectorIndex {
     * against a raw-recompute oracle — the q_bm25_indexed /
     * q_winnow_match_indexed role for the vector index family).
     */
-  private[graft] def exactSigPath(dir: String): String = {
-    val fp = graft.Tables.fingerprint(dir, "embeddings")
-    val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-    s"${sys.props("java.io.tmpdir")}/graft-index/$safe-$fp/vector_exactsig_v1"
-  }
+  private[graft] def exactSigPath(dir: String, bits: Int): String =
+    // bits is part of the artifact's IDENTITY (the WinnowIndex (k, w)
+    // sibling rule): a width change must build a sibling, never
+    // silently serve the first builder's code space
+    Artifacts.datasetRoot(dir, "embeddings", s"vector_exactsig_v1_b$bits")
 
   /** Build-if-missing exactsig index over the dataset's embeddings
     * (ingest-time — [[graft.SparkEntry.prepare]]); the two-JVM-safe
-    * [[Artifacts.ensureRoot]] publish. The cap is set far above any
+    * [[Artifacts.ensureRoot]] publish, keyed by `bits` so a width
+    * change builds a sibling artifact. The cap is set far above any
     * bucket population at declared-query scales so the served candidate
     * set equals the raw recompute's exactly (a binding cap is the
     * production recall/cost knob, exercised by the capped specs — it
     * would break oracle equality by design, not by accident).
     */
   def ensureExactSig(spark: SparkSession, dir: String, bits: Int = 8): String =
-    Artifacts.ensureRoot(exactSigPath(dir))(p =>
+    Artifacts.ensureRoot(exactSigPath(dir, bits))(p =>
       new File(s"${indexDir(p)}/_SUCCESS").exists() &&
-        metaOf(p).exists(_._3 == coderExactSig)) { tmp =>
+        metaOf(p).exists(m => m._1 == bits && m._3 == coderExactSig)) { tmp =>
       buildInto(tmp,
         graft.Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
         maxBucket = 100000, bits = bits, coder = coderExactSig)

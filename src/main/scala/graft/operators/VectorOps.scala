@@ -793,17 +793,20 @@ object VectorOps {
   }
 
   /** The exactsig family's uncapped entries — the md5-derived integer
-    * hyperplane codes of [[exactSigCodes]] carrying the same
-    * (ne, nn) scoring payload, so the maintained artifact can serve
-    * either code family through one layout.
+    * hyperplane codes carrying the (ne, nn) scoring payload THROUGH the
+    * code projection (the [[lshEntries]] shape: one row-wise pass, no
+    * corpus self-join to re-attach the payload), so the maintained
+    * artifact can serve either code family through one layout.
     */
   private[graft] def exactSigEntries(emb: DataFrame, tables: Int,
       bits: Int): DataFrame =
-    exactSigCodes(quantized(emb), tables, bits).join(
-      emb.select(col("vec_id"), col("embedding").as("ne"), col("nrm").as("nn")),
-      "vec_id")
-      .select(col("vec_id").as("nid"), col("ne"), col("nn"),
-        col("t"), col("code").as("bucket"))
+    emb.filter(col("embedding").isNotNull)
+      .select(col("vec_id").as("nid"), col("embedding").as("ne"),
+        col("nrm").as("nn"), quantizeExpr(col("embedding")).as("xq"))
+      .select(col("nid"), col("ne"), col("nn"),
+        explode(exactSigCodeArr(tables, bits)).as("tc"))
+      .select(col("nid"), col("ne"), col("nn"),
+        col("tc.t").as("t"), col("tc.code").as("bucket"))
 
   /** The deterministic two-phase bucket cap over already-coded (nid, ne,
     * nn, t, bucket) entries — extracted (r10) so the maintained on-disk
@@ -1075,11 +1078,24 @@ object VectorOps {
         Seq("t", "code"))
       .filter(col("qid") =!= col("nid"))
       .select("qid", "nid").distinct()
-    val scored = cand
-      .join(emb.select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        col("nrm").as("qn")), "qid")
       .join(emb.select(col("vec_id").as("nid"), col("embedding").as("ne"),
         col("nrm").as("nn")), "nid")
+    exactSigRank(cand, emb, k)
+  }
+
+  /** The SHARED scoring/ranking tail of the exactsig twins — one
+    * definition of the rounded-cosine expression, the two-phase top-k
+    * and the output order, so the raw-recompute and the artifact-served
+    * paths cannot drift apart (their oracle-equality contract is
+    * "identical ranking"; this makes it structural). `cand` carries
+    * (qid, nid, ne, nn) however the caller produced the candidate set.
+    */
+  private def exactSigRank(cand: DataFrame, emb: DataFrame,
+      k: Int): DataFrame = {
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nrm").as("qn"))
+    val scored = cand.join(broadcast(queries), "qid")
       .withColumn("cosine",
         round(dot(col("qe"), col("ne")) / (col("qn") * col("nn")), 4))
     perQueryTopK(scored, k, "nid", "rn")
@@ -1110,22 +1126,14 @@ object VectorOps {
       quantizedFor(spark, dir).filter(col("vec_id") < 5), 4, bits)
     val emb = Tables.embeddings(spark, dir)
       .withColumn("nrm", norm(col("embedding")))
-    val queries = emb.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        col("nrm").as("qn"))
-    val scored = broadcast(probeCodes
+    val cand = broadcast(probeCodes
         .select(col("vec_id").as("qid"), col("t"), col("code").as("bucket")))
       .join(idx, Seq("t", "bucket"))
       .filter(col("qid") =!= col("corpus_vec"))
       .select(col("qid"), col("corpus_vec").as("nid"),
         col("corpus_emb").as("ne"), col("corpus_nrm").as("nn"))
       .dropDuplicates("qid", "nid")
-      .join(broadcast(queries), "qid")
-      .withColumn("cosine",
-        round(dot(col("qe"), col("ne")) / (col("qn") * col("nn")), 4))
-    perQueryTopK(scored, k, "nid", "rn")
-      .select("qid", "nid", "cosine", "rn")
-      .orderBy("qid", "rn")
+    exactSigRank(cand, emb, k)
   }
 
   /** md5-derived integer hyperplane weight — MUST equal the oracle's
@@ -1138,12 +1146,14 @@ object VectorOps {
     java.lang.Long.parseLong(hex, 16) % 3 - 1
   }
 
-  /** (vec_id, t, code) for every vector: per table, bit j is the sign
-    * of the exact integer projection onto the md5-derived plane.
+  /** The per-table (t, code) struct array over an `xq` quantized-int64
+    * column: per table, bit j is the sign of the exact integer
+    * projection onto the md5-derived plane — the ONE code expression
+    * both the row-wise codes and the payload-carrying index entries
+    * explode, so the two can never drift.
     */
-  private[graft] def exactSigCodes(embq: DataFrame, tables: Int,
-      bits: Int): DataFrame = {
-    val codeCols = (0 until tables).map { t =>
+  private def exactSigCodeArr(tables: Int, bits: Int): Column =
+    array((0 until tables).map { t =>
       val code = (0 until bits).map { j =>
         val w = typedlit((0 until 64).map(i => exactSigWeight(t, j, i)))
         val proj = aggregate(
@@ -1151,10 +1161,13 @@ object VectorOps {
         when(proj > 0, lit(1 << j)).otherwise(lit(0))
       }.reduce(_ + _)
       struct(lit(t).as("t"), code.as("code"))
-    }
-    embq.select(col("vec_id"), explode(array(codeCols: _*)).as("tc"))
+    }: _*)
+
+  /** (vec_id, t, code) for every vector. */
+  private[graft] def exactSigCodes(embq: DataFrame, tables: Int,
+      bits: Int): DataFrame =
+    embq.select(col("vec_id"), explode(exactSigCodeArr(tables, bits)).as("tc"))
       .select(col("vec_id"), col("tc.t").as("t"), col("tc.code").as("code"))
-  }
 
   /** The scored candidate set (qi, nid, cosine) BEFORE top-k — the whole
     * distributed cost of a search lives here, so the occupancy predictor
@@ -1315,11 +1328,17 @@ object VectorOps {
   /** The quantized-integer embedding projection the exact fit runs on:
     * (vec_id, xq: array<bigint>) in 1e-7 units.
     */
+  /** The ONE quantization expression (identical IEEE double multiply +
+    * truncate on both engines) — shared by the k-means fit and the
+    * exactsig entries so the int64 unit can never drift from the
+    * oracles that replay it.
+    */
+  private[operators] def quantizeExpr(e: Column): Column =
+    transform(e, x => (x.cast("double") * lit(1.0e7)).cast("long"))
+
   private def quantized(emb: DataFrame): DataFrame =
     emb.filter(col("embedding").isNotNull)
-      .select(col("vec_id"),
-        transform(col("embedding"),
-          x => (x.cast("double") * lit(1.0e7)).cast("long")).as("xq"))
+      .select(col("vec_id"), quantizeExpr(col("embedding")).as("xq"))
 
   /** Nearest centroid per row against broadcast INTEGER centroid
     * literals: argmin via `array_min` over (exact-distance, cid)

@@ -115,11 +115,8 @@ object WinnowIndex {
     * shards); a format change keys a fresh root, never a half-migrated
     * one.
     */
-  private[graft] def indexPath(dir: String, k: Int, w: Int): String = {
-    val fp = graft.Tables.fingerprint(dir, "documents")
-    val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-    s"${sys.props("java.io.tmpdir")}/graft-index/$safe-$fp/winnow_v3_k${k}w$w"
-  }
+  private[graft] def indexPath(dir: String, k: Int, w: Int): String =
+    Artifacts.datasetRoot(dir, "documents", s"winnow_v3_k${k}w$w")
 
   /** Build-if-missing over the dataset's CORPUS slice (doc_id ≢ 0
     * mod 3 — the q_winnow_match fixture split: the remaining third is

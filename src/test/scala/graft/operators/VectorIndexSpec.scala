@@ -101,31 +101,38 @@ class VectorIndexSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       VectorIndex.buildInto(root, a, 32, 6)
     }
-    // a TORN _meta (crash mid-write) produces the actionable refusal,
-    // never a raw parse error
-    java.nio.file.Files.write(new java.io.File(root, "_meta").toPath,
-      "bits=6\nmaxBuc".getBytes("UTF-8"))
+    // a TORN in-tree _meta (crash mid-write) produces the actionable
+    // refusal, never a raw parse error
+    val metaPath = new java.io.File(s"$root/index", "_meta")
+    java.nio.file.Files.write(metaPath.toPath, "bits=6\nmaxBuc".getBytes("UTF-8"))
     val e = intercept[IllegalArgumentException] { VectorIndex.load(spark, root) }
     assert(e.getMessage.contains("rebuild it"), e.getMessage)
     // an unmarked index cannot prove its width: serving and appends refuse
-    assert(new java.io.File(root, "_meta").delete())
+    assert(metaPath.delete())
     intercept[IllegalArgumentException] { VectorIndex.load(spark, root) }
     intercept[IllegalArgumentException] { VectorIndex.appendTo(root, a) }
   }
 
-  test("a crashed FIRST build (meta written, no index published) does not " +
-      "brick the root: a retry at other parameters rebuilds") {
+  test("a torn artifact (unreadable in-tree meta) refuses every reader and " +
+      "heals by rebuild at ANY parameters — meta publishes with its data") {
     val root = java.nio.file.Files.createTempDirectory("graft-vidxc").toString
     val a = embAll().filter(col("vec_id") % 5 === 2)
-    // simulate the crash point: _meta landed, the index stage never
-    // published — there is nothing a reader could be serving from
-    java.nio.file.Files.write(new java.io.File(root, "_meta").toPath,
-      "bits=6\nmaxBucket=64\n".getBytes("UTF-8"))
+    VectorIndex.buildInto(root, a, maxBucket = 64, bits = 6)
+    // crash residue: the in-tree meta is torn — no reader can serve, so
+    // the artifact is TORN as a unit (the meta can never describe a
+    // different code space than the tree it sits in)
+    java.nio.file.Files.write(
+      new java.io.File(s"$root/index", "_meta").toPath,
+      "bits=".getBytes("UTF-8"))
+    intercept[IllegalArgumentException] { VectorIndex.load(spark, root) }
+    // the remedy is a rebuild — at ANY parameters, since nothing is
+    // servable to drift under a reader
     VectorIndex.buildInto(root, a, maxBucket = 32, bits = 8)
+    spark.catalog.refreshByPath(VectorIndex.indexDir(root))
     assert(VectorIndex.requireMeta(root) == ((8, 32, "float")))
     assert(keys(spark.read.parquet(VectorIndex.indexDir(root))) ===
       keys(VectorOps.lshIndex(withNrm(a), 32, 8)))
-    // with a LIVE index the drift gate still holds
+    // with a LIVE readable index the drift gate still holds
     intercept[IllegalArgumentException] {
       VectorIndex.buildInto(root, a, maxBucket = 32, bits = 6)
     }
