@@ -257,9 +257,26 @@ object VectorIndex {
         maxBucket = 100000, bits = bits, coder = coderExactSig)
     }
 
-  /** Heal a crashed swap — call at maintenance entry. */
-  def recover(root: String): Unit =
+  /** Heal a crashed swap — call at maintenance entry. Also migrates a
+    * ROOT-LEVEL `_meta` (the marker's pre-in-tree location) so an
+    * artifact built before the move keeps serving instead of being
+    * stranded behind the unmarked-index refusal: a live tree missing
+    * its in-tree meta adopts the root-level marker by atomic rename
+    * (describing the same entries it always described); otherwise the
+    * root-level file is residue — the tree carries its own meta, or
+    * there is no tree for it to describe — and is deleted so older
+    * code paths can never read a marker the current tree disowns.
+    */
+  def recover(root: String): Unit = {
     Artifacts.recoverArtifacts(root, Seq("index"))
+    val legacy = new File(root, "_meta")
+    if (legacy.exists()) {
+      if (new File(indexDir(root)).exists() && !metaFile(root).exists())
+        require(legacy.renameTo(metaFile(root)),
+          s"migrating root-level _meta into ${indexDir(root)} failed")
+      else legacy.delete(): Unit
+    }
+  }
 
   /** MAX parquet file count across table dirs — the segment proxy the
     * streaming maintainer bounds (each append adds ≤1 file per table).

@@ -1072,7 +1072,7 @@ object VectorOps {
     val codes = exactSigCodes(quantizedFor(spark, dir), tables, bits)
     val emb = Tables.embeddings(spark, dir)
       .withColumn("nrm", norm(col("embedding")))
-    val cand = broadcast(codes.filter(col("vec_id") < 5)
+    val cand = broadcast(codes.filter(exactSigProbe)
         .select(col("vec_id").as("qid"), col("t"), col("code")))
       .join(codes.select(col("vec_id").as("nid"), col("t"), col("code")),
         Seq("t", "code"))
@@ -1083,16 +1083,27 @@ object VectorOps {
     exactSigRank(cand, emb, k)
   }
 
+  /** The exactsig twins' declared probe set (the driver queries' fixed
+    * 5-query convention) — ONE definition shared by both candidate
+    * builders and the ranking tail, so the probe filters and the
+    * query-side join can never disagree on who the queries are (a
+    * drifted tail would silently drop candidates on the inner join).
+    */
+  private[graft] def exactSigProbe: Column = col("vec_id") < 5
+
   /** The SHARED scoring/ranking tail of the exactsig twins — one
     * definition of the rounded-cosine expression, the two-phase top-k
     * and the output order, so the raw-recompute and the artifact-served
     * paths cannot drift apart (their oracle-equality contract is
     * "identical ranking"; this makes it structural). `cand` carries
-    * (qid, nid, ne, nn) however the caller produced the candidate set.
+    * (qid, nid, ne, nn) for qids drawn from [[exactSigProbe]] — the
+    * join against the probe-filtered query side is inner, so
+    * out-of-probe qids would be dropped, which is why the candidate
+    * builders filter on the same shared predicate.
     */
   private def exactSigRank(cand: DataFrame, emb: DataFrame,
       k: Int): DataFrame = {
-    val queries = emb.filter(col("vec_id") < 5)
+    val queries = emb.filter(exactSigProbe)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         col("nrm").as("qn"))
     val scored = cand.join(broadcast(queries), "qid")
@@ -1123,7 +1134,7 @@ object VectorOps {
     val root = VectorIndex.ensureExactSig(spark, dir)
     val (idx, bits) = VectorIndex.load(spark, root)
     val probeCodes = exactSigCodes(
-      quantizedFor(spark, dir).filter(col("vec_id") < 5), 4, bits)
+      quantizedFor(spark, dir).filter(exactSigProbe), 4, bits)
     val emb = Tables.embeddings(spark, dir)
       .withColumn("nrm", norm(col("embedding")))
     val cand = broadcast(probeCodes
@@ -1325,17 +1336,17 @@ object VectorOps {
   private[graft] def assignForTest(emb: DataFrame,
       cents: IndexedSeq[Seq[Double]]): DataFrame = assignToCentroids(emb, cents)
 
-  /** The quantized-integer embedding projection the exact fit runs on:
-    * (vec_id, xq: array<bigint>) in 1e-7 units.
-    */
-  /** The ONE quantization expression (identical IEEE double multiply +
-    * truncate on both engines) — shared by the k-means fit and the
-    * exactsig entries so the int64 unit can never drift from the
-    * oracles that replay it.
+  /** The ONE quantization expression — int64 1e-7 units via the
+    * identical IEEE double multiply + truncate on both engines —
+    * shared by the k-means fit and the exactsig entries so the unit
+    * can never drift from the oracles that replay it.
     */
   private[operators] def quantizeExpr(e: Column): Column =
     transform(e, x => (x.cast("double") * lit(1.0e7)).cast("long"))
 
+  /** The quantized-integer embedding projection the exact fit runs on:
+    * (vec_id, xq: array<bigint>).
+    */
   private def quantized(emb: DataFrame): DataFrame =
     emb.filter(col("embedding").isNotNull)
       .select(col("vec_id"), quantizeExpr(col("embedding")).as("xq"))

@@ -144,10 +144,13 @@ object CorpusRoute extends Rule[LogicalPlan] {
     * the (rawCopy, rollup) paths.
     */
   def ensureArtifacts(spark: SparkSession, dir: String): (String, String) = {
-    val fp = graft.Tables.fingerprint(dir, "documents")
     // v2: rollup schema grew avg/min/max partials in r7 and is stored
-    // lang-partitioned for upsertRollup — pre-r7 artifacts must rebuild
-    val base = s"/tmp/graft-index/corpus-route-v2-$fp"
+    // lang-partitioned for upsertRollup — pre-r7 artifacts must rebuild.
+    // The root is the ONE shared fingerprint-keyed recipe
+    // (the index family's [[graft.operators.Artifacts.datasetRoot]]),
+    // so a cache-layout change can never miss this family.
+    val base = graft.operators.Artifacts.datasetRoot(dir, "documents",
+      "corpus_route_v2")
     val rawCopy = s"$base/documents"
     val roll = s"$base/rollup"
     this.synchronized {

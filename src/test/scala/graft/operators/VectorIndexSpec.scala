@@ -161,6 +161,32 @@ class VectorIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("a root built before the in-tree meta move keeps serving: recover " +
+      "migrates the root-level _meta in, and deletes disowned residue") {
+    val root = java.nio.file.Files.createTempDirectory("graft-vidxl").toString
+    val a = embAll().filter(col("vec_id") % 5 === 3)
+    VectorIndex.buildInto(root, a, maxBucket = 64, bits = 6)
+    val want = keys(spark.read.parquet(VectorIndex.indexDir(root)))
+    // rewind to the pre-move layout: the marker at root level, none in-tree
+    val inTree = new java.io.File(s"$root/index", "_meta")
+    val legacy = new java.io.File(root, "_meta")
+    assert(inTree.renameTo(legacy))
+    intercept[IllegalArgumentException] { VectorIndex.load(spark, root) }
+    // maintenance entry migrates it — the artifact serves, same entries
+    VectorIndex.recover(root)
+    assert(inTree.exists() && !legacy.exists())
+    assert(VectorIndex.requireMeta(root) == ((6, 64, "float")))
+    spark.catalog.refreshByPath(VectorIndex.indexDir(root))
+    assert(keys(spark.read.parquet(VectorIndex.indexDir(root))) === want)
+    // a root-level marker next to a tree that carries its OWN meta is
+    // residue the current tree disowns — deleted, never adopted
+    java.nio.file.Files.write(legacy.toPath,
+      "bits=9\nmaxBucket=9\ncoder=float\n".getBytes("UTF-8"))
+    VectorIndex.recover(root)
+    assert(!legacy.exists())
+    assert(VectorIndex.requireMeta(root) == ((6, 64, "float")))
+  }
+
   test("a crash between compaction's aside and swap-in renames heals on recover") {
     val root = java.nio.file.Files.createTempDirectory("graft-vidxh").toString
     VectorIndex.buildInto(root, embAll().filter(col("vec_id") % 5 === 1), 64, 6)
