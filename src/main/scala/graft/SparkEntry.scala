@@ -152,6 +152,7 @@ object SparkEntry {
     "q_ann_lsh" -> ((s, d) => VectorOps.annLshTuned(s, d, budget = 0.6)),
     "q_ann_lsh_exactsig" -> ((s, d) => VectorOps.annLshExactSig(s, d)),
     "q_ann_sig_indexed" -> ((s, d) => VectorOps.annLshExactSigIndexed(s, d)),
+    "q_ann_ivf_exactsig" -> ((s, d) => VectorOps.annIvfExactSig(s, d)),
     "q_ann_ivf" -> ((s, d) => VectorOps.annIvf(s, d)),
     "q_ann_pq" -> ((s, d) => VectorOps.annPq(s, d)),
     // training-data pipeline: multimodal (real BMP/WAV container decode; rows-only)
@@ -319,6 +320,27 @@ object SparkEntry {
       |SELECT doc_a, doc_b, est_jaccard FROM est
       |WHERE est_jaccard >= 0.9 ORDER BY doc_a, doc_b""".stripMargin
 
+  /** The shared scoring/ranking tail of the exactsig oracles — the SQL
+    * face of `VectorOps.exactSigRank`: exact-cosine over raw embeddings
+    * rounded to 4 dp, top-10 per query by (cosine DESC, nid). Appended
+    * after a CTE chain that ends in `cand(qid, nid)` — however the twin
+    * produced its candidate set, the ranking contract is this one text.
+    */
+  private val exactSigRankSql: String =
+      """flat AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |           generate_subscripts(embedding, 1) AS i FROM embeddings),
+        |nrm AS (SELECT vec_id, sqrt(SUM(x*x)) AS nrm FROM flat GROUP BY 1),
+        |dotp AS (SELECT c.qid, c.nid, SUM(fa.x*fb.x) AS dp
+        |         FROM cand c JOIN flat fa ON fa.vec_id = c.qid
+        |         JOIN flat fb ON fb.vec_id = c.nid AND fb.i = fa.i
+        |         GROUP BY 1, 2),
+        |sc AS (SELECT qid, nid, ROUND(dp/(nq.nrm*nn.nrm), 4) AS cosine
+        |       FROM dotp JOIN nrm nq ON nq.vec_id = qid JOIN nrm nn ON nn.vec_id = nid),
+        |rk AS (SELECT qid, nid, cosine,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS BIGINT) AS rn
+        |       FROM sc)
+        |SELECT qid, nid, cosine, rn FROM rk WHERE rn <= 10 ORDER BY qid, rn""".stripMargin
+
   /** The exactsig oracle — md5-derived integer ±1 hyperplanes over
     * 1e-7-quantized int64 embeddings (projection signs exact by integer
     * commutativity — the q_kmeans toolkit), bucket-collision candidates,
@@ -343,20 +365,51 @@ object SparkEntry {
         |  FROM proj GROUP BY 1, 2),
         |cand AS (SELECT DISTINCT qc.vec_id AS qid, nc.vec_id AS nid
         |         FROM codes qc JOIN codes nc ON qc.t = nc.t AND qc.code = nc.code
-        |         WHERE qc.vec_id < 5 AND nc.vec_id <> qc.vec_id),
-        |flat AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
-        |           generate_subscripts(embedding, 1) AS i FROM embeddings),
-        |nrm AS (SELECT vec_id, sqrt(SUM(x*x)) AS nrm FROM flat GROUP BY 1),
-        |dotp AS (SELECT c.qid, c.nid, SUM(fa.x*fb.x) AS dp
-        |         FROM cand c JOIN flat fa ON fa.vec_id = c.qid
-        |         JOIN flat fb ON fb.vec_id = c.nid AND fb.i = fa.i
-        |         GROUP BY 1, 2),
-        |sc AS (SELECT qid, nid, ROUND(dp/(nq.nrm*nn.nrm), 4) AS cosine
-        |       FROM dotp JOIN nrm nq ON nq.vec_id = qid JOIN nrm nn ON nn.vec_id = nid),
-        |rk AS (SELECT qid, nid, cosine,
-        |         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS BIGINT) AS rn
-        |       FROM sc)
-        |SELECT qid, nid, cosine, rn FROM rk WHERE rn <= 10 ORDER BY qid, rn""".stripMargin
+        |         WHERE qc.vec_id < 5 AND nc.vec_id <> qc.vec_id)""".stripMargin +
+      ",\n" + exactSigRankSql
+
+  /** DuckDB integer squared-L2 between a quantized row `qa.xq` and a
+    * centroid `ca.cent` — the `LongL2Sq` kernel's SQL face, exact by
+    * integer commutativity.
+    */
+  private def kmeansDistSql(qa: String, ca: String): String =
+    s"CAST(list_sum(list_transform(list_zip($qa.xq, $ca.cent), " +
+      "z -> (z[1] - z[2])*(z[1] - z[2]))) AS BIGINT)"
+
+  /** The exact int64 k-means fit (`VectorOps.kmeansFitOver`) unrolled
+    * as a chained-CTE prefix — quantized corpus `q`, md5-ordered init
+    * `c0`, `iters` Lloyd rounds ending at the final centroids
+    * `c$iters` — shared by q_kmeans (the assignment face) and
+    * q_ann_ivf_exactsig (the coarse-quantizer face), so both oracles
+    * replay ONE fit. Exactness argument at the q_kmeans entry.
+    */
+  private def kmeansOracleCtes(k: Int, iters: Int): String = {
+    val initOrd =
+      "CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)),1,15)) AS BIGINT), vec_id"
+    val base =
+      s"""WITH q AS MATERIALIZED (
+         |  SELECT vec_id, [CAST(trunc(CAST(x AS DOUBLE)*10000000.0) AS BIGINT) FOR x IN embedding] AS xq
+         |  FROM embeddings WHERE embedding IS NOT NULL),
+         |c0 AS MATERIALIZED (
+         |  SELECT row_number() OVER (ORDER BY $initOrd) - 1 AS cid, xq AS cent
+         |  FROM q ORDER BY $initOrd LIMIT $k)""".stripMargin
+    val rounds = (1 to iters).map { r =>
+      s"""a$r AS MATERIALIZED (
+         |  SELECT q.vec_id, q.xq, c.cid, ${kmeansDistSql("q", "c")} AS dist
+         |  FROM q, c${r - 1} c
+         |  QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY dist, c.cid) = 1),
+         |s$r AS MATERIALIZED (
+         |  SELECT cid, i, SUM(x) AS s, COUNT(*) AS n FROM (
+         |    SELECT cid, unnest(generate_series(1, len(xq))) AS i, unnest(xq) AS x FROM a$r)
+         |  GROUP BY 1, 2),
+         |c$r AS MATERIALIZED (
+         |  SELECT p.cid, CASE WHEN u.cid IS NULL THEN p.cent ELSE u.cent END AS cent
+         |  FROM c${r - 1} p LEFT JOIN (
+         |    SELECT cid, list(CAST(floor((2*s + n) / (2.0*n)) AS BIGINT) ORDER BY i) AS cent
+         |    FROM s$r GROUP BY cid) u USING (cid))""".stripMargin
+    }
+    (base +: rounds).mkString(",\n")
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q_scan_filter" ->
@@ -956,43 +1009,34 @@ object SparkEntry {
       // ~1e4 above the sf0.01 data (the Spark side uses Math.floorDiv,
       // exact at any int64). Every CTE is MATERIALIZED so round r's
       // result evaluates once, not once per downstream reference.
-      val k = 8
       val iters = 5
-      def dist(qa: String, ca: String) =
-        s"CAST(list_sum(list_transform(list_zip($qa.xq, $ca.cent), " +
-          "z -> (z[1] - z[2])*(z[1] - z[2]))) AS BIGINT)"
-      val initOrd =
-        "CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)),1,15)) AS BIGINT), vec_id"
-      val base =
-        s"""WITH q AS MATERIALIZED (
-           |  SELECT vec_id, [CAST(trunc(CAST(x AS DOUBLE)*10000000.0) AS BIGINT) FOR x IN embedding] AS xq
-           |  FROM embeddings WHERE embedding IS NOT NULL),
-           |c0 AS MATERIALIZED (
-           |  SELECT row_number() OVER (ORDER BY $initOrd) - 1 AS cid, xq AS cent
-           |  FROM q ORDER BY $initOrd LIMIT $k)""".stripMargin
-      val rounds = (1 to iters).map { r =>
-        s"""a$r AS MATERIALIZED (
-           |  SELECT q.vec_id, q.xq, c.cid, ${dist("q", "c")} AS dist
-           |  FROM q, c${r - 1} c
-           |  QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY dist, c.cid) = 1),
-           |s$r AS MATERIALIZED (
-           |  SELECT cid, i, SUM(x) AS s, COUNT(*) AS n FROM (
-           |    SELECT cid, unnest(generate_series(1, len(xq))) AS i, unnest(xq) AS x FROM a$r)
-           |  GROUP BY 1, 2),
-           |c$r AS MATERIALIZED (
-           |  SELECT p.cid, CASE WHEN u.cid IS NULL THEN p.cent ELSE u.cent END AS cent
-           |  FROM c${r - 1} p LEFT JOIN (
-           |    SELECT cid, list(CAST(floor((2*s + n) / (2.0*n)) AS BIGINT) ORDER BY i) AS cent
-           |    FROM s$r GROUP BY cid) u USING (cid))""".stripMargin
-      }
-      val fin =
+      kmeansOracleCtes(8, iters) + ",\n" +
         s"""af AS (
-           |  SELECT q.vec_id, c.cid, ${dist("q", "c")} AS dist
+           |  SELECT q.vec_id, c.cid, ${kmeansDistSql("q", "c")} AS dist
            |  FROM q, c$iters c
            |  QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY dist, c.cid) = 1)
            |SELECT vec_id, CAST(cid AS BIGINT) AS cluster, dist AS dist_q
            |FROM af ORDER BY vec_id""".stripMargin
-      (base +: rounds).mkString(",\n") + ",\n" + fin
+    },
+    "q_ann_ivf_exactsig" -> {
+      // IVF with the q_kmeans fit as its coarse quantizer: the SAME
+      // unrolled-CTE codebook, assignment (rank-1) and probing
+      // (rank-nProbe) as the same (dist, cid)-ordered integer argmin,
+      // candidates = the probed lists' members, ranking = the shared
+      // exactsig tail — candidate generation replays end-to-end
+      val iters = 5
+      kmeansOracleCtes(8, iters) + ",\n" +
+        s"""af AS MATERIALIZED (
+           |  SELECT q.vec_id, c.cid, ${kmeansDistSql("q", "c")} AS dist
+           |  FROM q, c$iters c
+           |  QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY dist, c.cid) = 1),
+           |probe AS (
+           |  SELECT q.vec_id AS qid, c.cid, ${kmeansDistSql("q", "c")} AS dist
+           |  FROM q, c$iters c WHERE q.vec_id < 5
+           |  QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY dist, c.cid) <= 2),
+           |cand AS (SELECT DISTINCT p.qid, a.vec_id AS nid
+           |         FROM probe p JOIN af a USING (cid) WHERE a.vec_id <> p.qid)""".stripMargin +
+        ",\n" + exactSigRankSql
     },
     "q_bpe_merges" -> {
       // Merge replay as delimiter-wrapped string replace: each token is

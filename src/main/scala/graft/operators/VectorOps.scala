@@ -1147,6 +1147,57 @@ object VectorOps {
     exactSigRank(cand, emb, k)
   }
 
+  /** ORACLE-EXACT coarse-quantizer twin of [[annIvf]]
+    * (q_ann_ivf_exactsig, r10): the same IVF pipeline — train a coarse
+    * codebook, assign every vector to its nearest list, probe each
+    * query's `nProbe` nearest lists, exact-score the candidates — but
+    * with the codebook the EXACT int64 k-means fit ([[kmeansFitOver]],
+    * the q_kmeans kernel), so candidate GENERATION itself replays in
+    * DuckDB: assignment and probing are integer-L2 argmins over the
+    * replayed centroids (order-independent by integer commutativity,
+    * ties broken on cid both engines), and the ranking is the shared
+    * [[exactSigRank]] tail. The production [[annIvf]] keeps its
+    * float spherical-k-means codebook and stays rows-only — float
+    * centroid normalization (sqrt, division) is not order-exact
+    * cross-engine; this twin is the hash-checkable face of the same
+    * structure, the [[annLshExactSig]] role for the IVF family.
+    *
+    * Scale shape: the fit is q_kmeans's (map-only literal-centroid
+    * assignment, one model-sized shuffle per iteration); probing is a
+    * 5-row driver-free projection over the quantized queries; the
+    * candidate join keys on the list id with the probe side broadcast;
+    * ranking joins back on the primary key and two-phase top-ks.
+    * Overflow audit: the fit's own — |xq| ≤ ~6e7 (unit-scale
+    * embeddings in 1e-7 units), so |x−c| ≤ 1.2e8, squared ≤ 1.44e16,
+    * summed over 64 dims ≤ 9.3e17 — three orders under 2^63.
+    */
+  def annIvfExactSig(spark: SparkSession, dir: String, k: Int = 8,
+      iters: Int = 5, nProbe: Int = 2, topK: Int = 10): DataFrame = {
+    VectorFunctions.ensureRegistered(spark)
+    val (cents, assigned) = kmeansFit(spark, dir, k, iters)
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("nrm", norm(col("embedding")))
+    // each probe query's nProbe nearest lists by (integer L2, cid) —
+    // the same ordered-struct argmin family as the fit's assignment,
+    // extended from rank-1 to rank-nProbe via sort+slice
+    val ranked = array_sort(array(cents.zipWithIndex.map { case (cvec, cid) =>
+      struct(VectorFunctions.l2sqLong(col("xq"), typedlit(cvec)).as("d"),
+        lit(cid).as("cid"))
+    }: _*))
+    val probes = quantizedFor(spark, dir).filter(exactSigProbe)
+      .select(col("vec_id").as("qid"),
+        explode(slice(ranked, 1, nProbe)).as("p"))
+      .select(col("qid"), col("p.cid").as("cid"))
+    val cand = broadcast(probes)
+      .join(assigned.select(col("vec_id").as("nid"),
+        col("cluster").cast("int").as("cid")), "cid")
+      .filter(col("qid") =!= col("nid"))
+      .select("qid", "nid").distinct()
+      .join(emb.select(col("vec_id").as("nid"), col("embedding").as("ne"),
+        col("nrm").as("nn")), "nid")
+    exactSigRank(cand, emb, topK)
+  }
+
   /** md5-derived integer hyperplane weight — MUST equal the oracle's
     * `(h60(t||','||j||','||i) % 3) - 1` (decimal renderings match).
     */

@@ -254,6 +254,17 @@ class PlanSpec extends AnyFunSuite {
       s"unfiltered embeddings scan in the indexed plan:\n$l"))
   }
 
+  test("ann ivf exactsig: no cartesian anywhere; windows partition on " +
+      "the per-query qid, never the list id") {
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    val p = plan(graft.operators.VectorOps.annIvfExactSig(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the rank window must shard on qid (high-cardinality per-query),
+    // never on cid — the coarse-list key, hot and low-cardinality at scale
+    assert(p.linesIterator.filter(_.contains("windowspecdefinition"))
+      .forall(l => l.contains("qid#") && !l.contains("cid#")), p)
+  }
+
   test("lsh index build: bucket cap is two-phase — no (t, bucket)-only " +
       "window over the exploded corpus") {
     graft.functions.VectorFunctions.ensureRegistered(spark)

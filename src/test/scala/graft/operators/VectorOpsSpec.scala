@@ -119,6 +119,50 @@ class VectorOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF exactsig twin: candidates confined to the probed lists, " +
+      "scores are the exact cosine, ranked dense per query") {
+    val (cents, assigned) = VectorOps.kmeansFit(spark, dir, 8, 5)
+    val cluster = assigned.select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // independent driver-side probe derivation: quantize the query
+    // vectors with the same truncation, integer-L2 them against the
+    // FITTED centroids, take the 2 smallest by (dist, cid) — re-deriving
+    // the plan's ranked-struct argmin in plain Scala
+    val qvecs = graft.Tables.embeddings(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("vec_id") < 5)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).toArray.map(x => (x.toDouble * 1.0e7).toLong))
+      .toMap
+    val probeLists = qvecs.map { case (qid, xq) =>
+      qid -> cents.zipWithIndex.map { case (c, cid) =>
+        (xq.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum, cid)
+      }.sorted.take(2).map(_._2).toSet
+    }
+    val out = VectorOps.annIvfExactSig(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (qid, nid) = (r.getAs[Long]("qid"), r.getAs[Long]("nid"))
+      assert(probeLists(qid).contains(cluster(nid).toInt),
+        s"($qid, $nid) from unprobed list ${cluster(nid)}")
+    }
+    // the score contract of every exactsig/ANN row: the exact cosine
+    val bfScores = VectorOps.cosineTopK(spark, dir)
+      .select("qid", "nid", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    out.foreach { r =>
+      val key = (r.getAs[Long]("qid"), r.getAs[Long]("nid"))
+      bfScores.get(key).foreach(e => assert(r.getAs[Double]("cosine") == e, key))
+    }
+    // per-query ranks are dense 1..k and ordered by (cosine desc, nid)
+    out.groupBy(_.getAs[Long]("qid")).foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("rn"))
+      assert(sorted.map(_.getAs[Long]("rn")).toSeq == (1L to sorted.size).toSeq, q)
+      val keys = sorted.map(r => (-r.getAs[Double]("cosine"), r.getAs[Long]("nid"))).toSeq
+      assert(keys == keys.sorted, s"ranking order broken for query $q")
+    }
+  }
+
   test("hybrid dedup equals the ground-truth lexical ∩ semantic intersection") {
     val cosT = 0.2
     // lexical side: the oracle-verified exact jaccard pairs
