@@ -40,6 +40,11 @@ object SparkEntry {
     graft.operators.TextOps.trainedBpeRules(spark, dir, 10)
     graft.operators.WinnowIndex.ensure(spark, dir)
     graft.operators.VectorIndex.ensureExactSig(spark, dir)
+    // the exact-fit models behind q_kmeans / q_ann_ivf_exactsig /
+    // q_ann_pq_exactsig — trained once per dataset at ingest like the
+    // float codebooks above
+    graft.operators.VectorOps.kmeansFit(spark, dir, 8, 5)
+    graft.operators.VectorOps.cachedPqFit(spark, dir)
     ()
   }
 
@@ -154,6 +159,7 @@ object SparkEntry {
     "q_ann_sig_indexed" -> ((s, d) => VectorOps.annLshExactSigIndexed(s, d)),
     "q_ann_ivf_exactsig" -> ((s, d) => VectorOps.annIvfExactSig(s, d)),
     "q_ann_ivf" -> ((s, d) => VectorOps.annIvf(s, d)),
+    "q_ann_pq_exactsig" -> ((s, d) => VectorOps.annPqExactSig(s, d)),
     "q_ann_pq" -> ((s, d) => VectorOps.annPq(s, d)),
     // training-data pipeline: multimodal (real BMP/WAV container decode; rows-only)
     "q_media_pipeline" -> MultimodalOps.mediaPipeline _,
@@ -407,6 +413,51 @@ object SparkEntry {
          |  FROM c${r - 1} p LEFT JOIN (
          |    SELECT cid, list(CAST(floor((2*s + n) / (2.0*n)) AS BIGINT) ORDER BY i) AS cent
          |    FROM s$r GROUP BY cid) u USING (cid))""".stripMargin
+    }
+    (base +: rounds).mkString(",\n")
+  }
+
+  /** The batched multi-subspace exact-int64 PQ fit
+    * (`VectorOps.pqFitQ`) unrolled as a chained-CTE prefix — quantized
+    * corpus `q`, per-subspace views `sub`/`p0` (seeds = the `codes`
+    * md5-smallest vectors, sliced), `iters` Lloyd rounds ending at
+    * codebooks `p$iters`. The kmeansOracleCtes shape with (s, cid)
+    * replacing cid everywhere; exactness argument at q_ann_pq_exactsig.
+    */
+  private def pqOracleCtes(subs: Int, subDim: Int, codes: Int,
+      iters: Int): String = {
+    val initOrd =
+      "CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)),1,15)) AS BIGINT), vec_id"
+    def dist(xa: String, ca: String) =
+      s"CAST(list_sum(list_transform(list_zip($xa.sx, $ca.cent), " +
+        "z -> (z[1] - z[2])*(z[1] - z[2]))) AS BIGINT)"
+    val base =
+      s"""WITH q AS MATERIALIZED (
+         |  SELECT vec_id, [CAST(trunc(CAST(x AS DOUBLE)*10000000.0) AS BIGINT) FOR x IN embedding] AS xq
+         |  FROM embeddings WHERE embedding IS NOT NULL),
+         |seed AS MATERIALIZED (
+         |  SELECT row_number() OVER (ORDER BY $initOrd) - 1 AS cid, xq
+         |  FROM q ORDER BY $initOrd LIMIT $codes),
+         |sub AS MATERIALIZED (
+         |  SELECT q.vec_id, ss.s, list_slice(q.xq, ss.s*$subDim+1, ss.s*$subDim+$subDim) AS sx
+         |  FROM q, range($subs) ss(s)),
+         |p0 AS MATERIALIZED (
+         |  SELECT ss.s, seed.cid, list_slice(seed.xq, ss.s*$subDim+1, ss.s*$subDim+$subDim) AS cent
+         |  FROM seed, range($subs) ss(s))""".stripMargin
+    val rounds = (1 to iters).map { r =>
+      s"""a$r AS MATERIALIZED (
+         |  SELECT sub.vec_id, sub.s, sub.sx, c.cid, ${dist("sub", "c")} AS dist
+         |  FROM sub JOIN p${r - 1} c ON c.s = sub.s
+         |  QUALIFY row_number() OVER (PARTITION BY sub.vec_id, sub.s ORDER BY dist, c.cid) = 1),
+         |s$r AS MATERIALIZED (
+         |  SELECT s, cid, i, SUM(x) AS sm, COUNT(*) AS n FROM (
+         |    SELECT s, cid, unnest(generate_series(1, len(sx))) AS i, unnest(sx) AS x FROM a$r)
+         |  GROUP BY 1, 2, 3),
+         |p$r AS MATERIALIZED (
+         |  SELECT p.s, p.cid, CASE WHEN u.cid IS NULL THEN p.cent ELSE u.cent END AS cent
+         |  FROM p${r - 1} p LEFT JOIN (
+         |    SELECT s, cid, list(CAST(floor((2*sm + n) / (2.0*n)) AS BIGINT) ORDER BY i) AS cent
+         |    FROM s$r GROUP BY s, cid) u ON u.s = p.s AND u.cid = p.cid)""".stripMargin
     }
     (base +: rounds).mkString(",\n")
   }
@@ -1036,6 +1087,37 @@ object SparkEntry {
            |  QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY dist, c.cid) <= 2),
            |cand AS (SELECT DISTINCT p.qid, a.vec_id AS nid
            |         FROM probe p JOIN af a USING (cid) WHERE a.vec_id <> p.qid)""".stripMargin +
+        ",\n" + exactSigRankSql
+    },
+    "q_ann_pq_exactsig" -> {
+      // PQ compressed scan with the exact-int64 multi-subspace fit
+      // (VectorOps.pqFitQ) as codebook trainer: encoding is the same
+      // (dist, cid)-ordered integer argmin against the final codebooks,
+      // query LUTs are integer dots lut(qid, s, cid) = q_s·c, ADC is the
+      // 8-row integer SUM per (qid, nid) — all exact, so the pool
+      // (top-32 by (adc DESC, nid), matching the two-phase Spark rank)
+      // and therefore the candidate set replay end-to-end; ranking is
+      // the shared exactsig tail. Overflow: LUT entries ≤ 8·1e14, ADC
+      // sums 8 of them — DuckDB's HUGEINT sum and Spark's exact long
+      // sum agree three orders under the long budget.
+      val iters = 3
+      pqOracleCtes(8, 8, 16, iters) + ",\n" +
+        s"""enc AS MATERIALIZED (
+           |  SELECT sub.vec_id, sub.s, c.cid,
+           |    CAST(list_sum(list_transform(list_zip(sub.sx, c.cent), z -> (z[1] - z[2])*(z[1] - z[2]))) AS BIGINT) AS dist
+           |  FROM sub JOIN p$iters c ON c.s = sub.s
+           |  QUALIFY row_number() OVER (PARTITION BY sub.vec_id, sub.s ORDER BY dist, c.cid) = 1),
+           |lut AS MATERIALIZED (
+           |  SELECT sq.vec_id AS qid, c.s, c.cid,
+           |    CAST(list_sum(list_transform(list_zip(sq.sx, c.cent), z -> z[1]*z[2])) AS BIGINT) AS v
+           |  FROM sub sq JOIN p$iters c ON c.s = sq.s WHERE sq.vec_id < 5),
+           |adc AS MATERIALIZED (
+           |  SELECT l.qid, e.vec_id AS nid, SUM(l.v) AS adc
+           |  FROM enc e JOIN lut l ON l.s = e.s AND l.cid = e.cid
+           |  WHERE e.vec_id <> l.qid
+           |  GROUP BY 1, 2),
+           |cand AS (SELECT qid, nid FROM adc
+           |         QUALIFY row_number() OVER (PARTITION BY qid ORDER BY adc DESC, nid) <= 32)""".stripMargin +
         ",\n" + exactSigRankSql
     },
     "q_bpe_merges" -> {

@@ -80,4 +80,28 @@ class KMeansSpec extends AnyFunSuite {
     assert(md5 === "165ed091de05ac9f49b44c42df9dd631",
       s"centroid hash drifted: $md5\n$canon")
   }
+
+  test("PQ codebooks hash-pin on a fixed synthetic corpus") {
+    // the multi-subspace fit (VectorOps.pqFitQ) shares the exact-int64
+    // discipline: md5-60bit seed slicing, integer argmin per subspace,
+    // floor-div rounding — the pin guards the ITERATION between oracle
+    // runs exactly like the coarse-fit pin above (a drift would break
+    // q_ann_pq_exactsig's unrolled-CTE oracle equivalence)
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val emb = spark.range(0, 300).map(i => graft.ScaleProbe.synthVec(i))
+      .toDF("vec_id", "embedding", "label")
+    val embq = emb.select(col("vec_id"),
+      transform(col("embedding"),
+        x => (x.cast("double") * lit(1.0e7)).cast("long")).as("xq"))
+    val cents = VectorOps.pqFitQ(embq, subs = 8, subDim = 8,
+      codes = 16, iters = 3)
+    assert(cents.length === 8)
+    assert(cents.forall(cb => cb.length === 16 && cb.forall(_.length == 8)))
+    val canon = cents.map(_.map(_.mkString(",")).mkString("|")).mkString(";")
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(canon.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(md5 === "dd69fa8aa1f5e6cdf904e86913ba2f18",
+      s"PQ codebook hash drifted: $md5\n$canon")
+  }
 }

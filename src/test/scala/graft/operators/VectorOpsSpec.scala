@@ -163,6 +163,62 @@ class VectorOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("PQ exactsig twin: the whole compressed search replays driver-side " +
+      "— codes, integer ADC pool, exact rerank") {
+    val (subs, subDim, pool) = (8, 8, 32)
+    val cents = VectorOps.pqFitQ(
+      VectorOps.quantizedFor(spark, dir), subs, subDim, codes = 16, iters = 3)
+    // independent plain-Scala re-derivation of everything downstream of
+    // the fit: quantize, encode (argmin by (dist, cid)), integer LUT
+    // ADC, top-`pool` by (adc DESC, nid), exact rounded-cosine top-10
+    val embsF = graft.Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val vs = embsF.map { case (id, e) =>
+      id -> e.map(x => (x.toDouble * 1.0e7).toLong)
+    }
+    def codeOf(v: Array[Long], s: Int): Int =
+      cents(s).zipWithIndex.map { case (c, cid) =>
+        var d = 0L; var i = 0
+        while (i < subDim) {
+          val t = v(s * subDim + i) - c(i); d += t * t; i += 1
+        }
+        (d, cid)
+      }.min._2
+    val codes = vs.map { case (id, v) =>
+      id -> (0 until subs).map(codeOf(v, _))
+    }
+    def adc(q: Long, n: Long): Long =
+      (0 until subs).map { s =>
+        val c = cents(s)(codes(n)(s))
+        var d = 0L; var i = 0
+        while (i < subDim) { d += vs(q)(s * subDim + i) * c(i); i += 1 }
+        d
+      }.sum
+    def dotD(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def cos(a: Long, b: Long): Double = {
+      val (ea, eb) = (embsF(a), embsF(b))
+      dotD(ea, eb) / (math.sqrt(dotD(ea, ea)) * math.sqrt(dotD(eb, eb)))
+    }
+    def round4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = vs.keys.filter(_ < 5).toSeq.sorted.flatMap { q =>
+      val poolIds = vs.keys.filter(_ != q).toSeq
+        .map(n => (-adc(q, n), n)).sorted.take(pool).map(_._2)
+      poolIds.map(n => (n, round4(cos(q, n))))
+        .sortBy { case (n, c) => (-c, n) }.take(10).zipWithIndex
+        .map { case ((n, c), i) => (q, n, c, (i + 1).toLong) }
+    }
+    val got = VectorOps.annPqExactSig(spark, dir).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"),
+        r.getAs[Double]("cosine"), r.getAs[Long]("rn"))).toSeq
+    assert(got === expected)
+  }
+
   test("hybrid dedup equals the ground-truth lexical ∩ semantic intersection") {
     val cosT = 0.2
     // lexical side: the oracle-verified exact jaccard pairs
