@@ -596,6 +596,44 @@ object ScaleProbe {
       s""""knn_blocked_unbounded_x4":{"x1":$tu1,"x4":$tu4,"ratio":${tu4 / tu1}}""")
   }
 
+  /** PQ exactsig probe (r10): the exact-int64 PQ twin's two cost
+    * centers at x1 vs x10 — (a) the multi-subspace FIT (3 rounds, each
+    * one corpus pass + one model-sized shuffle; per-round cost linear
+    * in the corpus, driver traffic fixed at subs·codes·subDim rows) and
+    * (b) the SEARCH with the fit warm (the per-dataset cache — encode +
+    * LUT-ADC explode + two-phase pool + rerank; the compressed scan is
+    * one linear pass over 8-byte codes). Both ratios should track data
+    * well under 10 (stage overhead dominates at these corpus sizes —
+    * the knn_blocked bounded-tier pattern).
+    */
+  private def pqExactSigProbe(spark: SparkSession, base: String,
+      n1: Long): Seq[String] = {
+    import graft.operators.VectorOps
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    def time3(f: => Unit): Double = median((1 to 3).map { _ =>
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    })
+    val (d1, d10) = (s"$base/pq_x1", s"$base/pq_x10")
+    synthesizeEmb(spark, d1, n1); synthesizeEmb(spark, d10, n1 * 10)
+    // fit: timed uncached (pqFitQ directly), the index-build cost
+    def fit(d: String): Unit =
+      VectorOps.pqFitQ(VectorOps.quantizedFor(spark, d), 8, 8, 16, 3)
+    fit(d1); fit(d10) // warmup (scan caches, codegen)
+    val f1 = time3(fit(d1)); val f10 = time3(fit(d10))
+    // search: fit warm via the per-dataset cache — the query-path cost
+    VectorOps.cachedPqFit(spark, d1); VectorOps.cachedPqFit(spark, d10)
+    def search(d: String): Unit =
+      Bench.force(VectorOps.annPqExactSig(spark, d))
+    search(d1); search(d10) // warmup
+    val s1 = time3(search(d1)); val s10 = time3(search(d10))
+    println(f"[scaleprobe] pq_exactsig fit x1=$f1%6.2fs x10=$f10%6.2fs " +
+      f"ratio=${f10 / f1}%5.2f (data 10x)")
+    println(f"[scaleprobe] pq_exactsig search x1=$s1%6.2fs x10=$s10%6.2fs " +
+      f"ratio=${s10 / s1}%5.2f (data 10x)")
+    Seq(s""""pq_fit_x10":{"x1":$f1,"x10":$f10,"ratio":${f10 / f1}},""" +
+      s""""pq_search_x10":{"x1":$s1,"x10":$s10,"ratio":${s10 / s1}}""")
+  }
+
   /** Maintained-WinnowIndex serving probe (r10, VERDICT r9 #6 + #2):
     * at x10, (a) a GATE-SIZED probe's match report (one 500-doc
     * micro-batch — the WinnowStream per-batch shape) served from the
@@ -853,6 +891,11 @@ object ScaleProbe {
     if (args.sameElements(Array("--knn-blocked"))) {
       val rows = knnBlockedProbe(spark, base)
       println(s"""{"metric":"scaleprobe_knn_blocked",${rows.mkString(",")}}""")
+      spark.stop(); return
+    }
+    if (args.sameElements(Array("--pq-exactsig"))) {
+      val rows = pqExactSigProbe(spark, base, n1)
+      println(s"""{"metric":"scaleprobe_pq_exactsig",${rows.mkString(",")}}""")
       spark.stop(); return
     }
     if (args.sameElements(Array("--winnow-index"))) {
