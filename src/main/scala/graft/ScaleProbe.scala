@@ -617,7 +617,8 @@ object ScaleProbe {
     synthesizeEmb(spark, d1, n1); synthesizeEmb(spark, d10, n1 * 10)
     // fit: timed uncached (pqFitQ directly), the index-build cost
     def fit(d: String): Unit =
-      VectorOps.pqFitQ(VectorOps.quantizedFor(spark, d), 8, 8, 16, 3)
+      VectorOps.pqFitQ(VectorOps.quantizedFor(spark, d), 8, 8, 16, 3,
+        s"pqfit:$d:probe")
     fit(d1); fit(d10) // warmup (scan caches, codegen)
     val f1 = time3(fit(d1)); val f10 = time3(fit(d10))
     // search: fit warm via the per-dataset cache — the query-path cost

@@ -892,6 +892,12 @@ object VectorOps {
     pqCodebookCache.filterInPlace((k, _) => !stale(k))
     queryVecsCache.filterInPlace((k, _) => !stale(k))
     occupancyCache.filterInPlace { case ((k, _), _) => !stale(k) }
+    // the exact-fit caches key on fpKey PLUS a parameter suffix — stale
+    // means same dir, different fingerprint (their frames are lazy, so
+    // dropping the entry is enough; nothing to unpersist)
+    def staleFit(k: String) = k.startsWith(prefix) && !k.startsWith(live + ":")
+    kmeansFitCache.filterInPlace((k, _) => !staleFit(k))
+    pqFitCache.filterInPlace((k, _) => !staleFit(k))
     ()
   }
 
@@ -1212,7 +1218,8 @@ object VectorOps {
       subs: Int = 8, codes: Int = 16,
       iters: Int = 3): IndexedSeq[IndexedSeq[Seq[Long]]] =
     pqFitCache.getOrElseUpdate(s"${fpKey(dir)}:$subs:$codes:$iters",
-      pqFitQ(quantizedFor(spark, dir), subs, 64 / subs, codes, iters))
+      pqFitQ(quantizedFor(spark, dir), subs, 64 / subs, codes, iters,
+        s"pqfit:$dir:$subs:$codes:$iters"))
 
   /** One (s, cid, sx) struct per subspace for a quantized `xq` row: cid
     * is the argmin sub-centroid by EXACT integer L2 (ties on cid via
@@ -1260,9 +1267,12 @@ object VectorOps {
     * while |2S+n| < 2^53 (the q_kmeans bound).
     */
   private[graft] def pqFitQ(embq0: DataFrame, subs: Int, subDim: Int,
-      codes: Int, iters: Int): IndexedSeq[IndexedSeq[Seq[Long]]] = {
+      codes: Int, iters: Int, gen: String): IndexedSeq[IndexedSeq[Seq[Long]]] = {
     VectorFunctions.ensureRegistered(embq0.sparkSession)
-    graft.IntraQueryCache.newGeneration(s"pqfit:$subs:$codes:$iters")
+    // the generation key must carry the DATASET (kmeansFitOver's
+    // discipline) so different corpora's scoped scans stay separate
+    // LRU units instead of pooling under one immortal-MRU key
+    graft.IntraQueryCache.newGeneration(gen)
     // iters+1 passes read this frame; scoped so the scan runs once
     val embq = graft.IntraQueryCache.scoped(embq0)
     val seeds = embq
@@ -1332,13 +1342,18 @@ object VectorOps {
     val subDim = 64 / subs
     val embq = quantizedFor(spark, dir)
     val cents = cachedPqFit(spark, dir, subs, codes, iters)
-    // probe-side LUTs on the quantized queries — 5 rows by the probe
-    // convention, integer dots bounded by subDim·1e14
-    val probeRows = embq.filter(exactSigProbe).orderBy("vec_id")
-      .collect()
-    val qids: Seq[Long] = probeRows.map(_.getLong(0)).toSeq
-    val luts: Seq[Seq[Seq[Long]]] = probeRows.map { r =>
-      val qx = r.getSeq[Long](1)
+    // probe-side LUTs on the quantized queries: the fingerprint-cached
+    // driver-side probe vectors ([[cachedQueryVecs]] — the same
+    // vec_id < 5 set [[exactSigProbe]] declares), quantized here with
+    // quantizeExpr's identical trunc(x·1e7) (float→double cast, double
+    // multiply, truncation toward zero — bit-identical to the column
+    // expression on any IEEE engine). Integer dots bounded by
+    // subDim·1e14; no per-invocation probe collect.
+    // null embeddings drop like the oracle's null-filtered `q` CTE
+    val probeVecs = cachedQueryVecs(spark, dir).filter(_._2 != null)
+    val qids: Seq[Long] = probeVecs.map(_._1)
+    val luts: Seq[Seq[Seq[Long]]] = probeVecs.map { case (_, e, _) =>
+      val qx = e.map(x => (x.toDouble * 1.0e7).toLong)
       (0 until subs).map(s => cents(s).map { c =>
         var d = 0L; var i = 0
         while (i < subDim) { d += qx(s * subDim + i) * c(i); i += 1 }

@@ -91,11 +91,12 @@ class KMeansSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     val emb = spark.range(0, 300).map(i => graft.ScaleProbe.synthVec(i))
       .toDF("vec_id", "embedding", "label")
+    // the operator's OWN quantization expression — the pin must guard
+    // the production unit, not a hand-inlined copy that could drift
     val embq = emb.select(col("vec_id"),
-      transform(col("embedding"),
-        x => (x.cast("double") * lit(1.0e7)).cast("long")).as("xq"))
+      VectorOps.quantizeExpr(col("embedding")).as("xq"))
     val cents = VectorOps.pqFitQ(embq, subs = 8, subDim = 8,
-      codes = 16, iters = 3)
+      codes = 16, iters = 3, gen = "spec-pqfit-pin")
     assert(cents.length === 8)
     assert(cents.forall(cb => cb.length === 16 && cb.forall(_.length == 8)))
     val canon = cents.map(_.map(_.mkString(",")).mkString("|")).mkString(";")

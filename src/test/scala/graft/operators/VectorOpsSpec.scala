@@ -167,7 +167,8 @@ class VectorOpsSpec extends AnyFunSuite {
       "— codes, integer ADC pool, exact rerank") {
     val (subs, subDim, pool) = (8, 8, 32)
     val cents = VectorOps.pqFitQ(
-      VectorOps.quantizedFor(spark, dir), subs, subDim, codes = 16, iters = 3)
+      VectorOps.quantizedFor(spark, dir), subs, subDim, codes = 16, iters = 3,
+      gen = s"pqfit:$dir:spec")
     // independent plain-Scala re-derivation of everything downstream of
     // the fit: quantize, encode (argmin by (dist, cid)), integer LUT
     // ADC, top-`pool` by (adc DESC, nid), exact rounded-cosine top-10
