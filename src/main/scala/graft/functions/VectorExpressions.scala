@@ -3,12 +3,12 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
 
 /** Native codegen'd dot product over `array<float>`/`array<double>`.
   *
@@ -154,6 +154,93 @@ case class LongL2Sq(left: Expression, right: Expression)
   override def prettyName: String = "vec_l2sq_long"
 }
 
+/** Native codegen'd PQ encoder over a quantized `array<bigint>` row:
+  * for each of `subs` subspaces, the argmin sub-centroid id by EXACT
+  * integer squared L2 against a FLATTENED literal codebook
+  * (`flat[(s·codes + c)·subDim + i] = cents(s)(c)(i)`, with
+  * `subDim = |xq|/subs` and `codes = |flat|/|xq|` derived per row).
+  * Ties keep the LOWEST cid (strict `<` scan order) — identical to the
+  * `(dist, cid)` ordered-struct argmin it replaces, so the DuckDB
+  * replay (`QUALIFY row_number() OVER (... ORDER BY dist, cid) = 1`)
+  * is unaffected. One helper call per row instead of subs·codes
+  * separate [[LongL2Sq]]+struct expressions: the expression-form
+  * encoder codegens ~128 independent slice+distance trees per row
+  * (each re-reading the subvector), this is one fused primitive loop —
+  * the hot pass of both the PQ fit and the exactsig compressed search.
+  * Overflow bound is [[LongL2Sq]]'s own.
+  */
+case class PqCodesLong(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
+
+  private def isLongArray(t: DataType): Boolean = t match {
+    case ArrayType(org.apache.spark.sql.types.LongType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isLongArray(first.dataType) && isLongArray(second.dataType) &&
+        third.dataType == IntegerType) {
+      TypeCheckResult.TypeCheckSuccess
+    } else {
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<bigint>, array<bigint>, int), got " +
+          s"(${first.dataType.sql}, ${second.dataType.sql}, ${third.dataType.sql})")
+    }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean =
+    first.nullable || second.nullable || third.nullable
+
+  override protected def nullSafeEval(x: Any, f: Any, s: Any): Any =
+    PqCodesLong.codes(x.asInstanceOf[ArrayData], f.asInstanceOf[ArrayData],
+      s.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = PqCodesLong.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, (x, f, s) =>
+      s"${ev.value} = ($helper).codes($x, $f, $s);")
+  }
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): PqCodesLong =
+    copy(first = newFirst, second = newSecond, third = newThird)
+
+  override def prettyName: String = "pq_codes_long"
+}
+
+object PqCodesLong {
+
+  /** argmin codes, one per subspace; ties keep the lowest cid. */
+  def codes(x: ArrayData, flat: ArrayData, subs: Int): ArrayData = {
+    val dim = x.numElements()
+    val subDim = dim / subs
+    val nCodes = flat.numElements() / dim
+    val out = new Array[Int](subs)
+    var s = 0
+    while (s < subs) {
+      val base = s * subDim
+      var best = 0
+      var bestD = Long.MaxValue
+      var c = 0
+      while (c < nCodes) {
+        val off = (s * nCodes + c) * subDim
+        var d = 0L
+        var i = 0
+        while (i < subDim) {
+          val t = x.getLong(base + i) - flat.getLong(off + i)
+          d += t * t
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(s) = best
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** Native codegen'd intersection size of two SORTED long arrays (merge
   * scan, no per-row hash set). Verification step of the exact-jaccard
   * near-dup join scores millions of candidate pairs whose token sets are
@@ -250,6 +337,15 @@ object VectorFunctions {
         s"$l2sqLongName expects 2 arguments, got ${other.size}")
   }
 
+  val pqCodesName = "pq_codes_long"
+
+  private val pqCodesBuilder: Seq[Expression] => Expression = {
+    case Seq(x, f, s) => PqCodesLong(x, f, s)
+    case other =>
+      throw new IllegalArgumentException(
+        s"$pqCodesName expects 3 arguments, got ${other.size}")
+  }
+
   val minhashName = "minhash_agg"
 
   private val minhashBuilder: Seq[Expression] => Expression = {
@@ -344,6 +440,8 @@ object VectorFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       l2sqLongName, l2sqLongBuilder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      pqCodesName, pqCodesBuilder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       minhashName, minhashBuilder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       jpegDimsName, jpegDimsBuilder, "scala_udf")
@@ -373,6 +471,12 @@ object VectorFunctions {
   /** Column API: exact squared L2 over two `array<bigint>` columns. */
   def l2sqLong(a: Column, b: Column): Column =
     call_function(l2sqLongName, a, b)
+
+  /** Column API: per-subspace PQ argmin codes of a quantized row against
+    * a flattened literal codebook.
+    */
+  def pqCodesLong(xq: Column, flat: Column, subs: Column): Column =
+    call_function(pqCodesName, xq, flat, subs)
 
   /** Column API: group-level minhash signature over a `bigint` hash column. */
   def minhashAgg(c: Column): Column = call_function(minhashName, c)
@@ -432,6 +536,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[LongL2Sq].getName, null,
           VectorFunctions.l2sqLongName),
         (exprs: Seq[Expression]) => LongL2Sq(exprs(0), exprs(1))))
+    ext.injectFunction(
+      (FunctionIdentifier(VectorFunctions.pqCodesName),
+        new ExpressionInfo(classOf[PqCodesLong].getName, null,
+          VectorFunctions.pqCodesName),
+        (exprs: Seq[Expression]) => PqCodesLong(exprs(0), exprs(1), exprs(2))))
     ext.injectFunction(
       (FunctionIdentifier(VectorFunctions.minhashName),
         new ExpressionInfo(classOf[MinHashAgg].getName, null,

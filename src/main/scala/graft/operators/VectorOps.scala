@@ -1221,30 +1221,17 @@ object VectorOps {
       pqFitQ(quantizedFor(spark, dir), subs, 64 / subs, codes, iters,
         s"pqfit:$dir:$subs:$codes:$iters"))
 
-  /** One (s, cid, sx) struct per subspace for a quantized `xq` row: cid
-    * is the argmin sub-centroid by EXACT integer L2 (ties on cid via
-    * struct ordering), sx the int64 subvector — the one assignment
-    * expression shared by the fit's update pass and the final encoding,
-    * so the two can never drift (the [[exactSigCodeArr]] discipline).
+  /** The per-subspace argmin codes of an `xq` row as ONE native call
+    * ([[graft.functions.PqCodesLong]]) against the flattened literal
+    * codebook — the single encoding expression shared by the fit's
+    * update pass and the search's encoding projection, so the two can
+    * never drift (the [[exactSigCodeArr]] discipline). Ties keep the
+    * lowest cid, identical to the (dist, cid) ordered-struct argmin
+    * and the oracle's `ORDER BY dist, cid` rank.
     */
-  private def pqAssignArrQ(cents: IndexedSeq[IndexedSeq[Seq[Long]]],
-      subDim: Int): Column =
-    array(cents.indices.map { s =>
-      struct(lit(s).as("s"), pqBestCidQ(cents, subDim, s).as("cid"),
-        slice(col("xq"), s * subDim + 1, subDim).as("sx"))
-    }: _*)
-
-  /** Subspace `s`'s argmin code over an `xq` row — the shared kernel of
-    * [[pqAssignArrQ]] and the final encoding projection.
-    */
-  private def pqBestCidQ(cents: IndexedSeq[IndexedSeq[Seq[Long]]],
-      subDim: Int, s: Int): Column = {
-    val sx = slice(col("xq"), s * subDim + 1, subDim)
-    array_min(array(cents(s).zipWithIndex.map { case (cvec, cid) =>
-      struct(VectorFunctions.l2sqLong(sx, typedlit(cvec)).as("d"),
-        lit(cid).as("cid"))
-    }: _*)).getField("cid")
-  }
+  private def pqCodesQ(cents: IndexedSeq[IndexedSeq[Seq[Long]]]): Column =
+    VectorFunctions.pqCodesLong(col("xq"),
+      typedlit(cents.flatMap(_.flatten)), lit(cents.length))
 
   /** BATCHED multi-subspace exact-int64 k-means — the product-quantizer
     * trainer as a replayable fit (the [[kmeansFitOver]] kernel extended
@@ -1283,8 +1270,15 @@ object VectorOps {
     var cents: IndexedSeq[IndexedSeq[Seq[Long]]] = (0 until subs).map(s =>
       seeds.map(v => v.slice(s * subDim, (s + 1) * subDim)))
     for (_ <- 1 to iters) {
+      // one native encode per row, then a per-subspace struct fan-out
+      // off the materialized codes column (never re-encoding per s)
+      val perSub = array(cents.indices.map { s =>
+        struct(lit(s).as("s"), element_at(col("codes"), s + 1).as("cid"),
+          slice(col("xq"), s * subDim + 1, subDim).as("sx"))
+      }: _*)
       val sums = embq
-        .select(explode(pqAssignArrQ(cents, subDim)).as("a"))
+        .select(col("xq"), pqCodesQ(cents).as("codes"))
+        .select(explode(perSub).as("a"))
         .select(col("a.s").as("s"), col("a.cid").as("cid"),
           posexplode(col("a.sx")))
         .groupBy("s", "cid", "pos")
@@ -1361,9 +1355,7 @@ object VectorOps {
       }.toSeq)
     }.toSeq
     val lutLit = typedlit(luts)
-    val codesArr = array((0 until subs).map(s =>
-      pqBestCidQ(cents, subDim, s)): _*)
-    val coded = embq.select(col("vec_id").as("nid"), codesArr.as("codes"))
+    val coded = embq.select(col("vec_id").as("nid"), pqCodesQ(cents).as("codes"))
     // per-query fan-out as a row-wise explode of the 5-element literal
     // probe array — no join operator in the compressed scan at all
     val probeArr = typedlit(qids.zipWithIndex.map { case (qid, qi) =>

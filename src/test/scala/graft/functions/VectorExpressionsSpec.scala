@@ -65,4 +65,38 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(plan.matches("(?s).*\\*\\(\\d+\\) Project \\[vec_dot.*"), plan)
     assert(q.agg(max(col("d"))).collect().head.getDouble(0) > 0.0)
   }
+
+  test("pq_codes_long: argmin per subspace, lowest-cid ties, codegen") {
+    // 2 subspaces × 3 codes × 2 dims, flattened (s, c, i)-major.
+    // subspace 0: row [10, 0] — exact tie between codes 1 and 2
+    //   (both at distance 0 from [10, 0]) → lowest cid (1) must win;
+    // subspace 1: row [7, 7] — nearest is code 0 ([8, 8], d=2).
+    val flat: Seq[Long] = Seq(
+      0L, 0L, /*s0c0*/ 10L, 0L, /*s0c1*/ 10L, 0L, /*s0c2*/
+      8L, 8L, /*s1c0*/ 0L, 0L, /*s1c1*/ -8L, -8L /*s1c2*/)
+    val rows = Seq((1L, Seq(10L, 0L, 7L, 7L)), (2L, Seq(0L, 1L, -6L, -7L)))
+      .toDF("id", "xq")
+    val got = rows.select(col("id"),
+        VectorFunctions.pqCodesLong(col("xq"), typedlit(flat), lit(2)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(got(1L) == Seq(1, 0)) // tie → cid 1, not 2
+    assert(got(2L) == Seq(0, 2))
+    // null row → null out
+    val n = Seq((3L, null: Seq[Long])).toDF("id", "xq")
+      .select(VectorFunctions.pqCodesLong(col("xq"), typedlit(flat), lit(2)))
+      .collect()
+    assert(n.head.isNullAt(0))
+    // stays inside whole-stage codegen over a real scan (the array is
+    // built from codegen-able longs — a transform(...) lambda is a
+    // CodegenFallback and would drop the whole Project out regardless
+    // of this expression)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb
+      .select(array((0 until 4).map(i => col("vec_id") + i): _*).as("xq"))
+      .select(VectorFunctions.pqCodesLong(col("xq"),
+        typedlit((0 until 8).map(_.toLong)), lit(2)).as("c"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*\\*\\(\\d+\\) Project \\[pq_codes_long.*"), plan)
+    assert(q.count() > 0)
+  }
 }
