@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -154,6 +154,63 @@ case class LongL2Sq(left: Expression, right: Expression)
   override def prettyName: String = "vec_l2sq_long"
 }
 
+/** Native codegen'd 1e-7-unit quantizer over `array<float>`/`array<double>`
+  * — the exact-arithmetic family's shared unit as one primitive loop:
+  * `out[i] = (long)((double) x[i] * 1.0e7)` — the identical IEEE widen,
+  * multiply and truncate-toward-zero the composable form
+  * (`transform(e, x => (x.cast("double") * 1e7).cast("long"))`)
+  * evaluates, but that form is a higher-order-function CodegenFallback
+  * that drops its whole Project out of whole-stage codegen; this stays
+  * inside. Bounds: exact for |x|·1e7 < 2^63 (embeddings are unit-scale;
+  * the fit docs audit 1e8), no NaN/null elements in any embedding
+  * column (null ARRAYS null out via the standard unary null semantics).
+  */
+case class QuantizeE7(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double>, got ${other.sql}")
+  }
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    QuantizeE7.quantize(input.asInstanceOf[ArrayData], isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = QuantizeE7.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = ($helper).quantize($x, $isFloat);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): QuantizeE7 =
+    copy(child = newChild)
+
+  override def prettyName: String = "quantize_e7"
+}
+
+object QuantizeE7 {
+
+  def quantize(x: ArrayData, isFloat: Boolean): ArrayData = {
+    val n = x.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val d = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      out(i) = (d * 1.0e7).toLong
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** Native codegen'd PQ encoder over a quantized `array<bigint>` row:
   * for each of `subs` subspaces, the argmin sub-centroid id by EXACT
   * integer squared L2 against a FLATTENED literal codebook
@@ -236,6 +293,89 @@ object PqCodesLong {
       }
       out(s) = best
       s += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Native codegen'd signed-projection coder over a quantized
+  * `array<bigint>` row: for each of `tables` hash tables, code bit j is
+  * the sign (strictly positive) of the EXACT integer projection onto
+  * the literal ±1/0 hyperplane stored flattened at
+  * `flat[(t·bits + j)·dim + i]` (with `dim = |xq|` and
+  * `bits = |flat| / (tables·dim)` derived per row) — integer sums, so
+  * order-independent and DuckDB-replayable like the expression form
+  * ([[graft.operators.VectorOps.exactSigCodeArr]]'s
+  * `aggregate(zip_with(...))` trees) it replaces, but one fused
+  * primitive loop inside whole-stage codegen instead of tables·bits
+  * CodegenFallback HOF trees per row. Overflow: |xq| ≤ 1e8 quantized
+  * units × dim ≤ 4096 × |w| ≤ 1 stays far under 2^63.
+  */
+case class SigCodesLong(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
+
+  private def isLongArray(t: DataType): Boolean = t match {
+    case ArrayType(org.apache.spark.sql.types.LongType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isLongArray(first.dataType) && isLongArray(second.dataType) &&
+        third.dataType == IntegerType) {
+      TypeCheckResult.TypeCheckSuccess
+    } else {
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<bigint>, array<bigint>, int), got " +
+          s"(${first.dataType.sql}, ${second.dataType.sql}, ${third.dataType.sql})")
+    }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean =
+    first.nullable || second.nullable || third.nullable
+
+  override protected def nullSafeEval(x: Any, f: Any, t: Any): Any =
+    SigCodesLong.codes(x.asInstanceOf[ArrayData], f.asInstanceOf[ArrayData],
+      t.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = SigCodesLong.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, (x, f, t) =>
+      s"${ev.value} = ($helper).codes($x, $f, $t);")
+  }
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): SigCodesLong =
+    copy(first = newFirst, second = newSecond, third = newThird)
+
+  override def prettyName: String = "sig_codes_long"
+}
+
+object SigCodesLong {
+
+  /** One signed-projection code per table; bit j set iff the exact
+    * integer projection onto plane (t, j) is strictly positive.
+    */
+  def codes(x: ArrayData, flat: ArrayData, tables: Int): ArrayData = {
+    val dim = x.numElements()
+    val bits = flat.numElements() / (tables * dim)
+    val out = new Array[Int](tables)
+    var t = 0
+    while (t < tables) {
+      var code = 0
+      var j = 0
+      while (j < bits) {
+        val off = (t * bits + j) * dim
+        var s = 0L
+        var i = 0
+        while (i < dim) {
+          s += x.getLong(i) * flat.getLong(off + i)
+          i += 1
+        }
+        if (s > 0) code |= (1 << j)
+        j += 1
+      }
+      out(t) = code
+      t += 1
     }
     new GenericArrayData(out)
   }
@@ -337,6 +477,15 @@ object VectorFunctions {
         s"$l2sqLongName expects 2 arguments, got ${other.size}")
   }
 
+  val quantizeE7Name = "quantize_e7"
+
+  private val quantizeE7Builder: Seq[Expression] => Expression = {
+    case Seq(x) => QuantizeE7(x)
+    case other =>
+      throw new IllegalArgumentException(
+        s"$quantizeE7Name expects 1 argument, got ${other.size}")
+  }
+
   val pqCodesName = "pq_codes_long"
 
   private val pqCodesBuilder: Seq[Expression] => Expression = {
@@ -344,6 +493,15 @@ object VectorFunctions {
     case other =>
       throw new IllegalArgumentException(
         s"$pqCodesName expects 3 arguments, got ${other.size}")
+  }
+
+  val sigCodesName = "sig_codes_long"
+
+  private val sigCodesBuilder: Seq[Expression] => Expression = {
+    case Seq(x, f, t) => SigCodesLong(x, f, t)
+    case other =>
+      throw new IllegalArgumentException(
+        s"$sigCodesName expects 3 arguments, got ${other.size}")
   }
 
   val minhashName = "minhash_agg"
@@ -440,7 +598,11 @@ object VectorFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       l2sqLongName, l2sqLongBuilder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      quantizeE7Name, quantizeE7Builder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       pqCodesName, pqCodesBuilder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      sigCodesName, sigCodesBuilder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       minhashName, minhashBuilder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -477,6 +639,15 @@ object VectorFunctions {
     */
   def pqCodesLong(xq: Column, flat: Column, subs: Column): Column =
     call_function(pqCodesName, xq, flat, subs)
+
+  /** Column API: the exact-arithmetic family's 1e-7-unit quantizer. */
+  def quantizeE7(e: Column): Column = call_function(quantizeE7Name, e)
+
+  /** Column API: per-table signed-projection codes of a quantized row
+    * against a flattened literal plane set.
+    */
+  def sigCodesLong(xq: Column, flat: Column, tables: Column): Column =
+    call_function(sigCodesName, xq, flat, tables)
 
   /** Column API: group-level minhash signature over a `bigint` hash column. */
   def minhashAgg(c: Column): Column = call_function(minhashName, c)
@@ -537,10 +708,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           VectorFunctions.l2sqLongName),
         (exprs: Seq[Expression]) => LongL2Sq(exprs(0), exprs(1))))
     ext.injectFunction(
+      (FunctionIdentifier(VectorFunctions.quantizeE7Name),
+        new ExpressionInfo(classOf[QuantizeE7].getName, null,
+          VectorFunctions.quantizeE7Name),
+        (exprs: Seq[Expression]) => QuantizeE7(exprs(0))))
+    ext.injectFunction(
       (FunctionIdentifier(VectorFunctions.pqCodesName),
         new ExpressionInfo(classOf[PqCodesLong].getName, null,
           VectorFunctions.pqCodesName),
         (exprs: Seq[Expression]) => PqCodesLong(exprs(0), exprs(1), exprs(2))))
+    ext.injectFunction(
+      (FunctionIdentifier(VectorFunctions.sigCodesName),
+        new ExpressionInfo(classOf[SigCodesLong].getName, null,
+          VectorFunctions.sigCodesName),
+        (exprs: Seq[Expression]) => SigCodesLong(exprs(0), exprs(1), exprs(2))))
     ext.injectFunction(
       (FunctionIdentifier(VectorFunctions.minhashName),
         new ExpressionInfo(classOf[MinHashAgg].getName, null,

@@ -1393,18 +1393,23 @@ object VectorOps {
     * column: per table, bit j is the sign of the exact integer
     * projection onto the md5-derived plane — the ONE code expression
     * both the row-wise codes and the payload-carrying index entries
-    * explode, so the two can never drift.
+    * explode, so the two can never drift. Since r10 the projections run
+    * through the native [[graft.functions.SigCodesLong]] (one fused
+    * loop per row inside whole-stage codegen) instead of tables·bits
+    * `aggregate(zip_with(...))` CodegenFallback trees — same exact
+    * integer sums, same strict-positive bit rule, verified by the
+    * unchanged oracle rows and VectorIndexSpec's bit-reproducibility
+    * pins.
     */
-  private def exactSigCodeArr(tables: Int, bits: Int): Column =
-    array((0 until tables).map { t =>
-      val code = (0 until bits).map { j =>
-        val w = typedlit((0 until 64).map(i => exactSigWeight(t, j, i)))
-        val proj = aggregate(
-          zip_with(col("xq"), w, (a, b) => a * b), lit(0L), (acc, v) => acc + v)
-        when(proj > 0, lit(1 << j)).otherwise(lit(0))
-      }.reduce(_ + _)
-      struct(lit(t).as("t"), code.as("code"))
-    }: _*)
+  private def exactSigCodeArr(tables: Int, bits: Int): Column = {
+    val flat = typedlit((0 until tables).flatMap(t =>
+      (0 until bits).flatMap(j => (0 until 64).map(i => exactSigWeight(t, j, i)))))
+    // the 4 element_at references share one sig_codes_long subtree —
+    // codegen subexpression elimination evaluates it once per row
+    val codes = VectorFunctions.sigCodesLong(col("xq"), flat, lit(tables))
+    array((0 until tables).map(t =>
+      struct(lit(t).as("t"), element_at(codes, t + 1).as("code"))): _*)
+  }
 
   /** (vec_id, t, code) for every vector. */
   private[graft] def exactSigCodes(embq: DataFrame, tables: Int,
@@ -1574,7 +1579,12 @@ object VectorOps {
     * can never drift from the oracles that replay it.
     */
   private[operators] def quantizeExpr(e: Column): Column =
-    transform(e, x => (x.cast("double") * lit(1.0e7)).cast("long"))
+    // the native [[graft.functions.QuantizeE7]] — the identical IEEE
+    // widen·multiply·truncate the transform(...) form evaluates, but
+    // inside whole-stage codegen (a transform lambda is a
+    // CodegenFallback that drops its whole Project out); callers must
+    // have run [[VectorFunctions.ensureRegistered]]
+    VectorFunctions.quantizeE7(e)
 
   /** The quantized-integer embedding projection the exact fit runs on:
     * (vec_id, xq: array<bigint>).

@@ -66,6 +66,39 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(q.agg(max(col("d"))).collect().head.getDouble(0) > 0.0)
   }
 
+  test("quantize_e7: bit-identical to the transform(cast·1e7·cast) form, codegen") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val native = emb.orderBy("vec_id")
+      .select(VectorFunctions.quantizeE7(col("embedding")).as("q"))
+      .collect().map(_.getSeq[Long](0))
+    val hof = emb.orderBy("vec_id")
+      .select(transform(col("embedding"),
+        x => (x.cast("double") * lit(1.0e7)).cast("long")).as("q"))
+      .collect().map(_.getSeq[Long](0))
+    assert(native.length == hof.length && native.nonEmpty)
+    native.zip(hof).foreach { case (a, b) => assert(a == b) }
+    // and it stays inside whole-stage codegen (the point of existing)
+    val plan = emb.select(VectorFunctions.quantizeE7(col("embedding")))
+      .queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*\\*\\(\\d+\\) Project \\[quantize_e7.*"), plan)
+  }
+
+  test("sig_codes_long: strict-positive sign bits, (t, j, i)-major layout") {
+    // 2 tables × 2 bits × dim 2: t0j0=[1,0] t0j1=[-1,0] t1j0=[0,1] t1j1=[1,-1]
+    val flat: Seq[Long] = Seq(1L, 0L, -1L, 0L, 0L, 1L, 1L, -1L)
+    val rows = Seq((1L, Seq(5L, 3L)), (2L, Seq(0L, 0L)), (3L, Seq(-2L, 4L)))
+      .toDF("id", "xq")
+    val got = rows.select(col("id"),
+        VectorFunctions.sigCodesLong(col("xq"), typedlit(flat), lit(2)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    // row 1: t0 projs (5, -5) → code 1; t1 projs (3, 2) → code 3
+    assert(got(1L) == Seq(1, 3))
+    // zero projections are NOT positive — no bits set
+    assert(got(2L) == Seq(0, 0))
+    // row 3: t0 projs (-2, 2) → code 2; t1 projs (4, -6) → code 1
+    assert(got(3L) == Seq(2, 1))
+  }
+
   test("pq_codes_long: argmin per subspace, lowest-cid ties, codegen") {
     // 2 subspaces × 3 codes × 2 dims, flattened (s, c, i)-major.
     // subspace 0: row [10, 0] — exact tie between codes 1 and 2

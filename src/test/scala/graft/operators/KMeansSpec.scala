@@ -93,6 +93,7 @@ class KMeansSpec extends AnyFunSuite {
       .toDF("vec_id", "embedding", "label")
     // the operator's OWN quantization expression — the pin must guard
     // the production unit, not a hand-inlined copy that could drift
+    graft.functions.VectorFunctions.ensureRegistered(spark)
     val embq = emb.select(col("vec_id"),
       VectorOps.quantizeExpr(col("embedding")).as("xq"))
     val cents = VectorOps.pqFitQ(embq, subs = 8, subDim = 8,
