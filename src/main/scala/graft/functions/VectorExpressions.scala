@@ -504,6 +504,24 @@ object VectorFunctions {
         s"$sigCodesName expects 3 arguments, got ${other.size}")
   }
 
+  val md5MinSigName = "md5_min_sig"
+
+  private val md5MinSigBuilder: Seq[Expression] => Expression = {
+    case Seq(e, k) => Md5MinSigExpr(e, k)
+    case other =>
+      throw new IllegalArgumentException(
+        s"$md5MinSigName expects 2 arguments, got ${other.size}")
+  }
+
+  val md5H60ArrayName = "md5_h60_array"
+
+  private val md5H60ArrayBuilder: Seq[Expression] => Expression = {
+    case Seq(e) => Md5H60ArrayExpr(e)
+    case other =>
+      throw new IllegalArgumentException(
+        s"$md5H60ArrayName expects 1 argument, got ${other.size}")
+  }
+
   val minhashName = "minhash_agg"
 
   private val minhashBuilder: Seq[Expression] => Expression = {
@@ -604,6 +622,10 @@ object VectorFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       sigCodesName, sigCodesBuilder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      md5MinSigName, md5MinSigBuilder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      md5H60ArrayName, md5H60ArrayBuilder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       minhashName, minhashBuilder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       jpegDimsName, jpegDimsBuilder, "scala_udf")
@@ -648,6 +670,14 @@ object VectorFunctions {
     */
   def sigCodesLong(xq: Column, flat: Column, tables: Column): Column =
     call_function(sigCodesName, xq, flat, tables)
+
+  /** Column API: fused md5-tier minhash signature (k mins in one pass). */
+  def md5MinSig(elems: Column, k: Column): Column =
+    call_function(md5MinSigName, elems, k)
+
+  /** Column API: element-wise 60-bit md5 prefixes of a string array. */
+  def md5H60Array(elems: Column): Column =
+    call_function(md5H60ArrayName, elems)
 
   /** Column API: group-level minhash signature over a `bigint` hash column. */
   def minhashAgg(c: Column): Column = call_function(minhashName, c)
@@ -722,6 +752,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[SigCodesLong].getName, null,
           VectorFunctions.sigCodesName),
         (exprs: Seq[Expression]) => SigCodesLong(exprs(0), exprs(1), exprs(2))))
+    ext.injectFunction(
+      (FunctionIdentifier(VectorFunctions.md5MinSigName),
+        new ExpressionInfo(classOf[Md5MinSigExpr].getName, null,
+          VectorFunctions.md5MinSigName),
+        (exprs: Seq[Expression]) => Md5MinSigExpr(exprs(0), exprs(1))))
+    ext.injectFunction(
+      (FunctionIdentifier(VectorFunctions.md5H60ArrayName),
+        new ExpressionInfo(classOf[Md5H60ArrayExpr].getName, null,
+          VectorFunctions.md5H60ArrayName),
+        (exprs: Seq[Expression]) => Md5H60ArrayExpr(exprs(0))))
     ext.injectFunction(
       (FunctionIdentifier(VectorFunctions.minhashName),
         new ExpressionInfo(classOf[MinHashAgg].getName, null,

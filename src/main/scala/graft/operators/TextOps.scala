@@ -863,8 +863,12 @@ object TextOps {
     private[graft] def shingleElems(text: Column, n: Int): Column =
       gramStrings(text, n)
     private[graft] def sig(elems: Column): Column =
-      array((0 until minhashNumHashes).map(i =>
-        array_min(transform(elems, s => h60(concat(lit(s"$i|"), s))))): _*)
+      // the fused native kernel: all 16 seeded mins in ONE pass over
+      // the element array, digest bytes straight to 60-bit longs —
+      // entry-for-entry identical to the
+      // array_min(transform(elems, h60("i|" ++ s))) tree per function
+      // (Md5SigSpec pins the equality; the oracle replay is untouched)
+      graft.functions.VectorFunctions.md5MinSig(elems, lit(minhashNumHashes))
     private[graft] def bandHashes(sig: Column): Column =
       array((0 until minhashNumBands).map { b =>
         h60(concat_ws(",",
@@ -947,6 +951,7 @@ object TextOps {
 
   private def minhashLshOver(spark: SparkSession, dir: String, tag: String,
       family: MinHashFamily, elemsOf: Column => Column): DataFrame = {
+    graft.functions.VectorFunctions.ensureRegistered(spark) // md5_min_sig
     // key on a caller TAG, not the column's toString: lambda expressions
     // print a fresh x_<n> variable name per invocation, so a
     // toString-derived key would never re-enter its generation (every
@@ -1093,7 +1098,9 @@ object TextOps {
   }
   case object SimHashMd5 extends SimHashFamily("md5-60bit") {
     private[graft] def tokenHashes(text: Column): Column =
-      transform(tokens(text), t => h60(t))
+      // native element-wise h60 (one digest loop, no HOF fallback) —
+      // value-identical to transform(tokens(text), t => h60(t))
+      graft.functions.VectorFunctions.md5H60Array(tokens(text))
   }
 
   private[graft] def simhashFingerprints(spark: SparkSession, dir: String,
@@ -1106,12 +1113,14 @@ object TextOps {
     * fingerprint (they had no token rows under the explode definition).
     */
   private[operators] def simhashOf(docs: DataFrame,
-      family: SimHashFamily = SimHashXx): DataFrame =
+      family: SimHashFamily = SimHashXx): DataFrame = {
+    graft.functions.VectorFunctions.ensureRegistered(docs.sparkSession)
     docs
       .select(col("doc_id"), family.tokenHashes(col("text")).as("th"))
       .filter(col("th").isNotNull)
       .select(col("doc_id"),
         graft.functions.VectorFunctions.simhash64(col("th")).as("simhash"))
+  }
 
   /** SimHash near-dup: 64-bit fingerprint = sign of the per-bit vote
     * over token hashes; near-dups collide within small Hamming distance.

@@ -1,0 +1,76 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** The fused md5-tier kernels must be VALUE-IDENTICAL to the
+  * higher-order-function trees they replaced — the minhash/simhash
+  * oracle rows replay those exact values in DuckDB, so any drift here
+  * is an oracle break, not a perf regression.
+  */
+class Md5SigSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+  VectorFunctions.ensureRegistered(spark)
+
+  /** The replaced expression form, kept verbatim as the reference. */
+  private def h60(s: org.apache.spark.sql.Column) =
+    conv(substring(md5(s.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  private val docs = Seq(
+    (1L, Seq("the", "quick", "brown", "fox", "the")),
+    (2L, Seq("единица", "テスト", "emojié")), // non-ASCII UTF-8 widths
+    (3L, Seq.empty[String]),
+    (4L, Seq("solo"))).toDF("id", "elems")
+
+  test("md5_min_sig ≡ the per-function array_min(transform(h60)) trees") {
+    val k = 16
+    val hof = array((0 until k).map(i =>
+      array_min(transform(col("elems"), s => h60(concat(lit(s"$i|"), s))))): _*)
+    val rows = docs.select(col("id"),
+        VectorFunctions.md5MinSig(col("elems"), lit(k)).as("native"),
+        hof.as("hof"))
+      .collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      val n = r.getSeq[Any](1)
+      val h = r.getSeq[Any](2)
+      assert(n == h, s"id=${r.getLong(0)}")
+      assert(n.length == k)
+    }
+    // the empty-element doc yields all-null entries (array_min of empty)
+    val empty = rows.find(_.getLong(0) == 3L).get.getSeq[Any](1)
+    assert(empty.forall(_ == null))
+  }
+
+  test("md5_h60_array ≡ transform(arr, h60); null elements map to null") {
+    val withNull = Seq((1L, Seq("a", null, "b"))).toDF("id", "elems")
+    val rows = docs.union(withNull).select(
+        VectorFunctions.md5H60Array(col("elems")).as("native"),
+        transform(col("elems"), s => h60(s)).as("hof"))
+      .collect()
+    rows.foreach(r => assert(r.getSeq[Any](0) == r.getSeq[Any](1)))
+  }
+
+  test("values match the documented h60 contract on a known string") {
+    // independent recompute: first 15 hex chars of md5 as a base-16 int
+    val expected = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest("7|token".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15), 16)
+    val got = Seq(Seq("token")).toDF("elems")
+      .select(VectorFunctions.md5MinSig(col("elems"), lit(8)))
+      .collect().head.getSeq[Any](0)(7)
+    assert(got == expected)
+  }
+
+  test("stays inside whole-stage codegen over a real scan") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val q = d.select(VectorFunctions.md5MinSig(
+      split(col("text"), " "), lit(16)).as("sig"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*\\*\\(\\d+\\) Project \\[md5_min_sig.*"), plan)
+    assert(q.count() > 0)
+  }
+}
