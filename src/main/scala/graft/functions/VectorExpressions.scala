@@ -443,6 +443,76 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   override def prettyName: String = "sorted_intersect_count"
 }
 
+/** Native codegen'd equal-position count of two `array<bigint>` columns
+  * — the minhash signature-agreement kernel
+  * ([[graft.operators.TextOps.minhashAgreement]]), evaluated once per
+  * CANDIDATE PAIR in the LSH verification joins (millions of pairs on a
+  * dup-heavy corpus), where the
+  * `aggregate(zip_with(a, b, equal-vote), sum)` form it replaces is a
+  * CodegenFallback per pair. Null entries vote NOT-equal (the
+  * `when(x === y, 1).otherwise(0)` null semantics — null === anything
+  * is null → 0, including null/null); positions beyond the shorter
+  * array cannot be equal (zip_with's null padding votes 0 there too).
+  */
+case class EqCountLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def isLongArray(t: DataType): Boolean = t match {
+    case ArrayType(org.apache.spark.sql.types.LongType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isLongArray(left.dataType) && isLongArray(right.dataType)) {
+      TypeCheckResult.TypeCheckSuccess
+    } else {
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<bigint> arguments, " +
+          s"got ${left.dataType.sql} and ${right.dataType.sql}")
+    }
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var c = 0L
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i) && x.getLong(i) == y.getLong(i)) {
+        c += 1
+      }
+      i += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val c = ctx.freshName("c")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $c = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i) &&
+         |      $a.getLong($i) == $b.getLong($i)) {
+         |    $c++;
+         |  }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): EqCountLong =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "vec_eq_count"
+}
+
 /** Registration + column API for the graft native functions. */
 object VectorFunctions {
   val dotName = "vec_dot"
@@ -502,6 +572,15 @@ object VectorFunctions {
     case other =>
       throw new IllegalArgumentException(
         s"$sigCodesName expects 3 arguments, got ${other.size}")
+  }
+
+  val eqCountName = "vec_eq_count"
+
+  private val eqCountBuilder: Seq[Expression] => Expression = {
+    case Seq(a, b) => EqCountLong(a, b)
+    case other =>
+      throw new IllegalArgumentException(
+        s"$eqCountName expects 2 arguments, got ${other.size}")
   }
 
   val md5MinSigName = "md5_min_sig"
@@ -622,6 +701,8 @@ object VectorFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       sigCodesName, sigCodesBuilder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      eqCountName, eqCountBuilder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       md5MinSigName, md5MinSigBuilder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       md5H60ArrayName, md5H60ArrayBuilder, "scala_udf")
@@ -670,6 +751,10 @@ object VectorFunctions {
     */
   def sigCodesLong(xq: Column, flat: Column, tables: Column): Column =
     call_function(sigCodesName, xq, flat, tables)
+
+  /** Column API: equal-position count of two `array<bigint>` columns. */
+  def eqCountLong(a: Column, b: Column): Column =
+    call_function(eqCountName, a, b)
 
   /** Column API: fused md5-tier minhash signature (k mins in one pass). */
   def md5MinSig(elems: Column, k: Column): Column =
@@ -752,6 +837,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[SigCodesLong].getName, null,
           VectorFunctions.sigCodesName),
         (exprs: Seq[Expression]) => SigCodesLong(exprs(0), exprs(1), exprs(2))))
+    ext.injectFunction(
+      (FunctionIdentifier(VectorFunctions.eqCountName),
+        new ExpressionInfo(classOf[EqCountLong].getName, null,
+          VectorFunctions.eqCountName),
+        (exprs: Seq[Expression]) => EqCountLong(exprs(0), exprs(1))))
     ext.injectFunction(
       (FunctionIdentifier(VectorFunctions.md5MinSigName),
         new ExpressionInfo(classOf[Md5MinSigExpr].getName, null,

@@ -928,8 +928,11 @@ object TextOps {
     * sketch-profile query.
     */
   private[graft] def minhashAgreement(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) =>
-      when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
+    // native equal-count kernel — one primitive loop per candidate
+    // pair in the LSH verification joins (the replaced
+    // aggregate(zip_with(...)) vote was a CodegenFallback per pair);
+    // null-vote semantics identical, Md5SigSpec-pinned
+    graft.functions.VectorFunctions.eqCountLong(a, b)
       .cast("double") / minhashNumHashes
 
   /** The 16-long minhash signature from a token-hash array column —

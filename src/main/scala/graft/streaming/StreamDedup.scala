@@ -120,7 +120,8 @@ object StreamDedup {
     * it moves the (small) batch side.
     */
   def candidatesVsCorpus(stream: DataFrame, corpusIndex: DataFrame,
-      threshold: Double = TextOps.minhashEstThreshold): DataFrame =
+      threshold: Double = TextOps.minhashEstThreshold): DataFrame = {
+    graft.functions.VectorFunctions.ensureRegistered(stream.sparkSession)
     banded(stream)
       .join(corpusIndex, Seq("band", "bucket"))
       .filter(col("docId") =!= col("corpus_doc"))
@@ -130,6 +131,7 @@ object StreamDedup {
         TextOps.minhashAgreement(col("sig"), col("corpus_sig")))
       .filter(col("est_jaccard") >= threshold)
       .select(col("docId").as("doc_id"), col("corpus_doc"), col("est_jaccard"))
+  }
 
   /** The batch-built static side of [[candidatesVsCorpus]]: the existing
     * corpus through the SAME banded projection, renamed for the join.

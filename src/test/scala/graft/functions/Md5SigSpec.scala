@@ -65,6 +65,25 @@ class Md5SigSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("vec_eq_count ≡ the zip_with equal-vote fold (null votes 0)") {
+    val pairs = Seq(
+      (Seq[Option[Long]](Some(1L), Some(2L), Some(3L), Some(4L)),
+        Seq[Option[Long]](Some(1L), Some(9L), Some(3L), Some(4L))), // 3 agree
+      (Seq[Option[Long]](Some(1L), Some(2L)),
+        Seq[Option[Long]](Some(1L), Some(2L))), // all agree
+      (Seq[Option[Long]](Some(1L), None, Some(3L)),
+        Seq[Option[Long]](Some(1L), Some(2L), Some(3L)))) // null votes 0
+      .toDF("a", "b")
+    val hof = aggregate(zip_with(col("a"), col("b"), (x, y) =>
+      when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v).cast("long")
+    val rows = pairs.select(
+        VectorFunctions.eqCountLong(col("a"), col("b")).as("native"),
+        hof.as("hof"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1), r))
+    assert(rows.map(_.getLong(0)).toSeq == Seq(3L, 2L, 2L))
+  }
+
   test("stays inside whole-stage codegen over a real scan") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val q = d.select(VectorFunctions.md5MinSig(
