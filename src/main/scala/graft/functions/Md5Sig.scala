@@ -94,6 +94,12 @@ object Md5MinSigExpr {
     Array.tabulate(64)(i => s"$i|".getBytes("UTF-8"))
 
   def sig(elems: ArrayData, k: Int): ArrayData = {
+    // a clean contract error beats an ArrayIndexOutOfBounds mid-job:
+    // the function is session-registered, so any SQL caller can pass k
+    if (k < 0 || k > prefixes.length) {
+      throw new IllegalArgumentException(
+        s"md5_min_sig supports 0 <= k <= ${prefixes.length}, got $k")
+    }
     val mins = new Array[Long](k)
     val seen = new Array[Boolean](k)
     java.util.Arrays.fill(mins, Long.MaxValue)

@@ -173,8 +173,14 @@ case class QuantizeE7(child: Expression) extends UnaryExpression {
       s"$prettyName requires array<float|double>, got ${other.sql}")
   }
 
-  override def dataType: DataType =
-    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def dataType: DataType = child.dataType match {
+    // null elements map to null (transform semantics), so nullability
+    // mirrors the input's
+    case ArrayType(_, cn) =>
+      ArrayType(org.apache.spark.sql.types.LongType, containsNull = cn)
+    case _ =>
+      ArrayType(org.apache.spark.sql.types.LongType, containsNull = true)
+  }
 
   private def isFloat: Boolean = child.dataType match {
     case ArrayType(FloatType, _) => true
@@ -203,8 +209,29 @@ object QuantizeE7 {
     val out = new Array[Long](n)
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i)) return quantizeWithNulls(x, isFloat)
       val d = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
       out(i) = (d * 1.0e7).toLong
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Rare path: a null element maps to a null element, like the
+    * `transform` form this kernel replaced — embeddings never carry
+    * null entries, but the expression must not silently coin zeros.
+    */
+  private def quantizeWithNulls(x: ArrayData, isFloat: Boolean): ArrayData = {
+    val n = x.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      out(i) =
+        if (x.isNullAt(i)) null
+        else java.lang.Long.valueOf({
+          val d = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
+          (d * 1.0e7).toLong
+        })
       i += 1
     }
     new GenericArrayData(out)
@@ -270,6 +297,9 @@ object PqCodesLong {
   /** argmin codes, one per subspace; ties keep the lowest cid. */
   def codes(x: ArrayData, flat: ArrayData, subs: Int): ArrayData = {
     val dim = x.numElements()
+    // empty row: every distance is the empty sum 0, so every subspace
+    // ties at the lowest cid — the replaced argmin trees' output
+    if (dim == 0) return new GenericArrayData(new Array[Int](subs))
     val subDim = dim / subs
     val nCodes = flat.numElements() / dim
     val out = new Array[Int](subs)
@@ -284,7 +314,11 @@ object PqCodesLong {
         var d = 0L
         var i = 0
         while (i < subDim) {
-          val t = x.getLong(base + i) - flat.getLong(off + i)
+          // null entries read as 0 (quantize_e7 output never holds
+          // nulls for non-null input elements; this is the defensive
+          // read, documented)
+          val xv = if (x.isNullAt(base + i)) 0L else x.getLong(base + i)
+          val t = xv - flat.getLong(off + i)
           d += t * t
           i += 1
         }
@@ -357,6 +391,9 @@ object SigCodesLong {
     */
   def codes(x: ArrayData, flat: ArrayData, tables: Int): ArrayData = {
     val dim = x.numElements()
+    // empty row: every projection is the empty sum (never > 0) — all
+    // codes 0, the replaced zip_with-padded trees' output
+    if (dim == 0) return new GenericArrayData(new Array[Int](tables))
     val bits = flat.numElements() / (tables * dim)
     val out = new Array[Int](tables)
     var t = 0
@@ -368,7 +405,9 @@ object SigCodesLong {
         var s = 0L
         var i = 0
         while (i < dim) {
-          s += x.getLong(i) * flat.getLong(off + i)
+          // defensive null-entry read, see PqCodesLong.codes
+          val xv = if (x.isNullAt(i)) 0L else x.getLong(i)
+          s += xv * flat.getLong(off + i)
           i += 1
         }
         if (s > 0) code |= (1 << j)

@@ -804,9 +804,10 @@ object VectorOps {
       .select(col("vec_id").as("nid"), col("embedding").as("ne"),
         col("nrm").as("nn"), quantizeExpr(col("embedding")).as("xq"))
       .select(col("nid"), col("ne"), col("nn"),
-        explode(exactSigCodeArr(tables, bits)).as("tc"))
+        exactSigCodesCol(tables, bits).as("codes"))
+      .select(col("nid"), col("ne"), col("nn"), posexplode(col("codes")))
       .select(col("nid"), col("ne"), col("nn"),
-        col("tc.t").as("t"), col("tc.code").as("bucket"))
+        col("pos").as("t"), col("col").as("bucket"))
 
   /** The deterministic two-phase bucket cap over already-coded (nid, ne,
     * nn, t, bucket) entries — extracted (r10) so the maintained on-disk
@@ -1216,10 +1217,14 @@ object VectorOps {
     */
   private[graft] def cachedPqFit(spark: SparkSession, dir: String,
       subs: Int = 8, codes: Int = 16,
-      iters: Int = 3): IndexedSeq[IndexedSeq[Seq[Long]]] =
+      iters: Int = 3): IndexedSeq[IndexedSeq[Seq[Long]]] = {
+    // register BEFORE quantizedFor eagerly analyzes its quantize_e7
+    // projection — this may be the first graft call on the session
+    VectorFunctions.ensureRegistered(spark)
     pqFitCache.getOrElseUpdate(s"${fpKey(dir)}:$subs:$codes:$iters",
       pqFitQ(quantizedFor(spark, dir), subs, 64 / subs, codes, iters,
         s"pqfit:$dir:$subs:$codes:$iters"))
+  }
 
   /** The per-subspace argmin codes of an `xq` row as ONE native call
     * ([[graft.functions.PqCodesLong]]) against the flattened literal
@@ -1267,6 +1272,11 @@ object VectorOps {
       .limit(codes)
       .select(col("xq"))
       .collect().map(_.getSeq[Long](0)).toIndexedSeq
+    // the native encoder derives subDim as dim/subs per row — an
+    // inconsistent explicit subDim would silently disagree with the
+    // sx slices in the update pass, so refuse it loudly
+    seeds.headOption.foreach(v => require(v.length == subs * subDim,
+      s"pqFitQ: dim ${v.length} != subs $subs x subDim $subDim"))
     var cents: IndexedSeq[IndexedSeq[Seq[Long]]] = (0 until subs).map(s =>
       seeds.map(v => v.slice(s * subDim, (s + 1) * subDim)))
     for (_ <- 1 to iters) {
@@ -1389,33 +1399,34 @@ object VectorOps {
     java.lang.Long.parseLong(hex, 16) % 3 - 1
   }
 
-  /** The per-table (t, code) struct array over an `xq` quantized-int64
-    * column: per table, bit j is the sign of the exact integer
-    * projection onto the md5-derived plane — the ONE code expression
-    * both the row-wise codes and the payload-carrying index entries
-    * explode, so the two can never drift. Since r10 the projections run
-    * through the native [[graft.functions.SigCodesLong]] (one fused
-    * loop per row inside whole-stage codegen) instead of tables·bits
+  /** The per-table code array over an `xq` quantized-int64 column: per
+    * table, bit j is the sign of the exact integer projection onto the
+    * md5-derived plane — the ONE code expression both the row-wise
+    * codes and the payload-carrying index entries consume (via
+    * posexplode: position = table id), so the two can never drift.
+    * Since r10 the projections run through the native
+    * [[graft.functions.SigCodesLong]] (one fused loop per row inside
+    * whole-stage codegen) instead of tables·bits
     * `aggregate(zip_with(...))` CodegenFallback trees — same exact
     * integer sums, same strict-positive bit rule, verified by the
     * unchanged oracle rows and VectorIndexSpec's bit-reproducibility
-    * pins.
+    * pins. Consumers posexplode this single array column — a struct
+    * array re-referencing it per table would re-evaluate the kernel
+    * tables× under GenerateExec, whose codegen does no subexpression
+    * elimination.
     */
-  private def exactSigCodeArr(tables: Int, bits: Int): Column = {
+  private def exactSigCodesCol(tables: Int, bits: Int): Column = {
     val flat = typedlit((0 until tables).flatMap(t =>
       (0 until bits).flatMap(j => (0 until 64).map(i => exactSigWeight(t, j, i)))))
-    // the 4 element_at references share one sig_codes_long subtree —
-    // codegen subexpression elimination evaluates it once per row
-    val codes = VectorFunctions.sigCodesLong(col("xq"), flat, lit(tables))
-    array((0 until tables).map(t =>
-      struct(lit(t).as("t"), element_at(codes, t + 1).as("code"))): _*)
+    VectorFunctions.sigCodesLong(col("xq"), flat, lit(tables))
   }
 
   /** (vec_id, t, code) for every vector. */
   private[graft] def exactSigCodes(embq: DataFrame, tables: Int,
       bits: Int): DataFrame =
-    embq.select(col("vec_id"), explode(exactSigCodeArr(tables, bits)).as("tc"))
-      .select(col("vec_id"), col("tc.t").as("t"), col("tc.code").as("code"))
+    embq.select(col("vec_id"), exactSigCodesCol(tables, bits).as("codes"))
+      .select(col("vec_id"), posexplode(col("codes")))
+      .select(col("vec_id"), col("pos").as("t"), col("col").as("code"))
 
   /** The scored candidate set (qi, nid, cosine) BEFORE top-k — the whole
     * distributed cost of a search lives here, so the occupancy predictor
