@@ -96,3 +96,100 @@ case class MinHashAgg(child: Expression,
 
   override def prettyName: String = "minhash_agg"
 }
+
+/** Row-wise native twin of [[MinHashAgg]]'s fold — the production-tier
+  * minhash signature (`TextOps.minhashSig`'s
+  * `array_min(transform(ths, xxhash64(lit(i), x)))` tree per hash
+  * function) as ONE pass over the token-hash array: k=16 seeded re-hash
+  * minima per row, inside whole-stage codegen instead of k
+  * higher-order-function CodegenFallback trees (the md5_min_sig
+  * rationale on the xxhash64 tier — this is the projection StreamDedup
+  * runs per micro-batch and per corpus-index refresh). Seed chain
+  * identical to the aggregate and the Column form: seed_i =
+  * xxhash64(int i; seed 42), value = xxhash64(long th; seed_i). A null
+  * element contributes seeds(i) itself (the Column form's semantics —
+  * a null child leaves the running hash at the seed), and an empty
+  * array yields k null entries (array_min of empty) — Md5SigSpec pins
+  * both against the replaced tree.
+  */
+case class XxMinSigExpr(first: Expression, second: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def left: Expression = first
+  override def right: Expression = second
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType) match {
+      case (ArrayType(LongType, _), IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<bigint>, int), got $other")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def nullable: Boolean = first.nullable || second.nullable
+
+  override protected def nullSafeEval(ths: Any, k: Any): Any =
+    XxMinSigExpr.sig(
+      ths.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      k.asInstanceOf[Int])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val helper = XxMinSigExpr.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, (e, k) =>
+      s"${ev.value} = ($helper).sig($e, $k);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression): XxMinSigExpr =
+    copy(first = newFirst, second = newSecond)
+
+  override def prettyName: String = "xx_min_sig"
+}
+
+object XxMinSigExpr {
+  // seed chain cache: seeds(i) = xxhash64(int i; seed 42)
+  private val seedCache: Array[Long] =
+    Array.tabulate(64)(i => XxHash64Function.hash(i, IntegerType, 42L))
+
+  def sig(ths: org.apache.spark.sql.catalyst.util.ArrayData,
+      k: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    if (k < 0 || k > seedCache.length) {
+      throw new IllegalArgumentException(
+        s"xx_min_sig supports 0 <= k <= ${seedCache.length}, got $k")
+    }
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var any = false
+    val n = ths.numElements()
+    var e = 0
+    while (e < n) {
+      if (ths.isNullAt(e)) {
+        // Column-form semantics: xxhash64(lit(i), null) = seeds(i)
+        var i = 0
+        while (i < k) {
+          if (seedCache(i) < mins(i)) mins(i) = seedCache(i)
+          i += 1
+        }
+      } else {
+        val th = ths.getLong(e)
+        var i = 0
+        while (i < k) {
+          val h = XxHash64Function.hash(th, LongType, seedCache(i))
+          if (h < mins(i)) mins(i) = h
+          i += 1
+        }
+      }
+      any = true
+      e += 1
+    }
+    if (!any) {
+      new GenericArrayData(Array.fill[Any](k)(null))
+    } else {
+      new GenericArrayData(mins)
+    }
+  }
+}

@@ -622,6 +622,15 @@ object VectorFunctions {
         s"$eqCountName expects 2 arguments, got ${other.size}")
   }
 
+  val xxMinSigName = "xx_min_sig"
+
+  private val xxMinSigBuilder: Seq[Expression] => Expression = {
+    case Seq(e, k) => XxMinSigExpr(e, k)
+    case other =>
+      throw new IllegalArgumentException(
+        s"$xxMinSigName expects 2 arguments, got ${other.size}")
+  }
+
   val md5MinSigName = "md5_min_sig"
 
   private val md5MinSigBuilder: Seq[Expression] => Expression = {
@@ -744,6 +753,8 @@ object VectorFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       md5MinSigName, md5MinSigBuilder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      xxMinSigName, xxMinSigBuilder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       md5H60ArrayName, md5H60ArrayBuilder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       minhashName, minhashBuilder, "scala_udf")
@@ -798,6 +809,12 @@ object VectorFunctions {
   /** Column API: fused md5-tier minhash signature (k mins in one pass). */
   def md5MinSig(elems: Column, k: Column): Column =
     call_function(md5MinSigName, elems, k)
+
+  /** Column API: fused xxhash64-tier minhash signature over a
+    * `bigint` token-hash array.
+    */
+  def xxMinSig(ths: Column, k: Column): Column =
+    call_function(xxMinSigName, ths, k)
 
   /** Column API: element-wise 60-bit md5 prefixes of a string array. */
   def md5H60Array(elems: Column): Column =
@@ -886,6 +903,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[Md5MinSigExpr].getName, null,
           VectorFunctions.md5MinSigName),
         (exprs: Seq[Expression]) => Md5MinSigExpr(exprs(0), exprs(1))))
+    ext.injectFunction(
+      (FunctionIdentifier(VectorFunctions.xxMinSigName),
+        new ExpressionInfo(classOf[XxMinSigExpr].getName, null,
+          VectorFunctions.xxMinSigName),
+        (exprs: Seq[Expression]) => XxMinSigExpr(exprs(0), exprs(1))))
     ext.injectFunction(
       (FunctionIdentifier(VectorFunctions.md5H60ArrayName),
         new ExpressionInfo(classOf[Md5H60ArrayExpr].getName, null,

@@ -942,8 +942,11 @@ object TextOps {
     * batch LSH queries and the streaming dedup stage.
     */
   private[graft] def minhashSig(ths: Column): Column =
-    array((0 until minhashNumHashes).map(i =>
-      array_min(transform(ths, x => xxhash64(lit(i), x)))): _*)
+    // native one-pass fold (all 16 seeded minima per row, the
+    // md5_min_sig rationale on the xxhash64 tier) — entry-for-entry
+    // identical to array_min(transform(ths, xxhash64(lit(i), x))) per
+    // function, Md5SigSpec-pinned; callers must have registered
+    graft.functions.VectorFunctions.xxMinSig(ths, lit(minhashNumHashes))
 
   /** Per-band bucket hashes (array of numBands ints) from a signature. */
   private[graft] def minhashBandHashes(sig: Column): Column =

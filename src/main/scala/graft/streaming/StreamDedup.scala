@@ -48,6 +48,7 @@ object StreamDedup {
     * per (document, band): signature + band bucket, no shuffle.
     */
   def banded(docs: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.ensureRegistered(docs.sparkSession)
     val ths = transform(split(col("text"), " "), t => xxhash64(t))
     docs
       .select(col("doc_id").as("docId"), ths.as("ths"))
@@ -192,6 +193,7 @@ object StreamDedup {
   def candidatesWithTtl(docs: DataFrame, windowMs: Long,
       watermarkDelay: String = "0 seconds", threshold: Double = 0.9,
       maxPerBucket: Int = 256): Dataset[DupHit] = {
+    graft.functions.VectorFunctions.ensureRegistered(docs.sparkSession)
     // TTL bounds state to the window's documents, but the bucket keyspace
     // still tracks corpus-rate ingest — same off-heap default
     StateBackend.defaultToRocksDB(docs.sparkSession)

@@ -65,6 +65,26 @@ class Md5SigSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("xx_min_sig ≡ the per-function array_min(transform(xxhash64)) trees") {
+    val k = 16
+    val ths = Seq(
+      (1L, Seq[Option[Long]](Some(42L), Some(-7L), Some(Long.MaxValue))),
+      (2L, Seq[Option[Long]]()), // empty → k nulls
+      (3L, Seq[Option[Long]](Some(5L), None)), // null elem → seed value
+      (4L, Seq[Option[Long]](Some(0L))))
+      .toDF("id", "ths")
+    val hof = array((0 until k).map(i =>
+      array_min(transform(col("ths"), x => xxhash64(lit(i), x)))): _*)
+    val rows = ths.select(col("id"),
+        VectorFunctions.xxMinSig(col("ths"), lit(k)).as("native"),
+        hof.as("hof"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Any](1) == r.getSeq[Any](2), s"id=${r.getLong(0)}")
+    }
+    assert(rows.find(_.getLong(0) == 2L).get.getSeq[Any](1).forall(_ == null))
+  }
+
   test("vec_eq_count ≡ the zip_with equal-vote fold (null votes 0)") {
     val pairs = Seq(
       (Seq[Option[Long]](Some(1L), Some(2L), Some(3L), Some(4L)),
