@@ -35,9 +35,10 @@ case class MinHashAgg(child: Expression,
 
   private val k = graft.operators.TextOps.minhashNumHashes
 
-  // the seed chain the Column form xxhash64(lit(i), x) produces
-  private lazy val seeds: Array[Long] =
-    Array.tabulate(k)(i => XxHash64Function.hash(i, IntegerType, 42L))
+  // ONE seed-chain definition shared with the row-wise kernel — the
+  // aggregate/row-wise bit-identity pin holds by construction only
+  // while both read the same chain
+  private lazy val seeds: Array[Long] = XxMinSigExpr.seedChain(k)
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
@@ -110,7 +111,12 @@ case class MinHashAgg(child: Expression,
   * element contributes seeds(i) itself (the Column form's semantics —
   * a null child leaves the running hash at the seed), and an empty
   * array yields k null entries (array_min of empty) — Md5SigSpec pins
-  * both against the replaced tree.
+  * both against the replaced tree. The ONE documented divergence: a
+  * null ARRAY yields null (standard binary null propagation) where the
+  * replaced CreateArray tree yielded a non-null array of k nulls —
+  * every caller filters `size(ths) > 0` first (which also drops null
+  * arrays), so no production row can observe it; Md5SigSpec pins the
+  * documented behavior.
   */
 case class XxMinSigExpr(first: Expression, second: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
@@ -155,16 +161,26 @@ object XxMinSigExpr {
   private val seedCache: Array[Long] =
     Array.tabulate(64)(i => XxHash64Function.hash(i, IntegerType, 42L))
 
+  /** The first k seeds — the ONE chain [[MinHashAgg]] and this kernel
+    * share (their bit-identity pin assumes it).
+    */
+  private[functions] def seedChain(k: Int): Array[Long] = {
+    require(k >= 0 && k <= seedCache.length,
+      s"seed chain supports 0 <= k <= ${seedCache.length}, got $k")
+    seedCache.take(k)
+  }
+
   def sig(ths: org.apache.spark.sql.catalyst.util.ArrayData,
       k: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
     if (k < 0 || k > seedCache.length) {
       throw new IllegalArgumentException(
         s"xx_min_sig supports 0 <= k <= ${seedCache.length}, got $k")
     }
+    val n = ths.numElements()
+    // empty array: array_min of an empty transform per function — k nulls
+    if (n == 0) return new GenericArrayData(Array.fill[Any](k)(null))
     val mins = new Array[Long](k)
     java.util.Arrays.fill(mins, Long.MaxValue)
-    var any = false
-    val n = ths.numElements()
     var e = 0
     while (e < n) {
       if (ths.isNullAt(e)) {
@@ -183,13 +199,8 @@ object XxMinSigExpr {
           i += 1
         }
       }
-      any = true
       e += 1
     }
-    if (!any) {
-      new GenericArrayData(Array.fill[Any](k)(null))
-    } else {
-      new GenericArrayData(mins)
-    }
+    new GenericArrayData(mins)
   }
 }

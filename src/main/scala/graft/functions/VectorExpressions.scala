@@ -300,6 +300,11 @@ object PqCodesLong {
     // empty row: every distance is the empty sum 0, so every subspace
     // ties at the lowest cid — the replaced argmin trees' output
     if (dim == 0) return new GenericArrayData(new Array[Int](subs))
+    // null entries are unsupported (no embedding carries them and the
+    // oracle's null propagation is engine-divergent): ONE pre-scan per
+    // row refuses loudly, keeping the hot argmin loops branch-free
+    // instead of silently coining a 0-weighted code
+    requireNoNulls(x, "pq_codes_long")
     val subDim = dim / subs
     val nCodes = flat.numElements() / dim
     val out = new Array[Int](subs)
@@ -314,11 +319,7 @@ object PqCodesLong {
         var d = 0L
         var i = 0
         while (i < subDim) {
-          // null entries read as 0 (quantize_e7 output never holds
-          // nulls for non-null input elements; this is the defensive
-          // read, documented)
-          val xv = if (x.isNullAt(base + i)) 0L else x.getLong(base + i)
-          val t = xv - flat.getLong(off + i)
+          val t = x.getLong(base + i) - flat.getLong(off + i)
           d += t * t
           i += 1
         }
@@ -330,6 +331,20 @@ object PqCodesLong {
     }
     new GenericArrayData(out)
   }
+
+  private[functions] def requireNoNulls(x: ArrayData, fn: String): Unit = {
+    var i = 0
+    val n = x.numElements()
+    while (i < n) {
+      if (x.isNullAt(i)) {
+        throw new IllegalArgumentException(
+          s"$fn: null array element at position $i — quantized embeddings " +
+            "must be null-free (filter null EMBEDDINGS upstream; a null " +
+            "ELEMENT has no defined code)")
+      }
+      i += 1
+    }
+  }
 }
 
 /** Native codegen'd signed-projection coder over a quantized
@@ -339,7 +354,7 @@ object PqCodesLong {
   * `flat[(t·bits + j)·dim + i]` (with `dim = |xq|` and
   * `bits = |flat| / (tables·dim)` derived per row) — integer sums, so
   * order-independent and DuckDB-replayable like the expression form
-  * ([[graft.operators.VectorOps.exactSigCodeArr]]'s
+  * ([[graft.operators.VectorOps.exactSigCodesCol]]'s former
   * `aggregate(zip_with(...))` trees) it replaces, but one fused
   * primitive loop inside whole-stage codegen instead of tables·bits
   * CodegenFallback HOF trees per row. Overflow: |xq| ≤ 1e8 quantized
@@ -394,6 +409,9 @@ object SigCodesLong {
     // empty row: every projection is the empty sum (never > 0) — all
     // codes 0, the replaced zip_with-padded trees' output
     if (dim == 0) return new GenericArrayData(new Array[Int](tables))
+    // null entries refuse loudly, hot loops stay branch-free — see
+    // PqCodesLong.requireNoNulls
+    PqCodesLong.requireNoNulls(x, "sig_codes_long")
     val bits = flat.numElements() / (tables * dim)
     val out = new Array[Int](tables)
     var t = 0
@@ -405,9 +423,7 @@ object SigCodesLong {
         var s = 0L
         var i = 0
         while (i < dim) {
-          // defensive null-entry read, see PqCodesLong.codes
-          val xv = if (x.isNullAt(i)) 0L else x.getLong(i)
-          s += xv * flat.getLong(off + i)
+          s += x.getLong(i) * flat.getLong(off + i)
           i += 1
         }
         if (s > 0) code |= (1 << j)

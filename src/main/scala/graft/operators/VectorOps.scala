@@ -1230,7 +1230,7 @@ object VectorOps {
     * ([[graft.functions.PqCodesLong]]) against the flattened literal
     * codebook — the single encoding expression shared by the fit's
     * update pass and the search's encoding projection, so the two can
-    * never drift (the [[exactSigCodeArr]] discipline). Ties keep the
+    * never drift (the [[exactSigCodesCol]] discipline). Ties keep the
     * lowest cid, identical to the (dist, cid) ordered-struct argmin
     * and the oracle's `ORDER BY dist, cid` rank.
     */
@@ -1627,9 +1627,15 @@ object VectorOps {
   private[graft] def assignQForTest(embq: DataFrame,
       cents: IndexedSeq[Seq[Long]]): DataFrame = assignToCentroidsQ(embq, cents)
 
-  /** The quantized projection on a dataset dir — spec/oracle hook. */
-  private[graft] def quantizedFor(spark: SparkSession, dir: String): DataFrame =
+  /** The quantized projection on a dataset dir — spec/oracle hook.
+    * Registers the native functions itself: the quantize_e7 projection
+    * analyzes EAGERLY at the `.select`, so callers passing this as an
+    * argument can't rely on their own later registration.
+    */
+  private[graft] def quantizedFor(spark: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.ensureRegistered(spark)
     quantized(Tables.embeddings(spark, dir))
+  }
 
   /** [[kmeansAssign]] plus the fitted centroids — the spec pins the
     * argmin property and inertia against them.

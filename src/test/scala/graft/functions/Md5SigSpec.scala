@@ -83,6 +83,13 @@ class Md5SigSpec extends AnyFunSuite {
       assert(r.getSeq[Any](1) == r.getSeq[Any](2), s"id=${r.getLong(0)}")
     }
     assert(rows.find(_.getLong(0) == 2L).get.getSeq[Any](1).forall(_ == null))
+    // the ONE documented divergence from the replaced tree: a null ARRAY
+    // null-propagates (the tree produced [null x k]); callers filter
+    // size(ths) > 0, which drops null arrays before the expression
+    val nullArr = Seq((9L, null: Seq[Option[Long]])).toDF("id", "ths")
+      .select(VectorFunctions.xxMinSig(col("ths"), lit(k)))
+      .collect()
+    assert(nullArr.head.isNullAt(0))
   }
 
   test("vec_eq_count ≡ the zip_with equal-vote fold (null votes 0)") {
