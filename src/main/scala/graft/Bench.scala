@@ -133,7 +133,14 @@ object Bench {
     }
     val bases = Seq(10, 8, 6, 4)
     bases.iterator.map(render).find(_.length <= lineBudget)
-      .getOrElse(render(bases.last))
+      // final hard-degrade: if even base-4 names overflow (a query set
+      // far past today's), drop the per-query map entirely rather than
+      // print a line the driver's bounded tail would clip mid-JSON —
+      // a complete scalar record beats a torn detailed one
+      .getOrElse {
+        val totalStr = "%.3f".formatLocal(java.util.Locale.ROOT, total)
+        s"""{"metric":"total","value":$totalStr,"unit":"sec","queries_ms":{}}"""
+      }
   }
 
   /** The printed line's character budget: the driver's official record

@@ -305,6 +305,21 @@ object PqCodesLong {
     // row refuses loudly, keeping the hot argmin loops branch-free
     // instead of silently coining a 0-weighted code
     requireNoNulls(x, "pq_codes_long")
+    // shape mismatches refuse loudly (same posture as requireNoNulls):
+    // silent integer division would compute codes at wrong offsets /
+    // drop trailing dims for a row whose dim disagrees with the
+    // literal codebook's assumed dim, or a dim not divisible by subs
+    if (dim % subs != 0) {
+      throw new IllegalArgumentException(
+        s"pq_codes_long: embedding dim $dim is not divisible by " +
+          s"subs=$subs — the PQ codebook's subspace split assumes it")
+    }
+    if (flat.numElements() % dim != 0) {
+      throw new IllegalArgumentException(
+        s"pq_codes_long: flattened codebook size ${flat.numElements()} " +
+          s"is not a multiple of embedding dim $dim — codebook was fit " +
+          "at a different dim than this row")
+    }
     val subDim = dim / subs
     val nCodes = flat.numElements() / dim
     val out = new Array[Int](subs)
@@ -412,6 +427,15 @@ object SigCodesLong {
     // null entries refuse loudly, hot loops stay branch-free — see
     // PqCodesLong.requireNoNulls
     PqCodesLong.requireNoNulls(x, "sig_codes_long")
+    // a plane table fit at a different dim silently codes at wrong
+    // offsets under integer division — refuse loudly instead
+    if (flat.numElements() % (tables * dim) != 0) {
+      throw new IllegalArgumentException(
+        s"sig_codes_long: flattened plane table size " +
+          s"${flat.numElements()} is not a multiple of tables=$tables " +
+          s"× dim=$dim — planes were derived at a different dim than " +
+          "this row")
+    }
     val bits = flat.numElements() / (tables * dim)
     val out = new Array[Int](tables)
     var t = 0

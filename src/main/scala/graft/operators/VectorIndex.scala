@@ -213,17 +213,20 @@ object VectorIndex {
 
   /** The serving load: the artifact renamed to the stream-static join's
     * corpus-side schema, deduped against replayed append segments.
-    * Returns the frame plus the artifact's code width — the query side
-    * MUST project with the same bits.
+    * Returns the frame plus the artifact's code width AND coder — the
+    * query side MUST project with the same bits in the same code
+    * family (joining float codes against exactsig buckets silently
+    * emits nothing, the failure mode `_meta` exists to prevent, so the
+    * coder travels with the frame instead of being discarded here).
     */
   private[graft] def load(spark: SparkSession,
-      root: String): (DataFrame, Int) = {
-    val (bits, _, _) = requireMeta(root)
+      root: String): (DataFrame, Int, String) = {
+    val (bits, _, coder) = requireMeta(root)
     val df = spark.read.parquet(indexDir(root))
       .dropDuplicates("t", "bucket", "nid")
       .select(col("nid").as("corpus_vec"), col("ne").as("corpus_emb"),
         col("nn").as("corpus_nrm"), col("t"), col("bucket"))
-    (df, bits)
+    (df, bits, coder)
   }
 
   /** Per-dataset EXACTSIG artifact root — the code family whose bucket

@@ -1139,7 +1139,10 @@ object VectorOps {
       k: Int = 10): DataFrame = {
     VectorFunctions.ensureRegistered(spark)
     val root = VectorIndex.ensureExactSig(spark, dir)
-    val (idx, bits) = VectorIndex.load(spark, root)
+    val (idx, bits, coder) = VectorIndex.load(spark, root)
+    require(coder == VectorIndex.coderExactSig,
+      s"exactsig serving path got a '$coder'-coded index at $root — " +
+        "probe codes would match nothing")
     val probeCodes = exactSigCodes(
       quantizedFor(spark, dir).filter(exactSigProbe), 4, bits)
     val emb = Tables.embeddings(spark, dir)

@@ -129,7 +129,18 @@ object VectorStream {
     @volatile var snapBits = -1
     val snap = new RefreshingSnapshot(stream.sparkSession, sp => {
       sp.catalog.refreshByPath(graft.operators.VectorIndex.indexDir(root))
-      val (df, bits) = graft.operators.VectorIndex.load(sp, root)
+      val (df, bits, coder) = graft.operators.VectorIndex.load(sp, root)
+      // this serving path projects the STREAM with the float-tier
+      // lshBucketArr (candidatesVsCorpus → coded), so the artifact must
+      // be the float family — pointing it at an exactsig-coded root
+      // would join drifted codes and silently emit zero candidates,
+      // exactly what requireMeta's refusal posture exists to prevent.
+      // Checked per refresh, so a root rebuilt into another family
+      // mid-stream fails the NEXT refresh loudly, never quietly.
+      require(coder == graft.operators.VectorIndex.coderFloat,
+        s"vector index at $root is coded '$coder' but this stream " +
+          s"projects '${graft.operators.VectorIndex.coderFloat}' codes " +
+          "— refusing to serve (drifted codes silently match nothing)")
       snapBits = bits
       df
     })

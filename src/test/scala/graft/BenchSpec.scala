@@ -65,4 +65,16 @@ class BenchSpec extends AnyFunSuite {
       assert(todayLine.contains("\"" + tenCharNames(n) + "\":816"), n)
     }
   }
+
+  test("past the base-4 fallback the line hard-degrades to scalars only — " +
+      "never a clipped half-JSON record") {
+    // a pathological 400-query surface: even base-4 names overflow the
+    // budget, so the line must drop the per-query map entirely and stay
+    // a complete JSON object within budget
+    val huge = (0 until 400).map(i => s"q_pathological_growth_case_$i" -> 9.999).toMap
+    val line = Bench.metricLine(3999.6, huge)
+    assert(line.length <= Bench.lineBudget, s"fallback line ${line.length}")
+    assert(line.endsWith(""""queries_ms":{}}"""), line.takeRight(40))
+    assert(line.contains(""""value":3999.600"""))
+  }
 }

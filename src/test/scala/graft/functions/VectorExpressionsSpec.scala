@@ -132,4 +132,34 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(plan.matches("(?s).*\\*\\(\\d+\\) Project \\[pq_codes_long.*"), plan)
     assert(q.count() > 0)
   }
+
+  test("shape mismatches refuse loudly — never codes at silently wrong offsets") {
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    def failsWith(msg: String)(body: => Unit): Unit = {
+      val e = intercept[Exception](body)
+      assert(chain(e).exists(_.contains(msg)), chain(e).mkString(" | "))
+    }
+    // pq_codes_long: dim 3 not divisible by subs=2
+    failsWith("not divisible by") {
+      Seq((1L, Seq(1L, 2L, 3L))).toDF("id", "xq")
+        .select(VectorFunctions.pqCodesLong(col("xq"),
+          typedlit(Seq(0L, 0L, 0L)), lit(2)))
+        .collect(): Unit
+    }
+    // pq_codes_long: codebook fit at another dim (|flat| % dim != 0)
+    failsWith("not a multiple of") {
+      Seq((1L, Seq(1L, 2L))).toDF("id", "xq")
+        .select(VectorFunctions.pqCodesLong(col("xq"),
+          typedlit(Seq(0L, 0L, 0L)), lit(2)))
+        .collect(): Unit
+    }
+    // sig_codes_long: plane table derived at another dim
+    failsWith("not a multiple of") {
+      Seq((1L, Seq(1L, 2L))).toDF("id", "xq")
+        .select(VectorFunctions.sigCodesLong(col("xq"),
+          typedlit(Seq(0L, 0L, 0L)), lit(2)))
+        .collect(): Unit
+    }
+  }
 }

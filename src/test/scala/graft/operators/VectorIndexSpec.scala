@@ -50,8 +50,9 @@ class VectorIndexSpec extends AnyFunSuite {
     spark.catalog.refreshByPath(VectorIndex.indexDir(root))
     assert(keys(spark.read.parquet(VectorIndex.indexDir(root))) === rebuilt)
     // and the serving load (deduped, renamed) carries the same keys
-    val (served, servedBits) = VectorIndex.load(spark, root)
+    val (served, servedBits, servedCoder) = VectorIndex.load(spark, root)
     assert(servedBits == bits)
+    assert(servedCoder == "float")
     assert(served.select(col("t"), col("bucket"), col("corpus_vec").as("nid"))
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet === rebuilt)
   }
@@ -67,7 +68,7 @@ class VectorIndexSpec extends AnyFunSuite {
     VectorIndex.appendTo(root, b) // the at-least-once re-delivery
     val rebuilt = keys(VectorOps.lshIndex(withNrm(all), maxBucket, bits))
     // serving dedupes the replay's rows
-    val (served, _) = VectorIndex.load(spark, root)
+    val (served, _, _) = VectorIndex.load(spark, root)
     val servedKeys = served
       .select(col("t"), col("bucket"), col("corpus_vec").as("nid"))
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))

@@ -176,6 +176,35 @@ class VectorStreamSpec extends AnyFunSuite {
     assert(hits.toSet == Set((0L, 9001L, 1L), (1L, 9002L, 2L)), s"got $hits")
   }
 
+  test("maintained-artifact serving refuses a cross-coder root loudly — " +
+      "float stream codes never silently join exactsig buckets") {
+    import graft.operators.VectorIndex
+    val root = java.nio.file.Files.createTempDirectory("graft-veccoder").toString
+    val vecA: Seq[Float] = (0 until 64).map(i => if (i < 32) 1.0f else 0.1f)
+    VectorIndex.buildInto(root,
+      Seq((1L, vecA)).toDF("vec_id", "embedding"), maxBucket = 64,
+      bits = bits, coder = VectorIndex.coderExactSig)
+
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val stream = mem.toDS.select(col("_1").as("vec_id"), col("_2").as("embedding"))
+    val q = VectorStream.candidatesVsIndexRefreshing(
+        stream, root, refreshEvery = 1) { (df, _) => df.collect(): Unit }
+      .start()
+    try {
+      mem.addData((9001L, vecA))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      // the refusal is the refresh loader's actionable coder mismatch,
+      // not a silent zero-candidate drain
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(_.contains("coded 'exactsig4'")),
+        messages(e).mkString(" | "))
+    } finally q.stop()
+  }
+
   test("appendStream maintains the artifact: drained ingest + compact equals " +
       "a full rebuild; segment count stays bounded") {
     import graft.operators.{VectorIndex, VectorOps}
