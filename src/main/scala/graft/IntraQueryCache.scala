@@ -158,6 +158,37 @@ object IntraQueryCache {
     df.persist()
   }
 
+  /** Deterministic query-boundary release for long MANY-query sessions
+    * (Bench's per-query boundary — r11): release every generation no
+    * live thread currently has open, unbinding the calling thread's
+    * own first. The LRU budget above is the right policy for a live
+    * session (a repeated query rides its warm frames); a 110-query
+    * interleaved sweep is the opposite regime — by the time a query
+    * runs again, 100+ other queries' frames have churned the budget,
+    * so its "warm" generation was evicted anyway and the dead frames
+    * it left behind only crowd the NEXT query's execution memory
+    * (measured: pair-engine queries inflated 2-3× under the
+    * interleaved session vs focused runs, pure eviction noise).
+    * Releasing at the boundary makes every query's cache slate
+    * deterministic: its own intra-query reuse still rides the persists
+    * (built and consumed within the run), and no query pays for a
+    * predecessor's dead blocks. Blocking unpersist, so the freed
+    * memory is real before the next query is timed.
+    */
+  def releaseBoundary(): Unit = synchronized {
+    currentByThread.remove(Thread.currentThread()): Unit
+    val live = new java.util.HashSet[Gen]()
+    currentByThread.forEach((t, g) => if (t.isAlive) live.add(g))
+    val it = generations.values().iterator()
+    while (it.hasNext) {
+      val g = it.next()
+      if (!live.contains(g)) {
+        g.frames.foreach(_.unpersist(blocking = true))
+        it.remove()
+      }
+    }
+  }
+
   /** Frames currently retained for `key` (test hook). */
   private[graft] def retained(key: String): Int = synchronized {
     val g = generations.get(key)

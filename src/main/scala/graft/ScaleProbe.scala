@@ -713,17 +713,135 @@ object ScaleProbe {
     val total = shardBytes(allIds)
     val (s1, b1) = touched(1)
     val (s4, b4) = touched(4)
+    // the q_winnow_snippet regime (r11): paste-sized probes — the first
+    // 12 tokens of each of 5 docs — carry a handful of fps whose
+    // distinct ranges cover FAR fewer shards than any whole-document
+    // probe (a 1-doc probe already touches ~half), so bytes-touched
+    // tracks the probe's ranges, the payoff the manifest exists for
+    def touchedSnippet(nDocs: Int): (Int, Long) = {
+      val p = batch.limit(nDocs).select(col("doc_id"),
+        org.apache.spark.sql.functions.concat_ws(" ",
+          org.apache.spark.sql.functions.slice(
+            org.apache.spark.sql.functions.split(col("text"), " "), 1, 12))
+          .as("text"))
+      val ids = TextOps.winnowOver(p, 3, 4)
+        .select(WinnowIndex.shardOfBounds(col("fp"), bounds).as("s"))
+        .distinct().collect().map(_.getInt(0)).toSet
+      (ids.size, shardBytes(ids))
+    }
+    val (ss, bs) = touchedSnippet(5)
     println(f"[scaleprobe] winnow_index 500-doc batch: indexed x1=$tIdx1%5.2fs " +
       f"x10=$tIdx%5.2fs (flat) recompute x1=$tRec1%5.2fs x10=$tRec%5.2fs " +
       f"(grows); x10 speedup=${tRec / tIdx}%4.2fx")
     println(f"[scaleprobe] winnow_index prune: 1-doc probe touches $s1/64 " +
-      f"shards ($b1%d/$total%d B), 4-doc $s4/64 ($b4%d B)")
+      f"shards ($b1%d/$total%d B), 4-doc $s4/64 ($b4%d B), " +
+      f"5x12-token snippet $ss/64 ($bs%d B, ${bs * 100.0 / total}%4.1f%%)")
     Seq(s""""winnow_index_serving":{"indexed_x1":$tIdx1,"indexed_x10":$tIdx,""" +
       s""""recompute_x1":$tRec1,"recompute_x10":$tRec,""" +
       s""""speedup_x10":${tRec / tIdx}},""" +
       s""""winnow_index_prune":{"total_bytes":$total,""" +
       s""""probe1_shards":$s1,"probe1_bytes":$b1,""" +
-      s""""probe4_shards":$s4,"probe4_bytes":$b4}""")
+      s""""probe4_shards":$s4,"probe4_bytes":$b4,""" +
+      s""""snippet5_shards":$ss,"snippet5_bytes":$bs}""")
+  }
+
+  /** Maintained-VectorIndex endurance ladder (r11, the RocksDB-endurance
+    * analog for the vector artifact): ONE long-running
+    * [[graft.streaming.VectorStream.appendStream]] maintainer fed
+    * fixed-size micro-batches under the maxSegments=8 auto-compaction
+    * policy, across enough batches to trigger several compactions.
+    * Reports (a) per-batch append latency early vs late — must stay
+    * flat: appends are slice-sized, never corpus-sized; (b) the segment
+    * bound held throughout (≤ maxSegments+1: one append past the bound
+    * triggers the compact that restores 1); (c) compaction count and
+    * median compact-batch latency (the amortized cost of file economy);
+    * (d) after EACH compaction, the artifact's entries re-pinned
+    * bit-for-bit against a full rebuild over everything folded so far —
+    * the convergence claim under continuous ingest, not just one cycle.
+    */
+  private def vindexEnduranceProbe(spark: SparkSession,
+      base: String): Seq[String] = {
+    import graft.operators.{VectorIndex, VectorOps}
+    import org.apache.spark.sql.functions.{col, sqrt}
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    val (maxBucket, bits, maxSegments) = (64, 8, 8)
+    val d = s"$base/emb_x10"
+    synthesizeEmb(spark, d, 20000L)
+    val all = spark.read.parquet(s"$d/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val rows = all.as[(Long, Seq[Float])].collect().sortBy(_._1)
+    val (baseRows, incoming) = rows.splitAt(rows.length / 3)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-vindex-endurance").toString
+    VectorIndex.buildInto(root, baseRows.toSeq.toDF("vec_id", "embedding"),
+      maxBucket, bits)
+
+    def rebuildKeys(upTo: Int): Set[(Int, Long, Long)] = {
+      val folded = (baseRows ++ incoming.take(upTo)).toSeq
+        .toDF("vec_id", "embedding")
+        .withColumn("nrm", sqrt(graft.functions.VectorFunctions.dot(
+          col("embedding"), col("embedding"))))
+      VectorOps.lshIndex(folded, maxBucket, bits)
+        .select(col("t").cast("int"), col("bucket").cast("long"), col("nid"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    def artifactKeys(): Set[(Int, Long, Long)] = {
+      spark.catalog.refreshByPath(VectorIndex.indexDir(root))
+      spark.read.parquet(VectorIndex.indexDir(root))
+        .dropDuplicates("t", "bucket", "nid")
+        .select(col("t").cast("int"), col("bucket").cast("long"), col("nid"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    }
+
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val stream = mem.toDS
+      .select(col("_1").as("vec_id"), col("_2").as("embedding"))
+    val q = graft.streaming.VectorStream
+      .appendStream(stream, root, maxSegments).start()
+    val appendLat = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val compactLat = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var maxSeg = 0
+    var compactions = 0
+    var convergent = true
+    try {
+      val nBatches = 24
+      val per = math.max(incoming.length / nBatches, 1)
+      var folded = 0
+      incoming.grouped(per).foreach { slice =>
+        val before = VectorIndex.segments(root)
+        val t0 = System.nanoTime()
+        mem.addData(slice.toSeq: _*)
+        q.processAllAvailable()
+        val dt = (System.nanoTime() - t0) / 1e9
+        folded += slice.length
+        val after = VectorIndex.segments(root)
+        maxSeg = math.max(maxSeg, math.max(before, after))
+        if (after < before) {
+          // this batch's append crossed the bound and auto-compacted —
+          // re-pin the convergence claim at this very point
+          compactions += 1
+          compactLat += dt
+          if (artifactKeys() != rebuildKeys(folded)) convergent = false
+        } else appendLat += dt
+      }
+    } finally q.stop()
+    val early = median(appendLat.take(4).toSeq)
+    val late = median(appendLat.takeRight(4).toSeq)
+    val cMed = if (compactLat.isEmpty) 0.0 else median(compactLat.toSeq)
+    println(f"[scaleprobe] vindex_endurance batches=${appendLat.size + compactions} " +
+      f"append early=$early%5.2fs late=$late%5.2fs ratio=${late / early}%4.2f " +
+      f"compactions=$compactions (median $cMed%5.2fs) maxSeg=$maxSeg/" +
+      f"${maxSegments + 1} convergent=$convergent")
+    require(convergent, "artifact diverged from the full rebuild after a compaction")
+    require(maxSeg <= maxSegments + 1,
+      s"segment bound violated: $maxSeg > ${maxSegments + 1}")
+    Seq(s""""vindex_endurance":{"append_early":$early,"append_late":$late,""" +
+      s""""ratio":${late / early},"compactions":$compactions,""" +
+      s""""compact_median":$cMed,"max_segments":$maxSeg,""" +
+      s""""bound":${maxSegments + 1},"convergent":$convergent}""")
   }
 
   /** RocksDB endurance probe (r9): ONE long-running
@@ -897,6 +1015,11 @@ object ScaleProbe {
     if (args.sameElements(Array("--pq-exactsig"))) {
       val rows = pqExactSigProbe(spark, base, n1)
       println(s"""{"metric":"scaleprobe_pq_exactsig",${rows.mkString(",")}}""")
+      spark.stop(); return
+    }
+    if (args.sameElements(Array("--vindex-endurance"))) {
+      val rows = vindexEnduranceProbe(spark, base)
+      println(s"""{"metric":"scaleprobe_vindex_endurance",${rows.mkString(",")}}""")
       spark.stop(); return
     }
     if (args.sameElements(Array("--winnow-index"))) {

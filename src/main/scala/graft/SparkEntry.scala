@@ -27,25 +27,42 @@ object SparkEntry {
     * self-build lazily; this hook just keeps index builds out of bench
     * timings.
     */
-  def prepare(spark: SparkSession, dir: String): Unit = {
-    graft.operators.TagIndex.ensure(spark, dir)
-    graft.operators.TextIndex.ensure(spark, dir)
-    graft.operators.VectorOps.cachedLshIndex(spark, dir, maxBucket = 100000)
-    graft.operators.VectorOps.lshOccupancy(spark, dir)
-    graft.operators.VectorOps.trainedCodebook(spark, dir)
-    graft.operators.VectorOps.cachedIvfAssigned(spark, dir)
-    graft.operators.VectorOps.cachedPqAssigned(spark, dir)
-    graft.operators.VectorOps.cachedQueryVecs(spark, dir)
-    graft.plans.CorpusRoute.ensureArtifacts(spark, dir)
-    graft.operators.TextOps.trainedBpeRules(spark, dir, 10)
-    graft.operators.WinnowIndex.ensure(spark, dir)
-    graft.operators.VectorIndex.ensureExactSig(spark, dir)
-    // the exact-fit models behind q_kmeans / q_ann_ivf_exactsig /
-    // q_ann_pq_exactsig — trained once per dataset at ingest like the
-    // float codebooks above
-    graft.operators.VectorOps.kmeansFit(spark, dir, 8, 5)
-    graft.operators.VectorOps.cachedPqFit(spark, dir)
-    ()
+  def prepare(spark: SparkSession, dir: String): Unit =
+    prepareTimed(spark, dir): Unit
+
+  /** [[prepare]] with per-artifact wall-clock (r11): the bench records
+    * the amortized ingest cost next to the query timings it buys —
+    * q_kmeans's ~40 ms serving read is honest only alongside the fit's
+    * ~1 s ingest cost. Names are stable identifiers for the sidecar's
+    * `prepare_breakdown` map; the compact metric line carries the total
+    * as `prepare_ms`.
+    */
+  def prepareTimed(spark: SparkSession, dir: String): Seq[(String, Long)] = {
+    val steps: Seq[(String, () => Any)] = Seq(
+      "tag_index" -> (() => graft.operators.TagIndex.ensure(spark, dir)),
+      "text_index" -> (() => graft.operators.TextIndex.ensure(spark, dir)),
+      "lsh_index" -> (() =>
+        graft.operators.VectorOps.cachedLshIndex(spark, dir, maxBucket = 100000)),
+      "lsh_occupancy" -> (() => graft.operators.VectorOps.lshOccupancy(spark, dir)),
+      "ivf_codebook" -> (() => graft.operators.VectorOps.trainedCodebook(spark, dir)),
+      "ivf_assigned" -> (() => graft.operators.VectorOps.cachedIvfAssigned(spark, dir)),
+      "pq_assigned" -> (() => graft.operators.VectorOps.cachedPqAssigned(spark, dir)),
+      "query_vecs" -> (() => graft.operators.VectorOps.cachedQueryVecs(spark, dir)),
+      "corpus_route" -> (() => graft.plans.CorpusRoute.ensureArtifacts(spark, dir)),
+      "bpe_rules" -> (() => graft.operators.TextOps.trainedBpeRules(spark, dir, 10)),
+      // built via the maintained path (prefix build + appendTo + compact)
+      "winnow_index" -> (() => graft.operators.WinnowIndex.ensure(spark, dir)),
+      "vector_exactsig" -> (() => graft.operators.VectorIndex.ensureExactSig(spark, dir)),
+      // the exact-fit models behind q_kmeans / q_ann_ivf_exactsig /
+      // q_ann_pq_exactsig — trained once per dataset at ingest like the
+      // float codebooks above
+      "kmeans_fit" -> (() => graft.operators.VectorOps.kmeansFit(spark, dir, 8, 5)),
+      "pq_fit" -> (() => graft.operators.VectorOps.cachedPqFit(spark, dir)))
+    steps.map { case (name, run) =>
+      val t0 = System.nanoTime()
+      run()
+      name -> (System.nanoTime() - t0) / 1000000L
+    }
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -60,6 +77,12 @@ object SparkEntry {
     "q_session" -> EventOps.session _,
     "q_join_enrich" -> EventOps.joinEnrich _,
     "q_distinct_daily" -> EventOps.distinctDaily _,
+    // SQL front-door twins (§3.3 — the reference's real query surface is
+    // external SQL): authored as spark.sql TEXT over the registered
+    // views, same oracles as their DSL twins, plan identity PlanSpec-pinned
+    "q_sql_bucket_avg" -> SqlFrontDoor.sqlBucketAvg _,
+    "q_sql_bucket_sum" -> SqlFrontDoor.sqlBucketSum _,
+    "q_sql_downsample" -> SqlFrontDoor.sqlDownsampleLts _,
     "q_distinct_approx" -> EventOps.distinctApprox _,
     "q_log_level_hist" -> EventOps.logLevelHist _,
     "q_set_except" -> EventOps.setExcept _,
@@ -99,6 +122,7 @@ object SparkEntry {
     "q_winnow_clusters" -> ((s, d) => TextOps.winnowClusters(s, d)),
     "q_winnow_match" -> ((s, d) => TextOps.winnowMatch(s, d)),
     "q_winnow_match_indexed" -> ((s, d) => TextOps.winnowMatchIndexed(s, d)),
+    "q_winnow_snippet" -> ((s, d) => TextOps.winnowSnippet(s, d)),
     "q_rag_chunks" -> ((s, d) => TextOps.ragChunks(s, d)),
     "q_chunk_search" -> ((s, d) => TextOps.chunkSearch(s, d)),
     "q_bm25_topk" -> ((s, d) => TextOps.bm25TopK(s, d)),
@@ -175,19 +199,21 @@ object SparkEntry {
     * per-document selected fingerprint set (`sel`). One source of truth
     * so a hash/window tweak cannot drift the three oracles apart.
     */
-  private val winnowCtes =
-    """toks AS (SELECT doc_id, string_split(text, ' ') AS tk
-      |              FROM documents WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 6),
-      |h AS (SELECT doc_id, i, CAST(concat('0x', substr(md5(
+  private def winnowChain(pfx: String, src: String): String =
+    s"""${pfx}toks AS (SELECT doc_id, string_split(text, ' ') AS tk
+      |              FROM $src WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 6),
+      |${pfx}h AS (SELECT doc_id, i, CAST(concat('0x', substr(md5(
       |        concat_ws(' ', tk[i], tk[i+1], tk[i+2])), 1, 15)) AS BIGINT) AS hv
-      |      FROM (SELECT doc_id, tk, unnest(range(1, len(tk)-1)) AS i FROM toks)),
-      |wins AS (SELECT doc_id, i AS j,
+      |      FROM (SELECT doc_id, tk, unnest(range(1, len(tk)-1)) AS i FROM ${pfx}toks)),
+      |${pfx}wins AS (SELECT doc_id, i AS j,
       |    MIN(hv) OVER (PARTITION BY doc_id ORDER BY i
       |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
       |    COUNT(*) OVER (PARTITION BY doc_id ORDER BY i
       |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wn
-      |  FROM h),
-      |sel AS (SELECT DISTINCT w.doc_id, w.wmin AS fp FROM wins w WHERE w.wn = 4)""".stripMargin
+      |  FROM ${pfx}h),
+      |${pfx}sel AS (SELECT DISTINCT w.doc_id, w.wmin AS fp FROM ${pfx}wins w WHERE w.wn = 4)""".stripMargin
+
+  private val winnowCtes = winnowChain("", "documents")
 
   /** Shared CTE chain for the embedding connected-components oracles
     * (q_embed_clusters report + q_embed_prune scrub): label-blocked
@@ -269,6 +295,32 @@ object SparkEntry {
       |  CAST(COALESCE(pd.n_matched, 0) AS BIGINT) AS n_matched
       |FROM documents d LEFT JOIN pd USING (doc_id)
       |WHERE d.doc_id % 3 = 0 ORDER BY d.doc_id""".stripMargin
+
+  /** The paste-sized snippet membership triage (q_winnow_snippet): the
+    * probe is the first 12 tokens of the 5 lowest probe-slice documents
+    * — a handful of fingerprints whose ranges prune the artifact read
+    * to a fraction of the shards on the Spark side
+    * ([[graft.operators.TextOps.winnowSnippet]] through
+    * `WinnowIndex.membershipFps`); this oracle recomputes the same
+    * report from RAW documents, so the green row proves the PRUNED
+    * serving path (manifest boundaries, partition filters and all)
+    * against first principles, exactly as q_winnow_match_indexed does
+    * for the full-read path.
+    */
+  private val winnowSnippetOracleSql: String =
+    s"""WITH snip AS (SELECT doc_id,
+      |    array_to_string(list_slice(string_split(text, ' '), 1, 12), ' ') AS text
+      |  FROM documents WHERE doc_id % 3 = 0 AND doc_id <= 12),
+      |${winnowChain("p", "snip")},
+      |$winnowCtes,
+      |cfps AS (SELECT DISTINCT fp FROM sel WHERE doc_id % 3 <> 0),
+      |pd AS (SELECT s.doc_id, COUNT(*) AS n_fp, COUNT(c.fp) AS n_matched
+      |  FROM psel s LEFT JOIN cfps c USING (fp) GROUP BY 1)
+      |SELECT d.doc_id,
+      |  CAST(COALESCE(pd.n_fp, 0) AS BIGINT) AS n_fp,
+      |  CAST(COALESCE(pd.n_matched, 0) AS BIGINT) AS n_matched
+      |FROM documents d LEFT JOIN pd USING (doc_id)
+      |WHERE d.doc_id % 3 = 0 AND d.doc_id <= 12 ORDER BY d.doc_id""".stripMargin
 
   /** The cross-engine 60-bit hash ([[graft.operators.TextOps.h60]]) in
     * DuckDB form — first 15 md5 hex chars as a BIGINT. Shared by the r10
@@ -479,6 +531,30 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
         |  COUNT(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the SQL-authored twins answer to the SAME oracles as their DSL
+    // faces — the engine front door changes, the contract does not
+    "q_sql_bucket_avg" ->
+      """SELECT date_trunc('minute', ts) AS bucket, event_type,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*) AS avg_value,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_sql_bucket_sum" ->
+      """SELECT date_trunc('minute', ts) AS bucket, event_type,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_sql_downsample" ->
+      """SELECT * FROM (
+        |  SELECT date_trunc('minute', ts) AS bucket, event_type,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*) AS value,
+        |    'gauge' AS kind
+        |  FROM events WHERE event_type IN ('view','click') GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT date_trunc('minute', ts) AS bucket, event_type,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value,
+        |    'counter' AS kind
+        |  FROM events WHERE event_type NOT IN ('view','click') GROUP BY 1, 2
+        |) ORDER BY bucket, event_type""".stripMargin,
     "q_tag_filter" ->
       """SELECT event_id, user_id,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
@@ -799,6 +875,10 @@ object SparkEntry {
     // documents — a green row is a standing consistency proof for the
     // maintained WinnowIndex artifact (the q_bm25_indexed pattern)
     "q_winnow_match_indexed" -> winnowMatchOracleSql,
+    // the range-PRUNED serving path (snippet micro-probe through the
+    // manifest's partition filters) against the same first-principles
+    // recompute — the pruning regime's standing consistency proof
+    "q_winnow_snippet" -> winnowSnippetOracleSql,
     "q_winnow_overlap" ->
       // the MOSS match step: pairs sharing >= 2 distinct selected
       // fingerprints, fingerprints in more than 16 docs suppressed

@@ -21,6 +21,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // deterministic per-query cache slate (the Bench boundary, r11):
+      // a 114-query single-session dump otherwise accumulates dead
+      // scoped frames that crowd later queries' execution memory
+      IntraQueryCache.releaseBoundary()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -3284,6 +3284,36 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Paste-sized snippet membership triage served through MANIFEST
+    * RANGE-PRUNING (q_winnow_snippet, r11) — the serving regime the
+    * range-sharded [[WinnowIndex]] exists for: a micro-probe of short
+    * query snippets (here the first `nTokens` tokens of the 5 lowest
+    * probe-slice documents — the MOSS "does this paste appear in the
+    * corpus" shape) winnows to a handful of fingerprints whose distinct
+    * ranges cover FAR fewer than the 64 shards, so
+    * [[WinnowIndex.membershipFps]]'s partition-pruned read touches only
+    * those dirs (plan-pinned in PlanSpec; bytes measured in `ScaleProbe
+    * --winnow-index`). The corpus-sized probe (q_winnow_match_indexed)
+    * deliberately keeps the full fps read — pruning pays below ~half
+    * the shards (SCALE.md's r10 measurement); this row is the other
+    * side of that turn, oracle-checked against a raw recompute in
+    * DuckDB so the PRUNED serving path carries the same standing
+    * consistency proof as the full-read one.
+    */
+  def winnowSnippet(spark: SparkSession, dir: String, k: Int = 3,
+      w: Int = 4, nTokens: Int = 12, maxDocId: Long = 12): DataFrame = {
+    val root = WinnowIndex.ensure(spark, dir, k, w)
+    WinnowIndex.requireServableFamily(root, WinnowMd5)
+    val probe = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 3 === 0 && col("doc_id") <= maxDocId)
+      .select(col("doc_id"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, nTokens)).as("text"))
+    val sel = winnowOver(probe, k, w).select("doc_id", "fp").distinct()
+    winnowMatchReportFromSel(probe, sel,
+      WinnowIndex.membershipFps(spark, root, sel))
+      .orderBy("doc_id")
+  }
+
   /** Winnow-overlap pairs — MOSS's match step at corpus scale: document
     * pairs sharing at least `minShared` distinct selected fingerprints.
     * Fingerprints selected by more than `maxDf` documents are suppressed

@@ -250,14 +250,39 @@ object VectorIndex {
     * set equals the raw recompute's exactly (a binding cap is the
     * production recall/cost knob, exercised by the capped specs — it
     * would break oracle equality by design, not by accident).
+    *
+    * The artifact is deliberately built the way production MAINTAINS
+    * one, not the way a benchmark would rebuild one (r11): a
+    * deterministic prefix of the corpus ([[buildInto]] over
+    * vec_id % 3 ≠ 0), the remainder folded in with [[appendTo]] (coded
+    * from the artifact's own `_meta`, slice-sized), then [[compact]]'s
+    * global re-cap. Because compaction provably converges on the full
+    * rebuild's survivor set, the artifact q_ann_sig_indexed serves —
+    * and the DuckDB raw-recompute oracle hash-checks — is the product
+    * of the append+compact maintenance chain itself: the green driver
+    * row is a standing consistency proof for the MAINTAINED path, not
+    * just the build path. The in-line segment requires make the
+    * exercise structural (a skipped append or compact fails prepare
+    * loudly); MaintainedEnsureSpec pins the same claims in-tree.
     */
   def ensureExactSig(spark: SparkSession, dir: String, bits: Int = 8): String =
     Artifacts.ensureRoot(exactSigPath(dir, bits))(p =>
       new File(s"${indexDir(p)}/_SUCCESS").exists() &&
         metaOf(p).exists(m => m._1 == bits && m._3 == coderExactSig)) { tmp =>
-      buildInto(tmp,
-        graft.Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
+      val emb = graft.Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding"))
+      buildInto(tmp, emb.filter(col("vec_id") % 3 =!= 0),
         maxBucket = 100000, bits = bits, coder = coderExactSig)
+      require(segments(tmp) == 1,
+        s"exactsig prefix build left ${segments(tmp)} segments, expected 1")
+      appendTo(tmp, emb.filter(col("vec_id") % 3 === 0))
+      require(segments(tmp) == 2,
+        "exactsig append did not add a segment — the maintenance path " +
+          "this artifact exists to prove was not exercised (empty " +
+          "remainder slice?)")
+      compact(tmp, spark)
+      require(segments(tmp) == 1,
+        s"exactsig compact left ${segments(tmp)} segments, expected 1")
     }
 
   /** Heal a crashed swap — call at maintenance entry. Also migrates a

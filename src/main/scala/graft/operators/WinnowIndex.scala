@@ -127,6 +127,17 @@ object WinnowIndex {
     * driver row recomputes the same report from RAW documents in
     * DuckDB, so a green row is a standing consistency proof for this
     * maintained artifact — the q_route_stats / termStats role.
+    *
+    * Built the way production MAINTAINS the artifact (r11, the
+    * VectorIndex.ensureExactSig twin): a deterministic prefix of the
+    * corpus slice ([[buildInto]] over doc_id % 5 ≠ 1 within it), the
+    * remainder folded in with [[appendTo]] under the live manifest's
+    * boundaries, then [[compact]]'s dedup + equi-depth re-cut.
+    * Appended fingerprints are per-document values, so the merged
+    * distinct set equals the full slice's exactly — the oracle row
+    * hash-checks the append+compact maintenance chain, not just a
+    * one-shot build. The segment requires make the exercise structural
+    * (a skipped append or compact fails prepare loudly).
     */
   def ensure(spark: SparkSession, dir: String, k: Int = 3,
       w: Int = 4): String =
@@ -139,7 +150,17 @@ object WinnowIndex {
       val corpus = graft.Tables.documents(spark, dir)
         .select(col("doc_id"), col("text"))
         .filter(col("doc_id") % 3 =!= 0)
-      buildInto(tmp, corpus, k, w)
+      buildInto(tmp, corpus.filter(col("doc_id") % 5 =!= 1), k, w)
+      require(segments(tmp) == 1,
+        s"winnow prefix build left ${segments(tmp)} segments, expected 1")
+      appendTo(tmp, corpus.filter(col("doc_id") % 5 === 1), k, w)
+      require(segments(tmp) == 2,
+        "winnow append did not add a segment — the maintenance path " +
+          "this artifact exists to prove was not exercised (empty " +
+          "remainder slice?)")
+      compact(tmp, spark)
+      require(segments(tmp) == 1,
+        s"winnow compact left ${segments(tmp)} segments, expected 1")
     }
 
   private def familyFile(root: String) = new File(root, "_family")

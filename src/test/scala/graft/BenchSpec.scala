@@ -36,7 +36,7 @@ class BenchSpec extends AnyFunSuite {
     val names = SparkEntry.queries.keys.toSeq
     // worst realistic case: every median takes 4 digits of milliseconds
     // (≥1 s and <10 s per query — far above today's ~0.7 s median)
-    val line = Bench.metricLine(9999.999, names.map(_ -> 9.999).toMap)
+    val line = Bench.metricLine(9999.999, 999999L, names.map(_ -> 9.999).toMap)
     assert(line.length <= Bench.lineBudget,
       s"metric line too long for the ~2000-char capture tail at " +
         s"${names.size} queries: ${line.length}")
@@ -50,19 +50,22 @@ class BenchSpec extends AnyFunSuite {
     val grown = (SparkEntry.queries.keys.toSeq ++
       (0 until (120 - SparkEntry.queries.size)).map(i => s"q_fx$i"))
       .map(_ -> 9.999).toMap
-    val grownLine = Bench.metricLine(123.456, grown)
+    // prepare_ms chosen to not collide with the ":9999" count below
+    val grownLine = Bench.metricLine(123.456, 123456L, grown)
     assert(grownLine.length <= Bench.lineBudget,
       s"120-query worst case ${grownLine.length}")
     // uniqueness survives degradation: every query key renders exactly once
     assert("\"[a-zA-Z0-9_]+\":9999".r.findAllIn(grownLine).size == grown.size)
-    // at TODAY's realistic costs the line keeps the 10-char base names
-    // (stable across rounds for the scorecard's per-query comparison)
+    // at TODAY's realistic costs the line renders at the 8-char base
+    // (the same base the r10/r11 driver records use, stable for the
+    // scorecard's per-query comparison; base-10 stopped fitting when
+    // the surface crossed ~110 queries + the prepare_ms scalar)
     val names = SparkEntry.queries.keys.toSeq
-    val todayLine = Bench.metricLine(86.43, names.map(_ -> 0.816).toMap)
+    val todayLine = Bench.metricLine(86.43, 123456L, names.map(_ -> 0.816).toMap)
     assert(todayLine.length <= Bench.lineBudget)
-    val tenCharNames = Bench.shortNames(names, 10)
+    val eightCharNames = Bench.shortNames(names, 8)
     names.foreach { n =>
-      assert(todayLine.contains("\"" + tenCharNames(n) + "\":816"), n)
+      assert(todayLine.contains("\"" + eightCharNames(n) + "\":816"), n)
     }
   }
 
@@ -72,9 +75,19 @@ class BenchSpec extends AnyFunSuite {
     // budget, so the line must drop the per-query map entirely and stay
     // a complete JSON object within budget
     val huge = (0 until 400).map(i => s"q_pathological_growth_case_$i" -> 9.999).toMap
-    val line = Bench.metricLine(3999.6, huge)
+    val line = Bench.metricLine(3999.6, 999999L, huge)
     assert(line.length <= Bench.lineBudget, s"fallback line ${line.length}")
     assert(line.endsWith(""""queries_ms":{}}"""), line.takeRight(40))
     assert(line.contains(""""value":3999.600"""))
+    assert(line.contains(""""prepare_ms":999999"""))
+  }
+
+  test("the metric line carries prepare_ms ahead of the per-query map") {
+    val names = SparkEntry.queries.keys.toSeq
+    val line = Bench.metricLine(86.43, 123456L, names.map(_ -> 0.816).toMap)
+    val prepAt = line.indexOf(""""prepare_ms":123456""")
+    assert(prepAt >= 0, line.take(120))
+    assert(prepAt < line.indexOf(""""queries_ms":"""),
+      "scalar headers must precede the map so clipping eats query rows last")
   }
 }

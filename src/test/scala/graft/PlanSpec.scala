@@ -232,6 +232,40 @@ class PlanSpec extends AnyFunSuite {
       s"fps scan not partition-pruned:\n${fpsScan.orNull}\n$p")
   }
 
+  test("SQL front door: the spark.sql-authored twins optimize to the " +
+      "SAME plan as their DSL faces — pushdown/partial-agg hold verbatim") {
+    def same(sqlDf: org.apache.spark.sql.DataFrame,
+        dslDf: org.apache.spark.sql.DataFrame): Unit = {
+      val (a, b) = (sqlDf.queryExecution.optimizedPlan,
+        dslDf.queryExecution.optimizedPlan)
+      assert(a.sameResult(b),
+        s"SQL and DSL plans diverged:\nSQL:\n$a\nDSL:\n$b")
+    }
+    same(SqlFrontDoor.sqlBucketAvg(spark, dir), EventOps.bucketAvg(spark, dir))
+    same(SqlFrontDoor.sqlBucketSum(spark, dir), EventOps.bucketSum(spark, dir))
+    same(SqlFrontDoor.sqlDownsampleLts(spark, dir),
+      EventOps.downsampleLts(spark, dir))
+  }
+
+  test("winnow snippet (declared pruned-serving twin): fps scan " +
+      "partition-pruned; no corpus-side winnow recompute") {
+    val p = plan(graft.operators.TextOps.winnowSnippet(spark, dir))
+    // the corpus side is the pruned artifact read — partition filters
+    // on the shard column, never all 64 dirs
+    val fpsScan = p.linesIterator
+      .find(l => l.contains("FileScan parquet") && l.contains("winnow_v"))
+    assert(fpsScan.exists(l => l.contains("PartitionFilters: [shard") ||
+      l.contains("PartitionFilters: [isnotnull(shard")),
+      s"fps scan not partition-pruned:\n${fpsScan.orNull}\n$p")
+    // exactly one text-bearing documents scan: the probe snippets' own
+    // selection — a second would mean corpus fps are being recomputed
+    val docScans = p.linesIterator
+      .count(l => l.contains("FileScan parquet") && l.contains("text#"))
+    assert(docScans == 1, s"expected one documents scan, got $docScans\n$p")
+    // and the probe filter reaches that scan
+    assert(p.contains("LessThanOrEqual(doc_id,12)"), p)
+  }
+
   test("ann exactsig indexed: corpus side served from the artifact — " +
       "every embeddings scan is probe-filtered (vec_id < 5)") {
     graft.functions.VectorFunctions.ensureRegistered(spark)
