@@ -161,8 +161,10 @@ object Bench {
         .map { case (k, v) => "\"" + short(k) + "\":" + math.round(v * 1000) }
         .mkString("{", ",", "}")
       val totalStr = "%.3f".formatLocal(java.util.Locale.ROOT, total)
-      // prepare_ms BEFORE queries_ms: scalar headers sit ahead of the
-      // map so residual clipping eats query rows last, scalars never
+      // prepare_ms joins the scalar headers AHEAD of the map: the
+      // driver keeps the LAST ~2000 chars, so if anything clips it is
+      // the head — scalars are the sacrificial end, the per-query map
+      // (what the scorecard needs complete) sits last and survives
       s"""{"metric":"total","value":$totalStr,"unit":"sec",""" +
         s""""prepare_ms":$prepareMs,"queries_ms":$qsMs}"""
     }

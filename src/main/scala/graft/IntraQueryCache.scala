@@ -127,13 +127,21 @@ object IntraQueryCache {
     val fresh = new Gen
     generations.put(key, fresh)
     currentByThread.put(Thread.currentThread(), fresh)
-    // a generation is protected only while its opener thread is ALIVE —
-    // a dead thread's entry may linger in the weak map while the Thread
-    // object stays reachable, but its generation is fair game
+    releaseUnheld(() => generations.size > minKeep && cachedBytes > budgetBytes)
+  }
+
+  /** The one eviction loop (LRU order, shared by the budget path and the
+    * boundary path): release generations no LIVE thread currently has
+    * open, while `shouldContinue` holds. A generation is protected only
+    * while its opener thread is alive — a dead thread's entry may linger
+    * in the weak map while the Thread object stays reachable, but its
+    * generation is fair game. Callers hold the object lock.
+    */
+  private def releaseUnheld(shouldContinue: () => Boolean): Unit = {
     val live = new java.util.HashSet[Gen]()
     currentByThread.forEach((t, g) => if (t.isAlive) live.add(g))
     val it = generations.values().iterator()
-    while (generations.size > minKeep && cachedBytes > budgetBytes && it.hasNext) {
+    while (shouldContinue() && it.hasNext) {
       val g = it.next()
       if (!live.contains(g)) {
         g.frames.foreach(_.unpersist(blocking = true))
@@ -177,16 +185,7 @@ object IntraQueryCache {
     */
   def releaseBoundary(): Unit = synchronized {
     currentByThread.remove(Thread.currentThread()): Unit
-    val live = new java.util.HashSet[Gen]()
-    currentByThread.forEach((t, g) => if (t.isAlive) live.add(g))
-    val it = generations.values().iterator()
-    while (it.hasNext) {
-      val g = it.next()
-      if (!live.contains(g)) {
-        g.frames.foreach(_.unpersist(blocking = true))
-        it.remove()
-      }
-    }
+    releaseUnheld(() => true)
   }
 
   /** Frames currently retained for `key` (test hook). */

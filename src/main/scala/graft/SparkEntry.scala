@@ -57,10 +57,25 @@ object SparkEntry {
       // q_ann_pq_exactsig — trained once per dataset at ingest like the
       // float codebooks above
       "kmeans_fit" -> (() => graft.operators.VectorOps.kmeansFit(spark, dir, 8, 5)),
-      "pq_fit" -> (() => graft.operators.VectorOps.cachedPqFit(spark, dir)))
+      "pq_fit" -> (() => graft.operators.VectorOps.cachedPqFit(spark, dir)),
+      // the SQL front door's views (§3.3) — each q_sql_* query also
+      // re-registers unconditionally (views are session state prepare
+      // cannot own), this step just makes the surface reachable from
+      // plain spark.sql right after ingest
+      "sql_views" -> (() => SqlFrontDoor.registerViews(spark, dir)))
     steps.map { case (name, run) =>
       val t0 = System.nanoTime()
-      run()
+      // per-step, not all-or-nothing: one failed build must not discard
+      // the completed steps' timings (the record would then claim
+      // prepare was free while the failed artifact rebuilds inside a
+      // TIMED query window — the exact distortion prepare_ms exists to
+      // prevent); the failure still lands loudly on stderr and the
+      // affected queries' own lazy builds surface it
+      try run()
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[prepare] $name failed: $e")
+      }
       name -> (System.nanoTime() - t0) / 1000000L
     }
   }

@@ -20,36 +20,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SqlFrontDoor {
 
-  // last (session, dir) registered — registration itself is scan-free
-  // but not footer-free (Tables.events inspects the ts encoding, and
-  // ten createOrReplaceTempView calls re-read ten parquet footers), so
-  // repeated same-dir invocations (bench iterations, a dashboard
-  // refresh) skip it. A dir change re-registers: views capture the
-  // plan at registration time.
-  @volatile private var registeredFor: (SparkSession, String) = null
-
-  /** Register every dataset table as a temp view bound to `dir`.
-    * Called by each SQL-authored query; idempotent and cached per
-    * (session, dir).
+  /** Register every dataset table as a temp view bound to `dir` — the
+    * existing [[Tables.registerViews]] (events ts-normalized, native
+    * functions included), called UNCONDITIONALLY by each SQL-authored
+    * query. Deliberately not memoized: temp-view names are session
+    * catalog state this object does not own (specs and user code call
+    * Tables.registerViews for other dirs, or drop views), so a cached
+    * "already registered" answer can silently serve another dataset's
+    * plan — wrong results with no error. Re-registration costs a few
+    * parquet footer reads, the price of a front door that is always
+    * pointed at the dataset it claims. Concurrent registration for
+    * DIFFERENT dirs in one session races on the shared names by
+    * construction of temp views — one session, one dataset at a time
+    * is the contract, same as any shared catalog.
     */
-  def registerViews(spark: SparkSession, dir: String): Unit = synchronized {
-    if (registeredFor == ((spark, dir))) return
-    registerViewsAlways(spark, dir)
-    registeredFor = (spark, dir)
-  }
-
-  private def registerViewsAlways(spark: SparkSession, dir: String): Unit = {
-    Tables.events(spark, dir).createOrReplaceTempView("events")
-    Tables.documents(spark, dir).createOrReplaceTempView("documents")
-    Tables.embeddings(spark, dir).createOrReplaceTempView("embeddings")
-    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
-    Tables.orders(spark, dir).createOrReplaceTempView("orders")
-    Tables.customer(spark, dir).createOrReplaceTempView("customer")
-    Tables.supplier(spark, dir).createOrReplaceTempView("supplier")
-    Tables.nation(spark, dir).createOrReplaceTempView("nation")
-    Tables.region(spark, dir).createOrReplaceTempView("region")
-    Tables.part(spark, dir).createOrReplaceTempView("part")
-  }
+  def registerViews(spark: SparkSession, dir: String): Unit =
+    Tables.registerViews(spark, dir)
 
   /** SQL face of [[graft.operators.EventOps.bucketAvg]] (D1 — the gauge
     * materialized view): identical expression tree (exact decimal sum,

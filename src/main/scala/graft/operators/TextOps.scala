@@ -3308,7 +3308,12 @@ object TextOps {
       .filter(col("doc_id") % 3 === 0 && col("doc_id") <= maxDocId)
       .select(col("doc_id"),
         concat_ws(" ", slice(split(col("text"), " "), 1, nTokens)).as("text"))
-    val sel = winnowOver(probe, k, w).select("doc_id", "fp").distinct()
+    // sel is consumed twice — membershipFps' eager shard-id collect and
+    // the report join — so it persists in a scoped generation, the
+    // winnowMatchReportFromSel contract (never winnow the probe twice)
+    graft.IntraQueryCache.newGeneration(s"winnowsnippet:$dir:$k:$w:$nTokens")
+    val sel = graft.IntraQueryCache.scoped(
+      winnowOver(probe, k, w).select("doc_id", "fp").distinct())
     winnowMatchReportFromSel(probe, sel,
       WinnowIndex.membershipFps(spark, root, sel))
       .orderBy("doc_id")

@@ -88,6 +88,7 @@ class BenchSpec extends AnyFunSuite {
     val prepAt = line.indexOf(""""prepare_ms":123456""")
     assert(prepAt >= 0, line.take(120))
     assert(prepAt < line.indexOf(""""queries_ms":"""),
-      "scalar headers must precede the map so clipping eats query rows last")
+      "scalars precede the map: the driver keeps the output TAIL, so a " +
+        "clipped line loses head scalars, never per-query rows")
   }
 }
