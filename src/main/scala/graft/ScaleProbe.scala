@@ -653,6 +653,7 @@ object ScaleProbe {
       n1: Long): Seq[String] = {
     import graft.operators.{TextOps, WinnowIndex}
     import org.apache.spark.sql.functions.col
+    graft.functions.VectorFunctions.ensureRegistered(spark)
     def time3(f: => Unit): Double = median((1 to 3).map { _ =>
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     })
@@ -730,6 +731,38 @@ object ScaleProbe {
       (ids.size, shardBytes(ids))
     }
     val (ss, bs) = touchedSnippet(5)
+    // PRODUCTION-width cut (r11): the same corpus behind a 512-shard
+    // manifest — the claim that a fixed-size probe's read fraction
+    // falls as the shard count grows, MEASURED instead of asserted
+    // (needs the native range_shard kernel: the fold form overflowed
+    // Catalyst recursion at this width)
+    val rootW = s"$base/winnow-index-probe-v3w-x10"
+    if (!new java.io.File(s"${WinnowIndex.fpsDir(rootW)}/_SUCCESS").exists())
+      WinnowIndex.buildInto(rootW,
+        spark.read.parquet(s"$d10/documents.parquet")
+          .select(col("doc_id"), col("text"))
+          .filter(col("doc_id") % 3 =!= 0),
+        shards = 512)
+    val boundsW = WinnowIndex.boundsOf(rootW, TextOps.WinnowMd5)
+    def shardBytesW(ids: Set[Int]): Long =
+      Option(new java.io.File(WinnowIndex.fpsDir(rootW)).listFiles())
+        .getOrElse(Array.empty)
+        .filter(d => d.isDirectory && d.getName.startsWith("shard=") &&
+          ids.contains(d.getName.stripPrefix("shard=").toInt))
+        .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
+        .map(_.length()).sum
+    val totalW = shardBytesW((0 until 512).toSet)
+    val snipW = batch.limit(5).select(col("doc_id"),
+      org.apache.spark.sql.functions.concat_ws(" ",
+        org.apache.spark.sql.functions.slice(
+          org.apache.spark.sql.functions.split(col("text"), " "), 1, 12))
+        .as("text"))
+    val idsW = TextOps.winnowOver(snipW, 3, 4)
+      .select(WinnowIndex.shardOfBounds(col("fp"), boundsW).as("s"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val (sw, bw) = (idsW.size, shardBytesW(idsW))
+    println(f"[scaleprobe] winnow_index prune @512 shards: the same snippet " +
+      f"probe touches $sw/512 ($bw%d/$totalW%d B, ${bw * 100.0 / totalW}%4.1f%%)")
     println(f"[scaleprobe] winnow_index 500-doc batch: indexed x1=$tIdx1%5.2fs " +
       f"x10=$tIdx%5.2fs (flat) recompute x1=$tRec1%5.2fs x10=$tRec%5.2fs " +
       f"(grows); x10 speedup=${tRec / tIdx}%4.2fx")
@@ -742,7 +775,9 @@ object ScaleProbe {
       s""""winnow_index_prune":{"total_bytes":$total,""" +
       s""""probe1_shards":$s1,"probe1_bytes":$b1,""" +
       s""""probe4_shards":$s4,"probe4_bytes":$b4,""" +
-      s""""snippet5_shards":$ss,"snippet5_bytes":$bs}""")
+      s""""snippet5_shards":$ss,"snippet5_bytes":$bs,""" +
+      s""""w512_total_bytes":$totalW,""" +
+      s""""w512_snippet5_shards":$sw,"w512_snippet5_bytes":$bw}""")
   }
 
   /** Maintained-VectorIndex endurance ladder (r11, the RocksDB-endurance

@@ -522,6 +522,65 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   override def prettyName: String = "sorted_intersect_count"
 }
 
+/** Native codegen'd range-shard lookup: the count of elements of a
+  * SORTED `array<bigint>` boundary cut that are ≤ `fp` — i.e. the shard
+  * id of `fp` under the cut, by binary search. Replaces the
+  * fold-of-whens expression form in [[graft.operators.WinnowIndex]]'s
+  * sharding (`Σ when(fp >= bound, 1)`), which builds an O(shards)-node
+  * left-deep tree: fine at 64 shards, but a production-width cut
+  * (hundreds to thousands of shards — the r11 `ScaleProbe
+  * --winnow-index` 512-shard row) overflows Catalyst's recursive
+  * analysis/codegen on the ~2·shards-node chain, and even when it
+  * survives, evaluation is O(shards) per row vs O(log shards) here.
+  * Bounds MUST be sorted non-decreasing (the manifest validation's
+  * contract); duplicates are fine — upper-bound search counts them all,
+  * exactly like the fold.
+  */
+case class RangeShard(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (org.apache.spark.sql.types.LongType,
+          ArrayType(org.apache.spark.sql.types.LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (bigint, array<bigint>), " +
+          s"got (${left.dataType.sql}, ${right.dataType.sql})")
+    }
+
+  override def dataType: DataType = IntegerType
+
+  override protected def nullSafeEval(fp: Any, bounds: Any): Any =
+    RangeShard.shard(fp.asInstanceOf[Long], bounds.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = RangeShard.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, (fp, bounds) =>
+      s"${ev.value} = ($helper).shard($fp, $bounds);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): RangeShard =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "range_shard"
+}
+
+object RangeShard {
+
+  /** Upper-bound binary search: |{i : bounds(i) <= fp}|. */
+  def shard(fp: Long, bounds: ArrayData): Int = {
+    var lo = 0
+    var hi = bounds.numElements()
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (bounds.getLong(mid) <= fp) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+}
+
 /** Native codegen'd equal-position count of two `array<bigint>` columns
   * — the minhash signature-agreement kernel
   * ([[graft.operators.TextOps.minhashAgreement]]), evaluated once per
@@ -651,6 +710,15 @@ object VectorFunctions {
     case other =>
       throw new IllegalArgumentException(
         s"$sigCodesName expects 3 arguments, got ${other.size}")
+  }
+
+  val rangeShardName = "range_shard"
+
+  private val rangeShardBuilder: Seq[Expression] => Expression = {
+    case Seq(fp, bounds) => RangeShard(fp, bounds)
+    case other =>
+      throw new IllegalArgumentException(
+        s"$rangeShardName expects 2 arguments, got ${other.size}")
   }
 
   val eqCountName = "vec_eq_count"
@@ -791,6 +859,8 @@ object VectorFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       eqCountName, eqCountBuilder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      rangeShardName, rangeShardBuilder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       md5MinSigName, md5MinSigBuilder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       xxMinSigName, xxMinSigBuilder, "scala_udf")
@@ -835,6 +905,12 @@ object VectorFunctions {
 
   /** Column API: the exact-arithmetic family's 1e-7-unit quantizer. */
   def quantizeE7(e: Column): Column = call_function(quantizeE7Name, e)
+
+  /** Column API: shard id of a bigint under a sorted literal boundary
+    * cut (count of bounds ≤ fp, by binary search).
+    */
+  def rangeShard(fp: Column, bounds: Column): Column =
+    call_function(rangeShardName, fp, bounds)
 
   /** Column API: per-table signed-projection codes of a quantized row
     * against a flattened literal plane set.

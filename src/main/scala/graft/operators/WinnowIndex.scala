@@ -70,34 +70,47 @@ object WinnowIndex {
 
   def fpsDir(root: String): String = s"$root/fps"
 
-  /** Shard count = the artifact's pruning/parallelism unit (the
+  /** DEFAULT shard count = the artifact's pruning/parallelism unit (the
     * TextIndex term-shard role). 64 keeps a probe's touched fraction
-    * observable at spec scale; production sizes this so a shard stays
-    * a few GB (thousands at 100 TB).
+    * observable at spec scale; production sizes this so a shard stays a
+    * few GB (thousands at 100 TB). The count is a BUILD parameter since
+    * r11 — recorded in the manifest, which every reader and maintainer
+    * treats as the sole authority (so an artifact built at any width
+    * serves and compacts correctly, and `ScaleProbe --winnow-index` can
+    * MEASURE the pruning fraction at a production-like width instead of
+    * asserting it).
     */
   private[operators] val shardCount = 64
 
   /** The shard of an fp column under sorted interior `bounds`
-    * (length = [[shardCount]] − 1): the count of boundaries ≤ fp —
+    * (length = shards − 1): the count of boundaries ≤ fp —
     * well-defined for ANY non-decreasing cut, including duplicate
-    * boundaries (those shards are simply empty).
+    * boundaries (those shards are simply empty). The native
+    * binary-search kernel ([[graft.functions.RangeShard]]) since r11:
+    * the former `Σ when(fp >= bound, 1)` fold builds an O(shards)-node
+    * expression chain that overflows Catalyst's recursion at
+    * production widths (measured: StackOverflow at 512 shards) and
+    * costs O(shards) per row where the search costs O(log shards).
+    * Callers must [[graft.functions.VectorFunctions.ensureRegistered]]
+    * on the consuming session first — every in-tree entry point does.
     */
   private[graft] def shardOfBounds(fp: Column, bounds: Seq[Long]): Column =
-    bounds.foldLeft(lit(0))((acc, b) =>
-      acc + when(fp >= lit(b), 1).otherwise(0)).cast("int")
+    graft.functions.VectorFunctions.rangeShard(fp,
+      org.apache.spark.sql.functions.typedlit(bounds))
 
   /** Equi-depth interior boundaries cut from an fp frame: the
-    * (i/shardCount)-quantiles for i in 1..shardCount−1, via the
+    * (i/shards)-quantiles for i in 1..shards−1, via the
     * distributed Greenwald–Khanna sketch (bounded memory at any corpus
     * size; exactness is NOT required — any recorded monotone cut
     * prunes correctly, balance is what the quantiles buy). Empty input
     * degrades to all-zero boundaries (one live shard) — still a valid
     * cut.
     */
-  private[graft] def equiDepthBounds(fps: DataFrame): Seq[Long] = {
-    val probs = (1 until shardCount).map(_.toDouble / shardCount).toArray
+  private[graft] def equiDepthBounds(fps: DataFrame,
+      shards: Int = shardCount): Seq[Long] = {
+    val probs = (1 until shards).map(_.toDouble / shards).toArray
     val qs = fps.stat.approxQuantile("fp", probs, 0.01)
-    if (qs.isEmpty) Seq.fill(shardCount - 1)(0L)
+    if (qs.isEmpty) Seq.fill(shards - 1)(0L)
     else {
       // double round-trip above 2^53 may locally perturb order; the cut
       // only needs to be non-decreasing to be a valid mapping
@@ -205,19 +218,25 @@ object WinnowIndex {
         "cross-family or unmarked fingerprints")
   }
 
-  /** Render the manifest body for a staged tree. */
+  /** Render the manifest body for a staged tree: the shard count is
+    * whatever the boundary cut implies — the manifest IS the authority
+    * for the artifact's width, so build-time parameters never need to
+    * agree with a compile-time constant.
+    */
   private def manifestBody(family: TextOps.WinnowHash,
       bounds: Seq[Long]): String =
-    s"version=3\nshards=$shardCount\nfamily=${family.name}\n" +
+    s"version=3\nshards=${bounds.length + 1}\nfamily=${family.name}\n" +
       bounds.map(b => s"bound=$b").mkString("", "\n", "\n")
 
-  /** Parse and VALIDATE the in-tree manifest: version/shard-count/
-    * family must match and the boundary cut must be complete and
-    * non-decreasing — pruned serving depends on the dirs actually
-    * being keyed by these boundaries, so a torn, missing or drifted
-    * manifest must fail loudly with an actionable message, never
-    * under-read (and never a raw MatchError from a half-written file:
-    * ALL parse failures funnel into the same require).
+  /** Parse and VALIDATE the in-tree manifest: version and family must
+    * match and the boundary cut must be complete for the RECORDED shard
+    * count (any width ≥ 1 — the count is the artifact's build
+    * parameter, not a reader constant) and non-decreasing — pruned
+    * serving depends on the dirs actually being keyed by these
+    * boundaries, so a torn, missing or drifted manifest must fail
+    * loudly with an actionable message, never under-read (and never a
+    * raw MatchError from a half-written file: ALL parse failures funnel
+    * into the same require).
     */
   private[graft] def boundsOf(root: String,
       family: TextOps.WinnowHash): Seq[Long] = {
@@ -228,18 +247,19 @@ object WinnowIndex {
       val lines = new String(java.nio.file.Files.readAllBytes(f.toPath),
         java.nio.charset.StandardCharsets.UTF_8).linesIterator.toSeq
       require(lines.contains("version=3") &&
-        lines.contains(s"shards=$shardCount") &&
         lines.contains(s"family=${family.name}"))
+      val shards = lines.find(_.startsWith("shards="))
+        .map(_.stripPrefix("shards=").toInt).getOrElse(0)
       val bounds = lines.filter(_.startsWith("bound="))
         .map(_.stripPrefix("bound=").toLong)
-      require(bounds.length == shardCount - 1 &&
+      require(shards >= 1 && bounds.length == shards - 1 &&
         bounds.sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
       bounds
     }
     require(parsed.isSuccess, s"winnow index manifest at $root is " +
       s"unreadable or does not match the expected scheme (version=3, " +
-      s"shards=$shardCount, family=${family.name}, " +
-      s"${shardCount - 1} sorted bounds) — refusing to prune against it")
+      s"family=${family.name}, shards=N with N-1 sorted bounds) — " +
+      "refusing to prune against it")
     parsed.get
   }
 
@@ -252,6 +272,7 @@ object WinnowIndex {
     */
   private def writeSharded(fps: DataFrame, family: TextOps.WinnowHash,
       bounds: Seq[Long], path: String): Unit = {
+    graft.functions.VectorFunctions.ensureRegistered(fps.sparkSession)
     fps.withColumn("shard", shardOfBounds(col("fp"), bounds))
       .repartition(col("shard"))
       .sortWithinPartitions("fp")
@@ -272,7 +293,9 @@ object WinnowIndex {
     * consistent with whichever tree survives).
     */
   def buildInto(root: String, docs: DataFrame, k: Int = 3, w: Int = 4,
-      family: TextOps.WinnowHash = TextOps.WinnowMd5): Unit = {
+      family: TextOps.WinnowHash = TextOps.WinnowMd5,
+      shards: Int = shardCount): Unit = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
     new File(root).mkdirs()
     recover(root) // heal a previously crashed swap before staging
     requireFamily(root, family) // a rebuild must not silently flip tiers
@@ -281,7 +304,7 @@ object WinnowIndex {
     val fps = TextOps.winnowOver(docs, k, w, family).select("fp").distinct()
       .persist()
     try {
-      val bounds = equiDepthBounds(fps)
+      val bounds = equiDepthBounds(fps, shards)
       val stage = s"${fpsDir(root)}.tmp-${java.util.UUID.randomUUID()}"
       writeSharded(fps, family, bounds, stage)
       if (new File(fpsDir(root)).exists())
@@ -307,6 +330,7 @@ object WinnowIndex {
     require(new File(fpsDir(root)).exists(),
       s"appendTo on $root with no fps/ — build or recover first")
     requireFamily(root, family)
+    graft.functions.VectorFunctions.ensureRegistered(newDocs.sparkSession)
     val bounds = boundsOf(root, family)
     TextOps.winnowOver(newDocs, k, w, family).select("fp").distinct()
       .withColumn("shard", shardOfBounds(col("fp"), bounds))
@@ -330,11 +354,14 @@ object WinnowIndex {
       family: TextOps.WinnowHash = TextOps.WinnowMd5): Unit = {
     recover(root)
     requireFamily(root, family)
-    boundsOf(root, family): Unit // refuse to compact an unreadable scheme
+    // refuse to compact an unreadable scheme — and preserve the
+    // artifact's OWN shard width across the re-cut (the manifest is the
+    // authority; compaction rebalances boundaries, never the count)
+    val shards = boundsOf(root, family).length + 1
     val fps = spark.read.parquet(fpsDir(root)).select("fp").distinct()
       .persist()
     try {
-      val bounds = equiDepthBounds(fps)
+      val bounds = equiDepthBounds(fps, shards)
       val tmp = s"${fpsDir(root)}.tmp-${java.util.UUID.randomUUID()}"
       writeSharded(fps, family, bounds, tmp)
       Artifacts.publishByRename(fpsDir(root), tmp)
@@ -356,6 +383,7 @@ object WinnowIndex {
       probeFps: DataFrame,
       family: TextOps.WinnowHash = TextOps.WinnowMd5): DataFrame = {
     requireServableFamily(root, family)
+    graft.functions.VectorFunctions.ensureRegistered(spark)
     val bounds = boundsOf(root, family)
     val ids = probeFps.select(shardOfBounds(col("fp"), bounds).as("s"))
       .distinct().collect().map(_.getInt(0)).sorted

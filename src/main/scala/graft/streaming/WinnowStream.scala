@@ -133,6 +133,49 @@ object WinnowStream {
     }
   }
 
+  /** [[matchesVsIndexRefreshing]]'s PRUNED-SERVING sibling (r11): each
+    * micro-batch winnows once, collects its fingerprints' distinct
+    * shard ids under the artifact's manifest, and reads ONLY those
+    * shard dirs for the membership join
+    * ([[graft.operators.WinnowIndex.membershipFps]]) — no corpus-sized
+    * snapshot is ever loaded or persisted. This is the gate's shape at
+    * the scale the refresh-snapshot model stops fitting: the full
+    * fingerprint set of a 100 TB corpus is itself huge, while a
+    * micro-batch of paste-sized probes touches a handful of shard
+    * ranges (measured 8% of bytes at 512 shards, `ScaleProbe
+    * --winnow-index`; the batch face is the oracle-checked
+    * q_winnow_snippet). Trade against the refreshing sibling: every
+    * batch re-reads its ranges from disk (no warm snapshot), so for
+    * LARGE batches against a SMALL corpus the refresh model wins —
+    * pruning pays when probe ranges ≪ shard count, the r10 turn.
+    * Freshness: reads the live artifact per batch, so maintainer
+    * appends become visible at the NEXT batch, not a refresh boundary;
+    * the family/manifest gates run per batch and fail fast mid-stream
+    * exactly like the refresh loader's.
+    */
+  def matchesVsIndexPruned(stream: DataFrame, root: String, k: Int = 3,
+      w: Int = 4, family: TextOps.WinnowHash = TextOps.WinnowMd5)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    stream.writeStream.outputMode("append").foreachBatch {
+      (batch: Dataset[Row], batchId: Long) =>
+        val docs = batch.toDF()
+        // one winnow pass per batch: the selection feeds shard
+        // discovery AND the report join (the winnowSnippet shape)
+        val sel = TextOps.winnowOver(docs, k, w, family)
+          .select("doc_id", "fp").distinct().persist()
+        try {
+          // drop any stale listing/cache for the live artifact — the
+          // freshness contract here is per-BATCH (the refresh siblings'
+          // refreshByPath, at batch grain)
+          batch.sparkSession.catalog.refreshByPath(
+            graft.operators.WinnowIndex.fpsDir(root))
+          sink(TextOps.winnowMatchReportFromSel(docs, sel,
+            graft.operators.WinnowIndex.membershipFps(
+              batch.sparkSession, root, sel, family)), batchId)
+        } finally sel.unpersist(blocking = false): Unit
+    }
+
   /** Continuous index maintenance — the ingest face: each micro-batch
     * of documents folds into the winnow index at `root` via
     * [[graft.operators.WinnowIndex.appendTo]] (slice-sized work), with

@@ -133,6 +133,45 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(q.count() > 0)
   }
 
+  test("range_shard: bit-identical to the fold-of-whens form it replaced, " +
+      "duplicates and extremes included, inside codegen") {
+    import org.apache.spark.sql.Column
+    // the replaced expression form, kept verbatim for the identity pin
+    def foldForm(fp: Column, bounds: Seq[Long]): Column =
+      bounds.foldLeft(lit(0))((acc, b) =>
+        acc + when(fp >= lit(b), 1).otherwise(0)).cast("int")
+    val bounds = Seq(Long.MinValue + 1, -50L, -50L, 0L, 3L, 900L, 900L,
+      Long.MaxValue - 1).sorted
+    val fps = Seq(Long.MinValue, Long.MinValue + 1, -51L, -50L, -1L, 0L,
+      2L, 3L, 4L, 899L, 900L, 901L, Long.MaxValue - 1, Long.MaxValue)
+    val df = fps.map(Tuple1(_)).toDF("fp")
+    val got = df.select(col("fp"),
+        VectorFunctions.rangeShard(col("fp"), typedlit(bounds)).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val want = df.select(col("fp"), foldForm(col("fp"), bounds).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === want)
+    // and the linear-class reference: count of bounds <= fp
+    fps.foreach { fp =>
+      assert(got(fp) == bounds.count(_ <= fp), s"fp=$fp")
+    }
+    // a PRODUCTION-width cut (4095 bounds = 4096 shards): the fold form
+    // this kernel replaced overflowed Catalyst recursion at this width
+    val wide = (0 until 4095).map(i => i.toLong * 1000).sorted
+    val wideGot = df.select(
+        VectorFunctions.rangeShard(col("fp"), typedlit(wide)).as("s"))
+      .collect().map(_.getInt(0))
+    assert(wideGot.toSeq == fps.map(fp => wide.count(_ <= fp)))
+    // stays inside whole-stage codegen over a real scan (a local
+    // relation constant-folds to LocalTableScan and shows no codegen)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.select(VectorFunctions.rangeShard(col("vec_id"),
+      typedlit(bounds)).as("s"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*\\*\\(\\d+\\) Project \\[range_shard.*"), plan)
+    assert(q.count() > 0)
+  }
+
   test("shape mismatches refuse loudly — never codes at silently wrong offsets") {
     def chain(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)

@@ -190,6 +190,38 @@ class WinnowIndexSpec extends AnyFunSuite {
     assert(WinnowIndex.ensure(spark, dir, k = 3, w = 4) == rootA)
   }
 
+  test("shard count is a build parameter the manifest carries: a 512-shard " +
+      "artifact serves, prunes, and compacts at its own width") {
+    val d = docs().filter(col("doc_id") % 2 === 0)
+    val root = java.nio.file.Files.createTempDirectory("graft-widxw").toString
+    WinnowIndex.buildInto(root, d, shards = 512)
+    val bounds = WinnowIndex.boundsOf(root, TextOps.WinnowMd5)
+    assert(bounds.length == 511)
+    // serving equality: the wide artifact holds exactly the corpus set
+    val want = TextOps.winnowOver(d, 3, 4).select("fp").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(spark.read.parquet(WinnowIndex.fpsDir(root))
+      .select("fp").collect().map(_.getLong(0)).toSet === want)
+    // pruning at the wide cut: a 1-fp probe reads only its own shard's
+    // range — a far smaller slice than the 64-shard default's
+    val oneFp = want.head
+    val probeFps = Seq((0L, oneFp)).toDF("doc_id", "fp")
+    val pruned = WinnowIndex.membershipFps(spark, root, probeFps)
+      .collect().map(_.getLong(0)).toSet
+    def shardOf(fp: Long): Int = bounds.count(_ <= fp)
+    assert(pruned === want.filter(fp => shardOf(fp) == shardOf(oneFp)))
+    // append + compact preserve the artifact's OWN width across the
+    // re-cut (the manifest is the authority, not the default constant)
+    WinnowIndex.appendTo(root, docs().filter(col("doc_id") % 2 =!= 0))
+    WinnowIndex.compact(root, spark)
+    assert(WinnowIndex.boundsOf(root, TextOps.WinnowMd5).length == 511)
+    spark.catalog.refreshByPath(WinnowIndex.fpsDir(root))
+    val wantAll = TextOps.winnowOver(docs(), 3, 4).select("fp").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(spark.read.parquet(WinnowIndex.fpsDir(root))
+      .select("fp").collect().map(_.getLong(0)).toSet === wantAll)
+  }
+
   test("an xxhash64-tier index round-trips build/append/serve") {
     val d = docs()
     val root = java.nio.file.Files.createTempDirectory("graft-widxx").toString

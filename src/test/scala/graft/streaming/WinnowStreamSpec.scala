@@ -154,6 +154,64 @@ class WinnowStreamSpec extends AnyFunSuite {
     assert(r._2 > 0 && r._3 == r._2, s"re-serve not fully known: $r")
   }
 
+  test("pruned serving: drained stream reports equal the batch kernel against " +
+      "the FULL set, and maintainer appends are visible at the next batch") {
+    import graft.operators.WinnowIndex
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id").cast("long"), col("text"))
+    val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+    val root = java.nio.file.Files.createTempDirectory("graft-winprn").toString
+    WinnowIndex.buildInto(root, corpus)
+    // paste-sized probes: 12-token snippets of probe-slice docs — the
+    // regime where range-pruned reads pay (the q_winnow_snippet shape)
+    val probes = docs.filter(col("doc_id") % 3 === 0)
+      .as[(Long, String)].collect().filter(_._2 != null).take(6)
+      .map { case (id, t) => (id, t.split(" ").take(12).mkString(" ")) }.toSeq
+    // batch truth: the same snippets against the FULL fingerprint set —
+    // pruning must change the bytes read, never the report
+    val want = WinnowStream.matchReport(
+        probes.toDF("doc_id", "text"), WinnowStream.corpusIndexOf(corpus))
+      .as[(Long, Long, Long)].collect().toSet
+
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = WinnowStream.matchesVsIndexPruned(
+      mem.toDS.select(col("_1").as("doc_id"), col("_2").as("text")), root) {
+      (df, _) =>
+        val rows = df.as[(Long, Long, Long)].collect()
+        got.synchronized { got ++= rows }
+    }.start()
+    try {
+      val (a, b) = probes.splitAt(probes.size / 2)
+      mem.addData(a: _*)
+      q.processAllAvailable()
+      mem.addData(b: _*)
+      q.processAllAvailable()
+      assert(got.toSet == want, s"pruned stream diverged: ${got.toSet} vs $want")
+      // a maintainer append lands mid-stream: the NEXT batch sees it
+      // (per-batch artifact read — no refresh boundary to wait for)
+      // identical novel text on both sides (a PREFIX's winnow minima are
+      // not guaranteed a subset of the full doc's selection — windows
+      // near the cut differ; same text ⇒ same selection exactly)
+      val probe2 = (1 to 12).map(i => s"zq$i xkcd$i").mkString(" ")
+      val r0 = {
+        got.clear()
+        mem.addData((990001L, probe2)); q.processAllAvailable()
+        got.find(_._1 == 990001L).get
+      }
+      assert(r0._2 > 0 && r0._3 == 0, s"novel text should be unknown: $r0")
+      WinnowIndex.appendTo(root, Seq((990002L, probe2)).toDF("doc_id", "text"))
+      val r1 = {
+        got.clear()
+        mem.addData((990003L, probe2)); q.processAllAvailable()
+        got.find(_._1 == 990003L).get
+      }
+      assert(r1._2 == r0._2 && r1._3 == r1._2,
+        s"append not visible at next batch: $r1 (before: $r0)")
+    } finally q.stop()
+  }
+
   test("checkpointed resume: no report is re-emitted for already-processed batches") {
     // the ResumeSpec contract for the winnow gate: stop the stream,
     // deliver more documents, restart from the same checkpoint — old
