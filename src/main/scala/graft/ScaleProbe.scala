@@ -694,43 +694,38 @@ object ScaleProbe {
     val batch = spark.read.parquet(s"$d10/documents.parquet")
       .select(col("doc_id"), col("text"))
       .filter(col("doc_id") % 3 === 0).limit(500)
-    // pruning: touched-shard bytes for gate-sized probes vs the artifact
-    def shardBytes(ids: Set[Int]): Long =
-      Option(new java.io.File(WinnowIndex.fpsDir(root)).listFiles())
+    // pruning: touched-shard bytes for gate-sized probes vs the
+    // artifact — ONE set of helpers parameterized by artifact root and
+    // cut, so the 64-shard and 512-shard rows measure the identical
+    // probe construction (the comparison SCALE.md's claim rests on)
+    def shardBytesOf(r: String, ids: Set[Int]): Long =
+      Option(new java.io.File(WinnowIndex.fpsDir(r)).listFiles())
         .getOrElse(Array.empty)
         .filter(d => d.isDirectory && d.getName.startsWith("shard=") &&
           ids.contains(d.getName.stripPrefix("shard=").toInt))
         .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
         .map(_.length()).sum
-    val allIds = (0 until 64).toSet
-    val bounds = WinnowIndex.boundsOf(root, TextOps.WinnowMd5)
-    def touched(nDocs: Int): (Int, Long) = {
-      val p = batch.limit(nDocs)
+    def snippets(nDocs: Int) = batch.limit(nDocs).select(col("doc_id"),
+      org.apache.spark.sql.functions.concat_ws(" ",
+        org.apache.spark.sql.functions.slice(
+          org.apache.spark.sql.functions.split(col("text"), " "), 1, 12))
+        .as("text"))
+    def touchedOf(r: String, p: org.apache.spark.sql.DataFrame): (Int, Long) = {
+      val bs = WinnowIndex.boundsOf(r, TextOps.WinnowMd5)
       val ids = TextOps.winnowOver(p, 3, 4)
-        .select(WinnowIndex.shardOfBounds(col("fp"), bounds).as("s"))
+        .select(WinnowIndex.shardOfBounds(col("fp"), bs).as("s"))
         .distinct().collect().map(_.getInt(0)).toSet
-      (ids.size, shardBytes(ids))
+      (ids.size, shardBytesOf(r, ids))
     }
-    val total = shardBytes(allIds)
-    val (s1, b1) = touched(1)
-    val (s4, b4) = touched(4)
+    val total = shardBytesOf(root, (0 until 64).toSet)
+    val (s1, b1) = touchedOf(root, batch.limit(1))
+    val (s4, b4) = touchedOf(root, batch.limit(4))
     // the q_winnow_snippet regime (r11): paste-sized probes — the first
     // 12 tokens of each of 5 docs — carry a handful of fps whose
     // distinct ranges cover FAR fewer shards than any whole-document
     // probe (a 1-doc probe already touches ~half), so bytes-touched
     // tracks the probe's ranges, the payoff the manifest exists for
-    def touchedSnippet(nDocs: Int): (Int, Long) = {
-      val p = batch.limit(nDocs).select(col("doc_id"),
-        org.apache.spark.sql.functions.concat_ws(" ",
-          org.apache.spark.sql.functions.slice(
-            org.apache.spark.sql.functions.split(col("text"), " "), 1, 12))
-          .as("text"))
-      val ids = TextOps.winnowOver(p, 3, 4)
-        .select(WinnowIndex.shardOfBounds(col("fp"), bounds).as("s"))
-        .distinct().collect().map(_.getInt(0)).toSet
-      (ids.size, shardBytes(ids))
-    }
-    val (ss, bs) = touchedSnippet(5)
+    val (ss, bs) = touchedOf(root, snippets(5))
     // PRODUCTION-width cut (r11): the same corpus behind a 512-shard
     // manifest — the claim that a fixed-size probe's read fraction
     // falls as the shard count grows, MEASURED instead of asserted
@@ -743,24 +738,8 @@ object ScaleProbe {
           .select(col("doc_id"), col("text"))
           .filter(col("doc_id") % 3 =!= 0),
         shards = 512)
-    val boundsW = WinnowIndex.boundsOf(rootW, TextOps.WinnowMd5)
-    def shardBytesW(ids: Set[Int]): Long =
-      Option(new java.io.File(WinnowIndex.fpsDir(rootW)).listFiles())
-        .getOrElse(Array.empty)
-        .filter(d => d.isDirectory && d.getName.startsWith("shard=") &&
-          ids.contains(d.getName.stripPrefix("shard=").toInt))
-        .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
-        .map(_.length()).sum
-    val totalW = shardBytesW((0 until 512).toSet)
-    val snipW = batch.limit(5).select(col("doc_id"),
-      org.apache.spark.sql.functions.concat_ws(" ",
-        org.apache.spark.sql.functions.slice(
-          org.apache.spark.sql.functions.split(col("text"), " "), 1, 12))
-        .as("text"))
-    val idsW = TextOps.winnowOver(snipW, 3, 4)
-      .select(WinnowIndex.shardOfBounds(col("fp"), boundsW).as("s"))
-      .distinct().collect().map(_.getInt(0)).toSet
-    val (sw, bw) = (idsW.size, shardBytesW(idsW))
+    val totalW = shardBytesOf(rootW, (0 until 512).toSet)
+    val (sw, bw) = touchedOf(rootW, snippets(5))
     println(f"[scaleprobe] winnow_index prune @512 shards: the same snippet " +
       f"probe touches $sw/512 ($bw%d/$totalW%d B, ${bw * 100.0 / totalW}%4.1f%%)")
     println(f"[scaleprobe] winnow_index 500-doc batch: indexed x1=$tIdx1%5.2fs " +

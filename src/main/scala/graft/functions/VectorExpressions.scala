@@ -542,8 +542,19 @@ case class RangeShard(left: Expression, right: Expression)
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (org.apache.spark.sql.types.LongType,
-          ArrayType(org.apache.spark.sql.types.LongType, _)) =>
+          ArrayType(org.apache.spark.sql.types.LongType, false)) =>
         TypeCheckResult.TypeCheckSuccess
+      // refuse NULLABLE-element bounds at analysis (the refuse-loudly
+      // convention): a null slot would read as 0 through the raw
+      // getLong and silently corrupt the count, and a pre-scan would
+      // cost O(shards) per row against the search's O(log shards) —
+      // literal cuts (typedlit over Seq[Long]) are containsNull=false
+      case (org.apache.spark.sql.types.LongType,
+          ArrayType(org.apache.spark.sql.types.LongType, true)) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires a null-free bounds array " +
+            "(array<bigint> with non-nullable elements) — a null " +
+            "boundary has no defined rank")
       case _ => TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires (bigint, array<bigint>), " +
           s"got (${left.dataType.sql}, ${right.dataType.sql})")

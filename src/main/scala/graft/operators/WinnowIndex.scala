@@ -370,26 +370,48 @@ object WinnowIndex {
 
   /** Membership serving, PRUNED to the probe's fp ranges: the probe's
     * distinct shard ids under the LIVE manifest's boundaries (a
-    * bounded collect — at most [[shardCount]] values) become
-    * partition-pruning literals on the fps read, so the scan touches
-    * only the shard dirs the probe's fingerprints can possibly match
-    * in — read volume is bounded by the probe's range coverage, not
-    * the corpus (a matching fp has the probe fp's shard by
-    * construction, under ANY boundary cut both sides read from the
-    * same manifest). Returns the pruned DISTINCT fp set, exactly the
-    * frame [[TextOps.winnowMatchReport]] consumes.
+    * bounded collect — at most the manifest's recorded width, a build
+    * parameter since r11) become partition-pruning literals on the fps
+    * read, so the scan touches only the shard dirs the probe's
+    * fingerprints can possibly match in — read volume is bounded by
+    * the probe's range coverage, not the corpus (a matching fp has the
+    * probe fp's shard by construction, PROVIDED both sides use the
+    * same boundary cut). Returns the pruned DISTINCT fp set, exactly
+    * the frame [[TextOps.winnowMatchReport]] consumes.
+    *
+    * Concurrent-compaction safety: a compact re-cuts the boundaries
+    * and swaps the tree, so shard ids computed under the OLD manifest
+    * against the NEW tree's dirs would silently under-match — the
+    * worst kind of wrong for a dedup gate. The file LISTING is
+    * captured eagerly at `spark.read.parquet` (analysis time), so
+    * re-reading the manifest AFTER that point and requiring it
+    * unchanged closes the window: manifest stable across
+    * [ids-computed, listing-captured] ⇒ ids and dirs share one cut.
+    * A re-cut detected in the window retries (bounded); a swap AFTER
+    * the listing makes listed files vanish, which Spark surfaces as a
+    * loud read error (`ignoreMissingFiles` default false) — never a
+    * silent under-match.
     */
   private[graft] def membershipFps(spark: SparkSession, root: String,
       probeFps: DataFrame,
       family: TextOps.WinnowHash = TextOps.WinnowMd5): DataFrame = {
     requireServableFamily(root, family)
     graft.functions.VectorFunctions.ensureRegistered(spark)
-    val bounds = boundsOf(root, family)
-    val ids = probeFps.select(shardOfBounds(col("fp"), bounds).as("s"))
-      .distinct().collect().map(_.getInt(0)).sorted
-    spark.read.parquet(fpsDir(root))
-      .filter(col("shard").isin(ids.map(Integer.valueOf).toSeq: _*))
-      .select("fp").distinct()
+    var attempt = 0
+    while (true) {
+      val bounds = boundsOf(root, family)
+      val ids = probeFps.select(shardOfBounds(col("fp"), bounds).as("s"))
+        .distinct().collect().map(_.getInt(0)).sorted
+      val pruned = spark.read.parquet(fpsDir(root)) // listing captured here
+        .filter(col("shard").isin(ids.map(Integer.valueOf).toSeq: _*))
+        .select("fp").distinct()
+      if (boundsOf(root, family) == bounds) return pruned
+      attempt += 1
+      require(attempt < 5, s"winnow manifest at $root kept changing under " +
+        "the membership read (maintainer compacting continuously?) — " +
+        "refusing to serve a cut-mismatched prune; retry when maintenance settles")
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Heal a crashed compaction swap — call at maintenance entry. */

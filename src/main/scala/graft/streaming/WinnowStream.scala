@@ -160,20 +160,29 @@ object WinnowStream {
     stream.writeStream.outputMode("append").foreachBatch {
       (batch: Dataset[Row], batchId: Long) =>
         val docs = batch.toDF()
-        // one winnow pass per batch: the selection feeds shard
-        // discovery AND the report join (the winnowSnippet shape)
-        val sel = TextOps.winnowOver(docs, k, w, family)
-          .select("doc_id", "fp").distinct().persist()
-        try {
-          // drop any stale listing/cache for the live artifact — the
-          // freshness contract here is per-BATCH (the refresh siblings'
-          // refreshByPath, at batch grain)
-          batch.sparkSession.catalog.refreshByPath(
-            graft.operators.WinnowIndex.fpsDir(root))
-          sink(TextOps.winnowMatchReportFromSel(docs, sel,
-            graft.operators.WinnowIndex.membershipFps(
-              batch.sparkSession, root, sel, family)), batchId)
-        } finally sel.unpersist(blocking = false): Unit
+        // idle-tick fast path (the appendStream guard): an empty batch
+        // still honors the every-batch sink contract with an empty
+        // report, but skips the winnow pass, the manifest read, the
+        // shard-id job and the artifact listing entirely
+        if (batch.isEmpty) {
+          sink(docs.select(col("doc_id"),
+            lit(0L).as("n_fp"), lit(0L).as("n_matched")), batchId)
+        } else {
+          // one winnow pass per batch: the selection feeds shard
+          // discovery AND the report join (the winnowSnippet shape)
+          val sel = TextOps.winnowOver(docs, k, w, family)
+            .select("doc_id", "fp").distinct().persist()
+          try {
+            // drop any stale listing/cache for the live artifact — the
+            // freshness contract here is per-BATCH (the refresh
+            // siblings' refreshByPath, at batch grain)
+            batch.sparkSession.catalog.refreshByPath(
+              graft.operators.WinnowIndex.fpsDir(root))
+            sink(TextOps.winnowMatchReportFromSel(docs, sel,
+              graft.operators.WinnowIndex.membershipFps(
+                batch.sparkSession, root, sel, family)), batchId)
+          } finally sel.unpersist(blocking = false): Unit
+        }
     }
 
   /** Continuous index maintenance — the ingest face: each micro-batch
