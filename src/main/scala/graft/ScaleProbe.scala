@@ -740,8 +740,32 @@ object ScaleProbe {
         shards = 512)
     val totalW = shardBytesOf(rootW, (0 until 512).toSet)
     val (sw, bw) = touchedOf(rootW, snippets(5))
+    // maintenance at width (r11): a gate-sized append loads a handful
+    // of dirs; SHARD-LOCAL compaction rewrites only those, the global
+    // rewrite pays the whole artifact — measured side by side on the
+    // same appended state. The artifact mutates here, so it is removed
+    // afterwards and rebuilt fresh by the next probe run.
+    def overweight(): Int =
+      Option(new java.io.File(WinnowIndex.fpsDir(rootW)).listFiles())
+        .getOrElse(Array.empty)
+        .count(dd => dd.isDirectory && dd.getName.startsWith("shard=") &&
+          Option(dd.listFiles())
+            .map(_.count(_.getName.endsWith(".parquet"))).getOrElse(0) > 1)
+    def time1(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val appendSlice = snippets(5)
+    WinnowIndex.appendTo(rootW, appendSlice)
+    val loaded = overweight()
+    val tLocal = time1(WinnowIndex.compactShards(rootW, spark))
+    WinnowIndex.appendTo(rootW, appendSlice)
+    val tGlobal = time1(WinnowIndex.compact(rootW, spark))
+    graft.operators.Artifacts.rmTree(new java.io.File(rootW))
     println(f"[scaleprobe] winnow_index prune @512 shards: the same snippet " +
       f"probe touches $sw/512 ($bw%d/$totalW%d B, ${bw * 100.0 / totalW}%4.1f%%)")
+    println(f"[scaleprobe] winnow_index maintenance @512: gate append loads " +
+      f"$loaded/512 dirs; shard-local compact $tLocal%5.2fs vs global " +
+      f"rewrite $tGlobal%5.2fs (${tGlobal / tLocal}%4.1fx)")
     println(f"[scaleprobe] winnow_index 500-doc batch: indexed x1=$tIdx1%5.2fs " +
       f"x10=$tIdx%5.2fs (flat) recompute x1=$tRec1%5.2fs x10=$tRec%5.2fs " +
       f"(grows); x10 speedup=${tRec / tIdx}%4.2fx")
@@ -756,7 +780,9 @@ object ScaleProbe {
       s""""probe4_shards":$s4,"probe4_bytes":$b4,""" +
       s""""snippet5_shards":$ss,"snippet5_bytes":$bs,""" +
       s""""w512_total_bytes":$totalW,""" +
-      s""""w512_snippet5_shards":$sw,"w512_snippet5_bytes":$bw}""")
+      s""""w512_snippet5_shards":$sw,"w512_snippet5_bytes":$bw,""" +
+      s""""w512_append_dirs":$loaded,"w512_compact_local":$tLocal,""" +
+      s""""w512_compact_global":$tGlobal}""")
   }
 
   /** Maintained-VectorIndex endurance ladder (r11, the RocksDB-endurance

@@ -188,12 +188,20 @@ object WinnowStream {
   /** Continuous index maintenance — the ingest face: each micro-batch
     * of documents folds into the winnow index at `root` via
     * [[graft.operators.WinnowIndex.appendTo]] (slice-sized work), with
-    * crash-swap recovery at batch entry and auto-compaction past
-    * `maxSegments` files (the TextIndexStream lifecycle). REPLAY-SAFE
-    * WITHOUT a marker protocol: a re-delivered batch appends duplicate
-    * fp rows, which every serving path dedupes and compaction collapses
-    * — idempotent by VALUE (unlike the text index's counted df/stats,
-    * which need the tag gates).
+    * crash-swap recovery at batch entry and SHARD-LOCAL auto-compaction
+    * past `maxSegments` files (the TextIndexStream lifecycle).
+    * Compaction rewrites only the overweight shard dirs
+    * ([[graft.operators.WinnowIndex.compactShards]] — r11): the
+    * boundary cut is untouched and work is proportional to the shards
+    * the appends actually loaded, never the corpus — at production
+    * widths the difference between rewriting a few hot dirs and
+    * rewriting everything. The global equi-depth REBALANCE
+    * ([[graft.operators.WinnowIndex.compact]]) stays a deliberate
+    * out-of-band maintenance action, not a per-batch hazard.
+    * REPLAY-SAFE WITHOUT a marker protocol: a re-delivered batch
+    * appends duplicate fp rows, which every serving path dedupes and
+    * compaction collapses — idempotent by VALUE (unlike the text
+    * index's counted df/stats, which need the tag gates).
     */
   def appendStream(docs: DataFrame, root: String, k: Int = 3, w: Int = 4,
       family: TextOps.WinnowHash = TextOps.WinnowMd5,
@@ -204,7 +212,8 @@ object WinnowStream {
           graft.operators.WinnowIndex.recover(root)
           graft.operators.WinnowIndex.appendTo(root, batch.toDF(), k, w, family)
           if (graft.operators.WinnowIndex.segments(root) > maxSegments)
-            graft.operators.WinnowIndex.compact(root, batch.sparkSession, family)
+            graft.operators.WinnowIndex.compactShards(root, batch.sparkSession,
+              family)
         }
     }
 }

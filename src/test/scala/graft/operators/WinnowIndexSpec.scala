@@ -190,6 +190,53 @@ class WinnowIndexSpec extends AnyFunSuite {
     assert(WinnowIndex.ensure(spark, dir, k = 3, w = 4) == rootA)
   }
 
+  test("shard-local compaction: only overweight dirs rewrite, the cut and the " +
+      "fingerprint set are untouched, and a crashed shard swap heals") {
+    val d = docs()
+    val root = java.nio.file.Files.createTempDirectory("graft-widxsl").toString
+    WinnowIndex.buildInto(root, d.filter(col("doc_id") % 3 === 0))
+    WinnowIndex.appendTo(root, d.filter(col("doc_id") % 3 === 1))
+    WinnowIndex.appendTo(root, d.filter(col("doc_id") % 3 === 2))
+    assert(WinnowIndex.segments(root) == 3)
+    val boundsBefore = WinnowIndex.boundsOf(root, TextOps.WinnowMd5)
+    val wantFps = spark.read.parquet(WinnowIndex.fpsDir(root))
+      .select("fp").distinct().collect().map(_.getLong(0)).toSet
+    // single-file dirs must NOT rewrite: record their file identities
+    val fpsRoot = new java.io.File(WinnowIndex.fpsDir(root))
+    def filesOf(dir: java.io.File): Set[String] =
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    val single = fpsRoot.listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard=") &&
+        filesOf(f).size == 1)
+      .map(f => f.getName -> filesOf(f)).toMap
+    WinnowIndex.compactShards(root, spark)
+    assert(WinnowIndex.segments(root) == 1)
+    // cut untouched (shard-local compaction never rebalances)...
+    assert(WinnowIndex.boundsOf(root, TextOps.WinnowMd5) == boundsBefore)
+    // ...set preserved exactly...
+    spark.catalog.refreshByPath(WinnowIndex.fpsDir(root))
+    assert(spark.read.parquet(WinnowIndex.fpsDir(root))
+      .select("fp").distinct().collect().map(_.getLong(0)).toSet === wantFps)
+    // ...and dirs already at one file kept their very files (no
+    // corpus-wide rewrite hiding behind the shard-local claim)
+    single.foreach { case (name, files) =>
+      assert(filesOf(new java.io.File(fpsRoot, name)) == files,
+        s"$name was rewritten though it was not overweight")
+    }
+    // crash point: a shard dir renamed aside with its swap-in never run
+    val victim = fpsRoot.listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+      .maxBy(f => filesOf(f).size)
+    val aside = new java.io.File(fpsRoot, victim.getName + ".old-crashed")
+    assert(victim.renameTo(aside))
+    WinnowIndex.recover(root)
+    assert(victim.exists() && !aside.exists())
+    spark.catalog.refreshByPath(WinnowIndex.fpsDir(root))
+    assert(spark.read.parquet(WinnowIndex.fpsDir(root))
+      .select("fp").distinct().collect().map(_.getLong(0)).toSet === wantFps)
+  }
+
   test("shard count is a build parameter the manifest carries: a 512-shard " +
       "artifact serves, prunes, and compacts at its own width") {
     val d = docs().filter(col("doc_id") % 2 === 0)
