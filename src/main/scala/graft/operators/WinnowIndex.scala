@@ -178,6 +178,13 @@ object WinnowIndex {
           TextOps.winnowOver(rest, k, w).isEmpty,
         "winnow append did not add a segment — the maintenance path " +
           "this artifact exists to prove was not exercised")
+      // BOTH compaction entries run, so the oracle row stands behind
+      // each: shard-local file economy first (the streaming
+      // maintainer's per-batch path — set and cut must be preserved),
+      // then the global equi-depth rebalance
+      compactShards(tmp, spark)
+      require(segments(tmp) == 1,
+        s"winnow shard-local compact left ${segments(tmp)} segments, expected 1")
       compact(tmp, spark)
       require(segments(tmp) == 1,
         s"winnow compact left ${segments(tmp)} segments, expected 1")
