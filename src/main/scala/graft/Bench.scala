@@ -4,9 +4,13 @@ import org.apache.spark.sql.SparkSession
 /** Headline bench: every SparkEntry query timed at SPARK_GRAFT_SF_DIR,
   * n=3 iterations with per-query MEDIANS reported (host-level noise on this
   * box inflates single readings up to 4×; medians keep round-over-round
-  * comparisons meaningful). Index builds ([[SparkEntry.prepareTimed]]) run
-  * before timing — ingest-time costs, paid once per dataset and recorded
-  * as `prepare_ms` (+ per-artifact breakdown in the sidecar) since r11.
+  * comparisons meaningful), widened adaptively to n=5 when one reading
+  * looks like a co-tenancy burst ([[needsRerun]], r12) — and the sidecar
+  * records each query's {min, med, max, n} spread so noise outliers can
+  * be adjudicated from the record alone ([[sidecarLine]]). Index builds
+  * ([[SparkEntry.prepareTimed]]) run before timing — ingest-time costs,
+  * paid once per dataset and recorded as `prepare_ms` (+ per-artifact
+  * breakdown in the sidecar) since r11.
   *
   * Iteration is QUERY-MAJOR with a deterministic cache boundary between
   * queries (r11): each query runs its `iters` back-to-back, THEN its
@@ -38,7 +42,25 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   private val iters = 3
 
-  private def median(xs: Seq[Double]): Double = {
+  /** Adaptive noise re-runs (r12): a query whose max reading is far
+    * above its median almost certainly caught a host co-tenancy burst
+    * in one iteration (r11's official record read q_corpus_build at
+    * 12.47 s where the clean median is 1.62 s — the driver host swung
+    * 2× mid-run). When the spread trips [[needsRerun]], the query runs
+    * [[extraIters]] more back-to-back iterations and the median of all
+    * 5 is reported — a burst then has to hit 3 of 5 readings to move
+    * the record. The absolute floor keeps sub-proportional wobble on
+    * milliseconds-cheap queries from triggering re-runs that could
+    * never have moved an adjudication.
+    */
+  private[graft] val noiseRatio = 3.0
+  private[graft] val noiseFloorSec = 0.2
+  private[graft] val extraIters = 2
+
+  private[graft] def needsRerun(ts: Seq[Double]): Boolean =
+    ts.max > noiseRatio * median(ts) && ts.max - median(ts) > noiseFloorSec
+
+  private[graft] def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     s(s.size / 2)
   }
@@ -81,34 +103,31 @@ object Bench {
     // not query work.
     val perQuery: Seq[(String, Seq[Double])] =
       SparkEntry.queries.toSeq.map { case (name, fn) =>
-        val ts = (1 to iters).map { _ =>
+        def run(): Double = {
           val t0 = System.nanoTime()
           try { force(fn(spark, sfDir)) } catch { case _: Throwable => () }
           (System.nanoTime() - t0) / 1e9
         }
+        val base = (1 to iters).map(_ => run())
+        // adaptive noise re-runs (see [[needsRerun]]): widen to 5
+        // iterations when one reading looks like a co-tenancy burst,
+        // BEFORE the cache boundary releases — the extras must ride the
+        // same warm frames the base iterations measured
+        val ts = if (needsRerun(base))
+          base ++ (1 to extraIters).map(_ => run())
+        else base
         IntraQueryCache.releaseBoundary()
         name -> ts
       }
     val medians = perQuery.map { case (n, ts) => n -> median(ts) }.toMap
-    def dp3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val total = medians.values.sum
-    // spread bounds: the all-fastest and all-slowest iteration sums
-    val totals = Seq(perQuery.map(_._2.min).sum, perQuery.map(_._2.max).sum)
     // full-fidelity record FIRST (full names, full-precision seconds, run
     // metadata) — the complete per-query map lives here even when the
     // driver's captured stream is clipped.
     // redundancy channel only — an unwritable CWD must not fail a run
     // whose results already printed
-    val fullQs = medians.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":" + dp3(v) }
-      .mkString("{", ",", "}")
-    val fullPrep = prepareBreakdown
-      .map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val fullLine =
-      s"""{"metric":"total","value":${dp3(total)},"unit":"sec","queries":$fullQs,""" +
-      s""""prepare_ms":$prepareMs,"prepare_breakdown":$fullPrep,""" +
-      s""""sf":"$sfDir","iters":$iters,"total_min":${dp3(totals.min)},"total_max":${dp3(totals.max)}}"""
+    val fullLine = sidecarLine(total, prepareMs, prepareBreakdown,
+      sfDir, perQuery)
     try {
       val out = java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.out.json"))
@@ -144,6 +163,40 @@ object Bench {
     // per-query map, which is what the scorecard needs complete
     println(metricLine(total, prepareMs, medians))
     System.out.flush()
+  }
+
+  /** The full-fidelity sidecar record (BENCH.out.json): per-query
+    * {min, med, max, n} SPREAD since r12 — the record a reader
+    * adjudicates host noise from without re-running. The rule (also in
+    * SCALE.md): a query whose sidecar max/med exceeds ~3× caught a
+    * co-tenancy burst in at least one iteration; its `med` (what the
+    * compact line and the total carry) is the defensible reading, and
+    * with the adaptive 5-iteration widening a burst must hit 3 of 5
+    * readings to move even the median. `iters` is the BASE iteration
+    * count; a query's own `n` records the widened count where the
+    * re-run policy fired. total_min/total_max remain the all-fastest /
+    * all-slowest iteration sums — the run's whole-session spread.
+    */
+  private[graft] def sidecarLine(total: Double, prepareMs: Long,
+      prepareBreakdown: Seq[(String, Long)], sfDir: String,
+      perQuery: Seq[(String, Seq[Double])]): String = {
+    def dp3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val totals = Seq(perQuery.map(_._2.min).sum, perQuery.map(_._2.max).sum)
+    val fullQs = perQuery.sortBy(_._1)
+      .map { case (k, ts) =>
+        "\"" + k + "\":{\"min\":" + dp3(ts.min) + ",\"med\":" +
+          dp3(median(ts)) + ",\"max\":" + dp3(ts.max) +
+          ",\"n\":" + ts.size + "}"
+      }
+      .mkString("{", ",", "}")
+    val fullPrep = prepareBreakdown
+      .map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    s"""{"metric":"total","value":${dp3(total)},"unit":"sec","queries":$fullQs,""" +
+      s""""prepare_ms":$prepareMs,"prepare_breakdown":$fullPrep,""" +
+      s""""sf":"$sfDir","iters":$iters,""" +
+      s""""noise_rule":"max_over_med>${noiseRatio} and max-med>${noiseFloorSec}s reran to n=${iters + extraIters}; med is the reading",""" +
+      s""""total_min":${dp3(totals.min)},"total_max":${dp3(totals.max)}}"""
   }
 
   /** Render the compact metric line at the widest display-name base

@@ -701,8 +701,12 @@ object ScaleProbe {
     def shardBytesOf(r: String, ids: Set[Int]): Long =
       Option(new java.io.File(WinnowIndex.fpsDir(r)).listFiles())
         .getOrElse(Array.empty)
+        // tolerate dir names that don't parse as pure shard ints (a
+        // crashed maintainer's 'shard=N.old-<uuid>' aside) instead of
+        // throwing NumberFormatException out of a measurement helper
         .filter(d => d.isDirectory && d.getName.startsWith("shard=") &&
-          ids.contains(d.getName.stripPrefix("shard=").toInt))
+          scala.util.Try(d.getName.stripPrefix("shard=").toInt)
+            .toOption.exists(ids.contains))
         .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
         .map(_.length()).sum
     def snippets(nDocs: Int) = batch.limit(nDocs).select(col("doc_id"),
@@ -732,12 +736,16 @@ object ScaleProbe {
     // (needs the native range_shard kernel: the fold form overflowed
     // Catalyst recursion at this width)
     val rootW = s"$base/winnow-index-probe-v3w-x10"
-    if (!new java.io.File(s"${WinnowIndex.fpsDir(rootW)}/_SUCCESS").exists())
-      WinnowIndex.buildInto(rootW,
-        spark.read.parquet(s"$d10/documents.parquet")
-          .select(col("doc_id"), col("text"))
-          .filter(col("doc_id") % 3 =!= 0),
-        shards = 512)
+    // rebuilt UNCONDITIONALLY: this artifact is MUTATED below (append +
+    // compact), so a crash in that window would leave a tree whose
+    // _SUCCESS still exists — a skip-if-present here would then serve
+    // skewed w512 prune/maintenance numbers from the mutated leftover
+    graft.operators.Artifacts.rmTree(new java.io.File(rootW))
+    WinnowIndex.buildInto(rootW,
+      spark.read.parquet(s"$d10/documents.parquet")
+        .select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % 3 =!= 0),
+      shards = 512)
     val totalW = shardBytesOf(rootW, (0 until 512).toSet)
     val (sw, bw) = touchedOf(rootW, snippets(5))
     // maintenance at width (r11): a gate-sized append loads a handful

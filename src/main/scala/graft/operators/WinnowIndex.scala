@@ -163,18 +163,24 @@ object WinnowIndex {
       val corpus = graft.Tables.documents(spark, dir)
         .select(col("doc_id"), col("text"))
         .filter(col("doc_id") % 3 =!= 0)
+      val prefix = corpus.filter(col("doc_id") % 5 =!= 1)
       val rest = corpus.filter(col("doc_id") % 5 === 1)
-      buildInto(tmp, corpus.filter(col("doc_id") % 5 =!= 1), k, w)
-      require(segments(tmp) == 1,
-        s"winnow prefix build left ${segments(tmp)} segments, expected 1")
+      buildInto(tmp, prefix, k, w)
+      // every structural require below is guarded by its slice yielding
+      // no fingerprints (empty table, or every doc under the 6-token
+      // winnow floor) — a degenerate dataset must still build a
+      // servable (empty) artifact, never strand prepare behind a proof
+      // about work that did not exist. On the driver's fixtures every
+      // slice fingerprints, so the proofs bind; the guards only
+      // evaluate on the failure path (|| short-circuits).
+      val segsAfterBuild = segments(tmp)
+      require(segsAfterBuild == 1 || TextOps.winnowOver(prefix, k, w).isEmpty,
+        s"winnow prefix build left $segsAfterBuild segments, expected 1")
       appendTo(tmp, rest, k, w)
-      // the exercised-maintenance proof, guarded so a degenerate dataset
-      // whose remainder slice yields NO fingerprints (empty, or every
-      // doc under the 6-token winnow floor) still builds a servable
-      // artifact — on the driver's fixtures the slice always
-      // fingerprints, so the proof binds. The guard only evaluates on
-      // the failure path (|| short-circuits).
-      require(segments(tmp) == 2 ||
+      // the exercised-maintenance proof: the append must land one new
+      // segment on top of whatever the prefix left (0 for a degenerate
+      // prefix, 1 otherwise)
+      require(segments(tmp) == segsAfterBuild + 1 ||
           TextOps.winnowOver(rest, k, w).isEmpty,
         "winnow append did not add a segment — the maintenance path " +
           "this artifact exists to prove was not exercised")
@@ -183,10 +189,10 @@ object WinnowIndex {
       // maintainer's per-batch path — set and cut must be preserved),
       // then the global equi-depth rebalance
       compactShards(tmp, spark)
-      require(segments(tmp) == 1,
+      require(segments(tmp) == 1 || TextOps.winnowOver(corpus, k, w).isEmpty,
         s"winnow shard-local compact left ${segments(tmp)} segments, expected 1")
       compact(tmp, spark)
-      require(segments(tmp) == 1,
+      require(segments(tmp) == 1 || TextOps.winnowOver(corpus, k, w).isEmpty,
         s"winnow compact left ${segments(tmp)} segments, expected 1")
     }
 
@@ -365,6 +371,11 @@ object WinnowIndex {
     // artifact's OWN shard width across the re-cut (the manifest is the
     // authority; compaction rebalances boundaries, never the count)
     val shards = boundsOf(root, family).length + 1
+    // a degenerate artifact (empty corpus, or every doc under the
+    // winnow floor) holds no shard dirs at all — nothing to collapse,
+    // and a parquet read over zero files would fail schema inference
+    // rather than no-op
+    if (segments(root) == 0) return
     val fps = spark.read.parquet(fpsDir(root)).select("fp").distinct()
       .persist()
     try {
@@ -406,7 +417,26 @@ object WinnowIndex {
     graft.functions.VectorFunctions.ensureRegistered(spark)
     var attempt = 0
     while (true) {
+      // crash-residue gate (r12): a compactShards crash between the
+      // aside-rename and the swap-in leaves `shard=N` missing with
+      // `shard=N.old-<uuid>` present. Partition discovery would parse
+      // the aside's name as the STRING partition value 'N.old-<uuid>'
+      // (widening the shard column), so the isin prune below would
+      // silently drop that shard's fingerprints — an under-matching
+      // dedup gate with no error, strictly worse than failing. Serving
+      // must not race the maintainer by healing (recover mutates under
+      // the root lock), so refuse loudly instead; the next maintenance
+      // entry heals. The FULL-tree readers are exempt by construction:
+      // an unpruned read still sees the aside's rows (same fp set,
+      // value-deduped at load). Checked inside the retry loop so a
+      // crash landing mid-retry is still caught.
+      requireNoShardResidue(root)
       val bounds = boundsOf(root, family)
+      // a degenerate artifact has a manifest but no shard dirs; a
+      // parquet read over zero files fails schema inference rather
+      // than matching nothing — serve the empty set it holds
+      if (segments(root) == 0)
+        return spark.range(0).select(col("id").as("fp"))
       val ids = probeFps.select(shardOfBounds(col("fp"), bounds).as("s"))
         .distinct().collect().map(_.getInt(0)).sorted
       val pruned = spark.read.parquet(fpsDir(root)) // listing captured here
@@ -419,6 +449,25 @@ object WinnowIndex {
         "refusing to serve a cut-mismatched prune; retry when maintenance settles")
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  /** The pruned-serving residue gate ([[membershipFps]]'s contract):
+    * fail loudly if the fps tree holds `.old-`/`.tmp-` shard-dir
+    * residue from a crashed [[compactShards]] swap, instead of letting
+    * partition discovery parse the aside as a string partition value
+    * and silently drop that shard from an `isin` prune.
+    */
+  private[graft] def requireNoShardResidue(root: String): Unit = {
+    val residue = Option(new File(fpsDir(root)).listFiles())
+      .getOrElse(Array.empty)
+      .map(_.getName)
+      .filter(n => n.startsWith("shard=") &&
+        (n.contains(".old-") || n.contains(".tmp-")))
+    require(residue.isEmpty,
+      s"winnow index at $root holds crashed shard-compaction residue " +
+        s"(${residue.sorted.mkString(", ")}) — a pruned read against it " +
+        "would silently drop those shards' fingerprints; run a " +
+        "maintenance entry (recover/compact) to heal before pruned serving")
   }
 
   /** SHARD-LOCAL compaction (r11) — the per-shard maintenance the

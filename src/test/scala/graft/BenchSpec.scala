@@ -82,6 +82,48 @@ class BenchSpec extends AnyFunSuite {
     assert(line.contains(""""prepare_ms":999999"""))
   }
 
+  test("the sidecar carries per-query {min, med, max, n} spread as one " +
+      "complete JSON object, and the compact line still fits its budget") {
+    val perQuery = Seq(
+      "q_clean" -> Seq(0.50, 0.55, 0.60),
+      "q_noisy" -> Seq(0.9, 1.0, 12.4, 1.1, 0.95)) // widened to n=5
+    val line = Bench.sidecarLine(1.55, 9579L,
+      Seq("tag_index" -> 100L, "lsh" -> 200L), "/root/testdata/sf0.1",
+      perQuery)
+    // spread per query: min/med/max and the (possibly widened) n
+    assert(line.contains(
+      """"q_clean":{"min":0.500,"med":0.550,"max":0.600,"n":3}"""), line)
+    assert(line.contains(
+      """"q_noisy":{"min":0.900,"med":1.000,"max":12.400,"n":5}"""), line)
+    // whole-run spread bounds and the documented adjudication rule
+    assert(line.contains(""""total_min":1.400"""))
+    assert(line.contains(""""total_max":13.000"""))
+    assert(line.contains(""""noise_rule":"""))
+    // the record parses as one complete JSON object (balanced braces,
+    // the property every reader of the sidecar depends on)
+    assert(line.count(_ == '{') == line.count(_ == '}'))
+    assert(line.startsWith("{") && line.endsWith("}"))
+    // the COMPACT printed line is untouched by the spread work: medians
+    // only, within the driver's capture budget
+    val medians = perQuery.map { case (k, ts) => k -> Bench.median(ts) }.toMap
+    val compact = Bench.metricLine(1.55, 9579L, medians)
+    assert(compact.length <= Bench.lineBudget)
+    assert(compact.contains(""""noisy":1000"""), compact)
+  }
+
+  test("the adaptive re-run rule fires on proportional spread above the " +
+      "absolute floor, not on cheap-query wobble") {
+    // r11's q_corpus_build case: 12.47 s max on a 1.62 s median → rerun
+    assert(Bench.needsRerun(Seq(1.5, 1.62, 12.47)))
+    // clean run: spread well under 3× → no rerun
+    assert(!Bench.needsRerun(Seq(0.5, 0.55, 0.6)))
+    // a 10 ms query reading 40 ms once is proportionally noisy but can
+    // never move an adjudication — the absolute floor keeps it at n=3
+    assert(!Bench.needsRerun(Seq(0.01, 0.012, 0.04)))
+    // proportional AND absolute: 0.2 s median, 0.9 s max → rerun
+    assert(Bench.needsRerun(Seq(0.19, 0.2, 0.9)))
+  }
+
   test("the metric line carries prepare_ms ahead of the per-query map") {
     val names = SparkEntry.queries.keys.toSeq
     val line = Bench.metricLine(86.43, 123456L, names.map(_ -> 0.816).toMap)

@@ -188,6 +188,24 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(VectorIndex.requireMeta(root) == ((6, 64, "float")))
   }
 
+  test("a degenerate (empty) embeddings dataset still ensures a servable " +
+      "empty artifact") {
+    // the r12 ADVICE guard: ensure's maintenance-proof requires are
+    // about work that existed — an empty table must still build a valid
+    // empty artifact, and the serving load must return the empty set
+    // instead of failing schema inference over zero files
+    import spark.implicits._
+    val ds = java.nio.file.Files.createTempDirectory("graft-vidxe").toString
+    Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+      .write.parquet(s"$ds/embeddings.parquet")
+    val root = VectorIndex.ensureExactSig(spark, ds)
+    assert(new java.io.File(s"${VectorIndex.indexDir(root)}/_SUCCESS").exists())
+    assert(VectorIndex.segments(root) == 0)
+    val (served, bits, coder) = VectorIndex.load(spark, root)
+    assert(served.count() == 0)
+    assert(bits == 8 && coder == VectorIndex.coderExactSig)
+  }
+
   test("a crash between compaction's aside and swap-in renames heals on recover") {
     val root = java.nio.file.Files.createTempDirectory("graft-vidxh").toString
     VectorIndex.buildInto(root, embAll().filter(col("vec_id") % 5 === 1), 64, 6)

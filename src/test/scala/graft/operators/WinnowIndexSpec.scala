@@ -269,6 +269,64 @@ class WinnowIndexSpec extends AnyFunSuite {
       .select("fp").collect().map(_.getLong(0)).toSet === wantAll)
   }
 
+  test("crashed shard-compaction residue refuses pruned serving loudly and " +
+      "heals on recover") {
+    // the r12 ADVICE window: compactShards crashed between the
+    // aside-rename and the swap-in, leaving shard=N missing with
+    // shard=N.old-<uuid> present — partition discovery would parse the
+    // aside as a STRING partition value, so an isin prune would silently
+    // drop that shard's fingerprints. Pruned serving must refuse, not
+    // under-match.
+    val d = docs().filter(col("doc_id") % 7 === 0)
+    val root = java.nio.file.Files.createTempDirectory("graft-widxr").toString
+    WinnowIndex.buildInto(root, d)
+    val fpsRoot = new java.io.File(WinnowIndex.fpsDir(root))
+    val rows = spark.read.parquet(WinnowIndex.fpsDir(root))
+      .select("fp", "shard").collect().map(r => (r.getLong(0), r.getInt(1)))
+    val (oneFp, _) = rows.head
+    val probeFps = Seq((0L, oneFp)).toDF("doc_id", "fp")
+    val want = WinnowIndex.membershipFps(spark, root, probeFps)
+      .collect().map(_.getLong(0)).toSet
+    // crash point: a populated shard dir renamed aside, swap-in never ran
+    val victim = fpsRoot.listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+      .maxBy(f => Option(f.listFiles()).map(_.length).getOrElse(0))
+    val aside = new java.io.File(fpsRoot, victim.getName + ".old-crashed")
+    assert(victim.renameTo(aside))
+    val e = intercept[IllegalArgumentException] {
+      WinnowIndex.membershipFps(spark, root, probeFps)
+    }
+    assert(e.getMessage.contains("residue"), e.getMessage)
+    // stale .tmp- staging residue refuses too
+    WinnowIndex.recover(root)
+    val tmpDir = new java.io.File(fpsRoot, "shard=999.tmp-stale")
+    assert(tmpDir.mkdir())
+    val e2 = intercept[IllegalArgumentException] {
+      WinnowIndex.membershipFps(spark, root, probeFps)
+    }
+    assert(e2.getMessage.contains("residue"), e2.getMessage)
+    assert(tmpDir.delete())
+    // healed tree serves the identical set again
+    spark.catalog.refreshByPath(WinnowIndex.fpsDir(root))
+    assert(WinnowIndex.membershipFps(spark, root, probeFps)
+      .collect().map(_.getLong(0)).toSet === want)
+  }
+
+  test("a degenerate (empty) dataset still ensures a servable empty artifact") {
+    // empty corpus → no fingerprints anywhere: ensure must build a
+    // valid empty artifact (the maintenance-proof requires are about
+    // work that existed), and membership serving must return the empty
+    // set instead of failing schema inference over zero files
+    val ds = java.nio.file.Files.createTempDirectory("graft-widxe").toString
+    Seq.empty[(Long, String)].toDF("doc_id", "text")
+      .write.parquet(s"$ds/documents.parquet")
+    val root = WinnowIndex.ensure(spark, ds)
+    assert(new java.io.File(s"${WinnowIndex.fpsDir(root)}/_SUCCESS").exists())
+    assert(WinnowIndex.segments(root) == 0)
+    val probeFps = Seq((0L, 123L)).toDF("doc_id", "fp")
+    assert(WinnowIndex.membershipFps(spark, root, probeFps).count() == 0)
+  }
+
   test("an xxhash64-tier index round-trips build/append/serve") {
     val d = docs()
     val root = java.nio.file.Files.createTempDirectory("graft-widxx").toString
