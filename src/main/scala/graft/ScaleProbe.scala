@@ -892,6 +892,267 @@ object ScaleProbe {
       s""""bound":${maxSegments + 1},"convergent":$convergent}""")
   }
 
+  /** Maintained-WinnowIndex endurance ladder at PRODUCTION WIDTH (r12 —
+    * the `--vindex-endurance` analog the r11 verdict asked for): ONE
+    * long-running [[graft.streaming.WinnowStream.appendStream]]
+    * maintainer behind a 512-shard manifest, fed 25+ fixed-size
+    * micro-batches under the maxSegments=8 shard-local auto-compaction
+    * policy, with the PRUNED serving gate sampled between batches.
+    * Reports (a) per-batch append latency early vs late (must stay
+    * flat: appends are slice-sized); (b) the segment bound held
+    * (≤ maxSegments+1); (c) compaction count + median latency, with
+    * the fingerprint set re-pinned ≡ a full rebuild over everything
+    * folded so far after EACH compaction (the set-preservation claim
+    * under continuous ingest); (d) the gate: a FIXED paste-sized
+    * probe (5×12-token snippets) served through the same
+    * membershipFps + matchReportFromSel kernel
+    * [[graft.streaming.WinnowStream.matchesVsIndexPruned]] runs per
+    * batch — latency and touched-bytes FRACTION sampled early vs late
+    * must stay flat while the corpus grows and compactions fire.
+    */
+  private def winnowEnduranceProbe(spark: SparkSession,
+      base: String, n1: Long): Seq[String] = {
+    import graft.operators.{TextOps, WinnowIndex}
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    val maxSegments = 8
+    val d1 = s"$base/x1"
+    synthesize(spark, d1, n1)
+    val all = spark.read.parquet(s"$d1/documents.parquet")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .collect().sortBy(_._1)
+    val (baseRows, incoming) = all.splitAt(all.length / 3)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-winnow-endurance").toString
+    WinnowIndex.buildInto(root, baseRows.toSeq.toDF("doc_id", "text"),
+      shards = 512)
+
+    def rebuildFps(upTo: Int): Set[Long] =
+      TextOps.winnowOver((baseRows ++ incoming.take(upTo)).toSeq
+          .toDF("doc_id", "text"), 3, 4)
+        .select("fp").distinct().collect().map(_.getLong(0)).toSet
+    def artifactFps(): Set[Long] = {
+      spark.catalog.refreshByPath(WinnowIndex.fpsDir(root))
+      spark.read.parquet(WinnowIndex.fpsDir(root))
+        .select("fp").distinct().collect().map(_.getLong(0)).toSet
+    }
+    // the FIXED gate probe: first 12 tokens of 5 base docs — identical
+    // across samples, so the only moving parts are corpus size and
+    // segment count
+    val probe = baseRows.take(5).toSeq
+      .map { case (id, t) => (id, t.split(" ").take(12).mkString(" ")) }
+      .toDF("doc_id", "text")
+    def shardBytes(ids: Set[Int]): Long =
+      Option(new java.io.File(WinnowIndex.fpsDir(root)).listFiles())
+        .getOrElse(Array.empty)
+        .filter(d => d.isDirectory && d.getName.startsWith("shard=") &&
+          scala.util.Try(d.getName.stripPrefix("shard=").toInt)
+            .toOption.exists(ids.contains))
+        .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
+        .map(_.length()).sum
+    def totalBytes(): Long = shardBytes((0 until 512).toSet)
+    def gateSample(): (Double, Double) = {
+      val sel = TextOps.winnowOver(probe, 3, 4)
+        .select("doc_id", "fp").distinct().persist()
+      sel.count(): Unit
+      spark.catalog.refreshByPath(WinnowIndex.fpsDir(root))
+      val t0 = System.nanoTime()
+      Bench.force(TextOps.winnowMatchReportFromSel(probe, sel,
+        WinnowIndex.membershipFps(spark, root, sel)))
+      val dt = (System.nanoTime() - t0) / 1e9
+      val bs = WinnowIndex.boundsOf(root, TextOps.WinnowMd5)
+      val ids = sel.select(WinnowIndex.shardOfBounds(col("fp"), bs).as("s"))
+        .distinct().collect().map(_.getInt(0)).toSet
+      sel.unpersist(blocking = true)
+      (dt, shardBytes(ids).toDouble / totalBytes())
+    }
+
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDS
+      .select(col("_1").as("doc_id"), col("_2").as("text"))
+    val q = graft.streaming.WinnowStream
+      .appendStream(stream, root, maxSegments = maxSegments).start()
+    val appendLat = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val compactLat = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val gates = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    var maxSeg = 0
+    var compactions = 0
+    var convergent = true
+    try {
+      gateSample(): Unit // warmup (JIT + footers) outside the samples
+      val nBatches = 25
+      val per = math.max(incoming.length / nBatches, 1)
+      var folded = 0
+      incoming.grouped(per).zipWithIndex.foreach { case (slice, bi) =>
+        val before = WinnowIndex.segments(root)
+        val t0 = System.nanoTime()
+        mem.addData(slice.toSeq: _*)
+        q.processAllAvailable()
+        val dt = (System.nanoTime() - t0) / 1e9
+        folded += slice.length
+        val after = WinnowIndex.segments(root)
+        maxSeg = math.max(maxSeg, math.max(before, after))
+        if (after < before) {
+          compactions += 1
+          compactLat += dt
+          // re-pin set preservation at this very point: the artifact's
+          // fingerprint set equals a full rebuild over everything folded
+          if (artifactFps() != rebuildFps(folded)) convergent = false
+        } else appendLat += dt
+        if (bi % 5 == 0) gates += gateSample()
+      }
+    } finally q.stop()
+    val early = median(appendLat.take(4).toSeq)
+    val late = median(appendLat.takeRight(4).toSeq)
+    val cMed = if (compactLat.isEmpty) 0.0 else median(compactLat.toSeq)
+    val gEarly = median(gates.take(2).map(_._1).toSeq)
+    val gLate = median(gates.takeRight(2).map(_._1).toSeq)
+    val fEarly = median(gates.take(2).map(_._2).toSeq)
+    val fLate = median(gates.takeRight(2).map(_._2).toSeq)
+    println(f"[scaleprobe] winnow_endurance @512 shards: " +
+      f"batches=${appendLat.size + compactions} " +
+      f"append early=$early%5.2fs late=$late%5.2fs ratio=${late / early}%4.2f " +
+      f"compactions=$compactions (median $cMed%5.2fs) " +
+      f"maxSeg=$maxSeg/${maxSegments + 1} convergent=$convergent")
+    println(f"[scaleprobe] winnow_endurance gate: latency " +
+      f"early=$gEarly%5.2fs late=$gLate%5.2fs ratio=${gLate / gEarly}%4.2f; " +
+      f"bytes-fraction early=${fEarly * 100}%4.1f%% late=${fLate * 100}%4.1f%%")
+    require(convergent,
+      "winnow artifact diverged from the full rebuild after a compaction")
+    require(maxSeg <= maxSegments + 1,
+      s"segment bound violated: $maxSeg > ${maxSegments + 1}")
+    Seq(s""""winnow_endurance":{"shards":512,"append_early":$early,""" +
+      s""""append_late":$late,"ratio":${late / early},""" +
+      s""""compactions":$compactions,"compact_median":$cMed,""" +
+      s""""max_segments":$maxSeg,"bound":${maxSegments + 1},""" +
+      s""""convergent":$convergent,"gate_early":$gEarly,"gate_late":$gLate,""" +
+      s""""gate_ratio":${gLate / gEarly},""" +
+      s""""gate_frac_early":$fEarly,"gate_frac_late":$fLate}""")
+  }
+
+  /** Shard/table-LOCAL vs GLOBAL compaction for the text and vector
+    * index families (r12 — the winnow `compactShards` measurement, now
+    * for the other two maintained indexes): after a gate-sized append
+    * that loads only a few dirs, the local entry rewrites exactly those
+    * while the global entry re-reads the whole artifact — measured side
+    * by side on the same appended state. The vector family's table
+    * width is 4 (every normal append touches all 4 `t=` dirs — local ≡
+    * global there); the asymmetric regime it exists for is a per-table
+    * slice append, which is what this probe stages.
+    */
+  private def indexCompactProbe(spark: SparkSession, base: String,
+      n1: Long): Seq[String] = {
+    import graft.operators.{Artifacts, TextIndex, VectorIndex, VectorOps}
+    import org.apache.spark.sql.functions.{col, sqrt}
+    import spark.implicits._
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    def time1(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    // ---- text index at x10: a 2-term gate append loads ≤2/64 shards
+    val d10 = s"$base/x10"
+    synthesize(spark, d10, n1 * 10)
+    val docs = spark.read.parquet(s"$d10/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val rootT = s"$base/tindex-compact-probe"
+    // rebuilt unconditionally — the probe MUTATES this artifact
+    Artifacts.rmTree(new java.io.File(rootT))
+    TextIndex.buildInto(rootT, docs, "probe-tidxc")
+    def gateDocs(off: Long) = Seq(
+      (90000001L + off, "enw1 enw2 enw1"),
+      (90000002L + off, "enw2 enw1 enw2")).toDF("doc_id", "text")
+    def overweightT(): Int =
+      Option(new java.io.File(s"$rootT/postings").listFiles())
+        .getOrElse(Array.empty)
+        .count(d => d.isDirectory && d.getName.startsWith("tshard=") &&
+          Option(d.listFiles())
+            .map(_.count(_.getName.endsWith(".parquet"))).getOrElse(0) > 1)
+    TextIndex.appendTo(rootT, gateDocs(0), "probe-tidxc-a1")
+    val loadedT = overweightT()
+    val tLocalT = time1(TextIndex.compactShards(rootT, spark))
+    TextIndex.appendTo(rootT, gateDocs(10), "probe-tidxc-a2")
+    val tGlobalT = time1(TextIndex.compact(rootT, spark))
+    Artifacts.rmTree(new java.io.File(rootT))
+    // ---- vector index: a t=0-only slice append loads 1/4 table dirs
+    val dE = s"$base/emb_x10"
+    synthesizeEmb(spark, dE, 20000L)
+    val emb = spark.read.parquet(s"$dE/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val (maxBucket, bits) = (64, 8)
+    val rootV = s"$base/vindex-compact-probe"
+    Artifacts.rmTree(new java.io.File(rootV))
+    VectorIndex.buildInto(rootV, emb.filter(col("vec_id") % 7 =!= 0),
+      maxBucket, bits)
+    def appendT0(): Unit =
+      VectorOps.capBuckets(
+        VectorOps.lshEntries(
+          emb.filter(col("vec_id") % 7 === 0)
+            .withColumn("nrm", sqrt(graft.functions.VectorFunctions.dot(
+              col("embedding"), col("embedding")))), bits), maxBucket)
+        .filter(col("t") === 0)
+        .repartition(1).sortWithinPartitions("t", "bucket", "nid")
+        .write.mode("append").partitionBy("t")
+        .option("compression", "zstd")
+        .parquet(VectorIndex.indexDir(rootV))
+    appendT0()
+    val tLocalV = time1(VectorIndex.compactTables(rootV, spark))
+    appendT0()
+    val tGlobalV = time1(VectorIndex.compact(rootV, spark))
+    Artifacts.rmTree(new java.io.File(rootV))
+    println(f"[scaleprobe] tindex compaction: gate append loads $loadedT/64 " +
+      f"shards; shard-local $tLocalT%5.2fs vs global $tGlobalT%5.2fs " +
+      f"(${tGlobalT / tLocalT}%4.1fx)")
+    println(f"[scaleprobe] vindex compaction: t=0 slice append loads 1/4 " +
+      f"tables; table-local $tLocalV%5.2fs vs global $tGlobalV%5.2fs " +
+      f"(${tGlobalV / tLocalV}%4.1fx)")
+    Seq(s""""tindex_compact":{"loaded_shards":$loadedT,"shards":64,""" +
+      s""""local":$tLocalT,"global":$tGlobalT,""" +
+      s""""ratio":${tGlobalT / tLocalT}},""" +
+      s""""vindex_compact":{"loaded_tables":1,"tables":4,""" +
+      s""""local":$tLocalV,"global":$tGlobalV,""" +
+      s""""ratio":${tGlobalV / tLocalV}}""")
+  }
+
+  /** Image perceptual near-dup volume probe (r12): the banded-pair
+    * claim MEASURED — candidate pairs out of the 4×16-bit band join vs
+    * the all-pairs count it replaces, at 1× and 10×, plus the declared
+    * query's end-to-end time. The candidate count is what the banded
+    * join actually materializes; for the shape to scale, it must track
+    * hash dispersion (true near-dup clusters + the 2⁻¹⁶-per-band random
+    * collision floor), not n².
+    */
+  private def imageNearDupProbe(spark: SparkSession, base: String,
+      n1: Long): Seq[String] = {
+    import graft.operators.MultimodalOps
+    def time3(f: => Unit): Double = median((1 to 3).map { _ =>
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    })
+    def tier(tag: String, n: Long): (Long, Long, Long, Double) = {
+      val d = s"$base/$tag"
+      synthesize(spark, d, n)
+      val hashed = MultimodalOps.imageHashes(spark, d).persist()
+      val nh = hashed.count()
+      val cand = MultimodalOps.dhashBandCandidates(hashed, 4).count()
+      hashed.unpersist(blocking = true)
+      Bench.force(MultimodalOps.imageNearDup(spark, d)) // warmup
+      val t = time3(Bench.force(MultimodalOps.imageNearDup(spark, d)))
+      graft.IntraQueryCache.releaseBoundary()
+      (nh, cand, nh * (nh - 1) / 2, t)
+    }
+    val (n1h, c1, all1, t1) = tier("x1", n1)
+    val (n10h, c10, all10, t10) = tier("x10", n1 * 10)
+    println(f"[scaleprobe] image_neardup x1: n=$n1h candidates=$c1 " +
+      f"(all-pairs $all1, ${c1 * 100.0 / all1}%6.3f%%) $t1%5.2fs; " +
+      f"x10: n=$n10h candidates=$c10 (all-pairs $all10, " +
+      f"${c10 * 100.0 / all10}%6.3f%%) $t10%5.2fs ratio=${t10 / t1}%4.2f")
+    Seq(s""""image_neardup":{"n_x1":$n1h,"cand_x1":$c1,"allpairs_x1":$all1,""" +
+      s""""t_x1":$t1,"n_x10":$n10h,"cand_x10":$c10,""" +
+      s""""allpairs_x10":$all10,"t_x10":$t10,"ratio":${t10 / t1}}""")
+  }
+
   /** RocksDB endurance probe (r9): ONE long-running
     * [[graft.streaming.StreamDedup.candidates]] stream under the r8
     * RocksDB session default, fed fixed-size micro-batches while the
@@ -1068,6 +1329,21 @@ object ScaleProbe {
     if (args.sameElements(Array("--vindex-endurance"))) {
       val rows = vindexEnduranceProbe(spark, base)
       println(s"""{"metric":"scaleprobe_vindex_endurance",${rows.mkString(",")}}""")
+      spark.stop(); return
+    }
+    if (args.sameElements(Array("--winnow-endurance"))) {
+      val rows = winnowEnduranceProbe(spark, base, n1)
+      println(s"""{"metric":"scaleprobe_winnow_endurance",${rows.mkString(",")}}""")
+      spark.stop(); return
+    }
+    if (args.sameElements(Array("--image-neardup"))) {
+      val rows = imageNearDupProbe(spark, base, n1)
+      println(s"""{"metric":"scaleprobe_image_neardup",${rows.mkString(",")}}""")
+      spark.stop(); return
+    }
+    if (args.sameElements(Array("--index-compact"))) {
+      val rows = indexCompactProbe(spark, base, n1)
+      println(s"""{"metric":"scaleprobe_index_compact",${rows.mkString(",")}}""")
       spark.stop(); return
     }
     if (args.sameElements(Array("--winnow-index"))) {

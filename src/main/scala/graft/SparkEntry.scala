@@ -98,6 +98,9 @@ object SparkEntry {
     "q_sql_bucket_avg" -> SqlFrontDoor.sqlBucketAvg _,
     "q_sql_bucket_sum" -> SqlFrontDoor.sqlBucketSum _,
     "q_sql_downsample" -> SqlFrontDoor.sqlDownsampleLts _,
+    "q_sql_topk" -> SqlFrontDoor.sqlTopK _,
+    "q_sql_rate" -> SqlFrontDoor.sqlRate _,
+    "q_sql_session" -> SqlFrontDoor.sqlSession _,
     "q_distinct_approx" -> EventOps.distinctApprox _,
     "q_log_level_hist" -> EventOps.logLevelHist _,
     "q_set_except" -> EventOps.setExcept _,
@@ -203,6 +206,9 @@ object SparkEntry {
     // training-data pipeline: multimodal (real BMP/WAV container decode; rows-only)
     "q_media_pipeline" -> MultimodalOps.mediaPipeline _,
     "q_media_codecs" -> MultimodalOps.mediaCodecPipeline _,
+    // image perceptual near-dup (dHash band join; rows-only — the hash is
+    // packing/codec-defined; MultimodalSpec pins it bit-exactly + recall)
+    "q_image_neardup" -> ((s, d) => MultimodalOps.imageNearDup(s, d)),
   )
 
   private val stopList = "('the','a','an','of','and','to','in','is','it','on','for')"
@@ -591,6 +597,29 @@ object SparkEntry {
     "q_topk" ->
       """SELECT event_type, COUNT(*) AS cnt FROM events
         |GROUP BY 1 ORDER BY cnt DESC, event_type LIMIT 3""".stripMargin,
+    // the r12 SQL-authored twins (window / session / top-k classes)
+    // answer to the SAME oracles as their DSL faces
+    "q_sql_topk" ->
+      """SELECT event_type, COUNT(*) AS cnt FROM events
+        |GROUP BY 1 ORDER BY cnt DESC, event_type LIMIT 3""".stripMargin,
+    "q_sql_rate" ->
+      """SELECT user_id, event_id, delta FROM (
+        |  SELECT user_id, event_id,
+        |    value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+        |  FROM events) t
+        |WHERE delta IS NOT NULL ORDER BY user_id, event_id""".stripMargin,
+    "q_sql_session" ->
+      """WITH x AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT user_id, ts,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM x)
+        |SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
     "q_rate" ->
       """SELECT user_id, event_id, delta FROM (
         |  SELECT user_id, event_id,

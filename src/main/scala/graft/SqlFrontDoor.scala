@@ -62,6 +62,55 @@ object SqlFrontDoor {
         |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin)
   }
 
+  /** SQL face of [[graft.operators.EventOps.topK]] — the top-k class a
+    * dashboard's "heaviest series" panel is written in: hash-aggregate
+    * with map-side partial combine, then a sort over only
+    * #distinct-types rows, LIMIT-pruned.
+    */
+  def sqlTopK(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(
+      """SELECT event_type, COUNT(1) AS cnt FROM events
+        |GROUP BY event_type ORDER BY cnt DESC, event_type LIMIT 3""".stripMargin)
+  }
+
+  /** SQL face of [[graft.operators.EventOps.rate]] — the lag-window
+    * counter-rate class (the canonical monitoring query): the window
+    * computes in a subquery so the NOT-NULL filter and the final
+    * projection sit above it exactly like the DSL's
+    * withColumn→filter→select chain.
+    */
+  def sqlRate(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    // the subquery is `SELECT *, … AS delta` — the DSL twin's withColumn
+    // shape — so column PRUNING generates the inner projection in
+    // relation order on both front doors; an explicit column list here
+    // would pin a different projection order and fail the sameResult pin
+    // on a cosmetic difference
+    spark.sql(
+      """SELECT user_id, event_id, delta FROM (
+        |  SELECT *,
+        |    value - LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+        |  FROM events)
+        |WHERE delta IS NOT NULL
+        |ORDER BY user_id, event_id""".stripMargin)
+  }
+
+  /** SQL face of [[graft.operators.EventOps.session]] — gap-based
+    * sessionization through SQL's `session_window` table function
+    * (30-minute inactivity gap), the T8 audit-reassembly class.
+    */
+  def sqlSession(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(
+      """SELECT user_id, session_window.start AS session_start, n_events FROM (
+        |  SELECT session_window(ts, '30 minutes') AS session_window, user_id,
+        |    COUNT(1) AS n_events
+        |  FROM events
+        |  GROUP BY session_window(ts, '30 minutes'), user_id)
+        |ORDER BY user_id, session_start""".stripMargin)
+  }
+
   /** SQL face of [[graft.operators.EventOps.downsampleLts]] (D1+D2
     * unioned — the flagship MV semantics).
     */

@@ -1,0 +1,127 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, QuaternaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BinaryType, DataType, IntegerType, LongType}
+
+/** Native 64-bit DIFFERENCE HASH (dHash) over decoded pixel bytes — the
+  * image face of the perceptual near-dup family (the minhash/simhash
+  * role at pixel grain): two images whose CONTENT is close hash to
+  * nearby 64-bit codes (small Hamming distance) even when their bytes
+  * differ, so near-duplicate images band and bucket-join exactly like
+  * the text tiers ([[graft.operators.MultimodalOps.imageNearDup]]),
+  * never all-pairs.
+  *
+  * The fold is EXACT INTEGER end-to-end (the engine's oracle-tier
+  * discipline — every engine replaying it bit-agrees):
+  *  1. grayscale per pixel: `(77·R + 151·G + 28·B) ` (the classic
+  *     integer Rec.601 weights summing to 256; alpha, when present, is
+  *     ignored) — kept as an integer SUM per grid cell, never floats;
+  *  2. a 9×8 grid of box averages: cell (gx, gy) averages the pixel box
+  *     `[gx·W/9, (gx+1)·W/9) × [gy·H/8, (gy+1)·H/8)` (integer bounds,
+  *     at least one pixel per cell — requires W ≥ 9, H ≥ 8) via exact
+  *     integer division of the cell sum by its pixel count;
+  *  3. 64 bits: bit `gy·8 + gx` is 1 iff cell (gx+1, gy) > cell
+  *     (gx, gy) — horizontal brightness deltas, robust to uniform
+  *     brightness/contrast shifts by construction.
+  *
+  * Null (never garbage) for null/short pixel payloads, non-positive or
+  * sub-grid dimensions, or channels outside {3, 4} — the
+  * [[JpegDimsExpr]] malformation posture. Codegen is a static call
+  * around the tight pixel loop, inside whole-stage codegen.
+  */
+case class DHash64Expr(first: Expression, second: Expression,
+    third: Expression, fourth: Expression) extends QuaternaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (first.dataType == BinaryType && second.dataType == IntegerType &&
+      third.dataType == IntegerType && fourth.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (binary, int, int, int) arguments, got " +
+        s"(${first.dataType.sql}, ${second.dataType.sql}, " +
+        s"${third.dataType.sql}, ${fourth.dataType.sql})")
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(px: Any, w: Any, h: Any, c: Any): Any =
+    DHash64Expr.hash(px.asInstanceOf[Array[Byte]], w.asInstanceOf[Int],
+      h.asInstanceOf[Int], c.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val helper = DHash64Expr.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, (px, w, h, c) => {
+      val r = ctx.freshName("dhash")
+      s"""
+         |java.lang.Long $r = ($helper).hash($px, $w, $h, $c);
+         |${ev.isNull} = $r == null;
+         |${ev.value} = ${ev.isNull} ? 0L : $r.longValue();
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression,
+      newFourth: Expression): DHash64Expr =
+    copy(first = newFirst, second = newSecond, third = newThird,
+      fourth = newFourth)
+
+  override def prettyName: String = "dhash64"
+}
+
+object DHash64Expr {
+
+  private val gridW = 9
+  private val gridH = 8
+
+  /** The 64-bit dHash, or null on any malformation (see class doc). */
+  def hash(px: Array[Byte], width: Int, height: Int,
+      channels: Int): java.lang.Long = {
+    if (px == null || width < gridW || height < gridH) return null
+    if (channels != 3 && channels != 4) return null
+    if (px.length < width.toLong * height * channels) return null
+    // cell averages: exact integer box sums / pixel counts
+    val avg = new Array[Long](gridW * gridH)
+    var gy = 0
+    while (gy < gridH) {
+      val y0 = gy * height / gridH
+      val y1 = (gy + 1) * height / gridH
+      var gx = 0
+      while (gx < gridW) {
+        val x0 = gx * width / gridW
+        val x1 = (gx + 1) * width / gridW
+        var sum = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          val rowOff = y.toLong * width
+          while (x < x1) {
+            val i = ((rowOff + x) * channels).toInt
+            sum += 77L * (px(i) & 0xff) + 151L * (px(i + 1) & 0xff) +
+              28L * (px(i + 2) & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        avg(gy * gridW + gx) = sum / ((y1 - y0).toLong * (x1 - x0))
+        gx += 1
+      }
+      gy += 1
+    }
+    var bits = 0L
+    gy = 0
+    while (gy < gridH) {
+      var gx = 0
+      while (gx < gridW - 1) { // 8 comparisons per row (gx vs gx+1)
+        if (avg(gy * gridW + gx + 1) > avg(gy * gridW + gx))
+          bits |= 1L << (gy * 8 + gx)
+        gx += 1
+      }
+      gy += 1
+    }
+    java.lang.Long.valueOf(bits)
+  }
+}

@@ -804,6 +804,15 @@ object VectorFunctions {
         s"$wavSamplesName expects 1 argument, got ${other.size}")
   }
 
+  val dhashName = "dhash64"
+
+  private val dhashBuilder: Seq[Expression] => Expression = {
+    case Seq(px, w, h, c) => DHash64Expr(px, w, h, c)
+    case other =>
+      throw new IllegalArgumentException(
+        s"$dhashName expects 4 arguments, got ${other.size}")
+  }
+
   val simhashName = "simhash64"
 
   private val simhashBuilder: Seq[Expression] => Expression = {
@@ -888,6 +897,8 @@ object VectorFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       simhashName, simhashBuilder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      dhashName, dhashBuilder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       bpeMergeName, bpeMergeBuilder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       bpeMergeDeltaName, bpeMergeDeltaBuilder, "scala_udf")
@@ -961,6 +972,10 @@ object VectorFunctions {
 
   /** Column API: row-wise 64-bit simhash of an `array<bigint>` hash column. */
   def simhash64(c: Column): Column = call_function(simhashName, c)
+
+  /** Column API: 64-bit perceptual dHash of decoded pixel bytes. */
+  def dhash64(px: Column, w: Column, h: Column, c: Column): Column =
+    call_function(dhashName, px, w, h, c)
 
   /** Column API: one greedy LTR BPE merge round over an `array<string>`. */
   def bpeMergeStep(toks: Column, l: Column, r: Column): Column =

@@ -95,6 +95,69 @@ private[graft] object Artifacts {
     path
   }
 
+  /** The shard-/table-local compaction machinery shared by the three
+    * partitioned index families (WinnowIndex `shard=`, TextIndex
+    * `tshard=`, VectorIndex `t=`) — extracted (r12) for the same reason
+    * the swap chain was: the crash-window logic must live in ONE
+    * audited place, not three near-copies a fix could silently miss.
+    */
+
+  /** Partition dirs under `parent` named `<prefix>N` holding more than
+    * `maxSegments` parquet files — a local compaction's work list.
+    */
+  private[graft] def overweightDirs(parent: String, prefix: String,
+      maxSegments: Int): Array[File] =
+    Option(new File(parent).listFiles())
+      .getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.startsWith(prefix))
+      .filter(d => Option(d.listFiles())
+        .map(_.count(_.getName.endsWith(".parquet"))).getOrElse(0) > maxSegments)
+
+  /** Swap each staged partition dir over its live sibling atomically
+    * (aside-rename chain at PARTITION-DIR grain), then sweep the stage:
+    * every crash point leaves each dir whole-old or whole-new (both
+    * valid when the rewrite preserves the dir's row set), a
+    * missing-dir/aside pair [[recoverDirSwaps]] heals, or `.tmp-`
+    * residue the next recover sweeps. A dir with no staged sibling is
+    * skipped (an all-duplicate source still stages one copy; an EMPTY
+    * staged dir can only mean the source held no rows).
+    */
+  private[graft] def swapStagedDirs(spark: org.apache.spark.sql.SparkSession,
+      stage: String, dirs: Seq[File]): Unit = {
+    dirs.foreach { d =>
+      val staged = new File(stage, d.getName)
+      if (staged.isDirectory) {
+        publishByRename(d.getPath, staged.getPath)
+        spark.catalog.refreshByPath(d.getPath)
+      }
+    }
+    rmTree(new File(stage))
+  }
+
+  /** Crashed-swap residue among `parent`'s partition dirs: names like
+    * `<prefix>N.old-<uuid>` / `<prefix>N.tmp-<uuid>`. Serving paths
+    * must REFUSE while any exists — partition discovery parses an
+    * aside's name as a STRING partition value, so a pruned (or
+    * partition-key-joining) read would silently drop or mismatch that
+    * partition's rows. Callers format their own actionable message.
+    */
+  private[graft] def dirResidue(parent: String, prefix: String): Seq[String] =
+    Option(new File(parent).listFiles())
+      .getOrElse(Array.empty)
+      .map(_.getName)
+      .filter(n => n.startsWith(prefix) &&
+        (n.contains(".old-") || n.contains(".tmp-")))
+      .toSeq
+
+  /** Heal crashed partition-dir swaps under `parent` — the
+    * [[recoverArtifacts]] rule applied at partition-dir grain to every
+    * dir name [[dirResidue]] flags.
+    */
+  private[graft] def recoverDirSwaps(parent: String, prefix: String): Unit = {
+    val names = dirResidue(parent, prefix).map(_.takeWhile(_ != '.')).distinct
+    if (names.nonEmpty) recoverArtifacts(parent, names)
+  }
+
   /** Heal a crashed artifact swap under `root`: an artifact missing with
     * exactly one `.old-` aside present means the aside step completed
     * but the swap-in did not — rename the aside back; an aside next to a

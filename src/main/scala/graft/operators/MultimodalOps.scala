@@ -517,6 +517,126 @@ object MultimodalOps {
       col("kind"), col("cwidth"), col("cheight"))
   }
 
+  /** Tile payload bytes into a full fixed-size (64×64 RGB) image buffer
+    * for the perceptual fixtures: driver documents are a few hundred
+    * bytes — shorter than the dHash grid's 9×8 minimum under straight
+    * packing — so the near-dup fixture repeats the payload until the
+    * buffer fills. Deterministic, content-preserving (near-identical
+    * payloads tile to near-identical pixels), and every document gets a
+    * hashable image regardless of length.
+    */
+  private[graft] val tileDim = 64
+  private[graft] def tiledPayload(bytes: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](tileDim * tileDim * 3)
+    if (bytes.isEmpty) return out
+    var off = 0
+    while (off < out.length) {
+      val n = math.min(bytes.length, out.length - off)
+      System.arraycopy(bytes, 0, out, off, n)
+      off += n
+    }
+    out
+  }
+
+  /** The banded CANDIDATE join alone (doc_a, doc_b, ha, hb — distinct
+    * pairs agreeing on at least one band): split out so the probe can
+    * measure candidate-pair volume separately from the confirm filter.
+    */
+  private[graft] def dhashBandCandidates(hashed: DataFrame,
+      bands: Int): DataFrame = {
+    val width = 64 / bands
+    val mask = (1L << width) - 1
+    // the band array is built over the ALREADY-PROJECTED hash attribute
+    // (shifts of a column reference, never the hash kernel itself), so
+    // GenerateExec's no-subexpression-elimination pitfall cannot
+    // re-evaluate the kernel per element
+    val bandCols = array((0 until bands).map(b =>
+      struct(lit(b).as("band"),
+        shiftright(col("h"), b * width).bitwiseAND(lit(mask)).as("bv"))): _*)
+    val banded = hashed
+      .select(col("media_id"), col("h"), explode(bandCols).as("tb"))
+      .select(col("media_id"), col("h"),
+        col("tb.band").as("band"), col("tb.bv").as("bv"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("doc_a"), col("b.media_id").as("doc_b"),
+        col("a.h").as("ha"), col("b.h").as("hb"))
+      // a pair colliding in several bands emits once
+      .distinct()
+  }
+
+  /** Banded pair generation over 64-bit perceptual hashes — the
+    * minhash-LSH candidate shape at BIT-BAND grain: each hash splits
+    * into `bands` contiguous bit slices, candidates are pairs agreeing
+    * EXACTLY on at least one (band, value) key (a bucket equi-join,
+    * never all-pairs), and the exact Hamming distance (`bit_count` of
+    * the XOR — codegen'd) confirms. By pigeonhole, a pair within
+    * Hamming < bands shares at least one intact band, so banded recall
+    * is EXACT (not probabilistic) for any `maxHamming ≤ bands − 1` —
+    * the spec-pinned floor. 100 TB posture: candidate volume per band
+    * is Σ bucket², bounded by hash dispersion for non-dup content
+    * (random pairs collide on a 16-bit band at ~2⁻¹⁶ per band) and
+    * output-sensitive for true near-dup clusters.
+    */
+  private[graft] def dhashBandPairs(hashed: DataFrame, bands: Int = 4,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < bands,
+      s"banded recall is exact only for maxHamming < bands " +
+        s"(got $maxHamming vs $bands) — a wider gate needs more bands")
+    dhashBandCandidates(hashed, bands)
+      .withColumn("hamming",
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
+  /** The per-document perceptual hashes the near-dup pipeline pairs
+    * over: tiled-BMP fixtures through the native decode + dHash chain.
+    */
+  private[graft] def imageHashes(spark: SparkSession,
+      dir: String): DataFrame = {
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+    val media = docs.mapPartitions(_.map { case (id, p0) =>
+      val p = if (p0 == null) Array.empty[Byte] else p0
+      (id, bmpOf(tiledPayload(p)))
+    }).toDF("media_id", "bytes")
+    decode(media)
+      .filter(col("pixels").isNotNull)
+      .select(col("media_id"),
+        graft.functions.VectorFunctions.dhash64(col("pixels"),
+          col("width"), col("height"), col("channels")).as("h"))
+      .filter(col("h").isNotNull)
+  }
+
+  /** Image perceptual near-dup (rows-only driver check — the hash is
+    * codec/packing-defined): document bytes ride in REAL BMP containers
+    * ([[bmpOf]]), decode through the native header + pixel path, hash
+    * with the exact-integer [[graft.functions.DHash64Expr]], and pair
+    * through [[dhashBandPairs]]' banded equi-join — the LLM-pipeline
+    * image-dedup modality, structured exactly like the text minhash-LSH
+    * tier (band → bucket join → exact confirm, never all-pairs).
+    * Exact-duplicate documents pack to identical pixels (Hamming 0);
+    * near-identical payloads land within the gate. MultimodalSpec pins
+    * the hash bit-exactly on analytic fixtures, pins the banded recall
+    * floor on planted near-dups, and pins this pipeline against a
+    * straight in-memory recompute.
+    */
+  def imageNearDup(spark: SparkSession, dir: String,
+      maxHamming: Int = 3): DataFrame = {
+    graft.IntraQueryCache.newGeneration(s"imagend:$dir")
+    // persisted: the banded self-join consumes the hashes twice, and
+    // without the persist the BMP encode + decode + hash pipeline — the
+    // dominant cost — would execute once per side
+    val hashed = graft.IntraQueryCache.scoped(imageHashes(spark, dir))
+    dhashBandPairs(hashed, bands = 4, maxHamming = maxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Driver-surface demo pipeline (rows-only check): documents' text bytes
     * are wrapped in REAL containers per kind — image rows become valid
     * uncompressed BMPs, audio rows valid PCM WAVs (video stays a raw blob;

@@ -307,6 +307,65 @@ object TextIndex {
     publishByRename(s"$root/postings", tmp)
   }
 
+  /** SHARD-LOCAL postings compaction (r12) — the
+    * [[WinnowIndex.compactShards]] pattern at term-shard grain: every
+    * `tshard=` dir whose segment-file count exceeds `maxSegments` is
+    * rewritten alone (term-sorted, bloom-filtered, one file), in ONE
+    * job over exactly the overweight dirs, each swapped in atomically
+    * at SHARD-DIR grain. Term shards are disjoint by construction
+    * (tshard is a pure function of term), so a per-shard rewrite is
+    * the global rewrite restricted to that range: the postings SET is
+    * preserved exactly (spec-pinned). [[compact]] remains the
+    * whole-index entry; this is the file-economy entry a continuous
+    * maintainer runs per batch, touching only the shards its appends
+    * actually loaded — at thousands of term shards the difference
+    * between rewriting a few hot dirs and rewriting the corpus (the
+    * winnow measurement: 4.0× at 512 shards, widening with corpus).
+    *
+    * Replay-safety interplay: rewritten files lose their `seg-<tag>-`
+    * prefixes, which is safe under the single-maintainer contract —
+    * compaction only ever runs AFTER an append committed (the stats
+    * swap landed), and a replayer of a COMMITTED tag is gated by
+    * [[lastAppendTags]] before it deletes/re-appends anything; global
+    * [[compact]] has erased tags the same way since r8.
+    */
+  private[graft] def compactShards(root: String, spark: SparkSession,
+      maxSegments: Int = 1): Unit = {
+    recoverArtifacts(root)
+    val postingsRoot = s"$root/postings"
+    val dirs = Artifacts.overweightDirs(postingsRoot, "tshard=", maxSegments)
+    if (dirs.isEmpty) return
+    // ONE job over exactly the overweight dirs (basePath keeps the
+    // tshard partition column so the rewrite re-lands per dir; tshardOf
+    // recomputes the identical value from term) — a per-dir job would
+    // pay scheduling overhead once per shard (the winnow measurement:
+    // no win at probe scale). The per-dir swap chain and its crash
+    // windows are the shared [[Artifacts.swapStagedDirs]].
+    val stage = s"$postingsRoot.tmp-${java.util.UUID.randomUUID()}"
+    writeSharded(
+      spark.read.option("basePath", postingsRoot)
+        .parquet(dirs.map(_.getPath).toSeq: _*)
+        .select("term", "doc_id", "tf", "dl", "positions"),
+      Seq("term", "doc_id"), stage)
+    Artifacts.swapStagedDirs(spark, stage, dirs.toSeq)
+  }
+
+  /** The pruned-serving residue gate (the [[WinnowIndex]] r12 rule):
+    * [[bm25At]]/[[phraseAt]] prune with `tshard isin(...)` literals, and
+    * a crashed [[compactShards]] swap leaves `tshard=N` missing with
+    * `tshard=N.old-<uuid>` present — partition discovery would parse the
+    * aside as a STRING partition value and the prune would silently
+    * drop that shard's postings. Refuse loudly; maintenance heals.
+    */
+  private def requireNoShardResidue(root: String): Unit = {
+    val residue = Artifacts.dirResidue(s"$root/postings", "tshard=")
+    require(residue.isEmpty,
+      s"text index at $root holds crashed shard-compaction residue " +
+        s"(${residue.sorted.mkString(", ")}) — a pruned read against it " +
+        "would silently drop those shards' postings; run a maintenance " +
+        "entry (recover/compact) to heal before serving")
+  }
+
   /** Swap-in `tmp` as artifact `path` — the shared [[Artifacts]] chain. */
   private def publishByRename(path: String, tmp: String): Unit =
     Artifacts.publishByRename(path, tmp)
@@ -316,8 +375,12 @@ object TextIndex {
     * touching the root; single-maintainer-per-root is the concurrency
     * contract (the stream IS that maintainer).
     */
-  private[graft] def recoverArtifacts(root: String): Unit =
+  private[graft] def recoverArtifacts(root: String): Unit = {
     Artifacts.recoverArtifacts(root, Seq("postings", "terms", "stats"))
+    // heal crashed SHARD-dir swaps ([[compactShards]]) inside postings/
+    if (new File(s"$root/postings").isDirectory)
+      Artifacts.recoverDirSwaps(s"$root/postings", "tshard=")
+  }
 
   /** The per-stream append tags the current stats artifact carries
     * (empty for a fresh build) — how an at-least-once replayer detects a
@@ -380,6 +443,7 @@ object TextIndex {
     import spark.implicits._
     require(artifactsComplete(root), s"text index at $root is incomplete " +
       "(crash mid-swap?) — rebuild it before serving")
+    requireNoShardResidue(root)
     val terms = workload.map(_._3).distinct
     val shardLits = terms.toDF("term")
       .select(tshardOf(col("term"))).as[Int].collect().toSeq.distinct
@@ -437,6 +501,7 @@ object TextIndex {
     import spark.implicits._
     require(artifactsComplete(root), s"text index at $root is incomplete " +
       "(crash mid-swap?) — rebuild it before serving")
+    requireNoShardResidue(root)
     require(workload.forall(q => q._2.size >= 2 && q._2.size <= 3),
       "phrase workload supports 2- and 3-token phrases")
     val flat = workload.flatMap { case (qid, ts) =>

@@ -215,6 +215,60 @@ object VectorIndex {
     Artifacts.publishByRename(indexDir(root), tmp)
   }
 
+  /** TABLE-LOCAL compaction (r12) — the [[WinnowIndex.compactShards]] /
+    * [[TextIndex.compactShards]] pattern at `t=` dir grain: every table
+    * dir whose segment-file count exceeds `maxSegments` is rewritten
+    * alone (deduped, RE-CAPPED, bucket-sorted, one file), in ONE job
+    * over exactly the overweight dirs, each swapped in atomically at
+    * TABLE-DIR grain. The cap rule is (t, bucket)-local
+    * ([[VectorOps.capBuckets]] windows partition by (t, bucket)), so a
+    * per-table re-cap IS the global re-cap restricted to that table:
+    * each rewritten dir converges bit-for-bit on the full rebuild's
+    * survivor set for its table (spec-pinned), while untouched dirs
+    * keep their (value-idempotent, serving-deduped) segments. Global
+    * [[compact]] remains the whole-index entry; this is what a
+    * continuous maintainer runs per batch — at production table/shard
+    * widths, one pass over the hot dirs instead of the corpus.
+    */
+  def compactTables(root: String, spark: SparkSession,
+      maxSegments: Int = 1): Unit = {
+    recover(root)
+    val (bits, maxBucket, coder) = requireMeta(root)
+    val dirs = Artifacts.overweightDirs(indexDir(root), "t=", maxSegments)
+    if (dirs.isEmpty) return
+    // ONE job over exactly the overweight dirs (basePath keeps the t
+    // partition column so the rewrite re-lands per dir). The per-dir
+    // swap chain and its crash windows are the shared
+    // [[Artifacts.swapStagedDirs]] (the staged root's own _meta is
+    // staging residue its stage sweep removes — the live tree keeps
+    // its marker).
+    val merged = spark.read.option("basePath", indexDir(root))
+      .parquet(dirs.map(_.getPath).toSeq: _*)
+      .select("nid", "ne", "nn", "t", "bucket")
+      .dropDuplicates("t", "bucket", "nid")
+    val stage = s"${indexDir(root)}.tmp-${java.util.UUID.randomUUID()}"
+    writeSharded(VectorOps.capBuckets(merged, maxBucket), stage,
+      bits, maxBucket, coder)
+    Artifacts.swapStagedDirs(spark, stage, dirs.toSeq)
+  }
+
+  /** The serving residue gate (the WinnowIndex/TextIndex r12 rule —
+    * and for vectors the FULL read needs it too): a crashed
+    * [[compactTables]] swap leaves `t=N` missing with `t=N.old-<uuid>`
+    * present, and partition discovery would then parse BOTH dirs'
+    * values as STRINGS — `t` joins against computed integer table ids
+    * downstream, so the aside's rows cast to null and silently match
+    * nothing. Refuse loudly; maintenance heals.
+    */
+  private def requireNoTableResidue(root: String): Unit = {
+    val residue = Artifacts.dirResidue(indexDir(root), "t=")
+    require(residue.isEmpty,
+      s"vector index at $root holds crashed table-compaction residue " +
+        s"(${residue.sorted.mkString(", ")}) — serving would parse the " +
+        "aside as a string partition value and its rows would silently " +
+        "match nothing; run a maintenance entry (recover/compact) to heal")
+  }
+
   /** The serving load: the artifact renamed to the stream-static join's
     * corpus-side schema, deduped against replayed append segments.
     * Returns the frame plus the artifact's code width AND coder — the
@@ -226,6 +280,7 @@ object VectorIndex {
   private[graft] def load(spark: SparkSession,
       root: String): (DataFrame, Int, String) = {
     val (bits, _, coder) = requireMeta(root)
+    requireNoTableResidue(root)
     // a degenerate artifact (empty embeddings) holds no table dirs —
     // serve the empty set it holds (a parquet read over zero files
     // fails schema inference rather than matching nothing)
@@ -309,6 +364,13 @@ object VectorIndex {
       require(segments(tmp) == segsAfterBuild + 1 || rest.isEmpty,
         "exactsig append did not add a segment — the maintenance path " +
           "this artifact exists to prove was not exercised")
+      // BOTH compaction entries run (the WinnowIndex.ensure pattern), so
+      // the oracle row stands behind each: table-local re-cap first (the
+      // streaming maintainer's per-batch path — per-table convergence),
+      // then the global re-cap
+      compactTables(tmp, spark)
+      require(segments(tmp) == 1 || emb.isEmpty,
+        s"exactsig table-local compact left ${segments(tmp)} segments, expected 1")
       compact(tmp, spark)
       require(segments(tmp) == 1 || emb.isEmpty,
         s"exactsig compact left ${segments(tmp)} segments, expected 1")
@@ -326,6 +388,9 @@ object VectorIndex {
     */
   def recover(root: String): Unit = {
     Artifacts.recoverArtifacts(root, Seq("index"))
+    // heal crashed TABLE-dir swaps ([[compactTables]]) inside index/
+    if (new File(indexDir(root)).isDirectory)
+      Artifacts.recoverDirSwaps(indexDir(root), "t=")
     val legacy = new File(root, "_meta")
     if (legacy.exists()) {
       if (new File(indexDir(root)).exists() && !metaFile(root).exists())

@@ -458,11 +458,7 @@ object WinnowIndex {
     * and silently drop that shard from an `isin` prune.
     */
   private[graft] def requireNoShardResidue(root: String): Unit = {
-    val residue = Option(new File(fpsDir(root)).listFiles())
-      .getOrElse(Array.empty)
-      .map(_.getName)
-      .filter(n => n.startsWith("shard=") &&
-        (n.contains(".old-") || n.contains(".tmp-")))
+    val residue = Artifacts.dirResidue(fpsDir(root), "shard=")
     require(residue.isEmpty,
       s"winnow index at $root holds crashed shard-compaction residue " +
         s"(${residue.sorted.mkString(", ")}) — a pruned read against it " +
@@ -491,11 +487,7 @@ object WinnowIndex {
     recover(root)
     requireFamily(root, family)
     boundsOf(root, family): Unit // refuse an unreadable scheme
-    val dirs = Option(new File(fpsDir(root)).listFiles())
-      .getOrElse(Array.empty)
-      .filter(d => d.isDirectory && d.getName.startsWith("shard="))
-      .filter(d => Option(d.listFiles())
-        .map(_.count(_.getName.endsWith(".parquet"))).getOrElse(0) > maxSegments)
+    val dirs = Artifacts.overweightDirs(fpsDir(root), "shard=", maxSegments)
     if (dirs.isEmpty) return
     // ONE job over exactly the overweight dirs (basePath keeps the
     // shard partition column so the rewrite re-lands per dir), staged
@@ -503,7 +495,8 @@ object WinnowIndex {
     // sweep — a per-dir job here would pay Spark's scheduling overhead
     // once per shard and dominate at small shards (measured 17 dirs ≈
     // a full rewrite); the data term, not the dir count, should own
-    // the cost
+    // the cost. The per-dir swap chain and its crash windows are the
+    // shared [[Artifacts.swapStagedDirs]].
     val stage = s"${fpsDir(root)}.tmp-${java.util.UUID.randomUUID()}"
     spark.read.option("basePath", fpsDir(root))
       .parquet(dirs.map(_.getPath).toSeq: _*)
@@ -513,22 +506,7 @@ object WinnowIndex {
       .write.partitionBy("shard")
       .option("compression", "zstd")
       .parquet(stage)
-    // swap each rewritten dir in atomically; every crash point leaves
-    // each dir either whole-old or whole-new (both valid — the SET per
-    // dir is identical), a missing-dir/aside pair the per-shard
-    // recover heals, or untouched `.tmp-` residue the next recover
-    // sweeps
-    dirs.foreach { d =>
-      val staged = new File(stage, d.getName)
-      // a shard whose every fp was a duplicate of another file still
-      // stages (distinct keeps one copy); an EMPTY staged dir can only
-      // mean the source dir held no rows — skip, nothing to economize
-      if (staged.isDirectory) {
-        Artifacts.publishByRename(d.getPath, staged.getPath)
-        spark.catalog.refreshByPath(d.getPath)
-      }
-    }
-    Artifacts.rmTree(new File(stage))
+    Artifacts.swapStagedDirs(spark, stage, dirs.toSeq)
   }
 
   /** Heal a crashed compaction swap — call at maintenance entry:
@@ -537,17 +515,8 @@ object WinnowIndex {
     */
   def recover(root: String): Unit = {
     Artifacts.recoverArtifacts(root, Seq("fps"))
-    val fps = new File(fpsDir(root))
-    if (fps.isDirectory) {
-      val shardNames = Option(fps.listFiles()).getOrElse(Array.empty)
-        .map(_.getName)
-        .filter(n => n.startsWith("shard=") &&
-          (n.contains(".old-") || n.contains(".tmp-")))
-        .map(_.takeWhile(_ != '.'))
-        .distinct.toSeq
-      if (shardNames.nonEmpty)
-        Artifacts.recoverArtifacts(fpsDir(root), shardNames)
-    }
+    if (new File(fpsDir(root)).isDirectory)
+      Artifacts.recoverDirSwaps(fpsDir(root), "shard=")
   }
 
   /** Segment-count proxy the streaming maintainer bounds ([[compact]]

@@ -48,11 +48,15 @@ object TextIndexStream {
     * SEGMENT-BOUNDED: each append adds one parquet file per touched term
     * shard, and long-running ingest would otherwise degrade scan setup
     * with file count. After a committed append, if any shard holds more
-    * than `maxSegments` files, [[TextIndex.compact]] rewrites the
-    * postings in one sorted pass — so segment count stays bounded by the
-    * compaction threshold regardless of stream lifetime
-    * (TextIndexStreamSpec pins serving ≡ rebuild across the compaction
-    * and the bound after N micro-batches).
+    * than `maxSegments` files, [[TextIndex.compactShards]] (r12 —
+    * SHARD-LOCAL, the WinnowIndex pattern) rewrites exactly the
+    * overweight term-shard dirs in one job — so segment count stays
+    * bounded by the compaction threshold regardless of stream lifetime,
+    * and the per-compaction cost tracks the shards the stream's appends
+    * actually loaded, not the corpus (TextIndexStreamSpec pins
+    * serving ≡ rebuild across the compaction and the bound after N
+    * micro-batches; [[TextIndex.compact]] remains the whole-index
+    * rewrite entry).
     */
   /** `streamId` must be 1:1 with the query's CHECKPOINT: batch ids are
     * only meaningful within one checkpoint lineage, so a reset/relocated
@@ -93,7 +97,9 @@ object TextIndexStream {
       marker.getParentFile.mkdirs()
       marker.createNewFile(): Unit
       if (TextIndex.postingsSegments(root) > maxSegments)
-        TextIndex.compact(root, batch.sparkSession)
+        // shard-local: only dirs past the bound rewrite (to one file);
+        // dirs the stream's appends never overloaded keep their files
+        TextIndex.compactShards(root, batch.sparkSession, maxSegments)
     }
   }
 }

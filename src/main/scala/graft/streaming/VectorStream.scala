@@ -157,11 +157,21 @@ object VectorStream {
     * of (vec_id, embedding) rows folds into the maintained LSH index at
     * `root` via [[graft.operators.VectorIndex.appendTo]] (slice-sized,
     * capped within the slice), with crash-swap recovery at batch entry
-    * and auto-compaction past `maxSegments` files per table dir —
-    * compaction's global re-cap is what keeps the artifact converging
-    * on the full rebuild's survivor set. Replay-safe by VALUE: a
-    * re-delivered batch appends duplicate rows, which serving dedupes
-    * and compaction collapses.
+    * and auto-compaction past `maxSegments` files per table dir via the
+    * TABLE-LOCAL entry ([[graft.operators.VectorIndex.compactTables]],
+    * r12): only dirs past the bound rewrite, and because the cap rule
+    * is (t, bucket)-local each REWRITTEN dir re-caps to exactly the
+    * full rebuild's survivor set for its table, at the cost of only
+    * the dirs the stream's appends actually loaded. Whole-artifact
+    * convergence therefore holds when every dir crosses the bound
+    * together — which this stream's appends guarantee (every vector
+    * lands in one bucket PER table, so each non-empty batch adds one
+    * file to every `t=` dir and the dirs age in lockstep); a
+    * still-under-bound dir holds capped-within-slice SUPERSETS of its
+    * survivor set until its own rewrite — candidate-volume cost, never
+    * correctness (the exact-cosine confirm runs per candidate).
+    * Replay-safe by VALUE: a re-delivered batch appends duplicate
+    * rows, which serving dedupes and compaction collapses.
     */
   def appendStream(emb: DataFrame, root: String, maxSegments: Int = 8)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
@@ -171,7 +181,8 @@ object VectorStream {
           graft.operators.VectorIndex.recover(root)
           graft.operators.VectorIndex.appendTo(root, batch.toDF())
           if (graft.operators.VectorIndex.segments(root) > maxSegments)
-            graft.operators.VectorIndex.compact(root, batch.sparkSession)
+            graft.operators.VectorIndex.compactTables(root,
+              batch.sparkSession, maxSegments)
         }
     }
 }

@@ -245,6 +245,10 @@ class PlanSpec extends AnyFunSuite {
     same(SqlFrontDoor.sqlBucketSum(spark, dir), EventOps.bucketSum(spark, dir))
     same(SqlFrontDoor.sqlDownsampleLts(spark, dir),
       EventOps.downsampleLts(spark, dir))
+    // r12: the window / session / top-k classes
+    same(SqlFrontDoor.sqlTopK(spark, dir), EventOps.topK(spark, dir))
+    same(SqlFrontDoor.sqlRate(spark, dir), EventOps.rate(spark, dir))
+    same(SqlFrontDoor.sqlSession(spark, dir), EventOps.session(spark, dir))
   }
 
   test("winnow snippet (declared pruned-serving twin): fps scan " +

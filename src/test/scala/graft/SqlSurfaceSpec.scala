@@ -32,6 +32,20 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(d > 0.0)
   }
 
+  test("the r12 SQL-authored twins return the DSL faces' exact rows " +
+      "(window, session, top-k classes)") {
+    val dir = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().toSeq.map(_.toString)
+    assert(rows(SqlFrontDoor.sqlTopK(spark, dir))
+      === rows(operators.EventOps.topK(spark, dir)))
+    assert(rows(SqlFrontDoor.sqlRate(spark, dir))
+      === rows(operators.EventOps.rate(spark, dir)))
+    assert(rows(SqlFrontDoor.sqlSession(spark, dir))
+      === rows(operators.EventOps.session(spark, dir)))
+    assert(SqlFrontDoor.sqlSession(spark, dir).count() > 0)
+  }
+
   test("minhash_agg sketch aggregate usable from SQL") {
     val rows = spark.sql(
       """SELECT lang, minhash_agg(xxhash64(tok)) AS sig FROM (

@@ -456,4 +456,146 @@ class MultimodalSpec extends AnyFunSuite {
       assert(pngFeats(id) == bmpFeats(id), s"doc $id")
     }
   }
+
+  // ---- perceptual near-dup (r12): dHash + banded pairs -----------------
+
+  /** Independent in-spec dHash reference — the structure pin the native
+    * expression answers to, entry for entry (the xxhash-tier discipline).
+    */
+  private def refDHash(px: Array[Byte], w: Int, h: Int, c: Int): Long = {
+    val avg = Array.tabulate(8, 9) { (gy, gx) =>
+      val (x0, x1) = (gx * w / 9, (gx + 1) * w / 9)
+      val (y0, y1) = (gy * h / 8, (gy + 1) * h / 8)
+      val cells = for (y <- y0 until y1; x <- x0 until x1) yield {
+        val i = (y * w + x) * c
+        77L * (px(i) & 0xff) + 151L * (px(i + 1) & 0xff) + 28L * (px(i + 2) & 0xff)
+      }
+      cells.sum / cells.size
+    }
+    (for (gy <- 0 until 8; gx <- 0 until 8
+      if avg(gy)(gx + 1) > avg(gy)(gx))
+      yield 1L << (gy * 8 + gx)).foldLeft(0L)(_ | _)
+  }
+
+  private def exprDHash(rows: Seq[(Long, Array[Byte], Int, Int, Int)])
+      : Map[Long, java.lang.Long] = {
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    rows.toDF("id", "px", "w", "h", "c")
+      .select(col("id"), graft.functions.VectorFunctions.dhash64(
+        col("px"), col("w"), col("h"), col("c")).as("dh"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else java.lang.Long.valueOf(r.getLong(1))))
+      .toMap
+  }
+
+  test("dhash64: analytic bit pins — constant image hashes to 0, a strict " +
+      "horizontal gradient to all-ones, a vertical gradient to 0") {
+    val (w, h) = (18, 16)
+    def img(f: (Int, Int) => Int): Array[Byte] =
+      Array.tabulate(w * h * 3)(i => f((i / 3) % w, i / 3 / w).toByte)
+    val flat = img((_, _) => 100)
+    val horiz = img((x, _) => x * 10) // strictly increasing per column
+    val vert = img((_, y) => y * 10) // constant within each row
+    val got = exprDHash(Seq((1L, flat, w, h, 3), (2L, horiz, w, h, 3),
+      (3L, vert, w, h, 3)))
+    assert(got(1L) == 0L)
+    assert(got(2L) == -1L, // all 64 comparison bits set
+      s"horizontal gradient hashed to ${got(2L)}")
+    assert(got(3L) == 0L)
+    // brightness invariance: a uniform +30 shift moves every cell average
+    // equally, so no comparison flips
+    val brighter = img((x, _) => x * 10 + 30)
+    assert(exprDHash(Seq((4L, brighter, w, h, 3)))(4L) == -1L)
+  }
+
+  test("dhash64: bit-identical to the in-spec reference on pseudo-random " +
+      "images, RGBA alpha ignored, malformed inputs null") {
+    val rnd = new scala.util.Random(42)
+    val imgs = (0 until 6).map { k =>
+      val (w, h) = (9 + rnd.nextInt(40), 8 + rnd.nextInt(40))
+      val px = Array.fill((w * h * 3))(rnd.nextInt(256).toByte)
+      (k.toLong, px, w, h, 3)
+    }
+    val got = exprDHash(imgs)
+    imgs.foreach { case (id, px, w, h, c) =>
+      assert(got(id) == refDHash(px, w, h, c), s"img $id")
+    }
+    // RGBA: the alpha byte must not affect the hash
+    val (_, px0, w0, h0, _) = imgs.head
+    val rgba = Array.tabulate(w0 * h0 * 4) { i =>
+      if (i % 4 == 3) rnd.nextInt(256).toByte else px0(i / 4 * 3 + i % 4)
+    }
+    assert(exprDHash(Seq((99L, rgba, w0, h0, 4)))(99L) == got(0L))
+    // malformation posture: short payload, sub-grid dims, bad channels
+    val bad = exprDHash(Seq(
+      (50L, px0.take(10), w0, h0, 3),
+      (51L, px0, 8, h0, 3), // width < 9
+      (52L, px0, w0, 7, 3), // height < 8
+      (53L, px0, w0, h0, 2)))
+    Seq(50L, 51L, 52L, 53L).foreach(id => assert(bad(id) == null, s"$id"))
+  }
+
+  test("banded near-dup pairs equal the brute-force Hamming scan exactly " +
+      "(the pigeonhole recall guarantee), on the full sf0.001 corpus") {
+    val out = MultimodalOps.imageNearDup(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // brute-force oracle: every pairwise Hamming ≤ 3 over the same hashes
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        Option(r.getString(1)).getOrElse("").getBytes("UTF-8"))
+    val hashes = docs.map { case (id, p) =>
+      // the query's exact synthesis chain: tiled 64×64 payload → real BMP
+      // container → native pixel decode → dHash
+      val bmp = MultimodalOps.bmpOf(MultimodalOps.tiledPayload(p))
+      val px = graft.functions.BmpPixelsExpr.pixels(bmp)
+      id -> refDHash(px, MultimodalOps.tileDim, MultimodalOps.tileDim, 3)
+    }
+    val expect = (for {
+      (a, ha) <- hashes; (b, hb) <- hashes if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (a, b, d.toLong)).sortBy(x => (x._1, x._2))
+    assert(expect.nonEmpty, "corpus should contain near-dup images " +
+      "(exact-dup documents pack to identical pixels)")
+    assert(out.toSeq === expect.toSeq)
+  }
+
+  test("planted near-dups: small pixel perturbations are recovered with " +
+      "EXACT recall under the banded gate, none missed, none spurious") {
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    val rnd = new scala.util.Random(7)
+    val (w, h) = (32, 24)
+    val originals = (0 until 15).map { k =>
+      (k.toLong, Array.fill(w * h * 3)(rnd.nextInt(200).toByte))
+    }
+    // each copy perturbs 2 pixels slightly — near-identical content
+    val copies = originals.map { case (id, px) =>
+      val p2 = px.clone()
+      (0 until 2).foreach { _ =>
+        val i = rnd.nextInt(p2.length)
+        p2(i) = ((p2(i) & 0xff) + 20).toByte
+      }
+      (id + 1000L, p2)
+    }
+    val all = (originals ++ copies).map { case (id, px) => (id, px, w, h, 3) }
+    val hs = exprDHash(all).map { case (k, v) => k -> v.longValue() }
+    val hashedDf = hs.toSeq.toDF("media_id", "h")
+    val got = MultimodalOps.dhashBandPairs(hashedDf, bands = 4, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // the oracle over the same hashes: banded recall must be EXACT
+    val expect = (for {
+      (a, ha) <- hs.toSeq; (b, hb) <- hs.toSeq if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (a, b, d.toLong)).toSet
+    assert(got === expect)
+    // the floor binds: the planted (orig, copy) pairs within the gate are
+    // all recovered, and most plants land within it (tiny perturbations)
+    val planted = originals.map(_._1).filter(id =>
+      java.lang.Long.bitCount(hs(id) ^ hs(id + 1000L)) <= 3)
+    assert(planted.size >= 10,
+      s"only ${planted.size}/15 plants landed under the gate")
+    planted.foreach(id => assert(got.contains(
+      (id, id + 1000L, java.lang.Long.bitCount(hs(id) ^ hs(id + 1000L)).toLong))))
+  }
 }

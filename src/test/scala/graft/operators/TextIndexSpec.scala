@@ -110,6 +110,73 @@ class TextIndexSpec extends AnyFunSuite {
     assert(pAfter.toSeq === pFull.toSeq)
   }
 
+  test("shard-local postings compaction: only overweight dirs rewrite, the " +
+      "posting set is untouched, and a crashed shard swap refuses pruned " +
+      "serving then heals") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, dir)
+    val base = java.nio.file.Files.createTempDirectory("graft-tidxsl").toString
+    val root = s"$base/idx"
+    TextIndex.buildInto(root, docs, "spec-slc-0")
+    // a GATE-SIZED append — two EXISTING corpus terms, so only their
+    // term shards gain a second segment file (the regime shard-local
+    // compaction exists for: a few hot dirs, not the corpus; unseen
+    // terms would create fresh single-file dirs instead of segments)
+    val extra = Seq(
+      (900001L, "value table value"),
+      (900002L, "table value table")).toDF("doc_id", "text")
+    TextIndex.appendTo(root, extra, "spec-slc-1")
+    val postingsRoot = new java.io.File(s"$root/postings")
+    def filesOf(d: java.io.File): Set[String] =
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    def shardDirs() = postingsRoot.listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("tshard="))
+    val overweight = shardDirs().filter(d => filesOf(d).size > 1)
+    assert(overweight.nonEmpty && overweight.length <= 2,
+      s"two rare terms should load at most 2 shards, saw ${overweight.length}")
+    val untouched = shardDirs().filter(d => filesOf(d).size == 1)
+      .map(d => d.getName -> filesOf(d)).toMap
+    assert(untouched.nonEmpty)
+    def postingSet(): Seq[String] = {
+      spark.catalog.refreshByPath(s"$root/postings")
+      spark.read.parquet(s"$root/postings")
+        .select("term", "doc_id", "tf", "dl")
+        .collect().map(_.toString).sorted.toSeq
+    }
+    val want = postingSet()
+    val wantBm25 = TextIndex.bm25At(spark, root, 10, TextOps.bm25Queries)
+      .collect().map(_.toString).toSeq
+    TextIndex.compactShards(root, spark)
+    assert(TextIndex.postingsSegments(root) == 1)
+    // posting SET preserved exactly; serving unchanged
+    assert(postingSet() === want)
+    assert(TextIndex.bm25At(spark, root, 10, TextOps.bm25Queries)
+      .collect().map(_.toString).toSeq === wantBm25)
+    // dirs that were not overweight kept their very files — no
+    // corpus-wide rewrite hiding behind the shard-local claim
+    untouched.foreach { case (name, files) =>
+      assert(filesOf(new java.io.File(postingsRoot, name)) == files,
+        s"$name was rewritten though it was not overweight")
+    }
+    // crash point: a shard dir renamed aside with its swap-in never run —
+    // pruned serving must refuse loudly (the aside would otherwise parse
+    // as a string partition value and silently drop that shard)
+    val victim = shardDirs().head
+    val aside = new java.io.File(postingsRoot, victim.getName + ".old-crashed")
+    assert(victim.renameTo(aside))
+    val e = intercept[IllegalArgumentException] {
+      TextIndex.bm25At(spark, root, 10, TextOps.bm25Queries)
+    }
+    assert(e.getMessage.contains("residue"), e.getMessage)
+    TextIndex.recoverArtifacts(root)
+    assert(victim.exists() && !aside.exists())
+    assert(TextIndex.bm25At(spark, root, 10, TextOps.bm25Queries)
+      .collect().map(_.toString).toSeq === wantBm25)
+    assert(postingSet() === want)
+  }
+
   test("overlapping and repeated phrase occurrences count exactly") {
     // build a throwaway corpus dir via the Over-path? the index is
     // dataset-keyed, so instead check the position algebra directly on a

@@ -188,6 +188,80 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(VectorIndex.requireMeta(root) == ((6, 64, "float")))
   }
 
+  test("table-local compaction: only overweight dirs rewrite, each re-caps " +
+      "to its table's full-rebuild survivor set, untouched dirs keep their " +
+      "files, and a crashed table swap refuses serving then heals") {
+    val (maxBucket, bits) = (4, 6) // truncating cap — re-cap must bind
+    val all = embAll()
+    val a = all.filter(col("vec_id") % 3 =!= 0)
+    val b = all.filter(col("vec_id") % 3 === 0)
+    val root = java.nio.file.Files.createTempDirectory("graft-vidxtl").toString
+    VectorIndex.buildInto(root, a, maxBucket, bits)
+    // a PER-TABLE-grain slice append: only t=0 gains a second segment
+    // (a normal appendTo touches every table — this is the asymmetric
+    // regime table-local compaction exists for)
+    VectorOps.capBuckets(VectorOps.lshEntries(withNrm(b), bits), maxBucket)
+      .filter(col("t") === 0)
+      .repartition(1).sortWithinPartitions("t", "bucket", "nid")
+      .write.mode("append").partitionBy("t")
+      .option("compression", "zstd")
+      .parquet(VectorIndex.indexDir(root))
+    val idxRoot = new java.io.File(VectorIndex.indexDir(root))
+    def filesOf(d: java.io.File): Set[String] =
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    def tableDirs() = idxRoot.listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("t="))
+    assert(tableDirs().count(d => filesOf(d).size > 1) == 1)
+    val untouched = tableDirs().filter(d => filesOf(d).size == 1)
+      .map(d => d.getName -> filesOf(d)).toMap
+    assert(untouched.nonEmpty)
+    // the expected survivor set for the rewritten table: the cap rule
+    // over the merged (deduped) entry set of t=0 — per-table re-cap IS
+    // the global rule restricted to the table
+    spark.catalog.refreshByPath(VectorIndex.indexDir(root))
+    val mergedT0 = spark.read.parquet(VectorIndex.indexDir(root))
+      .select("nid", "ne", "nn", "t", "bucket")
+      .filter(col("t") === 0)
+      .dropDuplicates("t", "bucket", "nid").localCheckpoint()
+    val wantT0 = keys(VectorOps.capBuckets(mergedT0, maxBucket))
+    val wantOthers = keys(spark.read.parquet(VectorIndex.indexDir(root))
+      .filter(col("t") =!= 0))
+    VectorIndex.compactTables(root, spark)
+    assert(VectorIndex.segments(root) == 1)
+    spark.catalog.refreshByPath(VectorIndex.indexDir(root))
+    val after = spark.read.parquet(VectorIndex.indexDir(root))
+    assert(keys(after.filter(col("t") === 0)) === wantT0)
+    assert(keys(after.filter(col("t") =!= 0)) === wantOthers)
+    untouched.foreach { case (name, files) =>
+      assert(filesOf(new java.io.File(idxRoot, name)) == files,
+        s"$name was rewritten though it was not overweight")
+    }
+    // a NORMAL append (touches every table) + table-local compaction
+    // converges on the full rebuild over everything folded in — the
+    // global-compact convergence claim, now for the per-batch entry
+    VectorIndex.appendTo(root, b)
+    VectorIndex.compactTables(root, spark)
+    spark.catalog.refreshByPath(VectorIndex.indexDir(root))
+    assert(keys(spark.read.parquet(VectorIndex.indexDir(root)))
+      === keys(VectorOps.lshIndex(withNrm(all), maxBucket, bits)))
+    // crash point: a table dir renamed aside with its swap-in never run —
+    // serving must refuse loudly (t would widen to string and the
+    // aside's rows would silently match nothing in the (t, bucket) join)
+    val victim = tableDirs().head
+    val aside = new java.io.File(idxRoot, victim.getName + ".old-crashed")
+    assert(victim.renameTo(aside))
+    val e = intercept[IllegalArgumentException] {
+      VectorIndex.load(spark, root)
+    }
+    assert(e.getMessage.contains("residue"), e.getMessage)
+    VectorIndex.recover(root)
+    assert(victim.exists() && !aside.exists())
+    spark.catalog.refreshByPath(VectorIndex.indexDir(root))
+    assert(keys(spark.read.parquet(VectorIndex.indexDir(root)))
+      === keys(VectorOps.lshIndex(withNrm(all), maxBucket, bits)))
+  }
+
   test("a degenerate (empty) embeddings dataset still ensures a servable " +
       "empty artifact") {
     // the r12 ADVICE guard: ensure's maintenance-proof requires are
