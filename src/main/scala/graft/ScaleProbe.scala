@@ -1033,6 +1033,120 @@ object ScaleProbe {
       s""""gate_frac_early":$fEarly,"gate_frac_late":$fLate}""")
   }
 
+  /** Maintained-TextIndex endurance ladder (r12 — completing the
+    * endurance treatment across all four index families: RocksDB r9,
+    * vector r11, winnow r12, text here): ONE long-running
+    * [[graft.streaming.TextIndexStream.appendStream]] maintainer fed
+    * fixed-size micro-batches under the maxSegments=8 SHARD-LOCAL
+    * auto-compaction policy ([[graft.operators.TextIndex.compactShards]]
+    * since r12). Reports (a) per-batch append latency early vs late
+    * (flat: appends are slice-sized — postings land under their shards,
+    * terms/stats re-aggregate old + delta); (b) the segment bound held
+    * (≤ maxSegments+1); (c) compaction count, with BM25 serving
+    * re-pinned ≡ the raw-scan kernel over everything folded so far
+    * after EACH compaction (the maintained-index consistency claim
+    * under continuous ingest — the q_bm25_indexed equality, re-proven
+    * at every compaction point); (d) indexed-serving latency early vs
+    * late (flat: reads prune to the workload terms' shards regardless
+    * of corpus growth or segment history).
+    */
+  private def tindexEnduranceProbe(spark: SparkSession,
+      base: String, n1: Long): Seq[String] = {
+    import graft.operators.{TextIndex, TextOps}
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    val maxSegments = 8
+    // a synth-corpus keyword workload (the driver workload's terms don't
+    // exist in the probe vocabulary): three queries over head tokens
+    val wl = Seq(
+      (1L, 1, "enw1"), (1L, 2, "enw2"), (1L, 3, "enw3"),
+      (2L, 1, "dew1"), (2L, 2, "dew2"), (2L, 3, "dew4"),
+      (3L, 1, "frw0"), (3L, 2, "frw5"), (3L, 3, "frw7"))
+    val d1 = s"$base/x1"
+    synthesize(spark, d1, n1)
+    val all = spark.read.parquet(s"$d1/documents.parquet")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .collect().sortBy(_._1)
+    val (baseRows, incoming) = all.splitAt(all.length / 3)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-tindex-endurance").toString + "/idx"
+    TextIndex.buildInto(root, baseRows.toSeq.toDF("doc_id", "text"),
+      "probe-tidxe-base")
+
+    def served(): Seq[String] =
+      TextIndex.bm25At(spark, root, 10, wl).collect().map(_.toString).toSeq
+    def rebuilt(upTo: Int): Seq[String] =
+      TextOps.bm25TopKOver((baseRows ++ incoming.take(upTo)).toSeq
+          .toDF("doc_id", "text"), 10, s"probe-tidxe-rb$upTo", wl)
+        .collect().map(_.toString).toSeq
+    def serveSample(): Double = {
+      val t0 = System.nanoTime()
+      Bench.force(TextIndex.bm25At(spark, root, 10, wl))
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDS
+      .select(col("_1").as("doc_id"), col("_2").as("text"))
+    val q = graft.streaming.TextIndexStream
+      .appendStream(stream, root, "probe-tidxe", maxSegments).start()
+    val appendLat = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val compactLat = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val serveLat = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var maxSeg = 0
+    var compactions = 0
+    var consistent = true
+    try {
+      serveSample(): Unit // warmup outside the samples
+      val nBatches = 25
+      val per = math.max(incoming.length / nBatches, 1)
+      var folded = 0
+      incoming.grouped(per).zipWithIndex.foreach { case (slice, bi) =>
+        val before = TextIndex.postingsSegments(root)
+        val t0 = System.nanoTime()
+        mem.addData(slice.toSeq: _*)
+        q.processAllAvailable()
+        val dt = (System.nanoTime() - t0) / 1e9
+        folded += slice.length
+        val after = TextIndex.postingsSegments(root)
+        maxSeg = math.max(maxSeg, math.max(before, after))
+        if (after < before) {
+          compactions += 1
+          compactLat += dt
+          // re-pin the maintained-index consistency claim at this very
+          // point: indexed serving ≡ the raw-scan kernel over all docs
+          if (served() != rebuilt(folded)) consistent = false
+        } else appendLat += dt
+        if (bi % 5 == 0) serveLat += serveSample()
+      }
+    } finally q.stop()
+    val early = median(appendLat.take(4).toSeq)
+    val late = median(appendLat.takeRight(4).toSeq)
+    val cMed = if (compactLat.isEmpty) 0.0 else median(compactLat.toSeq)
+    val sEarly = median(serveLat.take(2).toSeq)
+    val sLate = median(serveLat.takeRight(2).toSeq)
+    println(f"[scaleprobe] tindex_endurance: " +
+      f"batches=${appendLat.size + compactions} " +
+      f"append early=$early%5.2fs late=$late%5.2fs ratio=${late / early}%4.2f " +
+      f"compactions=$compactions (median $cMed%5.2fs) " +
+      f"maxSeg=$maxSeg/${maxSegments + 1} consistent=$consistent; " +
+      f"serving early=$sEarly%5.2fs late=$sLate%5.2fs " +
+      f"ratio=${sLate / sEarly}%4.2f")
+    require(consistent,
+      "text index diverged from the raw-scan kernel after a compaction")
+    require(maxSeg <= maxSegments + 1,
+      s"segment bound violated: $maxSeg > ${maxSegments + 1}")
+    Seq(s""""tindex_endurance":{"append_early":$early,"append_late":$late,""" +
+      s""""ratio":${late / early},"compactions":$compactions,""" +
+      s""""compact_median":$cMed,"max_segments":$maxSeg,""" +
+      s""""bound":${maxSegments + 1},"consistent":$consistent,""" +
+      s""""serve_early":$sEarly,"serve_late":$sLate,""" +
+      s""""serve_ratio":${sLate / sEarly}}""")
+  }
+
   /** Shard/table-LOCAL vs GLOBAL compaction for the text and vector
     * index families (r12 — the winnow `compactShards` measurement, now
     * for the other two maintained indexes): after a gate-sized append
@@ -1130,27 +1244,33 @@ object ScaleProbe {
     def time3(f: => Unit): Double = median((1 to 3).map { _ =>
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     })
-    def tier(tag: String, n: Long): (Long, Long, Long, Double) = {
+    def tier(tag: String, n: Long): (Long, Long, Long, Long, Double) = {
       val d = s"$base/$tag"
       synthesize(spark, d, n)
       val hashed = MultimodalOps.imageHashes(spark, d).persist()
       val nh = hashed.count()
       val cand = MultimodalOps.dhashBandCandidates(hashed, 4).count()
       hashed.unpersist(blocking = true)
+      val ahashed = MultimodalOps.audioHashes(spark, d).persist()
+      val aCand = MultimodalOps.dhashBandCandidates(ahashed, 4).count()
+      ahashed.unpersist(blocking = true)
       Bench.force(MultimodalOps.imageNearDup(spark, d)) // warmup
       val t = time3(Bench.force(MultimodalOps.imageNearDup(spark, d)))
       graft.IntraQueryCache.releaseBoundary()
-      (nh, cand, nh * (nh - 1) / 2, t)
+      (nh, cand, aCand, nh * (nh - 1) / 2, t)
     }
-    val (n1h, c1, all1, t1) = tier("x1", n1)
-    val (n10h, c10, all10, t10) = tier("x10", n1 * 10)
+    val (n1h, c1, a1, all1, t1) = tier("x1", n1)
+    val (n10h, c10, a10, all10, t10) = tier("x10", n1 * 10)
     println(f"[scaleprobe] image_neardup x1: n=$n1h candidates=$c1 " +
       f"(all-pairs $all1, ${c1 * 100.0 / all1}%6.3f%%) $t1%5.2fs; " +
       f"x10: n=$n10h candidates=$c10 (all-pairs $all10, " +
       f"${c10 * 100.0 / all10}%6.3f%%) $t10%5.2fs ratio=${t10 / t1}%4.2f")
+    println(f"[scaleprobe] audio_neardup banded volume: x1 candidates=$a1 " +
+      f"(${a1 * 100.0 / all1}%6.3f%%), x10 $a10 (${a10 * 100.0 / all10}%6.3f%%)")
     Seq(s""""image_neardup":{"n_x1":$n1h,"cand_x1":$c1,"allpairs_x1":$all1,""" +
       s""""t_x1":$t1,"n_x10":$n10h,"cand_x10":$c10,""" +
-      s""""allpairs_x10":$all10,"t_x10":$t10,"ratio":${t10 / t1}}""")
+      s""""allpairs_x10":$all10,"t_x10":$t10,"ratio":${t10 / t1},""" +
+      s""""audio_cand_x1":$a1,"audio_cand_x10":$a10}""")
   }
 
   /** RocksDB endurance probe (r9): ONE long-running
@@ -1329,6 +1449,11 @@ object ScaleProbe {
     if (args.sameElements(Array("--vindex-endurance"))) {
       val rows = vindexEnduranceProbe(spark, base)
       println(s"""{"metric":"scaleprobe_vindex_endurance",${rows.mkString(",")}}""")
+      spark.stop(); return
+    }
+    if (args.sameElements(Array("--tindex-endurance"))) {
+      val rows = tindexEnduranceProbe(spark, base, n1)
+      println(s"""{"metric":"scaleprobe_tindex_endurance",${rows.mkString(",")}}""")
       spark.stop(); return
     }
     if (args.sameElements(Array("--winnow-endurance"))) {

@@ -206,9 +206,11 @@ object SparkEntry {
     // training-data pipeline: multimodal (real BMP/WAV container decode; rows-only)
     "q_media_pipeline" -> MultimodalOps.mediaPipeline _,
     "q_media_codecs" -> MultimodalOps.mediaCodecPipeline _,
-    // image perceptual near-dup (dHash band join; rows-only — the hash is
-    // packing/codec-defined; MultimodalSpec pins it bit-exactly + recall)
+    // perceptual near-dup (band join over native exact-integer hashes;
+    // rows-only — the hashes are packing/codec-defined; MultimodalSpec
+    // pins both bit-exactly + banded ≡ brute-force + recall floors)
     "q_image_neardup" -> ((s, d) => MultimodalOps.imageNearDup(s, d)),
+    "q_audio_neardup" -> ((s, d) => MultimodalOps.audioNearDup(s, d)),
   )
 
   private val stopList = "('the','a','an','of','and','to','in','is','it','on','for')"

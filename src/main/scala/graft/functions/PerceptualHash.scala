@@ -72,6 +72,94 @@ case class DHash64Expr(first: Expression, second: Expression,
   override def prettyName: String = "dhash64"
 }
 
+/** Native 64-bit ENERGY-ENVELOPE difference hash over decoded PCM
+  * sample frames — the audio face of the perceptual near-dup family
+  * (the [[DHash64Expr]] construction in one dimension): the waveform
+  * splits into 65 windows, each window's mean |amplitude| is an exact
+  * integer (samples come from [[WavSamplesExpr]] as `int16 / 32768.0f`
+  * — a power-of-two division, so `round(s · 32768)` recovers the
+  * original integer sample exactly; sums and the window division stay
+  * in longs), and bit `w` is 1 iff window w+1 is louder than window w.
+  * Robust to uniform GAIN by construction (a positive scale moves
+  * every window mean equally in ratio, preserving every comparison at
+  * exact-integer grain up to rounding of the scaled samples), the
+  * brightness-invariance analog. Null (never garbage) for null or
+  * sub-grid (< 65 samples) input.
+  */
+case class AudioEnvHash64Expr(child: Expression) extends
+    org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float>, got ${other.sql}")
+    }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    AudioEnvHash64Expr.hash(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val helper = AudioEnvHash64Expr.getClass.getName.stripSuffix("$") +
+      "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, samples => {
+      val r = ctx.freshName("ahash")
+      s"""
+         |java.lang.Long $r = ($helper).hash($samples);
+         |${ev.isNull} = $r == null;
+         |${ev.value} = ${ev.isNull} ? 0L : $r.longValue();
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): AudioEnvHash64Expr = copy(child = newChild)
+
+  override def prettyName: String = "audio_env_hash64"
+}
+
+object AudioEnvHash64Expr {
+
+  private val windows = 65 // 64 adjacent-window comparisons
+
+  /** The 64-bit envelope hash, or null for < 65 samples. */
+  def hash(samples: org.apache.spark.sql.catalyst.util.ArrayData)
+      : java.lang.Long = {
+    if (samples == null) return null
+    val n = samples.numElements()
+    if (n < windows) return null
+    val env = new Array[Long](windows)
+    var w = 0
+    while (w < windows) {
+      val i0 = (w.toLong * n / windows).toInt
+      val i1 = ((w + 1).toLong * n / windows).toInt
+      var sum = 0L
+      var i = i0
+      while (i < i1) {
+        // exact int16 recovery: WavSamplesExpr normalizes by 2^15
+        sum += math.abs(math.round(samples.getFloat(i) * 32768f)).toLong
+        i += 1
+      }
+      env(w) = sum / (i1 - i0)
+      w += 1
+    }
+    var bits = 0L
+    w = 0
+    while (w < windows - 1) {
+      if (env(w + 1) > env(w)) bits |= 1L << w
+      w += 1
+    }
+    java.lang.Long.valueOf(bits)
+  }
+}
+
 object DHash64Expr {
 
   private val gridW = 9

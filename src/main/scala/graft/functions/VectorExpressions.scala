@@ -813,6 +813,15 @@ object VectorFunctions {
         s"$dhashName expects 4 arguments, got ${other.size}")
   }
 
+  val audioEnvHashName = "audio_env_hash64"
+
+  private val audioEnvHashBuilder: Seq[Expression] => Expression = {
+    case Seq(s) => AudioEnvHash64Expr(s)
+    case other =>
+      throw new IllegalArgumentException(
+        s"$audioEnvHashName expects 1 argument, got ${other.size}")
+  }
+
   val simhashName = "simhash64"
 
   private val simhashBuilder: Seq[Expression] => Expression = {
@@ -899,6 +908,8 @@ object VectorFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       dhashName, dhashBuilder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      audioEnvHashName, audioEnvHashBuilder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       bpeMergeName, bpeMergeBuilder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       bpeMergeDeltaName, bpeMergeDeltaBuilder, "scala_udf")
@@ -976,6 +987,10 @@ object VectorFunctions {
   /** Column API: 64-bit perceptual dHash of decoded pixel bytes. */
   def dhash64(px: Column, w: Column, h: Column, c: Column): Column =
     call_function(dhashName, px, w, h, c)
+
+  /** Column API: 64-bit energy-envelope hash of decoded PCM samples. */
+  def audioEnvHash64(samples: Column): Column =
+    call_function(audioEnvHashName, samples)
 
   /** Column API: one greedy LTR BPE merge round over an `array<string>`. */
   def bpeMergeStep(toks: Column, l: Column, r: Column): Column =

@@ -637,6 +637,51 @@ object MultimodalOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** The per-document audio envelope hashes the near-dup pipeline pairs
+    * over: tiled-payload PCM16 WAV fixtures through the native decode +
+    * envelope-hash chain.
+    */
+  private[graft] def audioHashes(spark: SparkSession,
+      dir: String): DataFrame = {
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+    val media = docs.mapPartitions(_.map { case (id, p0) =>
+      val p = if (p0 == null) Array.empty[Byte] else p0
+      (id, wavOf(tiledPayload(p)))
+    }).toDF("media_id", "bytes")
+    decode(media)
+      .filter(col("samples").isNotNull)
+      .select(col("media_id"),
+        graft.functions.VectorFunctions.audioEnvHash64(col("samples")).as("h"))
+      .filter(col("h").isNotNull)
+  }
+
+  /** Audio perceptual near-dup (rows-only driver check — the hash is
+    * codec/packing-defined): document bytes ride in REAL PCM16 WAV
+    * containers ([[wavOf]]), decode through the native sample path, hash
+    * with the exact-integer [[graft.functions.AudioEnvHash64Expr]]
+    * energy-envelope fold, and pair through [[dhashBandPairs]]' banded
+    * equi-join — the [[imageNearDup]] construction at waveform grain,
+    * completing the perceptual near-dup family across both decodable
+    * media modalities (band → bucket join → exact Hamming confirm,
+    * never all-pairs; the pigeonhole recall guarantee is the same).
+    * MultimodalSpec pins the hash on analytic fixtures, entry-for-entry
+    * against an independent reference fold, gain-shift behavior, and
+    * banded ≡ brute-force on the full corpus.
+    */
+  def audioNearDup(spark: SparkSession, dir: String,
+      maxHamming: Int = 3): DataFrame = {
+    graft.IntraQueryCache.newGeneration(s"audiond:$dir")
+    // persisted: the banded self-join consumes the hashes twice (the
+    // imageNearDup rationale — WAV encode + decode + hash dominate)
+    val hashed = graft.IntraQueryCache.scoped(audioHashes(spark, dir))
+    dhashBandPairs(hashed, bands = 4, maxHamming = maxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Driver-surface demo pipeline (rows-only check): documents' text bytes
     * are wrapped in REAL containers per kind — image rows become valid
     * uncompressed BMPs, audio rows valid PCM WAVs (video stays a raw blob;

@@ -561,6 +561,78 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.toSeq === expect.toSeq)
   }
 
+  /** Independent in-spec audio envelope-hash reference — the structure
+    * pin [[graft.functions.AudioEnvHash64Expr]] answers to.
+    */
+  private def refAudioHash(vs: Array[Int]): Long = {
+    val n = vs.length
+    val env = Array.tabulate(65) { w =>
+      val (i0, i1) = (w * n / 65, (w + 1) * n / 65)
+      vs.slice(i0, i1).map(v => math.abs(v).toLong).sum / (i1 - i0)
+    }
+    (for (w <- 0 until 64 if env(w + 1) > env(w)) yield 1L << w)
+      .foldLeft(0L)(_ | _)
+  }
+
+  private def exprAudioHash(rows: Seq[(Long, Array[Float])])
+      : Map[Long, java.lang.Long] = {
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    rows.toDF("id", "s")
+      .select(col("id"),
+        graft.functions.VectorFunctions.audioEnvHash64(col("s")).as("ah"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else java.lang.Long.valueOf(r.getLong(1))))
+      .toMap
+  }
+
+  test("audio_env_hash64: analytic pins — constant amplitude hashes to 0, " +
+      "a strictly rising envelope to all-ones; exact power-of-two gain " +
+      "invariance; reference-fold equality; malformed inputs null") {
+    def pcm(f: Int => Int): Array[Float] =
+      Array.tabulate(650)(i => f(i) / 32768.0f)
+    val flat = pcm(_ => 1000)
+    val rising = pcm(i => i * 50) // each window strictly louder
+    val got = exprAudioHash(Seq((1L, flat), (2L, rising)))
+    assert(got(1L) == 0L)
+    assert(got(2L) == -1L, s"rising envelope hashed to ${got(2L)}")
+    // exact gain: halving even-integer samples halves every window mean
+    // exactly, preserving every comparison
+    val halved = pcm(i => i * 50 / 2)
+    assert(exprAudioHash(Seq((3L, halved)))(3L) == -1L)
+    // reference-fold equality on pseudo-random PCM
+    val rnd = new scala.util.Random(11)
+    val ints = Array.fill(1234)(rnd.nextInt(65536) - 32768)
+    val gotR = exprAudioHash(Seq((4L, ints.map(_ / 32768.0f))))
+    assert(gotR(4L) == refAudioHash(ints))
+    // malformation: null for < 65 samples
+    assert(exprAudioHash(Seq((5L, Array.fill(64)(0.5f))))(5L) == null)
+  }
+
+  test("audio banded near-dup pairs equal the brute-force Hamming scan " +
+      "exactly on the full sf0.001 corpus") {
+    val out = MultimodalOps.audioNearDup(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        Option(r.getString(1)).getOrElse("").getBytes("UTF-8"))
+    val hashes = docs.map { case (id, p) =>
+      // the query's exact synthesis chain: tiled payload → PCM16 WAV →
+      // int16 LE samples → envelope fold
+      val t = MultimodalOps.tiledPayload(p)
+      val vs = Array.tabulate(t.length / 2)(i =>
+        ((t(2 * i) & 0xff) | (t(2 * i + 1) << 8)).toShort.toInt)
+      id -> refAudioHash(vs)
+    }
+    val expect = (for {
+      (a, ha) <- hashes; (b, hb) <- hashes if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (a, b, d.toLong)).sortBy(x => (x._1, x._2))
+    assert(expect.nonEmpty)
+    assert(out.toSeq === expect.toSeq)
+  }
+
   test("planted near-dups: small pixel perturbations are recovered with " +
       "EXACT recall under the banded gate, none missed, none spurious") {
     graft.functions.VectorFunctions.ensureRegistered(spark)
