@@ -101,6 +101,7 @@ object SparkEntry {
     "q_sql_topk" -> SqlFrontDoor.sqlTopK _,
     "q_sql_rate" -> SqlFrontDoor.sqlRate _,
     "q_sql_session" -> SqlFrontDoor.sqlSession _,
+    "q_sql_tag_filter" -> SqlFrontDoor.sqlTagFilter _,
     "q_distinct_approx" -> EventOps.distinctApprox _,
     "q_log_level_hist" -> EventOps.logLevelHist _,
     "q_set_except" -> EventOps.setExcept _,
@@ -622,6 +623,12 @@ object SparkEntry {
         |  FROM x)
         |SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
         |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+    "q_sql_tag_filter" ->
+      """SELECT event_id, user_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events
+        |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+        |ORDER BY event_id""".stripMargin,
     "q_rate" ->
       """SELECT user_id, event_id, delta FROM (
         |  SELECT user_id, event_id,

@@ -111,6 +111,25 @@ object SqlFrontDoor {
         |ORDER BY user_id, session_start""".stripMargin)
   }
 
+  /** SQL face of [[graft.operators.EventOps.tagFilter]] (D6 — and the
+    * first INDEX-SERVED class through the front door): the maintained
+    * tag-indexed table registers as its own view, so external SQL
+    * reaches the ingest-amortized serving path — typed `k` predicate
+    * pushed into the parquet scan (row-group stats + bloom), never a
+    * per-row JSON parse — with the identical plan the DSL face gets
+    * (sameResult-pinned). Registered unconditionally per call, the
+    * [[registerViews]] rationale: view names are session state this
+    * object does not own.
+    */
+  def sqlTagFilter(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    graft.operators.TagIndex.events(spark, dir)
+      .createOrReplaceTempView("events_tagged")
+    spark.sql(
+      """SELECT event_id, user_id, k FROM events_tagged
+        |WHERE k > 50 ORDER BY event_id""".stripMargin)
+  }
+
   /** SQL face of [[graft.operators.EventOps.downsampleLts]] (D1+D2
     * unioned — the flagship MV semantics).
     */

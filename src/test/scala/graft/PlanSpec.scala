@@ -245,10 +245,13 @@ class PlanSpec extends AnyFunSuite {
     same(SqlFrontDoor.sqlBucketSum(spark, dir), EventOps.bucketSum(spark, dir))
     same(SqlFrontDoor.sqlDownsampleLts(spark, dir),
       EventOps.downsampleLts(spark, dir))
-    // r12: the window / session / top-k classes
+    // r12: the window / session / top-k classes, and the INDEX-SERVED
+    // tag-filter class (the SQL face must get the identical
+    // pushdown-into-the-indexed-scan plan)
     same(SqlFrontDoor.sqlTopK(spark, dir), EventOps.topK(spark, dir))
     same(SqlFrontDoor.sqlRate(spark, dir), EventOps.rate(spark, dir))
     same(SqlFrontDoor.sqlSession(spark, dir), EventOps.session(spark, dir))
+    same(SqlFrontDoor.sqlTagFilter(spark, dir), EventOps.tagFilter(spark, dir))
   }
 
   test("winnow snippet (declared pruned-serving twin): fps scan " +

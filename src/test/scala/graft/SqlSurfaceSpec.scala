@@ -44,6 +44,8 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(rows(SqlFrontDoor.sqlSession(spark, dir))
       === rows(operators.EventOps.session(spark, dir)))
     assert(SqlFrontDoor.sqlSession(spark, dir).count() > 0)
+    assert(rows(SqlFrontDoor.sqlTagFilter(spark, dir))
+      === rows(operators.EventOps.tagFilter(spark, dir)))
   }
 
   test("minhash_agg sketch aggregate usable from SQL") {
