@@ -102,6 +102,7 @@ object SparkEntry {
     "q_sql_rate" -> SqlFrontDoor.sqlRate _,
     "q_sql_session" -> SqlFrontDoor.sqlSession _,
     "q_sql_tag_filter" -> SqlFrontDoor.sqlTagFilter _,
+    "q_sql_distinct_approx" -> SqlFrontDoor.sqlDistinctApprox _,
     "q_distinct_approx" -> EventOps.distinctApprox _,
     "q_log_level_hist" -> EventOps.logLevelHist _,
     "q_set_except" -> EventOps.setExcept _,
@@ -2048,23 +2049,30 @@ object SparkEntry {
     // bit-for-bit — the same oracle IS the standing consistency proof
     // for the maintained VectorIndex artifact (the q_bm25_indexed role)
     "q_ann_sig_indexed" -> annLshExactSigOracleSql,
-    "q_distinct_approx" ->
-      // the KmvAgg md5-tier sketch replayed: k-th smallest DISTINCT h60
-      // per day; below k the sketch IS the exact distinct-hash count,
-      // at k the exact-integer floor estimate (k-1)*2^53 // ((h_k>>7)+1)
-      // — both regimes integer arithmetic both engines floor identically
-      s"""WITH h AS (SELECT CAST(ts AS DATE) AS day,
-        |    ${h60Sql("CAST(user_id AS VARCHAR)")} AS hv
-        |  FROM events),
-        |d AS (SELECT DISTINCT day, hv FROM h),
-        |r AS (SELECT day, hv,
-        |    ROW_NUMBER() OVER (PARTITION BY day ORDER BY hv) AS rn,
-        |    COUNT(*) OVER (PARTITION BY day) AS nd FROM d)
-        |SELECT day,
-        |  CASE WHEN MAX(nd) < 64 THEN MAX(nd)
-        |       ELSE (63::BIGINT * (1::BIGINT << 53))
-        |            // ((MAX(CASE WHEN rn = 64 THEN hv END) >> 7) + 1)
-        |  END AS approx_users
-        |FROM r GROUP BY day ORDER BY day""".stripMargin,
+    "q_distinct_approx" -> kmvDailyOracle,
+    // the SQL-authored twin answers to the SAME sketch-replay oracle —
+    // the custom-aggregate class through the front door
+    "q_sql_distinct_approx" -> kmvDailyOracle,
   )
+
+  /** The KmvAgg md5-tier sketch replayed: k-th smallest DISTINCT h60
+    * per day; below k the sketch IS the exact distinct-hash count, at k
+    * the exact-integer floor estimate (k-1)*2^53 // ((h_k>>7)+1) — both
+    * regimes integer arithmetic both engines floor identically. Shared
+    * by the DSL row and its r12 SQL-text twin.
+    */
+  private def kmvDailyOracle: String =
+    s"""WITH h AS (SELECT CAST(ts AS DATE) AS day,
+      |    ${h60Sql("CAST(user_id AS VARCHAR)")} AS hv
+      |  FROM events),
+      |d AS (SELECT DISTINCT day, hv FROM h),
+      |r AS (SELECT day, hv,
+      |    ROW_NUMBER() OVER (PARTITION BY day ORDER BY hv) AS rn,
+      |    COUNT(*) OVER (PARTITION BY day) AS nd FROM d)
+      |SELECT day,
+      |  CASE WHEN MAX(nd) < 64 THEN MAX(nd)
+      |       ELSE (63::BIGINT * (1::BIGINT << 53))
+      |            // ((MAX(CASE WHEN rn = 64 THEN hv END) >> 7) + 1)
+      |  END AS approx_users
+      |FROM r GROUP BY day ORDER BY day""".stripMargin
 }

@@ -130,6 +130,25 @@ object SqlFrontDoor {
         |WHERE k > 50 ORDER BY event_id""".stripMargin)
   }
 
+  /** SQL face of [[graft.operators.EventOps.distinctApprox]] — and the
+    * first CUSTOM-AGGREGATE class through the front door: the KMV
+    * sketch ([[graft.functions.KmvAgg]], a TypedImperativeAggregate) is
+    * called by NAME from SQL text ([[Tables.registerViews]] registers
+    * the native functions alongside the views), with the md5-60-bit
+    * hash spelled as the same expression chain the DSL's h60 builds —
+    * proving the engine's sketch surface, not just its built-ins, is
+    * reachable from plain SQL with the identical plan.
+    */
+  def sqlDistinctApprox(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(
+      """SELECT to_date(ts) AS day,
+        |  kmv_count_distinct_exact(
+        |    CAST(conv(substring(md5(CAST(CAST(user_id AS STRING) AS BINARY)), 1, 15), 16, 10) AS BIGINT),
+        |    64) AS approx_users
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin)
+  }
+
   /** SQL face of [[graft.operators.EventOps.downsampleLts]] (D1+D2
     * unioned — the flagship MV semantics).
     */

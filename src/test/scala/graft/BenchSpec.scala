@@ -56,16 +56,17 @@ class BenchSpec extends AnyFunSuite {
       s"120-query worst case ${grownLine.length}")
     // uniqueness survives degradation: every query key renders exactly once
     assert("\"[a-zA-Z0-9_]+\":9999".r.findAllIn(grownLine).size == grown.size)
-    // at TODAY's realistic costs the line renders at the 8-char base
-    // (the same base the r10/r11 driver records use, stable for the
-    // scorecard's per-query comparison; base-10 stopped fitting when
-    // the surface crossed ~110 queries + the prepare_ms scalar)
+    // at TODAY's realistic costs the line renders at the 6-char base
+    // (base-10 stopped fitting past ~110 queries + prepare_ms; base-8
+    // past ~120 in r12 — the degradation is the designed behavior, and
+    // round-over-round per-query comparison rides the sidecar's
+    // FULL-NAME spread map since r12, not the compact line's names)
     val names = SparkEntry.queries.keys.toSeq
     val todayLine = Bench.metricLine(86.43, 123456L, names.map(_ -> 0.816).toMap)
     assert(todayLine.length <= Bench.lineBudget)
-    val eightCharNames = Bench.shortNames(names, 8)
+    val sixCharNames = Bench.shortNames(names, 6)
     names.foreach { n =>
-      assert(todayLine.contains("\"" + eightCharNames(n) + "\":816"), n)
+      assert(todayLine.contains("\"" + sixCharNames(n) + "\":816"), n)
     }
   }
 

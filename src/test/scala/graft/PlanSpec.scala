@@ -252,6 +252,22 @@ class PlanSpec extends AnyFunSuite {
     same(SqlFrontDoor.sqlRate(spark, dir), EventOps.rate(spark, dir))
     same(SqlFrontDoor.sqlSession(spark, dir), EventOps.session(spark, dir))
     same(SqlFrontDoor.sqlTagFilter(spark, dir), EventOps.tagFilter(spark, dir))
+    // the CUSTOM-AGGREGATE class: the KMV sketch called by name from SQL
+    same(SqlFrontDoor.sqlDistinctApprox(spark, dir),
+      EventOps.distinctApprox(spark, dir))
+  }
+
+  test("perceptual near-dup pair queries: banded bucket equi-join, never " +
+      "an all-pairs plan") {
+    for (df <- Seq(graft.operators.MultimodalOps.imageNearDup(spark, dir),
+      graft.operators.MultimodalOps.audioNearDup(spark, dir))) {
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"near-dup pair plan degenerated to all-pairs:\n$p")
+      // the self-join keys on the (band, value) bucket columns
+      assert(p.contains("band"), p)
+    }
   }
 
   test("winnow snippet (declared pruned-serving twin): fps scan " +

@@ -46,6 +46,8 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(SqlFrontDoor.sqlSession(spark, dir).count() > 0)
     assert(rows(SqlFrontDoor.sqlTagFilter(spark, dir))
       === rows(operators.EventOps.tagFilter(spark, dir)))
+    assert(rows(SqlFrontDoor.sqlDistinctApprox(spark, dir))
+      === rows(operators.EventOps.distinctApprox(spark, dir)))
   }
 
   test("minhash_agg sketch aggregate usable from SQL") {
