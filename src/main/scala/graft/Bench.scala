@@ -65,11 +65,23 @@ object Bench {
     s(s.size / 2)
   }
 
+  /** The host 1-minute load average, or -1 where /proc/loadavg is
+    * unavailable — recorded at run start and end in the sidecar so a
+    * reader adjudicating a noisy record ALSO sees whether the host was
+    * co-tenanted, without reconstructing it from timestamps.
+    */
+  private[graft] def loadAvg(): Double =
+    scala.util.Try(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/loadavg")),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .split(" ")(0).toDouble).getOrElse(-1.0)
+
   /** Evaluate the query's full declared output (no count-only pruning). */
   private[graft] def force(df: org.apache.spark.sql.DataFrame): Unit =
     df.foreach(_ => ())
 
   def main(args: Array[String]): Unit = {
+    val loadStart = loadAvg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -127,7 +139,7 @@ object Bench {
     // redundancy channel only — an unwritable CWD must not fail a run
     // whose results already printed
     val fullLine = sidecarLine(total, prepareMs, prepareBreakdown,
-      sfDir, perQuery)
+      sfDir, perQuery, loadStart, loadAvg())
     try {
       val out = java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.out.json"))
@@ -179,7 +191,8 @@ object Bench {
     */
   private[graft] def sidecarLine(total: Double, prepareMs: Long,
       prepareBreakdown: Seq[(String, Long)], sfDir: String,
-      perQuery: Seq[(String, Seq[Double])]): String = {
+      perQuery: Seq[(String, Seq[Double])],
+      loadStart: Double = -1.0, loadEnd: Double = -1.0): String = {
     def dp3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val totals = Seq(perQuery.map(_._2.min).sum, perQuery.map(_._2.max).sum)
     val fullQs = perQuery.sortBy(_._1)
@@ -196,6 +209,7 @@ object Bench {
       s""""prepare_ms":$prepareMs,"prepare_breakdown":$fullPrep,""" +
       s""""sf":"$sfDir","iters":$iters,""" +
       s""""noise_rule":"max_over_med>${noiseRatio} and max-med>${noiseFloorSec}s reran to n=${iters + extraIters}; med is the reading",""" +
+      s""""load_start":${dp3(loadStart)},"load_end":${dp3(loadEnd)},""" +
       s""""total_min":${dp3(totals.min)},"total_max":${dp3(totals.max)}}"""
   }
 

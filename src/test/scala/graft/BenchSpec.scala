@@ -100,6 +100,10 @@ class BenchSpec extends AnyFunSuite {
     assert(line.contains(""""total_min":1.400"""))
     assert(line.contains(""""total_max":13.000"""))
     assert(line.contains(""""noise_rule":"""))
+    // host load rides the record too (r12): co-tenancy is visible in
+    // the sidecar, not reconstructed from timestamps
+    assert(line.contains(""""load_start":"""))
+    assert(Bench.loadAvg() >= -1.0)
     // the record parses as one complete JSON object (balanced braces,
     // the property every reader of the sidecar depends on)
     assert(line.count(_ == '{') == line.count(_ == '}'))
