@@ -793,6 +793,61 @@ object ScaleProbe {
       s""""w512_compact_global":$tGlobal}""")
   }
 
+  /** TOTAL parquet-file count across `<prefix>N` partition dirs — the
+    * endurance ladders' compaction detector. Deliberately the TOTAL,
+    * not the per-dir max the maintainers bound: appends only ADD files
+    * and a firing compaction rewrites >bound segments into one (a net
+    * removal far exceeding the batch's own additions), so
+    * `totalAfter < totalBefore` classifies every compaction batch —
+    * where a max-over-dirs proxy can miss one under shard skew (a
+    * laggard dir pinned at the bound masks the hot dir's 9→1 rewrite;
+    * the r12 review's counterexample).
+    */
+  private def parquetFilesUnder(parent: String, prefix: String): Int =
+    Option(new java.io.File(parent).listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.startsWith(prefix))
+      .map(d => Option(d.listFiles())
+        .map(_.count(_.getName.endsWith(".parquet"))).getOrElse(0))
+      .sum
+
+  /** Shared endurance-ladder harness (r12 — extracted from the three
+    * per-family copies so the compaction-detection and latency
+    * bookkeeping live in ONE audited place, the Artifacts rationale):
+    * runs each micro-batch thunk, classifies the batch as append or
+    * compaction-batch by the TOTAL-file detector above, re-pins the
+    * caller's consistency check after every compaction, tracks the
+    * per-dir segment bound, and samples the caller's serving probe
+    * every 5 batches. compactBatchLat is the COMPACTION BATCH's
+    * latency — append + rewrite together (the marginal rewrite cost
+    * alone is `--index-compact`'s isolated measurement).
+    */
+  private def runLadder(slices: Seq[() => Unit], totalFiles: () => Int,
+      maxSeg: () => Int, consistent: () => Boolean, sample: () => Unit)
+      : (Seq[Double], Seq[Double], Int, Int, Boolean) = {
+    val appendLat = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val compactBatchLat = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var maxSegSeen = 0
+    var compactions = 0
+    var allConsistent = true
+    slices.zipWithIndex.foreach { case (run, bi) =>
+      val before = totalFiles()
+      val segBefore = maxSeg()
+      val t0 = System.nanoTime()
+      run()
+      val dt = (System.nanoTime() - t0) / 1e9
+      val after = totalFiles()
+      maxSegSeen = math.max(maxSegSeen, math.max(segBefore, maxSeg()))
+      if (after < before) {
+        compactions += 1
+        compactBatchLat += dt
+        if (!consistent()) allConsistent = false
+      } else appendLat += dt
+      if (bi % 5 == 0) sample()
+    }
+    (appendLat.toSeq, compactBatchLat.toSeq, maxSegSeen, compactions,
+      allConsistent)
+  }
+
   /** Maintained-VectorIndex endurance ladder (r11, the RocksDB-endurance
     * analog for the vector artifact): ONE long-running
     * [[graft.streaming.VectorStream.appendStream]] maintainer fed
@@ -849,46 +904,34 @@ object ScaleProbe {
       .select(col("_1").as("vec_id"), col("_2").as("embedding"))
     val q = graft.streaming.VectorStream
       .appendStream(stream, root, maxSegments).start()
-    val appendLat = scala.collection.mutable.ArrayBuffer.empty[Double]
-    val compactLat = scala.collection.mutable.ArrayBuffer.empty[Double]
-    var maxSeg = 0
-    var compactions = 0
-    var convergent = true
-    try {
-      val nBatches = 24
-      val per = math.max(incoming.length / nBatches, 1)
-      var folded = 0
-      incoming.grouped(per).foreach { slice =>
-        val before = VectorIndex.segments(root)
-        val t0 = System.nanoTime()
-        mem.addData(slice.toSeq: _*)
-        q.processAllAvailable()
-        val dt = (System.nanoTime() - t0) / 1e9
-        folded += slice.length
-        val after = VectorIndex.segments(root)
-        maxSeg = math.max(maxSeg, math.max(before, after))
-        if (after < before) {
-          // this batch's append crossed the bound and auto-compacted —
-          // re-pin the convergence claim at this very point
-          compactions += 1
-          compactLat += dt
-          if (artifactKeys() != rebuildKeys(folded)) convergent = false
-        } else appendLat += dt
-      }
-    } finally q.stop()
-    val early = median(appendLat.take(4).toSeq)
-    val late = median(appendLat.takeRight(4).toSeq)
-    val cMed = if (compactLat.isEmpty) 0.0 else median(compactLat.toSeq)
+    var folded = 0
+    val per = math.max(incoming.length / 24, 1)
+    val slices = incoming.grouped(per).toSeq.map(slice => () => {
+      mem.addData(slice.toSeq: _*)
+      q.processAllAvailable()
+      folded += slice.length
+    })
+    val (appendLat, compactLat, maxSeg, compactions, convergent) =
+      try runLadder(slices,
+        () => parquetFilesUnder(VectorIndex.indexDir(root), "t="),
+        () => VectorIndex.segments(root),
+        // re-pin the convergence claim at the very compaction point
+        () => artifactKeys() == rebuildKeys(folded),
+        () => ())
+      finally q.stop()
+    val early = median(appendLat.take(4))
+    val late = median(appendLat.takeRight(4))
+    val cMed = if (compactLat.isEmpty) 0.0 else median(compactLat)
     println(f"[scaleprobe] vindex_endurance batches=${appendLat.size + compactions} " +
       f"append early=$early%5.2fs late=$late%5.2fs ratio=${late / early}%4.2f " +
-      f"compactions=$compactions (median $cMed%5.2fs) maxSeg=$maxSeg/" +
-      f"${maxSegments + 1} convergent=$convergent")
+      f"compactions=$compactions (compact-batch median $cMed%5.2fs) " +
+      f"maxSeg=$maxSeg/${maxSegments + 1} convergent=$convergent")
     require(convergent, "artifact diverged from the full rebuild after a compaction")
     require(maxSeg <= maxSegments + 1,
       s"segment bound violated: $maxSeg > ${maxSegments + 1}")
     Seq(s""""vindex_endurance":{"append_early":$early,"append_late":$late,""" +
       s""""ratio":${late / early},"compactions":$compactions,""" +
-      s""""compact_median":$cMed,"max_segments":$maxSeg,""" +
+      s""""compact_batch_median":$cMed,"max_segments":$maxSeg,""" +
       s""""bound":${maxSegments + 1},"convergent":$convergent}""")
   }
 
@@ -900,7 +943,9 @@ object ScaleProbe {
     * policy, with the PRUNED serving gate sampled between batches.
     * Reports (a) per-batch append latency early vs late (must stay
     * flat: appends are slice-sized); (b) the segment bound held
-    * (≤ maxSegments+1); (c) compaction count + median latency, with
+    * (≤ maxSegments+1); (c) compaction count + compact-BATCH latency
+    * (append + rewrite together; the isolated rewrite cost is
+    * `--index-compact`), with
     * the fingerprint set re-pinned ≡ a full rebuild over everything
     * folded so far after EACH compaction (the set-preservation claim
     * under continuous ingest); (d) the gate: a FIXED paste-sized
@@ -975,39 +1020,28 @@ object ScaleProbe {
       .select(col("_1").as("doc_id"), col("_2").as("text"))
     val q = graft.streaming.WinnowStream
       .appendStream(stream, root, maxSegments = maxSegments).start()
-    val appendLat = scala.collection.mutable.ArrayBuffer.empty[Double]
-    val compactLat = scala.collection.mutable.ArrayBuffer.empty[Double]
     val gates = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
-    var maxSeg = 0
-    var compactions = 0
-    var convergent = true
-    try {
-      gateSample(): Unit // warmup (JIT + footers) outside the samples
-      val nBatches = 25
-      val per = math.max(incoming.length / nBatches, 1)
-      var folded = 0
-      incoming.grouped(per).zipWithIndex.foreach { case (slice, bi) =>
-        val before = WinnowIndex.segments(root)
-        val t0 = System.nanoTime()
-        mem.addData(slice.toSeq: _*)
-        q.processAllAvailable()
-        val dt = (System.nanoTime() - t0) / 1e9
-        folded += slice.length
-        val after = WinnowIndex.segments(root)
-        maxSeg = math.max(maxSeg, math.max(before, after))
-        if (after < before) {
-          compactions += 1
-          compactLat += dt
-          // re-pin set preservation at this very point: the artifact's
-          // fingerprint set equals a full rebuild over everything folded
-          if (artifactFps() != rebuildFps(folded)) convergent = false
-        } else appendLat += dt
-        if (bi % 5 == 0) gates += gateSample()
-      }
-    } finally q.stop()
-    val early = median(appendLat.take(4).toSeq)
-    val late = median(appendLat.takeRight(4).toSeq)
-    val cMed = if (compactLat.isEmpty) 0.0 else median(compactLat.toSeq)
+    var folded = 0
+    val per = math.max(incoming.length / 25, 1)
+    val slices = incoming.grouped(per).toSeq.map(slice => () => {
+      mem.addData(slice.toSeq: _*)
+      q.processAllAvailable()
+      folded += slice.length
+    })
+    gateSample(): Unit // warmup (JIT + footers) outside the samples
+    val (appendLat, compactLat, maxSeg, compactions, convergent) =
+      try runLadder(slices,
+        () => parquetFilesUnder(WinnowIndex.fpsDir(root), "shard="),
+        () => WinnowIndex.segments(root),
+        // re-pin set preservation at the very compaction point: the
+        // artifact's fingerprint set equals a full rebuild over
+        // everything folded so far
+        () => artifactFps() == rebuildFps(folded),
+        () => gates += gateSample(): Unit)
+      finally q.stop()
+    val early = median(appendLat.take(4))
+    val late = median(appendLat.takeRight(4))
+    val cMed = if (compactLat.isEmpty) 0.0 else median(compactLat)
     val gEarly = median(gates.take(2).map(_._1).toSeq)
     val gLate = median(gates.takeRight(2).map(_._1).toSeq)
     val fEarly = median(gates.take(2).map(_._2).toSeq)
@@ -1015,7 +1049,7 @@ object ScaleProbe {
     println(f"[scaleprobe] winnow_endurance @512 shards: " +
       f"batches=${appendLat.size + compactions} " +
       f"append early=$early%5.2fs late=$late%5.2fs ratio=${late / early}%4.2f " +
-      f"compactions=$compactions (median $cMed%5.2fs) " +
+      f"compactions=$compactions (compact-batch median $cMed%5.2fs) " +
       f"maxSeg=$maxSeg/${maxSegments + 1} convergent=$convergent")
     println(f"[scaleprobe] winnow_endurance gate: latency " +
       f"early=$gEarly%5.2fs late=$gLate%5.2fs ratio=${gLate / gEarly}%4.2f; " +
@@ -1026,7 +1060,7 @@ object ScaleProbe {
       s"segment bound violated: $maxSeg > ${maxSegments + 1}")
     Seq(s""""winnow_endurance":{"shards":512,"append_early":$early,""" +
       s""""append_late":$late,"ratio":${late / early},""" +
-      s""""compactions":$compactions,"compact_median":$cMed,""" +
+      s""""compactions":$compactions,"compact_batch_median":$cMed,""" +
       s""""max_segments":$maxSeg,"bound":${maxSegments + 1},""" +
       s""""convergent":$convergent,"gate_early":$gEarly,"gate_late":$gLate,""" +
       s""""gate_ratio":${gLate / gEarly},""" +
@@ -1093,45 +1127,33 @@ object ScaleProbe {
       .select(col("_1").as("doc_id"), col("_2").as("text"))
     val q = graft.streaming.TextIndexStream
       .appendStream(stream, root, "probe-tidxe", maxSegments).start()
-    val appendLat = scala.collection.mutable.ArrayBuffer.empty[Double]
-    val compactLat = scala.collection.mutable.ArrayBuffer.empty[Double]
     val serveLat = scala.collection.mutable.ArrayBuffer.empty[Double]
-    var maxSeg = 0
-    var compactions = 0
-    var consistent = true
-    try {
-      serveSample(): Unit // warmup outside the samples
-      val nBatches = 25
-      val per = math.max(incoming.length / nBatches, 1)
-      var folded = 0
-      incoming.grouped(per).zipWithIndex.foreach { case (slice, bi) =>
-        val before = TextIndex.postingsSegments(root)
-        val t0 = System.nanoTime()
-        mem.addData(slice.toSeq: _*)
-        q.processAllAvailable()
-        val dt = (System.nanoTime() - t0) / 1e9
-        folded += slice.length
-        val after = TextIndex.postingsSegments(root)
-        maxSeg = math.max(maxSeg, math.max(before, after))
-        if (after < before) {
-          compactions += 1
-          compactLat += dt
-          // re-pin the maintained-index consistency claim at this very
-          // point: indexed serving ≡ the raw-scan kernel over all docs
-          if (served() != rebuilt(folded)) consistent = false
-        } else appendLat += dt
-        if (bi % 5 == 0) serveLat += serveSample()
-      }
-    } finally q.stop()
-    val early = median(appendLat.take(4).toSeq)
-    val late = median(appendLat.takeRight(4).toSeq)
-    val cMed = if (compactLat.isEmpty) 0.0 else median(compactLat.toSeq)
+    var folded = 0
+    val per = math.max(incoming.length / 25, 1)
+    val slices = incoming.grouped(per).toSeq.map(slice => () => {
+      mem.addData(slice.toSeq: _*)
+      q.processAllAvailable()
+      folded += slice.length
+    })
+    serveSample(): Unit // warmup outside the samples
+    val (appendLat, compactLat, maxSeg, compactions, consistent) =
+      try runLadder(slices,
+        () => parquetFilesUnder(s"$root/postings", "tshard="),
+        () => TextIndex.postingsSegments(root),
+        // re-pin the maintained-index consistency claim at the very
+        // compaction point: indexed serving ≡ raw-scan over all docs
+        () => served() == rebuilt(folded),
+        () => serveLat += serveSample(): Unit)
+      finally q.stop()
+    val early = median(appendLat.take(4))
+    val late = median(appendLat.takeRight(4))
+    val cMed = if (compactLat.isEmpty) 0.0 else median(compactLat)
     val sEarly = median(serveLat.take(2).toSeq)
     val sLate = median(serveLat.takeRight(2).toSeq)
     println(f"[scaleprobe] tindex_endurance: " +
       f"batches=${appendLat.size + compactions} " +
       f"append early=$early%5.2fs late=$late%5.2fs ratio=${late / early}%4.2f " +
-      f"compactions=$compactions (median $cMed%5.2fs) " +
+      f"compactions=$compactions (compact-batch median $cMed%5.2fs) " +
       f"maxSeg=$maxSeg/${maxSegments + 1} consistent=$consistent; " +
       f"serving early=$sEarly%5.2fs late=$sLate%5.2fs " +
       f"ratio=${sLate / sEarly}%4.2f")
@@ -1141,7 +1163,7 @@ object ScaleProbe {
       s"segment bound violated: $maxSeg > ${maxSegments + 1}")
     Seq(s""""tindex_endurance":{"append_early":$early,"append_late":$late,""" +
       s""""ratio":${late / early},"compactions":$compactions,""" +
-      s""""compact_median":$cMed,"max_segments":$maxSeg,""" +
+      s""""compact_batch_median":$cMed,"max_segments":$maxSeg,""" +
       s""""bound":${maxSegments + 1},"consistent":$consistent,""" +
       s""""serve_early":$sEarly,"serve_late":$sLate,""" +
       s""""serve_ratio":${sLate / sEarly}}""")
@@ -1244,33 +1266,40 @@ object ScaleProbe {
     def time3(f: => Unit): Double = median((1 to 3).map { _ =>
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     })
-    def tier(tag: String, n: Long): (Long, Long, Long, Long, Double) = {
+    def tier(tag: String, n: Long): (Long, Long, Long, Long, Long, Double) = {
       val d = s"$base/$tag"
       synthesize(spark, d, n)
       val hashed = MultimodalOps.imageHashes(spark, d).persist()
       val nh = hashed.count()
       val cand = MultimodalOps.dhashBandCandidates(hashed, 4).count()
       hashed.unpersist(blocking = true)
+      // the audio tier carries its OWN hash count — the two decode
+      // paths null independently, so its percentage must never borrow
+      // the image denominator
       val ahashed = MultimodalOps.audioHashes(spark, d).persist()
+      val nah = ahashed.count()
       val aCand = MultimodalOps.dhashBandCandidates(ahashed, 4).count()
       ahashed.unpersist(blocking = true)
       Bench.force(MultimodalOps.imageNearDup(spark, d)) // warmup
       val t = time3(Bench.force(MultimodalOps.imageNearDup(spark, d)))
       graft.IntraQueryCache.releaseBoundary()
-      (nh, cand, aCand, nh * (nh - 1) / 2, t)
+      (nh, cand, nah, aCand, nh * (nh - 1) / 2, t)
     }
-    val (n1h, c1, a1, all1, t1) = tier("x1", n1)
-    val (n10h, c10, a10, all10, t10) = tier("x10", n1 * 10)
+    val (n1h, c1, na1, a1, all1, t1) = tier("x1", n1)
+    val (n10h, c10, na10, a10, all10, t10) = tier("x10", n1 * 10)
+    val (aAll1, aAll10) = (na1 * (na1 - 1) / 2, na10 * (na10 - 1) / 2)
     println(f"[scaleprobe] image_neardup x1: n=$n1h candidates=$c1 " +
       f"(all-pairs $all1, ${c1 * 100.0 / all1}%6.3f%%) $t1%5.2fs; " +
       f"x10: n=$n10h candidates=$c10 (all-pairs $all10, " +
       f"${c10 * 100.0 / all10}%6.3f%%) $t10%5.2fs ratio=${t10 / t1}%4.2f")
-    println(f"[scaleprobe] audio_neardup banded volume: x1 candidates=$a1 " +
-      f"(${a1 * 100.0 / all1}%6.3f%%), x10 $a10 (${a10 * 100.0 / all10}%6.3f%%)")
+    println(f"[scaleprobe] audio_neardup banded volume: x1 n=$na1 " +
+      f"candidates=$a1 (${a1 * 100.0 / aAll1}%6.3f%%), " +
+      f"x10 n=$na10 $a10 (${a10 * 100.0 / aAll10}%6.3f%%)")
     Seq(s""""image_neardup":{"n_x1":$n1h,"cand_x1":$c1,"allpairs_x1":$all1,""" +
       s""""t_x1":$t1,"n_x10":$n10h,"cand_x10":$c10,""" +
       s""""allpairs_x10":$all10,"t_x10":$t10,"ratio":${t10 / t1},""" +
-      s""""audio_cand_x1":$a1,"audio_cand_x10":$a10}""")
+      s""""audio_n_x1":$na1,"audio_cand_x1":$a1,""" +
+      s""""audio_n_x10":$na10,"audio_cand_x10":$a10}""")
   }
 
   /** RocksDB endurance probe (r9): ONE long-running

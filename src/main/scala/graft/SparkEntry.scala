@@ -580,12 +580,7 @@ object SparkEntry {
         |    'counter' AS kind
         |  FROM events WHERE event_type NOT IN ('view','click') GROUP BY 1, 2
         |) ORDER BY bucket, event_type""".stripMargin,
-    "q_tag_filter" ->
-      """SELECT event_id, user_id,
-        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
-        |FROM events
-        |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
-        |ORDER BY event_id""".stripMargin,
+    "q_tag_filter" -> tagFilterOracle,
     "q_downsample_lts" ->
       """SELECT * FROM (
         |  SELECT date_trunc('minute', ts) AS bucket, event_type,
@@ -624,12 +619,7 @@ object SparkEntry {
         |  FROM x)
         |SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
         |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
-    "q_sql_tag_filter" ->
-      """SELECT event_id, user_id,
-        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
-        |FROM events
-        |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
-        |ORDER BY event_id""".stripMargin,
+    "q_sql_tag_filter" -> tagFilterOracle,
     "q_rate" ->
       """SELECT user_id, event_id, delta FROM (
         |  SELECT user_id, event_id,
@@ -2054,6 +2044,19 @@ object SparkEntry {
     // the custom-aggregate class through the front door
     "q_sql_distinct_approx" -> kmvDailyOracle,
   )
+
+  /** The D6 tag predicate recomputed from RAW events (the index is a
+    * Spark-side serving artifact the oracle must not depend on). ONE
+    * definition shared by the DSL row and its r12 SQL-text twin — the
+    * twin claim ("same oracle as the DSL face") holds by construction,
+    * never by two copies staying in sync.
+    */
+  private def tagFilterOracle: String =
+    """SELECT event_id, user_id,
+      |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |FROM events
+      |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+      |ORDER BY event_id""".stripMargin
 
   /** The KmvAgg md5-tier sketch replayed: k-th smallest DISTINCT h60
     * per day; below k the sketch IS the exact distinct-hash count, at k

@@ -80,11 +80,15 @@ case class DHash64Expr(first: Expression, second: Expression,
   * — a power-of-two division, so `round(s · 32768)` recovers the
   * original integer sample exactly; sums and the window division stay
   * in longs), and bit `w` is 1 iff window w+1 is louder than window w.
-  * Robust to uniform GAIN by construction (a positive scale moves
-  * every window mean equally in ratio, preserving every comparison at
-  * exact-integer grain up to rounding of the scaled samples), the
-  * brightness-invariance analog. Null (never garbage) for null or
-  * sub-grid (< 65 samples) input.
+  * Robust to uniform GAIN in the minhash-banding sense, not invariant:
+  * a positive scale preserves the ORDER of the true window means, but
+  * the integer-mean truncation can collapse a comparison whose margin
+  * shrinks below one truncation step (e.g. means 2<3 halving to 1=1),
+  * flipping that bit — so gain-shifted copies land NEAR each other
+  * (few low-margin bits move, the Hamming gate absorbs them), while
+  * comparisons with margin above the step are preserved exactly (the
+  * brightness analog in [[DHash64Expr]] has the same fine print). Null
+  * (never garbage) for null or sub-grid (< 65 samples) input.
   */
 case class AudioEnvHash64Expr(child: Expression) extends
     org.apache.spark.sql.catalyst.expressions.UnaryExpression {

@@ -591,11 +591,16 @@ object MultimodalOps {
       .select("doc_a", "doc_b", "hamming")
   }
 
-  /** The per-document perceptual hashes the near-dup pipeline pairs
-    * over: tiled-BMP fixtures through the native decode + dHash chain.
+  /** One per-document perceptual-hash pipeline for BOTH modalities:
+    * tiled payload → real container ([[bmpOf]]/[[wavOf]]) → native
+    * decode → hash column, with the null posture shared (undecodable
+    * payloads and sub-grid inputs drop out on both sides of the pair
+    * join). The modality supplies its container builder, the decoded
+    * column the hash consumes, and the hash expression itself.
     */
-  private[graft] def imageHashes(spark: SparkSession,
-      dir: String): DataFrame = {
+  private def perceptualHashes(spark: SparkSession, dir: String,
+      container: Array[Byte] => Array[Byte], decodedCol: String,
+      hash: Column): DataFrame = {
     graft.functions.VectorFunctions.ensureRegistered(spark)
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
@@ -603,14 +608,23 @@ object MultimodalOps {
       .as[(Long, Array[Byte])]
     val media = docs.mapPartitions(_.map { case (id, p0) =>
       val p = if (p0 == null) Array.empty[Byte] else p0
-      (id, bmpOf(tiledPayload(p)))
+      (id, container(tiledPayload(p)))
     }).toDF("media_id", "bytes")
     decode(media)
-      .filter(col("pixels").isNotNull)
-      .select(col("media_id"),
-        graft.functions.VectorFunctions.dhash64(col("pixels"),
-          col("width"), col("height"), col("channels")).as("h"))
+      .filter(col(decodedCol).isNotNull)
+      .select(col("media_id"), hash.as("h"))
       .filter(col("h").isNotNull)
+  }
+
+  /** The per-document perceptual hashes the near-dup pipeline pairs
+    * over: tiled-BMP fixtures through the native decode + dHash chain.
+    */
+  private[graft] def imageHashes(spark: SparkSession,
+      dir: String): DataFrame = {
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    perceptualHashes(spark, dir, bmpOf, "pixels",
+      graft.functions.VectorFunctions.dhash64(col("pixels"),
+        col("width"), col("height"), col("channels")))
   }
 
   /** Image perceptual near-dup (rows-only driver check — the hash is
@@ -644,19 +658,8 @@ object MultimodalOps {
   private[graft] def audioHashes(spark: SparkSession,
       dir: String): DataFrame = {
     graft.functions.VectorFunctions.ensureRegistered(spark)
-    import spark.implicits._
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
-      .as[(Long, Array[Byte])]
-    val media = docs.mapPartitions(_.map { case (id, p0) =>
-      val p = if (p0 == null) Array.empty[Byte] else p0
-      (id, wavOf(tiledPayload(p)))
-    }).toDF("media_id", "bytes")
-    decode(media)
-      .filter(col("samples").isNotNull)
-      .select(col("media_id"),
-        graft.functions.VectorFunctions.audioEnvHash64(col("samples")).as("h"))
-      .filter(col("h").isNotNull)
+    perceptualHashes(spark, dir, wavOf, "samples",
+      graft.functions.VectorFunctions.audioEnvHash64(col("samples")))
   }
 
   /** Audio perceptual near-dup (rows-only driver check — the hash is
