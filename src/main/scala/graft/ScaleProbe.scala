@@ -793,35 +793,39 @@ object ScaleProbe {
       s""""w512_compact_global":$tGlobal}""")
   }
 
-  /** TOTAL parquet-file count across `<prefix>N` partition dirs — the
-    * endurance ladders' compaction detector. Deliberately the TOTAL,
-    * not the per-dir max the maintainers bound: appends only ADD files
-    * and a firing compaction rewrites >bound segments into one (a net
-    * removal far exceeding the batch's own additions), so
-    * `totalAfter < totalBefore` classifies every compaction batch —
-    * where a max-over-dirs proxy can miss one under shard skew (a
-    * laggard dir pinned at the bound masks the hot dir's 9→1 rewrite;
-    * the r12 review's counterexample).
+  /** PER-DIR parquet-file counts across `<prefix>N` partition dirs —
+    * the endurance ladders' compaction detector (r13). Per-dir, not a
+    * net total: appends only ADD files to dirs, while a compaction
+    * rewrites SOME dir's >bound segments into one — so "any individual
+    * dir's count decreased" detects compaction POSITIVELY, where both
+    * aggregate proxies have a skew blind spot (max-over-dirs misses a
+    * hot dir's 9→1 under a laggard pinned at the bound — the r12 fix;
+    * total-count misses it when the same batch's append adds MORE
+    * files across many dirs than the few overweight rewrites remove —
+    * the r13 ADVICE counterexample, the r12 failure class inverted).
+    * A miss would silently skip that compaction's consistency re-pin.
     */
-  private def parquetFilesUnder(parent: String, prefix: String): Int =
+  private def parquetFilesByDir(parent: String,
+      prefix: String): Map[String, Int] =
     Option(new java.io.File(parent).listFiles()).getOrElse(Array.empty)
       .filter(d => d.isDirectory && d.getName.startsWith(prefix))
-      .map(d => Option(d.listFiles())
+      .map(d => d.getName -> Option(d.listFiles())
         .map(_.count(_.getName.endsWith(".parquet"))).getOrElse(0))
-      .sum
+      .toMap
 
   /** Shared endurance-ladder harness (r12 — extracted from the three
     * per-family copies so the compaction-detection and latency
     * bookkeeping live in ONE audited place, the Artifacts rationale):
     * runs each micro-batch thunk, classifies the batch as append or
-    * compaction-batch by the TOTAL-file detector above, re-pins the
+    * compaction-batch by the per-dir-decrease detector above, re-pins the
     * caller's consistency check after every compaction, tracks the
     * per-dir segment bound, and samples the caller's serving probe
     * every 5 batches. compactBatchLat is the COMPACTION BATCH's
     * latency — append + rewrite together (the marginal rewrite cost
     * alone is `--index-compact`'s isolated measurement).
     */
-  private def runLadder(slices: Seq[() => Unit], totalFiles: () => Int,
+  private def runLadder(slices: Seq[() => Unit],
+      filesByDir: () => Map[String, Int],
       maxSeg: () => Int, consistent: () => Boolean, sample: () => Unit)
       : (Seq[Double], Seq[Double], Int, Int, Boolean) = {
     val appendLat = scala.collection.mutable.ArrayBuffer.empty[Double]
@@ -830,14 +834,18 @@ object ScaleProbe {
     var compactions = 0
     var allConsistent = true
     slices.zipWithIndex.foreach { case (run, bi) =>
-      val before = totalFiles()
+      val before = filesByDir()
       val segBefore = maxSeg()
       val t0 = System.nanoTime()
       run()
       val dt = (System.nanoTime() - t0) / 1e9
-      val after = totalFiles()
+      val after = filesByDir()
       maxSegSeen = math.max(maxSegSeen, math.max(segBefore, maxSeg()))
-      if (after < before) {
+      // POSITIVE detection (r13): some dir's own file count fell (a
+      // vanished dir counts as 0 — a re-cut rewrote it). Appends only
+      // add files per dir, so this cannot trigger on a pure append and
+      // cannot be masked by one (the net-total detector's blind spot).
+      if (before.exists { case (dir, n) => after.getOrElse(dir, 0) < n }) {
         compactions += 1
         compactBatchLat += dt
         if (!consistent()) allConsistent = false
@@ -913,7 +921,7 @@ object ScaleProbe {
     })
     val (appendLat, compactLat, maxSeg, compactions, convergent) =
       try runLadder(slices,
-        () => parquetFilesUnder(VectorIndex.indexDir(root), "t="),
+        () => parquetFilesByDir(VectorIndex.indexDir(root), "t="),
         () => VectorIndex.segments(root),
         // re-pin the convergence claim at the very compaction point
         () => artifactKeys() == rebuildKeys(folded),
@@ -1031,7 +1039,7 @@ object ScaleProbe {
     gateSample(): Unit // warmup (JIT + footers) outside the samples
     val (appendLat, compactLat, maxSeg, compactions, convergent) =
       try runLadder(slices,
-        () => parquetFilesUnder(WinnowIndex.fpsDir(root), "shard="),
+        () => parquetFilesByDir(WinnowIndex.fpsDir(root), "shard="),
         () => WinnowIndex.segments(root),
         // re-pin set preservation at the very compaction point: the
         // artifact's fingerprint set equals a full rebuild over
@@ -1138,7 +1146,7 @@ object ScaleProbe {
     serveSample(): Unit // warmup outside the samples
     val (appendLat, compactLat, maxSeg, compactions, consistent) =
       try runLadder(slices,
-        () => parquetFilesUnder(s"$root/postings", "tshard="),
+        () => parquetFilesByDir(s"$root/postings", "tshard="),
         () => TextIndex.postingsSegments(root),
         // re-pin the maintained-index consistency claim at the very
         // compaction point: indexed serving ≡ raw-scan over all docs

@@ -593,51 +593,16 @@ object SparkEntry {
         |    'counter' AS kind
         |  FROM events WHERE event_type NOT IN ('view','click') GROUP BY 1, 2
         |) ORDER BY bucket, event_type""".stripMargin,
-    "q_topk" ->
-      """SELECT event_type, COUNT(*) AS cnt FROM events
-        |GROUP BY 1 ORDER BY cnt DESC, event_type LIMIT 3""".stripMargin,
     // the r12 SQL-authored twins (window / session / top-k classes)
-    // answer to the SAME oracles as their DSL faces
-    "q_sql_topk" ->
-      """SELECT event_type, COUNT(*) AS cnt FROM events
-        |GROUP BY 1 ORDER BY cnt DESC, event_type LIMIT 3""".stripMargin,
-    "q_sql_rate" ->
-      """SELECT user_id, event_id, delta FROM (
-        |  SELECT user_id, event_id,
-        |    value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
-        |  FROM events) t
-        |WHERE delta IS NOT NULL ORDER BY user_id, event_id""".stripMargin,
-    "q_sql_session" ->
-      """WITH x AS (
-        |  SELECT user_id, ts,
-        |    CASE WHEN lag(ts) OVER w IS NULL
-        |         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
-        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-        |), s AS (
-        |  SELECT user_id, ts,
-        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
-        |  FROM x)
-        |SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
-        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+    // answer to the SAME oracles as their DSL faces — shared defs
+    // (the tagFilterOracle pattern), never two copies to keep in sync
+    "q_topk" -> topKOracle,
+    "q_sql_topk" -> topKOracle,
+    "q_sql_rate" -> rateOracle,
+    "q_sql_session" -> sessionOracle,
     "q_sql_tag_filter" -> tagFilterOracle,
-    "q_rate" ->
-      """SELECT user_id, event_id, delta FROM (
-        |  SELECT user_id, event_id,
-        |    value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
-        |  FROM events) t
-        |WHERE delta IS NOT NULL ORDER BY user_id, event_id""".stripMargin,
-    "q_session" ->
-      """WITH x AS (
-        |  SELECT user_id, ts,
-        |    CASE WHEN lag(ts) OVER w IS NULL
-        |         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
-        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-        |), s AS (
-        |  SELECT user_id, ts,
-        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
-        |  FROM x)
-        |SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
-        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+    "q_rate" -> rateOracle,
+    "q_session" -> sessionOracle,
     "q_join_enrich" ->
       """SELECT c_mktsegment, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
@@ -2044,6 +2009,35 @@ object SparkEntry {
     // the custom-aggregate class through the front door
     "q_sql_distinct_approx" -> kmvDailyOracle,
   )
+
+  /** The top-k / rate / session oracles, each ONE definition shared by
+    * the DSL row and its SQL-text twin (the tagFilterOracle rule): the
+    * "same oracle as the DSL face" claim must hold by construction,
+    * never by duplicated strings staying in sync (r13 ADVICE).
+    */
+  private def topKOracle: String =
+    """SELECT event_type, COUNT(*) AS cnt FROM events
+      |GROUP BY 1 ORDER BY cnt DESC, event_type LIMIT 3""".stripMargin
+
+  private def rateOracle: String =
+    """SELECT user_id, event_id, delta FROM (
+      |  SELECT user_id, event_id,
+      |    value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+      |  FROM events) t
+      |WHERE delta IS NOT NULL ORDER BY user_id, event_id""".stripMargin
+
+  private def sessionOracle: String =
+    """WITH x AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), s AS (
+      |  SELECT user_id, ts,
+      |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM x)
+      |SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+      |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
 
   /** The D6 tag predicate recomputed from RAW events (the index is a
     * Spark-side serving artifact the oracle must not depend on). ONE

@@ -147,8 +147,17 @@ object AudioEnvHash64Expr {
       var sum = 0L
       var i = i0
       while (i < i1) {
-        // exact int16 recovery: WavSamplesExpr normalizes by 2^15
-        sum += math.abs(math.round(samples.getFloat(i) * 32768f)).toLong
+        // exact int16 recovery: WavSamplesExpr normalizes by 2^15.
+        // Round in LONG space (math.round(Float) saturates at
+        // Int.MinValue, whose abs is still negative) and clamp the
+        // per-sample magnitude: the function is SQL-registered, so
+        // arbitrary float arrays must stay "null or sane", and the
+        // clamp bounds the window sum under 2^62 (window < 2^31
+        // samples × 2^31 magnitude). Int16-range inputs are far below
+        // the clamp, so the decoded-WAV hash is bit-identical.
+        val r = math.round(samples.getFloat(i).toDouble * 32768d)
+        sum += (if (r < -(1L << 31) || r > (1L << 31)) 1L << 31
+                else math.abs(r))
         i += 1
       }
       env(w) = sum / (i1 - i0)

@@ -149,6 +149,30 @@ private[graft] object Artifacts {
         (n.contains(".old-") || n.contains(".tmp-")))
       .toSeq
 
+  /** [[dirResidue]] with bounded patience for a HEALTHY concurrent
+    * swap (r13): [[publishByRename]] leaves a LIVE `.old-` aside
+    * between the swap-in rename and its rmTree completing, so a single
+    * residue observation is ambiguous — a serving gate refusing on
+    * first sight would misdiagnose a healthy compaction as a crash
+    * (and, inside retry loops built precisely to tolerate concurrent
+    * compaction, throw instead of retrying). The healthy window is one
+    * rmTree of a partition dir — milliseconds — so re-observe a few
+    * times; residue that OUTLIVES the retries is crash residue for the
+    * caller to refuse on. Serving still never HEALS (that would race
+    * the maintainer); it only waits out the benign window.
+    */
+  private[graft] def settledDirResidue(parent: String, prefix: String,
+      attempts: Int = 5, sleepMs: Long = 100): Seq[String] = {
+    var res = dirResidue(parent, prefix)
+    var i = 1
+    while (res.nonEmpty && i < attempts) {
+      Thread.sleep(sleepMs)
+      res = dirResidue(parent, prefix)
+      i += 1
+    }
+    res
+  }
+
   /** Heal crashed partition-dir swaps under `parent` — the
     * [[recoverArtifacts]] rule applied at partition-dir grain to every
     * dir name [[dirResidue]] flags.

@@ -358,7 +358,10 @@ object TextIndex {
     * drop that shard's postings. Refuse loudly; maintenance heals.
     */
   private def requireNoShardResidue(root: String): Unit = {
-    val residue = Artifacts.dirResidue(s"$root/postings", "tshard=")
+    // bounded patience first (r13): a healthy concurrent compaction's
+    // swap briefly leaves a live `.old-` aside — only residue that
+    // OUTLIVES the re-checks is a crash to refuse on
+    val residue = Artifacts.settledDirResidue(s"$root/postings", "tshard=")
     require(residue.isEmpty,
       s"text index at $root holds crashed shard-compaction residue " +
         s"(${residue.sorted.mkString(", ")}) — a pruned read against it " +

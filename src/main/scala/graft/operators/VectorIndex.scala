@@ -261,7 +261,10 @@ object VectorIndex {
     * nothing. Refuse loudly; maintenance heals.
     */
   private def requireNoTableResidue(root: String): Unit = {
-    val residue = Artifacts.dirResidue(indexDir(root), "t=")
+    // bounded patience first (r13): a healthy concurrent compaction's
+    // swap briefly leaves a live `.old-` aside — only residue that
+    // OUTLIVES the re-checks is a crash to refuse on
+    val residue = Artifacts.settledDirResidue(indexDir(root), "t=")
     require(residue.isEmpty,
       s"vector index at $root holds crashed table-compaction residue " +
         s"(${residue.sorted.mkString(", ")}) — serving would parse the " +

@@ -458,7 +458,10 @@ object WinnowIndex {
     * and silently drop that shard from an `isin` prune.
     */
   private[graft] def requireNoShardResidue(root: String): Unit = {
-    val residue = Artifacts.dirResidue(fpsDir(root), "shard=")
+    // bounded patience first (r13): a healthy concurrent compaction's
+    // swap briefly leaves a live `.old-` aside — only residue that
+    // OUTLIVES the re-checks is a crash to refuse on
+    val residue = Artifacts.settledDirResidue(fpsDir(root), "shard=")
     require(residue.isEmpty,
       s"winnow index at $root holds crashed shard-compaction residue " +
         s"(${residue.sorted.mkString(", ")}) — a pruned read against it " +
