@@ -53,6 +53,15 @@ object SparkEntry {
       // built via the maintained path (prefix build + appendTo + compact)
       "winnow_index" -> (() => graft.operators.WinnowIndex.ensure(spark, dir)),
       "vector_exactsig" -> (() => graft.operators.VectorIndex.ensureExactSig(spark, dir)),
+      // per-modality perceptual-hash artifacts (r13): media is decoded
+      // and hashed HERE, once per dataset — the near-dup queries then
+      // band-join stored 16-byte rows instead of re-decoding the corpus
+      "media_hash_image" -> (() =>
+        graft.operators.MediaHashIndex.ensure(spark, dir,
+          graft.operators.MediaHashIndex.Image)),
+      "media_hash_audio" -> (() =>
+        graft.operators.MediaHashIndex.ensure(spark, dir,
+          graft.operators.MediaHashIndex.Audio)),
       // the exact-fit models behind q_kmeans / q_ann_ivf_exactsig /
       // q_ann_pq_exactsig — trained once per dataset at ingest like the
       // float codebooks above
@@ -213,6 +222,14 @@ object SparkEntry {
     // pins both bit-exactly + banded ≡ brute-force + recall floors)
     "q_image_neardup" -> ((s, d) => MultimodalOps.imageNearDup(s, d)),
     "q_audio_neardup" -> ((s, d) => MultimodalOps.audioNearDup(s, d)),
+    // the same near-dup reports SERVED FROM the maintained per-modality
+    // hash artifact (r13 — ingest-amortized: the corpus is decoded once
+    // at ingest, queries read 16-byte (media_id, h) rows; rows-only,
+    // MediaHashIndexSpec pins indexed ≡ recompute on the full corpus)
+    "q_image_neardup_indexed" ->
+      ((s, d) => graft.operators.MediaHashIndex.imageNearDupIndexed(s, d)),
+    "q_audio_neardup_indexed" ->
+      ((s, d) => graft.operators.MediaHashIndex.audioNearDupIndexed(s, d)),
   )
 
   private val stopList = "('the','a','an','of','and','to','in','is','it','on','for')"

@@ -538,25 +538,32 @@ object MultimodalOps {
     out
   }
 
+  /** One row per (hash, band): the contiguous bit slices a 64-bit
+    * perceptual hash splits into for the banded candidate joins. The
+    * band array is built over the ALREADY-PROJECTED hash attribute
+    * (shifts of a column reference, never the hash kernel itself), so
+    * GenerateExec's no-subexpression-elimination pitfall cannot
+    * re-evaluate the kernel per element.
+    */
+  private def bandedOf(hashed: DataFrame, bands: Int): DataFrame = {
+    val width = 64 / bands
+    val mask = (1L << width) - 1
+    val bandCols = array((0 until bands).map(b =>
+      struct(lit(b).as("band"),
+        shiftright(col("h"), b * width).bitwiseAND(lit(mask)).as("bv"))): _*)
+    hashed
+      .select(col("media_id"), col("h"), explode(bandCols).as("tb"))
+      .select(col("media_id"), col("h"),
+        col("tb.band").as("band"), col("tb.bv").as("bv"))
+  }
+
   /** The banded CANDIDATE join alone (doc_a, doc_b, ha, hb — distinct
     * pairs agreeing on at least one band): split out so the probe can
     * measure candidate-pair volume separately from the confirm filter.
     */
   private[graft] def dhashBandCandidates(hashed: DataFrame,
       bands: Int): DataFrame = {
-    val width = 64 / bands
-    val mask = (1L << width) - 1
-    // the band array is built over the ALREADY-PROJECTED hash attribute
-    // (shifts of a column reference, never the hash kernel itself), so
-    // GenerateExec's no-subexpression-elimination pitfall cannot
-    // re-evaluate the kernel per element
-    val bandCols = array((0 until bands).map(b =>
-      struct(lit(b).as("band"),
-        shiftright(col("h"), b * width).bitwiseAND(lit(mask)).as("bv"))): _*)
-    val banded = hashed
-      .select(col("media_id"), col("h"), explode(bandCols).as("tb"))
-      .select(col("media_id"), col("h"),
-        col("tb.band").as("band"), col("tb.bv").as("bv"))
+    val banded = bandedOf(hashed, bands)
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.media_id") < col("b.media_id"))
@@ -564,6 +571,36 @@ object MultimodalOps {
         col("a.h").as("ha"), col("b.h").as("hb"))
       // a pair colliding in several bands emits once
       .distinct()
+  }
+
+  /** TWO-SIDED banded near-dup join — [[dhashBandPairs]]' construction
+    * with distinct probe and corpus sides (the stream-vs-history shape
+    * [[graft.streaming.MediaStream]] serves): candidates agree exactly
+    * on at least one (band, value) key, the exact Hamming confirm gates
+    * emission, and the pigeonhole recall guarantee (EXACT for
+    * maxHamming < bands) carries over unchanged. Same-id pairs are
+    * excluded — a replayed document probing against an index that
+    * already holds it must not report itself as its own near-dup.
+    * Output: (media_id, corpus_id, hamming), one row per pair.
+    */
+  private[graft] def dhashBandJoin(probe: DataFrame, corpus: DataFrame,
+      bands: Int = 4, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < bands,
+      s"banded recall is exact only for maxHamming < bands " +
+        s"(got $maxHamming vs $bands) — a wider gate needs more bands")
+    bandedOf(probe, bands).as("a")
+      .join(bandedOf(corpus, bands).as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.media_id") =!= col("b.media_id"))
+      .select(col("a.media_id").as("media_id"),
+        col("b.media_id").as("corpus_id"),
+        col("a.h").as("ha"), col("b.h").as("hb"))
+      // a pair colliding in several bands emits once
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("media_id", "corpus_id", "hamming")
   }
 
   /** Banded pair generation over 64-bit perceptual hashes — the
@@ -596,36 +633,65 @@ object MultimodalOps {
     * decode → hash column, with the null posture shared (undecodable
     * payloads and sub-grid inputs drop out on both sides of the pair
     * join). The modality supplies its container builder, the decoded
-    * column the hash consumes, and the hash expression itself.
+    * column the hash consumes, and the hash expression itself. Takes a
+    * (doc_id, text) FRAME (not a dataset dir) so the exact same chain
+    * hashes a corpus build, a maintained-index append slice, and a
+    * streaming micro-batch — the hash FAMILY contract
+    * ([[imageHashFamily]]/[[audioHashFamily]]) is only sound because
+    * there is one pipeline to drift.
     */
-  private def perceptualHashes(spark: SparkSession, dir: String,
+  private def perceptualHashesOf(docs: DataFrame,
       container: Array[Byte] => Array[Byte], decodedCol: String,
       hash: Column): DataFrame = {
+    val spark = docs.sparkSession
     graft.functions.VectorFunctions.ensureRegistered(spark)
     import spark.implicits._
-    val docs = Tables.documents(spark, dir)
+    val media = docs
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
       .as[(Long, Array[Byte])]
-    val media = docs.mapPartitions(_.map { case (id, p0) =>
-      val p = if (p0 == null) Array.empty[Byte] else p0
-      (id, container(tiledPayload(p)))
-    }).toDF("media_id", "bytes")
+      .mapPartitions(_.map { case (id, p0) =>
+        val p = if (p0 == null) Array.empty[Byte] else p0
+        (id, container(tiledPayload(p)))
+      }).toDF("media_id", "bytes")
     decode(media)
       .filter(col(decodedCol).isNotNull)
       .select(col("media_id"), hash.as("h"))
       .filter(col("h").isNotNull)
   }
 
+  /** Hash-pipeline FAMILY identifiers — the code-space contract the
+    * maintained [[MediaHashIndex]] artifacts carry in `_meta`: a hash is
+    * only comparable to hashes produced by the identical packing +
+    * container + decode + hash chain, so any change to [[tiledPayload]],
+    * the container builders, or the hash expressions must bump the
+    * family (hashes from drifted pipelines band-join to garbage pairs,
+    * the cross-family failure mode the winnow/vector `_family`/`_meta`
+    * gates exist to refuse).
+    */
+  private[graft] val imageHashFamily = "dhash64-bmp-tile64-v1"
+  private[graft] val audioHashFamily = "audioenv64-wav-tile64-v1"
+
+  /** [[perceptualHashesOf]] at the image modality: tiled-BMP fixtures
+    * through the native decode + dHash chain.
+    */
+  private[graft] def imageHashesOf(docs: DataFrame): DataFrame =
+    perceptualHashesOf(docs, bmpOf, "pixels",
+      graft.functions.VectorFunctions.dhash64(col("pixels"),
+        col("width"), col("height"), col("channels")))
+
+  /** [[perceptualHashesOf]] at the audio modality: tiled-payload PCM16
+    * WAV fixtures through the native decode + envelope-hash chain.
+    */
+  private[graft] def audioHashesOf(docs: DataFrame): DataFrame =
+    perceptualHashesOf(docs, wavOf, "samples",
+      graft.functions.VectorFunctions.audioEnvHash64(col("samples")))
+
   /** The per-document perceptual hashes the near-dup pipeline pairs
     * over: tiled-BMP fixtures through the native decode + dHash chain.
     */
   private[graft] def imageHashes(spark: SparkSession,
-      dir: String): DataFrame = {
-    graft.functions.VectorFunctions.ensureRegistered(spark)
-    perceptualHashes(spark, dir, bmpOf, "pixels",
-      graft.functions.VectorFunctions.dhash64(col("pixels"),
-        col("width"), col("height"), col("channels")))
-  }
+      dir: String): DataFrame =
+    imageHashesOf(Tables.documents(spark, dir).select("doc_id", "text"))
 
   /** Image perceptual near-dup (rows-only driver check — the hash is
     * codec/packing-defined): document bytes ride in REAL BMP containers
@@ -656,11 +722,8 @@ object MultimodalOps {
     * envelope-hash chain.
     */
   private[graft] def audioHashes(spark: SparkSession,
-      dir: String): DataFrame = {
-    graft.functions.VectorFunctions.ensureRegistered(spark)
-    perceptualHashes(spark, dir, wavOf, "samples",
-      graft.functions.VectorFunctions.audioEnvHash64(col("samples")))
-  }
+      dir: String): DataFrame =
+    audioHashesOf(Tables.documents(spark, dir).select("doc_id", "text"))
 
   /** Audio perceptual near-dup (rows-only driver check — the hash is
     * codec/packing-defined): document bytes ride in REAL PCM16 WAV
