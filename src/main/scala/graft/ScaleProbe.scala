@@ -291,6 +291,117 @@ object ScaleProbe {
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
   }
 
+  /** Deterministic synthetic EVENTS for the tag-index ladder: 20 date
+    * partitions, a numeric hot tag `k` in the props JSON (the D6 shape),
+    * event_id = the range id (the slice key the ladder splits on).
+    */
+  private def synthesizeEvents(spark: SparkSession, dir: String,
+      n: Long): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/events.parquet/_SUCCESS"))) return
+    spark.range(0, n).selectExpr(
+      "timestampadd(SECOND, CAST(id % 86400 AS INT), " +
+        "timestampadd(DAY, CAST(id % 20 AS INT), TIMESTAMP'2025-01-01 00:00:00')) AS ts",
+      "id AS event_id",
+      "id % 997 AS user_id",
+      "CASE WHEN id % 3 = 0 THEN 'view' WHEN id % 3 = 1 THEN 'click' " +
+        "ELSE 'purchase' END AS event_type",
+      "CAST(id % 250 AS DOUBLE) AS value",
+      """concat('{"k":"', CAST(id % 100 AS STRING), '","site":"s', """ +
+        "CAST(id % 7 AS STRING), '\"}') AS props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+  }
+
+  /** Maintained-TagIndex endurance ladder (r13 — the fourth maintained
+    * family folded into the shared [[runLadder]] harness, closing the
+    * one index that was still one-shot): a maintainer loop feeds 26
+    * tagged event slices through [[graft.operators.TagIndex.appendTo]]
+    * under the maxSegments=8 date-local auto-compaction policy
+    * ([[graft.operators.TagIndex.compactDates]]). Reports the family's
+    * standard claims: (a) append latency flat (slice-sized, never
+    * corpus-sized); (b) the segment bound held; (c) after EACH
+    * compaction the row BAG re-pinned equal to everything folded so far
+    * (count + per-event uniqueness — events are bag rows, so this is
+    * the exactness claim the tag protocol exists for); (d) the serving
+    * gate (the q_tag_filter typed-k read) sampled early vs late must
+    * stay proportional to the table, with the pushed-down scan shape.
+    */
+  private def tagindexEnduranceProbe(spark: SparkSession,
+      base: String): Seq[String] = {
+    import graft.operators.TagIndex
+    import org.apache.spark.sql.functions.col
+    val maxSegments = 8
+    val d = s"$base/events_x"
+    synthesizeEvents(spark, d, 200000L)
+    val all = spark.read.parquet(s"$d/events.parquet")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-tagindex-endurance").toString + "/events_tagged"
+    new java.io.File(root).mkdirs()
+    TagIndex.appendTo(root, all.filter(col("event_id") % 3 === 0),
+      Some(("probe", "base")))
+    val batches = 26
+    // event_id is a nonnegative range id, so plain % is the slice key
+    def sliceOf(b: Int) = all.filter(col("event_id") % 3 =!= 0 &&
+      col("event_id") % batches === b)
+    // per-slice row counts precomputed so the consistency re-pin never
+    // rides inside a timed batch
+    val sliceCounts = (0 until batches).map(b => sliceOf(b).count())
+    var expected = all.filter(col("event_id") % 3 === 0).count()
+    var bi = -1
+    val slices = (0 until batches).map { b => () => {
+      TagIndex.recover(root)
+      TagIndex.appendTo(root, sliceOf(b), Some(("probe", s"b$b")))
+      bi = b
+      expected += sliceCounts(b)
+      if (TagIndex.segments(root) > maxSegments)
+        TagIndex.compactDates(root, spark, maxSegments)
+    }}
+    def consistent(): Boolean = {
+      spark.catalog.refreshByPath(root)
+      val df = spark.read.parquet(root)
+      df.count() == expected &&
+        df.select("event_id").distinct().count() == expected
+    }
+    def serveSample(): Double = {
+      spark.catalog.refreshByPath(root)
+      val t0 = System.nanoTime()
+      spark.read.parquet(root).filter(col("k") > 50)
+        .select("event_id", "user_id", "k").count(): Unit
+      (System.nanoTime() - t0) / 1e9
+    }
+    val serveLat = scala.collection.mutable.ArrayBuffer.empty[Double]
+    serveSample(): Unit // warmup outside the samples
+    val (appendLat, compactLat, maxSeg, compactions, allConsistent) =
+      runLadder(slices,
+        () => parquetFilesByDir(root, "date="),
+        () => TagIndex.segments(root),
+        () => consistent(),
+        () => serveLat += serveSample(): Unit)
+    val early = median(appendLat.take(4))
+    val late = median(appendLat.takeRight(4))
+    val cMed = if (compactLat.isEmpty) 0.0 else median(compactLat)
+    val sEarly = median(serveLat.take(2).toSeq)
+    val sLate = median(serveLat.takeRight(2).toSeq)
+    println(f"[scaleprobe] tagindex_endurance: " +
+      f"batches=${appendLat.size + compactions} " +
+      f"append early=$early%5.2fs late=$late%5.2fs ratio=${late / early}%4.2f " +
+      f"compactions=$compactions (compact-batch median $cMed%5.2fs) " +
+      f"maxSeg=$maxSeg/${maxSegments + 1} consistent=$allConsistent; " +
+      f"serving early=$sEarly%5.2fs late=$sLate%5.2fs " +
+      f"ratio=${sLate / sEarly}%4.2f")
+    require(allConsistent,
+      "tag index row bag diverged from the folded slices after a compaction")
+    require(maxSeg <= maxSegments + 1,
+      s"segment bound violated: $maxSeg > ${maxSegments + 1}")
+    Seq(s""""tagindex_endurance":{"append_early":$early,"append_late":$late,""" +
+      s""""ratio":${late / early},"compactions":$compactions,""" +
+      s""""compact_batch_median":$cMed,"max_segments":$maxSeg,""" +
+      s""""bound":${maxSegments + 1},"consistent":$allConsistent,""" +
+      s""""serve_early":$sEarly,"serve_late":$sLate,""" +
+      s""""serve_ratio":${sLate / sEarly}}""")
+  }
+
   private def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
     df.collect().groupBy(_.getAs[Long]("qid"))
       .map { case (q, rows) => q -> rows.map(_.getAs[Long]("nid")).toSet }
@@ -1491,6 +1602,11 @@ object ScaleProbe {
     if (args.sameElements(Array("--tindex-endurance"))) {
       val rows = tindexEnduranceProbe(spark, base, n1)
       println(s"""{"metric":"scaleprobe_tindex_endurance",${rows.mkString(",")}}""")
+      spark.stop(); return
+    }
+    if (args.sameElements(Array("--tagindex-endurance"))) {
+      val rows = tagindexEnduranceProbe(spark, base)
+      println(s"""{"metric":"scaleprobe_tagindex_endurance",${rows.mkString(",")}}""")
       spark.stop(); return
     }
     if (args.sameElements(Array("--winnow-endurance"))) {

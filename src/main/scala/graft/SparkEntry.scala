@@ -49,6 +49,9 @@ object SparkEntry {
       "pq_assigned" -> (() => graft.operators.VectorOps.cachedPqAssigned(spark, dir)),
       "query_vecs" -> (() => graft.operators.VectorOps.cachedQueryVecs(spark, dir)),
       "corpus_route" -> (() => graft.plans.CorpusRoute.ensureArtifacts(spark, dir)),
+      // the per-day KMV-state rollup q_distinct_approx and its SQL twin
+      // are served from (r13 — sketch-partial MV routing)
+      "kmv_route" -> (() => graft.plans.KmvRoute.ensureArtifacts(spark, dir)),
       "bpe_rules" -> (() => graft.operators.TextOps.trainedBpeRules(spark, dir, 10)),
       // built via the maintained path (prefix build + appendTo + compact)
       "winnow_index" -> (() => graft.operators.WinnowIndex.ensure(spark, dir)),
@@ -112,6 +115,11 @@ object SparkEntry {
     "q_sql_session" -> SqlFrontDoor.sqlSession _,
     "q_sql_tag_filter" -> SqlFrontDoor.sqlTagFilter _,
     "q_sql_distinct_approx" -> SqlFrontDoor.sqlDistinctApprox _,
+    // the index-served RETRIEVAL class through the front door (r13):
+    // BM25 top-k authored as SQL text over the registered text-index
+    // views, same oracle as q_bm25_indexed, term-shard pruning
+    // PlanSpec-pinned to survive the SQL face
+    "q_sql_bm25_indexed" -> SqlFrontDoor.sqlBm25Indexed _,
     "q_distinct_approx" -> EventOps.distinctApprox _,
     "q_log_level_hist" -> EventOps.logLevelHist _,
     "q_set_except" -> EventOps.setExcept _,
@@ -990,6 +998,10 @@ object SparkEntry {
     // the index-served path must match the raw-scan recompute bit-for-bit
     // — the oracle doubles as external proof the index is consistent
     "q_bm25_indexed" -> bm25OracleSql,
+    // the SQL-text face serves from the same maintained index and must
+    // reproduce the same raw-recompute answer — ONE oracle definition
+    // for all three BM25 faces, by construction
+    "q_sql_bm25_indexed" -> bm25OracleSql,
     "q_phrase_search" ->
       // naive token-window phrase scan per workload phrase; the indexed
       // path must reproduce these occurrence counts exactly

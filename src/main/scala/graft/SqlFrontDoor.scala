@@ -141,12 +141,97 @@ object SqlFrontDoor {
     */
   def sqlDistinctApprox(spark: SparkSession, dir: String): DataFrame = {
     registerViews(spark, dir)
-    spark.sql(
+    // routed through the same maintained KMV-state rollup as the DSL
+    // face (r13 — the rule rewrites the SQL-parsed plan identically, so
+    // the sameResult pin holds THROUGH the route), with the same loud
+    // engagement posture
+    val roll = graft.plans.KmvRoute.ensureArtifacts(spark, dir)
+    val out = spark.sql(
       """SELECT to_date(ts) AS day,
         |  kmv_count_distinct_exact(
         |    CAST(conv(substring(md5(CAST(CAST(user_id AS STRING) AS BINARY)), 1, 15), 16, 10) AS BIGINT),
         |    64) AS approx_users
         |FROM events GROUP BY 1 ORDER BY day""".stripMargin)
+    graft.plans.KmvRoute.requireEngaged(out, roll)
+    out
+  }
+
+  /** SQL face of [[graft.operators.TextIndex.bm25TopKIndexed]] — the
+    * INDEX-SERVED RETRIEVAL class through the front door (r13: the
+    * queries a search dashboard author writes): the maintained text
+    * index's three artifacts register as views
+    * ([[graft.operators.TextIndex.registerServingViews]], behind the
+    * same completeness + crash-residue gates the DSL face serves
+    * through), and the whole BM25 top-k workload — pruned postings
+    * read, rational-idf scoring chain, positional slot sum, two-phase
+    * top-k — is authored as SQL TEXT against them, hash-checked by the
+    * SAME DuckDB raw-recompute oracle as q_bm25_topk / q_bm25_indexed.
+    *
+    * The term-shard literals come from the shared
+    * [[graft.operators.TextIndex.shardsOfTerms]] metadata job and are
+    * INTERPOLATED into the query text — `tshard IN (...)` over literals
+    * is exactly what Catalyst's partition pruning needs, and PlanSpec
+    * pins that the pruning SURVIVES the SQL face (PartitionFilters on
+    * the postings scan). The scoring chain mirrors
+    * [[graft.operators.TextOps.bm25FromHits]]'s fixed double ops
+    * term-for-term so the float addition sequence is engine-identical;
+    * plan identity with the DSL face is pinned at ROW level (the
+    * hash-equality precedent) — the DSL kernel broadcasts the tiny
+    * df/stats sides explicitly and SQL's join planning keys off
+    * statistics, so sameResult would pin join-strategy cosmetics, not
+    * semantics (the documented `SqlFrontDoor.scala` precedent for
+    * structurally-divergent faces).
+    */
+  def sqlBm25Indexed(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    graft.operators.TextIndex.registerServingViews(spark, dir)
+    val workload = graft.operators.TextOps.bm25Queries
+    val terms = workload.map(_._3).distinct
+    val shardList = graft.operators.TextIndex
+      .shardsOfTerms(spark, terms).sorted.mkString(", ")
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    val qVals = workload
+      .map { case (q, p, t) => s"(CAST($q AS BIGINT), $p, '$t')" }
+      .mkString(", ")
+    spark.sql(
+      s"""WITH q(qid, pos, term) AS (VALUES
+        |    $qVals),
+        |hits AS (
+        |  SELECT q.qid, q.pos, p.doc_id, p.tf, p.dl, t.df, s.n, s.t
+        |  FROM text_postings p
+        |  JOIN q ON p.term = q.term
+        |  JOIN text_terms t ON t.term = p.term
+        |  CROSS JOIN text_stats s
+        |  WHERE p.tshard IN ($shardList) AND p.term IN ($termList)
+        |    AND t.tshard IN ($shardList) AND t.term IN ($termList)),
+        |scored AS (
+        |  SELECT qid, pos, doc_id,
+        |    (CAST(2 * n - 2 * df + 1 AS DOUBLE) / CAST(2 * df + 1 AS DOUBLE)) *
+        |      ((CAST(tf AS DOUBLE) * 2.2D) /
+        |       (CAST(tf AS DOUBLE) + 1.2D * (0.25D + 0.75D *
+        |         (CAST(dl AS DOUBLE) / (CAST(t AS DOUBLE) / CAST(n AS DOUBLE)))))) AS s
+        |  FROM hits),
+        |perdoc AS (
+        |  SELECT qid, doc_id,
+        |    MAX(CASE WHEN pos = 1 THEN s END) AS s1,
+        |    MAX(CASE WHEN pos = 2 THEN s END) AS s2,
+        |    MAX(CASE WHEN pos = 3 THEN s END) AS s3
+        |  FROM scored GROUP BY qid, doc_id),
+        |wscore AS (
+        |  SELECT qid, doc_id,
+        |    COALESCE(s1, 0.0D) + COALESCE(s2, 0.0D) + COALESCE(s3, 0.0D) AS score,
+        |    spark_partition_id() AS split
+        |  FROM perdoc),
+        |locals AS (
+        |  SELECT qid, doc_id, score,
+        |    ROW_NUMBER() OVER (PARTITION BY qid, split ORDER BY score DESC, doc_id) AS lrk
+        |  FROM wscore),
+        |ranked AS (
+        |  SELECT qid, doc_id, score,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+        |  FROM locals WHERE lrk <= 10)
+        |SELECT qid, rank, doc_id, score FROM ranked WHERE rank <= 10
+        |ORDER BY qid, rank""".stripMargin)
   }
 
   /** SQL face of [[graft.operators.EventOps.downsampleLts]] (D1+D2

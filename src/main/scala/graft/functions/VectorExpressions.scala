@@ -851,6 +851,31 @@ object VectorFunctions {
         s"$kmvExactName expects (hash60 column, k int literal), got $other")
   }
 
+  // the md5-oracle-tier state/merge faces (r13 — the KmvRoute rollup's
+  // stored partials): same hash space and estimator family as
+  // kmv_count_distinct_exact, so merge(state partials) ≡ the raw sketch
+  val kmvStateExactName = "kmv_state_exact"
+
+  private[functions] val kmvStateExactBuilder: Seq[Expression] => Expression = {
+    case Seq(a, org.apache.spark.sql.catalyst.expressions.Literal(kv: Int,
+        org.apache.spark.sql.types.IntegerType)) =>
+      KmvStateAgg(a, kv, spaceBits = 60)
+    case other =>
+      throw new IllegalArgumentException(
+        s"$kmvStateExactName expects (hash60 column, k int literal), got $other")
+  }
+
+  val kmvMergeExactName = "kmv_merge_exact"
+
+  private[functions] val kmvMergeExactBuilder: Seq[Expression] => Expression = {
+    case Seq(a, org.apache.spark.sql.catalyst.expressions.Literal(kv: Int,
+        org.apache.spark.sql.types.IntegerType)) =>
+      KmvMergeAgg(a, kv, spaceBits = 60)
+    case other =>
+      throw new IllegalArgumentException(
+        s"$kmvMergeExactName expects (state array column, k int literal), got $other")
+  }
+
   val bpeMergeName = "bpe_merge_step"
 
   private val bpeMergeBuilder: Seq[Expression] => Expression = {
@@ -917,6 +942,10 @@ object VectorFunctions {
       kmvName, kmvBuilder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       kmvExactName, kmvExactBuilder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      kmvStateExactName, kmvStateExactBuilder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      kmvMergeExactName, kmvMergeExactBuilder, "scala_udf")
   }
 
   /** Column API: `dot(a, b)` once [[ensureRegistered]] has run. */
@@ -1011,6 +1040,18 @@ object VectorFunctions {
     */
   def kmvCountDistinctExact(c: Column, k: Int): Column =
     call_function(kmvExactName, c, org.apache.spark.sql.functions.lit(k))
+
+  /** Column API: the md5-tier KMV partial STATE (unsigned-ascending
+    * array<bigint> of the k minima) — what the KmvRoute rollup stores.
+    */
+  def kmvStateExact(c: Column, k: Int): Column =
+    call_function(kmvStateExactName, c, org.apache.spark.sql.functions.lit(k))
+
+  /** Column API: merge stored md5-tier KMV states into the same
+    * estimate the raw sketch computes.
+    */
+  def kmvMergeExact(c: Column, k: Int): Column =
+    call_function(kmvMergeExactName, c, org.apache.spark.sql.functions.lit(k))
 }
 
 /** `SparkSessionExtensions` hook: `.withExtensions(new GraftExtensions)` or

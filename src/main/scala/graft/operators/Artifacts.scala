@@ -134,6 +134,53 @@ private[graft] object Artifacts {
     rmTree(new File(stage))
   }
 
+  /** Filesystem-safe encoding for append-tag components (streamIds are
+    * caller-chosen strings; batch ids are digits). `-` is additionally
+    * percent-encoded even though URLEncoder leaves it alone: it is the
+    * tag SEPARATOR in segment file names, and an unescaped `-` inside a
+    * streamId would make prefix matching ambiguous — stream "crawl"
+    * replaying batch 2 (prefix `seg-crawl-2-`) must never match stream
+    * "crawl-2"'s committed files (`seg-crawl%2D2-…`). URLDecoder
+    * round-trips %2D. Extracted (r13) when TagIndex became the second
+    * tag-replay family.
+    */
+  private[graft] def tagEnc(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8").replace("-", "%2D")
+
+  /** Remove a crashed same-tag attempt's published segment files under
+    * `liveRoot`'s partition dirs — the overwrite half of tag-replay
+    * idempotence (TextIndex postings, TagIndex events): a replay first
+    * deletes files carrying its own tag, so a half-moved or fully-moved
+    * crashed attempt is overwritten, never double-appended.
+    */
+  private[graft] def deleteTaggedFiles(liveRoot: String, dirPrefix: String,
+      filePrefix: String): Unit =
+    for {
+      d <- Option(new File(liveRoot).listFiles()).getOrElse(Array.empty[File])
+      if d.isDirectory && d.getName.startsWith(dirPrefix)
+      f <- Option(d.listFiles()).getOrElse(Array.empty[File])
+      if f.getName.startsWith(filePrefix)
+    } f.delete(): Unit
+
+  /** Publish a staged partition tree into the live partition dirs by
+    * per-file rename (atomic on a local fs), prefixing each file with
+    * the append's tag so a replay can identify and overwrite it.
+    */
+  private[graft] def publishStagedFiles(stage: String, liveRoot: String,
+      dirPrefix: String, filePrefix: String): Unit =
+    for {
+      d <- Option(new File(stage).listFiles()).getOrElse(Array.empty[File])
+      if d.isDirectory && d.getName.startsWith(dirPrefix)
+      f <- Option(d.listFiles()).getOrElse(Array.empty[File])
+      if f.getName.endsWith(".parquet")
+    } {
+      val dir = new File(liveRoot, d.getName)
+      dir.mkdirs()
+      val target = new File(dir, filePrefix + f.getName)
+      require(f.renameTo(target),
+        s"staged publish rename to $target failed")
+    }
+
   /** Crashed-swap residue among `parent`'s partition dirs: names like
     * `<prefix>N.old-<uuid>` / `<prefix>N.tmp-<uuid>`. Serving paths
     * must REFUSE while any exists — partition discovery parses an

@@ -152,12 +152,23 @@ object EventOps {
     */
   def distinctApprox(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.ensureRegistered(spark)
-    Tables.events(spark, dir)
+    // ROUTED through the maintained per-day KMV-state rollup since r13
+    // (graft.plans.KmvRoute): the query text below is unchanged — the
+    // optimizer rewrites the sketch to merge #days stored partials, and
+    // merge-closure keeps the estimate hash-identical to this raw
+    // declaration (the same DuckDB oracle checks it either way). The
+    // engagement require is the routedStats posture: a silently
+    // de-routed dashboard query must fail, not fall back to the corpus
+    // scan.
+    val roll = graft.plans.KmvRoute.ensureArtifacts(spark, dir)
+    val out = Tables.events(spark, dir)
       .groupBy(to_date(col("ts")).as("day"))
       .agg(graft.functions.VectorFunctions.kmvCountDistinctExact(
         TextOps.h60(col("user_id").cast("string")), kmvOracleK)
         .as("approx_users"))
       .orderBy("day")
+    graft.plans.KmvRoute.requireEngaged(out, roll)
+    out
   }
 
   /** T9 analog: when-chain classification + histogram (syslog-priority →

@@ -211,46 +211,19 @@ object TextIndex {
     TextOps.releaseCheckpoint(oldStats)
   }
 
-  /** Filesystem-safe encoding for tag components (streamIds are
-    * caller-chosen strings; batch ids are digits). `-` is additionally
-    * percent-encoded even though URLEncoder leaves it alone: it is the
-    * tag SEPARATOR in segment file names, and an unescaped `-` inside a
-    * streamId would make prefix matching ambiguous — stream "crawl"
-    * replaying batch 2 (prefix `seg-crawl-2-`) must never match stream
-    * "crawl-2"'s committed files (`seg-crawl%2D2-…`). URLDecoder
-    * round-trips %2D, so the tag-file path is unaffected.
+  /** Tag encoding and the tagged-segment publish/overwrite pair are the
+    * shared [[Artifacts]] machinery since r13 (TagIndex became the
+    * second tag-replay family — the replay-idempotence subtleties must
+    * live in ONE audited place).
     */
-  private def enc(s: String): String =
-    java.net.URLEncoder.encode(s, "UTF-8").replace("-", "%2D")
+  private def enc(s: String): String = Artifacts.tagEnc(s)
 
-  /** Remove a crashed same-tag attempt's published postings files —
-    * the overwrite half of replay idempotence.
-    */
   private def deleteTaggedFiles(postingsRoot: String, prefix: String): Unit =
-    for {
-      shard <- Option(new File(postingsRoot).listFiles()).getOrElse(Array.empty)
-      if shard.isDirectory && shard.getName.startsWith("tshard=")
-      f <- Option(shard.listFiles()).getOrElse(Array.empty)
-      if f.getName.startsWith(prefix)
-    } f.delete(): Unit
+    Artifacts.deleteTaggedFiles(postingsRoot, "tshard=", prefix)
 
-  /** Publish a staged postings tree into the live term-shard dirs by
-    * per-file rename (atomic on a local fs), prefixing each file with
-    * the append's tag so a replay can identify and overwrite it.
-    */
   private def publishStagedPostings(stage: String, postingsRoot: String,
       prefix: String): Unit =
-    for {
-      shard <- Option(new File(stage).listFiles()).getOrElse(Array.empty)
-      if shard.isDirectory && shard.getName.startsWith("tshard=")
-      f <- Option(shard.listFiles()).getOrElse(Array.empty)
-      if f.getName.endsWith(".parquet")
-    } {
-      val dir = new File(postingsRoot, shard.getName)
-      dir.mkdirs()
-      val target = new File(dir, prefix + f.getName)
-      require(f.renameTo(target), s"postings publish rename to $target failed")
-    }
+    Artifacts.publishStagedFiles(stage, postingsRoot, "tshard=", prefix)
 
   /** The per-stream tag map a small-table artifact dir carries in its
     * `_last_appends` file (empty when absent — fresh builds and the
@@ -441,6 +414,40 @@ object TextIndex {
       workload: Seq[(Long, Int, String)] = TextOps.bm25Queries): DataFrame =
     bm25At(spark, ensure(spark, dir), k, workload)
 
+  /** The query terms' shard ids — one metadata-scale job over the
+    * workload terms (a handful of rows). The ids must become LITERALS in
+    * the consuming plan for Catalyst's partition pruning to fire; shared
+    * by the DSL serving paths and the SQL front door (which interpolates
+    * them into the query text), so the two faces can never prune against
+    * different shard keys.
+    */
+  private[graft] def shardsOfTerms(spark: SparkSession,
+      terms: Seq[String]): Seq[Int] = {
+    import spark.implicits._
+    terms.toDF("term")
+      .select(tshardOf(col("term"))).as[Int].collect().toSeq.distinct
+  }
+
+  /** Gate and register the index's three artifacts as temp views
+    * (`text_postings` / `text_terms` / `text_stats`) for the SQL front
+    * door — external SQL reaches the SAME maintained serving path the
+    * DSL faces read, behind the same completeness and crash-residue
+    * refusals. Registered unconditionally per call (the
+    * SqlFrontDoor.registerViews rationale: view names are session state
+    * this object does not own); returns the root.
+    */
+  def registerServingViews(spark: SparkSession, dir: String): String = {
+    val root = ensure(spark, dir)
+    require(artifactsComplete(root), s"text index at $root is incomplete " +
+      "(crash mid-swap?) — rebuild it before serving")
+    requireNoShardResidue(root)
+    spark.read.parquet(s"$root/postings")
+      .createOrReplaceTempView("text_postings")
+    spark.read.parquet(s"$root/terms").createOrReplaceTempView("text_terms")
+    spark.read.parquet(s"$root/stats").createOrReplaceTempView("text_stats")
+    root
+  }
+
   private[graft] def bm25At(spark: SparkSession, root: String, k: Int,
       workload: Seq[(Long, Int, String)]): DataFrame = {
     import spark.implicits._
@@ -448,8 +455,7 @@ object TextIndex {
       "(crash mid-swap?) — rebuild it before serving")
     requireNoShardResidue(root)
     val terms = workload.map(_._3).distinct
-    val shardLits = terms.toDF("term")
-      .select(tshardOf(col("term"))).as[Int].collect().toSeq.distinct
+    val shardLits = shardsOfTerms(spark, terms)
     val qt = broadcast(workload.toDF("qid", "pos", "term"))
     val post = spark.read.parquet(s"$root/postings")
       .filter(col("tshard").isin(shardLits: _*) && col("term").isin(terms: _*))
@@ -511,8 +517,7 @@ object TextIndex {
       ts.zipWithIndex.map { case (t, i) => (qid, i + 1, t) }
     }
     val terms = flat.map(_._3).distinct
-    val shardLits = terms.toDF("term")
-      .select(tshardOf(col("term"))).as[Int].collect().toSeq.distinct
+    val shardLits = shardsOfTerms(spark, terms)
     val qt = broadcast(flat.toDF("qid", "pos", "term"))
     val qlen = broadcast(workload.map { case (qid, ts) => (qid, ts.size) }
       .toDF("qid", "qlen"))

@@ -1185,6 +1185,19 @@ object VectorOps {
       iters: Int = 5, nProbe: Int = 2, topK: Int = 10): DataFrame = {
     VectorFunctions.ensureRegistered(spark)
     val (cents, assigned) = kmeansFit(spark, dir, k, iters)
+    annIvfExactSigWith(spark, dir, cents, assigned, nProbe, topK)
+  }
+
+  /** [[annIvfExactSig]] against an EXPLICIT codebook + assignment frame —
+    * the TrainedAnnSpec hook that measures recall under a STALE
+    * (prefix-fit) codebook with appended vectors assigned to their
+    * nearest existing centroid: the state a maintained production index
+    * serves from between drift-triggered refits.
+    */
+  private[graft] def annIvfExactSigWith(spark: SparkSession, dir: String,
+      cents: IndexedSeq[Seq[Long]], assigned: DataFrame, nProbe: Int,
+      topK: Int): DataFrame = {
+    VectorFunctions.ensureRegistered(spark)
     val emb = Tables.embeddings(spark, dir)
       .withColumn("nrm", norm(col("embedding")))
     // each probe query's nProbe nearest lists by (integer L2, cid) —
@@ -1224,9 +1237,14 @@ object VectorOps {
     // register BEFORE quantizedFor eagerly analyzes its quantize_e7
     // projection — this may be the first graft call on the session
     VectorFunctions.ensureRegistered(spark)
-    pqFitCache.getOrElseUpdate(s"${fpKey(dir)}:$subs:$codes:$iters",
-      pqFitQ(quantizedFor(spark, dir), subs, 64 / subs, codes, iters,
-        s"pqfit:$dir:$subs:$codes:$iters"))
+    // served from the maintained artifact since r13 (the kmeansFit
+    // rationale: the ensured codebooks equal the deterministic full
+    // fit, so q_ann_pq_exactsig stays oracle-exact while the model
+    // gets the assign-on-append / refit-on-drift lifecycle)
+    pqFitCache.getOrElseUpdate(s"${fpKey(dir)}:$subs:$codes:$iters", {
+      val root = TrainedAnn.ensurePq(spark, dir, subs, codes, iters)
+      TrainedAnn.requireModel(root, "pq_exactsig").pqCents
+    })
   }
 
   /** The per-subspace argmin codes of an `xq` row as ONE native call
@@ -1237,7 +1255,7 @@ object VectorOps {
     * lowest cid, identical to the (dist, cid) ordered-struct argmin
     * and the oracle's `ORDER BY dist, cid` rank.
     */
-  private def pqCodesQ(cents: IndexedSeq[IndexedSeq[Seq[Long]]]): Column =
+  private[operators] def pqCodesQ(cents: IndexedSeq[IndexedSeq[Seq[Long]]]): Column =
     VectorFunctions.pqCodesLong(col("xq"),
       typedlit(cents.flatMap(_.flatten)), lit(cents.length))
 
@@ -1603,7 +1621,7 @@ object VectorOps {
   /** The quantized-integer embedding projection the exact fit runs on:
     * (vec_id, xq: array<bigint>).
     */
-  private def quantized(emb: DataFrame): DataFrame =
+  private[operators] def quantized(emb: DataFrame): DataFrame =
     emb.filter(col("embedding").isNotNull)
       .select(col("vec_id"), quantizeExpr(col("embedding")).as("xq"))
 
@@ -1649,14 +1667,24 @@ object VectorOps {
   private[graft] def kmeansFit(spark: SparkSession, dir: String, k: Int,
       iters: Int): (IndexedSeq[Seq[Long]], DataFrame) = {
     VectorFunctions.ensureRegistered(spark)
-    // per-dataset cached like the other trained models ([[trainedCodebook]],
-    // [[cachedPqFit]]): the fit is bit-reproducible, so the cache is
-    // semantics-free — it only keeps repeated queries (bench medians,
-    // the IVF twin sharing q_kmeans's fit) from re-running the rounds.
-    // The assignment frame stays lazy (literal centroids, map-only).
-    kmeansFitCache.getOrElseUpdate(s"${fpKey(dir)}:$k:$iters",
-      kmeansFitOver(Tables.embeddings(spark, dir), k, iters,
-        s"kmeans:$dir:$k:$iters"))
+    // served from the MAINTAINED on-disk artifact since r13
+    // ([[TrainedAnn.ensureIvf]] — prefix fit, append-state drift probe,
+    // convergence refit): the ensured codebook equals the deterministic
+    // full fit bit-for-bit, so q_kmeans / q_ann_ivf_exactsig stay
+    // hash-green against their unrolled-CTE oracles while the model
+    // carries the production assign-on-append / refit-on-drift
+    // lifecycle (and survives JVM restarts, unlike the old pure cache).
+    // The assignment frame rebuilds lazily from the stored centroids —
+    // the identical map-only projection kmeansFitOver returns.
+    kmeansFitCache.getOrElseUpdate(s"${fpKey(dir)}:$k:$iters", {
+      val root = TrainedAnn.ensureIvf(spark, dir, k, iters)
+      val cents = TrainedAnn.requireModel(root, "ivf_exactsig").ivfCents
+      val assigned = assignToCentroidsQ(quantizedFor(spark, dir), cents)
+        .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
+          col("dist_q"))
+        .orderBy("vec_id")
+      (cents, assigned)
+    })
   }
 
   /** The seed-free k-means init ordering key — first 15 md5 hex chars

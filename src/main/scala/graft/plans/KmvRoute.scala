@@ -1,0 +1,306 @@
+package graft.plans
+
+import scala.collection.concurrent.TrieMap
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.{BinaryType, DateType, IntegerType, LongType, StringType, TimestampType}
+import graft.functions.{KmvAgg, KmvMergeAgg}
+
+/** SKETCH-PARTIAL materialized-view routing (r13) — [[CorpusRoute]]'s
+  * pattern extended past re-aggregable integers to a MERGEABLE SKETCH:
+  * the per-day distinct-users panel (q_distinct_approx — the dashboard
+  * query of the event surface) recomputes a KMV sketch over the corpus
+  * on every refresh, while the corpus changes rarely. A registered
+  * events table gets a companion per-day rollup of KMV PARTIAL STATES
+  * ([[rollupOf]] — [[graft.functions.KmvStateAgg]]'s k-minima arrays),
+  * and any `Aggregate` over the raw table whose grouping is the day of
+  * the event timestamp and whose measure is the engine's md5-tier KMV
+  * sketch ([[graft.functions.KmvAgg]] at spaceBits=60 over the h60 user
+  * hash) is rewritten to MERGE the stored states instead
+  * ([[graft.functions.KmvMergeAgg]]).
+  *
+  * Exactness is the sketch's merge-closure, not approximation-on-
+  * approximation: the union of per-slice k-minima contains the global
+  * k-minima and the estimator is a pure function of that set, so routed
+  * plans are HASH-IDENTICAL to the raw recompute (the driver checks
+  * q_distinct_approx against the same DuckDB raw-replay oracle either
+  * way) while reading #days rows instead of the corpus — at 100 TB the
+  * difference between a dashboard refresh and a full scan. Maintenance
+  * is replay-idempotent BY VALUE (unlike the additive CorpusRoute
+  * partials): KMV is multiplicity-invariant, so [[upsertRollup]] on a
+  * re-delivered slice converges to the same states.
+  *
+  * Anything not this exact shape — a different hash, a different grain,
+  * extra measures, filters/distinct — leaves the plan untouched and
+  * scans raw, the [[CorpusRoute]]/[[LtsRoute]] conservatism.
+  */
+object KmvRoute extends Rule[LogicalPlan] {
+
+  /** raw events root path (fully qualified) → (rollup path, sketch k). */
+  private val routes = TrieMap[String, (String, Int)]()
+
+  private def canon(spark: SparkSession, path: String): String = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).makeQualified(hp).toString
+  }
+
+  /** The maintained rollup: one row per day with the KMV partial state
+    * of the day's user hashes — the EXACT sketch family (md5 60-bit
+    * space, same k) q_distinct_approx declares, so merging a day's
+    * state reproduces its estimate bit-for-bit.
+    */
+  def rollupOf(events: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.functions.VectorFunctions.ensureRegistered(events.sparkSession)
+    events.groupBy(to_date(col("ts")).as("day"))
+      .agg(graft.functions.VectorFunctions.kmvStateExact(
+        graft.operators.TextOps.h60(col("user_id").cast("string")), k)
+        .as("state"))
+  }
+
+  /** Incremental maintenance for an APPEND batch at day-partition grain
+    * (the [[CorpusRoute.upsertRollup]] discipline): only the batch's
+    * days' partitions rewrite. States merge by RE-SKETCHING the union of
+    * stored minima and the batch's hashes — a stored state's elements
+    * ARE hash values, so exploding them back into [[rollupOf]]'s
+    * aggregate is exactly the TreeSet merge, with no fourth aggregate
+    * face to maintain. Multiplicity-invariance makes this exact even for
+    * overlapping re-deliveries.
+    */
+  def upsertRollup(spark: SparkSession, rollupPath: String,
+      newEvents: DataFrame, k: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    val deltaHashes = newEvents.select(
+      to_date(col("ts")).as("day"),
+      graft.operators.TextOps.h60(col("user_id").cast("string")).as("h"))
+    val days = deltaHashes.select("day").distinct()
+      .collect().map(_.getDate(0)).toSeq
+    if (days.nonEmpty) {
+      // localCheckpoint breaks lineage to the files being overwritten;
+      // the affected slice is #batch-days rows — KBs
+      val existing = spark.read.parquet(rollupPath)
+        .filter(col("day").isin(days: _*))
+        .select(col("day"), explode(col("state")).as("h"))
+        .localCheckpoint()
+      existing.unionByName(deltaHashes)
+        .groupBy("day")
+        .agg(graft.functions.VectorFunctions.kmvStateExact(col("h"), k)
+          .as("state"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("day").parquet(rollupPath)
+      invalidate(rollupPath)
+    }
+  }
+
+  def register(spark: SparkSession, rawPath: String, rollupPath: String,
+      k: Int): Unit =
+    routes.put(canon(spark, rawPath), (rollupPath, k)): Unit
+
+  def deregister(spark: SparkSession, rawPath: String): Unit =
+    routes.remove(canon(spark, rawPath)): Unit
+
+  /** Build (once per dataset fingerprint, at ingest) the per-day state
+    * rollup for the REAL events table, register raw→rollup, and enable
+    * the rule — after this, q_distinct_approx and its SQL twin are
+    * served from #days stored states with no query change. Returns the
+    * rollup path.
+    */
+  def ensureArtifacts(spark: SparkSession, dir: String,
+      k: Int = graft.operators.EventOps.kmvOracleK): String = {
+    val base = graft.operators.Artifacts.datasetRoot(dir, "events",
+      s"kmv_route_v1_k$k")
+    val roll = s"$base/rollup"
+    this.synchronized {
+      if (!new java.io.File(s"$roll/_SUCCESS").exists()) {
+        rollupOf(graft.Tables.events(spark, dir), k).coalesce(1)
+          .write.mode("overwrite").partitionBy("day").parquet(roll)
+        invalidate(roll)
+      }
+      enable(spark)
+      register(spark, s"$dir/events.parquet", roll, k)
+    }
+    roll
+  }
+
+  /** Loud engagement check (the [[CorpusRoute.routedStats]] posture): a
+    * declared routed query must FAIL if the optimizer stopped serving it
+    * from the rollup, never silently fall back to the corpus scan.
+    */
+  def requireEngaged(df: DataFrame, rollupPath: String): Unit = {
+    val engaged = df.queryExecution.optimizedPlan.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case h: HadoopFsRelation =>
+          h.location.rootPaths.exists(_.toString.contains(rollupPath))
+        case _ => false
+      }
+    }.exists(identity)
+    require(engaged, s"kmv route failed to engage for $rollupPath:\n" +
+      df.queryExecution.optimizedPlan)
+  }
+
+  /** Idempotently attach the rule to a live session. */
+  def enable(spark: SparkSession): Unit = this.synchronized {
+    if (!spark.experimental.extraOptimizations.exists(_ eq this))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ this
+  }
+
+  // resolved-once rollup relations (see LtsRoute.ltsRelations for why)
+  private val rollupRelations = TrieMap[String, LogicalRelation]()
+
+  /** Drop the cached relation for a rollup whose files were rewritten. */
+  def invalidate(rollupPath: String): Unit =
+    rollupRelations.remove(rollupPath): Unit
+
+  private def rollupRelationFor(path: String): Option[LogicalRelation] =
+    rollupRelations.get(path).orElse {
+      val rel = SparkSession.active.read.parquet(path)
+        .queryExecution.analyzed
+        .collectFirst { case l: LogicalRelation => l }
+      rel.foreach(rollupRelations.put(path, _))
+      rel
+    }.map(_.newInstance())
+
+  private def routeFor(lr: LogicalRelation): Option[(String, Int)] =
+    lr.relation match {
+      case h: HadoopFsRelation if h.location.rootPaths.size == 1 =>
+        routes.get(h.location.rootPaths.head.toString)
+      case _ => None
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case agg: Aggregate => rewrite(agg).getOrElse(agg)
+  }
+
+  /** Same Project-inlining dance as [[CorpusRoute.rewrite]]: the
+    * optimizer pulls complex groupings into a child Project, so aliases
+    * inline back before matching against the raw columns.
+    */
+  private def rewrite(agg: Aggregate): Option[LogicalPlan] = agg.child match {
+    case lr: LogicalRelation =>
+      routeFor(lr).flatMap { case (p, k) => buildRewrite(agg, lr, p, k) }
+    case Project(projList, lr: LogicalRelation) =>
+      val aliasOf = projList.collect {
+        case al: Alias => al.toAttribute.exprId -> al.child
+      }.toMap
+      def inline(e: Expression): Expression = e.transformUp {
+        case a: AttributeReference if aliasOf.contains(a.exprId) => aliasOf(a.exprId)
+      }
+      val inlined = Aggregate(
+        agg.groupingExpressions.map(inline),
+        agg.aggregateExpressions.map(ne => inline(ne) match {
+          case n: NamedExpression => n
+          case other => Alias(other, ne.name)(exprId = ne.exprId)
+        }),
+        lr)
+      routeFor(lr).flatMap { case (p, k) => buildRewrite(inlined, lr, p, k) }
+    case _ => None
+  }
+
+  private def buildRewrite(agg: Aggregate, lr: LogicalRelation,
+      rollupPath: String, k: Int): Option[LogicalPlan] = {
+    val rollRel = rollupRelationFor(rollupPath).getOrElse(return None)
+    val roll: Map[String, Attribute] = rollRel.output.map(a => a.name -> a).toMap
+    if (!Seq("day", "state").forall(roll.contains)) return None
+    val rawName: Map[ExprId, String] = lr.output.map(a => a.exprId -> a.name).toMap
+
+    def isRawAttr(e: Expression, name: String): Boolean = e match {
+      case a: AttributeReference => rawName.get(a.exprId).contains(name)
+      case _ => false
+    }
+
+    // the normalized event timestamp in every generation Tables.events
+    // produces: a plain ts attribute (timestamp files), cast-from-NTZ,
+    // or timestamp_micros(ts div 1000) (nanos-as-long files)
+    def isNormalizedTs(e: Expression): Boolean = e match {
+      case a: AttributeReference => isRawAttr(a, "ts")
+      case c: Cast if c.dataType == TimestampType => isNormalizedTs(c.child)
+      case m: MicrosToTimestamp => m.child match {
+        case d: IntegralDivide =>
+          isRawAttr(d.left, "ts") && (d.right match {
+            case Literal(v: Long, LongType) => v == 1000L
+            case Literal(v: Int, IntegerType) => v == 1000
+            case _ => false
+          })
+        case _ => false
+      }
+      case _ => false
+    }
+
+    // the rollup's day grain: to_date(ts) — Cast to DateType after the
+    // optimizer replaced ParseToDate (groupings may still carry an alias
+    // when this rule runs before RemoveRedundantAliases settles)
+    def isDayOfTs(e: Expression): Boolean = e match {
+      case al: Alias => isDayOfTs(al.child)
+      case c: Cast if c.dataType == DateType => isNormalizedTs(c.child)
+      case _ => false
+    }
+
+    // the exact h60-of-user_id chain q_distinct_approx hashes with
+    // (TextOps.h60): conv(substring(md5(user_id::string::binary),1,15),
+    // 16,10)::long — a drifted hash must NOT route (different minima)
+    def isH60OfUser(e: Expression): Boolean = e match {
+      case outer: Cast if outer.dataType == LongType => outer.child match {
+        case conv: Conv => conv.children.take(3) match {
+          case Seq(sub: Substring, Literal(16, IntegerType),
+              Literal(10, IntegerType)) =>
+            sub.children match {
+              case Seq(md5e: Md5, Literal(1, IntegerType),
+                  Literal(15, IntegerType)) =>
+                md5e.child match {
+                  case bin: Cast if bin.dataType == BinaryType =>
+                    bin.child match {
+                      case str: Cast if str.dataType == StringType =>
+                        isRawAttr(str.child, "user_id")
+                      case _ => false
+                    }
+                  case _ => false
+                }
+              case _ => false
+            }
+          case _ => false
+        }
+        case _ => false
+      }
+      case _ => false
+    }
+
+    // exactly one grouping: the day of ts
+    if (agg.groupingExpressions.size != 1 ||
+      !isDayOfTs(agg.groupingExpressions.head)) return None
+
+    var ok = true
+    val newAggExprs: Seq[NamedExpression] = agg.aggregateExpressions.map {
+      case al: Alias => al.child match {
+        case g if isDayOfTs(g) =>
+          Alias(roll("day"), al.name)(exprId = al.exprId,
+            qualifier = al.qualifier)
+        case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
+          ae.aggregateFunction match {
+            case kmv: KmvAgg if kmv.spaceBits == 60 && kmv.k == k &&
+                isH60OfUser(kmv.child) =>
+              Alias(ae.copy(aggregateFunction =
+                KmvMergeAgg(roll("state"), k, spaceBits = 60)),
+                al.name)(exprId = al.exprId, qualifier = al.qualifier)
+            case _ => ok = false; al
+          }
+        case _ => ok = false; al
+      }
+      case a: AttributeReference if isDayOfTs(a) =>
+        // groupings referenced bare (SQL GROUP BY 1 projections)
+        Alias(roll("day"), a.name)(exprId = a.exprId)
+      case other => ok = false; other
+    }
+    val leftover = newAggExprs
+      .flatMap(_.references).exists(lr.outputSet.contains)
+    if (ok && !leftover)
+      Some(Aggregate(Seq(roll("day")), newAggExprs, rollRel))
+    else None
+  }
+}

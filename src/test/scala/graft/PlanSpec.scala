@@ -257,6 +257,26 @@ class PlanSpec extends AnyFunSuite {
       EventOps.distinctApprox(spark, dir))
   }
 
+  test("SQL-authored BM25 face: term-shard partition pruning and term " +
+      "pushdown SURVIVE the SQL front door (r13 — the index-served " +
+      "retrieval class)") {
+    val p = plan(SqlFrontDoor.sqlBm25Indexed(spark, dir))
+    // the interpolated tshard IN (...) literals became Catalyst
+    // partition filters — the scan touches only the workload terms'
+    // shard dirs, the property that makes the index an index at 100 TB
+    assert(p.contains("PartitionFilters") && p.contains("tshard"), p)
+    // and the term IN (...) predicate reaches the parquet reader
+    // (bloom + sort-order row-group skipping apply there) — the same
+    // pins the DSL face carries in TextIndexSpec
+    assert(p.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("term")), p)
+    // plan identity with the DSL face is deliberately pinned at ROW
+    // level (SqlSurfaceSpec): the DSL kernel broadcasts its tiny
+    // df/stats sides explicitly while SQL join planning keys off
+    // statistics, so sameResult would pin join-strategy cosmetics —
+    // the serving-path properties that matter are asserted above
+  }
+
   test("perceptual near-dup pair queries: banded bucket equi-join, never " +
       "an all-pairs plan") {
     for (df <- Seq(graft.operators.MultimodalOps.imageNearDup(spark, dir),

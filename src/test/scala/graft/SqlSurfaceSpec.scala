@@ -50,6 +50,18 @@ class SqlSurfaceSpec extends AnyFunSuite {
       === rows(operators.EventOps.distinctApprox(spark, dir)))
   }
 
+  test("the SQL-authored BM25 face returns the index-served DSL face's " +
+      "exact rows (r13 — the retrieval class through the front door)") {
+    val dir = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().toSeq.map(_.toString)
+    val got = rows(SqlFrontDoor.sqlBm25Indexed(spark, dir))
+    assert(got.nonEmpty, "SQL BM25 face returned no rows; pin vacuous")
+    assert(got === rows(operators.TextIndex.bm25TopKIndexed(spark, dir)))
+    // and the raw-scan face — all three serving paths, one answer
+    assert(got === rows(operators.TextOps.bm25TopK(spark, dir)))
+  }
+
   test("minhash_agg sketch aggregate usable from SQL") {
     val rows = spark.sql(
       """SELECT lang, minhash_agg(xxhash64(tok)) AS sig FROM (

@@ -1,0 +1,135 @@
+package graft.plans
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** Sketch-partial MV routing (r13): the per-day KMV rollup must serve
+  * q_distinct_approx's exact answer (merge-closure, not approximation-
+  * on-approximation), engage through both front doors, maintain
+  * incrementally to the same states a rebuild produces, and leave every
+  * non-matching aggregate shape untouched.
+  */
+class KmvRouteSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+  graft.functions.VectorFunctions.ensureRegistered(spark)
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().toSeq.map(_.toString)
+
+  test("routed q_distinct_approx reads the rollup (engagement required " +
+      "in-query) and equals the raw recompute bit-for-bit") {
+    val routed = graft.operators.EventOps.distinctApprox(spark, dir)
+    val routedRows = rows(routed)
+    // the raw recompute with the route DEREGISTERED (same path would
+    // otherwise route too, and this pin would compare routed to routed)
+    KmvRoute.deregister(spark, s"$dir/events.parquet")
+    val rawRows = try {
+      val raw = graft.Tables.events(spark, dir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(graft.functions.VectorFunctions.kmvCountDistinctExact(
+          graft.operators.TextOps.h60(col("user_id").cast("string")), 64)
+          .as("approx_users"))
+        .orderBy("day")
+      val scans = raw.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation => lr
+      }
+      assert(scans.forall(!_.relation.asInstanceOf[
+          org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+        .location.rootPaths.exists(_.toString.contains("kmv_route"))),
+        "raw recompute unexpectedly routed")
+      rows(raw)
+    } finally KmvRoute.ensureArtifacts(spark, dir): Unit // re-register
+    assert(routedRows.nonEmpty)
+    assert(routedRows === rawRows)
+    // the routed plan reads #days rows, not the corpus: its only scan
+    // is the rollup relation
+    val scans: Seq[org.apache.spark.sql.execution.datasources.LogicalRelation] =
+      routed.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation => lr
+    }
+    assert(scans.size == 1, routed.queryExecution.optimizedPlan.toString)
+    assert(scans.head.relation.asInstanceOf[
+        org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+      .location.rootPaths.exists(_.toString.contains("kmv_route")),
+      routed.queryExecution.optimizedPlan.toString)
+    // and the SQL twin routes to the same answer
+    assert(rows(graft.SqlFrontDoor.sqlDistinctApprox(spark, dir))
+      === rows(routed))
+  }
+
+  test("KmvMerge(per-slice KmvState partials) equals KmvAgg(raw rows) — " +
+      "the merge-closure the route's exactness rests on") {
+    import spark.implicits._
+    val n = 5000
+    val raw = (0 until n).map(i => (i % 7, s"user-${i % 911}"))
+      .toDF("slice", "u")
+      .withColumn("h", graft.operators.TextOps.h60(col("u")))
+      .select("slice", "h")
+    val direct = raw
+      .agg(graft.functions.VectorFunctions.kmvCountDistinctExact(col("h"), 64))
+      .head.getLong(0)
+    val viaStates = raw.groupBy("slice")
+      .agg(graft.functions.VectorFunctions.kmvStateExact(col("h"), 64)
+        .as("state"))
+      .agg(graft.functions.VectorFunctions.kmvMergeExact(col("state"), 64))
+      .head.getLong(0)
+    assert(direct == viaStates)
+    // sanity: the estimate regime is exercised (more than k distinct)
+    assert(direct > 64)
+  }
+
+  test("incremental rollup upsert converges to the full rebuild's states " +
+      "— and is replay-idempotent (multiplicity-invariance)") {
+    import spark.implicits._
+    val ev = graft.Tables.events(spark, dir)
+    val base = ev.filter(col("event_id") % 3 =!= 0)
+    val delta = ev.filter(col("event_id") % 3 === 0)
+    val roll = java.nio.file.Files.createTempDirectory("graft-kmvroll").toString
+    KmvRoute.rollupOf(base, 64).coalesce(1)
+      .write.mode("overwrite").partitionBy("day").parquet(roll)
+    KmvRoute.upsertRollup(spark, roll, delta, 64)
+    def states(): Map[String, Seq[Long]] = {
+      spark.catalog.refreshByPath(roll)
+      spark.read.parquet(roll)
+        .select(col("day").cast("string"), col("state"))
+        .as[(String, Seq[Long])].collect().toMap
+    }
+    val want = KmvRoute.rollupOf(ev, 64)
+      .select(col("day").cast("string"), col("state"))
+      .as[(String, Seq[Long])].collect().toMap
+    assert(states() === want)
+    // a re-delivered slice converges to the same states
+    KmvRoute.upsertRollup(spark, roll, delta, 64)
+    assert(states() === want)
+  }
+
+  test("non-matching shapes stay raw: a different hash, a different " +
+      "grain, and extra measures are never routed") {
+    KmvRoute.ensureArtifacts(spark, dir): Unit
+    def scansRollup(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.rootPaths.exists(_.toString.contains("kmv_route"))
+            case _ => false
+          }
+      }.exists(identity)
+    val ev = graft.Tables.events(spark, dir)
+    // xxhash64 instead of h60 — different minima, must stay raw
+    assert(!scansRollup(ev.groupBy(to_date(col("ts")).as("day"))
+      .agg(graft.functions.VectorFunctions.kmvCountDistinctExact(
+        abs(xxhash64(col("user_id"))), 64).as("u"))))
+    // week grain — no stored partial at that grain
+    assert(!scansRollup(ev.groupBy(date_trunc("week", col("ts")).as("wk"))
+      .agg(graft.functions.VectorFunctions.kmvCountDistinctExact(
+        graft.operators.TextOps.h60(col("user_id").cast("string")), 64).as("u"))))
+    // an extra measure the rollup cannot answer
+    assert(!scansRollup(ev.groupBy(to_date(col("ts")).as("day"))
+      .agg(graft.functions.VectorFunctions.kmvCountDistinctExact(
+        graft.operators.TextOps.h60(col("user_id").cast("string")), 64).as("u"),
+        count(lit(1)).as("n"))))
+  }
+}
