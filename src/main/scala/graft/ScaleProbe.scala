@@ -348,11 +348,9 @@ object ScaleProbe {
     // rides inside a timed batch
     val sliceCounts = (0 until batches).map(b => sliceOf(b).count())
     var expected = all.filter(col("event_id") % 3 === 0).count()
-    var bi = -1
     val slices = (0 until batches).map { b => () => {
       TagIndex.recover(root)
       TagIndex.appendTo(root, sliceOf(b), Some(("probe", s"b$b")))
-      bi = b
       expected += sliceCounts(b)
       if (TagIndex.segments(root) > maxSegments)
         TagIndex.compactDates(root, spark, maxSegments)
@@ -398,6 +396,109 @@ object ScaleProbe {
       s""""ratio":${late / early},"compactions":$compactions,""" +
       s""""compact_batch_median":$cMed,"max_segments":$maxSeg,""" +
       s""""bound":${maxSegments + 1},"consistent":$allConsistent,""" +
+      s""""serve_early":$sEarly,"serve_late":$sLate,""" +
+      s""""serve_ratio":${sLate / sEarly}}""")
+  }
+
+  /** Maintained-MediaHashIndex endurance ladder (r13 — the fifth
+    * maintained family under the shared [[runLadder]] harness, added the
+    * round the family was born so it never lags the others): ONE
+    * long-running [[graft.streaming.MediaStream.appendStream]] maintainer
+    * fed 25+ document micro-batches under the maxSegments=8 shard-local
+    * auto-compaction policy. Standard claims: (a) append latency flat
+    * (slice-sized — each batch pays its own decode+hash, never the
+    * corpus's); (b) segment bound held; (c) after EACH compaction the
+    * artifact's (media_id, h) set re-pinned ≡ the full recompute over
+    * everything folded so far; (d) the serving gate (a fixed re-crawl
+    * probe band-joined against the artifact) sampled early vs late —
+    * flat, because the probe's candidate work is its band collisions,
+    * not the corpus.
+    */
+  private def mediahashEnduranceProbe(spark: SparkSession,
+      base: String, n1: Long): Seq[String] = {
+    import graft.operators.{MediaHashIndex, MultimodalOps}
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    val modality = MediaHashIndex.Image
+    val maxSegments = 8
+    val d1 = s"$base/x1"
+    synthesize(spark, d1, n1)
+    val all = spark.read.parquet(s"$d1/documents.parquet")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .collect().sortBy(_._1)
+    val (baseRows, incoming) = all.splitAt(all.length / 3)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-mediahash-endurance").toString
+    MediaHashIndex.buildInto(root,
+      modality.hashesOf(baseRows.toSeq.toDF("doc_id", "text")),
+      modality.family)
+
+    def rebuilt(upTo: Int): Set[(Long, Long)] =
+      modality.hashesOf((baseRows ++ incoming.take(upTo)).toSeq
+          .toDF("doc_id", "text"))
+        .as[(Long, Long)].collect().toSet
+    def artifact(): Set[(Long, Long)] = {
+      spark.catalog.refreshByPath(MediaHashIndex.hashesDir(root))
+      MediaHashIndex.load(spark, root, modality.family)
+        .as[(Long, Long)].collect().toSet
+    }
+    // the FIXED serving probe: 5 base documents re-crawled under fresh
+    // ids — guaranteed Hamming-0 hits, identical across samples
+    val probe = baseRows.take(5).toSeq
+      .map { case (id, t) => (900000L + id, t) }.toDF("doc_id", "text")
+    def serveSample(): Double = {
+      spark.catalog.refreshByPath(MediaHashIndex.hashesDir(root))
+      val t0 = System.nanoTime()
+      graft.streaming.MediaStream.matchesVsCorpus(probe,
+        MediaHashIndex.load(spark, root, modality.family), modality)
+        .count(): Unit
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDS
+      .select(col("_1").as("doc_id"), col("_2").as("text"))
+    val q = graft.streaming.MediaStream
+      .appendStream(stream, root, modality, maxSegments).start()
+    val serveLat = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var folded = 0
+    val per = math.max(incoming.length / 25, 1)
+    val slices = incoming.grouped(per).toSeq.map(slice => () => {
+      mem.addData(slice.toSeq: _*)
+      q.processAllAvailable()
+      folded += slice.length
+    })
+    serveSample(): Unit // warmup outside the samples
+    val (appendLat, compactLat, maxSeg, compactions, convergent) =
+      try runLadder(slices,
+        () => parquetFilesByDir(MediaHashIndex.hashesDir(root), "shard="),
+        () => MediaHashIndex.segments(root),
+        () => artifact() == rebuilt(folded),
+        () => serveLat += serveSample(): Unit)
+      finally q.stop()
+    val early = median(appendLat.take(4))
+    val late = median(appendLat.takeRight(4))
+    val cMed = if (compactLat.isEmpty) 0.0 else median(compactLat)
+    val sEarly = median(serveLat.take(2).toSeq)
+    val sLate = median(serveLat.takeRight(2).toSeq)
+    println(f"[scaleprobe] mediahash_endurance: " +
+      f"batches=${appendLat.size + compactions} " +
+      f"append early=$early%5.2fs late=$late%5.2fs ratio=${late / early}%4.2f " +
+      f"compactions=$compactions (compact-batch median $cMed%5.2fs) " +
+      f"maxSeg=$maxSeg/${maxSegments + 1} convergent=$convergent; " +
+      f"serving early=$sEarly%5.2fs late=$sLate%5.2fs " +
+      f"ratio=${sLate / sEarly}%4.2f")
+    require(convergent,
+      "media hash artifact diverged from the full recompute after a compaction")
+    require(maxSeg <= maxSegments + 1,
+      s"segment bound violated: $maxSeg > ${maxSegments + 1}")
+    Seq(s""""mediahash_endurance":{"append_early":$early,"append_late":$late,""" +
+      s""""ratio":${late / early},"compactions":$compactions,""" +
+      s""""compact_batch_median":$cMed,"max_segments":$maxSeg,""" +
+      s""""bound":${maxSegments + 1},"convergent":$convergent,""" +
       s""""serve_early":$sEarly,"serve_late":$sLate,""" +
       s""""serve_ratio":${sLate / sEarly}}""")
   }
@@ -1602,6 +1703,11 @@ object ScaleProbe {
     if (args.sameElements(Array("--tindex-endurance"))) {
       val rows = tindexEnduranceProbe(spark, base, n1)
       println(s"""{"metric":"scaleprobe_tindex_endurance",${rows.mkString(",")}}""")
+      spark.stop(); return
+    }
+    if (args.sameElements(Array("--mediahash-endurance"))) {
+      val rows = mediahashEnduranceProbe(spark, base, n1)
+      println(s"""{"metric":"scaleprobe_mediahash_endurance",${rows.mkString(",")}}""")
       spark.stop(); return
     }
     if (args.sameElements(Array("--tagindex-endurance"))) {

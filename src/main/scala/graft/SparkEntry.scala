@@ -120,6 +120,7 @@ object SparkEntry {
     // views, same oracle as q_bm25_indexed, term-shard pruning
     // PlanSpec-pinned to survive the SQL face
     "q_sql_bm25_indexed" -> SqlFrontDoor.sqlBm25Indexed _,
+    "q_sql_phrase_search" -> SqlFrontDoor.sqlPhraseSearch _,
     "q_distinct_approx" -> EventOps.distinctApprox _,
     "q_log_level_hist" -> EventOps.logLevelHist _,
     "q_set_except" -> EventOps.setExcept _,
@@ -300,6 +301,31 @@ object SparkEntry {
     * den = tf + 1.2*(0.25 + 0.75*norm), s = idf * (tf*2.2)/den,
     * positional slots summed in literal order s1+s2+s3.
     */
+  /** Shared by q_phrase_search and q_sql_phrase_search — naive
+    * token-window phrase scan per workload phrase; both index-served
+    * faces must reproduce these occurrence counts exactly.
+    */
+  private val phraseOracleSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk
+      |              FROM documents WHERE text IS NOT NULL),
+      |hits AS (
+      |  SELECT CAST(1 AS BIGINT) AS qid, doc_id,
+      |    CAST(len(list_filter(range(1, greatest(len(tk)-1, 0)+1),
+      |      i -> tk[i] = 'value' AND tk[i+1] = 'table')) AS BIGINT) AS n_occur
+      |  FROM toks
+      |  UNION ALL
+      |  SELECT 2, doc_id,
+      |    CAST(len(list_filter(range(1, greatest(len(tk)-1, 0)+1),
+      |      i -> tk[i] = 'fast' AND tk[i+1] = 'merge')) AS BIGINT)
+      |  FROM toks
+      |  UNION ALL
+      |  SELECT 3, doc_id,
+      |    CAST(len(list_filter(range(1, greatest(len(tk)-2, 0)+1),
+      |      i -> tk[i] = 'key' AND tk[i+1] = 'agg' AND tk[i+2] = 'row')) AS BIGINT)
+      |  FROM toks)
+      |SELECT qid, doc_id, n_occur FROM hits WHERE n_occur > 0
+      |ORDER BY qid, doc_id""".stripMargin
+
   private val bm25OracleSql: String =
     """WITH q(qid, pos, term) AS (VALUES
       |    (1, 1, 'spark'), (1, 2, 'query'), (1, 3, 'join'),
@@ -1002,28 +1028,10 @@ object SparkEntry {
     // reproduce the same raw-recompute answer — ONE oracle definition
     // for all three BM25 faces, by construction
     "q_sql_bm25_indexed" -> bm25OracleSql,
-    "q_phrase_search" ->
-      // naive token-window phrase scan per workload phrase; the indexed
-      // path must reproduce these occurrence counts exactly
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk
-        |              FROM documents WHERE text IS NOT NULL),
-        |hits AS (
-        |  SELECT CAST(1 AS BIGINT) AS qid, doc_id,
-        |    CAST(len(list_filter(range(1, greatest(len(tk)-1, 0)+1),
-        |      i -> tk[i] = 'value' AND tk[i+1] = 'table')) AS BIGINT) AS n_occur
-        |  FROM toks
-        |  UNION ALL
-        |  SELECT 2, doc_id,
-        |    CAST(len(list_filter(range(1, greatest(len(tk)-1, 0)+1),
-        |      i -> tk[i] = 'fast' AND tk[i+1] = 'merge')) AS BIGINT)
-        |  FROM toks
-        |  UNION ALL
-        |  SELECT 3, doc_id,
-        |    CAST(len(list_filter(range(1, greatest(len(tk)-2, 0)+1),
-        |      i -> tk[i] = 'key' AND tk[i+1] = 'agg' AND tk[i+2] = 'row')) AS BIGINT)
-        |  FROM toks)
-        |SELECT qid, doc_id, n_occur FROM hits WHERE n_occur > 0
-        |ORDER BY qid, doc_id""".stripMargin,
+    "q_phrase_search" -> phraseOracleSql,
+    // the SQL-text face reads the same positional index — one oracle
+    // definition for both front doors, by construction
+    "q_sql_phrase_search" -> phraseOracleSql,
     "q_index_terms" ->
       // raw-corpus recompute of the index's maintained terms table —
       // the standing consistency proof for the inverted-index artifact

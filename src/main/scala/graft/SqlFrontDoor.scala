@@ -187,6 +187,12 @@ object SqlFrontDoor {
     graft.operators.TextIndex.registerServingViews(spark, dir)
     val workload = graft.operators.TextOps.bm25Queries
     val terms = workload.map(_._3).distinct
+    // terms are interpolated into SQL text as string literals — refuse
+    // anything that could break the quoting (today's fixed workload is
+    // plain tokens; this makes the assumption loud, not silent)
+    require(terms.forall(_.matches("[A-Za-z0-9_]+")),
+      s"bm25 workload terms must be plain tokens for SQL interpolation, " +
+        s"got ${terms.mkString(", ")}")
     val shardList = graft.operators.TextIndex
       .shardsOfTerms(spark, terms).sorted.mkString(", ")
     val termList = terms.map(t => s"'$t'").mkString(", ")
@@ -232,6 +238,62 @@ object SqlFrontDoor {
         |  FROM locals WHERE lrk <= 10)
         |SELECT qid, rank, doc_id, score FROM ranked WHERE rank <= 10
         |ORDER BY qid, rank""".stripMargin)
+  }
+
+  /** SQL face of [[graft.operators.TextIndex.phraseSearch]] — the
+    * POSITIONAL retrieval class through the front door (r13, the
+    * [[sqlBm25Indexed]] sibling): exact phrase occurrence counts from
+    * the positional index's registered views, with consecutiveness
+    * resolved by the same shifted position-list intersections
+    * (`array_intersect`/`transform` are plain Spark SQL) and the same
+    * pruned reads (interpolated shard literals). Same DuckDB
+    * naive-token-window oracle as the DSL face — one oracle definition
+    * for both, by construction.
+    */
+  def sqlPhraseSearch(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    graft.operators.TextIndex.registerServingViews(spark, dir)
+    val workload = graft.operators.TextIndex.phraseQueries
+    val flat = workload.flatMap { case (qid, ts) =>
+      ts.zipWithIndex.map { case (t, i) => (qid, i + 1, t) }
+    }
+    val terms = flat.map(_._3).distinct
+    require(terms.forall(_.matches("[A-Za-z0-9_]+")),
+      s"phrase workload terms must be plain tokens for SQL interpolation, " +
+        s"got ${terms.mkString(", ")}")
+    val shardList = graft.operators.TextIndex
+      .shardsOfTerms(spark, terms).sorted.mkString(", ")
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    val qVals = flat
+      .map { case (q, p, t) => s"(CAST($q AS BIGINT), $p, '$t')" }
+      .mkString(", ")
+    val qlenVals = workload
+      .map { case (q, ts) => s"(CAST($q AS BIGINT), ${ts.size})" }
+      .mkString(", ")
+    spark.sql(
+      s"""WITH q(qid, pos, term) AS (VALUES $qVals),
+        |ql(qid, qlen) AS (VALUES $qlenVals),
+        |slots AS (
+        |  SELECT q.qid, p.doc_id,
+        |    MAX(CASE WHEN q.pos = 1 THEN p.positions END) AS p1,
+        |    MAX(CASE WHEN q.pos = 2 THEN p.positions END) AS p2,
+        |    MAX(CASE WHEN q.pos = 3 THEN p.positions END) AS p3
+        |  FROM text_postings p
+        |  JOIN q ON q.term = p.term
+        |  WHERE p.tshard IN ($shardList) AND p.term IN ($termList)
+        |  GROUP BY q.qid, p.doc_id),
+        |counted AS (
+        |  SELECT s.qid, s.doc_id,
+        |    CAST(CASE WHEN l.qlen = 2
+        |      THEN size(array_intersect(transform(p1, x -> x + 1), p2))
+        |      ELSE size(array_intersect(
+        |        transform(array_intersect(transform(p1, x -> x + 1), p2),
+        |          x -> x + 1), p3)) END AS BIGINT) AS n_occur
+        |  FROM slots s JOIN ql l ON l.qid = s.qid
+        |  WHERE p1 IS NOT NULL AND p2 IS NOT NULL
+        |    AND (l.qlen = 2 OR p3 IS NOT NULL))
+        |SELECT qid, doc_id, n_occur FROM counted WHERE n_occur > 0
+        |ORDER BY qid, doc_id""".stripMargin)
   }
 
   /** SQL face of [[graft.operators.EventOps.downsampleLts]] (D1+D2

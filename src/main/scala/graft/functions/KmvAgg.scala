@@ -42,28 +42,40 @@ private[graft] object Kmv {
       (a: java.lang.Long, b: java.lang.Long) =>
         java.lang.Long.compareUnsigned(a, b))
 
+  /** Would `h` rank in the current top-k minima? ONE definition of the
+    * bounded-admit compare — every face and the merge fold route
+    * through it, so the unsigned-order subtlety cannot fork.
+    */
+  private def admits(buf: java.util.TreeSet[java.lang.Long], k: Int,
+      h: Long): Boolean =
+    buf.size < k || java.lang.Long.compareUnsigned(h, buf.last()) < 0
+
   /** Admit one hash if it would rank in the current top-k minima — past
     * warmup almost every row short-circuits on this compare.
     */
   def admit(buf: java.util.TreeSet[java.lang.Long], k: Int, h: Long): Unit =
-    if (buf.size < k || java.lang.Long.compareUnsigned(h, buf.last()) < 0) {
+    if (admits(buf, k, h)) {
       buf.add(h)
       if (buf.size > k) { buf.pollLast(); () }
     }
 
-  /** Fold an unsigned-ASCENDING hash sequence in: once one element fails
-    * the admit test, every later one would too.
+  /** Merge a second buffer in: b2 iterates ascending in the unsigned
+    * order, so once one element fails the admit test, every later one
+    * would too. The shared body of all three faces' `merge`.
     */
-  def mergeAscending(buf: java.util.TreeSet[java.lang.Long], k: Int,
-      it: Iterator[Long]): Unit = {
+  def merge(b1: java.util.TreeSet[java.lang.Long], k: Int,
+      b2: java.util.TreeSet[java.lang.Long])
+      : java.util.TreeSet[java.lang.Long] = {
+    val it = b2.iterator()
     var done = false
     while (it.hasNext && !done) {
       val h = it.next()
-      if (buf.size < k || java.lang.Long.compareUnsigned(h, buf.last()) < 0) {
-        buf.add(h)
-        if (buf.size > k) buf.pollLast()
+      if (admits(b1, k, h)) {
+        b1.add(h)
+        if (b1.size > k) { b1.pollLast(); () }
       } else done = true
     }
+    b1
   }
 
   /** The estimate: with fewer than `k` distinct hashes the set IS the
@@ -147,16 +159,8 @@ case class KmvAgg(child: Expression, k: Int = 1024, spaceBits: Int = 64,
   }
 
   override def merge(b1: java.util.TreeSet[java.lang.Long],
-      b2: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
-    // b2 iterates ascending in the unsigned order — short-circuit merge
-    Kmv.mergeAscending(b1, k,
-      new Iterator[Long] {
-        private val it = b2.iterator()
-        def hasNext: Boolean = it.hasNext
-        def next(): Long = it.next()
-      })
-    b1
-  }
+      b2: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] =
+    Kmv.merge(b1, k, b2)
 
   override def eval(buf: java.util.TreeSet[java.lang.Long]): Any =
     Kmv.estimate(buf, k, spaceBits)
@@ -212,15 +216,8 @@ case class KmvStateAgg(child: Expression, k: Int = 1024, spaceBits: Int = 64,
   }
 
   override def merge(b1: java.util.TreeSet[java.lang.Long],
-      b2: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
-    Kmv.mergeAscending(b1, k,
-      new Iterator[Long] {
-        private val it = b2.iterator()
-        def hasNext: Boolean = it.hasNext
-        def next(): Long = it.next()
-      })
-    b1
-  }
+      b2: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] =
+    Kmv.merge(b1, k, b2)
 
   override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
     // TreeSet iterates in the unsigned order — the stored array is
@@ -297,15 +294,8 @@ case class KmvMergeAgg(child: Expression, k: Int = 1024, spaceBits: Int = 64,
   }
 
   override def merge(b1: java.util.TreeSet[java.lang.Long],
-      b2: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
-    Kmv.mergeAscending(b1, k,
-      new Iterator[Long] {
-        private val it = b2.iterator()
-        def hasNext: Boolean = it.hasNext
-        def next(): Long = it.next()
-      })
-    b1
-  }
+      b2: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] =
+    Kmv.merge(b1, k, b2)
 
   override def eval(buf: java.util.TreeSet[java.lang.Long]): Any =
     Kmv.estimate(buf, k, spaceBits)

@@ -102,6 +102,35 @@ private[graft] object Artifacts {
     * audited place, not three near-copies a fix could silently miss.
     */
 
+  /** MAX parquet file count across `parent`'s `<prefix>N` partition
+    * dirs — the segment proxy every maintained family's auto-compaction
+    * bounds (each append adds ≤ 1 file per touched dir, so this tracks
+    * appends-since-compact, never corpus size). Extracted (r13) from
+    * four byte-identical per-family folds.
+    */
+  private[graft] def maxSegmentsIn(parent: String, prefix: String): Int =
+    Option(new File(parent).listFiles()).map { entries =>
+      entries.filter(d => d.isDirectory && d.getName.startsWith(prefix))
+        .map(d => Option(d.listFiles())
+          .map(_.count(_.getName.endsWith(".parquet"))).getOrElse(0))
+        .foldLeft(0)(math.max)
+    }.getOrElse(0)
+
+  /** Parse a small `key=value`-per-line marker file, None when missing
+    * or torn (callers turn that into their actionable refusal) — the
+    * shared core of the in-tree `_meta` descriptors (r13).
+    */
+  private[graft] def parseKvFile(f: File): Option[Map[String, String]] =
+    if (!f.exists()) None
+    else scala.util.Try {
+      new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+        .linesIterator.filter(_.contains('='))
+        .map { l =>
+          val Array(k, v) = (l.split("=", 2): @unchecked); k -> v
+        }.toMap
+    }.toOption
+
   /** Partition dirs under `parent` named `<prefix>N` holding more than
     * `maxSegments` parquet files — a local compaction's work list.
     */

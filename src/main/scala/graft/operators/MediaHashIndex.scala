@@ -84,21 +84,14 @@ object MediaHashIndex {
     * exists — a torn `_meta` parses to None so the gates produce their
     * actionable refusal, never a raw parser error.
     */
-  private[graft] def metaOf(root: String): Option[(String, Int)] = {
-    val f = metaFile(root)
-    if (!f.exists()) None
-    else scala.util.Try {
-      val kv = new String(java.nio.file.Files.readAllBytes(f.toPath),
-        java.nio.charset.StandardCharsets.UTF_8)
-        .linesIterator.filter(_.contains('='))
-        .map { l =>
-          val Array(k, v) = (l.split("=", 2): @unchecked); k -> v
-        }.toMap
-      val shards = kv("shards").toInt
-      require(shards >= 1 && kv("family").nonEmpty)
-      (kv("family"), shards)
-    }.toOption
-  }
+  private[graft] def metaOf(root: String): Option[(String, Int)] =
+    Artifacts.parseKvFile(metaFile(root)).flatMap { kv =>
+      scala.util.Try {
+        val shards = kv("shards").toInt
+        require(shards >= 1 && kv("family").nonEmpty)
+        (kv("family"), shards)
+      }.toOption
+    }
 
   /** The serving/maintenance gate: the marker must exist and carry the
     * caller's family — an unmarked artifact cannot prove its pipeline
@@ -248,17 +241,11 @@ object MediaHashIndex {
       Artifacts.recoverDirSwaps(hashesDir(root), "shard=")
   }
 
-  /** MAX parquet file count across shard dirs — the segment proxy a
-    * streaming maintainer bounds (each append adds ≤1 file per touched
-    * shard, so this tracks appends-since-compact, never corpus size).
+  /** MAX parquet file count across shard dirs — the shared segment
+    * proxy a streaming maintainer bounds.
     */
   private[graft] def segments(root: String): Int =
-    Option(new File(hashesDir(root)).listFiles()).map { entries =>
-      entries.filter(d => d.isDirectory && d.getName.startsWith("shard="))
-        .map(d => Option(d.listFiles())
-          .map(_.count(_.getName.endsWith(".parquet"))).getOrElse(0))
-        .foldLeft(0)(math.max)
-    }.getOrElse(0)
+    Artifacts.maxSegmentsIn(hashesDir(root), "shard=")
 
   /** The serving residue gate (the family-wide r12 rule): a crashed
     * [[compactShards]] swap leaves `shard=N` missing with

@@ -176,16 +176,12 @@ object TagIndex {
       .foreach(Artifacts.rmTree)
   }
 
-  /** MAX parquet file count across date dirs — the segment proxy a
-    * maintainer bounds (each append adds one file per touched date).
+  /** MAX parquet file count across date dirs — the shared segment
+    * proxy a maintainer bounds (each append adds one file per touched
+    * date).
     */
   private[graft] def segments(root: String): Int =
-    Option(new File(root).listFiles()).map { entries =>
-      entries.filter(d => d.isDirectory && d.getName.startsWith("date="))
-        .map(d => Option(d.listFiles())
-          .map(_.count(_.getName.endsWith(".parquet"))).getOrElse(0))
-        .foldLeft(0)(math.max)
-    }.getOrElse(0)
+    Artifacts.maxSegmentsIn(root, "date=")
 
   /** The indexed events table — the serving gate refuses crashed-swap
     * residue (the family-wide r12 rule): a crashed [[compactDates]] swap

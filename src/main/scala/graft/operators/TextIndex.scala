@@ -377,17 +377,8 @@ object TextIndex {
     * proxy streaming auto-compaction bounds: each append adds one file
     * per touched shard, and scan setup degrades with files, not rows.
     */
-  private[graft] def postingsSegments(root: String): Int = {
-    val dirs = new File(s"$root/postings").listFiles()
-    if (dirs == null) 0
-    else dirs.filter(d => d.isDirectory && d.getName.startsWith("tshard="))
-      // inner listing null-guarded too: a shard dir racing a concurrent
-      // compact may vanish between the two listings — report 0 for it
-      // (a conservative count), never NPE inside the streaming path
-      .map(d => Option(d.listFiles())
-        .map(_.count(f => f.getName.endsWith(".parquet"))).getOrElse(0))
-      .foldLeft(0)(math.max)
-  }
+  private[graft] def postingsSegments(root: String): Int =
+    Artifacts.maxSegmentsIn(s"$root/postings", "tshard=")
 
   private def swapSmallTable(df: DataFrame, isTerms: Boolean,
       path: String, tags: Option[Map[String, String]] = None): Unit = {

@@ -62,8 +62,17 @@ object TrainedAnn {
       params: Map[String, Int], nFit: Long, inertiaFit: Long) {
     def ivfCents: IndexedSeq[Seq[Long]] = rows
     def pqCents: IndexedSeq[IndexedSeq[Seq[Long]]] = {
-      val codes = params("codes")
-      rows.grouped(codes).toIndexedSeq
+      // group by the ACTUAL per-subspace codeword count, not the
+      // requested `codes`: pqFitQ seeds min(codes, nVectors) codewords
+      // per subspace (all subspaces the same count), so a small-corpus
+      // fit regrouped by the requested count would bleed subspace
+      // boundaries into each other — structurally garbage codebooks
+      // with no error (review-found, r13)
+      val subs = params("subs")
+      require(rows.nonEmpty && rows.size % subs == 0,
+        s"stored PQ codebook holds ${rows.size} rows, not a multiple " +
+          s"of subs=$subs — torn or cross-family model; rebuild it")
+      rows.grouped(rows.size / subs).toIndexedSeq
     }
   }
 
@@ -94,24 +103,19 @@ object TrainedAnn {
     val md = new File(modelDir(root))
     if (!new File(md, "_meta").exists() || !new File(md, "codebook").exists())
       return None
-    scala.util.Try {
-      val kv = new String(java.nio.file.Files.readAllBytes(
-        new File(md, "_meta").toPath),
-        java.nio.charset.StandardCharsets.UTF_8)
-        .linesIterator.filter(_.contains('='))
-        .map { l =>
-          val Array(k, v) = (l.split("=", 2): @unchecked); k -> v
-        }.toMap
-      val rows = new String(java.nio.file.Files.readAllBytes(
-        new File(md, "codebook").toPath),
-        java.nio.charset.StandardCharsets.UTF_8)
-        .linesIterator.filter(_.nonEmpty)
-        .map(_.split(',').map(_.toLong).toSeq).toIndexedSeq
-      Model(rows, kv("family"),
-        (kv - "family" - "n_fit" - "inertia_fit")
-          .map { case (k, v) => k -> v.toInt },
-        kv("n_fit").toLong, kv("inertia_fit").toLong)
-    }.toOption
+    Artifacts.parseKvFile(new File(md, "_meta")).flatMap { kv =>
+      scala.util.Try {
+        val rows = new String(java.nio.file.Files.readAllBytes(
+          new File(md, "codebook").toPath),
+          java.nio.charset.StandardCharsets.UTF_8)
+          .linesIterator.filter(_.nonEmpty)
+          .map(_.split(',').map(_.toLong).toSeq).toIndexedSeq
+        Model(rows, kv("family"),
+          (kv - "family" - "n_fit" - "inertia_fit")
+            .map { case (k, v) => k -> v.toInt },
+          kv("n_fit").toLong, kv("inertia_fit").toLong)
+      }.toOption
+    }
   }
 
   private[graft] def requireModel(root: String, family: String): Model = {
@@ -163,9 +167,22 @@ object TrainedAnn {
   def ivfDriftRatio(root: String, emb: DataFrame): Double = {
     val m = requireModel(root, "ivf_exactsig")
     val (s, n) = ivfInertia(emb, m.ivfCents)
-    if (n == 0 || m.nFit == 0 || m.inertiaFit == 0) 1.0
-    else (s.toDouble / n) / (m.inertiaFit.toDouble / m.nFit)
+    driftRatioOf(s, n, m)
   }
+
+  /** The shared ratio rule, degenerate-fit-aware: an EMPTY current
+    * corpus has nothing to drift (1.0), but a zero fit-time inertia
+    * (≤ k distinct vectors — a perfect fit — or an empty fit corpus)
+    * with NONZERO current inertia is infinite drift, not "no drift":
+    * returning 1.0 there would permanently mask genuine shift behind a
+    * degenerate denominator — the exact failure the probe exists to
+    * catch (review-found, r13).
+    */
+  private def driftRatioOf(s: Long, n: Long, m: Model): Double =
+    if (n == 0) 1.0
+    else if (m.nFit == 0 || m.inertiaFit == 0) {
+      if (s == 0) 1.0 else Double.PositiveInfinity
+    } else (s.toDouble / n) / (m.inertiaFit.toDouble / m.nFit)
 
   /** The maintenance entry a continuous ingester runs after appends:
     * probe drift, refit past the bound. Returns the measured ratio and
@@ -248,8 +265,7 @@ object TrainedAnn {
   def pqDriftRatio(root: String, embq: DataFrame): Double = {
     val m = requireModel(root, "pq_exactsig")
     val (s, n) = pqInertia(embq, m.pqCents)
-    if (n == 0 || m.nFit == 0 || m.inertiaFit == 0) 1.0
-    else (s.toDouble / n) / (m.inertiaFit.toDouble / m.nFit)
+    driftRatioOf(s, n, m)
   }
 
   def maintainPq(root: String, embq: DataFrame, subs: Int, codes: Int,

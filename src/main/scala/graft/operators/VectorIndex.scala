@@ -77,19 +77,14 @@ object VectorIndex {
     * None, so the gates produce their actionable "rebuild it" refusal
     * instead of a raw MatchError deep in the parser.
     */
-  private[graft] def metaOf(root: String): Option[(Int, Int, String)] = {
-    val f = metaFile(root)
-    if (!f.exists()) None
-    else scala.util.Try {
-      val kv = new String(java.nio.file.Files.readAllBytes(f.toPath),
-        java.nio.charset.StandardCharsets.UTF_8)
-        .linesIterator.filter(_.contains('='))
-        .map { l => val Array(k, v) = l.split('=') ; k -> v }.toMap
-      val coder = kv.getOrElse("coder", coderFloat)
-      require(coder == coderFloat || coder == coderExactSig)
-      (kv("bits").toInt, kv("maxBucket").toInt, coder)
-    }.toOption
-  }
+  private[graft] def metaOf(root: String): Option[(Int, Int, String)] =
+    Artifacts.parseKvFile(metaFile(root)).flatMap { kv =>
+      scala.util.Try {
+        val coder = kv.getOrElse("coder", coderFloat)
+        require(coder == coderFloat || coder == coderExactSig)
+        (kv("bits").toInt, kv("maxBucket").toInt, coder)
+      }.toOption
+    }
 
   /** The serving/maintenance gate: the marker must exist — an unmarked
     * index cannot prove its code space, and joining across drifted
@@ -407,10 +402,5 @@ object VectorIndex {
     * streaming maintainer bounds (each append adds ≤1 file per table).
     */
   private[graft] def segments(root: String): Int =
-    Option(new File(indexDir(root)).listFiles()).map { entries =>
-      entries.filter(d => d.isDirectory && d.getName.startsWith("t="))
-        .map(d => Option(d.listFiles())
-          .map(_.count(_.getName.endsWith(".parquet"))).getOrElse(0))
-        .foldLeft(0)(math.max)
-    }.getOrElse(0)
+    Artifacts.maxSegmentsIn(indexDir(root), "t=")
 }

@@ -529,10 +529,5 @@ object WinnowIndex {
     * TextIndex.postingsSegments shape).
     */
   private[graft] def segments(root: String): Int =
-    Option(new File(fpsDir(root)).listFiles()).map { entries =>
-      entries.filter(d => d.isDirectory && d.getName.startsWith("shard="))
-        .map(d => Option(d.listFiles())
-          .map(_.count(_.getName.endsWith(".parquet"))).getOrElse(0))
-        .foldLeft(0)(math.max)
-    }.getOrElse(0)
+    Artifacts.maxSegmentsIn(fpsDir(root), "shard=")
 }

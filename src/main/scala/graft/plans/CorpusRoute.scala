@@ -153,15 +153,21 @@ object CorpusRoute extends Rule[LogicalPlan] {
       "corpus_route_v2")
     val rawCopy = s"$base/documents"
     val roll = s"$base/rollup"
+    // the shared two-JVM-safe tmp-build + atomic-rename publish (r13 —
+    // the bare _SUCCESS-check + overwrite it replaced could interleave
+    // two processes' writes into one torn copy/rollup pair; every other
+    // fingerprint-keyed artifact already publishes through ensureRoot)
+    val existed = new java.io.File(s"$roll/_SUCCESS").exists()
+    graft.operators.Artifacts.ensureRoot(base)(p =>
+      new java.io.File(s"$p/documents/_SUCCESS").exists() &&
+        new java.io.File(s"$p/rollup/_SUCCESS").exists()) { tmp =>
+      graft.Tables.documents(spark, dir)
+        .write.parquet(s"$tmp/documents")
+      rollupOf(spark.read.parquet(s"$tmp/documents")).coalesce(1)
+        .write.partitionBy("lang").parquet(s"$tmp/rollup")
+    }
     this.synchronized {
-      if (!new java.io.File(s"$rawCopy/_SUCCESS").exists() ||
-          !new java.io.File(s"$roll/_SUCCESS").exists()) {
-        graft.Tables.documents(spark, dir)
-          .write.mode("overwrite").parquet(rawCopy)
-        rollupOf(spark.read.parquet(rawCopy)).coalesce(1)
-          .write.mode("overwrite").partitionBy("lang").parquet(roll)
-        invalidate(roll)
-      }
+      if (!existed) invalidate(roll)
       enable(spark)
       register(spark, rawCopy, roll)
     }

@@ -115,13 +115,21 @@ object KmvRoute extends Rule[LogicalPlan] {
       k: Int = graft.operators.EventOps.kmvOracleK): String = {
     val base = graft.operators.Artifacts.datasetRoot(dir, "events",
       s"kmv_route_v1_k$k")
+    // the shared two-JVM-safe tmp-build + atomic-rename publish (the
+    // bare _SUCCESS-check + overwrite it replaced could interleave two
+    // processes' writes into one torn rollup — review-found, r13)
     val roll = s"$base/rollup"
+    val existed = new java.io.File(s"$roll/_SUCCESS").exists()
+    graft.operators.Artifacts.ensureRoot(base)(p =>
+      new java.io.File(s"$p/rollup/_SUCCESS").exists()) { tmp =>
+      rollupOf(graft.Tables.events(spark, dir), k).coalesce(1)
+        .write.partitionBy("day").parquet(s"$tmp/rollup")
+    }
     this.synchronized {
-      if (!new java.io.File(s"$roll/_SUCCESS").exists()) {
-        rollupOf(graft.Tables.events(spark, dir), k).coalesce(1)
-          .write.mode("overwrite").partitionBy("day").parquet(roll)
-        invalidate(roll)
-      }
+      // drop the cached relation only when this call (re)built — a
+      // per-query invalidate would force relation re-resolution on
+      // every routed query for nothing
+      if (!existed) invalidate(roll)
       enable(spark)
       register(spark, s"$dir/events.parquet", roll, k)
     }
@@ -292,9 +300,9 @@ object KmvRoute extends Rule[LogicalPlan] {
           }
         case _ => ok = false; al
       }
-      case a: AttributeReference if isDayOfTs(a) =>
-        // groupings referenced bare (SQL GROUP BY 1 projections)
-        Alias(roll("day"), a.name)(exprId = a.exprId)
+      // a bare day attribute reference is only producible via a child
+      // Project alias, which the inline pass already substituted —
+      // anything else conservatively stays raw
       case other => ok = false; other
     }
     val leftover = newAggExprs

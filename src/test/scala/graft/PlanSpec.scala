@@ -275,6 +275,9 @@ class PlanSpec extends AnyFunSuite {
     // df/stats sides explicitly while SQL join planning keys off
     // statistics, so sameResult would pin join-strategy cosmetics —
     // the serving-path properties that matter are asserted above
+    // the positional class prunes identically through its SQL face
+    val pp = plan(SqlFrontDoor.sqlPhraseSearch(spark, dir))
+    assert(pp.contains("PartitionFilters") && pp.contains("tshard"), pp)
   }
 
   test("perceptual near-dup pair queries: banded bucket equi-join, never " +

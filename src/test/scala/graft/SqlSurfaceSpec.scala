@@ -60,6 +60,11 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(got === rows(operators.TextIndex.bm25TopKIndexed(spark, dir)))
     // and the raw-scan face — all three serving paths, one answer
     assert(got === rows(operators.TextOps.bm25TopK(spark, dir)))
+    // the positional class too: SQL-authored phrase counts equal the
+    // DSL index serving exactly
+    val phrase = rows(SqlFrontDoor.sqlPhraseSearch(spark, dir))
+    assert(phrase.nonEmpty, "SQL phrase face returned no rows; pin vacuous")
+    assert(phrase === rows(operators.TextIndex.phraseSearch(spark, dir)))
   }
 
   test("minhash_agg sketch aggregate usable from SQL") {
