@@ -121,6 +121,7 @@ object SparkEntry {
     // PlanSpec-pinned to survive the SQL face
     "q_sql_bm25_indexed" -> SqlFrontDoor.sqlBm25Indexed _,
     "q_sql_phrase_search" -> SqlFrontDoor.sqlPhraseSearch _,
+    "q_sql_hybrid_search" -> SqlFrontDoor.sqlHybridSearch _,
     "q_distinct_approx" -> EventOps.distinctApprox _,
     "q_log_level_hist" -> EventOps.logLevelHist _,
     "q_set_except" -> EventOps.setExcept _,
@@ -301,6 +302,60 @@ object SparkEntry {
     * den = tf + 1.2*(0.25 + 0.75*norm), s = idf * (tf*2.2)/den,
     * positional slots summed in literal order s1+s2+s3.
     */
+  /** Shared by q_hybrid_search and q_sql_hybrid_search — RRF fusion of
+    * the bm25 CTE chain (depth 50) with exact-cosine ranks for query
+    * vectors 1-3; 1/(60+rank) terms are exact double divisions summed
+    * in the Spark side's literal order (lex + vec). ONE definition so
+    * the two front doors' twin claim holds by construction.
+    */
+  private val hybridOracleSql: String =
+    """WITH q(qid, pos, term) AS (VALUES
+      |    (1, 1, 'spark'), (1, 2, 'query'), (1, 3, 'join'),
+      |    (2, 1, 'hash'), (2, 2, 'table'), (2, 3, 'scan'),
+      |    (3, 1, 'dup'), (3, 2, 'merge'), (3, 3, 'stream')),
+      |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents WHERE text IS NOT NULL),
+      |dt AS MATERIALIZED (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      |hits AS (SELECT q.qid, q.pos, dt.term, dt.doc_id, dt.tf FROM dt JOIN q USING (term)),
+      |dfreq AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM hits GROUP BY 1),
+      |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM dt GROUP BY 1),
+      |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS t FROM dl),
+      |sc AS (SELECT h.qid, h.pos, h.doc_id,
+      |    (CAST(2 * s.n - 2 * f.df + 1 AS DOUBLE) / CAST(2 * f.df + 1 AS DOUBLE)) *
+      |      ((CAST(h.tf AS DOUBLE) * 2.2) /
+      |        (CAST(h.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+      |          (CAST(l.dl AS DOUBLE) / (CAST(s.t AS DOUBLE) / CAST(s.n AS DOUBLE)))))) AS s
+      |  FROM hits h JOIN dfreq f USING (term) JOIN dl l USING (doc_id) CROSS JOIN stats s),
+      |per AS (SELECT qid, doc_id,
+      |    COALESCE(MAX(CASE WHEN pos = 1 THEN s END), 0.0) +
+      |      COALESCE(MAX(CASE WHEN pos = 2 THEN s END), 0.0) +
+      |      COALESCE(MAX(CASE WHEN pos = 3 THEN s END), 0.0) AS score
+      |  FROM sc GROUP BY 1, 2),
+      |lex AS (SELECT qid, doc_id, rb FROM (
+      |    SELECT qid, doc_id,
+      |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rb
+      |    FROM per) WHERE rb <= 50),
+      |flat AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+      |                generate_subscripts(embedding, 1) AS i FROM embeddings),
+      |nrm AS (SELECT vec_id, sqrt(SUM(x*x)) AS nrm FROM flat GROUP BY 1),
+      |dotp AS (SELECT qv.vec_id AS qid, f.vec_id AS doc_id, SUM(qv.x*f.x) AS dp
+      |         FROM flat qv JOIN flat f ON qv.i = f.i
+      |         WHERE qv.vec_id IN (1, 2, 3) AND qv.vec_id <> f.vec_id GROUP BY 1, 2),
+      |vec AS (SELECT qid, doc_id, rc FROM (
+      |    SELECT qid, doc_id,
+      |      ROW_NUMBER() OVER (PARTITION BY qid
+      |        ORDER BY ROUND(dp/(nq.nrm*nn.nrm), 4) DESC, doc_id) AS rc
+      |    FROM dotp JOIN nrm nq ON nq.vec_id = qid JOIN nrm nn ON nn.vec_id = doc_id)
+      |  WHERE rc <= 50),
+      |fused AS (SELECT COALESCE(l.qid, v.qid) AS qid,
+      |    COALESCE(l.doc_id, v.doc_id) AS doc_id,
+      |    COALESCE(CAST(1.0 AS DOUBLE) / CAST(60 + l.rb AS DOUBLE), 0.0) +
+      |      COALESCE(CAST(1.0 AS DOUBLE) / CAST(60 + v.rc AS DOUBLE), 0.0) AS rrf
+      |  FROM lex l FULL OUTER JOIN vec v ON l.qid = v.qid AND l.doc_id = v.doc_id),
+      |rk AS (SELECT CAST(qid AS BIGINT) AS qid, doc_id, rrf,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank
+      |  FROM fused)
+      |SELECT qid, rank, doc_id, rrf FROM rk WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+
   /** Shared by q_phrase_search and q_sql_phrase_search — naive
     * token-window phrase scan per workload phrase; both index-served
     * faces must reproduce these occurrence counts exactly.
@@ -1869,56 +1924,10 @@ object SparkEntry {
         |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rn
         |       FROM sc)
         |SELECT qid, nid, cosine, rn FROM rk WHERE rn <= 10 ORDER BY qid, rn""".stripMargin,
-    "q_hybrid_search" ->
-      // RRF fusion of the bm25 CTE chain (depth 50) with exact-cosine
-      // ranks for query vectors 1-3; 1/(60+rank) terms are exact double
-      // divisions summed in the Spark side's literal order (lex + vec)
-      """WITH q(qid, pos, term) AS (VALUES
-        |    (1, 1, 'spark'), (1, 2, 'query'), (1, 3, 'join'),
-        |    (2, 1, 'hash'), (2, 2, 'table'), (2, 3, 'scan'),
-        |    (3, 1, 'dup'), (3, 2, 'merge'), (3, 3, 'stream')),
-        |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents WHERE text IS NOT NULL),
-        |dt AS MATERIALIZED (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
-        |hits AS (SELECT q.qid, q.pos, dt.term, dt.doc_id, dt.tf FROM dt JOIN q USING (term)),
-        |dfreq AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM hits GROUP BY 1),
-        |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM dt GROUP BY 1),
-        |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS t FROM dl),
-        |sc AS (SELECT h.qid, h.pos, h.doc_id,
-        |    (CAST(2 * s.n - 2 * f.df + 1 AS DOUBLE) / CAST(2 * f.df + 1 AS DOUBLE)) *
-        |      ((CAST(h.tf AS DOUBLE) * 2.2) /
-        |        (CAST(h.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
-        |          (CAST(l.dl AS DOUBLE) / (CAST(s.t AS DOUBLE) / CAST(s.n AS DOUBLE)))))) AS s
-        |  FROM hits h JOIN dfreq f USING (term) JOIN dl l USING (doc_id) CROSS JOIN stats s),
-        |per AS (SELECT qid, doc_id,
-        |    COALESCE(MAX(CASE WHEN pos = 1 THEN s END), 0.0) +
-        |      COALESCE(MAX(CASE WHEN pos = 2 THEN s END), 0.0) +
-        |      COALESCE(MAX(CASE WHEN pos = 3 THEN s END), 0.0) AS score
-        |  FROM sc GROUP BY 1, 2),
-        |lex AS (SELECT qid, doc_id, rb FROM (
-        |    SELECT qid, doc_id,
-        |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rb
-        |    FROM per) WHERE rb <= 50),
-        |flat AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
-        |                generate_subscripts(embedding, 1) AS i FROM embeddings),
-        |nrm AS (SELECT vec_id, sqrt(SUM(x*x)) AS nrm FROM flat GROUP BY 1),
-        |dotp AS (SELECT qv.vec_id AS qid, f.vec_id AS doc_id, SUM(qv.x*f.x) AS dp
-        |         FROM flat qv JOIN flat f ON qv.i = f.i
-        |         WHERE qv.vec_id IN (1, 2, 3) AND qv.vec_id <> f.vec_id GROUP BY 1, 2),
-        |vec AS (SELECT qid, doc_id, rc FROM (
-        |    SELECT qid, doc_id,
-        |      ROW_NUMBER() OVER (PARTITION BY qid
-        |        ORDER BY ROUND(dp/(nq.nrm*nn.nrm), 4) DESC, doc_id) AS rc
-        |    FROM dotp JOIN nrm nq ON nq.vec_id = qid JOIN nrm nn ON nn.vec_id = doc_id)
-        |  WHERE rc <= 50),
-        |fused AS (SELECT COALESCE(l.qid, v.qid) AS qid,
-        |    COALESCE(l.doc_id, v.doc_id) AS doc_id,
-        |    COALESCE(CAST(1.0 AS DOUBLE) / CAST(60 + l.rb AS DOUBLE), 0.0) +
-        |      COALESCE(CAST(1.0 AS DOUBLE) / CAST(60 + v.rc AS DOUBLE), 0.0) AS rrf
-        |  FROM lex l FULL OUTER JOIN vec v ON l.qid = v.qid AND l.doc_id = v.doc_id),
-        |rk AS (SELECT CAST(qid AS BIGINT) AS qid, doc_id, rrf,
-        |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank
-        |  FROM fused)
-        |SELECT qid, rank, doc_id, rrf FROM rk WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+    "q_hybrid_search" -> hybridOracleSql,
+    // the SQL-text face fuses the same legs — one oracle definition for
+    // both front doors, by construction
+    "q_sql_hybrid_search" -> hybridOracleSql,
     "q_filtered_topk" ->
       // cosine_topk restricted to the query's target label class
       // (label = qid); rounded cosine absorbs float summation order

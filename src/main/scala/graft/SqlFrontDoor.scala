@@ -182,9 +182,15 @@ object SqlFrontDoor {
     * semantics (the documented `SqlFrontDoor.scala` precedent for
     * structurally-divergent faces).
     */
-  def sqlBm25Indexed(spark: SparkSession, dir: String): DataFrame = {
-    registerViews(spark, dir)
-    graft.operators.TextIndex.registerServingViews(spark, dir)
+  /** The ranked-BM25 CTE chain (text core shared by [[sqlBm25Indexed]]
+    * and [[sqlHybridSearch]]'s lexical leg — one scoring text, the
+    * `bm25FromHits` single-kernel discipline at the SQL tier): yields a
+    * CTE `bm_ranked(qid, doc_id, score, rank)` with rank ≤ `k`, reading
+    * the pruned `text_postings`/`text_terms`/`text_stats` views. The
+    * caller must have run [[graft.operators.TextIndex
+    * .registerServingViews]].
+    */
+  private def bm25RankedCtes(spark: SparkSession, k: Int): String = {
     val workload = graft.operators.TextOps.bm25Queries
     val terms = workload.map(_._3).distinct
     // terms are interpolated into SQL text as string literals — refuse
@@ -199,45 +205,104 @@ object SqlFrontDoor {
     val qVals = workload
       .map { case (q, p, t) => s"(CAST($q AS BIGINT), $p, '$t')" }
       .mkString(", ")
+    s"""q(qid, pos, term) AS (VALUES
+      |    $qVals),
+      |bm_hits AS (
+      |  SELECT q.qid, q.pos, p.doc_id, p.tf, p.dl, t.df, s.n, s.t
+      |  FROM text_postings p
+      |  JOIN q ON p.term = q.term
+      |  JOIN text_terms t ON t.term = p.term
+      |  CROSS JOIN text_stats s
+      |  WHERE p.tshard IN ($shardList) AND p.term IN ($termList)
+      |    AND t.tshard IN ($shardList) AND t.term IN ($termList)),
+      |bm_scored AS (
+      |  SELECT qid, pos, doc_id,
+      |    (CAST(2 * n - 2 * df + 1 AS DOUBLE) / CAST(2 * df + 1 AS DOUBLE)) *
+      |      ((CAST(tf AS DOUBLE) * 2.2D) /
+      |       (CAST(tf AS DOUBLE) + 1.2D * (0.25D + 0.75D *
+      |         (CAST(dl AS DOUBLE) / (CAST(t AS DOUBLE) / CAST(n AS DOUBLE)))))) AS s
+      |  FROM bm_hits),
+      |bm_perdoc AS (
+      |  SELECT qid, doc_id,
+      |    MAX(CASE WHEN pos = 1 THEN s END) AS s1,
+      |    MAX(CASE WHEN pos = 2 THEN s END) AS s2,
+      |    MAX(CASE WHEN pos = 3 THEN s END) AS s3
+      |  FROM bm_scored GROUP BY qid, doc_id),
+      |bm_wscore AS (
+      |  SELECT qid, doc_id,
+      |    COALESCE(s1, 0.0D) + COALESCE(s2, 0.0D) + COALESCE(s3, 0.0D) AS score,
+      |    spark_partition_id() AS split
+      |  FROM bm_perdoc),
+      |bm_locals AS (
+      |  SELECT qid, doc_id, score,
+      |    ROW_NUMBER() OVER (PARTITION BY qid, split ORDER BY score DESC, doc_id) AS lrk
+      |  FROM bm_wscore),
+      |bm_ranked AS (
+      |  SELECT qid, doc_id, score,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+      |  FROM bm_locals WHERE lrk <= $k)""".stripMargin
+  }
+
+  def sqlBm25Indexed(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    graft.operators.TextIndex.registerServingViews(spark, dir)
     spark.sql(
-      s"""WITH q(qid, pos, term) AS (VALUES
-        |    $qVals),
-        |hits AS (
-        |  SELECT q.qid, q.pos, p.doc_id, p.tf, p.dl, t.df, s.n, s.t
-        |  FROM text_postings p
-        |  JOIN q ON p.term = q.term
-        |  JOIN text_terms t ON t.term = p.term
-        |  CROSS JOIN text_stats s
-        |  WHERE p.tshard IN ($shardList) AND p.term IN ($termList)
-        |    AND t.tshard IN ($shardList) AND t.term IN ($termList)),
-        |scored AS (
-        |  SELECT qid, pos, doc_id,
-        |    (CAST(2 * n - 2 * df + 1 AS DOUBLE) / CAST(2 * df + 1 AS DOUBLE)) *
-        |      ((CAST(tf AS DOUBLE) * 2.2D) /
-        |       (CAST(tf AS DOUBLE) + 1.2D * (0.25D + 0.75D *
-        |         (CAST(dl AS DOUBLE) / (CAST(t AS DOUBLE) / CAST(n AS DOUBLE)))))) AS s
-        |  FROM hits),
-        |perdoc AS (
-        |  SELECT qid, doc_id,
-        |    MAX(CASE WHEN pos = 1 THEN s END) AS s1,
-        |    MAX(CASE WHEN pos = 2 THEN s END) AS s2,
-        |    MAX(CASE WHEN pos = 3 THEN s END) AS s3
-        |  FROM scored GROUP BY qid, doc_id),
-        |wscore AS (
-        |  SELECT qid, doc_id,
-        |    COALESCE(s1, 0.0D) + COALESCE(s2, 0.0D) + COALESCE(s3, 0.0D) AS score,
-        |    spark_partition_id() AS split
-        |  FROM perdoc),
-        |locals AS (
-        |  SELECT qid, doc_id, score,
-        |    ROW_NUMBER() OVER (PARTITION BY qid, split ORDER BY score DESC, doc_id) AS lrk
-        |  FROM wscore),
-        |ranked AS (
-        |  SELECT qid, doc_id, score,
-        |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS BIGINT) AS rank
-        |  FROM locals WHERE lrk <= 10)
-        |SELECT qid, rank, doc_id, score FROM ranked WHERE rank <= 10
+      s"""WITH ${bm25RankedCtes(spark, 10)}
+        |SELECT qid, rank, doc_id, score FROM bm_ranked WHERE rank <= 10
         |ORDER BY qid, rank""".stripMargin)
+  }
+
+  /** SQL face of [[graft.operators.VectorOps.hybridSearch]] — the
+    * reciprocal-rank-fusion retrieval stack (r13, completing the
+    * search-dashboard triple BM25/phrase/hybrid through the front
+    * door): the lexical leg is the SHARED [[bm25RankedCtes]] chain at
+    * depth 50 (served from the maintained index — bit-identical to the
+    * DSL's raw-scan leg by the q_bm25_indexed pin), the vector leg is
+    * exact rounded cosine via the natively-registered `vec_dot` called
+    * by NAME from SQL (two-phase top-k, the DSL's perQueryTopK shape),
+    * and the fusion is the same literal-order
+    * `1/(60+r_lex) + 1/(60+r_vec)` over a FULL OUTER JOIN. Same DuckDB
+    * oracle as q_hybrid_search — the whole modern RAG retrieval stack,
+    * authored as one SQL statement.
+    */
+  def sqlHybridSearch(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    graft.operators.TextIndex.registerServingViews(spark, dir)
+    spark.sql(
+      s"""WITH ${bm25RankedCtes(spark, 50)},
+        |lex AS (SELECT qid, doc_id, rank AS rb FROM bm_ranked WHERE rank <= 50),
+        |emb AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(vec_dot(embedding, embedding)) AS nrm
+        |  FROM embeddings),
+        |queries AS (
+        |  SELECT vec_id AS qid, embedding AS qe, nrm AS qn
+        |  FROM emb WHERE vec_id IN (1, 2, 3)),
+        |vec_scored AS (
+        |  SELECT q.qid, e.vec_id AS doc_id,
+        |    round(vec_dot(q.qe, e.embedding) / (q.qn * e.nrm), 4) AS cosine,
+        |    spark_partition_id() AS split
+        |  FROM emb e JOIN queries q ON q.qid != e.vec_id),
+        |vec_locals AS (
+        |  SELECT qid, doc_id, cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY qid, split ORDER BY cosine DESC, doc_id) AS lrk
+        |  FROM vec_scored),
+        |vec AS (
+        |  SELECT qid, doc_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, doc_id) AS BIGINT) AS rc
+        |  FROM vec_locals WHERE lrk <= 50),
+        |fused AS (
+        |  SELECT COALESCE(l.qid, v.qid) AS qid,
+        |    COALESCE(l.doc_id, v.doc_id) AS doc_id,
+        |    COALESCE(1.0D / CAST(60 + l.rb AS DOUBLE), 0.0D) +
+        |      COALESCE(1.0D / CAST(60 + v.rc AS DOUBLE), 0.0D) AS rrf
+        |  FROM lex l FULL OUTER JOIN (SELECT * FROM vec WHERE rc <= 50) v
+        |    ON l.qid = v.qid AND l.doc_id = v.doc_id)
+        |SELECT qid, rank, doc_id, rrf FROM (
+        |  SELECT qid, doc_id, rrf,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank
+        |  FROM fused)
+        |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin)
   }
 
   /** SQL face of [[graft.operators.TextIndex.phraseSearch]] — the

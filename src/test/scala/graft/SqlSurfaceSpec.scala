@@ -65,6 +65,10 @@ class SqlSurfaceSpec extends AnyFunSuite {
     val phrase = rows(SqlFrontDoor.sqlPhraseSearch(spark, dir))
     assert(phrase.nonEmpty, "SQL phrase face returned no rows; pin vacuous")
     assert(phrase === rows(operators.TextIndex.phraseSearch(spark, dir)))
+    // and the fused stack: SQL-authored RRF equals the DSL hybrid
+    val hybrid = rows(SqlFrontDoor.sqlHybridSearch(spark, dir))
+    assert(hybrid.nonEmpty, "SQL hybrid face returned no rows; pin vacuous")
+    assert(hybrid === rows(operators.VectorOps.hybridSearch(spark, dir)))
   }
 
   test("minhash_agg sketch aggregate usable from SQL") {
