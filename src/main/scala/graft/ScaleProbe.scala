@@ -1486,7 +1486,7 @@ object ScaleProbe {
     def time3(f: => Unit): Double = median((1 to 3).map { _ =>
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     })
-    def tier(tag: String, n: Long): (Long, Long, Long, Long, Long, Double) = {
+    def tier(tag: String, n: Long): (Long, Long, Long, Long, Long, Double, Double) = {
       val d = s"$base/$tag"
       synthesize(spark, d, n)
       val hashed = MultimodalOps.imageHashes(spark, d).persist()
@@ -1503,21 +1503,42 @@ object ScaleProbe {
       Bench.force(MultimodalOps.imageNearDup(spark, d)) // warmup
       val t = time3(Bench.force(MultimodalOps.imageNearDup(spark, d)))
       graft.IntraQueryCache.releaseBoundary()
-      (nh, cand, nah, aCand, nh * (nh - 1) / 2, t)
+      // the MAINTAINED-artifact serving face at the same tier (r13):
+      // hashes stored at ingest (untimed, like every prepare artifact),
+      // the query band-joins 16-byte stored rows — the indexed/recompute
+      // gap must WIDEN with corpus size (recompute pays decode per doc,
+      // the indexed read pays the hash table)
+      import graft.operators.MediaHashIndex
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft-mhprobe-$tag").toString
+      MediaHashIndex.buildInto(root, MultimodalOps.imageHashes(spark, d),
+        MediaHashIndex.Image.family)
+      def indexed(): Unit = Bench.force(
+        MultimodalOps.dhashBandPairs(
+          MediaHashIndex.load(spark, root, MediaHashIndex.Image.family), 4, 3)
+          .orderBy("doc_a", "doc_b"))
+      indexed() // warmup
+      val ti = time3(indexed())
+      (nh, cand, nah, aCand, nh * (nh - 1) / 2, t, ti)
     }
-    val (n1h, c1, na1, a1, all1, t1) = tier("x1", n1)
-    val (n10h, c10, na10, a10, all10, t10) = tier("x10", n1 * 10)
+    val (n1h, c1, na1, a1, all1, t1, ti1) = tier("x1", n1)
+    val (n10h, c10, na10, a10, all10, t10, ti10) = tier("x10", n1 * 10)
     val (aAll1, aAll10) = (na1 * (na1 - 1) / 2, na10 * (na10 - 1) / 2)
     println(f"[scaleprobe] image_neardup x1: n=$n1h candidates=$c1 " +
       f"(all-pairs $all1, ${c1 * 100.0 / all1}%6.3f%%) $t1%5.2fs; " +
       f"x10: n=$n10h candidates=$c10 (all-pairs $all10, " +
       f"${c10 * 100.0 / all10}%6.3f%%) $t10%5.2fs ratio=${t10 / t1}%4.2f")
+    println(f"[scaleprobe] image_neardup indexed serving: x1 $ti1%5.2fs " +
+      f"(recompute/indexed ${t1 / ti1}%4.2fx), x10 $ti10%5.2fs " +
+      f"(${t10 / ti10}%4.2fx) — gap growth ${(t10 / ti10) / (t1 / ti1)}%4.2fx")
     println(f"[scaleprobe] audio_neardup banded volume: x1 n=$na1 " +
       f"candidates=$a1 (${a1 * 100.0 / aAll1}%6.3f%%), " +
       f"x10 n=$na10 $a10 (${a10 * 100.0 / aAll10}%6.3f%%)")
     Seq(s""""image_neardup":{"n_x1":$n1h,"cand_x1":$c1,"allpairs_x1":$all1,""" +
       s""""t_x1":$t1,"n_x10":$n10h,"cand_x10":$c10,""" +
       s""""allpairs_x10":$all10,"t_x10":$t10,"ratio":${t10 / t1},""" +
+      s""""t_indexed_x1":$ti1,"t_indexed_x10":$ti10,""" +
+      s""""speedup_x1":${t1 / ti1},"speedup_x10":${t10 / ti10},""" +
       s""""audio_n_x1":$na1,"audio_cand_x1":$a1,""" +
       s""""audio_n_x10":$na10,"audio_cand_x10":$a10}""")
   }
