@@ -256,7 +256,7 @@ object Bench {
 
   /** q_-stripped, shortest-unique-truncation display names for the
     * compact metric line: every name truncates to `baseLen` chars,
-    * colliding groups extend by 2 until unique (deterministic for a
+    * colliding groups extend by 1 until unique (deterministic for a
     * fixed query set; full names are unique so it terminates).
     */
   private[graft] def shortNames(names: Seq[String],

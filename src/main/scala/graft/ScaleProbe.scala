@@ -1492,6 +1492,13 @@ object ScaleProbe {
       val hashed = MultimodalOps.imageHashes(spark, d).persist()
       val nh = hashed.count()
       val cand = MultimodalOps.dhashBandCandidates(hashed, 4).count()
+      // the maintained artifact builds from the SAME persisted hash
+      // frame (not a second corpus decode — review-found, r13); its
+      // ingest cost is deliberately untimed, like every prepare artifact
+      import graft.operators.MediaHashIndex
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft-mhprobe-$tag").toString
+      MediaHashIndex.buildInto(root, hashed, MediaHashIndex.Image.family)
       hashed.unpersist(blocking = true)
       // the audio tier carries its OWN hash count — the two decode
       // paths null independently, so its percentage must never borrow
@@ -1504,15 +1511,10 @@ object ScaleProbe {
       val t = time3(Bench.force(MultimodalOps.imageNearDup(spark, d)))
       graft.IntraQueryCache.releaseBoundary()
       // the MAINTAINED-artifact serving face at the same tier (r13):
-      // hashes stored at ingest (untimed, like every prepare artifact),
-      // the query band-joins 16-byte stored rows — the indexed/recompute
-      // gap must WIDEN with corpus size (recompute pays decode per doc,
-      // the indexed read pays the hash table)
-      import graft.operators.MediaHashIndex
-      val root = java.nio.file.Files
-        .createTempDirectory(s"graft-mhprobe-$tag").toString
-      MediaHashIndex.buildInto(root, MultimodalOps.imageHashes(spark, d),
-        MediaHashIndex.Image.family)
+      // the query band-joins 16-byte stored rows; what the artifact
+      // amortizes is the DECODE term — the shared banded-join term
+      // grows with candidate volume and is paid by both paths (the
+      // measured 1x/10x speedups state this honestly, see SCALE.md)
       def indexed(): Unit = Bench.force(
         MultimodalOps.dhashBandPairs(
           MediaHashIndex.load(spark, root, MediaHashIndex.Image.family), 4, 3)

@@ -190,21 +190,34 @@ object SqlFrontDoor {
     * caller must have run [[graft.operators.TextIndex
     * .registerServingViews]].
     */
-  private def bm25RankedCtes(spark: SparkSession, k: Int): String = {
-    val workload = graft.operators.TextOps.bm25Queries
-    val terms = workload.map(_._3).distinct
-    // terms are interpolated into SQL text as string literals — refuse
-    // anything that could break the quoting (today's fixed workload is
-    // plain tokens; this makes the assumption loud, not silent)
+  /** Interpolation-safe literal rendering shared by the index-served
+    * SQL faces (BM25 + phrase): the plain-token require guard (terms
+    * land in the query text as quoted string literals — the guard makes
+    * the fixed-workload assumption loud, not silent), the pruning
+    * shard-id list from the shared
+    * [[graft.operators.TextIndex.shardsOfTerms]] metadata job, the
+    * quoted term list, and the (qid, pos, term) VALUES rows. ONE
+    * definition so a quoting or literal-format fix can never silently
+    * miss a face.
+    */
+  private def termLiterals(spark: SparkSession,
+      flat: Seq[(Long, Int, String)]): (String, String, String) = {
+    val terms = flat.map(_._3).distinct
     require(terms.forall(_.matches("[A-Za-z0-9_]+")),
-      s"bm25 workload terms must be plain tokens for SQL interpolation, " +
+      s"workload terms must be plain tokens for SQL interpolation, " +
         s"got ${terms.mkString(", ")}")
     val shardList = graft.operators.TextIndex
       .shardsOfTerms(spark, terms).sorted.mkString(", ")
     val termList = terms.map(t => s"'$t'").mkString(", ")
-    val qVals = workload
+    val qVals = flat
       .map { case (q, p, t) => s"(CAST($q AS BIGINT), $p, '$t')" }
       .mkString(", ")
+    (shardList, termList, qVals)
+  }
+
+  private def bm25RankedCtes(spark: SparkSession, k: Int): String = {
+    val (shardList, termList, qVals) =
+      termLiterals(spark, graft.operators.TextOps.bm25Queries)
     s"""q(qid, pos, term) AS (VALUES
       |    $qVals),
       |bm_hits AS (
@@ -322,16 +335,7 @@ object SqlFrontDoor {
     val flat = workload.flatMap { case (qid, ts) =>
       ts.zipWithIndex.map { case (t, i) => (qid, i + 1, t) }
     }
-    val terms = flat.map(_._3).distinct
-    require(terms.forall(_.matches("[A-Za-z0-9_]+")),
-      s"phrase workload terms must be plain tokens for SQL interpolation, " +
-        s"got ${terms.mkString(", ")}")
-    val shardList = graft.operators.TextIndex
-      .shardsOfTerms(spark, terms).sorted.mkString(", ")
-    val termList = terms.map(t => s"'$t'").mkString(", ")
-    val qVals = flat
-      .map { case (q, p, t) => s"(CAST($q AS BIGINT), $p, '$t')" }
-      .mkString(", ")
+    val (shardList, termList, qVals) = termLiterals(spark, flat)
     val qlenVals = workload
       .map { case (q, ts) => s"(CAST($q AS BIGINT), ${ts.size})" }
       .mkString(", ")

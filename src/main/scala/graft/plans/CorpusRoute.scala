@@ -157,10 +157,18 @@ object CorpusRoute extends Rule[LogicalPlan] {
     // the bare _SUCCESS-check + overwrite it replaced could interleave
     // two processes' writes into one torn copy/rollup pair; every other
     // fingerprint-keyed artifact already publishes through ensureRoot)
-    val existed = new java.io.File(s"$roll/_SUCCESS").exists()
-    graft.operators.Artifacts.ensureRoot(base)(p =>
+    // `existed` must use ensureRoot's EXACT servability predicate
+    // (root marker + both artifacts): a weaker check (rollup marker
+    // alone) would skip the invalidate below when ensureRoot decides to
+    // rebuild anyway — e.g. over a pre-r13-layout artifact with no root
+    // marker — leaving a stale cached relation listing deleted files
+    // (review-found, r13)
+    def complete(p: String): Boolean =
       new java.io.File(s"$p/documents/_SUCCESS").exists() &&
-        new java.io.File(s"$p/rollup/_SUCCESS").exists()) { tmp =>
+        new java.io.File(s"$p/rollup/_SUCCESS").exists()
+    val existed =
+      new java.io.File(s"$base/_SUCCESS").exists() && complete(base)
+    graft.operators.Artifacts.ensureRoot(base)(complete) { tmp =>
       graft.Tables.documents(spark, dir)
         .write.parquet(s"$tmp/documents")
       rollupOf(spark.read.parquet(s"$tmp/documents")).coalesce(1)

@@ -119,9 +119,15 @@ object KmvRoute extends Rule[LogicalPlan] {
     // bare _SUCCESS-check + overwrite it replaced could interleave two
     // processes' writes into one torn rollup — review-found, r13)
     val roll = s"$base/rollup"
-    val existed = new java.io.File(s"$roll/_SUCCESS").exists()
-    graft.operators.Artifacts.ensureRoot(base)(p =>
-      new java.io.File(s"$p/rollup/_SUCCESS").exists()) { tmp =>
+    // `existed` mirrors ensureRoot's EXACT servability predicate (root
+    // marker + rollup marker) — a weaker check would skip the
+    // invalidate when ensureRoot rebuilds anyway, stranding a stale
+    // cached relation over deleted files (review-found, r13)
+    def complete(p: String): Boolean =
+      new java.io.File(s"$p/rollup/_SUCCESS").exists()
+    val existed =
+      new java.io.File(s"$base/_SUCCESS").exists() && complete(base)
+    graft.operators.Artifacts.ensureRoot(base)(complete) { tmp =>
       rollupOf(graft.Tables.events(spark, dir), k).coalesce(1)
         .write.partitionBy("day").parquet(s"$tmp/rollup")
     }
