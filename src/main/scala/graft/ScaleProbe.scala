@@ -1486,7 +1486,8 @@ object ScaleProbe {
     def time3(f: => Unit): Double = median((1 to 3).map { _ =>
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     })
-    def tier(tag: String, n: Long): (Long, Long, Long, Long, Long, Double, Double) = {
+    def tier(tag: String, n: Long)
+        : (Long, Long, Long, Long, Long, Double, Double, Double, Double) = {
       val d = s"$base/$tag"
       synthesize(spark, d, n)
       val hashed = MultimodalOps.imageHashes(spark, d).persist()
@@ -1506,6 +1507,12 @@ object ScaleProbe {
       val ahashed = MultimodalOps.audioHashes(spark, d).persist()
       val nah = ahashed.count()
       val aCand = MultimodalOps.dhashBandCandidates(ahashed, 4).count()
+      // the audio artifact builds from the same persisted frame too —
+      // modality parity in the indexed-serving measurement
+      val aroot = java.nio.file.Files
+        .createTempDirectory(s"graft-mhprobe-a$tag").toString
+      graft.operators.MediaHashIndex.buildInto(aroot, ahashed,
+        graft.operators.MediaHashIndex.Audio.family)
       ahashed.unpersist(blocking = true)
       Bench.force(MultimodalOps.imageNearDup(spark, d)) // warmup
       val t = time3(Bench.force(MultimodalOps.imageNearDup(spark, d)))
@@ -1521,10 +1528,20 @@ object ScaleProbe {
           .orderBy("doc_a", "doc_b"))
       indexed() // warmup
       val ti = time3(indexed())
-      (nh, cand, nah, aCand, nh * (nh - 1) / 2, t, ti)
+      // audio: recompute vs indexed at the same tier
+      Bench.force(MultimodalOps.audioNearDup(spark, d)) // warmup
+      val ta = time3(Bench.force(MultimodalOps.audioNearDup(spark, d)))
+      graft.IntraQueryCache.releaseBoundary()
+      def aindexed(): Unit = Bench.force(
+        MultimodalOps.dhashBandPairs(
+          MediaHashIndex.load(spark, aroot, MediaHashIndex.Audio.family), 4, 3)
+          .orderBy("doc_a", "doc_b"))
+      aindexed() // warmup
+      val tai = time3(aindexed())
+      (nh, cand, nah, aCand, nh * (nh - 1) / 2, t, ti, ta, tai)
     }
-    val (n1h, c1, na1, a1, all1, t1, ti1) = tier("x1", n1)
-    val (n10h, c10, na10, a10, all10, t10, ti10) = tier("x10", n1 * 10)
+    val (n1h, c1, na1, a1, all1, t1, ti1, ta1, tai1) = tier("x1", n1)
+    val (n10h, c10, na10, a10, all10, t10, ti10, ta10, tai10) = tier("x10", n1 * 10)
     val (aAll1, aAll10) = (na1 * (na1 - 1) / 2, na10 * (na10 - 1) / 2)
     println(f"[scaleprobe] image_neardup x1: n=$n1h candidates=$c1 " +
       f"(all-pairs $all1, ${c1 * 100.0 / all1}%6.3f%%) $t1%5.2fs; " +
@@ -1535,12 +1552,17 @@ object ScaleProbe {
       f"(${t10 / ti10}%4.2fx) — gap growth ${(t10 / ti10) / (t1 / ti1)}%4.2fx")
     println(f"[scaleprobe] audio_neardup banded volume: x1 n=$na1 " +
       f"candidates=$a1 (${a1 * 100.0 / aAll1}%6.3f%%), " +
-      f"x10 n=$na10 $a10 (${a10 * 100.0 / aAll10}%6.3f%%)")
+      f"x10 n=$na10 $a10 (${a10 * 100.0 / aAll10}%6.3f%%); " +
+      f"recompute x1 $ta1%5.2fs x10 $ta10%5.2fs, indexed x1 $tai1%5.2fs " +
+      f"(${ta1 / tai1}%4.2fx) x10 $tai10%5.2fs (${ta10 / tai10}%4.2fx)")
     Seq(s""""image_neardup":{"n_x1":$n1h,"cand_x1":$c1,"allpairs_x1":$all1,""" +
       s""""t_x1":$t1,"n_x10":$n10h,"cand_x10":$c10,""" +
       s""""allpairs_x10":$all10,"t_x10":$t10,"ratio":${t10 / t1},""" +
       s""""t_indexed_x1":$ti1,"t_indexed_x10":$ti10,""" +
       s""""speedup_x1":${t1 / ti1},"speedup_x10":${t10 / ti10},""" +
+      s""""audio_t_x1":$ta1,"audio_t_x10":$ta10,""" +
+      s""""audio_t_indexed_x1":$tai1,"audio_t_indexed_x10":$tai10,""" +
+      s""""audio_speedup_x1":${ta1 / tai1},"audio_speedup_x10":${ta10 / tai10},""" +
       s""""audio_n_x1":$na1,"audio_cand_x1":$a1,""" +
       s""""audio_n_x10":$na10,"audio_cand_x10":$a10}""")
   }
