@@ -286,6 +286,13 @@ case class KmvMergeAgg(child: Expression, k: Int = 1024, spaceBits: Int = 64,
       val arr = v.asInstanceOf[ArrayData]
       var i = 0
       while (i < arr.numElements()) {
+        // getLong on a null slot reads an undefined value (0) — a
+        // hand-built array<bigint> with null elements would silently
+        // admit a bogus minimum and skew the estimate; this family
+        // refuses malformed state LOUDLY (review-found, r13 ADVICE)
+        require(!arr.isNullAt(i),
+          s"$prettyName: KMV state array holds a NULL element at $i — " +
+            "malformed state; refusing to fold it into the estimate")
         Kmv.admit(buf, k, arr.getLong(i))
         i += 1
       }

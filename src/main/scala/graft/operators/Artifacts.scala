@@ -116,6 +116,20 @@ private[graft] object Artifacts {
         .foldLeft(0)(math.max)
     }.getOrElse(0)
 
+  /** TOTAL parquet file count across `parent`'s `<prefix>N` partition
+    * dirs — the whole-tree growth witness for append proofs where the
+    * per-dir MAX is blind: an append that lands only in previously
+    * EMPTY dirs leaves the max flat while the tree genuinely grew
+    * (review-found, r13 ADVICE).
+    */
+  private[graft] def totalSegmentsIn(parent: String, prefix: String): Int =
+    Option(new File(parent).listFiles()).map { entries =>
+      entries.filter(d => d.isDirectory && d.getName.startsWith(prefix))
+        .map(d => Option(d.listFiles())
+          .map(_.count(_.getName.endsWith(".parquet"))).getOrElse(0))
+        .sum
+    }.getOrElse(0)
+
   /** Parse a small `key=value`-per-line marker file, None when missing
     * or torn (callers turn that into their actionable refusal) — the
     * shared core of the in-tree `_meta` descriptors (r13).

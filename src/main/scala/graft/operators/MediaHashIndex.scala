@@ -247,6 +247,13 @@ object MediaHashIndex {
   private[graft] def segments(root: String): Int =
     Artifacts.maxSegmentsIn(hashesDir(root), "shard=")
 
+  /** TOTAL parquet file count across shard dirs — the whole-tree growth
+    * witness [[ensure]]'s append proof uses (the per-dir max is blind
+    * to appends landing only in previously empty dirs).
+    */
+  private def totalFiles(root: String): Int =
+    Artifacts.totalSegmentsIn(hashesDir(root), "shard=")
+
   /** The serving residue gate (the family-wide r12 rule): a crashed
     * [[compactShards]] swap leaves `shard=N` missing with
     * `shard=N.old-<uuid>` present, and partition discovery would parse
@@ -322,22 +329,32 @@ object MediaHashIndex {
       // must still build a servable empty artifact, never strand
       // prepare behind a proof about work that did not exist; the
       // guards only evaluate on the failure path (|| short-circuits)
+      // and each decode pass is paid AT MOST ONCE (lazy + cached),
+      // never re-run per trip (review-found, r13 ADVICE)
+      lazy val prefixEmpty = modality.hashesOf(prefix).isEmpty
+      lazy val restEmpty = modality.hashesOf(rest).isEmpty
       val segsAfterBuild = segments(tmp)
-      require(segsAfterBuild == 1 || modality.hashesOf(prefix).isEmpty,
+      require(segsAfterBuild == 1 || prefixEmpty,
         s"media hash prefix build left $segsAfterBuild segments, expected 1")
+      val filesAfterBuild = totalFiles(tmp)
       appendTo(tmp, modality.hashesOf(rest), modality.family)
-      require(segments(tmp) == segsAfterBuild + 1 ||
-          modality.hashesOf(rest).isEmpty,
-        "media hash append did not add a segment — the maintenance path " +
+      // the append lands one file PER TOUCHED SHARD DIR, and the slice
+      // may hash entirely into dirs the prefix build left EMPTY — so
+      // the structural proof is that the TREE's file count grew, not
+      // that the per-dir MAX incremented (the max stays flat when every
+      // touched dir got its first file, spuriously failing a correct
+      // artifact) (review-found, r13 ADVICE)
+      require(totalFiles(tmp) > filesAfterBuild || restEmpty,
+        "media hash append added no files — the maintenance path " +
           "this artifact exists to prove was not exercised")
       // BOTH compaction entries run, so the indexed twins stand behind
       // each: shard-local first (the streaming maintainer's per-batch
       // path), then the global collapse
       compactShards(tmp, spark, modality.family)
-      require(segments(tmp) == 1 || modality.hashesOf(docs).isEmpty,
+      require(segments(tmp) == 1 || (prefixEmpty && restEmpty),
         s"media hash shard-local compact left ${segments(tmp)} segments, expected 1")
       compact(tmp, spark, modality.family)
-      require(segments(tmp) == 1 || modality.hashesOf(docs).isEmpty,
+      require(segments(tmp) == 1 || (prefixEmpty && restEmpty),
         s"media hash compact left ${segments(tmp)} segments, expected 1")
     }
 

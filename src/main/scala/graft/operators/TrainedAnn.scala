@@ -69,7 +69,11 @@ object TrainedAnn {
       // boundaries into each other — structurally garbage codebooks
       // with no error (review-found, r13)
       val subs = params("subs")
-      require(rows.nonEmpty && rows.size % subs == 0,
+      require(rows.nonEmpty,
+        "stored PQ codebook is EMPTY — the fit corpus was empty or " +
+          "degenerate; refusing to serve from a model with no codewords " +
+          "(rebuild over real embeddings)")
+      require(rows.size % subs == 0,
         s"stored PQ codebook holds ${rows.size} rows, not a multiple " +
           s"of subs=$subs — torn or cross-family model; rebuild it")
       rows.grouped(rows.size / subs).toIndexedSeq
@@ -241,6 +245,15 @@ object TrainedAnn {
     */
   private[graft] def pqInertia(embq: DataFrame,
       cents: IndexedSeq[IndexedSeq[Seq[Long]]]): (Long, Long) = {
+    // an empty/degenerate fit (empty embeddings corpus) yields ZERO
+    // codewords — there is no inertia to measure, and `cents.head.head`
+    // would die with a raw NoSuchElementException at prepare time
+    // instead of the family's degenerate-dataset escape: record a
+    // (0, 0) fit, which [[driftRatioOf]] already treats as the
+    // infinite-drift-on-nonzero-current rule and [[Model.pqCents]]
+    // refuses to SERVE with an actionable message
+    // (review-found, r13 ADVICE)
+    if (cents.isEmpty || cents.head.isEmpty) return (0L, 0L)
     val subs = cents.length
     val subDim = cents.head.head.length
     val coded = embq.select(col("xq"), VectorOps.pqCodesQ(cents).as("codes"))

@@ -40,8 +40,18 @@ import graft.functions.{KmvAgg, KmvMergeAgg}
   */
 object KmvRoute extends Rule[LogicalPlan] {
 
-  /** raw events root path (fully qualified) → (rollup path, sketch k). */
-  private val routes = TrieMap[String, (String, Int)]()
+  /** raw events root path (fully qualified) → (rollup path, sketch k,
+    * BUILD TIMEZONE). The zone rides along because the rollup's day
+    * grain is `to_date(ts)` — a timezone-DEPENDENT cast: states built
+    * under zone X answer day-bucket questions asked under zone X only.
+    * A session with a different `spark.sql.session.timeZone` must scan
+    * raw (correct, conservative), never silently read build-zone
+    * buckets (review-found, r13 ADVICE).
+    */
+  private val routes = TrieMap[String, (String, Int, String)]()
+
+  private def sessionZone(spark: SparkSession): String =
+    spark.sessionState.conf.sessionLocalTimeZone
 
   private def canon(spark: SparkSession, path: String): String = {
     val hp = new org.apache.hadoop.fs.Path(path)
@@ -78,13 +88,24 @@ object KmvRoute extends Rule[LogicalPlan] {
     val deltaHashes = newEvents.select(
       to_date(col("ts")).as("day"),
       graft.operators.TextOps.h60(col("user_id").cast("string")).as("h"))
-    val days = deltaHashes.select("day").distinct()
-      .collect().map(_.getDate(0)).toSeq
-    if (days.nonEmpty) {
+    val dayRows = deltaHashes.select("day").distinct().collect()
+    val days = dayRows.filterNot(_.isNullAt(0)).map(_.getDate(0)).toSeq
+    // a null ts groups as day=null and dynamic partition overwrite
+    // rewrites __HIVE_DEFAULT_PARTITION__ — so the EXISTING null-day
+    // state must fold into the batch like any other touched day;
+    // `isin(days)` alone would drop it (null never satisfies isin) and
+    // the overwrite would lose previously-folded hashes
+    // (review-found, r13 ADVICE)
+    val hasNullDay = dayRows.exists(_.isNullAt(0))
+    val touched =
+      if (days.isEmpty) col("day").isNull
+      else if (hasNullDay) col("day").isin(days: _*) || col("day").isNull
+      else col("day").isin(days: _*)
+    if (dayRows.nonEmpty) {
       // localCheckpoint breaks lineage to the files being overwritten;
       // the affected slice is #batch-days rows — KBs
       val existing = spark.read.parquet(rollupPath)
-        .filter(col("day").isin(days: _*))
+        .filter(touched)
         .select(col("day"), explode(col("state")).as("h"))
         .localCheckpoint()
       existing.unionByName(deltaHashes)
@@ -100,7 +121,8 @@ object KmvRoute extends Rule[LogicalPlan] {
 
   def register(spark: SparkSession, rawPath: String, rollupPath: String,
       k: Int): Unit =
-    routes.put(canon(spark, rawPath), (rollupPath, k)): Unit
+    routes.put(canon(spark, rawPath),
+      (rollupPath, k, sessionZone(spark))): Unit
 
   def deregister(spark: SparkSession, rawPath: String): Unit =
     routes.remove(canon(spark, rawPath)): Unit
@@ -113,23 +135,35 @@ object KmvRoute extends Rule[LogicalPlan] {
     */
   def ensureArtifacts(spark: SparkSession, dir: String,
       k: Int = graft.operators.EventOps.kmvOracleK): String = {
+    // the BUILD ZONE is part of the artifact identity: to_date(ts) is a
+    // timezone-dependent cast, so each session zone gets its own rollup
+    // root (sanitized into the path key) and the exact zone string is
+    // pinned by an in-tree _meta the completeness predicate checks —
+    // a sanitize-collision or hand-moved tree still refuses rather
+    // than serving another zone's day buckets (review-found, r13 ADVICE)
+    val zone = sessionZone(spark)
+    val zoneKey = zone.replaceAll("[^A-Za-z0-9._-]", "_")
     val base = graft.operators.Artifacts.datasetRoot(dir, "events",
-      s"kmv_route_v1_k$k")
+      s"kmv_route_v1_k${k}_z$zoneKey")
     // the shared two-JVM-safe tmp-build + atomic-rename publish (the
     // bare _SUCCESS-check + overwrite it replaced could interleave two
     // processes' writes into one torn rollup — review-found, r13)
     val roll = s"$base/rollup"
     // `existed` mirrors ensureRoot's EXACT servability predicate (root
-    // marker + rollup marker) — a weaker check would skip the
-    // invalidate when ensureRoot rebuilds anyway, stranding a stale
+    // marker + rollup marker + zone marker) — a weaker check would skip
+    // the invalidate when ensureRoot rebuilds anyway, stranding a stale
     // cached relation over deleted files (review-found, r13)
     def complete(p: String): Boolean =
-      new java.io.File(s"$p/rollup/_SUCCESS").exists()
+      new java.io.File(s"$p/rollup/_SUCCESS").exists() &&
+        graft.operators.Artifacts.parseKvFile(new java.io.File(s"$p/_meta"))
+          .exists(_.get("zone").contains(zone))
     val existed =
       new java.io.File(s"$base/_SUCCESS").exists() && complete(base)
     graft.operators.Artifacts.ensureRoot(base)(complete) { tmp =>
       rollupOf(graft.Tables.events(spark, dir), k).coalesce(1)
         .write.partitionBy("day").parquet(s"$tmp/rollup")
+      java.nio.file.Files.write(new java.io.File(s"$tmp/_meta").toPath,
+        s"zone=$zone\n".getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
     }
     this.synchronized {
       // drop the cached relation only when this call (re)built — a
@@ -181,7 +215,7 @@ object KmvRoute extends Rule[LogicalPlan] {
       rel
     }.map(_.newInstance())
 
-  private def routeFor(lr: LogicalRelation): Option[(String, Int)] =
+  private def routeFor(lr: LogicalRelation): Option[(String, Int, String)] =
     lr.relation match {
       case h: HadoopFsRelation if h.location.rootPaths.size == 1 =>
         routes.get(h.location.rootPaths.head.toString)
@@ -198,7 +232,7 @@ object KmvRoute extends Rule[LogicalPlan] {
     */
   private def rewrite(agg: Aggregate): Option[LogicalPlan] = agg.child match {
     case lr: LogicalRelation =>
-      routeFor(lr).flatMap { case (p, k) => buildRewrite(agg, lr, p, k) }
+      routeFor(lr).flatMap { case (p, k, z) => buildRewrite(agg, lr, p, k, z) }
     case Project(projList, lr: LogicalRelation) =>
       val aliasOf = projList.collect {
         case al: Alias => al.toAttribute.exprId -> al.child
@@ -213,12 +247,16 @@ object KmvRoute extends Rule[LogicalPlan] {
           case other => Alias(other, ne.name)(exprId = ne.exprId)
         }),
         lr)
-      routeFor(lr).flatMap { case (p, k) => buildRewrite(inlined, lr, p, k) }
+      routeFor(lr).flatMap { case (p, k, z) => buildRewrite(inlined, lr, p, k, z) }
     case _ => None
   }
 
   private def buildRewrite(agg: Aggregate, lr: LogicalRelation,
-      rollupPath: String, k: Int): Option[LogicalPlan] = {
+      rollupPath: String, k: Int, buildZone: String): Option[LogicalPlan] = {
+    // decline for a session whose zone differs from the rollup's build
+    // zone: its to_date(ts) grain is a DIFFERENT grouping than the
+    // stored day buckets — the raw scan is the correct answer there
+    if (conf.sessionLocalTimeZone != buildZone) return None
     val rollRel = rollupRelationFor(rollupPath).getOrElse(return None)
     val roll: Map[String, Attribute] = rollRel.output.map(a => a.name -> a).toMap
     if (!Seq("day", "state").forall(roll.contains)) return None
@@ -234,7 +272,8 @@ object KmvRoute extends Rule[LogicalPlan] {
     // or timestamp_micros(ts div 1000) (nanos-as-long files)
     def isNormalizedTs(e: Expression): Boolean = e match {
       case a: AttributeReference => isRawAttr(a, "ts")
-      case c: Cast if c.dataType == TimestampType => isNormalizedTs(c.child)
+      case c: Cast if c.dataType == TimestampType &&
+          c.timeZoneId.forall(_ == buildZone) => isNormalizedTs(c.child)
       case m: MicrosToTimestamp => m.child match {
         case d: IntegralDivide =>
           isRawAttr(d.left, "ts") && (d.right match {
@@ -249,10 +288,14 @@ object KmvRoute extends Rule[LogicalPlan] {
 
     // the rollup's day grain: to_date(ts) — Cast to DateType after the
     // optimizer replaced ParseToDate (groupings may still carry an alias
-    // when this rule runs before RemoveRedundantAliases settles)
+    // when this rule runs before RemoveRedundantAliases settles). The
+    // cast's OWN timeZoneId must be the build zone too — a resolver-
+    // stamped foreign zone buckets days differently even when the
+    // session zone matches (review-found, r13 ADVICE)
     def isDayOfTs(e: Expression): Boolean = e match {
       case al: Alias => isDayOfTs(al.child)
-      case c: Cast if c.dataType == DateType => isNormalizedTs(c.child)
+      case c: Cast if c.dataType == DateType &&
+          c.timeZoneId.forall(_ == buildZone) => isNormalizedTs(c.child)
       case _ => false
     }
 

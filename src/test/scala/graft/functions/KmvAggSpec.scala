@@ -46,6 +46,24 @@ class KmvAggSpec extends AnyFunSuite {
     assert(est.distinct.size == 1, s"partitioning changed the estimate: $est")
   }
 
+  test("KmvMergeAgg refuses a NULL element in a state array LOUDLY — " +
+      "getLong on a null slot would silently admit an undefined minimum " +
+      "and skew the estimate") {
+    val df = Seq(1).toDF("i")
+      .select(array(lit(7L), lit(null).cast("long")).as("state"))
+    val e = intercept[Exception] {
+      df.agg(VectorFunctions.kmvMergeExact(col("state"), 64)).head(): Unit
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else s"${t.getMessage} ${msgs(t.getCause)}"
+    assert(msgs(e).contains("NULL element"), msgs(e))
+    // and a well-formed state still folds fine through the same shape
+    val ok = Seq(1).toDF("i")
+      .select(array(lit(7L), lit(9L)).as("state"))
+      .agg(VectorFunctions.kmvMergeExact(col("state"), 64)).as[Long].head()
+    assert(ok == 2L)
+  }
+
   test("multiplicity-invariant: heavy duplication does not move the estimate") {
     val distinct = (1 to 30000).map(i => s"item-$i")
     val dupes = distinct ++ (1 to 3000).flatMap(i => Seq.fill(10)(s"item-$i"))

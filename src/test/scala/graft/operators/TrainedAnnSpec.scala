@@ -95,6 +95,27 @@ class TrainedAnnSpec extends AnyFunSuite {
     assert(staleRecall >= 0.4, f"stale-codebook recall fell to $staleRecall%.2f")
   }
 
+  test("a PQ fit over an EMPTY corpus publishes a degenerate model that " +
+      "REFUSES to serve with an actionable message — not a raw " +
+      "NoSuchElementException at prepare time") {
+    val root = java.nio.file.Files.createTempDirectory("graft-tann-empty").toString
+    val empty = VectorOps.quantizedFor(spark, dir).filter(col("vec_id") < 0)
+    // prepare-time path: fit + inertia over zero rows must complete
+    TrainedAnn.buildPqInto(root, empty, subs = 8, codes = 8, iters = 2,
+      "tann-empty-pq")
+    val m = TrainedAnn.requireModel(root, "pq_exactsig")
+    assert(m.rows.isEmpty && m.nFit == 0L && m.inertiaFit == 0L)
+    // serving REFUSES with the actionable empty-codebook message
+    val e = intercept[IllegalArgumentException] { m.pqCents }
+    assert(e.getMessage.contains("EMPTY"), e.getMessage)
+    // ... and so does the drift probe over a grown corpus (the gate runs
+    // BEFORE any inertia arithmetic could read a phantom codeword)
+    val e2 = intercept[IllegalArgumentException] {
+      TrainedAnn.pqDriftRatio(root, VectorOps.quantizedFor(spark, dir))
+    }
+    assert(e2.getMessage.contains("EMPTY"), e2.getMessage)
+  }
+
   test("the drift rule: in-distribution growth does NOT refit; a " +
       "distribution shift measures past the bound, refits, and the new " +
       "fit's self-ratio returns to 1") {

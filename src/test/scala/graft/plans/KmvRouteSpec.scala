@@ -18,6 +18,16 @@ class KmvRouteSpec extends AnyFunSuite {
   private def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
     df.collect().toSeq.map(_.toString)
 
+  private def scansRollup(df: org.apache.spark.sql.DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.exists(_.toString.contains("kmv_route"))
+          case _ => false
+        }
+    }.exists(identity)
+
   test("routed q_distinct_approx reads the rollup (engagement required " +
       "in-query) and equals the raw recompute bit-for-bit") {
     val routed = graft.operators.EventOps.distinctApprox(spark, dir)
@@ -108,15 +118,6 @@ class KmvRouteSpec extends AnyFunSuite {
   test("non-matching shapes stay raw: a different hash, a different " +
       "grain, and extra measures are never routed") {
     KmvRoute.ensureArtifacts(spark, dir): Unit
-    def scansRollup(df: org.apache.spark.sql.DataFrame): Boolean =
-      df.queryExecution.optimizedPlan.collect {
-        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-          lr.relation match {
-            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-              h.location.rootPaths.exists(_.toString.contains("kmv_route"))
-            case _ => false
-          }
-      }.exists(identity)
     val ev = graft.Tables.events(spark, dir)
     // xxhash64 instead of h60 — different minima, must stay raw
     assert(!scansRollup(ev.groupBy(to_date(col("ts")).as("day"))
@@ -131,5 +132,59 @@ class KmvRouteSpec extends AnyFunSuite {
       .agg(graft.functions.VectorFunctions.kmvCountDistinctExact(
         graft.operators.TextOps.h60(col("user_id").cast("string")), 64).as("u"),
         count(lit(1)).as("n"))))
+  }
+
+  test("a session with a DIFFERENT timezone than the rollup's build zone " +
+      "is never routed — its to_date grain is a different grouping than " +
+      "the stored day buckets") {
+    KmvRoute.ensureArtifacts(spark, dir): Unit
+    val zone0 = spark.conf.get("spark.sql.session.timeZone")
+    val other = if (zone0 == "Pacific/Kiritimati") "America/Anchorage"
+                else "Pacific/Kiritimati"
+    // sanity: under the BUILD zone the shape routes
+    assert(scansRollup(graft.Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(graft.functions.VectorFunctions.kmvCountDistinctExact(
+        graft.operators.TextOps.h60(col("user_id").cast("string")), 64)
+        .as("u"))))
+    try {
+      spark.conf.set("spark.sql.session.timeZone", other)
+      val q = graft.Tables.events(spark, dir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(graft.functions.VectorFunctions.kmvCountDistinctExact(
+          graft.operators.TextOps.h60(col("user_id").cast("string")), 64)
+          .as("u"))
+      assert(!scansRollup(q),
+        "a foreign-zone session was routed to build-zone day buckets")
+      assert(q.count() > 0) // the raw scan still answers
+    } finally spark.conf.set("spark.sql.session.timeZone", zone0)
+  }
+
+  test("upsertRollup folds the existing NULL-day state — dynamic " +
+      "overwrite of the null partition must not lose previously-folded " +
+      "hashes") {
+    import spark.implicits._
+    def evFrame(rows: Seq[(Option[String], String)]) =
+      rows.toDF("ts0", "user_id")
+        .select(col("ts0").cast("timestamp").as("ts"), col("user_id"))
+    val base = evFrame(Seq(
+      (Some("2024-01-01 10:00:00"), "a"),
+      (None, "x"), (None, "y")))
+    val delta = evFrame(Seq(
+      (None, "z"), (Some("2024-01-01 11:00:00"), "b")))
+    val roll = java.nio.file.Files.createTempDirectory("graft-kmvnull").toString
+    KmvRoute.rollupOf(base, 64).coalesce(1)
+      .write.mode("overwrite").partitionBy("day").parquet(roll)
+    KmvRoute.upsertRollup(spark, roll, delta, 64)
+    spark.catalog.refreshByPath(roll)
+    def key(df: org.apache.spark.sql.DataFrame): Map[String, Set[Long]] =
+      df.select(col("day").cast("string"), col("state"))
+        .as[(Option[String], Seq[Long])].collect()
+        .map { case (d, s) => d.getOrElse("<null>") -> s.toSet }.toMap
+    val got = key(spark.read.parquet(roll))
+    val want = key(KmvRoute.rollupOf(base.unionByName(delta), 64))
+    assert(got === want)
+    // the null-day state holds ALL THREE null-ts users' hashes
+    assert(got("<null>").size == 3)
   }
 }
