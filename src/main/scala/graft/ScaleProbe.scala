@@ -1068,6 +1068,171 @@ object ScaleProbe {
       allConsistent)
   }
 
+  /** Maintained-TrainedAnn endurance ladder (r14 — the trained-model
+    * family's parity with the five index families): ONE long-running
+    * [[graft.streaming.VectorStream.trainedIvfMaintainerStream]]
+    * maintainer fed 26 embedding micro-batches, each SLICE-probed for
+    * drift against the stored codebook
+    * ([[graft.operators.TrainedAnn.maintainIvfBatch]]); the last third
+    * of the incoming traffic is a PLANTED 3x distribution shift, so at
+    * least one refit fires mid-ladder. The trained family's claims
+    * under continuous ingest:
+    *  (a) in-distribution batches never refit (probe-only, one
+    *      map-only slice pass — latency flat across the ladder);
+    *  (b) the planted shift fires the refit ON ITS OWN BATCH (the
+    *      slice-probe's point: the signal is not diluted by the
+    *      settled corpus);
+    *  (c) after EACH refit the published model re-pins bit-for-bit
+    *      against the deterministic full fit over everything folded so
+    *      far (the convergence claim that keeps the exactsig oracles
+    *      green), and nProbe=2 serving recall over the grown corpus
+    *      holds the family's 0.4 floor;
+    *  (d) the serving search sampled every 5 batches — grows only with
+    *      the corpus's in-list populations (the fixed-k IVF contract),
+    *      never steps with segment count (there are no segments: refits
+    *      REPLACE the model wholesale, which is the compaction analog
+    *      here — the ladder's detector keys on the model GENERATION the
+    *      artifact now records).
+    */
+  private def trainedAnnEnduranceProbe(spark: SparkSession,
+      base: String): Seq[String] = {
+    import graft.operators.{TrainedAnn, VectorOps}
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    val (k, iters) = (8, 3)
+    val n = 4200L
+    val shiftStart = n * 2 / 3
+    // corpus with a PLANTED distribution shift: UNIT-NORMALIZED vectors
+    // (the exact-int64 family's scale contract — quantizeExpr is
+    // trunc(x·1e7), and the inertia SUM over thousands of raw-gaussian
+    // vectors would overflow int64) with the last third re-embedded at
+    // 2x scale. The full file is on disk because the recall re-pin's
+    // payload joins read the dataset by vec_id.
+    val d = s"$base/tann_shift"
+    val fs = new org.apache.hadoop.fs.Path(d)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet/_SUCCESS")))
+      spark.range(0, n).map { i =>
+        val v = synthVec(i)
+        val nrm = math.sqrt(v.embedding.map(x => x.toDouble * x).sum).toFloat
+        val unit = v.embedding.map(x => if (nrm == 0) x else x / nrm)
+        val emb = if (i >= shiftStart) unit.map(_ * 2.0f) else unit
+        (i, emb.toSeq, v.label)
+      }.toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val all = spark.read.parquet(s"$d/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().sortBy(_._1)
+    val (baseRows, incoming) = all.splitAt(all.length / 3)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-tann-endurance").toString
+    TrainedAnn.buildIvfInto(root, baseRows.toSeq.toDF("vec_id", "embedding"),
+      k, iters, "tann-ladder-fit0")
+
+    var folded = 0
+    def accumulated() = (baseRows ++ incoming.take(folded)).toSeq
+      .toDF("vec_id", "embedding")
+    def cents() = TrainedAnn.requireModel(root, "ivf_exactsig").ivfCents
+    def assignedUnder(c: IndexedSeq[Seq[Long]]) =
+      VectorOps.assignQForTest(VectorOps.quantized(accumulated()), c)
+        .select(col("vec_id"), col("cluster").cast("long").as("cluster"))
+    def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().groupBy(_.getAs[Long]("qid"))
+        .map { case (q, rows) => q -> rows.map(_.getAs[Long]("nid")).toSet }
+    // nProbe=2 recall vs the all-lists exact truth over the corpus
+    // folded so far — the serving-quality re-pin after each refit
+    def recallNow(): Double = {
+      val c = cents()
+      val a = assignedUnder(c)
+      val truth = topSets(VectorOps.annIvfExactSigWith(spark, d, c, a,
+        nProbe = k, topK = 10))
+      val got = topSets(VectorOps.annIvfExactSigWith(spark, d, c, a,
+        nProbe = 2, topK = 10))
+      val rs = truth.map { case (q, t) =>
+        got.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size }
+      if (rs.isEmpty) 1.0 else rs.sum / rs.size
+    }
+    def serveSample(): Double = {
+      val c = cents()
+      val t0 = System.nanoTime()
+      VectorOps.annIvfExactSigWith(spark, d, c, assignedUnder(c),
+        nProbe = 2, topK = 10).count(): Unit
+      (System.nanoTime() - t0) / 1e9
+    }
+    // refit ≡ deterministic full fit over everything folded so far —
+    // the bit-for-bit convergence claim behind the exactsig oracles
+    def modelConvergent(): Boolean =
+      cents() == VectorOps.kmeansFitOver(accumulated(), k, iters,
+        s"tann-ladder-repin-$folded")._1
+
+    val maintained = scala.collection.mutable
+      .ArrayBuffer.empty[(Long, Double, Boolean)]
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val stream = mem.toDS
+      .select(col("_1").as("vec_id"), col("_2").as("embedding"))
+    val q = graft.streaming.VectorStream.trainedIvfMaintainerStream(
+      stream, root, () => accumulated(), k, iters, "tann-ladder",
+      (bid, ratio, refit) => maintained += ((bid, ratio, refit))).start()
+    val serveLat = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val recalls = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val per = math.max(incoming.length / 26, 1)
+    val slices = incoming.grouped(per).toSeq.map(slice => () => {
+      // fold BEFORE the batch runs: a refit fired inside this batch
+      // must fit over a corpus that includes the batch itself
+      folded += slice.length
+      mem.addData(slice.toSeq: _*)
+      q.processAllAvailable()
+    })
+    serveSample(): Unit // warmup outside the samples
+    // the model has no segment dirs — refits REPLACE it wholesale, so
+    // the ladder's "some dir's count fell" compaction detector keys on
+    // the recorded model GENERATION (monotone per refit), encoded
+    // descending so a bump reads as a decrease
+    def genGauge(): Map[String, Int] = Map("model" ->
+      (Int.MaxValue - TrainedAnn.loadModel(root).map(_.gen).getOrElse(0L).toInt))
+    val (probeLat, refitLat, _, refits, convergent) =
+      try runLadder(slices, genGauge _, () => 0,
+        () => { val r = recallNow(); recalls += r
+          modelConvergent() && r >= 0.4 },
+        () => serveLat += serveSample(): Unit)
+      finally q.stop()
+    val shiftBatch = maintained.toSeq
+      .find { case (_, _, refit) => refit }.map(_._1).getOrElse(-1L)
+    val early = median(probeLat.take(4))
+    val late = median(probeLat.takeRight(4))
+    val rMed = if (refitLat.isEmpty) 0.0 else median(refitLat)
+    val sEarly = median(serveLat.take(2).toSeq)
+    val sLate = median(serveLat.takeRight(2).toSeq)
+    val inDistMax = maintained.toSeq.takeWhile(!_._3).map(_._2)
+      .foldLeft(0.0)(math.max)
+    val shiftRatio = maintained.toSeq.find(_._3).map(_._2).getOrElse(0.0)
+    println(f"[scaleprobe] trainedann_endurance: " +
+      f"batches=${probeLat.size + refits} " +
+      f"probe early=$early%5.2fs late=$late%5.2fs ratio=${late / early}%4.2f " +
+      f"refits=$refits (refit-batch median $rMed%5.2fs, first at batch " +
+      f"$shiftBatch) in-dist drift<=$inDistMax%.3f shift drift=$shiftRatio%.1f " +
+      f"convergent=$convergent recalls=${recalls.map(r => f"$r%.2f").mkString(",")} " +
+      f"serving early=$sEarly%5.2fs late=$sLate%5.2fs ratio=${sLate / sEarly}%4.2f")
+    require(refits >= 1, "the planted shift never fired a refit")
+    require(maintained.toSeq.take(8).forall(!_._3),
+      "an in-distribution batch fired a spurious refit")
+    require(inDistMax <= TrainedAnn.refitBound,
+      f"in-distribution drift $inDistMax%.3f crossed the refit bound")
+    require(convergent,
+      "a refit diverged from the deterministic full fit, or recall fell " +
+        "below the 0.4 floor")
+    Seq(s""""trainedann_endurance":{"probe_early":$early,"probe_late":$late,""" +
+      s""""ratio":${late / early},"refits":$refits,""" +
+      s""""refit_batch_median":$rMed,"first_refit_batch":$shiftBatch,""" +
+      s""""in_dist_drift_max":$inDistMax,"shift_drift":$shiftRatio,""" +
+      s""""recall_min":${if (recalls.isEmpty) 1.0 else recalls.min},""" +
+      s""""serve_early":$sEarly,"serve_late":$sLate,""" +
+      s""""convergent":$convergent}""")
+  }
+
   /** Maintained-VectorIndex endurance ladder (r11, the RocksDB-endurance
     * analog for the vector artifact): ONE long-running
     * [[graft.streaming.VectorStream.appendStream]] maintainer fed
@@ -1738,6 +1903,11 @@ object ScaleProbe {
     if (args.sameElements(Array("--pq-exactsig"))) {
       val rows = pqExactSigProbe(spark, base, n1)
       println(s"""{"metric":"scaleprobe_pq_exactsig",${rows.mkString(",")}}""")
+      spark.stop(); return
+    }
+    if (args.sameElements(Array("--trainedann-endurance"))) {
+      val rows = trainedAnnEnduranceProbe(spark, base)
+      println(s"""{"metric":"scaleprobe_trainedann_endurance",${rows.mkString(",")}}""")
       spark.stop(); return
     }
     if (args.sameElements(Array("--vindex-endurance"))) {

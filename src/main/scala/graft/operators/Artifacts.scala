@@ -116,6 +116,18 @@ private[graft] object Artifacts {
         .foldLeft(0)(math.max)
     }.getOrElse(0)
 
+  /** MD5 hex of a canonical model rendering — the ONE model-fingerprint
+    * recipe serving artifacts record in their `_meta` (r14): an
+    * artifact whose stored fingerprint differs from the codebook the
+    * current code would assign with must refuse to serve or append
+    * (regenerated codebooks CASCADE — stale codes under a new model
+    * are unreachable garbage).
+    */
+  private[graft] def modelFingerprint(canonical: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(canonical.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+
   /** TOTAL parquet file count across `parent`'s `<prefix>N` partition
     * dirs — the whole-tree growth witness for append proofs where the
     * per-dir MAX is blind: an append that lands only in previously

@@ -59,7 +59,8 @@ object TrainedAnn {
     * against.
     */
   final case class Model(rows: IndexedSeq[Seq[Long]], family: String,
-      params: Map[String, Int], nFit: Long, inertiaFit: Long) {
+      params: Map[String, Int], nFit: Long, inertiaFit: Long,
+      gen: Long = 0L) {
     def ivfCents: IndexedSeq[Seq[Long]] = rows
     def pqCents: IndexedSeq[IndexedSeq[Seq[Long]]] = {
       // group by the ACTUAL per-subspace codeword count, not the
@@ -83,13 +84,18 @@ object TrainedAnn {
   private def writeModel(root: String, m: Model): Unit = {
     new File(root).mkdirs()
     recover(root)
+    // the model GENERATION (r14): every (re)fit publishes gen+1 of
+    // whatever it replaces — the version downstream serving artifacts
+    // and the endurance ladder key refit-cascade detection on (a
+    // production model registry's version counter)
+    val gen = loadModel(root).map(_.gen + 1).getOrElse(0L)
     val stage = new File(s"${modelDir(root)}.tmp-${java.util.UUID.randomUUID()}")
     stage.mkdirs()
     val body = m.rows.map(_.mkString(",")).mkString("\n") + "\n"
     java.nio.file.Files.write(new File(stage, "codebook").toPath,
       body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val meta = (Seq(s"family=${m.family}", s"n_fit=${m.nFit}",
-      s"inertia_fit=${m.inertiaFit}") ++
+      s"inertia_fit=${m.inertiaFit}", s"gen=$gen") ++
       m.params.toSeq.sorted.map { case (k, v) => s"$k=$v" })
       .mkString("", "\n", "\n")
     java.nio.file.Files.write(new File(stage, "_meta").toPath,
@@ -115,9 +121,10 @@ object TrainedAnn {
           .linesIterator.filter(_.nonEmpty)
           .map(_.split(',').map(_.toLong).toSeq).toIndexedSeq
         Model(rows, kv("family"),
-          (kv - "family" - "n_fit" - "inertia_fit")
+          (kv - "family" - "n_fit" - "inertia_fit" - "gen")
             .map { case (k, v) => k -> v.toInt },
-          kv("n_fit").toLong, kv("inertia_fit").toLong)
+          kv("n_fit").toLong, kv("inertia_fit").toLong,
+          kv.getOrElse("gen", "0").toLong)
       }.toOption
     }
   }
@@ -197,6 +204,26 @@ object TrainedAnn {
     recover(root)
     val ratio = ivfDriftRatio(root, emb)
     if (ratio > bound) { buildIvfInto(root, emb, k, iters, gen); (ratio, true) }
+    else (ratio, false)
+  }
+
+  /** The SLICE-PROBING maintenance entry a continuous ingester runs per
+    * micro-batch (r14 — what [[graft.streaming.VectorStream]]'s trained
+    * maintainer and the endurance ladder call): the drift probe runs on
+    * the INCOMING BATCH only — slice-sized, the cost a per-batch hook
+    * can afford, and statistically the right signal (a shifted incoming
+    * distribution shows immediately instead of being diluted by the
+    * settled corpus) — while a triggered refit runs over the FULL
+    * corpus-so-far (`full`, by-name: only built when the refit fires).
+    * [[maintainIvf]] stays the full-corpus probe a periodic auditor
+    * runs.
+    */
+  def maintainIvfBatch(root: String, batch: DataFrame, full: => DataFrame,
+      k: Int, iters: Int, gen: String,
+      bound: Double = refitBound): (Double, Boolean) = {
+    recover(root)
+    val ratio = ivfDriftRatio(root, batch)
+    if (ratio > bound) { buildIvfInto(root, full, k, iters, gen); (ratio, true) }
     else (ratio, false)
   }
 
@@ -287,6 +314,19 @@ object TrainedAnn {
     val ratio = pqDriftRatio(root, embq)
     if (ratio > bound) {
       buildPqInto(root, embq, subs, codes, iters, gen); (ratio, true)
+    } else (ratio, false)
+  }
+
+  /** [[maintainIvfBatch]] at the PQ family — slice-sized probe,
+    * full-corpus refit past the bound.
+    */
+  def maintainPqBatch(root: String, batchQ: DataFrame, fullQ: => DataFrame,
+      subs: Int, codes: Int, iters: Int, gen: String,
+      bound: Double = refitBound): (Double, Boolean) = {
+    recover(root)
+    val ratio = pqDriftRatio(root, batchQ)
+    if (ratio > bound) {
+      buildPqInto(root, fullQ, subs, codes, iters, gen); (ratio, true)
     } else (ratio, false)
   }
 

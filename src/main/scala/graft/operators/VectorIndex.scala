@@ -72,6 +72,39 @@ object VectorIndex {
   private[graft] val coderFloat = "float"
   private[graft] val coderExactSig = "exactsig4"
 
+  /** The MODEL FINGERPRINT of a coder's code space (r14) — the in-tree
+    * `_meta` records it so a regenerated codebook CASCADES: serving or
+    * appending with hyperplanes that differ from the ones that coded
+    * the stored entries would silently match nothing (drifted code
+    * spaces), so maintenance refuses on mismatch and the ensure
+    * completeness predicate rebuilds. Float's model is the literal
+    * hyperplane table ([[VectorOps.lshPlanesFingerprint]] — any change
+    * to seed, count, or generator moves it); exactsig's code space is
+    * fully defined by the md5 chain, version-pinned here.
+    */
+  private[graft] def modelFpFor(coder: String): String = coder match {
+    case `coderFloat` => VectorOps.lshPlanesFingerprint
+    case `coderExactSig` => "md5sig4-v1"
+    case other => throw new IllegalArgumentException(
+      s"unknown vector index coder '$other'")
+  }
+
+  private[graft] def modelOf(root: String): Option[String] =
+    Artifacts.parseKvFile(metaFile(root)).flatMap(_.get("model"))
+
+  /** The model gate every maintenance/serving entry runs: the artifact
+    * must carry the fingerprint of the codebook THIS code would use —
+    * an entry coded under different hyperplanes is unreachable garbage.
+    */
+  private def requireModel(root: String, coder: String): Unit = {
+    val want = modelFpFor(coder)
+    require(modelOf(root).contains(want),
+      s"vector index at $root was coded under model " +
+        s"'${modelOf(root).getOrElse("<none>")}', current '$coder' code " +
+        s"space is '$want' — a regenerated codebook must cascade: " +
+        "rebuild the index, never serve or append across code spaces")
+  }
+
   /** (bits, maxBucket, coder) recorded at build time, if a WELL-FORMED
     * marker exists — a torn/corrupt `_meta` (crash mid-write) parses to
     * None, so the gates produce their actionable "rebuild it" refusal
@@ -128,7 +161,8 @@ object VectorIndex {
       .option("compression", "zstd")
       .parquet(path)
     java.nio.file.Files.write(new File(path, "_meta").toPath,
-      s"bits=$bits\nmaxBucket=$maxBucket\ncoder=$coder\n"
+      (s"bits=$bits\nmaxBucket=$maxBucket\ncoder=$coder\n" +
+        s"model=${modelFpFor(coder)}\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
   }
 
@@ -176,6 +210,7 @@ object VectorIndex {
     require(new File(indexDir(root)).exists(),
       s"appendTo on $root with no index/ — build or recover first")
     val (bits, maxBucket, coder) = requireMeta(root)
+    requireModel(root, coder)
     VectorOps.capBuckets(codedEntries(newEmb, bits, coder), maxBucket)
       // bound the append's file count explicitly (the WinnowIndex
       // rationale): one pre-write partition → one file per touched table
@@ -195,6 +230,7 @@ object VectorIndex {
   def compact(root: String, spark: SparkSession): Unit = {
     recover(root)
     val (bits, maxBucket, coder) = requireMeta(root)
+    requireModel(root, coder)
     // a degenerate artifact (empty embeddings) holds no table dirs at
     // all — nothing to collapse, and a parquet read over zero files
     // would fail schema inference rather than no-op
@@ -229,6 +265,7 @@ object VectorIndex {
       maxSegments: Int = 1): Unit = {
     recover(root)
     val (bits, maxBucket, coder) = requireMeta(root)
+    requireModel(root, coder)
     val dirs = Artifacts.overweightDirs(indexDir(root), "t=", maxSegments)
     if (dirs.isEmpty) return
     // ONE job over exactly the overweight dirs (basePath keeps the t
@@ -278,6 +315,7 @@ object VectorIndex {
   private[graft] def load(spark: SparkSession,
       root: String): (DataFrame, Int, String) = {
     val (bits, _, coder) = requireMeta(root)
+    requireModel(root, coder)
     requireNoTableResidue(root)
     // a degenerate artifact (empty embeddings) holds no table dirs —
     // serve the empty set it holds (a parquet read over zero files
@@ -293,11 +331,29 @@ object VectorIndex {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
         bits, coder)
     }
-    val df = spark.read.parquet(indexDir(root))
-      .dropDuplicates("t", "bucket", "nid")
+    val raw = spark.read.parquet(indexDir(root))
+    // a fully-compacted artifact (≤1 file per table dir) holds unique
+    // (t, bucket, nid) rows by construction (compaction dedupes then
+    // re-caps; the ensure chain ends compacted) — the warm-restart load
+    // skips the corpus-sized dedup shuffle; appended-segment states pay
+    // it (r14)
+    val df = (if (segments(root) <= 1) raw
+      else raw.dropDuplicates("t", "bucket", "nid"))
       .select(col("nid").as("corpus_vec"), col("ne").as("corpus_emb"),
         col("nn").as("corpus_nrm"), col("t"), col("bucket"))
     (df, bits, coder)
+  }
+
+  /** [[load]] in the BATCH query path's raw (nid, ne, nn, t, bucket)
+    * schema — what [[VectorOps.cachedLshIndex]] serves the ANN searches
+    * from (r14: the serving table reads from this maintained artifact
+    * instead of re-projecting 16 codes per corpus vector in every JVM).
+    */
+  private[graft] def loadRaw(spark: SparkSession,
+      root: String): (DataFrame, Int, String) = {
+    val (df, bits, coder) = load(spark, root)
+    (df.select(col("corpus_vec").as("nid"), col("corpus_emb").as("ne"),
+      col("corpus_nrm").as("nn"), col("t"), col("bucket")), bits, coder)
   }
 
   /** Per-dataset EXACTSIG artifact root — the code family whose bucket
@@ -339,7 +395,8 @@ object VectorIndex {
   def ensureExactSig(spark: SparkSession, dir: String, bits: Int = 8): String =
     Artifacts.ensureRoot(exactSigPath(dir, bits))(p =>
       new File(s"${indexDir(p)}/_SUCCESS").exists() &&
-        metaOf(p).exists(m => m._1 == bits && m._3 == coderExactSig)) { tmp =>
+        metaOf(p).exists(m => m._1 == bits && m._3 == coderExactSig) &&
+        modelOf(p).contains(modelFpFor(coderExactSig))) { tmp =>
       val emb = graft.Tables.embeddings(spark, dir)
         .select(col("vec_id"), col("embedding"))
       val prefix = emb.filter(col("vec_id") % 3 =!= 0)
@@ -373,6 +430,62 @@ object VectorIndex {
       require(segments(tmp) == 1 || emb.isEmpty,
         s"exactsig compact left ${segments(tmp)} segments, expected 1")
     }
+
+  /** Per-dataset FLOAT-coder artifact root — the PRODUCTION LSH serving
+    * table (r14): the signed-random-projection bucket lists every ANN
+    * search joins against. Until this round they were rebuilt by every
+    * JVM's prepare (16 hyperplane projections per corpus vector + the
+    * two-phase cap shuffle — at 100 TB a full-corpus pass per restart);
+    * now they are built ONCE at ingest through the same maintained
+    * chain as the exactsig family and restart-survive on disk. `bits`
+    * and the cap are both identity (a width change is a different code
+    * space; a cap change is a different survivor rule).
+    */
+  private[graft] def floatPath(dir: String, bits: Int, maxBucket: Int): String =
+    Artifacts.datasetRoot(dir, "embeddings",
+      s"vector_float_v1_b${bits}_c$maxBucket")
+
+  /** Build-if-missing float-coder index through the MAINTAINED chain
+    * (prefix build → slice append → both compaction entries — the
+    * [[ensureExactSig]] twin at the production code family): the served
+    * bucket lists are the product of the append+compact path itself,
+    * and convergence on the full rebuild's survivor set is the
+    * [[compact]] re-cap argument. Code width derives from the corpus
+    * count ([[VectorOps.lshBitsFor]]) so bucket populations stay O(64)
+    * at any scale.
+    */
+  def ensureFloat(spark: SparkSession, dir: String,
+      maxBucket: Int): String = {
+    val bits = VectorOps.lshBitsFor(
+      graft.Tables.embeddings(spark, dir).count())
+    Artifacts.ensureRoot(floatPath(dir, bits, maxBucket))(p =>
+      new File(s"${indexDir(p)}/_SUCCESS").exists() &&
+        metaOf(p).exists(m => m._1 == bits && m._2 == maxBucket &&
+          m._3 == coderFloat) &&
+        modelOf(p).contains(modelFpFor(coderFloat))) { tmp =>
+      val emb = graft.Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding"))
+      val prefix = emb.filter(col("vec_id") % 3 =!= 0)
+      val rest = emb.filter(col("vec_id") % 3 === 0)
+      buildInto(tmp, prefix, maxBucket = maxBucket, bits = bits,
+        coder = coderFloat)
+      // the ensureExactSig structural proofs, degenerate-guarded the
+      // same way (|| short-circuits — failure path only)
+      val segsAfterBuild = segments(tmp)
+      require(segsAfterBuild == 1 || prefix.isEmpty,
+        s"float index prefix build left $segsAfterBuild segments, expected 1")
+      appendTo(tmp, rest)
+      require(segments(tmp) == segsAfterBuild + 1 || rest.isEmpty,
+        "float index append did not add a segment — the maintenance " +
+          "path this artifact exists to prove was not exercised")
+      compactTables(tmp, spark)
+      require(segments(tmp) == 1 || emb.isEmpty,
+        s"float index table-local compact left ${segments(tmp)} segments, expected 1")
+      compact(tmp, spark)
+      require(segments(tmp) == 1 || emb.isEmpty,
+        s"float index compact left ${segments(tmp)} segments, expected 1")
+    }
+  }
 
   /** Heal a crashed swap — call at maintenance entry. Also migrates a
     * ROOT-LEVEL `_meta` (the marker's pre-in-tree location) so an

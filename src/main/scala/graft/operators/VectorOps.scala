@@ -361,18 +361,45 @@ object VectorOps {
   private val ivfAssignedCache =
     scala.collection.concurrent.TrieMap[String, DataFrame]()
 
-  /** The corpus with its IVF list assignment, persisted once per dataset —
-    * ingest-time index maintenance, like [[cachedLshIndex]]: the
-    * assignment projection is zero-shuffle either way, but persisting it
-    * saves the 16-dot-per-row argmax re-scan on every search.
+  /** Fingerprint of the trained coarse codebook — the IVF serving
+    * table's MODEL identity ([[AnnServing]]'s `_meta` gate): a
+    * regenerated codebook (different sample, iteration count, or
+    * trainer) must cascade a rebuild of the stored assignments, never
+    * pair with them.
+    */
+  private[graft] def ivfModelFp(spark: SparkSession, dir: String): String =
+    Artifacts.modelFingerprint("ivf-v1:" +
+      trainedCodebook(spark, dir).map(_.mkString(",")).mkString(";"))
+
+  /** The per-vector IVF assignment rows over an embeddings slice — the
+    * ONE projection build, append, and rebuild all run ([[AnnServing]]'s
+    * family contract): map-only, zero-shuffle, a pure function of
+    * (vector, codebook), which is what makes maintained appends
+    * converge on the full rebuild's row set exactly.
+    */
+  private[graft] def ivfAssignedRows(spark: SparkSession, dir: String,
+      emb: DataFrame): DataFrame = {
+    VectorFunctions.ensureRegistered(spark)
+    val withN = emb.withColumn("nrm", norm(col("embedding")))
+    ivfAssigned(withN, trainedCodebook(spark, dir))
+      .select(col("vec_id").as("nid"), col("embedding").as("ne"),
+        col("nrm").as("nn"), col("label"), col("cid"))
+  }
+
+  /** The corpus with its IVF list assignment — SERVED FROM THE
+    * MAINTAINED ARTIFACT (r14): [[AnnServing.ensureIvf]] builds the
+    * cid-partitioned assignment table once at ingest; every JVM after
+    * that re-reads precomputed rows instead of re-running the
+    * 16-dot-per-row argmax over the corpus (at 100 TB: a pruned
+    * partition read per probe vs a full-corpus pass per restart). The
+    * in-memory persist is the serving tier on top.
     */
   private[graft] def cachedIvfAssigned(spark: SparkSession, dir: String): DataFrame =
     ivfAssignedCache.getOrElseUpdate(fpKey(dir), {
-      val emb = Tables.embeddings(spark, dir)
-        .withColumn("nrm", norm(col("embedding")))
-      val assigned = ivfAssigned(emb, trainedCodebook(spark, dir))
-        .select(col("vec_id").as("nid"), col("embedding").as("ne"),
-          col("nrm").as("nn"), col("cid"), col("label"))
+      val root = AnnServing.ensureIvf(spark, dir)
+      val assigned = AnnServing.load(spark, root, AnnServing.Ivf,
+        ivfModelFp(spark, dir))
+        .select("nid", "ne", "nn", "cid", "label")
         .persist()
       assigned.count()
       assigned
@@ -623,21 +650,47 @@ object VectorOps {
   private val pqAssignedCache =
     scala.collection.concurrent.TrieMap[String, DataFrame]()
 
-  /** The corpus with coarse IVF list + PQ codes, persisted once per
-    * dataset — the IVF-PQ index. Full vectors ride along here because the
-    * exact re-rank needs them; a storage-bound deployment would keep them
-    * in a separate rerank table instead.
+  /** Fingerprint of the COMPOSED IVF-PQ model (coarse codebook + every
+    * per-subspace codebook) — the PQ serving table's `_meta` identity:
+    * stored codes under a regenerated quantizer decode to garbage
+    * distances, so either codebook moving cascades a rebuild.
+    */
+  private[graft] def pqModelFp(spark: SparkSession, dir: String): String =
+    Artifacts.modelFingerprint("ivfpq-v1:" +
+      trainedCodebook(spark, dir).map(_.mkString(",")).mkString(";") + "|" +
+      pqCodebooks(spark, dir).map(_.map(_.mkString(",")).mkString(";"))
+        .mkString("#"))
+
+  /** The per-vector IVF-PQ rows (coarse list + compressed codes) over an
+    * embeddings slice — [[ivfAssignedRows]]' twin for the compressed
+    * family, the one projection every maintenance entry runs.
+    */
+  private[graft] def pqAssignedRows(spark: SparkSession, dir: String,
+      emb: DataFrame): DataFrame = {
+    VectorFunctions.ensureRegistered(spark)
+    val cbs = pqCodebooks(spark, dir)
+    val codes = array((0 until pqSubspaces)
+      .map(s => pqCodeCol(col("embedding"), cbs(s), s)): _*)
+    val withN = emb.withColumn("nrm", norm(col("embedding")))
+    ivfAssigned(withN, trainedCodebook(spark, dir))
+      .select(col("vec_id").as("nid"), col("embedding").as("ne"),
+        col("nrm").as("nn"), codes.as("codes"), col("cid"))
+  }
+
+  /** The corpus with coarse IVF list + PQ codes — SERVED FROM THE
+    * MAINTAINED ARTIFACT (r14, [[cachedIvfAssigned]]'s rationale): the
+    * per-restart cost drops from a full encode pass (16 coarse dots +
+    * 8 × 256 subspace argmins per vector) to a partitioned parquet
+    * read. Full vectors ride along because the exact re-rank needs
+    * them; a storage-bound deployment would keep them in a separate
+    * rerank table instead.
     */
   private[graft] def cachedPqAssigned(spark: SparkSession, dir: String): DataFrame =
     pqAssignedCache.getOrElseUpdate(fpKey(dir), {
-      val cbs = pqCodebooks(spark, dir)
-      val codes = array((0 until pqSubspaces)
-        .map(s => pqCodeCol(col("embedding"), cbs(s), s)): _*)
-      val emb = Tables.embeddings(spark, dir)
-        .withColumn("nrm", norm(col("embedding")))
-      val assigned = ivfAssigned(emb, trainedCodebook(spark, dir))
-        .select(col("vec_id").as("nid"), col("embedding").as("ne"),
-          col("nrm").as("nn"), col("cid"), codes.as("codes"))
+      val root = AnnServing.ensurePq(spark, dir)
+      val assigned = AnnServing.load(spark, root, AnnServing.Pq,
+        pqModelFp(spark, dir))
+        .select("nid", "ne", "nn", "cid", "codes")
         .persist()
       assigned.count()
       assigned
@@ -726,6 +779,16 @@ object VectorOps {
   // planes are allocated at the max stride so any bits<=lshMaxBits reuses
   // the same deterministic codebook prefix per table
   private val lshPlanes = pseudoDirections(seed = 7, count = lshTables * lshMaxBits)
+
+  /** Fingerprint of the literal hyperplane table — the float coder's
+    * MODEL identity ([[VectorIndex.modelFpFor]]): any change to the
+    * seed, plane count, or generator moves it, cascading a rebuild of
+    * every maintained float-coded artifact instead of serving entries
+    * coded under planes the query side no longer projects with.
+    */
+  private[graft] lazy val lshPlanesFingerprint: String =
+    Artifacts.modelFingerprint(
+      "lshplanes-v1:" + lshPlanes.map(_.mkString(",")).mkString(";"))
 
   /** Code width scales with corpus size so bucket populations stay O(64)
     * regardless of scale — the round-2 fixed 8-bit space meant buckets grow
@@ -913,15 +976,21 @@ object VectorOps {
         .sortBy(_._1).toIndexedSeq
     })
 
-  /** (persisted bucket-list index, code width) — built once per dataset. */
+  /** (persisted bucket-list index, code width) — SERVED FROM THE
+    * MAINTAINED ARTIFACT (r14): [[VectorIndex.ensureFloat]] builds the
+    * t-partitioned bucket lists once at ingest; a JVM restart re-reads
+    * precoded (nid, ne, nn, t, bucket) rows instead of re-running 16
+    * hyperplane projections per corpus vector plus the two-phase cap
+    * shuffle (at 100 TB: the difference between a restart that scans
+    * the index and one that re-derives it from the corpus).
+    */
   private[graft] def cachedLshIndex(spark: SparkSession, dir: String,
       maxBucket: Int): (DataFrame, Int) =
     lshIndexCache.getOrElseUpdate((fpKey(dir), maxBucket), {
-      val emb = Tables.embeddings(spark, dir)
-        .withColumn("nrm", norm(col("embedding")))
-      val bits = lshBitsFor(emb.count())
-      val idx = lshIndex(emb, maxBucket, bits).persist()
-      idx.count() // materialize eagerly — index build is ingest-time work
+      val root = VectorIndex.ensureFloat(spark, dir, maxBucket)
+      val (df, bits, _) = VectorIndex.loadRaw(spark, root)
+      val idx = df.persist()
+      idx.count() // materialize eagerly — index load is ingest-time work
       (idx, bits)
     })
 
@@ -1621,7 +1690,7 @@ object VectorOps {
   /** The quantized-integer embedding projection the exact fit runs on:
     * (vec_id, xq: array<bigint>).
     */
-  private[operators] def quantized(emb: DataFrame): DataFrame =
+  private[graft] def quantized(emb: DataFrame): DataFrame =
     emb.filter(col("embedding").isNotNull)
       .select(col("vec_id"), quantizeExpr(col("embedding")).as("xq"))
 

@@ -185,4 +185,50 @@ object VectorStream {
               batch.sparkSession, maxSegments)
         }
     }
+
+  /** Continuous TRAINED-MODEL maintenance (r14 — the drift lifecycle
+    * running where production runs it, closing the loop on
+    * [[graft.operators.TrainedAnn]]'s r13 probe/refit rule): each
+    * micro-batch of (vec_id, embedding) rows is probed against the
+    * stored IVF codebook at `modelRoot` — the SLICE-sized drift probe
+    * ([[graft.operators.TrainedAnn.maintainIvfBatch]]), the cost a
+    * per-batch hook can afford — and a batch whose inertia ratio
+    * exceeds the refit bound triggers a refit over `full` (the
+    * corpus-so-far, by-name — only built when the refit fires).
+    * In-distribution traffic costs one map-only pass per batch; a
+    * planted distribution shift fires the refit on ITS OWN batch
+    * (spec-pinned: VectorStreamSpec's mid-stream shift → refit →
+    * recall re-pin). `onMaintain` observes every (batchId, ratio,
+    * refitFired) — the ladder's and spec's hook.
+    */
+  def trainedIvfMaintainerStream(emb: DataFrame, modelRoot: String,
+      full: () => DataFrame, k: Int, iters: Int, gen: String,
+      onMaintain: (Long, Double, Boolean) => Unit = (_, _, _) => ())
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    emb.writeStream.outputMode("append").foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val (ratio, refit) = graft.operators.TrainedAnn.maintainIvfBatch(
+            modelRoot, batch.toDF(), full(), k, iters, s"$gen-b$batchId")
+          onMaintain(batchId, ratio, refit)
+        }
+    }
+
+  /** [[trainedIvfMaintainerStream]] at the PQ family — quantized
+    * batches probed per slice, composed-codebook refit past the bound.
+    */
+  def trainedPqMaintainerStream(embQ: DataFrame, modelRoot: String,
+      fullQ: () => DataFrame, subs: Int, codes: Int, iters: Int,
+      gen: String,
+      onMaintain: (Long, Double, Boolean) => Unit = (_, _, _) => ())
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    embQ.writeStream.outputMode("append").foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val (ratio, refit) = graft.operators.TrainedAnn.maintainPqBatch(
+            modelRoot, batch.toDF(), fullQ(), subs, codes, iters,
+            s"$gen-b$batchId")
+          onMaintain(batchId, ratio, refit)
+        }
+    }
 }

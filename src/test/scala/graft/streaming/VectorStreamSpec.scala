@@ -1,6 +1,8 @@
 package graft.streaming
 
 import org.scalatest.funsuite.AnyFunSuite
+// (r14) the trained-maintainer stream test drives TrainedAnn's
+// slice-probe/refit lifecycle through the foreachBatch hook
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import graft.TestSpark
@@ -243,5 +245,55 @@ class VectorStreamSpec extends AnyFunSuite {
       .select(col("t").cast("int"), col("bucket").cast("int"), col("nid"))
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
     assert(got === want)
+  }
+
+  test("trained-model maintainer stream: an in-distribution batch probes " +
+      "only; a planted mid-stream shift fires the refit ON ITS OWN batch, " +
+      "bumps the model generation, and the refit re-pins as the " +
+      "deterministic full fit over everything folded") {
+    import graft.operators.{TrainedAnn, VectorOps}
+    val rows = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().sortBy(_._1)
+    val (baseRows, incoming) = rows.splitAt(rows.length / 2)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-tann-stream").toString
+    TrainedAnn.buildIvfInto(root,
+      baseRows.toSeq.toDF("vec_id", "embedding"), k = 4, iters = 3,
+      "tann-stream-fit0")
+    val gen0 = TrainedAnn.loadModel(root).get.gen
+    var folded = Seq.empty[(Long, Seq[Float])]
+    def full() = (baseRows ++ folded).toSeq.toDF("vec_id", "embedding")
+    val maintained = scala.collection.mutable
+      .ArrayBuffer.empty[(Long, Double, Boolean)]
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val stream = mem.toDS
+      .select(col("_1").as("vec_id"), col("_2").as("embedding"))
+    val q = VectorStream.trainedIvfMaintainerStream(stream, root,
+      () => full(), 4, 3, "tann-stream",
+      (bid, r, f) => maintained += ((bid, r, f))).start()
+    try {
+      // batch 1: in-distribution traffic (the corpus's other half)
+      val (b1, b2src) = incoming.splitAt(incoming.length / 2)
+      folded = folded ++ b1
+      mem.addData(b1.toSeq: _*); q.processAllAvailable()
+      // batch 2: the planted shift — re-embedded at 3x scale
+      val b2 = b2src.map { case (id, e) => (100000L + id, e.map(_ * 3.0f)) }
+      folded = folded ++ b2
+      mem.addData(b2.toSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(maintained.size == 2, maintained.toString)
+    assert(!maintained(0)._3 && maintained(0)._2 <= TrainedAnn.refitBound,
+      s"in-distribution batch misread as drift: ${maintained(0)}")
+    assert(maintained(1)._3 && maintained(1)._2 > TrainedAnn.refitBound,
+      s"planted shift not caught on its own batch: ${maintained(1)}")
+    val m = TrainedAnn.loadModel(root).get
+    assert(m.gen == gen0 + 1)
+    // the refit IS the deterministic full fit over everything folded —
+    // self-ratio 1 by construction, codebook bit-for-bit
+    assert(TrainedAnn.ivfDriftRatio(root, full()) === 1.0)
+    assert(m.ivfCents ===
+      VectorOps.kmeansFitOver(full(), 4, 3, "tann-stream-repin")._1)
   }
 }
