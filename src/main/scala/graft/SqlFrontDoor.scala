@@ -22,15 +22,14 @@ object SqlFrontDoor {
 
   /** Register every dataset table as a temp view bound to `dir` — the
     * existing [[Tables.registerViews]] (events ts-normalized, native
-    * functions included), called UNCONDITIONALLY by each SQL-authored
-    * query. Deliberately not memoized: temp-view names are session
-    * catalog state this object does not own (specs and user code call
-    * Tables.registerViews for other dirs, or drop views), so a cached
-    * "already registered" answer can silently serve another dataset's
-    * plan — wrong results with no error. Re-registration costs a few
-    * parquet footer reads, the price of a front door that is always
-    * pointed at the dataset it claims. Concurrent registration for
-    * DIFFERENT dirs in one session races on the shared names by
+    * functions included), called by each SQL-authored query. Since r14
+    * that call is memoized per (session, dir, dataset fingerprints)
+    * with a catalog-presence check — see [[Tables.registerViews]] for
+    * why the memo cannot silently serve another dataset's plan (the
+    * hazard the previous unconditional re-registration guarded
+    * against): a different dir or a regenerated dataset re-keys, an
+    * externally dropped view re-registers, and concurrent registration
+    * for DIFFERENT dirs in one session races on the shared names by
     * construction of temp views — one session, one dataset at a time
     * is the contract, same as any shared catalog.
     */

@@ -66,16 +66,40 @@ object Tables {
     java.lang.Long.toHexString(fold(root))
   }
 
+  /** session → (dir, per-table fingerprints) of the last registration:
+    * the memo key re-fingerprints the FILES on every call (file stats,
+    * no parquet reads), so a regenerated dataset at the same path
+    * re-registers, and a registration for a different dir replaces the
+    * entry — the "cached answer serves another dataset's plan" hazard
+    * the old unconditional re-registration existed to prevent. A
+    * memo-hit additionally requires every view name still present in
+    * the session catalog (an external drop re-registers loudly). The
+    * remaining out-of-contract case — rebinding one of these names
+    * directly to foreign data and then querying the same dir — is the
+    * shared-catalog contract every temp-view consumer already lives
+    * under (one session, one dataset at a time).
+    */
+  private val lastRegistered = scala.collection.concurrent
+    .TrieMap[SparkSession, (String, Seq[String])]()
+
   /** Register every table as a temp view (events with its µs-normalized
     * timestamp) and the graft native functions, so the full surface is
-    * reachable from plain `spark.sql(...)`.
+    * reachable from plain `spark.sql(...)`. Memoized per session +
+    * dataset fingerprints (r14): the ~10 parquet footer reads this paid
+    * on EVERY SQL-face call were repeated I/O, not repeated
+    * information.
     */
   def registerViews(spark: SparkSession, dir: String): Unit = {
     graft.functions.VectorFunctions.ensureRegistered(spark)
+    val key = (dir, names.map(n => fingerprint(dir, n)))
+    if (lastRegistered.get(spark).contains(key) &&
+        names.forall(spark.catalog.tableExists))
+      return
     names.foreach { n =>
       val df = if (n == "events") events(spark, dir) else table(spark, dir, n)
       df.createOrReplaceTempView(n)
     }
+    lastRegistered.put(spark, key): Unit
   }
 }
 

@@ -105,6 +105,7 @@ object TextIndex {
   /** Write all three artifacts of a fresh index under `root`. */
   private[graft] def buildInto(root: String, docs: DataFrame,
       gen: String): Unit = {
+    invalidateServingViews()
     graft.IntraQueryCache.newGeneration(gen)
     val dt = graft.IntraQueryCache.scoped(positionalDt(docs))
     val dl = graft.IntraQueryCache.scoped(
@@ -152,6 +153,7 @@ object TextIndex {
     */
   private[graft] def appendTo(root: String, newDocs: DataFrame,
       gen: String, appendTag: Option[(String, String)] = None): Unit = {
+    invalidateServingViews()
     val spark = newDocs.sparkSession
     require(new File(s"$root/postings").exists(),
       s"appendTo on $root with no postings/ — recover or rebuild first")
@@ -272,6 +274,7 @@ object TextIndex {
     * per-shard behind a segment manifest instead of whole-index.
     */
   private[graft] def compact(root: String, spark: SparkSession): Unit = {
+    invalidateServingViews()
     recoverArtifacts(root) // heal a previously crashed swap first
     val posts = spark.read.parquet(s"$root/postings")
       .select("term", "doc_id", "tf", "dl", "positions")
@@ -304,6 +307,7 @@ object TextIndex {
     */
   private[graft] def compactShards(root: String, spark: SparkSession,
       maxSegments: Int = 1): Unit = {
+    invalidateServingViews()
     recoverArtifacts(root)
     val postingsRoot = s"$root/postings"
     val dirs = Artifacts.overweightDirs(postingsRoot, "tshard=", maxSegments)
@@ -412,23 +416,52 @@ object TextIndex {
     * them into the query text), so the two faces can never prune against
     * different shard keys.
     */
+  // memoized for the JVM lifetime (r14): the shard id is
+  // pmod(xxhash64(term), shards) — a PURE function of the term with no
+  // artifact state — so the metadata job this launched on every
+  // retrieval query (DSL and SQL faces alike) was repeated scheduler
+  // overhead, not repeated information
+  private val shardsOfTermsCache =
+    scala.collection.concurrent.TrieMap[Seq[String], Seq[Int]]()
+
   private[graft] def shardsOfTerms(spark: SparkSession,
-      terms: Seq[String]): Seq[Int] = {
-    import spark.implicits._
-    terms.toDF("term")
-      .select(tshardOf(col("term"))).as[Int].collect().toSeq.distinct
-  }
+      terms: Seq[String]): Seq[Int] =
+    shardsOfTermsCache.getOrElseUpdate(terms.distinct.sorted, {
+      import spark.implicits._
+      terms.toDF("term")
+        .select(tshardOf(col("term"))).as[Int].collect().toSeq.distinct
+    })
+
+  /** session → index root its serving views were last registered for.
+    * Invalidated by every IN-PROCESS maintenance entry (append/compact/
+    * rebuild below), so a memo-hit can only serve the artifact state the
+    * views already point at. Cross-process maintenance mid-session stays
+    * visible-stale until the next in-process invalidation or session —
+    * the same refresh-boundary semantics the streaming serving path
+    * documents ([[graft.streaming.RefreshingSnapshot]]).
+    */
+  private val servingViewsFor =
+    scala.collection.concurrent.TrieMap[SparkSession, String]()
+
+  private[graft] def invalidateServingViews(): Unit =
+    servingViewsFor.clear()
 
   /** Gate and register the index's three artifacts as temp views
     * (`text_postings` / `text_terms` / `text_stats`) for the SQL front
     * door — external SQL reaches the SAME maintained serving path the
     * DSL faces read, behind the same completeness and crash-residue
-    * refusals. Registered unconditionally per call (the
-    * SqlFrontDoor.registerViews rationale: view names are session state
-    * this object does not own); returns the root.
+    * refusals. Memoized per session+root (r14 — the per-call parquet
+    * footer reads and gate scans were ~0.2 s on every SQL retrieval
+    * query): a memo-hit requires the views still present in the
+    * catalog AND no maintenance entry having run since registration;
+    * anything else re-gates and re-registers. Returns the root.
     */
   def registerServingViews(spark: SparkSession, dir: String): String = {
     val root = ensure(spark, dir)
+    val viewNames = Seq("text_postings", "text_terms", "text_stats")
+    if (servingViewsFor.get(spark).contains(root) &&
+        viewNames.forall(spark.catalog.tableExists))
+      return root
     require(artifactsComplete(root), s"text index at $root is incomplete " +
       "(crash mid-swap?) — rebuild it before serving")
     requireNoShardResidue(root)
@@ -436,6 +469,7 @@ object TextIndex {
       .createOrReplaceTempView("text_postings")
     spark.read.parquet(s"$root/terms").createOrReplaceTempView("text_terms")
     spark.read.parquet(s"$root/stats").createOrReplaceTempView("text_stats")
+    servingViewsFor.put(spark, root): Unit
     root
   }
 
