@@ -52,6 +52,10 @@ object SparkEntry {
       // the per-day KMV-state rollup q_distinct_approx and its SQL twin
       // are served from (r13 — sketch-partial MV routing)
       "kmv_route" -> (() => graft.plans.KmvRoute.ensureArtifacts(spark, dir)),
+      // the per-(type, day) exact-histogram rollup q_percentiles_approx
+      // is served from (r14 — quantile-partial MV routing)
+      "quantile_route" -> (() =>
+        graft.plans.QuantileRoute.ensureArtifacts(spark, dir)),
       "bpe_rules" -> (() => graft.operators.TextOps.trainedBpeRules(spark, dir, 10)),
       // built via the maintained path (prefix build + appendTo + compact)
       "winnow_index" -> (() => graft.operators.WinnowIndex.ensure(spark, dir)),
@@ -754,6 +758,28 @@ object SparkEntry {
         |  ROUND(quantile_cont(value, 0.95), 4) AS p95,
         |  ROUND(quantile_cont(value, 0.99), 4) AS p99
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the engine's deterministic quantile summary replays exactly (r14):
+    // exact per-type histogram, integer band-compression at b=2048, rank
+    // ceil(p·n) — the same pure-integer walk QHistMergeAgg runs, so the
+    // sketch face is hash-checked, not rows-only (and the ROUTED serving
+    // path is hash-identical by the histogram monoid)
+    "q_percentiles_approx" ->
+      """WITH hist AS (
+        |  SELECT event_type, value AS v, CAST(COUNT(*) AS BIGINT) AS w
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT event_type, v,
+        |    CAST(SUM(w) OVER (PARTITION BY event_type ORDER BY v) AS BIGINT) AS c,
+        |    CAST(SUM(w) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM hist),
+        |kept AS (
+        |  SELECT event_type, MAX(v) AS v, MAX(c) AS c, MAX(n) AS n
+        |  FROM cum GROUP BY event_type, (c * 2048 + n - 1) // n)
+        |SELECT event_type,
+        |  ROUND(MIN(CASE WHEN c >= (n * 5000 + 9999) // 10000 THEN v END), 4) AS p50,
+        |  ROUND(MIN(CASE WHEN c >= (n * 9500 + 9999) // 10000 THEN v END), 4) AS p95,
+        |  ROUND(MIN(CASE WHEN c >= (n * 9900 + 9999) // 10000 THEN v END), 4) AS p99
+        |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_rollup" ->
       """SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
         |FROM events GROUP BY ROLLUP(event_type, CAST(ts AS DATE))

@@ -876,6 +876,36 @@ object VectorFunctions {
         s"$kmvMergeExactName expects (state array column, k int literal), got $other")
   }
 
+  val qhistStateName = "qhist_state"
+
+  private[functions] val qhistStateBuilder: Seq[Expression] => Expression = {
+    case Seq(a) => QHistStateAgg(a)
+    case other => throw new IllegalArgumentException(
+      s"$qhistStateName expects (double value column), got $other")
+  }
+
+  val qhistMergeStateName = "qhist_merge_state"
+
+  private[functions] val qhistMergeStateBuilder: Seq[Expression] => Expression = {
+    case Seq(a) => QHistMergeStateAgg(a)
+    case other => throw new IllegalArgumentException(
+      s"$qhistMergeStateName expects (state array column), got $other")
+  }
+
+  val qhistPercentilesName = "qhist_percentiles"
+
+  private[functions] val qhistPercentilesBuilder: Seq[Expression] => Expression = {
+    case Seq(a, org.apache.spark.sql.catalyst.expressions.Literal(bpsCsv,
+        org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.catalyst.expressions.Literal(bv: Int,
+        org.apache.spark.sql.types.IntegerType)) =>
+      QHistMergeAgg(a,
+        bpsCsv.toString.split(',').toSeq.map(_.trim.toInt), bv)
+    case other => throw new IllegalArgumentException(
+      s"$qhistPercentilesName expects (state array column, " +
+        s"'bp,bp,...' string literal, band budget int literal), got $other")
+  }
+
   val bpeMergeName = "bpe_merge_step"
 
   private val bpeMergeBuilder: Seq[Expression] => Expression = {
@@ -946,6 +976,12 @@ object VectorFunctions {
       kmvStateExactName, kmvStateExactBuilder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       kmvMergeExactName, kmvMergeExactBuilder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      qhistStateName, qhistStateBuilder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      qhistMergeStateName, qhistMergeStateBuilder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      qhistPercentilesName, qhistPercentilesBuilder, "scala_udf")
   }
 
   /** Column API: `dot(a, b)` once [[ensureRegistered]] has run. */
@@ -1052,6 +1088,27 @@ object VectorFunctions {
     */
   def kmvMergeExact(c: Column, k: Int): Column =
     call_function(kmvMergeExactName, c, org.apache.spark.sql.functions.lit(k))
+
+  /** Column API: the EXACT per-group value histogram partial state
+    * (value-ascending array<struct<v,w>>) — what the QuantileRoute
+    * rollup stores per (day, group).
+    */
+  def qhistState(c: Column): Column = call_function(qhistStateName, c)
+
+  /** Column API: merge stored histogram partials back into a state —
+    * the incremental-maintenance re-fold.
+    */
+  def qhistMergeState(c: Column): Column =
+    call_function(qhistMergeStateName, c)
+
+  /** Column API: merge stored histogram partials and read the
+    * deterministic band-compressed percentile estimates at `bps` basis
+    * points with band budget `b` — order-invariant, DuckDB-replayable.
+    */
+  def qhistPercentiles(c: Column, bps: Seq[Int], b: Int): Column =
+    call_function(qhistPercentilesName, c,
+      org.apache.spark.sql.functions.lit(bps.mkString(",")),
+      org.apache.spark.sql.functions.lit(b))
 }
 
 /** `SparkSessionExtensions` hook: `.withExtensions(new GraftExtensions)` or

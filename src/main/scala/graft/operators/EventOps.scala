@@ -272,19 +272,50 @@ object EventOps {
         round(expr("percentile(value, 0.99)"), 4).as("p99"))
       .orderBy("event_type")
 
-  /** Sketch percentiles (no SQL oracle — sketch-defined estimates; the
-    * driver rows-checks): constant-memory per group, single map-side
-    * combinable pass — the form that replaces [[valuePercentiles]]' exact
-    * sort-based definition at 100 TB.
+  /** Sketch-percentile parameters: basis points over 10000 and the
+    * band-compression budget — shared by the DSL face, the routing
+    * rule's shape match, and the DuckDB oracle's replay of the same
+    * integer walk.
     */
-  def valuePercentilesApprox(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
+  private[graft] val qhistBps = Seq(5000, 9500, 9900)
+  private[graft] val qhistB = 2048
+
+  /** Sketch percentiles — since r14 the ENGINE's deterministic quantile
+    * summary ([[graft.functions.QHistStateAgg]]/[[graft.functions
+    * .QHistMergeAgg]]) instead of Spark's approx_percentile, for the
+    * same reason q_distinct_approx runs the engine's KMV rather than
+    * approx_count_distinct: the estimate must be REPLAY-STABLE so a
+    * maintained rollup can serve it bit-identically. approx_percentile's
+    * GK summaries are merge-ORDER-sensitive (partition merge order is
+    * nondeterministic, so even the raw query's low bits wander);
+    * histogram partials are a commutative monoid, so the two-level
+    * shape below — exact per-(type, day) histograms, merged then
+    * band-compressed at read (rank error ≤ n/2048) — is
+    * order-invariant, and therefore also DuckDB-replayable: this row is
+    * ORACLE-CHECKED now, not rows-only. ROUTED through the maintained
+    * per-day histogram rollup ([[graft.plans.QuantileRoute]]): the
+    * inner aggregate is rewritten to scan #days×#types stored states;
+    * the monoid argument keeps the answer identical either way.
+    */
+  def valuePercentilesApprox(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    val roll = graft.plans.QuantileRoute.ensureArtifacts(spark, dir)
+    val ps = graft.functions.VectorFunctions.qhistPercentiles(
+      col("state"), qhistBps, qhistB)
+    val out = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(graft.functions.VectorFunctions.qhistState(col("value"))
+        .as("state"))
       .groupBy("event_type")
-      .agg(
-        round(expr("approx_percentile(value, 0.5, 10000)"), 4).as("p50"),
-        round(expr("approx_percentile(value, 0.95, 10000)"), 4).as("p95"),
-        round(expr("approx_percentile(value, 0.99, 10000)"), 4).as("p99"))
+      .agg(ps.as("ps"))
+      .select(col("event_type"),
+        round(element_at(col("ps"), 1), 4).as("p50"),
+        round(element_at(col("ps"), 2), 4).as("p95"),
+        round(element_at(col("ps"), 3), 4).as("p99"))
       .orderBy("event_type")
+    graft.plans.QuantileRoute.requireEngaged(out, roll)
+    out
+  }
 
   /** Pivot: per-day event-type counts as columns. */
   def pivotDaily(spark: SparkSession, dir: String): DataFrame =

@@ -641,7 +641,8 @@ object MultimodalOps {
     * there is one pipeline to drift.
     */
   private def perceptualHashesOf(docs: DataFrame,
-      container: Array[Byte] => Array[Byte], decodedCol: String,
+      container: Array[Byte] => Array[Byte],
+      decodeFn: DataFrame => DataFrame, decodedCol: String,
       hash: Column): DataFrame = {
     val spark = docs.sparkSession
     graft.functions.VectorFunctions.ensureRegistered(spark)
@@ -649,11 +650,16 @@ object MultimodalOps {
     val media = docs
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, p0) =>
-        val p = if (p0 == null) Array.empty[Byte] else p0
-        (id, container(tiledPayload(p)))
-      }).toDF("media_id", "bytes")
-    decode(media)
+      .mapPartitions { it =>
+        // container builders may enter AWT (the PNG encoder) — init the
+        // headless context once per partition, the decodeCodecs shape
+        System.setProperty("java.awt.headless", "true")
+        it.map { case (id, p0) =>
+          val p = if (p0 == null) Array.empty[Byte] else p0
+          (id, container(tiledPayload(p)))
+        }
+      }.toDF("media_id", "bytes")
+    decodeFn(media)
       .filter(col(decodedCol).isNotNull)
       .select(col("media_id"), hash.as("h"))
       .filter(col("h").isNotNull)
@@ -668,14 +674,40 @@ object MultimodalOps {
     * the cross-family failure mode the winnow/vector `_family`/`_meta`
     * gates exist to refuse).
     */
-  private[graft] val imageHashFamily = "dhash64-bmp-tile64-v1"
+  private[graft] val imageHashFamily = "dhash64-png-tile64-v2"
   private[graft] val audioHashFamily = "audioenv64-wav-tile64-v1"
 
-  /** [[perceptualHashesOf]] at the image modality: tiled-BMP fixtures
-    * through the native decode + dHash chain.
+  /** [[perceptualHashesOf]] at the image modality — since r14 a REAL
+    * COMPRESSION CODEC at ingest: tiled payloads ride in PNG containers
+    * ([[pngOf]]) and decode through the JDK codec path
+    * ([[decodeCodecs]] — deflate inflation, bomb guard, per-partition
+    * reader context), replacing the v1 BMP + native-header chain. PNG
+    * is lossless and the codec decode returns the packed grid VERBATIM
+    * (top-down row-major RGB), which buys the strongest possible pin:
+    * every pipeline hash equals a decoder-free reference fold over the
+    * raw tiled payload (MultimodalSpec). The v1 chain's decode
+    * row-flips and channel-swaps by the BMP convention, so v1 and v2
+    * hashes are NOT comparable — the family bump to v2 is load-bearing:
+    * every maintained artifact and stream gate built against v1
+    * refuses-and-rebuilds instead of band-joining garbage across code
+    * spaces (the cascade, exercised for real by this bump). It also
+    * makes the media artifact's economics honest at last: the decode
+    * term the [[MediaHashIndex]] artifact amortizes per query is now a
+    * genuine codec inflation, not a header parse.
     */
   private[graft] def imageHashesOf(docs: DataFrame): DataFrame =
-    perceptualHashesOf(docs, bmpOf, "pixels",
+    perceptualHashesOf(docs, pngOf,
+      m => decodeCodecs(m.sparkSession, m), "pixels",
+      graft.functions.VectorFunctions.dhash64(col("pixels"),
+        col("cwidth"), col("cheight"), col("cchannels")))
+
+  /** The v1 image chain (BMP container + native header/pixel decode) —
+    * kept as the INDEPENDENT second stack the PNG pipeline is pinned
+    * against (MultimodalSpec: same payloads, same hashes), the
+    * [[mediaCodecPipeline]] entropy-pin precedent raised to hash level.
+    */
+  private[graft] def imageHashesOfNativeBmp(docs: DataFrame): DataFrame =
+    perceptualHashesOf(docs, bmpOf, decode(_), "pixels",
       graft.functions.VectorFunctions.dhash64(col("pixels"),
         col("width"), col("height"), col("channels")))
 
@@ -683,7 +715,7 @@ object MultimodalOps {
     * WAV fixtures through the native decode + envelope-hash chain.
     */
   private[graft] def audioHashesOf(docs: DataFrame): DataFrame =
-    perceptualHashesOf(docs, wavOf, "samples",
+    perceptualHashesOf(docs, wavOf, decode(_), "samples",
       graft.functions.VectorFunctions.audioEnvHash64(col("samples")))
 
   /** The per-document perceptual hashes the near-dup pipeline pairs

@@ -968,6 +968,10 @@ object VectorOps {
   private[graft] def cachedQueryVecs(spark: SparkSession,
       dir: String): IndexedSeq[(Long, IndexedSeq[Float], Double)] =
     queryVecsCache.getOrElseUpdate(fpKey(dir), {
+      // the norm projection calls vec_dot by name — register first (the
+      // warm artifact-load paths no longer pass through a build that
+      // registered as a side effect, r14)
+      VectorFunctions.ensureRegistered(spark)
       Tables.embeddings(spark, dir)
         .filter(col("vec_id") < 5)
         .select(col("vec_id"), col("embedding"), norm(col("embedding")))

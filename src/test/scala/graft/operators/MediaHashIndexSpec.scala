@@ -129,4 +129,31 @@ class MediaHashIndexSpec extends AnyFunSuite {
           root, rows, MediaHashIndex.Audio.family))))
       assert(bad.getMessage.contains("family"), bad.getMessage)
   }
+
+  test("the r14 family bump cascades for real: a v2 (PNG-chain) artifact " +
+      "refuses a LITERAL v1 (BMP-chain) append, and a stranded v1 " +
+      "artifact refuses v2 serving — the refusal is live code, not " +
+      "theory") {
+    val v1 = "dhash64-bmp-tile64-v1" // the retired family, verbatim
+    assert(MediaHashIndex.Image.family == "dhash64-png-tile64-v2",
+      "this test pins the v1->v2 bump; update it WITH the family")
+    val rows = Seq((1L, 10L)).toDF("media_id", "h")
+    // a current-family artifact refuses an old-pipeline append — a
+    // maintainer running old code against a rebuilt index fails loudly
+    val root = java.nio.file.Files.createTempDirectory("graft-mh-v2").toString
+    MediaHashIndex.buildInto(root, rows, MediaHashIndex.Image.family)
+    val e1 = intercept[IllegalArgumentException] {
+      MediaHashIndex.appendTo(root, rows, v1)
+    }
+    assert(e1.getMessage.contains("family"), e1.getMessage)
+    // a pre-bump artifact on disk refuses current serving (ensure's
+    // completeness predicate then rebuilds it — the cascade)
+    val old = java.nio.file.Files.createTempDirectory("graft-mh-v1").toString
+    MediaHashIndex.buildInto(old, rows, v1)
+    val e2 = intercept[IllegalArgumentException] {
+      MediaHashIndex.load(spark, old, MediaHashIndex.Image.family)
+    }
+    assert(e2.getMessage.contains("family"), e2.getMessage)
+    assert(!MediaHashIndex.metaOf(old).exists(_._1 == MediaHashIndex.Image.family))
+  }
 }

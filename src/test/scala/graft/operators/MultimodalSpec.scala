@@ -546,11 +546,11 @@ class MultimodalSpec extends AnyFunSuite {
       .map(r => r.getLong(0) ->
         Option(r.getString(1)).getOrElse("").getBytes("UTF-8"))
     val hashes = docs.map { case (id, p) =>
-      // the query's exact synthesis chain: tiled 64×64 payload → real BMP
-      // container → native pixel decode → dHash
-      val bmp = MultimodalOps.bmpOf(MultimodalOps.tiledPayload(p))
-      val px = graft.functions.BmpPixelsExpr.pixels(bmp)
-      id -> refDHash(px, MultimodalOps.tileDim, MultimodalOps.tileDim, 3)
+      // the v2 chain's closed-form reference: PNG is lossless and the
+      // codec decode returns top-down row-major RGB verbatim, so the
+      // decoded grid IS the tiled payload — no decoder in the oracle
+      id -> refDHash(MultimodalOps.tiledPayload(p),
+        MultimodalOps.tileDim, MultimodalOps.tileDim, 3)
     }
     val expect = (for {
       (a, ha) <- hashes; (b, hb) <- hashes if a < b
@@ -673,5 +673,43 @@ class MultimodalSpec extends AnyFunSuite {
       s"only ${planted.size}/15 plants landed under the gate")
     planted.foreach(id => assert(got.contains(
       (id, id + 1000L, java.lang.Long.bitCount(hs(id) ^ hs(id + 1000L)).toLong))))
+  }
+
+  test("v2 perceptual image pipeline (PNG container + JDK codec decode): " +
+      "every hash equals the closed-form reference fold over the RAW " +
+      "tiled payload — PNG's losslessness makes the oracle decoder-free " +
+      "— and the v1/v2 code spaces genuinely differ (the family bump is " +
+      "load-bearing, not cosmetic)") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") % 17 === 0)
+      .select("doc_id", "text")
+      .unionByName(Seq((990001L, null.asInstanceOf[String]),
+        (990002L, "")).toDF("doc_id", "text"))
+    def hashesOf(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val png = hashesOf(MultimodalOps.imageHashesOf(docs))
+    assert(png.size > 10)
+    // fixture pin: PNG container → JDK inflate → pixels ≡ the packed
+    // tile, so the pipeline hash must equal the in-spec reference dHash
+    // over the tiled payload bytes directly
+    val payloads = docs.collect().map(r => r.getLong(0) ->
+      Option(r.getString(1)).getOrElse("").getBytes("UTF-8")).toMap
+    png.foreach { case (id, h) =>
+      assert(h == refDHash(MultimodalOps.tiledPayload(payloads(id)),
+        MultimodalOps.tileDim, MultimodalOps.tileDim, 3),
+        s"doc $id: PNG-chain hash drifted from the decoder-free reference")
+    }
+    // the all-zero tile (null/empty payload) hashes to 0 — present, not
+    // dropped: the decode succeeds on a valid container
+    assert(png(990001L) == 0L && png(990002L) == 0L)
+    // and the v1 native-BMP stack codes DIFFERENTLY on non-constant
+    // payloads (its decode row-flips and channel-swaps by the BMP
+    // convention) — the reason the family string must bump: v1 and v2
+    // hashes band-joined together would pair garbage
+    val bmpNative = hashesOf(MultimodalOps.imageHashesOfNativeBmp(docs))
+    assert(png.keySet == bmpNative.keySet)
+    assert(png.exists { case (id, h) => bmpNative(id) != h },
+      "v1 and v2 unexpectedly coincide — if the chains now agree, the " +
+        "families could merge; re-examine before trusting this")
   }
 }

@@ -1,0 +1,185 @@
+package graft.plans
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** Quantile-partial MV routing (r14): per-(type, day) EXACT histogram
+  * states must serve q_percentiles_approx bit-identically to the raw
+  * recompute (the histogram monoid — order-invariant, so no pinned
+  * merge order is even needed), engage as a pruned rollup scan,
+  * maintain incrementally to the rebuild's states, refuse malformed
+  * state loudly, and leave every non-matching shape raw.
+  */
+class QuantileRouteSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+  graft.functions.VectorFunctions.ensureRegistered(spark)
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().toSeq.map(_.toString)
+
+  private def rollupScans(df: org.apache.spark.sql.DataFrame)
+      : Seq[org.apache.spark.sql.execution.datasources.LogicalRelation] =
+    df.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation
+        if lr.relation.isInstanceOf[
+          org.apache.spark.sql.execution.datasources.HadoopFsRelation] &&
+          lr.relation.asInstanceOf[
+            org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+            .location.rootPaths.exists(_.toString.contains("qhist_route")) => lr
+    }
+
+  test("routed q_percentiles_approx reads ONLY the rollup — a " +
+      "#days-x-#types scan, not the corpus — and equals the raw " +
+      "recompute bit-for-bit") {
+    val routed = graft.operators.EventOps.valuePercentilesApprox(spark, dir)
+    val routedRows = rows(routed)
+    // raw recompute with the route deregistered
+    QuantileRoute.deregister(spark, s"$dir/events.parquet")
+    val rawRows = try {
+      val ps = graft.functions.VectorFunctions.qhistPercentiles(
+        col("state"), Seq(5000, 9500, 9900), 2048)
+      val raw = graft.Tables.events(spark, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(graft.functions.VectorFunctions.qhistState(col("value"))
+          .as("state"))
+        .groupBy("event_type").agg(ps.as("ps"))
+        .select(col("event_type"),
+          round(element_at(col("ps"), 1), 4).as("p50"),
+          round(element_at(col("ps"), 2), 4).as("p95"),
+          round(element_at(col("ps"), 3), 4).as("p99"))
+        .orderBy("event_type")
+      assert(rollupScans(raw).isEmpty, "raw recompute unexpectedly routed")
+      rows(raw)
+    } finally QuantileRoute.ensureArtifacts(spark, dir): Unit
+    assert(routedRows.nonEmpty && routedRows === rawRows)
+    // the routed plan's ONLY scan is the rollup, and the routed read is
+    // rollup-sized (#days × #types rows)
+    val scans = routed.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation => lr
+    }
+    assert(scans.size == 1 && rollupScans(routed).size == 1,
+      routed.queryExecution.optimizedPlan.toString)
+    val roll = QuantileRoute.ensureArtifacts(spark, dir)
+    val rollRows = spark.read.parquet(roll).count()
+    val corpusRows = graft.Tables.events(spark, dir).count()
+    assert(rollRows < corpusRows / 5,
+      s"rollup ($rollRows rows) is not materially smaller than the " +
+        s"corpus ($corpusRows rows) — the route buys nothing")
+  }
+
+  test("the merged estimate is order-invariant (the monoid argument " +
+      "that replaces pinned merge order) and rank-accurate within n/b") {
+    import spark.implicits._
+    val n = 20000
+    val vals = (0 until n).map(i => ((i * 7919) % 1000).toDouble / 4.0)
+    val df = vals.zipWithIndex.map { case (v, i) => (i % 13, v) }
+      .toDF("slice", "v")
+    val states = df.groupBy("slice")
+      .agg(graft.functions.VectorFunctions.qhistState(col("v")).as("state"))
+    def est(order: org.apache.spark.sql.Column): Seq[Double] =
+      states.orderBy(order)
+        .agg(graft.functions.VectorFunctions.qhistPercentiles(
+          col("state"), Seq(5000, 9500, 9900), 2048).as("ps"))
+        .select(explode(col("ps"))).as[Double].collect().toSeq
+    val a = est(col("slice").asc)
+    val b = est(col("slice").desc)
+    assert(a === b, "merge order changed the estimate")
+    // rank accuracy: the estimate's true rank is within ceil(n/b) of
+    // the target rank
+    val sorted = vals.sorted
+    for ((bp, got) <- Seq(5000, 9500, 9900).zip(a)) {
+      val target = (n.toLong * bp + 9999) / 10000
+      val lo = sorted.indexWhere(_ == got) + 1      // min rank of got
+      val hi = sorted.lastIndexWhere(_ == got) + 1  // max rank of got
+      val slack = (n.toLong + 2047) / 2048
+      assert(lo - slack <= target && target <= hi + slack,
+        s"bp=$bp got=$got rank range [$lo,$hi] vs target $target ± $slack")
+    }
+  }
+
+  test("incremental rollup upsert converges to the full rebuild's " +
+      "states — including the NULL-day partition") {
+    import spark.implicits._
+    def evFrame(rows: Seq[(Option[String], String, Double)]) =
+      rows.toDF("ts0", "event_type", "value")
+        .select(col("ts0").cast("timestamp").as("ts"),
+          col("event_type"), col("value"))
+    val base = evFrame(Seq(
+      (Some("2024-01-01 10:00:00"), "click", 1.5),
+      (Some("2024-01-02 10:00:00"), "click", 2.5),
+      (None, "error", 9.0)))
+    val delta = evFrame(Seq(
+      (Some("2024-01-02 11:00:00"), "click", 3.5),
+      (None, "error", 11.0)))
+    val roll = java.nio.file.Files.createTempDirectory("graft-qroll").toString
+    QuantileRoute.rollupOf(base).coalesce(1)
+      .write.mode("overwrite").partitionBy("day").parquet(roll)
+    QuantileRoute.upsertRollup(spark, roll, delta)
+    spark.catalog.refreshByPath(roll)
+    def key(df: org.apache.spark.sql.DataFrame): Map[(String, String), Seq[(Double, Long)]] =
+      df.select(col("event_type"), col("day").cast("string"), col("state"))
+        .as[(String, Option[String], Seq[(Double, Long)])].collect()
+        .map { case (t, d, s) => (t, d.getOrElse("<null>")) -> s }.toMap
+    val got = key(spark.read.parquet(roll))
+    val want = key(QuantileRoute.rollupOf(base.unionByName(delta)))
+    assert(got === want)
+    // the null-day state carries BOTH error readings
+    assert(got(("error", "<null>")).map(_._2).sum == 2L)
+  }
+
+  test("non-matching shapes stay raw, and a foreign-zone session is " +
+      "never routed") {
+    QuantileRoute.ensureArtifacts(spark, dir): Unit
+    val ev = graft.Tables.events(spark, dir)
+    // a different grain (week) must stay raw
+    assert(rollupScans(ev.groupBy(col("event_type"),
+        date_trunc("week", col("ts")).as("wk"))
+      .agg(graft.functions.VectorFunctions.qhistState(col("value"))
+        .as("state"))).isEmpty)
+    // an extra measure the rollup cannot answer
+    assert(rollupScans(ev.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(graft.functions.VectorFunctions.qhistState(col("value"))
+        .as("state"), count(lit(1)).as("n"))).isEmpty)
+    // a different measure column
+    assert(rollupScans(ev.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(graft.functions.VectorFunctions.qhistState(col("value") * 2)
+        .as("state"))).isEmpty)
+    // the matching shape routes under the build zone...
+    def shape() = ev.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(graft.functions.VectorFunctions.qhistState(col("value")).as("state"))
+    assert(rollupScans(shape()).nonEmpty)
+    // ...and declines under a foreign session zone
+    val zone0 = spark.conf.get("spark.sql.session.timeZone")
+    val other = if (zone0 == "Pacific/Kiritimati") "America/Anchorage"
+                else "Pacific/Kiritimati"
+    try {
+      spark.conf.set("spark.sql.session.timeZone", other)
+      assert(rollupScans(shape()).isEmpty,
+        "a foreign-zone session was routed to build-zone day buckets")
+    } finally spark.conf.set("spark.sql.session.timeZone", zone0)
+  }
+
+  test("malformed histogram state refuses LOUDLY — null elements and " +
+      "non-positive weights never skew an estimate silently") {
+    import spark.implicits._
+    def msgs(t: Throwable): String =
+      if (t == null) "" else s"${t.getMessage} ${msgs(t.getCause)}"
+    val nullEl = Seq(1).toDF("i").select(array(
+      struct(lit(1.0).as("v"), lit(2L).as("w")),
+      lit(null).cast("struct<v:double,w:bigint>")).as("state"))
+    val e1 = intercept[Exception] {
+      nullEl.agg(graft.functions.VectorFunctions.qhistPercentiles(
+        col("state"), Seq(5000), 2048)).head(): Unit
+    }
+    assert(msgs(e1).contains("NULL element"), msgs(e1))
+    val badW = Seq(1).toDF("i").select(array(
+      struct(lit(1.0).as("v"), lit(0L).as("w"))).as("state"))
+    val e2 = intercept[Exception] {
+      badW.agg(graft.functions.VectorFunctions.qhistPercentiles(
+        col("state"), Seq(5000), 2048)).head(): Unit
+    }
+    assert(msgs(e2).contains("non-positive weight"), msgs(e2))
+  }
+}
