@@ -1071,12 +1071,13 @@ object ScaleProbe {
   /** Maintained-TrainedAnn endurance ladder (r14 — the trained-model
     * family's parity with the five index families): ONE long-running
     * [[graft.streaming.VectorStream.trainedIvfMaintainerStream]]
-    * maintainer fed 26 embedding micro-batches, each SLICE-probed for
-    * drift against the stored codebook
-    * ([[graft.operators.TrainedAnn.maintainIvfBatch]]); the last third
-    * of the incoming traffic is a PLANTED 3x distribution shift, so at
-    * least one refit fires mid-ladder. The trained family's claims
-    * under continuous ingest:
+    * maintainer fed 27 embedding micro-batches (2800 incoming vectors
+    * in slices of ~107), each SLICE-probed for drift against the stored
+    * codebook ([[graft.operators.TrainedAnn.maintainIvfBatch]]); the
+    * last HALF of the incoming traffic (= the corpus's last third,
+    * vec_id ≥ 2n/3) is a PLANTED 2x distribution shift, so at least one
+    * refit fires mid-ladder. The trained family's claims under
+    * continuous ingest:
     *  (a) in-distribution batches never refit (probe-only, one
     *      map-only slice pass — latency flat across the ladder);
     *  (b) the planted shift fires the refit ON ITS OWN BATCH (the

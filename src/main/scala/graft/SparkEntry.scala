@@ -119,6 +119,7 @@ object SparkEntry {
     "q_sql_session" -> SqlFrontDoor.sqlSession _,
     "q_sql_tag_filter" -> SqlFrontDoor.sqlTagFilter _,
     "q_sql_distinct_approx" -> SqlFrontDoor.sqlDistinctApprox _,
+    "q_sql_percentiles_approx" -> SqlFrontDoor.sqlPercentilesApprox _,
     // the index-served RETRIEVAL class through the front door (r13):
     // BM25 top-k authored as SQL text over the registered text-index
     // views, same oracle as q_bm25_indexed, term-shard pruning
@@ -762,24 +763,10 @@ object SparkEntry {
     // exact per-type histogram, integer band-compression at b=2048, rank
     // ceil(p·n) — the same pure-integer walk QHistMergeAgg runs, so the
     // sketch face is hash-checked, not rows-only (and the ROUTED serving
-    // path is hash-identical by the histogram monoid)
-    "q_percentiles_approx" ->
-      """WITH hist AS (
-        |  SELECT event_type, value AS v, CAST(COUNT(*) AS BIGINT) AS w
-        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
-        |cum AS (
-        |  SELECT event_type, v,
-        |    CAST(SUM(w) OVER (PARTITION BY event_type ORDER BY v) AS BIGINT) AS c,
-        |    CAST(SUM(w) OVER (PARTITION BY event_type) AS BIGINT) AS n
-        |  FROM hist),
-        |kept AS (
-        |  SELECT event_type, MAX(v) AS v, MAX(c) AS c, MAX(n) AS n
-        |  FROM cum GROUP BY event_type, (c * 2048 + n - 1) // n)
-        |SELECT event_type,
-        |  ROUND(MIN(CASE WHEN c >= (n * 5000 + 9999) // 10000 THEN v END), 4) AS p50,
-        |  ROUND(MIN(CASE WHEN c >= (n * 9500 + 9999) // 10000 THEN v END), 4) AS p95,
-        |  ROUND(MIN(CASE WHEN c >= (n * 9900 + 9999) // 10000 THEN v END), 4) AS p99
-        |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin,
+    // path is hash-identical by the histogram monoid). ONE oracle def
+    // shared with the SQL-authored twin (the r13-ADVICE rule).
+    "q_percentiles_approx" -> qhistPercentilesOracle,
+    "q_sql_percentiles_approx" -> qhistPercentilesOracle,
     "q_rollup" ->
       """SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
         |FROM events GROUP BY ROLLUP(event_type, CAST(ts AS DATE))
@@ -2081,6 +2068,35 @@ object SparkEntry {
     // the custom-aggregate class through the front door
     "q_sql_distinct_approx" -> kmvDailyOracle,
   )
+
+  /** The deterministic quantile-summary oracle (r14) — DuckDB replays
+    * the identical integer walk QHistMergeAgg runs (exact per-type
+    * histogram → cumulative weights → band = ceil(c·b/n) in integer
+    * division → last value per band → rank ceil(p·n) against the kept
+    * set), shared by the DSL row and its SQL-text twin.
+    */
+  private def qhistPercentilesOracle: String = {
+    // parameters interpolated from the ONE shared definition, so the
+    // oracle can never drift from the faces it checks (review-found, r14)
+    val b = graft.operators.EventOps.qhistB
+    val Seq(bp50, bp95, bp99) = graft.operators.EventOps.qhistBps
+    s"""WITH hist AS (
+      |  SELECT event_type, value AS v, CAST(COUNT(*) AS BIGINT) AS w
+      |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT event_type, v,
+      |    CAST(SUM(w) OVER (PARTITION BY event_type ORDER BY v) AS BIGINT) AS c,
+      |    CAST(SUM(w) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      |  FROM hist),
+      |kept AS (
+      |  SELECT event_type, MAX(v) AS v, MAX(c) AS c, MAX(n) AS n
+      |  FROM cum GROUP BY event_type, (c * $b + n - 1) // n)
+      |SELECT event_type,
+      |  ROUND(MIN(CASE WHEN c >= (n * $bp50 + 9999) // 10000 THEN v END), 4) AS p50,
+      |  ROUND(MIN(CASE WHEN c >= (n * $bp95 + 9999) // 10000 THEN v END), 4) AS p95,
+      |  ROUND(MIN(CASE WHEN c >= (n * $bp99 + 9999) // 10000 THEN v END), 4) AS p99
+      |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 
   /** The top-k / rate / session oracles, each ONE definition shared by
     * the DSL row and its SQL-text twin (the tagFilterOracle rule): the

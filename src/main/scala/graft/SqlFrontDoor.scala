@@ -155,6 +155,42 @@ object SqlFrontDoor {
     out
   }
 
+  /** SQL face of [[graft.operators.EventOps.valuePercentilesApprox]] —
+    * the engine's deterministic quantile summary authored as SQL text
+    * (r14): the same two-level shape (exact per-(type, day) `qhist_state`
+    * partials, `qhist_percentiles` band-compressed read), so the
+    * [[graft.plans.QuantileRoute]] rule rewrites the SQL-parsed inner
+    * aggregate onto the SAME maintained rollup the DSL face serves from
+    * — the custom-sketch MV-routing class reachable from plain
+    * `spark.sql`, answering to the same DuckDB oracle.
+    */
+  def sqlPercentilesApprox(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    val roll = graft.plans.QuantileRoute.ensureArtifacts(spark, dir)
+    // parameters interpolated from the ONE shared definition
+    // (EventOps.qhistBps/qhistB) so this face can never silently run a
+    // different band budget than the DSL face (review-found, r14)
+    val bps = graft.operators.EventOps.qhistBps.mkString(",")
+    val b = graft.operators.EventOps.qhistB
+    val out = spark.sql(
+      s"""SELECT event_type,
+        |  ROUND(element_at(ps, 1), 4) AS p50,
+        |  ROUND(element_at(ps, 2), 4) AS p95,
+        |  ROUND(element_at(ps, 3), 4) AS p99
+        |FROM (
+        |  SELECT event_type,
+        |    qhist_percentiles(state, '$bps', $b) AS ps
+        |  FROM (
+        |    SELECT event_type, to_date(ts) AS day,
+        |      qhist_state(value) AS state
+        |    FROM events GROUP BY 1, 2)
+        |  GROUP BY 1)
+        |WHERE ps IS NOT NULL
+        |ORDER BY event_type""".stripMargin)
+    graft.plans.QuantileRoute.requireEngaged(out, roll)
+    out
+  }
+
   /** SQL face of [[graft.operators.TextIndex.bm25TopKIndexed]] — the
     * INDEX-SERVED RETRIEVAL class through the front door (r13: the
     * queries a search dashboard author writes): the maintained text

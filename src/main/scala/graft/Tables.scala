@@ -91,6 +91,9 @@ object Tables {
     */
   def registerViews(spark: SparkSession, dir: String): Unit = {
     graft.functions.VectorFunctions.ensureRegistered(spark)
+    // bound the session-keyed memo (a server churning short-lived
+    // sessions must not pin them via map keys)
+    if (lastRegistered.size > 64) lastRegistered.clear()
     val key = (dir, names.map(n => fingerprint(dir, n)))
     if (lastRegistered.get(spark).contains(key) &&
         names.forall(spark.catalog.tableExists))

@@ -100,6 +100,29 @@ private[graft] object QHist {
     out
   }
 
+  /** Fold a stored state array into a buffer with the family's LOUD
+    * malformed-state refusals (null elements, non-positive weights) —
+    * ONE definition shared by the merge-state and percentile faces, so
+    * a hardening of the refusal rules can never fork them
+    * (review-found, r14).
+    */
+  def foldState(buf: Hist, arr: ArrayData, who: String): Hist = {
+    var i = 0
+    while (i < arr.numElements()) {
+      require(!arr.isNullAt(i),
+        s"$who: NULL element at $i in a histogram state — " +
+          "malformed state; refusing to fold it")
+      val row = arr.getStruct(i, 2)
+      val w = row.getLong(1)
+      require(w > 0,
+        s"$who: non-positive weight $w in a histogram state — " +
+          "malformed state; refusing to fold it")
+      add(buf, row.getDouble(0), w)
+      i += 1
+    }
+    buf
+  }
+
   def serialize(h: Hist): Array[Byte] = {
     val bb = ByteBuffer.allocate(4 + h.size * 16)
     bb.putInt(h.size)
@@ -201,22 +224,7 @@ case class QHistMergeStateAgg(child: Expression,
 
   override def update(buf: QHist.Hist, input: InternalRow): QHist.Hist = {
     val v = child.eval(input)
-    if (v != null) {
-      val arr = v.asInstanceOf[ArrayData]
-      var i = 0
-      while (i < arr.numElements()) {
-        require(!arr.isNullAt(i),
-          s"$prettyName: NULL element at $i in a histogram state — " +
-            "malformed state; refusing to fold it")
-        val row = arr.getStruct(i, 2)
-        val w = row.getLong(1)
-        require(w > 0,
-          s"$prettyName: non-positive weight $w in a histogram state — " +
-            "malformed state; refusing to fold it")
-        QHist.add(buf, row.getDouble(0), w)
-        i += 1
-      }
-    }
+    if (v != null) QHist.foldState(buf, v.asInstanceOf[ArrayData], prettyName)
     buf
   }
 
@@ -271,22 +279,7 @@ case class QHistMergeAgg(child: Expression, bps: Seq[Int], b: Int,
 
   override def update(buf: QHist.Hist, input: InternalRow): QHist.Hist = {
     val v = child.eval(input)
-    if (v != null) {
-      val arr = v.asInstanceOf[ArrayData]
-      var i = 0
-      while (i < arr.numElements()) {
-        require(!arr.isNullAt(i),
-          s"$prettyName: NULL element at $i in a histogram state — " +
-            "malformed state; refusing to fold it into the estimate")
-        val row = arr.getStruct(i, 2)
-        val w = row.getLong(1)
-        require(w > 0,
-          s"$prettyName: non-positive weight $w in a histogram state — " +
-            "malformed state; refusing to fold it into the estimate")
-        QHist.add(buf, row.getDouble(0), w)
-        i += 1
-      }
-    }
+    if (v != null) QHist.foldState(buf, v.asInstanceOf[ArrayData], prettyName)
     buf
   }
 

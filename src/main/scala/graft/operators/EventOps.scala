@@ -308,6 +308,11 @@ object EventOps {
         .as("state"))
       .groupBy("event_type")
       .agg(ps.as("ps"))
+      // a type whose readings are ALL null has no percentile panel —
+      // dropped, matching the oracle's histogram (which excludes null
+      // readings before grouping); keeping a (type, NULL, NULL, NULL)
+      // row would hash-mismatch on such a dataset (review-found, r14)
+      .filter(col("ps").isNotNull)
       .select(col("event_type"),
         round(element_at(col("ps"), 1), 4).as("p50"),
         round(element_at(col("ps"), 2), 4).as("p95"),

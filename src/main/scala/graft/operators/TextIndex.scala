@@ -425,12 +425,18 @@ object TextIndex {
     scala.collection.concurrent.TrieMap[Seq[String], Seq[Int]]()
 
   private[graft] def shardsOfTerms(spark: SparkSession,
-      terms: Seq[String]): Seq[Int] =
+      terms: Seq[String]): Seq[Int] = {
+    // bounded: a long-lived serving JVM fielding ad-hoc retrieval
+    // queries would otherwise grow one permanent entry per distinct
+    // term set — on overflow just reset (entries are pure and cheap to
+    // recompute; an LRU would be ceremony for a metadata-job saver)
+    if (shardsOfTermsCache.size > 4096) shardsOfTermsCache.clear()
     shardsOfTermsCache.getOrElseUpdate(terms.distinct.sorted, {
       import spark.implicits._
       terms.toDF("term")
         .select(tshardOf(col("term"))).as[Int].collect().toSeq.distinct
     })
+  }
 
   /** session → index root its serving views were last registered for.
     * Invalidated by every IN-PROCESS maintenance entry (append/compact/
@@ -458,6 +464,9 @@ object TextIndex {
     */
   def registerServingViews(spark: SparkSession, dir: String): String = {
     val root = ensure(spark, dir)
+    // bound the session-keyed memo (a server churning short-lived
+    // sessions must not pin them via map keys)
+    if (servingViewsFor.size > 64) servingViewsFor.clear()
     val viewNames = Seq("text_postings", "text_terms", "text_stats")
     if (servingViewsFor.get(spark).contains(root) &&
         viewNames.forall(spark.catalog.tableExists))

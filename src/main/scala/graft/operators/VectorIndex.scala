@@ -509,6 +509,31 @@ object VectorIndex {
           s"migrating root-level _meta into ${indexDir(root)} failed")
       else legacy.delete(): Unit
     }
+    // one-time r14 migration (the root-level-_meta precedent above): an
+    // artifact built before the model fingerprint existed carries no
+    // `model=` key, yet its code space IS the current one by definition
+    // — no hyperplane/signature generation has ever moved without a
+    // coder bump — so maintenance backfills the current fingerprint
+    // instead of stranding every pre-r14 artifact (and the long-running
+    // stream maintainers pointed at them) behind the cascade refusal
+    // (review-found, r14). Atomic via temp + rename.
+    if (metaFile(root).exists() && modelOf(root).isEmpty)
+      Artifacts.parseKvFile(metaFile(root)).foreach { kv =>
+        // a pre-coder meta defaults to float, mirroring [[metaOf]]
+        kv.get("coder").orElse(Some(coderFloat))
+          .filter(c => c == coderFloat || c == coderExactSig)
+          .foreach { coder =>
+            val body = kv.toSeq.sortBy(_._1)
+              .map { case (k, v) => s"$k=$v" }
+              .mkString("", "\n", s"\nmodel=${modelFpFor(coder)}\n")
+            val tmp = new File(indexDir(root),
+              s"_meta.tmp-${java.util.UUID.randomUUID()}")
+            java.nio.file.Files.write(tmp.toPath,
+              body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            require(tmp.renameTo(metaFile(root)),
+              s"backfilling model fingerprint into ${metaFile(root)} failed")
+          }
+      }
   }
 
   /** MAX parquet file count across table dirs — the segment proxy the

@@ -50,14 +50,6 @@ object KmvRoute extends Rule[LogicalPlan] {
     */
   private val routes = TrieMap[String, (String, Int, String)]()
 
-  private def sessionZone(spark: SparkSession): String =
-    spark.sessionState.conf.sessionLocalTimeZone
-
-  private def canon(spark: SparkSession, path: String): String = {
-    val hp = new org.apache.hadoop.fs.Path(path)
-    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).makeQualified(hp).toString
-  }
-
   /** The maintained rollup: one row per day with the KMV partial state
     * of the day's user hashes — the EXACT sketch family (md5 60-bit
     * space, same k) q_distinct_approx declares, so merging a day's
@@ -85,6 +77,7 @@ object KmvRoute extends Rule[LogicalPlan] {
       newEvents: DataFrame, k: Int): Unit = {
     import org.apache.spark.sql.functions._
     graft.functions.VectorFunctions.ensureRegistered(spark)
+    RouteSupport.requireWriteZone(spark, rollupPath, "kmv rollup")
     val deltaHashes = newEvents.select(
       to_date(col("ts")).as("day"),
       graft.operators.TextOps.h60(col("user_id").cast("string")).as("h"))
@@ -121,11 +114,11 @@ object KmvRoute extends Rule[LogicalPlan] {
 
   def register(spark: SparkSession, rawPath: String, rollupPath: String,
       k: Int): Unit =
-    routes.put(canon(spark, rawPath),
-      (rollupPath, k, sessionZone(spark))): Unit
+    routes.put(RouteSupport.canon(spark, rawPath),
+      (rollupPath, k, RouteSupport.sessionZone(spark))): Unit
 
   def deregister(spark: SparkSession, rawPath: String): Unit =
-    routes.remove(canon(spark, rawPath)): Unit
+    routes.remove(RouteSupport.canon(spark, rawPath)): Unit
 
   /** Build (once per dataset fingerprint, at ingest) the per-day state
     * rollup for the REAL events table, register raw→rollup, and enable
@@ -135,35 +128,13 @@ object KmvRoute extends Rule[LogicalPlan] {
     */
   def ensureArtifacts(spark: SparkSession, dir: String,
       k: Int = graft.operators.EventOps.kmvOracleK): String = {
-    // the BUILD ZONE is part of the artifact identity: to_date(ts) is a
-    // timezone-dependent cast, so each session zone gets its own rollup
-    // root (sanitized into the path key) and the exact zone string is
-    // pinned by an in-tree _meta the completeness predicate checks —
-    // a sanitize-collision or hand-moved tree still refuses rather
-    // than serving another zone's day buckets (review-found, r13 ADVICE)
-    val zone = sessionZone(spark)
-    val zoneKey = zone.replaceAll("[^A-Za-z0-9._-]", "_")
-    val base = graft.operators.Artifacts.datasetRoot(dir, "events",
-      s"kmv_route_v1_k${k}_z$zoneKey")
-    // the shared two-JVM-safe tmp-build + atomic-rename publish (the
-    // bare _SUCCESS-check + overwrite it replaced could interleave two
-    // processes' writes into one torn rollup — review-found, r13)
-    val roll = s"$base/rollup"
-    // `existed` mirrors ensureRoot's EXACT servability predicate (root
-    // marker + rollup marker + zone marker) — a weaker check would skip
-    // the invalidate when ensureRoot rebuilds anyway, stranding a stale
-    // cached relation over deleted files (review-found, r13)
-    def complete(p: String): Boolean =
-      new java.io.File(s"$p/rollup/_SUCCESS").exists() &&
-        graft.operators.Artifacts.parseKvFile(new java.io.File(s"$p/_meta"))
-          .exists(_.get("zone").contains(zone))
-    val existed =
-      new java.io.File(s"$base/_SUCCESS").exists() && complete(base)
-    graft.operators.Artifacts.ensureRoot(base)(complete) { tmp =>
+    // zone-keyed, _meta-pinned, two-JVM-safe — the shared
+    // [[RouteSupport.zonedRollupEnsure]] scaffold (the r13-ADVICE zone
+    // discipline lives there once for every day-grain route)
+    val (roll, existed) = RouteSupport.zonedRollupEnsure(spark, dir,
+      s"kmv_route_v1_k$k") { tmp =>
       rollupOf(graft.Tables.events(spark, dir), k).coalesce(1)
         .write.partitionBy("day").parquet(s"$tmp/rollup")
-      java.nio.file.Files.write(new java.io.File(s"$tmp/_meta").toPath,
-        s"zone=$zone\n".getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
     }
     this.synchronized {
       // drop the cached relation only when this call (re)built — a
@@ -199,21 +170,12 @@ object KmvRoute extends Rule[LogicalPlan] {
         spark.experimental.extraOptimizations :+ this
   }
 
-  // resolved-once rollup relations (see LtsRoute.ltsRelations for why)
-  private val rollupRelations = TrieMap[String, LogicalRelation]()
+  // resolved-once rollup relations (shared scaffold)
+  private val rollupRelations = new RouteSupport.RelationCache
 
   /** Drop the cached relation for a rollup whose files were rewritten. */
   def invalidate(rollupPath: String): Unit =
-    rollupRelations.remove(rollupPath): Unit
-
-  private def rollupRelationFor(path: String): Option[LogicalRelation] =
-    rollupRelations.get(path).orElse {
-      val rel = SparkSession.active.read.parquet(path)
-        .queryExecution.analyzed
-        .collectFirst { case l: LogicalRelation => l }
-      rel.foreach(rollupRelations.put(path, _))
-      rel
-    }.map(_.newInstance())
+    rollupRelations.invalidate(rollupPath)
 
   private def routeFor(lr: LogicalRelation): Option[(String, Int, String)] =
     lr.relation match {
@@ -226,28 +188,16 @@ object KmvRoute extends Rule[LogicalPlan] {
     case agg: Aggregate => rewrite(agg).getOrElse(agg)
   }
 
-  /** Same Project-inlining dance as [[CorpusRoute.rewrite]]: the
-    * optimizer pulls complex groupings into a child Project, so aliases
-    * inline back before matching against the raw columns.
+  /** Same Project-inlining dance as [[CorpusRoute.rewrite]] (the
+    * shared [[RouteSupport.inlineProject]] preamble).
     */
   private def rewrite(agg: Aggregate): Option[LogicalPlan] = agg.child match {
     case lr: LogicalRelation =>
       routeFor(lr).flatMap { case (p, k, z) => buildRewrite(agg, lr, p, k, z) }
     case Project(projList, lr: LogicalRelation) =>
-      val aliasOf = projList.collect {
-        case al: Alias => al.toAttribute.exprId -> al.child
-      }.toMap
-      def inline(e: Expression): Expression = e.transformUp {
-        case a: AttributeReference if aliasOf.contains(a.exprId) => aliasOf(a.exprId)
-      }
-      val inlined = Aggregate(
-        agg.groupingExpressions.map(inline),
-        agg.aggregateExpressions.map(ne => inline(ne) match {
-          case n: NamedExpression => n
-          case other => Alias(other, ne.name)(exprId = ne.exprId)
-        }),
-        lr)
-      routeFor(lr).flatMap { case (p, k, z) => buildRewrite(inlined, lr, p, k, z) }
+      routeFor(lr).flatMap { case (p, k, z) =>
+        buildRewrite(RouteSupport.inlineProject(agg, projList, lr),
+          lr, p, k, z) }
     case _ => None
   }
 
@@ -257,47 +207,12 @@ object KmvRoute extends Rule[LogicalPlan] {
     // zone: its to_date(ts) grain is a DIFFERENT grouping than the
     // stored day buckets — the raw scan is the correct answer there
     if (conf.sessionLocalTimeZone != buildZone) return None
-    val rollRel = rollupRelationFor(rollupPath).getOrElse(return None)
+    val rollRel = rollupRelations.relationFor(rollupPath).getOrElse(return None)
     val roll: Map[String, Attribute] = rollRel.output.map(a => a.name -> a).toMap
     if (!Seq("day", "state").forall(roll.contains)) return None
-    val rawName: Map[ExprId, String] = lr.output.map(a => a.exprId -> a.name).toMap
-
-    def isRawAttr(e: Expression, name: String): Boolean = e match {
-      case a: AttributeReference => rawName.get(a.exprId).contains(name)
-      case _ => false
-    }
-
-    // the normalized event timestamp in every generation Tables.events
-    // produces: a plain ts attribute (timestamp files), cast-from-NTZ,
-    // or timestamp_micros(ts div 1000) (nanos-as-long files)
-    def isNormalizedTs(e: Expression): Boolean = e match {
-      case a: AttributeReference => isRawAttr(a, "ts")
-      case c: Cast if c.dataType == TimestampType &&
-          c.timeZoneId.forall(_ == buildZone) => isNormalizedTs(c.child)
-      case m: MicrosToTimestamp => m.child match {
-        case d: IntegralDivide =>
-          isRawAttr(d.left, "ts") && (d.right match {
-            case Literal(v: Long, LongType) => v == 1000L
-            case Literal(v: Int, IntegerType) => v == 1000
-            case _ => false
-          })
-        case _ => false
-      }
-      case _ => false
-    }
-
-    // the rollup's day grain: to_date(ts) — Cast to DateType after the
-    // optimizer replaced ParseToDate (groupings may still carry an alias
-    // when this rule runs before RemoveRedundantAliases settles). The
-    // cast's OWN timeZoneId must be the build zone too — a resolver-
-    // stamped foreign zone buckets days differently even when the
-    // session zone matches (review-found, r13 ADVICE)
-    def isDayOfTs(e: Expression): Boolean = e match {
-      case al: Alias => isDayOfTs(al.child)
-      case c: Cast if c.dataType == DateType &&
-          c.timeZoneId.forall(_ == buildZone) => isNormalizedTs(c.child)
-      case _ => false
-    }
+    val m = RouteSupport.TsMatchers(
+      lr.output.map(a => a.exprId -> a.name).toMap, buildZone)
+    import m.{isRawAttr, isDayOfTs}
 
     // the exact h60-of-user_id chain q_distinct_approx hashes with
     // (TextOps.h60): conv(substring(md5(user_id::string::binary),1,15),

@@ -43,14 +43,6 @@ object QuantileRoute extends Rule[LogicalPlan] {
     */
   private val routes = TrieMap[String, (String, String)]()
 
-  private def sessionZone(spark: SparkSession): String =
-    spark.sessionState.conf.sessionLocalTimeZone
-
-  private def canon(spark: SparkSession, path: String): String = {
-    val hp = new org.apache.hadoop.fs.Path(path)
-    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).makeQualified(hp).toString
-  }
-
   /** The maintained rollup: one row per (event_type, day) holding the
     * EXACT value histogram of that day's readings — the same partial
     * the declared query's inner aggregate computes, so serving it is
@@ -80,6 +72,7 @@ object QuantileRoute extends Rule[LogicalPlan] {
       newEvents: DataFrame): Unit = {
     import org.apache.spark.sql.functions._
     graft.functions.VectorFunctions.ensureRegistered(spark)
+    RouteSupport.requireWriteZone(spark, rollupPath, "quantile rollup")
     val delta = rollupOf(newEvents)
     val dayRows = delta.select("day").distinct().collect()
     val days = dayRows.filterNot(_.isNullAt(0)).map(_.getDate(0)).toSeq
@@ -108,11 +101,11 @@ object QuantileRoute extends Rule[LogicalPlan] {
 
   def register(spark: SparkSession, rawPath: String,
       rollupPath: String): Unit =
-    routes.put(canon(spark, rawPath),
-      (rollupPath, sessionZone(spark))): Unit
+    routes.put(RouteSupport.canon(spark, rawPath),
+      (rollupPath, RouteSupport.sessionZone(spark))): Unit
 
   def deregister(spark: SparkSession, rawPath: String): Unit =
-    routes.remove(canon(spark, rawPath)): Unit
+    routes.remove(RouteSupport.canon(spark, rawPath)): Unit
 
   /** Build (once per dataset fingerprint × session zone, at ingest) the
     * per-(type, day) histogram rollup, register raw→rollup, and enable
@@ -120,22 +113,10 @@ object QuantileRoute extends Rule[LogicalPlan] {
     * [[KmvRoute.ensureArtifacts]] shape.
     */
   def ensureArtifacts(spark: SparkSession, dir: String): String = {
-    val zone = sessionZone(spark)
-    val zoneKey = zone.replaceAll("[^A-Za-z0-9._-]", "_")
-    val base = graft.operators.Artifacts.datasetRoot(dir, "events",
-      s"qhist_route_v1_z$zoneKey")
-    val roll = s"$base/rollup"
-    def complete(p: String): Boolean =
-      new java.io.File(s"$p/rollup/_SUCCESS").exists() &&
-        graft.operators.Artifacts.parseKvFile(new java.io.File(s"$p/_meta"))
-          .exists(_.get("zone").contains(zone))
-    val existed =
-      new java.io.File(s"$base/_SUCCESS").exists() && complete(base)
-    graft.operators.Artifacts.ensureRoot(base)(complete) { tmp =>
+    val (roll, existed) = RouteSupport.zonedRollupEnsure(spark, dir,
+      "qhist_route_v1") { tmp =>
       rollupOf(graft.Tables.events(spark, dir)).coalesce(1)
         .write.partitionBy("day").parquet(s"$tmp/rollup")
-      java.nio.file.Files.write(new java.io.File(s"$tmp/_meta").toPath,
-        s"zone=$zone\n".getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
     }
     this.synchronized {
       if (!existed) invalidate(roll)
@@ -167,20 +148,11 @@ object QuantileRoute extends Rule[LogicalPlan] {
         spark.experimental.extraOptimizations :+ this
   }
 
-  // resolved-once rollup relations (see LtsRoute.ltsRelations for why)
-  private val rollupRelations = TrieMap[String, LogicalRelation]()
+  // resolved-once rollup relations (shared scaffold)
+  private val rollupRelations = new RouteSupport.RelationCache
 
   def invalidate(rollupPath: String): Unit =
-    rollupRelations.remove(rollupPath): Unit
-
-  private def rollupRelationFor(path: String): Option[LogicalRelation] =
-    rollupRelations.get(path).orElse {
-      val rel = SparkSession.active.read.parquet(path)
-        .queryExecution.analyzed
-        .collectFirst { case l: LogicalRelation => l }
-      rel.foreach(rollupRelations.put(path, _))
-      rel
-    }.map(_.newInstance())
+    rollupRelations.invalidate(rollupPath)
 
   private def routeFor(lr: LogicalRelation): Option[(String, String)] =
     lr.relation match {
@@ -193,25 +165,14 @@ object QuantileRoute extends Rule[LogicalPlan] {
     case agg: Aggregate => rewrite(agg).getOrElse(agg)
   }
 
-  /** Same Project-inlining dance as [[KmvRoute.rewrite]]. */
+  /** Same Project-inlining dance as [[KmvRoute.rewrite]] (the shared
+    * [[RouteSupport.inlineProject]] preamble). */
   private def rewrite(agg: Aggregate): Option[LogicalPlan] = agg.child match {
     case lr: LogicalRelation =>
       routeFor(lr).flatMap { case (p, z) => buildRewrite(agg, lr, p, z) }
     case Project(projList, lr: LogicalRelation) =>
-      val aliasOf = projList.collect {
-        case al: Alias => al.toAttribute.exprId -> al.child
-      }.toMap
-      def inline(e: Expression): Expression = e.transformUp {
-        case a: AttributeReference if aliasOf.contains(a.exprId) => aliasOf(a.exprId)
-      }
-      val inlined = Aggregate(
-        agg.groupingExpressions.map(inline),
-        agg.aggregateExpressions.map(ne => inline(ne) match {
-          case n: NamedExpression => n
-          case other => Alias(other, ne.name)(exprId = ne.exprId)
-        }),
-        lr)
-      routeFor(lr).flatMap { case (p, z) => buildRewrite(inlined, lr, p, z) }
+      routeFor(lr).flatMap { case (p, z) =>
+        buildRewrite(RouteSupport.inlineProject(agg, projList, lr), lr, p, z) }
     case _ => None
   }
 
@@ -220,40 +181,12 @@ object QuantileRoute extends Rule[LogicalPlan] {
     // a foreign-zone session's to_date grain is a DIFFERENT grouping
     // than the stored day buckets — the raw scan is its correct answer
     if (conf.sessionLocalTimeZone != buildZone) return None
-    val rollRel = rollupRelationFor(rollupPath).getOrElse(return None)
+    val rollRel = rollupRelations.relationFor(rollupPath).getOrElse(return None)
     val roll: Map[String, Attribute] = rollRel.output.map(a => a.name -> a).toMap
     if (!Seq("event_type", "day", "state").forall(roll.contains)) return None
-    val rawName: Map[ExprId, String] = lr.output.map(a => a.exprId -> a.name).toMap
-
-    def isRawAttr(e: Expression, name: String): Boolean = e match {
-      case a: AttributeReference => rawName.get(a.exprId).contains(name)
-      case _ => false
-    }
-
-    // the normalized event timestamp in every generation Tables.events
-    // produces (the KmvRoute patterns verbatim)
-    def isNormalizedTs(e: Expression): Boolean = e match {
-      case a: AttributeReference => isRawAttr(a, "ts")
-      case c: Cast if c.dataType == TimestampType &&
-          c.timeZoneId.forall(_ == buildZone) => isNormalizedTs(c.child)
-      case m: MicrosToTimestamp => m.child match {
-        case d: IntegralDivide =>
-          isRawAttr(d.left, "ts") && (d.right match {
-            case Literal(v: Long, LongType) => v == 1000L
-            case Literal(v: Int, IntegerType) => v == 1000
-            case _ => false
-          })
-        case _ => false
-      }
-      case _ => false
-    }
-
-    def isDayOfTs(e: Expression): Boolean = e match {
-      case al: Alias => isDayOfTs(al.child)
-      case c: Cast if c.dataType == DateType &&
-          c.timeZoneId.forall(_ == buildZone) => isNormalizedTs(c.child)
-      case _ => false
-    }
+    val m = RouteSupport.TsMatchers(
+      lr.output.map(a => a.exprId -> a.name).toMap, buildZone)
+    import m.{isRawAttr, isDayOfTs}
 
     def isTypeAttr(e: Expression): Boolean = e match {
       case al: Alias => isTypeAttr(al.child)

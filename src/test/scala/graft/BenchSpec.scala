@@ -44,7 +44,7 @@ class BenchSpec extends AnyFunSuite {
 
   test("the overflow policy degrades name length instead of clipping, " +
       "and keeps today's stable names at today's costs") {
-    // TODAY's full surface (126 queries, r13) with every query at 4 ms
+    // TODAY's full surface (127 queries, r14) with every query at 4 ms
     // digits — the heavy-host-noise shape this round actually produced:
     // the rendered line must still fit with every query present (names
     // shrink to the 4-char base + minimal collision extensions; the +1

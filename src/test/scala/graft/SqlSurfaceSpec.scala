@@ -48,6 +48,10 @@ class SqlSurfaceSpec extends AnyFunSuite {
       === rows(operators.EventOps.tagFilter(spark, dir)))
     assert(rows(SqlFrontDoor.sqlDistinctApprox(spark, dir))
       === rows(operators.EventOps.distinctApprox(spark, dir)))
+    // the r14 quantile-summary twin: SQL-parsed inner aggregate routed
+    // onto the same maintained histogram rollup, same rows
+    assert(rows(SqlFrontDoor.sqlPercentilesApprox(spark, dir))
+      === rows(operators.EventOps.valuePercentilesApprox(spark, dir)))
   }
 
   test("the SQL-authored BM25 face returns the index-served DSL face's " +

@@ -114,6 +114,33 @@ class VectorIndexSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { VectorIndex.appendTo(root, a) }
   }
 
+  test("a pre-r14 artifact (no model fingerprint in _meta) is healed by " +
+      "recover's one-time backfill — maintenance resumes instead of " +
+      "stranding the stream maintainer behind the cascade refusal") {
+    val root = java.nio.file.Files.createTempDirectory("graft-vidxleg").toString
+    val a = embAll().filter(col("vec_id") % 5 === 1)
+    VectorIndex.buildInto(root, a, maxBucket = 64, bits = 6)
+    // simulate the pre-r14 meta: strip the model line
+    val metaPath = new java.io.File(s"$root/index", "_meta")
+    val legacyBody = new String(java.nio.file.Files.readAllBytes(
+      metaPath.toPath), "UTF-8").linesIterator
+      .filterNot(_.startsWith("model=")).mkString("", "\n", "\n")
+    java.nio.file.Files.write(metaPath.toPath, legacyBody.getBytes("UTF-8"))
+    // without recover, the gate refuses (the cascade posture)
+    val e = intercept[IllegalArgumentException] {
+      VectorIndex.load(spark, root)
+    }
+    assert(e.getMessage.contains("cascade"), e.getMessage)
+    // the maintenance entry backfills the CURRENT fingerprint (sound:
+    // the code space never moved without a coder bump) and serving and
+    // appends resume
+    VectorIndex.recover(root)
+    assert(VectorIndex.modelOf(root)
+      .contains(VectorIndex.modelFpFor(VectorIndex.coderFloat)))
+    assert(VectorIndex.load(spark, root)._1.count() > 0)
+    VectorIndex.appendTo(root, embAll().filter(col("vec_id") % 5 === 3))
+  }
+
   test("a torn artifact (unreadable in-tree meta) refuses every reader and " +
       "heals by rebuild at ANY parameters — meta publishes with its data") {
     val root = java.nio.file.Files.createTempDirectory("graft-vidxc").toString

@@ -160,6 +160,25 @@ class KmvRouteSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.session.timeZone", zone0)
   }
 
+  test("the WRITE path is zone-gated too: upsertRollup on an " +
+      "ensure-built rollup refuses a foreign-zone maintainer session") {
+    import spark.implicits._
+    val roll = KmvRoute.ensureArtifacts(spark, dir)
+    val zone0 = spark.conf.get("spark.sql.session.timeZone")
+    val other = if (zone0 == "Pacific/Kiritimati") "America/Anchorage"
+                else "Pacific/Kiritimati"
+    val delta = Seq(("2024-01-03 10:00:00", "u1"))
+      .toDF("ts0", "user_id")
+      .select(col("ts0").cast("timestamp").as("ts"), col("user_id"))
+    try {
+      spark.conf.set("spark.sql.session.timeZone", other)
+      val e = intercept[IllegalArgumentException] {
+        KmvRoute.upsertRollup(spark, roll, delta, 64)
+      }
+      assert(e.getMessage.contains("zone"), e.getMessage)
+    } finally spark.conf.set("spark.sql.session.timeZone", zone0)
+  }
+
   test("upsertRollup folds the existing NULL-day state — dynamic " +
       "overwrite of the null partition must not lose previously-folded " +
       "hashes") {

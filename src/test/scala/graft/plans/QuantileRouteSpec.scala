@@ -161,6 +161,27 @@ class QuantileRouteSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.session.timeZone", zone0)
   }
 
+  test("the WRITE path is zone-gated too: upsertRollup on an " +
+      "ensure-built rollup refuses a foreign-zone maintainer session " +
+      "before touching any partition") {
+    import spark.implicits._
+    val roll = QuantileRoute.ensureArtifacts(spark, dir)
+    val zone0 = spark.conf.get("spark.sql.session.timeZone")
+    val other = if (zone0 == "Pacific/Kiritimati") "America/Anchorage"
+                else "Pacific/Kiritimati"
+    val delta = Seq(("2024-01-03 10:00:00", "click", 1.0))
+      .toDF("ts0", "event_type", "value")
+      .select(col("ts0").cast("timestamp").as("ts"),
+        col("event_type"), col("value"))
+    try {
+      spark.conf.set("spark.sql.session.timeZone", other)
+      val e = intercept[IllegalArgumentException] {
+        QuantileRoute.upsertRollup(spark, roll, delta)
+      }
+      assert(e.getMessage.contains("zone"), e.getMessage)
+    } finally spark.conf.set("spark.sql.session.timeZone", zone0)
+  }
+
   test("malformed histogram state refuses LOUDLY — null elements and " +
       "non-positive weights never skew an estimate silently") {
     import spark.implicits._
