@@ -1321,6 +1321,111 @@ object ScaleProbe {
       s""""bound":${maxSegments + 1},"convergent":$convergent}""")
   }
 
+  /** Maintained-AnnServing endurance ladder (r14 — family parity for
+    * the newest maintained family, the round's own rule: every
+    * maintained artifact carries a measured ladder from birth): ONE
+    * long-running [[graft.streaming.VectorStream.annServingAppendStream]]
+    * maintainer at the IVF assignment family, fed 25+ fixed-size
+    * micro-batches of (vec_id, embedding, label) rows under the
+    * maxSegments=8 list-local auto-compaction policy. Reports the
+    * family-standard gauges: (a) per-batch append latency early vs late
+    * (must stay flat — each append is a slice-sized map-only
+    * assign-to-existing-list pass, never a corpus re-read); (b) the
+    * per-list segment bound held; (c) compaction count + median
+    * compact-batch latency; (d) after EACH compaction, the artifact's
+    * (nid, cid, label) set re-pinned against the direct full assignment
+    * over everything folded so far — exact convergence is the
+    * value-idempotence argument (cid is a pure function of
+    * (vector, codebook), the codebook is pinned for the stream's life);
+    * (e) serving latency sampled through the gate-checked
+    * [[graft.operators.AnnServing.load]] path every 5 batches.
+    */
+  private def annServingEnduranceProbe(spark: SparkSession,
+      base: String): Seq[String] = {
+    import graft.operators.{AnnServing, VectorOps}
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    val maxSegments = 8
+    val d = s"$base/emb_annserv"
+    synthesizeEmb(spark, d, 20000L)
+    val all = spark.read.parquet(s"$d/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val rows = all.as[(Long, Seq[Float], Int)].collect().sortBy(_._1)
+    val (baseRows, incoming) = rows.splitAt(rows.length / 3)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-annserv-endurance").toString
+    val model = VectorOps.ivfModelFp(spark, d)
+    def framed(rs: Seq[(Long, Seq[Float], Int)]) =
+      rs.toDF("vec_id", "embedding", "label")
+    AnnServing.buildInto(root,
+      VectorOps.ivfAssignedRows(spark, d, framed(baseRows.toSeq)),
+      AnnServing.Ivf, model)
+
+    def rebuildKeys(upTo: Int): Set[(Long, Int, Int)] =
+      VectorOps.ivfAssignedRows(spark, d,
+        framed((baseRows ++ incoming.take(upTo)).toSeq))
+        .select(col("nid"), col("cid"), col("label"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    def artifactKeys(): Set[(Long, Int, Int)] = {
+      spark.catalog.refreshByPath(AnnServing.assignDir(root))
+      spark.read.parquet(AnnServing.assignDir(root))
+        .dropDuplicates("nid")
+        .select(col("nid"), col("cid").cast("int"), col("label"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    }
+    val servingLat = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def sampleServing(): Unit = {
+      spark.catalog.refreshByPath(AnnServing.assignDir(root))
+      val t0 = System.nanoTime()
+      AnnServing.load(spark, root, AnnServing.Ivf, model).count(): Unit
+      servingLat += (System.nanoTime() - t0) / 1e9
+    }
+
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, Seq[Float], Int)]
+    val stream = mem.toDS
+      .select(col("_1").as("vec_id"), col("_2").as("embedding"),
+        col("_3").as("label"))
+    val q = graft.streaming.VectorStream
+      .annServingAppendStream(stream, root, AnnServing.Ivf, d, maxSegments)
+      .start()
+    var folded = 0
+    val per = math.max(incoming.length / 24, 1)
+    val slices = incoming.grouped(per).toSeq.map(slice => () => {
+      mem.addData(slice.toSeq: _*)
+      q.processAllAvailable()
+      folded += slice.length
+    })
+    val (appendLat, compactLat, maxSeg, compactions, convergent) =
+      try runLadder(slices,
+        () => parquetFilesByDir(AnnServing.assignDir(root), "cid="),
+        () => AnnServing.segments(root),
+        () => artifactKeys() == rebuildKeys(folded),
+        sampleServing _)
+      finally q.stop()
+    val early = median(appendLat.take(4))
+    val late = median(appendLat.takeRight(4))
+    val cMed = if (compactLat.isEmpty) 0.0 else median(compactLat)
+    val sEarly = median(servingLat.take(2).toSeq)
+    val sLate = median(servingLat.takeRight(2).toSeq)
+    println(f"[scaleprobe] annserving_endurance batches=${appendLat.size + compactions} " +
+      f"append early=$early%5.2fs late=$late%5.2fs ratio=${late / early}%4.2f " +
+      f"compactions=$compactions (compact-batch median $cMed%5.2fs) " +
+      f"maxSeg=$maxSeg/${maxSegments + 1} convergent=$convergent " +
+      f"serving early=$sEarly%5.2fs late=$sLate%5.2fs")
+    require(convergent,
+      "ANN serving table diverged from the full assignment after a compaction")
+    require(maxSeg <= maxSegments + 1,
+      s"segment bound violated: $maxSeg > ${maxSegments + 1}")
+    Seq(s""""annserving_endurance":{"append_early":$early,"append_late":$late,""" +
+      s""""ratio":${late / early},"compactions":$compactions,""" +
+      s""""compact_batch_median":$cMed,"max_segments":$maxSeg,""" +
+      s""""bound":${maxSegments + 1},"convergent":$convergent,""" +
+      s""""serving_early":$sEarly,"serving_late":$sLate}""")
+  }
+
   /** Maintained-WinnowIndex endurance ladder at PRODUCTION WIDTH (r12 —
     * the `--vindex-endurance` analog the r11 verdict asked for): ONE
     * long-running [[graft.streaming.WinnowStream.appendStream]]
@@ -1909,6 +2014,11 @@ object ScaleProbe {
     if (args.sameElements(Array("--trainedann-endurance"))) {
       val rows = trainedAnnEnduranceProbe(spark, base)
       println(s"""{"metric":"scaleprobe_trainedann_endurance",${rows.mkString(",")}}""")
+      spark.stop(); return
+    }
+    if (args.sameElements(Array("--annserving-endurance"))) {
+      val rows = annServingEnduranceProbe(spark, base)
+      println(s"""{"metric":"scaleprobe_annserving_endurance",${rows.mkString(",")}}""")
       spark.stop(); return
     }
     if (args.sameElements(Array("--vindex-endurance"))) {

@@ -8,15 +8,22 @@ import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Proj
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.types.{DateType, IntegerType, LongType, TimestampType}
-import graft.functions.QHistStateAgg
+import graft.functions.{QHistMergeStateAgg, QHistStateAgg}
 
 /** QUANTILE-PARTIAL materialized-view routing (r14) — [[KmvRoute]]'s
   * sketch-routing pattern extended to rank statistics: the per-type
   * percentile panel (q_percentiles_approx) derives from per-(type, day)
   * EXACT value histograms ([[graft.functions.QHistStateAgg]]), and a
   * registered events table gets a companion rollup of those states so
-  * the INNER aggregate of the two-level sketch query is rewritten to a
-  * rollup SCAN — #days × #types stored rows instead of the corpus.
+  * the INNER aggregate of the two-level sketch query is rewritten onto
+  * the rollup — #days × #types stored rows instead of the corpus. The
+  * rewrite emits a MERGE aggregate over the stored states (not a bare
+  * scan): a compacted rollup holds one state per (type, day) and the
+  * merge is a per-row no-op, while a continuously-maintained rollup
+  * holds one TAGGED segment state per streamed batch between
+  * compactions ([[appendRollup]] / [[graft.streaming.RollupStream]]),
+  * and the monoid re-merge restores the inner aggregate's
+  * one-row-per-group contract for any consumer either way.
   *
   * Exactness is the histogram monoid, one step STRONGER than KMV's
   * merge-closure: where a stream-built quantile sketch (GK/KLL) is
@@ -98,6 +105,118 @@ object QuantileRoute extends Rule[LogicalPlan] {
       invalidate(rollupPath)
     }
   }
+
+  /** BLIND tagged-segment append — the maintenance entry a STREAMING
+    * maintainer runs per micro-batch ([[graft.streaming.RollupStream]]):
+    * the batch's per-(type, day) states land as ONE new tagged file per
+    * touched day dir (staged write + per-file rename — no read of
+    * existing state, no day-partition overwrite: O(batch) work however
+    * large the rollup), and the route's re-merge aggregate folds
+    * segments back to one state per group at read. Histogram states
+    * are ADDITIVE (bag rows — the TagIndex class, not the KMV
+    * multiplicity-invariant class), so replay-exactness comes from the
+    * file-tag protocol: with `appendTag` = (streamId, batchId) a replay
+    * first DELETES files carrying its own tag, converging every crash
+    * point to exactly-once. Untagged appends get a unique adhoc tag and
+    * require an exactly-once caller.
+    */
+  def appendRollup(spark: SparkSession, rollupPath: String,
+      newEvents: DataFrame,
+      appendTag: Option[(String, String)] = None): Unit = {
+    import graft.operators.Artifacts
+    require(new java.io.File(rollupPath).isDirectory,
+      s"appendRollup on $rollupPath with no rollup — build it first")
+    RouteSupport.requireWriteZone(spark, rollupPath, "quantile rollup")
+    recoverRollup(rollupPath)
+    val prefix = appendTag match {
+      case Some((s, b)) =>
+        s"seg-${Artifacts.tagEnc(s)}-${Artifacts.tagEnc(b)}-"
+      case None => s"seg-adhoc-${java.util.UUID.randomUUID()}-"
+    }
+    if (appendTag.isDefined)
+      Artifacts.deleteTaggedFiles(rollupPath, "day=", prefix)
+    publishDelta(rollupPath, newEvents, prefix)
+  }
+
+  /** The staged-write half of a tagged append, shared by
+    * [[appendRollup]] and [[maintainRollup]].
+    */
+  private def publishDelta(rollupPath: String, newEvents: DataFrame,
+      prefix: String): Unit = {
+    import graft.operators.Artifacts
+    val stage = s"$rollupPath.tmp-stage-${java.util.UUID.randomUUID()}"
+    rollupOf(newEvents).coalesce(1)
+      .write.partitionBy("day").parquet(stage)
+    Artifacts.publishStagedFiles(stage, rollupPath, "day=", prefix)
+    Artifacts.rmTree(new java.io.File(stage))
+    invalidate(rollupPath)
+  }
+
+  /** The per-batch STREAMING maintenance entry
+    * ([[graft.streaming.RollupStream.qhistAppendStream]]): delete-own-tag
+    * → day-local compaction → tagged blind append, IN THAT ORDER — the
+    * ordering is what keeps the crash-replay of the CURRENT batch exact
+    * with auto-compaction on. Compaction folds tagged segments into
+    * untagged files (losing their tags), so it must only ever fold
+    * COMMITTED batches' tags — and Structured Streaming replays only
+    * the last uncommitted batch (the TextIndex postings contract:
+    * "maintainers must not replay batches older than their last
+    * compaction"). A replay entering here first removes its own crashed
+    * attempt's residue, THEN compacts (folding only ≤ N−1 committed
+    * tags), then re-appends fresh. Compaction-after-append would
+    * instead fold batch N's own tag before its commit, leaving a crash
+    * window where the replay finds nothing to delete and double-counts.
+    */
+  def maintainRollup(spark: SparkSession, rollupPath: String,
+      newEvents: DataFrame, tag: (String, String),
+      maxSegments: Int = 8): Unit = {
+    import graft.operators.Artifacts
+    require(new java.io.File(rollupPath).isDirectory,
+      s"maintainRollup on $rollupPath with no rollup — build it first")
+    RouteSupport.requireWriteZone(spark, rollupPath, "quantile rollup")
+    recoverRollup(rollupPath)
+    val prefix = s"seg-${Artifacts.tagEnc(tag._1)}-${Artifacts.tagEnc(tag._2)}-"
+    Artifacts.deleteTaggedFiles(rollupPath, "day=", prefix)
+    if (rollupSegments(rollupPath) > maxSegments)
+      compactDays(spark, rollupPath, maxSegments)
+    publishDelta(rollupPath, newEvents, prefix)
+  }
+
+  /** DAY-LOCAL segment compaction — the family-standard read-economy
+    * restorer: every day dir past `maxSegments` files is re-merged to
+    * ONE state row per (type, day) (the exact counter-add re-fold — the
+    * same multiset by the monoid, so routed answers are untouched) and
+    * swapped in atomically through the shared crash protocol.
+    */
+  def compactDays(spark: SparkSession, rollupPath: String,
+      maxSegments: Int = 1): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Artifacts
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    recoverRollup(rollupPath)
+    val dirs = Artifacts.overweightDirs(rollupPath, "day=", maxSegments)
+    if (dirs.isEmpty) return
+    val stage = s"$rollupPath.tmp-stage-${java.util.UUID.randomUUID()}"
+    spark.read.option("basePath", rollupPath)
+      .parquet(dirs.map(_.getPath).toSeq: _*)
+      .groupBy("event_type", "day")
+      .agg(graft.functions.VectorFunctions.qhistMergeState(col("state"))
+        .as("state"))
+      .coalesce(1)
+      .write.partitionBy("day").parquet(stage)
+    Artifacts.swapStagedDirs(spark, stage, dirs.toSeq)
+    invalidate(rollupPath)
+  }
+
+  /** Heal a crashed day-dir swap — call at maintenance entry. */
+  def recoverRollup(rollupPath: String): Unit =
+    graft.operators.Artifacts.recoverDirSwaps(rollupPath, "day=")
+
+  /** MAX parquet file count across day dirs — the segment proxy a
+    * continuous maintainer bounds.
+    */
+  private[graft] def rollupSegments(rollupPath: String): Int =
+    graft.operators.Artifacts.maxSegmentsIn(rollupPath, "day=")
 
   def register(spark: SparkSession, rawPath: String,
       rollupPath: String): Unit =
@@ -214,11 +333,18 @@ object QuantileRoute extends Rule[LogicalPlan] {
         case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
           ae.aggregateFunction match {
             case st: QHistStateAgg if isRawAttr(st.child, "value") =>
-              // the rollup row IS this group's state (one row per
-              // (type, day) by construction), so the aggregate
-              // disappears entirely — a pruned scan replaces it
-              Alias(roll("state"), al.name)(exprId = al.exprId,
-                qualifier = al.qualifier)
+              // the group's state is the MERGE of its stored segment
+              // rows: one row per (type, day) on a compacted rollup,
+              // but a maintained rollup holds one TAGGED segment state
+              // per streamed batch between compactions
+              // ([[appendRollup]]), so the sound substitution is the
+              // monoid re-merge, which restores the inner aggregate's
+              // one-row-per-group contract for ANY consumer — still a
+              // rollup-sized read (the re-merge groups #stored rows,
+              // never the corpus)
+              Alias(ae.copy(aggregateFunction =
+                QHistMergeStateAgg(roll("state"))), al.name)(
+                exprId = al.exprId, qualifier = al.qualifier)
             case _ => ok = false; al
           }
         case _ => ok = false; al
@@ -227,7 +353,8 @@ object QuantileRoute extends Rule[LogicalPlan] {
     }
     val leftover = newProj
       .flatMap(_.references).exists(lr.outputSet.contains)
-    if (ok && !leftover) Some(Project(newProj, rollRel))
+    if (ok && !leftover)
+      Some(Aggregate(Seq(roll("event_type"), roll("day")), newProj, rollRel))
     else None
   }
 }

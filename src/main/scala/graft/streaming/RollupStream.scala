@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+
+/** Streaming MATERIALIZED-VIEW maintenance for the day-grain route
+  * rollups (r14) — the ingest face of [[graft.plans.KmvRoute]] and
+  * [[graft.plans.QuantileRoute]], completing the maintainer symmetry
+  * across every maintained artifact class: the index families had
+  * streaming appendStreams since r11-r13, the trained models got their
+  * probe/refit stream this round, and the routed sketch rollups — the
+  * states the dashboard queries actually read — were batch-upsert-only.
+  * With these, events folding in through a micro-batch stream keep the
+  * routed faces (q_distinct_approx, q_percentiles_approx and their SQL
+  * twins) fresh at rollup-sized maintenance cost per batch.
+  *
+  * Replay semantics differ BY SKETCH ALGEBRA, and each maintainer uses
+  * the cheapest protocol its algebra admits:
+  *  - KMV states are MULTIPLICITY-INVARIANT (k-minima of a hash SET):
+  *    a re-delivered batch folds the same hashes into the same minima,
+  *    so the plain read-merge-overwrite upsert is already exactly-once
+  *    under at-least-once delivery — no tags, no ledger
+  *    ([[kmvUpsertStream]]).
+  *  - Histogram states are ADDITIVE (bag rows — the TagIndex class):
+  *    a re-delivered batch would double-count, so the maintainer uses
+  *    the file-tag protocol ([[graft.plans.QuantileRoute.appendRollup]]
+  *    with tag = (streamId, batchId)): a replay first deletes its own
+  *    tagged segment files, converging every crash point to
+  *    exactly-once; the route's re-merge aggregate folds the per-batch
+  *    segments at read and [[graft.plans.QuantileRoute.compactDays]]
+  *    restores file economy past `maxSegments` ([[qhistAppendStream]]).
+  *
+  * 100 TB posture: both maintainers do O(batch) work per batch. The
+  * qhist append never reads existing state at all (blind tagged
+  * segment publish); the KMV upsert reads only the touched days' state
+  * rows (#batch-days rows — KBs). Neither re-reads the corpus, and the
+  * routed READ cost stays rollup-sized between and during maintenance.
+  */
+object RollupStream {
+
+  /** Per-batch KMV rollup maintenance: each micro-batch of raw events
+    * upserts the maintained per-day KMV states at `rollupPath`
+    * ([[graft.plans.KmvRoute.upsertRollup]] — touched-days-only
+    * read-merge-overwrite, zone-gated). Safe under at-least-once
+    * delivery with NO dedup machinery: multiplicity-invariance makes
+    * the upsert idempotent per batch (spec-pinned).
+    */
+  def kmvUpsertStream(events: DataFrame, rollupPath: String, k: Int)
+      : org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    events.writeStream.outputMode("append").foreachBatch {
+      (batch: Dataset[Row], _: Long) =>
+        if (!batch.isEmpty)
+          graft.plans.KmvRoute.upsertRollup(batch.sparkSession,
+            rollupPath, batch.toDF(), k)
+    }
+
+  /** Per-batch quantile-histogram rollup maintenance: each micro-batch
+    * publishes its per-(type, day) histogram states as ONE tagged
+    * segment file per touched day dir
+    * ([[graft.plans.QuantileRoute.maintainRollup]], tag =
+    * (`streamId`, batchId) — the replay-exact file-tag protocol for
+    * additive states, with the delete-own-tag → compact → append
+    * ordering that keeps a crash-replay of the current batch exact
+    * even with the day-local auto-compaction firing past `maxSegments`
+    * files). `streamId` must be stable across restarts of the same
+    * checkpointed stream (Structured Streaming replays a failed batch
+    * under the SAME batchId, which is exactly what the tag overwrite
+    * keys on) and unique across distinct streams feeding one rollup.
+    */
+  def qhistAppendStream(events: DataFrame, rollupPath: String,
+      streamId: String, maxSegments: Int = 8)
+      : org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    events.writeStream.outputMode("append").foreachBatch {
+      (batch: Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.plans.QuantileRoute.maintainRollup(batch.sparkSession,
+            rollupPath, batch.toDF(), (streamId, batchId.toString),
+            maxSegments)
+    }
+}

@@ -186,6 +186,43 @@ object VectorStream {
         }
     }
 
+  /** Continuous ANN SERVING-TABLE maintenance (r14 — the ingest face of
+    * [[graft.operators.AnnServing]], the [[appendStream]] lifecycle at
+    * the IVF/PQ assignment families): each micro-batch of
+    * (vec_id, embedding) rows runs the family's ONE assignment
+    * projection under `dir`'s codebook ([[graft.operators.AnnServing
+    * .Family.rowsOf]] — slice-sized, map-only: new vectors take their
+    * nearest EXISTING list, the assign-on-append policy) and folds into
+    * the maintained table via [[graft.operators.AnnServing.appendTo]],
+    * with crash-swap recovery at batch entry and LIST-LOCAL
+    * auto-compaction past `maxSegments` files per `cid=` dir. The model
+    * fingerprint is pinned ONCE at stream start: a codebook regenerated
+    * mid-stream makes the next append REFUSE loudly (the cascade rule
+    * on the write side — stale-model rows must never fold into a
+    * rebuilt table) instead of silently mixing code spaces; restart the
+    * maintainer after the cascade rebuild, like every sibling family
+    * gate. Replay-safe by VALUE: a re-delivered batch appends duplicate
+    * rows, which serving dedupes and compaction collapses.
+    */
+  def annServingAppendStream(emb: DataFrame, root: String,
+      family: graft.operators.AnnServing.Family, dir: String,
+      maxSegments: Int = 8)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val model = family.modelFpOf(emb.sparkSession, dir)
+    emb.writeStream.outputMode("append").foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.AnnServing.recover(root)
+          graft.operators.AnnServing.appendTo(root,
+            family.rowsOf(batch.sparkSession, dir, batch.toDF()),
+            family, model)
+          if (graft.operators.AnnServing.segments(root) > maxSegments)
+            graft.operators.AnnServing.compactLists(root,
+              batch.sparkSession, family, model, maxSegments)
+        }
+    }
+  }
+
   /** Continuous TRAINED-MODEL maintenance (r14 — the drift lifecycle
     * running where production runs it, closing the loop on
     * [[graft.operators.TrainedAnn]]'s r13 probe/refit rule): each

@@ -129,6 +129,62 @@ class QuantileRouteSpec extends AnyFunSuite {
     assert(got(("error", "<null>")).map(_._2).sum == 2L)
   }
 
+  test("a SEGMENTED rollup (tagged streaming appends, pre-compaction) " +
+      "routes and answers bit-identically to the raw recompute — the " +
+      "re-merge aggregate restores one-state-per-group for any consumer") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-qseg-ds").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      java.nio.file.Paths.get(s"$d/events.parquet")): Unit
+    val ev = graft.Tables.events(spark, d)
+    val base = ev.filter(col("event_id") % 3 =!= 0)
+    val delta = ev.filter(col("event_id") % 3 === 0)
+    val roll = java.nio.file.Files
+      .createTempDirectory("graft-qseg-roll").toString + "/rollup"
+    QuantileRoute.rollupOf(base).coalesce(1)
+      .write.partitionBy("day").parquet(roll)
+    // the blind tagged append leaves a SECOND segment file in every
+    // touched day dir — the exact state a continuously-maintained
+    // rollup serves from between compactions
+    QuantileRoute.appendRollup(spark, roll, delta, Some(("qseg", "0")))
+    assert(QuantileRoute.rollupSegments(roll) > 1)
+    QuantileRoute.enable(spark)
+    QuantileRoute.register(spark, s"$d/events.parquet", roll)
+    try {
+      def shape() = ev.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(graft.functions.VectorFunctions.qhistState(col("value"))
+          .as("state"))
+      def summary(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        df.groupBy("event_type")
+          .agg(graft.functions.VectorFunctions.qhistPercentiles(
+            col("state"), Seq(5000, 9500, 9900), 2048).as("ps"))
+          .orderBy("event_type").collect().toSeq.map(_.toString)
+      val routed = shape()
+      assert(routed.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if lr.relation.asInstanceOf[
+            org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+            .location.rootPaths.exists(_.toString.contains(roll)) => lr
+      }.nonEmpty, routed.queryExecution.optimizedPlan.toString)
+      // the routed inner aggregate hands ONE state per (type, day) to
+      // any consumer — count parity with the raw shape, not #segments
+      val routedSummary = summary(routed)
+      val routedCount = routed.count()
+      QuantileRoute.deregister(spark, s"$d/events.parquet")
+      val raw = shape()
+      assert(routedCount == raw.count())
+      assert(routedSummary === summary(raw))
+      // replay of the same tag converges; compaction preserves answers
+      QuantileRoute.register(spark, s"$d/events.parquet", roll)
+      QuantileRoute.appendRollup(spark, roll, delta, Some(("qseg", "0")))
+      assert(summary(shape()) === routedSummary)
+      QuantileRoute.compactDays(spark, roll)
+      assert(QuantileRoute.rollupSegments(roll) == 1)
+      assert(summary(shape()) === routedSummary)
+    } finally QuantileRoute.deregister(spark, s"$d/events.parquet")
+  }
+
   test("non-matching shapes stay raw, and a foreign-zone session is " +
       "never routed") {
     QuantileRoute.ensureArtifacts(spark, dir): Unit

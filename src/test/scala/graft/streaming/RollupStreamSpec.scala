@@ -1,0 +1,127 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** Streaming MV maintenance for the day-grain sketch rollups: a drained
+  * event stream must leave the rollup answering exactly as a full
+  * rebuild over everything folded, each maintainer must be replay-exact
+  * under its own algebra (KMV by multiplicity-invariance with no
+  * machinery; qhist by the file-tag protocol), and day-local compaction
+  * must preserve the served answers while restoring file economy.
+  */
+class RollupStreamSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+  graft.functions.VectorFunctions.ensureRegistered(spark)
+
+  private def evFrame(rows: Seq[(String, String, String, Double)]) =
+    rows.toDF("ts0", "user_id", "event_type", "value")
+      .select(col("ts0").cast("timestamp").as("ts"), col("user_id"),
+        col("event_type"), col("value"))
+
+  private val base = evFrame(Seq(
+    ("2024-01-01 10:00:00", "u1", "click", 1.5),
+    ("2024-01-01 11:00:00", "u2", "click", 2.5),
+    ("2024-01-02 10:00:00", "u1", "view", 7.0)))
+  private val incoming = Seq(
+    ("2024-01-01 12:00:00", "u3", "click", 3.5),
+    ("2024-01-02 11:00:00", "u4", "view", 9.0),
+    ("2024-01-03 09:00:00", "u1", "click", 0.5),
+    ("2024-01-03 10:00:00", "u5", "view", 6.0))
+
+  test("qhistAppendStream: drained tagged ingest (with mid-stream " +
+      "day-local compaction) serves the full rebuild's merged states; " +
+      "a replayed batch tag converges instead of double-counting") {
+    val roll = java.nio.file.Files
+      .createTempDirectory("graft-qroll-stream").toString + "/rollup"
+    graft.plans.QuantileRoute.rollupOf(base).coalesce(1)
+      .write.partitionBy("day").parquet(roll)
+
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(String, String, String, Double)]
+    val stream = mem.toDS
+      .select(col("_1").cast("timestamp").as("ts"), col("_2").as("user_id"),
+        col("_3").as("event_type"), col("_4").as("value"))
+    // maxSegments=1: the second batch touching an already-appended day
+    // pushes it past the bound and compactDays runs mid-stream
+    val q = RollupStream.qhistAppendStream(stream, roll, "rollupspec",
+      maxSegments = 1).start()
+    try {
+      incoming.grouped(2).foreach { slice =>
+        mem.addData(slice: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    def served(): Map[(String, String), Seq[(Double, Long)]] = {
+      spark.catalog.refreshByPath(roll)
+      spark.read.parquet(roll)
+        .groupBy("event_type", "day")
+        .agg(graft.functions.VectorFunctions.qhistMergeState(col("state"))
+          .as("state"))
+        .select(col("event_type"), col("day").cast("string"), col("state"))
+        .as[(String, String, Seq[(Double, Long)])].collect()
+        .map { case (t, d, s) => (t, d) -> s }.toMap
+    }
+    val want = graft.plans.QuantileRoute
+      .rollupOf(base.unionByName(evFrame(incoming)))
+      .select(col("event_type"), col("day").cast("string"), col("state"))
+      .as[(String, String, Seq[(Double, Long)])].collect()
+      .map { case (t, d, s) => (t, d) -> s }.toMap
+    assert(served().nonEmpty && served() === want)
+
+    // a replayed LAST batch (same streamId, same batchId => same tag —
+    // the only batch Structured Streaming ever replays; earlier tags
+    // are committed and may have been folded by compaction, the
+    // documented TextIndex postings contract) first deletes its own
+    // segment files — the served states are unchanged
+    graft.plans.QuantileRoute.maintainRollup(spark, roll,
+      evFrame(incoming.drop(2)), ("rollupspec", "1"), maxSegments = 1)
+    assert(served() === want)
+    // and compaction to one file per day preserves the answers
+    graft.plans.QuantileRoute.compactDays(spark, roll)
+    assert(graft.plans.QuantileRoute.rollupSegments(roll) == 1)
+    assert(served() === want)
+  }
+
+  test("kmvUpsertStream: drained ingest converges to the full rebuild's " +
+      "states, and a re-delivered slice is absorbed by " +
+      "multiplicity-invariance (no tags needed)") {
+    val k = 64
+    val roll = java.nio.file.Files
+      .createTempDirectory("graft-kmvroll-stream").toString + "/rollup"
+    graft.plans.KmvRoute.rollupOf(base, k).coalesce(1)
+      .write.partitionBy("day").parquet(roll)
+
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(String, String, String, Double)]
+    val stream = mem.toDS
+      .select(col("_1").cast("timestamp").as("ts"), col("_2").as("user_id"),
+        col("_3").as("event_type"), col("_4").as("value"))
+    val q = RollupStream.kmvUpsertStream(stream, roll, k).start()
+    try {
+      incoming.grouped(2).foreach { slice =>
+        mem.addData(slice: _*)
+        q.processAllAvailable()
+      }
+      // at-least-once delivery: the same slice re-fires
+      mem.addData(incoming.take(2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def states(): Map[String, Seq[Long]] = {
+      spark.catalog.refreshByPath(roll)
+      spark.read.parquet(roll)
+        .select(col("day").cast("string"), col("state"))
+        .as[(String, Seq[Long])].collect().toMap
+    }
+    val want = graft.plans.KmvRoute
+      .rollupOf(base.unionByName(evFrame(incoming)), k)
+      .select(col("day").cast("string"), col("state"))
+      .as[(String, Seq[Long])].collect().toMap
+    assert(states().nonEmpty && states() === want)
+  }
+}

@@ -296,4 +296,68 @@ class VectorStreamSpec extends AnyFunSuite {
     assert(m.ivfCents ===
       VectorOps.kmeansFitOver(full(), 4, 3, "tann-stream-repin")._1)
   }
+
+  test("annServingAppendStream maintains the IVF serving table: drained " +
+      "ingest (with mid-stream list-local compaction) converges to the " +
+      "direct full assignment; a mid-stream codebook regen refuses loudly") {
+    import graft.operators.{AnnServing, VectorOps}
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    val emb = graft.Tables.embeddings(spark, dir)
+    val model = VectorOps.ivfModelFp(spark, dir)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-annserv-stream").toString
+    AnnServing.buildInto(root,
+      VectorOps.ivfAssignedRows(spark, dir,
+        emb.filter(col("vec_id") % 3 =!= 0)),
+      AnnServing.Ivf, model)
+    val incoming = emb.filter(col("vec_id") % 3 === 0)
+      .select(col("vec_id").cast("long"), col("embedding"),
+        col("label").cast("int"))
+      .as[(Long, Seq[Float], Int)].collect().sortBy(_._1)
+    assert(incoming.nonEmpty)
+
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, Seq[Float], Int)]
+    val stream = mem.toDS.select(col("_1").as("vec_id"),
+      col("_2").as("embedding"), col("_3").as("label"))
+    // maxSegments=1 so the SECOND batch pushes a touched list dir past
+    // the bound and the list-local compaction runs mid-stream
+    val q = VectorStream.annServingAppendStream(stream, root,
+      AnnServing.Ivf, dir, maxSegments = 1).start()
+    try {
+      incoming.grouped(math.max(incoming.length / 3, 1)).foreach { slice =>
+        mem.addData(slice.toSeq: _*)
+        q.processAllAvailable()
+        assert(AnnServing.segments(root) <= 2,
+          s"segment bound violated: ${AnnServing.segments(root)}")
+      }
+    } finally q.stop()
+    spark.catalog.refreshByPath(AnnServing.assignDir(root))
+    val got = AnnServing.load(spark, root, AnnServing.Ivf, model)
+      .select("nid", "cid", "label").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    val want = VectorOps.ivfAssignedRows(spark, dir, emb)
+      .select("nid", "cid", "label").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(got.nonEmpty && got === want)
+
+    // the write-side cascade: a codebook regenerated mid-stream (the
+    // artifact now records a different model than the maintainer
+    // pinned at start) makes the NEXT append refuse loudly
+    java.nio.file.Files.write(
+      new java.io.File(s"${AnnServing.assignDir(root)}/_meta").toPath,
+      s"family=${AnnServing.Ivf.name}\nmodel=refit-1111\n".getBytes())
+    val q2 = VectorStream.annServingAppendStream(stream, root,
+      AnnServing.Ivf, dir, maxSegments = 1).start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try {
+        mem.addData(incoming.take(5).toSeq: _*)
+        q2.processAllAvailable()
+      } finally q2.stop()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c =>
+      c.getMessage != null && c.getMessage.contains("cascade")), e.toString)
+  }
 }
