@@ -69,9 +69,16 @@ object CorpusRoute extends Rule[LogicalPlan] {
     * corpus (deletes would need full-recompute of affected groups —
     * order statistics are not subtractable).
     */
-  private def mergeRollups(a: DataFrame, b: DataFrame): DataFrame = {
+  private def mergeRollups(a: DataFrame, b: DataFrame): DataFrame =
+    remerge(a.unionByName(b))
+
+  /** Fold rollup-shaped rows back to one row per (lang, source) — the
+    * merge algebra itself, shared by [[upsertRollup]]'s two-frame merge
+    * and [[compactLangs]]' segment collapse.
+    */
+  private def remerge(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    a.unionByName(b).groupBy("lang", "source").agg(
+    df.groupBy("lang", "source").agg(
       sum("n_docs").as("n_docs"),
       sum("n_text").as("n_text"),
       sum("n_nchars").as("n_nchars"),
@@ -120,6 +127,80 @@ object CorpusRoute extends Rule[LogicalPlan] {
       invalidate(rollupPath)
     }
   }
+
+  /** BLIND tagged-segment append — the STREAMING maintenance entry's
+    * write half ([[graft.streaming.RollupStream.corpusAppendStream]]):
+    * the batch's per-(lang, source) partials land as ONE tagged file
+    * per touched lang dir (staged write + per-file rename — no read of
+    * existing state, O(batch) work however large the rollup). Extra
+    * segment rows per group are SOUND for every routed measure because
+    * the rewrite itself re-aggregates its partials (counts/sums ADD,
+    * mins MIN, maxes MAX, avg = sum/count of folded partials) — the
+    * same algebra [[upsertRollup]] merges with. The partials are
+    * additive bag state (the TagIndex class, not KMV's
+    * multiplicity-invariant class), so replay-exactness under
+    * at-least-once delivery is the file-tag protocol: a replay first
+    * DELETES files carrying its own tag. Untagged appends get a unique
+    * adhoc tag and require an exactly-once caller.
+    */
+  def appendRollup(spark: SparkSession, rollupPath: String,
+      newDocs: DataFrame,
+      appendTag: Option[(String, String)] = None): Unit = {
+    import graft.operators.Artifacts
+    require(new java.io.File(rollupPath).isDirectory,
+      s"appendRollup on $rollupPath with no rollup — build it first")
+    recoverRollup(rollupPath)
+    val prefix = RouteSupport.segPrefix(appendTag)
+    if (appendTag.isDefined)
+      Artifacts.deleteTaggedFiles(rollupPath, "lang=", prefix)
+    RouteSupport.stagePublish(rollupPath, rollupOf(newDocs), "lang", prefix)
+    invalidate(rollupPath)
+  }
+
+  /** The per-batch STREAMING maintenance entry: delete-own-tag →
+    * lang-local compaction → tagged blind append, in that order — the
+    * [[QuantileRoute.maintainRollup]] ordering rule (compaction folds
+    * tags away, so it must only ever fold COMMITTED batches' tags, and
+    * Structured Streaming replays only the last uncommitted batch; a
+    * replay entering here removes its own crashed residue before the
+    * compaction can fold it).
+    */
+  def maintainRollup(spark: SparkSession, rollupPath: String,
+      newDocs: DataFrame, tag: (String, String),
+      maxSegments: Int = 8): Unit = {
+    import graft.operators.Artifacts
+    require(new java.io.File(rollupPath).isDirectory,
+      s"maintainRollup on $rollupPath with no rollup — build it first")
+    recoverRollup(rollupPath)
+    val prefix = RouteSupport.segPrefix(Some(tag))
+    Artifacts.deleteTaggedFiles(rollupPath, "lang=", prefix)
+    if (rollupSegments(rollupPath) > maxSegments)
+      compactLangs(spark, rollupPath, maxSegments)
+    RouteSupport.stagePublish(rollupPath, rollupOf(newDocs), "lang", prefix)
+    invalidate(rollupPath)
+  }
+
+  /** LANG-local segment compaction: every lang dir past `maxSegments`
+    * files re-folds through the merge algebra ([[remerge]] — the same
+    * multiset of partials, so routed answers are untouched) and swaps
+    * in atomically through the shared crash protocol.
+    */
+  def compactLangs(spark: SparkSession, rollupPath: String,
+      maxSegments: Int = 1): Unit = {
+    RouteSupport.compactPartitions(spark, rollupPath, "lang",
+      maxSegments)(remerge)
+    invalidate(rollupPath)
+  }
+
+  /** Heal a crashed lang-dir swap — call at maintenance entry. */
+  def recoverRollup(rollupPath: String): Unit =
+    graft.operators.Artifacts.recoverDirSwaps(rollupPath, "lang=")
+
+  /** MAX parquet file count across lang dirs — the segment proxy a
+    * continuous maintainer bounds.
+    */
+  private[graft] def rollupSegments(rollupPath: String): Int =
+    graft.operators.Artifacts.maxSegmentsIn(rollupPath, "lang=")
 
   def register(spark: SparkSession, rawPath: String, rollupPath: String): Unit =
     routes.put(canon(spark, rawPath), rollupPath): Unit

@@ -128,27 +128,10 @@ object QuantileRoute extends Rule[LogicalPlan] {
       s"appendRollup on $rollupPath with no rollup — build it first")
     RouteSupport.requireWriteZone(spark, rollupPath, "quantile rollup")
     recoverRollup(rollupPath)
-    val prefix = appendTag match {
-      case Some((s, b)) =>
-        s"seg-${Artifacts.tagEnc(s)}-${Artifacts.tagEnc(b)}-"
-      case None => s"seg-adhoc-${java.util.UUID.randomUUID()}-"
-    }
+    val prefix = RouteSupport.segPrefix(appendTag)
     if (appendTag.isDefined)
       Artifacts.deleteTaggedFiles(rollupPath, "day=", prefix)
-    publishDelta(rollupPath, newEvents, prefix)
-  }
-
-  /** The staged-write half of a tagged append, shared by
-    * [[appendRollup]] and [[maintainRollup]].
-    */
-  private def publishDelta(rollupPath: String, newEvents: DataFrame,
-      prefix: String): Unit = {
-    import graft.operators.Artifacts
-    val stage = s"$rollupPath.tmp-stage-${java.util.UUID.randomUUID()}"
-    rollupOf(newEvents).coalesce(1)
-      .write.partitionBy("day").parquet(stage)
-    Artifacts.publishStagedFiles(stage, rollupPath, "day=", prefix)
-    Artifacts.rmTree(new java.io.File(stage))
+    RouteSupport.stagePublish(rollupPath, rollupOf(newEvents), "day", prefix)
     invalidate(rollupPath)
   }
 
@@ -175,11 +158,12 @@ object QuantileRoute extends Rule[LogicalPlan] {
       s"maintainRollup on $rollupPath with no rollup — build it first")
     RouteSupport.requireWriteZone(spark, rollupPath, "quantile rollup")
     recoverRollup(rollupPath)
-    val prefix = s"seg-${Artifacts.tagEnc(tag._1)}-${Artifacts.tagEnc(tag._2)}-"
+    val prefix = RouteSupport.segPrefix(Some(tag))
     Artifacts.deleteTaggedFiles(rollupPath, "day=", prefix)
     if (rollupSegments(rollupPath) > maxSegments)
       compactDays(spark, rollupPath, maxSegments)
-    publishDelta(rollupPath, newEvents, prefix)
+    RouteSupport.stagePublish(rollupPath, rollupOf(newEvents), "day", prefix)
+    invalidate(rollupPath)
   }
 
   /** DAY-LOCAL segment compaction — the family-standard read-economy
@@ -191,20 +175,11 @@ object QuantileRoute extends Rule[LogicalPlan] {
   def compactDays(spark: SparkSession, rollupPath: String,
       maxSegments: Int = 1): Unit = {
     import org.apache.spark.sql.functions._
-    import graft.operators.Artifacts
     graft.functions.VectorFunctions.ensureRegistered(spark)
-    recoverRollup(rollupPath)
-    val dirs = Artifacts.overweightDirs(rollupPath, "day=", maxSegments)
-    if (dirs.isEmpty) return
-    val stage = s"$rollupPath.tmp-stage-${java.util.UUID.randomUUID()}"
-    spark.read.option("basePath", rollupPath)
-      .parquet(dirs.map(_.getPath).toSeq: _*)
-      .groupBy("event_type", "day")
-      .agg(graft.functions.VectorFunctions.qhistMergeState(col("state"))
-        .as("state"))
-      .coalesce(1)
-      .write.partitionBy("day").parquet(stage)
-    Artifacts.swapStagedDirs(spark, stage, dirs.toSeq)
+    RouteSupport.compactPartitions(spark, rollupPath, "day", maxSegments)(
+      _.groupBy("event_type", "day")
+        .agg(graft.functions.VectorFunctions.qhistMergeState(col("state"))
+          .as("state")))
     invalidate(rollupPath)
   }
 

@@ -143,6 +143,55 @@ private[plans] object RouteSupport {
     }
   }
 
+  /** Tag-prefix of a (streamId, batchId) append tag — the TextIndex
+    * segment-file naming, shared by every rollup that takes tagged
+    * streaming appends.
+    */
+  def segPrefix(tag: Option[(String, String)]): String = tag match {
+    case Some((s, b)) =>
+      s"seg-${graft.operators.Artifacts.tagEnc(s)}-" +
+        s"${graft.operators.Artifacts.tagEnc(b)}-"
+    case None => s"seg-adhoc-${java.util.UUID.randomUUID()}-"
+  }
+
+  /** Blind tagged-segment publish of a delta frame into a partitioned
+    * rollup: staged write, per-file rename into the live partition dirs
+    * under `prefix` (atomic on a local fs) — O(delta) work, no read of
+    * existing state. The shared write half of every tagged rollup
+    * append.
+    */
+  def stagePublish(rollupPath: String, delta: org.apache.spark.sql.DataFrame,
+      partCol: String, prefix: String): Unit = {
+    import graft.operators.Artifacts
+    val stage = s"$rollupPath.tmp-stage-${java.util.UUID.randomUUID()}"
+    delta.coalesce(1).write.partitionBy(partCol).parquet(stage)
+    Artifacts.publishStagedFiles(stage, rollupPath, s"$partCol=", prefix)
+    Artifacts.rmTree(new java.io.File(stage))
+  }
+
+  /** Partition-local segment compaction for a maintained rollup: every
+    * `partCol=` dir past `maxSegments` files is re-folded through the
+    * route's own `merge` (the per-group partial re-aggregation — the
+    * same multiset by each route's algebra, so routed answers are
+    * untouched) and swapped in atomically through the shared crash
+    * protocol.
+    */
+  def compactPartitions(spark: SparkSession, rollupPath: String,
+      partCol: String, maxSegments: Int)(
+      merge: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      : Unit = {
+    import graft.operators.Artifacts
+    Artifacts.recoverDirSwaps(rollupPath, s"$partCol=")
+    val dirs = Artifacts.overweightDirs(rollupPath, s"$partCol=", maxSegments)
+    if (dirs.isEmpty) return
+    val stage = s"$rollupPath.tmp-stage-${java.util.UUID.randomUUID()}"
+    merge(spark.read.option("basePath", rollupPath)
+      .parquet(dirs.map(_.getPath).toSeq: _*))
+      .coalesce(1)
+      .write.partitionBy(partCol).parquet(stage)
+    Artifacts.swapStagedDirs(spark, stage, dirs.toSeq)
+  }
+
   /** The zone-keyed rollup-ensure scaffold shared by the day-grain
     * routes: the build zone is part of the artifact identity (path key,
     * sanitized) AND pinned exactly by the in-tree `_meta` the

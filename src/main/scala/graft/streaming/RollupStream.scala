@@ -2,9 +2,10 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Row}
 
-/** Streaming MATERIALIZED-VIEW maintenance for the day-grain route
-  * rollups (r14) — the ingest face of [[graft.plans.KmvRoute]] and
-  * [[graft.plans.QuantileRoute]], completing the maintainer symmetry
+/** Streaming MATERIALIZED-VIEW maintenance for the route rollups (r14)
+  * — the ingest face of [[graft.plans.KmvRoute]],
+  * [[graft.plans.QuantileRoute]] and [[graft.plans.CorpusRoute]],
+  * completing the maintainer symmetry
   * across every maintained artifact class: the index families had
   * streaming appendStreams since r11-r13, the trained models got their
   * probe/refit stream this round, and the routed sketch rollups — the
@@ -73,6 +74,26 @@ object RollupStream {
       (batch: Dataset[Row], batchId: Long) =>
         if (!batch.isEmpty)
           graft.plans.QuantileRoute.maintainRollup(batch.sparkSession,
+            rollupPath, batch.toDF(), (streamId, batchId.toString),
+            maxSegments)
+    }
+
+  /** Per-batch corpus-stats rollup maintenance
+    * ([[graft.plans.CorpusRoute.maintainRollup]] — tagged segment files
+    * into lang dirs, same ordering and replay contract as
+    * [[qhistAppendStream]]): each micro-batch of ingested documents
+    * folds its (lang, source) partials in at O(batch) cost, keeping the
+    * routed corpus dashboards (q_route_stats' class) fresh under
+    * continuous ingest. Multi-segment soundness is the route's own
+    * rewrite — every routed measure re-aggregates its partials.
+    */
+  def corpusAppendStream(docs: DataFrame, rollupPath: String,
+      streamId: String, maxSegments: Int = 8)
+      : org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.plans.CorpusRoute.maintainRollup(batch.sparkSession,
             rollupPath, batch.toDF(), (streamId, batchId.toString),
             maxSegments)
     }

@@ -87,6 +87,76 @@ class RollupStreamSpec extends AnyFunSuite {
     assert(served() === want)
   }
 
+  test("corpusAppendStream: a segmented (tagged, mid-stream-compacted) " +
+      "corpus rollup routes bit-identically to the raw recompute, and a " +
+      "replayed last batch converges") {
+    import graft.plans.CorpusRoute
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val d = java.nio.file.Files.createTempDirectory("graft-croll-ds").toString
+    val rawCopy = s"$d/documents"
+    docs.write.parquet(rawCopy)
+    val all = spark.read.parquet(rawCopy)
+    val roll = s"$d/rollup"
+    CorpusRoute.rollupOf(all.filter(col("doc_id") % 3 =!= 0)).coalesce(1)
+      .write.partitionBy("lang").parquet(roll)
+    val incoming = all.filter(col("doc_id") % 3 === 0)
+      .as[(Long, String, String, String, Long)].collect().sortBy(_._1)
+    assert(incoming.nonEmpty)
+
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String, String, Long)]
+    val stream = mem.toDS.select(col("_1").as("doc_id"), col("_2").as("text"),
+      col("_3").as("lang"), col("_4").as("source"), col("_5").as("n_chars"))
+    // maxSegments=1: the second batch pushes a touched lang dir past
+    // the bound and the lang-local compaction runs mid-stream
+    val q = RollupStream.corpusAppendStream(stream, roll, "corpspec",
+      maxSegments = 1).start()
+    // exactly TWO batches (ids 0, 1), so the replay below really is the
+    // LAST batch's tag — the only one the replay contract covers
+    val (slice0, slice1) = incoming.splitAt((incoming.length + 1) / 2)
+    try {
+      Seq(slice0, slice1).foreach { slice =>
+        mem.addData(slice.toSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    CorpusRoute.enable(spark)
+    CorpusRoute.register(spark, rawCopy, roll)
+    try {
+      def stats() = spark.read.parquet(rawCopy)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          avg(col("n_chars")).as("avg_chars"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy("lang")
+      val routed = stats()
+      assert(routed.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if lr.relation.asInstanceOf[
+            org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+            .location.rootPaths.exists(_.toString.contains(roll)) => lr
+      }.nonEmpty, routed.queryExecution.optimizedPlan.toString)
+      val routedRows = routed.collect().toSeq.map(_.toString)
+      CorpusRoute.deregister(spark, rawCopy)
+      assert(routedRows === stats().collect().toSeq.map(_.toString))
+      // a replayed LAST batch (same tag) converges instead of
+      // double-counting
+      CorpusRoute.register(spark, rawCopy, roll)
+      val lastBatch = slice1.toSeq
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      CorpusRoute.maintainRollup(spark, roll, lastBatch,
+        ("corpspec", "1"), maxSegments = 1)
+      assert(stats().collect().toSeq.map(_.toString) === routedRows)
+      CorpusRoute.compactLangs(spark, roll)
+      assert(CorpusRoute.rollupSegments(roll) == 1)
+      assert(stats().collect().toSeq.map(_.toString) === routedRows)
+    } finally CorpusRoute.deregister(spark, rawCopy)
+  }
+
   test("kmvUpsertStream: drained ingest converges to the full rebuild's " +
       "states, and a re-delivered slice is absorbed by " +
       "multiplicity-invariance (no tags needed)") {
