@@ -112,6 +112,73 @@ object KmvRoute extends Rule[LogicalPlan] {
     }
   }
 
+  /** BLIND segment append — the streaming maintenance entry's write
+    * half ([[graft.streaming.RollupStream.kmvAppendStream]]): the
+    * batch's per-day states land as ONE new file per touched day dir
+    * (staged write + per-file rename — no read of existing state,
+    * O(batch) work however large the rollup), and the route's
+    * [[graft.functions.KmvMergeAgg]] re-merge folds segments back to
+    * the day's k-minima at read. KMV is the one rollup family where
+    * blind appends need NO replay machinery AT ALL — not even the
+    * file-tag protocol: a re-delivered batch adds duplicate state rows,
+    * and the k-minima union is multiplicity-invariant, so replays are
+    * absorbed even AFTER a compaction has folded the original (the case
+    * the tagged families must forbid by contract).
+    */
+  def appendRollup(spark: SparkSession, rollupPath: String,
+      newEvents: DataFrame, k: Int): Unit = {
+    require(new java.io.File(rollupPath).isDirectory,
+      s"appendRollup on $rollupPath with no rollup — build it first")
+    RouteSupport.requireWriteZone(spark, rollupPath, "kmv rollup")
+    recoverRollup(rollupPath)
+    RouteSupport.stagePublish(rollupPath, rollupOf(newEvents, k), "day",
+      RouteSupport.segPrefix(None))
+    invalidate(rollupPath)
+  }
+
+  /** The per-batch STREAMING maintenance entry: day-local compaction
+    * past the bound, then the blind append. No delete-own-tag step —
+    * see [[appendRollup]]: multiplicity-invariance absorbs any replay,
+    * so the ordering carries no replay contract here, only file
+    * economy.
+    */
+  def maintainRollup(spark: SparkSession, rollupPath: String,
+      newEvents: DataFrame, k: Int, maxSegments: Int = 8): Unit = {
+    recoverRollup(rollupPath)
+    if (rollupSegments(rollupPath) > maxSegments)
+      compactDays(spark, rollupPath, k, maxSegments)
+    appendRollup(spark, rollupPath, newEvents, k)
+  }
+
+  /** DAY-local segment compaction: every day dir past `maxSegments`
+    * files re-sketches the union of its stored minima back to one state
+    * row ([[upsertRollup]]'s explode-and-refold algebra — a stored
+    * state's elements ARE hash values, and k-minima of unioned k-minima
+    * sets equal the global k-minima) and swaps in atomically through
+    * the shared crash protocol.
+    */
+  def compactDays(spark: SparkSession, rollupPath: String, k: Int,
+      maxSegments: Int = 1): Unit = {
+    import org.apache.spark.sql.functions._
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    RouteSupport.compactPartitions(spark, rollupPath, "day", maxSegments)(
+      _.select(col("day"), explode(col("state")).as("h"))
+        .groupBy("day")
+        .agg(graft.functions.VectorFunctions.kmvStateExact(col("h"), k)
+          .as("state")))
+    invalidate(rollupPath)
+  }
+
+  /** Heal a crashed day-dir swap — call at maintenance entry. */
+  def recoverRollup(rollupPath: String): Unit =
+    graft.operators.Artifacts.recoverDirSwaps(rollupPath, "day=")
+
+  /** MAX parquet file count across day dirs — the segment proxy a
+    * continuous maintainer bounds.
+    */
+  private[graft] def rollupSegments(rollupPath: String): Int =
+    graft.operators.Artifacts.maxSegmentsIn(rollupPath, "day=")
+
   def register(spark: SparkSession, rawPath: String, rollupPath: String,
       k: Int): Unit =
     routes.put(RouteSupport.canon(spark, rawPath),

@@ -54,6 +54,27 @@ object RollupStream {
             rollupPath, batch.toDF(), k)
     }
 
+  /** [[kmvUpsertStream]]'s BLIND-append variant
+    * ([[graft.plans.KmvRoute.maintainRollup]]): each batch's per-day
+    * states land as new segment files with no read of existing state at
+    * all — O(batch) work however large the rollup — folded back to the
+    * day's k-minima by the route's own re-merge at read, day-local
+    * compaction past `maxSegments`. The one maintainer needing NO
+    * replay machinery whatsoever: the k-minima union is
+    * multiplicity-invariant, so any replay (even of a batch an earlier
+    * compaction already folded — the case the tagged families forbid by
+    * contract) is absorbed exactly.
+    */
+  def kmvAppendStream(events: DataFrame, rollupPath: String, k: Int,
+      maxSegments: Int = 8)
+      : org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    events.writeStream.outputMode("append").foreachBatch {
+      (batch: Dataset[Row], _: Long) =>
+        if (!batch.isEmpty)
+          graft.plans.KmvRoute.maintainRollup(batch.sparkSession,
+            rollupPath, batch.toDF(), k, maxSegments)
+    }
+
   /** Per-batch quantile-histogram rollup maintenance: each micro-batch
     * publishes its per-(type, day) histogram states as ONE tagged
     * segment file per touched day dir

@@ -115,6 +115,52 @@ class KmvRouteSpec extends AnyFunSuite {
     assert(states() === want)
   }
 
+  test("a SEGMENTED rollup (blind streaming appends, pre-compaction) " +
+      "routes and answers bit-identically — the KmvMergeAgg re-merge " +
+      "folds extra state rows per day by merge-closure") {
+    import spark.implicits._
+    val k = 64
+    val d = java.nio.file.Files.createTempDirectory("graft-kmvseg-ds").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      java.nio.file.Paths.get(s"$d/events.parquet")): Unit
+    val ev = graft.Tables.events(spark, d)
+    val roll = java.nio.file.Files
+      .createTempDirectory("graft-kmvseg-roll").toString + "/rollup"
+    KmvRoute.rollupOf(ev.filter(col("event_id") % 3 =!= 0), k).coalesce(1)
+      .write.mode("overwrite").partitionBy("day").parquet(roll)
+    // the blind append leaves a SECOND segment file in every touched
+    // day dir — the state a continuously-maintained rollup serves from
+    // between compactions
+    KmvRoute.appendRollup(spark, roll,
+      ev.filter(col("event_id") % 3 === 0), k)
+    assert(KmvRoute.rollupSegments(roll) > 1)
+    KmvRoute.enable(spark)
+    KmvRoute.register(spark, s"$d/events.parquet", roll, k)
+    try {
+      def shape() = ev.groupBy(to_date(col("ts")).as("day"))
+        .agg(graft.functions.VectorFunctions.kmvCountDistinctExact(
+          graft.operators.TextOps.h60(col("user_id").cast("string")), k)
+          .as("approx_users"))
+        .orderBy("day")
+      val routed = shape()
+      assert(routed.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if lr.relation.asInstanceOf[
+            org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+            .location.rootPaths.exists(_.toString.contains(roll)) => lr
+      }.nonEmpty, routed.queryExecution.optimizedPlan.toString)
+      val routedRows = rows(routed)
+      // one ROW per day even with two segments per day dir — the
+      // re-merge restores the inner aggregate's contract
+      val routedCount = routed.count()
+      KmvRoute.deregister(spark, s"$d/events.parquet")
+      val raw = shape()
+      assert(routedCount == raw.count())
+      assert(routedRows === rows(raw))
+    } finally KmvRoute.deregister(spark, s"$d/events.parquet")
+  }
+
   test("non-matching shapes stay raw: a different hash, a different " +
       "grain, and extra measures are never routed") {
     KmvRoute.ensureArtifacts(spark, dir): Unit

@@ -194,4 +194,63 @@ class RollupStreamSpec extends AnyFunSuite {
       .as[(String, Seq[Long])].collect().toMap
     assert(states().nonEmpty && states() === want)
   }
+
+  test("kmvAppendStream: blind segment appends (with mid-stream " +
+      "compaction) converge to the rebuild's states; even a replay of an " +
+      "ALREADY-COMPACTED batch is absorbed — multiplicity-invariance " +
+      "needs no replay contract at all") {
+    val k = 64
+    val roll = java.nio.file.Files
+      .createTempDirectory("graft-kmvapp-stream").toString + "/rollup"
+    graft.plans.KmvRoute.rollupOf(base, k).coalesce(1)
+      .write.partitionBy("day").parquet(roll)
+
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(String, String, String, Double)]
+    val stream = mem.toDS
+      .select(col("_1").cast("timestamp").as("ts"), col("_2").as("user_id"),
+        col("_3").as("event_type"), col("_4").as("value"))
+    // maxSegments=1: the second batch's entry compaction folds the
+    // first batch's segment files
+    val q = RollupStream.kmvAppendStream(stream, roll, k,
+      maxSegments = 1).start()
+    try {
+      incoming.grouped(2).foreach { slice =>
+        mem.addData(slice: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    def mergedStates(): Map[String, Seq[Long]] = {
+      spark.catalog.refreshByPath(roll)
+      spark.read.parquet(roll)
+        .select(col("day"), explode(col("state")).as("h"))
+        .groupBy("day")
+        .agg(graft.functions.VectorFunctions.kmvStateExact(col("h"), k)
+          .as("state"))
+        .select(col("day").cast("string"), col("state"))
+        .as[(String, Seq[Long])].collect().toMap
+    }
+    val want = graft.plans.KmvRoute
+      .rollupOf(base.unionByName(evFrame(incoming)), k)
+      .select(col("day").cast("string"), col("state"))
+      .as[(String, Seq[Long])].collect().toMap
+    assert(mergedStates().nonEmpty && mergedStates() === want)
+
+    // the FIRST batch was folded by the second batch's entry
+    // compaction; replaying it anyway (the case the tagged families'
+    // contract forbids) is absorbed by the k-minima union
+    graft.plans.KmvRoute.appendRollup(spark, roll,
+      evFrame(incoming.take(2)), k)
+    assert(mergedStates() === want)
+    // compaction to one state row per day preserves — and now equals
+    // the rebuild's states bit-for-bit
+    graft.plans.KmvRoute.compactDays(spark, roll, k)
+    assert(graft.plans.KmvRoute.rollupSegments(roll) == 1)
+    spark.catalog.refreshByPath(roll)
+    val stored = spark.read.parquet(roll)
+      .select(col("day").cast("string"), col("state"))
+      .as[(String, Seq[Long])].collect().toMap
+    assert(stored === want)
+  }
 }
