@@ -202,6 +202,19 @@ private[graft] object Artifacts {
   private[graft] def tagEnc(s: String): String =
     java.net.URLEncoder.encode(s, "UTF-8").replace("-", "%2D")
 
+  /** The ONE segment-file tag-prefix builder (r14 review — this was
+    * three verbatim copies across TextIndex/TagIndex/the rollup
+    * routes): `seg-<enc(streamId)>-<enc(batchId)>-` for a replayable
+    * tagged append, a unique `seg-adhoc-…-` for exactly-once callers.
+    * Lives next to [[tagEnc]] so an encoding or separator fix can never
+    * fork the families.
+    */
+  private[graft] def segPrefix(tag: Option[(String, String)]): String =
+    tag match {
+      case Some((s, b)) => s"seg-${tagEnc(s)}-${tagEnc(b)}-"
+      case None => s"seg-adhoc-${java.util.UUID.randomUUID()}-"
+    }
+
   /** Remove a crashed same-tag attempt's published segment files under
     * `liveRoot`'s partition dirs — the overwrite half of tag-replay
     * idempotence (TextIndex postings, TagIndex events): a replay first

@@ -112,11 +112,7 @@ object TagIndex {
       appendTag: Option[(String, String)] = None): Unit = {
     require(new File(root).isDirectory,
       s"appendTo on $root with no table — build or recover first")
-    val prefix = appendTag match {
-      case Some((s, b)) =>
-        s"seg-${Artifacts.tagEnc(s)}-${Artifacts.tagEnc(b)}-"
-      case None => s"seg-adhoc-${java.util.UUID.randomUUID()}-"
-    }
+    val prefix = Artifacts.segPrefix(appendTag)
     if (appendTag.isDefined)
       Artifacts.deleteTaggedFiles(root, "date=", prefix)
     // dot-prefixed stage: invisible to parquet readers while staging;

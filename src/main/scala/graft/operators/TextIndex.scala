@@ -182,10 +182,7 @@ object TextIndex {
     val oldStats = spark.read.parquet(s"$root/stats")
       .select("n", "t").localCheckpoint()
     if (!termsCommitted) {
-      val segPrefix = appendTag match {
-        case Some((s, b)) => s"seg-${enc(s)}-${enc(b)}-"
-        case None => s"seg-adhoc-${java.util.UUID.randomUUID()}-"
-      }
+      val segPrefix = Artifacts.segPrefix(appendTag)
       if (appendTag.isDefined) deleteTaggedFiles(s"$root/postings", segPrefix)
       val stage = s"$root/postings.tmp-batch-${java.util.UUID.randomUUID()}"
       writeSharded(dt.join(dl, "doc_id"), Seq("term", "doc_id"), stage)

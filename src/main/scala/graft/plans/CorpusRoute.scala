@@ -150,7 +150,7 @@ object CorpusRoute extends Rule[LogicalPlan] {
     require(new java.io.File(rollupPath).isDirectory,
       s"appendRollup on $rollupPath with no rollup — build it first")
     recoverRollup(rollupPath)
-    val prefix = RouteSupport.segPrefix(appendTag)
+    val prefix = graft.operators.Artifacts.segPrefix(appendTag)
     if (appendTag.isDefined)
       Artifacts.deleteTaggedFiles(rollupPath, "lang=", prefix)
     RouteSupport.stagePublish(rollupPath, rollupOf(newDocs), "lang", prefix)
@@ -168,16 +168,16 @@ object CorpusRoute extends Rule[LogicalPlan] {
   def maintainRollup(spark: SparkSession, rollupPath: String,
       newDocs: DataFrame, tag: (String, String),
       maxSegments: Int = 8): Unit = {
-    import graft.operators.Artifacts
-    require(new java.io.File(rollupPath).isDirectory,
-      s"maintainRollup on $rollupPath with no rollup — build it first")
     recoverRollup(rollupPath)
-    val prefix = RouteSupport.segPrefix(Some(tag))
-    Artifacts.deleteTaggedFiles(rollupPath, "lang=", prefix)
+    // delete the replay's own crashed residue BEFORE the compaction
+    // below could fold it untagged; appendRollup's internal delete runs
+    // too late (after the compact) and is then a no-op re-delete —
+    // composing keeps the append protocol ONE body (review-found, r14)
+    graft.operators.Artifacts.deleteTaggedFiles(rollupPath, "lang=",
+      graft.operators.Artifacts.segPrefix(Some(tag)))
     if (rollupSegments(rollupPath) > maxSegments)
       compactLangs(spark, rollupPath, maxSegments)
-    RouteSupport.stagePublish(rollupPath, rollupOf(newDocs), "lang", prefix)
-    invalidate(rollupPath)
+    appendRollup(spark, rollupPath, newDocs, Some(tag))
   }
 
   /** LANG-local segment compaction: every lang dir past `maxSegments`
@@ -192,9 +192,11 @@ object CorpusRoute extends Rule[LogicalPlan] {
     invalidate(rollupPath)
   }
 
-  /** Heal a crashed lang-dir swap — call at maintenance entry. */
+  /** Heal a crashed lang-dir swap and sweep crashed staged-append trees
+    * — call at maintenance entry.
+    */
   def recoverRollup(rollupPath: String): Unit =
-    graft.operators.Artifacts.recoverDirSwaps(rollupPath, "lang=")
+    RouteSupport.recoverRollup(rollupPath, "lang")
 
   /** MAX parquet file count across lang dirs — the segment proxy a
     * continuous maintainer bounds.
@@ -295,21 +297,16 @@ object CorpusRoute extends Rule[LogicalPlan] {
         spark.experimental.extraOptimizations :+ this
   }
 
-  // resolved-once rollup relations (see LtsRoute.ltsRelations for why)
-  private val rollupRelations = TrieMap[String, LogicalRelation]()
+  // resolved-once rollup relations (shared scaffold — residue-gated on
+  // a cache miss since lang-dir swaps exist, r14)
+  private val rollupRelations = new RouteSupport.RelationCache("lang")
 
   /** Drop the cached relation for a rollup whose files were rewritten. */
   def invalidate(rollupPath: String): Unit =
-    rollupRelations.remove(rollupPath): Unit
+    rollupRelations.invalidate(rollupPath)
 
   private def rollupRelationFor(path: String): Option[LogicalRelation] =
-    rollupRelations.get(path).orElse {
-      val rel = SparkSession.active.read.parquet(path)
-        .queryExecution.analyzed
-        .collectFirst { case l: LogicalRelation => l }
-      rel.foreach(rollupRelations.put(path, _))
-      rel
-    }.map(_.newInstance())
+    rollupRelations.relationFor(path)
 
   private def routeFor(lr: LogicalRelation): Option[String] =
     lr.relation match {

@@ -72,6 +72,15 @@ object KmvRoute extends Rule[LogicalPlan] {
     * aggregate is exactly the TreeSet merge, with no fourth aggregate
     * face to maintain. Multiplicity-invariance makes this exact even for
     * overlapping re-deliveries.
+    *
+    * CRASH CAVEAT (r14 review): the dynamic-overwrite job commit
+    * deletes a touched day dir before renaming the staged one in — a
+    * crash between the two loses that day's previously-folded state,
+    * and a replayed batch would then merge against the emptied day.
+    * This entry is for exactly-once BATCH callers on a supervised run;
+    * a crash-replay loop (a streaming maintainer) must use
+    * [[appendRollup]]/[[maintainRollup]] instead, which never delete
+    * live state at any crash point.
     */
   def upsertRollup(spark: SparkSession, rollupPath: String,
       newEvents: DataFrame, k: Int): Unit = {
@@ -132,7 +141,7 @@ object KmvRoute extends Rule[LogicalPlan] {
     RouteSupport.requireWriteZone(spark, rollupPath, "kmv rollup")
     recoverRollup(rollupPath)
     RouteSupport.stagePublish(rollupPath, rollupOf(newEvents, k), "day",
-      RouteSupport.segPrefix(None))
+      graft.operators.Artifacts.segPrefix(None))
     invalidate(rollupPath)
   }
 
@@ -169,9 +178,11 @@ object KmvRoute extends Rule[LogicalPlan] {
     invalidate(rollupPath)
   }
 
-  /** Heal a crashed day-dir swap — call at maintenance entry. */
+  /** Heal a crashed day-dir swap and sweep crashed staged-append trees
+    * — call at maintenance entry.
+    */
   def recoverRollup(rollupPath: String): Unit =
-    graft.operators.Artifacts.recoverDirSwaps(rollupPath, "day=")
+    RouteSupport.recoverRollup(rollupPath, "day")
 
   /** MAX parquet file count across day dirs — the segment proxy a
     * continuous maintainer bounds.
@@ -238,7 +249,7 @@ object KmvRoute extends Rule[LogicalPlan] {
   }
 
   // resolved-once rollup relations (shared scaffold)
-  private val rollupRelations = new RouteSupport.RelationCache
+  private val rollupRelations = new RouteSupport.RelationCache("day")
 
   /** Drop the cached relation for a rollup whose files were rewritten. */
   def invalidate(rollupPath: String): Unit =

@@ -128,7 +128,7 @@ object QuantileRoute extends Rule[LogicalPlan] {
       s"appendRollup on $rollupPath with no rollup — build it first")
     RouteSupport.requireWriteZone(spark, rollupPath, "quantile rollup")
     recoverRollup(rollupPath)
-    val prefix = RouteSupport.segPrefix(appendTag)
+    val prefix = graft.operators.Artifacts.segPrefix(appendTag)
     if (appendTag.isDefined)
       Artifacts.deleteTaggedFiles(rollupPath, "day=", prefix)
     RouteSupport.stagePublish(rollupPath, rollupOf(newEvents), "day", prefix)
@@ -153,17 +153,17 @@ object QuantileRoute extends Rule[LogicalPlan] {
   def maintainRollup(spark: SparkSession, rollupPath: String,
       newEvents: DataFrame, tag: (String, String),
       maxSegments: Int = 8): Unit = {
-    import graft.operators.Artifacts
-    require(new java.io.File(rollupPath).isDirectory,
-      s"maintainRollup on $rollupPath with no rollup — build it first")
-    RouteSupport.requireWriteZone(spark, rollupPath, "quantile rollup")
     recoverRollup(rollupPath)
-    val prefix = RouteSupport.segPrefix(Some(tag))
-    Artifacts.deleteTaggedFiles(rollupPath, "day=", prefix)
+    // the replay's own crashed residue must vanish BEFORE the
+    // compaction below could fold it untagged; appendRollup's internal
+    // delete runs too late (after the compact) and is then a no-op
+    // re-delete — composing keeps the append protocol ONE body
+    // (review-found, r14)
+    graft.operators.Artifacts.deleteTaggedFiles(rollupPath, "day=",
+      graft.operators.Artifacts.segPrefix(Some(tag)))
     if (rollupSegments(rollupPath) > maxSegments)
       compactDays(spark, rollupPath, maxSegments)
-    RouteSupport.stagePublish(rollupPath, rollupOf(newEvents), "day", prefix)
-    invalidate(rollupPath)
+    appendRollup(spark, rollupPath, newEvents, Some(tag))
   }
 
   /** DAY-LOCAL segment compaction — the family-standard read-economy
@@ -183,9 +183,11 @@ object QuantileRoute extends Rule[LogicalPlan] {
     invalidate(rollupPath)
   }
 
-  /** Heal a crashed day-dir swap — call at maintenance entry. */
+  /** Heal a crashed day-dir swap and sweep crashed staged-append trees
+    * — call at maintenance entry.
+    */
   def recoverRollup(rollupPath: String): Unit =
-    graft.operators.Artifacts.recoverDirSwaps(rollupPath, "day=")
+    RouteSupport.recoverRollup(rollupPath, "day")
 
   /** MAX parquet file count across day dirs — the segment proxy a
     * continuous maintainer bounds.
@@ -243,7 +245,7 @@ object QuantileRoute extends Rule[LogicalPlan] {
   }
 
   // resolved-once rollup relations (shared scaffold)
-  private val rollupRelations = new RouteSupport.RelationCache
+  private val rollupRelations = new RouteSupport.RelationCache("day")
 
   def invalidate(rollupPath: String): Unit =
     rollupRelations.invalidate(rollupPath)

@@ -56,19 +56,33 @@ private[plans] object RouteSupport {
     * ltsRelations rationale: resolving inside the optimizer re-enters
     * analysis — do it once, refresh on invalidate after maintenance
     * rewrites the files).
+    *
+    * Residue discipline (r14 review): a FRESH resolution during a
+    * compaction's aside-rename window would list a `partCol=X.old-…`
+    * dir — partition discovery either drops day X silently or infers
+    * the aside's name as a string partition value — so a cache MISS
+    * first checks [[settledResidue]] and DECLINES (None → the route
+    * stays raw, which is always correct) while residue persists. A
+    * cache HIT resolved against a healthy listing; if a swap lands
+    * between resolution and execution the read fails LOUDLY
+    * (missing-file), never silently — and the maintainer's own
+    * invalidate-after-swap re-resolves the next query.
     */
-  final class RelationCache {
+  final class RelationCache(partCol: String) {
     private val cache = TrieMap[String, LogicalRelation]()
 
     def invalidate(path: String): Unit = cache.remove(path): Unit
 
     def relationFor(path: String): Option[LogicalRelation] =
       cache.get(path).orElse {
-        val rel = SparkSession.active.read.parquet(path)
-          .queryExecution.analyzed
-          .collectFirst { case l: LogicalRelation => l }
-        rel.foreach(cache.put(path, _))
-        rel
+        if (settledResidue(path, partCol).nonEmpty) None
+        else {
+          val rel = SparkSession.active.read.parquet(path)
+            .queryExecution.analyzed
+            .collectFirst { case l: LogicalRelation => l }
+          rel.foreach(cache.put(path, _))
+          rel
+        }
       }.map(_.newInstance())
   }
 
@@ -143,27 +157,18 @@ private[plans] object RouteSupport {
     }
   }
 
-  /** Tag-prefix of a (streamId, batchId) append tag — the TextIndex
-    * segment-file naming, shared by every rollup that takes tagged
-    * streaming appends.
-    */
-  def segPrefix(tag: Option[(String, String)]): String = tag match {
-    case Some((s, b)) =>
-      s"seg-${graft.operators.Artifacts.tagEnc(s)}-" +
-        s"${graft.operators.Artifacts.tagEnc(b)}-"
-    case None => s"seg-adhoc-${java.util.UUID.randomUUID()}-"
-  }
-
   /** Blind tagged-segment publish of a delta frame into a partitioned
     * rollup: staged write, per-file rename into the live partition dirs
     * under `prefix` (atomic on a local fs) — O(delta) work, no read of
     * existing state. The shared write half of every tagged rollup
-    * append.
+    * append. Stages INSIDE the rollup as a dot-prefixed dir (invisible
+    * to parquet readers while staging — the TagIndex pattern), so
+    * [[recoverRollup]] can sweep a crashed attempt's leftovers.
     */
   def stagePublish(rollupPath: String, delta: org.apache.spark.sql.DataFrame,
       partCol: String, prefix: String): Unit = {
     import graft.operators.Artifacts
-    val stage = s"$rollupPath.tmp-stage-${java.util.UUID.randomUUID()}"
+    val stage = s"$rollupPath/.tmp-stage-${java.util.UUID.randomUUID()}"
     delta.coalesce(1).write.partitionBy(partCol).parquet(stage)
     Artifacts.publishStagedFiles(stage, rollupPath, s"$partCol=", prefix)
     Artifacts.rmTree(new java.io.File(stage))
@@ -181,16 +186,42 @@ private[plans] object RouteSupport {
       merge: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
       : Unit = {
     import graft.operators.Artifacts
-    Artifacts.recoverDirSwaps(rollupPath, s"$partCol=")
+    recoverRollup(rollupPath, partCol)
     val dirs = Artifacts.overweightDirs(rollupPath, s"$partCol=", maxSegments)
     if (dirs.isEmpty) return
-    val stage = s"$rollupPath.tmp-stage-${java.util.UUID.randomUUID()}"
+    val stage = s"$rollupPath/.tmp-stage-${java.util.UUID.randomUUID()}"
     merge(spark.read.option("basePath", rollupPath)
       .parquet(dirs.map(_.getPath).toSeq: _*))
       .coalesce(1)
       .write.partitionBy(partCol).parquet(stage)
     Artifacts.swapStagedDirs(spark, stage, dirs.toSeq)
   }
+
+  /** Heal a maintained rollup at maintenance entry: complete or roll
+    * back crashed partition-dir swaps, and sweep crashed staged-append
+    * trees (`.tmp-stage-*` — dot-prefixed, so a live reader never saw
+    * them; without the sweep a long-running maintainer that crashes
+    * mid-batch leaks one orphan tree per crash — r14 review).
+    */
+  def recoverRollup(rollupPath: String, partCol: String): Unit = {
+    import graft.operators.Artifacts
+    Artifacts.recoverDirSwaps(rollupPath, s"$partCol=")
+    Option(new java.io.File(rollupPath).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith(".tmp-stage-"))
+      .foreach(Artifacts.rmTree)
+  }
+
+  /** Crash-residue among a rollup's partition dirs that OUTLIVES a
+    * healthy swap's patience window — the routes' read-side refusal
+    * signal ([[graft.operators.Artifacts.settledDirResidue]]): an
+    * aside-renamed `partCol=X.old-…` dir in a freshly-resolved file
+    * listing would silently DROP day X (or partition-infer the aside's
+    * name as a string value), so a route must decline to serve while
+    * one exists — the raw scan is the correct answer there.
+    */
+  def settledResidue(rollupPath: String, partCol: String): Seq[String] =
+    graft.operators.Artifacts.settledDirResidue(rollupPath, s"$partCol=")
 
   /** The zone-keyed rollup-ensure scaffold shared by the day-grain
     * routes: the build zone is part of the artifact identity (path key,

@@ -38,32 +38,27 @@ import org.apache.spark.sql.{DataFrame, Dataset, Row}
   */
 object RollupStream {
 
-  /** Per-batch KMV rollup maintenance: each micro-batch of raw events
-    * upserts the maintained per-day KMV states at `rollupPath`
-    * ([[graft.plans.KmvRoute.upsertRollup]] — touched-days-only
-    * read-merge-overwrite, zone-gated). Safe under at-least-once
-    * delivery with NO dedup machinery: multiplicity-invariance makes
-    * the upsert idempotent per batch (spec-pinned).
-    */
-  def kmvUpsertStream(events: DataFrame, rollupPath: String, k: Int)
-      : org.apache.spark.sql.streaming.DataStreamWriter[Row] =
-    events.writeStream.outputMode("append").foreachBatch {
-      (batch: Dataset[Row], _: Long) =>
-        if (!batch.isEmpty)
-          graft.plans.KmvRoute.upsertRollup(batch.sparkSession,
-            rollupPath, batch.toDF(), k)
-    }
-
-  /** [[kmvUpsertStream]]'s BLIND-append variant
+  /** Per-batch KMV rollup maintenance
     * ([[graft.plans.KmvRoute.maintainRollup]]): each batch's per-day
-    * states land as new segment files with no read of existing state at
-    * all — O(batch) work however large the rollup — folded back to the
-    * day's k-minima by the route's own re-merge at read, day-local
-    * compaction past `maxSegments`. The one maintainer needing NO
-    * replay machinery whatsoever: the k-minima union is
+    * states land as new BLIND-append segment files with no read of
+    * existing state at all — O(batch) work however large the rollup —
+    * folded back to the day's k-minima by the route's own re-merge at
+    * read, day-local compaction past `maxSegments`. The one maintainer
+    * needing NO replay machinery whatsoever: the k-minima union is
     * multiplicity-invariant, so any replay (even of a batch an earlier
     * compaction already folded — the case the tagged families forbid by
     * contract) is absorbed exactly.
+    *
+    * Deliberately NOT built on [[graft.plans.KmvRoute.upsertRollup]]
+    * (review-found, r14): the upsert commits through dynamic partition
+    * OVERWRITE, whose job commit deletes a touched day dir before
+    * renaming the staged one in — a crash between the two destroys that
+    * day's previously-folded state, and the replay would then "merge"
+    * against the emptied day, silently undercounting forever. The
+    * blind-append path is per-file-rename end to end (no delete of live
+    * state anywhere), so every crash point either leaves the old files
+    * or adds new ones. The upsert remains for exactly-once BATCH
+    * callers who accept its torn-commit window.
     */
   def kmvAppendStream(events: DataFrame, rollupPath: String, k: Int,
       maxSegments: Int = 8)
@@ -86,7 +81,13 @@ object RollupStream {
     * files). `streamId` must be stable across restarts of the same
     * checkpointed stream (Structured Streaming replays a failed batch
     * under the SAME batchId, which is exactly what the tag overwrite
-    * keys on) and unique across distinct streams feeding one rollup.
+    * keys on). ONE maintainer per rollup at a time — the family-wide
+    * single-maintainer-per-root contract, and for tagged state it is
+    * load-bearing (review-found, r14): a second concurrent feeder's
+    * compaction could fold THIS stream's last uncommitted batch's tags,
+    * reopening exactly the crash-replay double-count the
+    * delete-own-tag ordering closes. `streamId` distinguishes
+    * sequential owners (a handoff), never concurrent ones.
     */
   def qhistAppendStream(events: DataFrame, rollupPath: String,
       streamId: String, maxSegments: Int = 8)

@@ -196,10 +196,14 @@ object VectorStream {
     * the maintained table via [[graft.operators.AnnServing.appendTo]],
     * with crash-swap recovery at batch entry and LIST-LOCAL
     * auto-compaction past `maxSegments` files per `cid=` dir. The model
-    * fingerprint is pinned ONCE at stream start: a codebook regenerated
-    * mid-stream makes the next append REFUSE loudly (the cascade rule
-    * on the write side — stale-model rows must never fold into a
-    * rebuilt table) instead of silently mixing code spaces; restart the
+    * fingerprint is pinned ONCE at stream start AND re-checked against
+    * the live codebook per batch: the appendTo gate alone only compares
+    * the pin against the artifact's `_meta`, so a codebook regenerated
+    * mid-stream (dataset replaced, refit by another process) would pass
+    * it in the window BEFORE the cascade rebuild — while the batch's
+    * rows were already assigned under the NEW centroids
+    * (family.rowsOf reads the live codebook); the per-batch check makes
+    * that window refuse loudly too (review-found, r14). Restart the
     * maintainer after the cascade rebuild, like every sibling family
     * gate. Replay-safe by VALUE: a re-delivered batch appends duplicate
     * rows, which serving dedupes and compaction collapses.
@@ -212,6 +216,13 @@ object VectorStream {
     emb.writeStream.outputMode("append").foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         if (!batch.isEmpty) {
+          val live = family.modelFpOf(batch.sparkSession, dir)
+          require(live == model,
+            s"ANN serving maintainer for $root pinned model '$model' at " +
+              s"stream start but the live codebook is now '$live' — a " +
+              "regenerated codebook must cascade: rebuild the serving " +
+              "table and restart the maintainer, never fold new-model " +
+              "assignments into old-model state")
           graft.operators.AnnServing.recover(root)
           graft.operators.AnnServing.appendTo(root,
             family.rowsOf(batch.sparkSession, dir, batch.toDF()),

@@ -185,6 +185,56 @@ class QuantileRouteSpec extends AnyFunSuite {
     } finally QuantileRoute.deregister(spark, s"$d/events.parquet")
   }
 
+  test("maintenance heals: a crashed staged-append tree is swept at " +
+      "entry, and a rollup holding crashed-swap residue DECLINES to " +
+      "route (the raw scan is the correct answer) until recovered") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-qres-ds").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      java.nio.file.Paths.get(s"$d/events.parquet")): Unit
+    val ev = graft.Tables.events(spark, d)
+    val roll = java.nio.file.Files
+      .createTempDirectory("graft-qres-roll").toString + "/rollup"
+    QuantileRoute.rollupOf(ev).coalesce(1)
+      .write.partitionBy("day").parquet(roll)
+    // a crashed append leaves an orphan stage tree — maintenance sweeps it
+    val orphan = new java.io.File(roll, ".tmp-stage-deadbeef")
+    assert(orphan.mkdirs())
+    QuantileRoute.recoverRollup(roll)
+    assert(!orphan.exists(), "crashed stage tree not swept")
+    QuantileRoute.enable(spark)
+    QuantileRoute.register(spark, s"$d/events.parquet", roll)
+    try {
+      def shape() = ev.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(graft.functions.VectorFunctions.qhistState(col("value"))
+          .as("state"))
+      def routed(df: org.apache.spark.sql.DataFrame): Boolean =
+        df.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation
+            if lr.relation.asInstanceOf[
+              org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+              .location.rootPaths.exists(_.toString.contains(roll)) => lr
+        }.nonEmpty
+      assert(routed(shape()))
+      // a crashed compaction's aside dir: a fresh resolution would drop
+      // that day (or string-infer the aside) — the route must decline
+      val dayDir = new java.io.File(roll).listFiles()
+        .filter(_.getName.startsWith("day=")).head
+      val aside = new java.io.File(roll, s"${dayDir.getName}.old-deadbeef")
+      assert(dayDir.renameTo(aside))
+      QuantileRoute.invalidate(roll)
+      assert(!routed(shape()),
+        "a residue-bearing rollup was routed — a fresh partition " +
+          "listing would silently drop the aside day")
+      // maintenance heals the swap; the route resumes
+      QuantileRoute.recoverRollup(roll)
+      QuantileRoute.invalidate(roll)
+      spark.catalog.refreshByPath(roll)
+      assert(routed(shape()))
+    } finally QuantileRoute.deregister(spark, s"$d/events.parquet")
+  }
+
   test("non-matching shapes stay raw, and a foreign-zone session is " +
       "never routed") {
     QuantileRoute.ensureArtifacts(spark, dir): Unit

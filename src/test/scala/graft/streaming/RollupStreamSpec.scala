@@ -157,44 +157,6 @@ class RollupStreamSpec extends AnyFunSuite {
     } finally CorpusRoute.deregister(spark, rawCopy)
   }
 
-  test("kmvUpsertStream: drained ingest converges to the full rebuild's " +
-      "states, and a re-delivered slice is absorbed by " +
-      "multiplicity-invariance (no tags needed)") {
-    val k = 64
-    val roll = java.nio.file.Files
-      .createTempDirectory("graft-kmvroll-stream").toString + "/rollup"
-    graft.plans.KmvRoute.rollupOf(base, k).coalesce(1)
-      .write.partitionBy("day").parquet(roll)
-
-    implicit val sc = spark.sqlContext
-    val mem = MemoryStream[(String, String, String, Double)]
-    val stream = mem.toDS
-      .select(col("_1").cast("timestamp").as("ts"), col("_2").as("user_id"),
-        col("_3").as("event_type"), col("_4").as("value"))
-    val q = RollupStream.kmvUpsertStream(stream, roll, k).start()
-    try {
-      incoming.grouped(2).foreach { slice =>
-        mem.addData(slice: _*)
-        q.processAllAvailable()
-      }
-      // at-least-once delivery: the same slice re-fires
-      mem.addData(incoming.take(2): _*)
-      q.processAllAvailable()
-    } finally q.stop()
-
-    def states(): Map[String, Seq[Long]] = {
-      spark.catalog.refreshByPath(roll)
-      spark.read.parquet(roll)
-        .select(col("day").cast("string"), col("state"))
-        .as[(String, Seq[Long])].collect().toMap
-    }
-    val want = graft.plans.KmvRoute
-      .rollupOf(base.unionByName(evFrame(incoming)), k)
-      .select(col("day").cast("string"), col("state"))
-      .as[(String, Seq[Long])].collect().toMap
-    assert(states().nonEmpty && states() === want)
-  }
-
   test("kmvAppendStream: blind segment appends (with mid-stream " +
       "compaction) converge to the rebuild's states; even a replay of an " +
       "ALREADY-COMPACTED batch is absorbed — multiplicity-invariance " +
