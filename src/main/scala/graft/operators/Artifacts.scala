@@ -177,6 +177,38 @@ private[graft] object Artifacts {
     * skipped (an all-duplicate source still stages one copy; an EMPTY
     * staged dir can only mean the source held no rows).
     */
+  /** [[swapStagedDirs]] driven from the STAGED side, for rewrites whose
+    * staged tree may hold partition dirs with NO live counterpart yet
+    * (a keyed upsert's first rows for a fresh date): existing dirs swap
+    * through the aside-rename chain, new dirs install by direct rename
+    * — every crash point leaves either the old dir, the new dir, or a
+    * recoverable aside, never a deleted-but-unreplaced partition (the
+    * dynamic-partition-overwrite commit's torn window — r14 review).
+    */
+  private[graft] def installStagedDirs(
+      spark: org.apache.spark.sql.SparkSession,
+      stage: String, liveRoot: String, prefix: String): Unit = {
+    for {
+      d <- Option(new File(stage).listFiles()).getOrElse(Array.empty[File])
+      if d.isDirectory && d.getName.startsWith(prefix)
+    } {
+      val live = new File(liveRoot, d.getName)
+      if (live.isDirectory) publishByRename(live.getPath, d.getPath)
+      else require(d.renameTo(live), s"install rename to $live failed")
+      spark.catalog.refreshByPath(live.getPath)
+    }
+    rmTree(new File(stage))
+  }
+
+  /** Sweep crashed staged-write trees (`.tmp-stage-*` under `root` —
+    * dot-prefixed, so no live reader ever saw them) — the maintenance-
+    * entry half of the staged-swap protocol.
+    */
+  private[graft] def sweepStageTrees(root: String): Unit =
+    Option(new File(root).listFiles()).getOrElse(Array.empty[File])
+      .filter(f => f.isDirectory && f.getName.startsWith(".tmp-stage-"))
+      .foreach(rmTree)
+
   private[graft] def swapStagedDirs(spark: org.apache.spark.sql.SparkSession,
       stage: String, dirs: Seq[File]): Unit = {
     dirs.foreach { d =>

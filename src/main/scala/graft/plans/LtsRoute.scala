@@ -77,24 +77,22 @@ object LtsRoute extends Rule[LogicalPlan] {
   // analyzed rollup relations, resolved once per path (the optimizer calls
   // this rule per query — re-listing files there would be blocking I/O in
   // every plan); newInstance() refreshes exprIds per use so two routed
-  // aggregates in one query never collide
-  private val ltsRelations = TrieMap[String, LogicalRelation]()
+  // aggregates in one query never collide. Shared scaffold (r14): the
+  // streaming maintainer now commits through date-dir aside-rename
+  // swaps (Ingest.upsertByKey), so a cache miss must decline to route
+  // while crashed-swap residue exists — a fresh listing would silently
+  // drop (or string-infer) the aside day.
+  private val ltsRelations = new RouteSupport.RelationCache("date")
 
   /** Drop the cached relation for a route target whose FILES changed —
     * streaming-maintained rollups ([[graft.streaming.Ingest
     * .streamLtsRollupTo]]) rewrite partitions every micro-batch, and a
     * stale cached file listing would route queries onto deleted files.
     */
-  def invalidate(ltsPath: String): Unit = ltsRelations.remove(ltsPath): Unit
+  def invalidate(ltsPath: String): Unit = ltsRelations.invalidate(ltsPath)
 
   private def ltsRelationFor(ltsPath: String): Option[LogicalRelation] =
-    ltsRelations.get(ltsPath).orElse {
-      val rel = SparkSession.active.read.parquet(ltsPath)
-        .queryExecution.analyzed
-        .collectFirst { case l: LogicalRelation => l }
-      rel.foreach(ltsRelations.put(ltsPath, _))
-      rel
-    }.map(_.newInstance())
+    ltsRelations.relationFor(ltsPath)
 
   /** Match Aggregate over the registered relation. The optimizer pulls
     * complex grouping expressions into a child Project

@@ -15,7 +15,7 @@ import org.apache.spark.sql.types.{DateType, IntegerType, LongType, TimestampTyp
   * Project-inlining rewrite preamble are ONE audited implementation
   * now, so the next matcher or zone fix cannot silently miss a route.
   */
-private[plans] object RouteSupport {
+private[graft] object RouteSupport {
 
   def sessionZone(spark: SparkSession): String =
     spark.sessionState.conf.sessionLocalTimeZone
@@ -206,10 +206,7 @@ private[plans] object RouteSupport {
   def recoverRollup(rollupPath: String, partCol: String): Unit = {
     import graft.operators.Artifacts
     Artifacts.recoverDirSwaps(rollupPath, s"$partCol=")
-    Option(new java.io.File(rollupPath).listFiles())
-      .getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isDirectory && f.getName.startsWith(".tmp-stage-"))
-      .foreach(Artifacts.rmTree)
+    Artifacts.sweepStageTrees(rollupPath)
   }
 
   /** Crash-residue among a rollup's partition dirs that OUTLIVES a

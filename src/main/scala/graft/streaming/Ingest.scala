@@ -200,34 +200,49 @@ object Ingest {
 
   /** Parquet-level MERGE for a date-partitioned table: replace rows whose
     * key appears in `batch`, keep the rest, touching ONLY the date
-    * partitions the batch lands in (dynamic partition overwrite — every
-    * other partition's files are untouched, so the rewrite cost tracks the
-    * update window, not table history). The merged frame is
-    * `localCheckpoint`ed before the overwrite: the write deletes the files
-    * the plan would otherwise lazily re-read mid-overwrite.
+    * partitions the batch lands in. The merged frame is
+    * `localCheckpoint`ed before the rewrite: the write replaces the files
+    * the plan would otherwise lazily re-read mid-rewrite.
+    *
+    * Commits through the shared STAGED-SWAP protocol rather than dynamic
+    * partition overwrite (r14 review — this runs inside a streaming
+    * crash-replay loop): the overwrite's job commit deletes a live date
+    * dir before renaming the staged one in, so a crash between the two
+    * would destroy rows of every series NOT in the replayed batch. Here
+    * the merged dates stage as a dot-prefixed tree, then each date dir
+    * swaps in by aside-rename (existing) or installs by direct rename
+    * (fresh date) — every crash point leaves old files, new files, or a
+    * recoverable aside, healed at the next entry, and the keyed merge
+    * itself is replay-idempotent (left-anti by key + union of the same
+    * revised rows).
     */
   private[graft] def upsertByKey(batch: DataFrame, path: String,
       keys: Seq[String]): Unit = {
+    import graft.operators.Artifacts
     val spark = batch.sparkSession
     val withDate = batch.withColumn("date", to_date(col("bucket")))
     val dates = withDate.select("date").distinct()
       .collect().map(_.getDate(0): Any)
     if (dates.isEmpty) return
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    new java.io.File(path).mkdirs()
+    Artifacts.recoverDirSwaps(path, "date=")
+    Artifacts.sweepStageTrees(path)
+    val hasLive = Option(new java.io.File(path).listFiles())
+      .exists(_.exists(_.getName.startsWith("date=")))
     val merged =
-      if (!fs.exists(new org.apache.hadoop.fs.Path(path))) withDate
+      if (!hasLive) withDate
       else spark.read.parquet(path)
         .filter(col("date").isin(dates: _*))
         .join(withDate.select(keys.map(col): _*), keys, "left_anti")
         .unionByName(withDate)
     val snapshot = merged.localCheckpoint(true)
-    snapshot.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
+    val stage = s"$path/.tmp-stage-${java.util.UUID.randomUUID()}"
+    snapshot.write
       .option("compression", "zstd")
       .partitionBy("date")
-      .parquet(path)
+      .parquet(stage)
     snapshot.unpersist()
+    Artifacts.installStagedDirs(spark, stage, path, "date=")
     graft.plans.LtsRoute.invalidate(path)
   }
 

@@ -118,6 +118,45 @@ class LtsRouteSpec extends AnyFunSuite {
     }
   }
 
+  test("upsertByKey heals crashed swap residue at entry and a " +
+      "residue-bearing rollup declines to route until healed") {
+    import spark.implicits._
+    val roll = java.nio.file.Files
+      .createTempDirectory("graft-lts-heal").toString + "/lts"
+    def batchOf(v: Double) = Seq(
+      ("2024-01-01 10:01:00", "cpu", v),
+      ("2024-01-02 10:01:00", "mem", v))
+      .toDF("b0", "name", "v")
+      .select(col("b0").cast("timestamp").as("bucket"), col("name"),
+        col("v").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+          .as("sum_value"))
+      .withColumn("n", org.apache.spark.sql.functions.lit(1L))
+    graft.streaming.Ingest.upsertByKey(batchOf(1.0), roll,
+      Seq("bucket", "name"))
+    // fabricate a crashed swap: one date dir renamed aside mid-swap,
+    // plus an orphaned stage tree
+    val root = new java.io.File(roll)
+    val dateDir = root.listFiles().filter(_.getName.startsWith("date=")).head
+    val aside = new java.io.File(root, s"${dateDir.getName}.old-deadbeef")
+    assert(dateDir.renameTo(aside))
+    assert(new java.io.File(root, ".tmp-stage-deadbeef").mkdirs())
+    // (the cache-miss DECLINE while an aside exists is pinned at the
+    // shared RelationCache in QuantileRouteSpec; the heal below is this
+    // entry's contract)
+    graft.streaming.Ingest.upsertByKey(batchOf(2.0), roll,
+      Seq("bucket", "name"))
+    assert(!new java.io.File(root, ".tmp-stage-deadbeef").exists(),
+      "orphan stage tree not swept")
+    assert(!aside.exists(), "crashed aside not healed")
+    spark.catalog.refreshByPath(roll)
+    val got = spark.read.parquet(roll)
+      .select(col("name"), col("sum_value").cast("double"))
+      .as[(String, Double)].collect().toMap
+    // the upsert replaced both keys' rows with the revised values — no
+    // row lost to the crashed swap, none double-kept
+    assert(got === Map("cpu" -> 2.0, "mem" -> 2.0))
+  }
+
   test("unregistered tables never route") {
     LtsRoute.enable(spark)
     assert(!routed(minuteQuery))
