@@ -97,6 +97,12 @@ object CorpusRoute extends Rule[LogicalPlan] {
     * partition's files are untouched, the `Ingest.upsertByKey`
     * discipline at rollup scale). The cached routed relation is
     * invalidated so the next routed query plans against the new files.
+    *
+    * CRASH CAVEAT (r14 review, the [[KmvRoute.upsertRollup]] note): the
+    * dynamic-overwrite job commit deletes a touched lang dir before
+    * renaming the staged one in — for exactly-once BATCH callers on a
+    * supervised run; a crash-replay loop must use
+    * [[appendRollup]]/[[maintainRollup]] (per-file-rename end to end).
     */
   def upsertRollup(spark: SparkSession, rollupPath: String,
       newDocs: DataFrame): Unit = {

@@ -74,6 +74,12 @@ object QuantileRoute extends Rule[LogicalPlan] {
     * day (dynamic overwrite rewrites its partition dir, so the existing
     * null-day state must merge, never drop — the KmvRoute r13-ADVICE
     * rule, applied here from birth).
+    *
+    * CRASH CAVEAT (r14 review, the [[KmvRoute.upsertRollup]] note): the
+    * dynamic-overwrite job commit deletes a touched day dir before
+    * renaming the staged one in — for exactly-once BATCH callers on a
+    * supervised run; a crash-replay loop must use
+    * [[appendRollup]]/[[maintainRollup]] (per-file-rename end to end).
     */
   def upsertRollup(spark: SparkSession, rollupPath: String,
       newEvents: DataFrame): Unit = {
