@@ -400,6 +400,102 @@ object ScaleProbe {
       s""""serve_ratio":${sLate / sEarly}}""")
   }
 
+  /** Maintained-ROLLUP endurance ladder (r14 — family parity for the
+    * routed-MV states now that they take continuous tagged streaming
+    * appends): a maintainer loop feeds 26 event slices through
+    * [[graft.plans.QuantileRoute.maintainRollup]] (the
+    * [[graft.streaming.RollupStream.qhistAppendStream]] per-batch entry
+    * — delete-own-tag → day-local compact past maxSegments=8 → tagged
+    * blind append). Reports the family-standard gauges: (a) append
+    * latency flat (each append is a batch-sized aggregate + staged
+    * publish, NO read of existing state — the blind-append claim);
+    * (b) the per-day segment bound held; (c) after EACH compaction the
+    * rollup's MERGED states re-pinned bit-for-bit against
+    * [[graft.plans.QuantileRoute.rollupOf]] over everything folded so
+    * far (the histogram-monoid exactness the route serves on); (d) the
+    * route-shaped merged read sampled early vs late.
+    */
+  private def rollupEnduranceProbe(spark: SparkSession,
+      base: String): Seq[String] = {
+    import graft.plans.QuantileRoute
+    import org.apache.spark.sql.functions.col
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    val maxSegments = 8
+    val d = s"$base/events_roll"
+    synthesizeEvents(spark, d, 200000L)
+    val all = spark.read.parquet(s"$d/events.parquet")
+      .select("ts", "event_id", "event_type", "value")
+    val roll = java.nio.file.Files
+      .createTempDirectory("graft-rollup-endurance").toString + "/rollup"
+    QuantileRoute.rollupOf(all.filter(col("event_id") % 3 === 0))
+      .coalesce(1).write.partitionBy("day").parquet(roll)
+    val batches = 26
+    def sliceOf(b: Int) = all.filter(col("event_id") % 3 =!= 0 &&
+      col("event_id") % batches === b)
+    var foldedBatches = Seq.empty[Int]
+    def foldedFrame() = all.filter(col("event_id") % 3 === 0 ||
+      (col("event_id") % 3 =!= 0 &&
+        (col("event_id") % batches).isInCollection(foldedBatches.map(_.toLong))))
+    val slices = (0 until batches).map { b => () => {
+      QuantileRoute.maintainRollup(spark, roll, sliceOf(b),
+        ("probe", s"b$b"), maxSegments)
+      foldedBatches = foldedBatches :+ b
+    }}
+    def servedStates(): Map[(String, String), Seq[(Double, Long)]] = {
+      import spark.implicits._
+      spark.catalog.refreshByPath(roll)
+      spark.read.parquet(roll)
+        .groupBy("event_type", "day")
+        .agg(graft.functions.VectorFunctions.qhistMergeState(col("state"))
+          .as("state"))
+        .select(col("event_type"), col("day").cast("string"), col("state"))
+        .as[(String, String, Seq[(Double, Long)])].collect()
+        .map { case (t, dy, s) => (t, dy) -> s }.toMap
+    }
+    def consistent(): Boolean = {
+      import spark.implicits._
+      val want = QuantileRoute.rollupOf(foldedFrame())
+        .select(col("event_type"), col("day").cast("string"), col("state"))
+        .as[(String, String, Seq[(Double, Long)])].collect()
+        .map { case (t, dy, s) => (t, dy) -> s }.toMap
+      servedStates() == want
+    }
+    val serveLat = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def serveSample(): Unit = {
+      val t0 = System.nanoTime()
+      servedStates(): Unit
+      serveLat += (System.nanoTime() - t0) / 1e9
+    }
+    serveSample(): Unit // warmup outside the samples
+    serveLat.clear()
+    val (appendLat, compactLat, maxSeg, compactions, allConsistent) =
+      runLadder(slices,
+        () => parquetFilesByDir(roll, "day="),
+        () => QuantileRoute.rollupSegments(roll),
+        () => consistent(),
+        serveSample _)
+    val early = median(appendLat.take(4))
+    val late = median(appendLat.takeRight(4))
+    val cMed = if (compactLat.isEmpty) 0.0 else median(compactLat)
+    val sEarly = median(serveLat.take(2).toSeq)
+    val sLate = median(serveLat.takeRight(2).toSeq)
+    println(f"[scaleprobe] rollup_endurance: " +
+      f"batches=${appendLat.size + compactions} " +
+      f"append early=$early%5.2fs late=$late%5.2fs ratio=${late / early}%4.2f " +
+      f"compactions=$compactions (compact-batch median $cMed%5.2fs) " +
+      f"maxSeg=$maxSeg/${maxSegments + 1} consistent=$allConsistent; " +
+      f"serving early=$sEarly%5.2fs late=$sLate%5.2fs")
+    require(allConsistent,
+      "rollup states diverged from the folded slices after a compaction")
+    require(maxSeg <= maxSegments + 1,
+      s"segment bound violated: $maxSeg > ${maxSegments + 1}")
+    Seq(s""""rollup_endurance":{"append_early":$early,"append_late":$late,""" +
+      s""""ratio":${late / early},"compactions":$compactions,""" +
+      s""""compact_batch_median":$cMed,"max_segments":$maxSeg,""" +
+      s""""bound":${maxSegments + 1},"consistent":$allConsistent,""" +
+      s""""serve_early":$sEarly,"serve_late":$sLate}""")
+  }
+
   /** Maintained-MediaHashIndex endurance ladder (r13 — the fifth
     * maintained family under the shared [[runLadder]] harness, added the
     * round the family was born so it never lags the others): ONE
@@ -2014,6 +2110,11 @@ object ScaleProbe {
     if (args.sameElements(Array("--trainedann-endurance"))) {
       val rows = trainedAnnEnduranceProbe(spark, base)
       println(s"""{"metric":"scaleprobe_trainedann_endurance",${rows.mkString(",")}}""")
+      spark.stop(); return
+    }
+    if (args.sameElements(Array("--rollup-endurance"))) {
+      val rows = rollupEnduranceProbe(spark, base)
+      println(s"""{"metric":"scaleprobe_rollup_endurance",${rows.mkString(",")}}""")
       spark.stop(); return
     }
     if (args.sameElements(Array("--annserving-endurance"))) {
