@@ -168,15 +168,6 @@ private[graft] object Artifacts {
       .filter(d => Option(d.listFiles())
         .map(_.count(_.getName.endsWith(".parquet"))).getOrElse(0) > maxSegments)
 
-  /** Swap each staged partition dir over its live sibling atomically
-    * (aside-rename chain at PARTITION-DIR grain), then sweep the stage:
-    * every crash point leaves each dir whole-old or whole-new (both
-    * valid when the rewrite preserves the dir's row set), a
-    * missing-dir/aside pair [[recoverDirSwaps]] heals, or `.tmp-`
-    * residue the next recover sweeps. A dir with no staged sibling is
-    * skipped (an all-duplicate source still stages one copy; an EMPTY
-    * staged dir can only mean the source held no rows).
-    */
   /** [[swapStagedDirs]] driven from the STAGED side, for rewrites whose
     * staged tree may hold partition dirs with NO live counterpart yet
     * (a keyed upsert's first rows for a fresh date): existing dirs swap
@@ -209,6 +200,15 @@ private[graft] object Artifacts {
       .filter(f => f.isDirectory && f.getName.startsWith(".tmp-stage-"))
       .foreach(rmTree)
 
+  /** Swap each staged partition dir over its live sibling atomically
+    * (aside-rename chain at PARTITION-DIR grain), then sweep the stage:
+    * every crash point leaves each dir whole-old or whole-new (both
+    * valid when the rewrite preserves the dir's row set), a
+    * missing-dir/aside pair [[recoverDirSwaps]] heals, or `.tmp-`
+    * residue the next recover sweeps. A dir with no staged sibling is
+    * skipped (an all-duplicate source still stages one copy; an EMPTY
+    * staged dir can only mean the source held no rows).
+    */
   private[graft] def swapStagedDirs(spark: org.apache.spark.sql.SparkSession,
       stage: String, dirs: Seq[File]): Unit = {
     dirs.foreach { d =>

@@ -15,7 +15,7 @@ import org.apache.spark.sql.types.{DateType, IntegerType, LongType, TimestampTyp
   * Project-inlining rewrite preamble are ONE audited implementation
   * now, so the next matcher or zone fix cannot silently miss a route.
   */
-private[graft] object RouteSupport {
+private[plans] object RouteSupport {
 
   def sessionZone(spark: SparkSession): String =
     spark.sessionState.conf.sessionLocalTimeZone

@@ -214,13 +214,36 @@ object Ingest {
     * (fresh date) — every crash point leaves old files, new files, or a
     * recoverable aside, healed at the next entry, and the keyed merge
     * itself is replay-idempotent (left-anti by key + union of the same
-    * revised rows).
+    * revised rows). The routing `date` is the bucket instant's UTC
+    * epoch-day (zone-free; a table whose dates were written by a
+    * pre-r14 non-UTC session rebuilds — it is derived state).
     */
   private[graft] def upsertByKey(batch: DataFrame, path: String,
       keys: Seq[String]): Unit = {
     import graft.operators.Artifacts
     val spark = batch.sparkSession
-    val withDate = batch.withColumn("date", to_date(col("bucket")))
+    // the swap protocol is java.io.File renames — a remote path would
+    // stage on the remote FS but install/sweep against the LOCAL view,
+    // silently writing nothing (review-found, r14); refuse loudly. (The
+    // whole maintained-artifact layer shares this local-rename contract;
+    // a distributed deployment fronts these tables with an FS that
+    // exposes POSIX renames, or swaps this layer for a table format
+    // with a transactional commit.)
+    val scheme = new java.net.URI(path).getScheme
+    require(scheme == null || scheme == "file",
+      s"upsertByKey commits by local-filesystem renames; got '$path' " +
+        s"(scheme '$scheme') — use a local path or a transactional table format")
+    // the routing date is derived from the bucket's INSTANT (UTC epoch
+    // days), never from to_date's session-zone calendar: a maintainer
+    // session restarted under a different spark.sql.session.timeZone
+    // would otherwise place the same bucket key in a DIFFERENT date
+    // partition, miss the existing row in the merge, and double-count
+    // routed sums (review-found, r14 — the requireWriteZone hazard, made
+    // zone-free by construction instead of gated)
+    val utcDate = expr(
+      "date_add(DATE'1970-01-01', " +
+        "CAST(FLOOR(unix_timestamp(bucket) / 86400) AS INT))")
+    val withDate = batch.withColumn("date", utcDate)
     val dates = withDate.select("date").distinct()
       .collect().map(_.getDate(0): Any)
     if (dates.isEmpty) return

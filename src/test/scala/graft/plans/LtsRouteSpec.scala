@@ -149,12 +149,15 @@ class LtsRouteSpec extends AnyFunSuite {
       "orphan stage tree not swept")
     assert(!aside.exists(), "crashed aside not healed")
     spark.catalog.refreshByPath(roll)
+    // a SET compare over ALL rows: toMap would collapse a double-kept
+    // key to one arbitrary entry and mask exactly the regression this
+    // pin exists for (review-found, r14)
     val got = spark.read.parquet(roll)
       .select(col("name"), col("sum_value").cast("double"))
-      .as[(String, Double)].collect().toMap
+      .as[(String, Double)].collect().toSeq
     // the upsert replaced both keys' rows with the revised values — no
     // row lost to the crashed swap, none double-kept
-    assert(got === Map("cpu" -> 2.0, "mem" -> 2.0))
+    assert(got.size == 2 && got.toSet === Set("cpu" -> 2.0, "mem" -> 2.0))
   }
 
   test("unregistered tables never route") {
