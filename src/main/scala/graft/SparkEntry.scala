@@ -120,6 +120,7 @@ object SparkEntry {
     "q_sql_tag_filter" -> SqlFrontDoor.sqlTagFilter _,
     "q_sql_distinct_approx" -> SqlFrontDoor.sqlDistinctApprox _,
     "q_sql_percentiles_approx" -> SqlFrontDoor.sqlPercentilesApprox _,
+    "q_sql_route_stats" -> SqlFrontDoor.sqlRouteStats _,
     // the index-served RETRIEVAL class through the front door (r13):
     // BM25 top-k authored as SQL text over the registered text-index
     // views, same oracle as q_bm25_indexed, term-shard pruning
@@ -834,11 +835,10 @@ object SparkEntry {
     // the Spark side is REQUIRED (builder-asserted) to serve this from the
     // CorpusRoute rollup; the oracle recomputes from raw — a green row is
     // the external proof that MV routing is bit-identical
-    "q_route_stats" ->
-      """SELECT lang, COUNT(*) AS n_docs,
-        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
-        |  CAST(SUM(len(string_split(text, ' '))) AS DOUBLE)/COUNT(*) AS avg_tokens
-        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // ONE oracle def shared by the DSL face and its r14 SQL-text twin
+    // (the tagFilterOracle rule)
+    "q_route_stats" -> corpusStatsOracle,
+    "q_sql_route_stats" -> corpusStatsOracle,
     "q_dedup_exact" ->
       """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
@@ -2068,6 +2068,18 @@ object SparkEntry {
     // the custom-aggregate class through the front door
     "q_sql_distinct_approx" -> kmvDailyOracle,
   )
+
+  /** The routed corpus-stats oracle — DuckDB recomputes the per-lang
+    * panel from the RAW documents table, so a green row is an
+    * end-to-end proof that the CorpusRoute rewrite (which serves it
+    * from the maintained rollup) is bit-identical; shared by the DSL
+    * row and its SQL-text twin.
+    */
+  private def corpusStatsOracle: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  CAST(SUM(len(string_split(text, ' '))) AS DOUBLE)/COUNT(*) AS avg_tokens
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** The deterministic quantile-summary oracle (r14) — DuckDB replays
     * the identical integer walk QHistMergeAgg runs (exact per-type

@@ -155,6 +155,31 @@ object SqlFrontDoor {
     out
   }
 
+  /** SQL face of [[graft.plans.CorpusRoute.routedStats]] — the
+    * re-aggregable corpus-stats MV-routing class authored as SQL text
+    * (r14, the 14th SQL twin, completing route-class coverage through
+    * the front door: LTS-shaped aggregates, tag filter, KMV, quantile,
+    * and now corpus stats): the route's private raw copy registers as a
+    * temp view, and the SQL-parsed aggregate — count(*), sum(n_chars),
+    * the token-total `sum(cast(size(split(text, ' ')) as bigint))`
+    * shape, and the derived average — must be rewritten onto the
+    * per-(lang, source) rollup by the same conservative rule the DSL
+    * face engages, answering to the same DuckDB oracle.
+    */
+  def sqlRouteStats(spark: SparkSession, dir: String): DataFrame = {
+    val (rawCopy, roll) = graft.plans.CorpusRoute.ensureArtifacts(spark, dir)
+    spark.read.parquet(rawCopy)
+      .createOrReplaceTempView("corpus_route_docs")
+    val out = spark.sql(
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  SUM(n_chars) AS total_chars,
+        |  CAST(SUM(CAST(size(split(text, ' ')) AS BIGINT)) AS DOUBLE)
+        |    / COUNT(*) AS avg_tokens
+        |FROM corpus_route_docs GROUP BY lang ORDER BY lang""".stripMargin)
+    graft.plans.CorpusRoute.requireEngaged(out, rawCopy, roll)
+    out
+  }
+
   /** SQL face of [[graft.operators.EventOps.valuePercentilesApprox]] —
     * the engine's deterministic quantile summary authored as SQL text
     * (r14): the same two-level shape (exact per-(type, day) `qhist_state`

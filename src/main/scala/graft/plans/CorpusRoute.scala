@@ -281,16 +281,26 @@ object CorpusRoute extends Rule[LogicalPlan] {
         sum(col("n_chars")).as("total_chars"),
         (sum(col("n_tokens")).cast("double") / count(lit(1))).as("avg_tokens"))
       .orderBy("lang")
-    val engaged = out.queryExecution.optimizedPlan.collect {
+    requireEngaged(out, rawCopy, roll)
+    out
+  }
+
+  /** Loud engagement check — a declared routed query must FAIL if the
+    * optimizer stopped serving it from the rollup (shared by the DSL
+    * and SQL faces).
+    */
+  def requireEngaged(df: DataFrame, rawCopy: String,
+      rollupPath: String): Unit = {
+    val engaged = df.queryExecution.optimizedPlan.collect {
       case lr: LogicalRelation => lr.relation match {
         case h: HadoopFsRelation =>
-          h.location.rootPaths.exists(_.toString.contains(roll))
+          h.location.rootPaths.exists(_.toString.contains(rollupPath))
         case _ => false
       }
     }.exists(identity)
-    require(engaged, s"corpus route failed to engage for $rawCopy -> $roll:\n" +
-      out.queryExecution.optimizedPlan)
-    out
+    require(engaged,
+      s"corpus route failed to engage for $rawCopy -> $rollupPath:\n" +
+        df.queryExecution.optimizedPlan)
   }
 
   def deregister(spark: SparkSession, rawPath: String): Unit =

@@ -52,6 +52,12 @@ class SqlSurfaceSpec extends AnyFunSuite {
     // onto the same maintained histogram rollup, same rows
     assert(rows(SqlFrontDoor.sqlPercentilesApprox(spark, dir))
       === rows(operators.EventOps.valuePercentilesApprox(spark, dir)))
+    // the r14 corpus-stats twin: the SQL-parsed count/sum/token-total
+    // aggregate routed onto the same per-(lang, source) rollup
+    // (engagement required inside the face), same rows as the DSL face
+    assert(rows(SqlFrontDoor.sqlRouteStats(spark, dir))
+      === rows(graft.plans.CorpusRoute.routedStats(spark, dir)))
+    assert(SqlFrontDoor.sqlRouteStats(spark, dir).count() > 0)
   }
 
   test("the SQL-authored BM25 face returns the index-served DSL face's " +
