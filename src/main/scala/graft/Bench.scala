@@ -241,7 +241,7 @@ object Bench {
     // present — names keep degrading before data ever drops
     val bases = Seq(10, 8, 6, 4, 3, 2)
     bases.iterator.map(render).find(_.length <= lineBudget)
-      // final hard-degrade: if even base-4 names overflow (a query set
+      // final hard-degrade: if even base-2 names overflow (a query set
       // far past today's), drop the per-query map entirely rather than
       // print a line the driver's bounded tail would clip mid-JSON —
       // a complete scalar record beats a torn detailed one

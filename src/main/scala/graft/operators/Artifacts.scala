@@ -325,7 +325,14 @@ private[graft] object Artifacts {
     * dir name [[dirResidue]] flags.
     */
   private[graft] def recoverDirSwaps(parent: String, prefix: String): Unit = {
-    val names = dirResidue(parent, prefix).map(_.takeWhile(_ != '.')).distinct
+    // strip only the residue SUFFIX (`.old-<uuid>` / `.tmp-<uuid>`) —
+    // partition VALUES may legally contain dots (lang=pt.BR), so a
+    // takeWhile(_ != '.') would truncate the live name, never heal the
+    // aside, and leave the route declining forever (r14 ADVICE)
+    val names = dirResidue(parent, prefix).map { n =>
+      val cut = math.max(n.lastIndexOf(".old-"), n.lastIndexOf(".tmp-"))
+      n.substring(0, cut)
+    }.distinct
     if (names.nonEmpty) recoverArtifacts(parent, names)
   }
 

@@ -215,8 +215,21 @@ object Ingest {
     * recoverable aside, healed at the next entry, and the keyed merge
     * itself is replay-idempotent (left-anti by key + union of the same
     * revised rows). The routing `date` is the bucket instant's UTC
-    * epoch-day (zone-free; a table whose dates were written by a
-    * pre-r14 non-UTC session rebuilds — it is derived state).
+    * epoch-day (zone-free by construction).
+    *
+    * The derivation is MECHANICALLY pinned by a `datekey=utc-epoch-day`
+    * line in the table root's `_meta` (r15, closing the r14 ADVICE
+    * gap): a table whose date dirs were written under some OTHER
+    * derivation (a pre-r14 session-zone `to_date(bucket)`) holds the
+    * same bucket key under a different date dir — the merge would read
+    * only the UTC partitions, miss the stored row, and union a
+    * SECOND row, silently double-counting routed sums. An existing
+    * table without the marker therefore refuses loudly; a caller who
+    * knows the layout is already UTC-derived (written by r14 code
+    * before the marker existed) runs [[certifyUtcDateLayout]] once —
+    * it verifies every stored row's dir against the UTC derivation and
+    * stamps the marker mechanically, so nobody ever asserts the layout
+    * by hand.
     */
   private[graft] def upsertByKey(batch: DataFrame, path: String,
       keys: Seq[String]): Unit = {
@@ -252,12 +265,35 @@ object Ingest {
     Artifacts.sweepStageTrees(path)
     val hasLive = Option(new java.io.File(path).listFiles())
       .exists(_.exists(_.getName.startsWith("date=")))
+    if (hasLive) requireUtcDateMarker(path)
+    else writeDateMarker(path)
+    // null-safe membership (the CorpusRoute lang rule): a null bucket
+    // derives a null date, and `isin(null)` matches NOTHING — the
+    // existing date=__HIVE_DEFAULT_PARTITION__ rows would be excluded
+    // from the merge while the install wholesale-replaces that live dir
+    // with only the batch's null-date rows (r14 ADVICE; shielded today
+    // by non-null window keys, but the helper is generic)
+    val nonNullDates = dates.filter(_ != null)
+    val dateMatch = {
+      val base =
+        if (nonNullDates.nonEmpty) col("date").isin(nonNullDates: _*)
+        else lit(false)
+      if (dates.exists(_ == null)) base || col("date").isNull else base
+    }
     val merged =
       if (!hasLive) withDate
-      else spark.read.parquet(path)
-        .filter(col("date").isin(dates: _*))
-        .join(withDate.select(keys.map(col): _*), keys, "left_anti")
-        .unionByName(withDate)
+      else {
+        val existing = spark.read.parquet(path).filter(dateMatch)
+        val revised = withDate.select(keys.map(col): _*)
+        // the anti-join must be null-safe too: a null bucket is a real
+        // stored key (the default partition), and a plain equi-join
+        // would never match it — the union below would then double-keep
+        // the null-keyed row instead of replacing it
+        val sameKey = keys.map(k => existing(k) <=> revised(k))
+          .reduce(_ && _)
+        existing.join(revised, sameKey, "left_anti")
+          .unionByName(withDate)
+      }
     val snapshot = merged.localCheckpoint(true)
     val stage = s"$path/.tmp-stage-${java.util.UUID.randomUUID()}"
     snapshot.write
@@ -267,6 +303,49 @@ object Ingest {
     snapshot.unpersist()
     Artifacts.installStagedDirs(spark, stage, path, "date=")
     graft.plans.LtsRoute.invalidate(path)
+  }
+
+  /** The date-derivation pin [[upsertByKey]] writes and checks: ONE
+    * `datekey=` line in the table root's `_meta`.
+    */
+  private val DateKey = "utc-epoch-day"
+
+  private def writeDateMarker(path: String): Unit =
+    java.nio.file.Files.write(new java.io.File(path, "_meta").toPath,
+      s"datekey=$DateKey\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+
+  private def requireUtcDateMarker(path: String): Unit = {
+    val marked = graft.operators.Artifacts
+      .parseKvFile(new java.io.File(path, "_meta")).flatMap(_.get("datekey"))
+    require(marked.contains(DateKey),
+      s"upsertByKey on $path: existing date partitions carry no " +
+        s"'datekey=$DateKey' marker (found ${marked.getOrElse("none")}) — " +
+        "merging against dirs derived under another date rule would " +
+        "silently double-count the keys stored there; rebuild the table " +
+        "(it is derived state), or run Ingest.certifyUtcDateLayout once " +
+        "if it was written by the UTC derivation before markers existed")
+  }
+
+  /** Verify an EXISTING unmarked table's date layout against the UTC
+    * epoch-day derivation row by row and stamp the marker — the
+    * mechanical upgrade for tables the r14 code wrote before the pin
+    * existed. Refuses (without stamping) on the first dir holding a row
+    * whose bucket derives a different date: such a table must rebuild.
+    */
+  def certifyUtcDateLayout(spark: SparkSession, path: String): Unit = {
+    val utcDate = expr(
+      "date_add(DATE'1970-01-01', " +
+        "CAST(FLOOR(unix_timestamp(bucket) / 86400) AS INT))")
+    val bad = spark.read.parquet(path)
+      .filter(!(col("date") <=> utcDate))
+      .limit(1).collect()
+    require(bad.isEmpty,
+      s"certifyUtcDateLayout on $path: found a row stored under " +
+        s"date=${bad.head.getAs[Any]("date")} whose bucket derives a " +
+        "different UTC epoch-day — the table was written under another " +
+        "date rule; rebuild it instead of marking")
+    writeDateMarker(path)
   }
 
   /** Start the LTS maintenance stream: 1-minute downsample in update mode

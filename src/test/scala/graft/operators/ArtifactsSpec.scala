@@ -69,6 +69,28 @@ class ArtifactsSpec extends AnyFunSuite {
       "the losing builder's tmp tree must be discarded")
   }
 
+  test("recoverDirSwaps heals a crashed swap of a partition VALUE " +
+      "containing a dot (lang=pt.BR) — suffix-stripping, not " +
+      "first-dot truncation") {
+    val parent = java.nio.file.Files
+      .createTempDirectory("graft-dotheal").toString
+    // crashed aside-then-swap: live dir gone, one aside present — the
+    // heal must rename the aside back under its FULL dotted name; the
+    // old takeWhile(_ != '.') derived "lang=pt" and left the aside as
+    // residue forever (r14 ADVICE)
+    val aside = new File(parent, "lang=pt.BR.old-deadbeef")
+    assert(aside.mkdirs())
+    java.nio.file.Files.write(new File(aside, "part-0.parquet").toPath,
+      "x".getBytes("UTF-8")): Unit
+    // plus a stale tmp tree under another dotted value
+    assert(new File(parent, "lang=zh.TW.tmp-cafebabe").mkdirs())
+    Artifacts.recoverDirSwaps(parent, "lang=")
+    assert(new File(parent, "lang=pt.BR/part-0.parquet").exists(),
+      "aside not renamed back under the dotted partition value")
+    assert(Artifacts.dirResidue(parent, "lang=").isEmpty,
+      "residue must be fully healed so serving gates re-engage")
+  }
+
   test("a broken build fails loudly at publish time and never goes live") {
     val root = tmpRoot()
     // a build whose artifact marker never landed (lost task, partial

@@ -160,6 +160,67 @@ class LtsRouteSpec extends AnyFunSuite {
     assert(got.size == 2 && got.toSet === Set("cpu" -> 2.0, "mem" -> 2.0))
   }
 
+  test("upsertByKey pins its date derivation: an existing table without " +
+      "the datekey marker refuses; certifyUtcDateLayout verifies and " +
+      "stamps a genuinely-UTC legacy table; null buckets merge " +
+      "null-safely") {
+    import spark.implicits._
+    val roll = java.nio.file.Files
+      .createTempDirectory("graft-lts-marker").toString + "/lts"
+    def batchOf(b0: Option[String], v: Double) = Seq((b0, "cpu", v))
+      .toDF("b0", "name", "v")
+      .select(col("b0").cast("timestamp").as("bucket"), col("name"),
+        col("v").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+          .as("sum_value"))
+      .withColumn("n", org.apache.spark.sql.functions.lit(1L))
+    // a fresh table self-marks
+    graft.streaming.Ingest.upsertByKey(
+      batchOf(Some("2024-01-01 10:01:00"), 1.0), roll, Seq("bucket", "name"))
+    val meta = new java.io.File(roll, "_meta")
+    assert(meta.exists(), "fresh upsert table must stamp its datekey")
+    // a pre-marker (r14-written) table: live date dirs, no _meta —
+    // upsert must refuse rather than risk merging across derivations
+    assert(meta.delete())
+    val refusal = intercept[IllegalArgumentException] {
+      graft.streaming.Ingest.upsertByKey(
+        batchOf(Some("2024-01-01 10:02:00"), 2.0), roll,
+        Seq("bucket", "name"))
+    }
+    assert(refusal.getMessage.contains("datekey"))
+    // the mechanical upgrade: this table IS UTC-derived, so certify
+    // verifies row by row and stamps; upserts then proceed
+    graft.streaming.Ingest.certifyUtcDateLayout(spark, roll)
+    assert(meta.exists())
+    graft.streaming.Ingest.upsertByKey(
+      batchOf(None, 5.0) // a NULL bucket lands in the default partition
+        .unionByName(batchOf(Some("2024-01-01 10:01:00"), 3.0)),
+      roll, Seq("bucket", "name"))
+    // and a second null-bucket upsert must MERGE against the stored
+    // null-date row (isin(null) matches nothing — the r14-ADVICE gap),
+    // replacing it rather than double-keeping
+    graft.streaming.Ingest.upsertByKey(batchOf(None, 7.0), roll,
+      Seq("bucket", "name"))
+    spark.catalog.refreshByPath(roll)
+    val got = spark.read.parquet(roll)
+      .select(col("bucket").cast("string"), col("sum_value").cast("double"))
+      .as[(Option[String], Double)].collect().toSeq
+    assert(got.size == 2, s"expected 2 rows (one per bucket key), got $got")
+    assert(got.collect { case (None, v) => v } === Seq(7.0),
+      "null-bucket row must be replaced, not dropped or double-kept")
+    assert(got.collect { case (Some(_), v) => v } === Seq(3.0))
+    // a table whose layout genuinely mismatches refuses to certify
+    val legacy = java.nio.file.Files
+      .createTempDirectory("graft-lts-legacy").toString + "/lts"
+    batchOf(Some("2024-01-01 10:01:00"), 1.0)
+      .withColumn("date", org.apache.spark.sql.functions
+        .to_date(org.apache.spark.sql.functions.lit("2024-06-30")))
+      .write.partitionBy("date").parquet(legacy)
+    val bad = intercept[IllegalArgumentException] {
+      graft.streaming.Ingest.certifyUtcDateLayout(spark, legacy)
+    }
+    assert(bad.getMessage.contains("rebuild"))
+  }
+
   test("unregistered tables never route") {
     LtsRoute.enable(spark)
     assert(!routed(minuteQuery))
