@@ -247,6 +247,194 @@ private[graft] object Artifacts {
       case None => s"seg-adhoc-${java.util.UUID.randomUUID()}-"
     }
 
+  /** The single-maintainer-per-root LEASE (r15) — the tagged-replay
+    * families' concurrency contract, made mechanical. The tag protocol
+    * (delete-own-tag → compact → append) is exact only when ONE
+    * maintainer feeds a root: a second concurrent feeder's compaction
+    * can fold another maintainer's still-replayable tag untagged,
+    * silently reopening the crash-replay double-count the protocol
+    * exists to close. That contract was documentation-only (r14);
+    * every maintenance entry of the tagged families now acquires an
+    * advisory lease (`_lease` in the root — `_`-prefixed, invisible to
+    * parquet readers) and REFUSES LOUDLY on a live foreign one.
+    *
+    * Semantics:
+    *  - owner identity: a tagged entry leases as its tag's streamId
+    *    (stable across restarts of the same checkpointed stream — the
+    *    legitimate crash-replay successor re-acquires its own lease);
+    *    an untagged entry leases as [[jvmOwner]].
+    *  - STICKY vs scoped: tagged entries leave the lease STANDING
+    *    (their replay window outlives the entry — a batch published
+    *    but not yet checkpoint-committed may still replay, and nobody
+    *    else may compact its tag away until then); untagged entries
+    *    (declared exactly-once — nothing of theirs ever replays)
+    *    release at exit, so sequential ad-hoc maintenance interleaves
+    *    freely while OVERLAPPING entries still exclude each other.
+    *  - heartbeat/expiry: each acquisition rewrites the file (fresh
+    *    mtime); a foreign lease older than `patienceMs` is a crashed
+    *    or abandoned maintainer and is stolen — the taker must accept
+    *    the handoff contract (the predecessor's batches are settled or
+    *    forfeited). A graceful handoff releases explicitly
+    *    ([[releaseLease]]) instead of waiting out patience.
+    *  - nested entries re-enter: maintainRollup's internal compact +
+    *    append acquire nothing (thread-scoped held set), so one entry
+    *    is one acquisition however it composes.
+    *
+    * Scope note: acquisition races are settled exactly within a JVM
+    * (the per-root monitor serializes check-write-verify); across JVMs
+    * the lease is ADVISORY — the post-write re-read narrows the
+    * both-saw-stale window to the move+verify interval, which closes
+    * the human-scale accident (two operators starting maintainers) the
+    * contract needs closed. A deployment needing hard cross-host
+    * mutual exclusion fronts maintenance with a real lock service.
+    */
+  private[graft] lazy val jvmOwner: String =
+    s"jvm-${java.util.UUID.randomUUID()}"
+
+  private[graft] def defaultLeasePatienceMs: Long =
+    sys.props.get("graft.lease.patience.ms").map(_.toLong)
+      .getOrElse(5L * 60L * 1000L)
+
+  private val heldLeases = new ThreadLocal[scala.collection.mutable.Set[String]] {
+    override def initialValue() = scala.collection.mutable.Set.empty[String]
+  }
+
+  private def leaseFile(root: String) = new File(root, "_lease")
+
+  private def acquireLease(root: String, owner: String,
+      patienceMs: Long): Unit = lockFor(root).synchronized {
+    new File(root).mkdirs()
+    val f = leaseFile(root)
+    val cur = parseKvFile(f).flatMap(_.get("owner"))
+    val fresh = f.lastModified() > System.currentTimeMillis() - patienceMs
+    if (cur.exists(_ != owner) && fresh)
+      throw new IllegalStateException(
+        s"maintenance root $root is leased by maintainer " +
+          s"'${cur.get}' (heartbeat ${f.lastModified()}) — a second " +
+          s"concurrent maintainer ('$owner') could fold the holder's " +
+          "still-replayable tags and reopen the replay double-count; " +
+          "stop the holder (or let its lease lapse / releaseLease for " +
+          "a graceful handoff) before maintaining this root")
+    val tmp = new File(root, s"_lease.w-${java.util.UUID.randomUUID()}")
+    java.nio.file.Files.write(tmp.toPath, s"owner=$owner\n"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+    java.nio.file.Files.move(tmp.toPath, f.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+    // post-write verify: a cross-JVM racer may have overwritten between
+    // our move and here — last writer holds, the loser refuses
+    val now2 = parseKvFile(f).flatMap(_.get("owner"))
+    if (!now2.contains(owner))
+      throw new IllegalStateException(
+        s"lost the lease race for $root to '${now2.getOrElse("?")}'")
+  }
+
+  /** Release `owner`'s lease on `root` (graceful stop/handoff); a no-op
+    * when the lease is absent or held by someone else.
+    */
+  private[graft] def releaseLease(root: String, owner: String): Unit =
+    lockFor(root).synchronized {
+      val f = leaseFile(root)
+      if (parseKvFile(f).flatMap(_.get("owner")).contains(owner))
+        f.delete(): Unit
+    }
+
+  /** Run `body` under the root's maintenance lease. `sticky` leaves the
+    * lease standing at exit (tagged entries — their replay window
+    * outlives the call); otherwise it releases. Re-entrant per thread:
+    * a nested entry inside an already-leased call chain runs bare.
+    */
+  private[graft] def withLease[A](root: String, owner: String,
+      sticky: Boolean,
+      patienceMs: Long = defaultLeasePatienceMs)(body: => A): A = {
+    val held = heldLeases.get()
+    if (held.contains(root)) body
+    else {
+      acquireLease(root, owner, patienceMs)
+      held.add(root): Unit
+      try body
+      finally {
+        held.remove(root): Unit
+        if (!sticky) releaseLease(root, owner)
+      }
+    }
+  }
+
+  /** The owner a maintenance entry leases as: its tag's streamId when
+    * tagged, the per-JVM ad-hoc identity otherwise — and tagged
+    * entries are the sticky ones (see [[withLease]]).
+    */
+  private[graft] def leaseIdentity(
+      tag: Option[(String, String)]): (String, Boolean) =
+    tag match {
+      case Some((s, _)) => (s, true)
+      case None => (jvmOwner, false)
+    }
+
+  /** The BATCH-ledgered tag namespace (r15) — the replay protocol for
+    * AT-LEAST-ONCE BATCH callers of the additive rollups, where the
+    * streaming tag protocol's precondition ("only the LAST uncommitted
+    * batch ever replays") does not hold: a batch pipeline may re-deliver
+    * ANY past batch after arbitrary delay, including one a compaction
+    * already folded untagged — the delete-own-tag step would then find
+    * nothing and the re-append would double-count. Ledgered appends use
+    * a distinct `segb-` prefix and a durable commit marker (one empty
+    * file per tag under `<root>/_committed/` — creation is atomic, and
+    * `_`-prefixed paths are invisible to parquet readers):
+    *
+    *  - append: delete-own-tag → publish `segb-` files → create marker.
+    *    The marker is the commit point; the caller's success return
+    *    REQUIRES it, so at-least-once delivery replays exactly the
+    *    batches without markers.
+    *  - replay of a MARKED tag: skipped entirely (its files may have
+    *    been folded — deleting by tag would lose them).
+    *  - replay of an UNMARKED tag: delete-own-tag → re-publish → mark,
+    *    exactly once at every crash point.
+    *  - compaction: folds a `segb-` file ONLY when its marker exists
+    *    ([[foldableFile]]); unmarked files ride through the rewrite
+    *    untouched, so no tag that may still be deleted-and-replayed is
+    *    ever folded away.
+    *
+    * Markers accumulate one empty file per committed batch — bounded by
+    * batch count, not data size (a year of hourly batches ≈ 9k inodes),
+    * and they must NOT be swept while any caller could still replay
+    * their tags.
+    */
+  private[graft] def ledgerPrefix(tag: (String, String)): String =
+    s"segb-${tagEnc(tag._1)}-${tagEnc(tag._2)}-"
+
+  private def commitMarkerFile(liveRoot: String, prefix: String): File =
+    new File(new File(liveRoot, "_committed"), prefix.stripSuffix("-"))
+
+  private[graft] def isCommitted(liveRoot: String,
+      tag: (String, String)): Boolean =
+    commitMarkerFile(liveRoot, ledgerPrefix(tag)).exists()
+
+  private[graft] def markCommitted(liveRoot: String,
+      tag: (String, String)): Unit = {
+    val f = commitMarkerFile(liveRoot, ledgerPrefix(tag))
+    f.getParentFile.mkdirs()
+    f.createNewFile(): Unit
+  }
+
+  /** The compaction fold gate for roots that accept ledgered batch
+    * appends: a `segb-` segment file is foldable only once its commit
+    * marker exists; everything else (compacted untagged files, `seg-`
+    * streaming tags — whose committedness the streaming replay-window
+    * contract already guarantees at compaction time, adhoc tags) folds
+    * as before.
+    */
+  private[graft] def foldableFile(liveRoot: String)(name: String): Boolean =
+    !name.startsWith("segb-") || {
+      // name = segb-<enc(stream)>-<enc(batch)>-<writer file name>; enc
+      // percent-encodes '-', so the first three '-'-separated fields
+      // are exactly the tag prefix
+      val parts = name.split("-", 4)
+      parts.length >= 4 &&
+        commitMarkerFile(liveRoot,
+          s"segb-${parts(1)}-${parts(2)}").exists()
+    }
+
   /** Remove a crashed same-tag attempt's published segment files under
     * `liveRoot`'s partition dirs — the overwrite half of tag-replay
     * idempotence (TextIndex postings, TagIndex events): a replay first

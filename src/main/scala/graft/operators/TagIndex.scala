@@ -112,18 +112,21 @@ object TagIndex {
       appendTag: Option[(String, String)] = None): Unit = {
     require(new File(root).isDirectory,
       s"appendTo on $root with no table — build or recover first")
-    val prefix = Artifacts.segPrefix(appendTag)
-    if (appendTag.isDefined)
-      Artifacts.deleteTaggedFiles(root, "date=", prefix)
-    // dot-prefixed stage: invisible to parquet readers while staging;
-    // recover sweeps a crashed attempt's leftovers
-    val stage = s"$root/.tmp-append-${java.util.UUID.randomUUID()}"
-    // one pre-write partition bounds the append's file count to one per
-    // touched date (the family-wide appendTo rationale)
-    Ingest.writeTable(shaped(newEvents).repartition(1), stage,
-      sortKeys = Seq("k"), derived = hotTag)
-    Artifacts.publishStagedFiles(stage, root, "date=", prefix)
-    Artifacts.rmTree(new File(stage))
+    val (owner, sticky) = Artifacts.leaseIdentity(appendTag)
+    Artifacts.withLease(root, owner, sticky) {
+      val prefix = Artifacts.segPrefix(appendTag)
+      if (appendTag.isDefined)
+        Artifacts.deleteTaggedFiles(root, "date=", prefix)
+      // dot-prefixed stage: invisible to parquet readers while staging;
+      // recover sweeps a crashed attempt's leftovers
+      val stage = s"$root/.tmp-append-${java.util.UUID.randomUUID()}"
+      // one pre-write partition bounds the append's file count to one
+      // per touched date (the family-wide appendTo rationale)
+      Ingest.writeTable(shaped(newEvents).repartition(1), stage,
+        sortKeys = Seq("k"), derived = hotTag)
+      Artifacts.publishStagedFiles(stage, root, "date=", prefix)
+      Artifacts.rmTree(new File(stage))
+    }
   }
 
   /** DATE-LOCAL compaction — the family's shard-local entry at date
@@ -144,7 +147,14 @@ object TagIndex {
     * postings contract).
     */
   def compactDates(root: String, spark: SparkSession,
-      maxSegments: Int = 1): Unit = {
+      maxSegments: Int = 1,
+      owner: String = Artifacts.jvmOwner): Unit =
+    Artifacts.withLease(root, owner, sticky = owner != Artifacts.jvmOwner) {
+      compactDatesLeased(root, spark, maxSegments)
+    }
+
+  private def compactDatesLeased(root: String, spark: SparkSession,
+      maxSegments: Int): Unit = {
     recover(root)
     val dirs = Artifacts.overweightDirs(root, "date=", maxSegments)
     if (dirs.isEmpty) return

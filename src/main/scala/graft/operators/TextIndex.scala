@@ -153,6 +153,14 @@ object TextIndex {
     */
   private[graft] def appendTo(root: String, newDocs: DataFrame,
       gen: String, appendTag: Option[(String, String)] = None): Unit = {
+    val (owner, sticky) = Artifacts.leaseIdentity(appendTag)
+    Artifacts.withLease(root, owner, sticky) {
+      appendToLeased(root, newDocs, gen, appendTag)
+    }
+  }
+
+  private def appendToLeased(root: String, newDocs: DataFrame,
+      gen: String, appendTag: Option[(String, String)]): Unit = {
     invalidateServingViews()
     val spark = newDocs.sparkSession
     require(new File(s"$root/postings").exists(),
@@ -270,15 +278,17 @@ object TextIndex {
     * stats/terms still counted the lost corpus. At 100 TB this runs
     * per-shard behind a segment manifest instead of whole-index.
     */
-  private[graft] def compact(root: String, spark: SparkSession): Unit = {
-    invalidateServingViews()
-    recoverArtifacts(root) // heal a previously crashed swap first
-    val posts = spark.read.parquet(s"$root/postings")
-      .select("term", "doc_id", "tf", "dl", "positions")
-    val tmp = s"$root/postings.tmp-${java.util.UUID.randomUUID()}"
-    writeSharded(posts, Seq("term", "doc_id"), tmp)
-    publishByRename(s"$root/postings", tmp)
-  }
+  private[graft] def compact(root: String, spark: SparkSession,
+      owner: String = Artifacts.jvmOwner): Unit =
+    Artifacts.withLease(root, owner, sticky = owner != Artifacts.jvmOwner) {
+      invalidateServingViews()
+      recoverArtifacts(root) // heal a previously crashed swap first
+      val posts = spark.read.parquet(s"$root/postings")
+        .select("term", "doc_id", "tf", "dl", "positions")
+      val tmp = s"$root/postings.tmp-${java.util.UUID.randomUUID()}"
+      writeSharded(posts, Seq("term", "doc_id"), tmp)
+      publishByRename(s"$root/postings", tmp)
+    }
 
   /** SHARD-LOCAL postings compaction (r12) — the
     * [[WinnowIndex.compactShards]] pattern at term-shard grain: every
@@ -303,7 +313,14 @@ object TextIndex {
     * [[compact]] has erased tags the same way since r8.
     */
   private[graft] def compactShards(root: String, spark: SparkSession,
-      maxSegments: Int = 1): Unit = {
+      maxSegments: Int = 1,
+      owner: String = Artifacts.jvmOwner): Unit =
+    Artifacts.withLease(root, owner, sticky = owner != Artifacts.jvmOwner) {
+      compactShardsLeased(root, spark, maxSegments)
+    }
+
+  private def compactShardsLeased(root: String, spark: SparkSession,
+      maxSegments: Int): Unit = {
     invalidateServingViews()
     recoverArtifacts(root)
     val postingsRoot = s"$root/postings"

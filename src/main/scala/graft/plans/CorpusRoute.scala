@@ -63,20 +63,15 @@ object CorpusRoute extends Rule[LogicalPlan] {
       max(tok).as("max_tokens"))
   }
 
-  /** Re-aggregable merge of two rollup-shaped frames — the algebra
-    * incremental maintenance relies on: counts and sums ADD, mins MIN,
-    * maxes MAX, group-wise. Exact by construction for an append-only
-    * corpus (deletes would need full-recompute of affected groups —
-    * order statistics are not subtractable).
-    */
-  private def mergeRollups(a: DataFrame, b: DataFrame): DataFrame =
-    remerge(a.unionByName(b))
-
   /** Fold rollup-shaped rows back to one row per (lang, source) — the
-    * merge algebra itself, shared by [[upsertRollup]]'s two-frame merge
-    * and [[compactLangs]]' segment collapse.
+    * merge algebra incremental maintenance relies on: counts and sums
+    * ADD, mins MIN, maxes MAX, group-wise. Exact by construction for an
+    * append-only corpus (deletes would need full-recompute of affected
+    * groups — order statistics are not subtractable). Used by
+    * [[compactLangs]]' segment collapse; [[upsertRollup]] appends
+    * segments and lets reads/compaction fold through this same algebra.
     */
-  private def remerge(df: DataFrame): DataFrame = {
+  private[graft] def remerge(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
     df.groupBy("lang", "source").agg(
       sum("n_docs").as("n_docs"),
@@ -90,47 +85,45 @@ object CorpusRoute extends Rule[LogicalPlan] {
       max("max_tokens").as("max_tokens"))
   }
 
-  /** Incremental maintenance for an APPEND batch: fold the batch's
-    * rollup into the maintained table at PARTITION grain — the rollup
-    * is stored `partitionBy("lang")`, and only the batch's languages'
-    * partitions rewrite (dynamic partition overwrite; every other
-    * partition's files are untouched, the `Ingest.upsertByKey`
-    * discipline at rollup scale). The cached routed relation is
-    * invalidated so the next routed query plans against the new files.
+  /** Incremental maintenance for an APPEND batch — the BATCH-caller
+    * entry, crash-exact end to end (r15; this retired the r14 CRASH
+    * CAVEAT): the batch's (lang, source) partials land as ledger-tagged
+    * blind segment files by staged write + per-file rename (the
+    * [[appendRollup]] machinery — no read of existing state, no delete
+    * of live state at ANY crash point), auto-compacted past
+    * `maxSegments`, and every routed measure re-aggregates its stored
+    * partials at read ([[remerge]]'s algebra inside the rewrite), so
+    * answers are bit-identical to the old read-merge-overwrite. A NULL
+    * lang appends into the default partition like any other — the
+    * overwrite hazard its history used to face is gone with the
+    * overwrite itself.
     *
-    * CRASH CAVEAT (r14 review, the [[KmvRoute.upsertRollup]] note): the
-    * dynamic-overwrite job commit deletes a touched lang dir before
-    * renaming the staged one in — for exactly-once BATCH callers on a
-    * supervised run; a crash-replay loop must use
-    * [[appendRollup]]/[[maintainRollup]] (per-file-rename end to end).
+    * Replay protection for AT-LEAST-ONCE callers is the batch LEDGER
+    * (the [[QuantileRoute.upsertRollup]] contract, verbatim): marked
+    * re-deliveries skip, unmarked ones overwrite their own tag, and
+    * compaction never folds an unmarked ledgered segment.
     */
   def upsertRollup(spark: SparkSession, rollupPath: String,
-      newDocs: DataFrame): Unit = {
-    import org.apache.spark.sql.functions._
-    val delta = rollupOf(newDocs)
-    val langs = delta.select("lang").distinct()
-      .collect().map(_.getString(0)).toSeq
-    if (langs.nonEmpty) {
-      // membership must be null-safe: `isin` never matches a NULL lang
-      // (NULL IN (...) is NULL), yet dynamic overwrite still replaces
-      // the null partition — a plain isin would silently drop all
-      // accumulated history for null-lang documents
-      val nonNull = langs.filter(_ != null)
-      val base =
-        if (nonNull.nonEmpty) col("lang").isin(nonNull: _*) else lit(false)
-      val langMatch =
-        if (langs.exists(_ == null)) base || col("lang").isNull else base
-      // localCheckpoint breaks lineage to the files being overwritten
-      // (Spark refuses to overwrite a path its own plan reads); the
-      // affected slice is #batch-langs × #sources rows — KBs
-      val existing = spark.read.parquet(rollupPath)
-        .filter(langMatch)
-        .localCheckpoint()
-      mergeRollups(existing, delta)
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("lang").parquet(rollupPath)
-      invalidate(rollupPath)
+      newDocs: DataFrame, batchTag: Option[(String, String)] = None,
+      maxSegments: Int = 8): Unit = {
+    import graft.operators.Artifacts
+    require(new java.io.File(rollupPath).isDirectory,
+      s"upsertRollup on $rollupPath with no rollup — build it first")
+    val (owner, sticky) = Artifacts.leaseIdentity(batchTag)
+    Artifacts.withLease(rollupPath, owner, sticky) {
+      recoverRollup(rollupPath)
+      if (!batchTag.exists(Artifacts.isCommitted(rollupPath, _))) {
+        val prefix = batchTag.map(Artifacts.ledgerPrefix)
+          .getOrElse(Artifacts.segPrefix(None))
+        if (batchTag.isDefined)
+          Artifacts.deleteTaggedFiles(rollupPath, "lang=", prefix)
+        if (rollupSegments(rollupPath) > maxSegments)
+          compactLangs(spark, rollupPath, maxSegments, owner)
+        RouteSupport.stagePublish(rollupPath, rollupOf(newDocs), "lang",
+          prefix)
+        batchTag.foreach(Artifacts.markCommitted(rollupPath, _))
+        invalidate(rollupPath)
+      }
     }
   }
 
@@ -155,12 +148,16 @@ object CorpusRoute extends Rule[LogicalPlan] {
     import graft.operators.Artifacts
     require(new java.io.File(rollupPath).isDirectory,
       s"appendRollup on $rollupPath with no rollup — build it first")
-    recoverRollup(rollupPath)
-    val prefix = graft.operators.Artifacts.segPrefix(appendTag)
-    if (appendTag.isDefined)
-      Artifacts.deleteTaggedFiles(rollupPath, "lang=", prefix)
-    RouteSupport.stagePublish(rollupPath, rollupOf(newDocs), "lang", prefix)
-    invalidate(rollupPath)
+    val (owner, sticky) = Artifacts.leaseIdentity(appendTag)
+    Artifacts.withLease(rollupPath, owner, sticky) {
+      recoverRollup(rollupPath)
+      val prefix = Artifacts.segPrefix(appendTag)
+      if (appendTag.isDefined)
+        Artifacts.deleteTaggedFiles(rollupPath, "lang=", prefix)
+      RouteSupport.stagePublish(rollupPath, rollupOf(newDocs), "lang",
+        prefix)
+      invalidate(rollupPath)
+    }
   }
 
   /** The per-batch STREAMING maintenance entry: delete-own-tag →
@@ -173,18 +170,22 @@ object CorpusRoute extends Rule[LogicalPlan] {
     */
   def maintainRollup(spark: SparkSession, rollupPath: String,
       newDocs: DataFrame, tag: (String, String),
-      maxSegments: Int = 8): Unit = {
-    recoverRollup(rollupPath)
-    // delete the replay's own crashed residue BEFORE the compaction
-    // below could fold it untagged; appendRollup's internal delete runs
-    // too late (after the compact) and is then a no-op re-delete —
-    // composing keeps the append protocol ONE body (review-found, r14)
-    graft.operators.Artifacts.deleteTaggedFiles(rollupPath, "lang=",
-      graft.operators.Artifacts.segPrefix(Some(tag)))
-    if (rollupSegments(rollupPath) > maxSegments)
-      compactLangs(spark, rollupPath, maxSegments)
-    appendRollup(spark, rollupPath, newDocs, Some(tag))
-  }
+      maxSegments: Int = 8): Unit =
+    // ONE lease acquisition for the whole batch entry (streamId-owned,
+    // standing) — the nested compact/append re-enter it
+    graft.operators.Artifacts.withLease(rollupPath, tag._1, sticky = true) {
+      recoverRollup(rollupPath)
+      // delete the replay's own crashed residue BEFORE the compaction
+      // below could fold it untagged; appendRollup's internal delete
+      // runs too late (after the compact) and is then a no-op
+      // re-delete — composing keeps the append protocol ONE body
+      // (review-found, r14)
+      graft.operators.Artifacts.deleteTaggedFiles(rollupPath, "lang=",
+        graft.operators.Artifacts.segPrefix(Some(tag)))
+      if (rollupSegments(rollupPath) > maxSegments)
+        compactLangs(spark, rollupPath, maxSegments, tag._1)
+      appendRollup(spark, rollupPath, newDocs, Some(tag))
+    }
 
   /** LANG-local segment compaction: every lang dir past `maxSegments`
     * files re-folds through the merge algebra ([[remerge]] — the same
@@ -192,10 +193,14 @@ object CorpusRoute extends Rule[LogicalPlan] {
     * in atomically through the shared crash protocol.
     */
   def compactLangs(spark: SparkSession, rollupPath: String,
-      maxSegments: Int = 1): Unit = {
-    RouteSupport.compactPartitions(spark, rollupPath, "lang",
-      maxSegments)(remerge)
-    invalidate(rollupPath)
+      maxSegments: Int = 1,
+      owner: String = graft.operators.Artifacts.jvmOwner): Unit = {
+    graft.operators.Artifacts.withLease(rollupPath, owner,
+      sticky = owner != graft.operators.Artifacts.jvmOwner) {
+      RouteSupport.compactPartitions(spark, rollupPath, "lang",
+        maxSegments)(remerge)
+      invalidate(rollupPath)
+    }
   }
 
   /** Heal a crashed lang-dir swap and sweep crashed staged-append trees

@@ -64,60 +64,51 @@ object KmvRoute extends Rule[LogicalPlan] {
         .as("state"))
   }
 
-  /** Incremental maintenance for an APPEND batch at day-partition grain
-    * (the [[CorpusRoute.upsertRollup]] discipline): only the batch's
-    * days' partitions rewrite. States merge by RE-SKETCHING the union of
-    * stored minima and the batch's hashes — a stored state's elements
-    * ARE hash values, so exploding them back into [[rollupOf]]'s
-    * aggregate is exactly the TreeSet merge, with no fourth aggregate
-    * face to maintain. Multiplicity-invariance makes this exact even for
-    * overlapping re-deliveries.
+  /** Incremental maintenance for an APPEND batch — the BATCH-caller
+    * entry, crash-exact end to end (r15; this retired the r14 CRASH
+    * CAVEAT): the batch's per-day states land as blind segment files by
+    * staged write + per-file rename (the [[appendRollup]] machinery —
+    * no read of existing state, no delete of live state at ANY crash
+    * point), auto-compacted past `maxSegments`, and the route's
+    * [[graft.functions.KmvMergeAgg]] re-merge folds segments back to
+    * the day's k-minima at read — bit-identical to the old
+    * read-merge-overwrite by merge-closure. The NULL day appends like
+    * any other touched day; the existing null-day state is simply
+    * never touched (the r13-ADVICE overwrite hazard is gone with the
+    * overwrite itself).
     *
-    * CRASH CAVEAT (r14 review): the dynamic-overwrite job commit
-    * deletes a touched day dir before renaming the staged one in — a
-    * crash between the two loses that day's previously-folded state,
-    * and a replayed batch would then merge against the emptied day.
-    * This entry is for exactly-once BATCH callers on a supervised run;
-    * a crash-replay loop (a streaming maintainer) must use
-    * [[appendRollup]]/[[maintainRollup]] instead, which never delete
-    * live state at any crash point.
+    * Replay-exactness needs NO ledger here — KMV states are
+    * multiplicity-invariant, so ANY re-delivery (even of a batch a
+    * compaction already folded) adds duplicate state rows the re-merge
+    * absorbs exactly. `batchTag` still buys the replay ECONOMY of the
+    * ledgered routes: a marked re-delivery is skipped outright and an
+    * unmarked one overwrites its own crashed files instead of
+    * accumulating absorbed-but-stored duplicates.
     */
   def upsertRollup(spark: SparkSession, rollupPath: String,
-      newEvents: DataFrame, k: Int): Unit = {
-    import org.apache.spark.sql.functions._
+      newEvents: DataFrame, k: Int,
+      batchTag: Option[(String, String)] = None,
+      maxSegments: Int = 8): Unit = {
+    import graft.operators.Artifacts
     graft.functions.VectorFunctions.ensureRegistered(spark)
+    require(new java.io.File(rollupPath).isDirectory,
+      s"upsertRollup on $rollupPath with no rollup — build it first")
     RouteSupport.requireWriteZone(spark, rollupPath, "kmv rollup")
-    val deltaHashes = newEvents.select(
-      to_date(col("ts")).as("day"),
-      graft.operators.TextOps.h60(col("user_id").cast("string")).as("h"))
-    val dayRows = deltaHashes.select("day").distinct().collect()
-    val days = dayRows.filterNot(_.isNullAt(0)).map(_.getDate(0)).toSeq
-    // a null ts groups as day=null and dynamic partition overwrite
-    // rewrites __HIVE_DEFAULT_PARTITION__ — so the EXISTING null-day
-    // state must fold into the batch like any other touched day;
-    // `isin(days)` alone would drop it (null never satisfies isin) and
-    // the overwrite would lose previously-folded hashes
-    // (review-found, r13 ADVICE)
-    val hasNullDay = dayRows.exists(_.isNullAt(0))
-    val touched =
-      if (days.isEmpty) col("day").isNull
-      else if (hasNullDay) col("day").isin(days: _*) || col("day").isNull
-      else col("day").isin(days: _*)
-    if (dayRows.nonEmpty) {
-      // localCheckpoint breaks lineage to the files being overwritten;
-      // the affected slice is #batch-days rows — KBs
-      val existing = spark.read.parquet(rollupPath)
-        .filter(touched)
-        .select(col("day"), explode(col("state")).as("h"))
-        .localCheckpoint()
-      existing.unionByName(deltaHashes)
-        .groupBy("day")
-        .agg(graft.functions.VectorFunctions.kmvStateExact(col("h"), k)
-          .as("state"))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("day").parquet(rollupPath)
-      invalidate(rollupPath)
+    val (owner, sticky) = Artifacts.leaseIdentity(batchTag)
+    Artifacts.withLease(rollupPath, owner, sticky) {
+      recoverRollup(rollupPath)
+      if (!batchTag.exists(Artifacts.isCommitted(rollupPath, _))) {
+        val prefix = batchTag.map(Artifacts.ledgerPrefix)
+          .getOrElse(Artifacts.segPrefix(None))
+        if (batchTag.isDefined)
+          Artifacts.deleteTaggedFiles(rollupPath, "day=", prefix)
+        if (rollupSegments(rollupPath) > maxSegments)
+          compactDays(spark, rollupPath, k, maxSegments, owner)
+        RouteSupport.stagePublish(rollupPath, rollupOf(newEvents, k), "day",
+          prefix)
+        batchTag.foreach(Artifacts.markCommitted(rollupPath, _))
+        invalidate(rollupPath)
+      }
     }
   }
 
@@ -139,10 +130,16 @@ object KmvRoute extends Rule[LogicalPlan] {
     require(new java.io.File(rollupPath).isDirectory,
       s"appendRollup on $rollupPath with no rollup — build it first")
     RouteSupport.requireWriteZone(spark, rollupPath, "kmv rollup")
-    recoverRollup(rollupPath)
-    RouteSupport.stagePublish(rollupPath, rollupOf(newEvents, k), "day",
-      graft.operators.Artifacts.segPrefix(None))
-    invalidate(rollupPath)
+    // untagged entry — scoped lease: excludes OVERLAPPING maintenance
+    // (the physical swap/rename races), while KMV's
+    // multiplicity-invariance needs no standing replay window
+    graft.operators.Artifacts.withLease(rollupPath,
+      graft.operators.Artifacts.jvmOwner, sticky = false) {
+      recoverRollup(rollupPath)
+      RouteSupport.stagePublish(rollupPath, rollupOf(newEvents, k), "day",
+        graft.operators.Artifacts.segPrefix(None))
+      invalidate(rollupPath)
+    }
   }
 
   /** The per-batch STREAMING maintenance entry: day-local compaction
@@ -152,12 +149,14 @@ object KmvRoute extends Rule[LogicalPlan] {
     * economy.
     */
   def maintainRollup(spark: SparkSession, rollupPath: String,
-      newEvents: DataFrame, k: Int, maxSegments: Int = 8): Unit = {
-    recoverRollup(rollupPath)
-    if (rollupSegments(rollupPath) > maxSegments)
-      compactDays(spark, rollupPath, k, maxSegments)
-    appendRollup(spark, rollupPath, newEvents, k)
-  }
+      newEvents: DataFrame, k: Int, maxSegments: Int = 8): Unit =
+    graft.operators.Artifacts.withLease(rollupPath,
+      graft.operators.Artifacts.jvmOwner, sticky = false) {
+      recoverRollup(rollupPath)
+      if (rollupSegments(rollupPath) > maxSegments)
+        compactDays(spark, rollupPath, k, maxSegments)
+      appendRollup(spark, rollupPath, newEvents, k)
+    }
 
   /** DAY-local segment compaction: every day dir past `maxSegments`
     * files re-sketches the union of its stored minima back to one state
@@ -167,15 +166,19 @@ object KmvRoute extends Rule[LogicalPlan] {
     * the shared crash protocol.
     */
   def compactDays(spark: SparkSession, rollupPath: String, k: Int,
-      maxSegments: Int = 1): Unit = {
+      maxSegments: Int = 1,
+      owner: String = graft.operators.Artifacts.jvmOwner): Unit = {
     import org.apache.spark.sql.functions._
     graft.functions.VectorFunctions.ensureRegistered(spark)
-    RouteSupport.compactPartitions(spark, rollupPath, "day", maxSegments)(
-      _.select(col("day"), explode(col("state")).as("h"))
-        .groupBy("day")
-        .agg(graft.functions.VectorFunctions.kmvStateExact(col("h"), k)
-          .as("state")))
-    invalidate(rollupPath)
+    graft.operators.Artifacts.withLease(rollupPath, owner,
+      sticky = owner != graft.operators.Artifacts.jvmOwner) {
+      RouteSupport.compactPartitions(spark, rollupPath, "day", maxSegments)(
+        _.select(col("day"), explode(col("state")).as("h"))
+          .groupBy("day")
+          .agg(graft.functions.VectorFunctions.kmvStateExact(col("h"), k)
+            .as("state")))
+      invalidate(rollupPath)
+    }
   }
 
   /** Heal a crashed day-dir swap and sweep crashed staged-append trees

@@ -63,52 +63,55 @@ object QuantileRoute extends Rule[LogicalPlan] {
         .as("state"))
   }
 
-  /** Incremental maintenance for an APPEND batch at day-partition grain
-    * (the [[CorpusRoute.upsertRollup]] additive-partials discipline —
-    * exact for append-only ingest; a re-delivered slice double-counts,
-    * so at-least-once delivery needs the upstream dedup every additive
-    * rollup needs): only the batch's days' partitions rewrite, each as
-    * stored-state ∪ delta-state under the exact counter-add re-fold
-    * ([[graft.functions.QHistMergeStateAgg]]) — bit-identical to a full
-    * rebuild over old ∪ new. The NULL day folds like any other touched
-    * day (dynamic overwrite rewrites its partition dir, so the existing
-    * null-day state must merge, never drop — the KmvRoute r13-ADVICE
-    * rule, applied here from birth).
+  /** Incremental maintenance for an APPEND batch — the BATCH-caller
+    * entry, crash-exact end to end (r15; this retired the r14 CRASH
+    * CAVEAT): the batch's per-(type, day) states land as ledger-tagged
+    * blind segment files by staged write + per-file rename (the
+    * [[appendRollup]] machinery — no read of existing state, no delete
+    * of live state at ANY crash point), auto-compacted past
+    * `maxSegments` by the day-local entry, and the route's re-merge
+    * aggregate folds segments back to one state per group at read
+    * (bit-identical to the old read-merge-overwrite by the histogram
+    * monoid). The NULL day appends like any other touched day.
     *
-    * CRASH CAVEAT (r14 review, the [[KmvRoute.upsertRollup]] note): the
-    * dynamic-overwrite job commit deletes a touched day dir before
-    * renaming the staged one in — for exactly-once BATCH callers on a
-    * supervised run; a crash-replay loop must use
-    * [[appendRollup]]/[[maintainRollup]] (per-file-rename end to end).
+    * Replay protection for AT-LEAST-ONCE callers rides the batch
+    * LEDGER ([[graft.operators.Artifacts.ledgerPrefix]]): with
+    * `batchTag` = (pipelineId, batchId), a re-delivered batch whose
+    * commit marker exists is SKIPPED, an unmarked one deletes its own
+    * tagged files and re-publishes — exactly-once at every crash
+    * point, even for a batch re-delivered after later compactions
+    * (unmarked `segb-` files are never folded; see the compaction fold
+    * gate). An untagged call publishes under a unique adhoc tag and is
+    * exact for exactly-once callers; a failed untagged call leaves a
+    * partial fold its caller must not blindly retry — pass a
+    * `batchTag` when retries are possible.
     */
   def upsertRollup(spark: SparkSession, rollupPath: String,
-      newEvents: DataFrame): Unit = {
-    import org.apache.spark.sql.functions._
+      newEvents: DataFrame, batchTag: Option[(String, String)] = None,
+      maxSegments: Int = 8): Unit = {
+    import graft.operators.Artifacts
     graft.functions.VectorFunctions.ensureRegistered(spark)
+    require(new java.io.File(rollupPath).isDirectory,
+      s"upsertRollup on $rollupPath with no rollup — build it first")
     RouteSupport.requireWriteZone(spark, rollupPath, "quantile rollup")
-    val delta = rollupOf(newEvents)
-    val dayRows = delta.select("day").distinct().collect()
-    val days = dayRows.filterNot(_.isNullAt(0)).map(_.getDate(0)).toSeq
-    val hasNullDay = dayRows.exists(_.isNullAt(0))
-    val touched =
-      if (days.isEmpty) col("day").isNull
-      else if (hasNullDay) col("day").isin(days: _*) || col("day").isNull
-      else col("day").isin(days: _*)
-    if (dayRows.nonEmpty) {
-      // localCheckpoint breaks lineage to the files being overwritten;
-      // the affected slice is #batch-days × #types rows
-      val existing = spark.read.parquet(rollupPath)
-        .filter(touched)
-        .select("event_type", "day", "state")
-        .localCheckpoint()
-      existing.unionByName(delta)
-        .groupBy("event_type", "day")
-        .agg(graft.functions.VectorFunctions.qhistMergeState(col("state"))
-          .as("state"))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("day").parquet(rollupPath)
-      invalidate(rollupPath)
+    val (owner, sticky) = Artifacts.leaseIdentity(batchTag)
+    Artifacts.withLease(rollupPath, owner, sticky) {
+      recoverRollup(rollupPath)
+      if (!batchTag.exists(Artifacts.isCommitted(rollupPath, _))) {
+        val prefix = batchTag.map(Artifacts.ledgerPrefix)
+          .getOrElse(Artifacts.segPrefix(None))
+        // a crashed earlier attempt's residue must vanish BEFORE the
+        // compaction below (which only spares files still carrying the
+        // tag)
+        if (batchTag.isDefined)
+          Artifacts.deleteTaggedFiles(rollupPath, "day=", prefix)
+        if (rollupSegments(rollupPath) > maxSegments)
+          compactDays(spark, rollupPath, maxSegments, owner)
+        RouteSupport.stagePublish(rollupPath, rollupOf(newEvents), "day",
+          prefix)
+        batchTag.foreach(Artifacts.markCommitted(rollupPath, _))
+        invalidate(rollupPath)
+      }
     }
   }
 
@@ -133,12 +136,16 @@ object QuantileRoute extends Rule[LogicalPlan] {
     require(new java.io.File(rollupPath).isDirectory,
       s"appendRollup on $rollupPath with no rollup — build it first")
     RouteSupport.requireWriteZone(spark, rollupPath, "quantile rollup")
-    recoverRollup(rollupPath)
-    val prefix = graft.operators.Artifacts.segPrefix(appendTag)
-    if (appendTag.isDefined)
-      Artifacts.deleteTaggedFiles(rollupPath, "day=", prefix)
-    RouteSupport.stagePublish(rollupPath, rollupOf(newEvents), "day", prefix)
-    invalidate(rollupPath)
+    val (owner, sticky) = Artifacts.leaseIdentity(appendTag)
+    Artifacts.withLease(rollupPath, owner, sticky) {
+      recoverRollup(rollupPath)
+      val prefix = Artifacts.segPrefix(appendTag)
+      if (appendTag.isDefined)
+        Artifacts.deleteTaggedFiles(rollupPath, "day=", prefix)
+      RouteSupport.stagePublish(rollupPath, rollupOf(newEvents), "day",
+        prefix)
+      invalidate(rollupPath)
+    }
   }
 
   /** The per-batch STREAMING maintenance entry
@@ -158,19 +165,22 @@ object QuantileRoute extends Rule[LogicalPlan] {
     */
   def maintainRollup(spark: SparkSession, rollupPath: String,
       newEvents: DataFrame, tag: (String, String),
-      maxSegments: Int = 8): Unit = {
-    recoverRollup(rollupPath)
-    // the replay's own crashed residue must vanish BEFORE the
-    // compaction below could fold it untagged; appendRollup's internal
-    // delete runs too late (after the compact) and is then a no-op
-    // re-delete — composing keeps the append protocol ONE body
-    // (review-found, r14)
-    graft.operators.Artifacts.deleteTaggedFiles(rollupPath, "day=",
-      graft.operators.Artifacts.segPrefix(Some(tag)))
-    if (rollupSegments(rollupPath) > maxSegments)
-      compactDays(spark, rollupPath, maxSegments)
-    appendRollup(spark, rollupPath, newEvents, Some(tag))
-  }
+      maxSegments: Int = 8): Unit =
+    // ONE lease acquisition for the whole batch entry (streamId-owned,
+    // standing) — the nested compact/append re-enter it
+    graft.operators.Artifacts.withLease(rollupPath, tag._1, sticky = true) {
+      recoverRollup(rollupPath)
+      // the replay's own crashed residue must vanish BEFORE the
+      // compaction below could fold it untagged; appendRollup's
+      // internal delete runs too late (after the compact) and is then
+      // a no-op re-delete — composing keeps the append protocol ONE
+      // body (review-found, r14)
+      graft.operators.Artifacts.deleteTaggedFiles(rollupPath, "day=",
+        graft.operators.Artifacts.segPrefix(Some(tag)))
+      if (rollupSegments(rollupPath) > maxSegments)
+        compactDays(spark, rollupPath, maxSegments, tag._1)
+      appendRollup(spark, rollupPath, newEvents, Some(tag))
+    }
 
   /** DAY-LOCAL segment compaction — the family-standard read-economy
     * restorer: every day dir past `maxSegments` files is re-merged to
@@ -179,14 +189,23 @@ object QuantileRoute extends Rule[LogicalPlan] {
     * swapped in atomically through the shared crash protocol.
     */
   def compactDays(spark: SparkSession, rollupPath: String,
-      maxSegments: Int = 1): Unit = {
+      maxSegments: Int = 1,
+      owner: String = graft.operators.Artifacts.jvmOwner): Unit = {
     import org.apache.spark.sql.functions._
     graft.functions.VectorFunctions.ensureRegistered(spark)
-    RouteSupport.compactPartitions(spark, rollupPath, "day", maxSegments)(
-      _.groupBy("event_type", "day")
-        .agg(graft.functions.VectorFunctions.qhistMergeState(col("state"))
-          .as("state")))
-    invalidate(rollupPath)
+    // standalone ad-hoc compaction leases scoped; a call on a stream's
+    // behalf (owner = its streamId) keeps that stream's lease standing
+    graft.operators.Artifacts.withLease(rollupPath, owner,
+      sticky = owner != graft.operators.Artifacts.jvmOwner) {
+      RouteSupport.compactPartitions(spark, rollupPath, "day", maxSegments)(
+        _.groupBy("event_type", "day")
+          .agg(graft.functions.VectorFunctions.qhistMergeState(col("state"))
+            .as("state")))
+      invalidate(rollupPath)
+    }
+    // (unmarked ledgered batch segments ride through unfolded — the
+    // [[graft.operators.Artifacts.foldableFile]] gate inside the shared
+    // compaction — so a delayed batch replay still finds its own files)
   }
 
   /** Heal a crashed day-dir swap and sweep crashed staged-append trees

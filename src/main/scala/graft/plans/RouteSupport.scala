@@ -189,11 +189,28 @@ private[plans] object RouteSupport {
     recoverRollup(rollupPath, partCol)
     val dirs = Artifacts.overweightDirs(rollupPath, s"$partCol=", maxSegments)
     if (dirs.isEmpty) return
+    // the batch-ledger fold gate (r15): an UNMARKED `segb-` segment —
+    // a ledgered batch append that crashed before its commit marker —
+    // must not fold untagged (its caller will replay by delete-own-tag,
+    // which only matches files still CARRYING the tag); it rides
+    // through the rewrite by copy instead. Live originals stay until
+    // the swap lands, so no crash point loses them.
+    val (fold, carry) = dirs.flatMap(d =>
+        Option(d.listFiles()).getOrElse(Array.empty[java.io.File]).toSeq
+          .filter(_.getName.endsWith(".parquet")))
+      .partition(f => Artifacts.foldableFile(rollupPath)(f.getName))
+    if (fold.isEmpty) return // nothing foldable — cannot reduce the bound
     val stage = s"$rollupPath/.tmp-stage-${java.util.UUID.randomUUID()}"
     merge(spark.read.option("basePath", rollupPath)
-      .parquet(dirs.map(_.getPath).toSeq: _*))
+      .parquet(fold.map(_.getPath): _*))
       .coalesce(1)
       .write.partitionBy(partCol).parquet(stage)
+    for (f <- carry) {
+      val sd = new java.io.File(stage, f.getParentFile.getName)
+      sd.mkdirs()
+      java.nio.file.Files.copy(f.toPath,
+        new java.io.File(sd, f.getName).toPath): Unit
+    }
     Artifacts.swapStagedDirs(spark, stage, dirs.toSeq)
   }
 

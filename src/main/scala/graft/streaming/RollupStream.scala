@@ -18,9 +18,8 @@ import org.apache.spark.sql.{DataFrame, Dataset, Row}
   * the cheapest protocol its algebra admits:
   *  - KMV states are MULTIPLICITY-INVARIANT (k-minima of a hash SET):
   *    a re-delivered batch folds the same hashes into the same minima,
-  *    so the plain read-merge-overwrite upsert is already exactly-once
-  *    under at-least-once delivery — no tags, no ledger
-  *    ([[kmvUpsertStream]]).
+  *    so blind appends are already exactly-once under at-least-once
+  *    delivery — no tags, no ledger ([[kmvAppendStream]]).
   *  - Histogram states are ADDITIVE (bag rows — the TagIndex class):
   *    a re-delivered batch would double-count, so the maintainer uses
   *    the file-tag protocol ([[graft.plans.QuantileRoute.appendRollup]]
@@ -49,16 +48,12 @@ object RollupStream {
     * compaction already folded — the case the tagged families forbid by
     * contract) is absorbed exactly.
     *
-    * Deliberately NOT built on [[graft.plans.KmvRoute.upsertRollup]]
-    * (review-found, r14): the upsert commits through dynamic partition
-    * OVERWRITE, whose job commit deletes a touched day dir before
-    * renaming the staged one in — a crash between the two destroys that
-    * day's previously-folded state, and the replay would then "merge"
-    * against the emptied day, silently undercounting forever. The
-    * blind-append path is per-file-rename end to end (no delete of live
-    * state anywhere), so every crash point either leaves the old files
-    * or adds new ones. The upsert remains for exactly-once BATCH
-    * callers who accept its torn-commit window.
+    * Since r15 [[graft.plans.KmvRoute.upsertRollup]] commits through
+    * this same blind-append machinery (the dynamic-partition-overwrite
+    * torn-commit window the r14 review documented is retired); this
+    * stream entry remains the maintainer face — per-batch compaction
+    * policy, no ledger bookkeeping — while the upsert adds the
+    * batch-caller replay economy (commit markers).
     */
   def kmvAppendStream(events: DataFrame, rollupPath: String, k: Int,
       maxSegments: Int = 8)

@@ -98,8 +98,11 @@ object TextIndexStream {
       marker.createNewFile(): Unit
       if (TextIndex.postingsSegments(root) > maxSegments)
         // shard-local: only dirs past the bound rewrite (to one file);
-        // dirs the stream's appends never overloaded keep their files
-        TextIndex.compactShards(root, batch.sparkSession, maxSegments)
+        // dirs the stream's appends never overloaded keep their files.
+        // Compaction runs AS this stream (lease owner = streamId), so
+        // the stream's standing maintenance lease stays held
+        TextIndex.compactShards(root, batch.sparkSession, maxSegments,
+          owner = streamId)
     }
   }
 }

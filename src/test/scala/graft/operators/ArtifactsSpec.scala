@@ -91,6 +91,46 @@ class ArtifactsSpec extends AnyFunSuite {
       "residue must be fully healed so serving gates re-engage")
   }
 
+  test("maintenance lease: a second maintainer refuses on a live " +
+      "foreign lease; same owner re-acquires; scoped entries release; " +
+      "a stale lease is stolen after patience") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-lease").toString
+    // sticky acquisition (a tagged stream's entry) leaves the lease
+    // standing after the entry returns
+    Artifacts.withLease(root, "streamA", sticky = true) { () }
+    val lease = new File(root, "_lease")
+    assert(lease.exists(), "sticky lease must stand after the entry")
+    // a second maintainer — tagged or ad-hoc — refuses loudly
+    val e = intercept[IllegalStateException] {
+      Artifacts.withLease(root, "streamB", sticky = true) { () }
+    }
+    assert(e.getMessage.contains("streamA"), e.getMessage)
+    intercept[IllegalStateException] {
+      Artifacts.withLease(root, Artifacts.jvmOwner, sticky = false) { () }
+    }
+    // the SAME owner re-acquires freely (the crash-replay successor),
+    // and nested entries of one maintenance chain re-enter without
+    // re-acquiring
+    Artifacts.withLease(root, "streamA", sticky = true) {
+      Artifacts.withLease(root, "streamA", sticky = true) { () }
+    }
+    // crashed-maintainer takeover: a lease whose heartbeat has lapsed
+    // past patience is stolen by the successor
+    assert(lease.setLastModified(
+      System.currentTimeMillis() - Artifacts.defaultLeasePatienceMs - 1000))
+    Artifacts.withLease(root, "streamB", sticky = true) { () }
+    assert(Artifacts.parseKvFile(lease).exists(_.get("owner")
+      .contains("streamB")))
+    // graceful handoff: release, then a third owner acquires at once
+    Artifacts.releaseLease(root, "streamB")
+    assert(!lease.exists())
+    Artifacts.withLease(root, "streamC", sticky = false) {
+      assert(lease.exists(), "lease must be held during the entry")
+    }
+    assert(!lease.exists(), "a scoped (untagged) entry releases at exit")
+  }
+
   test("a broken build fails loudly at publish time and never goes live") {
     val root = tmpRoot()
     // a build whose artifact marker never landed (lost task, partial

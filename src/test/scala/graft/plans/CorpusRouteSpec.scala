@@ -151,14 +151,53 @@ class CorpusRouteSpec extends AnyFunSuite {
     CorpusRoute.upsertRollup(spark, s"$b/rollup", batch)
     val now = spark.read.parquet(s"$b/documents.parquet")
     val cols = Seq("lang", "source", "n_docs", "sum_chars", "sum_tokens")
-    assert(rows(spark.read.parquet(s"$b/rollup").select(cols.map(col): _*))
+    // fold the appended segments back to one row per group before
+    // comparing (the routed read re-aggregates its partials anyway)
+    assert(rows(CorpusRoute.remerge(spark.read.parquet(s"$b/rollup"))
+        .select(cols.map(col): _*))
       == rows(CorpusRoute.rollupOf(now).select(cols.map(col): _*)))
     val nullRow = spark.read.parquet(s"$b/rollup")
       .filter(col("lang").isNull).select("n_docs").collect()
     assert(nullRow.map(_.getLong(0)).sum == 3L, "null-lang history lost")
   }
 
-  test("incremental upsert: batch langs' partitions rewrite, others untouched, routed results track") {
+  test("a crashed swap of a DOTTED lang partition heals at the next " +
+      "upsert entry — mid-swap aside + orphan stage tree, no group's " +
+      "partials lost or double-kept") {
+    import org.apache.spark.sql.SparkSession
+    val b = Files.createTempDirectory("graft_route_dotheal").toString
+    import spark.implicits._
+    // pt.BR: the partition VALUE contains a dot — the r14-ADVICE case
+    // the suffix-stripping heal exists for
+    val day0 = Seq((1L, "alpha beta", "pt.BR", "src0", 10L),
+      (2L, "gamma", "en", "src0", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    day0.write.parquet(s"$b/documents.parquet")
+    CorpusRoute.rollupOf(spark.read.parquet(s"$b/documents.parquet"))
+      .write.partitionBy("lang").parquet(s"$b/rollup")
+    val root = new java.io.File(s"$b/rollup")
+    val langDir = new java.io.File(root, "lang=pt.BR")
+    assert(langDir.isDirectory)
+    val aside = new java.io.File(root, "lang=pt.BR.old-deadbeef")
+    assert(langDir.renameTo(aside))
+    assert(new java.io.File(root, ".tmp-stage-deadbeef").mkdirs())
+    val batch = Seq((3L, "delta epsilon zeta", "pt.BR", "src0", 18L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    batch.write.mode("append").parquet(s"$b/documents.parquet")
+    CorpusRoute.upsertRollup(spark, s"$b/rollup", batch)
+    assert(!aside.exists(), "crashed dotted-lang aside not healed")
+    assert(!new java.io.File(root, ".tmp-stage-deadbeef").exists(),
+      "orphan stage tree not swept")
+    val now = spark.read.parquet(s"$b/documents.parquet")
+    val cols = Seq("lang", "source", "n_docs", "sum_chars", "sum_tokens",
+      "min_chars", "max_chars")
+    assert(rows(CorpusRoute.remerge(spark.read.parquet(s"$b/rollup"))
+        .select(cols.map(col): _*))
+      == rows(CorpusRoute.rollupOf(now).select(cols.map(col): _*)),
+      "healed rollup must hold exactly the pre-crash + batch partials")
+  }
+
+  test("incremental upsert: batch langs' partitions gain a segment, others untouched, routed results track") {
     val b = Files.createTempDirectory("graft_route_upsert").toString
     val all = Tables.documents(spark, "/root/testdata/sf0.001")
     val langs = all.select("lang").distinct()
@@ -181,14 +220,17 @@ class CorpusRouteSpec extends AnyFunSuite {
     assert(batch.count() > 0)
     batch.write.mode("append").parquet(s"$b/documents.parquet")
     CorpusRoute.upsertRollup(spark, s"$b/rollup", batch)
-    // partition grain: only the batch lang's files changed
+    // partition grain: only the batch lang's dir changed (one appended
+    // segment file; the original file is untouched — no live state is
+    // ever deleted on this path)
     langs.tail.foreach { l =>
       assert(partFiles(l) == beforeOther(l), s"lang=$l partition rewritten")
     }
     assert(partFiles(batchLang).nonEmpty)
-    // the maintained rollup IS rollupOf(raw-now): exact re-aggregation
+    // the maintained rollup re-folds to rollupOf(raw-now): exact
+    // re-aggregation over the appended partials
     val now = spark.read.parquet(s"$b/documents.parquet")
-    assert(rows(spark.read.parquet(s"$b/rollup")
+    assert(rows(CorpusRoute.remerge(spark.read.parquet(s"$b/rollup"))
         .select("lang", "source", "n_docs", "n_text", "n_nchars", "sum_chars",
           "sum_tokens", "min_chars", "max_chars", "min_tokens", "max_tokens"))
       == rows(CorpusRoute.rollupOf(now)

@@ -100,9 +100,16 @@ class KmvRouteSpec extends AnyFunSuite {
     KmvRoute.rollupOf(base, 64).coalesce(1)
       .write.mode("overwrite").partitionBy("day").parquet(roll)
     KmvRoute.upsertRollup(spark, roll, delta, 64)
+    // the upsert appends segment states; the day's k-minima re-fold
+    // (exactly what the routed read's KmvMergeAgg does) must equal the
+    // full rebuild's
     def states(): Map[String, Seq[Long]] = {
       spark.catalog.refreshByPath(roll)
       spark.read.parquet(roll)
+        .select(col("day"), explode(col("state")).as("h"))
+        .groupBy("day")
+        .agg(graft.functions.VectorFunctions.kmvStateExact(col("h"), 64)
+          .as("state"))
         .select(col("day").cast("string"), col("state"))
         .as[(String, Seq[Long])].collect().toMap
     }
@@ -112,6 +119,12 @@ class KmvRouteSpec extends AnyFunSuite {
     assert(states() === want)
     // a re-delivered slice converges to the same states
     KmvRoute.upsertRollup(spark, roll, delta, 64)
+    assert(states() === want)
+    // and a LEDGERED re-delivery is skipped outright (marker), while a
+    // marker-less retry overwrites its own tag — same states either way
+    KmvRoute.upsertRollup(spark, roll, delta, 64, Some(("pipe", "b1")))
+    assert(states() === want)
+    KmvRoute.upsertRollup(spark, roll, delta, 64, Some(("pipe", "b1")))
     assert(states() === want)
   }
 
@@ -225,9 +238,47 @@ class KmvRouteSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.session.timeZone", zone0)
   }
 
-  test("upsertRollup folds the existing NULL-day state — dynamic " +
-      "overwrite of the null partition must not lose previously-folded " +
-      "hashes") {
+  test("a crashed swap heals at the next upsert entry: mid-swap aside " +
+      "+ orphan stage tree, no day's minima lost or double-kept") {
+    import spark.implicits._
+    def evFrame(rows: Seq[(String, String)]) =
+      rows.toDF("ts0", "user_id")
+        .select(col("ts0").cast("timestamp").as("ts"), col("user_id"))
+    val roll = java.nio.file.Files
+      .createTempDirectory("graft-kmvheal").toString + "/rollup"
+    val base = evFrame(Seq(
+      ("2024-01-01 10:00:00", "a"), ("2024-01-02 10:00:00", "b")))
+    KmvRoute.rollupOf(base, 64).coalesce(1)
+      .write.partitionBy("day").parquet(roll)
+    val root = new java.io.File(roll)
+    val dayDir = root.listFiles()
+      .filter(_.getName.startsWith("day=")).minBy(_.getName)
+    val aside = new java.io.File(root, s"${dayDir.getName}.old-deadbeef")
+    assert(dayDir.renameTo(aside))
+    assert(new java.io.File(root, ".tmp-stage-deadbeef").mkdirs())
+    val delta = evFrame(Seq(("2024-01-01 11:00:00", "c")))
+    KmvRoute.upsertRollup(spark, roll, delta, 64)
+    assert(!aside.exists(), "crashed aside not healed")
+    assert(!new java.io.File(root, ".tmp-stage-deadbeef").exists(),
+      "orphan stage tree not swept")
+    spark.catalog.refreshByPath(roll)
+    val got = spark.read.parquet(roll)
+      .select(col("day"), explode(col("state")).as("h"))
+      .groupBy("day")
+      .agg(graft.functions.VectorFunctions.kmvStateExact(col("h"), 64)
+        .as("state"))
+      .select(col("day").cast("string"), col("state"))
+      .as[(String, Seq[Long])].collect().toMap
+    val want = KmvRoute.rollupOf(base.unionByName(delta), 64)
+      .select(col("day").cast("string"), col("state"))
+      .as[(String, Seq[Long])].collect().toMap
+    assert(got === want,
+      "healed rollup must hold exactly the pre-crash + delta minima")
+  }
+
+  test("upsertRollup preserves the existing NULL-day state — the " +
+      "null partition's previously-folded hashes survive and re-fold " +
+      "with the batch's") {
     import spark.implicits._
     def evFrame(rows: Seq[(Option[String], String)]) =
       rows.toDF("ts0", "user_id")
@@ -246,7 +297,13 @@ class KmvRouteSpec extends AnyFunSuite {
       df.select(col("day").cast("string"), col("state"))
         .as[(Option[String], Seq[Long])].collect()
         .map { case (d, s) => d.getOrElse("<null>") -> s.toSet }.toMap
-    val got = key(spark.read.parquet(roll))
+    // fold the appended segments back to one state per day before
+    // comparing (the routed read's re-merge)
+    val got = key(spark.read.parquet(roll)
+      .select(col("day"), explode(col("state")).as("h"))
+      .groupBy("day")
+      .agg(graft.functions.VectorFunctions.kmvStateExact(col("h"), 64)
+        .as("state")))
     val want = key(KmvRoute.rollupOf(base.unionByName(delta), 64))
     assert(got === want)
     // the null-day state holds ALL THREE null-ts users' hashes

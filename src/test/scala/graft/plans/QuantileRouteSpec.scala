@@ -122,11 +122,183 @@ class QuantileRouteSpec extends AnyFunSuite {
       df.select(col("event_type"), col("day").cast("string"), col("state"))
         .as[(String, Option[String], Seq[(Double, Long)])].collect()
         .map { case (t, d, s) => (t, d.getOrElse("<null>")) -> s }.toMap
-    val got = key(spark.read.parquet(roll))
+    // the upsert appends segment states; the monoid re-fold (exactly
+    // what the routed read's merge aggregate does) must equal the full
+    // rebuild's states
+    def folded(): Map[(String, String), Seq[(Double, Long)]] = {
+      spark.catalog.refreshByPath(roll)
+      key(spark.read.parquet(roll)
+        .groupBy("event_type", "day")
+        .agg(graft.functions.VectorFunctions.qhistMergeState(col("state"))
+          .as("state")))
+    }
     val want = key(QuantileRoute.rollupOf(base.unionByName(delta)))
-    assert(got === want)
+    assert(folded() === want)
     // the null-day state carries BOTH error readings
-    assert(got(("error", "<null>")).map(_._2).sum == 2L)
+    assert(folded()(("error", "<null>")).map(_._2).sum == 2L)
+    // LEDGERED replay protection: the same (pipeline, batch) tag
+    // re-delivered after success is skipped by its commit marker; a
+    // marker-less retry (crash before the marker landed) deletes its
+    // own tagged files and re-publishes — additive states, so WITHOUT
+    // the ledger either replay would double-count
+    val delta2 = evFrame(Seq((Some("2024-01-03 09:00:00"), "click", 4.5)))
+    val tag = ("pipe", "b7")
+    QuantileRoute.upsertRollup(spark, roll, delta2, Some(tag))
+    val want2 = key(QuantileRoute.rollupOf(
+      base.unionByName(delta).unionByName(delta2)))
+    assert(folded() === want2)
+    QuantileRoute.upsertRollup(spark, roll, delta2, Some(tag))
+    assert(folded() === want2, "marked re-delivery must be skipped")
+    // crash-before-marker: drop the marker and replay — converges
+    val marker = new java.io.File(s"$roll/_committed",
+      graft.operators.Artifacts.ledgerPrefix(tag).stripSuffix("-"))
+    assert(marker.exists() && marker.delete())
+    QuantileRoute.upsertRollup(spark, roll, delta2, Some(tag))
+    assert(folded() === want2, "unmarked replay must overwrite its own tag")
+    assert(marker.exists(), "the replay must re-commit its marker")
+  }
+
+  test("single-maintainer lease: a second concurrent maintainer " +
+      "REFUSES on a live foreign lease (its compaction could fold the " +
+      "holder's replayable tags); a crashed holder's lease is stolen " +
+      "after patience") {
+    import spark.implicits._
+    def evFrame(rows: Seq[(String, String, Double)]) =
+      rows.toDF("ts0", "event_type", "value")
+        .select(col("ts0").cast("timestamp").as("ts"),
+          col("event_type"), col("value"))
+    val roll = java.nio.file.Files
+      .createTempDirectory("graft-qlease").toString + "/rollup"
+    val base = evFrame(Seq(("2024-01-01 10:00:00", "click", 1.0)))
+    QuantileRoute.rollupOf(base).coalesce(1)
+      .write.partitionBy("day").parquet(roll)
+    // maintainer A feeds the rollup (streamId-owned standing lease)
+    QuantileRoute.maintainRollup(spark, roll,
+      evFrame(Seq(("2024-01-01 11:00:00", "click", 2.0))), ("mA", "0"))
+    // a SECOND maintainer interleaving on the same root refuses loudly
+    val e = intercept[IllegalStateException] {
+      QuantileRoute.maintainRollup(spark, roll,
+        evFrame(Seq(("2024-01-01 12:00:00", "click", 3.0))), ("mB", "0"))
+    }
+    assert(e.getMessage.contains("mA") && e.getMessage.contains("lease"),
+      e.getMessage)
+    // ...and so does an ad-hoc compactor not speaking for the stream
+    intercept[IllegalStateException] {
+      QuantileRoute.compactDays(spark, roll)
+    }
+    // A's own replay (same streamId) proceeds — the legitimate
+    // crash-replay successor
+    QuantileRoute.maintainRollup(spark, roll,
+      evFrame(Seq(("2024-01-01 11:00:00", "click", 2.0))), ("mA", "0"))
+    // crashed-holder takeover: age A's heartbeat past patience, then B
+    // acquires and maintains
+    val lease = new java.io.File(roll, "_lease")
+    assert(lease.setLastModified(System.currentTimeMillis() -
+      graft.operators.Artifacts.defaultLeasePatienceMs - 1000))
+    QuantileRoute.maintainRollup(spark, roll,
+      evFrame(Seq(("2024-01-01 12:00:00", "click", 3.0))), ("mB", "1"))
+    // the rollup still folds to exactly the delivered readings
+    spark.catalog.refreshByPath(roll)
+    val got = spark.read.parquet(roll)
+      .groupBy("event_type", "day")
+      .agg(graft.functions.VectorFunctions.qhistMergeState(col("state"))
+        .as("state"))
+      .select(explode(col("state")).as("s"))
+      .select(col("s.v"), col("s.w"))
+      .as[(Double, Long)].collect().toSeq.sorted
+    assert(got === Seq(1.0 -> 1L, 2.0 -> 1L, 3.0 -> 1L))
+  }
+
+  test("compaction never folds an UNMARKED ledgered batch segment — it " +
+      "rides through by copy so a delayed replay still finds its own " +
+      "files — while marked segments fold") {
+    import spark.implicits._
+    def evFrame(rows: Seq[(String, String, Double)]) =
+      rows.toDF("ts0", "event_type", "value")
+        .select(col("ts0").cast("timestamp").as("ts"),
+          col("event_type"), col("value"))
+    val roll = java.nio.file.Files
+      .createTempDirectory("graft-qgate").toString + "/rollup"
+    val base = evFrame(Seq(("2024-01-01 10:00:00", "click", 1.0)))
+    QuantileRoute.rollupOf(base).coalesce(1)
+      .write.partitionBy("day").parquet(roll)
+    val tag = ("pipe", "b1")
+    val batch = evFrame(Seq(("2024-01-01 11:00:00", "click", 2.0)))
+    QuantileRoute.upsertRollup(spark, roll, batch, Some(tag))
+    // simulate the crash window: the files landed but the marker did not
+    val marker = new java.io.File(s"$roll/_committed",
+      graft.operators.Artifacts.ledgerPrefix(tag).stripSuffix("-"))
+    assert(marker.delete())
+    def segbFiles(): Seq[String] =
+      Option(new java.io.File(roll).listFiles()).getOrElse(Array.empty)
+        .filter(d => d.isDirectory && d.getName.startsWith("day="))
+        .flatMap(d => d.listFiles().map(_.getName))
+        .filter(_.startsWith("segb-")).toSeq
+    val before = segbFiles()
+    assert(before.nonEmpty)
+    QuantileRoute.compactDays(spark, roll, owner = "pipe")
+    assert(segbFiles() === before,
+      "unmarked ledgered segments must survive compaction untouched")
+    def folded(): Seq[(Double, Long)] = {
+      spark.catalog.refreshByPath(roll)
+      spark.read.parquet(roll)
+        .groupBy("event_type", "day")
+        .agg(graft.functions.VectorFunctions.qhistMergeState(col("state"))
+          .as("state"))
+        .select(explode(col("state")).as("s"))
+        .select(col("s.v"), col("s.w"))
+        .as[(Double, Long)].collect().toSeq.sorted
+    }
+    val want = Seq(1.0 -> 1L, 2.0 -> 1L)
+    assert(folded() === want)
+    // once marked, the next compaction folds it away
+    graft.operators.Artifacts.markCommitted(roll, tag)
+    QuantileRoute.compactDays(spark, roll, owner = "pipe")
+    assert(segbFiles().isEmpty, "marked segments must fold")
+    assert(QuantileRoute.rollupSegments(roll) == 1)
+    assert(folded() === want)
+  }
+
+  test("a crashed upsert swap heals at the next upsert entry: " +
+      "mid-swap aside + orphan stage tree, no state lost or double-kept") {
+    import spark.implicits._
+    def evFrame(rows: Seq[(String, String, Double)]) =
+      rows.toDF("ts0", "event_type", "value")
+        .select(col("ts0").cast("timestamp").as("ts"),
+          col("event_type"), col("value"))
+    val roll = java.nio.file.Files
+      .createTempDirectory("graft-qheal").toString + "/rollup"
+    val base = evFrame(Seq(
+      ("2024-01-01 10:00:00", "click", 1.0),
+      ("2024-01-02 10:00:00", "click", 2.0)))
+    QuantileRoute.rollupOf(base).coalesce(1)
+      .write.partitionBy("day").parquet(roll)
+    // fabricate a compaction crash between the aside-rename and the
+    // swap-in: the live day dir is gone, only its aside remains — plus
+    // an orphaned stage tree from the same doomed entry
+    val root = new java.io.File(roll)
+    val dayDir = root.listFiles()
+      .filter(_.getName.startsWith("day=")).minBy(_.getName)
+    val aside = new java.io.File(root, s"${dayDir.getName}.old-deadbeef")
+    assert(dayDir.renameTo(aside))
+    assert(new java.io.File(root, ".tmp-stage-deadbeef").mkdirs())
+    // the next batch upsert heals at entry, then folds its delta in
+    val delta = evFrame(Seq(("2024-01-01 11:00:00", "click", 3.0)))
+    QuantileRoute.upsertRollup(spark, roll, delta, Some(("pipe", "h1")))
+    assert(!aside.exists(), "crashed aside not healed")
+    assert(!new java.io.File(root, ".tmp-stage-deadbeef").exists(),
+      "orphan stage tree not swept")
+    def key(df: org.apache.spark.sql.DataFrame): Map[(String, String), Seq[(Double, Long)]] =
+      df.select(col("event_type"), col("day").cast("string"), col("state"))
+        .as[(String, Option[String], Seq[(Double, Long)])].collect()
+        .map { case (t, d, s) => (t, d.getOrElse("<null>")) -> s }.toMap
+    spark.catalog.refreshByPath(roll)
+    val got = key(spark.read.parquet(roll)
+      .groupBy("event_type", "day")
+      .agg(graft.functions.VectorFunctions.qhistMergeState(col("state"))
+        .as("state")))
+    assert(got === key(QuantileRoute.rollupOf(base.unionByName(delta))),
+      "healed rollup must hold exactly the pre-crash + delta states")
   }
 
   test("a SEGMENTED rollup (tagged streaming appends, pre-compaction) " +
@@ -179,7 +351,7 @@ class QuantileRouteSpec extends AnyFunSuite {
       QuantileRoute.register(spark, s"$d/events.parquet", roll)
       QuantileRoute.appendRollup(spark, roll, delta, Some(("qseg", "0")))
       assert(summary(shape()) === routedSummary)
-      QuantileRoute.compactDays(spark, roll)
+      QuantileRoute.compactDays(spark, roll, owner = "qseg")
       assert(QuantileRoute.rollupSegments(roll) == 1)
       assert(summary(shape()) === routedSummary)
     } finally QuantileRoute.deregister(spark, s"$d/events.parquet")

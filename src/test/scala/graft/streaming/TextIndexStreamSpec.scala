@@ -117,7 +117,12 @@ class TextIndexStreamSpec extends AnyFunSuite {
     TextIndexStream.appendBatch(multi, batchA, id = 7L, "streamA")
     val markerA = new java.io.File(s"$multi/_appended/streamA/batch-7")
     assert(markerA.exists() && markerA.delete())
+    // sequential handoff between streams is a GRACEFUL release of the
+    // single-maintainer lease (concurrent feeders refuse — the lease
+    // spec); the per-stream tag map below is what survives the handoff
+    graft.operators.Artifacts.releaseLease(multi, "streamA")
     TextIndexStream.appendBatch(multi, batchB, id = 2L, "streamB")
+    graft.operators.Artifacts.releaseLease(multi, "streamB")
     TextIndexStream.appendBatch(multi, batchA, id = 7L, "streamA") // replay
     assert(markerA.exists(), "replay did not backfill stream A's marker")
     val wl = TextOps.bm25Queries
@@ -220,6 +225,9 @@ class TextIndexStreamSpec extends AnyFunSuite {
       "spec-tidxd-base")
     TextIndexStream.appendBatch(multi, docs.filter(col("doc_id") % 3 === 1),
       id = 7L, "crawl-2")
+    // graceful handoff: release crawl-2's maintenance lease before the
+    // second stream appends (concurrent feeders would refuse)
+    graft.operators.Artifacts.releaseLease(multi, "crawl-2")
     TextIndexStream.appendBatch(multi, docs.filter(col("doc_id") % 3 === 2),
       id = 2L, "crawl")
     val wl = TextOps.bm25Queries
