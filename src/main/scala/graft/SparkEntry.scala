@@ -126,6 +126,7 @@ object SparkEntry {
     // views, same oracle as q_bm25_indexed, term-shard pruning
     // PlanSpec-pinned to survive the SQL face
     "q_sql_bm25_indexed" -> SqlFrontDoor.sqlBm25Indexed _,
+    "q_sql_winnow_match" -> SqlFrontDoor.sqlWinnowMatch _,
     "q_sql_phrase_search" -> SqlFrontDoor.sqlPhraseSearch _,
     "q_sql_hybrid_search" -> SqlFrontDoor.sqlHybridSearch _,
     "q_distinct_approx" -> EventOps.distinctApprox _,
@@ -1003,6 +1004,9 @@ object SparkEntry {
     // documents — a green row is a standing consistency proof for the
     // maintained WinnowIndex artifact (the q_bm25_indexed pattern)
     "q_winnow_match_indexed" -> winnowMatchOracleSql,
+    // the SQL-text face serves from the same maintained fingerprint
+    // set — same raw-recompute oracle (the q_bm25_indexed sharing rule)
+    "q_sql_winnow_match" -> winnowMatchOracleSql,
     // the range-PRUNED serving path (snippet micro-probe through the
     // manifest's partition filters) against the same first-principles
     // recompute — the pruning regime's standing consistency proof

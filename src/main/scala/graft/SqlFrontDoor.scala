@@ -425,6 +425,74 @@ object SqlFrontDoor {
         |ORDER BY qid, doc_id""".stripMargin)
   }
 
+  /** SQL face of [[graft.operators.TextOps.winnowMatchIndexed]] (r15 —
+    * the 15th SQL-text twin, putting the LAST index-served family
+    * behind the front door): the plagiarism/attribution triage report
+    * for the probe slice (doc_id ≡ 0 mod 3), served from the MAINTAINED
+    * [[graft.operators.WinnowIndex]] fingerprint set via the
+    * `winnow_fps` serving view (same family/crash-residue gates as the
+    * DSL face, registration memoized and invalidated by every
+    * maintenance entry). The probe-side winnowing — word-3-gram h60
+    * hashes, 4-hash window minima, per-document distinct selection —
+    * is authored entirely in SQL text and reproduces
+    * [[graft.operators.TextOps.winnowOver]]'s fingerprint set exactly
+    * (only the DISTINCT set matters for membership, so the window MIN
+    * without the rightmost-tie position is the identical selection).
+    * Hash-checked by the same DuckDB raw-recompute oracle as
+    * q_winnow_match / q_winnow_match_indexed.
+    *
+    * This face keeps the corpus-probe economics of the DSL twin (full
+    * fps read — the probe's fingerprints cover every shard range); the
+    * paste-sized serving shape prunes shard dirs through the same SQL
+    * text via [[winnowMatchSql]]'s shard IN-list (plan-pinned in
+    * PlanSpec, the `WHERE shard IN` literal the bm25 faces use for
+    * tshard).
+    */
+  def sqlWinnowMatch(spark: SparkSession, dir: String): DataFrame =
+    winnowMatchSql(spark, dir,
+      "SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0", None)
+
+  private[graft] def winnowMatchSql(spark: SparkSession, dir: String,
+      probeSql: String, shardList: Option[Seq[Int]]): DataFrame = {
+    registerViews(spark, dir)
+    graft.operators.WinnowIndex.registerServingViews(spark, dir)
+    val idxWhere = shardList
+      .map(ids => s" WHERE shard IN (${ids.sorted.mkString(", ")})")
+      .getOrElse("")
+    spark.sql(
+      s"""WITH probe AS ($probeSql),
+        |w_toks AS (
+        |  SELECT doc_id, split(text, ' ') AS tk FROM probe
+        |  WHERE text IS NOT NULL AND size(split(text, ' ')) >= 6),
+        |w_h AS (
+        |  SELECT doc_id, i,
+        |    CAST(CONV(SUBSTRING(MD5(CAST(concat_ws(' ',
+        |      element_at(tk, i), element_at(tk, i + 1),
+        |      element_at(tk, i + 2)) AS BINARY)), 1, 15), 16, 10)
+        |      AS BIGINT) AS hv
+        |  FROM w_toks
+        |  LATERAL VIEW explode(sequence(1, size(tk) - 2)) g AS i),
+        |w_wins AS (
+        |  SELECT doc_id, i,
+        |    MIN(hv) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+        |    COUNT(*) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wn
+        |  FROM w_h),
+        |w_sel AS (SELECT DISTINCT doc_id, wmin AS fp FROM w_wins
+        |          WHERE wn = 4),
+        |w_idx AS (SELECT DISTINCT fp FROM winnow_fps$idxWhere),
+        |w_pd AS (
+        |  SELECT s.doc_id, COUNT(*) AS n_fp, COUNT(i.fp) AS n_matched
+        |  FROM w_sel s LEFT JOIN w_idx i ON s.fp = i.fp
+        |  GROUP BY s.doc_id)
+        |SELECT p.doc_id,
+        |  COALESCE(pd.n_fp, CAST(0 AS BIGINT)) AS n_fp,
+        |  COALESCE(pd.n_matched, CAST(0 AS BIGINT)) AS n_matched
+        |FROM probe p LEFT JOIN w_pd pd ON p.doc_id = pd.doc_id
+        |ORDER BY p.doc_id""".stripMargin)
+  }
+
   /** SQL face of [[graft.operators.EventOps.downsampleLts]] (D1+D2
     * unioned — the flagship MV semantics).
     */

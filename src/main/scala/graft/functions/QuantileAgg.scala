@@ -54,6 +54,29 @@ private[graft] object QHist {
     h.merge(v, w, (a: java.lang.Long, b: java.lang.Long) =>
       java.lang.Long.valueOf(a + b)): Unit
 
+  /** The optional UNIVERSE GRID (r15) — the q-digest leaf-quantization
+    * move for metrics whose distinct-value cardinality is unbounded
+    * (high-resolution gauges, latencies): keep only the top `g`
+    * significant bits of the mantissa (truncation toward zero — pure
+    * integer arithmetic on the IEEE bit pattern, so the grid is
+    * deterministic and engine-reproducible). The map is monotone
+    * (non-strict), so it only MERGES adjacent values into grid cells:
+    * per-group state is bounded by the number of occupied cells —
+    * ≤ 2^g per binary order of magnitude — instead of the raw distinct
+    * count, and every cell's representative is within relative 2^-g of
+    * the values it absorbed, so any rank statistic read off the
+    * quantized histogram answers with VALUE error ≤ 2^-g relative on
+    * top of the band compression's rank error ≤ n/b (the two bounds
+    * compose; rank error from cell-merging is additionally bounded by
+    * the cell's occupancy, which the value bound already prices).
+    * `g = 0` (the default everywhere, and the only shape the routed
+    * faces match) disables the grid — bit-identical to r14 behavior.
+    */
+  def quantize(v: Double, g: Int): Double =
+    if (g <= 0 || g >= 52 || v == 0.0 || v.isNaN || v.isInfinite) v
+    else java.lang.Double.longBitsToDouble(
+      java.lang.Double.doubleToRawLongBits(v) & (-1L << (52 - g)))
+
   def mergeInto(h1: Hist, h2: Hist): Hist = {
     h2.forEach((v, w) => add(h1, v, w))
     h1
@@ -161,10 +184,13 @@ private[graft] object QHist {
   * histogram union is commutative the stored partials are
   * replay-stable with NO pinned merge order.
   */
-case class QHistStateAgg(child: Expression,
+case class QHistStateAgg(child: Expression, gridBits: Int = 0,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[QHist.Hist] with UnaryLike[Expression] {
+
+  require(gridBits >= 0 && gridBits <= 52,
+    s"qhist grid must be 0 (off) .. 52 significant bits, got $gridBits")
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == DoubleType) TypeCheckResult.TypeCheckSuccess
@@ -177,7 +203,11 @@ case class QHistStateAgg(child: Expression,
 
   override def update(buf: QHist.Hist, input: InternalRow): QHist.Hist = {
     val v = child.eval(input)
-    if (v != null) QHist.add(buf, v.asInstanceOf[Double], 1L)
+    // quantization happens at the LEAF (ingest) only — merges and reads
+    // see already-gridded values, so the monoid and its order-invariance
+    // are untouched ([[QHist.quantize]]; g = 0 is the identity)
+    if (v != null)
+      QHist.add(buf, QHist.quantize(v.asInstanceOf[Double], gridBits), 1L)
     buf
   }
 

@@ -880,8 +880,11 @@ object VectorFunctions {
 
   private[functions] val qhistStateBuilder: Seq[Expression] => Expression = {
     case Seq(a) => QHistStateAgg(a)
+    case Seq(a, org.apache.spark.sql.catalyst.expressions.Literal(g: Int,
+        org.apache.spark.sql.types.IntegerType)) => QHistStateAgg(a, g)
     case other => throw new IllegalArgumentException(
-      s"$qhistStateName expects (double value column), got $other")
+      s"$qhistStateName expects (double value column[, grid-bits int " +
+        s"literal]), got $other")
   }
 
   val qhistMergeStateName = "qhist_merge_state"
@@ -1094,6 +1097,15 @@ object VectorFunctions {
     * rollup stores per (day, group).
     */
   def qhistState(c: Column): Column = call_function(qhistStateName, c)
+
+  /** [[qhistState]] with the universe grid engaged: values quantize to
+    * `g` significant mantissa bits at ingest ([[QHist.quantize]]) so an
+    * unbounded-cardinality metric cannot silently grow per-group state
+    * — state is bounded by occupied grid cells, value error ≤ 2^-g
+    * relative. The routed faces only ever match the grid-free shape.
+    */
+  def qhistStateGrid(c: Column, g: Int): Column =
+    call_function(qhistStateName, c, org.apache.spark.sql.functions.lit(g))
 
   /** Column API: merge stored histogram partials back into a state —
     * the incremental-maintenance re-fold.

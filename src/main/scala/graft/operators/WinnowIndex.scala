@@ -305,10 +305,40 @@ object WinnowIndex {
     * under-match against (the in-tree manifest keeps the boundary cut
     * consistent with whichever tree survives).
     */
+  /** SQL-front-door serving views (r15 — the TextIndex
+    * registerServingViews pattern verbatim): the maintained fingerprint
+    * set as a temp view `winnow_fps` (columns fp, shard — shard exposed
+    * so SQL text can prune shard dirs with literal IN-lists), behind
+    * the same family and crash-residue gates the DSL faces serve
+    * through. Memoized per session+root; every maintenance entry
+    * invalidates, so a memo-hit can only serve the state the view
+    * already pointed at.
+    */
+  private val servingViewsFor =
+    scala.collection.concurrent.TrieMap[SparkSession, String]()
+
+  private[graft] def invalidateServingViews(): Unit =
+    servingViewsFor.clear()
+
+  def registerServingViews(spark: SparkSession, dir: String,
+      k: Int = 3, w: Int = 4): String = {
+    val root = ensure(spark, dir, k, w)
+    if (servingViewsFor.size > 64) servingViewsFor.clear()
+    if (servingViewsFor.get(spark).contains(root) &&
+        spark.catalog.tableExists("winnow_fps"))
+      return root
+    requireServableFamily(root, TextOps.WinnowMd5)
+    requireNoShardResidue(root)
+    spark.read.parquet(fpsDir(root)).createOrReplaceTempView("winnow_fps")
+    servingViewsFor.put(spark, root): Unit
+    root
+  }
+
   def buildInto(root: String, docs: DataFrame, k: Int = 3, w: Int = 4,
       family: TextOps.WinnowHash = TextOps.WinnowMd5,
       shards: Int = shardCount): Unit = {
     require(shards >= 1, s"shards must be >= 1, got $shards")
+    invalidateServingViews()
     new File(root).mkdirs()
     recover(root) // heal a previously crashed swap before staging
     requireFamily(root, family) // a rebuild must not silently flip tiers
@@ -342,6 +372,7 @@ object WinnowIndex {
       family: TextOps.WinnowHash = TextOps.WinnowMd5): Unit = {
     require(new File(fpsDir(root)).exists(),
       s"appendTo on $root with no fps/ — build or recover first")
+    invalidateServingViews()
     requireFamily(root, family)
     graft.functions.VectorFunctions.ensureRegistered(newDocs.sparkSession)
     val bounds = boundsOf(root, family)
@@ -365,6 +396,7 @@ object WinnowIndex {
     */
   def compact(root: String, spark: SparkSession,
       family: TextOps.WinnowHash = TextOps.WinnowMd5): Unit = {
+    invalidateServingViews()
     recover(root)
     requireFamily(root, family)
     // refuse to compact an unreadable scheme — and preserve the
@@ -487,6 +519,7 @@ object WinnowIndex {
   def compactShards(root: String, spark: SparkSession,
       family: TextOps.WinnowHash = TextOps.WinnowMd5,
       maxSegments: Int = 1): Unit = {
+    invalidateServingViews()
     recover(root)
     requireFamily(root, family)
     boundsOf(root, family): Unit // refuse an unreadable scheme

@@ -334,7 +334,11 @@ object QuantileRoute extends Rule[LogicalPlan] {
             qualifier = al.qualifier)
         case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
           ae.aggregateFunction match {
-            case st: QHistStateAgg if isRawAttr(st.child, "value") =>
+            // gridBits == 0 only: the rollup stores grid-FREE states,
+            // and a grid-g query groups values into coarser cells — a
+            // different statistic the rollup cannot answer (r15)
+            case st: QHistStateAgg
+                if st.gridBits == 0 && isRawAttr(st.child, "value") =>
               // the group's state is the MERGE of its stored segment
               // rows: one row per (type, day) on a compacted rollup,
               // but a maintained rollup holds one TAGGED segment state

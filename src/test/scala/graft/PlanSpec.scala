@@ -293,6 +293,48 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("SQL-authored winnow face: shard partition pruning survives the " +
+      "SQL front door for a paste-sized probe (r15 — the " +
+      "plagiarism/attribution class)") {
+    import org.apache.spark.sql.functions.col
+    val root = graft.operators.WinnowIndex.ensure(spark, dir)
+    // the paste-sized serving shape: a handful of snippet fps whose
+    // ranges cover far fewer than all shard dirs — shard ids computed
+    // once against the live manifest (the bm25 shardsOfTerms pattern),
+    // interpolated as SQL literals
+    val probeSql = "SELECT doc_id, concat_ws(' ', slice(split(text, ' '), " +
+      "1, 12)) AS text FROM documents WHERE doc_id % 3 = 0 AND doc_id <= 12"
+    val bounds = graft.operators.WinnowIndex
+      .boundsOf(root, graft.operators.TextOps.WinnowMd5)
+    val probeFps = graft.operators.TextOps.winnowOver(
+      graft.Tables.documents(spark, dir)
+        .filter(col("doc_id") % 3 === 0 && col("doc_id") <= 12)
+        .select(col("doc_id"),
+          org.apache.spark.sql.functions.concat_ws(" ",
+            org.apache.spark.sql.functions.slice(
+              org.apache.spark.sql.functions.split(col("text"), " "),
+              1, 12)).as("text")), 3, 4)
+      .select(graft.operators.WinnowIndex
+        .shardOfBounds(col("fp"), bounds).as("s"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    assert(probeFps.nonEmpty && probeFps.size < 32,
+      s"snippet probe should touch a minority of shards, got $probeFps")
+    val df = SqlFrontDoor.winnowMatchSql(spark, dir, probeSql,
+      Some(probeFps))
+    val p = plan(df)
+    val fpsScan = p.linesIterator
+      .find(l => l.contains("FileScan parquet") && l.contains("winnow_v"))
+    assert(fpsScan.exists(l => l.contains("PartitionFilters: [shard") ||
+      l.contains("PartitionFilters: [isnotnull(shard")),
+      s"SQL-face fps scan not partition-pruned:\n${fpsScan.orNull}\n$p")
+    // and the pruned SQL face still answers exactly like the unpruned
+    // membership (shard is a pure function of fp — pruning is sound)
+    val unpruned = SqlFrontDoor.winnowMatchSql(spark, dir, probeSql, None)
+    assert(df.collect().toSeq.map(_.toString)
+      === unpruned.collect().toSeq.map(_.toString))
+    assert(df.count() > 0)
+  }
+
   test("winnow snippet (declared pruned-serving twin): fps scan " +
       "partition-pruned; no corpus-side winnow recompute") {
     val df = graft.operators.TextOps.winnowSnippet(spark, dir)

@@ -81,6 +81,25 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(hybrid === rows(operators.VectorOps.hybridSearch(spark, dir)))
   }
 
+  test("the SQL-authored winnow-match face returns the index-served DSL " +
+      "face's exact rows (r15 — the plagiarism/attribution class " +
+      "through the front door)") {
+    val dir = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().toSeq.map(_.toString)
+    val got = rows(SqlFrontDoor.sqlWinnowMatch(spark, dir))
+    assert(got.nonEmpty, "SQL winnow face returned no rows; pin vacuous")
+    // serves the SAME maintained fingerprint set as the DSL face — the
+    // SQL-authored probe winnowing must reproduce winnowOver exactly
+    assert(got === rows(operators.TextOps.winnowMatchIndexed(spark, dir)))
+    // ...and the per-query recompute face — three paths, one answer
+    assert(got === rows(operators.TextOps.winnowMatch(spark, dir)))
+    // matched documents exist in the fixture (the triage signal is live)
+    assert(SqlFrontDoor.sqlWinnowMatch(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("n_matched") > 0)
+      .count() > 0)
+  }
+
   test("minhash_agg sketch aggregate usable from SQL") {
     val rows = spark.sql(
       """SELECT lang, minhash_agg(xxhash64(tok)) AS sig FROM (

@@ -424,6 +424,11 @@ class QuantileRouteSpec extends AnyFunSuite {
     assert(rollupScans(ev.groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(graft.functions.VectorFunctions.qhistState(col("value") * 2)
         .as("state"))).isEmpty)
+    // a GRIDDED state (r15 universe-quantization knob) is a coarser
+    // statistic than the rollup's grid-free states — must stay raw
+    assert(rollupScans(ev.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(graft.functions.VectorFunctions.qhistStateGrid(col("value"), 8)
+        .as("state"))).isEmpty)
     // the matching shape routes under the build zone...
     def shape() = ev.groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(graft.functions.VectorFunctions.qhistState(col("value")).as("state"))
