@@ -1421,11 +1421,12 @@ object ScaleProbe {
       s""""bound":${maxSegments + 1},"convergent":$convergent}""")
   }
 
-  /** Maintained-AnnServing endurance ladder (r14 — family parity for
-    * the newest maintained family, the round's own rule: every
-    * maintained artifact carries a measured ladder from birth): ONE
+  /** Maintained-AnnServing endurance ladder (r14; r15 runs it at BOTH
+    * families — the repo's own family-parity rule: PQ shares the
+    * machinery but its rows carry the codes array instead of a label
+    * int, so compaction economics deserve their own measurement): ONE
     * long-running [[graft.streaming.VectorStream.annServingAppendStream]]
-    * maintainer at the IVF assignment family, fed 25+ fixed-size
+    * maintainer at the given assignment family, fed 25+ fixed-size
     * micro-batches of (vec_id, embedding, label) rows under the
     * maxSegments=8 list-local auto-compaction policy. Reports the
     * family-standard gauges: (a) per-batch append latency early vs late
@@ -1441,7 +1442,8 @@ object ScaleProbe {
     * [[graft.operators.AnnServing.load]] path every 5 batches.
     */
   private def annServingEnduranceProbe(spark: SparkSession,
-      base: String): Seq[String] = {
+      base: String,
+      family: graft.operators.AnnServing.Family): Seq[String] = {
     import graft.operators.{AnnServing, VectorOps}
     import org.apache.spark.sql.functions.col
     import spark.implicits._
@@ -1456,30 +1458,34 @@ object ScaleProbe {
     val (baseRows, incoming) = rows.splitAt(rows.length / 3)
     val root = java.nio.file.Files
       .createTempDirectory("graft-annserv-endurance").toString
-    val model = VectorOps.ivfModelFp(spark, d)
+    val model = family.modelFpOf(spark, d)
     def framed(rs: Seq[(Long, Seq[Float], Int)]) =
       rs.toDF("vec_id", "embedding", "label")
     AnnServing.buildInto(root,
-      VectorOps.ivfAssignedRows(spark, d, framed(baseRows.toSeq)),
-      AnnServing.Ivf, model)
+      family.rowsOf(spark, d, framed(baseRows.toSeq)),
+      family, model)
 
-    def rebuildKeys(upTo: Int): Set[(Long, Int, Int)] =
-      VectorOps.ivfAssignedRows(spark, d,
-        framed((baseRows ++ incoming.take(upTo)).toSeq))
-        .select(col("nid"), col("cid"), col("label"))
-        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
-    def artifactKeys(): Set[(Long, Int, Int)] = {
+    // convergence key: (nid, cid, payload) — the payload column is the
+    // family's extra (label int at IVF, codes array at PQ), rendered
+    // canonically so one extractor serves both
+    def keyed(df: org.apache.spark.sql.DataFrame): Set[(Long, Int, String)] =
+      df.select(col("nid"), col("cid").cast("int"),
+          col(family.extraCol).cast("string"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+        .toSet
+    def rebuildKeys(upTo: Int): Set[(Long, Int, String)] =
+      keyed(family.rowsOf(spark, d,
+        framed((baseRows ++ incoming.take(upTo)).toSeq)))
+    def artifactKeys(): Set[(Long, Int, String)] = {
       spark.catalog.refreshByPath(AnnServing.assignDir(root))
-      spark.read.parquet(AnnServing.assignDir(root))
-        .dropDuplicates("nid")
-        .select(col("nid"), col("cid").cast("int"), col("label"))
-        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+      keyed(spark.read.parquet(AnnServing.assignDir(root))
+        .dropDuplicates("nid"))
     }
     val servingLat = scala.collection.mutable.ArrayBuffer.empty[Double]
     def sampleServing(): Unit = {
       spark.catalog.refreshByPath(AnnServing.assignDir(root))
       val t0 = System.nanoTime()
-      AnnServing.load(spark, root, AnnServing.Ivf, model).count(): Unit
+      AnnServing.load(spark, root, family, model).count(): Unit
       servingLat += (System.nanoTime() - t0) / 1e9
     }
 
@@ -1489,7 +1495,7 @@ object ScaleProbe {
       .select(col("_1").as("vec_id"), col("_2").as("embedding"),
         col("_3").as("label"))
     val q = graft.streaming.VectorStream
-      .annServingAppendStream(stream, root, AnnServing.Ivf, d, maxSegments)
+      .annServingAppendStream(stream, root, family, d, maxSegments)
       .start()
     var folded = 0
     val per = math.max(incoming.length / 24, 1)
@@ -1510,7 +1516,7 @@ object ScaleProbe {
     val cMed = if (compactLat.isEmpty) 0.0 else median(compactLat)
     val sEarly = median(servingLat.take(2).toSeq)
     val sLate = median(servingLat.takeRight(2).toSeq)
-    println(f"[scaleprobe] annserving_endurance batches=${appendLat.size + compactions} " +
+    println(f"[scaleprobe] annserving_endurance(${family.name}) batches=${appendLat.size + compactions} " +
       f"append early=$early%5.2fs late=$late%5.2fs ratio=${late / early}%4.2f " +
       f"compactions=$compactions (compact-batch median $cMed%5.2fs) " +
       f"maxSeg=$maxSeg/${maxSegments + 1} convergent=$convergent " +
@@ -1519,7 +1525,7 @@ object ScaleProbe {
       "ANN serving table diverged from the full assignment after a compaction")
     require(maxSeg <= maxSegments + 1,
       s"segment bound violated: $maxSeg > ${maxSegments + 1}")
-    Seq(s""""annserving_endurance":{"append_early":$early,"append_late":$late,""" +
+    Seq(s""""annserving_endurance_${family.name}":{"append_early":$early,"append_late":$late,""" +
       s""""ratio":${late / early},"compactions":$compactions,""" +
       s""""compact_batch_median":$cMed,"max_segments":$maxSeg,""" +
       s""""bound":${maxSegments + 1},"convergent":$convergent,""" +
@@ -2122,8 +2128,15 @@ object ScaleProbe {
       spark.stop(); return
     }
     if (args.sameElements(Array("--annserving-endurance"))) {
-      val rows = annServingEnduranceProbe(spark, base)
+      val rows = annServingEnduranceProbe(spark, base,
+        graft.operators.AnnServing.Ivf)
       println(s"""{"metric":"scaleprobe_annserving_endurance",${rows.mkString(",")}}""")
+      spark.stop(); return
+    }
+    if (args.sameElements(Array("--annserving-endurance-pq"))) {
+      val rows = annServingEnduranceProbe(spark, base,
+        graft.operators.AnnServing.Pq)
+      println(s"""{"metric":"scaleprobe_annserving_endurance_pq",${rows.mkString(",")}}""")
       spark.stop(); return
     }
     if (args.sameElements(Array("--vindex-endurance"))) {

@@ -32,8 +32,8 @@ import org.apache.spark.sql.types._
   * group's DISTINCT-value cardinality rather than a fixed k: the right
   * trade for bounded-cardinality numeric gauges (the events.value
   * contract — 2-decimal readings); an unbounded-cardinality metric
-  * would first quantize to a grid at the leaf (the q-digest universe
-  * move), documented in SCALE.md.
+  * quantizes to a grid at the leaf first ([[QHist.quantize]] — the
+  * q-digest universe move, r15), bounding state by occupied cells.
   *
   * The read rule, shared verbatim by the Spark faces and the DuckDB
   * oracle: with the group's sorted distinct values v_1..v_m, weights
