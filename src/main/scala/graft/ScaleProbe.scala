@@ -353,7 +353,7 @@ object ScaleProbe {
       TagIndex.appendTo(root, sliceOf(b), Some(("probe", s"b$b")))
       expected += sliceCounts(b)
       if (TagIndex.segments(root) > maxSegments)
-        TagIndex.compactDates(root, spark, maxSegments, owner = "probe")
+        TagIndex.compactDates(root, spark, maxSegments, owner = Some("probe"))
     }}
     def consistent(): Boolean = {
       spark.catalog.refreshByPath(root)

@@ -168,6 +168,34 @@ private[graft] object Artifacts {
       .filter(d => Option(d.listFiles())
         .map(_.count(_.getName.endsWith(".parquet"))).getOrElse(0) > maxSegments)
 
+  /** [[maxSegmentsIn]] / [[overweightDirs]] counting only FOLDABLE
+    * files — the triggers for ledger-accepting roots. Carried
+    * (unmarked `segb-`) files sit OUTSIDE the file-economy bound by
+    * construction: compaction cannot fold them, so a trigger counting
+    * them would re-run a convergence-free full-dir rewrite on every
+    * batch for as long as one abandoned batch's orphan sits there
+    * (review-found, r15). They rejoin the count the moment their
+    * marker lands (or their replay deletes them).
+    */
+  private def foldableCount(parent: String)(d: File): Int =
+    Option(d.listFiles())
+      .map(_.count(f => f.getName.endsWith(".parquet") &&
+        foldableFile(parent)(f.getName))).getOrElse(0)
+
+  private[graft] def maxFoldableSegmentsIn(parent: String,
+      prefix: String): Int =
+    Option(new File(parent).listFiles()).map { entries =>
+      entries.filter(d => d.isDirectory && d.getName.startsWith(prefix))
+        .map(foldableCount(parent)).foldLeft(0)(math.max)
+    }.getOrElse(0)
+
+  private[graft] def overweightFoldableDirs(parent: String, prefix: String,
+      maxSegments: Int): Array[File] =
+    Option(new File(parent).listFiles())
+      .getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.startsWith(prefix))
+      .filter(d => foldableCount(parent)(d) > maxSegments)
+
   /** [[swapStagedDirs]] driven from the STAGED side, for rewrites whose
     * staged tree may hold partition dirs with NO live counterpart yet
     * (a keyed upsert's first rows for a fresh date): existing dirs swap
@@ -262,20 +290,27 @@ private[graft] object Artifacts {
     *  - owner identity: a tagged entry leases as its tag's streamId
     *    (stable across restarts of the same checkpointed stream — the
     *    legitimate crash-replay successor re-acquires its own lease);
-    *    an untagged entry leases as [[jvmOwner]].
+    *    an untagged entry leases as a UNIQUE per-entry ad-hoc id.
     *  - STICKY vs scoped: tagged entries leave the lease STANDING
     *    (their replay window outlives the entry — a batch published
     *    but not yet checkpoint-committed may still replay, and nobody
     *    else may compact its tag away until then); untagged entries
     *    (declared exactly-once — nothing of theirs ever replays)
     *    release at exit, so sequential ad-hoc maintenance interleaves
-    *    freely while OVERLAPPING entries still exclude each other.
+    *    freely while OVERLAPPING entries still exclude each other
+    *    (unique ad-hoc owners make that exclusion real within one JVM
+    *    too — review-found, r15).
     *  - heartbeat/expiry: each acquisition rewrites the file (fresh
-    *    mtime); a foreign lease older than `patienceMs` is a crashed
-    *    or abandoned maintainer and is stolen — the taker must accept
-    *    the handoff contract (the predecessor's batches are settled or
-    *    forfeited). A graceful handoff releases explicitly
-    *    ([[releaseLease]]) instead of waiting out patience.
+    *    mtime); a foreign lease older than `patienceMs` is treated as
+    *    crashed and may be STOLEN — but only by a TAGGED successor
+    *    (taking over a root is accepting its replay-handoff contract;
+    *    an ad-hoc entry refuses and points at [[releaseLease]]), and
+    *    the steal prints loudly: a live-but-slow maintainer is
+    *    indistinguishable from a crashed one here, so the operator
+    *    contract is patience > the maintainer's batch cadence, and
+    *    the log line is how a wrong sizing surfaces. A graceful
+    *    handoff releases explicitly ([[releaseLease]]) instead of
+    *    waiting out patience.
     *  - nested entries re-enter: maintainRollup's internal compact +
     *    append acquire nothing (thread-scoped held set), so one entry
     *    is one acquisition however it composes.
@@ -288,12 +323,15 @@ private[graft] object Artifacts {
     * contract needs closed. A deployment needing hard cross-host
     * mutual exclusion fronts maintenance with a real lock service.
     */
-  private[graft] lazy val jvmOwner: String =
-    s"jvm-${java.util.UUID.randomUUID()}"
-
   private[graft] def defaultLeasePatienceMs: Long =
-    sys.props.get("graft.lease.patience.ms").map(_.toLong)
-      .getOrElse(5L * 60L * 1000L)
+    sys.props.get("graft.lease.patience.ms").map { v =>
+      // a malformed patience must refuse actionably, not surface a
+      // NumberFormatException from every maintenance entry
+      require(v.forall(_.isDigit) && v.nonEmpty,
+        s"-Dgraft.lease.patience.ms must be a plain millisecond count, " +
+          s"got '$v'")
+      v.toLong
+    }.getOrElse(5L * 60L * 1000L)
 
   private val heldLeases = new ThreadLocal[scala.collection.mutable.Set[String]] {
     override def initialValue() = scala.collection.mutable.Set.empty[String]
@@ -301,13 +339,21 @@ private[graft] object Artifacts {
 
   private def leaseFile(root: String) = new File(root, "_lease")
 
-  private def acquireLease(root: String, owner: String,
+  private def acquireLease(root: String, owner: String, sticky: Boolean,
       patienceMs: Long): Unit = lockFor(root).synchronized {
     new File(root).mkdirs()
+    // sweep crashed acquisitions' temp files (written-but-never-moved
+    // `_lease.w-*`): invisible to readers, but the protocol sweeps
+    // every residue class it creates. A cross-JVM racer's in-flight
+    // temp could be swept here — its move then fails loudly (a
+    // refusal, never corruption; the lease is advisory across JVMs).
+    Option(new File(root).listFiles()).getOrElse(Array.empty[File])
+      .filter(_.getName.startsWith("_lease.w-")).foreach(_.delete(): Unit)
     val f = leaseFile(root)
     val cur = parseKvFile(f).flatMap(_.get("owner"))
+    val foreign = cur.exists(_ != owner)
     val fresh = f.lastModified() > System.currentTimeMillis() - patienceMs
-    if (cur.exists(_ != owner) && fresh)
+    if (foreign && fresh)
       throw new IllegalStateException(
         s"maintenance root $root is leased by maintainer " +
           s"'${cur.get}' (heartbeat ${f.lastModified()}) — a second " +
@@ -315,6 +361,27 @@ private[graft] object Artifacts {
           "still-replayable tags and reopen the replay double-count; " +
           "stop the holder (or let its lease lapse / releaseLease for " +
           "a graceful handoff) before maintaining this root")
+    if (foreign && !fresh) {
+      // only a TAGGED successor may steal a lapsed lease — taking over
+      // a root is accepting its replay-handoff contract, which an
+      // ad-hoc exactly-once entry has no standing to do. And steals
+      // are LOUD: a live-but-slow maintainer (batch cadence past
+      // patience) being stolen from is the one failure this file
+      // cannot distinguish from a crash, so the operator must be able
+      // to see it happened (and must size patience above the
+      // maintainer's trigger cadence — the documented contract).
+      if (!sticky)
+        throw new IllegalStateException(
+          s"maintenance root $root holds a LAPSED lease from " +
+            s"'${cur.get}' — an ad-hoc entry must not steal a " +
+            "maintainer's root (its uncommitted tags may still " +
+            "replay); releaseLease explicitly if the holder is " +
+            "truly gone, or run the entry as the successor stream")
+      println(s"[graft] lease STEAL on $root: '${cur.get}' lapsed " +
+        s"(heartbeat ${f.lastModified()}), taken by '$owner' — if the " +
+        "holder was alive but slow, size graft.lease.patience.ms " +
+        "above its batch cadence")
+    }
     val tmp = new File(root, s"_lease.w-${java.util.UUID.randomUUID()}")
     java.nio.file.Files.write(tmp.toPath, s"owner=$owner\n"
       .getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
@@ -350,7 +417,7 @@ private[graft] object Artifacts {
     val held = heldLeases.get()
     if (held.contains(root)) body
     else {
-      acquireLease(root, owner, patienceMs)
+      acquireLease(root, owner, sticky, patienceMs)
       held.add(root): Unit
       try body
       finally {
@@ -361,14 +428,19 @@ private[graft] object Artifacts {
   }
 
   /** The owner a maintenance entry leases as: its tag's streamId when
-    * tagged, the per-JVM ad-hoc identity otherwise — and tagged
-    * entries are the sticky ones (see [[withLease]]).
+    * tagged (sticky — the replay window outlives the call), a UNIQUE
+    * per-entry ad-hoc identity otherwise (scoped — released at exit).
+    * Uniqueness is load-bearing: a shared per-JVM ad-hoc identity
+    * would let two concurrent untagged entries in one JVM both
+    * acquire — and the first to finish would release the lease out
+    * from under the other (review-found, r15) — where unique owners
+    * make overlapping entries exclude exactly as documented.
     */
   private[graft] def leaseIdentity(
       tag: Option[(String, String)]): (String, Boolean) =
     tag match {
       case Some((s, _)) => (s, true)
-      case None => (jvmOwner, false)
+      case None => (s"adhoc-${java.util.UUID.randomUUID()}", false)
     }
 
   /** The BATCH-ledgered tag namespace (r15) — the replay protocol for

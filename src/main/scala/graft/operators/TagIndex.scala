@@ -148,10 +148,12 @@ object TagIndex {
     */
   def compactDates(root: String, spark: SparkSession,
       maxSegments: Int = 1,
-      owner: String = Artifacts.jvmOwner): Unit =
-    Artifacts.withLease(root, owner, sticky = owner != Artifacts.jvmOwner) {
+      owner: Option[String] = None): Unit = {
+    val (id, sticky) = Artifacts.leaseIdentity(owner.map(_ -> ""))
+    Artifacts.withLease(root, id, sticky) {
       compactDatesLeased(root, spark, maxSegments)
     }
+  }
 
   private def compactDatesLeased(root: String, spark: SparkSession,
       maxSegments: Int): Unit = {

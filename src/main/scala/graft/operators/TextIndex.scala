@@ -279,8 +279,9 @@ object TextIndex {
     * per-shard behind a segment manifest instead of whole-index.
     */
   private[graft] def compact(root: String, spark: SparkSession,
-      owner: String = Artifacts.jvmOwner): Unit =
-    Artifacts.withLease(root, owner, sticky = owner != Artifacts.jvmOwner) {
+      owner: Option[String] = None): Unit = {
+    val (id, sticky) = Artifacts.leaseIdentity(owner.map(_ -> ""))
+    Artifacts.withLease(root, id, sticky) {
       invalidateServingViews()
       recoverArtifacts(root) // heal a previously crashed swap first
       val posts = spark.read.parquet(s"$root/postings")
@@ -289,6 +290,7 @@ object TextIndex {
       writeSharded(posts, Seq("term", "doc_id"), tmp)
       publishByRename(s"$root/postings", tmp)
     }
+  }
 
   /** SHARD-LOCAL postings compaction (r12) — the
     * [[WinnowIndex.compactShards]] pattern at term-shard grain: every
@@ -314,10 +316,12 @@ object TextIndex {
     */
   private[graft] def compactShards(root: String, spark: SparkSession,
       maxSegments: Int = 1,
-      owner: String = Artifacts.jvmOwner): Unit =
-    Artifacts.withLease(root, owner, sticky = owner != Artifacts.jvmOwner) {
+      owner: Option[String] = None): Unit = {
+    val (id, sticky) = Artifacts.leaseIdentity(owner.map(_ -> ""))
+    Artifacts.withLease(root, id, sticky) {
       compactShardsLeased(root, spark, maxSegments)
     }
+  }
 
   private def compactShardsLeased(root: String, spark: SparkSession,
       maxSegments: Int): Unit = {

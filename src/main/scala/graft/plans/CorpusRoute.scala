@@ -106,25 +106,10 @@ object CorpusRoute extends Rule[LogicalPlan] {
   def upsertRollup(spark: SparkSession, rollupPath: String,
       newDocs: DataFrame, batchTag: Option[(String, String)] = None,
       maxSegments: Int = 8): Unit = {
-    import graft.operators.Artifacts
-    require(new java.io.File(rollupPath).isDirectory,
-      s"upsertRollup on $rollupPath with no rollup — build it first")
-    val (owner, sticky) = Artifacts.leaseIdentity(batchTag)
-    Artifacts.withLease(rollupPath, owner, sticky) {
-      recoverRollup(rollupPath)
-      if (!batchTag.exists(Artifacts.isCommitted(rollupPath, _))) {
-        val prefix = batchTag.map(Artifacts.ledgerPrefix)
-          .getOrElse(Artifacts.segPrefix(None))
-        if (batchTag.isDefined)
-          Artifacts.deleteTaggedFiles(rollupPath, "lang=", prefix)
-        if (rollupSegments(rollupPath) > maxSegments)
-          compactLangs(spark, rollupPath, maxSegments, owner)
-        RouteSupport.stagePublish(rollupPath, rollupOf(newDocs), "lang",
-          prefix)
-        batchTag.foreach(Artifacts.markCommitted(rollupPath, _))
-        invalidate(rollupPath)
-      }
-    }
+    RouteSupport.ledgeredUpsert(rollupPath, "lang", batchTag, maxSegments,
+      rollupOf(newDocs),
+      owner => compactLangs(spark, rollupPath, maxSegments, Some(owner)),
+      () => invalidate(rollupPath))
   }
 
   /** BLIND tagged-segment append — the STREAMING maintenance entry's
@@ -183,7 +168,7 @@ object CorpusRoute extends Rule[LogicalPlan] {
       graft.operators.Artifacts.deleteTaggedFiles(rollupPath, "lang=",
         graft.operators.Artifacts.segPrefix(Some(tag)))
       if (rollupSegments(rollupPath) > maxSegments)
-        compactLangs(spark, rollupPath, maxSegments, tag._1)
+        compactLangs(spark, rollupPath, maxSegments, Some(tag._1))
       appendRollup(spark, rollupPath, newDocs, Some(tag))
     }
 
@@ -193,10 +178,10 @@ object CorpusRoute extends Rule[LogicalPlan] {
     * in atomically through the shared crash protocol.
     */
   def compactLangs(spark: SparkSession, rollupPath: String,
-      maxSegments: Int = 1,
-      owner: String = graft.operators.Artifacts.jvmOwner): Unit = {
-    graft.operators.Artifacts.withLease(rollupPath, owner,
-      sticky = owner != graft.operators.Artifacts.jvmOwner) {
+      maxSegments: Int = 1, owner: Option[String] = None): Unit = {
+    val (id, sticky) = graft.operators.Artifacts
+      .leaseIdentity(owner.map(_ -> ""))
+    graft.operators.Artifacts.withLease(rollupPath, id, sticky) {
       RouteSupport.compactPartitions(spark, rollupPath, "lang",
         maxSegments)(remerge)
       invalidate(rollupPath)
@@ -213,7 +198,7 @@ object CorpusRoute extends Rule[LogicalPlan] {
     * continuous maintainer bounds.
     */
   private[graft] def rollupSegments(rollupPath: String): Int =
-    graft.operators.Artifacts.maxSegmentsIn(rollupPath, "lang=")
+    RouteSupport.foldableSegments(rollupPath, "lang")
 
   def register(spark: SparkSession, rawPath: String, rollupPath: String): Unit =
     routes.put(canon(spark, rawPath), rollupPath): Unit

@@ -89,27 +89,12 @@ object KmvRoute extends Rule[LogicalPlan] {
       newEvents: DataFrame, k: Int,
       batchTag: Option[(String, String)] = None,
       maxSegments: Int = 8): Unit = {
-    import graft.operators.Artifacts
     graft.functions.VectorFunctions.ensureRegistered(spark)
-    require(new java.io.File(rollupPath).isDirectory,
-      s"upsertRollup on $rollupPath with no rollup — build it first")
     RouteSupport.requireWriteZone(spark, rollupPath, "kmv rollup")
-    val (owner, sticky) = Artifacts.leaseIdentity(batchTag)
-    Artifacts.withLease(rollupPath, owner, sticky) {
-      recoverRollup(rollupPath)
-      if (!batchTag.exists(Artifacts.isCommitted(rollupPath, _))) {
-        val prefix = batchTag.map(Artifacts.ledgerPrefix)
-          .getOrElse(Artifacts.segPrefix(None))
-        if (batchTag.isDefined)
-          Artifacts.deleteTaggedFiles(rollupPath, "day=", prefix)
-        if (rollupSegments(rollupPath) > maxSegments)
-          compactDays(spark, rollupPath, k, maxSegments, owner)
-        RouteSupport.stagePublish(rollupPath, rollupOf(newEvents, k), "day",
-          prefix)
-        batchTag.foreach(Artifacts.markCommitted(rollupPath, _))
-        invalidate(rollupPath)
-      }
-    }
+    RouteSupport.ledgeredUpsert(rollupPath, "day", batchTag, maxSegments,
+      rollupOf(newEvents, k),
+      owner => compactDays(spark, rollupPath, k, maxSegments, Some(owner)),
+      () => invalidate(rollupPath))
   }
 
   /** BLIND segment append — the streaming maintenance entry's write
@@ -130,11 +115,11 @@ object KmvRoute extends Rule[LogicalPlan] {
     require(new java.io.File(rollupPath).isDirectory,
       s"appendRollup on $rollupPath with no rollup — build it first")
     RouteSupport.requireWriteZone(spark, rollupPath, "kmv rollup")
-    // untagged entry — scoped lease: excludes OVERLAPPING maintenance
-    // (the physical swap/rename races), while KMV's
+    // untagged entry — scoped unique-owner lease: excludes OVERLAPPING
+    // maintenance (the physical swap/rename races), while KMV's
     // multiplicity-invariance needs no standing replay window
-    graft.operators.Artifacts.withLease(rollupPath,
-      graft.operators.Artifacts.jvmOwner, sticky = false) {
+    val (owner, _) = graft.operators.Artifacts.leaseIdentity(None)
+    graft.operators.Artifacts.withLease(rollupPath, owner, sticky = false) {
       recoverRollup(rollupPath)
       RouteSupport.stagePublish(rollupPath, rollupOf(newEvents, k), "day",
         graft.operators.Artifacts.segPrefix(None))
@@ -149,14 +134,15 @@ object KmvRoute extends Rule[LogicalPlan] {
     * economy.
     */
   def maintainRollup(spark: SparkSession, rollupPath: String,
-      newEvents: DataFrame, k: Int, maxSegments: Int = 8): Unit =
-    graft.operators.Artifacts.withLease(rollupPath,
-      graft.operators.Artifacts.jvmOwner, sticky = false) {
+      newEvents: DataFrame, k: Int, maxSegments: Int = 8): Unit = {
+    val (owner, _) = graft.operators.Artifacts.leaseIdentity(None)
+    graft.operators.Artifacts.withLease(rollupPath, owner, sticky = false) {
       recoverRollup(rollupPath)
       if (rollupSegments(rollupPath) > maxSegments)
         compactDays(spark, rollupPath, k, maxSegments)
       appendRollup(spark, rollupPath, newEvents, k)
     }
+  }
 
   /** DAY-local segment compaction: every day dir past `maxSegments`
     * files re-sketches the union of its stored minima back to one state
@@ -166,12 +152,12 @@ object KmvRoute extends Rule[LogicalPlan] {
     * the shared crash protocol.
     */
   def compactDays(spark: SparkSession, rollupPath: String, k: Int,
-      maxSegments: Int = 1,
-      owner: String = graft.operators.Artifacts.jvmOwner): Unit = {
+      maxSegments: Int = 1, owner: Option[String] = None): Unit = {
     import org.apache.spark.sql.functions._
     graft.functions.VectorFunctions.ensureRegistered(spark)
-    graft.operators.Artifacts.withLease(rollupPath, owner,
-      sticky = owner != graft.operators.Artifacts.jvmOwner) {
+    val (id, sticky) = graft.operators.Artifacts
+      .leaseIdentity(owner.map(_ -> ""))
+    graft.operators.Artifacts.withLease(rollupPath, id, sticky) {
       RouteSupport.compactPartitions(spark, rollupPath, "day", maxSegments)(
         _.select(col("day"), explode(col("state")).as("h"))
           .groupBy("day")
@@ -191,7 +177,7 @@ object KmvRoute extends Rule[LogicalPlan] {
     * continuous maintainer bounds.
     */
   private[graft] def rollupSegments(rollupPath: String): Int =
-    graft.operators.Artifacts.maxSegmentsIn(rollupPath, "day=")
+    RouteSupport.foldableSegments(rollupPath, "day")
 
   def register(spark: SparkSession, rawPath: String, rollupPath: String,
       k: Int): Unit =

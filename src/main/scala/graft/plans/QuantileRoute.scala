@@ -89,30 +89,12 @@ object QuantileRoute extends Rule[LogicalPlan] {
   def upsertRollup(spark: SparkSession, rollupPath: String,
       newEvents: DataFrame, batchTag: Option[(String, String)] = None,
       maxSegments: Int = 8): Unit = {
-    import graft.operators.Artifacts
     graft.functions.VectorFunctions.ensureRegistered(spark)
-    require(new java.io.File(rollupPath).isDirectory,
-      s"upsertRollup on $rollupPath with no rollup — build it first")
     RouteSupport.requireWriteZone(spark, rollupPath, "quantile rollup")
-    val (owner, sticky) = Artifacts.leaseIdentity(batchTag)
-    Artifacts.withLease(rollupPath, owner, sticky) {
-      recoverRollup(rollupPath)
-      if (!batchTag.exists(Artifacts.isCommitted(rollupPath, _))) {
-        val prefix = batchTag.map(Artifacts.ledgerPrefix)
-          .getOrElse(Artifacts.segPrefix(None))
-        // a crashed earlier attempt's residue must vanish BEFORE the
-        // compaction below (which only spares files still carrying the
-        // tag)
-        if (batchTag.isDefined)
-          Artifacts.deleteTaggedFiles(rollupPath, "day=", prefix)
-        if (rollupSegments(rollupPath) > maxSegments)
-          compactDays(spark, rollupPath, maxSegments, owner)
-        RouteSupport.stagePublish(rollupPath, rollupOf(newEvents), "day",
-          prefix)
-        batchTag.foreach(Artifacts.markCommitted(rollupPath, _))
-        invalidate(rollupPath)
-      }
-    }
+    RouteSupport.ledgeredUpsert(rollupPath, "day", batchTag, maxSegments,
+      rollupOf(newEvents),
+      owner => compactDays(spark, rollupPath, maxSegments, Some(owner)),
+      () => invalidate(rollupPath))
   }
 
   /** BLIND tagged-segment append — the maintenance entry a STREAMING
@@ -178,7 +160,7 @@ object QuantileRoute extends Rule[LogicalPlan] {
       graft.operators.Artifacts.deleteTaggedFiles(rollupPath, "day=",
         graft.operators.Artifacts.segPrefix(Some(tag)))
       if (rollupSegments(rollupPath) > maxSegments)
-        compactDays(spark, rollupPath, maxSegments, tag._1)
+        compactDays(spark, rollupPath, maxSegments, Some(tag._1))
       appendRollup(spark, rollupPath, newEvents, Some(tag))
     }
 
@@ -189,14 +171,15 @@ object QuantileRoute extends Rule[LogicalPlan] {
     * swapped in atomically through the shared crash protocol.
     */
   def compactDays(spark: SparkSession, rollupPath: String,
-      maxSegments: Int = 1,
-      owner: String = graft.operators.Artifacts.jvmOwner): Unit = {
+      maxSegments: Int = 1, owner: Option[String] = None): Unit = {
     import org.apache.spark.sql.functions._
     graft.functions.VectorFunctions.ensureRegistered(spark)
-    // standalone ad-hoc compaction leases scoped; a call on a stream's
-    // behalf (owner = its streamId) keeps that stream's lease standing
-    graft.operators.Artifacts.withLease(rollupPath, owner,
-      sticky = owner != graft.operators.Artifacts.jvmOwner) {
+    // standalone ad-hoc compaction leases scoped (unique owner); a call
+    // on a stream's behalf (owner = Some(streamId)) keeps that
+    // stream's lease standing
+    val (id, sticky) = graft.operators.Artifacts
+      .leaseIdentity(owner.map(_ -> ""))
+    graft.operators.Artifacts.withLease(rollupPath, id, sticky) {
       RouteSupport.compactPartitions(spark, rollupPath, "day", maxSegments)(
         _.groupBy("event_type", "day")
           .agg(graft.functions.VectorFunctions.qhistMergeState(col("state"))
@@ -218,7 +201,7 @@ object QuantileRoute extends Rule[LogicalPlan] {
     * continuous maintainer bounds.
     */
   private[graft] def rollupSegments(rollupPath: String): Int =
-    graft.operators.Artifacts.maxSegmentsIn(rollupPath, "day=")
+    RouteSupport.foldableSegments(rollupPath, "day")
 
   def register(spark: SparkSession, rawPath: String,
       rollupPath: String): Unit =

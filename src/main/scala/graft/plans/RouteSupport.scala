@@ -187,7 +187,12 @@ private[plans] object RouteSupport {
       : Unit = {
     import graft.operators.Artifacts
     recoverRollup(rollupPath, partCol)
-    val dirs = Artifacts.overweightDirs(rollupPath, s"$partCol=", maxSegments)
+    // the work list counts only FOLDABLE files: a dir overweight
+    // purely from carried (unmarked segb-) orphans is left alone —
+    // rewriting it would converge nothing and repeat forever
+    // (review-found, r15)
+    val dirs = Artifacts.overweightFoldableDirs(rollupPath, s"$partCol=",
+      maxSegments)
     if (dirs.isEmpty) return
     // the batch-ledger fold gate (r15): an UNMARKED `segb-` segment —
     // a ledgered batch append that crashed before its commit marker —
@@ -199,7 +204,7 @@ private[plans] object RouteSupport {
         Option(d.listFiles()).getOrElse(Array.empty[java.io.File]).toSeq
           .filter(_.getName.endsWith(".parquet")))
       .partition(f => Artifacts.foldableFile(rollupPath)(f.getName))
-    if (fold.isEmpty) return // nothing foldable — cannot reduce the bound
+    if (fold.isEmpty) return // cannot happen given the work list; belt
     val stage = s"$rollupPath/.tmp-stage-${java.util.UUID.randomUUID()}"
     merge(spark.read.option("basePath", rollupPath)
       .parquet(fold.map(_.getPath): _*))
@@ -212,6 +217,51 @@ private[plans] object RouteSupport {
         new java.io.File(sd, f.getName).toPath): Unit
     }
     Artifacts.swapStagedDirs(spark, stage, dirs.toSeq)
+  }
+
+  /** MAX FOLDABLE parquet file count across a rollup's partition dirs —
+    * the segment proxy every route's maintenance triggers bound
+    * (carried unmarked-ledger orphans deliberately excluded; see
+    * [[graft.operators.Artifacts.maxFoldableSegmentsIn]]).
+    */
+  def foldableSegments(rollupPath: String, partCol: String): Int =
+    graft.operators.Artifacts.maxFoldableSegmentsIn(rollupPath,
+      s"$partCol=")
+
+  /** The ONE batch-ledgered upsert body shared by the three routes
+    * (r15 review — the protocol was three near-verbatim copies, the
+    * exact crash-window-duplication class the r14 maintainRollup
+    * ordering bug lived in): under the maintenance lease — recover,
+    * skip a MARKED re-delivery, delete-own-tag, compact past the
+    * foldable bound (as the same lease owner), blind tagged staged
+    * publish, mark committed. Routes differ only in partition column,
+    * delta construction, and compactor — passed in.
+    */
+  def ledgeredUpsert(rollupPath: String, partCol: String,
+      batchTag: Option[(String, String)], maxSegments: Int,
+      delta: => org.apache.spark.sql.DataFrame,
+      compact: String => Unit,
+      invalidate: () => Unit): Unit = {
+    import graft.operators.Artifacts
+    require(new java.io.File(rollupPath).isDirectory,
+      s"upsertRollup on $rollupPath with no rollup — build it first")
+    val (owner, sticky) = Artifacts.leaseIdentity(batchTag)
+    Artifacts.withLease(rollupPath, owner, sticky) {
+      recoverRollup(rollupPath, partCol)
+      if (!batchTag.exists(Artifacts.isCommitted(rollupPath, _))) {
+        val prefix = batchTag.map(Artifacts.ledgerPrefix)
+          .getOrElse(Artifacts.segPrefix(None))
+        // a crashed earlier attempt's residue must vanish BEFORE the
+        // compaction (which only spares files still carrying the tag)
+        if (batchTag.isDefined)
+          Artifacts.deleteTaggedFiles(rollupPath, s"$partCol=", prefix)
+        if (foldableSegments(rollupPath, partCol) > maxSegments)
+          compact(owner)
+        stagePublish(rollupPath, delta, partCol, prefix)
+        batchTag.foreach(Artifacts.markCommitted(rollupPath, _))
+        invalidate()
+      }
+    }
   }
 
   /** Heal a maintained rollup at maintenance entry: complete or roll

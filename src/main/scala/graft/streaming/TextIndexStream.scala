@@ -102,7 +102,7 @@ object TextIndexStream {
         // Compaction runs AS this stream (lease owner = streamId), so
         // the stream's standing maintenance lease stays held
         TextIndex.compactShards(root, batch.sparkSession, maxSegments,
-          owner = streamId)
+          owner = Some(streamId))
     }
   }
 }

@@ -107,7 +107,7 @@ class ArtifactsSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("streamA"), e.getMessage)
     intercept[IllegalStateException] {
-      Artifacts.withLease(root, Artifacts.jvmOwner, sticky = false) { () }
+      Artifacts.withLease(root, "adhoc-x", sticky = false) { () }
     }
     // the SAME owner re-acquires freely (the crash-replay successor),
     // and nested entries of one maintenance chain re-enter without
@@ -115,10 +115,19 @@ class ArtifactsSpec extends AnyFunSuite {
     Artifacts.withLease(root, "streamA", sticky = true) {
       Artifacts.withLease(root, "streamA", sticky = true) { () }
     }
-    // crashed-maintainer takeover: a lease whose heartbeat has lapsed
-    // past patience is stolen by the successor
-    assert(lease.setLastModified(
+    // crashed-maintainer takeover: a lapsed lease may be stolen — but
+    // ONLY by a tagged successor; an ad-hoc entry has no standing to
+    // accept the replay-handoff contract and must releaseLease
+    // explicitly instead
+    def lapse(): Unit = assert(lease.setLastModified(
       System.currentTimeMillis() - Artifacts.defaultLeasePatienceMs - 1000))
+    lapse()
+    val adhoc = intercept[IllegalStateException] {
+      Artifacts.withLease(root, "adhoc-y", sticky = false) { () }
+    }
+    assert(adhoc.getMessage.contains("LAPSED") &&
+      adhoc.getMessage.contains("releaseLease"), adhoc.getMessage)
+    lapse()
     Artifacts.withLease(root, "streamB", sticky = true) { () }
     assert(Artifacts.parseKvFile(lease).exists(_.get("owner")
       .contains("streamB")))

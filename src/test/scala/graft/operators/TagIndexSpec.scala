@@ -76,7 +76,7 @@ class TagIndexSpec extends AnyFunSuite {
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     }
     val before = bag()
-    TagIndex.compactDates(root, spark, owner = "ingest")
+    TagIndex.compactDates(root, spark, owner = Some("ingest"))
     assert(TagIndex.segments(root) == 1)
     assert(bag() === before)
     // plant the exact residue a crashed swap leaves: dir missing, aside live

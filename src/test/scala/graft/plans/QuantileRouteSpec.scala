@@ -236,7 +236,24 @@ class QuantileRouteSpec extends AnyFunSuite {
         .filter(_.startsWith("segb-")).toSeq
     val before = segbFiles()
     assert(before.nonEmpty)
-    QuantileRoute.compactDays(spark, roll, owner = "pipe")
+    // (a) a dir overweight ONLY from the unmarked orphan is not
+    // rewritten at all — the trigger counts foldable files, so an
+    // abandoned batch cannot force a convergence-free rewrite per
+    // entry (review-found, r15)
+    def allFiles(): Set[String] =
+      Option(new java.io.File(roll).listFiles()).getOrElse(Array.empty)
+        .filter(d => d.isDirectory && d.getName.startsWith("day="))
+        .flatMap(d => d.listFiles().map(f => f.getName -> f.lastModified()))
+        .map(_.toString).toSet
+    val untouched = allFiles()
+    QuantileRoute.compactDays(spark, roll, owner = Some("pipe"))
+    assert(allFiles() === untouched,
+      "an orphan-only overweight dir must not be rewritten")
+    // (b) a dir overweight by FOLDABLE files rewrites, folding the
+    // committed segments and carrying the unmarked orphan through
+    val batch2 = evFrame(Seq(("2024-01-01 12:00:00", "click", 9.0)))
+    QuantileRoute.upsertRollup(spark, roll, batch2, Some(("pipe", "b2")))
+    QuantileRoute.compactDays(spark, roll, owner = Some("pipe"))
     assert(segbFiles() === before,
       "unmarked ledgered segments must survive compaction untouched")
     def folded(): Seq[(Double, Long)] = {
@@ -249,11 +266,11 @@ class QuantileRouteSpec extends AnyFunSuite {
         .select(col("s.v"), col("s.w"))
         .as[(Double, Long)].collect().toSeq.sorted
     }
-    val want = Seq(1.0 -> 1L, 2.0 -> 1L)
+    val want = Seq(1.0 -> 1L, 2.0 -> 1L, 9.0 -> 1L)
     assert(folded() === want)
     // once marked, the next compaction folds it away
     graft.operators.Artifacts.markCommitted(roll, tag)
-    QuantileRoute.compactDays(spark, roll, owner = "pipe")
+    QuantileRoute.compactDays(spark, roll, owner = Some("pipe"))
     assert(segbFiles().isEmpty, "marked segments must fold")
     assert(QuantileRoute.rollupSegments(roll) == 1)
     assert(folded() === want)
@@ -351,7 +368,7 @@ class QuantileRouteSpec extends AnyFunSuite {
       QuantileRoute.register(spark, s"$d/events.parquet", roll)
       QuantileRoute.appendRollup(spark, roll, delta, Some(("qseg", "0")))
       assert(summary(shape()) === routedSummary)
-      QuantileRoute.compactDays(spark, roll, owner = "qseg")
+      QuantileRoute.compactDays(spark, roll, owner = Some("qseg"))
       assert(QuantileRoute.rollupSegments(roll) == 1)
       assert(summary(shape()) === routedSummary)
     } finally QuantileRoute.deregister(spark, s"$d/events.parquet")

@@ -82,7 +82,7 @@ class RollupStreamSpec extends AnyFunSuite {
       evFrame(incoming.drop(2)), ("rollupspec", "1"), maxSegments = 1)
     assert(served() === want)
     // and compaction to one file per day preserves the answers
-    graft.plans.QuantileRoute.compactDays(spark, roll, owner = "rollupspec")
+    graft.plans.QuantileRoute.compactDays(spark, roll, owner = Some("rollupspec"))
     assert(graft.plans.QuantileRoute.rollupSegments(roll) == 1)
     assert(served() === want)
   }
@@ -151,7 +151,7 @@ class RollupStreamSpec extends AnyFunSuite {
       CorpusRoute.maintainRollup(spark, roll, lastBatch,
         ("corpspec", "1"), maxSegments = 1)
       assert(stats().collect().toSeq.map(_.toString) === routedRows)
-      CorpusRoute.compactLangs(spark, roll, owner = "corpspec")
+      CorpusRoute.compactLangs(spark, roll, owner = Some("corpspec"))
       assert(CorpusRoute.rollupSegments(roll) == 1)
       assert(stats().collect().toSeq.map(_.toString) === routedRows)
     } finally CorpusRoute.deregister(spark, rawCopy)
