@@ -315,13 +315,14 @@ private[graft] object Artifacts {
     *    append acquire nothing (thread-scoped held set), so one entry
     *    is one acquisition however it composes.
     *
-    * Scope note: acquisition races are settled exactly within a JVM
-    * (the per-root monitor serializes check-write-verify); across JVMs
-    * the lease is ADVISORY — the post-write re-read narrows the
-    * both-saw-stale window to the move+verify interval, which closes
-    * the human-scale accident (two operators starting maintainers) the
-    * contract needs closed. A deployment needing hard cross-host
-    * mutual exclusion fronts maintenance with a real lock service.
+    * Scope note: the claim is an atomic O_EXCL create, so mutual
+    * exclusion is EXACT across processes on a local/POSIX fs — the
+    * same local-rename contract every publish in this layer already
+    * requires. On a network fs without exclusive-create semantics the
+    * lease degrades to advisory; a deployment there fronts
+    * maintenance with a real lock service (or a transactional table
+    * format), as the upsertByKey local-path guard already demands for
+    * the data itself.
     */
   private[graft] def defaultLeasePatienceMs: Long =
     sys.props.get("graft.lease.patience.ms").map { v =>
@@ -342,21 +343,24 @@ private[graft] object Artifacts {
   private def acquireLease(root: String, owner: String, sticky: Boolean,
       patienceMs: Long): Unit = lockFor(root).synchronized {
     new File(root).mkdirs()
-    // sweep crashed acquisitions' temp files (written-but-never-moved
-    // `_lease.w-*`): invisible to readers, but the protocol sweeps
-    // every residue class it creates. A cross-JVM racer's in-flight
-    // temp could be swept here — its move then fails loudly (a
-    // refusal, never corruption; the lease is advisory across JVMs).
-    Option(new File(root).listFiles()).getOrElse(Array.empty[File])
-      .filter(_.getName.startsWith("_lease.w-")).foreach(_.delete(): Unit)
     val f = leaseFile(root)
+    if (f.exists() && parseKvFile(f).flatMap(_.get("owner"))
+        .contains(owner)) {
+      // the holder's own re-acquisition — heartbeat refresh
+      f.setLastModified(System.currentTimeMillis()): Unit
+      return
+    }
+    // an existing file with an unreadable owner (a claimer crashed
+    // between create and write, or a torn read) is a FOREIGN claim:
+    // fresh → refuse conservatively, lapsed → the steal rules below
     val cur = parseKvFile(f).flatMap(_.get("owner"))
-    val foreign = cur.exists(_ != owner)
+    val foreign = f.exists()
     val fresh = f.lastModified() > System.currentTimeMillis() - patienceMs
     if (foreign && fresh)
       throw new IllegalStateException(
         s"maintenance root $root is leased by maintainer " +
-          s"'${cur.get}' (heartbeat ${f.lastModified()}) — a second " +
+          s"'${cur.getOrElse("<claim in progress>")}' (heartbeat " +
+          s"${f.lastModified()}) — a second " +
           s"concurrent maintainer ('$owner') could fold the holder's " +
           "still-replayable tags and reopen the replay double-count; " +
           "stop the holder (or let its lease lapse / releaseLease for " +
@@ -373,27 +377,29 @@ private[graft] object Artifacts {
       if (!sticky)
         throw new IllegalStateException(
           s"maintenance root $root holds a LAPSED lease from " +
-            s"'${cur.get}' — an ad-hoc entry must not steal a " +
-            "maintainer's root (its uncommitted tags may still " +
+            s"'${cur.getOrElse("?")}' — an ad-hoc entry must not steal " +
+            "a maintainer's root (its uncommitted tags may still " +
             "replay); releaseLease explicitly if the holder is " +
             "truly gone, or run the entry as the successor stream")
-      println(s"[graft] lease STEAL on $root: '${cur.get}' lapsed " +
-        s"(heartbeat ${f.lastModified()}), taken by '$owner' — if the " +
-        "holder was alive but slow, size graft.lease.patience.ms " +
-        "above its batch cadence")
+      println(s"[graft] lease STEAL on $root: '${cur.getOrElse("?")}' " +
+        s"lapsed (heartbeat ${f.lastModified()}), taken by '$owner' — " +
+        "if the holder was alive but slow, size " +
+        "graft.lease.patience.ms above its batch cadence")
+      f.delete(): Unit // may lose to a racing stealer's delete — fine
     }
-    val tmp = new File(root, s"_lease.w-${java.util.UUID.randomUUID()}")
-    java.nio.file.Files.write(tmp.toPath, s"owner=$owner\n"
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
-    java.nio.file.Files.move(tmp.toPath, f.toPath,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
-    // post-write verify: a cross-JVM racer may have overwritten between
-    // our move and here — last writer holds, the loser refuses
-    val now2 = parseKvFile(f).flatMap(_.get("owner"))
-    if (!now2.contains(owner))
+    // the claim is an ATOMIC CREATE (POSIX open(O_EXCL) under
+    // File.createNewFile): exactly one claimer wins across processes
+    // on a local fs — the same local-rename contract every publish in
+    // this layer already rides — so the lease is exact there, not
+    // merely advisory; a racer loses the create and refuses loudly.
+    // The owner line lands right after the create: a reader in that
+    // window sees a FRESH unreadable claim and refuses (above).
+    if (!f.createNewFile())
       throw new IllegalStateException(
-        s"lost the lease race for $root to '${now2.getOrElse("?")}'")
+        s"lost the lease race for $root to '" +
+          s"${parseKvFile(f).flatMap(_.get("owner")).getOrElse("?")}'")
+    java.nio.file.Files.write(f.toPath, s"owner=$owner\n"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
   }
 
   /** Release `owner`'s lease on `root` (graceful stop/handoff); a no-op
