@@ -108,13 +108,22 @@ private[graft] object Artifacts {
     * appends-since-compact, never corpus size). Extracted (r13) from
     * four byte-identical per-family folds.
     */
-  private[graft] def maxSegmentsIn(parent: String, prefix: String): Int =
+  private[graft] def maxSegmentsIn(parent: String, prefix: String,
+      keep: String => Boolean = _ => true): Int =
     Option(new File(parent).listFiles()).map { entries =>
       entries.filter(d => d.isDirectory && d.getName.startsWith(prefix))
-        .map(d => Option(d.listFiles())
-          .map(_.count(_.getName.endsWith(".parquet"))).getOrElse(0))
+        .map(parquetCount(_, keep))
         .foldLeft(0)(math.max)
     }.getOrElse(0)
+
+  /** Parquet files in a partition dir passing `keep` — the ONE per-dir
+    * count every segment proxy and work list folds over (review-found,
+    * r15: the foldable-gated variants had re-duplicated this shape).
+    */
+  private def parquetCount(d: File, keep: String => Boolean): Int =
+    Option(d.listFiles())
+      .map(_.count(f => f.getName.endsWith(".parquet") && keep(f.getName)))
+      .getOrElse(0)
 
   /** MD5 hex of a canonical model rendering — the ONE model-fingerprint
     * recipe serving artifacts record in their `_meta` (r14): an
@@ -161,12 +170,11 @@ private[graft] object Artifacts {
     * `maxSegments` parquet files — a local compaction's work list.
     */
   private[graft] def overweightDirs(parent: String, prefix: String,
-      maxSegments: Int): Array[File] =
+      maxSegments: Int, keep: String => Boolean = _ => true): Array[File] =
     Option(new File(parent).listFiles())
       .getOrElse(Array.empty)
       .filter(d => d.isDirectory && d.getName.startsWith(prefix))
-      .filter(d => Option(d.listFiles())
-        .map(_.count(_.getName.endsWith(".parquet"))).getOrElse(0) > maxSegments)
+      .filter(parquetCount(_, keep) > maxSegments)
 
   /** [[maxSegmentsIn]] / [[overweightDirs]] counting only FOLDABLE
     * files — the triggers for ledger-accepting roots. Carried
@@ -177,24 +185,13 @@ private[graft] object Artifacts {
     * (review-found, r15). They rejoin the count the moment their
     * marker lands (or their replay deletes them).
     */
-  private def foldableCount(parent: String)(d: File): Int =
-    Option(d.listFiles())
-      .map(_.count(f => f.getName.endsWith(".parquet") &&
-        foldableFile(parent)(f.getName))).getOrElse(0)
-
   private[graft] def maxFoldableSegmentsIn(parent: String,
       prefix: String): Int =
-    Option(new File(parent).listFiles()).map { entries =>
-      entries.filter(d => d.isDirectory && d.getName.startsWith(prefix))
-        .map(foldableCount(parent)).foldLeft(0)(math.max)
-    }.getOrElse(0)
+    maxSegmentsIn(parent, prefix, foldableFile(parent))
 
   private[graft] def overweightFoldableDirs(parent: String, prefix: String,
       maxSegments: Int): Array[File] =
-    Option(new File(parent).listFiles())
-      .getOrElse(Array.empty)
-      .filter(d => d.isDirectory && d.getName.startsWith(prefix))
-      .filter(d => foldableCount(parent)(d) > maxSegments)
+    overweightDirs(parent, prefix, maxSegments, foldableFile(parent))
 
   /** [[swapStagedDirs]] driven from the STAGED side, for rewrites whose
     * staged tree may hold partition dirs with NO live counterpart yet
@@ -315,23 +312,25 @@ private[graft] object Artifacts {
     *    append acquire nothing (thread-scoped held set), so one entry
     *    is one acquisition however it composes.
     *
-    * Scope note: the claim is an atomic O_EXCL create, so mutual
-    * exclusion is EXACT across processes on a local/POSIX fs — the
-    * same local-rename contract every publish in this layer already
-    * requires. On a network fs without exclusive-create semantics the
-    * lease degrades to advisory; a deployment there fronts
-    * maintenance with a real lock service (or a transactional table
-    * format), as the upsertByKey local-path guard already demands for
-    * the data itself.
+    * Scope note: every check-steal-claim sequence runs under an OS
+    * file lock on the root's `_lease.lock` ([[withLeaseFileLock]] —
+    * `FileChannel.lock`, released by the OS when a holder dies), so
+    * mutual exclusion of the lease PROTOCOL itself is exact across
+    * processes on a local fs, and the claim write inside it is a
+    * temp + atomic-move (no crash point can leave an ownerless
+    * lease). On a network fs without reliable file locking the lease
+    * degrades to advisory; a deployment there fronts maintenance with
+    * a real lock service (or a transactional table format), as the
+    * upsertByKey local-path guard already demands for the data itself.
     */
   private[graft] def defaultLeasePatienceMs: Long =
     sys.props.get("graft.lease.patience.ms").map { v =>
       // a malformed patience must refuse actionably, not surface a
-      // NumberFormatException from every maintenance entry
-      require(v.forall(_.isDigit) && v.nonEmpty,
-        s"-Dgraft.lease.patience.ms must be a plain millisecond count, " +
-          s"got '$v'")
-      v.toLong
+      // NumberFormatException from every maintenance entry (and an
+      // overflowing digit string is malformed too — review-found)
+      v.toLongOption.getOrElse(throw new IllegalArgumentException(
+        s"-Dgraft.lease.patience.ms must be a millisecond count " +
+          s"within Long range, got '$v'"))
     }.getOrElse(5L * 60L * 1000L)
 
   private val heldLeases = new ThreadLocal[scala.collection.mutable.Set[String]] {
@@ -340,66 +339,88 @@ private[graft] object Artifacts {
 
   private def leaseFile(root: String) = new File(root, "_lease")
 
+  /** The cross-process critical section for the lease protocol: an OS
+    * file lock on the root's persistent `_lease.lock` (0 bytes,
+    * `_`-prefixed — invisible to readers). The in-JVM per-root monitor
+    * already serializes same-JVM entries (required: overlapping
+    * FileLock requests within one JVM throw instead of blocking); the
+    * OS lock extends that exclusion across processes and dies with a
+    * crashed holder — which is exactly what a check-then-act steal
+    * needs: without it, a stealer acting on a stale freshness read
+    * could unlink a racing stealer's brand-new claim and let two
+    * maintainers both acquire (review-found, r15).
+    */
+  private def withLeaseFileLock[A](root: String)(body: => A): A = {
+    val raf = new java.io.RandomAccessFile(
+      new File(root, "_lease.lock"), "rw")
+    try {
+      val l = raf.getChannel.lock()
+      try body finally l.release()
+    } finally raf.close()
+  }
+
   private def acquireLease(root: String, owner: String, sticky: Boolean,
       patienceMs: Long): Unit = lockFor(root).synchronized {
     new File(root).mkdirs()
-    val f = leaseFile(root)
-    if (f.exists() && parseKvFile(f).flatMap(_.get("owner"))
-        .contains(owner)) {
-      // the holder's own re-acquisition — heartbeat refresh
-      f.setLastModified(System.currentTimeMillis()): Unit
-      return
-    }
-    // an existing file with an unreadable owner (a claimer crashed
-    // between create and write, or a torn read) is a FOREIGN claim:
-    // fresh → refuse conservatively, lapsed → the steal rules below
-    val cur = parseKvFile(f).flatMap(_.get("owner"))
-    val foreign = f.exists()
-    val fresh = f.lastModified() > System.currentTimeMillis() - patienceMs
-    if (foreign && fresh)
-      throw new IllegalStateException(
-        s"maintenance root $root is leased by maintainer " +
-          s"'${cur.getOrElse("<claim in progress>")}' (heartbeat " +
-          s"${f.lastModified()}) — a second " +
-          s"concurrent maintainer ('$owner') could fold the holder's " +
-          "still-replayable tags and reopen the replay double-count; " +
-          "stop the holder (or let its lease lapse / releaseLease for " +
-          "a graceful handoff) before maintaining this root")
-    if (foreign && !fresh) {
-      // only a TAGGED successor may steal a lapsed lease — taking over
-      // a root is accepting its replay-handoff contract, which an
-      // ad-hoc exactly-once entry has no standing to do. And steals
-      // are LOUD: a live-but-slow maintainer (batch cadence past
-      // patience) being stolen from is the one failure this file
-      // cannot distinguish from a crash, so the operator must be able
-      // to see it happened (and must size patience above the
-      // maintainer's trigger cadence — the documented contract).
-      if (!sticky)
+    withLeaseFileLock(root) {
+      val f = leaseFile(root)
+      val cur = parseKvFile(f).flatMap(_.get("owner"))
+      if (f.exists() && cur.contains(owner)) {
+        // the holder's own re-acquisition — heartbeat refresh
+        f.setLastModified(System.currentTimeMillis()): Unit
+        return
+      }
+      val fresh =
+        f.lastModified() > System.currentTimeMillis() - patienceMs
+      if (f.exists() && fresh)
         throw new IllegalStateException(
-          s"maintenance root $root holds a LAPSED lease from " +
-            s"'${cur.getOrElse("?")}' — an ad-hoc entry must not steal " +
-            "a maintainer's root (its uncommitted tags may still " +
-            "replay); releaseLease explicitly if the holder is " +
-            "truly gone, or run the entry as the successor stream")
-      println(s"[graft] lease STEAL on $root: '${cur.getOrElse("?")}' " +
-        s"lapsed (heartbeat ${f.lastModified()}), taken by '$owner' — " +
-        "if the holder was alive but slow, size " +
-        "graft.lease.patience.ms above its batch cadence")
-      f.delete(): Unit // may lose to a racing stealer's delete — fine
+          s"maintenance root $root is leased by maintainer " +
+            s"'${cur.getOrElse("<unreadable>")}' (heartbeat " +
+            s"${f.lastModified()}) — a second " +
+            s"concurrent maintainer ('$owner') could fold the holder's " +
+            "still-replayable tags and reopen the replay double-count; " +
+            "stop the holder (or let its lease lapse / releaseLease " +
+            "for a graceful handoff) before maintaining this root")
+      if (f.exists() && !fresh) {
+        // only a TAGGED successor may steal a lapsed lease — taking
+        // over a root is accepting its replay-handoff contract, which
+        // an ad-hoc exactly-once entry has no standing to do (an
+        // OWNERLESS lapsed file is the one exception: there is no
+        // maintainer identity to hand off from, so anyone may clear
+        // it — otherwise a root maintained only by untagged entries
+        // could wedge forever behind unreclaimable junk). And steals
+        // are LOUD: a live-but-slow maintainer (batch cadence past
+        // patience) being stolen from is the one failure this file
+        // cannot distinguish from a crash, so the operator must be
+        // able to see it happened (and must size patience above the
+        // maintainer's trigger cadence — the documented contract).
+        if (!sticky && cur.isDefined)
+          throw new IllegalStateException(
+            s"maintenance root $root holds a LAPSED lease from " +
+              s"'${cur.get}' — an ad-hoc entry must not steal a " +
+              "maintainer's root (its uncommitted tags may still " +
+              "replay); releaseLease explicitly if the holder is " +
+              "truly gone, or run the entry as the successor stream")
+        Console.err.println(
+          s"[graft] lease STEAL on $root: '${cur.getOrElse("?")}' " +
+            s"lapsed (heartbeat ${f.lastModified()}), taken by " +
+            s"'$owner' — if the holder was alive but slow, size " +
+            "graft.lease.patience.ms above its batch cadence")
+      }
+      // claim by temp + atomic move: replaces a lapsed file and a
+      // fresh-vs-lapsed decision atomically WITHIN the file lock, and
+      // no crash point can leave an ownerless lease. Stale claim temps
+      // (a claimer crashed between write and move) are swept here —
+      // safe because we hold the lock, so no other claim is in flight
+      Option(new File(root).listFiles()).getOrElse(Array.empty[File])
+        .filter(_.getName.startsWith(".lease-w-")).foreach(_.delete(): Unit)
+      val tmp = new File(root, s".lease-w-${java.util.UUID.randomUUID()}")
+      java.nio.file.Files.write(tmp.toPath, s"owner=$owner\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+      java.nio.file.Files.move(tmp.toPath, f.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
     }
-    // the claim is an ATOMIC CREATE (POSIX open(O_EXCL) under
-    // File.createNewFile): exactly one claimer wins across processes
-    // on a local fs — the same local-rename contract every publish in
-    // this layer already rides — so the lease is exact there, not
-    // merely advisory; a racer loses the create and refuses loudly.
-    // The owner line lands right after the create: a reader in that
-    // window sees a FRESH unreadable claim and refuses (above).
-    if (!f.createNewFile())
-      throw new IllegalStateException(
-        s"lost the lease race for $root to '" +
-          s"${parseKvFile(f).flatMap(_.get("owner")).getOrElse("?")}'")
-    java.nio.file.Files.write(f.toPath, s"owner=$owner\n"
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
   }
 
   /** Release `owner`'s lease on `root` (graceful stop/handoff); a no-op
@@ -407,9 +428,12 @@ private[graft] object Artifacts {
     */
   private[graft] def releaseLease(root: String, owner: String): Unit =
     lockFor(root).synchronized {
-      val f = leaseFile(root)
-      if (parseKvFile(f).flatMap(_.get("owner")).contains(owner))
-        f.delete(): Unit
+      if (!new File(root).isDirectory) return
+      withLeaseFileLock(root) {
+        val f = leaseFile(root)
+        if (parseKvFile(f).flatMap(_.get("owner")).contains(owner))
+          f.delete(): Unit
+      }
     }
 
   /** Run `body` under the root's maintenance lease. `sticky` leaves the
@@ -448,6 +472,15 @@ private[graft] object Artifacts {
       case Some((s, _)) => (s, true)
       case None => (s"adhoc-${java.util.UUID.randomUUID()}", false)
     }
+
+  /** [[leaseIdentity]] for entries parameterized by a bare optional
+    * OWNER (the compaction entries' `owner: Option[String]` face):
+    * Some(streamId) leases sticky on the stream's behalf, None leases
+    * as a unique scoped ad-hoc id. One audited adapter instead of a
+    * fake-empty-batch-tag idiom at every call site (review-found, r15).
+    */
+  private[graft] def leaseFor(owner: Option[String]): (String, Boolean) =
+    leaseIdentity(owner.map(_ -> ""))
 
   /** The BATCH-ledgered tag namespace (r15) — the replay protocol for
     * AT-LEAST-ONCE BATCH callers of the additive rollups, where the

@@ -149,7 +149,7 @@ object TagIndex {
   def compactDates(root: String, spark: SparkSession,
       maxSegments: Int = 1,
       owner: Option[String] = None): Unit = {
-    val (id, sticky) = Artifacts.leaseIdentity(owner.map(_ -> ""))
+    val (id, sticky) = Artifacts.leaseFor(owner)
     Artifacts.withLease(root, id, sticky) {
       compactDatesLeased(root, spark, maxSegments)
     }

@@ -280,7 +280,7 @@ object TextIndex {
     */
   private[graft] def compact(root: String, spark: SparkSession,
       owner: Option[String] = None): Unit = {
-    val (id, sticky) = Artifacts.leaseIdentity(owner.map(_ -> ""))
+    val (id, sticky) = Artifacts.leaseFor(owner)
     Artifacts.withLease(root, id, sticky) {
       invalidateServingViews()
       recoverArtifacts(root) // heal a previously crashed swap first
@@ -317,7 +317,7 @@ object TextIndex {
   private[graft] def compactShards(root: String, spark: SparkSession,
       maxSegments: Int = 1,
       owner: Option[String] = None): Unit = {
-    val (id, sticky) = Artifacts.leaseIdentity(owner.map(_ -> ""))
+    val (id, sticky) = Artifacts.leaseFor(owner)
     Artifacts.withLease(root, id, sticky) {
       compactShardsLeased(root, spark, maxSegments)
     }

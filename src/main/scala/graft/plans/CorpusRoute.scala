@@ -179,8 +179,7 @@ object CorpusRoute extends Rule[LogicalPlan] {
     */
   def compactLangs(spark: SparkSession, rollupPath: String,
       maxSegments: Int = 1, owner: Option[String] = None): Unit = {
-    val (id, sticky) = graft.operators.Artifacts
-      .leaseIdentity(owner.map(_ -> ""))
+    val (id, sticky) = graft.operators.Artifacts.leaseFor(owner)
     graft.operators.Artifacts.withLease(rollupPath, id, sticky) {
       RouteSupport.compactPartitions(spark, rollupPath, "lang",
         maxSegments)(remerge)

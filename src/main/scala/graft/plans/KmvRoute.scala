@@ -155,8 +155,7 @@ object KmvRoute extends Rule[LogicalPlan] {
       maxSegments: Int = 1, owner: Option[String] = None): Unit = {
     import org.apache.spark.sql.functions._
     graft.functions.VectorFunctions.ensureRegistered(spark)
-    val (id, sticky) = graft.operators.Artifacts
-      .leaseIdentity(owner.map(_ -> ""))
+    val (id, sticky) = graft.operators.Artifacts.leaseFor(owner)
     graft.operators.Artifacts.withLease(rollupPath, id, sticky) {
       RouteSupport.compactPartitions(spark, rollupPath, "day", maxSegments)(
         _.select(col("day"), explode(col("state")).as("h"))

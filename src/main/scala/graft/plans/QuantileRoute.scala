@@ -177,8 +177,7 @@ object QuantileRoute extends Rule[LogicalPlan] {
     // standalone ad-hoc compaction leases scoped (unique owner); a call
     // on a stream's behalf (owner = Some(streamId)) keeps that
     // stream's lease standing
-    val (id, sticky) = graft.operators.Artifacts
-      .leaseIdentity(owner.map(_ -> ""))
+    val (id, sticky) = graft.operators.Artifacts.leaseFor(owner)
     graft.operators.Artifacts.withLease(rollupPath, id, sticky) {
       RouteSupport.compactPartitions(spark, rollupPath, "day", maxSegments)(
         _.groupBy("event_type", "day")
