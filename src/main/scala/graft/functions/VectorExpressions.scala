@@ -768,6 +768,96 @@ object VectorFunctions {
         s"$md5H60ArrayName expects 1 argument, got ${other.size}")
   }
 
+  val md5Gram60Name = "md5_gram60"
+
+  private val md5Gram60Builder: Seq[Expression] => Expression = {
+    case Seq(t, k) => Md5Gram60Expr(t, k)
+    case other =>
+      throw new IllegalArgumentException(
+        s"$md5Gram60Name expects 2 arguments, got ${other.size}")
+  }
+
+  val xxGram64Name = "xx_gram64"
+
+  private val xxGram64Builder: Seq[Expression] => Expression = {
+    case Seq(t, k) => XxGram64Expr(t, k)
+    case other =>
+      throw new IllegalArgumentException(
+        s"$xxGram64Name expects 2 arguments, got ${other.size}")
+  }
+
+  val winnowSelectName = "winnow_select"
+
+  private val winnowSelectBuilder: Seq[Expression] => Expression = {
+    case Seq(h, w) => WinnowSelectExpr(h, w)
+    case other =>
+      throw new IllegalArgumentException(
+        s"$winnowSelectName expects 2 arguments, got ${other.size}")
+  }
+
+  val tokLenSumName = "tok_len_sum"
+
+  private val tokLenSumBuilder: Seq[Expression] => Expression = {
+    case Seq(t) => TokLenSumExpr(t)
+    case other =>
+      throw new IllegalArgumentException(
+        s"$tokLenSumName expects 1 argument, got ${other.size}")
+  }
+
+  val modeCountName = "mode_count"
+
+  private val modeCountBuilder: Seq[Expression] => Expression = {
+    case Seq(a) => ModeCountExpr(a)
+    case other =>
+      throw new IllegalArgumentException(
+        s"$modeCountName expects 1 argument, got ${other.size}")
+  }
+
+  val bigramModeCountName = "bigram_mode_count"
+
+  private val bigramModeCountBuilder: Seq[Expression] => Expression = {
+    case Seq(a) => BigramModeCountExpr(a)
+    case other =>
+      throw new IllegalArgumentException(
+        s"$bigramModeCountName expects 1 argument, got ${other.size}")
+  }
+
+  val windowKeys2Name = "window_keys2"
+
+  private val windowKeys2Builder: Seq[Expression] => Expression = {
+    case Seq(t, w) => WindowKeys2Expr(t, w)
+    case other =>
+      throw new IllegalArgumentException(
+        s"$windowKeys2Name expects 2 arguments, got ${other.size}")
+  }
+
+  val chunkKeys2Name = "chunk_keys2"
+
+  private val chunkKeys2Builder: Seq[Expression] => Expression = {
+    case Seq(t, n) => ChunkKeys2Expr(t, n)
+    case other =>
+      throw new IllegalArgumentException(
+        s"$chunkKeys2Name expects 2 arguments, got ${other.size}")
+  }
+
+  val gramStringsName = "gram_strings"
+
+  private val gramStringsBuilder: Seq[Expression] => Expression = {
+    case Seq(t, n) => GramStringsExpr(t, n)
+    case other =>
+      throw new IllegalArgumentException(
+        s"$gramStringsName expects 2 arguments, got ${other.size}")
+  }
+
+  val gramStringsDistinctName = "gram_strings_distinct"
+
+  private val gramStringsDistinctBuilder: Seq[Expression] => Expression = {
+    case Seq(t, n) => GramStringsDistinctExpr(t, n)
+    case other =>
+      throw new IllegalArgumentException(
+        s"$gramStringsDistinctName expects 2 arguments, got ${other.size}")
+  }
+
   val minhashName = "minhash_agg"
 
   private val minhashBuilder: Seq[Expression] => Expression = {
@@ -954,6 +1044,26 @@ object VectorFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       md5H60ArrayName, md5H60ArrayBuilder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      md5Gram60Name, md5Gram60Builder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      xxGram64Name, xxGram64Builder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      winnowSelectName, winnowSelectBuilder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      tokLenSumName, tokLenSumBuilder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      modeCountName, modeCountBuilder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      bigramModeCountName, bigramModeCountBuilder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      windowKeys2Name, windowKeys2Builder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      chunkKeys2Name, chunkKeys2Builder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      gramStringsName, gramStringsBuilder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      gramStringsDistinctName, gramStringsDistinctBuilder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       minhashName, minhashBuilder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       jpegDimsName, jpegDimsBuilder, "scala_udf")
@@ -1036,6 +1146,44 @@ object VectorFunctions {
   /** Column API: element-wise 60-bit md5 prefixes of a string array. */
   def md5H60Array(elems: Column): Column =
     call_function(md5H60ArrayName, elems)
+
+  /** Column API: per-window 60-bit md5 gram hashes of a token array. */
+  def md5Gram60(toks: Column, k: Column): Column =
+    call_function(md5Gram60Name, toks, k)
+
+  /** Column API: per-window xxhash64 gram hashes of a token array. */
+  def xxGram64(toks: Column, k: Column): Column =
+    call_function(xxGram64Name, toks, k)
+
+  /** Column API: winnow window-min (p, v) selections over gram hashes. */
+  def winnowSelect(hs: Column, w: Column): Column =
+    call_function(winnowSelectName, hs, w)
+
+  /** Column API: Σ length(token) over an `array<string>` column. */
+  def tokLenSum(toks: Column): Column = call_function(tokLenSumName, toks)
+
+  /** Column API: the most frequent element's count in a string array. */
+  def modeCount(arr: Column): Column = call_function(modeCountName, arr)
+
+  /** Column API: mode_count over space-joined adjacent token pairs. */
+  def bigramModeCount(toks: Column): Column =
+    call_function(bigramModeCountName, toks)
+
+  /** Column API: per-window (h1, h2) span keys of a token array. */
+  def windowKeys2(toks: Column, w: Column): Column =
+    call_function(windowKeys2Name, toks, w)
+
+  /** Column API: distinct fixed-stride chunk (h1, h2) keys. */
+  def chunkKeys2(toks: Column, n: Column): Column =
+    call_function(chunkKeys2Name, toks, n)
+
+  /** Column API: in-order space-joined word n-grams. */
+  def gramStrings(toks: Column, n: Column): Column =
+    call_function(gramStringsName, toks, n)
+
+  /** Column API: distinct word n-grams under the minhash windowing. */
+  def gramStringsDistinct(toks: Column, n: Column): Column =
+    call_function(gramStringsDistinctName, toks, n)
 
   /** Column API: group-level minhash signature over a `bigint` hash column. */
   def minhashAgg(c: Column): Column = call_function(minhashName, c)

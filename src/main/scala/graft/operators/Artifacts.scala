@@ -359,6 +359,20 @@ private[graft] object Artifacts {
     } finally raf.close()
   }
 
+  /** The claim write itself — temp + atomic move, shared by fresh
+    * claims and the setLastModified-fallback heartbeat below.
+    */
+  private def writeLeaseClaim(root: String, f: File, owner: String): Unit = {
+    Option(new File(root).listFiles()).getOrElse(Array.empty[File])
+      .filter(_.getName.startsWith(".lease-w-")).foreach(_.delete(): Unit)
+    val tmp = new File(root, s".lease-w-${java.util.UUID.randomUUID()}")
+    java.nio.file.Files.write(tmp.toPath, s"owner=$owner\n"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+    java.nio.file.Files.move(tmp.toPath, f.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+  }
+
   private def acquireLease(root: String, owner: String, sticky: Boolean,
       patienceMs: Long): Unit = lockFor(root).synchronized {
     new File(root).mkdirs()
@@ -366,8 +380,13 @@ private[graft] object Artifacts {
       val f = leaseFile(root)
       val cur = parseKvFile(f).flatMap(_.get("owner"))
       if (f.exists() && cur.contains(owner)) {
-        // the holder's own re-acquisition — heartbeat refresh
-        f.setLastModified(System.currentTimeMillis()): Unit
+        // the holder's own re-acquisition — heartbeat refresh. Some
+        // filesystems refuse setLastModified (returns false); fall back
+        // to rewriting the claim through the temp + atomic-move path so
+        // a LIVE holder's lease can never silently stale into a steal
+        // target (ADVICE r15)
+        if (!f.setLastModified(System.currentTimeMillis()))
+          writeLeaseClaim(root, f, owner)
         return
       }
       val fresh =
@@ -379,8 +398,10 @@ private[graft] object Artifacts {
             s"${f.lastModified()}) — a second " +
             s"concurrent maintainer ('$owner') could fold the holder's " +
             "still-replayable tags and reopen the replay double-count; " +
-            "stop the holder (or let its lease lapse / releaseLease " +
-            "for a graceful handoff) before maintaining this root")
+            "stop the holder (or let its lease lapse, or " +
+            s"Artifacts.releaseLease(root, \"${cur.getOrElse("<owner>")}\") / " +
+            "Artifacts.forceReleaseLease(root) for a manual handoff) " +
+            "before maintaining this root")
       if (f.exists() && !fresh) {
         // only a TAGGED successor may steal a lapsed lease — taking
         // over a root is accepting its replay-handoff contract, which
@@ -394,12 +415,19 @@ private[graft] object Artifacts {
         // cannot distinguish from a crash, so the operator must be
         // able to see it happened (and must size patience above the
         // maintainer's trigger cadence — the documented contract).
-        if (!sticky && cur.isDefined)
+        // … and a lapsed AD-HOC lease is reclaimable by ANYONE: an
+        // exactly-once owner has no replay window to hand off, so the
+        // tagged-successor-only restriction protects nothing there —
+        // without this, a crashed untagged streaming maintainer
+        // (kmvAppendStream: fresh adhoc identity per batch) deadlocks
+        // its root FOREVER after any hard crash (ADVICE r15, high)
+        if (!sticky && cur.exists(c => !c.startsWith("adhoc-")))
           throw new IllegalStateException(
             s"maintenance root $root holds a LAPSED lease from " +
               s"'${cur.get}' — an ad-hoc entry must not steal a " +
               "maintainer's root (its uncommitted tags may still " +
-              "replay); releaseLease explicitly if the holder is " +
+              s"replay); Artifacts.releaseLease(root, \"${cur.get}\") " +
+              "or Artifacts.forceReleaseLease(root) if the holder is " +
               "truly gone, or run the entry as the successor stream")
         Console.err.println(
           s"[graft] lease STEAL on $root: '${cur.getOrElse("?")}' " +
@@ -412,27 +440,48 @@ private[graft] object Artifacts {
       // no crash point can leave an ownerless lease. Stale claim temps
       // (a claimer crashed between write and move) are swept here —
       // safe because we hold the lock, so no other claim is in flight
-      Option(new File(root).listFiles()).getOrElse(Array.empty[File])
-        .filter(_.getName.startsWith(".lease-w-")).foreach(_.delete(): Unit)
-      val tmp = new File(root, s".lease-w-${java.util.UUID.randomUUID()}")
-      java.nio.file.Files.write(tmp.toPath, s"owner=$owner\n"
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
-      java.nio.file.Files.move(tmp.toPath, f.toPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+      writeLeaseClaim(root, f, owner)
     }
   }
 
   /** Release `owner`'s lease on `root` (graceful stop/handoff); a no-op
-    * when the lease is absent or held by someone else.
+    * when the lease is absent or held by someone else. PUBLIC: the
+    * refusal messages name this call as the documented recovery for a
+    * wedged root, so external users of the public maintenance entries
+    * must be able to execute it (ADVICE r15, medium).
     */
-  private[graft] def releaseLease(root: String, owner: String): Unit =
+  def releaseLease(root: String, owner: String): Unit =
     lockFor(root).synchronized {
       if (!new File(root).isDirectory) return
       withLeaseFileLock(root) {
         val f = leaseFile(root)
         if (parseKvFile(f).flatMap(_.get("owner")).contains(owner))
           f.delete(): Unit
+      }
+    }
+
+  /** Force-release whatever lease `root` holds, returning the evicted
+    * owner — the admin recovery for a wedged root when the holder's
+    * identity is unknown or unreadable. LOUD by design: forcing out a
+    * LIVE tagged maintainer reopens the replay double-count the lease
+    * exists to prevent, so this is an operator decision, never an
+    * automatic one.
+    */
+  def forceReleaseLease(root: String): Option[String] =
+    lockFor(root).synchronized {
+      if (!new File(root).isDirectory) return None
+      withLeaseFileLock(root) {
+        val f = leaseFile(root)
+        if (!f.exists()) None
+        else {
+          val cur = parseKvFile(f).flatMap(_.get("owner"))
+          Console.err.println(
+            s"[graft] lease FORCE-RELEASE on $root: evicting " +
+              s"'${cur.getOrElse("<unreadable>")}' (heartbeat " +
+              s"${f.lastModified()}) by operator request")
+          f.delete(): Unit
+          cur
+        }
       }
     }
 

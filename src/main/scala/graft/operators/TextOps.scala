@@ -261,6 +261,7 @@ object TextOps {
     * integer counts divide identically, so oracle hashes are unchanged.
     */
   def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.ensureRegistered(spark)
     val toks = tokens(col("text"))
     Tables.documents(spark, dir)
       // null text yields no tokens on both engines (the exploded form and
@@ -268,7 +269,7 @@ object TextOps {
       .filter(col("text").isNotNull)
       .select(col("doc_id"),
         (stopCount(toks).cast("double") / size(toks)).as("stop_ratio"),
-        (aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double")
+        (graft.functions.VectorFunctions.tokLenSum(toks).cast("double")
           / size(toks)).as("avg_tok_len"),
         size(toks).cast("long").as("n_tokens"))
       .orderBy("doc_id")
@@ -789,12 +790,13 @@ object TextOps {
     * and identical on batch and streaming frames.
     */
   private[graft] def corpusGates(docs: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.ensureRegistered(docs.sparkSession)
     val toks = tokens(col("text"))
     docs
       .filter(col("text").isNotNull)
       .withColumn("n_tokens", size(toks).cast("long"))
       .withColumn("avg_tok_len",
-        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double")
+        graft.functions.VectorFunctions.tokLenSum(toks).cast("double")
           / size(toks))
       .filter(col("n_tokens") >= QualityMinTokens &&
         col("avg_tok_len") >= QualityMinAvgTokLen.toDouble &&
@@ -818,6 +820,15 @@ object TextOps {
     * partial window (nulls skipped by concat_ws).
     */
   private[operators] def gramStrings(text: Column, n: Int): Column =
+    // native gram builder (r16) — [[gramStringsTree]] built each gram
+    // through an interpreted concat_ws per window; TextKernelSpec pins
+    // kernel ≡ tree (partial-window + distinct semantics included)
+    graft.functions.VectorFunctions.gramStringsDistinct(tokens(text), lit(n))
+
+  /** The pre-r16 declarative minhash gram tree — kept as the kernel's
+    * spec oracle ([[graft.functions.GramStringsDistinctExpr]]).
+    */
+  private[graft] def gramStringsTree(text: Column, n: Int): Column =
     bindOnce(tokens(text)) { ts =>
       array_distinct(transform(
         sequence(lit(0), greatest(size(ts) - n, lit(0))),
@@ -1206,6 +1217,15 @@ object TextOps {
     * already had. Empty arrays fold to 0.
     */
   private[operators] def modeCount(arr: Column): Column =
+    // native sort + longest-run kernel (r16) — the declarative fold
+    // below ([[modeCountTree]]) is CodegenFallback and allocates a
+    // struct per element; TextKernelSpec pins kernel ≡ tree
+    graft.functions.VectorFunctions.modeCount(arr)
+
+  /** The pre-r16 declarative mode fold — kept as the kernel's spec
+    * oracle ([[graft.functions.ModeCountExpr]]).
+    */
+  private[graft] def modeCountTree(arr: Column): Column =
     aggregate(array_sort(arr),
       struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
       (acc, x) => {
@@ -1242,6 +1262,7 @@ object TextOps {
     repetitionOver(Tables.documents(spark, dir))
 
   private[operators] def repetitionOver(docs: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.ensureRegistered(docs.sparkSession)
     val t = tokens(col("text"))
     docs
       .filter(col("text").isNotNull) // oracle's unnest emits nothing for null
@@ -1249,7 +1270,9 @@ object TextOps {
         size(t).cast("long").as("n_tokens"),
         size(array_distinct(t)).cast("long").as("n_distinct"),
         modeCount(t).as("top_token_n"),
-        modeCount(bigrams(t)).as("top_bigram_n"))
+        // fused bigram-mode kernel: no bigram string array in the plan
+        // (TextKernelSpec pins ≡ modeCountTree(bigrams))
+        graft.functions.VectorFunctions.bigramModeCount(t).as("top_bigram_n"))
       .orderBy("doc_id")
   }
 
@@ -1285,6 +1308,14 @@ object TextOps {
     * final partial chunk, whose shorter fold differs from any full one.
     */
   private def chunkKeys(t0: Column, chunkTokens: Int): Column =
+    // native fold kernel (r16) — [[chunkKeysTree]] ran two interpreted
+    // xxhash64 fold chains per chunk; TextKernelSpec pins kernel ≡ tree
+    graft.functions.VectorFunctions.chunkKeys2(t0, lit(chunkTokens))
+
+  /** The pre-r16 declarative chunk-key tree — kept as the kernel's
+    * spec oracle ([[graft.functions.ChunkKeys2Expr]]).
+    */
+  private[graft] def chunkKeysTree(t0: Column, chunkTokens: Int): Column =
     bindOnce(transform(t0, tk => xxhash64(tk))) { th =>
       array_distinct(transform(sequence(lit(1), size(th), lit(chunkTokens)),
         s => struct(
@@ -1295,6 +1326,7 @@ object TextOps {
     }
 
   private[operators] def chunkDedupOver(docs: DataFrame, chunkTokens: Int): DataFrame = {
+    graft.functions.VectorFunctions.ensureRegistered(docs.sparkSession)
     val chunks = docs
       .filter(col("text").isNotNull)
       .select(col("doc_id"),
@@ -1394,19 +1426,30 @@ object TextOps {
     * not join-string identity, defines the window, so the non-empty-
     * token convention's injectivity caveat disappears entirely.
     */
-  private def windowOccs(tok: DataFrame, w: Int): DataFrame =
+  private def windowOccs(tok: DataFrame, w: Int): DataFrame = {
+    graft.functions.VectorFunctions.ensureRegistered(tok.sparkSession)
     tok.filter(size(col("toks")) >= w)
+      // native per-window key kernel (r16) — the declarative tree
+      // ([[windowKeysTree]]) evaluated two interpreted xxhash64 chains
+      // plus a struct per window; TextKernelSpec pins kernel ≡ tree
       .select(col("doc_id"), posexplode(
-        bindOnce(transform(col("toks"), t => xxhash64(t))) { th =>
-          transform(sequence(lit(1), size(th) - (w - 1)), s =>
-            struct(
-              xxhash64((0 until w).map(j => try_element_at(th, s + j)): _*)
-                .as("h1"),
-              xxhash64(lit(0x9E3779B97F4A7C15L) +:
-                  (0 until w).map(j => try_element_at(th, s + j)): _*)
-                .as("h2")))
-        }))
+        graft.functions.VectorFunctions.windowKeys2(col("toks"), lit(w))))
       .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("gk"))
+  }
+
+  /** The pre-r16 declarative window-key tree — kept as the kernel's
+    * spec oracle ([[graft.functions.WindowKeys2Expr]]).
+    */
+  private[graft] def windowKeysTree(toks: Column, w: Int): Column =
+    bindOnce(transform(toks, t => xxhash64(t))) { th =>
+      transform(sequence(lit(1), size(th) - (w - 1)), s =>
+        struct(
+          xxhash64((0 until w).map(j => try_element_at(th, s + j)): _*)
+            .as("h1"),
+          xxhash64(lit(0x9E3779B97F4A7C15L) +:
+              (0 until w).map(j => try_element_at(th, s + j)): _*)
+            .as("h2")))
+    }
 
   /** Merge flagged window starts into maximal disjoint spans [s, e]:
     * consecutive starts whose `w`-windows overlap or touch (gap ≤ w)
@@ -1812,6 +1855,7 @@ object TextOps {
     */
   def corpusMix(spark: SparkSession, dir: String, k: Double = 3.0,
       maxTopTokenFrac: Int = 5): DataFrame = {
+    graft.functions.VectorFunctions.ensureRegistered(spark)
     val docs = Tables.documents(spark, dir).filter(col("text").isNotNull)
     val keepers = docs.groupBy(contentFingerprint.as("fp"))
       .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
@@ -1989,6 +2033,7 @@ object TextOps {
   private[graft] def mixGates(docs: DataFrame, evalGramHashes: Seq[Long],
       thresholds: Map[String, Double], maxTopTokenFrac: Int = 5,
       minShared: Int = 3): DataFrame = {
+    graft.functions.VectorFunctions.ensureRegistered(docs.sparkSession)
     val t = tokens(col("text"))
     docs
       .filter(col("text").isNotNull)
@@ -2053,6 +2098,7 @@ object TextOps {
   private[graft] def mixGatesVsKeys(docs: DataFrame, evalKeys: DataFrame,
       thresholds: Map[String, Double], maxTopTokenFrac: Int = 5,
       minShared: Int = 3): DataFrame = {
+    graft.functions.VectorFunctions.ensureRegistered(docs.sparkSession)
     val t = tokens(col("text"))
     val contaminated = docs.filter(col("text").isNotNull)
       .select(col("doc_id"),
@@ -2460,13 +2506,14 @@ object TextOps {
     * exact longs — oracle-exact at any scale.
     */
   def corpusStats(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.ensureRegistered(spark)
     val toks = tokens(col("text"))
     val hasText = col("text").isNotNull
     Tables.documents(spark, dir)
       .withColumn("n_tokens",
         when(hasText, size(toks).cast("long")).otherwise(lit(0L)))
       .withColumn("tok_len_sum",
-        when(hasText, aggregate(toks, lit(0L), (a, t) => a + length(t)))
+        when(hasText, graft.functions.VectorFunctions.tokLenSum(toks))
           .otherwise(lit(0L)))
       .withColumn("fp", when(hasText, contentFingerprint))
       .withColumn("q_pass",
@@ -2757,6 +2804,7 @@ object TextOps {
     topNgramsOver(Tables.documents(spark, dir), n, k)
 
   private[operators] def topNgramsOver(docs: DataFrame, n: Int, k: Int): DataFrame = {
+    graft.functions.VectorFunctions.ensureRegistered(docs.sparkSession)
     val grams = docs
       .filter(col("text").isNotNull)
       // tokenize ONCE into a column, THEN gate: a size(tokens(...))
@@ -2767,10 +2815,10 @@ object TextOps {
       // "repeated 5-grams" report with partial windows
       .select(col("doc_id"), tokens(col("text")).as("tk"))
       .filter(size(col("tk")) >= n)
-      .select(col("doc_id"), explode(transform(
-        sequence(lit(1), size(col("tk")) - (n - 1)),
-        i => concat_ws(" ",
-          (0 until n).map(j => try_element_at(col("tk"), i + j)): _*))).as("gram"))
+      // native in-order gram builder (r16) — same joined strings as the
+      // transform + concat_ws tree, one primitive loop per row
+      .select(col("doc_id"), explode(graft.functions.VectorFunctions
+        .gramStrings(col("tk"), lit(n))).as("gram"))
     grams.groupBy("gram", "doc_id").agg(count(lit(1)).as("c"))
       .groupBy("gram")
       .agg(sum(col("c")).as("occurrences"), count(lit(1)).as("n_docs"))
@@ -2902,7 +2950,15 @@ object TextOps {
     val hits = graft.IntraQueryCache.scoped(dt.join(qt, "term"))
     val dfreq = hits.select("term", "doc_id").distinct()
       .groupBy("term").agg(count(lit(1)).as("df"))
-    val dl = dt.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    // document length is per-document array arithmetic, so it computes
+    // ROW-WISE at the scan (r16) — the old dt.groupBy(doc_id).sum(tf)
+    // re-shuffled the whole exploded corpus frame by doc_id just to
+    // recover size(tokens); sum(tf) over a doc's terms IS the token
+    // count, an exact long, so lengths (and the oracle hash) are
+    // bit-identical. Corpus totals become one exchange-free partial
+    // aggregate over the same row-wise frame.
+    val dl = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("dl"))
     val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("t"))
     bm25FromHits(hits
       .join(broadcast(dfreq), "term")
@@ -2970,9 +3026,12 @@ object TextOps {
     // and the scoring join would otherwise each rebuild the frame
     val dt = graft.IntraQueryCache.scoped(docTermTf(docs))
     val dfreq = dt.groupBy("term").agg(count(lit(1)).as("df"))
-    // N from the cached frame, not a second parquet scan (every non-null
-    // text yields >= 1 term row on both engines, so the counts agree)
-    val n = dt.agg(countDistinct(col("doc_id")).as("n"))
+    // N = documents with text: a row-wise count off the scan (r16) —
+    // the old countDistinct over the exploded frame paid a doc-keyed
+    // distinct exchange at corpus-token volume for one scalar. Every
+    // non-null text yields >= 1 term row on both engines (split("")
+    // is [""]), so the counts agree exactly.
+    val n = docs.filter(col("text").isNotNull).agg(count(lit(1)).as("n"))
     val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
     dt.join(dfreq, "term")
       .crossJoin(broadcast(n))
@@ -3109,9 +3168,15 @@ object TextOps {
     winnowOver(Tables.documents(spark, dir), k, w).orderBy("doc_id", "pos")
 
   /** First 15 md5 hex chars of each word `k`-gram as a 60-bit integer —
-    * one array entry per gram start position.
+    * one array entry per gram start position. The DECLARATIVE tree,
+    * kept as the equivalence oracle for the fused native kernel
+    * ([[graft.functions.Md5Gram60Expr]]) that replaced it in the hot
+    * path (r16): higher-order functions are CodegenFallback, and the
+    * builtin-md5 form rendered a 32-char hex string per gram and
+    * re-parsed 15 chars of it with `conv`. WinnowKernelSpec pins
+    * kernel ≡ tree entry-for-entry.
     */
-  private def gramHash60(tk: Column, k: Int): Column =
+  private[graft] def gramHash60Tree(tk: Column, k: Int): Column =
     bindOnce(tk) { t =>
       transform(sequence(lit(1), size(t) - (k - 1)), s =>
         conv(substring(md5(
@@ -3121,10 +3186,10 @@ object TextOps {
 
   /** xxhash64 of each word `k`-gram — the production gram hash: one
     * native 64-bit hash per gram instead of md5 + hex parse (~10× per
-    * hash; measured 1.3× on the full selection pass — SCALE.md), at the
-    * price of not being DuckDB-replayable.
+    * hash), at the price of not being DuckDB-replayable. Declarative
+    * tree kept as the kernel's spec oracle, like [[gramHash60Tree]].
     */
-  private def gramHashXx(tk: Column, k: Int): Column =
+  private[graft] def gramHashXxTree(tk: Column, k: Int): Column =
     bindOnce(tk) { t =>
       transform(sequence(lit(1), size(t) - (k - 1)), s =>
         xxhash64(concat_ws(" ",
@@ -3147,11 +3212,11 @@ object TextOps {
   }
   case object WinnowMd5 extends WinnowHash("md5-60bit") {
     private[operators] def gramHash(tk: Column, k: Int): Column =
-      gramHash60(tk, k)
+      graft.functions.VectorFunctions.md5Gram60(tk, lit(k))
   }
   case object WinnowXx extends WinnowHash("xxhash64") {
     private[operators] def gramHash(tk: Column, k: Int): Column =
-      gramHashXx(tk, k)
+      graft.functions.VectorFunctions.xxGram64(tk, lit(k))
   }
 
   /** Resolve a persisted family name ([[WinnowHash.name]]). */
@@ -3168,14 +3233,32 @@ object TextOps {
     */
   private[graft] def winnowOver(docs: DataFrame, k: Int, w: Int,
       family: WinnowHash = WinnowMd5): DataFrame = {
+    graft.functions.VectorFunctions.ensureRegistered(docs.sparkSession)
     val tk = tokens(col("text"))
-    // per window start j: min of the w hashes via `least` and the
-    // RIGHTMOST minimal position via a descending when-chain (the
-    // winnowing tie rule) — flat expressions per window, no per-element
-    // aggregate fold (higher-order folds are interpreted and allocate a
-    // struct per step; measured ~2× on the whole query)
-    val sel = bindOnce(family.gramHash(tk, k)) { hs =>
-      transform(sequence(lit(1), size(hs) - (w - 1)), j =>
+    docs
+      .filter(col("text").isNotNull && size(tk) >= k + w - 1)
+      // ONE native kernel call per row for the whole selection (r16):
+      // gram hashing and the window-min + rightmost-tie + consecutive
+      // dedup all run in a primitive loop
+      // ([[graft.functions.WinnowSelectExpr]]) instead of the
+      // CodegenFallback higher-order trees ([[winnowSelectTree]], kept
+      // as the spec oracle) — same distinct (pos, fp) pairs, no
+      // exchange anywhere in the selection
+      .select(col("doc_id"), explode(graft.functions.VectorFunctions
+        .winnowSelect(family.gramHash(tk, k), lit(w))).as("s"))
+      .select(col("doc_id"), col("s.p").as("pos"), col("s.v").as("fp"))
+  }
+
+  /** The pre-r16 declarative selection tree over a gram-hash array —
+    * per window start j, the min of the w hashes via `least` and the
+    * RIGHTMOST minimal position via a descending when-chain (the
+    * winnowing tie rule), deduplicated with array_distinct. Kept as
+    * the equivalence oracle for [[graft.functions.WinnowSelectExpr]]
+    * (WinnowKernelSpec pins kernel ≡ tree, dedup included).
+    */
+  private[graft] def winnowSelectTree(hs0: Column, w: Int): Column =
+    bindOnce(hs0) { hs =>
+      array_distinct(transform(sequence(lit(1), size(hs) - (w - 1)), j =>
         bindOnce(least((0 until w).map(o => try_element_at(hs, j + o)): _*)) { v =>
           struct(
             v.as("v"),
@@ -3185,17 +3268,8 @@ object TextOps {
               .foldLeft(j: Column)((els, o) =>
                 when(try_element_at(hs, j + o) === v, j + o).otherwise(els))
               .as("p"))
-        })
+        }))
     }
-    docs
-      .filter(col("text").isNotNull && size(tk) >= k + w - 1)
-      // consecutive windows frequently select the same (pos, hash) —
-      // dedup ROW-WISE inside the array, so no distinct aggregate (and
-      // no exchange) exists anywhere in the selection
-      .select(col("doc_id"), explode(array_distinct(sel)).as("s"))
-      .select(col("doc_id"), col("s.p").cast("long").as("pos"),
-        col("s.v").as("fp"))
-  }
 
   /** Per-document winnow match report against a static fingerprint set:
     * (doc_id, n_fp, n_matched) — how many of the document's selected
@@ -3473,20 +3547,34 @@ object TextOps {
   }
 
   private[operators] def nbQualityOver(docs: DataFrame): DataFrame = {
-    // three consumers: the label pass, the count table and the scoring
-    // join — without the persist the scan + explode + aggregate run
-    // three times (column pruning differentiates the subtrees)
-    val dt = graft.IntraQueryCache.scoped(docTermTf(docs))
-    val labels = dt.groupBy("doc_id")
-      .agg(sum(col("tf")).as("n_tokens"),
-        sum(col("tf") * length(col("term"))).as("n_chars"))
-      .select(col("doc_id"),
+    graft.functions.VectorFunctions.ensureRegistered(docs.sparkSession)
+    // the label is pure per-document array arithmetic (token count +
+    // token-length sum), so it computes ROW-WISE at the scan (r16) and
+    // rides the explode as a carried column — the old shape re-aggregated
+    // the exploded (doc, term) frame by doc_id and joined the labels back
+    // onto it, two corpus-sized exchanges the label never needed. Sum
+    // identities: sum(tf) over a doc's terms = size(tokens);
+    // sum(tf·length(term)) = aggregate(tokens, length-sum) — exact
+    // integers, and the avg-length gate divides the same two longs, so
+    // labels (and the oracle hash) are bit-identical.
+    val toks = tokens(col("text"))
+    val base = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), toks.as("tk"))
+      .withColumn("n_tokens", size(col("tk")).cast("long"))
+      .withColumn("n_chars",
+        graft.functions.VectorFunctions.tokLenSum(col("tk")))
+      .withColumn("label",
         when(col("n_tokens") >= QualityMinTokens &&
           col("n_chars").cast("double") / col("n_tokens").cast("double")
             >= QualityMinAvgTokLen.toDouble &&
           col("n_chars").cast("double") / col("n_tokens").cast("double")
-            <= QualityMaxAvgTokLen.toDouble, 1L).otherwise(0L).as("label"))
-    val dtl = dt.join(labels, "doc_id")
+            <= QualityMaxAvgTokLen.toDouble, 1L).otherwise(0L))
+    // two consumers (the count table and the scoring join) — without the
+    // persist the scan + explode + aggregate run twice
+    val dtl = graft.IntraQueryCache.scoped(
+      base.select(col("doc_id"), col("label"), explode(col("tk")).as("term"))
+        .groupBy("doc_id", "label", "term")
+        .agg(count(lit(1)).as("tf")))
     val cnt = dtl.groupBy("term")
       .agg(sum(when(col("label") === 1L, col("tf")).otherwise(0L)).as("c_hi"),
         sum(when(col("label") === 0L, col("tf")).otherwise(0L)).as("c_lo"))
@@ -3494,9 +3582,14 @@ object TextOps {
     // token totals — one row, broadcast into the final projection
     val tot = cnt.agg(sum(col("c_hi")).as("t_hi"), sum(col("c_lo")).as("t_lo"),
       count(lit(1)).as("v"))
-    val pri = labels.agg(count(lit(1)).as("n"), sum(col("label")).as("n_hi"))
-    val scored = dt.join(cnt, "term")
-      .groupBy("doc_id")
+    // priors re-derive from the row-wise scan (one exchange-free pass),
+    // not from the cached exploded frame
+    val pri = base.agg(count(lit(1)).as("n"), sum(col("label")).as("n_hi"))
+    // label is functionally dependent on doc_id, so grouping on
+    // (doc_id, label) carries it through the scoring aggregate and the
+    // old labels-join-back disappears entirely
+    dtl.join(cnt, "term")
+      .groupBy("doc_id", "label")
       .agg(
         sum(col("tf").cast("decimal(19,0)")
           * (col("c_hi") + 1L).cast("decimal(19,0)")).as("s_hi"),
@@ -3506,7 +3599,7 @@ object TextOps {
       .crossJoin(broadcast(tot))
       .crossJoin(broadcast(pri))
       // fixed chain, mirrored by the oracle: (sum/n_toks)/(T+V) * prior
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("label"),
         (((col("s_hi").cast("double") / col("n_toks").cast("double"))
           / (col("t_hi") + col("v")).cast("double"))
           * (col("n_hi").cast("double") / col("n").cast("double"))).as("p_hi"),
@@ -3514,9 +3607,8 @@ object TextOps {
           / (col("t_lo") + col("v")).cast("double"))
           * ((col("n") - col("n_hi")).cast("double")
             / col("n").cast("double"))).as("p_lo"))
-    labels.join(scored, "doc_id")
-      .select(col("doc_id"), col("label"), col("p_hi"), col("p_lo"),
-        when(col("p_hi") > col("p_lo"), 1L).otherwise(0L).as("pred"))
+      .withColumn("pred", when(col("p_hi") > col("p_lo"), 1L).otherwise(0L))
+      .select("doc_id", "label", "p_hi", "p_lo", "pred")
       .orderBy("doc_id")
   }
 
@@ -3621,9 +3713,10 @@ object TextOps {
     filterFunnelOver(Tables.documents(spark, dir))
 
   private[operators] def filterFunnelOver(docs: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.ensureRegistered(docs.sparkSession)
     val toks = tokens(col("text"))
     val nTok = size(toks).cast("long")
-    val lenSum = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+    val lenSum = graft.functions.VectorFunctions.tokLenSum(toks)
     val p0 = col("text").isNotNull
     val p1 = p0 && nTok >= QualityMinTokens
     val p2 = p1 && lenSum >= lit(QualityMinAvgTokLen) * nTok

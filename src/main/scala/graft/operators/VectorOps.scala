@@ -145,6 +145,17 @@ object VectorOps {
       .select(col("vec_id"), col("nid"),
         round(dot(col("embedding"), col("ne")) /
           (col("nrm") * col("nn")), 4).as("cosine"))
+      // ONE exchange for dedup + window (r16): hash-partitioning on
+      // vec_id alone satisfies the (vec_id, nid) dedup's clustered
+      // distribution AND the top-k window's, so the explicit
+      // repartition replaces the planner's back-to-back
+      // hashpartitioning(vec_id, nid) → hashpartitioning(vec_id)
+      // pair — the candidate set (the query's bulk) crosses the wire
+      // once. Per-key size stays bounded: a vector's candidates are
+      // ≤ tables × maxBucket regardless of corpus size. Duplicate
+      // (vec_id, nid) rows carry the same deterministic cosine, so
+      // which one the dedup keeps is immaterial.
+      .repartition(col("vec_id"))
       .dropDuplicates("vec_id", "nid")
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)

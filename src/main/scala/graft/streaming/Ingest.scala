@@ -310,10 +310,24 @@ object Ingest {
     */
   private val DateKey = "utc-epoch-day"
 
-  private def writeDateMarker(path: String): Unit =
-    java.nio.file.Files.write(new java.io.File(path, "_meta").toPath,
-      s"datekey=$DateKey\n"
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+  private def writeDateMarker(path: String): Unit = {
+    // temp + atomic move like every other _meta writer (ADVICE r15): a
+    // crash mid-write must not leave a torn _meta whose missing datekey
+    // wedges every subsequent upsert behind a manual re-certify. Other
+    // keys a future writer may have stored there are merged, not
+    // dropped.
+    val meta = new java.io.File(path, "_meta")
+    val kept = graft.operators.Artifacts.parseKvFile(meta)
+      .getOrElse(Map.empty[String, String]) - "datekey"
+    val lines = (kept.toSeq.sortBy(_._1) :+ ("datekey" -> DateKey))
+      .map { case (k, v) => s"$k=$v" }.mkString("", "\n", "\n")
+    val tmp = new java.io.File(path, s".meta-w-${java.util.UUID.randomUUID()}")
+    java.nio.file.Files.write(tmp.toPath,
+      lines.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+    java.nio.file.Files.move(tmp.toPath, meta.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+  }
 
   private def requireUtcDateMarker(path: String): Unit = {
     val marked = graft.operators.Artifacts

@@ -140,6 +140,56 @@ class ArtifactsSpec extends AnyFunSuite {
     assert(!lease.exists(), "a scoped (untagged) entry releases at exit")
   }
 
+  test("lease: a lapsed AD-HOC lease is reclaimable by anyone (crashed " +
+      "untagged streaming maintainer must not wedge its root forever); " +
+      "forceReleaseLease evicts any holder") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-lease-adhoc").toString
+    val lease = new File(root, "_lease")
+    // simulate a hard crash inside an untagged per-batch entry
+    // (kmvAppendStream's shape): the scoped release never ran, the
+    // dead owner is a fresh adhoc UUID no restart will ever reuse
+    val crashed = intercept[RuntimeException] {
+      Artifacts.withLease(root, "adhoc-dead-uuid", sticky = false) {
+        // a crash leaves the lease file standing: re-create it as the
+        // holder would have (release runs in the finally, so mimic the
+        // torn state after the entry by re-claiming below)
+        throw new RuntimeException("boom")
+      }
+    }
+    assert(crashed.getMessage == "boom")
+    // the finally released it (in-process crash ≠ JVM death); rebuild
+    // the dead-holder state directly
+    Artifacts.withLease(root, "adhoc-dead-uuid", sticky = true) { () }
+    assert(Artifacts.parseKvFile(lease).exists(_.get("owner")
+      .contains("adhoc-dead-uuid")))
+    // while fresh, a new untagged entry still refuses (overlap exclusion)
+    intercept[IllegalStateException] {
+      Artifacts.withLease(root, "adhoc-new", sticky = false) { () }
+    }
+    // once lapsed, the restarted untagged maintainer reclaims — an
+    // exactly-once owner has no replay window to hand off, so the
+    // tagged-successor-only restriction does not apply (ADVICE r15)
+    assert(lease.setLastModified(
+      System.currentTimeMillis() - Artifacts.defaultLeasePatienceMs - 1000))
+    Artifacts.withLease(root, "adhoc-new", sticky = false) {
+      assert(Artifacts.parseKvFile(lease).exists(_.get("owner")
+        .contains("adhoc-new")))
+    }
+    assert(!lease.exists(), "scoped reclaim releases at exit")
+    // a lapsed TAGGED lease still refuses ad-hoc entries (unchanged)
+    Artifacts.withLease(root, "streamZ", sticky = true) { () }
+    assert(lease.setLastModified(
+      System.currentTimeMillis() - Artifacts.defaultLeasePatienceMs - 1000))
+    intercept[IllegalStateException] {
+      Artifacts.withLease(root, "adhoc-late", sticky = false) { () }
+    }
+    // the admin recovery evicts whoever holds the lease, loudly
+    assert(Artifacts.forceReleaseLease(root).contains("streamZ"))
+    assert(!lease.exists())
+    Artifacts.withLease(root, "adhoc-after-force", sticky = false) { () }
+  }
+
   test("a broken build fails loudly at publish time and never goes live") {
     val root = tmpRoot()
     // a build whose artifact marker never landed (lost task, partial
