@@ -173,7 +173,7 @@ object Bench {
     // min/max (and full names, full precision, sf, iters) live in the
     // sidecar — the printed line spends its ~2000-char budget on the
     // per-query map, which is what the scorecard needs complete
-    println(metricLine(total, prepareMs, medians))
+    println(metricLine(total, prepareMs, medians, sfOf(sfDir)))
     System.out.flush()
   }
 
@@ -189,13 +189,28 @@ object Bench {
     * re-run policy fired. total_min/total_max remain the all-fastest /
     * all-slowest iteration sums — the run's whole-session spread.
     */
+  /** Numeric scale factor parsed from the data directory name
+    * ("…/sf0.1" → "0.1"), or JSON null when the dir is not sf-named.
+    */
+  private[graft] def sfOf(sfDir: String): String =
+    "sf([0-9]+(?:\\.[0-9]+)?)".r.findFirstMatchIn(sfDir)
+      .map(_.group(1)).getOrElse("null")
+
   private[graft] def sidecarLine(total: Double, prepareMs: Long,
       prepareBreakdown: Seq[(String, Long)], sfDir: String,
       perQuery: Seq[(String, Seq[Double])],
       loadStart: Double = -1.0, loadEnd: Double = -1.0): String = {
     def dp3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val totals = Seq(perQuery.map(_._2.min).sum, perQuery.map(_._2.max).sum)
+    // "queries" carries the driver-contract shape — FULL query names to
+    // median SECONDS (r17: the printed compact line physically cannot
+    // hold full names inside the driver's ~2000-char tail — the 129
+    // names alone are ~1840 chars — so this file is the full-fidelity
+    // channel a reader/driver should consume for per-query matching)
     val fullQs = perQuery.sortBy(_._1)
+      .map { case (k, ts) => "\"" + k + "\":" + dp3(median(ts)) }
+      .mkString("{", ",", "}")
+    val spreadQs = perQuery.sortBy(_._1)
       .map { case (k, ts) =>
         "\"" + k + "\":{\"min\":" + dp3(ts.min) + ",\"med\":" +
           dp3(median(ts)) + ",\"max\":" + dp3(ts.max) +
@@ -205,9 +220,10 @@ object Bench {
     val fullPrep = prepareBreakdown
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    s"""{"metric":"total","value":${dp3(total)},"unit":"sec","queries":$fullQs,""" +
+    s"""{"metric":"total","value":${dp3(total)},"unit":"sec","sf":${sfOf(sfDir)},""" +
+      s""""queries":$fullQs,"queries_spread":$spreadQs,""" +
       s""""prepare_ms":$prepareMs,"prepare_breakdown":$fullPrep,""" +
-      s""""sf":"$sfDir","iters":$iters,""" +
+      s""""sf_dir":"$sfDir","iters":$iters,""" +
       s""""noise_rule":"max_over_med>${noiseRatio} and max-med>${noiseFloorSec}s reran to n=${iters + extraIters}; med is the reading",""" +
       s""""load_start":${dp3(loadStart)},"load_end":${dp3(loadEnd)},""" +
       s""""total_min":${dp3(totals.min)},"total_max":${dp3(totals.max)}}"""
@@ -221,7 +237,7 @@ object Bench {
     * driver's bounded tail clip the record (the r1-r8 failure mode).
     */
   private[graft] def metricLine(total: Double, prepareMs: Long,
-      medians: Map[String, Double]): String = {
+      medians: Map[String, Double], sfNum: String = "null"): String = {
     def render(baseLen: Int): String = {
       val short = shortNames(medians.keys.toSeq, baseLen)
       val qsMs = medians.toSeq.sortBy(_._1)
@@ -231,8 +247,9 @@ object Bench {
       // prepare_ms joins the scalar headers AHEAD of the map: the
       // driver keeps the LAST ~2000 chars, so if anything clips it is
       // the head — scalars are the sacrificial end, the per-query map
-      // (what the scorecard needs complete) sits last and survives
-      s"""{"metric":"total","value":$totalStr,"unit":"sec",""" +
+      // (what the scorecard needs complete) sits last and survives.
+      // "sf" (r17): the driver contract's scale-factor scalar
+      s"""{"metric":"total","value":$totalStr,"unit":"sec","sf":$sfNum,""" +
         s""""prepare_ms":$prepareMs,"queries_ms":$qsMs}"""
     }
     // base-3/2 joined when the 128th query tipped base-4 over budget in
@@ -247,7 +264,7 @@ object Bench {
       // a complete scalar record beats a torn detailed one
       .getOrElse {
         val totalStr = "%.3f".formatLocal(java.util.Locale.ROOT, total)
-        s"""{"metric":"total","value":$totalStr,"unit":"sec",""" +
+        s"""{"metric":"total","value":$totalStr,"unit":"sec","sf":$sfNum,""" +
           s""""prepare_ms":$prepareMs,"queries_ms":{}}"""
       }
   }

@@ -32,7 +32,13 @@ object Plans {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try SparkEntry.prepare(spark, sfDir) catch { case _: Throwable => () }
+    // a failed prepare must be VISIBLE: plans captured against unprepared
+    // state (missing temp views/indexes) would be misleading evidence
+    try SparkEntry.prepare(spark, sfDir) catch {
+      case e: Throwable =>
+        System.err.println(s"[plans] WARNING: prepare failed, plans may be " +
+          s"against unprepared state: $e")
+    }
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     for (name <- names) {
       val df = SparkEntry.queries(name)(spark, sfDir)

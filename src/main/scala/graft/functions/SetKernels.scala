@@ -1,0 +1,148 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, UnsafeArrayData, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Fused native kernels for the jaccard pair-engine's scan-side set
+  * builders (r17 — optimization round 2). The pair engine's per-document
+  * sorted distinct hash sets were built with interpreted HOF chains
+  * (`sort_array(array_distinct(transform(tokens, xxhash64)))` and the
+  * word-n-gram `shingles` tree) — CodegenFallback in Spark 4, a boxed
+  * Long per element per step plus three intermediate arrays. Each kernel
+  * below is one primitive loop per row producing exactly the same sorted
+  * distinct `array<bigint>`; SetKernelSpec pins every kernel against the
+  * declarative tree it replaced, so the DuckDB oracle replays are
+  * untouched.
+  */
+private[functions] object SetKernels {
+
+  private def hashStr(s: UTF8String, seed: Long): Long =
+    XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
+
+  /** Sort ascending and dedup in place; returns an unboxed primitive
+    * array wrapped as UnsafeArrayData (containsNull = false).
+    */
+  private def sortedDistinct(hs: Array[Long]): ArrayData = {
+    java.util.Arrays.sort(hs)
+    var w = 0
+    var i = 0
+    while (i < hs.length) {
+      if (w == 0 || hs(i) != hs(w - 1)) { hs(w) = hs(i); w += 1 }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(hs, w))
+  }
+
+  /** `hash_set_sorted(toks)` ≡
+    * `sort_array(array_distinct(transform(toks, x => xxhash64(x))))`:
+    * the unigram token-hash set. A null token hashes to the bare seed 42
+    * (the single-null-child xxhash64 builtin).
+    */
+  def hashSetSorted(toks: ArrayData): ArrayData = {
+    val n = toks.numElements()
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      hs(i) = if (toks.isNullAt(i)) 42L else hashStr(toks.getUTF8String(i), 42L)
+      i += 1
+    }
+    sortedDistinct(hs)
+  }
+
+  /** `shingle_set_sorted(toks, n)` ≡ `sort_array(shingles-tree)`: the
+    * word-n-gram shingle-hash set. Token hashes fold per overlapping
+    * n-window left-to-right from seed 42 (`xxhash64(th[s], …)`); window
+    * starts are 0‥max(len−n, 0) — one PARTIAL window when the document
+    * is shorter than n (out-of-range `try_element_at` lookups are null
+    * and xxhash64 skips null children), and an EMPTY token array yields
+    * the one all-null window, i.e. `[42]`, exactly like the tree.
+    */
+  def shingleSetSorted(toks: ArrayData, gn: Int): ArrayData = {
+    val n = toks.numElements()
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      th(i) = if (toks.isNullAt(i)) 42L else hashStr(toks.getUTF8String(i), 42L)
+      i += 1
+    }
+    val last = math.max(n - gn, 0)
+    val hs = new Array[Long](last + 1)
+    var s = 0
+    while (s <= last) {
+      var h = 42L
+      val end = math.min(s + gn, n)
+      var j = s
+      while (j < end) {
+        h = XXH64.hashLong(th(j), h)
+        j += 1
+      }
+      hs(s) = h
+      s += 1
+    }
+    sortedDistinct(hs)
+  }
+}
+
+/** `hash_set_sorted(toks)` — sorted distinct xxhash64 token set. */
+case class HashSetSortedExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.sql}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(toks: Any): Any =
+    SetKernels.hashSetSorted(toks.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = SetKernels.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, e => s"${ev.value} = ($helper).hashSetSorted($e);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): HashSetSortedExpr =
+    copy(child = newChild)
+  override def prettyName: String = "hash_set_sorted"
+}
+
+/** `shingle_set_sorted(toks, n)` — sorted distinct word-n-gram
+  * shingle-hash set (partial-window semantics for short documents).
+  */
+case class ShingleSetSortedExpr(first: Expression, second: Expression)
+    extends BinaryExpression {
+  override def left: Expression = first
+  override def right: Expression = second
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType) match {
+      case (ArrayType(StringType, _), IntegerType) =>
+        second match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _)
+              if v <= 0 =>
+            TypeCheckResult.TypeCheckFailure(
+              s"$prettyName requires a positive shingle width, got $v")
+          case _ => TypeCheckResult.TypeCheckSuccess
+        }
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<string>, int), got $other")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(toks: Any, gn: Any): Any = {
+    val n = gn.asInstanceOf[Int]
+    // non-literal width reaching eval: same guard as the type check —
+    // a non-positive width would loop forever in the window walk
+    require(n >= 1, s"$prettyName requires a positive shingle width, got $n")
+    SetKernels.shingleSetSorted(toks.asInstanceOf[ArrayData], n)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = SetKernels.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, (e, k) =>
+      s"""if ($k < 1) { throw new IllegalArgumentException(
+         |  "shingle_set_sorted requires a positive shingle width, got " + $k); }
+         |${ev.value} = ($helper).shingleSetSorted($e, $k);""".stripMargin)
+  }
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression): ShingleSetSortedExpr =
+    copy(first = newFirst, second = newSecond)
+  override def prettyName: String = "shingle_set_sorted"
+}

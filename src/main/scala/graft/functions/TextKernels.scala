@@ -146,6 +146,10 @@ private[functions] object TextKernels {
     * occurrence (array_distinct).
     */
   def chunkKeys2(toks: ArrayData, cn: Int): ArrayData = {
+    // chunk_keys2 is a registered session SQL function: a non-positive
+    // stride from a bad literal must error, not hang the executor
+    // thread (`s += cn` would never advance)
+    require(cn >= 1, s"chunk_keys2 requires a positive chunk size, got $cn")
     val n = toks.numElements()
     val th = new Array[Long](n)
     var i = 0
@@ -218,6 +222,112 @@ private[functions] object TextKernels {
       j += 1
     }
     UTF8String.concatWs(space, parts: _*)
+  }
+
+  /** The BPE symbol alphabet / span-family tokenization —
+    * `filter(split(text, " ", -1), t => t != "")`: segments between
+    * single spaces, empties dropped (runs of spaces and edges yield
+    * nothing). One byte scan, token slices share the decoded buffer.
+    */
+  def bpeToks(text: UTF8String): ArrayData = {
+    val bytes = text.getBytes
+    val n = bytes.length
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    var start = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || bytes(i) == 0x20) {
+        if (i > start) out += UTF8String.fromBytes(bytes, start, i - start)
+        start = i + 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Distinct space-joined FULL word n-grams in first-occurrence order —
+    * the decontamination gram tree (`array_distinct` over the
+    * element_at window transform, empty when the document is shorter
+    * than n). Differs from [[gramStringsDistinct]] exactly there: no
+    * partial window.
+    */
+  def gramStringsFull(toks: ArrayData, gn: Int): ArrayData = {
+    val n = toks.numElements()
+    if (n < gn) return new GenericArrayData(new Array[Any](0))
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    val seen = new scala.collection.mutable.HashSet[UTF8String]()
+    var s = 0
+    while (s <= n - gn) {
+      val g = joinWindow(toks, s, gn)
+      if (seen.add(g)) out += g
+      s += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** The RAG chunker's per-document chunk rows — ragChunkRows' tree:
+    * starts 1, 1+stride, … ≤ max(min(n−(window−stride), n), 1); per
+    * start a struct(start_tok, n_tok = |slice|, chunk_text = space-join
+    * of the ≤ window tokens from start). The tree built two slices and
+    * an interpreted concat_ws per chunk.
+    */
+  def ragChunks(toks: ArrayData, window: Int, stride: Int): ArrayData = {
+    val n = toks.numElements()
+    val last = math.max(math.min(n - (window - stride), n), 1)
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    var s = 1
+    while (s <= last) {
+      val len = math.max(math.min(window, n - s + 1), 0)
+      out += new GenericInternalRow(Array[Any](s, len, joinWindow(toks, s - 1, len)))
+      s += stride
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** The span-scrub rebuild — the kept-token filter + join tree in one
+    * pass: tokens at 1-based positions covered by NO span survive;
+    * n_kept counts survivors (null tokens included, like size(kept));
+    * txt joins the non-null survivors (array_join's null-skip). Spans
+    * are disjoint and non-null by construction (mergedSpans emits
+    * ordered disjoint runs; collect_list never emits null elements) —
+    * sorted defensively, then one pointer walk.
+    */
+  def scrubKeep(toks: ArrayData, spans: ArrayData): InternalRow = {
+    val m = spans.numElements()
+    val ss = new Array[Int](m)
+    val es = new Array[Int](m)
+    var i = 0
+    while (i < m) {
+      val r = spans.getStruct(i, 2)
+      ss(i) = r.getInt(0)
+      es(i) = r.getInt(1)
+      i += 1
+    }
+    // insertion sort by span start (m is small: merged disjoint spans)
+    i = 1
+    while (i < m) {
+      val (s0, e0) = (ss(i), es(i))
+      var j = i - 1
+      while (j >= 0 && ss(j) > s0) { ss(j + 1) = ss(j); es(j + 1) = es(j); j -= 1 }
+      ss(j + 1) = s0; es(j + 1) = e0
+      i += 1
+    }
+    val n = toks.numElements()
+    val parts = new scala.collection.mutable.ArrayBuffer[UTF8String]()
+    var nKept = 0
+    var sp = 0
+    var p = 1
+    while (p <= n) {
+      while (sp < m && es(sp) < p) sp += 1
+      val covered = sp < m && ss(sp) <= p && p <= es(sp)
+      if (!covered) {
+        nKept += 1
+        if (!toks.isNullAt(p - 1)) parts += toks.getUTF8String(p - 1)
+      }
+      p += 1
+    }
+    new GenericInternalRow(Array[Any](nKept,
+      UTF8String.concatWs(space, parts.toSeq: _*)))
   }
 }
 
@@ -366,4 +476,119 @@ case class GramStringsDistinctExpr(first: Expression, second: Expression)
       newFirst: Expression, newSecond: Expression): GramStringsDistinctExpr =
     copy(first = newFirst, second = newSecond)
   override def prettyName: String = "gram_strings_distinct"
+}
+
+/** `bpe_toks(text)` — non-empty single-space-split tokens: the fused
+  * `filter(split(text, " ", -1), t => t != "")` of the BPE/span
+  * tokenization.
+  */
+case class BpeToksExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.sql}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(text: Any): Any =
+    TextKernels.bpeToks(text.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = TextKernels.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, e => s"${ev.value} = ($helper).bpeToks($e);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BpeToksExpr =
+    copy(child = newChild)
+  override def prettyName: String = "bpe_toks"
+}
+
+/** `gram_strings_full(toks, n)` — distinct FULL-window n-grams (empty
+  * when the document is shorter than n), first-occurrence order.
+  */
+case class GramStringsFullExpr(first: Expression, second: Expression)
+    extends TextArrayKernel {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(toks: Any, gn: Any): Any =
+    TextKernels.gramStringsFull(toks.asInstanceOf[ArrayData], gn.asInstanceOf[Int])
+  override protected def helperCall(e: String, k: String): String =
+    s"($helper).gramStringsFull($e, $k)"
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression): GramStringsFullExpr =
+    copy(first = newFirst, second = newSecond)
+  override def prettyName: String = "gram_strings_full"
+}
+
+/** `rag_chunks_arr(toks, window, stride)` — the RAG chunker's
+  * (start_tok, n_tok, chunk_text) struct array in one pass.
+  */
+case class RagChunksExpr(first: Expression, second: Expression,
+    third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(StringType, _), IntegerType, IntegerType) =>
+        (second, third) match {
+          case (org.apache.spark.sql.catalyst.expressions.Literal(w: Int, _),
+              org.apache.spark.sql.catalyst.expressions.Literal(s: Int, _))
+              if w <= 0 || s <= 0 =>
+            TypeCheckResult.TypeCheckFailure(
+              s"$prettyName requires positive window and stride, got ($w, $s)")
+          case _ => TypeCheckResult.TypeCheckSuccess
+        }
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<string>, int, int), got $other")
+    }
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("start_tok", IntegerType, nullable = false),
+    StructField("n_tok", IntegerType, nullable = false),
+    StructField("chunk_text", StringType, nullable = false))),
+    containsNull = false)
+  override protected def nullSafeEval(toks: Any, w: Any, s: Any): Any = {
+    val wi = w.asInstanceOf[Int]
+    val si = s.asInstanceOf[Int]
+    require(wi >= 1 && si >= 1,
+      s"$prettyName requires positive window and stride, got ($wi, $si)")
+    TextKernels.ragChunks(toks.asInstanceOf[ArrayData], wi, si)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = TextKernels.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, (e, w, s) =>
+      s"""if ($w < 1 || $s < 1) { throw new IllegalArgumentException(
+         |  "rag_chunks_arr requires positive window and stride"); }
+         |${ev.value} = ($helper).ragChunks($e, $w, $s);""".stripMargin)
+  }
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): RagChunksExpr =
+    copy(first = newFirst, second = newSecond, third = newThird)
+  override def prettyName: String = "rag_chunks_arr"
+}
+
+/** `scrub_keep(toks, spans)` — the span-scrub rebuild: struct(n_kept,
+  * txt) of tokens whose 1-based position no span [s, e] covers.
+  */
+case class ScrubKeepExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _),
+          ArrayType(StructType(Array(
+            StructField(_, IntegerType, _, _),
+            StructField(_, IntegerType, _, _))), _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<string>, array<struct<int,int>>), " +
+          s"got $other")
+    }
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_kept", IntegerType, nullable = false),
+    StructField("txt", StringType, nullable = false)))
+  override protected def nullSafeEval(toks: Any, spans: Any): Any =
+    TextKernels.scrubKeep(toks.asInstanceOf[ArrayData],
+      spans.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = TextKernels.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, (t, s) => s"${ev.value} = ($helper).scrubKeep($t, $s);")
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ScrubKeepExpr =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "scrub_keep"
 }

@@ -858,6 +858,60 @@ object VectorFunctions {
         s"$gramStringsDistinctName expects 2 arguments, got ${other.size}")
   }
 
+  val bpeToksName = "bpe_toks"
+
+  private val bpeToksBuilder: Seq[Expression] => Expression = {
+    case Seq(t) => BpeToksExpr(t)
+    case other =>
+      throw new IllegalArgumentException(
+        s"$bpeToksName expects 1 argument, got ${other.size}")
+  }
+
+  val gramStringsFullName = "gram_strings_full"
+
+  private val gramStringsFullBuilder: Seq[Expression] => Expression = {
+    case Seq(t, n) => GramStringsFullExpr(t, n)
+    case other =>
+      throw new IllegalArgumentException(
+        s"$gramStringsFullName expects 2 arguments, got ${other.size}")
+  }
+
+  val ragChunksName = "rag_chunks_arr"
+
+  private val ragChunksBuilder: Seq[Expression] => Expression = {
+    case Seq(t, w, s) => RagChunksExpr(t, w, s)
+    case other =>
+      throw new IllegalArgumentException(
+        s"$ragChunksName expects 3 arguments, got ${other.size}")
+  }
+
+  val scrubKeepName = "scrub_keep"
+
+  private val scrubKeepBuilder: Seq[Expression] => Expression = {
+    case Seq(t, s) => ScrubKeepExpr(t, s)
+    case other =>
+      throw new IllegalArgumentException(
+        s"$scrubKeepName expects 2 arguments, got ${other.size}")
+  }
+
+  val hashSetSortedName = "hash_set_sorted"
+
+  private val hashSetSortedBuilder: Seq[Expression] => Expression = {
+    case Seq(t) => HashSetSortedExpr(t)
+    case other =>
+      throw new IllegalArgumentException(
+        s"$hashSetSortedName expects 1 argument, got ${other.size}")
+  }
+
+  val shingleSetSortedName = "shingle_set_sorted"
+
+  private val shingleSetSortedBuilder: Seq[Expression] => Expression = {
+    case Seq(t, n) => ShingleSetSortedExpr(t, n)
+    case other =>
+      throw new IllegalArgumentException(
+        s"$shingleSetSortedName expects 2 arguments, got ${other.size}")
+  }
+
   val minhashName = "minhash_agg"
 
   private val minhashBuilder: Seq[Expression] => Expression = {
@@ -1064,6 +1118,18 @@ object VectorFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       gramStringsDistinctName, gramStringsDistinctBuilder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      bpeToksName, bpeToksBuilder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      gramStringsFullName, gramStringsFullBuilder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      ragChunksName, ragChunksBuilder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      scrubKeepName, scrubKeepBuilder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      hashSetSortedName, hashSetSortedBuilder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      shingleSetSortedName, shingleSetSortedBuilder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       minhashName, minhashBuilder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       jpegDimsName, jpegDimsBuilder, "scala_udf")
@@ -1184,6 +1250,29 @@ object VectorFunctions {
   /** Column API: distinct word n-grams under the minhash windowing. */
   def gramStringsDistinct(toks: Column, n: Column): Column =
     call_function(gramStringsDistinctName, toks, n)
+
+  /** Column API: non-empty single-space-split tokens of a string. */
+  def bpeToks(text: Column): Column = call_function(bpeToksName, text)
+
+  /** Column API: distinct FULL-window space-joined n-grams. */
+  def gramStringsFull(toks: Column, n: Column): Column =
+    call_function(gramStringsFullName, toks, n)
+
+  /** Column API: the RAG chunker's (start_tok, n_tok, chunk_text) rows. */
+  def ragChunksArr(toks: Column, window: Column, stride: Column): Column =
+    call_function(ragChunksName, toks, window, stride)
+
+  /** Column API: the span-scrub rebuild struct(n_kept, txt). */
+  def scrubKeep(toks: Column, spans: Column): Column =
+    call_function(scrubKeepName, toks, spans)
+
+  /** Column API: sorted distinct xxhash64 token set of a string array. */
+  def hashSetSorted(toks: Column): Column =
+    call_function(hashSetSortedName, toks)
+
+  /** Column API: sorted distinct word-n-gram shingle-hash set. */
+  def shingleSetSorted(toks: Column, n: Column): Column =
+    call_function(shingleSetSortedName, toks, n)
 
   /** Column API: group-level minhash signature over a `bigint` hash column. */
   def minhashAgg(c: Column): Column = call_function(minhashName, c)

@@ -53,6 +53,17 @@ object TextOps {
         i => xxhash64((0 until n).map(j => try_element_at(th, i + j + 1)): _*)))
     }
 
+  /** The pre-r17 declarative sorted-set builder trees — kept as the
+    * native kernels' spec oracles
+    * ([[graft.functions.HashSetSortedExpr]] /
+    * [[graft.functions.ShingleSetSortedExpr]], pinned in SetKernelSpec).
+    */
+  private[graft] def tokenHashSetTree(text: Column): Column =
+    sort_array(array_distinct(transform(tokens(text), x => xxhash64(x))))
+
+  private[graft] def shingleHashSetTree(text: Column, n: Int): Column =
+    sort_array(shingles(text, n))
+
   /** Token counting, whitespace + BPE-ish regex: per doc, the whitespace
     * token count and a subword-flavored count (letter runs / digit runs /
     * single non-alnum symbols — the pre-tokenization BPE applies).
@@ -211,6 +222,7 @@ object TextOps {
     */
   def decontaminate(spark: SparkSession, dir: String, n: Int = 3,
       minShared: Int = 3): DataFrame = {
+    graft.functions.VectorFunctions.ensureRegistered(spark)
     val docs = Tables.documents(spark, dir)
     def grams: Column = gramStrings(n)
     val evalGrams = docs.filter(col("doc_id") % 97 === 0)
@@ -227,8 +239,17 @@ object TextOps {
 
   /** Per-document distinct word n-grams as strings, built row-wise (the
     * oracle-parity form; [[shingles]] is the hashed form for joins).
+    * Native kernel (r17) — [[gramStringsFullTree]] evaluated an
+    * interpreted concat_ws per window; TextKernelSpec pins kernel ≡
+    * tree. Callers must have registered.
     */
   private[graft] def gramStrings(n: Int): Column =
+    graft.functions.VectorFunctions.gramStringsFull(tokens(col("text")), lit(n))
+
+  /** The pre-r17 declarative full-window gram tree — the kernel's spec
+    * oracle ([[graft.functions.GramStringsFullExpr]]).
+    */
+  private[graft] def gramStringsFullTree(n: Int): Column =
     bindOnce(tokens(col("text"))) { t =>
       array_distinct(when(size(t) >= n,
         transform(sequence(lit(0), size(t) - n),
@@ -363,7 +384,7 @@ object TextOps {
     */
   private[operators] def tokenJaccardPairs(spark: SparkSession, dir: String): DataFrame =
     jaccardPairs(spark, docHashSets(Tables.documents(spark, dir),
-      t => array_distinct(transform(tokens(t), x => xxhash64(x)))), 0.95)
+      t => graft.functions.VectorFunctions.hashSetSorted(tokens(t))), 0.95)
 
   /** Exact near-dup by word-3-gram shingle Jaccard — the n-gram member of
     * the dedup family ([[tokenJaccard]] is its unigram edge case). Same
@@ -374,7 +395,8 @@ object TextOps {
     */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
     jaccardPairs(spark, docHashSets(Tables.documents(spark, dir),
-      t => shingles(t, 3)), 0.8)
+      t => graft.functions.VectorFunctions.shingleSetSorted(tokens(t), lit(3))),
+      0.8)
       .orderBy("doc_a", "doc_b")
 
   /** Per-document sorted distinct element-hash sets, built ROW-WISE on the
@@ -386,18 +408,31 @@ object TextOps {
     * vanishing), and every downstream compare is a long compare instead of
     * a UTF8 string compare. Docs with no elements (null text) are excluded,
     * matching the exploded form's semantics.
+    *
+    * CONTRACT (r17): `setOf` must return a SORTED distinct set — the
+    * native kernels (hash_set_sorted / shingle_set_sorted) do; the
+    * verify side's sortedIntersectCount depends on it, and this frame no
+    * longer re-sorts.
     */
   private[operators] def docHashSets(docs: DataFrame,
-      setOf: Column => Column): DataFrame =
+      setOf: Column => Column): DataFrame = {
+    // the set builders are the native kernels (hash_set_sorted /
+    // shingle_set_sorted, r17) — registration must precede analysis
+    graft.functions.VectorFunctions.ensureRegistered(docs.sparkSession)
     docs
-      // explicit: null text has no element set. The unigram transform
-      // null-propagates on its own, but shingles() would manufacture a
-      // phantom singleton window over all-null try_element_at lookups
-      // (xxhash64 with no non-null args = the seed), pairing all
-      // null-text docs with each other at J=1
+      // explicit: null text has no element set. The unigram kernel
+      // null-propagates on its own, but the shingle kernel would
+      // manufacture a phantom singleton window over all-null
+      // try_element_at lookups (xxhash64 with no non-null args = the
+      // seed), pairing all null-text docs with each other at J=1
       .filter(col("text").isNotNull)
-      .select(col("doc_id"), sort_array(setOf(col("text"))).as("toks"))
-      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), setOf(col("text")).as("toks"))
+    // no size(toks) > 0 gate: both set builders provably return a
+    // non-empty set for non-null text (split() yields >= 1 token, the
+    // shingle kernel always emits >= 1 window), and the old gate made
+    // Catalyst evaluate the whole builder TWICE per row (pushed filter
+    // Condition + Project) — visible in plans/r17/q_token_jaccard_before
+  }
 
   /** AllPairs-style prefix-filtered exact Jaccard over (doc_id, toks)
     * sorted-hash-set rows — shared engine of [[tokenJaccard]] and
@@ -540,7 +575,8 @@ object TextOps {
   def containment(spark: SparkSession, dir: String,
       threshold: Double = 0.9): DataFrame =
     containmentPairs(spark, docHashSets(Tables.documents(spark, dir),
-      t => shingles(t, 3)), threshold)
+      t => graft.functions.VectorFunctions.shingleSetSorted(tokens(t), lit(3))),
+      threshold)
       .orderBy("doc_a", "doc_b")
 
   /** Shared engine of [[containment]] over (doc_id, toks) sorted-set rows:
@@ -1410,9 +1446,11 @@ object TextOps {
   }
 
   /** (doc_id, toks) with empty tokens dropped — the span family's base. */
-  private def spanToks(docs: DataFrame): DataFrame =
+  private def spanToks(docs: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.ensureRegistered(docs.sparkSession)
     docs.filter(col("text").isNotNull)
       .select(col("doc_id"), bpeToks(col("text")).as("toks"))
+  }
 
   /** (doc_id, i, gk): every `w`-token window start (1-based `i`) keyed by
     * a 128-bit hash-chain of the window — tokens hash ONCE per document
@@ -1529,23 +1567,35 @@ object TextOps {
       .select(col("doc_id"), col("i"))
     val docSpans = mergedSpans(scrubOcc, w).groupBy("doc_id")
       .agg(collect_list(struct(col("s"), col("e"))).as("spans"))
-    val kept = bindOnce(coalesce(col("spans"),
-        array().cast("array<struct<s:int,e:int>>"))) { sp =>
+    // native rebuild kernel (r17) — [[scrubKeepTree]] ran an interpreted
+    // transform + filter + exists chain per token plus a second
+    // transform for the join; TextKernelSpec pins kernel ≡ tree
+    val kept = graft.functions.VectorFunctions.scrubKeep(col("toks"),
+      coalesce(col("spans"), array().cast("array<struct<s:int,e:int>>")))
+    tok.join(docSpans, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        kept.as("k"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - col("k.n_kept").cast("long")).as("n_scrubbed"),
+        col("k.txt").as("scrubbed_text"))
+      .orderBy("doc_id")
+  }
+
+  /** The pre-r17 declarative rebuild tree — the kernel's spec oracle
+    * ([[graft.functions.ScrubKeepExpr]]): struct(n_kept, txt) from the
+    * kept-token filter + array_join, given (toks, spans).
+    */
+  private[graft] def scrubKeepTree(toks: Column, spans: Column): Column = {
+    val kept = bindOnce(spans) { sp =>
       filter(
-        transform(col("toks"), (tk, i) =>
+        transform(toks, (tk, i) =>
           struct((i + 1).as("p"), tk.as("tk"))),
         x => !exists(sp, r =>
           x.getField("p") >= r.getField("s") && x.getField("p") <= r.getField("e")))
     }
-    tok.join(docSpans, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        size(col("toks")).cast("long").as("n_tokens"),
-        kept.as("kept"))
-      .select(col("doc_id"), col("n_tokens"),
-        (col("n_tokens") - size(col("kept"))).as("n_scrubbed"),
-        array_join(transform(col("kept"), x => x.getField("tk")), " ")
-          .as("scrubbed_text"))
-      .orderBy("doc_id")
+    struct(size(kept).as("n_kept"),
+      array_join(transform(kept, x => x.getField("tk")), " ").as("txt"))
   }
 
   /** Contamination span reporting — [[decontaminate]] tells you WHICH
@@ -1967,7 +2017,7 @@ object TextOps {
     // collapses in the combiner and AQE can split the join-back.
     val firstIds = newFp.groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
     val exactSurvivors = newFp.join(firstIds, Seq("fp", "doc_id"), "leftsemi")
-    val hashSet = (t: Column) => array_distinct(transform(tokens(t), x => xxhash64(x)))
+    val hashSet = (t: Column) => graft.functions.VectorFunctions.hashSetSorted(tokens(t))
     val nearDrop = crossJaccardPairs(spark,
       docHashSets(newB, hashSet), docHashSets(existing, hashSet), 0.95)
       .select(col("doc_a").as("doc_id")).distinct()
@@ -2037,7 +2087,11 @@ object TextOps {
     val t = tokens(col("text"))
     docs
       .filter(col("text").isNotNull)
-      .filter(size(array_intersect(shingles(col("text"), 3),
+      // shingle_set_sorted ≡ shingles as a SET (kernel-sorted); the
+      // intersect SIZE is order-independent, so the gate is unchanged
+      .filter(size(array_intersect(
+        graft.functions.VectorFunctions.shingleSetSorted(
+          tokens(col("text")), lit(3)),
         typedlit(evalGramHashes))) < minShared)
       .filter(modeCount(t) * maxTopTokenFrac <= size(t))
       // unknown language: no threshold was computed batch-side → admit
@@ -2057,9 +2111,14 @@ object TextOps {
   /** The distinct eval-gram key frame — [[mixGatesVsKeys]]'s join side,
     * and the counted gate for [[evalGramHashesOf]]'s collect.
     */
-  private[graft] def evalGramKeysOf(docs: DataFrame): DataFrame =
+  private[graft] def evalGramKeysOf(docs: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.ensureRegistered(docs.sparkSession)
     docs.filter(col("text").isNotNull)
-      .select(explode(shingles(col("text"), 3)).as("h")).distinct()
+      // kernel set ≡ shingles set; the frame is distinct-folded, so
+      // element order is immaterial
+      .select(explode(graft.functions.VectorFunctions.shingleSetSorted(
+        tokens(col("text")), lit(3))).as("h")).distinct()
+  }
 
   /** The eval-gram hash set for [[mixGates]], computed batch-side from any
     * (text) frame of eval/benchmark documents — same [[shingles]] hash
@@ -2101,8 +2160,11 @@ object TextOps {
     graft.functions.VectorFunctions.ensureRegistered(docs.sparkSession)
     val t = tokens(col("text"))
     val contaminated = docs.filter(col("text").isNotNull)
+      // kernel set ≡ array_distinct(shingles) as a set; only the
+      // per-doc distinct-shared COUNT survives downstream
       .select(col("doc_id"),
-        explode(array_distinct(shingles(col("text"), 3))).as("h"))
+        explode(graft.functions.VectorFunctions.shingleSetSorted(
+          tokens(col("text")), lit(3))).as("h"))
       .join(evalKeys, Seq("h"), "left_semi")
       .groupBy("doc_id").agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
@@ -2198,13 +2260,24 @@ object TextOps {
     * same call: the empty string is not a symbol.
     */
   private[graft] def bpeToks(text: Column): Column =
+    // native kernel (r17) — the declarative [[bpeToksTree]] ran an
+    // interpreted filter() HOF over the split array on every span/BPE
+    // scan, and size-gate pushdown made Catalyst evaluate it twice per
+    // row; TextKernelSpec pins kernel ≡ tree. Callers must have
+    // registered (spanToks/bpeSeqs/bpeTokenCountsOver do).
+    graft.functions.VectorFunctions.bpeToks(text)
+
+  /** The pre-r17 declarative tokenization — the kernel's spec oracle. */
+  private[graft] def bpeToksTree(text: Column): Column =
     filter(tokens(text), t => t =!= lit(""))
 
   /** The starting symbol sequences: non-empty tokens, ≥ 2 per doc. */
-  private[graft] def bpeSeqs(docs: DataFrame): DataFrame =
+  private[graft] def bpeSeqs(docs: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.ensureRegistered(docs.sparkSession)
     docs.filter(col("text").isNotNull)
       .select(bpeToks(col("text")).as("toks"))
       .filter(size(col("toks")) >= 2)
+  }
 
   /** The full corpus pair-count table — the ONE corpus-token-width
     * aggregate the trainer pays, at round 0 only (map-side-combined;
@@ -2856,25 +2929,37 @@ object TextOps {
   private[graft] def ragChunkRows(docs: DataFrame, window: Int,
       stride: Int): DataFrame = {
     require(window > 0 && stride > 0, "window and stride must be positive")
+    // native chunker kernel (r17) — [[ragChunksTree]] built two slice
+    // arrays and an interpreted concat_ws per chunk; TextKernelSpec
+    // pins kernel ≡ tree (gapped stride>window configuration included)
+    graft.functions.VectorFunctions.ensureRegistered(docs.sparkSession)
     docs.filter(col("text").isNotNull)
-      .select(col("doc_id"), bindOnce(tokens(col("text"))) { tk =>
-        transform(
-          // last start: min(n, n-(window-stride)) clamped to >= 1 — the
-          // least() keeps a stride>window (gapped) configuration from
-          // generating starts past the document end
-          sequence(lit(1),
-            greatest(least(size(tk) - (window - stride), size(tk)), lit(1)),
-            lit(stride)),
-          s => struct(s.as("start_tok"),
-            size(slice(tk, s, lit(window))).as("n_tok"),
-            concat_ws(" ", slice(tk, s, lit(window))).as("chunk_text")))
-      }.as("cs"))
+      .select(col("doc_id"), graft.functions.VectorFunctions
+        .ragChunksArr(tokens(col("text")), lit(window), lit(stride)).as("cs"))
       .select(col("doc_id"), posexplode(col("cs")))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("chunk_id"),
         col("col.start_tok").cast("long").as("start_tok"),
         col("col.n_tok").cast("long").as("n_tok"),
         col("col.chunk_text"))
   }
+
+  /** The pre-r17 declarative chunk tree — the kernel's spec oracle
+    * ([[graft.functions.RagChunksExpr]]).
+    */
+  private[graft] def ragChunksTree(tk0: Column, window: Int,
+      stride: Int): Column =
+    bindOnce(tk0) { tk =>
+      transform(
+        // last start: min(n, n-(window-stride)) clamped to >= 1 — the
+        // least() keeps a stride>window (gapped) configuration from
+        // generating starts past the document end
+        sequence(lit(1),
+          greatest(least(size(tk) - (window - stride), size(tk)), lit(1)),
+          lit(stride)),
+        s => struct(s.as("start_tok"),
+          size(slice(tk, s, lit(window))).as("n_tok"),
+          concat_ws(" ", slice(tk, s, lit(window))).as("chunk_text")))
+    }
 
   /** Passage-level retrieval — BM25 over the [[ragChunks]] frame instead
     * of whole documents (what a RAG serving stack actually retrieves:

@@ -58,16 +58,16 @@ class BenchSpec extends AnyFunSuite {
       s"${names.size}-query worst case ${worstLine.length}")
     // uniqueness survives degradation: every query key renders exactly once
     assert("\"[a-zA-Z0-9_]+\":9999".r.findAllIn(worstLine).size == worst.size)
-    // at TODAY's realistic costs the line renders at the 6-char base
-    // (base-10 stopped fitting past ~110 queries + prepare_ms; base-8
-    // past ~120 in r12 — the degradation is the designed behavior, and
-    // round-over-round per-query comparison rides the sidecar's
-    // FULL-NAME spread map since r12, not the compact line's names)
+    // at TODAY's realistic costs the line renders at the 4-char base —
+    // the SAME base (same keys) the r16 driver record carried, so
+    // round-over-round key comparison on the compact line still lines
+    // up (r17's "sf" scalar tipped the base-6 border case; per-query
+    // FULL-NAME matching rides the sidecar's "queries" map since r17)
     val todayLine = Bench.metricLine(86.43, 123456L, names.map(_ -> 0.816).toMap)
     assert(todayLine.length <= Bench.lineBudget)
-    val sixCharNames = Bench.shortNames(names, 6)
+    val fourCharNames = Bench.shortNames(names, 4)
     names.foreach { n =>
-      assert(todayLine.contains("\"" + sixCharNames(n) + "\":816"), n)
+      assert(todayLine.contains("\"" + fourCharNames(n) + "\":816"), n)
     }
   }
 
@@ -92,6 +92,15 @@ class BenchSpec extends AnyFunSuite {
     val line = Bench.sidecarLine(1.55, 9579L,
       Seq("tag_index" -> 100L, "lsh" -> 200L), "/root/testdata/sf0.1",
       perQuery)
+    // the driver-contract shape (r17): "queries" maps FULL names to
+    // median seconds — the full-fidelity channel for per-query matching
+    // (the printed compact line cannot hold full names in the driver's
+    // ~2000-char tail)
+    assert(line.contains(""""queries":{"q_clean":0.550,"q_noisy":1.000}"""),
+      line)
+    // numeric sf parsed from the data dir, plus the raw dir
+    assert(line.contains(""""sf":0.1"""), line)
+    assert(line.contains(""""sf_dir":"/root/testdata/sf0.1""""), line)
     // spread per query: min/med/max and the (possibly widened) n
     assert(line.contains(
       """"q_clean":{"min":0.500,"med":0.550,"max":0.600,"n":3}"""), line)
@@ -115,6 +124,19 @@ class BenchSpec extends AnyFunSuite {
     val compact = Bench.metricLine(1.55, 9579L, medians)
     assert(compact.length <= Bench.lineBudget)
     assert(compact.contains(""""noisy":1000"""), compact)
+  }
+
+  test("sfOf parses the numeric scale factor from sf-named dirs") {
+    assert(Bench.sfOf("/root/testdata/sf0.1") == "0.1")
+    assert(Bench.sfOf("/root/testdata/sf0.001") == "0.001")
+    assert(Bench.sfOf("/data/sf2") == "2")
+    assert(Bench.sfOf("/tmp/other") == "null")
+  }
+
+  test("the compact line carries the contract's sf scalar ahead of the map") {
+    val line = Bench.metricLine(1.5, 10L, Map("q_a" -> 0.5), "0.1")
+    assert(line.contains(""""sf":0.1"""), line)
+    assert(line.indexOf(""""sf":""") < line.indexOf(""""queries_ms":"""))
   }
 
   test("the adaptive re-run rule fires on proportional spread above the " +

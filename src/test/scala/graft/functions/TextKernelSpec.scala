@@ -127,6 +127,81 @@ class TextKernelSpec extends AnyFunSuite {
     }
   }
 
+  test("bpe_toks ≡ filter(split(text, ' ', -1), t != '') — edges, runs, unicode") {
+    val corpus = docs.select(col("doc_id"), concat_ws(" ", col("toks")).as("text"))
+      .union(Seq(
+        (200L, "  leading and   runs  "),
+        (201L, ""),
+        (202L, "   "),
+        (203L, "単語 テスト  x"),
+        (204L, "one")).toDF("doc_id", "text"))
+    val rows = corpus.select(col("doc_id"),
+        VectorFunctions.bpeToks(col("text")).as("native"),
+        graft.operators.TextOps.bpeToksTree(col("text")).as("tree"))
+      .collect()
+    rows.foreach(r => assert(r.getSeq[String](1) == r.getSeq[String](2),
+      s"doc=${r.getLong(0)}"))
+    assert(rows.find(_.getLong(0) == 201L).get.getSeq[String](1).isEmpty)
+    assert(rows.find(_.getLong(0) == 200L).get.getSeq[String](1) ==
+      Seq("leading", "and", "runs"))
+  }
+
+  test("gram_strings_full ≡ the decontamination full-window gram tree") {
+    val corpus = docs.union(withNull)
+      .select(col("doc_id"), concat_ws(" ", col("toks")).as("text"))
+    for (n <- Seq(2, 3, 7)) {
+      val rows = corpus.select(col("doc_id"),
+          VectorFunctions.gramStringsFull(split(col("text"), " "), lit(n))
+            .as("native"),
+          graft.operators.TextOps.gramStringsFullTree(n).as("tree"))
+        .collect()
+      rows.foreach(r => assert(r.getSeq[String](1) == r.getSeq[String](2),
+        s"n=$n doc=${r.getLong(0)}"))
+    }
+  }
+
+  test("rag_chunks_arr ≡ the slice/concat_ws chunk tree, gapped stride included") {
+    for ((w, s) <- Seq((64, 48), (8, 8), (4, 6), (3, 1))) {
+      val rows = docs.union(withNull).select(col("doc_id"),
+          VectorFunctions.ragChunksArr(col("toks"), lit(w), lit(s)).as("native"),
+          graft.operators.TextOps.ragChunksTree(col("toks"), w, s).as("tree"))
+        .collect()
+      rows.foreach { r =>
+        val native = r.getSeq[org.apache.spark.sql.Row](1)
+          .map(x => (x.getInt(0), x.getInt(1), x.getString(2)))
+        val tree = r.getSeq[org.apache.spark.sql.Row](2)
+          .map(x => (x.getInt(0), x.getInt(1), x.getString(2)))
+        assert(native == tree, s"w=$w s=$s doc=${r.getLong(0)}")
+      }
+    }
+  }
+
+  test("scrub_keep ≡ the kept-token filter + array_join rebuild tree") {
+    val spans = Seq(
+      (1L, Seq((2, 3))),
+      (2L, Seq.empty[(Int, Int)]),
+      (4L, Seq((1, 2), (5, 6))),
+      (5L, Seq((10, 50), (100, 120), (151, 300))),
+      (100L, Seq((2, 2), (4, 5)))).toDF("doc_id", "raw")
+      .select(col("doc_id"), transform(col("raw"),
+        r => struct(r.getField("_1").as("s"), r.getField("_2").as("e"))).as("spans"))
+    val rows = docs.union(withNull)
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        VectorFunctions.scrubKeep(col("toks"),
+          coalesce(col("spans"), array().cast("array<struct<s:int,e:int>>")))
+          .as("native"),
+        graft.operators.TextOps.scrubKeepTree(col("toks"),
+          coalesce(col("spans"), array().cast("array<struct<s:int,e:int>>")))
+          .as("tree"))
+      .collect()
+    rows.foreach { r =>
+      val native = (r.getStruct(1).getInt(0), r.getStruct(1).getString(1))
+      val tree = (r.getStruct(2).getInt(0), r.getStruct(2).getString(1))
+      assert(native == tree, s"doc=${r.getLong(0)}")
+    }
+  }
+
   test("gram_strings_distinct ≡ the minhash partial-window tree") {
     val corpus = docs.union(withNull)
       .select(col("doc_id"), concat_ws(" ", col("toks")).as("text"))

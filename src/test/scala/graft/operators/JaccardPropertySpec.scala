@@ -55,9 +55,13 @@ class JaccardPropertySpec extends AnyFunSuite {
       shingleN: Option[Int]): Set[(Long, Long, Double)] = {
     val df = docs.toDF("doc_id", "text")
     val sets = shingleN match {
+      // the production kernels (r17): docHashSets' setOf contract is a
+      // SORTED distinct set (sortedIntersectCount needs sorted inputs)
       case None => TextOps.docHashSets(df,
-        t => array_distinct(transform(split(t, " "), x => xxhash64(x))))
-      case Some(n) => TextOps.docHashSets(df, t => TextOps.shingles(t, n))
+        t => graft.functions.VectorFunctions.hashSetSorted(split(t, " ")))
+      case Some(n) => TextOps.docHashSets(df,
+        t => graft.functions.VectorFunctions.shingleSetSorted(
+          split(t, " "), lit(n)))
     }
     TextOps.jaccardPairs(spark, sets, threshold)
       .as[(Long, Long, Double)].collect().toSet
@@ -98,7 +102,7 @@ class JaccardPropertySpec extends AnyFunSuite {
     val (as, bs) = all.partition(_._1 % 3 == 0)
     def sets(docs: Seq[(Long, String)]) = TextOps.docHashSets(
       docs.toDF("doc_id", "text"),
-      t => array_distinct(transform(split(t, " "), x => xxhash64(x))))
+      t => graft.functions.VectorFunctions.hashSetSorted(split(t, " ")))
     val got = TextOps.crossJaccardPairs(spark, sets(as), sets(bs), threshold)
       .as[(Long, Long, Double)].collect().toSet
     val want = naiveCross(as, bs, threshold)
@@ -143,7 +147,7 @@ class JaccardPropertySpec extends AnyFunSuite {
   test(s"containment prefix-filtered == naive ordered pairs (t=$threshold, seed=$seed)") {
     val docs = containCorpus(seed)
     val sets = TextOps.docHashSets(docs.toDF("doc_id", "text"),
-      t => array_distinct(transform(split(t, " "), x => xxhash64(x))))
+      t => graft.functions.VectorFunctions.hashSetSorted(split(t, " ")))
     val got = TextOps.containmentPairs(spark, sets, threshold)
       .as[(Long, Long, Double)].collect().toSet
     val want = naiveContainment(docs, threshold)
