@@ -473,29 +473,45 @@ object TextOps {
     // bound arithmetic exact; only the final jaccard>=t filter stays in
     // doubles, matching the naive definition and the DuckDB oracle.
     val tDec = lit(BigDecimal(threshold.toString))
+    // prefix rows CARRY the set + member-id payload (the record-carrying
+    // kernel of Vernica et al., VLDB 2010): the payload attaches ONCE to
+    // the linear prefix frame (each set shuffled ≤ ⌊(1−t)·|A|⌋+1 times —
+    // ~5% of its tokens at t=0.95), the candidate self-join verifies
+    // INLINE map-side, and only VERIFIED pairs (answer-sized) pay the
+    // dedup exchange. The previous shape deduped the raw candidate RID
+    // list first (a quadratic, data-dependent exchange) and joined the
+    // payload back per candidate — under a dense-duplicate corpus with a
+    // tiny shared vocabulary (r17 driver data: 31 distinct tokens, so
+    // prefix tokens are non-selective) that candidate exchange carried
+    // 1.8M rows to find 2k real pairs and dominated every consumer
+    // (measured: q_quality_survivor 25 s warm, q_token_jaccard 6 s warm;
+    // guide §2.3 "aggregate before you shuffle" / §2.4).
     val prefix = gtok.join(df, "th")
       .withColumn("pos", row_number().over(w))
       .filter(col("pos") <= floor((lit(BigDecimal(1)) - tDec) * col("sz")) + 1)
       .select("gid", "th", "sz")
+      .join(groups.select(col("gid"), col("toks"), col("ids")), "gid")
       .transform(graft.IntraQueryCache.scoped)
     // candidate set-pairs share a prefix token AND have compatible sizes
-    // (t*|A| <= |B| <= |A|/t), both checked inside the join
-    val cand = prefix.as("a").join(prefix.as("b"),
+    // (t*|A| <= |B| <= |A|/t), both checked inside the join; the exact
+    // Jaccard verification runs in the SAME stage (no candidate
+    // materialization), so duplicate candidates re-verify instead of
+    // shuffling — a long-compare loop per extra hit, not an exchange
+    val inter = prefix.as("a").join(prefix.as("b"),
         col("a.th") === col("b.th") && col("a.gid") < col("b.gid") &&
           col("b.sz") >= ceil(col("a.sz") * tDec) &&
           col("a.sz") >= ceil(col("b.sz") * tDec))
-      .select(col("a.gid").as("gid_a"), col("b.gid").as("gid_b"))
-      .dropDuplicates("gid_a", "gid_b")
-    val inter = cand
-      .join(groups.select(col("gid").as("gid_a"), col("toks").as("toks_a"),
-        col("sz").as("sz_a"), col("ids").as("ids_a")), "gid_a")
-      .join(groups.select(col("gid").as("gid_b"), col("toks").as("toks_b"),
-        col("sz").as("sz_b"), col("ids").as("ids_b")), "gid_b")
       .withColumn("common", graft.functions.VectorFunctions
-        .sortedIntersectCount(col("toks_a"), col("toks_b")))
+        .sortedIntersectCount(col("a.toks"), col("b.toks")))
       .withColumn("jaccard",
-        col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")))
+        col("common").cast("double") /
+          (col("a.sz") + col("b.sz") - col("common")))
       .filter(col("jaccard") >= threshold)
+      .select(col("a.gid").as("gid_a"), col("b.gid").as("gid_b"),
+        col("a.ids").as("ids_a"), col("b.ids").as("ids_b"), col("jaccard"))
+      // duplicate (gid_a, gid_b) hits carry identical payloads and the
+      // identical deterministic jaccard, so which survives is immaterial
+      .dropDuplicates("gid_a", "gid_b")
       // expand set-pairs to doc pairs; the jaccard is a set property, so
       // every member pair inherits it
       .select(explode(col("ids_a")).as("ia"), col("ids_b"), col("jaccard"))
@@ -1960,31 +1976,33 @@ object TextOps {
     val df = gtokA.unionByName(gtokB).groupBy("th").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("gid").orderBy("df", "th")
     val tDec = lit(BigDecimal(threshold.toString))
-    def prefixOf(gtok: DataFrame) = gtok.join(df, "th")
+    // record-carrying prefix frames + inline verification, the
+    // jaccardPairs r17 restructure (see there): the payload attaches to
+    // the linear prefix rows, candidates verify map-side in the join
+    // stage, and only verified (answer-sized) pairs pay an exchange
+    def prefixOf(gtok: DataFrame, groups: DataFrame) = gtok.join(df, "th")
       .withColumn("pos", row_number().over(w))
       .filter(col("pos") <= floor((lit(BigDecimal(1)) - tDec) * col("sz")) + 1)
       .select("gid", "th", "sz")
+      .join(groups.select(col("gid"), col("toks"), col("ids")), "gid")
       .transform(graft.IntraQueryCache.scoped)
-    val pa = prefixOf(gtokA)
-    val pb = prefixOf(gtokB)
-    val cand = pa.as("a").join(pb.as("b"),
+    val pa = prefixOf(gtokA, ga)
+    val pb = prefixOf(gtokB, gb)
+    val inter = pa.as("a").join(pb.as("b"),
         col("a.th") === col("b.th") &&
           col("b.sz") >= ceil(col("a.sz") * tDec) &&
           col("a.sz") >= ceil(col("b.sz") * tDec))
-      .select(col("a.gid").as("gid_a"), col("b.gid").as("gid_b"))
-      .dropDuplicates("gid_a", "gid_b")
-    val inter = cand
-      .join(ga.select(col("gid").as("gid_a"), col("toks").as("toks_a"),
-        col("sz").as("sz_a"), col("ids").as("ids_a")), "gid_a")
-      .join(gb.select(col("gid").as("gid_b"), col("toks").as("toks_b"),
-        col("sz").as("sz_b"), col("ids").as("ids_b")), "gid_b")
       // identical sets already emitted exactly by the equality join
-      .filter(col("toks_a") =!= col("toks_b"))
+      .filter(col("a.toks") =!= col("b.toks"))
       .withColumn("common", graft.functions.VectorFunctions
-        .sortedIntersectCount(col("toks_a"), col("toks_b")))
+        .sortedIntersectCount(col("a.toks"), col("b.toks")))
       .withColumn("jaccard",
-        col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")))
+        col("common").cast("double") /
+          (col("a.sz") + col("b.sz") - col("common")))
       .filter(col("jaccard") >= threshold)
+      .select(col("a.gid").as("gid_a"), col("b.gid").as("gid_b"),
+        col("a.ids").as("ids_a"), col("b.ids").as("ids_b"), col("jaccard"))
+      .dropDuplicates("gid_a", "gid_b")
       .select(explode(col("ids_a")).as("doc_a"), col("ids_b"), col("jaccard"))
       .select(col("doc_a"), explode(col("ids_b")).as("doc_b"), col("jaccard"))
     exact.unionByName(inter)
@@ -2009,14 +2027,20 @@ object TextOps {
     val newFp = newB.withColumn("fp", contentFingerprint)
       .join(existing.select(contentFingerprint.as("fp")).distinct(),
         Seq("fp"), "left_anti")
-    // first-wins within the batch via a map-side-combinable min per
-    // fingerprint + join-back (the spanScrubOver pattern) — NOT a
-    // row_number window over fp: fp is a content key, and a viral exact
-    // duplicate in one crawl batch (the case incremental ingest exists
-    // for) would land every copy on a single window task, while here it
-    // collapses in the combiner and AQE can split the join-back.
-    val firstIds = newFp.groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
-    val exactSurvivors = newFp.join(firstIds, Seq("fp", "doc_id"), "leftsemi")
+    // first-wins within the batch via a map-side-combinable argmin per
+    // fingerprint — NOT a row_number window over fp: fp is a content
+    // key, and a viral exact duplicate in one crawl batch (the case
+    // incremental ingest exists for) would land every copy on a single
+    // window task, while here it collapses in the combiner. r17: the
+    // min-struct carries the surviving row's payload columns directly,
+    // so the old min + semi-join-back (which re-ran the whole anti-join
+    // subtree a second time AND paid a second fp exchange) is gone;
+    // doc_id is the primary key and leads the struct, so the argmin row
+    // is exactly the min-doc_id row the join-back selected (guide §2.4).
+    val exactSurvivors = newFp.groupBy("fp")
+      .agg(min(struct(col("doc_id"), col("lang"), col("n_chars"))).as("r"))
+      .select(col("r.doc_id").as("doc_id"), col("r.lang").as("lang"),
+        col("r.n_chars").as("n_chars"))
     val hashSet = (t: Column) => graft.functions.VectorFunctions.hashSetSorted(tokens(t))
     val nearDrop = crossJaccardPairs(spark,
       docHashSets(newB, hashSet), docHashSets(existing, hashSet), 0.95)
@@ -2707,7 +2731,12 @@ object TextOps {
     // subtrees, so exchange reuse never fires)
     val dt = graft.IntraQueryCache.scoped(docTermTf(docs))
     val cnt = dt.groupBy("term").agg(sum("tf").as("c"))
-    val total = cnt.agg(sum(col("c")).as("t"))
+    // grand total directly off the cached (doc, term) frame: Σ_term c_t
+    // ≡ Σ tf (long addition is associative/commutative, grouping can't
+    // change the sum) — the old `cnt.agg(sum(c))` re-ran the WHOLE
+    // term-keyed aggregation (vocabulary Exchange + two HashAggregates)
+    // a second time just to collapse it to one row (r17, guide §2.4)
+    val total = dt.agg(sum(col("tf")).as("t"))
     dt.join(cnt, "term")
       .groupBy("doc_id")
       .agg(sum(col("tf").cast("decimal(19,0)") * col("c").cast("decimal(19,0)"))
@@ -3755,7 +3784,14 @@ object TextOps {
     val cnt = dt.groupBy("term").agg(
       sum(when(isT, col("tf")).otherwise(0L)).as("c_t"),
       sum(when(!isT, col("tf")).otherwise(0L)).as("c_r"))
-    val tot = cnt.agg(sum(col("c_t")).as("tt"), sum(col("c_r")).as("tr"))
+    // totals directly off the cached (doc, source, term) frame: Σ_term
+    // c_t ≡ Σ when(isT, tf) (long addition — grouping can't change the
+    // sum); the old `cnt.agg(...)` re-ran the whole vocabulary-keyed
+    // aggregation (term Exchange + two HashAggregates) a second time
+    // just to collapse it to one row (r17, guide §2.4 — lmScore's fix)
+    val tot = dt.agg(
+      sum(when(isT, col("tf")).otherwise(0L)).as("tt"),
+      sum(when(!isT, col("tf")).otherwise(0L)).as("tr"))
     // selection uniform salted independently of the sampling-family key
     // (a doc's hash-gate fate and its DSIR fate must not correlate)
     val u = conv(substring(md5(concat(lit("dsir:"),
