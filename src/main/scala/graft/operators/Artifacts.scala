@@ -518,7 +518,19 @@ private[graft] object Artifacts {
   private[graft] def leaseIdentity(
       tag: Option[(String, String)]): (String, Boolean) =
     tag match {
-      case Some((s, _)) => (s, true)
+      case Some((s, _)) =>
+        // the `adhoc-` owner prefix IS the lapsed-lease reclaim
+        // protocol (acquireLease lets ANYONE reclaim a lapsed ad-hoc
+        // lease): a tagged/sticky stream squatting in that namespace
+        // would have its lapsed lease silently stealable, bypassing
+        // the replay-handoff protection stickiness exists for — so
+        // the namespace is reserved (ADVICE r16)
+        require(!s.startsWith("adhoc-"),
+          s"streamId '$s' uses the reserved 'adhoc-' owner prefix " +
+            "(the lapsed-lease reclaim namespace for exactly-once " +
+            "entries) — pick a streamId that does not start with " +
+            "'adhoc-'")
+        (s, true)
       case None => (s"adhoc-${java.util.UUID.randomUUID()}", false)
     }
 

@@ -321,6 +321,12 @@ object Ingest {
       .getOrElse(Map.empty[String, String]) - "datekey"
     val lines = (kept.toSeq.sortBy(_._1) :+ ("datekey" -> DateKey))
       .map { case (k, v) => s"$k=$v" }.mkString("", "\n", "\n")
+    // sweep temps orphaned by a crash between write and move (ADVICE
+    // r16) — mirrors writeLeaseClaim's `.lease-w-*` sweep; safe because
+    // a temp is only ever consumed by the same-call move below
+    Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith(".meta-w-"))
+      .foreach(f => f.delete(): Unit)
     val tmp = new java.io.File(path, s".meta-w-${java.util.UUID.randomUUID()}")
     java.nio.file.Files.write(tmp.toPath,
       lines.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit

@@ -190,6 +190,21 @@ class ArtifactsSpec extends AnyFunSuite {
     Artifacts.withLease(root, "adhoc-after-force", sticky = false) { () }
   }
 
+  test("lease: a tagged streamId must not squat the reserved 'adhoc-' " +
+      "owner namespace (its lapsed lease would be silently stealable, " +
+      "bypassing the replay-handoff protection — ADVICE r16)") {
+    val bad = intercept[IllegalArgumentException] {
+      Artifacts.leaseIdentity(Some("adhoc-sneaky" -> "b1"))
+    }
+    assert(bad.getMessage.contains("reserved"), bad.getMessage)
+    // untagged identities still mint in that namespace, scoped
+    val (owner, sticky) = Artifacts.leaseIdentity(None)
+    assert(owner.startsWith("adhoc-") && !sticky)
+    // and a normal tagged identity is untouched
+    assert(Artifacts.leaseIdentity(Some("streamA" -> "b1")) ==
+      ("streamA" -> true))
+  }
+
   test("a broken build fails loudly at publish time and never goes live") {
     val root = tmpRoot()
     // a build whose artifact marker never landed (lost task, partial
