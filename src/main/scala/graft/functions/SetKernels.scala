@@ -85,6 +85,45 @@ private[functions] object SetKernels {
     }
     sortedDistinct(hs)
   }
+
+  /** Sketch width in 64-bit words (1024 bits): sized so document-scale
+    * hash sets (up to ~2000 distinct elements) keep bit occupancy below
+    * saturation and the XOR-popcount prescreen stays discriminative.
+    */
+  private[functions] val SketchWords = 16
+
+  /** `set_sketch(hs)` — the pair engine's 1024-bit membership bitmap:
+    * each element hash sets ONE bit (its low 10 bits). The load-bearing
+    * property (pinned in SetKernelSpec): for any two sets,
+    * `popcount(sketch(A) XOR sketch(B)) <= |A △ B|` — every XOR bit
+    * needs a witness element present in exactly one set, and one
+    * element sets exactly one bit — so a `popcount(xor) <= f(|A|,|B|)`
+    * gate derived from the similarity threshold can NEVER reject a true
+    * pair. It is a prescreen only; exact verification always follows.
+    */
+  def setSketch(hs: ArrayData): ArrayData = {
+    val words = new Array[Long](SketchWords)
+    val n = hs.numElements()
+    var i = 0
+    while (i < n) {
+      val h = if (hs.isNullAt(i)) 0L else hs.getLong(i)
+      val bit = (h & 1023L).toInt
+      words(bit >> 6) |= 1L << (bit & 63)
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(words)
+  }
+
+  /** `sketch_xor_popcnt(a, b)` — Hamming distance of two sketches. */
+  def xorPopcount(a: ArrayData, b: ArrayData): Int = {
+    var c = 0
+    var i = 0
+    while (i < SketchWords) {
+      c += java.lang.Long.bitCount(a.getLong(i) ^ b.getLong(i))
+      i += 1
+    }
+    c
+  }
 }
 
 /** `hash_set_sorted(toks)` — sorted distinct xxhash64 token set. */
@@ -145,4 +184,55 @@ case class ShingleSetSortedExpr(first: Expression, second: Expression)
       newFirst: Expression, newSecond: Expression): ShingleSetSortedExpr =
     copy(first = newFirst, second = newSecond)
   override def prettyName: String = "shingle_set_sorted"
+}
+
+/** `set_sketch(hs)` — 1024-bit membership bitmap of a long-hash set
+  * (16 longs); the pair engine's candidate prescreen. See
+  * [[SetKernels.setSketch]] for the never-rejects-a-true-pair bound.
+  */
+case class SetSketchExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got ${other.sql}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(hs: Any): Any =
+    SetKernels.setSketch(hs.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = SetKernels.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, e => s"${ev.value} = ($helper).setSketch($e);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): SetSketchExpr =
+    copy(child = newChild)
+  override def prettyName: String = "set_sketch"
+}
+
+/** `sketch_xor_popcnt(a, b)` — Hamming distance between two
+  * [[SetSketchExpr]] bitmaps: the candidate-join prescreen value
+  * (`popcount(xor) <= |A △ B|`, so a threshold-derived gate on it is a
+  * NECESSARY condition for the exact similarity — never a filter of
+  * true pairs).
+  */
+case class SketchXorPopcntExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<bigint>, array<bigint>), got $other")
+    }
+  override def dataType: DataType = IntegerType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SetKernels.xorPopcount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = SetKernels.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = ($helper).xorPopcount($a, $b);")
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SketchXorPopcntExpr =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "sketch_xor_popcnt"
 }

@@ -912,6 +912,24 @@ object VectorFunctions {
         s"$shingleSetSortedName expects 2 arguments, got ${other.size}")
   }
 
+  val setSketchName = "set_sketch"
+
+  private val setSketchBuilder: Seq[Expression] => Expression = {
+    case Seq(t) => SetSketchExpr(t)
+    case other =>
+      throw new IllegalArgumentException(
+        s"$setSketchName expects 1 argument, got ${other.size}")
+  }
+
+  val sketchXorPopcntName = "sketch_xor_popcnt"
+
+  private val sketchXorPopcntBuilder: Seq[Expression] => Expression = {
+    case Seq(a, b) => SketchXorPopcntExpr(a, b)
+    case other =>
+      throw new IllegalArgumentException(
+        s"$sketchXorPopcntName expects 2 arguments, got ${other.size}")
+  }
+
   val minhashName = "minhash_agg"
 
   private val minhashBuilder: Seq[Expression] => Expression = {
@@ -1130,6 +1148,10 @@ object VectorFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       shingleSetSortedName, shingleSetSortedBuilder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      setSketchName, setSketchBuilder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      sketchXorPopcntName, sketchXorPopcntBuilder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       minhashName, minhashBuilder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       jpegDimsName, jpegDimsBuilder, "scala_udf")
@@ -1273,6 +1295,13 @@ object VectorFunctions {
   /** Column API: sorted distinct word-n-gram shingle-hash set. */
   def shingleSetSorted(toks: Column, n: Column): Column =
     call_function(shingleSetSortedName, toks, n)
+
+  /** Column API: 1024-bit membership bitmap of a long-hash set. */
+  def setSketch(hs: Column): Column = call_function(setSketchName, hs)
+
+  /** Column API: Hamming distance between two set sketches. */
+  def sketchXorPopcnt(a: Column, b: Column): Column =
+    call_function(sketchXorPopcntName, a, b)
 
   /** Column API: group-level minhash signature over a `bigint` hash column. */
   def minhashAgg(c: Column): Column = call_function(minhashName, c)

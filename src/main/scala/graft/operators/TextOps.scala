@@ -473,45 +473,57 @@ object TextOps {
     // bound arithmetic exact; only the final jaccard>=t filter stays in
     // doubles, matching the naive definition and the DuckDB oracle.
     val tDec = lit(BigDecimal(threshold.toString))
-    // prefix rows CARRY the set + member-id payload (the record-carrying
-    // kernel of Vernica et al., VLDB 2010): the payload attaches ONCE to
-    // the linear prefix frame (each set shuffled ≤ ⌊(1−t)·|A|⌋+1 times —
-    // ~5% of its tokens at t=0.95), the candidate self-join verifies
-    // INLINE map-side, and only VERIFIED pairs (answer-sized) pay the
-    // dedup exchange. The previous shape deduped the raw candidate RID
-    // list first (a quadratic, data-dependent exchange) and joined the
-    // payload back per candidate — under a dense-duplicate corpus with a
-    // tiny shared vocabulary (r17 driver data: 31 distinct tokens, so
-    // prefix tokens are non-selective) that candidate exchange carried
-    // 1.8M rows to find 2k real pairs and dominated every consumer
-    // (measured: q_quality_survivor 25 s warm, q_token_jaccard 6 s warm;
-    // guide §2.3 "aggregate before you shuffle" / §2.4).
+    // r17: the candidate join prunes with a SKETCH GATE before anything
+    // is materialized. Each prefix row carries its set's 1024-bit
+    // membership bitmap (128 B — never the set itself), and the join
+    // condition requires popcount(skA xor skB)·(1+t) <= (1−t)·(|A|+|B|):
+    // J >= t forces |A △ B| <= (1−t)(|A|+|B|)/(1+t), and
+    // popcount(xor) <= |A △ B| unconditionally (each xor bit needs a
+    // witness element in exactly one set, one element sets one bit), so
+    // the gate can NEVER reject a true pair — it is a prescreen; the
+    // exact Jaccard verification below is unchanged. All gate
+    // arithmetic is exact decimal multiplication (no division, no
+    // doubles — the JaccardPropertySpec threshold-edge lesson).
+    // Why: the prefix filter's selectivity is data-dependent — on a
+    // duplicate-dense corpus with a small shared vocabulary (the r17
+    // driver data: 31 distinct tokens) it passed 1.8M raw candidates
+    // for 2k real pairs at sf0.1, and on the 30× scale-probe corpus
+    // 10.4M for 2.3k — and the old shape paid a full exchange
+    // (dropDuplicates) plus two payload join-backs on ALL of them
+    // (measured: q_quality_survivor 25 s warm at sf0.1, 98 s at the
+    // 30× probe). The sketch gate collapses the candidate stream to
+    // ~answer size map-side, inside the join, before the exchange —
+    // guide §2.3 "aggregate before you shuffle" / §2.4.
     val prefix = gtok.join(df, "th")
       .withColumn("pos", row_number().over(w))
       .filter(col("pos") <= floor((lit(BigDecimal(1)) - tDec) * col("sz")) + 1)
       .select("gid", "th", "sz")
-      .join(groups.select(col("gid"), col("toks"), col("ids")), "gid")
+      .join(groups.select(col("gid"),
+        graft.functions.VectorFunctions.setSketch(col("toks")).as("sk")), "gid")
       .transform(graft.IntraQueryCache.scoped)
-    // candidate set-pairs share a prefix token AND have compatible sizes
-    // (t*|A| <= |B| <= |A|/t), both checked inside the join; the exact
-    // Jaccard verification runs in the SAME stage (no candidate
-    // materialization), so duplicate candidates re-verify instead of
-    // shuffling — a long-compare loop per extra hit, not an exchange
-    val inter = prefix.as("a").join(prefix.as("b"),
+    // candidate set-pairs share a prefix token, have compatible sizes
+    // (t*|A| <= |B| <= |A|/t) AND pass the sketch gate — all checked
+    // inside the join, so only near-answer-sized survivors flow on
+    val cand = prefix.as("a").join(prefix.as("b"),
         col("a.th") === col("b.th") && col("a.gid") < col("b.gid") &&
           col("b.sz") >= ceil(col("a.sz") * tDec) &&
-          col("a.sz") >= ceil(col("b.sz") * tDec))
-      .withColumn("common", graft.functions.VectorFunctions
-        .sortedIntersectCount(col("a.toks"), col("b.toks")))
-      .withColumn("jaccard",
-        col("common").cast("double") /
-          (col("a.sz") + col("b.sz") - col("common")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("a.gid").as("gid_a"), col("b.gid").as("gid_b"),
-        col("a.ids").as("ids_a"), col("b.ids").as("ids_b"), col("jaccard"))
-      // duplicate (gid_a, gid_b) hits carry identical payloads and the
-      // identical deterministic jaccard, so which survives is immaterial
+          col("a.sz") >= ceil(col("b.sz") * tDec) &&
+          graft.functions.VectorFunctions
+            .sketchXorPopcnt(col("a.sk"), col("b.sk")) *
+            (lit(BigDecimal(1)) + tDec) <=
+            (lit(BigDecimal(1)) - tDec) * (col("a.sz") + col("b.sz")))
+      .select(col("a.gid").as("gid_a"), col("b.gid").as("gid_b"))
       .dropDuplicates("gid_a", "gid_b")
+    val inter = cand
+      .join(groups.select(col("gid").as("gid_a"), col("toks").as("toks_a"),
+        col("sz").as("sz_a"), col("ids").as("ids_a")), "gid_a")
+      .join(groups.select(col("gid").as("gid_b"), col("toks").as("toks_b"),
+        col("sz").as("sz_b"), col("ids").as("ids_b")), "gid_b")
+      .withColumn("common", graft.functions.VectorFunctions
+        .sortedIntersectCount(col("toks_a"), col("toks_b")))
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")))
+      .filter(col("jaccard") >= threshold)
       // expand set-pairs to doc pairs; the jaccard is a set property, so
       // every member pair inherits it
       .select(explode(col("ids_a")).as("ia"), col("ids_b"), col("jaccard"))
@@ -1976,33 +1988,43 @@ object TextOps {
     val df = gtokA.unionByName(gtokB).groupBy("th").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("gid").orderBy("df", "th")
     val tDec = lit(BigDecimal(threshold.toString))
-    // record-carrying prefix frames + inline verification, the
-    // jaccardPairs r17 restructure (see there): the payload attaches to
-    // the linear prefix rows, candidates verify map-side in the join
-    // stage, and only verified (answer-sized) pairs pay an exchange
+    // sketch-gated prefix candidate join, the jaccardPairs r17
+    // restructure (see there for the bound proof): each prefix row
+    // carries its set's 128 B bitmap, the join condition prunes to
+    // ~answer size map-side, and only survivors pay the dedup exchange
+    // and the payload join-backs for exact verification
     def prefixOf(gtok: DataFrame, groups: DataFrame) = gtok.join(df, "th")
       .withColumn("pos", row_number().over(w))
       .filter(col("pos") <= floor((lit(BigDecimal(1)) - tDec) * col("sz")) + 1)
       .select("gid", "th", "sz")
-      .join(groups.select(col("gid"), col("toks"), col("ids")), "gid")
+      .join(groups.select(col("gid"),
+        graft.functions.VectorFunctions.setSketch(col("toks")).as("sk")), "gid")
       .transform(graft.IntraQueryCache.scoped)
     val pa = prefixOf(gtokA, ga)
     val pb = prefixOf(gtokB, gb)
-    val inter = pa.as("a").join(pb.as("b"),
+    val cand = pa.as("a").join(pb.as("b"),
         col("a.th") === col("b.th") &&
           col("b.sz") >= ceil(col("a.sz") * tDec) &&
-          col("a.sz") >= ceil(col("b.sz") * tDec))
+          col("a.sz") >= ceil(col("b.sz") * tDec) &&
+          graft.functions.VectorFunctions
+            .sketchXorPopcnt(col("a.sk"), col("b.sk")) *
+            (lit(BigDecimal(1)) + tDec) <=
+            (lit(BigDecimal(1)) - tDec) * (col("a.sz") + col("b.sz")))
+      .select(col("a.gid").as("gid_a"), col("b.gid").as("gid_b"))
+      .dropDuplicates("gid_a", "gid_b")
+    val inter = cand
+      .join(ga.select(col("gid").as("gid_a"), col("toks").as("toks_a"),
+        col("sz").as("sz_a"), col("ids").as("ids_a")), "gid_a")
+      .join(gb.select(col("gid").as("gid_b"), col("toks").as("toks_b"),
+        col("sz").as("sz_b"), col("ids").as("ids_b")), "gid_b")
       // identical sets already emitted exactly by the equality join
-      .filter(col("a.toks") =!= col("b.toks"))
+      .filter(col("toks_a") =!= col("toks_b"))
       .withColumn("common", graft.functions.VectorFunctions
-        .sortedIntersectCount(col("a.toks"), col("b.toks")))
+        .sortedIntersectCount(col("toks_a"), col("toks_b")))
       .withColumn("jaccard",
         col("common").cast("double") /
-          (col("a.sz") + col("b.sz") - col("common")))
+          (col("sz_a") + col("sz_b") - col("common")))
       .filter(col("jaccard") >= threshold)
-      .select(col("a.gid").as("gid_a"), col("b.gid").as("gid_b"),
-        col("a.ids").as("ids_a"), col("b.ids").as("ids_b"), col("jaccard"))
-      .dropDuplicates("gid_a", "gid_b")
       .select(explode(col("ids_a")).as("doc_a"), col("ids_b"), col("jaccard"))
       .select(col("doc_a"), explode(col("ids_b")).as("doc_b"), col("jaccard"))
     exact.unionByName(inter)

