@@ -114,8 +114,15 @@ private[functions] object SetKernels {
     UnsafeArrayData.fromPrimitiveArray(words)
   }
 
-  /** `sketch_xor_popcnt(a, b)` — Hamming distance of two sketches. */
+  /** `sketch_xor_popcnt(a, b)` — Hamming distance of two sketches.
+    * Registered as a session SQL function, so arbitrary array<bigint>
+    * inputs are reachable: a short array must ERROR, not read past an
+    * UnsafeArrayData's end and return garbage.
+    */
   def xorPopcount(a: ArrayData, b: ArrayData): Int = {
+    require(a.numElements() == SketchWords && b.numElements() == SketchWords,
+      s"sketch_xor_popcnt requires two ${SketchWords}-word set_sketch " +
+        s"values, got lengths ${a.numElements()} and ${b.numElements()}")
     var c = 0
     var i = 0
     while (i < SketchWords) {

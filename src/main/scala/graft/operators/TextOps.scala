@@ -494,24 +494,13 @@ object TextOps {
     // 30× probe). The sketch gate collapses the candidate stream to
     // ~answer size map-side, inside the join, before the exchange —
     // guide §2.3 "aggregate before you shuffle" / §2.4.
-    val prefix = gtok.join(df, "th")
-      .withColumn("pos", row_number().over(w))
-      .filter(col("pos") <= floor((lit(BigDecimal(1)) - tDec) * col("sz")) + 1)
-      .select("gid", "th", "sz")
-      .join(groups.select(col("gid"),
-        graft.functions.VectorFunctions.setSketch(col("toks")).as("sk")), "gid")
-      .transform(graft.IntraQueryCache.scoped)
+    val prefix = sketchedPrefix(gtok, df, groups, w, tDec)
     // candidate set-pairs share a prefix token, have compatible sizes
     // (t*|A| <= |B| <= |A|/t) AND pass the sketch gate — all checked
     // inside the join, so only near-answer-sized survivors flow on
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.th") === col("b.th") && col("a.gid") < col("b.gid") &&
-          col("b.sz") >= ceil(col("a.sz") * tDec) &&
-          col("a.sz") >= ceil(col("b.sz") * tDec) &&
-          graft.functions.VectorFunctions
-            .sketchXorPopcnt(col("a.sk"), col("b.sk")) *
-            (lit(BigDecimal(1)) + tDec) <=
-            (lit(BigDecimal(1)) - tDec) * (col("a.sz") + col("b.sz")))
+          sizeWindow(tDec) && sketchGate(tDec))
       .select(col("a.gid").as("gid_a"), col("b.gid").as("gid_b"))
       .dropDuplicates("gid_a", "gid_b")
     val inter = cand
@@ -532,6 +521,39 @@ object TextOps {
         greatest(col("ia"), col("ib")).as("doc_b"), col("jaccard"))
     intra.unionByName(inter)
   }
+
+  /** Prefix rows with the owning group's 128 B set sketch attached and
+    * the frame generation-scoped — the shared candidate-join input of
+    * [[jaccardPairs]] and [[crossJaccardPairs]] (the gate rationale and
+    * bound proof live at the jaccardPairs call site).
+    */
+  private def sketchedPrefix(gtok: DataFrame, df: DataFrame,
+      groups: DataFrame, w: org.apache.spark.sql.expressions.WindowSpec,
+      tDec: Column): DataFrame =
+    gtok.join(df, "th")
+      .withColumn("pos", row_number().over(w))
+      .filter(col("pos") <= floor((lit(BigDecimal(1)) - tDec) * col("sz")) + 1)
+      .select("gid", "th", "sz")
+      .join(groups.select(col("gid"),
+        graft.functions.VectorFunctions.setSketch(col("toks")).as("sk")), "gid")
+      .transform(graft.IntraQueryCache.scoped)
+
+  /** AllPairs size-compatibility window between the `a`/`b` prefix
+    * sides: t·|A| <= |B| <= |A|/t, in exact decimal arithmetic.
+    */
+  private def sizeWindow(tDec: Column): Column =
+    col("b.sz") >= ceil(col("a.sz") * tDec) &&
+      col("a.sz") >= ceil(col("b.sz") * tDec)
+
+  /** The sketch gate between the `a`/`b` prefix sides: the necessary
+    * condition popcount(sk_a xor sk_b)·(1+t) <= (1−t)·(|A|+|B|) for
+    * J >= t (never rejects a true pair — proof at [[jaccardPairs]]).
+    */
+  private def sketchGate(tDec: Column): Column =
+    graft.functions.VectorFunctions
+      .sketchXorPopcnt(col("a.sk"), col("b.sk")) *
+      (lit(BigDecimal(1)) + tDec) <=
+      (lit(BigDecimal(1)) - tDec) * (col("a.sz") + col("b.sz"))
 
   /** Quality-aware survivor selection — the refinement every dedup
     * pipeline eventually wants over first-wins: within each near-dup
@@ -1989,27 +2011,15 @@ object TextOps {
     val w = Window.partitionBy("gid").orderBy("df", "th")
     val tDec = lit(BigDecimal(threshold.toString))
     // sketch-gated prefix candidate join, the jaccardPairs r17
-    // restructure (see there for the bound proof): each prefix row
+    // restructure (shared [[sketchedPrefix]]/[[sizeWindow]]/
+    // [[sketchGate]] — bound proof at jaccardPairs): each prefix row
     // carries its set's 128 B bitmap, the join condition prunes to
     // ~answer size map-side, and only survivors pay the dedup exchange
     // and the payload join-backs for exact verification
-    def prefixOf(gtok: DataFrame, groups: DataFrame) = gtok.join(df, "th")
-      .withColumn("pos", row_number().over(w))
-      .filter(col("pos") <= floor((lit(BigDecimal(1)) - tDec) * col("sz")) + 1)
-      .select("gid", "th", "sz")
-      .join(groups.select(col("gid"),
-        graft.functions.VectorFunctions.setSketch(col("toks")).as("sk")), "gid")
-      .transform(graft.IntraQueryCache.scoped)
-    val pa = prefixOf(gtokA, ga)
-    val pb = prefixOf(gtokB, gb)
+    val pa = sketchedPrefix(gtokA, df, ga, w, tDec)
+    val pb = sketchedPrefix(gtokB, df, gb, w, tDec)
     val cand = pa.as("a").join(pb.as("b"),
-        col("a.th") === col("b.th") &&
-          col("b.sz") >= ceil(col("a.sz") * tDec) &&
-          col("a.sz") >= ceil(col("b.sz") * tDec) &&
-          graft.functions.VectorFunctions
-            .sketchXorPopcnt(col("a.sk"), col("b.sk")) *
-            (lit(BigDecimal(1)) + tDec) <=
-            (lit(BigDecimal(1)) - tDec) * (col("a.sz") + col("b.sz")))
+        col("a.th") === col("b.th") && sizeWindow(tDec) && sketchGate(tDec))
       .select(col("a.gid").as("gid_a"), col("b.gid").as("gid_b"))
       .dropDuplicates("gid_a", "gid_b")
     val inter = cand

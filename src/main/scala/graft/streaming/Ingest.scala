@@ -322,10 +322,16 @@ object Ingest {
     val lines = (kept.toSeq.sortBy(_._1) :+ ("datekey" -> DateKey))
       .map { case (k, v) => s"$k=$v" }.mkString("", "\n", "\n")
     // sweep temps orphaned by a crash between write and move (ADVICE
-    // r16) — mirrors writeLeaseClaim's `.lease-w-*` sweep; safe because
-    // a temp is only ever consumed by the same-call move below
+    // r16). Unlike writeLeaseClaim's `.lease-w-*` sweep this runs with
+    // NO lock, so it must never delete a CONCURRENT writer's in-flight
+    // temp (written milliseconds ago, consumed by its own atomic move)
+    // — age-gate the sweep: only temps old enough that no live call
+    // can still own them are crash orphans
+    val orphanAgeMs = 60L * 60L * 1000L
+    val cutoff = System.currentTimeMillis() - orphanAgeMs
     Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.startsWith(".meta-w-"))
+      .filter(f => f.getName.startsWith(".meta-w-") &&
+        f.lastModified() < cutoff)
       .foreach(f => f.delete(): Unit)
     val tmp = new java.io.File(path, s".meta-w-${java.util.UUID.randomUUID()}")
     java.nio.file.Files.write(tmp.toPath,

@@ -128,11 +128,34 @@ class SetKernelSpec extends AnyFunSuite {
       val symDiff = (sa diff sb).size + (sb diff sa).size
       assert(xor <= symDiff, s"popcount(xor)=$xor > |A△B|=$symDiff")
     }
-    // and the Column-level popcount agrees with the local computation
+    // and the Column-level popcount agrees VALUE-FOR-VALUE with the
+    // local word-wise computation on every pair
+    val byId = df2.collect().map(r2 => r2.getLong(0) -> r2.getSeq[Long](2)).toMap
     val x = df2.as("a").crossJoin(df2.as("b"))
-      .select(VectorFunctions.sketchXorPopcnt(col("a.sk"), col("b.sk")))
-      .collect().map(_.getInt(0))
-    assert(x.length == rows.length * rows.length && x.forall(_ >= 0))
+      .select(col("a.id").as("ia"), col("b.id").as("ib"),
+        VectorFunctions.sketchXorPopcnt(col("a.sk"), col("b.sk")).as("p"))
+      .collect()
+    assert(x.length == rows.length * rows.length)
+    x.foreach { r2 =>
+      val expect = byId(r2.getLong(0)).zip(byId(r2.getLong(1)))
+        .map { case (u, v) => java.lang.Long.bitCount(u ^ v) }.sum
+      assert(r2.getInt(2) == expect,
+        s"pair (${r2.getLong(0)}, ${r2.getLong(1)}): " +
+          s"column=${r2.getInt(2)} local=$expect")
+    }
+  }
+
+  test("sketch_xor_popcnt rejects non-sketch-length arrays instead of " +
+      "reading past an unsafe buffer") {
+    val e = intercept[Exception] {
+      Seq((1L, Seq(1L, 2L), Seq(3L))).toDF("id", "a", "b")
+        .select(VectorFunctions.sketchXorPopcnt(col("a"), col("b")))
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("set_sketch")), msgs(e).mkString(" | "))
   }
 
   // NOTE: end-to-end gate-keeps-every-true-pair coverage lives in
